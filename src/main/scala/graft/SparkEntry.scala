@@ -1,13 +1,184 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.expressions.Window
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query is written twice: once in the DataFrame API (here) and once
+  * as ANSI SQL for the DuckDB oracle (`oracleSql`). Column names are kept
+  * identical on both sides (the driver sorts columns by name before
+  * hashing). All floating-point aggregations are cast to DECIMAL with a
+  * fixed scale on BOTH sides so the result is exact and engine-order
+  * independent — summing doubles in a different order would otherwise
+  * produce hash mismatches at the last ulp.
+  */
 object SparkEntry {
+
+  /** Cast to a decimal type matching DuckDB's DECIMAL(p,s) semantics. */
+  private def dec(c: Column, p: Int = 28, s: Int = 4): Column =
+    c.cast(DecimalType(p, s))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- Aggregation over a scan (SURVEY §2.8 aggregation; reduce-sum
+    //      lattice semantics expressed relationally) ----
+    "q1_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"), 18, 2)).as("sum_qty"),
+          sum(dec(col("l_extendedprice"), 18, 2)).as("sum_base_price"),
+          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 28, 6)).as("sum_disc_price"),
+          (sum(dec(col("l_quantity"), 18, 2)).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ---- Multi-way join + group + top-k (shuffle join; small dims are
+    //      broadcast automatically by AQE) ----
+    "q2_revenue_by_nation" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = broadcast(t(s, dir, "nation"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 28, 6)).as("revenue"),
+             count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    }),
+
+    // ---- Broadcast join against a small dimension ----
+    "q3_brand_volume" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = broadcast(t(s, dir, "part"))
+      li.join(p, li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(sum(dec(col("l_quantity"), 18, 2)).as("sum_qty"),
+             count(lit(1)).as("n_lines"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // ---- Left-semi join (EXISTS) — SURVEY §2.8 semi/anti ----
+    "q4_orders_with_big_lines" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val big = t(s, dir, "lineitem").filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey"))
+      o.join(big, o("o_orderkey") === big("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ---- Left-anti join (NOT EXISTS) — GC/retain-set pattern ----
+    "q5_customers_without_orders" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // ---- Window function: top-3 orders per customer ----
+    "q6_top_orders_per_customer" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .filter(col("o_custkey") % 100 === 0)
+        .select(col("o_custkey"), col("o_orderkey"),
+                dec(col("o_totalprice"), 18, 2).as("total_price"), col("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // ---- Union-distinct (SURVEY §2.8 union; lens multi-input dedup) ----
+    "q7_active_nations" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").cast("int").as("nationkey"))
+      val su = t(s, dir, "supplier").select(col("s_nationkey").cast("int").as("nationkey"))
+      c.union(su).distinct().orderBy(col("nationkey"))
+    }),
+
+    // ---- Time-bucketed aggregation over the events table ----
+    "q8_events_daily" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(dec(col("value"), 18, 4)).as("sum_value"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q2_revenue_by_nation" ->
+      """SELECT n_name,
+        |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q3_brand_volume" ->
+      """SELECT p_brand,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q4_orders_with_big_lines" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q5_customers_without_orders" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q6_top_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(o_totalprice AS DECIMAL(18,2)) AS total_price, rn
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders) t
+        |WHERE rn <= 3 AND o_custkey % 100 = 0
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q7_active_nations" ->
+      """SELECT DISTINCT nationkey FROM (
+        |  SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+        |  UNION ALL
+        |  SELECT CAST(s_nationkey AS INT) AS nationkey FROM supplier
+        |) ORDER BY nationkey""".stripMargin,
+    "q8_events_daily" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+        |  count(*) AS n_events,
+        |  sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  )
 }
