@@ -1,0 +1,23 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** One place to build the engine's SparkSession so every entry point
+  * (Verify, Bench, tests) runs with identical, race-free configuration.
+  * Session-level conf is set at build time — never mutated mid-query
+  * (VERDICT r1 #5).
+  */
+object GraftSession {
+  def build(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // events.ts is parquet TIMESTAMP(NANOS), which the vectorized
+      // reader rejects; read nanos as long and convert in Tables.load.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

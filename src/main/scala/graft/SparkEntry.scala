@@ -10,16 +10,23 @@ import org.apache.spark.sql.expressions.Window
   * Every query is written twice: once in the DataFrame API (here) and once
   * as ANSI SQL for the DuckDB oracle (`oracleSql`). Column names are kept
   * identical on both sides (the driver sorts columns by name before
-  * hashing). All floating-point aggregations are cast to DECIMAL with a
-  * fixed scale on BOTH sides so the result is exact and engine-order
+  * hashing). All floating-point aggregations run as DECIMAL with a fixed
+  * scale on BOTH sides so the result is exact and engine-order
   * independent — summing doubles in a different order would otherwise
-  * produce hash mismatches at the last ulp.
+  * produce hash mismatches at the last ulp. The decimal is then
+  * final-cast to DOUBLE on BOTH sides: Spark and DuckDB widen decimal
+  * sums to different precisions (DECIMAL(28,2) vs DECIMAL(38,2)), and the
+  * driver's hash is type-sensitive even at equal values, while an
+  * identical decimal converts to a bit-identical double.
   */
 object SparkEntry {
 
   /** Cast to a decimal type matching DuckDB's DECIMAL(p,s) semantics. */
   private def dec(c: Column, p: Int = 28, s: Int = 4): Column =
     c.cast(DecimalType(p, s))
+
+  /** Order-exact decimal sum, emitted as a bit-stable double. */
+  private def dsum(c: Column): Column = sum(c).cast("double")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -36,9 +43,9 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec(col("l_quantity"), 18, 2)).as("sum_qty"),
-          sum(dec(col("l_extendedprice"), 18, 2)).as("sum_base_price"),
-          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 28, 6)).as("sum_disc_price"),
+          dsum(dec(col("l_quantity"), 18, 2)).as("sum_qty"),
+          dsum(dec(col("l_extendedprice"), 18, 2)).as("sum_base_price"),
+          dsum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 28, 6)).as("sum_disc_price"),
           (sum(dec(col("l_quantity"), 18, 2)).cast("double") / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -55,7 +62,7 @@ object SparkEntry {
         .join(c, o("o_custkey") === c("c_custkey"))
         .join(n, c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 28, 6)).as("revenue"),
+        .agg(dsum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 28, 6)).as("revenue"),
              count(lit(1)).as("n_items"))
         .orderBy(col("n_name"))
     }),
@@ -66,7 +73,7 @@ object SparkEntry {
       val p = broadcast(t(s, dir, "part"))
       li.join(p, li("l_partkey") === p("p_partkey"))
         .groupBy(col("p_brand"))
-        .agg(sum(dec(col("l_quantity"), 18, 2)).as("sum_qty"),
+        .agg(dsum(dec(col("l_quantity"), 18, 2)).as("sum_qty"),
              count(lit(1)).as("n_lines"))
         .orderBy(col("p_brand"))
     }),
@@ -98,11 +105,16 @@ object SparkEntry {
       val o = t(s, dir, "orders")
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      o.withColumn("rn", row_number().over(w))
+      // The selective filter comes textually before the window: it only
+      // references the partition key, so it does not change row_number
+      // semantics and cuts 99% of the windowed data by construction
+      // rather than relying on a pushdown rule.
+      o.filter(col("o_custkey") % 100 === 0)
+        .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
-        .filter(col("o_custkey") % 100 === 0)
         .select(col("o_custkey"), col("o_orderkey"),
-                dec(col("o_totalprice"), 18, 2).as("total_price"), col("rn"))
+                dec(col("o_totalprice"), 18, 2).cast("double").as("total_price"),
+                col("rn").cast("long").as("rn"))
         .orderBy(col("o_custkey"), col("rn"))
     }),
 
@@ -118,7 +130,7 @@ object SparkEntry {
       t(s, dir, "events")
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("n_events"),
-             sum(dec(col("value"), 18, 4)).as("sum_value"))
+             dsum(dec(col("value"), 18, 4)).as("sum_value"))
         .orderBy(col("event_type"), col("day"))
     }),
   )
@@ -128,15 +140,15 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q2_revenue_by_nation" ->
       """SELECT n_name,
-        |  sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS revenue,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -145,7 +157,7 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q3_brand_volume" ->
       """SELECT p_brand,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  count(*) AS n_lines
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -163,11 +175,12 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q6_top_orders_per_customer" ->
       """SELECT o_custkey, o_orderkey,
-        |  CAST(o_totalprice AS DECIMAL(18,2)) AS total_price, rn
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+        |  CAST(rn AS BIGINT) AS rn
         |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
         |        ORDER BY o_totalprice DESC, o_orderkey) AS rn
-        |      FROM orders) t
-        |WHERE rn <= 3 AND o_custkey % 100 = 0
+        |      FROM orders WHERE o_custkey % 100 = 0) t
+        |WHERE rn <= 3
         |ORDER BY o_custkey, rn""".stripMargin,
     "q7_active_nations" ->
       """SELECT DISTINCT nationkey FROM (
@@ -178,7 +191,7 @@ object SparkEntry {
     "q8_events_daily" ->
       """SELECT event_type, CAST(ts AS DATE) AS day,
         |  count(*) AS n_events,
-        |  sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -18,10 +18,11 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-      // reader rejects; read it as raw nanos and convert to a microsecond
-      // timestamp (Spark's native resolution). DuckDB reads the same file
-      // at nanos and truncates identically at micro granularity.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // reader rejects; with spark.sql.legacy.parquet.nanosAsLong=true
+      // (set once at session build — GraftSession) it arrives as raw
+      // nanos, converted here to a microsecond timestamp (Spark's native
+      // resolution). DuckDB reads the same file at nanos and truncates
+      // identically at micro granularity.
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
       raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
     } else spark.read.parquet(s"$sfDir/$name.parquet")

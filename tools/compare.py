@@ -42,21 +42,22 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: rows {len(got)} != {len(want)}")
         fails += 1
         continue
-    # value compare, tolerant of dtype differences (decimal vs float order)
+    # Driver-faithful compare: the driver hashes values type-sensitively,
+    # so a decimal-vs-double difference is a FAIL even at equal values.
     mismatch = None
     for c in got.columns:
         a, b = got[c], want[c]
-        try:
-            eq = (a.astype(str) == b.astype(str))
-        except Exception:
-            eq = a == b
+        if str(a.dtype) != str(b.dtype):
+            mismatch = (c, "dtype", str(a.dtype), str(b.dtype))
+            break
+        eq = (a == b) | (a.isna() & b.isna())
         if not eq.all():
             i = int((~eq).idxmax())
             mismatch = (c, i, a[i], b[i])
             break
     if mismatch:
         c, i, av, bv = mismatch
-        print(f"FAIL {name}: col {c} row {i}: spark={av!r} oracle={bv!r}")
+        print(f"FAIL {name}: col {c} @{i}: spark={av!r} oracle={bv!r}")
         fails += 1
     else:
         print(f"OK   {name}: {len(got)} rows")
