@@ -36,20 +36,26 @@ object Cbor {
 
   def encode(v: PoValue): Array[Byte] = {
     val out = new ByteArrayOutputStream(64)
-    write(v, out, canonical = false)
+    write(v, out)
     out.toByteArray
   }
 
   def canonical(v: PoValue): Array[Byte] = {
-    val out = new ByteArrayOutputStream(64)
-    write(v, out, canonical = true)
-    out.toByteArray
+    val acc = new ChunkAcc
+    writeCanonical(v, acc)
+    acc.toArray
   }
 
   /** 64-hex sha256 of the canonical encoding — the record content hash
-    * (fills the role of reference base-data-model.js:185-196 objectHash). */
+    * (fills the role of reference base-data-model.js:185-196 objectHash).
+    * Digests the chunk rope directly; the canonical bytes are never
+    * materialized as one array. */
   def hash(v: PoValue): String = {
-    val d = MessageDigest.getInstance("SHA-256").digest(canonical(v))
+    val acc = new ChunkAcc
+    writeCanonical(v, acc)
+    val md = MessageDigest.getInstance("SHA-256")
+    acc.digestInto(md)
+    val d = md.digest()
     val sb = new StringBuilder(64)
     d.foreach(b => sb.append(f"${b & 0xff}%02x"))
     sb.toString
@@ -72,7 +78,91 @@ object Cbor {
   private def writeTag(tag: Long, out: ByteArrayOutputStream): Unit =
     writeTypeAndLen(6, tag, out)
 
-  private def write(v: PoValue, out: ByteArrayOutputStream, canonical: Boolean): Unit = v match {
+  // --------------------------------------------------- canonical encoding
+  //
+  // Canonical form sorts Set members and Map entries by their encoded
+  // bytes, so those encodings are needed before the parent's bytes can be
+  // laid out. A naive implementation flattens each subtree per level
+  // (O(depth × size) copying — r1's defect). Instead every node writes
+  // into a chunk rope; Set/Map children are encoded into their own ropes,
+  // sorted by lexicographic byte comparison ACROSS chunks, and absorbed
+  // into the parent by reference. Bytes are materialized exactly once, at
+  // the root (or fed straight into the sha256 digest).
+
+  private final class ChunkAcc {
+    val parts = new scala.collection.mutable.ArrayBuffer[Array[Byte]]
+    private var cur = new ByteArrayOutputStream(64)
+    /** open small buffer for leaf/header writes */
+    def out: ByteArrayOutputStream = cur
+    def flush(): Unit = if (cur.size > 0) {
+      parts += cur.toByteArray
+      cur = new ByteArrayOutputStream(64)
+    }
+    /** move another rope's chunks in by reference */
+    def absorb(o: ChunkAcc): Unit = { flush(); o.flush(); parts ++= o.parts }
+    def toArray: Array[Byte] = {
+      flush()
+      val n = parts.foldLeft(0)(_ + _.length)
+      val a = new Array[Byte](n)
+      var off = 0
+      parts.foreach { p => System.arraycopy(p, 0, a, off, p.length); off += p.length }
+      a
+    }
+    def digestInto(md: MessageDigest): Unit = { flush(); parts.foreach(md.update) }
+  }
+
+  /** Unsigned-lexicographic compare of two ropes without flattening. */
+  private def compareChunks(a: ChunkAcc, b: ChunkAcc): Int = {
+    a.flush(); b.flush()
+    var ai = 0; var aj = 0; var bi = 0; var bj = 0
+    while (true) {
+      while (ai < a.parts.length && aj >= a.parts(ai).length) { ai += 1; aj = 0 }
+      while (bi < b.parts.length && bj >= b.parts(bi).length) { bi += 1; bj = 0 }
+      val aDone = ai >= a.parts.length
+      val bDone = bi >= b.parts.length
+      if (aDone || bDone) return java.lang.Boolean.compare(!aDone, !bDone)
+      val c = (a.parts(ai)(aj) & 0xff) - (b.parts(bi)(bj) & 0xff)
+      if (c != 0) return c
+      aj += 1; bj += 1
+    }
+    0 // unreachable
+  }
+
+  private implicit val chunkOrdering: Ordering[ChunkAcc] =
+    (a: ChunkAcc, b: ChunkAcc) => compareChunks(a, b)
+
+  private def writeCanonical(v: PoValue, acc: ChunkAcc): Unit = v match {
+    case PoArr(items) =>
+      writeTypeAndLen(4, items.length.toLong, acc.out)
+      items.foreach(writeCanonical(_, acc))
+    case s: PoSet =>
+      writeTag(258, acc.out)
+      writeTypeAndLen(4, s.items.length.toLong, acc.out)
+      val kids = s.items.map { i => val a = new ChunkAcc; writeCanonical(i, a); a }
+      kids.sorted.foreach(acc.absorb)
+    case PoObj(fields) =>
+      writeTypeAndLen(5, fields.size.toLong, acc.out)
+      fields.toVector.sortBy(_._1).foreach { case (k, fv) =>
+        write(PoStr(k), acc.out)
+        writeCanonical(fv, acc)
+      }
+    case m: PoMap =>
+      val entries = m.entries
+      writeTag(259, acc.out)
+      writeTypeAndLen(5, entries.length.toLong, acc.out)
+      val kids = entries.map { case (k, mv) =>
+        val ka = new ChunkAcc; writeCanonical(k, ka)
+        val va = new ChunkAcc; writeCanonical(mv, va)
+        (ka, va)
+      }
+      kids.sortBy(_._1).foreach { case (ka, va) => acc.absorb(ka); acc.absorb(va) }
+    case leaf =>
+      write(leaf, acc.out)
+  }
+
+  /** Insertion-order (storage-form) encoding — order is data, the reduce
+    * lattice is order-sensitive. Canonical form goes via writeCanonical. */
+  private def write(v: PoValue, out: ByteArrayOutputStream): Unit = v match {
     case PoNull      => out.write(0xf6)
     case PoUndefined => out.write(0xf7)
     case PoBool(b)   => out.write(if (b) 0xf5 else 0xf4)
@@ -100,25 +190,18 @@ object Cbor {
       out.write(arr, 0, arr.length)
     case PoArr(items) =>
       writeTypeAndLen(4, items.length.toLong, out)
-      items.foreach(write(_, out, canonical))
+      items.foreach(write(_, out))
     case s: PoSet =>
       writeTag(258, out)
-      val items =
-        if (canonical) s.items.sortBy(i => ByteKey(Cbor.canonical(i)))
-        else s.items
-      writeTypeAndLen(4, items.length.toLong, out)
-      items.foreach(write(_, out, canonical))
+      writeTypeAndLen(4, s.items.length.toLong, out)
+      s.items.foreach(write(_, out))
     case PoObj(fields) =>
-      val fs = if (canonical) fields.toVector.sortBy(_._1) else fields.toVector
-      writeTypeAndLen(5, fs.length.toLong, out)
-      fs.foreach { case (k, fv) => write(PoStr(k), out, canonical); write(fv, out, canonical) }
+      writeTypeAndLen(5, fields.size.toLong, out)
+      fields.foreach { case (k, fv) => write(PoStr(k), out); write(fv, out) }
     case PoMap(entries) =>
       writeTag(259, out)
-      val es =
-        if (canonical) entries.sortBy(e => ByteKey(Cbor.canonical(e._1)))
-        else entries
-      writeTypeAndLen(5, es.length.toLong, out)
-      es.foreach { case (k, mv) => write(k, out, canonical); write(mv, out, canonical) }
+      writeTypeAndLen(5, entries.length.toLong, out)
+      entries.foreach { case (k, mv) => write(k, out); write(mv, out) }
     case PoDate(ms) =>
       writeTag(1, out)
       if (ms >= 0) writeTypeAndLen(0, ms, out) else writeTypeAndLen(1, -(ms + 1), out)
@@ -127,20 +210,6 @@ object Cbor {
       val b = u.getBytes(UTF_8)
       writeTypeAndLen(3, b.length.toLong, out)
       out.write(b, 0, b.length)
-  }
-
-  /** Lexicographic unsigned-byte ordering key. */
-  private final case class ByteKey(b: Array[Byte]) extends Ordered[ByteKey] {
-    def compare(o: ByteKey): Int = {
-      val n = math.min(b.length, o.b.length)
-      var i = 0
-      while (i < n) {
-        val c = (b(i) & 0xff) - (o.b(i) & 0xff)
-        if (c != 0) return c
-        i += 1
-      }
-      b.length - o.b.length
-    }
   }
 
   // ---------------------------------------------------------------- decode

@@ -66,27 +66,41 @@ object PoBytes {
 }
 /** Heterogeneous array. */
 final case class PoArr(items: Vector[PoValue]) extends PoValue
-/** Insertion-ordered set (JS Set). Construction dedups. */
-final class PoSet private (val items: Vector[PoValue]) extends PoValue {
-  def contains(v: PoValue): Boolean = items.contains(v)
+/** Insertion-ordered set (JS Set). Construction dedups.
+  *
+  * Backed by an insertion-order Vector plus an immutable HashSet index so
+  * membership is O(1) and `union` is O(|right|) with structural sharing —
+  * the lens reduce folds one set per posting, so a hot key at 100 TB
+  * unions millions of members and anything quadratic is a scale-killer
+  * (this replaces the O(n·m) `filterNot(items.contains)` of r1).
+  */
+final class PoSet private (val items: Vector[PoValue],
+                           private val index: Set[PoValue]) extends PoValue {
+  def contains(v: PoValue): Boolean = index.contains(v)
+  def size: Int = items.length
   /** Set union preserving left-then-right insertion order
     * (reference: library/utility/reduce.js:21-23). */
-  def union(other: PoSet): PoSet =
-    new PoSet(items ++ other.items.filterNot(items.contains))
+  def union(other: PoSet): PoSet = {
+    val fresh = other.items.filterNot(index.contains)
+    if (fresh.isEmpty) this
+    else new PoSet(items ++ fresh, index ++ fresh)
+  }
   override def equals(o: Any): Boolean = o match {
-    case s: PoSet => items.toSet == s.items.toSet
+    case s: PoSet => index == s.index
     case _ => false
   }
-  override def hashCode: Int = items.toSet.hashCode
+  override def hashCode: Int = index.hashCode
   override def toString: String = items.mkString("PoSet(", ", ", ")")
 }
 object PoSet {
   def apply(vs: PoValue*): PoSet = fromSeq(vs)
   def fromSeq(vs: Seq[PoValue]): PoSet = {
     val b = Vector.newBuilder[PoValue]
-    val seen = scala.collection.mutable.LinkedHashSet[PoValue]()
-    vs.foreach(v => if (seen.add(v)) b += v)
-    new PoSet(b.result())
+    var seen = Set.empty[PoValue]
+    vs.foreach { v =>
+      if (!seen.contains(v)) { seen += v; b += v }
+    }
+    new PoSet(b.result(), seen)
   }
 }
 /** String-keyed object with stable own-key insertion order. */
@@ -95,16 +109,35 @@ object PoObj {
   def apply(kvs: (String, PoValue)*): PoObj = PoObj(VectorMap(kvs: _*))
   val empty: PoObj = PoObj(VectorMap.empty[String, PoValue])
 }
-/** Arbitrary-key map (JS Map; CBOR tag 259). Insertion-ordered; keys unique. */
-final case class PoMap(entries: Vector[(PoValue, PoValue)]) extends PoValue {
-  def get(k: PoValue): Option[PoValue] = entries.find(_._1 == k).map(_._2)
-  def updated(k: PoValue, v: PoValue): PoMap = {
-    val i = entries.indexWhere(_._1 == k)
-    if (i >= 0) PoMap(entries.updated(i, (k, v))) else PoMap(entries :+ (k, v))
+/** Arbitrary-key map (JS Map; CBOR tag 259). Insertion-ordered; keys
+  * unique. Backed by an insertion-order key Vector plus an immutable
+  * HashMap so `get`/`updated` are O(1) (amortized) with structural
+  * sharing — recursive map merges in the reduce lattice touch every key
+  * of the right side and were quadratic with linear scans (r1). */
+final class PoMap private (private val keys: Vector[PoValue],
+                           private val byKey: Map[PoValue, PoValue]) extends PoValue {
+  def entries: Vector[(PoValue, PoValue)] = keys.map(k => (k, byKey(k)))
+  def get(k: PoValue): Option[PoValue] = byKey.get(k)
+  def size: Int = keys.length
+  /** Replace in place if the key exists (keeps its insertion position),
+    * append otherwise — JS Map.set semantics. */
+  def updated(k: PoValue, v: PoValue): PoMap =
+    if (byKey.contains(k)) new PoMap(keys, byKey.updated(k, v))
+    else new PoMap(keys :+ k, byKey.updated(k, v))
+  override def equals(o: Any): Boolean = o match {
+    case m: PoMap => keys == m.keys && byKey == m.byKey
+    case _ => false
   }
+  override def hashCode: Int = keys.hashCode * 31 + byKey.hashCode
+  override def toString: String = entries.mkString("PoMap(", ", ", ")")
 }
 object PoMap {
-  def of(kvs: (PoValue, PoValue)*): PoMap = kvs.foldLeft(PoMap(Vector.empty))((m, kv) => m.updated(kv._1, kv._2))
+  val empty: PoMap = new PoMap(Vector.empty, Map.empty)
+  /** Build from entry pairs; a repeated key updates in place (JS Map). */
+  def apply(entries: Vector[(PoValue, PoValue)]): PoMap =
+    entries.foldLeft(empty)((m, kv) => m.updated(kv._1, kv._2))
+  def unapply(m: PoMap): Some[Vector[(PoValue, PoValue)]] = Some(m.entries)
+  def of(kvs: (PoValue, PoValue)*): PoMap = apply(kvs.toVector)
 }
 /** JS Date, millisecond precision. */
 final case class PoDate(epochMillis: Long) extends PoValue
