@@ -1,0 +1,333 @@
+package graft.store
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Cbor, NaturalOrder, PoNull, PoUndefined, PoValue, RecordStructure}
+
+/** One stored record row — the physical schema of every collection
+  * snapshot. `value` is the insertion-order CBOR encoding of the document
+  * (order is data: the reduce lattice is order-sensitive); `hash` is the
+  * 64-hex sha256 of the canonical encoding; `links` are the discovered
+  * `hash://sha256/...` attachment URLs.
+  * (reference record meta: base-data-model.js:36-46)
+  */
+final case class RecordRow(id: String, version: Long, hash: String,
+                           links: Seq[String], value: Array[Byte])
+
+/** Small collection-level manifest. Per-record metadata lives as COLUMNS
+  * in the parquet snapshot, not here — at 100 TB a records map in a
+  * driver-side manifest is a scale-killer; the manifest stays O(1).
+  * (reference keeps records inline in meta: base-data-model.js:26-59 —
+  * same information, different placement.)
+  */
+final case class CollectionMeta(version: Long, created: Long, updated: Long,
+                                memo: String)
+
+/** An incoming write entry: `None` value = delete tombstone (the
+  * reference's `undefined` record value, docs/api/datasets.md:46). */
+final case class WriteEntry(id: String, value: Option[PoValue])
+
+object Store {
+  /** Record id validation (reference: dataset.js:20-25). */
+  def validateId(id: String): Unit = {
+    require(id != null && id.nonEmpty, "recordID must be a non-empty string")
+    require(id.length <= 10000, s"recordID too long (${id.length} > 10000)")
+  }
+}
+
+/** Collection store rooted at a local/dfs directory.
+  *
+  * Layout: `root/<source>/<author>/<name>/v<N>/` parquet snapshot per
+  * collection version, plus `meta.json` naming the current version —
+  * commit is write-new-snapshot then atomically swap the manifest
+  * (the Spark analogue of the reference's tmp + rename dance,
+  * fs/raw.js:152-197). Writers serialize per collection via a driver-side
+  * lock (the reference's named in-memory locks, fs/objects.js:127); Spark
+  * jobs inside a commit stay fully parallel.
+  */
+final class Store(val spark: SparkSession, val root: String) {
+  import spark.implicits._
+
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(key: String): Object =
+    locks.computeIfAbsent(key, _ => new Object)
+
+  /** Commit listeners: (path, newVersion) — the change feed that drives
+    * cascading lens rebuilds (reference: update-events.js:7-14). */
+  private val listeners = scala.collection.mutable.ArrayBuffer[(DataPath, Long) => Unit]()
+  def onCommit(f: (DataPath, Long) => Unit): Unit = synchronized { listeners += f }
+  private[store] def notifyCommit(path: DataPath, version: Long): Unit =
+    listeners.synchronized(listeners.toVector).foreach(f => f(path, version))
+
+  def collection(path: DataPath): Collection = new Collection(this, path)
+  def collection(source: String, author: String, name: String): Collection =
+    collection(DataPath(source, author, name))
+  def dataset(author: String, name: String): Collection =
+    collection("datasets", author, name)
+  def lens(author: String, name: String): Collection =
+    collection("lenses", author, name)
+
+  private[store] def dir(path: DataPath): Path =
+    Paths.get(root, path.source, path.author, path.name)
+
+  /** List authors or an author's collections under a source (reference:
+    * auth.js:202-208, base-data-model.js:90-100). */
+  def listAuthors(source: String): Seq[String] = listDir(Paths.get(root, source))
+  def listCollections(source: String, author: String): Seq[String] =
+    listDir(Paths.get(root, source, author)).filter { n =>
+      Files.exists(Paths.get(root, source, author, n, "meta.json"))
+    }
+  private def listDir(p: Path): Seq[String] =
+    if (!Files.isDirectory(p)) Seq.empty
+    else Files.list(p).iterator().asScala.filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).toSeq.sorted(NaturalOrder)
+
+  private[store] def withLock[A](path: DataPath)(f: => A): A =
+    lockFor(path.collectionPath).synchronized(f)
+}
+
+sealed trait WriteMode
+object WriteMode {
+  /** Upsert: unmentioned ids survive, tombstones delete. (W2) */
+  case object Merge extends WriteMode
+  /** Replace-all: unmentioned ids drop, tombstones rejected. (W3) */
+  case object Overwrite extends WriteMode
+}
+
+final class Collection(val store: Store, val path: DataPath) {
+  private val spark = store.spark
+  import spark.implicits._
+
+  private def dir: Path = store.dir(path)
+  private def metaFile: Path = dir.resolve("meta.json")
+  private def snapshotDir(v: Long): Path = dir.resolve(s"v$v")
+
+  def exists: Boolean = Files.exists(metaFile)
+
+  def meta: CollectionMeta = MetaJson.read(metaFile)
+
+  /** W1: new empty collection at version 0. */
+  def create(memo: String = ""): Collection = store.withLock(path) {
+    require(!exists, s"collection ${path.encoded} already exists")
+    Files.createDirectories(dir)
+    val now = System.currentTimeMillis()
+    // empty snapshot so scans of a fresh collection plan like any other
+    spark.emptyDataset[RecordRow].write.mode("overwrite")
+      .parquet(snapshotDir(0).toString)
+    MetaJson.write(metaFile, CollectionMeta(0, now, now, memo))
+    this
+  }
+
+  /** Current snapshot scan — S1. Columns: id, version, hash, links, value. */
+  def records: Dataset[RecordRow] = {
+    val m = meta
+    spark.read.parquet(snapshotDir(m.version).toString).as[RecordRow]
+  }
+  def toDF: DataFrame = records.toDF()
+
+  /** S2: record ids in natural order (reference sorts meta records
+    * naturally: base-data-model.js:46). */
+  def list(): Seq[String] = {
+    val key = udf((s: String) => NaturalOrder.naturalKey(s))
+    records.select(col("id")).withColumn("k", key(col("id")))
+      .orderBy(col("k")).select("id").as[String].collect().toSeq
+  }
+
+  /** S3: point lookup. The id predicate pushes to the parquet scan. */
+  def read(id: String): Option[PoValue] =
+    records.filter(col("id") === lit(id)).limit(1).collect()
+      .headOption.map(r => Cbor.decode(r.value))
+
+  def readRow(id: String): Option[RecordRow] =
+    records.filter(col("id") === lit(id)).limit(1).collect().headOption
+
+  /** W4: single-record upsert. */
+  def write(id: String, value: PoValue): Long =
+    writeEntries(Seq(WriteEntry(id, Some(value))), WriteMode.Merge)
+
+  /** W5: delete one record. */
+  def delete(id: String): Long =
+    writeEntries(Seq(WriteEntry(id, None)), WriteMode.Merge)
+
+  /** W6: drop the whole collection. */
+  def drop(): Unit = store.withLock(path) {
+    def rm(p: Path): Unit = {
+      if (Files.isDirectory(p))
+        Files.list(p).iterator().asScala.toSeq.foreach(rm)
+      Files.deleteIfExists(p)
+    }
+    rm(dir)
+  }
+
+  /** W2/W3 — the core commit operator. Hash-gated record versions: a
+    * record keeps its version when the new value's content hash equals
+    * the stored one (reference: base-data-model.js:193-196); the
+    * collection version increments once per commit regardless
+    * (base-data-model.js:26-59). Returns the new collection version.
+    *
+    * Driver-side convenience over [[writeEntriesDF]] for small batches;
+    * bulk ingest at scale hands a DataFrame straight in.
+    */
+  def writeEntries(entries: Seq[WriteEntry], mode: WriteMode): Long = {
+    entries.foreach { e =>
+      Store.validateId(e.id)
+      if (mode == WriteMode.Overwrite)
+        require(e.value.isDefined,
+          s"overwrite cannot contain tombstones (id ${e.id})")
+      // a stored null/undefined root is a delete, not a value
+      // (reference: base-data-model.js:151-153, docs/api/datasets.md:46)
+    }
+    val norm = entries.map { e =>
+      val tomb = e.value.forall(v => v == PoNull || v == PoUndefined)
+      if (mode == WriteMode.Overwrite)
+        require(!tomb, s"overwrite cannot contain null/undefined values (id ${e.id})")
+      (e.id, if (tomb) null else Cbor.encode(e.value.get), tomb)
+    }
+    // last write per id wins inside one batch (JS object-entry semantics)
+    val dedup = scala.collection.mutable.LinkedHashMap[String, (String, Array[Byte], Boolean)]()
+    norm.foreach(e => dedup(e._1) = e)
+    writeEntriesDF(spark.createDataset(dedup.values.toSeq).toDF("id", "value", "tombstone"), mode)
+  }
+
+  /** DataFrame form of W2/W3: `in` has columns id STRING, value BINARY
+    * (insertion-order CBOR), tombstone BOOLEAN. Hash/link computation
+    * runs on executors; version carry-over is a join against the current
+    * snapshot — no driver-side iteration, any scale.
+    */
+  def writeEntriesDF(in: DataFrame, mode: WriteMode): Long = store.withLock(path) {
+    require(exists, s"collection ${path.encoded} does not exist")
+    val m = meta
+    val newVersion = m.version + 1
+
+    val prepared: Dataset[(String, String, Seq[String], Array[Byte], Boolean)] =
+      in.select("id", "value", "tombstone")
+        .as[(String, Array[Byte], Boolean)]
+        .map { case (id, bytes, tomb) =>
+          if (tomb) (id, "", Seq.empty[String], Array.empty[Byte], true)
+          else {
+            val v = Cbor.decode(bytes)
+            (id, Cbor.hash(v), RecordStructure.listHashURLs(v), bytes, false)
+          }
+        }
+    val prep = prepared.toDF("id", "hash", "links", "value", "tombstone")
+
+    val old = toDF.select(col("id"), col("version").as("old_version"),
+      col("hash").as("old_hash"))
+
+    // hash-gated version: unchanged content keeps its version, changed or
+    // new content stamps the new collection version
+    val kept = prep.filter(!col("tombstone"))
+      .join(old, Seq("id"), "left")
+      .withColumn("version",
+        when(col("old_hash") === col("hash"), col("old_version"))
+          .otherwise(lit(newVersion)))
+      .select(col("id"), col("version"), col("hash"), col("links"), col("value"))
+
+    val result = mode match {
+      case WriteMode.Merge =>
+        val untouched = toDF.join(prep.select("id"), Seq("id"), "left_anti")
+          .select("id", "version", "hash", "links", "value")
+        untouched.unionByName(kept)
+      case WriteMode.Overwrite => kept
+    }
+
+    commitSnapshot(result, m, newVersion)
+    newVersion
+  }
+
+  /** Write the new snapshot, swap the manifest atomically, prune old
+    * snapshots (keeping the previous one as the reference keeps its
+    * `.backup`), then notify the change feed. */
+  private def commitSnapshot(df: DataFrame, m: CollectionMeta, newVersion: Long): Unit = {
+    df.write.mode("overwrite").parquet(snapshotDir(newVersion).toString)
+    MetaJson.write(metaFile,
+      m.copy(version = newVersion, updated = System.currentTimeMillis()))
+    // prune snapshots older than newVersion-1
+    listSnapshots.filter(_ < newVersion - 1).foreach { v =>
+      def rm(p: Path): Unit = {
+        if (Files.isDirectory(p))
+          Files.list(p).iterator().asScala.toSeq.foreach(rm)
+        Files.deleteIfExists(p)
+      }
+      rm(snapshotDir(v))
+    }
+    store.notifyCommit(path, newVersion)
+  }
+
+  /** Replace contents from an already-prepared RecordRow dataset (used by
+    * the lens materializer, which computes versions itself). */
+  private[graft] def commitPrepared(rows: Dataset[RecordRow]): Long = store.withLock(path) {
+    require(exists, s"collection ${path.encoded} does not exist")
+    val m = meta
+    val newVersion = m.version + 1
+    commitSnapshot(rows.toDF(), m, newVersion)
+    newVersion
+  }
+
+  private[graft] def nextVersion: Long = meta.version + 1
+
+  private def listSnapshots: Seq[Long] =
+    if (!Files.isDirectory(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toLong).toSeq
+}
+
+/** Hand-rolled minimal JSON for the O(1) manifest (no extra deps). */
+private object MetaJson {
+  def write(p: Path, m: CollectionMeta): Unit = {
+    val json =
+      s"""{"version":${m.version},"created":${m.created},"updated":${m.updated},"memo":${quote(m.memo)}}"""
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    Files.write(tmp, json.getBytes(UTF_8))
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def read(p: Path): CollectionMeta = {
+    val s = new String(Files.readAllBytes(p), UTF_8)
+    def long(k: String): Long =
+      s"""\"$k\":(-?\\d+)""".r.findFirstMatchIn(s)
+        .map(_.group(1).toLong)
+        .getOrElse(throw new IllegalStateException(s"bad meta.json: missing $k in $s"))
+    def str(k: String): String =
+      s"""\"$k\":\"((?:[^\"\\\\]|\\\\.)*)\"""".r.findFirstMatchIn(s)
+        .map(m => unescape(m.group(1))).getOrElse("")
+    CollectionMeta(long("version"), long("created"), long("updated"), str("memo"))
+  }
+
+  private def quote(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'u' => sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case o => sb.append(o); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+}

@@ -1,0 +1,137 @@
+package graft.store
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.core._
+
+/** Store + version semantics, pinning the reference's dataset fixtures
+  * (FIXTURES.md F5; reference test/test-models-dataset.js). */
+class StoreSpec extends AnyFunSuite {
+
+  private def freshStore(): Store =
+    new Store(SparkTestBase.spark, Files.createTempDirectory("graft-store").toString)
+
+  test("create + one write: collection v1, record {version:1, hash, links:[]} (F5)") {
+    val c = freshStore().dataset("alice", "d1").create()
+    assert(c.meta.version == 0)
+    val v = c.write("abc", PoObj("foo" -> PoStr("bar")))
+    assert(v == 1)
+    assert(c.meta.version == 1)
+    val row = c.readRow("abc").get
+    assert(row.version == 1)
+    assert(row.hash.length == 64 && row.hash.forall(ch => "0123456789abcdef".contains(ch)))
+    assert(row.links.isEmpty)
+    assert(c.read("abc").get == PoObj("foo" -> PoStr("bar")))
+  }
+
+  test("merge of 2 new records onto 1 existing: v2, all present; scalar + bytes values ok (F5)") {
+    val c = freshStore().dataset("alice", "d2").create()
+    c.write("abc", PoObj("foo" -> PoStr("bar")))
+    val v = c.writeEntries(Seq(
+      WriteEntry("def", Some(PoInt(1))),
+      WriteEntry("ghi", Some(PoBytes.fromString("hello")))), WriteMode.Merge)
+    assert(v == 2)
+    assert(c.list() == Seq("abc", "def", "ghi"))
+    assert(c.read("def").get == PoInt(1))
+    assert(c.read("ghi").get == PoBytes.fromString("hello"))
+    // merged-in records carry the commit's version; untouched keeps v1
+    assert(c.readRow("abc").get.version == 1)
+    assert(c.readRow("def").get.version == 2)
+  }
+
+  test("overwrite drops unmentioned ids (F5)") {
+    val c = freshStore().dataset("alice", "d3").create()
+    c.write("a", PoInt(1)); c.write("b", PoInt(2)); c.write("c", PoInt(3))
+    c.writeEntries(Seq(
+      WriteEntry("abc", Some(PoInt(123))),
+      WriteEntry("def", Some(PoInt(456)))), WriteMode.Overwrite)
+    assert(c.list() == Seq("abc", "def"))
+  }
+
+  test("identical rewrite bumps collection version but NOT record version (F5 hash gate)") {
+    val c = freshStore().dataset("alice", "d4").create()
+    val value = PoObj("a" -> PoArr(Vector(PoInt(1), PoStr("x"))))
+    c.write("abc", value)
+    assert(c.meta.version == 1)
+    c.write("abc", value) // identical content
+    assert(c.meta.version == 2)
+    assert(c.readRow("abc").get.version == 1) // hash-gated: unchanged
+    c.write("abc", PoStr("different"))
+    assert(c.meta.version == 3)
+    assert(c.readRow("abc").get.version == 3)
+  }
+
+  test("record delete: id gone, version bumped; tombstone via null too (F5)") {
+    val c = freshStore().dataset("alice", "d5").create()
+    c.write("a", PoInt(1)); c.write("b", PoInt(2))
+    val v = c.delete("a")
+    assert(v == 3)
+    assert(c.list() == Seq("b"))
+    // merge with PoNull value also deletes (W2 semantics)
+    c.writeEntries(Seq(WriteEntry("b", Some(PoNull))), WriteMode.Merge)
+    assert(c.list().isEmpty)
+  }
+
+  test("overwrite rejects tombstones") {
+    val c = freshStore().dataset("alice", "d6").create()
+    intercept[IllegalArgumentException] {
+      c.writeEntries(Seq(WriteEntry("x", None)), WriteMode.Overwrite)
+    }
+    intercept[IllegalArgumentException] {
+      c.writeEntries(Seq(WriteEntry("x", Some(PoUndefined))), WriteMode.Overwrite)
+    }
+  }
+
+  test("listing uses natural order (r2 < r10)") {
+    val c = freshStore().dataset("alice", "d7").create()
+    Seq("r10", "r2", "r1", "x", "r03").foreach(id => c.write(id, PoInt(1)))
+    assert(c.list() == Seq("r1", "r2", "r03", "r10", "x"))
+  }
+
+  test("links column is populated from hash URLs in values") {
+    val c = freshStore().dataset("alice", "d8").create()
+    val url = "hash://sha256/" + "ab" * 32 + "?type=image/png"
+    c.write("doc", PoObj("img" -> PoStr(url)))
+    assert(c.readRow("doc").get.links == Seq(url))
+  }
+
+  test("drop removes the collection; recreate starts at v0") {
+    val s = freshStore()
+    val c = s.dataset("alice", "d9").create()
+    c.write("a", PoInt(1))
+    c.drop()
+    assert(!c.exists)
+    val c2 = s.dataset("alice", "d9").create()
+    assert(c2.meta.version == 0)
+    assert(c2.list().isEmpty)
+  }
+
+  test("author/collection enumeration (S5)") {
+    val s = freshStore()
+    s.dataset("bob", "z").create()
+    s.dataset("alice", "a2").create()
+    s.dataset("alice", "a10").create()
+    assert(s.listAuthors("datasets") == Seq("alice", "bob"))
+    assert(s.listCollections("datasets", "alice") == Seq("a2", "a10"))
+  }
+
+  test("DataPath parse/encode roundtrip") {
+    val p = DataPath.parse("/datasets/alice:d1/records/r1").get
+    assert(p == DataPath("datasets", "alice", "d1", Some("r1")))
+    assert(p.encoded == "/datasets/alice:d1/records/r1")
+    assert(DataPath.parse("/lenses/a:b").get == DataPath("lenses", "a", "b"))
+    assert(DataPath.parse("/nope/a:b").isEmpty)
+    assert(DataPath.parse("garbage").isEmpty)
+  }
+
+  test("duplicate ids inside one batch: last wins") {
+    val c = freshStore().dataset("alice", "d10").create()
+    c.writeEntries(Seq(
+      WriteEntry("x", Some(PoInt(1))),
+      WriteEntry("x", Some(PoInt(2)))), WriteMode.Merge)
+    assert(c.read("x").get == PoInt(2))
+  }
+}
