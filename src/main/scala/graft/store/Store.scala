@@ -72,7 +72,7 @@ final class Store(val spark: SparkSession, val root: String) {
   def lens(author: String, name: String): Collection =
     collection("lenses", author, name)
 
-  private[store] def dir(path: DataPath): Path =
+  private[graft] def dir(path: DataPath): Path =
     Paths.get(root, path.source, path.author, path.name)
 
   /** List authors or an author's collections under a source (reference:

@@ -21,14 +21,14 @@ class PerfShapeSpec extends AnyFunSuite {
     val (u, secs) = timed(a.union(b))
     assert(u.size == 150000)
     assert(u.items.take(3) == Vector(PoInt(0), PoInt(1), PoInt(2)))
-    assert(secs < 2.0, s"union took ${secs}s — quadratic regression?")
+    assert(secs < 6.0, s"union took ${secs}s — quadratic regression?")
   }
 
   test("folding 50k singleton sets (the inverted-index hot loop) is linear") {
     val singletons = (0 until 50000).map(i => PoSet(PoStr(s"doc$i")): PoValue)
     val (merged, secs) = timed(Reduce.reduceAll(singletons.iterator))
     assert(merged.asInstanceOf[PoSet].size == 50000)
-    assert(secs < 2.0, s"fold took ${secs}s — quadratic regression?")
+    assert(secs < 6.0, s"fold took ${secs}s — quadratic regression?")
   }
 
   test("PoMap recursive merge over 50k keys is linear") {
@@ -38,7 +38,7 @@ class PerfShapeSpec extends AnyFunSuite {
     assert(m.size == 75000)
     assert(m.get(PoInt(30000L)).contains(PoInt(2L))) // overlap summed
     assert(m.get(PoInt(10L)).contains(PoInt(1L)))
-    assert(secs < 2.0, s"merge took ${secs}s — quadratic regression?")
+    assert(secs < 6.0, s"merge took ${secs}s — quadratic regression?")
   }
 
   test("canonical CBOR of a deeply nested value encodes each node once") {
@@ -53,6 +53,6 @@ class PerfShapeSpec extends AnyFunSuite {
     }
     val (h, secs) = timed(Cbor.hash(v))
     assert(h.length == 64)
-    assert(secs < 2.0, s"canonical encode took ${secs}s — re-encoding subtrees?")
+    assert(secs < 6.0, s"canonical encode took ${secs}s — re-encoding subtrees?")
   }
 }
