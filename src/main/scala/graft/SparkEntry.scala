@@ -125,6 +125,11 @@ object SparkEntry {
       c.union(su).distinct().orderBy(col("nationkey"))
     }),
 
+    // ---- The ENGINE path: ingest → lens build (flatMap + ordered
+    //      Set-union reduce) → materialized inverted index (SURVEY §2.6;
+    //      the reference's golden query shape) ----
+    "q9_lens_token_index" -> ((s, dir) => graft.queries.LensTokenIndex.run(s, dir)),
+
     // ---- Time-bucketed aggregation over the events table ----
     "q8_events_daily" -> ((s, dir) => {
       t(s, dir, "events")
@@ -193,5 +198,15 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q9_lens_token_index" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT d.doc_id, u.tok
+        |  FROM documents d,
+        |       unnest(string_split_regex(lower(d.text), '[^a-z0-9]+')) AS u(tok)
+        |  WHERE u.tok <> ''
+        |)
+        |SELECT tok AS token, count(*) AS n_docs,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+        |FROM toks GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
