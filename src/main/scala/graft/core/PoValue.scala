@@ -51,7 +51,8 @@ final case class PoStr(s: String) extends PoValue
 /** Byte string. Wraps an immutable copy; equality is by content. */
 final class PoBytes private (private val arr: Array[Byte]) extends PoValue {
   def bytes: Array[Byte] = arr.clone()
-  private[core] def unsafeBytes: Array[Byte] = arr
+  /** zero-copy view for codecs — callers must not mutate */
+  private[graft] def unsafeBytes: Array[Byte] = arr
   def length: Int = arr.length
   override def equals(o: Any): Boolean = o match {
     case b: PoBytes => java.util.Arrays.equals(arr, b.arr)

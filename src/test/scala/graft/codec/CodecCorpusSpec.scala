@@ -1,0 +1,92 @@
+package graft.codec
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+
+/** The shared codec fixture corpus (FIXTURES.md F4; reference
+  * test/test-models-codec.js:8-52) run through every codec with
+  * encode+decode — `decode(encode(x)) == x`. */
+class CodecCorpusSpec extends AnyFunSuite {
+  import PoValue.of
+
+  // reference corpus :8-18 — unicode incl. skin-tone emoji
+  private val unicodeStrings = Seq(
+    "", "hello world",
+    "العربية", "தமிழ்", "中文", "संस्कृतम्", "Ελληνικά", "русский",
+    "♔♕♖♗♘♙", "👨‍👩‍👧‍👦 👍🏽 🏳️‍🌈",
+    "line\nbreaks\tand \"quotes\" \\ backslash")
+
+  private def corpus: Seq[PoValue] = Seq(
+    PoBool(true), PoBool(false),
+    PoInt(5), PoInt(9274), PoNum(0.0001), PoNull,
+    PoNum(Double.PositiveInfinity), PoNum(Double.NegativeInfinity),
+    PoNum(Double.NaN),
+    PoArr(Vector(PoNull, PoNull, PoUndefined, PoNull)),
+    PoBytes.fromString("hello world"),
+    PoArr(Vector(PoInt(1), PoInt(2), PoInt(3))),
+    PoObj("a" -> PoInt(1), "b" -> PoInt(2)),
+    PoObj("1" -> PoBool(false), "2" -> PoBool(true)),
+    PoSet(PoInt(1), PoInt(2), PoInt(3), PoStr("a"), PoStr("b"), PoStr("c")),
+    PoMap.of(PoStr("a") -> PoInt(1), PoInt(2) -> PoStr("3"), PoBool(true) -> PoInt(9)),
+    PoBigInt(BigInt("123456789012345678901234567890")),
+    PoDate(1700000000123L),
+    PoURL("https://example.com/x?q=1"),
+    // deep nesting: objects in arrays in objects, mixed (:47-50)
+    PoObj("deep" -> PoArr(Vector(
+      PoObj("x" -> PoArr(Vector(PoInt(1), PoObj("y" -> PoSet(PoStr("s")))))),
+      PoMap.of(PoStr("k") -> PoArr(Vector(PoBytes.fromString("b"), PoNum(1.5))))))),
+    // JsonML markup node
+    PoArr(Vector(PoStr("element"), PoObj("name" -> PoStr("foo")),
+      PoStr("text node"),
+      PoArr(Vector(PoStr("subel"), PoObj("name" -> PoStr("bar")))),
+      PoStr("after text node")))
+  ) ++ unicodeStrings.map(PoStr.apply)
+
+  private def nanEqual(a: PoValue, b: PoValue): Boolean = (a, b) match {
+    case (PoNum(x), PoNum(y)) if x.isNaN && y.isNaN => true
+    case _ => a == b
+  }
+
+  private def roundtrips(codec: Codec, name: String): Unit =
+    corpus.zipWithIndex.foreach { case (v, i) =>
+      val back = codec.decode(codec.encode(v))
+      assert(nanEqual(back, v), s"$name corpus[$i]: $v -> $back")
+    }
+
+  test("CBOR roundtrips the corpus")(roundtrips(CborCodec, "cbor"))
+  test("JSON roundtrips the corpus")(roundtrips(JsonCodec, "json"))
+  test("YAML roundtrips the corpus")(roundtrips(YamlCodec, "yaml"))
+
+  test("JSONL: one value per line, array framing") {
+    val vals = PoArr(Vector(PoObj("a" -> PoInt(1)), PoStr("x"), PoSet(PoInt(1))))
+    val bytes = JsonLinesCodec.encode(vals)
+    val text = new String(bytes, "UTF-8")
+    assert(text.count(_ == '\n') == 3)
+    assert(JsonLinesCodec.decode(bytes) == vals)
+  }
+
+  test("JSON wrapper forms match the reference exactly") {
+    assert(JsonCodec.encodeString(PoUndefined) == """{"type":"constant","data":"undefined"}""")
+    assert(JsonCodec.encodeString(PoNum(Double.NaN)) == """{"type":"constant","data":"NaN"}""")
+    assert(JsonCodec.encodeString(PoNum(Double.PositiveInfinity)) == """{"type":"constant","data":"infinity"}""")
+    assert(JsonCodec.encodeString(PoNum(Double.NegativeInfinity)) == """{"type":"constant","data":"-infinity"}""")
+    assert(JsonCodec.encodeString(PoBytes(Array[Byte](104, 105))) == """{"type":"Buffer","data":[104,105]}""")
+    assert(JsonCodec.encodeString(PoSet(PoInt(1), PoInt(2))) == """{"type":"Set","data":[1,2]}""")
+    assert(JsonCodec.encodeString(PoMap.of(PoStr("a") -> PoInt(1))) == """{"type":"Map","data":[["a",1]]}""")
+    assert(JsonCodec.encodeString(PoDate(123L)) == """{"type":"Date","data":123}""")
+    assert(JsonCodec.encodeString(PoBigInt(BigInt(7))) == """{"type":"BigInteger","data":"7"}""")
+    // reviver ignores unknown wrapper types — stays a plain object
+    assert(JsonCodec.decodeString("""{"type":"Mystery","data":1}""") ==
+      PoObj("type" -> PoStr("Mystery"), "data" -> PoInt(1)))
+    // a three-key object is never unwrapped
+    assert(JsonCodec.decodeString("""{"type":"Set","data":[1],"x":2}""").isInstanceOf[PoObj])
+  }
+
+  test("JSON numbers: integer fast path vs double, bigint beyond long") {
+    assert(JsonCodec.decodeString("42") == PoInt(42))
+    assert(JsonCodec.decodeString("42.0") == PoNum(42.0))
+    assert(JsonCodec.decodeString("1e3") == PoNum(1000.0))
+    assert(JsonCodec.encodeString(PoNum(2.0)) == "2.0") // PoNum round-trips as double
+  }
+}
