@@ -138,6 +138,53 @@ object SparkEntry {
              dsum(dec(col("value"), 18, 4)).as("sum_value"))
         .orderBy(col("event_type"), col("day"))
     }),
+
+    // ---- LLM-pipeline operators over documents/embeddings ----
+
+    // Exact dedup: content-fingerprint hash-groupBy (one shuffle,
+    // map-side combine — the 100 TB shape).
+    "q10_dedup_exact" -> ((s, dir) =>
+      graft.ops.Dedup.exactGroups(t(s, dir, "documents")).orderBy(col("fp"))),
+
+    // Text analysis: per-language token/char statistics, all codegen'd
+    // built-ins, tokenization chosen to be DuckDB-expressible.
+    "q11_text_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(graft.ops.TextOps.tokenCount(col("text"))).cast("long").as("sum_tokens"),
+             sum(col("n_chars")).cast("long").as("sum_chars"))
+        .withColumn("avg_tokens",
+          col("sum_tokens").cast("double") / col("n_docs").cast("double"))
+        .orderBy(col("lang"))
+    }),
+
+    // Similarity search baseline: exact top-10 by inner product for the
+    // first 5 vectors; broadcast queries, one corpus scan, sums run
+    // left-to-right in DOUBLE (bit-identical to the DuckDB oracle).
+    "q12_ann_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.ops.Ann.topKByDot(e, e.filter(col("vec_id") < 5), 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Near-dedup: minhash → banded LSH candidates → EXACT shingle-Jaccard
+    // verify (integer comparison, J >= 1/2) — never all-pairs. The oracle
+    // computes all-pairs exact Jaccard; equality holds because the exact
+    // check filters candidates and the LSH miss probability at the
+    // planted J>=0.9 is ~4e-8.
+    "q13_near_dup_pairs" -> ((s, dir) =>
+      graft.ops.Dedup.nearDupPairs(t(s, dir, "documents"))
+        .orderBy(col("a_id"), col("b_id"))),
+
+    // Approximate ANN (rows-only check — no oracle for an approximate
+    // result; recall vs brute force is pinned in AnnSpec).
+    "q14_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.ops.Ann.lshTopK(e, e.filter(col("vec_id") < 5), 10, dim = 64)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -208,5 +255,40 @@ object SparkEntry {
         |SELECT tok AS token, count(*) AS n_docs,
         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
         |FROM toks GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q10_dedup_exact" ->
+      """SELECT sha256(substring(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), 1, 100)) AS fp,
+        |  count(*) AS n_docs, min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q11_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS DOUBLE) / count(*) AS avg_tokens
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q12_ann_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < 5)
+        |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id AS neighbor_id
+        |FROM (SELECT q.query_id, e.vec_id,
+        |        row_number() OVER (PARTITION BY q.query_id
+        |          ORDER BY list_dot_product(e.emb, q.qemb) DESC, e.vec_id) AS rn
+        |      FROM e JOIN q ON e.vec_id <> q.query_id) t
+        |WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q13_near_dup_pairs" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(toks)-2, 0)),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM (
+        |    SELECT doc_id,
+        |      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |    FROM documents)
+        |)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE 2 * len(list_intersect(a.sh, b.sh)) >= len(list_distinct(a.sh || b.sh))
+        |  AND len(list_distinct(a.sh || b.sh)) > 0
+        |ORDER BY 1, 2""".stripMargin,
   )
 }

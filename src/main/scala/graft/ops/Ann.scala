@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (ARRAY<FLOAT>).
+  *
+  * Scale design: the brute-force path broadcasts the (small) query set
+  * and scans the corpus once — correct baseline at any corpus size, cost
+  * linear in |corpus|×|queries|. The LSH path buckets both sides by
+  * random-hyperplane signature so each query only scores its bucket —
+  * the 1000-executor path when |queries| is large. All arithmetic is
+  * column expressions (codegen), sums run left-to-right in DOUBLE so
+  * results are reproducible bit-for-bit across engines.
+  */
+object Ann {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k by inner product: (query_id, rank, neighbor_id).
+    * `queries` must be small enough to broadcast (it is hinted). */
+  def topKByDot(corpus: DataFrame, queries: DataFrame, k: Int,
+                idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val e = corpus.select(col(idCol), col(embCol).cast("array<double>").as("emb"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(embCol).cast("array<double>").as("qemb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol))
+    e.join(broadcast(q), col(idCol) =!= col("query_id"))
+      .withColumn("score", dot(col("emb"), col("qemb")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol).as("neighbor_id"))
+  }
+
+  /** Exact top-k by cosine — same shape, normalized scores. */
+  def topKByCosine(corpus: DataFrame, queries: DataFrame, k: Int,
+                   idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val e = corpus.select(col(idCol), col(embCol).cast("array<double>").as("emb"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(embCol).cast("array<double>").as("qemb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol))
+    e.join(broadcast(q), col(idCol) =!= col("query_id"))
+      .withColumn("score", cosine(col("emb"), col("qemb")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol).as("neighbor_id"), col("score"))
+  }
+
+  // --------------------------------------------------- LSH-bucketed ANN
+
+  /** Fixed, seeded random hyperplanes (dim × nBits), deterministic. */
+  private def hyperplanes(dim: Int, nBits: Int): Array[Array[Double]] = {
+    val rng = new java.util.Random(1234)
+    Array.fill(nBits)(Array.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Sign-bit signature of each embedding under `nBits` hyperplanes —
+    * cosine-similar vectors agree on most bits (random hyperplane LSH).
+    * Multi-probe: each vector lands in its own bucket; queries probe
+    * their bucket plus all 1-bit-flip neighbors, trading recall for a
+    * (nBits+1)× candidate fan-out instead of a full scan. */
+  def signatures(df: DataFrame, dim: Int, nBits: Int = 8,
+                 idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val planes = hyperplanes(dim, nBits)
+    df.select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .map { case (id, emb) =>
+        var sigBits = 0
+        var b = 0
+        while (b < planes.length) {
+          var s = 0.0
+          val p = planes(b)
+          var i = 0
+          while (i < p.length && i < emb.length) { s += p(i) * emb(i); i += 1 }
+          if (s >= 0) sigBits |= (1 << b)
+          b += 1
+        }
+        (id, sigBits)
+      }
+      .toDF(idCol, "bucket")
+  }
+
+  /** Approximate top-k: bucket join on the signature with multi-probe
+    * (all buckets within Hamming distance `probeRadius` of the query's
+    * signature), exact scoring within the candidate set. Returns
+    * (query_id, rank, neighbor_id, score≈cosine).
+    *
+    * Recall/cost knob: scanned fraction ≈ Σ C(nBits,r)/2^nBits over
+    * r ≤ probeRadius, boosted by signature correlation for genuinely
+    * close vectors. On clustered embeddings the boost is large; on
+    * uniformly random data recall approaches the scan fraction (no
+    * locality exists to exploit — inherent to ANN, not an LSH defect). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+              nBits: Int = 8, probeRadius: Int = 2, idCol: String = "vec_id",
+              embCol: String = "embedding"): DataFrame = {
+    val sigE = signatures(corpus, dim, nBits, idCol, embCol)
+    val e = corpus.select(col(idCol), col(embCol).cast("array<double>").as("emb"))
+      .join(sigE, idCol)
+    val sigQ = signatures(queries, dim, nBits, idCol, embCol)
+      .select(col(idCol).as("query_id"), col("bucket").as("qbucket"))
+    val masks: Seq[Int] = (0 until (1 << nBits))
+      .filter(m => Integer.bitCount(m) <= probeRadius)
+    val q = queries.select(col(idCol).as("query_id"),
+      col(embCol).cast("array<double>").as("qemb"))
+      .join(sigQ, "query_id")
+      .withColumn("bucket", explode(array(
+        masks.map(m => col("qbucket").bitwiseXOR(lit(m))): _*)))
+      .drop("qbucket")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol))
+    e.join(q, Seq("bucket"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("score", cosine(col("emb"), col("qemb")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol).as("neighbor_id"), col("score"))
+  }
+}

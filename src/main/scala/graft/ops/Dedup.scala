@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import scala.util.hashing.MurmurHash3
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale design: nothing here ever materializes the O(n²) pair space.
+  * Exact dedup is one hash-groupBy shuffle. Near-dedup is
+  * minhash → banded LSH bucket join (pairs only form inside a bucket,
+  * and bucket membership requires a full band match) → exact-Jaccard
+  * verification of the candidate pairs. At 1000 executors each stage is
+  * an ordinary shuffle keyed by hash/bucket — no skew beyond bucket
+  * hotspots, which the band hash distributes.
+  */
+object Dedup {
+
+  /** Exact dedup groups by content fingerprint: one row per distinct
+    * fingerprint with the group size and the survivor (min id). A plain
+    * hash-groupBy: one shuffle, map-side partial aggregation. */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text", prefixLen: Int = 100): DataFrame =
+    docs.groupBy(TextOps.fingerprint(col(textCol), prefixLen).as("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
+
+  // ------------------------------------------------------------ minhash
+
+  /** 2^61-1 (Mersenne prime) — modulus for the affine permutations. */
+  private val P = (1L << 61) - 1
+  val NumPerms = 64
+  val Bands = 16
+  val RowsPerBand: Int = NumPerms / Bands
+
+  /** Fixed, seeded permutation parameters — determinism is part of the
+    * operator contract (same corpus → same signatures on any cluster).
+    * Coefficients < 2^31 so a*x never overflows a Long (x is a 32-bit
+    * shingle hash). */
+  private val perms: Array[(Long, Long)] = {
+    val rng = new java.util.Random(42)
+    Array.fill(NumPerms)(((rng.nextLong() & 0x7fffffffL) | 1L,
+      rng.nextLong() & 0x7fffffffL))
+  }
+
+  /** Minhash signatures from distinct shingle sets: (id, sig ARRAY<LONG>).
+    * Tight executor loop: per doc, hash each shingle once, then the 64
+    * affine permutations over the 32-bit hash. */
+  def minhashSignatures(shingleDf: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = shingleDf.sparkSession
+    import spark.implicits._
+    val ps = perms
+    shingleDf.select(col(idCol).cast("long"), col("sh"))
+      .as[(Long, Seq[String])]
+      .map { case (id, sh) =>
+        val sig = Array.fill(NumPerms)(Long.MaxValue)
+        sh.foreach { s =>
+          val x = MurmurHash3.stringHash(s).toLong & 0xffffffffL
+          var i = 0
+          while (i < NumPerms) {
+            val (a, b) = ps(i)
+            val h = (a * x + b) % P
+            if (h < sig(i)) sig(i) = h
+            i += 1
+          }
+        }
+        (id, sig.toSeq)
+      }
+      .toDF(idCol, "sig")
+  }
+
+  /** Banded LSH candidate pairs: docs sharing ANY full band collide into
+    * a bucket; pairs are generated within buckets only (never all-pairs).
+    * Returns distinct (a_id, b_id) with a_id < b_id. */
+  def lshCandidatePairs(sigDf: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = sigDf.sparkSession
+    import spark.implicits._
+    val bandsN = Bands
+    val rows = RowsPerBand
+    val banded = sigDf.select(col(idCol).cast("long"), col("sig"))
+      .as[(Long, Seq[Long])]
+      .flatMap { case (id, sig) =>
+        (0 until bandsN).iterator.map { b =>
+          val key = MurmurHash3.orderedHash(sig.slice(b * rows, (b + 1) * rows), b)
+          (b, key, id)
+        }
+      }
+      .toDF("band", "bkey", idCol)
+    banded.groupBy(col("band"), col("bkey"))
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p").getField("_1").as("a_id"), col("p").getField("_2").as("b_id"))
+      .distinct()
+  }
+
+  /** all unordered pairs of an id array, as struct(_1 < _2) — column
+    * expression so the bucket expansion stays in codegen */
+  private def pairsOf(ids: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val sorted = array_sort(ids)
+    flatten(transform(sorted, (a, i) =>
+      transform(slice(sorted, i + lit(2), size(sorted)), b =>
+        struct(a.as("_1"), b.as("_2")))))
+  }
+
+  /** Near-duplicate pairs with EXACT n-gram-Jaccard verification of the
+    * LSH candidates: J(a,b) >= threshNum/threshDen, compared in integer
+    * arithmetic (no float boundary). Default 1/2. With 16 bands × 4 rows
+    * the probability of missing a pair at J=0.9 is ~4e-8 — the LSH is a
+    * candidate filter, correctness comes from the exact check. */
+  def nearDupPairs(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", nGram: Int = 3,
+                   threshNum: Int = 1, threshDen: Int = 2): DataFrame = {
+    val sh = TextOps.shingles(docs, idCol, textCol, nGram)
+    val sig = minhashSignatures(sh, idCol)
+    val cand = lshCandidatePairs(sig, idCol)
+    val shA = sh.select(col(idCol).as("a_id"), col("sh").as("sh_a"))
+    val shB = sh.select(col(idCol).as("b_id"), col("sh").as("sh_b"))
+    cand.join(shA, "a_id").join(shB, "b_id")
+      .withColumn("ilen", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("ulen", size(array_distinct(concat(col("sh_a"), col("sh_b")))))
+      .filter(col("ulen") > 0) // two shingle-less docs are not dups
+      .filter(col("ilen") * threshDen >= col("ulen") * threshNum)
+      .select(col("a_id"), col("b_id"))
+  }
+
+  /** SimHash (64-bit) per document: sign-aggregated bit votes over
+    * token hashes; near-dups have small Hamming distance. Column-only
+    * implementation (bit ops in codegen). */
+  def simhash(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val bitVotes = (0 until 64).map { b =>
+      val bit = aggregate(transform(toks, t =>
+        when(shiftright(xxhash64(t), b).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))),
+        lit(0L), (acc, x) => acc + x)
+      when(bit > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    docs.select(col(idCol), bitVotes.reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+}

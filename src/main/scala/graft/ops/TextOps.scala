@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines.
+  * Everything is built from codegen'd `org.apache.spark.sql.functions`
+  * (no per-row Scala UDFs on the hot path) so plans stay inside
+  * whole-stage codegen and scale linearly with executors.
+  *
+  * Tokenization is deliberately chosen to be expressible identically in
+  * DuckDB (`string_split_regex(lower(text), '[^a-z0-9]+')`) so every
+  * operator here can be oracle-checked.
+  */
+object TextOps {
+
+  /** lowercase word tokens — split on runs outside [a-z0-9], drop empties */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Normalized fingerprint prefix for exact/fuzzy dedup keys: collapse
+    * non-alphanumerics to single spaces, lowercase, first `n` chars. */
+  def normalizedPrefix(text: Column, n: Int = 100): Column =
+    substring(regexp_replace(lower(text), "[^a-z0-9]+", " "), 1, n)
+
+  /** sha256 hex of the normalized prefix — the exact-dedup key. */
+  def fingerprint(text: Column, n: Int = 100): Column =
+    sha2(normalizedPrefix(text, n), 256)
+
+  /** Distinct word n-gram shingles per document: (id, sh ARRAY<STRING>).
+    * Typed map (not a UDF chain) — one pass, executor-side. */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = Option(text).getOrElse("").toLowerCase
+          .split("[^a-z0-9]+").filter(_.nonEmpty)
+        val sh =
+          if (toks.length < n) Array.empty[String]
+          else toks.sliding(n).map(_.mkString(" ")).toArray.distinct
+        (id, sh)
+      }
+      .toDF(idCol, "sh")
+  }
+
+  /** Simple language-ID heuristic over the token stream: scores each
+    * candidate language by stopword hits, falls back to "und". The word
+    * lists are tiny on purpose — this is the n-gram-heuristic shape, not
+    * a model. Pure column expressions: broadcastable, codegen'd. */
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "nicht"),
+    "es" -> Seq("el", "la", "de", "y", "es", "un", "una", "que", "en", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "un", "une", "que", "les", "pour"))
+
+  def langScore(text: Column, lang: String): Column = {
+    val toks = tokens(text)
+    val hits = stopwords(lang).map(w =>
+      size(filter(toks, t => t === lit(w))))
+    hits.reduce(_ + _)
+  }
+
+  def languageGuess(text: Column): Column = {
+    val scored = stopwords.keys.toSeq.sorted.map(l => struct(langScore(text, l).as("s"), lit(l).as("l")))
+    val best = array_max(array(scored: _*))
+    when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
+  }
+
+  /** Quality-score features: length, token stats, punctuation and digit
+    * ratios, mean word length — the standard cheap filters before
+    * training-data selection. */
+  def qualityFeatures(text: Column): Column = {
+    val n = length(text)
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val punct = n - length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))
+    val digits = n - length(regexp_replace(text, "[0-9]", ""))
+    struct(
+      n.as("n_chars"),
+      nTok.as("n_tokens"),
+      (punct.cast("double") / greatest(n, lit(1)).cast("double")).as("punct_ratio"),
+      (digits.cast("double") / greatest(n, lit(1)).cast("double")).as("digit_ratio"),
+      (aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x).cast("double")
+        / greatest(nTok, lit(1)).cast("double")).as("mean_word_len"))
+  }
+
+  /** Order-sensitive 64-bit document fingerprint over the normalized
+    * token stream — cheap content addressing that ignores whitespace and
+    * punctuation differences. (xxhash64 rather than a hand-rolled rolling
+    * hash: Spark 4 runs ANSI mode, where a polynomial accumulator's
+    * intentional wraparound throws ARITHMETIC_OVERFLOW.) */
+  def docFingerprint(text: Column): Column =
+    xxhash64(concat_ws(" ", tokens(text)))
+}

