@@ -177,6 +177,13 @@ object SparkEntry {
       graft.ops.Dedup.nearDupPairs(t(s, dir, "documents"))
         .orderBy(col("a_id"), col("b_id"))),
 
+    // ?at= incremental export through two real store commits — checks
+    // hash-gated version arithmetic + the stub projection (S9/F2).
+    "q15_at_export" -> ((s, dir) => graft.queries.StoreQueries.atExport(s, dir)),
+
+    // Natural-order sort of digit-run ids against a relational oracle.
+    "q16_natural_order" -> ((s, dir) => graft.queries.StoreQueries.naturalOrder(s, dir)),
+
     // Approximate ANN (rows-only check — no oracle for an approximate
     // result; recall vs brute force is pinned in AnnSpec).
     "q14_ann_lsh" -> ((s, dir) => {
@@ -290,5 +297,18 @@ object SparkEntry {
         |WHERE 2 * len(list_intersect(a.sh, b.sh)) >= len(list_distinct(a.sh || b.sh))
         |  AND len(list_distinct(a.sh || b.sh)) > 0
         |ORDER BY 1, 2""".stripMargin,
+    "q15_at_export" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS id,
+        |  CAST(CASE WHEN doc_id % 2 = 1 OR doc_id % 10 = 0 THEN 2 ELSE 1 END AS BIGINT) AS version,
+        |  CASE WHEN doc_id % 2 = 1 THEN text
+        |       WHEN doc_id % 10 = 0 THEN 'MODIFIED: ' || text
+        |       ELSE NULL END AS data
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q16_natural_order" ->
+      """SELECT CAST(row_number() OVER (
+        |    ORDER BY CASE WHEN doc_id % 3 = 0 THEN 'alpha' ELSE 'beta' END, doc_id)
+        |  AS BIGINT) AS rank,
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'alpha' ELSE 'beta' END) || doc_id AS id
+        |FROM documents ORDER BY rank""".stripMargin,
   )
 }

@@ -1,0 +1,84 @@
+package graft.queries
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.core.{Cbor, NaturalOrder, PoObj, PoStr}
+import graft.store.{Store, WriteMode}
+
+/** Driver-verified queries over the store's commit/version machinery. */
+object StoreQueries {
+
+  /** `?at=` incremental export (S9/F2, reference
+    * export-controller.js:25-41): two real commits into a collection,
+    * then an export where records older than `at` emit version stubs
+    * with NULL data. The oracle re-derives the version arithmetic
+    * relationally, so this checks hash-gated version assignment AND the
+    * stub projection end-to-end through the engine.
+    *
+    * Commit 1 (overwrite): even doc_ids. Commit 2 (merge): odd doc_ids
+    * (new → v2) plus doc_id%10==0 rewritten with changed text (hash
+    * differs → v2); untouched evens stay v1.
+    */
+  def atExport(spark: SparkSession, sfDir: String, at: Long = 2): DataFrame = {
+    import spark.implicits._
+    val sfName = Paths.get(sfDir).getFileName.toString
+    val root = Paths.get(sys.props("java.io.tmpdir"), s"graft-atq-$sfName").toString
+    val store = new Store(spark, root)
+    val ds = store.dataset("bench", "docs-at")
+    if (ds.exists) ds.drop()
+    ds.create()
+
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+
+    def entries(df: DataFrame, mod: Boolean): DataFrame =
+      df.as[(Long, String)].map { case (id, text) =>
+        val t = if (mod) s"MODIFIED: $text" else text
+        (id.toString, Cbor.encode(PoObj("text" -> PoStr(t))), false)
+      }.toDF("id", "value", "tombstone")
+
+    ds.writeEntriesDF(entries(docs.filter(col("doc_id") % 2 === 0), mod = false),
+      WriteMode.Overwrite)
+    ds.writeEntriesDF(
+      entries(docs.filter(col("doc_id") % 2 === 1), mod = false)
+        .unionByName(entries(docs.filter(col("doc_id") % 10 === 0), mod = true)),
+      WriteMode.Merge)
+
+    // the export projection: version >= at ? data : stub (NULL data)
+    ds.records.map { r =>
+      val data =
+        if (r.version >= at)
+          Cbor.decode(r.value).asInstanceOf[PoObj].fields("text") match {
+            case PoStr(t) => t
+            case _ => null
+          }
+        else null
+      (r.id, r.version, data)
+    }.toDF("id", "version", "data")
+      .orderBy(col("id").cast("long"))
+  }
+
+  /** Natural-order sort (W7, reference base-data-model.js:46): ids with
+    * digit runs sort numerically via the lexicographic naturalKey
+    * rewrite. The oracle re-derives the same order relationally
+    * (prefix, then numeric id), so this pins naturalKey's semantics
+    * against an independent implementation. */
+  def naturalOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val natKey = udf((s: String) => NaturalOrder.naturalKey(s))
+    val ids = Tables.load(spark, sfDir, "documents")
+      .select(concat(
+        when(col("doc_id") % 3 === 0, lit("alpha")).otherwise(lit("beta")),
+        col("doc_id")).as("id"))
+    // global row_number: single-partition window — fine for a listing
+    // result; at scale the store's list() materializes ordered pages
+    val w = Window.orderBy(natKey(col("id")))
+    ids.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("id"))
+      .orderBy(col("rank"))
+  }
+}
