@@ -3,26 +3,30 @@ package graft.lens
 import java.nio.file.{Files, Path}
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.core.{Cbor, NaturalOrder, Reduce, RecordStructure}
 import graft.store.{Collection, DataPath, RecordRow, Store}
 
-/** One row of the spooled map stage — outputs, logs and errors share a
-  * scratch dataset discriminated by `kind` ("out" | "log" | "err"), the
-  * Spark analogue of the reference's per-input compute-cache entries
-  * `{logs, errors, outputs}` (reference: library/models/lens.js:163).
+/** One row of the spooled map stage — the lens compute cache. Kinds:
+  *  - "seen": one row per mapped input record, carrying the input
+  *    record's version (`inVersion`) — the freshness gate for
+  *    incremental builds (reference: lens.js:141 inputVersions check);
+  *  - "out":  one emitted (id, value) pair (CBOR bytes in `value`);
+  *  - "log"/"err": captured console lines / thrown errors.
+  * This is the Spark analogue of the reference's per-input compute-cache
+  * entries `{logs, errors, outputs}` (reference: library/models/lens.js:163).
   * `ord`/`natKey`/`outIdx` fix the reduce order: lens-input ordinal, then
   * natural record-id order within an input, then emit order within one
   * map call — the reduce lattice is order-sensitive (SURVEY §2.5).
   */
-final case class BuildEmit(kind: String, path: String, ord: Int,
-                           natKey: String, outIdx: Int, outId: String,
-                           value: Array[Byte], logKind: String,
-                           logArgs: Seq[String], errType: String,
-                           errMsg: String)
+final case class BuildEmit(kind: String, path: String, inVersion: Long,
+                           ord: Int, natKey: String, outIdx: Int,
+                           outId: String, value: Array[Byte],
+                           logKind: String, logArgs: Seq[String],
+                           errType: String, errMsg: String)
 
 /** A lens: a materialized view defined by a [[MapFn]] over 1..n input
   * collections, reduced by the fixed system merge lattice
@@ -40,44 +44,77 @@ final class Lens(val store: Store, val author: String, val name: String,
   def create(): Lens = { output.create(); this }
   def exists: Boolean = output.exists
 
-  private def logsDir: Path = store.dir(path).resolve("logs")
-
   /** Per-input logs and captured errors of the last build
     * (reference: lens.js:87-92 iterateLogs). Columns:
     * path, kind, logKind, logArgs, errType, errMsg. */
   def logs: DataFrame = {
     val spark = store.spark
-    if (Files.isDirectory(logsDir))
-      spark.read.parquet(logsDir.toString)
-        .select("path", "kind", "logKind", "logArgs", "errType", "errMsg")
+    val cols = Seq("path", "kind", "logKind", "logArgs", "errType", "errMsg")
+    if (Files.isDirectory(logsDirPath))
+      spark.read.parquet(logsDirPath.toString).select(cols.map(col): _*)
     else spark.emptyDataset(org.apache.spark.sql.Encoders.product[BuildEmit])
-      .toDF().select("path", "kind", "logKind", "logArgs", "errType", "errMsg")
+      .toDF().select(cols.map(col): _*)
   }
 
-  /** Full rebuild (SURVEY §2.6; incremental arrives in engine.incremental):
-    * scan inputs (union-distinct by record path, first input wins) →
-    * flatMap the map function with log/error capture → spool → ordered
-    * merge-reduce per output id → hash-gated materialize into the output
-    * collection. Returns the output collection's new version. */
-  def build(): Long = LensBuild.fullBuild(this)
+  /** Incremental build (SURVEY §2.6): unchanged input records reuse the
+    * compute cache; only fresh/new records re-map; deleted inputs drop
+    * their cached contributions. First build (no cache) maps everything.
+    * A build where nothing changed commits nothing and returns the
+    * current version. */
+  def build(): Long = LensBuild.build(this, incremental = true)
 
-  private[lens] def scratchDir: Path = store.dir(path).resolve("scratch")
-  private[lens] def logsDirPath: Path = logsDir
+  /** Full rebuild — re-maps every input record and rewrites the cache.
+    * Required after changing the map function or input list. */
+  def buildFull(): Long = LensBuild.build(this, incremental = false)
+
+  private[lens] def cacheDir: Path = store.dir(path).resolve("cache")
+  private[lens] def logsDirPath: Path = store.dir(path).resolve("logs")
+}
+
+/** The change-feed cascade (reference: update-events.js:7-14 +
+  * lens.js:351-367): registered lenses rebuild incrementally whenever a
+  * collection they read commits; their own commits re-enter the bus, so
+  * lens-on-lens DAGs settle in topological waves. Rebuilds are
+  * serialized (the reference holds a global lock) and self-cycles are
+  * guarded by an in-progress set. */
+final class LensHub(store: Store) {
+  private val lenses = scala.collection.mutable.LinkedHashMap[String, Lens]()
+  private val building = scala.collection.mutable.Set[String]()
+
+  store.onCommit((p, _) => onUpdate(p))
+
+  def register(l: Lens): Lens = synchronized {
+    lenses(l.path.collectionPath) = l; l
+  }
+
+  private def onUpdate(p: DataPath): Unit = {
+    val dependents = synchronized {
+      lenses.values.filter(_.inputs.exists(_.collectionPath == p.collectionPath)).toSeq
+    }
+    dependents.foreach { l =>
+      val key = l.path.collectionPath
+      val go = synchronized {
+        if (building(key)) false else { building += key; true }
+      }
+      if (go) try l.build() finally synchronized { building -= key }
+    }
+  }
 }
 
 object LensBuild {
 
-  def fullBuild(lens: Lens): Long = {
+  def build(lens: Lens, incremental: Boolean): Long = {
     val store = lens.store
     val spark = store.spark
     import spark.implicits._
+    val emitEnc = org.apache.spark.sql.Encoders.product[BuildEmit]
 
     // ---- 1. input scan: per-input ordinal, record filter (F1), then
     //         union-distinct by record path keeping the FIRST input's copy
     //         (reference: lens.js:119-132 inputRecordPaths dedup)
     val perInput = lens.inputs.zipWithIndex.map { case (p, i) =>
       val coll = store.collection(DataPath(p.source, p.author, p.name))
-      var df = coll.toDF.select(col("id"), col("value"))
+      var df = coll.toDF.select(col("id"), col("value"), col("version"))
       p.recordID.foreach(rid => df = df.filter(col("id") === lit(rid)))
       df.withColumn("ord", lit(i))
         .withColumn("source", lit(p.source))
@@ -87,42 +124,71 @@ object LensBuild {
     val unioned = perInput.reduce(_ unionByName _)
     val byPath = Window.partitionBy(col("source"), col("author"), col("cname"), col("id"))
       .orderBy(col("ord"))
-    val deduped = unioned
+    val current = unioned
       .withColumn("rn", row_number().over(byPath))
       .filter(col("rn") === 1).drop("rn")
+      .withColumn("path", concat(lit("/"), col("source"), lit("/"),
+        col("author"), lit(":"), col("cname"), lit("/records/"), col("id")))
 
-    // ---- 2. map stage: executor-side flatMap with log/error capture,
-    //         spooled to scratch (the reference spools to a scratch file:
-    //         lens.js:151-160) so outputs and logs come from ONE map pass
+    // ---- 2. freshness split against the compute cache (reference:
+    //         lens.js:134-190 — version-gated recompute, cache retain)
+    val cacheDir = lens.cacheDir
+    val useCache = incremental && Files.isDirectory(cacheDir)
+    val (freshIn: DataFrame, retained: Dataset[BuildEmit]) =
+      if (useCache) {
+        val cache = spark.read.parquet(cacheDir.toString).as[BuildEmit](emitEnc)
+        val seen = cache.filter(col("kind") === "seen")
+          .select(col("path"), col("inVersion").as("cachedV"))
+        val joined = current.join(seen, Seq("path"), "left")
+        val fresh = joined
+          .filter(col("cachedV").isNull || col("cachedV") < col("version"))
+          .drop("cachedV")
+        val curPaths = current.select("path")
+        val anyFresh = !fresh.isEmpty
+        val anyDeleted = !seen.join(curPaths, Seq("path"), "left_anti").isEmpty
+        if (!anyFresh && !anyDeleted) return lens.output.meta.version // no-op
+        val kept = cache
+          .join(curPaths, Seq("path"), "left_semi")
+          .join(fresh.select("path"), Seq("path"), "left_anti")
+          .as[BuildEmit](emitEnc)
+        (fresh, kept)
+      } else (current, spark.emptyDataset[BuildEmit](emitEnc))
+
+    // ---- 3. map stage: executor-side flatMap with log/error capture
+    //         over the FRESH records only; spooled together with the
+    //         retained cache rows (reference spools to scratch:
+    //         lens.js:151-160)
     val fn = lens.fn
-    val emits: Dataset[BuildEmit] = deduped
-      .select("id", "value", "ord", "source", "author", "cname")
-      .as[(String, Array[Byte], Int, String, String, String)]
+    val freshEmits: Dataset[BuildEmit] = freshIn
+      .select("id", "value", "version", "ord", "source", "author", "cname")
+      .as[(String, Array[Byte], Long, Int, String, String, String)]
       .mapPartitions { rows =>
-        rows.flatMap { case (id, bytes, ord, source, author, cname) =>
+        rows.flatMap { case (id, bytes, ver, ord, source, author, cname) =>
           val mp = MapPath(s"/$source/$author:$cname/records/$id",
             source, author, cname, id)
           val res = MapRunner.run(fn, mp, Cbor.decode(bytes))
           val nk = NaturalOrder.naturalKey(id)
           val outs = res.outputs.zipWithIndex.map { case ((oid, v), idx) =>
-            BuildEmit("out", mp.string, ord, nk, idx, oid, Cbor.encode(v),
+            BuildEmit("out", mp.string, ver, ord, nk, idx, oid, Cbor.encode(v),
               null, null, null, null)
           }
           val logs = res.logs.map(l =>
-            BuildEmit("log", mp.string, ord, nk, 0, null, null,
+            BuildEmit("log", mp.string, ver, ord, nk, 0, null, null,
               l.kind, l.args, null, null))
           val errs = res.error.map(e =>
-            BuildEmit("err", mp.string, ord, nk, 0, null, null,
+            BuildEmit("err", mp.string, ver, ord, nk, 0, null, null,
               null, null, e.errType, e.message))
-          outs ++ logs ++ errs
+          BuildEmit("seen", mp.string, ver, ord, nk, 0, null, null,
+            null, null, null, null) +: (outs ++ logs ++ errs)
         }
-      }
+      }(emitEnc)
 
-    val scratch = lens.scratchDir
-    emits.write.mode("overwrite").parquet(scratch.toString)
-    val spooled = spark.read.parquet(scratch.toString).as[BuildEmit]
+    val cacheNext = cacheDir.resolveSibling("cache-next")
+    retained.unionByName(freshEmits).write.mode("overwrite")
+      .parquet(cacheNext.toString)
+    val spooled = spark.read.parquet(cacheNext.toString).as[BuildEmit](emitEnc)
 
-    // ---- 3. ordered merge-reduce per output id: one shuffle on the id,
+    // ---- 4. ordered merge-reduce per output id: one shuffle on the id,
     //         values folded in (input ordinal, natural record order, emit
     //         order) — exact reference semantics (lens.js:204-215)
     val reduced: Dataset[(String, Array[Byte], String, Seq[String])] =
@@ -135,7 +201,7 @@ object LensBuild {
               RecordStructure.listHashURLs(merged): Seq[String]))
         }
 
-    // ---- 4. hash-gated materialize: unchanged output records keep their
+    // ---- 5. hash-gated materialize: unchanged output records keep their
     //         version (same gate as a dataset commit)
     val out = lens.output
     val newVersion = out.nextVersion
@@ -149,16 +215,16 @@ object LensBuild {
       .select(col("id"), col("version"), col("hash"), col("links"), col("value"))
       .as[RecordRow]
 
-    // ---- 5. logs store for this build (reference keeps logs queryable
+    // ---- 6. logs store for this build (reference keeps logs queryable
     //         per input path: lens.js:87-92)
     val logsTmp = lens.logsDirPath.resolveSibling("logs-next")
-    spooled.filter(col("kind") =!= "out").toDF()
+    spooled.filter(col("kind") === "log" || col("kind") === "err").toDF()
       .write.mode("overwrite").parquet(logsTmp.toString)
 
     val v = out.commitPrepared(rows)
 
     swapDir(logsTmp, lens.logsDirPath)
-    deleteDir(scratch)
+    swapDir(cacheNext, cacheDir)
     v
   }
 

@@ -1,0 +1,130 @@
+package graft.lens
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.core._
+import graft.store.{DataPath, Store}
+
+/** Incremental maintenance + change-feed cascade (SURVEY §2.6 steps 3/8;
+  * reference lens.js:134-190, update-events.js:7-14, lens.js:351-367).
+  * Runs in local mode, so a static counter observes executor-side map
+  * invocations. */
+object CountingTagFn extends MapFn {
+  val calls = new AtomicInteger(0)
+  def map(ctx: MapContext): Unit = {
+    calls.incrementAndGet()
+    ctx.data match {
+      case o: PoObj => o.fields.get("tags") match {
+        case Some(PoArr(tags)) => tags.foreach {
+          case PoStr(t) => ctx.output(t, PoSet(PoStr(ctx.path.recordID)))
+          case _ => ()
+        }
+        case _ => ()
+      }
+      case _ => ()
+    }
+  }
+}
+
+class IncrementalLensSpec extends AnyFunSuite {
+
+  private def freshStore(): Store =
+    new Store(SparkTestBase.spark, Files.createTempDirectory("graft-inc").toString)
+
+  private def doc(tags: String*): PoValue =
+    PoObj("tags" -> PoArr(tags.map(PoStr.apply).toVector))
+
+  private def setOf(v: PoValue): Set[String] =
+    v.asInstanceOf[PoSet].items.collect { case PoStr(s) => s }.toSet
+
+  test("incremental build maps only fresh records; deletions drop cached outputs") {
+    val store = freshStore()
+    val d = store.dataset("a", "inc").create()
+    d.write("r1", doc("cat"))
+    d.write("r2", doc("cat", "dog"))
+    d.write("r3", doc("dog"))
+    val lens = new Lens(store, "a", "inc-lens",
+      Seq(DataPath("datasets", "a", "inc")), CountingTagFn).create()
+
+    CountingTagFn.calls.set(0)
+    lens.build()
+    assert(CountingTagFn.calls.get == 3) // first build maps everything
+    assert(setOf(lens.output.read("cat").get) == Set("r1", "r2"))
+
+    // change one record: only it re-maps
+    d.write("r2", doc("dog"))
+    CountingTagFn.calls.set(0)
+    lens.build()
+    assert(CountingTagFn.calls.get == 1, "only the fresh record re-maps")
+    assert(setOf(lens.output.read("cat").get) == Set("r1"))
+    assert(setOf(lens.output.read("dog").get) == Set("r2", "r3"))
+
+    // add a record: only it maps
+    d.write("r4", doc("cat"))
+    CountingTagFn.calls.set(0)
+    lens.build()
+    assert(CountingTagFn.calls.get == 1)
+    assert(setOf(lens.output.read("cat").get) == Set("r1", "r4"))
+
+    // delete a record: nothing re-maps, its contributions drop
+    d.delete("r3")
+    CountingTagFn.calls.set(0)
+    lens.build()
+    assert(CountingTagFn.calls.get == 0, "deletion requires no re-map")
+    assert(setOf(lens.output.read("dog").get) == Set("r2"))
+
+    // output id that no longer exists disappears entirely
+    d.delete("r2")
+    lens.build()
+    assert(lens.output.read("dog").isEmpty)
+  }
+
+  test("cached logs survive incremental rebuilds of other records") {
+    val store = freshStore()
+    val d = store.dataset("a", "logs").create()
+    val fn = new MapFn {
+      def map(ctx: MapContext): Unit = {
+        ctx.log(s"saw ${ctx.path.recordID}")
+        ctx.output("k", PoInt(1))
+      }
+    }
+    d.write("r1", PoInt(1))
+    val lens = new Lens(store, "a", "log-lens",
+      Seq(DataPath("datasets", "a", "logs")), fn).create()
+    lens.build()
+    d.write("r2", PoInt(2))
+    lens.build()
+    val paths = lens.logs.collect().map(_.getAs[String]("path")).toSet
+    assert(paths == Set("/datasets/a:logs/records/r1", "/datasets/a:logs/records/r2"),
+      "r1's cached log must survive the incremental build that mapped only r2")
+  }
+
+  test("LensHub cascades: dataset commit -> lens -> lens-on-lens") {
+    val store = freshStore()
+    val hub = new LensHub(store)
+    val d = store.dataset("a", "base").create()
+
+    val tagLens = hub.register(new Lens(store, "a", "l1",
+      Seq(DataPath("datasets", "a", "base")), CountingTagFn).create())
+    val countFn = new MapFn {
+      def map(ctx: MapContext): Unit = ctx.output("n", PoInt(1))
+    }
+    val countLens = hub.register(new Lens(store, "a", "l2",
+      Seq(DataPath("lenses", "a", "l1")), countFn).create())
+
+    d.write("x", doc("cat", "dog")) // commit triggers the cascade
+    assert(setOf(tagLens.output.read("cat").get) == Set("x"))
+    assert(countLens.output.read("n").get == PoInt(2)) // cat + dog
+
+    d.write("y", doc("cat"))
+    assert(setOf(tagLens.output.read("cat").get) == Set("x", "y"))
+    assert(countLens.output.read("n").get == PoInt(2)) // still 2 ids
+
+    d.write("z", doc("mango"))
+    assert(countLens.output.read("n").get == PoInt(3))
+  }
+}

@@ -152,14 +152,18 @@ class LensSpec extends AnyFunSuite {
     assert(lens2.output.read("count").get == PoInt(1))
   }
 
-  test("rebuild is hash-gated: unchanged outputs keep their record version") {
+  test("rebuild is hash-gated and no-op when nothing changed") {
     val store = freshStore()
     tagDataset(store)
     val lens = new Lens(store, "system", "tag-index3",
       Seq(DataPath("datasets", "system", "test-dataset")), TagIndexFn).create()
     lens.build()
     assert(lens.output.readRow("cat").get.version == 1)
-    lens.build() // nothing changed upstream
+    // nothing changed upstream: incremental build commits nothing
+    assert(lens.build() == 1)
+    assert(lens.output.meta.version == 1)
+    // a forced full rebuild still keeps unchanged record versions
+    lens.buildFull()
     assert(lens.output.meta.version == 2)
     assert(lens.output.readRow("cat").get.version == 1)
     // now change one input record: only affected outputs bump
