@@ -64,6 +64,9 @@ final class Store(val spark: SparkSession, val root: String) {
   private[store] def notifyCommit(path: DataPath, version: Long): Unit =
     listeners.synchronized(listeners.toVector).foreach(f => f(path, version))
 
+  /** content-addressed blob store for hash:// links (W8/W9) */
+  lazy val attachments: AttachmentStore = new AttachmentStore(this)
+
   def collection(path: DataPath): Collection = new Collection(this, path)
   def collection(source: String, author: String, name: String): Collection =
     collection(DataPath(source, author, name))
@@ -215,6 +218,16 @@ final class Collection(val store: Store, val path: DataPath) {
           }
         }
     val prep = prepared.toDF("id", "hash", "links", "value", "tombstone")
+
+    // a batch whose hash:// links reference absent blobs is rejected
+    // whole (reference: base-data-model.js link validation, pinned by
+    // test/test-models-dataset.js:147-169)
+    val batchLinks = prep.filter(size(col("links")) > 0)
+      .select(explode(col("links")).as("l")).distinct().as[String].collect()
+    val missing = batchLinks.filterNot(u =>
+      RecordStructure.hashOf(u).exists(store.attachments.has))
+    require(missing.isEmpty,
+      s"attachments missing for links: ${missing.mkString(", ")}")
 
     val old = toDF.select(col("id"), col("version").as("old_version"),
       col("hash").as("old_hash"))

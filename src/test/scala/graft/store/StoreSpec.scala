@@ -91,11 +91,22 @@ class StoreSpec extends AnyFunSuite {
     assert(c.list() == Seq("r1", "r2", "r03", "r10", "x"))
   }
 
-  test("links column is populated from hash URLs in values") {
-    val c = freshStore().dataset("alice", "d8").create()
-    val url = "hash://sha256/" + "ab" * 32 + "?type=image/png"
+  test("links column is populated from hash URLs in values (blob present)") {
+    val s = freshStore()
+    val c = s.dataset("alice", "d8").create()
+    val hex = s.attachments.write("fake image bytes".getBytes)
+    val url = s"hash://sha256/$hex?type=image/png"
     c.write("doc", PoObj("img" -> PoStr(url)))
     assert(c.readRow("doc").get.links == Seq(url))
+  }
+
+  test("write with a link to an absent blob rejects the whole batch (F5)") {
+    val c = freshStore().dataset("alice", "d8b").create()
+    val url = "hash://sha256/" + "ab" * 32 + "?type=image/png"
+    intercept[IllegalArgumentException] {
+      c.write("doc", PoObj("img" -> PoStr(url)))
+    }
+    assert(c.list().isEmpty)
   }
 
   test("drop removes the collection; recreate starts at v0") {
