@@ -23,6 +23,7 @@ object Codec {
     case "jsonl" => Some(JsonLinesCodec)
     case "cbor" => Some(CborCodec)
     case "yaml" | "yml" => Some(YamlCodec)
+    case "xml" => Some(XmlCodec)
     case _ => None
   }
 }

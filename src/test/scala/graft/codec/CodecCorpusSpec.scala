@@ -57,6 +57,17 @@ class CodecCorpusSpec extends AnyFunSuite {
   test("CBOR roundtrips the corpus")(roundtrips(CborCodec, "cbor"))
   test("JSON roundtrips the corpus")(roundtrips(JsonCodec, "json"))
   test("YAML roundtrips the corpus")(roundtrips(YamlCodec, "yaml"))
+  test("XML roundtrips the corpus (pigeonmark:arbitrary)")(roundtrips(XmlCodec, "xml"))
+
+  test("XML: markup trees encode as markup, arbitrary data as the ns vocabulary") {
+    val markup = PoArr(Vector(PoStr("root"),
+      PoArr(Vector(PoStr("div"), PoObj("id" -> PoStr("yeah")), PoStr("no")))))
+    assert(XmlCodec.encodeString(markup) == """<root><div id="yeah">no</div></root>""")
+    assert(XmlCodec.decodeString("""<root><div id="yeah">no</div></root>""") == markup)
+    val arb = XmlCodec.encodeString(PoObj("a" -> PoInt(1), "b" -> PoBool(true)))
+    assert(arb ==
+      """<object xmlns="pigeonmark:arbitrary"><number name="a">1</number><true name="b"/></object>""")
+  }
 
   test("JSONL: one value per line, array framing") {
     val vals = PoArr(Vector(PoObj("a" -> PoInt(1)), PoStr("x"), PoSet(PoInt(1))))
