@@ -24,6 +24,7 @@ object Codec {
     case "cbor" => Some(CborCodec)
     case "yaml" | "yml" => Some(YamlCodec)
     case "xml" => Some(XmlCodec)
+    case "msgpack" => Some(MsgPackCodec)
     case _ => None
   }
 }

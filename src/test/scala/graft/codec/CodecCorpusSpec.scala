@@ -58,6 +58,27 @@ class CodecCorpusSpec extends AnyFunSuite {
   test("JSON roundtrips the corpus")(roundtrips(JsonCodec, "json"))
   test("YAML roundtrips the corpus")(roundtrips(YamlCodec, "yaml"))
   test("XML roundtrips the corpus (pigeonmark:arbitrary)")(roundtrips(XmlCodec, "xml"))
+  test("MsgPack roundtrips the corpus")(roundtrips(MsgPackCodec, "msgpack"))
+
+  test("MsgPack wrapper semantics match the reference") {
+    assert(MsgPackCodec.nameToExtID("set") == 72) // msgpack.js:64-66
+    // undefined -> constant wrapper -> back
+    assert(MsgPackCodec.decode(MsgPackCodec.encode(PoUndefined)) == PoUndefined)
+    // a REAL {type,data} object survives via the '!' escape
+    val real = PoObj("type" -> PoStr("Buffer"), "data" -> PoStr("x"))
+    assert(MsgPackCodec.decode(MsgPackCodec.encode(real)) == real)
+  }
+
+  test("JS-literal encoder renders readable source (output-only codec)") {
+    assert(JsCodec.encodeString(PoObj("a" -> PoInt(1), "b c" -> PoStr("x"))) ==
+      "{a:1,'b c':'x'}")
+    assert(JsCodec.encodeString(PoSet(PoInt(1), PoInt(2))) == "new Set([1,2])")
+    assert(JsCodec.encodeString(PoMap.of(PoStr("k") -> PoInt(1))) ==
+      "new Map([['k',1]])")
+    assert(JsCodec.encodeString(PoDate(5L)) == "new Date(5)")
+    assert(JsCodec.encodeString(PoBigInt(BigInt(7))) == "7n")
+    assert(JsCodec.encodeString(PoNum(Double.NaN)) == "NaN")
+  }
 
   test("XML: markup trees encode as markup, arbitrary data as the ns vocabulary") {
     val markup = PoArr(Vector(PoStr("root"),
