@@ -29,15 +29,19 @@ object NaturalOrder extends Ordering[String] {
           if (c != 0) return c
           k += 1
         }
-        // equal numeric value: shorter run of zeros first ("1" < "01")
-        if ((i2 - i) != (j2 - j)) return (j2 - j) - (i2 - i)
+        // equal numeric value (possibly different leading zeros): keep
+        // comparing the rest of the string — the zeros only matter as the
+        // final tiebreak below ("a01z" > "a1b" because z > b)
         i = i2; j = j2
       } else {
         if (ca != cb) return ca - cb
         i += 1; j += 1
       }
     }
-    (a.length - i) - (b.length - j)
+    if (i < a.length || j < b.length) (a.length - i) - (b.length - j)
+    // equal modulo leading zeros: deterministic lexicographic tiebreak on
+    // the originals ("01" < "1"), mirroring naturalKey's NUL+original tail
+    else a.compareTo(b)
   }
 
   /** A plain-string sort key k such that lexicographic order of k equals

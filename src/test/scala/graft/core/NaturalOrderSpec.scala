@@ -17,7 +17,13 @@ class NaturalOrderSpec extends AnyFunSuite {
     assert(NaturalOrder.compare("x100y2", "x100y10") < 0)
     assert(NaturalOrder.compare("abc", "abd") < 0)
     assert(NaturalOrder.compare("same", "same") == 0)
-    assert(NaturalOrder.compare("01", "1") != 0) // deterministic tiebreak
+    assert(NaturalOrder.compare("01", "1") < 0) // lexicographic tiebreak
+    // equal-value runs with different zero padding must NOT decide the
+    // order while later characters differ (r2 regression: naturalKey and
+    // compare disagreed on these)
+    assert(NaturalOrder.compare("a01z", "a1b") > 0)
+    assert(NaturalOrder.compare("a1z", "a01b") > 0)
+    assert(NaturalOrder.compare("a01", "a1") < 0)
   }
 
   test("sorted sample matches expectation") {
