@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.core._
+import graft.lens.{Lens, MapContext, MapFn}
+import graft.store.{DataPath, Store}
+
+/** S12 — replayable commit log + Structured Streaming change feed. */
+class ChangeFeedSpec extends AnyFunSuite {
+
+  private def freshStore(): Store =
+    new Store(SparkTestBase.spark, Files.createTempDirectory("graft-feed").toString)
+
+  test("every commit appends a replayable event; batch view reads them all") {
+    val s = freshStore()
+    val log = new CommitLog(s).install()
+    val d = s.dataset("a", "x").create()
+    d.write("r1", PoInt(1))
+    d.write("r2", PoInt(2))
+    d.delete("r1")
+    val rows = log.batch.orderBy("version").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[Long]("version")).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.forall(_.getAs[String]("path") == "/datasets/a:x"))
+    assert(rows.forall(_.getAs[String]("author") == "a"))
+  }
+
+  test("readStream over the log delivers commits; foreachBatch drives a lens rebuild") {
+    val s = freshStore()
+    val log = new CommitLog(s).install()
+    val d = s.dataset("a", "base").create()
+    d.write("r1", PoObj("tags" -> PoArr(Vector(PoStr("t1")))))
+
+    val fn = new MapFn {
+      def map(ctx: MapContext): Unit = ctx.output("n", PoInt(1))
+    }
+    val lens = new Lens(s, "a", "streamed", Seq(DataPath("datasets", "a", "base")), fn).create()
+
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q = log.stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val paths = batch.collect().map(_.getAs[String]("path")).toSet
+        paths.foreach(seen.add)
+        // rebuild dependents of changed collections (the LensHub cascade,
+        // driven from the durable feed instead of the in-process bus)
+        if (paths.contains("/datasets/a:base")) lens.build()
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(seen.contains("/datasets/a:base"))
+      assert(lens.output.read("n").get == PoInt(1))
+
+      d.write("r2", PoObj("tags" -> PoArr(Vector(PoStr("t2")))))
+      q.processAllAvailable()
+      assert(lens.output.read("n").get == PoInt(2))
+    } finally q.stop()
+  }
+
+  test("eventsSince serves the SSE catch-up framing") {
+    val s = freshStore()
+    val log = new CommitLog(s).install()
+    val d = s.dataset("a", "sse").create()
+    d.write("r1", PoInt(1))
+    val events = log.eventsSince(0L)
+    assert(events.length == 1)
+    assert(events.head.contains("\"path\":\"/datasets/a:sse\""))
+    assert(events.head.contains("\"version\":1"))
+    assert(log.eventsSince(System.currentTimeMillis() + 1000).isEmpty)
+  }
+}
