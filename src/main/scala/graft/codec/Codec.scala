@@ -25,6 +25,7 @@ object Codec {
     case "yaml" | "yml" => Some(YamlCodec)
     case "xml" => Some(XmlCodec)
     case "msgpack" => Some(MsgPackCodec)
+    case "html" | "htm" => Some(HtmlCodec)
     case _ => None
   }
 }
