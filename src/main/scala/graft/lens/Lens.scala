@@ -188,17 +188,29 @@ object LensBuild {
       .parquet(cacheNext.toString)
     val spooled = spark.read.parquet(cacheNext.toString).as[BuildEmit](emitEnc)
 
-    // ---- 4. ordered merge-reduce per output id: one shuffle on the id,
-    //         values folded in (input ordinal, natural record order, emit
-    //         order) — exact reference semantics (lens.js:204-215)
+    // ---- 4. merge-reduce per output id. Two physical strategies, same
+    //         semantics for the values each admits:
+    //         - default: ONE shuffle on the id, values folded in (input
+    //           ordinal, natural record order, emit order) — exact
+    //           order-sensitive reference semantics (lens.js:204-215);
+    //         - CommutativeMapFn: partial-aggregating shuffle (map-side
+    //           combine) — shuffle volume drops from O(emitted pairs) to
+    //           O(distinct keys × partitions), the 100 TB path for
+    //           set-union/sum lenses.
+    val outs = spooled.filter(col("kind") === "out")
     val reduced: Dataset[(String, Array[Byte], String, Seq[String])] =
-      spooled.filter(col("kind") === "out")
-        .groupByKey(_.outId)
-        .flatMapSortedGroups(col("ord"), col("natKey"), col("outIdx")) {
-          (id: String, it: Iterator[BuildEmit]) =>
-            val merged = it.map(e => Cbor.decode(e.value)).reduceLeft(Reduce.merge)
-            Iterator((id, Cbor.encode(merged), Cbor.hash(merged),
-              RecordStructure.listHashURLs(merged): Seq[String]))
+      (if (fn.isInstanceOf[CommutativeMapFn])
+        outs.groupByKey(_.outId).agg(ReduceAggregator.toColumn.name("value"))
+      else
+        outs.groupByKey(_.outId)
+          .flatMapSortedGroups(col("ord"), col("natKey"), col("outIdx")) {
+            (id: String, it: Iterator[BuildEmit]) =>
+              Iterator((id, Cbor.encode(it.map(e => Cbor.decode(e.value))
+                .reduceLeft(Reduce.merge))))
+          })
+        .map { case (id, bytes) =>
+          val v = Cbor.decode(bytes)
+          (id, bytes, Cbor.hash(v), RecordStructure.listHashURLs(v): Seq[String])
         }
 
     // ---- 5. hash-gated materialize: unchanged output records keep their

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
 import graft.core._
-import graft.lens.{Lens, MapContext, MapFn}
+import graft.lens.{CommutativeMapFn, Lens, MapContext, MapFn}
 import graft.store.{DataPath, Store, WriteMode}
 
 /** Driver-verified query that exercises the REAL engine path — ingest →
@@ -21,7 +21,7 @@ object LensTokenIndex {
   /** Tokenize: lowercase, split on runs outside [a-z0-9] — chosen because
     * DuckDB's string_split_regex(lower(text), '[^a-z0-9]+') matches it
     * exactly, so the oracle checks the full pipeline. */
-  object TokenFn extends MapFn {
+  object TokenFn extends MapFn with graft.lens.CommutativeMapFn {
     def map(ctx: MapContext): Unit = {
       val text = ctx.data match {
         case o: PoObj => o.fields.get("text") match {

@@ -174,6 +174,27 @@ class LensSpec extends AnyFunSuite {
     assert(lens.output.list() == Seq("cat", "dog"))          // mango dropped
   }
 
+  test("CommutativeMapFn partial-agg path produces identical results to the ordered fold") {
+    val store = freshStore()
+    tagDataset(store)
+    object CommTagFn extends MapFn with CommutativeMapFn {
+      def map(ctx: MapContext): Unit = TagIndexFn.map(ctx)
+    }
+    val ordered = new Lens(store, "system", "ord-lens",
+      Seq(DataPath("datasets", "system", "test-dataset")), TagIndexFn).create()
+    val partial = new Lens(store, "system", "comm-lens",
+      Seq(DataPath("datasets", "system", "test-dataset")), CommTagFn).create()
+    ordered.build(); partial.build()
+    val a = ordered.output.records.collect().map(r => r.id -> setOf(Cbor.decode(r.value))).toMap
+    val b = partial.output.records.collect().map(r => r.id -> setOf(Cbor.decode(r.value))).toMap
+    assert(a == b)
+    assert(b("dog") == Set("abc", "def", "ghi"))
+    // hashes agree too: canonical encoding is insertion-order independent
+    val ha = ordered.output.records.collect().map(r => r.id -> r.hash).toMap
+    val hb = partial.output.records.collect().map(r => r.id -> r.hash).toMap
+    assert(ha == hb)
+  }
+
   test("lens output feeds another lens (views compose)") {
     val store = freshStore()
     tagDataset(store)
