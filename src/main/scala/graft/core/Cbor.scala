@@ -61,6 +61,11 @@ object Cbor {
     sb.toString
   }
 
+  /** Content hash of an already-encoded (insertion-order) CBOR value —
+    * decode + canonical re-hash. The form Catalyst's content_hash
+    * expression calls over stored value columns. */
+  def hashOfEncoded(bytes: Array[Byte]): String = hash(decode(bytes))
+
   private def writeTypeAndLen(major: Int, n: Long, out: ByteArrayOutputStream): Unit = {
     val m = major << 5
     if (n < 24) out.write(m | n.toInt)

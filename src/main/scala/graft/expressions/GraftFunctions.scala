@@ -1,0 +1,67 @@
+package graft.expressions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.{Cbor, NaturalOrder}
+
+/** Native Catalyst expressions for the engine's two hot scalar
+  * functions (SURVEY §4 candidate b): a ScalaUDF costs a
+  * serialization boundary and blocks whole-stage codegen fusion; these
+  * generate a direct static call inside the produced Java, so sorts and
+  * projections over them stay in one codegen span.
+  */
+case class NaturalKeyExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "natural_key"
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(NaturalOrder.naturalKey(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.core.NaturalOrder.naturalKey($c.toString()))")
+  override protected def withNewChildInternal(newChild: Expression): NaturalKeyExpr =
+    copy(child = newChild)
+}
+
+/** 64-hex content hash of a stored CBOR value column — the same
+  * function the commit path computes, exposed to SQL/DataFrame plans
+  * (e.g. integrity re-checks over a whole collection as one scan). */
+case class ContentHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "content_hash"
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(Cbor.hashOfEncoded(input.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.core.Cbor.hashOfEncoded($c))")
+  override protected def withNewChildInternal(newChild: Expression): ContentHashExpr =
+    copy(child = newChild)
+}
+
+object GraftFunctions {
+  /** Register natural_key / content_hash with the session's function
+    * registry (idempotent) so `expr("natural_key(id)")` and SQL can use
+    * them. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.registerFunction(
+      FunctionIdentifier("natural_key"),
+      new ExpressionInfo(classOf[NaturalKeyExpr].getName, "natural_key"),
+      (exprs: Seq[Expression]) => NaturalKeyExpr(exprs.head))
+    reg.registerFunction(
+      FunctionIdentifier("content_hash"),
+      new ExpressionInfo(classOf[ContentHashExpr].getName, "content_hash"),
+      (exprs: Seq[Expression]) => ContentHashExpr(exprs.head))
+  }
+
+  def naturalKey(spark: SparkSession, c: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.expr(s"natural_key(${c.toString})")
+  }
+}

@@ -68,15 +68,14 @@ object StoreQueries {
     * (prefix, then numeric id), so this pins naturalKey's semantics
     * against an independent implementation. */
   def naturalOrder(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val natKey = udf((s: String) => NaturalOrder.naturalKey(s))
+    graft.expressions.GraftFunctions.register(spark)
     val ids = Tables.load(spark, sfDir, "documents")
       .select(concat(
         when(col("doc_id") % 3 === 0, lit("alpha")).otherwise(lit("beta")),
         col("doc_id")).as("id"))
     // global row_number: single-partition window — fine for a listing
     // result; at scale the store's list() materializes ordered pages
-    val w = Window.orderBy(natKey(col("id")))
+    val w = Window.orderBy(expr("natural_key(id)"))
     ids.withColumn("rank", row_number().over(w).cast("long"))
       .select(col("rank"), col("id"))
       .orderBy(col("rank"))

@@ -27,8 +27,8 @@ object Export {
     * `toLocalIterator` keeps only one partition in driver memory. */
   def entries(store: Store, path: DataPath, at: Option[Long] = None): Iterator[PoValue] = {
     val spark = store.spark
-    val natKey = udf((s: String) => NaturalOrder.naturalKey(s))
-    val df = ReadPath.read(store, path).orderBy(natKey(col("id")))
+    graft.expressions.GraftFunctions.register(spark)
+    val df = ReadPath.read(store, path).orderBy(expr("natural_key(id)"))
     import scala.jdk.CollectionConverters._
     df.toLocalIterator().asScala.map { r =>
       val id = r.getAs[String]("id")

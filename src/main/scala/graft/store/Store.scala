@@ -134,11 +134,13 @@ final class Collection(val store: Store, val path: DataPath) {
   def toDF: DataFrame = records.toDF()
 
   /** S2: record ids in natural order (reference sorts meta records
-    * naturally: base-data-model.js:46). */
+    * naturally: base-data-model.js:46). Sorts on the codegen'd
+    * natural_key expression — a binary-sortable key, so distributed
+    * range partitioning works on it at scale. */
   def list(): Seq[String] = {
-    val key = udf((s: String) => NaturalOrder.naturalKey(s))
-    records.select(col("id")).withColumn("k", key(col("id")))
-      .orderBy(col("k")).select("id").as[String].collect().toSeq
+    graft.expressions.GraftFunctions.register(spark)
+    records.select(col("id")).orderBy(expr("natural_key(id)"))
+      .select("id").as[String].collect().toSeq
   }
 
   /** S3: point lookup. The id predicate pushes to the parquet scan. */

@@ -1,0 +1,55 @@
+package graft.expressions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.core._
+
+class GraftFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("natural_key expression == NaturalOrder.naturalKey, codegen'd (no ScalaUDF)") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val ids = Seq("r10", "r2", "a01z", "a1b", "x", "01", "1")
+    val df = ids.toDF("id").select(col("id"), expr("natural_key(id)").as("k"))
+    df.collect().foreach { r =>
+      assert(r.getString(1) == NaturalOrder.naturalKey(r.getString(0)))
+    }
+    // sorting by the expression equals NaturalOrder
+    val sorted = ids.toDF("id").orderBy(expr("natural_key(id)"))
+      .as[String].collect().toSeq
+    assert(sorted == ids.sorted(NaturalOrder))
+    // the analyzed plan contains the native expression, not a ScalaUDF
+    // boundary (the optimizer even constant-folds it over local
+    // relations — impossible across a UDF's opaque boundary)
+    val plan = df.queryExecution.analyzed.toString
+    assert(plan.contains("natural_key"))
+    assert(!plan.contains("UDF"), s"expected no UDF boundary in:\n$plan")
+  }
+
+  test("content_hash over stored value bytes == commit-path hash") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val vals = Seq(
+      PoObj("a" -> PoInt(1)),
+      PoSet(PoStr("x"), PoStr("y")),
+      PoStr("hello"))
+    val df = vals.map(v => Cbor.encode(v)).toDF("value")
+      .select(expr("content_hash(value)").as("h"))
+    val got = df.as[String].collect().toSeq
+    assert(got == vals.map(Cbor.hash))
+    // integrity check pattern: hashes are stable under set reordering
+    val reordered = Cbor.encode(PoSet(PoStr("y"), PoStr("x")))
+    val h2 = Seq(reordered).toDF("value")
+      .select(expr("content_hash(value)")).as[String].collect().head
+    assert(h2 == Cbor.hash(vals(1)))
+  }
+
+  test("SQL surface: functions usable from spark.sql") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("SELECT natural_key('doc10') AS k").collect()(0).getString(0)
+    assert(r == NaturalOrder.naturalKey("doc10"))
+  }
+}
