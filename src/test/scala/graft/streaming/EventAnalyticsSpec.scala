@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class EventAnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("watermarked windowed aggregation over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = in.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = EventAnalytics.windowedStats(events, windowLen = "10 minutes",
+      lateness = "5 minutes")
+      .writeStream.format("memory").queryName("win_stats")
+      .outputMode("update").start()
+    try {
+      in.addData((1L, ts(1), "click", 1.0), (2L, ts(2), "click", 2.0),
+        (3L, ts(11), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_stats").collect()
+        .map(r => (r.getAs[Timestamp]("window_start").toString,
+          r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("sum_value"))).toSet
+      assert(rows.contains(("2026-01-01 10:00:00.0", "click", 2L, 3.0)))
+      assert(rows.contains(("2026-01-01 10:10:00.0", "view", 1L, 5.0)))
+
+      // late-but-within-watermark data updates its window
+      in.addData((4L, ts(3), "click", 10.0))
+      q.processAllAvailable()
+      val updated = spark.table("win_stats").collect()
+        .filter(r => r.getAs[String]("event_type") == "click")
+        .map(r => (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+      assert(updated.contains((3L, 13.0)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization accumulates within the gap, resets across it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val q = EventAnalytics.sessionize(in.toDS(), gapMs = 5 * 60 * 1000)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("update").start()
+    try {
+      in.addData((7L, ts(0)), (7L, ts(2)), (9L, ts(0)))
+      q.processAllAvailable()
+      val s1 = spark.table("sessions").collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_events")).toMap
+      assert(s1(7L) == 2 && s1(9L) == 1)
+
+      in.addData((7L, ts(4))) // within gap: same session grows
+      q.processAllAvailable()
+      val s2 = spark.table("sessions").collect()
+        .filter(_.getAs[Long]("user_id") == 7L)
+        .map(_.getAs[Long]("n_events"))
+      assert(s2.contains(3L))
+
+      in.addData((7L, ts(30))) // far beyond gap: fresh session
+      q.processAllAvailable()
+      val s3 = spark.table("sessions").collect()
+        .filter(_.getAs[Long]("user_id") == 7L)
+        .map(_.getAs[Long]("n_events"))
+      assert(s3.contains(1L))
+    } finally q.stop()
+  }
+}
