@@ -177,6 +177,26 @@ object SparkEntry {
       graft.ops.Dedup.nearDupPairs(t(s, dir, "documents"))
         .orderBy(col("a_id"), col("b_id"))),
 
+    // Quality-score features aggregated per source (LLM text analysis):
+    // per-row double features are bit-identical across engines (same op
+    // order), then decimal-cast before the sum so aggregation order
+    // can't shift the result.
+    "q17_text_quality" -> ((s, dir) => {
+      val q = graft.ops.TextOps.qualityFeatures(col("text")).as("q")
+      t(s, dir, "documents")
+        .select(col("source"), q)
+        .select(col("source"),
+          col("q.punct_ratio").cast(DecimalType(18, 9)).as("pr"),
+          col("q.digit_ratio").cast(DecimalType(18, 9)).as("dr"),
+          col("q.mean_word_len").cast(DecimalType(18, 9)).as("mwl"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(col("pr")).cast("double") / count(lit(1))).as("avg_punct_ratio"),
+          (sum(col("dr")).cast("double") / count(lit(1))).as("avg_digit_ratio"),
+          (sum(col("mwl")).cast("double") / count(lit(1))).as("avg_word_len"))
+        .orderBy(col("source"))
+    }),
+
     // ?at= incremental export through two real store commits — checks
     // hash-gated version arithmetic + the stub projection (S9/F2).
     "q15_at_export" -> ((s, dir) => graft.queries.StoreQueries.atExport(s, dir)),
@@ -297,6 +317,24 @@ object SparkEntry {
         |WHERE 2 * len(list_intersect(a.sh, b.sh)) >= len(list_distinct(a.sh || b.sh))
         |  AND len(list_distinct(a.sh || b.sh)) > 0
         |ORDER BY 1, 2""".stripMargin,
+    "q17_text_quality" ->
+      """WITH f AS (
+        |  SELECT source,
+        |    CAST(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+        |         / CAST(greatest(length(text), 1) AS DOUBLE) AS DECIMAL(18,9)) AS pr,
+        |    CAST(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+        |         / CAST(greatest(length(text), 1) AS DOUBLE) AS DECIMAL(18,9)) AS dr,
+        |    CAST(CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS DOUBLE)
+        |         / CAST(greatest(len(toks), 1) AS DOUBLE) AS DECIMAL(18,9)) AS mwl
+        |  FROM (SELECT source, text,
+        |          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |        FROM documents)
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(pr) AS DOUBLE) / count(*) AS avg_punct_ratio,
+        |  CAST(sum(dr) AS DOUBLE) / count(*) AS avg_digit_ratio,
+        |  CAST(sum(mwl) AS DOUBLE) / count(*) AS avg_word_len
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     "q15_at_export" ->
       """SELECT CAST(doc_id AS VARCHAR) AS id,
         |  CAST(CASE WHEN doc_id % 2 = 1 OR doc_id % 10 = 0 THEN 2 ELSE 1 END AS BIGINT) AS version,
