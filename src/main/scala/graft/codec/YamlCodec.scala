@@ -21,7 +21,14 @@ object YamlCodec extends Codec {
   val extensions: Seq[String] = Seq("yaml", "yml")
 
   private val json = new ObjectMapper()
-  private val yaml = new YAMLMapper(new YAMLFactory())
+  private val yaml = {
+    // SnakeYAML defaults to a 3 MB parse limit; records run to 20 MB
+    // (reference maxRecordSize) and YAML inflates binary/escaped content,
+    // so allow 256 MB documents.
+    val opts = new org.yaml.snakeyaml.LoaderOptions()
+    opts.setCodePointLimit(256 * 1024 * 1024)
+    new YAMLMapper(YAMLFactory.builder().loaderOptions(opts).build())
+  }
 
   def encode(v: PoValue): Array[Byte] = encodeString(v).getBytes(UTF_8)
   def decode(bytes: Array[Byte]): PoValue = decodeString(new String(bytes, UTF_8))
