@@ -205,10 +205,19 @@ object SparkEntry {
     "q16_natural_order" -> ((s, dir) => graft.queries.StoreQueries.naturalOrder(s, dir)),
 
     // Approximate ANN (rows-only check — no oracle for an approximate
-    // result; recall vs brute force is pinned in AnnSpec).
+    // result; recall vs brute force is pinned in OpsSpec/IvfSpec).
     "q14_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       graft.ops.Ann.lshTopK(e, e.filter(col("vec_id") < 5), 10, dim = 64)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // IVF ANN: deterministic k-means coarse quantizer, nprobe cell scan.
+    "q18_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val model = graft.ops.Ivf.train(e, k = 16, iters = 3)
+      graft.ops.Ivf.search(e, e.filter(col("vec_id") < 5), model, k = 10, nprobe = 4)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
         .orderBy(col("query_id"), col("rank"))
     }),

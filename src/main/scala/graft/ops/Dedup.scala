@@ -123,6 +123,28 @@ object Dedup {
       .select(col("a_id"), col("b_id"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: random-hyperplane signature
+    * bucket join generates candidates (near-identical vectors agree on
+    * every sign bit with overwhelming probability), exact cosine
+    * verifies. Never all-pairs; same shape as the minhash path but over
+    * the embedding column. threshold e.g. 0.95. */
+  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
+                         dim: Int, nBits: Int = 8,
+                         idCol: String = "vec_id",
+                         embCol: String = "embedding"): DataFrame = {
+    val sig = Ann.signatures(embeddings, dim, nBits, idCol, embCol)
+    val e = embeddings
+      .select(col(idCol).cast("long"), col(embCol).cast("array<double>").as("emb"))
+      .join(sig, idCol)
+    val a = e.select(col(idCol).as("a_id"), col("emb").as("emb_a"), col("bucket"))
+    val b = e.select(col(idCol).as("b_id"), col("emb").as("emb_b"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", Ann.cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cos"))
+  }
+
   /** SimHash (64-bit) per document: sign-aggregated bit votes over
     * token hashes; near-dups have small Hamming distance. Column-only
     * implementation (bit ops in codegen). */

@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) ANN — the coarse-quantizer scale path the brief
+  * names alongside LSH: k-means cells over the corpus, each vector
+  * assigned to its nearest centroid; a query scores only the `nprobe`
+  * nearest cells' members instead of the whole corpus.
+  *
+  * Scale design: training is mini-batch-free Lloyd iterations where each
+  * partition emits (cell, partialSum, count) — the driver reduces
+  * k × partitions tiny rows per iteration (the MLlib shape). Assignment
+  * and search are ordinary shuffles keyed by cell id. Determinism:
+  * centroids seed from fixed corpus rows, iterations are a fixed count.
+  */
+object Ivf {
+
+  final case class Model(centroids: Array[Array[Double]]) {
+    def k: Int = centroids.length
+    def nearestCell(v: Seq[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        var d = 0.0; var i = 0
+        val cen = centroids(c)
+        while (i < cen.length && i < v.length) {
+          val x = v(i) - cen(i); d += x * x; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    def nearestCells(v: Seq[Double], n: Int): Seq[Int] =
+      centroids.indices.map { c =>
+        var d = 0.0; var i = 0
+        val cen = centroids(c)
+        while (i < cen.length && i < v.length) {
+          val x = v(i) - cen(i); d += x * x; i += 1
+        }
+        (c, d)
+      }.sortBy(_._2).take(n).map(_._1)
+  }
+
+  /** Deterministic Lloyd k-means: seeds = first k vectors by id order;
+    * fixed iteration count; per-partition partial sums, driver combine. */
+  def train(corpus: DataFrame, k: Int, iters: Int = 5,
+            idCol: String = "vec_id", embCol: String = "embedding"): Model = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs: Dataset[(Long, Seq[Double])] = corpus
+      .select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+    var centroids = vecs.orderBy(col(idCol)).limit(k).collect()
+      .map(_._2.toArray)
+    (0 until iters).foreach { _ =>
+      val model = Model(centroids)
+      val partials = vecs.mapPartitions { rows =>
+        val sums = scala.collection.mutable.Map[Int, (Array[Double], Long)]()
+        rows.foreach { case (_, v) =>
+          val c = model.nearestCell(v)
+          val (s, n) = sums.getOrElseUpdate(c, (new Array[Double](v.length), 0L))
+          var i = 0
+          while (i < v.length) { s(i) += v(i); i += 1 }
+          sums(c) = (s, n + 1)
+        }
+        sums.iterator.map { case (c, (s, n)) => (c, s.toSeq, n) }
+      }.collect()
+      val combined = partials.groupBy(_._1).map { case (c, parts) =>
+        val dim = parts.head._2.length
+        val s = new Array[Double](dim)
+        var n = 0L
+        parts.foreach { case (_, ps, pn) =>
+          var i = 0
+          while (i < dim) { s(i) += ps(i); i += 1 }
+          n += pn
+        }
+        c -> s.map(_ / n)
+      }
+      centroids = centroids.indices.map(c => combined.getOrElse(c, centroids(c))).toArray
+    }
+    Model(centroids)
+  }
+
+  /** (id, cell) assignment for the corpus — the inverted file. */
+  def assign(corpus: DataFrame, model: Model,
+             idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .map { case (id, v) => (id, model.nearestCell(v)) }
+      .toDF(idCol, "cell")
+  }
+
+  /** Approximate top-k by cosine: queries probe their `nprobe` nearest
+    * cells, exact scoring within. Returns (query_id, rank, neighbor_id,
+    * score). */
+  def search(corpus: DataFrame, queries: DataFrame, model: Model, k: Int,
+             nprobe: Int, idCol: String = "vec_id",
+             embCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val e = corpus.select(col(idCol), col(embCol).cast("array<double>").as("emb"))
+      .join(assign(corpus, model, idCol, embCol), idCol)
+    val q = queries.select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .flatMap { case (id, v) =>
+        model.nearestCells(v, nprobe).map(c => (id, c, v))
+      }
+      .toDF("query_id", "cell", "qemb")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("score").desc, col(idCol))
+    e.join(q, Seq("cell"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("score", Ann.cosine(col("emb"), col("qemb")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol).as("neighbor_id"), col("score"))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class IvfSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private def embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("IVF training is deterministic; cells partition the corpus") {
+    val m1 = Ivf.train(embs, k = 16, iters = 3)
+    val m2 = Ivf.train(embs, k = 16, iters = 3)
+    assert(m1.centroids.map(_.toSeq).toSeq == m2.centroids.map(_.toSeq).toSeq)
+    val assigned = Ivf.assign(embs, m1)
+    assert(assigned.count() == embs.count())
+    val cells = assigned.groupBy("cell").count().collect()
+    assert(cells.length > 4, "corpus should spread over multiple cells")
+  }
+
+  test("IVF search recall vs brute force beats its scan fraction") {
+    import spark.implicits._
+    val m = Ivf.train(embs, k = 16, iters = 3)
+    val queries = embs.filter(col("vec_id") < 20)
+    val exact = Ann.topKByCosine(embs, queries, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nprobe = 4
+    val approx = Ivf.search(embs, queries, m, k = 10, nprobe = nprobe)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, truth) =>
+      approx.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"IVF mean recall@10 = $mean%.3f at nprobe=$nprobe/16 cells")
+    assert(mean >= 0.25, f"IVF recall too low: $mean%.3f")
+  }
+
+  test("embedding-cosine near-dup pairs find planted duplicates, skip the rest") {
+    import spark.implicits._
+    // plant near-dups: copy 5 vectors with tiny deterministic jitter
+    val base = embs.select(col("vec_id").cast("long"),
+      col("embedding").cast("array<double>")).as[(Long, Seq[Double])].collect()
+    val planted = base.take(5).map { case (id, v) =>
+      (id + 100000L, v.zipWithIndex.map { case (x, i) => x + 1e-4 * ((i % 3) - 1) })
+    }
+    val all = spark.createDataset((base ++ planted).toSeq)
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.cosineNearDupPairs(all, threshold = 0.99, dim = 64)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val expected = (0 until 5).map(i => (base(i)._1, base(i)._1 + 100000L)).toSet
+    assert(pairs == expected, s"missing=${expected -- pairs} extra=${pairs -- expected}")
+  }
+}
