@@ -139,6 +139,28 @@ object SparkEntry {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // ---- Rollup (hierarchical subtotals) over lineitem ----
+    "q19_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+             dsum(dec(col("l_quantity"), 18, 2)).as("sum_qty"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ---- Intersect / except set operators over nation keys ----
+    "q20_intersect" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").cast("int").as("nationkey"))
+      val su = t(s, dir, "supplier").select(col("s_nationkey").cast("int").as("nationkey"))
+      c.intersect(su).orderBy(col("nationkey"))
+    }),
+    "q21_except" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").cast("int").as("nationkey"))
+      val big = t(s, dir, "supplier").filter(col("s_acctbal") > 5000)
+        .select(col("s_nationkey").cast("int").as("nationkey"))
+      c.except(big).orderBy(col("nationkey"))
+    }),
+
     // ---- LLM-pipeline operators over documents/embeddings ----
 
     // Exact dedup: content-fingerprint hash-groupBy (one shuffle,
@@ -291,6 +313,21 @@ object SparkEntry {
         |SELECT tok AS token, count(*) AS n_docs,
         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
         |FROM toks GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q19_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
+    "q20_intersect" ->
+      """SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+        |INTERSECT
+        |SELECT CAST(s_nationkey AS INT) FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "q21_except" ->
+      """SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+        |EXCEPT
+        |SELECT CAST(s_nationkey AS INT) FROM supplier WHERE s_acctbal > 5000
+        |ORDER BY nationkey""".stripMargin,
     "q10_dedup_exact" ->
       """SELECT sha256(substring(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), 1, 100)) AS fp,
         |  count(*) AS n_docs, min(doc_id) AS keep_id

@@ -209,6 +209,13 @@ final class Collection(val store: Store, val path: DataPath) {
     val m = meta
     val newVersion = m.version + 1
 
+    // Link validation runs INSIDE the same executor pass that prepares
+    // the batch (no extra job): a missing blob throws, the snapshot-write
+    // job fails, and since a snapshot only becomes live on the manifest
+    // swap, the whole batch is rejected atomically — the reference's
+    // semantics (base-data-model.js link validation, pinned by
+    // test/test-models-dataset.js:147-169) with one pass instead of two.
+    val attachmentsRoot = java.nio.file.Paths.get(store.root, "attachments").toString
     val prepared: Dataset[(String, String, Seq[String], Array[Byte], Boolean)] =
       in.select("id", "value", "tombstone")
         .as[(String, Array[Byte], Boolean)]
@@ -216,20 +223,19 @@ final class Collection(val store: Store, val path: DataPath) {
           if (tomb) (id, "", Seq.empty[String], Array.empty[Byte], true)
           else {
             val v = Cbor.decode(bytes)
-            (id, Cbor.hash(v), RecordStructure.listHashURLs(v), bytes, false)
+            val links = RecordStructure.listHashURLs(v)
+            links.foreach { link =>
+              val ok = RecordStructure.hashOf(link).exists { hex =>
+                java.nio.file.Files.exists(java.nio.file.Paths.get(
+                  attachmentsRoot, hex.substring(0, 2), hex))
+              }
+              if (!ok) throw new IllegalArgumentException(
+                s"attachments missing for links: $link (record $id)")
+            }
+            (id, Cbor.hash(v), links, bytes, false)
           }
         }
     val prep = prepared.toDF("id", "hash", "links", "value", "tombstone")
-
-    // a batch whose hash:// links reference absent blobs is rejected
-    // whole (reference: base-data-model.js link validation, pinned by
-    // test/test-models-dataset.js:147-169)
-    val batchLinks = prep.filter(size(col("links")) > 0)
-      .select(explode(col("links")).as("l")).distinct().as[String].collect()
-    val missing = batchLinks.filterNot(u =>
-      RecordStructure.hashOf(u).exists(store.attachments.has))
-    require(missing.isEmpty,
-      s"attachments missing for links: ${missing.mkString(", ")}")
 
     val old = toDF.select(col("id"), col("version").as("old_version"),
       col("hash").as("old_hash"))
@@ -251,7 +257,15 @@ final class Collection(val store: Store, val path: DataPath) {
       case WriteMode.Overwrite => kept
     }
 
-    commitSnapshot(result, m, newVersion)
+    try commitSnapshot(result, m, newVersion)
+    catch {
+      case e: Throwable =>
+        // surface executor-side validation failures as the API contract's
+        // IllegalArgumentException (first one in the cause chain)
+        var c: Throwable = e
+        while (c != null && !c.isInstanceOf[IllegalArgumentException]) c = c.getCause
+        throw (if (c != null) c else e)
+    }
     newVersion
   }
 
