@@ -125,11 +125,15 @@ final class PoMap private (private val keys: Vector[PoValue],
   def updated(k: PoValue, v: PoValue): PoMap =
     if (byKey.contains(k)) new PoMap(keys, byKey.updated(k, v))
     else new PoMap(keys :+ k, byKey.updated(k, v))
+  /** Map-style structural equality: key ORDER is presentation, not
+    * identity (PoObj's VectorMap equality is likewise unordered, and the
+    * canonical hash sorts entries) — so equality, set membership and the
+    * content hash all agree on what "the same map" means. */
   override def equals(o: Any): Boolean = o match {
-    case m: PoMap => keys == m.keys && byKey == m.byKey
+    case m: PoMap => byKey == m.byKey
     case _ => false
   }
-  override def hashCode: Int = keys.hashCode * 31 + byKey.hashCode
+  override def hashCode: Int = byKey.hashCode
   override def toString: String = entries.mkString("PoMap(", ", ", ")")
 }
 object PoMap {

@@ -6,8 +6,12 @@ import org.apache.spark.sql.expressions.Aggregator
 import graft.core.{Cbor, PoValue, Reduce}
 
 /** Marker: a map function whose emitted values merge commutatively under
-  * the reduce lattice (Sets, numbers, date-max, and maps/objects of
-  * those). Declaring it switches the lens build from the ordered
+  * the reduce lattice — per output key, emissions must be TYPE-CONSISTENT
+  * and drawn from the commutative branches (numbers sum, Sets union,
+  * dates max, objects/maps of those; mixed types are last-wins by spec
+  * and need the ordered path). ReducePropertySpec proves the fragment is
+  * commutative + associative at equality level with an order-independent
+  * canonical hash. Declaring it switches the lens build from the ordered
   * single-shuffle fold to a partial-aggregating shuffle.
   *
   * Scale rationale: the ordered fold must move EVERY emitted pair to the
