@@ -1,0 +1,106 @@
+package graft.api
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.codec.JsonCodec
+import graft.core._
+import graft.store.Store
+
+class HttpApiSpec extends AnyFunSuite {
+
+  private def withApi(f: (String, HttpClient) => Unit): Unit = {
+    val store = new Store(SparkTestBase.spark,
+      Files.createTempDirectory("graft-http").toString)
+    store.dataset("alice", "d1").create()
+    val api = new HttpApi(store).start()
+    try f(s"http://127.0.0.1:${api.boundPort}", HttpClient.newHttpClient())
+    finally api.stop()
+  }
+
+  private def get(c: HttpClient, url: String): HttpResponse[String] =
+    c.send(HttpRequest.newBuilder(URI.create(url)).GET.build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("PUT/GET/DELETE a record over HTTP; listing shows version+hash") {
+    withApi { (base, c) =>
+      val put = c.send(HttpRequest.newBuilder(URI.create(s"$base/datasets/alice:d1/records/r1"))
+        .header("Content-Type", "application/json")
+        .PUT(HttpRequest.BodyPublishers.ofString("""{"x": 5, "tags": ["a"]}"""))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(put.statusCode == 200)
+      assert(put.body.contains("\"version\":1"))
+
+      val got = get(c, s"$base/datasets/alice:d1/records/r1")
+      assert(got.statusCode == 200)
+      assert(JsonCodec.decodeString(got.body) ==
+        PoObj("x" -> PoInt(5), "tags" -> PoArr(Vector(PoStr("a")))))
+
+      // read as yaml via extension
+      val yaml = get(c, s"$base/datasets/alice:d1/records/r1.yaml")
+      assert(yaml.statusCode == 200)
+      assert(yaml.headers.firstValue("Content-Type").get.contains("yaml"))
+
+      val listing = get(c, s"$base/datasets/alice:d1/records/")
+      assert(listing.statusCode == 200)
+      val entries = JsonCodec.decodeString(listing.body).asInstanceOf[PoObj]
+      assert(entries.fields.keys.toSeq == Seq("r1"))
+
+      val del = c.send(HttpRequest.newBuilder(URI.create(s"$base/datasets/alice:d1/records/r1"))
+        .DELETE.build(), HttpResponse.BodyHandlers.ofString())
+      assert(del.statusCode == 200)
+      assert(get(c, s"$base/datasets/alice:d1/records/r1").statusCode == 404)
+    }
+  }
+
+  test("bulk merge POST, flat-file export with ?at=, change feed") {
+    withApi { (base, c) =>
+      val post = c.send(HttpRequest.newBuilder(URI.create(s"$base/datasets/alice:d1/records/"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString("""{"a": 1, "b": {"k": true}}"""))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(post.statusCode == 200)
+
+      // second commit so ?at=2 stubs the first batch
+      c.send(HttpRequest.newBuilder(URI.create(s"$base/datasets/alice:d1/records/c"))
+        .header("Content-Type", "application/json")
+        .PUT(HttpRequest.BodyPublishers.ofString("3")).build(),
+        HttpResponse.BodyHandlers.ofString())
+
+      val export = get(c, s"$base/datasets/alice:d1/export/flat-file.jsonl?at=2")
+      assert(export.statusCode == 200)
+      val lines = export.body.split("\n").filter(_.nonEmpty).map(JsonCodec.decodeString)
+      assert(lines.length == 3)
+      val byId = lines.map(_.asInstanceOf[PoObj].fields).map(f =>
+        f("id").asInstanceOf[PoStr].s -> f).toMap
+      assert(!byId("a").contains("data")) // stub
+      assert(byId("c")("data") == PoInt(3))
+
+      val changes = get(c, s"$base/changes?since=0")
+      assert(changes.statusCode == 200)
+      assert(changes.body.linesIterator.size == 2) // two commits
+      assert(changes.body.contains("/datasets/alice:d1"))
+
+      // meta-VFS over HTTP
+      val formats = get(c, s"$base/meta/system:system/records/formats")
+      assert(formats.statusCode == 200)
+      assert(formats.body.contains("json"))
+    }
+  }
+
+  test("errors: 404 unknown route/collection, 400 bad body") {
+    withApi { (base, c) =>
+      assert(get(c, s"$base/nope").statusCode == 404)
+      assert(get(c, s"$base/datasets/alice:none/records/").statusCode == 404)
+      val bad = c.send(HttpRequest.newBuilder(URI.create(s"$base/datasets/alice:d1/records/"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString("[1,2]")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(bad.statusCode == 400)
+    }
+  }
+}
