@@ -60,8 +60,4 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => ContentHashExpr(exprs.head))
   }
 
-  def naturalKey(spark: SparkSession, c: Column): Column = {
-    register(spark)
-    org.apache.spark.sql.functions.expr(s"natural_key(${c.toString})")
-  }
 }
