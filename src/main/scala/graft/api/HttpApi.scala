@@ -93,11 +93,10 @@ final class HttpApi(store: Store, port: Int = 0) {
       case ("GET", ExportPat(source, author, name, ext)) =>
         val p = DataPath(source, author, name)
         if (!ReadPath.exists(store, p)) return respond(ex, 404, "no such collection")
-        val at = Option(ex.getRequestURI.getQuery)
-          .flatMap(_.split("&").collectFirst {
-            case kv if kv.startsWith("at=") => kv.drop(3).toLong
-          })
-        val chunks = Export.flatFile(store, p, ext, at)
+        val q = Option(ex.getRequestURI.getQuery).map(_.split("&").toSeq).getOrElse(Seq.empty)
+        val at = q.collectFirst { case kv if kv.startsWith("at=") => kv.drop(3).toLong }
+        val after = q.collectFirst { case kv if kv.startsWith("after=") => kv.drop(6).toLong }
+        val chunks = Export.flatFile(store, p, ext, at, after)
         ex.getResponseHeaders.set("Content-Type", mimeFor(ext))
         ex.sendResponseHeaders(200, 0)
         val out: OutputStream = ex.getResponseBody

@@ -22,10 +22,14 @@ import graft.markup.Markup
   */
 object Export {
 
-  /** Ordered entry stream for one collection path, with `?at=` stubs.
-    * Ordered by natural record id (the reference's archive order);
-    * `toLocalIterator` keeps only one partition in driver memory. */
-  def entries(store: Store, path: DataPath, at: Option[Long] = None): Iterator[PoValue] = {
+  /** Ordered entry stream for one collection path, with `?at=` stubs
+    * (version >= at gets data) and the documented `?after=` strict
+    * variant (version > after — docs/api/export.md:16-18; the reference
+    * documents it but only implements `at`). Ordered by natural record
+    * id (the reference's archive order); `toLocalIterator` keeps only
+    * one partition in driver memory. */
+  def entries(store: Store, path: DataPath, at: Option[Long] = None,
+              after: Option[Long] = None): Iterator[PoValue] = {
     val spark = store.spark
     graft.expressions.GraftFunctions.register(spark)
     val df = ReadPath.read(store, path).orderBy(expr("natural_key(id)"))
@@ -37,7 +41,7 @@ object Export {
       val base = Vector[(String, PoValue)](
         "id" -> PoStr(id), "version" -> PoInt(version), "hash" -> PoStr(hash))
       val fields =
-        if (at.forall(version >= _))
+        if (at.forall(version >= _) && after.forall(version > _))
           base :+ ("data" -> Cbor.decode(r.getAs[Array[Byte]]("value")))
         else base
       PoObj(scala.collection.immutable.VectorMap.from(fields))
@@ -49,8 +53,9 @@ object Export {
     * yaml.js:67-75 multi-doc `...`, xml/entries-encoder.js:7-32
     * `<export xmlns="pigeon-optics:export">` envelope). */
   def flatFile(store: Store, path: DataPath, format: String,
-               at: Option[Long] = None): Iterator[Array[Byte]] = {
-    val es = entries(store, path, at)
+               at: Option[Long] = None,
+               after: Option[Long] = None): Iterator[Array[Byte]] = {
+    val es = entries(store, path, at, after)
     format match {
       case "json" =>
         // [\n  entry,\n  entry\n]\n
