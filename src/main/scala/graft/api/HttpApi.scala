@@ -57,13 +57,16 @@ final class HttpApi(store: Store, port: Int = 0) {
     val method = ex.getRequestMethod
     (method, path) match {
       case ("GET", RecordsPat(source, author, name)) =>
-        val coll = store.collection(DataPath(source, author, name))
-        if (!coll.exists) return respond(ex, 404, "no such collection")
-        // {id: {version, hash}} listing (dataset-controller.js:156)
-        val entries = coll.records.collect()
-          .sortBy(r => NaturalOrder.naturalKey(r.id))
-          .map(r => r.id -> (PoObj("version" -> PoInt(r.version),
-            "hash" -> PoStr(r.hash)): PoValue))
+        val p = DataPath(source, author, name)
+        if (!ReadPath.exists(store, p)) return respond(ex, 404, "no such collection")
+        // {id: {version, hash}} listing (dataset-controller.js:156);
+        // goes through readPath so the virtual /meta source lists too
+        val entries = ReadPath.read(store, p)
+          .select("id", "version", "hash").collect()
+          .sortBy(r => NaturalOrder.naturalKey(r.getString(0)))
+          .map(r => r.getString(0) -> (PoObj(
+            "version" -> PoInt(r.getLong(1)),
+            "hash" -> PoStr(r.getString(2))): PoValue))
         respondValue(ex, 200, PoObj(scala.collection.immutable.VectorMap.from(entries)), "json")
       case ("GET", RecordPat(source, author, name, rid, _, ext)) =>
         val p = DataPath(source, author, name, Some(rid))

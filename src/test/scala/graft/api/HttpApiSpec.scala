@@ -85,10 +85,14 @@ class HttpApiSpec extends AnyFunSuite {
       assert(changes.body.linesIterator.size == 2) // two commits
       assert(changes.body.contains("/datasets/alice:d1"))
 
-      // meta-VFS over HTTP
+      // meta-VFS over HTTP: single record and the virtual listing
       val formats = get(c, s"$base/meta/system:system/records/formats")
       assert(formats.statusCode == 200)
       assert(formats.body.contains("json"))
+      val metaList = get(c, s"$base/meta/system:system/records/")
+      assert(metaList.statusCode == 200)
+      assert(JsonCodec.decodeString(metaList.body).asInstanceOf[PoObj]
+        .fields.keySet == graft.store.MetaVfs.RecordNames.toSet)
     }
   }
 
