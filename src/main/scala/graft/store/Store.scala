@@ -49,8 +49,18 @@ object Store {
   * fs/raw.js:152-197). Writers serialize per collection via a driver-side
   * lock (the reference's named in-memory locks, fs/objects.js:127); Spark
   * jobs inside a commit stay fully parallel.
+  *
+  * `buckets = Some(B)`: copy-on-write snapshots hash-partitioned into B
+  * id-buckets. A merge commit rewrites ONLY the buckets containing
+  * changed ids and carries untouched buckets forward by hardlink/copy —
+  * at 100 TB a single-record write touches 1/B of the data instead of
+  * rewriting the collection wholesale (the reference rewrites its whole
+  * archive per commit, base-data-model.js:302-316 — faithful semantics,
+  * deliberately not a faithful I/O profile). Reads prune to bucket
+  * directories via the partition column.
   */
-final class Store(val spark: SparkSession, val root: String) {
+final class Store(val spark: SparkSession, val root: String,
+                  val buckets: Option[Int] = None) {
   import spark.implicits._
 
   private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
@@ -119,17 +129,34 @@ final class Collection(val store: Store, val path: DataPath) {
     require(!exists, s"collection ${path.encoded} already exists")
     Files.createDirectories(dir)
     val now = System.currentTimeMillis()
-    // empty snapshot so scans of a fresh collection plan like any other
-    spark.emptyDataset[RecordRow].write.mode("overwrite")
-      .parquet(snapshotDir(0).toString)
+    if (store.buckets.isEmpty)
+      // empty snapshot so scans of a fresh collection plan like any other
+      spark.emptyDataset[RecordRow].write.mode("overwrite")
+        .parquet(snapshotDir(0).toString)
+    else
+      Files.createDirectories(snapshotDir(0)) // bucket dirs appear on write
     MetaJson.write(metaFile, CollectionMeta(0, now, now, memo))
     this
   }
 
+  private def hasParquet(d: Path): Boolean = {
+    def walk(p: Path): Boolean =
+      if (Files.isDirectory(p))
+        Files.list(p).iterator().asScala.exists(walk)
+      else p.getFileName.toString.endsWith(".parquet")
+    Files.isDirectory(d) && walk(d)
+  }
+
+  private def bucketExpr(b: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(col("id")), lit(b.toLong))
+
   /** Current snapshot scan — S1. Columns: id, version, hash, links, value. */
   def records: Dataset[RecordRow] = {
     val m = meta
-    spark.read.parquet(snapshotDir(m.version).toString).as[RecordRow]
+    val d = snapshotDir(m.version)
+    if (!hasParquet(d)) spark.emptyDataset[RecordRow]
+    else spark.read.parquet(d.toString)
+      .select("id", "version", "hash", "links", "value").as[RecordRow]
   }
   def toDF: DataFrame = records.toDF()
 
@@ -237,7 +264,28 @@ final class Collection(val store: Store, val path: DataPath) {
         }
     val prep = prepared.toDF("id", "hash", "links", "value", "tombstone")
 
-    val old = toDF.select(col("id"), col("version").as("old_version"),
+    // Bucketed copy-on-write merge: only the buckets containing batch ids
+    // participate; the rest of the snapshot carries forward at file level.
+    val cow = store.buckets.filter(_ => mode == WriteMode.Merge)
+
+    val oldBase: DataFrame = cow match {
+      case Some(b) =>
+        // partition-pruned read of just the touched buckets
+        val touched = touchedBuckets(prep, b)
+        val d = snapshotDir(m.version)
+        if (!hasParquet(d)) spark.emptyDataset[RecordRow].toDF()
+        else {
+          val full = spark.read.parquet(d.toString)
+          val pruned =
+            if (full.columns.contains("bucket"))
+              full.filter(col("bucket").isin(touched: _*))
+            else full.filter(bucketExpr(b).isin(touched: _*))
+          pruned.select("id", "version", "hash", "links", "value")
+        }
+      case None => toDF
+    }
+
+    val old = oldBase.select(col("id"), col("version").as("old_version"),
       col("hash").as("old_hash"))
 
     // hash-gated version: unchanged content keeps its version, changed or
@@ -251,14 +299,20 @@ final class Collection(val store: Store, val path: DataPath) {
 
     val result = mode match {
       case WriteMode.Merge =>
-        val untouched = toDF.join(prep.select("id"), Seq("id"), "left_anti")
-          .select("id", "version", "hash", "links", "value")
+        val untouched = oldBase.select("id", "version", "hash", "links", "value")
+          .join(prep.select("id"), Seq("id"), "left_anti")
         untouched.unionByName(kept)
       case WriteMode.Overwrite => kept
     }
 
-    try commitSnapshot(result, m, newVersion)
-    catch {
+    try {
+      cow match {
+        case Some(b) =>
+          commitSnapshot(result, m, newVersion,
+            carrySkip = Some(touchedBuckets(prep, b).toSet))
+        case None => commitSnapshot(result, m, newVersion)
+      }
+    } catch {
       case e: Throwable =>
         // surface executor-side validation failures as the API contract's
         // IllegalArgumentException (first one in the cause chain)
@@ -269,11 +323,31 @@ final class Collection(val store: Store, val path: DataPath) {
     newVersion
   }
 
+  private def touchedBuckets(prep: DataFrame, b: Int): Seq[Long] =
+    prep.select(bucketExpr(b).as("bucket")).distinct().as[Long].collect().toSeq
+
   /** Write the new snapshot, swap the manifest atomically, prune old
     * snapshots (keeping the previous one as the reference keeps its
-    * `.backup`), then notify the change feed. */
-  private def commitSnapshot(df: DataFrame, m: CollectionMeta, newVersion: Long): Unit = {
-    df.write.mode("overwrite").parquet(snapshotDir(newVersion).toString)
+    * `.backup`), then notify the change feed.
+    *
+    * Bucketed stores write `bucket=k` partitions; with `carrySkip` set
+    * (copy-on-write merge), only the touched buckets are in `df` and
+    * every other bucket directory carries forward from the previous
+    * snapshot by hardlink (copy fallback) — no data I/O for untouched
+    * buckets. */
+  private def commitSnapshot(df: DataFrame, m: CollectionMeta, newVersion: Long,
+                             carrySkip: Option[Set[Long]] = None): Unit = {
+    val target = snapshotDir(newVersion)
+    store.buckets match {
+      case Some(b) =>
+        df.withColumn("bucket", bucketExpr(b))
+          .write.mode("overwrite").partitionBy("bucket").parquet(target.toString)
+        carrySkip.foreach { skip =>
+          carryBuckets(snapshotDir(m.version), target, skip)
+        }
+      case None =>
+        df.write.mode("overwrite").parquet(target.toString)
+    }
     MetaJson.write(metaFile,
       m.copy(version = newVersion, updated = System.currentTimeMillis()))
     // prune snapshots older than newVersion-1
@@ -286,6 +360,33 @@ final class Collection(val store: Store, val path: DataPath) {
       rm(snapshotDir(v))
     }
     store.notifyCommit(path, newVersion)
+  }
+
+  /** Hardlink (or copy) every `bucket=k` dir of `from` into `to`, except
+    * the buckets in `skip` (rewritten this commit). Hardlinks make the
+    * carry O(#files) metadata work locally; an object-store deployment
+    * would use server-side copy. */
+  private def carryBuckets(from: Path, to: Path, skip: Set[Long]): Unit = {
+    if (!Files.isDirectory(from)) return
+    Files.list(from).iterator().asScala.toSeq.foreach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("bucket=")) {
+        val k = n.stripPrefix("bucket=").toLong
+        if (!skip(k)) linkOrCopyDir(p, to.resolve(n))
+      }
+    }
+  }
+
+  private def linkOrCopyDir(src: Path, dst: Path): Unit = {
+    Files.createDirectories(dst)
+    Files.list(src).iterator().asScala.toSeq.foreach { f =>
+      val t = dst.resolve(f.getFileName.toString)
+      if (Files.isDirectory(f)) linkOrCopyDir(f, t)
+      else if (!Files.exists(t)) {
+        try Files.createLink(t, f)
+        catch { case _: Throwable => Files.copy(f, t) }
+      }
+    }
   }
 
   /** Replace contents from an already-prepared RecordRow dataset (used by
