@@ -35,8 +35,14 @@ final case class BuildEmit(kind: String, path: String, inVersion: Long,
   * read another lens's output).
   */
 final class Lens(val store: Store, val author: String, val name: String,
-                 val inputs: Seq[DataPath], val fn: MapFn) {
+                 val inputs: Seq[DataPath], val fn: MapFn,
+                 val timeoutMs: Long = MapRunner.NoTimeoutMs) {
   require(inputs.nonEmpty, "a lens needs at least one input")
+
+  /** per-map-call budget (the reference's 50 ms lensTimeout) — armed for
+    * untrusted map code; cooperative (checked at emit/log). */
+  def withTimeout(ms: Long): Lens =
+    new Lens(store, author, name, inputs, fn, ms)
 
   val path: DataPath = DataPath("lenses", author, name)
   def output: Collection = store.collection(path)
@@ -159,6 +165,7 @@ object LensBuild {
     //         retained cache rows (reference spools to scratch:
     //         lens.js:151-160)
     val fn = lens.fn
+    val timeoutMs = lens.timeoutMs
     val freshEmits: Dataset[BuildEmit] = freshIn
       .select("id", "value", "version", "ord", "source", "author", "cname")
       .as[(String, Array[Byte], Long, Int, String, String, String)]
@@ -166,7 +173,7 @@ object LensBuild {
         rows.flatMap { case (id, bytes, ver, ord, source, author, cname) =>
           val mp = MapPath(s"/$source/$author:$cname/records/$id",
             source, author, cname, id)
-          val res = MapRunner.run(fn, mp, Cbor.decode(bytes))
+          val res = MapRunner.run(fn, mp, Cbor.decode(bytes), timeoutMs)
           val nk = NaturalOrder.naturalKey(id)
           val outs = res.outputs.zipWithIndex.map { case ((oid, v), idx) =>
             BuildEmit("out", mp.string, ver, ord, nk, idx, oid, Cbor.encode(v),

@@ -37,34 +37,66 @@ trait MapFn extends Serializable {
   def map(ctx: MapContext): Unit
 }
 
+/** Thrown (and captured as a per-input error) when a map call exceeds
+  * its time budget — the reference's 50 ms isolate timeout
+  * (package.json:82 lensTimeout, javascript-lens-worker.js:116,133). */
+final class MapTimeoutException(ms: Long)
+  extends RuntimeException(s"map call exceeded ${ms}ms lens timeout")
+
 /** Execution context for one map call: the input path + decoded value,
   * an `output(id, value)` emitter and console-style log capture
-  * (reference: javascript-lens-worker.js:75-95). */
-final class MapContext(val path: MapPath, val data: PoValue) {
+  * (reference: javascript-lens-worker.js:75-95).
+  *
+  * The time budget is enforced COOPERATIVELY: the deadline is checked at
+  * every `output`/`log` call and once after the map returns — deliberate,
+  * because preempting arbitrary Scala needs a thread per record (the
+  * wrong trade inside executors); the reference pays a forked isolate
+  * for preemption. A compute-only runaway map is the one case this
+  * cannot stop. */
+final class MapContext(val path: MapPath, val data: PoValue,
+                       timeoutMs: Long = MapRunner.DefaultTimeoutMs) {
   private val outs = Vector.newBuilder[(String, PoValue)]
   private val logBuf = Vector.newBuilder[LogEntry]
+  private val deadline =
+    if (timeoutMs >= MapRunner.NoTimeoutMs) Long.MaxValue
+    else System.nanoTime() + timeoutMs * 1000000L
+
+  private[lens] def checkDeadline(): Unit =
+    if (System.nanoTime() > deadline) throw new MapTimeoutException(timeoutMs)
 
   def output(id: String, value: PoValue): Unit = {
+    checkDeadline()
     require(id != null && id.nonEmpty && id.length <= 10000,
       "output id must be a non-empty string of <= 10000 chars")
     outs += (id -> value)
   }
-  def log(args: Any*): Unit = logBuf += LogEntry("log", args.map(String.valueOf))
-  def info(args: Any*): Unit = logBuf += LogEntry("info", args.map(String.valueOf))
-  def warn(args: Any*): Unit = logBuf += LogEntry("warn", args.map(String.valueOf))
-  def error(args: Any*): Unit = logBuf += LogEntry("error", args.map(String.valueOf))
+  def log(args: Any*): Unit = { checkDeadline(); logBuf += LogEntry("log", args.map(String.valueOf)) }
+  def info(args: Any*): Unit = { checkDeadline(); logBuf += LogEntry("info", args.map(String.valueOf)) }
+  def warn(args: Any*): Unit = { checkDeadline(); logBuf += LogEntry("warn", args.map(String.valueOf)) }
+  def error(args: Any*): Unit = { checkDeadline(); logBuf += LogEntry("error", args.map(String.valueOf)) }
 
   private[lens] def result(err: Option[CapturedError]): MapResult =
     MapResult(outs.result(), logBuf.result(), err)
 }
 
 object MapRunner {
-  /** Run one map call, capturing a thrown error as data while keeping
-    * any outputs and logs emitted before the throw. */
-  def run(fn: MapFn, path: MapPath, data: PoValue): MapResult = {
-    val ctx = new MapContext(path, data)
-    try { fn.map(ctx); ctx.result(None) }
-    catch {
+  /** reference lensTimeout default (package.json:82) — the budget for
+    * UNTRUSTED map code; trusted Scala lenses default to no timeout
+    * (a GC pause must not spuriously drop a record's outputs). */
+  val DefaultTimeoutMs: Long = 50L
+  /** sentinel: at or above this, no deadline is armed */
+  val NoTimeoutMs: Long = 9000000000L
+
+  /** Run one map call, capturing a thrown error (including timeout) as
+    * data while keeping any outputs and logs emitted before the throw. */
+  def run(fn: MapFn, path: MapPath, data: PoValue,
+          timeoutMs: Long = NoTimeoutMs): MapResult = {
+    val ctx = new MapContext(path, data, timeoutMs)
+    try {
+      fn.map(ctx)
+      ctx.checkDeadline()
+      ctx.result(None)
+    } catch {
       case e: Throwable =>
         ctx.result(Some(CapturedError(e.getClass.getSimpleName,
           String.valueOf(e.getMessage))))

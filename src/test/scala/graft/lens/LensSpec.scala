@@ -195,6 +195,32 @@ class LensSpec extends AnyFunSuite {
     assert(ha == hb)
   }
 
+  test("map-call timeout is captured as an error; prior outputs survive (lensTimeout)") {
+    val store = freshStore()
+    val d = store.dataset("a", "slow").create()
+    d.write("r1", PoInt(1))
+    val slowFn = new MapFn {
+      def map(ctx: MapContext): Unit = {
+        ctx.output("early", PoInt(1))
+        val t0 = System.nanoTime()
+        while (System.nanoTime() - t0 < 200L * 1000000L) () // burn 200ms
+        ctx.output("late", PoInt(1)) // deadline check trips here
+      }
+    }
+    val lens = new Lens(store, "a", "slow-lens",
+      Seq(DataPath("datasets", "a", "slow")), slowFn).withTimeout(50L).create()
+    lens.build()
+    assert(lens.output.list() == Seq("early"), "outputs before the timeout survive")
+    val errs = lens.logs.filter(org.apache.spark.sql.functions.col("kind") === "err").collect()
+    assert(errs.length == 1)
+    assert(errs.head.getAs[String]("errType") == "MapTimeoutException")
+    // without a timeout the same map completes
+    val lens2 = new Lens(store, "a", "slow-lens2",
+      Seq(DataPath("datasets", "a", "slow")), slowFn).create()
+    lens2.build()
+    assert(lens2.output.list() == Seq("early", "late"))
+  }
+
   test("lens output feeds another lens (views compose)") {
     val store = freshStore()
     tagDataset(store)
