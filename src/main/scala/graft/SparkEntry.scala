@@ -226,6 +226,13 @@ object SparkEntry {
     // Natural-order sort of digit-run ids against a relational oracle.
     "q16_natural_order" -> ((s, dir) => graft.queries.StoreQueries.naturalOrder(s, dir)),
 
+    // The same two-commit version-arithmetic check through the
+    // copy-on-write BUCKETED snapshot layout — only touched id-buckets
+    // rewrite per commit; the oracle (identical to q15's) proves the
+    // carried-forward buckets keep exact versions and data.
+    "q22_at_export_bucketed" -> ((s, dir) =>
+      graft.queries.StoreQueries.atExport(s, dir, buckets = Some(8))),
+
     // Approximate ANN (rows-only check — no oracle for an approximate
     // result; recall vs brute force is pinned in OpsSpec/IvfSpec).
     "q14_ann_lsh" -> ((s, dir) => {
@@ -382,6 +389,13 @@ object SparkEntry {
         |  CAST(sum(mwl) AS DOUBLE) / count(*) AS avg_word_len
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     "q15_at_export" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS id,
+        |  CAST(CASE WHEN doc_id % 2 = 1 OR doc_id % 10 = 0 THEN 2 ELSE 1 END AS BIGINT) AS version,
+        |  CASE WHEN doc_id % 2 = 1 THEN text
+        |       WHEN doc_id % 10 = 0 THEN 'MODIFIED: ' || text
+        |       ELSE NULL END AS data
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q22_at_export_bucketed" ->
       """SELECT CAST(doc_id AS VARCHAR) AS id,
         |  CAST(CASE WHEN doc_id % 2 = 1 OR doc_id % 10 = 0 THEN 2 ELSE 1 END AS BIGINT) AS version,
         |  CASE WHEN doc_id % 2 = 1 THEN text

@@ -24,11 +24,13 @@ object StoreQueries {
     * (new → v2) plus doc_id%10==0 rewritten with changed text (hash
     * differs → v2); untouched evens stay v1.
     */
-  def atExport(spark: SparkSession, sfDir: String, at: Long = 2): DataFrame = {
+  def atExport(spark: SparkSession, sfDir: String, at: Long = 2,
+               buckets: Option[Int] = None): DataFrame = {
     import spark.implicits._
     val sfName = Paths.get(sfDir).getFileName.toString
-    val root = Paths.get(sys.props("java.io.tmpdir"), s"graft-atq-$sfName").toString
-    val store = new Store(spark, root)
+    val tag = buckets.map(b => s"-b$b").getOrElse("")
+    val root = Paths.get(sys.props("java.io.tmpdir"), s"graft-atq-$sfName$tag").toString
+    val store = new Store(spark, root, buckets)
     val ds = store.dataset("bench", "docs-at")
     if (ds.exists) ds.drop()
     ds.create()
