@@ -268,10 +268,14 @@ final class Collection(val store: Store, val path: DataPath) {
     // participate; the rest of the snapshot carries forward at file level.
     val cow = store.buckets.filter(_ => mode == WriteMode.Merge)
 
-    val oldBase: DataFrame = cow match {
-      case Some(b) =>
+    // the touched-bucket set is one tiny job; reused by the read prune
+    // and the carry-forward skip list
+    val touchedCow: Option[(Int, Seq[Long])] =
+      cow.map(b => (b, touchedBuckets(prep, b)))
+
+    val oldBase: DataFrame = touchedCow match {
+      case Some((b, touched)) =>
         // partition-pruned read of just the touched buckets
-        val touched = touchedBuckets(prep, b)
         val d = snapshotDir(m.version)
         if (!hasParquet(d)) spark.emptyDataset[RecordRow].toDF()
         else {
@@ -306,10 +310,9 @@ final class Collection(val store: Store, val path: DataPath) {
     }
 
     try {
-      cow match {
-        case Some(b) =>
-          commitSnapshot(result, m, newVersion,
-            carrySkip = Some(touchedBuckets(prep, b).toSet))
+      touchedCow match {
+        case Some((_, touched)) =>
+          commitSnapshot(result, m, newVersion, carrySkip = Some(touched.toSet))
         case None => commitSnapshot(result, m, newVersion)
       }
     } catch {
