@@ -36,6 +36,19 @@ object JsonCodec extends Codec {
 
   private val mapper = new ObjectMapper()
 
+  /** JSON5-ish fallback parser (reference json.js:58-64 falls back to
+    * json5.parse): unquoted/single-quoted field names, single-quoted
+    * strings, comments, trailing commas. */
+  private val lenient: ObjectMapper = {
+    import com.fasterxml.jackson.core.json.JsonReadFeature._
+    val m = com.fasterxml.jackson.databind.json.JsonMapper.builder()
+      .enable(ALLOW_UNQUOTED_FIELD_NAMES, ALLOW_SINGLE_QUOTES,
+        ALLOW_JAVA_COMMENTS, ALLOW_TRAILING_COMMA,
+        ALLOW_NON_NUMERIC_NUMBERS, ALLOW_LEADING_PLUS_SIGN_FOR_NUMBERS)
+      .build()
+    m
+  }
+
   def encode(v: PoValue): Array[Byte] = encodeString(v).getBytes(UTF_8)
   def decode(bytes: Array[Byte]): PoValue = decodeString(new String(bytes, UTF_8))
 
@@ -45,7 +58,20 @@ object JsonCodec extends Codec {
     sb.toString
   }
 
-  def decodeString(s: String): PoValue = revive(mapper.readTree(s))
+  def decodeString(s: String): PoValue =
+    try revive(mapper.readTree(s))
+    catch {
+      case strict: Exception =>
+        try revive(lenient.readTree(s))
+        catch { case _: Exception => throw strict }
+    }
+
+  /** Pretty output (reference json.js print — 2-space indent). */
+  def print(v: PoValue, indent: Int = 2): String = {
+    val node = mapper.readTree(encodeString(v))
+    val pp = new com.fasterxml.jackson.core.util.DefaultPrettyPrinter()
+    mapper.writer(pp).writeValueAsString(node)
+  }
 
   // ------------------------------------------------------------- encode
 

@@ -50,6 +50,20 @@ object Markup {
     case _ => None
   }
 
+  /** Rename a tag or processing instruction (F7:
+    * `Markup.get.name(['?xml', ...], 'xml-stylesheet')` ⇒
+    * `['?xml-stylesheet', ...]`). */
+  def setName(node: PoValue, newName: String): PoValue = node match {
+    case PoArr(items) if items.nonEmpty =>
+      items.head match {
+        case PoStr(old) if old.startsWith("?") =>
+          PoArr(PoStr("?" + newName) +: items.tail)
+        case PoStr(_) => PoArr(PoStr(newName) +: items.tail)
+        case _ => node
+      }
+    case other => other
+  }
+
   def attributes(node: PoValue): VectorMap[String, String] = node match {
     case PoArr(items) if items.length >= 2 =>
       items(1) match {

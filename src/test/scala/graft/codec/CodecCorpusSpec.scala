@@ -115,6 +115,29 @@ class CodecCorpusSpec extends AnyFunSuite {
     assert(JsonCodec.decodeString("""{"type":"Set","data":[1],"x":2}""").isInstanceOf[PoObj])
   }
 
+  test("JSON5-ish inputs decode via the lenient fallback (reference json5 path)") {
+    assert(JsonCodec.decodeString("{a: 1, 'b': 'x', /* c */ d: 2,}") ==
+      PoObj("a" -> PoInt(1), "b" -> PoStr("x"), "d" -> PoInt(2)))
+    // strict JSON errors still surface when even the fallback fails
+    intercept[Exception] { JsonCodec.decodeString("{{{") }
+  }
+
+  test("pretty print renders indented output") {
+    val p = JsonCodec.print(PoObj("a" -> PoInt(1), "b" -> PoArr(Vector(PoInt(2)))))
+    assert(p.contains("\n"))
+    assert(JsonCodec.decodeString(p) ==
+      PoObj("a" -> PoInt(1), "b" -> PoArr(Vector(PoInt(2)))))
+  }
+
+  test("Markup.setName renames tags and processing instructions (F7)") {
+    import graft.markup.Markup
+    val pi = PoArr(Vector(PoStr("?xml"), PoObj("version" -> PoStr("1.0"))))
+    assert(Markup.setName(pi, "xml-stylesheet") ==
+      PoArr(Vector(PoStr("?xml-stylesheet"), PoObj("version" -> PoStr("1.0")))))
+    assert(Markup.setName(PoArr(Vector(PoStr("div"), PoStr("x"))), "span") ==
+      PoArr(Vector(PoStr("span"), PoStr("x"))))
+  }
+
   test("JSON numbers: integer fast path vs double, bigint beyond long") {
     assert(JsonCodec.decodeString("42") == PoInt(42))
     assert(JsonCodec.decodeString("42.0") == PoNum(42.0))
