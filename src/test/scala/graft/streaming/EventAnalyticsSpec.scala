@@ -43,6 +43,43 @@ class EventAnalyticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowedStats over the driver's real events parquet as a file stream") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val dir = "/root/testdata/sf0.001"
+    // TIMESTAMP(NANOS) arrives as long under nanosAsLong; convert like
+    // Tables.load does for the batch path
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // the file source wants a directory: link the driver file into one
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-events")
+    try java.nio.file.Files.createLink(streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    catch { case _: Throwable =>
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+        streamDir.resolve("events.parquet"))
+    }
+    val raw = spark.readStream.schema(schema).parquet(streamDir.toString)
+    val events = raw.withColumn("ts",
+      timestamp_micros((col("ts") / 1000L).cast("long")))
+    val q = EventAnalytics.windowedStats(events, windowLen = "1 day",
+      lateness = "1 hour")
+      .writeStream.format("memory").queryName("real_events")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("real_events")
+        .groupBy("event_type").agg(sum("n_events").as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = graft.Tables.load(spark, dir, "events")
+        .groupBy("event_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed == batch, "stream totals must equal the batch scan")
+    } finally q.stop()
+  }
+
   test("stateful sessionization accumulates within the gap, resets across it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
