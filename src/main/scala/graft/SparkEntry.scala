@@ -28,6 +28,87 @@ object SparkEntry {
   /** Order-exact decimal sum, emitted as a bit-stable double. */
   private def dsum(c: Column): Column = sum(c).cast("double")
 
+  /** Where q18 persists its trained centroids for the oracle to read.
+    * Fixed absolute repo path: the oracle SQL that references it is
+    * emitted by the same Verify process, so both sides agree by
+    * construction (and nothing outside /root/repo is written). */
+  private[graft] val ivfCentroidsPath =
+    "/root/repo/target/verify-oracle/ivf_centroids"
+
+  /** Exact same cosine as Ann.cosine, spelled in DuckDB: products and
+    * the left-to-right sum are bit-identical across engines (q12 proved
+    * list_dot_product matches the Spark fold), and sqrt/div are IEEE. */
+  private def duckCosine(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  /** q14's oracle replicates the LSH pipeline end to end in SQL: the
+    * hyperplanes are the fixed seed-1234 constant (Ann.hyperplanes), so
+    * they are embedded as literal DOUBLE[] arrays; signature bits,
+    * multi-probe XOR fan-out (Hamming ≤ 2) and cosine ranking follow the
+    * exact Scala op order, making the whole query deterministic. */
+  private lazy val lshOracle: String = {
+    val planes = graft.ops.Ann.hyperplanes(64, 8)
+    val planeRows = planes.zipWithIndex
+      .map { case (p, b) => s"(${1 << b}, [${p.mkString(",")}]::DOUBLE[])" }
+      .mkString(",\n")
+    val masks = (0 until 256).filter(m => Integer.bitCount(m) <= 2).mkString(",")
+    s"""WITH planes(w, plane) AS (VALUES
+       |$planeRows),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |sig AS (
+       |  SELECT e.vec_id,
+       |    CAST(sum(CASE WHEN list_dot_product(p.plane, e.emb) >= 0 THEN p.w ELSE 0 END) AS INT) AS bucket
+       |  FROM e CROSS JOIN planes p GROUP BY e.vec_id),
+       |probes AS (
+       |  SELECT s.vec_id AS query_id, xor(s.bucket, m.m) AS bucket
+       |  FROM sig s CROSS JOIN (SELECT unnest([$masks]) AS m) m
+       |  WHERE s.vec_id < 5),
+       |cand AS (
+       |  SELECT p.query_id, s.vec_id FROM probes p JOIN sig s USING (bucket)
+       |  WHERE s.vec_id <> p.query_id),
+       |scored AS (
+       |  SELECT c.query_id, c.vec_id,
+       |    row_number() OVER (PARTITION BY c.query_id ORDER BY
+       |      ${duckCosine("n.emb", "q.emb")} DESC, c.vec_id) AS rn
+       |  FROM cand c JOIN e n ON n.vec_id = c.vec_id JOIN e q ON q.vec_id = c.query_id)
+       |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id AS neighbor_id
+       |FROM scored WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** q18's oracle reads the centroids q18 just persisted and re-derives
+    * nearest-cell assignment (squared L2, ties → lowest cell, exactly
+    * Ivf.Model.nearestCell) + nprobe=4 probe set + cosine ranking. */
+  private lazy val ivfOracle: String =
+    s"""WITH cent AS (
+       |  SELECT cell, CAST(centroid AS DOUBLE[]) AS cen
+       |  FROM read_parquet('$ivfCentroidsPath/*.parquet')),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |dist AS (
+       |  SELECT vec_id, cell, list_dot_product(d, d) AS dsq
+       |  FROM (SELECT e.vec_id, c.cell,
+       |          list_transform(generate_series(1, len(c.cen)), i -> e.emb[i] - c.cen[i]) AS d
+       |        FROM e CROSS JOIN cent c)),
+       |assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dsq, cell) AS rn
+       |    FROM dist) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dsq, cell) AS rn
+       |    FROM dist WHERE vec_id < 5) WHERE rn <= 4),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id FROM probes p JOIN assign a USING (cell)
+       |  WHERE a.vec_id <> p.query_id),
+       |scored AS (
+       |  SELECT c.query_id, c.vec_id,
+       |    row_number() OVER (PARTITION BY c.query_id ORDER BY
+       |      ${duckCosine("n.emb", "q.emb")} DESC, c.vec_id) AS rn
+       |  FROM cand c JOIN e n ON n.vec_id = c.vec_id JOIN e q ON q.vec_id = c.query_id)
+       |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id AS neighbor_id
+       |FROM scored WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
@@ -233,8 +314,11 @@ object SparkEntry {
     "q22_at_export_bucketed" -> ((s, dir) =>
       graft.queries.StoreQueries.atExport(s, dir, buckets = Some(8))),
 
-    // Approximate ANN (rows-only check — no oracle for an approximate
-    // result; recall vs brute force is pinned in OpsSpec/IvfSpec).
+    // Approximate ANN under a HARD oracle: the hyperplanes are a fixed
+    // seeded constant, so the DuckDB oracle embeds them as literal
+    // DOUBLE[] arrays and replicates signature → multi-probe bucket join
+    // → cosine rank exactly (deterministic end to end). Recall vs brute
+    // force is additionally pinned in OpsSpec.
     "q14_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       graft.ops.Ann.lshTopK(e, e.filter(col("vec_id") < 5), 10, dim = 64)
@@ -243,9 +327,14 @@ object SparkEntry {
     }),
 
     // IVF ANN: deterministic k-means coarse quantizer, nprobe cell scan.
+    // The trained centroids are persisted next to the query output so the
+    // oracle re-derives nearest-cell assignment + nprobe search
+    // relationally from the exact same model (hard hash check).
     "q18_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val model = graft.ops.Ivf.train(e, k = 16, iters = 3)
+      graft.ops.Ivf.centroidsDF(s, model).coalesce(1)
+        .write.mode("overwrite").parquet(ivfCentroidsPath)
       graft.ops.Ivf.search(e, e.filter(col("vec_id") < 5), model, k = 10, nprobe = 4)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
         .orderBy(col("query_id"), col("rank"))
@@ -408,5 +497,7 @@ object SparkEntry {
         |  AS BIGINT) AS rank,
         |  (CASE WHEN doc_id % 3 = 0 THEN 'alpha' ELSE 'beta' END) || doc_id AS id
         |FROM documents ORDER BY rank""".stripMargin,
+    "q14_ann_lsh" -> lshOracle,
+    "q18_ann_ivf" -> ivfOracle,
   )
 }

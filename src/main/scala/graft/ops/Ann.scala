@@ -56,8 +56,11 @@ object Ann {
 
   // --------------------------------------------------- LSH-bucketed ANN
 
-  /** Fixed, seeded random hyperplanes (dim × nBits), deterministic. */
-  private def hyperplanes(dim: Int, nBits: Int): Array[Array[Double]] = {
+  /** Fixed, seeded random hyperplanes (dim × nBits), deterministic.
+    * Exposed within graft so the DuckDB oracle can embed the exact same
+    * planes as literal DOUBLE[] arrays and replicate the signature →
+    * multi-probe bucket join → cosine rank end to end. */
+  private[graft] def hyperplanes(dim: Int, nBits: Int): Array[Array[Double]] = {
     val rng = new java.util.Random(1234)
     Array.fill(nBits)(Array.fill(dim)(rng.nextGaussian()))
   }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) ANN — the coarse-quantizer scale path the brief
@@ -81,6 +81,17 @@ object Ivf {
       centroids = centroids.indices.map(c => combined.getOrElse(c, centroids(c))).toArray
     }
     Model(centroids)
+  }
+
+  /** Trained centroids as a (cell INT, centroid ARRAY<DOUBLE>) frame —
+    * callers persist this next to query output so an external oracle can
+    * re-derive nearest-cell assignment and nprobe search relationally
+    * from the exact same model. */
+  def centroidsDF(spark: SparkSession, model: Model): DataFrame = {
+    import spark.implicits._
+    model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
   }
 
   /** (id, cell) assignment for the corpus — the inverted file. */
