@@ -6,8 +6,11 @@ import java.nio.charset.StandardCharsets.UTF_8
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
+import org.apache.spark.sql.functions.{col, expr, lit}
+
 import graft.codec.{Codec, JsonCodec}
 import graft.core._
+import graft.expressions.GraftFunctions
 import graft.lens.{EphemeralLens, MapFn}
 import graft.store._
 
@@ -60,14 +63,40 @@ final class HttpApi(store: Store, port: Int = 0) {
         val p = DataPath(source, author, name)
         if (!ReadPath.exists(store, p)) return respond(ex, 404, "no such collection")
         // {id: {version, hash}} listing (dataset-controller.js:156);
-        // goes through readPath so the virtual /meta source lists too
-        val entries = ReadPath.read(store, p)
-          .select("id", "version", "hash").collect()
-          .sortBy(r => NaturalOrder.naturalKey(r.getString(0)))
-          .map(r => r.getString(0) -> (PoObj(
-            "version" -> PoInt(r.getLong(1)),
-            "hash" -> PoStr(r.getString(2))): PoValue))
-        respondValue(ex, 200, PoObj(scala.collection.immutable.VectorMap.from(entries)), "json")
+        // goes through readPath so the virtual /meta source lists too.
+        // The natural-order sort runs on the cluster (codegen'd
+        // natural_key range-partitioned sort) and toLocalIterator holds
+        // at most one partition on the driver, so a billion-record
+        // collection lists without a driver-side collect. `?start=` /
+        // `?limit=` paginate: start is inclusive by natural order, so a
+        // client resumes from the last id it saw (skipping one row).
+        val qp = queryParams(ex)
+        val limit = qp.get("limit").map(_.toInt)
+        val start = qp.get("start")
+        GraftFunctions.register(store.spark)
+        val base = ReadPath.read(store, p).select(
+          col("id"), col("version"), col("hash"),
+          expr("natural_key(id)").as("nk"))
+        val page = start.fold(base)(s =>
+          base.filter(col("nk") >= lit(NaturalOrder.naturalKey(s))))
+        import scala.jdk.CollectionConverters._
+        var it = page.orderBy(col("nk")).toLocalIterator().asScala
+        limit.foreach(n => it = it.take(n))
+        ex.getResponseHeaders.set("Content-Type", mimeFor("json"))
+        ex.sendResponseHeaders(200, 0)
+        val out: OutputStream = ex.getResponseBody
+        out.write('{')
+        var first = true
+        it.foreach { r =>
+          if (!first) out.write(',')
+          first = false
+          val entry = JsonCodec.encodeString(PoStr(r.getString(0))) + ":" +
+            JsonCodec.encodeString(PoObj(
+              "version" -> PoInt(r.getLong(1)), "hash" -> PoStr(r.getString(2))))
+          out.write(entry.getBytes(UTF_8))
+        }
+        out.write('}')
+        out.close()
       case ("GET", RecordPat(source, author, name, rid, _, ext)) =>
         val p = DataPath(source, author, name, Some(rid))
         val v = ReadPath.readRecord(store, p)
@@ -115,6 +144,13 @@ final class HttpApi(store: Store, port: Int = 0) {
       case _ => respond(ex, 404, s"no route: $method $path")
     }
   }
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getQuery).map(_.split("&").toSeq).getOrElse(Seq.empty)
+      .flatMap(kv => kv.split("=", 2) match {
+        case Array(k, v) => Some(k -> java.net.URLDecoder.decode(v, UTF_8))
+        case _ => None
+      }).toMap
 
   private def codecFor(ex: HttpExchange): Option[Codec] =
     Option(ex.getRequestHeaders.getFirst("Content-Type")).flatMap { ct =>

@@ -4,7 +4,6 @@ import java.nio.file.Paths
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
 import graft.core.{Cbor, NaturalOrder, PoObj, PoStr}
@@ -70,16 +69,23 @@ object StoreQueries {
     * (prefix, then numeric id), so this pins naturalKey's semantics
     * against an independent implementation. */
   def naturalOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     graft.expressions.GraftFunctions.register(spark)
     val ids = Tables.load(spark, sfDir, "documents")
       .select(concat(
         when(col("doc_id") % 3 === 0, lit("alpha")).otherwise(lit("beta")),
         col("doc_id")).as("id"))
-    // global row_number: single-partition window — fine for a listing
-    // result; at scale the store's list() materializes ordered pages
-    val w = Window.orderBy(expr("natural_key(id)"))
-    ids.withColumn("rank", row_number().over(w).cast("long"))
-      .select(col("rank"), col("id"))
+    // Parallel global rank: range-partitioned sort on the codegen'd
+    // natural_key, then per-partition offsets (zipWithIndex = one
+    // count-per-partition job + a mapPartitions adding running
+    // offsets). Identical output to row_number() over a global window,
+    // but every partition ranks in parallel — no single-reducer
+    // WindowExec at any scale.
+    ids.orderBy(expr("natural_key(id)"))
+      .select(col("id")).as[String]
+      .rdd.zipWithIndex()
+      .map { case (id, i) => (i + 1, id) }
+      .toDF("rank", "id")
       .orderBy(col("rank"))
   }
 }

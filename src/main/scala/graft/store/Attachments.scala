@@ -21,6 +21,14 @@ final class AttachmentStore(store: Store) {
 
   private def root: Path = Paths.get(store.root, "attachments")
 
+  /** Recently-written blobs held out of GC (reference attachments.js
+    * hold/validate): an upload's blob lands before the record linking it
+    * commits, so without a hold a concurrent GC could delete it in that
+    * window. write() stamps the hash here; gc() skips holds younger than
+    * its grace period and prunes the rest. Bounded by write rate ×
+    * grace window, not by blob count. */
+  private val held = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
   private def pathFor(hex: String): Path = {
     require(hex.length == 64 && hex.forall(c => "0123456789abcdef".contains(c)),
       s"bad attachment hash: $hex")
@@ -38,6 +46,7 @@ final class AttachmentStore(store: Store) {
     * file then atomically renamed — same commit discipline as snapshots. */
   def write(bytes: Array[Byte]): String = {
     val hex = sha256hex(bytes)
+    held.put(hex, System.currentTimeMillis())
     val p = pathFor(hex)
     if (!Files.exists(p)) {
       Files.createDirectories(p.getParent)
@@ -63,28 +72,80 @@ final class AttachmentStore(store: Store) {
       .flatMap(d => Files.list(d).iterator().asScala)
       .map(_.getFileName.toString).filter(_.length == 64).toSeq.sorted
 
-  /** GC: delete blobs referenced by no record in any collection.
-    * links scan = union of column-pruned `links` reads over every
-    * dataset and lens snapshot → explode → distinct; blob inventory
-    * anti-joins it (SURVEY §2.2 W8). Returns the deleted hashes. */
-  def gc(): Seq[String] = {
+  /** Blob inventory as a DataFrame: the driver only enumerates the 256
+    * two-hex-char prefix directories; executors list each one, so the
+    * full inventory (billions of blobs at 100 TB) never sits in driver
+    * memory. Shared-filesystem semantics — the same premise snapshots
+    * already rely on. */
+  def inventoryDF: org.apache.spark.sql.DataFrame = {
     val spark = store.spark
     import spark.implicits._
-    val collections = for {
-      source <- Seq("datasets", "lenses")
-      author <- store.listAuthors(source)
-      name <- store.listCollections(source, author)
-    } yield store.collection(source, author, name)
-    val live: Set[String] =
-      if (collections.isEmpty) Set.empty
-      else collections.map(_.toDF.select(explode(col("links")).as("l")))
-        .reduce(_ unionByName _)
-        .select(regexp_extract(col("l"), "hash://sha256/([a-f0-9]{64})", 1).as("h"))
-        .distinct().as[String].collect().toSet
-    val dead = list().filterNot(live)
-    dead.foreach(h => Files.deleteIfExists(pathFor(h)))
-    dead
+    val rootStr = root.toString
+    if (!Files.isDirectory(root)) spark.emptyDataset[String].toDF("h")
+    else {
+      val prefixes = Files.list(root).iterator().asScala
+        .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted
+      spark.createDataset(prefixes)
+        .repartition(math.max(1, math.min(prefixes.size, 64)))
+        .flatMap { pre =>
+          val d = Paths.get(rootStr, pre)
+          Files.list(d).iterator().asScala.map(_.getFileName.toString)
+            .filter(h => h.length == 64 && h.forall(c => "0123456789abcdef".contains(c)))
+            .toSeq
+        }.toDF("h")
+    }
   }
+
+  /** GC: delete blobs referenced by no record in any collection.
+    * Fully distributed (SURVEY §2.2 W8): the live set is a union of
+    * column-pruned `links` reads over every snapshot → explode →
+    * extract; the inventory DataFrame left-anti-joins it and the
+    * surviving (dead) hashes are unlinked executor-side via
+    * foreachPartition — no driver-side set at any point. Returns the
+    * deleted count.
+    *
+    * Safety: takes the store's gc gate write lock (no commit is mid-
+    * flight between link validation and manifest swap) and skips blobs
+    * written within `graceMs` (the hold window — uploaded but possibly
+    * not yet linked by a commit). */
+  def gc(graceMs: Long = AttachmentStore.DefaultGraceMs): Long = {
+    val spark = store.spark
+    import spark.implicits._
+    val gate = store.gcGate.writeLock(); gate.lock()
+    try {
+      val now = System.currentTimeMillis()
+      held.entrySet().removeIf(e => now - e.getValue > graceMs)
+      val holding = held.keySet().asScala.toSet
+      val collections = for {
+        source <- Seq("datasets", "lenses")
+        author <- store.listAuthors(source)
+        name <- store.listCollections(source, author)
+      } yield store.collection(source, author, name)
+      val live: org.apache.spark.sql.DataFrame =
+        if (collections.isEmpty) spark.emptyDataset[String].toDF("h")
+        else collections.map(_.toDF.select(explode(col("links")).as("l")))
+          .reduce(_ unionByName _)
+          .select(regexp_extract(col("l"), "hash://sha256/([a-f0-9]{64})", 1).as("h"))
+      val inv0 = inventoryDF
+      val inv = if (holding.isEmpty) inv0
+                else inv0.filter(!col("h").isInCollection(holding))
+      val rootStr = root.toString
+      val deleted = spark.sparkContext.longAccumulator("gc-deleted")
+      inv.join(live, Seq("h"), "left_anti").as[String]
+        .foreachPartition { (it: Iterator[String]) =>
+          it.foreach { h =>
+            if (Files.deleteIfExists(
+                Paths.get(rootStr, h.substring(0, 2), h)))
+              deleted.add(1)
+          }
+        }
+      deleted.value
+    } finally gate.unlock()
+  }
+
+  // (anti-join note: the live side is NOT distinct'd — left_anti
+  // handles duplicate keys and skipping the distinct saves a shuffle
+  // aggregation over the full link set)
 
   /** cid:→hash:// deep rewrite at ingest (reference:
     * record-structure.js:44-72 resolveContentIDs): whole strings starting
@@ -112,4 +173,11 @@ final class AttachmentStore(store: Store) {
     }
     walk(v)
   }
+}
+
+object AttachmentStore {
+  /** Default gc hold window for recently-written blobs: long enough for
+    * any realistic upload→commit gap, short enough that orphaned uploads
+    * reclaim on the next GC cycle. */
+  val DefaultGraceMs: Long = 10 * 60 * 1000L
 }

@@ -102,6 +102,18 @@ final class Store(val spark: SparkSession, val root: String,
 
   private[store] def withLock[A](path: DataPath)(f: => A): A =
     lockFor(path.collectionPath).synchronized(f)
+
+  /** gc-vs-commit gate (reference: attachments.js hold/validate): every
+    * commit holds the read side from link validation through manifest
+    * swap; attachment GC takes the write side, so a blob can never be
+    * deleted between a commit validating its link and the snapshot going
+    * live. Read side is shared — concurrent commits don't serialize on
+    * each other, only against a running GC. */
+  private[store] val gcGate = new java.util.concurrent.locks.ReentrantReadWriteLock()
+  private[store] def withCommitGate[A](f: => A): A = {
+    val l = gcGate.readLock(); l.lock()
+    try f finally l.unlock()
+  }
 }
 
 sealed trait WriteMode
@@ -231,7 +243,7 @@ final class Collection(val store: Store, val path: DataPath) {
     * runs on executors; version carry-over is a join against the current
     * snapshot — no driver-side iteration, any scale.
     */
-  def writeEntriesDF(in: DataFrame, mode: WriteMode): Long = store.withLock(path) {
+  def writeEntriesDF(in: DataFrame, mode: WriteMode): Long = store.withLock(path) { store.withCommitGate {
     require(exists, s"collection ${path.encoded} does not exist")
     val m = meta
     val newVersion = m.version + 1
@@ -324,7 +336,7 @@ final class Collection(val store: Store, val path: DataPath) {
         throw (if (c != null) c else e)
     }
     newVersion
-  }
+  } }
 
   private def touchedBuckets(prep: DataFrame, b: Int): Seq[Long] =
     prep.select(bucketExpr(b).as("bucket")).distinct().as[Long].collect().toSeq
@@ -394,13 +406,13 @@ final class Collection(val store: Store, val path: DataPath) {
 
   /** Replace contents from an already-prepared RecordRow dataset (used by
     * the lens materializer, which computes versions itself). */
-  private[graft] def commitPrepared(rows: Dataset[RecordRow]): Long = store.withLock(path) {
+  private[graft] def commitPrepared(rows: Dataset[RecordRow]): Long = store.withLock(path) { store.withCommitGate {
     require(exists, s"collection ${path.encoded} does not exist")
     val m = meta
     val newVersion = m.version + 1
     commitSnapshot(rows.toDF(), m, newVersion)
     newVersion
-  }
+  } }
 
   private[graft] def nextVersion: Long = meta.version + 1
 

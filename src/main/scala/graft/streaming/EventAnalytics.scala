@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming analytics over the events shape (event_id, ts, user_id,
   * event_type, value) — the Structured Streaming surface of the engine
@@ -34,30 +34,55 @@ object EventAnalytics {
   final case class SessionUpdate(user_id: Long, n_events: Long,
                                  duration_ms: Long, closed: Boolean)
 
-  /** Stateful sessionization via mapGroupsWithState: per-user running
-    * session, closed when `gapMs` passes without events (checked against
-    * incoming batches). Custom state is exactly the
-    * KeyValueGroupedDataset escape hatch the engine reserves for logic
-    * windowed aggs can't express. */
-  def sessionize(events: Dataset[(Long, Timestamp)], gapMs: Long): Dataset[SessionUpdate] = {
+  /** Stateful sessionization via flatMapGroupsWithState: per-user
+    * running session, closed (and its state EVICTED) when `gapMs`
+    * passes without events. Two close paths, both emitting
+    * `closed = true`:
+    *   - in-data: a batch whose first event is > gapMs past the stored
+    *     session closes the old one and starts fresh;
+    *   - timeout: the event-time timeout fires once the watermark
+    *     passes lastTs + gapMs, closing idle users and removing their
+    *     state — so state stays O(users active within the gap window),
+    *     not O(all users ever seen), for the life of the stream.
+    * Custom state is exactly the KeyValueGroupedDataset escape hatch the
+    * engine reserves for logic windowed aggs can't express. */
+  def sessionize(events: Dataset[(Long, Timestamp)], gapMs: Long,
+                 lateness: String = "10 minutes"): Dataset[SessionUpdate] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.groupByKey(_._1)
-      .mapGroupsWithState[SessionState, SessionUpdate](GroupStateTimeout.NoTimeout) {
+    events.withWatermark("_2", lateness)
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         case (user, rows, state: GroupState[SessionState]) =>
-          val times = rows.map(_._2.getTime).toVector.sorted
-          val prev = state.getOption
-          val merged = prev match {
-            case Some(s) if times.head - s.lastTs <= gapMs =>
-              SessionState(s.count + times.length, s.firstTs, times.last)
-            case Some(_) => // gap exceeded: new session replaces the old
-              SessionState(times.length, times.head, times.last)
-            case None =>
-              SessionState(times.length, times.head, times.last)
+          if (state.hasTimedOut) {
+            // watermark passed lastTs + gapMs with no new events: close
+            // the session and drop its state
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionUpdate(user, s.count,
+              s.lastTs - s.firstTs, closed = true))
+          } else {
+            val times = rows.map(_._2.getTime).toVector.sorted
+            val (closedOut, merged) = state.getOption match {
+              case Some(s) if times.head - s.lastTs <= gapMs =>
+                (Iterator.empty[SessionUpdate],
+                  SessionState(s.count + times.length, s.firstTs, times.last))
+              case Some(s) => // gap exceeded inside the data: close old
+                (Iterator.single(SessionUpdate(user, s.count,
+                    s.lastTs - s.firstTs, closed = true)),
+                  SessionState(times.length, times.head, times.last))
+              case None =>
+                (Iterator.empty[SessionUpdate],
+                  SessionState(times.length, times.head, times.last))
+            }
+            state.update(merged)
+            // must be > current watermark or Spark rejects the timeout
+            state.setTimeoutTimestamp(
+              math.max(merged.lastTs + gapMs, state.getCurrentWatermarkMs + 1))
+            closedOut ++ Iterator.single(SessionUpdate(user, merged.count,
+              merged.lastTs - merged.firstTs, closed = false))
           }
-          state.update(merged)
-          SessionUpdate(user, merged.count, merged.lastTs - merged.firstTs,
-            closed = false)
       }
   }
 }

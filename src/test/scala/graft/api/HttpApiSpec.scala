@@ -96,6 +96,31 @@ class HttpApiSpec extends AnyFunSuite {
     }
   }
 
+  test("listing streams in natural order with ?start/?limit pagination") {
+    withApi { (base, c) =>
+      // write out of natural order; digit runs must sort numerically
+      Seq("item10", "item2", "item1", "other9", "item3").foreach { id =>
+        c.send(HttpRequest.newBuilder(URI.create(s"$base/datasets/alice:d1/records/$id"))
+          .header("Content-Type", "application/json")
+          .PUT(HttpRequest.BodyPublishers.ofString("1")).build(),
+          HttpResponse.BodyHandlers.ofString())
+      }
+      def keys(url: String): Seq[String] =
+        JsonCodec.decodeString(get(c, url).body).asInstanceOf[PoObj].fields.keys.toSeq
+      // full listing is the Spark-side natural_key sort (no driver
+      // collect — the route streams toLocalIterator partitions)
+      assert(keys(s"$base/datasets/alice:d1/records/") ==
+        Seq("item1", "item2", "item3", "item10", "other9"))
+      assert(keys(s"$base/datasets/alice:d1/records/?limit=2") == Seq("item1", "item2"))
+      // ?start= is inclusive by natural order: a client resumes from the
+      // last id it saw and drops the first row
+      assert(keys(s"$base/datasets/alice:d1/records/?start=item2&limit=2") ==
+        Seq("item2", "item3"))
+      assert(keys(s"$base/datasets/alice:d1/records/?start=item3") ==
+        Seq("item3", "item10", "other9"))
+    }
+  }
+
   test("errors: 404 unknown route/collection, 400 bad body") {
     withApi { (base, c) =>
       assert(get(c, s"$base/nope").statusCode == 404)

@@ -29,10 +29,24 @@ class AttachmentsSpec extends AnyFunSuite {
     val dead = s.attachments.write("dead blob".getBytes)
     val c = s.dataset("a", "gc").create()
     c.write("r1", PoObj("file" -> PoStr(s.attachments.url(live, "text/plain"))))
-    val deleted = s.attachments.gc()
-    assert(deleted == Seq(dead))
+    // graceMs=0 disables the hold window so the just-written orphan is
+    // eligible; deletion runs executor-side (foreachPartition), the
+    // driver only sees the count
+    val deleted = s.attachments.gc(graceMs = 0)
+    assert(deleted == 1)
     assert(s.attachments.has(live))
     assert(!s.attachments.has(dead))
+  }
+
+  test("GC hold window: a just-written unlinked blob survives until the grace expires") {
+    val s = freshStore()
+    val uploaded = s.attachments.write("uploaded, not yet linked".getBytes)
+    // default grace: the blob was written milliseconds ago → held
+    assert(s.attachments.gc() == 0)
+    assert(s.attachments.has(uploaded))
+    // once the hold expires (grace 0) the orphan reclaims
+    assert(s.attachments.gc(graceMs = 0) == 1)
+    assert(!s.attachments.has(uploaded))
   }
 
   test("cid: rewrite resolves uploads to hash URLs; missing cid rejects (W9)") {

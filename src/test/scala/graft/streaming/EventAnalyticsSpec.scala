@@ -105,8 +105,43 @@ class EventAnalyticsSpec extends AnyFunSuite {
       q.processAllAvailable()
       val s3 = spark.table("sessions").collect()
         .filter(_.getAs[Long]("user_id") == 7L)
-        .map(_.getAs[Long]("n_events"))
-      assert(s3.contains(1L))
+      assert(s3.map(_.getAs[Long]("n_events")).contains(1L))
+      // the in-data gap also CLOSED the previous 3-event session
+      assert(s3.exists(r => r.getAs[Boolean]("closed") &&
+        r.getAs[Long]("n_events") == 3L))
+    } finally q.stop()
+  }
+
+  test("sessionize closes idle sessions on event-time timeout and evicts state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val q = EventAnalytics.sessionize(in.toDS(), gapMs = 5 * 60 * 1000,
+      lateness = "1 minute")
+      .writeStream.format("memory").queryName("timeout_sessions")
+      .outputMode("update").start()
+    try {
+      in.addData((7L, ts(0)), (7L, ts(2)))
+      q.processAllAvailable()
+      // another user's events advance the watermark past 7's
+      // lastTs + gap (ts 7); the watermark used by a batch is the one
+      // computed at the END of the previous batch, so two ticks
+      in.addData((9L, ts(20)))
+      q.processAllAvailable()
+      in.addData((9L, ts(21)))
+      q.processAllAvailable()
+      def user7 = spark.table("timeout_sessions").collect()
+        .filter(_.getAs[Long]("user_id") == 7L)
+      assert(user7.exists(r => r.getAs[Boolean]("closed") &&
+        r.getAs[Long]("n_events") == 2L), "idle session must close via timeout")
+      // state was evicted: a later event starts FRESH — if the old state
+      // lingered, this batch would close it a second time
+      in.addData((7L, ts(40)))
+      q.processAllAvailable()
+      assert(user7.count(_.getAs[Boolean]("closed")) == 1,
+        "timeout must remove state; no second close for the same session")
+      assert(user7.exists(r => !r.getAs[Boolean]("closed") &&
+        r.getAs[Long]("n_events") == 1L))
     } finally q.stop()
   }
 }
