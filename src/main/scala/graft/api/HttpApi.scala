@@ -135,11 +135,13 @@ final class HttpApi(store: Store, port: Int = 0) {
         chunks.foreach(out.write)
         out.close()
       case ("GET", "/changes") =>
-        val since = Option(ex.getRequestURI.getQuery)
-          .flatMap(_.split("&").collectFirst {
-            case kv if kv.startsWith("since=") => kv.drop(6).toLong
-          }).getOrElse(0L)
-        val body = commitLog.eventsSince(since).mkString("\n")
+        // ?since=ts[&seq=n]: full-cursor resume is exact; ts-only resume
+        // re-delivers that millisecond (at-least-once) rather than
+        // losing same-ms commits
+        val qp = queryParams(ex)
+        val since = qp.get("since").map(_.toLong).getOrElse(0L)
+        val seq = qp.get("seq").map(_.toLong).getOrElse(-1L)
+        val body = commitLog.eventsSince(since, seq).mkString("\n")
         respond(ex, 200, body)
       case _ => respond(ex, 404, s"no route: $method $path")
     }

@@ -116,7 +116,7 @@ object Export {
       val o = e.asInstanceOf[PoObj].fields
       val id = o("id").asInstanceOf[PoStr].s
       val data = o("data")
-      z.putNextEntry(new ZipEntry(s"records/$id.$format"))
+      z.putNextEntry(new ZipEntry(s"records/${zipSafe(id)}.$format"))
       z.write(codec.encode(data))
       z.closeEntry()
       if (includeAttachments) {
@@ -135,6 +135,15 @@ object Export {
       }
     }
     z.finish()
+  }
+
+  /** Zip-slip guard: record ids written by lenses bypass DataPath
+    * validation, so an id like `../../etc/cron` must not become a
+    * traversing archive entry. Percent-encodes only the dangerous
+    * bytes — typical ids are unchanged. */
+  private def zipSafe(id: String): String = {
+    val enc = id.replace("%", "%25").replace("/", "%2F").replace("\\", "%5C")
+    if (enc == "." || enc == "..") "%2E" * enc.length else enc
   }
 
   /** Raw record serving (S11, export-controller.js:178-197): a record

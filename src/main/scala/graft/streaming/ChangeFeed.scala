@@ -39,7 +39,7 @@ final class CommitLog(store: Store) {
     val ts = System.currentTimeMillis()
     val n = seq.incrementAndGet()
     val line =
-      s"""{"path":"${path.collectionPath}","source":"${path.source}","author":"${path.author}","name":"${path.name}","version":$version,"ts":$ts}"""
+      s"""{"path":"${path.collectionPath}","source":"${path.source}","author":"${path.author}","name":"${path.name}","version":$version,"ts":$ts,"seq":$n}"""
     val tmp = dir.resolve(s".tmp-$ts-$n")
     Files.write(tmp, (line + "\n").getBytes(UTF_8))
     // atomic rename: the file source must never see a partial file
@@ -61,16 +61,27 @@ final class CommitLog(store: Store) {
 
   /** Driver-side event iterator (the SSE framing of
     * export-controller.js:153-176) for an HTTP layer: events appended
-    * after `afterTs` in log order. */
-  def eventsSince(afterTs: Long): Seq[String] =
+    * after the (afterTs, afterSeq) cursor, in log order.
+    *
+    * Multiple commits can land in one millisecond (the seq suffix in
+    * the file name exists for exactly that), so a timestamp alone is
+    * not a safe resume point. A client that tracks the full cursor
+    * (the `ts`/`seq` fields on every event) resumes exactly-once; a
+    * client with only a timestamp gets `>=` semantics on that
+    * millisecond (at-least-once — dedup by (path, version)) instead of
+    * silently losing same-ms events. */
+  def eventsSince(afterTs: Long, afterSeq: Long = -1L): Seq[String] =
     if (!Files.isDirectory(dir)) Seq.empty
     else Files.list(dir).iterator().asScala
       .filter(p => p.getFileName.toString.startsWith("commit-"))
       .toSeq.sortBy(_.getFileName.toString)
       .flatMap { p =>
         val name = p.getFileName.toString
-        val ts = name.stripPrefix("commit-").takeWhile(_.isDigit).toLong
-        if (ts > afterTs) Some(new String(Files.readAllBytes(p), UTF_8).trim)
+        val parts = name.stripPrefix("commit-").stripSuffix(".json").split("-")
+        val ts = parts(0).toLong
+        val seqN = parts(1).toLong
+        if (ts > afterTs || (ts == afterTs && seqN > afterSeq))
+          Some(new String(Files.readAllBytes(p), UTF_8).trim)
         else None
       }
 }
@@ -79,5 +90,6 @@ object CommitLog {
   val schema: StructType = StructType(Seq(
     StructField("path", StringType), StructField("source", StringType),
     StructField("author", StringType), StructField("name", StringType),
-    StructField("version", LongType), StructField("ts", LongType)))
+    StructField("version", LongType), StructField("ts", LongType),
+    StructField("seq", LongType)))
 }

@@ -138,6 +138,25 @@ class StoreSpec extends AnyFunSuite {
     assert(DataPath.parse("garbage").isEmpty)
   }
 
+  test("DataPath rejects traversal and the reference's bad name chars") {
+    // ".." as author/name would make Store.dir escape the store root
+    // (ADVICE r2; reference dataset.js:31-34 validateConfig)
+    intercept[IllegalArgumentException](DataPath("datasets", "..", ".."))
+    intercept[IllegalArgumentException](DataPath("datasets", "a", "."))
+    intercept[IllegalArgumentException](DataPath("datasets", "", "x"))
+    intercept[IllegalArgumentException](DataPath("datasets", "a", "x" * 251))
+    for (c <- "!*'();:@&=+$,/?%#[]\\")
+      intercept[IllegalArgumentException](DataPath("datasets", "a", s"x${c}y"))
+    // record ids are permissive (lens outputs can be arbitrary tokens)
+    // but never path-ish
+    intercept[IllegalArgumentException](DataPath("datasets", "a", "x", Some("../up")))
+    intercept[IllegalArgumentException](DataPath("datasets", "a", "x", Some("..")))
+    DataPath("datasets", "a", "x", Some("tok.en~with odd chars"))
+    // parse is total: it refuses what construction refuses
+    assert(DataPath.parse("/datasets/..:..").isEmpty)
+    assert(DataPath.parse("/datasets/a:ok/records/..").isEmpty)
+  }
+
   test("duplicate ids inside one batch: last wins") {
     val c = freshStore().dataset("alice", "d10").create()
     c.writeEntries(Seq(

@@ -75,4 +75,29 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(events.head.contains("\"version\":1"))
     assert(log.eventsSince(System.currentTimeMillis() + 1000).isEmpty)
   }
+
+  test("catch-up cursor is (ts, seq): same-millisecond commits are never lost") {
+    val s = freshStore()
+    val log = new CommitLog(s)
+    val p = graft.store.DataPath("datasets", "a", "burst")
+    // a tight append loop lands many commits inside one millisecond
+    (1 to 20).foreach(v => log.append(p, v.toLong))
+    val all = log.eventsSince(0L)
+    assert(all.length == 20)
+    def cursor(ev: String): (Long, Long) = {
+      def field(k: String) =
+        s""""$k":(\\d+)""".r.findFirstMatchIn(ev).get.group(1).toLong
+      (field("ts"), field("seq"))
+    }
+    // resume from EVERY event's full cursor: exactly the remainder,
+    // even when neighbours share a timestamp (the old ts-only `>`
+    // filter dropped same-ms successors)
+    all.zipWithIndex.foreach { case (ev, i) =>
+      val (ts, seq) = cursor(ev)
+      assert(log.eventsSince(ts, seq) == all.drop(i + 1))
+    }
+    // ts-only resume degrades to >= on that millisecond, never loses
+    val (lastTs, _) = cursor(all.last)
+    assert(log.eventsSince(lastTs).nonEmpty)
+  }
 }
