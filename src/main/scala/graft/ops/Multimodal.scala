@@ -14,10 +14,13 @@ import org.apache.spark.sql.functions._
   * rows streamed through it. That is the exact batch shape a real
   * decoder plugs into.
   *
-  * STUB NOTICE: this container has no image/audio libraries, so
-  * `StubDecoder` derives deterministic fake pixels/frames from the byte
-  * content (sizes, hashes). Swap `Decoder` implementations to go real —
-  * every schema, partition and batch contract stays identical.
+  * Decoders: `ImageIODecoder` is REAL image decode — `javax.imageio`
+  * (java.desktop module, present in this JDK) handles PNG/JPEG/BMP/GIF
+  * including animated-GIF frame extraction. `StubDecoder` remains for
+  * the genuinely absent codecs only (video, audio): it derives
+  * deterministic fake frames from the byte content so pipelines and
+  * specs can pin the plumbing. Swap `Decoder` implementations to go
+  * real — every schema, partition and batch contract stays identical.
   */
 object Multimodal {
 
@@ -35,10 +38,105 @@ object Multimodal {
     def resize(bytes: Array[Byte], mime: String, w: Int, h: Int): Array[Byte]
   }
 
-  /** Deterministic fake decoder — STUB for the absent media libraries.
-    * Dimensions and signatures are pure functions of the bytes, so specs
-    * can pin behavior and swap-in of a real decoder changes nothing
-    * structurally. */
+  /** Real image decode over `javax.imageio` (PNG/JPEG/BMP/GIF — the
+    * formats the JDK's java.desktop module reads natively, no external
+    * libraries). The `signature` is a downsampled pixel fingerprint: a
+    * 4×2 grid of mean luminances in [0,1], row-major — cheap, stable
+    * across re-encodes of the same pixels, and enough for dedup or
+    * near-dup bucketing of images. Video/audio mimes are NOT handled
+    * here (no codec in the JDK) — route those to a real codec or the
+    * stub. */
+  final class ImageIODecoder extends Decoder {
+    def init(): Unit = {
+      // BufferedImage work is headless-safe; make sure AWT agrees
+      System.setProperty("java.awt.headless", "true")
+      ImageIODecoder.inits.incrementAndGet()
+    }
+
+    private def read(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "undecodable image bytes")
+      img
+    }
+
+    /** 4×2-grid mean-luminance fingerprint, row-major, values in [0,1]. */
+    private def fingerprint(img: java.awt.image.BufferedImage): Array[Float] = {
+      val (gw, gh) = (4, 2)
+      val out = new Array[Float](gw * gh)
+      var cy = 0
+      while (cy < gh) {
+        var cx = 0
+        while (cx < gw) {
+          val x0 = img.getWidth * cx / gw; val x1 = math.max(x0 + 1, img.getWidth * (cx + 1) / gw)
+          val y0 = img.getHeight * cy / gh; val y1 = math.max(y0 + 1, img.getHeight * (cy + 1) / gh)
+          var sum = 0.0; var n = 0
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / (3.0 * 255.0)
+              n += 1; x += 1
+            }
+            y += 1
+          }
+          out(cy * gw + cx) = (sum / n).toFloat
+          cx += 1
+        }
+        cy += 1
+      }
+      out
+    }
+
+    def decodeImage(bytes: Array[Byte], mime: String): DecodedImage = {
+      val img = read(bytes)
+      DecodedImage(img.getWidth, img.getHeight,
+        img.getColorModel.getNumComponents, fingerprint(img))
+    }
+
+    /** Frame extraction: animated GIFs yield every `everyNth` frame
+      * (ImageReader indexes them natively); single-frame formats yield
+      * one frame. Frames re-encode as PNG (lossless, always writable). */
+    def frames(bytes: Array[Byte], mime: String, everyNth: Int): Iterator[Array[Byte]] = {
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      require(readers.hasNext, "undecodable image bytes")
+      val reader = readers.next()
+      reader.setInput(in)
+      val n = reader.getNumImages(true)
+      (0 until n by math.max(1, everyNth)).iterator.map { i =>
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(reader.read(i), "png", buf)
+        buf.toByteArray
+      }
+    }
+
+    def resize(bytes: Array[Byte], mime: String, w: Int, h: Int): Array[Byte] = {
+      val src = read(bytes)
+      val dst = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, w, h, null)
+      } finally g.dispose()
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(dst, "png", buf)
+      buf.toByteArray
+    }
+  }
+  object ImageIODecoder {
+    /** per-partition init counter, observable from local-mode specs */
+    val inits = new AtomicInteger(0)
+  }
+
+  /** Deterministic fake decoder — STUB for the codecs genuinely absent
+    * from this JDK (video, audio). Dimensions and signatures are pure
+    * functions of the bytes, so specs can pin behavior and swap-in of a
+    * real decoder changes nothing structurally. For still images, use
+    * the real `ImageIODecoder` above. */
   final class StubDecoder extends Decoder {
     def init(): Unit = StubDecoder.inits.incrementAndGet()
     private def h32(bytes: Array[Byte], seed: Int): Int =

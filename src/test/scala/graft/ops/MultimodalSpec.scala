@@ -5,10 +5,72 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestBase
 
-/** Multimodal plumbing: schema, batch shape, partitioning — real; the
-  * decode itself is the documented STUB. */
+/** Multimodal plumbing: schema, batch shape, partitioning — real; image
+  * decode is REAL too (ImageIODecoder over javax.imageio); only
+  * video/audio use the documented STUB. */
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
+
+  /** Encode a w×h image, left half red / right half blue, via ImageIO. */
+  private def png(w: Int, h: Int, format: String = "png"): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0xff0000 else 0x0000ff)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, buf)
+    buf.toByteArray
+  }
+
+  test("ImageIODecoder: real PNG/BMP decode through the Spark pipeline") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, png(100, 60), "image/png"),
+      (2L, png(30, 40, "bmp"), "image/bmp"))
+      .toDF("id", "media", "mime").repartition(2)
+    val out = Multimodal.imageFeatures(df, decoder = new Multimodal.ImageIODecoder)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(1L).getAs[Int]("width") == 100)
+    assert(out(1L).getAs[Int]("height") == 60)
+    assert(out(1L).getAs[Int]("channels") == 3)
+    // 4×2 luminance grid: red (lum 1/3) left two cells, blue (1/3) right —
+    // uniform here, but every value must be a real pixel mean in (0,1)
+    val sig = out(1L).getSeq[Float](out(1L).fieldIndex("features"))
+    assert(sig.length == 8 && sig.forall(v => v > 0f && v < 1f))
+    assert(math.abs(sig(0) - 1f / 3) < 0.02, "red half mean luminance ~1/3")
+    assert(out(2L).getAs[Int]("width") == 30)
+
+    // resize really resizes: decode the output bytes and check dims
+    val rz = Multimodal.resizeImages(df, 16, 12,
+      decoder = new Multimodal.ImageIODecoder)
+      .filter(col("id") === 1L).collect()(0)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(rz.getAs[Array[Byte]]("media")))
+    assert(back.getWidth == 16 && back.getHeight == 12)
+    // and preserves the left-red/right-blue structure
+    assert((back.getRGB(2, 6) & 0xff0000) != 0)
+    assert((back.getRGB(13, 6) & 0xff) != 0)
+
+    // single-frame formats yield exactly one frame, losslessly
+    val fr = Multimodal.frameSample(df.filter(col("id") === 1L), everyNth = 1,
+      decoder = new Multimodal.ImageIODecoder).collect()
+    assert(fr.length == 1 && fr(0).getAs[Long]("frame_idx") == 0L)
+    val f0 = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(fr(0).getAs[Array[Byte]]("frame")))
+    assert(f0.getWidth == 100 && f0.getHeight == 60)
+  }
+
+  test("ImageIODecoder rejects undecodable bytes; inits once per partition") {
+    import spark.implicits._
+    Multimodal.ImageIODecoder.inits.set(0)
+    val df = (0 until 8).map(i => (i.toLong, png(8 + i, 8), "image/png"))
+      .toDF("id", "media", "mime").repartition(4)
+    assert(Multimodal.imageFeatures(df,
+      decoder = new Multimodal.ImageIODecoder).count() == 8)
+    assert(Multimodal.ImageIODecoder.inits.get == 4)
+    val junk = new Multimodal.ImageIODecoder
+    intercept[IllegalArgumentException](junk.decodeImage("not an image".getBytes, "image/png"))
+  }
 
   private def mediaDf = {
     import spark.implicits._
