@@ -26,7 +26,10 @@ import graft.store._
   *   DELETE /datasets/A:N/records/R                    delete record
   *   POST   /datasets/A:N/records/                     bulk merge of {id: value}
   *   GET    /{datasets|lenses}/A:N/export/flat-file.ext[?at=V]  flat export
-  *   GET    /changes?since=ts                          SSE catch-up events
+  *   GET    /{datasets|lenses}/A:N/export/archive.zip[?format=&attachments=]  zip export (export-controller:43)
+  *   PUT    /datasets/A:N/import[?filename=|?overwrite=]  file import (dataset-controller:249)
+  *   GET    /{datasets|lenses|meta}/A:N/event-stream    live SSE push (export-controller:153)
+  *   GET    /changes?since=ts[&seq=n]                  SSE catch-up events
   * Ephemeral lenses need a map FUNCTION, which HTTP can't carry without
   * a JS engine (absent in this container) — exposed on the Scala API
   * (EphemeralLens) instead.
@@ -36,9 +39,14 @@ final class HttpApi(store: Store, port: Int = 0) {
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   private val commitLog = new graft.streaming.CommitLog(store).install()
 
+  // A thread pool, not the default single dispatch thread: the SSE
+  // route holds its connection open for the client's lifetime, which
+  // must not head-of-line-block every other request.
+  private val pool = java.util.concurrent.Executors.newCachedThreadPool()
+
   def boundPort: Int = server.getAddress.getPort
-  def start(): HttpApi = { server.setExecutor(null); server.start(); this }
-  def stop(): Unit = server.stop(0)
+  def start(): HttpApi = { server.setExecutor(pool); server.start(); this }
+  def stop(): Unit = { server.stop(0); pool.shutdownNow(); () }
 
   server.createContext("/", (ex: HttpExchange) => handle(ex))
 
@@ -54,6 +62,9 @@ final class HttpApi(store: Store, port: Int = 0) {
   private val RecordsPat = "^/(datasets|lenses|meta)/([^:/]+):([^:/]+)/records/$".r
   private val RecordPat = "^/(datasets|lenses|meta)/([^:/]+):([^:/]+)/records/([^/]+?)(\\.([a-z]+))?$".r
   private val ExportPat = "^/(datasets|lenses)/([^:/]+):([^:/]+)/export/flat-file\\.([a-z]+)$".r
+  private val ZipExportPat = "^/(datasets|lenses)/([^:/]+):([^:/]+)/export/archive\\.zip$".r
+  private val ImportPat = "^/datasets/([^:/]+):([^:/]+)/import$".r
+  private val EventStreamPat = "^/(datasets|lenses|meta)/([^:/]+):([^:/]+)/event-stream$".r
 
   private def route(ex: HttpExchange): Unit = {
     val path = ex.getRequestURI.getPath
@@ -134,6 +145,93 @@ final class HttpApi(store: Store, port: Int = 0) {
         val out: OutputStream = ex.getResponseBody
         chunks.foreach(out.write)
         out.close()
+      case ("PUT", ImportPat(author, name)) =>
+        // File import (dataset-controller.js:249-298). Two modes, both
+        // through Import so codec/validation/versioning apply:
+        //  - application/zip body = the multipart-files upload: one
+        //    record per archive entry, id = filename minus extension;
+        //  - raw body + ?filename=x.jsonl = single entries-file import
+        //    ({id: value} map or [id, value] pair array).
+        // ?overwrite=true replaces the collection instead of merging.
+        val qp = queryParams(ex)
+        val mode = if (qp.get("overwrite").contains("true")) WriteMode.Overwrite
+                   else WriteMode.Merge
+        val coll = store.dataset(author, name)
+        if (!coll.exists) return respond(ex, 404, "no such collection")
+        val ct = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+        val version =
+          if (ct.startsWith("application/zip")) {
+            val zin = new java.util.zip.ZipInputStream(ex.getRequestBody)
+            val uploads = Iterator.continually(zin.getNextEntry)
+              .takeWhile(_ != null)
+              .filterNot(_.isDirectory)
+              .map(e => e.getName -> zin.readAllBytes())
+              .toSeq
+            if (uploads.isEmpty) return respond(ex, 400, "empty archive")
+            Import.files(coll, uploads, mode)
+          } else qp.get("filename") match {
+            case Some(filename) =>
+              Import.entriesFile(coll, filename, ex.getRequestBody.readAllBytes(), mode)
+            case None =>
+              return respond(ex, 400, "?filename= required for entries-file import")
+          }
+        respondValue(ex, 200, PoObj("version" -> PoInt(version)), "json")
+      case ("GET", ZipExportPat(source, author, name)) =>
+        // Zip archive export (export-controller.js:43-91 streamArchive):
+        // records/<id>.<format> entries plus deduplicated attachments,
+        // streamed straight into the chunked response body.
+        val p = DataPath(source, author, name)
+        if (!ReadPath.exists(store, p)) return respond(ex, 404, "no such collection")
+        val qp = queryParams(ex)
+        val format = qp.getOrElse("format", "json")
+        val withAttachments = qp.get("attachments").exists(v => v == "true" || v == "1")
+        ex.getResponseHeaders.set("Content-Type", "application/zip")
+        ex.getResponseHeaders.set("Content-Disposition",
+          s"""attachment; filename="export-${name.replaceAll("[^a-zA-Z0-9-_]+", "_")}-$format.zip"""")
+        ex.sendResponseHeaders(200, 0)
+        val out = ex.getResponseBody
+        Export.zip(store, p, format, out, withAttachments)
+        out.close()
+      case ("GET", EventStreamPat(source, author, name)) =>
+        // Long-lived SSE push (export-controller.js:153-176): one
+        // event with the current version on connect, then every commit
+        // to this path as it lands, until the client disconnects. The
+        // poll loop tails the durable commit log by (ts, seq) cursor —
+        // the same log Structured Streaming consumers read — so events
+        // survive the server and no in-process bus is needed.
+        val p = DataPath(source, author, name)
+        if (!ReadPath.exists(store, p)) return respond(ex, 404, "no such collection")
+        ex.getResponseHeaders.set("Content-Type", "text/event-stream")
+        ex.getResponseHeaders.set("Cache-Control", "no-cache")
+        ex.sendResponseHeaders(200, 0)
+        val out: OutputStream = ex.getResponseBody
+        def frame(json: String): Unit = {
+          out.write(s"data: $json\n\n".getBytes(UTF_8)); out.flush()
+        }
+        val version = if (source == "meta") 0L else store.collection(p).meta.version
+        var (ts, seq) = commitLog.latestCursor
+        frame(s"""{"path":"${p.collectionPath}","source":"$source","author":"$author","name":"$name","version":$version}""")
+        try {
+          var lastWrite = System.currentTimeMillis()
+          while (true) {
+            commitLog.eventsSinceCursor(ts, seq).foreach { case (cur, ev) =>
+              ts = cur._1; seq = cur._2
+              if (ev.contains(s""""path":"${p.collectionPath}"""")) {
+                frame(ev); lastWrite = System.currentTimeMillis()
+              }
+            }
+            // idle keepalive comment: detects a gone client (the write
+            // throws) so idle connections don't pin threads forever
+            if (System.currentTimeMillis() - lastWrite > 2000) {
+              out.write(": keepalive\n\n".getBytes(UTF_8)); out.flush()
+              lastWrite = System.currentTimeMillis()
+            }
+            Thread.sleep(50)
+          }
+        } catch {
+          // client went away (write failed) or server shut down
+          case _: java.io.IOException | _: InterruptedException => ()
+        }
       case ("GET", "/changes") =>
         // ?since=ts[&seq=n]: full-cursor resume is exact; ts-only resume
         // re-delivers that millisecond (at-least-once) rather than

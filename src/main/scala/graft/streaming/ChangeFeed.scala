@@ -71,6 +71,11 @@ final class CommitLog(store: Store) {
     * millisecond (at-least-once — dedup by (path, version)) instead of
     * silently losing same-ms events. */
   def eventsSince(afterTs: Long, afterSeq: Long = -1L): Seq[String] =
+    eventsSinceCursor(afterTs, afterSeq).map(_._2)
+
+  /** As eventsSince, but each event carries its (ts, seq) cursor so a
+    * long-lived consumer (the SSE route) can resume-poll exactly. */
+  def eventsSinceCursor(afterTs: Long, afterSeq: Long): Seq[((Long, Long), String)] =
     if (!Files.isDirectory(dir)) Seq.empty
     else Files.list(dir).iterator().asScala
       .filter(p => p.getFileName.toString.startsWith("commit-"))
@@ -81,9 +86,23 @@ final class CommitLog(store: Store) {
         val ts = parts(0).toLong
         val seqN = parts(1).toLong
         if (ts > afterTs || (ts == afterTs && seqN > afterSeq))
-          Some(new String(Files.readAllBytes(p), UTF_8).trim)
+          Some(((ts, seqN), new String(Files.readAllBytes(p), UTF_8).trim))
         else None
       }
+
+  /** The newest event's (ts, seq), or (0, -1) on an empty log — the
+    * "subscribe from now" starting cursor. */
+  def latestCursor: (Long, Long) =
+    if (!Files.isDirectory(dir)) (0L, -1L)
+    else {
+      val names = Files.list(dir).iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith("commit-")).toSeq
+      if (names.isEmpty) (0L, -1L)
+      else {
+        val parts = names.max.stripPrefix("commit-").stripSuffix(".json").split("-")
+        (parts(0).toLong, parts(1).toLong)
+      }
+    }
 }
 
 object CommitLog {

@@ -121,6 +121,108 @@ class HttpApiSpec extends AnyFunSuite {
     }
   }
 
+  test("import route: zip of files and a single entries file round-trip") {
+    withApi { (base, c) =>
+      // files mode: a zip body, one record per entry (filename minus ext)
+      val zipBytes = {
+        val buf = new java.io.ByteArrayOutputStream()
+        val z = new java.util.zip.ZipOutputStream(buf)
+        def add(name: String, body: String): Unit = {
+          z.putNextEntry(new java.util.zip.ZipEntry(name))
+          z.write(body.getBytes("UTF-8")); z.closeEntry()
+        }
+        add("doc1.json", """{"n": 1}""")
+        add("doc2.yaml", "n: 2\n")
+        z.finish(); buf.toByteArray
+      }
+      val up = c.send(HttpRequest.newBuilder(URI.create(s"$base/datasets/alice:d1/import"))
+        .header("Content-Type", "application/zip")
+        .PUT(HttpRequest.BodyPublishers.ofByteArray(zipBytes)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(up.statusCode == 200 && up.body.contains("\"version\":1"))
+      assert(JsonCodec.decodeString(get(c, s"$base/datasets/alice:d1/records/doc1").body) ==
+        PoObj("n" -> PoInt(1)))
+      assert(JsonCodec.decodeString(get(c, s"$base/datasets/alice:d1/records/doc2").body) ==
+        PoObj("n" -> PoInt(2)))
+
+      // entries-file mode: {id: value} map, ?overwrite=true replaces
+      val up2 = c.send(HttpRequest.newBuilder(
+        URI.create(s"$base/datasets/alice:d1/import?filename=bulk.json&overwrite=true"))
+        .PUT(HttpRequest.BodyPublishers.ofString("""{"only": {"k": true}}""")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(up2.statusCode == 200)
+      val keys = JsonCodec.decodeString(get(c, s"$base/datasets/alice:d1/records/").body)
+        .asInstanceOf[PoObj].fields.keys.toSeq
+      assert(keys == Seq("only"), "overwrite import replaces prior records")
+      // no filename and not a zip → 400
+      assert(c.send(HttpRequest.newBuilder(URI.create(s"$base/datasets/alice:d1/import"))
+        .PUT(HttpRequest.BodyPublishers.ofString("{}")).build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode == 400)
+    }
+  }
+
+  test("zip export route: records + deduplicated attachments stream down") {
+    withApi { (base, c) =>
+      c.send(HttpRequest.newBuilder(URI.create(s"$base/datasets/alice:d1/records/a"))
+        .header("Content-Type", "application/json")
+        .PUT(HttpRequest.BodyPublishers.ofString("""{"v": 1}""")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      c.send(HttpRequest.newBuilder(URI.create(s"$base/datasets/alice:d1/records/b"))
+        .header("Content-Type", "application/json")
+        .PUT(HttpRequest.BodyPublishers.ofString("\"plain\"")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      val res = c.send(HttpRequest.newBuilder(
+        URI.create(s"$base/datasets/alice:d1/export/archive.zip?format=json")).GET.build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(res.statusCode == 200)
+      assert(res.headers.firstValue("Content-Type").get == "application/zip")
+      assert(res.headers.firstValue("Content-Disposition").get.contains("export-d1-json.zip"))
+      val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(res.body))
+      val entries = Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
+        .map(e => e.getName -> new String(zin.readAllBytes(), "UTF-8")).toMap
+      assert(entries.contains("records/a.json") && entries("records/a.json") == """{"v":1}""")
+      assert(entries.contains("records/b.json"))
+    }
+  }
+
+  test("event-stream: SSE client receives a live commit mid-connection") {
+    withApi { (base, c) =>
+      import java.util.concurrent.{LinkedBlockingQueue, TimeUnit}
+      val lines = new LinkedBlockingQueue[String]()
+      val sub = c.sendAsync(HttpRequest.newBuilder(
+        URI.create(s"$base/datasets/alice:d1/event-stream")).GET.build(),
+        HttpResponse.BodyHandlers.fromLineSubscriber(
+          new java.util.concurrent.Flow.Subscriber[String] {
+            var s: java.util.concurrent.Flow.Subscription = _
+            def onSubscribe(sub: java.util.concurrent.Flow.Subscription): Unit = {
+              s = sub; s.request(Long.MaxValue)
+            }
+            def onNext(item: String): Unit = lines.put(item)
+            def onError(t: Throwable): Unit = ()
+            def onComplete(): Unit = ()
+          }))
+      // first frame: the current version, sent on connect
+      val first = lines.poll(10, TimeUnit.SECONDS)
+      assert(first != null && first.startsWith("data: ") &&
+        first.contains("\"version\":0"))
+      // a write that lands AFTER the connection is established must be
+      // pushed through the open stream
+      c.send(HttpRequest.newBuilder(URI.create(s"$base/datasets/alice:d1/records/live"))
+        .header("Content-Type", "application/json")
+        .PUT(HttpRequest.BodyPublishers.ofString("42")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      var pushed: String = null
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (pushed == null && System.nanoTime() < deadline) {
+        val l = lines.poll(1, TimeUnit.SECONDS)
+        if (l != null && l.contains("\"version\":1") &&
+          l.contains("/datasets/alice:d1")) pushed = l
+      }
+      assert(pushed != null, "live commit must arrive over the open SSE stream")
+      sub.cancel(true)
+    }
+  }
+
   test("errors: 404 unknown route/collection, 400 bad body") {
     withApi { (base, c) =>
       assert(get(c, s"$base/nope").statusCode == 404)
