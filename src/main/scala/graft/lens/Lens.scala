@@ -36,13 +36,25 @@ final case class BuildEmit(kind: String, path: String, inVersion: Long,
   */
 final class Lens(val store: Store, val author: String, val name: String,
                  val inputs: Seq[DataPath], val fn: MapFn,
-                 val timeoutMs: Long = MapRunner.NoTimeoutMs) {
+                 val timeoutMs: Long = MapRunner.NoTimeoutMs,
+                 val sandboxed: Boolean = false,
+                 val memCapBytes: Long = MapRunner.DefaultMemCapBytes) {
   require(inputs.nonEmpty, "a lens needs at least one input")
 
   /** per-map-call budget (the reference's 50 ms lensTimeout) — armed for
     * untrusted map code; cooperative (checked at emit/log). */
   def withTimeout(ms: Long): Lens =
-    new Lens(store, author, name, inputs, fn, ms)
+    new Lens(store, author, name, inputs, fn, ms, sandboxed, memCapBytes)
+
+  /** Preemptive isolate-style sandbox (the reference's lens worker caps:
+    * 50 ms + 256 MB, javascript-lens-worker.js:55,116): each map call
+    * runs on a watched worker thread; blowing the time or allocation
+    * budget abandons the call and records the error. Use for untrusted
+    * map code; [[withTimeout]] alone is the cheaper cooperative budget
+    * for trusted code. */
+  def withSandbox(ms: Long = MapRunner.DefaultTimeoutMs,
+                  memCap: Long = MapRunner.DefaultMemCapBytes): Lens =
+    new Lens(store, author, name, inputs, fn, ms, sandboxed = true, memCap)
 
   val path: DataPath = DataPath("lenses", author, name)
   def output: Collection = store.collection(path)
@@ -166,6 +178,8 @@ object LensBuild {
     //         lens.js:151-160)
     val fn = lens.fn
     val timeoutMs = lens.timeoutMs
+    val sandboxed = lens.sandboxed
+    val memCap = lens.memCapBytes
     val freshEmits: Dataset[BuildEmit] = freshIn
       .select("id", "value", "version", "ord", "source", "author", "cname")
       .as[(String, Array[Byte], Long, Int, String, String, String)]
@@ -173,7 +187,9 @@ object LensBuild {
         rows.flatMap { case (id, bytes, ver, ord, source, author, cname) =>
           val mp = MapPath(s"/$source/$author:$cname/records/$id",
             source, author, cname, id)
-          val res = MapRunner.run(fn, mp, Cbor.decode(bytes), timeoutMs)
+          val res =
+            if (sandboxed) MapRunner.runSandboxed(fn, mp, Cbor.decode(bytes), timeoutMs, memCap)
+            else MapRunner.run(fn, mp, Cbor.decode(bytes), timeoutMs)
           val nk = NaturalOrder.naturalKey(id)
           val outs = res.outputs.zipWithIndex.map { case ((oid, v), idx) =>
             BuildEmit("out", mp.string, ver, ord, nk, idx, oid, Cbor.encode(v),

@@ -43,6 +43,12 @@ trait MapFn extends Serializable {
 final class MapTimeoutException(ms: Long)
   extends RuntimeException(s"map call exceeded ${ms}ms lens timeout")
 
+/** Thrown (and captured as a per-input error) when a sandboxed map call
+  * allocates past its memory budget — the reference's 256 MB isolate
+  * cap (javascript-lens-worker.js:55 memoryLimit). */
+final class MapMemoryException(bytes: Long)
+  extends RuntimeException(s"map call exceeded ${bytes}-byte lens memory cap")
+
 /** Execution context for one map call: the input path + decoded value,
   * an `output(id, value)` emitter and console-style log capture
   * (reference: javascript-lens-worker.js:75-95).
@@ -61,8 +67,13 @@ final class MapContext(val path: MapPath, val data: PoValue,
     if (timeoutMs >= MapRunner.NoTimeoutMs) Long.MaxValue
     else System.nanoTime() + timeoutMs * 1000000L
 
-  private[lens] def checkDeadline(): Unit =
+  private[lens] def checkDeadline(): Unit = {
+    // an abandoned sandbox worker (preempted by MapRunner.runSandboxed)
+    // is interrupted; dying at the next emit/log keeps abandonment cheap
+    if (Thread.currentThread().isInterrupted)
+      throw new InterruptedException("map call preempted by sandbox")
     if (System.nanoTime() > deadline) throw new MapTimeoutException(timeoutMs)
+  }
 
   def output(id: String, value: PoValue): Unit = {
     checkDeadline()
@@ -87,6 +98,10 @@ object MapRunner {
   /** sentinel: at or above this, no deadline is armed */
   val NoTimeoutMs: Long = 9000000000L
 
+  /** reference lens memory cap (javascript-lens-worker.js:55): 256 MB
+    * of allocation per map call in sandboxed mode. */
+  val DefaultMemCapBytes: Long = 256L * 1024 * 1024
+
   /** Run one map call, capturing a thrown error (including timeout) as
     * data while keeping any outputs and logs emitted before the throw. */
   def run(fn: MapFn, path: MapPath, data: PoValue,
@@ -101,5 +116,77 @@ object MapRunner {
         ctx.result(Some(CapturedError(e.getClass.getSimpleName,
           String.valueOf(e.getMessage))))
     }
+  }
+
+  // --- preemptive sandbox ------------------------------------------------
+
+  private lazy val sandboxPool = java.util.concurrent.Executors.newCachedThreadPool(
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-map-sandbox")
+      t.setDaemon(true)
+      t
+    })
+
+  /** HotSpot's per-thread allocation counter — the JVM-native stand-in
+    * for an isolate's memory limit. Null where unsupported (then only
+    * the time budget is enforced preemptively). */
+  private lazy val threadMx: com.sun.management.ThreadMXBean =
+    java.lang.management.ManagementFactory.getThreadMXBean match {
+      case mx: com.sun.management.ThreadMXBean if mx.isThreadAllocatedMemorySupported =>
+        mx.setThreadAllocatedMemoryEnabled(true); mx
+      case _ => null
+    }
+
+  /** Run one map call PREEMPTIVELY sandboxed — the reference's isolate
+    * semantics (javascript-lens-worker.js:55,116,133): a dedicated
+    * worker thread executes the map while the caller polls its clock
+    * and its allocation counter; blowing either budget abandons the
+    * worker and reports the error. Unlike [[run]]'s cooperative budget,
+    * this stops compute-only runaway maps and allocation bombs — and,
+    * like an isolate kill, a preempted call loses its partial outputs
+    * (a normal throw still keeps them, same as [[run]]).
+    *
+    * The JVM cannot safely kill a thread, so a preempted worker is
+    * interrupted and ABANDONED: it dies at its next emit/log checkpoint
+    * or blocking call; a pure-compute loop that never checks leaks its
+    * (daemon) thread until it finishes — the documented residual vs a
+    * real isolate, bounded by one thread per preempted call. */
+  def runSandboxed(fn: MapFn, path: MapPath, data: PoValue,
+                   timeoutMs: Long = DefaultTimeoutMs,
+                   memCapBytes: Long = DefaultMemCapBytes): MapResult = {
+    val ctx = new MapContext(path, data, timeoutMs)
+    val workerId = new java.util.concurrent.CompletableFuture[Long]()
+    val done = new java.util.concurrent.CompletableFuture[MapResult]()
+    val task = sandboxPool.submit(new Runnable {
+      def run(): Unit = {
+        workerId.complete(Thread.currentThread().getId)
+        val res =
+          try { fn.map(ctx); ctx.checkDeadline(); ctx.result(None) }
+          catch {
+            case e: Throwable => ctx.result(Some(CapturedError(
+              e.getClass.getSimpleName, String.valueOf(e.getMessage))))
+          }
+        done.complete(res)
+      }
+    })
+    val wid = workerId.get()
+    val baseAlloc = if (threadMx != null) threadMx.getThreadAllocatedBytes(wid) else 0L
+    val deadlineNs = System.nanoTime() +
+      (if (timeoutMs >= NoTimeoutMs) Long.MaxValue / 2 else timeoutMs * 1000000L)
+    def preempt(err: CapturedError): MapResult = {
+      task.cancel(true) // interrupt; the worker dies at its next checkpoint
+      MapResult(Vector.empty, Vector.empty, Some(err)) // isolate kill: outputs lost
+    }
+    while (!done.isDone) {
+      if (System.nanoTime() > deadlineNs)
+        return preempt(CapturedError("MapTimeoutException",
+          new MapTimeoutException(timeoutMs).getMessage))
+      if (threadMx != null &&
+          threadMx.getThreadAllocatedBytes(wid) - baseAlloc > memCapBytes)
+        return preempt(CapturedError("MapMemoryException",
+          new MapMemoryException(memCapBytes).getMessage))
+      java.util.concurrent.locks.LockSupport.parkNanos(200000L) // 0.2 ms
+    }
+    done.get()
   }
 }

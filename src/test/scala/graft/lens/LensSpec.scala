@@ -221,6 +221,44 @@ class LensSpec extends AnyFunSuite {
     assert(lens2.output.list() == Seq("early", "late"))
   }
 
+  test("sandbox preempts compute-only runaways and allocation bombs (isolate caps)") {
+    val store = freshStore()
+    val d = store.dataset("a", "hostile").create()
+    d.write("spin", PoStr("spin"))
+    d.write("alloc", PoStr("alloc"))
+    d.write("ok", PoStr("ok"))
+    val hostileFn = new MapFn {
+      def map(ctx: MapContext): Unit = ctx.data match {
+        case PoStr("spin") =>
+          ctx.output("never", PoInt(1))
+          // no emit, no deadline check inside: the cooperative budget
+          // can't stop this — only preemption can. Bounded at 2 s (10×
+          // the budget) so the abandoned worker eventually exits.
+          val t0 = System.nanoTime()
+          while (System.nanoTime() - t0 < 2000000000L) ()
+        case PoStr("alloc") =>
+          // 128 MB of allocation (4× the cap) with no checkpoint, then
+          // a clean return: only the allocation watchdog can flag this
+          val hog = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+          for (_ <- 1 to 128) hog += new Array[Byte](1 << 20)
+          ctx.output("hogged", PoInt(hog.length.toLong))
+        case _ => ctx.output("fine", PoInt(1))
+      }
+    }
+    val lens = new Lens(store, "a", "hostile-lens",
+      Seq(DataPath("datasets", "a", "hostile")), hostileFn)
+      .withSandbox(ms = 200L, memCap = 32L * 1024 * 1024).create()
+    lens.build() // must terminate: preemption, not cooperation
+    // the well-behaved record built; both hostile calls were killed
+    assert(lens.output.list() == Seq("fine"))
+    val errs = lens.logs.filter(org.apache.spark.sql.functions.col("kind") === "err")
+      .collect().map(r => r.getAs[String]("path") -> r.getAs[String]("errType")).toMap
+    assert(errs("/datasets/a:hostile/records/spin") == "MapTimeoutException")
+    assert(errs("/datasets/a:hostile/records/alloc") == "MapMemoryException")
+    // isolate-kill semantics: the preempted call's partial outputs are lost
+    assert(!lens.output.list().contains("never"))
+  }
+
   test("lens output feeds another lens (views compose)") {
     val store = freshStore()
     tagDataset(store)
