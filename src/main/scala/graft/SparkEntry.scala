@@ -46,19 +46,27 @@ object SparkEntry {
     * they are embedded as literal DOUBLE[] arrays; signature bits,
     * multi-probe XOR fan-out (Hamming ≤ 2) and cosine ranking follow the
     * exact Scala op order, making the whole query deterministic. */
-  private lazy val lshOracle: String = {
+  /** The seed-1234 hyperplanes as a literal SQL VALUES list, plus the
+    * signature CTE both LSH oracles share: bucket = sum of bit weights
+    * where the plane·emb dot is >= 0 (bit order and op order match
+    * Ann.signatures exactly). */
+  private lazy val planesCte: String = {
     val planes = graft.ops.Ann.hyperplanes(64, 8)
     val planeRows = planes.zipWithIndex
       .map { case (p, b) => s"(${1 << b}, [${p.mkString(",")}]::DOUBLE[])" }
       .mkString(",\n")
-    val masks = (0 until 256).filter(m => Integer.bitCount(m) <= 2).mkString(",")
-    s"""WITH planes(w, plane) AS (VALUES
+    s"""planes(w, plane) AS (VALUES
        |$planeRows),
        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |sig AS (
        |  SELECT e.vec_id,
        |    CAST(sum(CASE WHEN list_dot_product(p.plane, e.emb) >= 0 THEN p.w ELSE 0 END) AS INT) AS bucket
-       |  FROM e CROSS JOIN planes p GROUP BY e.vec_id),
+       |  FROM e CROSS JOIN planes p GROUP BY e.vec_id)""".stripMargin
+  }
+
+  private lazy val lshOracle: String = {
+    val masks = (0 until 256).filter(m => Integer.bitCount(m) <= 2).mkString(",")
+    s"""WITH $planesCte,
        |probes AS (
        |  SELECT s.vec_id AS query_id, xor(s.bucket, m.m) AS bucket
        |  FROM sig s CROSS JOIN (SELECT unnest([$masks]) AS m) m
@@ -339,6 +347,25 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("neighbor_id"))
         .orderBy(col("query_id"), col("rank"))
     }),
+
+    // SimHash document fingerprints with the portable sha256-prefix
+    // token hash (60 bits), so DuckDB reproduces every fingerprint
+    // bit-for-bit — the hard-signal version of the SimHash operator.
+    "q23_simhash" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ops.Dedup.simhash(d,
+          tokenHash = graft.ops.Dedup.portableTokenHash, nBits = 60)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Embedding-cosine near-duplicate pairs: sign-bucket join candidates
+    // (never all-pairs) + exact cosine verify. Oracle replicates the
+    // literal hyperplanes, bucket equality and the cosine op order.
+    "q24_cosine_dup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.ops.Dedup.cosineNearDupPairs(e, threshold = 0.3, dim = 64)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -499,5 +526,31 @@ object SparkEntry {
         |FROM documents ORDER BY rank""".stripMargin,
     "q14_ann_lsh" -> lshOracle,
     "q18_ann_ivf" -> ivfOracle,
+    // q23: same tokenization as q11; token hash = first 15 hex chars of
+    // sha256 (= Dedup.portableTokenHash); per-bit sign votes over 60
+    // bits, ties (vote sum 0) leave the bit clear — identical op for op.
+    "q23_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''),
+        |      t -> ('0x' || substr(sha256(t), 1, 15))::BIGINT) AS th
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(coalesce(list_sum(list_transform(range(0, 60), b ->
+        |    CASE WHEN coalesce(list_sum(list_transform(th,
+        |           h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+        |         THEN (1::BIGINT << b) ELSE 0 END)), 0) AS BIGINT) AS simhash
+        |FROM toks ORDER BY doc_id""".stripMargin,
+    "q24_cosine_dup" ->
+      s"""WITH $planesCte,
+        |pairs AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    ${duckCosine("ea.emb", "eb.emb")} AS cos
+        |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |  JOIN e ea ON ea.vec_id = a.vec_id
+        |  JOIN e eb ON eb.vec_id = b.vec_id)
+        |SELECT a_id, b_id, cos FROM pairs WHERE cos >= 0.3
+        |ORDER BY a_id, b_id""".stripMargin,
   )
 }

@@ -145,15 +145,33 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("cos"))
   }
 
-  /** SimHash (64-bit) per document: sign-aggregated bit votes over
-    * token hashes; near-dups have small Hamming distance. Column-only
-    * implementation (bit ops in codegen). */
+  /** The default in-engine token hash: xxhash64, the cheapest codegen'd
+    * 64-bit hash Spark has. */
+  val xxTokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    t => xxhash64(t)
+
+  /** Portable 60-bit token hash — first 15 hex chars of sha256, a
+    * computation DuckDB spells identically
+    * (('0x' || substr(sha256(t),1,15))::BIGINT), so simhash values can
+    * be verified bit-for-bit across engines. ~10× the cost of xxhash64;
+    * use the default for production pipelines. */
+  val portableTokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    t => conv(substring(sha2(t, 256), 1, 15), 16, 10).cast("long")
+
+  /** SimHash per document: sign-aggregated bit votes over token hashes;
+    * near-dups have small Hamming distance. Column-only implementation
+    * (bit ops stay in codegen); `tokenHash`/`nBits` pick the hash
+    * (default xxhash64 × 64 bits; portableTokenHash × 60 for
+    * cross-engine verification). */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
-              textCol: String = "text"): DataFrame = {
+              textCol: String = "text",
+              tokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column = xxTokenHash,
+              nBits: Int = 64): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
-    val bitVotes = (0 until 64).map { b =>
-      val bit = aggregate(transform(toks, t =>
-        when(shiftright(xxhash64(t), b).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))),
+    val hashed = transform(toks, tokenHash)
+    val bitVotes = (0 until nBits).map { b =>
+      val bit = aggregate(transform(hashed, h =>
+        when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))),
         lit(0L), (acc, x) => acc + x)
       when(bit > 0, lit(1L << b)).otherwise(lit(0L))
     }
