@@ -159,22 +159,35 @@ object Dedup {
     t => conv(substring(sha2(t, 256), 1, 15), 16, 10).cast("long")
 
   /** SimHash per document: sign-aggregated bit votes over token hashes;
-    * near-dups have small Hamming distance. Column-only implementation
-    * (bit ops stay in codegen); `tokenHash`/`nBits` pick the hash
-    * (default xxhash64 × 64 bits; portableTokenHash × 60 for
-    * cross-engine verification). */
+    * near-dups have small Hamming distance. `tokenHash`/`nBits` pick the
+    * hash (default xxhash64 × 64 bits; portableTokenHash × 60 for
+    * cross-engine verification).
+    *
+    * Shape: explode → hash ONCE per token → nBits conditional sums with
+    * map-side partial aggregation → bit assembly. The hash sits in its
+    * own projection below the aggregate, so it is evaluated exactly once
+    * per token regardless of nBits (an array-aggregate formulation
+    * re-evaluates the hash per bit — 60× the work for a sha-based hash);
+    * shuffle volume is one 60-counter row per doc per mapper, and giant
+    * documents spread their tokens across partitions instead of hashing
+    * inside one row. */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text",
               tokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column = xxTokenHash,
               nBits: Int = 64): DataFrame = {
-    val toks = TextOps.tokens(col(textCol))
-    val hashed = transform(toks, tokenHash)
-    val bitVotes = (0 until nBits).map { b =>
-      val bit = aggregate(transform(hashed, h =>
-        when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))),
-        lit(0L), (acc, x) => acc + x)
-      when(bit > 0, lit(1L << b)).otherwise(lit(0L))
+    val tok = docs
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("t"))
+      .select(col(idCol), tokenHash(col("t")).as("h"))
+    val votes = (0 until nBits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, lit(1L))
+        .otherwise(lit(-1L))).as(s"v$b")
     }
-    docs.select(col(idCol), bitVotes.reduce(_.bitwiseOR(_)).as("simhash"))
+    val agg = tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val sim = (0 until nBits)
+      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    // left join keeps token-less docs (simhash 0, the empty vote)
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol), coalesce(sim, lit(0L)).as("simhash"))
   }
 }

@@ -103,7 +103,14 @@ object Export {
 
   /** Zip archive export (reference streamArchive :43-91):
     * `/records/<id>.<ext>` entries plus deduplicated
-    * `/attachments/<hex>` blobs. */
+    * `/attachments/<hex>` blobs.
+    *
+    * Scale note: zip is an inherently sequential container, so this
+    * streams every record through the single response thread — right
+    * for an HTTP download (memory-bounded via the entries iterator),
+    * wrong for bulk archival at 100 TB; that path is a distributed
+    * write of the flat-file framings (one part per partition), not a
+    * zip. */
   def zip(store: Store, path: DataPath, format: String, out: OutputStream,
           includeAttachments: Boolean = false): Unit = {
     val codec = graft.codec.Codec.byExtension(format)
