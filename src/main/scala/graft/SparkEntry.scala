@@ -366,6 +366,18 @@ object SparkEntry {
       graft.ops.Dedup.cosineNearDupPairs(e, threshold = 0.3, dim = 64)
         .orderBy(col("a_id"), col("b_id"))
     }),
+
+    // Language-ID confusion matrix: the stopword-hit heuristic guess
+    // against the table's labeled lang. Pure codegen'd column
+    // expressions; the oracle replicates hit counting and the
+    // argmax-with-lexicographic-tie-break exactly.
+    "q25_lang_id" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("lang"), graft.ops.TextOps.languageGuess(col("text")).as("guess"))
+        .groupBy(col("lang"), col("guess"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("guess"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -542,6 +554,33 @@ object SparkEntry {
         |           h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
         |         THEN (1::BIGINT << b) ELSE 0 END)), 0) AS BIGINT) AS simhash
         |FROM toks ORDER BY doc_id""".stripMargin,
+    // q25: langScore = total stopword occurrences per language (each
+    // token matches at most one stopword, so a single IN-filter count
+    // equals the per-word sum); languageGuess's array_max over
+    // struct(score, lang) ties to the lexicographically LARGEST lang,
+    // reproduced by probing langs in descending order.
+    "q25_lang_id" ->
+      """WITH toks AS (
+        |  SELECT lang,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |sc AS (
+        |  SELECT lang,
+        |    len(list_filter(tk, t -> t IN ('der','die','das','und','ist','ein','eine','zu','mit','nicht'))) AS s_de,
+        |    len(list_filter(tk, t -> t IN ('the','a','of','and','to','in','is','that','it','for'))) AS s_en,
+        |    len(list_filter(tk, t -> t IN ('el','la','de','y','es','un','una','que','en','los'))) AS s_es,
+        |    len(list_filter(tk, t -> t IN ('le','la','de','et','est','un','une','que','les','pour'))) AS s_fr
+        |  FROM toks),
+        |g AS (
+        |  SELECT lang,
+        |    CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+        |         WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
+        |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+        |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+        |         ELSE 'de' END AS guess
+        |  FROM sc)
+        |SELECT lang, guess, count(*) AS n_docs
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q24_cosine_dup" ->
       s"""WITH $planesCte,
         |pairs AS (
