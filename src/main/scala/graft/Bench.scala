@@ -29,8 +29,14 @@ object Bench {
       }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replaceAll("[\\n\\r\\t]", " ").take(200) + "\""
+    // truncate BEFORE escaping (truncating after can cut an escape
+    // sequence in half → invalid JSON), then escape every control char
+    def jstr(s: String) = "\"" + s.take(200).flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val ok = results.filter(_._3.isEmpty)
     val qs = ok.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

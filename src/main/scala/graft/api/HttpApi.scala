@@ -185,6 +185,10 @@ final class HttpApi(store: Store, port: Int = 0) {
         val qp = queryParams(ex)
         val format = qp.getOrElse("format", "json")
         val withAttachments = qp.get("attachments").exists(v => v == "true" || v == "1")
+        // validate BEFORE committing the 200: once headers are sent a
+        // thrown error can't become a 400 anymore
+        if (Codec.byExtension(format).isEmpty)
+          return respond(ex, 400, s"no codec for .$format")
         ex.getResponseHeaders.set("Content-Type", "application/zip")
         ex.getResponseHeaders.set("Content-Disposition",
           s"""attachment; filename="export-${name.replaceAll("[^a-zA-Z0-9-_]+", "_")}-$format.zip"""")
@@ -208,8 +212,11 @@ final class HttpApi(store: Store, port: Int = 0) {
         def frame(json: String): Unit = {
           out.write(s"data: $json\n\n".getBytes(UTF_8)); out.flush()
         }
-        val version = if (source == "meta") 0L else store.collection(p).meta.version
+        // cursor FIRST, version second: a commit racing between the two
+        // reads is then delivered twice (at-least-once) instead of
+        // falling into the gap and never reaching the client
         var (ts, seq) = commitLog.latestCursor
+        val version = if (source == "meta") 0L else store.collection(p).meta.version
         frame(s"""{"path":"${p.collectionPath}","source":"$source","author":"$author","name":"$name","version":$version}""")
         try {
           var lastWrite = System.currentTimeMillis()

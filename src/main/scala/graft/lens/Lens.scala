@@ -270,7 +270,7 @@ object LensBuild {
 
   private def deleteDir(p: Path): Unit = {
     if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.toSeq.foreach(deleteDir)
+      graft.core.Fs.list(p).iterator.toSeq.foreach(deleteDir)
     Files.deleteIfExists(p)
   }
 }

@@ -69,8 +69,12 @@ final class MapContext(val path: MapPath, val data: PoValue,
 
   private[lens] def checkDeadline(): Unit = {
     // an abandoned sandbox worker (preempted by MapRunner.runSandboxed)
-    // is interrupted; dying at the next emit/log keeps abandonment cheap
-    if (Thread.currentThread().isInterrupted)
+    // is interrupted; dying at the next emit/log keeps abandonment
+    // cheap. Checked ONLY on sandbox threads — the cooperative path
+    // runs on the Spark task thread, where a task interrupt
+    // (kill/cancel/speculation) must cancel the TASK, not be swallowed
+    // as a per-record data error for every remaining record.
+    if (MapRunner.onSandboxThread.get() && Thread.currentThread().isInterrupted)
       throw new InterruptedException("map call preempted by sandbox")
     if (System.nanoTime() > deadline) throw new MapTimeoutException(timeoutMs)
   }
@@ -127,6 +131,11 @@ object MapRunner {
       t
     })
 
+  /** True on sandbox worker threads — scopes the interrupt checkpoint
+    * in MapContext.checkDeadline to preempted sandbox calls. */
+  private[lens] val onSandboxThread: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
+
   /** HotSpot's per-thread allocation counter — the JVM-native stand-in
     * for an isolate's memory limit. Null where unsupported (then only
     * the time budget is enforced preemptively). */
@@ -159,6 +168,7 @@ object MapRunner {
     val done = new java.util.concurrent.CompletableFuture[MapResult]()
     val task = sandboxPool.submit(new Runnable {
       def run(): Unit = {
+        onSandboxThread.set(java.lang.Boolean.TRUE)
         workerId.complete(Thread.currentThread().getId)
         val res =
           try { fn.map(ctx); ctx.checkDeadline(); ctx.result(None) }

@@ -98,18 +98,25 @@ object Multimodal {
       * (ImageReader indexes them natively); single-frame formats yield
       * one frame. Frames re-encode as PNG (lossless, always writable). */
     def frames(bytes: Array[Byte], mime: String, everyNth: Int): Iterator[Array[Byte]] = {
+      // materialized eagerly so the reader and its (possibly
+      // file-backed) input stream are closed before returning — a lazy
+      // iterator would leak one temp file + fd per row until GC
       val in = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      val readers = javax.imageio.ImageIO.getImageReaders(in)
-      require(readers.hasNext, "undecodable image bytes")
-      val reader = readers.next()
-      reader.setInput(in)
-      val n = reader.getNumImages(true)
-      (0 until n by math.max(1, everyNth)).iterator.map { i =>
-        val buf = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(reader.read(i), "png", buf)
-        buf.toByteArray
-      }
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        require(readers.hasNext, "undecodable image bytes")
+        val reader = readers.next()
+        try {
+          reader.setInput(in)
+          val n = reader.getNumImages(true)
+          (0 until n by math.max(1, everyNth)).map { i =>
+            val buf = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(reader.read(i), "png", buf)
+            buf.toByteArray
+          }.iterator
+        } finally reader.dispose()
+      } finally in.close()
     }
 
     def resize(bytes: Array[Byte], mime: String, w: Int, h: Int): Array[Byte] = {

@@ -68,8 +68,8 @@ final class AttachmentStore(store: Store) {
 
   def list(): Seq[String] =
     if (!Files.isDirectory(root)) Seq.empty
-    else Files.list(root).iterator().asScala.filter(Files.isDirectory(_))
-      .flatMap(d => Files.list(d).iterator().asScala)
+    else graft.core.Fs.list(root).iterator.filter(Files.isDirectory(_))
+      .flatMap(d => graft.core.Fs.list(d).iterator)
       .map(_.getFileName.toString).filter(_.length == 64).toSeq.sorted
 
   /** Blob inventory as a DataFrame: the driver only enumerates the 256
@@ -83,13 +83,13 @@ final class AttachmentStore(store: Store) {
     val rootStr = root.toString
     if (!Files.isDirectory(root)) spark.emptyDataset[String].toDF("h")
     else {
-      val prefixes = Files.list(root).iterator().asScala
+      val prefixes = graft.core.Fs.list(root).iterator
         .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted
       spark.createDataset(prefixes)
         .repartition(math.max(1, math.min(prefixes.size, 64)))
         .flatMap { pre =>
           val d = Paths.get(rootStr, pre)
-          Files.list(d).iterator().asScala.map(_.getFileName.toString)
+          graft.core.Fs.list(d).iterator.map(_.getFileName.toString)
             .filter(h => h.length == 64 && h.forall(c => "0123456789abcdef".contains(c)))
             .toSeq
         }.toDF("h")

@@ -22,9 +22,15 @@ object Import {
   def files(coll: Collection, uploads: Seq[(String, Array[Byte])],
             mode: WriteMode = WriteMode.Merge): Long = {
     val entries = uploads.map { case (filename, bytes) =>
-      val (base, ext) = split(filename)
+      // basename only: zip entries can carry directory prefixes, and a
+      // path-ish record id would be unaddressable by the record routes
+      // (and a traversal hazard in file-shaped surfaces). The id must
+      // pass the same hygiene DataPath enforces for addressed records.
+      val flat = filename.substring(filename.lastIndexOf('/') + 1)
+      val (base, ext) = split(flat)
       val codec = Codec.byExtension(ext).getOrElse(
         throw new IllegalArgumentException(s"no codec for .$ext ($filename)"))
+      DataPath.checkRecordID(base)
       WriteEntry(base, Some(codec.decode(bytes)))
     }
     coll.writeEntries(entries, mode)

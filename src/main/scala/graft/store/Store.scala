@@ -97,7 +97,7 @@ final class Store(val spark: SparkSession, val root: String,
     }
   private def listDir(p: Path): Seq[String] =
     if (!Files.isDirectory(p)) Seq.empty
-    else Files.list(p).iterator().asScala.filter(Files.isDirectory(_))
+    else graft.core.Fs.list(p).iterator.filter(Files.isDirectory(_))
       .map(_.getFileName.toString).toSeq.sorted(NaturalOrder)
 
   private[store] def withLock[A](path: DataPath)(f: => A): A =
@@ -154,7 +154,7 @@ final class Collection(val store: Store, val path: DataPath) {
   private def hasParquet(d: Path): Boolean = {
     def walk(p: Path): Boolean =
       if (Files.isDirectory(p))
-        Files.list(p).iterator().asScala.exists(walk)
+        graft.core.Fs.list(p).iterator.exists(walk)
       else p.getFileName.toString.endsWith(".parquet")
     Files.isDirectory(d) && walk(d)
   }
@@ -202,7 +202,7 @@ final class Collection(val store: Store, val path: DataPath) {
   def drop(): Unit = store.withLock(path) {
     def rm(p: Path): Unit = {
       if (Files.isDirectory(p))
-        Files.list(p).iterator().asScala.toSeq.foreach(rm)
+        graft.core.Fs.list(p).iterator.toSeq.foreach(rm)
       Files.deleteIfExists(p)
     }
     rm(dir)
@@ -369,7 +369,7 @@ final class Collection(val store: Store, val path: DataPath) {
     listSnapshots.filter(_ < newVersion - 1).foreach { v =>
       def rm(p: Path): Unit = {
         if (Files.isDirectory(p))
-          Files.list(p).iterator().asScala.toSeq.foreach(rm)
+          graft.core.Fs.list(p).iterator.toSeq.foreach(rm)
         Files.deleteIfExists(p)
       }
       rm(snapshotDir(v))
@@ -383,7 +383,7 @@ final class Collection(val store: Store, val path: DataPath) {
     * would use server-side copy. */
   private def carryBuckets(from: Path, to: Path, skip: Set[Long]): Unit = {
     if (!Files.isDirectory(from)) return
-    Files.list(from).iterator().asScala.toSeq.foreach { p =>
+    graft.core.Fs.list(from).iterator.toSeq.foreach { p =>
       val n = p.getFileName.toString
       if (n.startsWith("bucket=")) {
         val k = n.stripPrefix("bucket=").toLong
@@ -394,7 +394,7 @@ final class Collection(val store: Store, val path: DataPath) {
 
   private def linkOrCopyDir(src: Path, dst: Path): Unit = {
     Files.createDirectories(dst)
-    Files.list(src).iterator().asScala.toSeq.foreach { f =>
+    graft.core.Fs.list(src).iterator.toSeq.foreach { f =>
       val t = dst.resolve(f.getFileName.toString)
       if (Files.isDirectory(f)) linkOrCopyDir(f, t)
       else if (!Files.exists(t)) {
@@ -418,7 +418,7 @@ final class Collection(val store: Store, val path: DataPath) {
 
   private def listSnapshots: Seq[Long] =
     if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
+    else graft.core.Fs.list(dir).iterator
       .map(_.getFileName.toString)
       .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
       .map(_.drop(1).toLong).toSeq

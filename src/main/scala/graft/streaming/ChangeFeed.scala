@@ -77,7 +77,7 @@ final class CommitLog(store: Store) {
     * long-lived consumer (the SSE route) can resume-poll exactly. */
   def eventsSinceCursor(afterTs: Long, afterSeq: Long): Seq[((Long, Long), String)] =
     if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
+    else graft.core.Fs.list(dir).iterator
       .filter(p => p.getFileName.toString.startsWith("commit-"))
       .toSeq.sortBy(_.getFileName.toString)
       .flatMap { p =>
@@ -95,7 +95,7 @@ final class CommitLog(store: Store) {
   def latestCursor: (Long, Long) =
     if (!Files.isDirectory(dir)) (0L, -1L)
     else {
-      val names = Files.list(dir).iterator().asScala
+      val names = graft.core.Fs.list(dir).iterator
         .map(_.getFileName.toString).filter(_.startsWith("commit-")).toSeq
       if (names.isEmpty) (0L, -1L)
       else {

@@ -66,8 +66,14 @@ object EventAnalytics {
             val times = rows.map(_._2.getTime).toVector.sorted
             val (closedOut, merged) = state.getOption match {
               case Some(s) if times.head - s.lastTs <= gapMs =>
+                // min/max, not head/last: a late (within-watermark) event
+                // must not REGRESS lastTs — that would shrink the timeout
+                // horizon, split sessions early, and allow negative
+                // durations when the whole batch predates the state
                 (Iterator.empty[SessionUpdate],
-                  SessionState(s.count + times.length, s.firstTs, times.last))
+                  SessionState(s.count + times.length,
+                    math.min(s.firstTs, times.head),
+                    math.max(s.lastTs, times.last)))
               case Some(s) => // gap exceeded inside the data: close old
                 (Iterator.single(SessionUpdate(user, s.count,
                     s.lastTs - s.firstTs, closed = true)),

@@ -133,6 +133,9 @@ class HttpApiSpec extends AnyFunSuite {
         }
         add("doc1.json", """{"n": 1}""")
         add("doc2.yaml", "n: 2\n")
+        // directory-prefixed entry: id must flatten to the basename
+        // (a path-ish id would be unaddressable by the record routes)
+        add("nested/dir/doc3.json", """{"n": 3}""")
         z.finish(); buf.toByteArray
       }
       val up = c.send(HttpRequest.newBuilder(URI.create(s"$base/datasets/alice:d1/import"))
@@ -144,6 +147,8 @@ class HttpApiSpec extends AnyFunSuite {
         PoObj("n" -> PoInt(1)))
       assert(JsonCodec.decodeString(get(c, s"$base/datasets/alice:d1/records/doc2").body) ==
         PoObj("n" -> PoInt(2)))
+      assert(JsonCodec.decodeString(get(c, s"$base/datasets/alice:d1/records/doc3").body) ==
+        PoObj("n" -> PoInt(3)))
 
       // entries-file mode: {id: value} map, ?overwrite=true replaces
       val up2 = c.send(HttpRequest.newBuilder(

@@ -112,6 +112,35 @@ class EventAnalyticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a late within-watermark event must not regress the session's lastTs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val q = EventAnalytics.sessionize(in.toDS(), gapMs = 5 * 60 * 1000,
+      lateness = "30 minutes")
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode("update").start()
+    try {
+      in.addData((3L, ts(10)))
+      q.processAllAvailable()
+      // a LATE event (ts 8 < stored lastTs 10) arrives within the
+      // watermark: it merges, and lastTs must stay 10, so an event at
+      // ts 14 (gap 4 min from 10, 6 min from 8) still merges — the old
+      // head/last code would have split here and closed a session
+      in.addData((3L, ts(8)))
+      q.processAllAvailable()
+      in.addData((3L, ts(14)))
+      q.processAllAvailable()
+      val user3 = spark.table("late_sessions").collect()
+        .filter(_.getAs[Long]("user_id") == 3L)
+      assert(!user3.exists(_.getAs[Boolean]("closed")),
+        "no premature close: lastTs must not regress on late data")
+      assert(user3.exists(r => r.getAs[Long]("n_events") == 3L &&
+        r.getAs[Long]("duration_ms") == 6L * 60 * 1000),
+        "session spans min(firstTs)..max(lastTs) = ts8..ts14")
+    } finally q.stop()
+  }
+
   test("sessionize closes idle sessions on event-time timeout and evicts state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
