@@ -378,6 +378,75 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("lang"), col("guess"))
     }),
+
+    // Rolling-hash document fingerprint (TextOps.docFingerprint) checked
+    // by CONTRACT, not by value (xxhash64 has no DuckDB twin): per doc,
+    // (a) the fingerprint must be invariant to punctuation/whitespace
+    // mangling and (b) sensitive to token order. The oracle states the
+    // same two predicates on the normalized token STRING — the engine
+    // agrees iff fp(x)=fp(y) <=> norm(x)=norm(y) on this data, i.e. the
+    // fingerprint is exactly the normalized-stream equivalence.
+    "q26_fingerprint" -> ((s, dir) => {
+      import graft.ops.TextOps
+      val d = t(s, dir, "documents")
+      val mangled = regexp_replace(col("text"), "[,\\.;:]", "  --  ")
+      val reversedStream = concat_ws(" ", reverse(TextOps.tokens(col("text"))))
+      d.select(col("doc_id"),
+          (TextOps.docFingerprint(col("text")) === TextOps.docFingerprint(mangled))
+            .cast("int").as("punct_invariant"),
+          (TextOps.docFingerprint(col("text")) === TextOps.docFingerprint(reversedStream))
+            .cast("int").as("order_invariant"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Skew-mitigated aggregation: the salted two-stage aggregate must be
+    // value-identical to a plain GROUP BY (decimal measures are exact, so
+    // salt-split partials recombine losslessly) — the oracle IS the plain
+    // GROUP BY. l_returnflag has 3 hot keys over all of lineitem: the
+    // canonical funnel-through-3-reducers shape salting exists for.
+    "q27_skew_salted" -> ((s, dir) => {
+      import graft.ops.Skew
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), dec(col("l_quantity"), 18, 2).as("qty"))
+      Skew.saltedAggregate(li, Seq("l_returnflag"), salts = 8,
+          Seq(Skew.Measure("qty", "sum", "sum_qty"),
+              Skew.Measure("qty", "count", "n_rows"),
+              Skew.Measure("qty", "max", "max_qty")))
+        .select(col("l_returnflag"),
+          col("sum_qty").cast("double").as("sum_qty"),
+          col("n_rows"),
+          col("max_qty").cast("double").as("max_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Sliding event-time windows IN BATCH — the exact `window()` operator
+    // the streaming path (EventAnalytics.windowedStats) runs, so the
+    // streaming aggregation semantics get a relational hard signal. Each
+    // event lands in size/slide = 2 windows; the oracle replicates that
+    // as a two-bucket UNION ALL. Window starts emitted as epoch seconds
+    // (whole multiples of 1800 — exact in both engines).
+    "q28_sliding_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+             dsum(dec(col("value"), 18, 4)).as("sum_value"))
+        .select(col("w.start").cast("long").as("window_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // BPE-ish pre-tokenizer counts (token-budget estimation): the same
+    // lookahead-free GPT-2-style pattern runs under java.util.regex here
+    // and RE2 in the oracle; identical leftmost-first alternation makes
+    // the counts match exactly.
+    "q29_bpe_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(graft.ops.TextOps.bpeTokenCount(col("text"))).cast("long")
+               .as("sum_bpe_tokens"))
+        .orderBy(col("lang"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -581,6 +650,44 @@ object SparkEntry {
         |  FROM sc)
         |SELECT lang, guess, count(*) AS n_docs
         |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q26: the engine compares xxhash64 fingerprints; the oracle compares
+    // the normalized token strings themselves. Equal iff the fingerprint
+    // implements exactly normalized-stream equivalence (collision odds at
+    // 64 bits over 500 docs ~1e-15, and deterministic per dataset).
+    "q26_fingerprint" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' ') AS norm,
+        |    array_to_string(list_filter(string_split_regex(lower(regexp_replace(text, '[,\.;:]', '  --  ', 'g')), '[^a-z0-9]+'), x -> x <> ''), ' ') AS norm_m,
+        |    array_to_string(list_reverse(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')), ' ') AS norm_r
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(norm = norm_m AS INT) AS punct_invariant,
+        |  CAST(norm = norm_r AS INT) AS order_invariant
+        |FROM n ORDER BY doc_id""".stripMargin,
+    // q27: the oracle is the UNSALTED aggregation — the salted two-stage
+    // plan must reproduce it exactly.
+    "q27_skew_salted" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_rows,
+        |  CAST(max(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q28: size/slide = 2 windows per event → two-bucket UNION ALL.
+    // epoch_ns keeps the bucketing integral end to end.
+    "q28_sliding_window" ->
+      """WITH x AS (
+        |  SELECT CAST(epoch_ns(ts) // 1800000000000 AS BIGINT) * 1800 AS ws, event_type, value FROM events
+        |  UNION ALL
+        |  SELECT CAST(epoch_ns(ts) // 1800000000000 AS BIGINT) * 1800 - 1800, event_type, value FROM events)
+        |SELECT ws AS window_start, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q29: same pattern as TextOps.bpePattern, with SQL-doubled quotes.
+    "q29_bpe_tokens" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(regexp_extract_all(lower(text), '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+|\s+'))) AS BIGINT) AS sum_bpe_tokens
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q24_cosine_dup" ->
       s"""WITH $planesCte,
         |pairs AS (

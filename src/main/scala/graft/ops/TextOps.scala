@@ -88,6 +88,20 @@ object TextOps {
         / greatest(nTok, lit(1)).cast("double")).as("mean_word_len"))
   }
 
+  /** GPT-2-style BPE pre-tokenizer pattern (lookahead-free so the same
+    * pattern runs under java.util.regex AND DuckDB's RE2): contraction
+    * suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+    * whitespace runs. Alternation order matters and is identical on both
+    * engines (leftmost-first). Applied to lowercased text. */
+  val bpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+|\\s+"
+
+  /** Token count under the BPE-ish pre-tokenizer — the cheap proxy for
+    * "how many BPE tokens will this document cost" used when budgeting
+    * training corpora. Codegen'd regexp, no UDF. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(bpePattern), lit(0)))
+
   /** Order-sensitive 64-bit document fingerprint over the normalized
     * token stream — cheap content addressing that ignores whitespace and
     * punctuation differences. (xxhash64 rather than a hand-rolled rolling

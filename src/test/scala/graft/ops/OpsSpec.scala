@@ -107,4 +107,36 @@ class OpsSpec extends AnyFunSuite {
       TextOps.docFingerprint(col("text")).as("fp")).as[(Long, Long)].collect()
     assert(fp.toMap == fp2.toMap)
   }
+
+  test("docFingerprint: punctuation-invariant, order-sensitive (q26 contract)") {
+    import spark.implicits._
+    val rows = Seq(
+      ("Hello, world! It's   fine.", "hello world it s fine", true),
+      ("hello;world:it,s.fine", "hello world it s fine", true),
+      ("fine s it world hello", "hello world it s fine", false))
+      .toDF("a", "b", "expectEq")
+    val got = rows.select(
+        (TextOps.docFingerprint(col("a")) === TextOps.docFingerprint(col("b"))).as("eq"),
+        col("expectEq"))
+      .as[(Boolean, Boolean)].collect()
+    got.foreach { case (eq, expect) => assert(eq == expect) }
+  }
+
+  test("bpeTokenCount: GPT-2-style pre-tokenizer counts (q29 operator)") {
+    import spark.implicits._
+    // "don't stop" → [don]['t][ stop] = 3; contraction branch wins over
+    // the punctuation run. Counts pinned by hand, not by re-running the
+    // same regex engine.
+    val cases = Seq(
+      ("don't stop", 3),              // don | 't | " stop"
+      ("Hello, world!", 4),           // hello | "," | " world" | "!"
+      ("a1b2", 4),                    // a | 1 | b | 2
+      ("  x", 2),                     // "  " (greedy ws run) | x
+      ("it's", 2),                    // it | 's
+      ("", 0))
+      .toDF("text", "expected")
+    val got = cases.select(TextOps.bpeTokenCount(col("text")).as("n"), col("expected"))
+      .as[(Int, Int)].collect()
+    got.foreach { case (n, e) => assert(n == e) }
+  }
 }
