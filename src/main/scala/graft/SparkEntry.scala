@@ -373,7 +373,11 @@ object SparkEntry {
     // argmax-with-lexicographic-tie-break exactly.
     "q25_lang_id" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      d.select(col("lang"), graft.ops.TextOps.languageGuess(col("text")).as("guess"))
+      // two-step: materialize the one-pass score struct behind an alias,
+      // then argmax over its FIELDS — the fold runs once per row, not
+      // once per field reference (TextOps.langScores scaladoc).
+      d.select(col("lang"), graft.ops.TextOps.langScores(col("text")).as("sc"))
+        .select(col("lang"), graft.ops.TextOps.guessFromScores(col("sc")).as("guess"))
         .groupBy(col("lang"), col("guess"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("lang"), col("guess"))

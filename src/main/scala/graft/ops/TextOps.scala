@@ -57,18 +57,36 @@ object TextOps {
     "es" -> Seq("el", "la", "de", "y", "es", "un", "una", "que", "en", "los"),
     "fr" -> Seq("le", "la", "de", "et", "est", "un", "une", "que", "les", "pour"))
 
-  def langScore(text: Column, lang: String): Column = {
-    val toks = tokens(text)
-    val hits = stopwords(lang).map(w =>
-      size(filter(toks, t => t === lit(w))))
-    hits.reduce(_ + _)
+  /** All four stopword scores in ONE tokenization and ONE array
+    * traversal, as a struct keyed by language code. The naive
+    * per-language `size(filter(tokens, ...))` shape tokenizes the text
+    * once per (language × stopword) — Catalyst does not CSE the repeated
+    * `tokens(text)` subtrees across those expressions (the q23 lesson),
+    * which made q25 a 40-regex-splits-per-row plan. */
+  def langScores(text: Column): Column = {
+    val langs = stopwords.keys.toSeq.sorted
+    aggregate(tokens(text),
+      struct(langs.map(l => lit(0).as(l)): _*),
+      (acc, t) => struct(langs.map { l =>
+        (acc.getField(l) + when(t.isin(stopwords(l): _*), 1).otherwise(0)).as(l)
+      }: _*))
   }
 
-  def languageGuess(text: Column): Column = {
-    val scored = stopwords.keys.toSeq.sorted.map(l => struct(langScore(text, l).as("s"), lit(l).as("l")))
+  def langScore(text: Column, lang: String): Column =
+    langScores(text).getField(lang)
+
+  /** Argmax over a `langScores` struct; ties break to the
+    * lexicographically largest language (array_max over (score, lang)
+    * structs), zero hits → "und". Pass an ALIASED scores column from a
+    * prior projection (not a fresh `langScores(text)`) so the fold runs
+    * once, not once per field reference. */
+  def guessFromScores(sc: Column): Column = {
+    val scored = stopwords.keys.toSeq.sorted.map(l => struct(sc.getField(l).as("s"), lit(l).as("l")))
     val best = array_max(array(scored: _*))
     when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
   }
+
+  def languageGuess(text: Column): Column = guessFromScores(langScores(text))
 
   /** Quality-score features: length, token stats, punctuation and digit
     * ratios, mean word length — the standard cheap filters before
