@@ -451,6 +451,25 @@ object SparkEntry {
                .as("sum_bpe_tokens"))
         .orderBy(col("lang"))
     }),
+
+    // As-of join (AsOf.asofJoin): each purchase attributed to the user's
+    // latest click at-or-before it. One shuffle on user_id + one ordered
+    // window pass — never a range join. Timestamps compared as integral
+    // micros on both engines so nanos-vs-micros truncation cannot flip
+    // an ordering at the boundary.
+    "q30_asof_attribution" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("us", unix_micros(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("us"), col("event_id").as("click_id"))
+      graft.ops.AsOf.asofJoin(purchases, clicks, Seq("user_id"),
+          leftTs = "us", rightTs = "us",
+          rightPayload = Seq("click_id"), tieCol = "click_id")
+        .select(col("event_id"), col("user_id"),
+          col("us").as("purchase_us"), col("asof_click_id"))
+        .orderBy(col("event_id"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -692,6 +711,24 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(len(regexp_extract_all(lower(text), '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+|\s+'))) AS BIGINT) AS sum_bpe_tokens
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q30: the same tagged-union + carry-forward window formulation, so
+    // ordering (us, tag, id) and the <= / max-tie conventions line up
+    // with AsOf.asofJoin exactly.
+    "q30_asof_attribution" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us, event_type FROM events),
+        |u AS (
+        |  SELECT user_id, us, event_id,
+        |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS tag
+        |  FROM ev WHERE event_type IN ('click', 'purchase')),
+        |w AS (
+        |  SELECT user_id, us, event_id, tag,
+        |    last_value(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us, tag, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id
+        |  FROM u)
+        |SELECT event_id, user_id, us AS purchase_us, click_id AS asof_click_id
+        |FROM w WHERE tag = 1 ORDER BY event_id""".stripMargin,
     "q24_cosine_dup" ->
       s"""WITH $planesCte,
         |pairs AS (

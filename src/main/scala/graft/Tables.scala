@@ -24,7 +24,11 @@ object Tables {
       // resolution). DuckDB reads the same file at nanos and truncates
       // identically at micro granularity.
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // `ts div 1000`, NOT `ts / 1000`: Spark's `/` is double division,
+      // and epoch nanos (~1.7e18) exceed a double's 2^53 integer range —
+      // the rounded quotient is off by ±1 µs (caught by q30's raw-micros
+      // oracle; day/window bucketing had absorbed it).
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$sfDir/$name.parquet")
     df
   }
