@@ -470,6 +470,23 @@ object SparkEntry {
           col("us").as("purchase_us"), col("asof_click_id"))
         .orderBy(col("event_id"))
     }),
+
+    // Banded range join (RangeJoin.followingPairs): events following a
+    // signup within 1h by the same user. Two-bucket bin probe + exact
+    // range filter — never the per-key cartesian Spark would plan for a
+    // raw theta join.
+    "q31_range_follow" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("us", unix_micros(col("ts")))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val others = ev.select(col("user_id"), col("us"), col("event_id").as("eid"))
+      graft.ops.RangeJoin.followingPairs(signups, others, Seq("user_id"),
+          leftTs = "us", rightTs = "us", windowUs = 3600000000L,
+          payload = Seq("eid"))
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_follow"))
+        .orderBy(col("event_id"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -729,6 +746,16 @@ object SparkEntry {
         |  FROM u)
         |SELECT event_id, user_id, us AS purchase_us, click_id AS asof_click_id
         |FROM w WHERE tag = 1 ORDER BY event_id""".stripMargin,
+    // q31: plain inequality join — DuckDB's optimizer handles the small
+    // SF; the Spark side's binning exists for the 100 TB case.
+    "q31_range_follow" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us, event_type FROM events)
+        |SELECT s.event_id, count(*) AS n_follow
+        |FROM ev s JOIN ev r
+        |  ON r.user_id = s.user_id AND r.us > s.us AND r.us <= s.us + 3600000000
+        |WHERE s.event_type = 'signup'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q24_cosine_dup" ->
       s"""WITH $planesCte,
         |pairs AS (
