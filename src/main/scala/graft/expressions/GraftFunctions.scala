@@ -58,6 +58,14 @@ object GraftFunctions {
       FunctionIdentifier("content_hash"),
       new ExpressionInfo(classOf[ContentHashExpr].getName, "content_hash"),
       (exprs: Seq[Expression]) => ContentHashExpr(exprs.head))
+    reg.registerFunction(
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "dot_product"),
+      (exprs: Seq[Expression]) => DotProductExpr(exprs(0), exprs(1)))
+    reg.registerFunction(
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSimExpr(exprs(0), exprs(1)))
   }
 
 }

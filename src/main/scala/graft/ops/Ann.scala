@@ -16,12 +16,21 @@ import org.apache.spark.sql.expressions.Window
   */
 object Ann {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+  import org.apache.spark.sql.GraftSqlShim.{column => toCol, expression => toExpr}
+  import graft.expressions.{CosineSimExpr, DotProductExpr}
+
+  /** Native codegen'd single-pass dot product (VectorExpressions) —
+    * identical left-to-right DOUBLE semantics to the composable
+    * `aggregate(zip_with(...))` spelling, ~an order of magnitude less
+    * per-row overhead and no per-row allocation. */
+  def dot(a: Column, b: Column): Column = toCol(DotProductExpr(toExpr(a), toExpr(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** One-pass cosine (dot + both norms in a single traversal), same IEEE
+    * result as dot/(norm*norm) because each accumulator sums
+    * independently left-to-right. */
+  def cosine(a: Column, b: Column): Column = toCol(CosineSimExpr(toExpr(a), toExpr(b)))
 
   /** Exact top-k by inner product: (query_id, rank, neighbor_id).
     * `queries` must be small enough to broadcast (it is hinted). */

@@ -52,4 +52,29 @@ class GraftFunctionsSpec extends AnyFunSuite {
     val r = spark.sql("SELECT natural_key('doc10') AS k").collect()(0).getString(0)
     assert(r == NaturalOrder.naturalKey("doc10"))
   }
+
+  test("dot_product / cosine_sim: values, null element, length mismatch, SQL") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    import graft.ops.Ann
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)))
+      .toDF("a", "b")
+    val (d, c) = df.select(
+        Ann.dot(col("a"), col("b")),
+        Ann.cosine(col("a"), col("b")))
+      .as[(Double, Double)].collect().head
+    assert(d == 32.0)
+    val expectC = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(c == expectC) // bit-exact: same op order
+    // HOF-spelling parity on the null/mismatch edges
+    val edges = spark.sql(
+      """SELECT
+        |  dot_product(array(1.0d, 2.0d), array(1.0d)) AS len_mismatch,
+        |  dot_product(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 2.0d)) AS null_elem,
+        |  cosine_sim(array(0.0d, 0.0d), array(1.0d, 2.0d)) AS zero_norm
+        |""".stripMargin).collect().head
+    assert(edges.isNullAt(0))
+    assert(edges.isNullAt(1))
+    assert(edges.getDouble(2).isNaN) // 0/0 — same as the HOF spelling
+  }
 }
