@@ -29,6 +29,23 @@ object EventAnalytics {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup for document ingest: one survivor per content
+    * fingerprint (TextOps.fingerprint — normalized-prefix sha256, the
+    * same key the batch `Dedup.exactGroups` uses) within the watermark
+    * horizon. `dropDuplicatesWithinWatermark` keeps per-key state only
+    * until the watermark passes the key's last-seen event time, so state
+    * is O(distinct fingerprints per lateness window) — bounded for an
+    * unbounded stream, where a plain `dropDuplicates` would grow
+    * forever. The batch/stream pair gives the pipeline the same dedup
+    * key end to end: stream-side trims the torrent, batch-side
+    * `exactGroups` remains the authoritative global pass. */
+  def dedupDocs(docs: DataFrame, tsCol: String = "ts",
+                textCol: String = "text",
+                lateness: String = "10 minutes"): DataFrame =
+    docs.withColumn("fp", graft.ops.TextOps.fingerprint(col(textCol)))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** One user's running session state (driver-defined gap semantics). */
   final case class SessionState(count: Long, firstTs: Long, lastTs: Long)
   final case class SessionUpdate(user_id: Long, n_events: Long,

@@ -173,4 +173,35 @@ class EventAnalyticsSpec extends AnyFunSuite {
         r.getAs[Long]("n_events") == 1L))
     } finally q.stop()
   }
+
+  test("streaming dedupDocs: one survivor per fingerprint, state evicted past watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+    val q = EventAnalytics.dedupDocs(docs, lateness = "5 minutes")
+      .writeStream.format("memory").queryName("dedup_docs")
+      .outputMode("append").start()
+    try {
+      // 1 and 2 normalize to the same fingerprint ("hello world")
+      in.addData((1L, ts(1), "Hello, world"), (2L, ts(2), "hello   WORLD"),
+        (3L, ts(3), "something else"))
+      q.processAllAvailable()
+      def ids = spark.table("dedup_docs").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(ids.intersect(Set(1L, 2L)).size == 1, s"dup pair must collapse: $ids")
+      assert(ids.contains(3L))
+
+      // advance the watermark well past the first batch, then repeat the
+      // dup text: its fingerprint state must have been EVICTED (bounded
+      // state), so the repeat is re-admitted — the documented horizon
+      // semantic, batch exactGroups stays the global authority
+      in.addData((4L, ts(50), "advance watermark"))
+      q.processAllAvailable()
+      in.addData((5L, ts(49), "Hello, world"))
+      q.processAllAvailable()
+      assert(ids.contains(5L),
+        s"fingerprint state older than the watermark horizon must evict: $ids")
+    } finally q.stop()
+  }
 }
