@@ -487,6 +487,35 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_follow"))
         .orderBy(col("event_id"))
     }),
+
+    // The operators composed as a corpus-curation PIPELINE: quality gate
+    // (cheap codegen'd filters first) → language-consistency gate →
+    // exact-dedup survivors → per-language doc count + BPE token budget.
+    // Every stage decision lands in the two output numbers, so the hash
+    // pins the whole chain. (On this synthetic corpus only `en` survives
+    // the label-agreement gate — the labeled non-English docs are
+    // English-word soup, which the guesser correctly calls `en`.)
+    "q32_corpus_curation" -> ((s, dir) => {
+      import graft.ops.TextOps
+      val d = t(s, dir, "documents")
+      val gated = d
+        .select(col("doc_id"), col("lang"), col("text"),
+          TextOps.qualityFeatures(col("text")).as("q"))
+        .filter(col("q.n_tokens") >= 30 && col("q.punct_ratio") <= 0.10)
+      val consistent = gated
+        .select(col("doc_id"), col("lang"), col("text"),
+          TextOps.langScores(col("text")).as("sc"))
+        .filter(TextOps.guessFromScores(col("sc")) === col("lang"))
+      val survivors = consistent
+        .withColumn("fp", TextOps.fingerprint(col("text")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+      survivors.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(TextOps.bpeTokenCount(col("text"))).cast("long").as("bpe_budget"))
+        .orderBy(col("lang"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -746,6 +775,44 @@ object SparkEntry {
         |  FROM u)
         |SELECT event_id, user_id, us AS purchase_us, click_id AS asof_click_id
         |FROM w WHERE tag = 1 ORDER BY event_id""".stripMargin,
+    // q32: the q17/q25/q10/q29 oracle fragments chained in one statement,
+    // stage for stage with the Spark pipeline.
+    "q32_corpus_curation" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang, text,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk,
+        |    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_punct,
+        |    length(text) AS n_chars
+        |  FROM documents),
+        |gated AS (
+        |  SELECT doc_id, lang, text, tk FROM f
+        |  WHERE len(tk) >= 30
+        |    AND CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) <= 0.10),
+        |sc AS (
+        |  SELECT doc_id, lang, text,
+        |    len(list_filter(tk, t -> t IN ('der','die','das','und','ist','ein','eine','zu','mit','nicht'))) AS s_de,
+        |    len(list_filter(tk, t -> t IN ('the','a','of','and','to','in','is','that','it','for'))) AS s_en,
+        |    len(list_filter(tk, t -> t IN ('el','la','de','y','es','un','una','que','en','los'))) AS s_es,
+        |    len(list_filter(tk, t -> t IN ('le','la','de','et','est','un','une','que','les','pour'))) AS s_fr
+        |  FROM gated),
+        |lg AS (
+        |  SELECT doc_id, lang, text,
+        |    CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+        |         WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
+        |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+        |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+        |         ELSE 'de' END AS guess
+        |  FROM sc),
+        |ok AS (SELECT doc_id, lang, text FROM lg WHERE guess = lang),
+        |surv AS (
+        |  SELECT lang, text FROM (
+        |    SELECT lang, text, row_number() OVER (
+        |      PARTITION BY sha256(substring(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), 1, 100))
+        |      ORDER BY doc_id) AS rn
+        |    FROM ok) WHERE rn = 1)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(regexp_extract_all(lower(text), '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+|\s+'))) AS BIGINT) AS bpe_budget
+        |FROM surv GROUP BY 1 ORDER BY 1""".stripMargin,
     // q31: plain inequality join — DuckDB's optimizer handles the small
     // SF; the Spark side's binning exists for the 100 TB case.
     "q31_range_follow" ->
