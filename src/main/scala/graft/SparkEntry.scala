@@ -516,6 +516,20 @@ object SparkEntry {
              sum(TextOps.bpeTokenCount(col("text"))).cast("long").as("bpe_budget"))
         .orderBy(col("lang"))
     }),
+
+    // Deterministic stratified sampling: ≤50 docs per language chosen by
+    // portable id-hash order — membership is content-addressed, so the
+    // sample survives reruns and repartitions (what df.sample cannot
+    // give). sum(doc_id) pins the EXACT membership in the hash check.
+    "q33_stratified_sample" -> ((s, dir) => {
+      graft.ops.Sampling.stratifiedSample(
+          t(s, dir, "documents"), stratumCol = "lang", idCol = "doc_id",
+          perStratum = 50)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("doc_id")).cast("long").as("sum_ids"))
+        .orderBy(col("lang"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -813,6 +827,19 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_docs,
         |  CAST(sum(len(regexp_extract_all(lower(text), '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+|\s+'))) AS BIGINT) AS bpe_budget
         |FROM surv GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q33: same 60-bit sha256-prefix hash (q23's portable token hash,
+    // applied to the stringified id), same (hash, id) ordering.
+    "q33_stratified_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1073741824 AS hb
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hb, doc_id) AS rn
+        |  FROM h)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM r WHERE rn <= 50 GROUP BY 1 ORDER BY 1""".stripMargin,
     // q31: plain inequality join — DuckDB's optimizer handles the small
     // SF; the Spark side's binning exists for the 100 TB case.
     "q31_range_follow" ->

@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * Random sampling (`df.sample`) is seed- and partitioning-dependent —
+  * rerunning after a repartition yields a different corpus, which
+  * silently invalidates train/eval splits. Everything here keys on a
+  * content-independent hash of the row's ID instead: the same row lands
+  * in the same split on every run, on any cluster layout, and the split
+  * is reproducible from SQL (the hash is the portable sha256-prefix also
+  * used by the simhash oracle — 60 bits of the hex digest, exact in
+  * BIGINT and DuckDB-replicable).
+  *
+  * Scale: pure codegen'd projections — no shuffle for `hashBucket` /
+  * `deterministicSample`; `stratifiedSample` adds one window shuffle on
+  * the stratum key (parallel across strata).
+  */
+object Sampling {
+
+  /** Stable bucket in [0, buckets) from the sha256 of the id. */
+  def hashBucket(id: Column, buckets: Int = 100): Column =
+    pmod(conv(substring(sha2(id.cast("string"), 256), 1, 15), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
+  /** Keep rows whose hash bucket falls below `pct` (of 100): a stable
+    * pct% sample / split assignment. */
+  def deterministicSample(df: DataFrame, idCol: String, pct: Int,
+                          buckets: Int = 100): DataFrame =
+    df.filter(hashBucket(col(idCol), buckets) < pct)
+
+  /** At most `perStratum` rows per stratum, chosen by hash order (with
+    * the id as tie-break) — a stable stratified sample whose membership
+    * survives reruns and repartitions. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                       perStratum: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(hashBucket(col(idCol), 1 << 30), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perStratum)
+      .drop("__rn")
+  }
+}
