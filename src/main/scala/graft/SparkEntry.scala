@@ -395,11 +395,16 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       val mangled = regexp_replace(col("text"), "[,\\.;:]", "  --  ")
       val reversedStream = concat_ws(" ", reverse(TextOps.tokens(col("text"))))
+      // NULL text propagates NULL (concat_ws would otherwise fold a null
+      // token array to "" and fingerprint it), matching the oracle's
+      // NULL-comparison semantics
+      def nullSafe(c: Column): Column =
+        when(col("text").isNull, lit(null).cast("int")).otherwise(c)
       d.select(col("doc_id"),
-          (TextOps.docFingerprint(col("text")) === TextOps.docFingerprint(mangled))
-            .cast("int").as("punct_invariant"),
-          (TextOps.docFingerprint(col("text")) === TextOps.docFingerprint(reversedStream))
-            .cast("int").as("order_invariant"))
+          nullSafe((TextOps.docFingerprint(col("text")) === TextOps.docFingerprint(mangled))
+            .cast("int")).as("punct_invariant"),
+          nullSafe((TextOps.docFingerprint(col("text")) === TextOps.docFingerprint(reversedStream))
+            .cast("int")).as("order_invariant"))
         .orderBy(col("doc_id"))
     }),
 
@@ -502,10 +507,17 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("text"),
           TextOps.qualityFeatures(col("text")).as("q"))
         .filter(col("q.n_tokens") >= 30 && col("q.punct_ratio") <= 0.10)
+      // guess must be PROJECTED (single reference) before the filter:
+      // filtering on guessFromScores(col("sc")) directly lets predicate
+      // pushdown inline the sc alias into the scan-stage Filter 8x —
+      // FilterExec has no subexpression elimination (the q25 lesson,
+      // round-3 self-review finding)
       val consistent = gated
         .select(col("doc_id"), col("lang"), col("text"),
           TextOps.langScores(col("text")).as("sc"))
-        .filter(TextOps.guessFromScores(col("sc")) === col("lang"))
+        .select(col("doc_id"), col("lang"), col("text"),
+          TextOps.guessFromScores(col("sc")).as("guess"))
+        .filter(col("guess") === col("lang"))
       val survivors = consistent
         .withColumn("fp", TextOps.fingerprint(col("text")))
         .withColumn("rn", row_number().over(
@@ -769,7 +781,7 @@ object SparkEntry {
     // q29: same pattern as TextOps.bpePattern, with SQL-doubled quotes.
     "q29_bpe_tokens" ->
       """SELECT lang, count(*) AS n_docs,
-        |  CAST(sum(len(regexp_extract_all(lower(text), '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+|\s+'))) AS BIGINT) AS sum_bpe_tokens
+        |  CAST(sum(len(regexp_extract_all(lower(text), '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 \t\n\f\r'']+|[ \t\n\f\r]+'))) AS BIGINT) AS sum_bpe_tokens
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // q30: the same tagged-union + carry-forward window formulation, so
     // ordering (us, tag, id) and the <= / max-tie conventions line up
@@ -825,7 +837,7 @@ object SparkEntry {
         |      ORDER BY doc_id) AS rn
         |    FROM ok) WHERE rn = 1)
         |SELECT lang, count(*) AS n_docs,
-        |  CAST(sum(len(regexp_extract_all(lower(text), '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+|\s+'))) AS BIGINT) AS bpe_budget
+        |  CAST(sum(len(regexp_extract_all(lower(text), '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 \t\n\f\r'']+|[ \t\n\f\r]+'))) AS BIGINT) AS bpe_budget
         |FROM surv GROUP BY 1 ORDER BY 1""".stripMargin,
     // q33: same 60-bit sha256-prefix hash (q23's portable token hash,
     // applied to the stringified id), same (hash, id) ordering.

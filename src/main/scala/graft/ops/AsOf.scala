@@ -38,18 +38,22 @@ object AsOf {
     require(rightPayload.nonEmpty, "rightPayload must name at least one column")
     val payloadStruct = struct(rightPayload.map(col): _*)
     val payloadType = right.select(payloadStruct).schema.head.dataType
+    // the tie column keeps its own type: casting (e.g. to long) would
+    // throw under ANSI for string ids and truncate doubles into
+    // nondeterministic ties (round-3 self-review finding)
+    val tieType = right.select(col(tieCol)).schema.head.dataType
     val keyCols = keys.map(col)
 
     val taggedRight = right.select(
       keyCols ++ Seq(
         col(rightTs).as("__ts"), lit(0).as("__tag"),
-        col(tieCol).cast("long").as("__tie"),
+        col(tieCol).as("__tie"),
         payloadStruct.as("__r"),
         lit(null).cast(left.schema).as("__l")): _*)
     val taggedLeft = left.select(
       keyCols ++ Seq(
         col(leftTs).as("__ts"), lit(1).as("__tag"),
-        lit(null).cast("long").as("__tie"),
+        lit(null).cast(tieType).as("__tie"),
         lit(null).cast(payloadType).as("__r"),
         struct(left.columns.map(col): _*).as("__l")): _*)
 

@@ -21,9 +21,12 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Stable bucket in [0, buckets) from the sha256 of the id. */
+  /** Stable bucket in [0, buckets) from the sha256 of the id. A null id
+    * hashes as the empty string — deterministic and non-null, so splits
+    * stay disjoint-and-covering even for null-id rows (a null bucket
+    * would drop the row from BOTH sides of a split). */
   def hashBucket(id: Column, buckets: Int = 100): Column =
-    pmod(conv(substring(sha2(id.cast("string"), 256), 1, 15), 16, 10).cast("long"),
+    pmod(conv(substring(sha2(coalesce(id.cast("string"), lit("")), 256), 1, 15), 16, 10).cast("long"),
       lit(buckets.toLong))
 
   /** Keep rows whose hash bucket falls below `pct` (of 100): a stable

@@ -72,9 +72,6 @@ object TextOps {
       }: _*))
   }
 
-  def langScore(text: Column, lang: String): Column =
-    langScores(text).getField(lang)
-
   /** Argmax over a `langScores` struct; ties break to the
     * lexicographically largest language (array_max over (score, lang)
     * structs), zero hits → "und". Pass an ALIASED scores column from a
@@ -110,9 +107,12 @@ object TextOps {
     * pattern runs under java.util.regex AND DuckDB's RE2): contraction
     * suffixes, space-prefixed letter runs, digit runs, punctuation runs,
     * whitespace runs. Alternation order matters and is identical on both
-    * engines (leftmost-first). Applied to lowercased text. */
+    * engines (leftmost-first). Applied to lowercased text. The
+    * whitespace class is spelled explicitly: Java's `\s` includes \x0B
+    * (vertical tab), RE2's does not, so `\s` would make the two engines
+    * tokenize \x0B differently. */
   val bpePattern: String =
-    "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+|\\s+"
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 \\t\\n\\f\\r']+|[ \\t\\n\\f\\r]+"
 
   /** Token count under the BPE-ish pre-tokenizer — the cheap proxy for
     * "how many BPE tokens will this document cost" used when budgeting

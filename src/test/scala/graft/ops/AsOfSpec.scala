@@ -41,6 +41,17 @@ class AsOfSpec extends AnyFunSuite {
       4L -> Some(51L)))
   }
 
+  test("as-of join: non-numeric tie column (would throw under ANSI if cast)") {
+    import spark.implicits._
+    val left = Seq((1L, "k", 10L)).toDF("id", "key", "ts")
+    val right = Seq(("k", 10L, "e42"), ("k", 10L, "e7"))
+      .toDF("key", "ts", "rid")
+    val row = AsOf.asofJoin(left, right, Seq("key"), "ts", "ts",
+        rightPayload = Seq("rid"), tieCol = "rid")
+      .select(col("asof_rid")).as[String].collect().toSeq
+    assert(row == Seq("e7")) // max STRING tie: "e7" > "e42" lexicographically
+  }
+
   test("as-of join: multiple payload columns carried together") {
     import spark.implicits._
     val left = Seq((1L, "k", 20L)).toDF("id", "key", "ts")
