@@ -9,6 +9,7 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   def build(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
     val spark = SparkSession.builder()
+      .withExtensions(GraftExtensions.inject)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -529,6 +529,19 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // int8 embedding quantization: floor(x·scale + 0.5) is exact IEEE in
+    // both engines (round() half-cases are not), so every quantized code
+    // is reproduced bit-for-bit by the oracle; the per-vector stats pin
+    // all 64 codes per row.
+    "q34_quantize_int8" -> ((s, dir) => {
+      graft.ops.Quantize.int8(t(s, dir, "embeddings"))
+        .select(col("vec_id"),
+          aggregate(col("q8"), lit(0L), (a, x) => a + x).as("q_sum"),
+          array_min(col("q8")).as("q_min"),
+          array_max(col("q8")).as("q_max"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Deterministic stratified sampling: ≤50 docs per language chosen by
     // portable id-hash order — membership is content-addressed, so the
     // sample survives reruns and repartitions (what df.sample cannot
@@ -839,6 +852,19 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_docs,
         |  CAST(sum(len(regexp_extract_all(lower(text), '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 \t\n\f\r'']+|[ \t\n\f\r]+'))) AS BIGINT) AS bpe_budget
         |FROM surv GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q34: identical op order — x * (127.0/maxabs) + 0.5, floor, INT.
+    "q34_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |m AS (SELECT vec_id, emb,
+        |        list_max(list_transform(emb, x -> abs(x))) AS maxabs FROM e),
+        |q AS (SELECT vec_id,
+        |        CASE WHEN maxabs = 0 THEN list_transform(emb, x -> 0)
+        |             ELSE list_transform(emb,
+        |               x -> CAST(floor(x * (127.0 / maxabs) + 0.5) AS INT)) END AS q8
+        |      FROM m)
+        |SELECT vec_id, CAST(list_sum(q8) AS BIGINT) AS q_sum,
+        |  list_min(q8) AS q_min, list_max(q8) AS q_max
+        |FROM q ORDER BY vec_id""".stripMargin,
     // q33: same 60-bit sha256-prefix hash (q23's portable token hash,
     // applied to the stringified id), same (hash, id) ordering.
     "q33_stratified_sample" ->

@@ -7,6 +7,7 @@ import org.apache.spark.sql.SparkSession
 object SparkTestBase {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
+      .withExtensions(GraftExtensions.inject)
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -53,6 +53,22 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(r == NaturalOrder.naturalKey("doc10"))
   }
 
+  test("GraftExtensions injects all functions into a fresh session state") {
+    // newSession() builds a FRESH function registry from the session's
+    // extensions — no GraftFunctions.register call anywhere on this
+    // path, so success proves configuration-only injection
+    // (spark.sql.extensions=graft.GraftExtensions) works on a cluster.
+    val fresh = spark.newSession()
+    val r = fresh.sql(
+      """SELECT natural_key('doc10') AS k,
+        |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |  cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c
+        |""".stripMargin).collect().head
+    assert(r.getString(0) == NaturalOrder.naturalKey("doc10"))
+    assert(r.getDouble(1) == 11.0)
+    assert(r.getDouble(2) == 1.0)
+  }
+
   test("dot_product / cosine_sim: values, null element, length mismatch, SQL") {
     import spark.implicits._
     GraftFunctions.register(spark)
