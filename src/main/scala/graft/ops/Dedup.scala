@@ -27,38 +27,58 @@ object Dedup {
   // ------------------------------------------------------------ minhash
 
   /** 2^61-1 (Mersenne prime) — modulus for the affine permutations. */
-  private val P = (1L << 61) - 1
   val NumPerms = 64
-  val Bands = 16
+  // 32 bands × 2 rows: the banding S-curve threshold (1/b)^(1/r) ≈ 0.18
+  // sits WELL BELOW the J ≥ 1/2 verify threshold. The previous 16×4
+  // config put the S-curve threshold at (1/16)^(1/4) = 0.50 — exactly at
+  // the verify boundary, i.e. ~50% candidate-miss for pairs near J=0.5
+  // (caught by the sf0.1 oracle: 3 of 256 true pairs missed). Miss
+  // probability now: (1-J²)^32 = 1.0e-4 at J=0.5, 5e-24 at J=0.9. The
+  // extra candidates from the lower threshold are filtered by the exact
+  // verify; on low-similarity corpora the volume stays near-linear.
+  val Bands = 32
   val RowsPerBand: Int = NumPerms / Bands
 
-  /** Fixed, seeded permutation parameters — determinism is part of the
-    * operator contract (same corpus → same signatures on any cluster).
-    * Coefficients < 2^31 so a*x never overflows a Long (x is a 32-bit
-    * shingle hash). */
-  private val perms: Array[(Long, Long)] = {
+  /** Fixed, seeded per-permutation salts — determinism is part of the
+    * operator contract (same corpus → same signatures on any cluster). */
+  private val seeds: Array[Long] = {
     val rng = new java.util.Random(42)
-    Array.fill(NumPerms)(((rng.nextLong() & 0x7fffffffL) | 1L,
-      rng.nextLong() & 0x7fffffffL))
+    Array.fill(NumPerms)(rng.nextLong())
+  }
+
+  /** MurmurHash3's 64-bit finalizer (public-domain avalanche constants):
+    * every input bit affects every output bit. This is the load-bearing
+    * choice for min-wise independence: the previous affine family
+    * `(a·x + b) mod (2^61-1)` with a,b < 2^31 over a 32-bit x does NOT
+    * wrap the modulus for small x, so h ≈ a·x and the ORDER of elements
+    * was correlated across all 64 "permutations" — the smallest-x
+    * shingle won the min under most seeds, collapsing the effective
+    * number of independent permutations. Found at sf0.1: three J≈0.96
+    * pairs agreed on only 14-35/64 permutations (expected 61) and were
+    * missed entirely. */
+  private def fmix64(k0: Long): Long = {
+    var k = k0
+    k ^= k >>> 33; k *= 0xff51afd7ed558ccdL
+    k ^= k >>> 33; k *= 0xc4ceb9fe1a85ec53L
+    k ^= k >>> 33; k
   }
 
   /** Minhash signatures from distinct shingle sets: (id, sig ARRAY<LONG>).
-    * Tight executor loop: per doc, hash each shingle once, then the 64
-    * affine permutations over the 32-bit hash. */
+    * Tight executor loop: per doc, hash each shingle once, then 64
+    * seeded avalanche mixes. */
   def minhashSignatures(shingleDf: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val spark = shingleDf.sparkSession
     import spark.implicits._
-    val ps = perms
+    val ss = seeds
     shingleDf.select(col(idCol).cast("long"), col("sh"))
       .as[(Long, Seq[String])]
       .map { case (id, sh) =>
         val sig = Array.fill(NumPerms)(Long.MaxValue)
         sh.foreach { s =>
-          val x = MurmurHash3.stringHash(s).toLong & 0xffffffffL
+          val x = fmix64(MurmurHash3.stringHash(s).toLong & 0xffffffffL)
           var i = 0
           while (i < NumPerms) {
-            val (a, b) = ps(i)
-            val h = (a * x + b) % P
+            val h = fmix64(x ^ ss(i))
             if (h < sig(i)) sig(i) = h
             i += 1
           }
@@ -104,9 +124,10 @@ object Dedup {
 
   /** Near-duplicate pairs with EXACT n-gram-Jaccard verification of the
     * LSH candidates: J(a,b) >= threshNum/threshDen, compared in integer
-    * arithmetic (no float boundary). Default 1/2. With 16 bands × 4 rows
-    * the probability of missing a pair at J=0.9 is ~4e-8 — the LSH is a
-    * candidate filter, correctness comes from the exact check. */
+    * arithmetic (no float boundary). Default 1/2. With 32 bands × 2 rows
+    * the probability of missing a pair at the J=0.5 decision boundary is
+    * 1.0e-4 (see Bands) — the LSH is a candidate filter, correctness
+    * comes from the exact check. */
   def nearDupPairs(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text", nGram: Int = 3,
                    threshNum: Int = 1, threshDen: Int = 2): DataFrame = {
