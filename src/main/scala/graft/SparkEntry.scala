@@ -64,6 +64,24 @@ object SparkEntry {
        |  FROM e CROSS JOIN planes p GROUP BY e.vec_id)""".stripMargin
   }
 
+  /** q24's multi-table signature CTE: 64 seed-1234 planes laid out as 8
+    * tables × 8 bits — plane b of table t is planes[t*8+b] with weight
+    * 2^b, exactly Ann.multiSignatures' layout (and the first 8 planes
+    * coincide with planesCte's, both being the same seeded stream). */
+  private lazy val planes64Cte: String = {
+    val planes = graft.ops.Ann.hyperplanes(64, 64)
+    val planeRows = planes.zipWithIndex
+      .map { case (p, b) => s"(${b / 8}, ${1 << (b % 8)}, [${p.mkString(",")}]::DOUBLE[])" }
+      .mkString(",\n")
+    s"""planes64(tbl, w, plane) AS (VALUES
+       |$planeRows),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |sig64 AS (
+       |  SELECT e.vec_id, p.tbl,
+       |    CAST(sum(CASE WHEN list_dot_product(p.plane, e.emb) >= 0 THEN p.w ELSE 0 END) AS INT) AS bucket
+       |  FROM e CROSS JOIN planes64 p GROUP BY e.vec_id, p.tbl)""".stripMargin
+  }
+
   private lazy val lshOracle: String = {
     val masks = (0 until 256).filter(m => Integer.bitCount(m) <= 2).mkString(",")
     s"""WITH $planesCte,
@@ -889,13 +907,17 @@ object SparkEntry {
         |WHERE s.event_type = 'signup'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q24_cosine_dup" ->
-      s"""WITH $planesCte,
+      s"""WITH $planes64Cte,
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM sig64 a JOIN sig64 b
+        |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
         |pairs AS (
-        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  SELECT c.a_id, c.b_id,
         |    ${duckCosine("ea.emb", "eb.emb")} AS cos
-        |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        |  JOIN e ea ON ea.vec_id = a.vec_id
-        |  JOIN e eb ON eb.vec_id = b.vec_id)
+        |  FROM cand c
+        |  JOIN e ea ON ea.vec_id = c.a_id
+        |  JOIN e eb ON eb.vec_id = c.b_id)
         |SELECT a_id, b_id, cos FROM pairs WHERE cos >= 0.3
         |ORDER BY a_id, b_id""".stripMargin,
   )

@@ -102,6 +102,40 @@ object Ann {
       .toDF(idCol, "bucket")
   }
 
+  /** Multi-table sign signatures: `tables` independent k-bit buckets per
+    * vector, one output row per (id, table). A pair is a candidate if it
+    * collides in ANY table, so candidate recall at angle θ is
+    * 1-(1-p^k)^L with p = 1-θ/π — at cos 0.95 (θ≈18°), k=8, L=8 that is
+    * ~0.99, where a SINGLE 8-bit table catches only ~0.43 (the
+    * all-bits-equal requirement is the minhash S-curve lesson in
+    * hyperplane form). Plane b of table t is hyperplanes(dim, L·k)[t·k+b]
+    * with weight 2^b — the exact layout the q24 oracle replicates. */
+  def multiSignatures(df: DataFrame, dim: Int, tables: Int = 8,
+                      bitsPerTable: Int = 8, idCol: String = "vec_id",
+                      embCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val planes = hyperplanes(dim, tables * bitsPerTable)
+    df.select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .flatMap { case (id, emb) =>
+        (0 until tables).iterator.map { t =>
+          var bits = 0
+          var b = 0
+          while (b < bitsPerTable) {
+            val p = planes(t * bitsPerTable + b)
+            var s = 0.0
+            var i = 0
+            while (i < p.length && i < emb.length) { s += p(i) * emb(i); i += 1 }
+            if (s >= 0) bits |= (1 << b)
+            b += 1
+          }
+          (id, t, bits)
+        }
+      }
+      .toDF(idCol, "tbl", "bucket")
+  }
+
   /** Approximate top-k: bucket join on the signature with multi-probe
     * (all buckets within Hamming distance `probeRadius` of the query's
     * signature), exact scoring within the candidate set. Returns

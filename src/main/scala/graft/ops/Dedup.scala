@@ -144,23 +144,27 @@ object Dedup {
       .select(col("a_id"), col("b_id"))
   }
 
-  /** Embedding-cosine near-duplicate pairs: random-hyperplane signature
-    * bucket join generates candidates (near-identical vectors agree on
-    * every sign bit with overwhelming probability), exact cosine
-    * verifies. Never all-pairs; same shape as the minhash path but over
-    * the embedding column. threshold e.g. 0.95. */
+  /** Embedding-cosine near-duplicate pairs: multi-table hyperplane
+    * signatures generate candidates (collision in ANY of the L k-bit
+    * tables — see Ann.multiSignatures for the recall math; a single
+    * table's all-bits-equal requirement misses ~57% of genuine cos≈0.95
+    * near-dups), exact cosine verifies. Never all-pairs; same shape as
+    * the minhash path but over the embedding column. */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
-                         dim: Int, nBits: Int = 8,
+                         dim: Int, tables: Int = 8, bitsPerTable: Int = 8,
                          idCol: String = "vec_id",
                          embCol: String = "embedding"): DataFrame = {
-    val sig = Ann.signatures(embeddings, dim, nBits, idCol, embCol)
+    val sig = Ann.multiSignatures(embeddings, dim, tables, bitsPerTable, idCol, embCol)
+    val a = sig.select(col(idCol).as("a_id"), col("tbl"), col("bucket"))
+    val b = sig.select(col(idCol).as("b_id"), col("tbl"), col("bucket"))
+    val cand = a.join(b, Seq("tbl", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
     val e = embeddings
       .select(col(idCol).cast("long"), col(embCol).cast("array<double>").as("emb"))
-      .join(sig, idCol)
-    val a = e.select(col(idCol).as("a_id"), col("emb").as("emb_a"), col("bucket"))
-    val b = e.select(col(idCol).as("b_id"), col("emb").as("emb_b"), col("bucket"))
-    a.join(b, Seq("bucket"))
-      .filter(col("a_id") < col("b_id"))
+    cand
+      .join(e.select(col(idCol).cast("long").as("a_id"), col("emb").as("emb_a")), "a_id")
+      .join(e.select(col(idCol).cast("long").as("b_id"), col("emb").as("emb_b")), "b_id")
       .withColumn("cos", Ann.cosine(col("emb_a"), col("emb_b")))
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), col("cos"))

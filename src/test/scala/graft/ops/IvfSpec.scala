@@ -53,4 +53,36 @@ class IvfSpec extends AnyFunSuite {
     val expected = (0 until 5).map(i => (base(i)._1, base(i)._1 + 100000L)).toSet
     assert(pairs == expected, s"missing=${expected -- pairs} extra=${pairs -- expected}")
   }
+
+  test("cosine near-dup recall at MODERATE similarity (multi-table tables)") {
+    import spark.implicits._
+    // plant 20 noisy copies at cos≈0.95 — the regime a single 8-bit
+    // signature table catches only ~43% of (all-bits-equal requirement);
+    // the 8-table config must find nearly all of them
+    val rnd = new scala.util.Random(11)
+    val base = embs.select(col("vec_id").cast("long"),
+      col("embedding").cast("array<double>")).as[(Long, Seq[Double])].collect()
+    val planted = base.take(20).map { case (id, v) =>
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      // add gaussian noise at ~33% of the vector norm: cos ≈ 1/sqrt(1+0.33²) ≈ 0.95
+      val noisy = v.map(x => x + rnd.nextGaussian() * 0.33 * norm / math.sqrt(v.length))
+      (id + 100000L, noisy)
+    }
+    val all = spark.createDataset((base ++ planted).toSeq).toDF("vec_id", "embedding")
+    val pairs = Dedup.cosineNearDupPairs(all, threshold = 0.9, dim = 64)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // ground truth: which planted pairs actually cleared cos >= 0.9
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val truth = base.take(20).zip(planted).collect {
+      case ((id, v), (pid, pv)) if cos(v, pv) >= 0.9 => (id, pid)
+    }.toSet
+    assert(truth.size >= 10, s"planting failed: only ${truth.size} true pairs")
+    val found = truth.intersect(pairs)
+    info(s"moderate-similarity recall: ${found.size}/${truth.size}")
+    assert(found.size.toDouble / truth.size >= 0.9,
+      s"multi-table recall too low: ${found.size}/${truth.size}")
+  }
 }
