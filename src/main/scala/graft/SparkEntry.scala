@@ -29,11 +29,20 @@ object SparkEntry {
   private def dsum(c: Column): Column = sum(c).cast("double")
 
   /** Where q18 persists its trained centroids for the oracle to read.
-    * Fixed absolute repo path: the oracle SQL that references it is
-    * emitted by the same Verify process, so both sides agree by
-    * construction (and nothing outside /root/repo is written). */
+    * Process-scoped path: the oracle SQL that references it is emitted
+    * by the same Verify process, so both sides agree by construction
+    * (and nothing outside /root/repo is written) — and concurrent
+    * Bench/BenchOne/Verify processes never race on one directory. */
   private[graft] val ivfCentroidsPath =
-    "/root/repo/target/verify-oracle/ivf_centroids"
+    s"/root/repo/target/verify-oracle/ivf_centroids-${ProcessHandle.current().pid()}"
+
+  /** sf dirs whose q18 centroids this process already persisted: the
+    * write is a side job for the ORACLE, not part of the query — it runs
+    * once per (process, sf dir) so Bench's timed runs after warmup stay
+    * read-only (training is deterministic, the rewrite would be
+    * byte-identical anyway). */
+  private val ivfCentroidsWritten =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Exact same cosine as Ann.cosine, spelled in DuckDB: products and
     * the left-to-right sum are bit-identical across engines (q12 proved
@@ -340,6 +349,14 @@ object SparkEntry {
     "q22_at_export_bucketed" -> ((s, dir) =>
       graft.queries.StoreQueries.atExport(s, dir, buckets = Some(8))),
 
+    // Distributed attachment GC (W8): content-addressed blob fixture +
+    // one real commit, then gc() — executor-listed inventory, left-anti
+    // join against exploded links, executor-side deletes. Emits the
+    // post-GC filesystem inventory + deleted count, so over- AND
+    // under-deletion both break the hash.
+    "q35_attachment_gc" -> ((s, dir) =>
+      graft.queries.StoreQueries.attachmentGc(s, dir)),
+
     // Approximate ANN under a HARD oracle: the hyperplanes are a fixed
     // seeded constant, so the DuckDB oracle embeds them as literal
     // DOUBLE[] arrays and replicates signature → multi-probe bucket join
@@ -359,8 +376,9 @@ object SparkEntry {
     "q18_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val model = graft.ops.Ivf.train(e, k = 16, iters = 3)
-      graft.ops.Ivf.centroidsDF(s, model).coalesce(1)
-        .write.mode("overwrite").parquet(ivfCentroidsPath)
+      if (ivfCentroidsWritten.add(dir))
+        graft.ops.Ivf.centroidsDF(s, model).coalesce(1)
+          .write.mode("overwrite").parquet(ivfCentroidsPath)
       graft.ops.Ivf.search(e, e.filter(col("vec_id") < 5), model, k = 10, nprobe = 4)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
         .orderBy(col("query_id"), col("rank"))
@@ -725,6 +743,17 @@ object SparkEntry {
         |       WHEN doc_id % 10 = 0 THEN 'MODIFIED: ' || text
         |       ELSE NULL END AS data
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q35: the oracle re-derives both GC sets relationally — DuckDB
+    // sha256 over the same deterministic blob contents; survivors are
+    // exactly the linked hashes, the deleted count is the orphan count.
+    "q35_attachment_gc" ->
+      """WITH ids AS (SELECT DISTINCT doc_id FROM documents),
+        |linked AS (
+        |  SELECT sha256('blob-' || CAST(doc_id AS VARCHAR)) AS hash
+        |  FROM ids WHERE doc_id % 3 <> 2)
+        |SELECT hash,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM ids WHERE doc_id % 5 = 0) AS n_deleted
+        |FROM linked ORDER BY hash""".stripMargin,
     "q16_natural_order" ->
       """SELECT CAST(row_number() OVER (
         |    ORDER BY CASE WHEN doc_id % 3 = 0 THEN 'alpha' ELSE 'beta' END, doc_id)

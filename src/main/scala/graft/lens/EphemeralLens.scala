@@ -1,8 +1,12 @@
 package graft.lens
 
 import scala.collection.immutable.VectorMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions.expr
 
 import graft.core._
+import graft.expressions.GraftFunctions
 import graft.store.{DataPath, Store}
 
 /** Ephemeral lens — the ad-hoc query path (reference:
@@ -14,17 +18,27 @@ import graft.store.{DataPath, Store}
   */
 object EphemeralLens {
 
-  /** Run the map over the inputs once and return the framed output
-    * stream. The temp lens is deleted before returning (the reference's
-    * `finally: lens.delete`, lens-controller.js:215-217). */
-  def run(store: Store, inputs: Seq[DataPath], fn: MapFn,
-          suffix: String = java.util.UUID.randomUUID().toString.take(8)): Vector[PoValue] = {
+  /** Loan-pattern streaming run — the serving shape (the reference
+    * streams the response: lens-controller.js:205-208). Builds the
+    * throwaway lens, hands `consume` a LAZY frame iterator (log frames
+    * then record frames), and drops the lens after `consume` returns —
+    * the reference's `finally: lens.delete` (lens-controller.js:215-217).
+    *
+    * Both frame sections iterate via `toLocalIterator`: the natural-order
+    * sort runs on the cluster (codegen'd `natural_key` range-partitioned
+    * sort) and the driver holds at most one partition of output at a
+    * time, so an ephemeral lens over a huge input streams in O(partition)
+    * driver memory — never a full collect. */
+  def stream[A](store: Store, inputs: Seq[DataPath], fn: MapFn,
+                suffix: String = java.util.UUID.randomUUID().toString.take(8))
+               (consume: Iterator[PoValue] => A): A = {
     val lens = new Lens(store, "system", s"ephemeral-$suffix", inputs, fn)
     require(!lens.exists, s"ephemeral lens collision: ${lens.path.encoded}")
     lens.create()
     try {
       lens.build()
-      val logFrames = lens.logs.collect().toVector.map { r =>
+      GraftFunctions.register(store.spark)
+      val logFrames = lens.logs.toLocalIterator().asScala.map { r =>
         val kind = r.getAs[String]("kind")
         val body: Vector[(String, PoValue)] =
           Vector("path" -> PoStr(r.getAs[String]("path"))) ++ (kind match {
@@ -40,8 +54,9 @@ object EphemeralLens {
           })
         PoObj("log" -> PoObj(VectorMap.from(body)))
       }
-      val recordFrames = lens.output.records.collect().toVector
-        .sortBy(r => NaturalOrder.naturalKey(r.id))
+      val recordFrames = lens.output.records
+        .orderBy(expr("natural_key(id)"))
+        .toLocalIterator().asScala
         .map { r =>
           PoObj("record" -> PoObj(
             "id" -> PoStr(r.id),
@@ -49,9 +64,16 @@ object EphemeralLens {
             "hash" -> PoStr(r.hash),
             "data" -> Cbor.decode(r.value)))
         }
-      logFrames ++ recordFrames
+      consume(logFrames ++ recordFrames)
     } finally {
       lens.output.drop()
     }
   }
+
+  /** Run the map over the inputs once and return the framed output
+    * materialized — the small-result convenience over [[stream]]. The
+    * temp lens is deleted before returning. */
+  def run(store: Store, inputs: Seq[DataPath], fn: MapFn,
+          suffix: String = java.util.UUID.randomUUID().toString.take(8)): Vector[PoValue] =
+    stream(store, inputs, fn, suffix)(_.toVector)
 }

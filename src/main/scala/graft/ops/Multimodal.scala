@@ -16,11 +16,15 @@ import org.apache.spark.sql.functions._
   *
   * Decoders: `ImageIODecoder` is REAL image decode — `javax.imageio`
   * (java.desktop module, present in this JDK) handles PNG/JPEG/BMP/GIF
-  * including animated-GIF frame extraction. `StubDecoder` remains for
-  * the genuinely absent codecs only (video, audio): it derives
-  * deterministic fake frames from the byte content so pipelines and
-  * specs can pin the plumbing. Swap `Decoder` implementations to go
-  * real — every schema, partition and batch contract stays identical.
+  * including animated-GIF frame extraction. `JavaSoundDecoder` is REAL
+  * PCM audio decode — `javax.sound.sampled` (same java.desktop module)
+  * reads WAV/AU/AIFF natively: sample rate, channels, duration, and an
+  * RMS-per-window loudness fingerprint. `StubDecoder`/`StubAudioDecoder`
+  * remain for the genuinely absent codecs only (video; COMPRESSED audio
+  * — MP3/AAC have no JDK service provider): they derive deterministic
+  * fake output from the byte content so pipelines and specs can pin the
+  * plumbing. Swap implementations to go real — every schema, partition
+  * and batch contract stays identical.
   */
 object Multimodal {
 
@@ -139,11 +143,91 @@ object Multimodal {
     val inits = new AtomicInteger(0)
   }
 
+  /** Decoded-audio surrogate: stream parameters + a loudness
+    * fingerprint (RMS of normalized samples per equal-length window,
+    * values in [0,1] — cheap, stable, and enough for silence detection,
+    * level bucketing or near-dup grouping of clips). */
+  final case class DecodedAudio(sampleRate: Float, channels: Int,
+                                frames: Long, durationSec: Double,
+                                loudness: Array[Float])
+
+  /** The pluggable audio-decode boundary (constructed per partition). */
+  trait AudioDecoder extends Serializable {
+    def init(): Unit
+    def decodeAudio(bytes: Array[Byte], mime: String): DecodedAudio
+  }
+
+  /** Real PCM audio decode over `javax.sound.sampled` (java.desktop
+    * module, present in this JDK — the same argument as ImageIO): reads
+    * WAV/AU/AIFF natively, converting to signed 16-bit PCM when the
+    * container holds another PCM flavor (8-bit unsigned, μ-law/a-law).
+    * Compressed formats (MP3/AAC) have no JDK service provider — route
+    * those to `StubAudioDecoder` or a real codec library. */
+  final class JavaSoundDecoder(windows: Int = 8) extends AudioDecoder {
+    def init(): Unit = JavaSoundDecoder.inits.incrementAndGet()
+
+    def decodeAudio(bytes: Array[Byte], mime: String): DecodedAudio = {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val raw = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val src = raw.getFormat
+        val pcm16 = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, src.getChannels, src.getChannels * 2,
+          src.getSampleRate, false)
+        val in = if (src.matches(pcm16)) raw
+                 else AudioSystem.getAudioInputStream(pcm16, raw)
+        val frames = in.getFrameLength
+        val data = in.readAllBytes()
+        val ch = pcm16.getChannels
+        val nSamples = data.length / 2 // 16-bit mono-interleaved samples
+        val nFrames = if (frames >= 0) frames else (nSamples / ch).toLong
+        // RMS per window over all channels, normalized to [0,1]
+        val out = new Array[Float](windows)
+        var w = 0
+        while (w < windows) {
+          val s0 = (nSamples.toLong * w / windows).toInt
+          val s1 = (nSamples.toLong * (w + 1) / windows).toInt
+          var sum = 0.0; var i = s0
+          while (i < s1) {
+            // little-endian signed 16-bit
+            val v = ((data(2 * i + 1) << 8) | (data(2 * i) & 0xff)).toShort / 32768.0
+            sum += v * v; i += 1
+          }
+          out(w) = if (s1 > s0) math.sqrt(sum / (s1 - s0)).toFloat else 0f
+          w += 1
+        }
+        DecodedAudio(pcm16.getSampleRate, ch, nFrames,
+          nFrames.toDouble / pcm16.getSampleRate, out)
+      } finally raw.close()
+    }
+  }
+  object JavaSoundDecoder {
+    /** per-partition init counter, observable from local-mode specs */
+    val inits = new AtomicInteger(0)
+  }
+
+  /** Deterministic fake audio decoder — STUB for compressed formats
+    * only (MP3/AAC: no service provider in this JDK). PCM containers
+    * (WAV/AU/AIFF) decode for real via [[JavaSoundDecoder]]. */
+  final class StubAudioDecoder extends AudioDecoder {
+    def init(): Unit = StubDecoder.inits.incrementAndGet()
+    private def h32(bytes: Array[Byte], seed: Int): Int =
+      scala.util.hashing.MurmurHash3.bytesHash(bytes, seed)
+    def decodeAudio(bytes: Array[Byte], mime: String): DecodedAudio = {
+      val frames = 1000L + math.abs(h32(bytes, 5)) % 100000
+      val loud = Array.tabulate(8)(i =>
+        math.abs(h32(bytes, 20 + i)).toFloat / Int.MaxValue)
+      DecodedAudio(16000f, 1, frames, frames / 16000.0, loud)
+    }
+  }
+
   /** Deterministic fake decoder — STUB for the codecs genuinely absent
-    * from this JDK (video, audio). Dimensions and signatures are pure
-    * functions of the bytes, so specs can pin behavior and swap-in of a
-    * real decoder changes nothing structurally. For still images, use
-    * the real `ImageIODecoder` above. */
+    * from this JDK (video; compressed audio). Dimensions and signatures
+    * are pure functions of the bytes, so specs can pin behavior and
+    * swap-in of a real decoder changes nothing structurally. For still
+    * images use the real `ImageIODecoder`; for PCM audio the real
+    * `JavaSoundDecoder`. */
   final class StubDecoder extends Decoder {
     def init(): Unit = StubDecoder.inits.incrementAndGet()
     private def h32(bytes: Array[Byte], seed: Int): Int =
@@ -186,6 +270,26 @@ object Multimodal {
         }
       }
       .toDF(idCol, "width", "height", "channels", "features")
+  }
+
+  /** Audio feature extraction: (id, media, mime) → (id, sample_rate,
+    * channels, frames, duration_sec, loudness ARRAY<FLOAT>). One decoder
+    * per partition, rows streamed — same batch shape as images. */
+  def audioFeatures(df: DataFrame, idCol: String = "id",
+                    bytesCol: String = "media", mimeCol: String = "mime",
+                    decoder: AudioDecoder = new JavaSoundDecoder()): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol), col(mimeCol))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        decoder.init()
+        rows.map { case (id, bytes, mime) =>
+          val a = decoder.decodeAudio(bytes, mime)
+          (id, a.sampleRate, a.channels, a.frames, a.durationSec, a.loudness.toSeq)
+        }
+      }
+      .toDF(idCol, "sample_rate", "channels", "frames", "duration_sec", "loudness")
   }
 
   /** Video frame sampling: 1 row → N frame rows (id, frame_idx, frame).

@@ -63,6 +63,49 @@ object StoreQueries {
       .orderBy(col("id").cast("long"))
   }
 
+  /** Attachment GC under the hard signal (W8, reference
+    * attachments.js:161-195): blobs keyed by sha256 of deterministic
+    * content (`blob-<doc_id>` linked from records, `orphan-<doc_id>`
+    * never linked), one real commit, then `gc()` — the distributed
+    * anti-join of the executor-listed blob inventory against every
+    * collection's exploded `links` column. Emits the POST-GC filesystem
+    * inventory (one row per surviving blob hash) plus the deleted count,
+    * so both over- and under-deletion break the hash. The oracle
+    * re-derives the same sets relationally (DuckDB sha256 over the same
+    * content strings).
+    *
+    * Blob ingest is the reference's driver-facing upload API (blobs
+    * arrive one request at a time, attachment-controller.js) — the
+    * fixture mirrors that; the operator under test (gc) is fully
+    * distributed: executor-listed inventory, left-anti join, executor
+    * deletes. */
+  def attachmentGc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // fresh store per invocation: surviving state from a previous run
+    // (or a concurrent process) must never leak into the inventory
+    val root = java.nio.file.Files.createTempDirectory("graft-gcq").toString
+    val store = new Store(spark, root)
+    val ds = store.dataset("bench", "docs-gc").create()
+    val ids = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").cast("long")).distinct().as[Long].collect().sorted
+    val linked = ids.filter(_ % 3 != 2)
+    val orphans = ids.filter(_ % 5 == 0)
+    val urls = linked.map { id =>
+      val hex = store.attachments.write(s"blob-$id".getBytes)
+      id -> store.attachments.url(hex, "text/plain")
+    }.toMap
+    orphans.foreach(id => store.attachments.write(s"orphan-$id".getBytes))
+    val entries = spark.createDataset(linked.toSeq.map { id =>
+      (id.toString, Cbor.encode(PoObj("file" -> PoStr(urls(id)))), false)
+    }).toDF("id", "value", "tombstone")
+    ds.writeEntriesDF(entries, WriteMode.Overwrite)
+    val nDeleted = store.attachments.gc(graceMs = 0)
+    store.attachments.inventoryDF
+      .select(col("h").as("hash"))
+      .withColumn("n_deleted", lit(nDeleted))
+      .orderBy(col("hash"))
+  }
+
   /** Natural-order sort (W7, reference base-data-model.js:46): ids with
     * digit runs sort numerically via the lexicographic naturalKey
     * rewrite. The oracle re-derives the same order relationally

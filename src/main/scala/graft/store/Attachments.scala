@@ -43,8 +43,17 @@ final class AttachmentStore(store: Store) {
   }
 
   /** Store a blob, returning its hash (idempotent). Written to a temp
-    * file then atomically renamed — same commit discipline as snapshots. */
-  def write(bytes: Array[Byte]): String = {
+    * file then atomically renamed — same commit discipline as snapshots.
+    *
+    * Runs under the store's commit gate (read side): gc() holds the
+    * write side for its whole run, so a write can never interleave with
+    * a running GC. Without this, re-uploading a blob that sits on disk
+    * as an expired-hold orphan while gc() is mid-run would record its
+    * hold AFTER gc snapshotted the held set — gc would delete the file
+    * after write() returned the hash, and the subsequent commit would
+    * link a deleted blob. Concurrent writes share the read side, so
+    * uploads never serialize on each other, only against a running GC. */
+  def write(bytes: Array[Byte]): String = store.withCommitGate {
     val hex = sha256hex(bytes)
     held.put(hex, System.currentTimeMillis())
     val p = pathFor(hex)

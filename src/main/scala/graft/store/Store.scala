@@ -175,11 +175,39 @@ final class Collection(val store: Store, val path: DataPath) {
   /** S2: record ids in natural order (reference sorts meta records
     * naturally: base-data-model.js:46). Sorts on the codegen'd
     * natural_key expression — a binary-sortable key, so distributed
-    * range partitioning works on it at scale. */
+    * range partitioning works on it at scale.
+    *
+    * DRIVER-MEMORY CONTRACT: materializes every id on the driver —
+    * faithful to the reference's `list()` convenience
+    * (base-data-model.js:125-127) and fine up to millions of ids, but a
+    * billion-record collection belongs on [[listIterator]] (one
+    * partition of ids on the driver at a time) or on [[records]]
+    * directly (fully distributed). The HTTP listing route already
+    * streams via the iterator path. */
   def list(): Seq[String] = {
     graft.expressions.GraftFunctions.register(spark)
     records.select(col("id")).orderBy(expr("natural_key(id)"))
       .select("id").as[String].collect().toSeq
+  }
+
+  /** Streaming/paginated form of [[list]]: ids in natural order, pulled
+    * through `toLocalIterator` so the driver holds at most one partition
+    * — the any-scale listing path. `start` resumes from an id
+    * (inclusive, by natural order — a pager passes the last id it saw
+    * and skips one row); `limit` caps the page. The sort still runs on
+    * the cluster; pagination costs one ordered scan per page, not a
+    * driver-side collect. */
+  def listIterator(start: Option[String] = None,
+                   limit: Option[Int] = None): Iterator[String] = {
+    graft.expressions.GraftFunctions.register(spark)
+    val base = records.select(col("id"),
+      expr("natural_key(id)").as("nk"))
+    val paged = start.fold(base)(s =>
+      base.filter(col("nk") >= lit(graft.core.NaturalOrder.naturalKey(s))))
+    var it = paged.orderBy(col("nk")).select("id").as[String]
+      .toLocalIterator().asScala
+    limit.foreach(n => it = it.take(n))
+    it
   }
 
   /** S3: point lookup. The id predicate pushes to the parquet scan. */

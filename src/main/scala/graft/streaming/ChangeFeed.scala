@@ -22,11 +22,29 @@ import graft.store.{DataPath, Store}
   * One small file per commit: the file-source contract (files are
   * immutable once visible) is exactly the commit contract, and commit
   * rates are human-scale (the reference serializes commits globally).
+  *
+  * Serving-path scale: the SSE poll loop reads a bounded in-memory TAIL
+  * of recent events (fed by the same `append`), so a poll tick is O(new
+  * events) regardless of how many commits the durable log has ever
+  * accumulated — the directory is re-listed only for catch-up reads
+  * older than the buffer. N clients polling a year-old log cost nothing
+  * per tick; only genuine history replay pays the scan.
   */
-final class CommitLog(store: Store) {
+final class CommitLog(store: Store, tailCapacity: Int = CommitLog.DefaultTailCapacity) {
   private val seq = new AtomicLong(0)
 
   private def dir: Path = Paths.get(store.root, "_commits")
+
+  /** Bounded tail of recent events, newest last. Guarded by `this`. */
+  private val tail = new java.util.ArrayDeque[((Long, Long), String)]()
+
+  /** Cursor at or before which events may be MISSING from the tail
+    * (log contents predating this process + entries evicted by the
+    * capacity bound). A read from a cursor at or after this point is
+    * served entirely from the buffer; anything older falls back to the
+    * durable log scan. Initialized to the latest durable cursor so a
+    * pre-existing log counts as evicted, never as absent. */
+  private var evictedUpTo: (Long, Long) = scanLatestCursor()
 
   /** install: every commit of this store appends to the log */
   def install(): CommitLog = {
@@ -34,7 +52,11 @@ final class CommitLog(store: Store) {
     this
   }
 
-  def append(path: DataPath, version: Long): Unit = {
+  /** Append one event: durable file first (atomic rename — the file
+    * source must never see a partial file), then the in-memory tail.
+    * Synchronized so the buffer's order always agrees with (ts, seq)
+    * order — commit rates are human-scale, the lock is uncontended. */
+  def append(path: DataPath, version: Long): Unit = synchronized {
     Files.createDirectories(dir)
     val ts = System.currentTimeMillis()
     val n = seq.incrementAndGet()
@@ -42,9 +64,16 @@ final class CommitLog(store: Store) {
       s"""{"path":"${path.collectionPath}","source":"${path.source}","author":"${path.author}","name":"${path.name}","version":$version,"ts":$ts,"seq":$n}"""
     val tmp = dir.resolve(s".tmp-$ts-$n")
     Files.write(tmp, (line + "\n").getBytes(UTF_8))
-    // atomic rename: the file source must never see a partial file
-    Files.move(tmp, dir.resolve(f"commit-$ts%013d-$n%06d.json"),
+    // seq padded to 12 digits: a %06d pad silently broke lexicographic
+    // file ordering past 1e6 commits in one process; readers additionally
+    // parse (ts, seq) numerically so old 6-digit names still sort right
+    Files.move(tmp, dir.resolve(f"commit-$ts%013d-$n%012d.json"),
       StandardCopyOption.ATOMIC_MOVE)
+    tail.addLast(((ts, n), line))
+    while (tail.size > tailCapacity) {
+      val ev = tail.removeFirst()
+      if (CommitLog.cursorLt(evictedUpTo, ev._1)) evictedUpTo = ev._1
+    }
   }
 
   /** All commits so far, batch view (ordered by event file). */
@@ -74,38 +103,61 @@ final class CommitLog(store: Store) {
     eventsSinceCursor(afterTs, afterSeq).map(_._2)
 
   /** As eventsSince, but each event carries its (ts, seq) cursor so a
-    * long-lived consumer (the SSE route) can resume-poll exactly. */
-  def eventsSinceCursor(afterTs: Long, afterSeq: Long): Seq[((Long, Long), String)] =
+    * long-lived consumer (the SSE route) can resume-poll exactly.
+    * Served from the in-memory tail whenever the cursor is newer than
+    * everything evicted from it — the steady-state poll never touches
+    * the filesystem; only catch-up older than the buffer scans the log. */
+  def eventsSinceCursor(afterTs: Long, afterSeq: Long): Seq[((Long, Long), String)] = {
+    val cursor = (afterTs, afterSeq)
+    val buffered = synchronized {
+      if (!CommitLog.cursorLt(cursor, evictedUpTo))
+        Some(tail.asScala.filter(e => CommitLog.cursorLt(cursor, e._1)).toVector)
+      else None
+    }
+    buffered.getOrElse(scanSinceCursor(afterTs, afterSeq))
+  }
+
+  /** Durable-log scan fallback: numeric (ts, seq) parse + tuple sort, so
+    * ordering never depends on filename zero-padding width. */
+  private def scanSinceCursor(afterTs: Long, afterSeq: Long): Seq[((Long, Long), String)] =
     if (!Files.isDirectory(dir)) Seq.empty
     else graft.core.Fs.list(dir).iterator
-      .filter(p => p.getFileName.toString.startsWith("commit-"))
-      .toSeq.sortBy(_.getFileName.toString)
-      .flatMap { p =>
-        val name = p.getFileName.toString
-        val parts = name.stripPrefix("commit-").stripSuffix(".json").split("-")
-        val ts = parts(0).toLong
-        val seqN = parts(1).toLong
-        if (ts > afterTs || (ts == afterTs && seqN > afterSeq))
-          Some(((ts, seqN), new String(Files.readAllBytes(p), UTF_8).trim))
-        else None
-      }
+      .filter(_.getFileName.toString.startsWith("commit-"))
+      .map(p => (CommitLog.parseCursor(p.getFileName.toString), p))
+      .filter { case (c, _) => CommitLog.cursorLt((afterTs, afterSeq), c) }
+      .toSeq.sortBy(_._1)
+      .map { case (c, p) => (c, new String(Files.readAllBytes(p), UTF_8).trim) }
 
   /** The newest event's (ts, seq), or (0, -1) on an empty log — the
-    * "subscribe from now" starting cursor. */
-  def latestCursor: (Long, Long) =
+    * "subscribe from now" starting cursor. Scans the durable log (not
+    * the buffer) so it also sees commits from OTHER processes sharing
+    * the directory; called once per SSE connection, not per poll. */
+  def latestCursor: (Long, Long) = scanLatestCursor()
+
+  private def scanLatestCursor(): (Long, Long) =
     if (!Files.isDirectory(dir)) (0L, -1L)
     else {
-      val names = graft.core.Fs.list(dir).iterator
-        .map(_.getFileName.toString).filter(_.startsWith("commit-")).toSeq
-      if (names.isEmpty) (0L, -1L)
-      else {
-        val parts = names.max.stripPrefix("commit-").stripSuffix(".json").split("-")
-        (parts(0).toLong, parts(1).toLong)
-      }
+      val cursors = graft.core.Fs.list(dir).iterator
+        .map(_.getFileName.toString).filter(_.startsWith("commit-"))
+        .map(CommitLog.parseCursor).toSeq
+      if (cursors.isEmpty) (0L, -1L) else cursors.max
     }
 }
 
 object CommitLog {
+  /** Tail-buffer capacity: bounds SSE-poll memory at ~a few hundred KB
+    * while covering any realistic poll gap (50 ms ticks vs human-scale
+    * commit rates). */
+  val DefaultTailCapacity: Int = 4096
+
+  private[streaming] def parseCursor(name: String): (Long, Long) = {
+    val parts = name.stripPrefix("commit-").stripSuffix(".json").split("-")
+    (parts(0).toLong, parts(1).toLong)
+  }
+
+  private[streaming] def cursorLt(a: (Long, Long), b: (Long, Long)): Boolean =
+    a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+
   val schema: StructType = StructType(Seq(
     StructField("path", StringType), StructField("source", StringType),
     StructField("author", StringType), StructField("name", StringType),

@@ -6,10 +6,63 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestBase
 
 /** Multimodal plumbing: schema, batch shape, partitioning — real; image
-  * decode is REAL too (ImageIODecoder over javax.imageio); only
-  * video/audio use the documented STUB. */
+  * decode (ImageIODecoder over javax.imageio) and PCM audio decode
+  * (JavaSoundDecoder over javax.sound.sampled) are REAL too; only
+  * video and compressed audio use the documented STUB. */
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
+
+  /** Encode `seconds` of a mono `hz` sine at `rate`, amplitude `amp`,
+    * as a 16-bit PCM WAV via javax.sound.sampled. */
+  private def wav(hz: Double, seconds: Double, rate: Float = 8000f,
+                  amp: Double = 0.5): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val n = (rate * seconds).toInt
+    val data = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v = (math.sin(2 * math.Pi * hz * i / rate) * amp * 32767).toInt
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate, 16, 1, 2, rate, false)
+    val in = new AudioInputStream(new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val buf = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, buf)
+    buf.toByteArray
+  }
+
+  test("JavaSoundDecoder: real WAV decode through the Spark pipeline") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, wav(440, 1.0), "audio/wav"),            // 1 s of tone
+      (2L, wav(440, 0.5, amp = 0.0), "audio/wav")) // 0.5 s of silence
+      .toDF("id", "media", "mime").repartition(2)
+    val out = Multimodal.audioFeatures(df).collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(1L).getAs[Float]("sample_rate") == 8000f)
+    assert(out(1L).getAs[Int]("channels") == 1)
+    assert(out(1L).getAs[Long]("frames") == 8000L)
+    assert(math.abs(out(1L).getAs[Double]("duration_sec") - 1.0) < 1e-9)
+    // loudness fingerprint: a 0.5-amplitude sine has RMS 0.5/√2 ≈ 0.354
+    val loud = out(1L).getSeq[Float](out(1L).fieldIndex("loudness"))
+    assert(loud.length == 8)
+    loud.foreach(v => assert(math.abs(v - 0.5 / math.sqrt(2)) < 0.01))
+    // silence decodes to ~zero RMS in every window
+    val quiet = out(2L).getSeq[Float](out(2L).fieldIndex("loudness"))
+    assert(math.abs(out(2L).getAs[Double]("duration_sec") - 0.5) < 1e-9)
+    quiet.foreach(v => assert(v < 1e-4))
+  }
+
+  test("JavaSoundDecoder inits once per partition; rejects non-audio bytes") {
+    import spark.implicits._
+    Multimodal.JavaSoundDecoder.inits.set(0)
+    val df = (0 until 8).map(i => (i.toLong, wav(200 + 50 * i, 0.1), "audio/wav"))
+      .toDF("id", "media", "mime").repartition(4)
+    assert(Multimodal.audioFeatures(df).count() == 8)
+    assert(Multimodal.JavaSoundDecoder.inits.get == 4)
+    val junk = new Multimodal.JavaSoundDecoder()
+    intercept[Exception](junk.decodeAudio("not audio".getBytes, "audio/wav"))
+  }
 
   /** Encode a w×h image, left half red / right half blue, via ImageIO. */
   private def png(w: Int, h: Int, format: String = "png"): Array[Byte] = {

@@ -49,6 +49,32 @@ class AttachmentsSpec extends AnyFunSuite {
     assert(!s.attachments.has(uploaded))
   }
 
+  test("GC hold race closed: write() serializes against a running gc() via the commit gate") {
+    val s = freshStore()
+    // take the gate's write side (what gc() holds for its whole run)
+    val gcSide = s.gcGate.writeLock()
+    gcSide.lock()
+    val done = new java.util.concurrent.CountDownLatch(1)
+    @volatile var hex: String = null
+    val writer = new Thread(() => {
+      hex = s.attachments.write("raced upload".getBytes)
+      done.countDown()
+    })
+    writer.start()
+    try {
+      // while "gc" runs, the write must block — it cannot record its
+      // hold after gc snapshotted the held set and still land on disk
+      assert(!done.await(300, java.util.concurrent.TimeUnit.MILLISECONDS),
+        "write() must not complete while the gc gate is held")
+    } finally gcSide.unlock()
+    assert(done.await(5, java.util.concurrent.TimeUnit.SECONDS),
+      "write() must proceed once gc releases the gate")
+    assert(s.attachments.has(hex))
+    // and the fresh hold now protects the blob from the next gc cycle
+    assert(s.attachments.gc() == 0)
+    assert(s.attachments.has(hex))
+  }
+
   test("cid: rewrite resolves uploads to hash URLs; missing cid rejects (W9)") {
     val s = freshStore()
     val hex = s.attachments.write("uploaded".getBytes)

@@ -65,4 +65,34 @@ class ImportEphemeralSpec extends AnyFunSuite {
     // the throwaway lens is gone
     assert(!s.lens("system", "ephemeral-test1").exists)
   }
+
+  test("ephemeral lens streams lazily: frames identical to run(), teardown after consume (3.3)") {
+    val s = freshStore()
+    val d = s.dataset("system", "stream-dataset").create()
+    d.writeEntries(Seq(
+      WriteEntry("abc", Some(PoObj("tags" -> PoArr(Vector(PoStr("cat"), PoStr("dog")))))),
+      WriteEntry("def", Some(PoObj("tags" -> PoArr(Vector(PoStr("dog"))),
+        "log" -> PoStr("hi"))))), WriteMode.Merge)
+    val inputs = Seq(DataPath("datasets", "system", "stream-dataset"))
+
+    val eager = EphemeralLens.run(s, inputs, TagIndexFn, suffix = "eager1")
+    // streaming variant produces the exact same framing, lazily: the
+    // consume callback receives an Iterator (not a materialized Seq) and
+    // the lens output is still live mid-stream — frames are being pulled
+    // through toLocalIterator, not from a pre-collected buffer.
+    val streamed = EphemeralLens.stream(s, inputs, TagIndexFn, suffix = "lazy1") { it =>
+      val first = it.next()
+      assert(s.lens("system", "ephemeral-lazy1").exists,
+        "lens output must be live while frames stream")
+      first +: it.toVector
+    }
+    assert(streamed == eager)
+    assert(!s.lens("system", "ephemeral-lazy1").exists)
+
+    // partial consumption still tears the lens down (the serving path's
+    // client-disconnect case)
+    val partial = EphemeralLens.stream(s, inputs, TagIndexFn, suffix = "lazy2")(_.take(1).toVector)
+    assert(partial == eager.take(1))
+    assert(!s.lens("system", "ephemeral-lazy2").exists)
+  }
 }

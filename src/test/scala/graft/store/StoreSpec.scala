@@ -91,6 +91,19 @@ class StoreSpec extends AnyFunSuite {
     assert(c.list() == Seq("r1", "r2", "r03", "r10", "x"))
   }
 
+  test("listIterator streams ids in natural order with start/limit pagination (S2)") {
+    val c = freshStore().dataset("alice", "d7b").create()
+    Seq("r10", "r2", "r1", "x", "r03").foreach(id => c.write(id, PoInt(1)))
+    assert(c.listIterator().toSeq == c.list())
+    // page 1, then resume from the last id seen (inclusive → drop 1)
+    val page1 = c.listIterator(limit = Some(2)).toSeq
+    assert(page1 == Seq("r1", "r2"))
+    val page2 = c.listIterator(start = Some(page1.last)).drop(1).take(2).toSeq
+    assert(page2 == Seq("r03", "r10"))
+    val page3 = c.listIterator(start = Some(page2.last)).drop(1).toSeq
+    assert(page3 == Seq("x"))
+  }
+
   test("links column is populated from hash URLs in values (blob present)") {
     val s = freshStore()
     val c = s.dataset("alice", "d8").create()

@@ -100,4 +100,59 @@ class ChangeFeedSpec extends AnyFunSuite {
     val (lastTs, _) = cursor(all.last)
     assert(log.eventsSince(lastTs).nonEmpty)
   }
+
+  test("SSE poll ticks read the in-memory tail, never re-listing _commits/") {
+    val s = freshStore()
+    val log = new CommitLog(s).install()
+    val d = s.dataset("a", "tail").create()
+    d.write("r1", PoInt(1))
+    d.write("r2", PoInt(2))
+    val (ts, seq) = log.latestCursor // one scan per connection, at connect
+    val before = Fs.listCalls.get()
+    // steady-state poll loop: many ticks, zero directory lists
+    (1 to 50).foreach { _ =>
+      assert(log.eventsSinceCursor(ts, seq).isEmpty)
+    }
+    assert(Fs.listCalls.get() == before, "an up-to-date poll tick must not list the log dir")
+    // a new commit is delivered from the buffer — still no list by the
+    // POLL (the commit itself lists snapshot dirs; re-snapshot after it)
+    d.write("r3", PoInt(3))
+    val afterCommit = Fs.listCalls.get()
+    val fresh = log.eventsSinceCursor(ts, seq)
+    assert(fresh.map(_._2).exists(_.contains("\"version\":3")))
+    assert(Fs.listCalls.get() == afterCommit, "delivery from the tail buffer must not list the log dir")
+    // catch-up from the beginning still works (scan fallback allowed)
+    assert(log.eventsSince(0L).length == 3)
+  }
+
+  test("tail eviction: reads older than the buffer fall back to the durable log") {
+    val s = freshStore()
+    val log = new CommitLog(s, tailCapacity = 4)
+    val p = graft.store.DataPath("datasets", "a", "evict")
+    (1 to 10).foreach(v => log.append(p, v.toLong))
+    // cursor 0 predates the (evicted) buffer: served by scan, complete + ordered
+    val all = log.eventsSince(0L)
+    assert(all.length == 10)
+    def version(ev: String): Long =
+      """"version":(\d+)""".r.findFirstMatchIn(ev).get.group(1).toLong
+    assert(all.map(version) == (1L to 10L))
+    // a cursor inside the retained tail serves from the buffer
+    val lastFour = log.eventsSinceCursor(0L, -1L).drop(6)
+    val (ts6, seq6) = log.eventsSinceCursor(0L, -1L).apply(5)._1
+    val before = Fs.listCalls.get()
+    assert(log.eventsSinceCursor(ts6, seq6).map(_._2) == lastFour.map(_._2))
+    assert(Fs.listCalls.get() == before)
+  }
+
+  test("a log created over a pre-existing directory treats history as catch-up") {
+    val s = freshStore()
+    val log1 = new CommitLog(s)
+    val p = graft.store.DataPath("datasets", "a", "pre")
+    (1 to 3).foreach(v => log1.append(p, v.toLong))
+    // fresh CommitLog instance over the same store: its empty buffer must
+    // not shadow the durable history
+    val log2 = new CommitLog(s)
+    assert(log2.eventsSince(0L).length == 3)
+    assert(log2.latestCursor == log1.latestCursor)
+  }
 }
