@@ -20,6 +20,10 @@ import graft.store._
   * call into the engine API, so the server adds no semantics of its own.
   *
   * Routes (reference counterpart in parens):
+  *   GET    /{datasets|lenses}/                        author→collections listing (dataset-controller:18, lens-controller:120)
+  *   GET    /{datasets|lenses}/A:                      one author's collections (dataset-controller:34, lens-controller:135)
+  *   GET    /{datasets|lenses}/A:N/                    collection meta (dataset-controller:63)
+  *   DELETE /{datasets|lenses}/A:N/                    drop collection (dataset-controller:79, lens-controller:115)
   *   GET    /{datasets|lenses}/A:N/records/           record listing (dataset-controller:156)
   *   GET    /{datasets|lenses|meta}/A:N/records/R[.ext] read one (as ext codec)
   *   PUT    /datasets/A:N/records/R                    write (body by Content-Type)
@@ -28,11 +32,16 @@ import graft.store._
   *   GET    /{datasets|lenses}/A:N/export/flat-file.ext[?at=V]  flat export
   *   GET    /{datasets|lenses}/A:N/export/archive.zip[?format=&attachments=]  zip export (export-controller:43)
   *   PUT    /datasets/A:N/import[?filename=|?overwrite=]  file import (dataset-controller:249)
+  *   GET    /attachments/HEX[?type=mime]               blob serving (attachment-controller:7)
+  *   GET    /attachments/HEX/meta                      blob meta + linkers (attachment-controller:17)
+  *   GET    /lenses/A:N/configuration                  read-only lens config (lens-controller:61)
+  *   GET    /lenses/A:N/logs                           last-build logs (lens-controller:105)
   *   GET    /{datasets|lenses|meta}/A:N/event-stream    live SSE push (export-controller:153)
   *   GET    /changes?since=ts[&seq=n]                  SSE catch-up events
   * Ephemeral lenses need a map FUNCTION, which HTTP can't carry without
   * a JS engine (absent in this container) — exposed on the Scala API
-  * (EphemeralLens) instead.
+  * (EphemeralLens.stream) instead. Lens configuration is read-only over
+  * HTTP for the same reason (the PUT body is map code).
   */
 final class HttpApi(store: Store, port: Int = 0) {
 
@@ -65,6 +74,13 @@ final class HttpApi(store: Store, port: Int = 0) {
   private val ZipExportPat = "^/(datasets|lenses)/([^:/]+):([^:/]+)/export/archive\\.zip$".r
   private val ImportPat = "^/datasets/([^:/]+):([^:/]+)/import$".r
   private val EventStreamPat = "^/(datasets|lenses|meta)/([^:/]+):([^:/]+)/event-stream$".r
+  private val SourceListPat = "^/(datasets|lenses)/$".r
+  private val AuthorListPat = "^/(datasets|lenses)/([^:/]+):$".r
+  private val CollectionPat = "^/(datasets|lenses)/([^:/]+):([^:/]+)/$".r
+  private val AttachmentPat = "^/attachments/([0-9a-fA-F]{64})$".r
+  private val AttachmentMetaPat = "^/attachments/([0-9a-fA-F]{64})/meta$".r
+  private val LensConfigPat = "^/lenses/([^:/]+):([^:/]+)/configuration$".r
+  private val LensLogsPat = "^/lenses/([^:/]+):([^:/]+)/logs$".r
 
   private def route(ex: HttpExchange): Unit = {
     val path = ex.getRequestURI.getPath
@@ -93,12 +109,16 @@ final class HttpApi(store: Store, port: Int = 0) {
         import scala.jdk.CollectionConverters._
         var it = page.orderBy(col("nk")).toLocalIterator().asScala
         limit.foreach(n => it = it.take(n))
+        // force the FIRST row before committing the 200: a planning or
+        // early-execution failure must surface as a 500, not a truncated
+        // 200 body (headers cannot be unsent)
+        val head = if (it.hasNext) Some(it.next()) else None
         ex.getResponseHeaders.set("Content-Type", mimeFor("json"))
         ex.sendResponseHeaders(200, 0)
         val out: OutputStream = ex.getResponseBody
         out.write('{')
         var first = true
-        it.foreach { r =>
+        def emit(r: org.apache.spark.sql.Row): Unit = {
           if (!first) out.write(',')
           first = false
           val entry = JsonCodec.encodeString(PoStr(r.getString(0))) + ":" +
@@ -106,8 +126,11 @@ final class HttpApi(store: Store, port: Int = 0) {
               "version" -> PoInt(r.getLong(1)), "hash" -> PoStr(r.getString(2))))
           out.write(entry.getBytes(UTF_8))
         }
-        out.write('}')
-        out.close()
+        // a MID-stream failure (executor loss, query error) can no longer
+        // become a 400/500 — abort without the closing brace so the body
+        // is not valid JSON, never a silently-complete 200
+        try { head.foreach(emit); it.foreach(emit); out.write('}') }
+        finally out.close()
       case ("GET", RecordPat(source, author, name, rid, _, ext)) =>
         val p = DataPath(source, author, name, Some(rid))
         val v = ReadPath.readRecord(store, p)
@@ -140,11 +163,15 @@ final class HttpApi(store: Store, port: Int = 0) {
         val at = q.collectFirst { case kv if kv.startsWith("at=") => kv.drop(3).toLong }
         val after = q.collectFirst { case kv if kv.startsWith("after=") => kv.drop(6).toLong }
         val chunks = Export.flatFile(store, p, ext, at, after)
+        // same pre-headers discipline as the records listing: pull the
+        // first chunk (runs planning + the first partition) before the
+        // 200 commits; abort mid-stream rather than fake completeness
+        val headChunk = if (chunks.hasNext) Some(chunks.next()) else None
         ex.getResponseHeaders.set("Content-Type", mimeFor(ext))
         ex.sendResponseHeaders(200, 0)
         val out: OutputStream = ex.getResponseBody
-        chunks.foreach(out.write)
-        out.close()
+        try { headChunk.foreach(out.write); chunks.foreach(out.write) }
+        finally out.close()
       case ("PUT", ImportPat(author, name)) =>
         // File import (dataset-controller.js:249-298). Two modes, both
         // through Import so codec/validation/versioning apply:
@@ -239,6 +266,111 @@ final class HttpApi(store: Store, port: Int = 0) {
           // client went away (write failed) or server shut down
           case _: java.io.IOException | _: InterruptedException => ()
         }
+      case ("GET", SourceListPat(source)) =>
+        // {author: [collections]}, only authors with ≥1 collection
+        // (dataset-controller.js:18-31, lens-controller.js:120-133)
+        val listing = store.listAuthors(source).flatMap { a =>
+          val cs = store.listCollections(source, a)
+          if (cs.isEmpty) None
+          else Some(a -> PoArr(cs.map(PoStr.apply).toVector))
+        }
+        respondValue(ex, 200,
+          PoObj(scala.collection.immutable.VectorMap.from(listing)), "json")
+      case ("GET", AuthorListPat(source, author)) =>
+        // one author's collections as an array (dataset-controller.js:34,
+        // lens-controller.js:135)
+        respondValue(ex, 200,
+          PoArr(store.listCollections(source, author).map(PoStr.apply).toVector), "json")
+      case ("GET", CollectionPat(source, author, name)) =>
+        // collection meta (dataset-controller.js:63-77 readMeta framing)
+        val c = store.collection(DataPath(source, author, name))
+        if (!c.exists) return respond(ex, 404, "no such collection")
+        val m = c.meta
+        respondValue(ex, 200, PoObj(
+          "author" -> PoStr(author), "name" -> PoStr(name),
+          "version" -> PoInt(m.version), "created" -> PoInt(m.created),
+          "updated" -> PoInt(m.updated), "memo" -> PoStr(m.memo)), "json")
+      case ("DELETE", CollectionPat(source, author, name)) =>
+        // drop whole collection (dataset-controller.js:79-87,
+        // lens-controller.js:115-118) — 204, like the reference
+        val c = store.collection(DataPath(source, author, name))
+        if (!c.exists) return respond(ex, 404, "no such collection")
+        c.drop()
+        respond(ex, 204, "")
+      case ("GET", AttachmentPat(hex)) =>
+        // content-addressed blob serving (attachment-controller.js:7-15):
+        // immutable by construction, so cache forever; ?type= names the
+        // mime (the hash:// URL carries it), sandboxed CSP like upstream
+        store.attachments.read(hex.toLowerCase) match {
+          case None => respond(ex, 404, "no such attachment")
+          case Some(bytes) =>
+            val mime = queryParams(ex).getOrElse("type", "application/octet-stream")
+            ex.getResponseHeaders.set("Content-Type", mime)
+            ex.getResponseHeaders.set("Cache-Control",
+              "public, max-age=31536000, immutable")
+            ex.getResponseHeaders.set("Content-Security-Policy", "sandbox")
+            ex.sendResponseHeaders(200, bytes.length.toLong)
+            ex.getResponseBody.write(bytes)
+        }
+      case ("GET", AttachmentMetaPat(hex)) =>
+        // blob meta (attachment-controller.js:17-20): size/updated from
+        // the store, linkers DERIVED from the links column (column-pruned
+        // scan; can't drift from the records the way a side meta store can)
+        store.attachments.stat(hex.toLowerCase) match {
+          case None => respond(ex, 404, "no such attachment")
+          case Some((size, mtime)) =>
+            val linkers = store.attachments.linkers(hex.toLowerCase)
+            respondValue(ex, 200, PoObj(
+              "hash" -> PoStr(hex.toLowerCase), "size" -> PoInt(size),
+              "updated" -> PoInt(mtime),
+              "linkers" -> PoArr(linkers.map(PoStr.apply).toVector)), "json")
+        }
+      case ("GET", LensConfigPat(author, name)) =>
+        // read-only lens configuration (lens-controller.js:61-75); the
+        // PUT side needs a map-code body → JS engine, see class scaladoc
+        graft.lens.Lens.configOf(store, author, name) match {
+          case None => respond(ex, 404, "no such lens")
+          case Some(cfg) =>
+            ex.getResponseHeaders.set("X-Version",
+              store.lens(author, name).meta.version.toString)
+            respondValue(ex, 200, cfg, "json")
+        }
+      case ("GET", LensLogsPat(author, name)) =>
+        // last-build logs (lens-controller.js:105-113), streamed with
+        // the same pre-headers / abort-mid-stream discipline as listings
+        if (!store.lens(author, name).exists)
+          return respond(ex, 404, "no such lens")
+        import scala.jdk.CollectionConverters._
+        val it = graft.lens.Lens.logsOf(store, author, name)
+          .toLocalIterator().asScala.map { r =>
+            val body: Vector[(String, PoValue)] =
+              Vector("path" -> PoStr(r.getAs[String]("path"))) ++
+                (r.getAs[String]("kind") match {
+                  case "log" =>
+                    Vector("type" -> PoStr(r.getAs[String]("logKind")),
+                      "args" -> PoArr(Option(r.getAs[Seq[String]]("logArgs"))
+                        .getOrElse(Seq.empty).map(PoStr.apply).toVector))
+                  case _ =>
+                    Vector("type" -> PoStr("error"),
+                      "error" -> PoObj(
+                        "type" -> PoStr(r.getAs[String]("errType")),
+                        "message" -> PoStr(r.getAs[String]("errMsg"))))
+                })
+            PoObj(scala.collection.immutable.VectorMap.from(body))
+          }
+        val head = if (it.hasNext) Some(it.next()) else None
+        ex.getResponseHeaders.set("Content-Type", mimeFor("json"))
+        ex.sendResponseHeaders(200, 0)
+        val out: OutputStream = ex.getResponseBody
+        out.write('[')
+        var first = true
+        def emit(v: PoValue): Unit = {
+          if (!first) out.write(',')
+          first = false
+          out.write(JsonCodec.encodeString(v).getBytes(UTF_8))
+        }
+        try { head.foreach(emit); it.foreach(emit); out.write(']') }
+        finally out.close()
       case ("GET", "/changes") =>
         // ?since=ts[&seq=n]: full-cursor resume is exact; ts-only resume
         // re-delivers that millisecond (at-least-once) rather than

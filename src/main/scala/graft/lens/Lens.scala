@@ -59,20 +59,27 @@ final class Lens(val store: Store, val author: String, val name: String,
   val path: DataPath = DataPath("lenses", author, name)
   def output: Collection = store.collection(path)
 
-  def create(): Lens = { output.create(); this }
+  /** Creates the output collection AND persists the lens configuration
+    * (inputs, map type) next to it, so the read-only configuration
+    * surface (reference: lens-controller.js:61-75 readMeta) works from
+    * any process — not just the one holding this Lens instance. */
+  def create(): Lens = {
+    output.create()
+    val cfg = graft.core.PoObj(
+      "mapType" -> graft.core.PoStr("scala"),
+      "fn" -> graft.core.PoStr(fn.getClass.getName),
+      "inputs" -> graft.core.PoArr(
+        inputs.map(p => graft.core.PoStr(p.collectionPath)).toVector))
+    Files.write(store.dir(path).resolve("lens.json"),
+      graft.codec.JsonCodec.encode(cfg))
+    this
+  }
   def exists: Boolean = output.exists
 
   /** Per-input logs and captured errors of the last build
     * (reference: lens.js:87-92 iterateLogs). Columns:
     * path, kind, logKind, logArgs, errType, errMsg. */
-  def logs: DataFrame = {
-    val spark = store.spark
-    val cols = Seq("path", "kind", "logKind", "logArgs", "errType", "errMsg")
-    if (Files.isDirectory(logsDirPath))
-      spark.read.parquet(logsDirPath.toString).select(cols.map(col): _*)
-    else spark.emptyDataset(org.apache.spark.sql.Encoders.product[BuildEmit])
-      .toDF().select(cols.map(col): _*)
-  }
+  def logs: DataFrame = Lens.logsOf(store, author, name)
 
   /** Incremental build (SURVEY §2.6): unchanged input records reuse the
     * compute cache; only fresh/new records re-map; deleted inputs drop
@@ -89,13 +96,43 @@ final class Lens(val store: Store, val author: String, val name: String,
   private[lens] def logsDirPath: Path = store.dir(path).resolve("logs")
 }
 
+object Lens {
+  /** Persisted lens configuration by path (read-only surface for the
+    * HTTP facade; written by [[Lens.create]]). */
+  def configOf(store: Store, author: String, name: String): Option[graft.core.PoValue] = {
+    val f = store.dir(DataPath("lenses", author, name)).resolve("lens.json")
+    if (Files.exists(f))
+      Some(graft.codec.JsonCodec.decode(Files.readAllBytes(f)))
+    else None
+  }
+
+  /** Last-build logs by path (reference: lens.js:87-92 iterateLogs),
+    * without needing the original Lens instance — the logs parquet is
+    * self-describing. Columns: path, kind, logKind, logArgs, errType,
+    * errMsg. */
+  def logsOf(store: Store, author: String, name: String): DataFrame = {
+    val dir = store.dir(DataPath("lenses", author, name)).resolve("logs")
+    val spark = store.spark
+    val cols = Seq("path", "kind", "logKind", "logArgs", "errType", "errMsg")
+    if (Files.isDirectory(dir))
+      spark.read.parquet(dir.toString).select(cols.map(org.apache.spark.sql.functions.col): _*)
+    else spark.emptyDataset(org.apache.spark.sql.Encoders.product[BuildEmit])
+      .toDF().select(cols.map(org.apache.spark.sql.functions.col): _*)
+  }
+}
+
 /** The change-feed cascade (reference: update-events.js:7-14 +
   * lens.js:351-367): registered lenses rebuild incrementally whenever a
   * collection they read commits; their own commits re-enter the bus, so
-  * lens-on-lens DAGs settle in topological waves. Rebuilds are
-  * serialized (the reference holds a global lock) and self-cycles are
-  * guarded by an in-progress set. */
-final class LensHub(store: Store) {
+  * lens-on-lens DAGs settle in topological waves. By default rebuilds
+  * serialize (faithful to the reference's global lock); with
+  * `parallelCascade` the independent lenses of one wave — same DAG
+  * depth, disjoint outputs — rebuild CONCURRENTLY: per-collection commit
+  * locks and the gc gate already make concurrent commits safe, and on a
+  * cluster N independent lens builds are N independent Spark job chains
+  * that have no business queueing on one driver thread. Self-cycles are
+  * guarded by an in-progress set either way. */
+final class LensHub(store: Store, parallelCascade: Boolean = false) {
   private val lenses = scala.collection.mutable.LinkedHashMap[String, Lens]()
   private val building = scala.collection.mutable.Set[String]()
 
@@ -109,13 +146,32 @@ final class LensHub(store: Store) {
     val dependents = synchronized {
       lenses.values.filter(_.inputs.exists(_.collectionPath == p.collectionPath)).toSeq
     }
-    dependents.foreach { l =>
+    val claimed = dependents.filter { l =>
       val key = l.path.collectionPath
-      val go = synchronized {
+      synchronized {
         if (building(key)) false else { building += key; true }
       }
-      if (go) try l.build() finally synchronized { building -= key }
     }
+    def run(l: Lens): Unit =
+      try l.build()
+      finally synchronized { building -= l.path.collectionPath }
+    if (parallelCascade && claimed.size > 1) {
+      // one wave = one thread per build (commit rates are human-scale;
+      // the heavy lifting inside each build is Spark jobs, which stay
+      // fully parallel regardless). Each build's own commit re-enters
+      // the bus from its thread, so deeper waves recurse naturally.
+      // First failure propagates to the committing writer, like the
+      // serial path.
+      val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val threads = claimed.map { l =>
+        val t = new Thread(() =>
+          try run(l)
+          catch { case e: Throwable => failure.compareAndSet(null, e) })
+        t.start(); t
+      }
+      threads.foreach(_.join())
+      if (failure.get() != null) throw failure.get()
+    } else claimed.foreach(run)
   }
 }
 

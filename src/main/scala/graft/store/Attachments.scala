@@ -71,6 +71,36 @@ final class AttachmentStore(store: Store) {
   def read(hex: String): Option[Array[Byte]] =
     if (has(hex)) Some(Files.readAllBytes(pathFor(hex))) else None
 
+  /** Blob size + storage timestamp, if present (the cheap half of the
+    * reference's attachment meta, attachments.js:58-63). */
+  def stat(hex: String): Option[(Long, Long)] = {
+    val p = pathFor(hex)
+    if (!Files.exists(p)) None
+    else Some((Files.size(p), Files.getLastModifiedTime(p).toMillis))
+  }
+
+  /** Record paths linking a blob (the reference meta's `linkers`,
+    * attachments.js:58-63 — it maintains them incrementally; here they
+    * are DERIVED from the links column, so they can never drift from the
+    * records). One column-pruned scan of every collection's `links`,
+    * filtered executor-side; the collect is bounded by the blob's actual
+    * linker count. An admin/debug query, not a hot serving path. */
+  def linkers(hex: String): Seq[String] = {
+    val spark = store.spark
+    import spark.implicits._
+    val collections = for {
+      source <- Seq("datasets", "lenses")
+      author <- store.listAuthors(source)
+      name <- store.listCollections(source, author)
+    } yield store.collection(source, author, name)
+    collections.flatMap { c =>
+      c.toDF.select(col("id"), explode(col("links")).as("l"))
+        .filter(col("l").contains(hex))
+        .select("id").as[String].collect()
+        .map(id => s"${c.path.collectionPath}/records/$id")
+    }.sorted
+  }
+
   /** The canonical URL form for a stored blob. */
   def url(hex: String, mime: String): String =
     s"hash://sha256/$hex?type=${URLEncoder.encode(mime, "UTF-8")}"

@@ -228,6 +228,105 @@ class HttpApiSpec extends AnyFunSuite {
     }
   }
 
+  test("collection listings, meta, and DELETE round-trip (dataset/lens controllers)") {
+    withApi { (base, c) =>
+      val store2ndAuthor = get(c, s"$base/datasets/")
+      assert(store2ndAuthor.statusCode == 200)
+      assert(JsonCodec.decodeString(store2ndAuthor.body) ==
+        PoObj("alice" -> PoArr(Vector(PoStr("d1")))))
+      assert(JsonCodec.decodeString(get(c, s"$base/datasets/alice:").body) ==
+        PoArr(Vector(PoStr("d1"))))
+      assert(JsonCodec.decodeString(get(c, s"$base/lenses/").body) == PoObj())
+      // collection meta framing: author, name, version, timestamps, memo
+      val meta = JsonCodec.decodeString(get(c, s"$base/datasets/alice:d1/").body)
+        .asInstanceOf[PoObj].fields
+      assert(meta("author") == PoStr("alice") && meta("name") == PoStr("d1"))
+      assert(meta("version") == PoInt(0))
+      assert(get(c, s"$base/datasets/alice:gone/").statusCode == 404)
+      // DELETE drops the collection; subsequent reads 404
+      val del = c.send(HttpRequest.newBuilder(URI.create(s"$base/datasets/alice:d1/"))
+        .DELETE.build(), HttpResponse.BodyHandlers.ofString())
+      assert(del.statusCode == 204)
+      assert(get(c, s"$base/datasets/alice:d1/").statusCode == 404)
+      assert(JsonCodec.decodeString(get(c, s"$base/datasets/").body) == PoObj())
+    }
+  }
+
+  test("attachment serving + meta with derived linkers") {
+    val store = new Store(SparkTestBase.spark,
+      Files.createTempDirectory("graft-http2").toString)
+    store.dataset("alice", "d1").create()
+    val api = new HttpApi(store).start()
+    try {
+      val c = HttpClient.newHttpClient()
+      val base = s"http://127.0.0.1:${api.boundPort}"
+      val bytes = "attachment body".getBytes("UTF-8")
+      val hex = store.attachments.write(bytes)
+      val url = store.attachments.url(hex, "text/plain")
+      store.dataset("alice", "d1").write("r1", PoObj("file" -> PoStr(url)))
+      // serving: bytes + immutable caching + mime from ?type=
+      val got = c.send(HttpRequest.newBuilder(
+        URI.create(s"$base/attachments/$hex?type=text/plain")).GET.build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(got.statusCode == 200)
+      assert(got.body.sameElements(bytes))
+      assert(got.headers.firstValue("Content-Type").get == "text/plain")
+      assert(got.headers.firstValue("Cache-Control").get.contains("immutable"))
+      // meta: size + linkers derived from the links column
+      val meta = JsonCodec.decodeString(c.send(HttpRequest.newBuilder(
+        URI.create(s"$base/attachments/$hex/meta")).GET.build(),
+        HttpResponse.BodyHandlers.ofString()).body).asInstanceOf[PoObj].fields
+      assert(meta("hash") == PoStr(hex))
+      assert(meta("size") == PoInt(bytes.length.toLong))
+      assert(meta("linkers") ==
+        PoArr(Vector(PoStr("/datasets/alice:d1/records/r1"))))
+      // absent blob → 404 on both routes
+      assert(c.send(HttpRequest.newBuilder(
+        URI.create(s"$base/attachments/${"0" * 64}")).GET.build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode == 404)
+      assert(c.send(HttpRequest.newBuilder(
+        URI.create(s"$base/attachments/${"0" * 64}/meta")).GET.build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode == 404)
+    } finally api.stop()
+  }
+
+  test("lens configuration and logs are readable over HTTP") {
+    val store = new Store(SparkTestBase.spark,
+      Files.createTempDirectory("graft-http3").toString)
+    val d = store.dataset("alice", "base").create()
+    d.write("r1", PoObj("tags" -> PoArr(Vector(PoStr("t1")))))
+    val lens = new graft.lens.Lens(store, "alice", "idx",
+      Seq(graft.store.DataPath("datasets", "alice", "base")),
+      new graft.lens.MapFn {
+        def map(ctx: graft.lens.MapContext): Unit = {
+          ctx.log("mapped", ctx.path.recordID)
+          ctx.output("n", PoInt(1))
+        }
+      }).create()
+    lens.build()
+    val api = new HttpApi(store).start()
+    try {
+      val c = HttpClient.newHttpClient()
+      val base = s"http://127.0.0.1:${api.boundPort}"
+      val cfgRes = c.send(HttpRequest.newBuilder(
+        URI.create(s"$base/lenses/alice:idx/configuration")).GET.build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(cfgRes.statusCode == 200)
+      assert(cfgRes.headers.firstValue("X-Version").get == "1")
+      val cfg = JsonCodec.decodeString(cfgRes.body).asInstanceOf[PoObj].fields
+      assert(cfg("mapType") == PoStr("scala"))
+      assert(cfg("inputs") == PoArr(Vector(PoStr("/datasets/alice:base"))))
+      val logs = JsonCodec.decodeString(
+        get(c, s"$base/lenses/alice:idx/logs").body).asInstanceOf[PoArr].items
+      assert(logs.nonEmpty)
+      val l0 = logs.head.asInstanceOf[PoObj].fields
+      assert(l0("type") == PoStr("log"))
+      assert(l0("args").asInstanceOf[PoArr].items.contains(PoStr("mapped")))
+      assert(get(c, s"$base/lenses/alice:gone/configuration").statusCode == 404)
+      assert(get(c, s"$base/lenses/alice:gone/logs").statusCode == 404)
+    } finally api.stop()
+  }
+
   test("errors: 404 unknown route/collection, 400 bad body") {
     withApi { (base, c) =>
       assert(get(c, s"$base/nope").statusCode == 404)

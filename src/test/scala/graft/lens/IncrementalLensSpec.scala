@@ -127,4 +127,56 @@ class IncrementalLensSpec extends AnyFunSuite {
     d.write("z", doc("mango"))
     assert(countLens.output.read("n").get == PoInt(3))
   }
+
+  test("parallel cascade: independent lenses of one wave rebuild concurrently") {
+    val store = freshStore()
+    val hub = new LensHub(store, parallelCascade = true)
+    val d = store.dataset("a", "pbase").create()
+    CascadeProbe.reset()
+    val la = hub.register(new Lens(store, "a", "pl1",
+      Seq(DataPath("datasets", "a", "pbase")), new CascadeProbeFn("A")).create())
+    val lb = hub.register(new Lens(store, "a", "pl2",
+      Seq(DataPath("datasets", "a", "pbase")), new CascadeProbeFn("B")).create())
+
+    d.write("x", PoInt(1)) // one commit → one wave of two independent builds
+    assert(!CascadeProbe.sawTimeout.get,
+      "both builds' map stages must be in flight at once — a serial " +
+        "cascade leaves the first map waiting on the rendezvous until timeout")
+    assert(la.output.read("A").get == PoInt(1))
+    assert(lb.output.read("B").get == PoInt(1))
+
+    // serial hub (default) still settles the same outputs
+    val store2 = freshStore()
+    val hub2 = new LensHub(store2)
+    val d2 = store2.dataset("a", "sbase").create()
+    val fn = new MapFn { def map(ctx: MapContext): Unit = ctx.output("n", PoInt(1)) }
+    val s1 = hub2.register(new Lens(store2, "a", "sl1",
+      Seq(DataPath("datasets", "a", "sbase")), fn).create())
+    d2.write("x", PoInt(1))
+    assert(s1.output.read("n").get == PoInt(1))
+  }
+}
+
+/** Rendezvous across the two concurrently-built lenses: each map call
+  * arrives at the latch and waits for the OTHER build's map call. Under
+  * a serial cascade the first map can only time out (the second build
+  * has not started); under a parallel cascade both arrive and both
+  * proceed. Timeout keeps the failure mode a clean assertion, never a
+  * hang. Static state works because specs run Spark in local mode. */
+object CascadeProbe {
+  @volatile var latch = new java.util.concurrent.CountDownLatch(2)
+  val sawTimeout = new java.util.concurrent.atomic.AtomicBoolean(false)
+  def reset(): Unit = {
+    latch = new java.util.concurrent.CountDownLatch(2)
+    sawTimeout.set(false)
+  }
+}
+
+final class CascadeProbeFn(key: String) extends MapFn {
+  def map(ctx: MapContext): Unit = {
+    CascadeProbe.latch.countDown()
+    if (!CascadeProbe.latch.await(20, java.util.concurrent.TimeUnit.SECONDS))
+      CascadeProbe.sawTimeout.set(true)
+    ctx.output(key, PoInt(1))
+  }
 }
