@@ -7,7 +7,12 @@ import org.apache.spark.sql.SparkSession
   * (VERDICT r1 #5).
   */
 object GraftSession {
-  def build(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+  /** Default parallelism = the full machine (the driver contract runs
+    * local[32] on 32 cores; shuffle partitions match so every stage
+    * fans exactly one task per core — not 200, whose tiny-partition
+    * overhead dominates at bench scale). */
+  def build(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      String.valueOf(Runtime.getRuntime.availableProcessors()))): SparkSession = {
     val spark = SparkSession.builder()
       .withExtensions(GraftExtensions.inject)
       .master(s"local[$cpus]")

@@ -107,8 +107,11 @@ final class HttpApi(store: Store, port: Int = 0) {
         val page = start.fold(base)(s =>
           base.filter(col("nk") >= lit(NaturalOrder.naturalKey(s))))
         import scala.jdk.CollectionConverters._
-        var it = page.orderBy(col("nk")).toLocalIterator().asScala
-        limit.foreach(n => it = it.take(n))
+        // ?limit= goes INTO the plan: sort+limit compiles to
+        // TakeOrderedAndProject (per-partition top-k, tiny merge) instead
+        // of a full global sort that the iterator then abandons
+        val sorted = page.orderBy(col("nk"))
+        val it = limit.fold(sorted)(sorted.limit).toLocalIterator().asScala
         // force the FIRST row before committing the 200: a planning or
         // early-execution failure must surface as a 500, not a truncated
         // 200 body (headers cannot be unsent)

@@ -109,13 +109,18 @@ object Lens {
   /** Last-build logs by path (reference: lens.js:87-92 iterateLogs),
     * without needing the original Lens instance — the logs parquet is
     * self-describing. Columns: path, kind, logKind, logArgs, errType,
-    * errMsg. */
+    * errMsg. Ordered by (input ordinal, natural record order) so the
+    * framing is deterministic — parquet file order is map-partition
+    * order, which is not. */
   def logsOf(store: Store, author: String, name: String): DataFrame = {
     val dir = store.dir(DataPath("lenses", author, name)).resolve("logs")
     val spark = store.spark
     val cols = Seq("path", "kind", "logKind", "logArgs", "errType", "errMsg")
     if (Files.isDirectory(dir))
-      spark.read.parquet(dir.toString).select(cols.map(org.apache.spark.sql.functions.col): _*)
+      spark.read.parquet(dir.toString)
+        .orderBy(org.apache.spark.sql.functions.col("ord"),
+          org.apache.spark.sql.functions.col("natKey"))
+        .select(cols.map(org.apache.spark.sql.functions.col): _*)
     else spark.emptyDataset(org.apache.spark.sql.Encoders.product[BuildEmit])
       .toDF().select(cols.map(org.apache.spark.sql.functions.col): _*)
   }

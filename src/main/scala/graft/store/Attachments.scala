@@ -93,12 +93,14 @@ final class AttachmentStore(store: Store) {
       author <- store.listAuthors(source)
       name <- store.listCollections(source, author)
     } yield store.collection(source, author, name)
-    collections.flatMap { c =>
+    if (collections.isEmpty) return Seq.empty
+    // ONE union job over all collections (the gc shape), not one Spark
+    // job per collection — N collections should not mean N job launches
+    collections.map { c =>
       c.toDF.select(col("id"), explode(col("links")).as("l"))
         .filter(col("l").contains(hex))
-        .select("id").as[String].collect()
-        .map(id => s"${c.path.collectionPath}/records/$id")
-    }.sorted
+        .select(concat(lit(s"${c.path.collectionPath}/records/"), col("id")).as("p"))
+    }.reduce(_ unionByName _).as[String].collect().toSeq.sorted
   }
 
   /** The canonical URL form for a stored blob. */

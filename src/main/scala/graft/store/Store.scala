@@ -204,10 +204,11 @@ final class Collection(val store: Store, val path: DataPath) {
       expr("natural_key(id)").as("nk"))
     val paged = start.fold(base)(s =>
       base.filter(col("nk") >= lit(graft.core.NaturalOrder.naturalKey(s))))
-    var it = paged.orderBy(col("nk")).select("id").as[String]
+    // limit goes INTO the plan (TakeOrderedAndProject: per-partition
+    // top-k + tiny merge), not onto the iterator after a full sort
+    val sorted = paged.orderBy(col("nk"))
+    limit.fold(sorted)(sorted.limit).select("id").as[String]
       .toLocalIterator().asScala
-    limit.foreach(n => it = it.take(n))
-    it
   }
 
   /** S3: point lookup. The id predicate pushes to the parquet scan. */

@@ -97,4 +97,30 @@ class CommitPipelineSpec extends AnyFunSuite {
       assert(after2.size == 3)
     } finally { q1.stop(); q2.stop() }
   }
+
+  test("windowedStats runs directly over the commit-log stream (ops metrics)") {
+    val spark = SparkTestBase.spark
+    val store = new Store(spark, Files.createTempDirectory("graft-winlog").toString)
+    val log = new CommitLog(store).install()
+    val d1 = store.dataset("a", "w1").create()
+    val d2 = store.dataset("a", "w2").create()
+    // the commit log IS an events stream: (ts, path, version) → commits
+    // per collection per window, the ops dashboard a store wants
+    val stats = EventAnalytics.windowedStats(
+      log.stream
+        .withColumn("ts", timestamp_millis(col("ts")))
+        .withColumn("event_type", col("path"))
+        .withColumn("value", col("version").cast("double")),
+      windowLen = "1 hour", lateness = "1 minute")
+    val q = stats.writeStream.format("memory").queryName("commit_stats")
+      .outputMode("update").start()
+    try {
+      d1.write("r1", PoInt(1)); d1.write("r2", PoInt(2)); d2.write("x", PoInt(3))
+      q.processAllAvailable()
+      val byPath = spark.table("commit_stats").collect()
+        .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_events")).toMap
+      assert(byPath("/datasets/a:w1") == 2L)
+      assert(byPath("/datasets/a:w2") == 1L)
+    } finally q.stop()
+  }
 }
