@@ -360,6 +360,14 @@ object SparkEntry {
     "q22_at_export_bucketed" -> ((s, dir) =>
       graft.queries.StoreQueries.atExport(s, dir, buckets = Some(8))),
 
+    // REAL PCM audio decode (multimodal) under the hard signal:
+    // deterministic integer-arithmetic WAVs generated executor-side,
+    // decoded through javax.sound.sampled via Multimodal.audioFeatures,
+    // per-window RMS loudness — exactly reproducible cross-engine (see
+    // MultimodalQueries.audioDecode for the exactness argument).
+    "q36_audio_decode" -> ((s, dir) =>
+      graft.queries.MultimodalQueries.audioDecode(s, dir)),
+
     // Distributed attachment GC (W8): content-addressed blob fixture +
     // one real commit, then gc() — executor-listed inventory, left-anti
     // join against exploded links, executor-side deletes. Emits the
@@ -754,6 +762,20 @@ object SparkEntry {
         |       WHEN doc_id % 10 = 0 THEN 'MODIFIED: ' || text
         |       ELSE NULL END AS data
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q36: the oracle re-derives the PCM samples with the same integer
+    // formula (no transcendentals anywhere), squares/sums them — exact
+    // in double for these magnitudes in any order — and applies the
+    // same sqrt → /100 → FLOAT rounding chain the decoder uses.
+    "q36_audio_decode" ->
+      """WITH ids AS (SELECT DISTINCT doc_id FROM documents),
+        |samples AS (
+        |  SELECT ids.doc_id, (s.i // 100) AS window_idx,
+        |    (((ids.doc_id * 31 + s.i * 7919) % 65536) - 32768) / 32768.0 AS v
+        |  FROM ids, generate_series(0, 799) s(i))
+        |SELECT doc_id, window_idx,
+        |  CAST(sqrt(sum(v * v) / 100) AS FLOAT) AS rms
+        |FROM samples GROUP BY doc_id, window_idx
+        |ORDER BY doc_id, window_idx""".stripMargin,
     // q35: the oracle re-derives both GC sets relationally — DuckDB
     // sha256 over the same deterministic blob contents; survivors are
     // exactly the linked hashes, the deleted count is the orphan count.
