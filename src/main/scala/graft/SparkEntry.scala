@@ -368,6 +368,12 @@ object SparkEntry {
     "q36_audio_decode" -> ((s, dir) =>
       graft.queries.MultimodalQueries.audioDecode(s, dir)),
 
+    // REAL image decode (multimodal) under the hard signal: the same
+    // construction as q36 over javax.imageio — deterministic PNGs,
+    // production decode path, integer-exact luminance fingerprint.
+    "q37_image_decode" -> ((s, dir) =>
+      graft.queries.MultimodalQueries.imageDecode(s, dir)),
+
     // Distributed attachment GC (W8): content-addressed blob fixture +
     // one real commit, then gc() — executor-listed inventory, left-anti
     // join against exploded links, executor-side deletes. Emits the
@@ -776,6 +782,21 @@ object SparkEntry {
         |  CAST(sqrt(sum(v * v) / 100) AS FLOAT) AS rms
         |FROM samples GROUP BY doc_id, window_idx
         |ORDER BY doc_id, window_idx""".stripMargin,
+    // q37: pixels re-derived with the same integer channel formulas;
+    // per-cell luminance = integer channel sum (exact, any order) over
+    // one divide + one float cast, both correctly rounded.
+    "q37_image_decode" ->
+      """WITH ids AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 4 = 0),
+        |px AS (
+        |  SELECT ids.doc_id, (y.y // 8) * 4 + (x.x // 8) AS cell,
+        |    ((ids.doc_id * 31 + x.x * 7 + y.y * 13) % 256)
+        |    + ((ids.doc_id * 17 + x.x * 11 + y.y * 3) % 256)
+        |    + ((ids.doc_id * 23 + x.x * 5 + y.y * 19) % 256) AS s
+        |  FROM ids, generate_series(0, 31) x(x), generate_series(0, 15) y(y))
+        |SELECT doc_id, CAST(32 AS INT) AS width, CAST(16 AS INT) AS height,
+        |  cell, CAST(sum(s) / (64 * 765.0) AS FLOAT) AS lum
+        |FROM px GROUP BY doc_id, cell
+        |ORDER BY doc_id, cell""".stripMargin,
     // q35: the oracle re-derives both GC sets relationally — DuckDB
     // sha256 over the same deterministic blob contents; survivors are
     // exactly the linked hashes, the deleted count is the orphan count.

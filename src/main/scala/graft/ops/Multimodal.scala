@@ -63,7 +63,12 @@ object Multimodal {
       img
     }
 
-    /** 4×2-grid mean-luminance fingerprint, row-major, values in [0,1]. */
+    /** 4×2-grid mean-luminance fingerprint, row-major, values in [0,1].
+      * Channel sums accumulate as INTEGERS with one final division —
+      * faster than a divide per pixel, and exactly reproducible by any
+      * engine (the integer sum is order-independent; the single
+      * divide + float round are correctly-rounded IEEE ops), which is
+      * what lets q37 hash-verify real image decode cross-engine. */
     private def fingerprint(img: java.awt.image.BufferedImage): Array[Float] = {
       val (gw, gh) = (4, 2)
       val out = new Array[Float](gw * gh)
@@ -73,18 +78,18 @@ object Multimodal {
         while (cx < gw) {
           val x0 = img.getWidth * cx / gw; val x1 = math.max(x0 + 1, img.getWidth * (cx + 1) / gw)
           val y0 = img.getHeight * cy / gh; val y1 = math.max(y0 + 1, img.getHeight * (cy + 1) / gh)
-          var sum = 0.0; var n = 0
+          var sum = 0L; var n = 0
           var y = y0
           while (y < y1) {
             var x = x0
             while (x < x1) {
               val rgb = img.getRGB(x, y)
-              sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / (3.0 * 255.0)
+              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
               n += 1; x += 1
             }
             y += 1
           }
-          out(cy * gw + cx) = (sum / n).toFloat
+          out(cy * gw + cx) = (sum / (n * 765.0)).toFloat
           cx += 1
         }
         cy += 1

@@ -61,4 +61,55 @@ object MultimodalQueries {
         col("rms"))
       .orderBy(col("doc_id"), col("window_idx"))
   }
+
+  /** REAL image decode under the hard signal, same construction as
+    * [[audioDecode]]: a deterministic 32×16 RGB PNG per document (pixel
+    * channels are integer arithmetic of (doc_id, x, y)), encoded with
+    * `javax.imageio` executor-side, decoded back through the production
+    * [[Multimodal.imageFeatures]] path (ImageIODecoder), the 4×2
+    * luminance-grid fingerprint exploded to scalar rows.
+    *
+    * Exactness: PNG is lossless, the fingerprint accumulates integer
+    * channel sums per 8×8 cell (order-independent), and the single
+    * sum/(64·765) divide + float cast are correctly-rounded ops the
+    * oracle replicates verbatim. width/height prove the decode read the
+    * real bitmap. */
+  def imageDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (w, h) = (32, 16) // 4×2 grid of exact 8×8 cells
+    // every 4th doc: the PNG encode/decode fixture dominates the query's
+    // cost and a quarter of the corpus carries the same per-pixel decode
+    // signal (the subsample is in the oracle too — nothing silent)
+    val pngs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").cast("long")).distinct()
+      .filter(col("doc_id") % 4 === 0)
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+              val g = ((id * 17 + x * 11 + y * 3) % 256).toInt
+              val b = ((id * 23 + x * 5 + y * 19) % 256).toInt
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", buf)
+          (id, buf.toByteArray, "image/png")
+        }
+      }.toDF("id", "media", "mime")
+    Multimodal.imageFeatures(pngs, decoder = new Multimodal.ImageIODecoder)
+      .select(col("id").as("doc_id"), col("width"), col("height"),
+        posexplode(col("features")).as(Seq("cell", "lum")))
+      .select(col("doc_id"), col("width"), col("height"),
+        col("cell").cast("long").as("cell"), col("lum"))
+      .orderBy(col("doc_id"), col("cell"))
+  }
 }
