@@ -168,8 +168,17 @@ final class AttachmentStore(store: Store) {
           .reduce(_ unionByName _)
           .select(regexp_extract(col("l"), "hash://sha256/([a-f0-9]{64})", 1).as("h"))
       val inv0 = inventoryDF
-      val inv = if (holding.isEmpty) inv0
-                else inv0.filter(!col("h").isInCollection(holding))
+      // the held set is bounded by write rate × grace window, but that
+      // can still be large on a busy cluster: a literal In-expression
+      // with many thousands of entries bloats the plan (and codegen), so
+      // past a threshold the holds become a broadcast anti-join instead
+      val inv =
+        if (holding.isEmpty) inv0
+        else if (holding.size <= 1000)
+          inv0.filter(!col("h").isInCollection(holding))
+        else inv0.join(
+          broadcast(spark.createDataset(holding.toSeq).toDF("h")),
+          Seq("h"), "left_anti")
       val rootStr = root.toString
       val deleted = spark.sparkContext.longAccumulator("gc-deleted")
       inv.join(live, Seq("h"), "left_anti").as[String]

@@ -49,6 +49,18 @@ class AttachmentsSpec extends AnyFunSuite {
     assert(!s.attachments.has(uploaded))
   }
 
+  test("GC with a large hold set takes the anti-join path and deletes nothing held") {
+    val s = freshStore()
+    // >1000 holds flips the held-set filter from an In-expression to a
+    // broadcast anti-join; all blobs are freshly held, so gc must spare
+    // every one of them through that path
+    val hexes = (0 until 1100).map(i => s.attachments.write(s"blob-$i".getBytes))
+    assert(s.attachments.gc() == 0)
+    assert(s.attachments.has(hexes.head) && s.attachments.has(hexes.last))
+    // and with expired holds the same population reclaims fully
+    assert(s.attachments.gc(graceMs = 0) == 1100)
+  }
+
   test("GC hold race closed: write() serializes against a running gc() via the commit gate") {
     val s = freshStore()
     // take the gate's write side (what gc() holds for its whole run)
