@@ -62,11 +62,18 @@ final class HttpApi(store: Store, port: Int = 0) {
   private def handle(ex: HttpExchange): Unit = {
     try route(ex)
     catch {
-      case e: NoSuchElementException => respond(ex, 404, s"not found: ${e.getMessage}")
-      case e: IllegalArgumentException => respond(ex, 400, String.valueOf(e.getMessage))
-      case e: Throwable => respond(ex, 500, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      case e: NoSuchElementException => tryRespond(ex, 404, s"not found: ${e.getMessage}")
+      case e: IllegalArgumentException => tryRespond(ex, 400, String.valueOf(e.getMessage))
+      case e: Throwable => tryRespond(ex, 500, s"${e.getClass.getSimpleName}: ${e.getMessage}")
     } finally ex.close()
   }
+
+  /** respond, unless the route already committed headers (a mid-stream
+    * failure after a 200): then the body is already visibly truncated
+    * and the only remaining correct action is closing the exchange —
+    * not throwing a secondary "headers already sent" out of the catch. */
+  private def tryRespond(ex: HttpExchange, code: Int, body: String): Unit =
+    try respond(ex, code, body) catch { case _: Throwable => () }
 
   private val RecordsPat = "^/(datasets|lenses|meta)/([^:/]+):([^:/]+)/records/$".r
   private val RecordPat = "^/(datasets|lenses|meta)/([^:/]+):([^:/]+)/records/([^/]+?)(\\.([a-z]+))?$".r
