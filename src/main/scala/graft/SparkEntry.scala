@@ -326,6 +326,16 @@ object SparkEntry {
       graft.ops.Dedup.nearDupPairs(t(s, dir, "documents"))
         .orderBy(col("a_id"), col("b_id"))),
 
+    // Near-dup CLUSTER formation (survivor selection): connected
+    // components over the q13 pair set via iterative min-label
+    // propagation; cluster_id = min doc_id per component. The oracle
+    // re-derives the exact pairs (q13's all-pairs Jaccard) and the
+    // components with a recursive CTE.
+    "q38_dup_clusters" -> ((s, dir) =>
+      graft.ops.Dedup.dupClusters(
+          graft.ops.Dedup.nearDupPairs(t(s, dir, "documents")))
+        .orderBy(col("doc_id"))),
+
     // Quality-score features aggregated per source (LLM text analysis):
     // per-row double features are bit-identical across engines (same op
     // order), then decimal-cast before the sum so aggregation order
@@ -736,6 +746,33 @@ object SparkEntry {
         |WHERE 2 * len(list_intersect(a.sh, b.sh)) >= len(list_distinct(a.sh || b.sh))
         |  AND len(list_distinct(a.sh || b.sh)) > 0
         |ORDER BY 1, 2""".stripMargin,
+    // q38: q13's exact pair derivation, then connected components via a
+    // recursive CTE (propagate every reachable label, take the min).
+    "q38_dup_clusters" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(toks)-2, 0)),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM (
+        |    SELECT doc_id,
+        |      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |    FROM documents)
+        |),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE 2 * len(list_intersect(a.sh, b.sh)) >= len(list_distinct(a.sh || b.sh))
+        |    AND len(list_distinct(a.sh || b.sh)) > 0),
+        |edges AS (
+        |  SELECT a_id AS a, b_id AS b FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach(node, label) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.label FROM reach r JOIN edges e ON e.b = r.node)
+        |SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     "q17_text_quality" ->
       """WITH f AS (
         |  SELECT source,

@@ -144,6 +144,48 @@ object Dedup {
       .select(col("a_id"), col("b_id"))
   }
 
+  /** Connected-component clustering of near-duplicate pairs — the
+    * survivor-selection step of a dedup pipeline: pair lists say WHO
+    * matches whom; a pipeline needs CLUSTERS (keep one id per
+    * component, drop the rest). Iterative min-label propagation:
+    * label(v) ← min(label(v), labels of v's neighbors) until fixpoint —
+    * each round is one shuffle join + one aggregation, and the number
+    * of rounds is O(component diameter), which for similarity-threshold
+    * pair sets is a few hops (clusters are dense blobs, not paths).
+    * `localCheckpoint` truncates lineage between rounds so the plan
+    * never grows with iterations; a cluster deployment that must
+    * survive executor loss swaps it for reliable `checkpoint`. This is
+    * the same loop GraphX's connectedComponents runs; star-contraction
+    * variants halve rounds if diameter ever bites.
+    *
+    * Output: one row per node appearing in any pair — (idCol,
+    * cluster_id = min id in its component). Deterministic. */
+  def dupClusters(pairs: DataFrame, aCol: String = "a_id",
+                  bCol: String = "b_id", idCol: String = "doc_id"): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .unionByName(pairs
+        .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val viaNeighbor = edges
+        .join(labels.select(col("node").as("dst"), col("label").as("nl")), "dst")
+        .select(col("src").as("node"), col("nl").as("label"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy("node").agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      // labels only ever decrease, so fixpoint = no row got smaller
+      converged = next
+        .join(labels.select(col("node"), col("label").as("old")), "node")
+        .filter(col("label") < col("old")).isEmpty
+      labels = next
+    }
+    labels.select(col("node").as(idCol), col("label").as("cluster_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: multi-table hyperplane
     * signatures generate candidates (collision in ANY of the L k-bit
     * tables — see Ann.multiSignatures for the recall math; a single

@@ -139,4 +139,21 @@ class OpsSpec extends AnyFunSuite {
       .as[(Int, Int)].collect()
     got.foreach { case (n, e) => assert(n == e) }
   }
+
+  test("dupClusters: connected components over pair lists, min-id labels") {
+    import spark.implicits._
+    // chain 1-2, 2-3, 3-4 → one component labeled 1 (label must
+    // propagate across MULTIPLE hops, not just direct pairs);
+    // 10-11 a separate component; 20-21, 21-22 a third
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (22L, 21L)).toDF("a_id", "b_id")
+    val got = Dedup.dupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // deterministic across reruns
+    assert(Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap == got)
+    // empty pair set → empty clusters, loop terminates
+    assert(Dedup.dupClusters(Seq.empty[(Long, Long)].toDF("a_id", "b_id")).isEmpty)
+  }
 }
