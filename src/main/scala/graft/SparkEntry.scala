@@ -547,6 +547,17 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Batch sessionization (EventAnalytics.sessionizeBatch): 30-min-gap
+    // user sessions over the events table — the relational twin of the
+    // streaming flatMapGroupsWithState sessionizer, same gap boundary
+    // semantics, now under the hard signal.
+    "q39_sessionize_batch" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("us", unix_micros(col("ts")))
+        .select(col("user_id"), col("us"), col("event_id"))
+      graft.streaming.EventAnalytics.sessionizeBatch(ev, gapUs = 1800000000L)
+        .orderBy(col("user_id"), col("session_idx"))
+    }),
+
     // Banded range join (RangeJoin.followingPairs): events following a
     // signup within 1h by the same user. Two-bucket bin probe + exact
     // range filter — never the per-key cartesian Spark would plan for a
@@ -937,6 +948,27 @@ object SparkEntry {
     // q30: the same tagged-union + carry-forward window formulation, so
     // ordering (us, tag, id) and the <= / max-tie conventions line up
     // with AsOf.asofJoin exactly.
+    // q39: identical lag/flag/running-sum/aggregate chain; the (us,
+    // event_id) ordering is total, so both engines assign identical
+    // session indices; all outputs are integer arithmetic.
+    "q39_sessionize_batch" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+        |           OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM ev),
+        |g AS (
+        |  SELECT user_id, us,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id) AS session_idx
+        |  FROM f)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(us) - min(us) AS BIGINT) AS duration_us
+        |FROM g GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
     "q30_asof_attribution" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us, event_type FROM events),

@@ -46,6 +46,30 @@ object EventAnalytics {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Batch sessionization — the relational twin of [[sessionize]] with
+    * the same gap semantics (a gap STRICTLY greater than `gapUs` splits;
+    * exactly the boundary merges, matching the streaming state's
+    * `<= gapMs` merge): lag → new-session flag → running sum per user →
+    * per-session aggregate. One window partitioned by user (high
+    * cardinality → fully parallel; never a global window) and one
+    * aggregation shuffle. `tieCol` makes the intra-user order total, so
+    * same-microsecond events sessionize deterministically on any engine.
+    * Emits (userCol, session_idx, n_events, duration_us). */
+  def sessionizeBatch(events: DataFrame, gapUs: Long,
+                      userCol: String = "user_id", tsUsCol: String = "us",
+                      tieCol: String = "event_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsUsCol), col(tieCol))
+    events
+      .withColumn("__prev", lag(col(tsUsCol), 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+        col(tsUsCol) - col("__prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("__new")).over(w))
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col(tsUsCol)) - min(col(tsUsCol))).as("duration_us"))
+  }
+
   /** One user's running session state (driver-defined gap semantics). */
   final case class SessionState(count: Long, firstTs: Long, lastTs: Long)
   final case class SessionUpdate(user_id: Long, n_events: Long,

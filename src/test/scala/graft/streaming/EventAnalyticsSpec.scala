@@ -204,4 +204,20 @@ class EventAnalyticsSpec extends AnyFunSuite {
         s"fingerprint state older than the watermark horizon must evict: $ids")
     } finally q.stop()
   }
+
+  test("sessionizeBatch: gap boundary merges (streaming parity), strict excess splits") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    // user 1: gaps of exactly 100 (merge) then 101 (split);
+    // user 2: single event → one session of duration 0
+    val ev = Seq(
+      (1L, 1000L, 10L), (1L, 1100L, 11L), (1L, 1201L, 12L),
+      (2L, 5000L, 20L)).toDF("user_id", "us", "event_id")
+    val got = EventAnalytics.sessionizeBatch(ev, gapUs = 100L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 2L, 100L), // events 10+11: boundary gap merges, duration 100
+      (1L, 2L, 1L, 0L),   // event 12: 101 > gap → new session
+      (2L, 1L, 1L, 0L)))
+  }
 }
