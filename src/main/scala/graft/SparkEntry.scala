@@ -356,6 +356,23 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // Corpus length statistics with EXACT percentiles (Spark's
+    // sort-based `percentile` aggregate, not approx_percentile): at
+    // quarter fractions over integer lengths the linear interpolation
+    // is exact double arithmetic, so the hash matches quantile_cont.
+    "q40_corpus_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"), length(col("text")).as("len"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("len")).cast("long").as("len_min"),
+          expr("percentile(len, 0.25)").as("len_p25"),
+          expr("percentile(len, 0.5)").as("len_med"),
+          expr("percentile(len, 0.75)").as("len_p75"),
+          max(col("len")).cast("long").as("len_max"))
+        .orderBy(col("source"))
+    }),
+
     // ?at= incremental export through two real store commits — checks
     // hash-gated version arithmetic + the stub projection (S9/F2).
     "q15_at_export" -> ((s, dir) => graft.queries.StoreQueries.atExport(s, dir)),
@@ -802,6 +819,16 @@ object SparkEntry {
         |  CAST(sum(dr) AS DOUBLE) / count(*) AS avg_digit_ratio,
         |  CAST(sum(mwl) AS DOUBLE) / count(*) AS avg_word_len
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q40: quantile_cont shares percentile's (n-1)·q linear
+    // interpolation; quarter fractions over integer lengths are exact.
+    "q40_corpus_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(min(length(text)) AS BIGINT) AS len_min,
+        |  CAST(quantile_cont(length(text), 0.25) AS DOUBLE) AS len_p25,
+        |  CAST(quantile_cont(length(text), 0.5) AS DOUBLE) AS len_med,
+        |  CAST(quantile_cont(length(text), 0.75) AS DOUBLE) AS len_p75,
+        |  CAST(max(length(text)) AS BIGINT) AS len_max
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q15_at_export" ->
       """SELECT CAST(doc_id AS VARCHAR) AS id,
         |  CAST(CASE WHEN doc_id % 2 = 1 OR doc_id % 10 = 0 THEN 2 ELSE 1 END AS BIGINT) AS version,
