@@ -40,9 +40,37 @@ object SparkEntry {
     * write is a side job for the ORACLE, not part of the query — it runs
     * once per (process, sf dir) so Bench's timed runs after warmup stay
     * read-only (training is deterministic, the rewrite would be
-    * byte-identical anyway). */
+    * byte-identical anyway). One path per process: if one process ran
+    * q18 over several sf dirs, the LAST write would win — fine for the
+    * driver contract (Verify/Bench/BenchOne are single-dir by
+    * construction), noted for anyone scripting beyond it. */
   private val ivfCentroidsWritten =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Reap ivf_centroids-<pid> dirs left by processes that no longer
+    * exist (each process writes its own path so concurrent runs never
+    * race; dead processes' dirs would otherwise accumulate forever). */
+  private def reapStaleCentroidDirs(): Unit = {
+    val parent = java.nio.file.Paths.get(ivfCentroidsPath).getParent
+    if (java.nio.file.Files.isDirectory(parent)) {
+      val self = ProcessHandle.current().pid()
+      graft.core.Fs.list(parent).foreach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("ivf_centroids-")) {
+          n.stripPrefix("ivf_centroids-").toLongOption.foreach { pid =>
+            if (pid != self && ProcessHandle.of(pid).isEmpty) {
+              def rm(x: java.nio.file.Path): Unit = {
+                if (java.nio.file.Files.isDirectory(x))
+                  graft.core.Fs.list(x).foreach(rm)
+                java.nio.file.Files.deleteIfExists(x); ()
+              }
+              rm(p)
+            }
+          }
+        }
+      }
+    }
+  }
 
   /** Exact same cosine as Ann.cosine, spelled in DuckDB: products and
     * the left-to-right sum are bit-identical across engines (q12 proved
@@ -428,9 +456,11 @@ object SparkEntry {
     "q18_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val model = graft.ops.Ivf.train(e, k = 16, iters = 3)
-      if (ivfCentroidsWritten.add(dir))
+      if (ivfCentroidsWritten.add(dir)) {
+        reapStaleCentroidDirs()
         graft.ops.Ivf.centroidsDF(s, model).coalesce(1)
           .write.mode("overwrite").parquet(ivfCentroidsPath)
+      }
       graft.ops.Ivf.search(e, e.filter(col("vec_id") < 5), model, k = 10, nprobe = 4)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
         .orderBy(col("query_id"), col("rank"))

@@ -6,12 +6,10 @@ import java.nio.charset.StandardCharsets.UTF_8
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
-import org.apache.spark.sql.functions.{col, expr, lit}
+import org.apache.spark.sql.functions.col
 
 import graft.codec.{Codec, JsonCodec}
 import graft.core._
-import graft.expressions.GraftFunctions
-import graft.lens.{EphemeralLens, MapFn}
 import graft.store._
 
 /** Thin REST façade over the engine — the reference's HTTP surface
@@ -107,18 +105,13 @@ final class HttpApi(store: Store, port: Int = 0) {
         val qp = queryParams(ex)
         val limit = qp.get("limit").map(_.toInt)
         val start = qp.get("start")
-        GraftFunctions.register(store.spark)
-        val base = ReadPath.read(store, p).select(
-          col("id"), col("version"), col("hash"),
-          expr("natural_key(id)").as("nk"))
-        val page = start.fold(base)(s =>
-          base.filter(col("nk") >= lit(NaturalOrder.naturalKey(s))))
         import scala.jdk.CollectionConverters._
-        // ?limit= goes INTO the plan: sort+limit compiles to
-        // TakeOrderedAndProject (per-partition top-k, tiny merge) instead
-        // of a full global sort that the iterator then abandons
-        val sorted = page.orderBy(col("nk"))
-        val it = limit.fold(sorted)(sorted.limit).toLocalIterator().asScala
+        // Listing.naturalPage = the one shared pagination plan (limit
+        // compiles to TakeOrderedAndProject, never an abandoned sort)
+        val it = Listing.naturalPage(
+            ReadPath.read(store, p).select(col("id"), col("version"), col("hash")),
+            start, limit)
+          .toLocalIterator().asScala
         // force the FIRST row before committing the 200: a planning or
         // early-execution failure must surface as a 500, not a truncated
         // 200 body (headers cannot be unsent)
@@ -181,6 +174,17 @@ final class HttpApi(store: Store, port: Int = 0) {
         ex.sendResponseHeaders(200, 0)
         val out: OutputStream = ex.getResponseBody
         try { headChunk.foreach(out.write); chunks.foreach(out.write) }
+        catch { case e: Throwable =>
+          // this server API can only end a chunked response CLEANLY, so
+          // for formats with no closing frame (jsonl, cbor) truncation
+          // would read as a complete smaller dataset. Stamp an invalid
+          // sentinel so any consumer fails parsing the tail instead of
+          // silently losing rows.
+          try out.write(Array[Byte](0xff.toByte, 0xff.toByte) ++
+            "\ngraft:export-aborted\n".getBytes(UTF_8))
+          catch { case _: Throwable => () }
+          throw e
+        }
         finally out.close()
       case ("PUT", ImportPat(author, name)) =>
         // File import (dataset-controller.js:249-298). Two modes, both
@@ -314,7 +318,12 @@ final class HttpApi(store: Store, port: Int = 0) {
         store.attachments.read(hex.toLowerCase) match {
           case None => respond(ex, 404, "no such attachment")
           case Some(bytes) =>
+            // the ?type= value lands in a response header: reject
+            // anything but a plain mime token (a CR/LF in the decoded
+            // value would inject attacker-controlled response headers)
             val mime = queryParams(ex).getOrElse("type", "application/octet-stream")
+            if (!mime.matches("[A-Za-z0-9.+-]+/[A-Za-z0-9.+-]+(; ?charset=[A-Za-z0-9_-]+)?"))
+              return respond(ex, 400, s"bad ?type=")
             ex.getResponseHeaders.set("Content-Type", mime)
             ex.getResponseHeaders.set("Cache-Control",
               "public, max-age=31536000, immutable")

@@ -160,6 +160,12 @@ final class LensHub(store: Store, parallelCascade: Boolean = false) {
     def run(l: Lens): Unit =
       try l.build()
       finally synchronized { building -= l.path.collectionPath }
+    // every claimed lens MUST release its claim even if an earlier
+    // build in the wave throws: run() releases its own key, and the
+    // serial path's finally releases the keys of lenses the abort
+    // prevented from running at all — otherwise one failed build would
+    // leave siblings marked in-progress forever, silently starving
+    // every future rebuild wave for them
     if (parallelCascade && claimed.size > 1) {
       // one wave = one thread per build (commit rates are human-scale;
       // the heavy lifting inside each build is Spark jobs, which stay
@@ -176,7 +182,16 @@ final class LensHub(store: Store, parallelCascade: Boolean = false) {
       }
       threads.foreach(_.join())
       if (failure.get() != null) throw failure.get()
-    } else claimed.foreach(run)
+    } else {
+      var i = 0
+      try {
+        while (i < claimed.size) { run(claimed(i)); i += 1 }
+      } finally synchronized {
+        // a throw at index i: run() already released key i; release the
+        // never-run remainder (no-op when the loop completed)
+        claimed.drop(i + 1).foreach(l => building -= l.path.collectionPath)
+      }
+    }
   }
 }
 

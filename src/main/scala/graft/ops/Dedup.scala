@@ -174,15 +174,20 @@ object Dedup {
       val viaNeighbor = edges
         .join(labels.select(col("node").as("dst"), col("label").as("nl")), "dst")
         .select(col("src").as("node"), col("nl").as("label"))
-      val next = labels.unionByName(viaNeighbor)
-        .groupBy("node").agg(min(col("label")).as("label"))
+      // carry each node's OWN label through the same aggregation
+      // (Long.MaxValue on neighbor rows never wins the min), so
+      // convergence is a filter on the materialized round — no extra
+      // join-the-previous-round job per iteration
+      val round = labels.withColumn("own", col("label"))
+        .unionByName(viaNeighbor.withColumn("own", lit(Long.MaxValue)))
+        .groupBy("node").agg(min(col("label")).as("label"), min(col("own")).as("own"))
         .localCheckpoint()
       // labels only ever decrease, so fixpoint = no row got smaller
-      converged = next
-        .join(labels.select(col("node"), col("label").as("old")), "node")
-        .filter(col("label") < col("old")).isEmpty
-      labels = next
+      converged = round.filter(col("label") < col("own")).isEmpty
+      labels.unpersist() // release the previous round's checkpoint blocks
+      labels = round.select(col("node"), col("label"))
     }
+    edges.unpersist() // the final round is materialized; edges are done
     labels.select(col("node").as(idCol), col("label").as("cluster_id"))
   }
 

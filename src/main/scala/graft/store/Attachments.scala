@@ -155,7 +155,10 @@ final class AttachmentStore(store: Store) {
     val gate = store.gcGate.writeLock(); gate.lock()
     try {
       val now = System.currentTimeMillis()
-      held.entrySet().removeIf(e => now - e.getValue > graceMs)
+      // >=, not >: a hold expires once its age REACHES the grace window,
+      // so gc(graceMs = 0) reliably means "no grace" even for a hold
+      // stamped within the current millisecond
+      held.entrySet().removeIf(e => now - e.getValue >= graceMs)
       val holding = held.keySet().asScala.toSet
       val collections = for {
         source <- Seq("datasets", "lenses")

@@ -40,6 +40,25 @@ object Store {
   }
 }
 
+/** The one natural-order pagination plan, shared by every listing
+  * surface ([[Collection.listIterator]] and the HTTP records route):
+  * project the codegen'd natural key, filter `start` (inclusive by
+  * natural order — a pager passes the last id it saw and skips one
+  * row), sort, and push `limit` INTO the plan so it compiles to
+  * TakeOrderedAndProject (per-partition top-k + tiny merge) instead of
+  * a full global sort the iterator then abandons. */
+object Listing {
+  def naturalPage(df: DataFrame, start: Option[String],
+                  limit: Option[Int]): DataFrame = {
+    graft.expressions.GraftFunctions.register(df.sparkSession)
+    val keyed = df.withColumn("nk", expr("natural_key(id)"))
+    val paged = start.fold(keyed)(s =>
+      keyed.filter(col("nk") >= lit(NaturalOrder.naturalKey(s))))
+    val sorted = paged.orderBy(col("nk"))
+    limit.fold(sorted)(sorted.limit).drop("nk")
+  }
+}
+
 /** Collection store rooted at a local/dfs directory.
   *
   * Layout: `root/<source>/<author>/<name>/v<N>/` parquet snapshot per
@@ -199,16 +218,8 @@ final class Collection(val store: Store, val path: DataPath) {
     * driver-side collect. */
   def listIterator(start: Option[String] = None,
                    limit: Option[Int] = None): Iterator[String] = {
-    graft.expressions.GraftFunctions.register(spark)
-    val base = records.select(col("id"),
-      expr("natural_key(id)").as("nk"))
-    val paged = start.fold(base)(s =>
-      base.filter(col("nk") >= lit(graft.core.NaturalOrder.naturalKey(s))))
-    // limit goes INTO the plan (TakeOrderedAndProject: per-partition
-    // top-k + tiny merge), not onto the iterator after a full sort
-    val sorted = paged.orderBy(col("nk"))
-    limit.fold(sorted)(sorted.limit).select("id").as[String]
-      .toLocalIterator().asScala
+    Listing.naturalPage(records.select(col("id")).toDF(), start, limit)
+      .select("id").as[String].toLocalIterator().asScala
   }
 
   /** S3: point lookup. The id predicate pushes to the parquet scan. */

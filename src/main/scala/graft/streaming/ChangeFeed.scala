@@ -29,6 +29,15 @@ import graft.store.{DataPath, Store}
   * accumulated — the directory is re-listed only for catch-up reads
   * older than the buffer. N clients polling a year-old log cost nothing
   * per tick; only genuine history replay pays the scan.
+  *
+  * PREMISE: one writer process per store root — the same premise the
+  * store itself has (`Store.withLock` is an in-process lock; commits
+  * from two processes would race the manifest regardless of this
+  * class). The tail therefore sees every append, and the poll fast path
+  * never misses events. Cross-PROCESS consumers read the durable log
+  * (`batch`/`stream`/`eventsSince` catch-up and the Structured
+  * Streaming file source all scan the directory), so they are
+  * multi-reader safe either way.
   */
 final class CommitLog(store: Store, tailCapacity: Int = CommitLog.DefaultTailCapacity) {
   private val seq = new AtomicLong(0)

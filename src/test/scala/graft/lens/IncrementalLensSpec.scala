@@ -128,6 +128,31 @@ class IncrementalLensSpec extends AnyFunSuite {
     assert(countLens.output.read("n").get == PoInt(3))
   }
 
+  test("a failed build in a serial wave releases the claims of never-run siblings") {
+    val store = freshStore()
+    val hub = new LensHub(store)
+    val d = store.dataset("a", "fbase").create()
+    val fn = new MapFn { def map(ctx: MapContext): Unit = ctx.output("n", PoInt(1)) }
+    // broken registers FIRST (LinkedHashMap preserves order): its build
+    // throws (missing second input collection), aborting the wave
+    // before the healthy sibling runs
+    hub.register(new Lens(store, "a", "fl-broken",
+      Seq(DataPath("datasets", "a", "fbase"),
+        DataPath("datasets", "a", "does-not-exist")), fn).create())
+    val healthy = hub.register(new Lens(store, "a", "fl-healthy",
+      Seq(DataPath("datasets", "a", "fbase")), fn).create())
+
+    intercept[Exception](d.write("r1", PoInt(1))) // wave aborts on broken
+    // heal the broken lens, then commit again: the healthy sibling was
+    // claimed-but-never-run in wave 1 — its claim MUST have been
+    // released, or this wave would silently skip it forever
+    store.dataset("a", "does-not-exist").create()
+    d.write("r2", PoInt(2))
+    // both records map (wave 1 never built healthy), reduce sums to 2
+    assert(healthy.output.read("n").get == PoInt(2),
+      "sibling lens must still rebuild after an earlier wave failed")
+  }
+
   test("parallel cascade: independent lenses of one wave rebuild concurrently") {
     val store = freshStore()
     val hub = new LensHub(store, parallelCascade = true)
