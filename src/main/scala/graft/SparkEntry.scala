@@ -384,6 +384,41 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // Repetition-based quality filtering (the Gopher repeated-n-gram
+    // rule family): per-source totals of bigram occurrences, duplicated
+    // occurrences, and docs flagged at dup-fraction > 0.2 — the
+    // threshold compares in INTEGER arithmetic (nd*5 > ng), so there is
+    // no float boundary anywhere.
+    "q41_repetition_quality" -> ((s, dir) => {
+      // three-step: tokens materialized FIRST (the q25 CSE lesson — an
+      // inline tokens() would re-split per n-gram), then the stats
+      // struct, then its fields
+      t(s, dir, "documents")
+        .select(col("source"), graft.ops.TextOps.tokens(col("text")).as("toks"))
+        .select(col("source"), graft.ops.TextOps.repetitionStats(col("toks")).as("r"))
+        .select(col("source"), col("r.n_grams").as("ng"), col("r.n_dup").as("nd"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("nd") * 5 > col("ng"), 1L).otherwise(0L)).as("n_flagged"),
+          sum(col("ng")).cast("long").as("sum_grams"),
+          sum(col("nd")).cast("long").as("sum_dup"))
+        .orderBy(col("source"))
+    }),
+
+    // Token-budget sequence packing (training-batch formation): greedy
+    // contiguous bins of ≤512 tokens per source shard, one parallel
+    // window per shard, integer bin assignment.
+    "q42_token_packing" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ops.Packing.packByBudget(
+          d.select(col("source"), col("doc_id"), col("text")),
+          budget = 512L, shardCol = "source", orderCol = "doc_id",
+          tokensCol = graft.ops.TextOps.tokenCount(col("text")))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("bin_tokens"))
+        .orderBy(col("source"), col("bin"))
+    }),
+
     // Corpus length statistics with EXACT percentiles (Spark's
     // sort-based `percentile` aggregate, not approx_percentile): at
     // quarter fractions over integer lengths the linear interpolation
@@ -849,6 +884,40 @@ object SparkEntry {
         |  CAST(sum(dr) AS DOUBLE) / count(*) AS avg_digit_ratio,
         |  CAST(sum(mwl) AS DOUBLE) / count(*) AS avg_word_len
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q41: same tokenization as q13; generate_series(1, 0) is empty in
+    // DuckDB (the short-doc guard Spark needs explicitly); every output
+    // is an integer.
+    "q41_repetition_quality" ->
+      """WITH g AS (
+        |  SELECT source,
+        |    list_transform(generate_series(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1]) AS grams
+        |  FROM (SELECT source,
+        |          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |        FROM documents)),
+        |r AS (
+        |  SELECT source, len(grams) AS ng,
+        |    len(grams) - len(list_distinct(grams)) AS nd
+        |  FROM g)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN nd * 5 > ng THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  CAST(sum(ng) AS BIGINT) AS sum_grams,
+        |  CAST(sum(nd) AS BIGINT) AS sum_dup
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    // q42: identical running-sum window and integer floor-division bin
+    // rule; all arithmetic is integral.
+    "q42_token_packing" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, tok,
+        |    sum(tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+        |  FROM t)
+        |SELECT source, CAST((cum - tok) // 512 AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS bin_tokens
+        |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin,
     // q40: quantile_cont shares percentile's (n-1)·q linear
     // interpolation; quarter fractions over integer lengths are exact.
     "q40_corpus_stats" ->

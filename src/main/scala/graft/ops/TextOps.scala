@@ -29,6 +29,28 @@ object TextOps {
   def fingerprint(text: Column, n: Int = 100): Column =
     sha2(normalizedPrefix(text, n), 256)
 
+  /** Gopher-style repetition quality signal: total word n-grams and
+    * DUPLICATED n-gram occurrences per document (the repeated-n-gram
+    * family of corpus-curation rules). Pure codegen'd column
+    * expressions, INTEGER outputs — a threshold like "dup fraction
+    * > 0.2" compares exactly as `n_dup * 5 > n_grams` on any engine,
+    * no float boundary. Returns struct(n_grams, n_dup).
+    *
+    * `toks` MUST be a materialized tokens COLUMN (two-step select:
+    * `.select(tokens(col("text")).as("toks"))` first) — the same CSE
+    * lesson as [[langScores]]/q25: the lambda references the array once
+    * per element, and an inline `tokens(text)` subtree would re-run the
+    * split per n-gram (measured 14 s vs 0.6 s at sf0.1). */
+  def repetitionStats(toks: Column, n: Int = 2): Column = {
+    val cnt = size(toks) - lit(n - 1)
+    // guard: sequence(1, 0) would generate a DESCENDING [1, 0] in Spark
+    val grams = when(cnt <= 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), cnt),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*)))
+    struct(size(grams).as("n_grams"),
+      (size(grams) - size(array_distinct(grams))).as("n_dup"))
+  }
+
   /** Distinct word n-gram shingles per document: (id, sh ARRAY<STRING>).
     * Typed map (not a UDF chain) — one pass, executor-side. */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {

@@ -140,6 +140,38 @@ class OpsSpec extends AnyFunSuite {
     got.foreach { case (n, e) => assert(n == e) }
   }
 
+  test("repetitionStats: duplicated-bigram occurrences, short-doc guard") {
+    import spark.implicits._
+    val rows = Seq(
+      "spam spam spam spam",  // bigrams: [spam spam]×3 → 3 total, 2 dup
+      "all words differ here", // 3 bigrams, 0 dup
+      "one",                   // too short for a bigram → 0, 0
+      "")                      // empty → 0, 0
+      .toDF("text")
+      .select(TextOps.tokens(col("text")).as("toks"))
+      .select(TextOps.repetitionStats(col("toks")).as("r"))
+      .select(col("r.n_grams"), col("r.n_dup"))
+      .as[(Int, Int)].collect().toSeq
+    assert(rows == Seq((3, 2), (3, 0), (0, 0), (0, 0)))
+  }
+
+  test("packByBudget: contiguous greedy bins per shard; oversized doc spans but lands once") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", 1L, 300L), ("s1", 2L, 300L), // cum 300, 600 → bins 0, 0 (600-300=300 <512)
+      ("s1", 3L, 100L),                   // cum 700 → (700-100)//512 = 1
+      ("s1", 4L, 2000L),                  // oversized: cum 2700 → (2700-2000)//512 = 1
+      ("s1", 5L, 10L),                    // cum 2710 → 2700//512 = 5
+      ("s2", 1L, 1L))                     // shard-local: bin 0
+      .toDF("source", "doc_id", "tok")
+    val got = graft.ops.Packing.packByBudget(docs, 512L, "source", "doc_id", col("tok"))
+      .select(col("source"), col("doc_id"), col("bin"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("s1", 1L, 0L), ("s1", 2L, 0L), ("s1", 3L, 1L),
+      ("s1", 4L, 1L), ("s1", 5L, 5L), ("s2", 1L, 0L)))
+  }
+
   test("dupClusters: connected components over pair lists, min-id labels") {
     import spark.implicits._
     // chain 1-2, 2-3, 3-4 → one component labeled 1 (label must
