@@ -49,28 +49,26 @@ object SparkEntry {
 
   /** Reap ivf_centroids-<pid> dirs left by processes that no longer
     * exist (each process writes its own path so concurrent runs never
-    * race; dead processes' dirs would otherwise accumulate forever). */
-  private def reapStaleCentroidDirs(): Unit = {
-    val parent = java.nio.file.Paths.get(ivfCentroidsPath).getParent
-    if (java.nio.file.Files.isDirectory(parent)) {
-      val self = ProcessHandle.current().pid()
-      graft.core.Fs.list(parent).foreach { p =>
-        val n = p.getFileName.toString
-        if (n.startsWith("ivf_centroids-")) {
-          n.stripPrefix("ivf_centroids-").toLongOption.foreach { pid =>
-            if (pid != self && ProcessHandle.of(pid).isEmpty) {
-              def rm(x: java.nio.file.Path): Unit = {
-                if (java.nio.file.Files.isDirectory(x))
-                  graft.core.Fs.list(x).foreach(rm)
-                java.nio.file.Files.deleteIfExists(x); ()
-              }
-              rm(p)
+    * race on content; dead processes' dirs would otherwise accumulate
+    * forever). Best-effort hygiene: Fs.rmTree tolerates two live
+    * processes reaping the same stale dir, and any other IO surprise
+    * must never fail the q18 query it piggybacks on. */
+  private def reapStaleCentroidDirs(): Unit =
+    try {
+      val parent = java.nio.file.Paths.get(ivfCentroidsPath).getParent
+      if (java.nio.file.Files.isDirectory(parent)) {
+        val self = ProcessHandle.current().pid()
+        graft.core.Fs.list(parent).foreach { p =>
+          val n = p.getFileName.toString
+          if (n.startsWith("ivf_centroids-")) {
+            n.stripPrefix("ivf_centroids-").toLongOption.foreach { pid =>
+              if (pid != self && ProcessHandle.of(pid).isEmpty)
+                graft.core.Fs.rmTree(p)
             }
           }
         }
       }
-    }
-  }
+    } catch { case _: Throwable => () }
 
   /** Exact same cosine as Ann.cosine, spelled in DuckDB: products and
     * the left-to-right sum are bit-identical across engines (q12 proved
@@ -491,10 +489,15 @@ object SparkEntry {
     "q18_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val model = graft.ops.Ivf.train(e, k = 16, iters = 3)
-      if (ivfCentroidsWritten.add(dir)) {
+      // marked written only AFTER the write succeeds: a failed write
+      // must not leave this process believing its oracle input exists
+      // (concurrent same-process runs at worst both overwrite the same
+      // deterministic bytes)
+      if (!ivfCentroidsWritten.contains(dir)) {
         reapStaleCentroidDirs()
         graft.ops.Ivf.centroidsDF(s, model).coalesce(1)
           .write.mode("overwrite").parquet(ivfCentroidsPath)
+        ivfCentroidsWritten.add(dir)
       }
       graft.ops.Ivf.search(e, e.filter(col("vec_id") < 5), model, k = 10, nprobe = 4)
         .select(col("query_id"), col("rank"), col("neighbor_id"))

@@ -17,4 +17,21 @@ object Fs {
     val s = Files.list(dir)
     try s.iterator().asScala.toVector finally s.close()
   }
+
+  /** Recursive delete, tolerant of concurrent deleters: a directory (or
+    * file) vanishing between the listing and the delete is treated as
+    * already-deleted, not an error — two processes reaping the same
+    * stale dir must both succeed. The single shared implementation for
+    * every tree removal in the engine. */
+  def rmTree(p: Path): Unit = {
+    try {
+      if (Files.isDirectory(p)) list(p).foreach(rmTree)
+      Files.deleteIfExists(p)
+      ()
+    } catch {
+      case _: java.nio.file.NoSuchFileException => ()
+      case _: java.io.UncheckedIOException => () // Files.list race on a vanished dir
+      case _: java.nio.file.DirectoryIteratorException => ()
+    }
+  }
 }

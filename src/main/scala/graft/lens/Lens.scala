@@ -340,13 +340,7 @@ object LensBuild {
   }
 
   private def swapDir(tmp: Path, dst: Path): Unit = {
-    deleteDir(dst)
+    graft.core.Fs.rmTree(dst)
     Files.move(tmp, dst)
-  }
-
-  private def deleteDir(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      graft.core.Fs.list(p).iterator.toSeq.foreach(deleteDir)
-    Files.deleteIfExists(p)
   }
 }

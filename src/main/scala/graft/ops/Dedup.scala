@@ -184,10 +184,16 @@ object Dedup {
         .localCheckpoint()
       // labels only ever decrease, so fixpoint = no row got smaller
       converged = round.filter(col("label") < col("own")).isEmpty
-      labels.unpersist() // release the previous round's checkpoint blocks
+      // NOTE on block lifetime: localCheckpoint blocks are NOT freed by
+      // Dataset.unpersist (that only uncaches CacheManager entries);
+      // they are reclaimed by the ContextCleaner once the previous
+      // round's Dataset reference is dropped — which reassigning
+      // `labels` here does. Peak retention is therefore a couple of
+      // rounds, not the whole history; a deployment with huge pair sets
+      // and deep components should swap localCheckpoint for reliable
+      // `checkpoint` (which also survives executor loss).
       labels = round.select(col("node"), col("label"))
     }
-    edges.unpersist() // the final round is materialized; edges are done
     labels.select(col("node").as(idCol), col("label").as("cluster_id"))
   }
 

@@ -21,10 +21,15 @@ import org.apache.spark.sql.functions._
   * the assignment is exactly reproducible on any engine. */
 object Packing {
 
-  /** Adds `__tok` (the token count used) and `bin` columns. */
+  /** Adds `__tok` (the token count used) and `bin` columns. Rejects
+    * inputs that already carry those names (withColumn would silently
+    * clobber a caller's column otherwise). */
   def packByBudget(docs: DataFrame, budget: Long, shardCol: String,
                    orderCol: String, tokensCol: Column): DataFrame = {
     require(budget > 0, "budget must be positive")
+    val reserved = Seq("__tok", "__cum", "bin").filter(docs.columns.contains)
+    require(reserved.isEmpty,
+      s"packByBudget writes columns ${reserved.mkString(", ")} — rename them in the input first")
     val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
     docs.withColumn("__tok", tokensCol.cast("long"))
       .withColumn("__cum", sum(col("__tok")).over(w))

@@ -240,12 +240,7 @@ final class Collection(val store: Store, val path: DataPath) {
 
   /** W6: drop the whole collection. */
   def drop(): Unit = store.withLock(path) {
-    def rm(p: Path): Unit = {
-      if (Files.isDirectory(p))
-        graft.core.Fs.list(p).iterator.toSeq.foreach(rm)
-      Files.deleteIfExists(p)
-    }
-    rm(dir)
+    graft.core.Fs.rmTree(dir)
   }
 
   /** W2/W3 — the core commit operator. Hash-gated record versions: a
@@ -406,14 +401,8 @@ final class Collection(val store: Store, val path: DataPath) {
     MetaJson.write(metaFile,
       m.copy(version = newVersion, updated = System.currentTimeMillis()))
     // prune snapshots older than newVersion-1
-    listSnapshots.filter(_ < newVersion - 1).foreach { v =>
-      def rm(p: Path): Unit = {
-        if (Files.isDirectory(p))
-          graft.core.Fs.list(p).iterator.toSeq.foreach(rm)
-        Files.deleteIfExists(p)
-      }
-      rm(snapshotDir(v))
-    }
+    listSnapshots.filter(_ < newVersion - 1)
+      .foreach(v => graft.core.Fs.rmTree(snapshotDir(v)))
     store.notifyCommit(path, newVersion)
   }
 
