@@ -172,6 +172,61 @@ class OpsSpec extends AnyFunSuite {
       ("s1", 4L, 1L), ("s1", 5L, 5L), ("s2", 1L, 0L)))
   }
 
+  test("dupClusters equals brute-force components on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    (1 to 3).foreach { _ =>
+      val n = 40
+      val pairs = Seq.fill(30)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val got = Dedup.dupClusters(pairs.toDF("a_id", "b_id"))
+        .as[(Long, Long)].collect().toMap
+      // brute force: repeated relabel until fixpoint over the edge list
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      var lab = nodes.map(v => v -> v).toMap
+      var changed = true
+      while (changed) {
+        changed = false
+        pairs.foreach { case (a, b) =>
+          val m = math.min(lab(a), lab(b))
+          if (lab(a) != m) { lab += a -> m; changed = true }
+          if (lab(b) != m) { lab += b -> m; changed = true }
+        }
+      }
+      assert(got == lab)
+    }
+  }
+
+  test("packByBudget invariants on random inputs: contiguity, budget respect, id-preservation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val budget = 500L
+    val docs = (1 to 200).map(i =>
+      (s"s${i % 3}", i.toLong, (1 + rnd.nextInt(700)).toLong))
+      .toDF("source", "doc_id", "tok")
+    val out = graft.ops.Packing.packByBudget(docs, budget, "source", "doc_id", col("tok"))
+      .select(col("source"), col("doc_id"), col("__tok"), col("bin"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.length == 200, "every doc lands in exactly one bin")
+    out.groupBy(_._1).foreach { case (_, shard) =>
+      val ordered = shard.sortBy(_._2)
+      // bins are non-decreasing in doc order (contiguous runs)
+      assert(ordered.map(_._4).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+      // a bin exceeds the budget only via its LAST doc (the greedy rule:
+      // a doc joins the bin its predecessor's running total falls in)
+      ordered.groupBy(_._4).foreach { case (_, bin) =>
+        val toks = bin.sortBy(_._2).map(_._3)
+        assert(toks.dropRight(1).sum < budget,
+          "all but the closing doc must fit inside the budget")
+      }
+    }
+    // reserved-name guard
+    intercept[IllegalArgumentException] {
+      graft.ops.Packing.packByBudget(docs.withColumnRenamed("tok", "bin"),
+        budget, "source", "doc_id", col("bin"))
+    }
+  }
+
   test("dupClusters: connected components over pair lists, min-id labels") {
     import spark.implicits._
     // chain 1-2, 2-3, 3-4 → one component labeled 1 (label must
