@@ -352,6 +352,17 @@ object SparkEntry {
       graft.ops.Dedup.nearDupPairs(t(s, dir, "documents"))
         .orderBy(col("a_id"), col("b_id"))),
 
+    // Benchmark decontamination: corpus docs sharing any word 8-gram
+    // with the benchmark subset (doc_id % 7 == 3) — exploded-shingle
+    // semi-join, never doc×doc. Emits exact contaminated membership.
+    "q43_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ops.Dedup.contaminatedIds(
+          d.filter(col("doc_id") % 7 =!= 3),
+          d.filter(col("doc_id") % 7 === 3), n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // Near-dup CLUSTER formation (survivor selection): connected
     // components over the q13 pair set via iterative min-label
     // propagation; cluster_id = min doc_id per component. The oracle
@@ -842,6 +853,23 @@ object SparkEntry {
         |WHERE 2 * len(list_intersect(a.sh, b.sh)) >= len(list_distinct(a.sh || b.sh))
         |  AND len(list_distinct(a.sh || b.sh)) > 0
         |ORDER BY 1, 2""".stripMargin,
+    // q43: same shingle idiom at n=8; contaminated = corpus ids whose
+    // distinct-gram set intersects the benchmark's gram set.
+    "q43_decontaminate" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(toks)-7, 0)),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+        |           || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7])) AS sh
+        |  FROM (
+        |    SELECT doc_id,
+        |      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |    FROM documents)),
+        |bench AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 7 = 3),
+        |corp AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 7 <> 3)
+        |SELECT DISTINCT doc_id FROM corp WHERE g IN (SELECT g FROM bench)
+        |ORDER BY doc_id""".stripMargin,
     // q38: q13's exact pair derivation, then connected components via a
     // recursive CTE (propagate every reachable label, take the min).
     "q38_dup_clusters" ->

@@ -144,6 +144,23 @@ object Dedup {
       .select(col("a_id"), col("b_id"))
   }
 
+  /** Benchmark decontamination — the eval-set-overlap step of a
+    * training-data pipeline: flag corpus documents sharing ANY word
+    * n-gram with a benchmark/eval document, so test data never leaks
+    * into training. One semi-join of exploded distinct shingles,
+    * shuffle keyed on the shingle — never a doc×doc product, and the
+    * (usually tiny) benchmark side aggregates to distinct grams first
+    * so AQE can broadcast it. Returns the distinct contaminated ids. */
+  def contaminatedIds(corpus: DataFrame, benchmark: DataFrame,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      n: Int = 8): DataFrame = {
+    val c = TextOps.shingles(corpus, idCol, textCol, n)
+      .select(col(idCol), explode(col("sh")).as("g"))
+    val b = TextOps.shingles(benchmark, idCol, textCol, n)
+      .select(explode(col("sh")).as("g")).distinct()
+    c.join(b, Seq("g"), "left_semi").select(col(idCol)).distinct()
+  }
+
   /** Connected-component clustering of near-duplicate pairs — the
     * survivor-selection step of a dedup pipeline: pair lists say WHO
     * matches whom; a pipeline needs CLUSTERS (keep one id per
