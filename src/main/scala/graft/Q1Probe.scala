@@ -15,7 +15,9 @@ import org.apache.spark.sql.types.DecimalType
 object Q1Probe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.build()
-    val dir = "/root/testdata/sf0.1"
+    // honor the same env override as Bench, so a probe re-run against
+    // another scale factor measures the data it claims to
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     def time(tag: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
       def once(): Double = {
         val t0 = System.nanoTime()

@@ -500,15 +500,19 @@ object SparkEntry {
     "q18_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val model = graft.ops.Ivf.train(e, k = 16, iters = 3)
-      // marked written only AFTER the write succeeds: a failed write
-      // must not leave this process believing its oracle input exists
-      // (concurrent same-process runs at worst both overwrite the same
-      // deterministic bytes)
-      if (!ivfCentroidsWritten.contains(dir)) {
-        reapStaleCentroidDirs()
-        graft.ops.Ivf.centroidsDF(s, model).coalesce(1)
-          .write.mode("overwrite").parquet(ivfCentroidsPath)
-        ivfCentroidsWritten.add(dir)
+      // atomic claim-then-write: Set.add is the claim, so two concurrent
+      // q18 runs in one process never start overlapping Spark overwrite
+      // jobs to the same path (they would share the _temporary staging
+      // dir and could fail or corrupt each other); a failed write rolls
+      // the claim back so a retry can write the oracle input
+      if (ivfCentroidsWritten.add(dir)) {
+        try {
+          reapStaleCentroidDirs()
+          graft.ops.Ivf.centroidsDF(s, model).coalesce(1)
+            .write.mode("overwrite").parquet(ivfCentroidsPath)
+        } catch {
+          case e: Throwable => ivfCentroidsWritten.remove(dir); throw e
+        }
       }
       graft.ops.Ivf.search(e, e.filter(col("vec_id") < 5), model, k = 10, nprobe = 4)
         .select(col("query_id"), col("rank"), col("neighbor_id"))

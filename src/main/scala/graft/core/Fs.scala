@@ -29,9 +29,16 @@ object Fs {
       Files.deleteIfExists(p)
       ()
     } catch {
+      // ONLY the concurrent-deleter race is tolerated (the path vanished
+      // between listing and delete). Genuine IO failures — permissions,
+      // disk errors — rethrow, so they surface here instead of as a
+      // misleading DirectoryNotEmptyException at a later Files.move, or
+      // as silently-retained snapshot data.
       case _: java.nio.file.NoSuchFileException => ()
-      case _: java.io.UncheckedIOException => () // Files.list race on a vanished dir
-      case _: java.nio.file.DirectoryIteratorException => ()
+      case e: java.io.UncheckedIOException // Files.list race on a vanished dir
+        if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] => ()
+      case e: java.nio.file.DirectoryIteratorException
+        if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] => ()
     }
   }
 }

@@ -172,12 +172,17 @@ final class LensHub(store: Store, parallelCascade: Boolean = false) {
       // fully parallel regardless). Each build's own commit re-enters
       // the bus from its thread, so deeper waves recurse naturally.
       // First failure propagates to the committing writer, like the
-      // serial path.
+      // serial path; sibling failures in the same wave ride along as
+      // suppressed exceptions (Throwable.addSuppressed is synchronized)
+      // so a multi-lens failure is diagnosable from the one throw.
       val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
       val threads = claimed.map { l =>
         val t = new Thread(() =>
           try run(l)
-          catch { case e: Throwable => failure.compareAndSet(null, e) })
+          catch {
+            case e: Throwable =>
+              if (!failure.compareAndSet(null, e)) failure.get().addSuppressed(e)
+          })
         t.start(); t
       }
       threads.foreach(_.join())

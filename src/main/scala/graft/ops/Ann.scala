@@ -32,10 +32,33 @@ object Ann {
     * independently left-to-right. */
   def cosine(a: Column, b: Column): Column = toCol(CosineSimExpr(toExpr(a), toExpr(b)))
 
+  /** Cap on the broadcast query side of the brute-force paths. At 64-dim
+    * double embeddings one row is ~0.5 KB, so 100k queries ≈ 50 MB — at
+    * the edge of a sane broadcast (driver assembles it, every executor
+    * holds a copy). Above this, brute force is the wrong operator by
+    * construction, not just a tuning problem: the guard names the scale
+    * paths instead of letting a 10M-query caller OOM the driver. */
+  val MaxBroadcastQueries: Long = 100000L
+
+  /** Bounded existence-count: scans at most `cap + 1` rows of `df`, so
+    * guarding a 10M-row query set never pays a full count. */
+  private def guardQueryCount(df: DataFrame, op: String, cap: Long): Unit = {
+    val n = df.limit(math.min(cap + 1, Int.MaxValue.toLong).toInt).count()
+    require(n <= cap,
+      s"$op broadcasts the query set, and it has >$cap rows: a broadcast " +
+        s"this size risks driver/executor OOM. Use Ann.lshTopK or " +
+        s"Ivf.search for large query sets, or raise maxBroadcastQueries " +
+        s"deliberately if your cluster can hold it.")
+  }
+
   /** Exact top-k by inner product: (query_id, rank, neighbor_id).
-    * `queries` must be small enough to broadcast (it is hinted). */
+    * `queries` must be small enough to broadcast (it is hinted, and
+    * guarded: >maxBroadcastQueries rows is rejected with a pointer to
+    * the lshTopK/Ivf scale paths rather than an OOM). */
   def topKByDot(corpus: DataFrame, queries: DataFrame, k: Int,
-                idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+                idCol: String = "vec_id", embCol: String = "embedding",
+                maxBroadcastQueries: Long = MaxBroadcastQueries): DataFrame = {
+    guardQueryCount(queries, "topKByDot", maxBroadcastQueries)
     val e = corpus.select(col(idCol), col(embCol).cast("array<double>").as("emb"))
     val q = queries.select(col(idCol).as("query_id"),
       col(embCol).cast("array<double>").as("qemb"))
@@ -48,9 +71,12 @@ object Ann {
       .select(col("query_id"), col("rank"), col(idCol).as("neighbor_id"))
   }
 
-  /** Exact top-k by cosine — same shape, normalized scores. */
+  /** Exact top-k by cosine — same shape, normalized scores, same
+    * broadcast guard. */
   def topKByCosine(corpus: DataFrame, queries: DataFrame, k: Int,
-                   idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+                   idCol: String = "vec_id", embCol: String = "embedding",
+                   maxBroadcastQueries: Long = MaxBroadcastQueries): DataFrame = {
+    guardQueryCount(queries, "topKByCosine", maxBroadcastQueries)
     val e = corpus.select(col(idCol), col(embCol).cast("array<double>").as("emb"))
     val q = queries.select(col(idCol).as("query_id"),
       col(embCol).cast("array<double>").as("qemb"))

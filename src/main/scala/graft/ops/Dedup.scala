@@ -169,23 +169,39 @@ object Dedup {
     * each round is one shuffle join + one aggregation, and the number
     * of rounds is O(component diameter), which for similarity-threshold
     * pair sets is a few hops (clusters are dense blobs, not paths).
-    * `localCheckpoint` truncates lineage between rounds so the plan
-    * never grows with iterations; a cluster deployment that must
-    * survive executor loss swaps it for reliable `checkpoint`. This is
-    * the same loop GraphX's connectedComponents runs; star-contraction
-    * variants halve rounds if diameter ever bites.
+    * Lineage is truncated between rounds so the plan never grows with
+    * iterations. Two checkpoint modes:
+    *  - `checkpointDir = None` (default): `localCheckpoint` — round
+    *    blocks live on executors; fastest, right for single-JVM runs,
+    *    but an executor loss mid-convergence is NOT recoverable (the
+    *    blocks are gone and so is the lineage to rebuild them).
+    *  - `checkpointDir = Some(dir)`: reliable `Dataset.checkpoint()`
+    *    into that directory (an HDFS/object-store path on a real
+    *    cluster) — an executor loss mid-convergence recomputes from the
+    *    checkpoint files; the per-round cost is one write+read of the
+    *    (small) label frame. THE mode for a 1000-executor deployment,
+    *    where losing an executor over a multi-round job is routine.
+    * This is the same loop GraphX's connectedComponents runs;
+    * star-contraction variants halve rounds if diameter ever bites.
     *
     * Output: one row per node appearing in any pair — (idCol,
-    * cluster_id = min id in its component). Deterministic. */
+    * cluster_id = min id in its component). Deterministic, and
+    * identical in both checkpoint modes (the mode changes only WHERE
+    * round state is stored, never its content — OpsSpec pins this). */
   def dupClusters(pairs: DataFrame, aCol: String = "a_id",
-                  bCol: String = "b_id", idCol: String = "doc_id"): DataFrame = {
-    val edges = pairs
+                  bCol: String = "b_id", idCol: String = "doc_id",
+                  checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    // one knob for every round materialization below
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val edges = ckpt(pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .unionByName(pairs
         .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
-      .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint()
+      .distinct())
+    var labels = ckpt(edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")))
     var converged = false
     while (!converged) {
       val viaNeighbor = edges
@@ -195,20 +211,20 @@ object Dedup {
       // (Long.MaxValue on neighbor rows never wins the min), so
       // convergence is a filter on the materialized round — no extra
       // join-the-previous-round job per iteration
-      val round = labels.withColumn("own", col("label"))
+      val round = ckpt(labels.withColumn("own", col("label"))
         .unionByName(viaNeighbor.withColumn("own", lit(Long.MaxValue)))
-        .groupBy("node").agg(min(col("label")).as("label"), min(col("own")).as("own"))
-        .localCheckpoint()
+        .groupBy("node").agg(min(col("label")).as("label"), min(col("own")).as("own")))
       // labels only ever decrease, so fixpoint = no row got smaller
       converged = round.filter(col("label") < col("own")).isEmpty
-      // NOTE on block lifetime: localCheckpoint blocks are NOT freed by
+      // NOTE on state lifetime: localCheckpoint blocks are NOT freed by
       // Dataset.unpersist (that only uncaches CacheManager entries);
       // they are reclaimed by the ContextCleaner once the previous
       // round's Dataset reference is dropped — which reassigning
       // `labels` here does. Peak retention is therefore a couple of
-      // rounds, not the whole history; a deployment with huge pair sets
-      // and deep components should swap localCheckpoint for reliable
-      // `checkpoint` (which also survives executor loss).
+      // rounds, not the whole history. Reliable-checkpoint files are
+      // likewise reaped by the ContextCleaner as round references drop
+      // (spark.cleaner.referenceTracking.cleanCheckpoints to reap
+      // eagerly; otherwise at context stop).
       labels = round.select(col("node"), col("label"))
     }
     labels.select(col("node").as(idCol), col("label").as("cluster_id"))

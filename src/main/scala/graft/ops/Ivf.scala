@@ -9,10 +9,20 @@ import org.apache.spark.sql.functions._
   * nearest cells' members instead of the whole corpus.
   *
   * Scale design: training is mini-batch-free Lloyd iterations where each
-  * partition emits (cell, partialSum, count) — the driver reduces
-  * k × partitions tiny rows per iteration (the MLlib shape). Assignment
-  * and search are ordinary shuffles keyed by cell id. Determinism:
-  * centroids seed from fixed corpus rows, iterations are a fixed count.
+  * partition emits (cell, pid, partialSum, count); the partials COMBINE
+  * IN A SHUFFLE keyed by cell (k reducers, each folding its own P
+  * partition-partials in pid order), so the driver receives exactly k
+  * mean rows per iteration — never the k × P partial matrix. That keeps
+  * the driver envelope O(k·dim) and makes coarse quantizers at real
+  * sizes (k = 65536 cells × 64-dim ≈ 32 MB of centroids) trainable:
+  * the k×P intermediate (65536 × thousands of partitions) only ever
+  * exists sharded across reducers. The broadcast of the centroid model
+  * to executors is the same O(k·dim) and is the true upper bound on k
+  * for this IVF shape (as it is for MLlib KMeans). Assignment and
+  * search are ordinary shuffles keyed by cell id. Determinism:
+  * centroids seed from fixed corpus rows, iterations are a fixed count,
+  * and every floating-point fold has a fixed order (row order within a
+  * partition, pid order across partitions).
   */
 object Ivf {
 
@@ -44,7 +54,14 @@ object Ivf {
   }
 
   /** Deterministic Lloyd k-means: seeds = first k vectors by id order;
-    * fixed iteration count; per-partition partial sums, driver combine. */
+    * fixed iteration count. Per-partition partial sums combine in a
+    * groupByKey(cell) shuffle — k reducer rows reach the driver, never
+    * k × partitions (see the object scaladoc for the scale envelope).
+    * The fold is bit-deterministic: rows accumulate in partition order,
+    * partials accumulate in explicit partition-id order — the exact sum
+    * order a driver-side combine over `collect()` (partition-ordered)
+    * would produce, so centroids are reproducible run to run and
+    * mode-independent. */
   def train(corpus: DataFrame, k: Int, iters: Int = 5,
             idCol: String = "vec_id", embCol: String = "embedding"): Model = {
     val spark = corpus.sparkSession
@@ -57,6 +74,7 @@ object Ivf {
     (0 until iters).foreach { _ =>
       val model = Model(centroids)
       val partials = vecs.mapPartitions { rows =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
         val sums = scala.collection.mutable.Map[Int, (Array[Double], Long)]()
         rows.foreach { case (_, v) =>
           val c = model.nearestCell(v)
@@ -65,20 +83,26 @@ object Ivf {
           while (i < v.length) { s(i) += v(i); i += 1 }
           sums(c) = (s, n + 1)
         }
-        sums.iterator.map { case (c, (s, n)) => (c, s.toSeq, n) }
-      }.collect()
-      val combined = partials.groupBy(_._1).map { case (c, parts) =>
-        val dim = parts.head._2.length
-        val s = new Array[Double](dim)
-        var n = 0L
-        parts.foreach { case (_, ps, pn) =>
-          var i = 0
-          while (i < dim) { s(i) += ps(i); i += 1 }
-          n += pn
-        }
-        c -> s.map(_ / n)
+        sums.iterator.map { case (c, (s, n)) => (c, pid, s.toSeq, n) }
       }
-      centroids = centroids.indices.map(c => combined.getOrElse(c, centroids(c))).toArray
+      // distributed combine: each cell's reducer folds its ≤P partials
+      // in pid order (deterministic), emits one mean row
+      val combined = partials.groupByKey(_._1)
+        .mapGroups { (c, it) =>
+          val parts = it.toArray.sortBy(_._2)
+          val dim = parts.head._3.length
+          val s = new Array[Double](dim)
+          var n = 0L
+          parts.foreach { case (_, _, ps, pn) =>
+            var i = 0
+            while (i < dim) { s(i) += ps(i); i += 1 }
+            n += pn
+          }
+          (c, (s.map(_ / n): Seq[Double]))
+        }
+        .collect().toMap
+      centroids = centroids.indices
+        .map(c => combined.get(c).map(_.toArray).getOrElse(centroids(c))).toArray
     }
     Model(centroids)
   }

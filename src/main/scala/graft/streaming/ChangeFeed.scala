@@ -40,9 +40,20 @@ import graft.store.{DataPath, Store}
   * multi-reader safe either way.
   */
 final class CommitLog(store: Store, tailCapacity: Int = CommitLog.DefaultTailCapacity) {
-  private val seq = new AtomicLong(0)
-
   private def dir: Path = Paths.get(store.root, "_commits")
+
+  /** The latest cursor already durable when this instance was built —
+    * seeds BOTH the seq counter and the eviction horizon. */
+  private val initialCursor: (Long, Long) = scanLatestCursor()
+
+  /** Seeded from the latest durable cursor, NOT 0: a process restart (or
+    * a second CommitLog on the same store) inside the same millisecond
+    * as the last durable commit would otherwise reproduce an existing
+    * (ts, seq) filename, and the ATOMIC_MOVE would silently REPLACE
+    * that commit file — a lost event. Seeding guarantees every append's
+    * (ts, seq) strictly exceeds everything already on disk, which the
+    * tail/evictedUpTo logic also relies on (cursors unique + monotone). */
+  private val seq = new AtomicLong(math.max(0L, initialCursor._2))
 
   /** Bounded tail of recent events, newest last. Guarded by `this`. */
   private val tail = new java.util.ArrayDeque[((Long, Long), String)]()
@@ -53,7 +64,7 @@ final class CommitLog(store: Store, tailCapacity: Int = CommitLog.DefaultTailCap
     * served entirely from the buffer; anything older falls back to the
     * durable log scan. Initialized to the latest durable cursor so a
     * pre-existing log counts as evicted, never as absent. */
-  private var evictedUpTo: (Long, Long) = scanLatestCursor()
+  private var evictedUpTo: (Long, Long) = initialCursor
 
   /** install: every commit of this store appends to the log */
   def install(): CommitLog = {

@@ -243,4 +243,38 @@ class OpsSpec extends AnyFunSuite {
     // empty pair set → empty clusters, loop terminates
     assert(Dedup.dupClusters(Seq.empty[(Long, Long)].toDF("a_id", "b_id")).isEmpty)
   }
+
+  test("dupClusters: reliable-checkpoint mode produces identical labels") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val pairs = Seq.fill(60)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter { case (a, b) => a != b }.toDF("a_id", "b_id")
+    val local = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft-ckpt-").toString
+    try {
+      val reliable = Dedup.dupClusters(pairs, checkpointDir = Some(ckptDir))
+        .as[(Long, Long)].collect().toMap
+      // the checkpoint mode changes WHERE round state lives, never its
+      // content — the labels must be identical, and checkpoint files
+      // must actually have been written to the requested dir
+      assert(reliable == local)
+      assert(graft.core.Fs.list(java.nio.file.Paths.get(ckptDir)).nonEmpty,
+        "reliable mode must write checkpoint state under checkpointDir")
+    } finally graft.core.Fs.rmTree(java.nio.file.Paths.get(ckptDir))
+  }
+
+  test("brute-force ANN rejects query sets above the broadcast guard") {
+    val queries = embs.filter(col("vec_id") < 20)
+    val ex = intercept[IllegalArgumentException] {
+      Ann.topKByDot(embs, queries, 10, maxBroadcastQueries = 5L)
+    }
+    assert(ex.getMessage.contains("lshTopK"))
+    intercept[IllegalArgumentException] {
+      Ann.topKByCosine(embs, queries, 10, maxBroadcastQueries = 5L)
+    }
+    // at-or-under the cap passes (boundary: exactly cap rows is allowed)
+    assert(Ann.topKByDot(embs, queries, 3, maxBroadcastQueries = 20L)
+      .count() == 60L)
+  }
 }

@@ -155,4 +155,23 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(log2.eventsSince(0L).length == 3)
     assert(log2.latestCursor == log1.latestCursor)
   }
+
+  test("restart seq seeds past the durable log: same-ms appends never collide") {
+    val s = freshStore()
+    val log1 = new CommitLog(s)
+    val p = graft.store.DataPath("datasets", "a", "reseed")
+    (1 to 3).foreach(v => log1.append(p, v.toLong))
+    val before = log1.latestCursor
+    // a restarted (second) CommitLog with a zero-seeded counter would
+    // reuse (ts, 1..3) if an append lands in the same millisecond as
+    // the last durable commit — ATOMIC_MOVE would silently REPLACE that
+    // file, losing an event. The seeded counter must strictly exceed
+    // every durable cursor even when ts does not advance.
+    val log2 = new CommitLog(s)
+    log2.append(p, 4L)
+    val after = log2.latestCursor
+    assert(CommitLog.cursorLt(before, after), s"$after must exceed $before")
+    // all four events survive (nothing replaced)
+    assert(log2.eventsSince(0L).length == 4)
+  }
 }
