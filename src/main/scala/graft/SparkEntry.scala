@@ -363,6 +363,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Incremental lens maintenance under the hard signal (§2.6):
+    // commit → full build → second commit updating/deleting/adding
+    // subsets → INCREMENTAL build. Emits the final inverted index, the
+    // hash-gated output versions (1 = posting set survived unchanged,
+    // 2 = changed), and the actual map-invocation count of the
+    // incremental build — which equals |updated|+|new| only if the
+    // freshness gate re-maps changed paths and nothing else.
+    "q44_incremental_lens" -> ((s, dir) =>
+      graft.queries.IncrementalLensQuery.run(s, dir)),
+
     // Near-dup CLUSTER formation (survivor selection): connected
     // components over the q13 pair set via iterative min-label
     // propagation; cluster_id = min doc_id per component. The oracle
@@ -874,6 +884,48 @@ object SparkEntry {
         |corp AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 7 <> 3)
         |SELECT DISTINCT doc_id FROM corp WHERE g IN (SELECT g FROM bench)
         |ORDER BY doc_id""".stripMargin,
+    // q44: the oracle rebuilds BOTH corpus states from scratch — the
+    // pre-commit-2 index (idx1) and the post-commit-2 index (idx2,
+    // with the update/delete/new arithmetic replicated relationally) —
+    // then derives the hash-gated version by comparing posting strings
+    // and the expected map-invocation count from the touched-subset
+    // cardinality. The engine's INCREMENTAL result must equal the full
+    // rebuild while having mapped only |updated|+|new| paths.
+    "q44_incremental_lens" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' graftupdate' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 2
+        |  UNION ALL
+        |  SELECT 1000000 + i, 'brand new graft doc ' || CAST(i AS VARCHAR)
+        |  FROM generate_series(1, 5) AS t(i)
+        |),
+        |toks1 AS (
+        |  SELECT DISTINCT d.doc_id, u.tok
+        |  FROM documents d,
+        |       unnest(string_split_regex(lower(d.text), '[^a-z0-9]+')) AS u(tok)
+        |  WHERE u.tok <> ''),
+        |idx1 AS (
+        |  SELECT tok,
+        |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+        |  FROM toks1 GROUP BY 1),
+        |toks2 AS (
+        |  SELECT DISTINCT d.doc_id, u.tok
+        |  FROM docs2 d,
+        |       unnest(string_split_regex(lower(d.text), '[^a-z0-9]+')) AS u(tok)
+        |  WHERE u.tok <> ''),
+        |idx2 AS (
+        |  SELECT tok, count(*) AS n_docs,
+        |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+        |  FROM toks2 GROUP BY 1),
+        |fresh AS (
+        |  SELECT count(*) AS n FROM docs2
+        |  WHERE doc_id % 7 = 0 OR doc_id > 1000000)
+        |SELECT i2.tok AS token, i2.n_docs, i2.doc_ids,
+        |  CAST(CASE WHEN i1.doc_ids = i2.doc_ids THEN 1 ELSE 2 END AS BIGINT) AS version,
+        |  (SELECT n FROM fresh) AS n_map_calls
+        |FROM idx2 i2 LEFT JOIN idx1 i1 ON i1.tok = i2.tok
+        |ORDER BY token""".stripMargin,
     // q38: q13's exact pair derivation, then connected components via a
     // recursive CTE (propagate every reachable label, take the min).
     "q38_dup_clusters" ->

@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+
+import graft.Tables
+import graft.core._
+import graft.lens.{CommutativeMapFn, Lens, MapContext, MapFn}
+import graft.store.{DataPath, Store, WriteMode}
+
+/** Incremental lens maintenance under the hard signal (SURVEY §2.6 —
+  * version-gated recompute + compute-cache reuse + deletion drop;
+  * reference: library/models/lens.js:134-190 inputVersions gate,
+  * :163 compute-cache entries).
+  *
+  * Shape: commit 1 ingests every document and a FULL build maps them
+  * all; commit 2 touches three disjoint subsets — updates (text
+  * append, record hash changes → fresh), deletions (tombstones →
+  * cached contributions must drop), and brand-new records — and the
+  * INCREMENTAL build may invoke the map only on updated+new paths.
+  * The emitted frame proves both halves at once:
+  *  - token/n_docs/doc_ids: the final inverted index — must equal a
+  *    from-scratch rebuild over the post-commit-2 corpus (the oracle
+  *    computes exactly that relationally);
+  *  - version: the hash-gated output version — 1 where the token's
+  *    posting set survived commit 2 unchanged (cache carried it), 2
+  *    where it changed (oracle: compare build-1 vs build-2 posting
+  *    strings);
+  *  - n_map_calls: actual executor-side map invocations during the
+  *    incremental build, via a LongAccumulator — equals
+  *    |updated ∩ alive| + |new| exactly when the engine maps ONLY
+  *    changed paths (a full re-map would show the whole corpus count
+  *    and break the hash). Accumulators are at-least-once under task
+  *    retries; the driver contract runs local-mode where no retries
+  *    occur, and on a real cluster the count is diagnostic, not part
+  *    of the data path.
+  */
+object IncrementalLensQuery {
+
+  /** q9's oracle-matched tokenizer (lowercase, split outside [a-z0-9])
+    * with an invocation counter — the counter is the proof that the
+    * freshness gate, not the tokenizer, decides what re-maps. */
+  final class CountingTokenFn(acc: LongAccumulator)
+      extends MapFn with CommutativeMapFn {
+    def map(ctx: MapContext): Unit = {
+      acc.add(1L)
+      val text = ctx.data match {
+        case o: PoObj => o.fields.get("text") match {
+          case Some(PoStr(t)) => t
+          case _ => return
+        }
+        case _ => return
+      }
+      val docId = PoInt(ctx.path.recordID.toLong)
+      text.toLowerCase.split("[^a-z0-9]+").iterator
+        .filter(_.nonEmpty).toArray.distinct
+        .foreach(tok => ctx.output(tok, PoSet(docId)))
+    }
+  }
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // fresh root per invocation: a stale compute cache from a previous
+    // run would silently turn build 1 into an incremental no-op and
+    // break the invocation count
+    val root = java.nio.file.Files.createTempDirectory("graft-incq").toString
+    val store = new Store(spark, root)
+    val ds = store.dataset("bench", "documents-inc").create()
+
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    def enc(id: Long, text: String): (String, Array[Byte], Boolean) =
+      (id.toString, Cbor.encode(PoObj("text" -> PoStr(text))), false)
+
+    // ---- commit 1: the whole corpus
+    ds.writeEntriesDF(docs.as[(Long, String)]
+      .map { case (id, t) => enc(id, t) }.toDF("id", "value", "tombstone"),
+      WriteMode.Overwrite)
+
+    val acc = spark.sparkContext.longAccumulator("graft.q44.mapCalls")
+    val lens = new Lens(store, "bench", "token-index-inc",
+      Seq(DataPath("datasets", "bench", "documents-inc")),
+      new CountingTokenFn(acc)).create()
+    lens.build() // full: empty cache maps everything → output version 1
+
+    // ---- commit 2 (merge): disjoint touched subsets
+    //   deleted:  doc_id % 13 == 2            (tombstones)
+    //   updated:  doc_id % 7 == 0, not deleted (text append → new hash)
+    //   new:      1000001..1000005
+    val updates = docs
+      .filter(col("doc_id") % 7 === 0 && col("doc_id") % 13 =!= 2)
+      .as[(Long, String)]
+      .map { case (id, t) => enc(id, t + " graftupdate") }
+      .toDF("id", "value", "tombstone")
+    val deletes = docs.filter(col("doc_id") % 13 === 2)
+      .select(col("doc_id").cast("string")).as[String]
+      .map(id => (id, Array.empty[Byte], true))
+      .toDF("id", "value", "tombstone")
+    val news = spark.range(1, 6)
+      .as[Long].map(i => enc(1000000L + i, s"brand new graft doc $i"))
+      .toDF("id", "value", "tombstone")
+    ds.writeEntriesDF(updates.unionByName(deletes).unionByName(news),
+      WriteMode.Merge)
+
+    // ---- incremental build: only updated+new paths may re-map
+    acc.reset()
+    lens.build()
+    val nMapCalls = acc.value
+
+    lens.output.records.map { r =>
+      val ids = Cbor.decode(r.value).asInstanceOf[PoSet].items
+        .collect { case PoInt(i) => i }.sorted
+      (r.id, ids.length.toLong, ids.mkString(","), r.version)
+    }.toDF("token", "n_docs", "doc_ids", "version")
+      .withColumn("n_map_calls", lit(nMapCalls))
+      .orderBy("token")
+  }
+}
