@@ -36,12 +36,20 @@ import graft.store._
   *   GET    /lenses/A:N/logs                           last-build logs (lens-controller:105)
   *   GET    /{datasets|lenses|meta}/A:N/event-stream    live SSE push (export-controller:153)
   *   GET    /changes?since=ts[&seq=n]                  SSE catch-up events
-  * Ephemeral lenses need a map FUNCTION, which HTTP can't carry without
-  * a JS engine (absent in this container) — exposed on the Scala API
-  * (EphemeralLens.stream) instead. Lens configuration is read-only over
-  * HTTP for the same reason (the PUT body is map code).
+  *   POST   /lenses/ephemeral                          run-once lens, streamed logs+records (lens-controller:191)
+  * The reference's ephemeral body carries a JS map FUNCTION; with no JS
+  * engine in this runtime the map rides as the declarative JSON DSL
+  * ([[graft.lens.MapDsl]], mapType "dsl") — expressive enough for the
+  * reference's golden tag-index lens; arbitrary-JS bodies answer 501
+  * until a JS engine exists behind the MapFn seam (README). Lens
+  * configuration stays read-only over HTTP for the same reason (its PUT
+  * body is map code).
   */
 final class HttpApi(store: Store, port: Int = 0) {
+
+  /** reference body cap for the ephemeral route
+    * (lens-controller.js:192 `parse.body({ maxSize: 3145728 })`). */
+  private val MaxEphemeralBody: Int = 3145728
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   private val commitLog = new graft.streaming.CommitLog(store).install()
@@ -343,6 +351,62 @@ final class HttpApi(store: Store, port: Int = 0) {
               "hash" -> PoStr(hex.toLowerCase), "size" -> PoInt(size),
               "updated" -> PoInt(mtime),
               "linkers" -> PoArr(linkers.map(PoStr.apply).toVector)), "json")
+        }
+      case ("POST", "/lenses/ephemeral") =>
+        // run-once lens (lens-controller.js:191-218): create a throwaway
+        // lens from the request body, build, stream logs then records,
+        // delete. The reference body carries a JS FUNCTION; with no JS
+        // engine here the map rides as the declarative DSL (MapDsl) —
+        // mapType "dsl". Body: {memo?, mapType: "dsl", map: {...},
+        //   inputs: ["/datasets/a:n", ...] | "one-per-line string"}.
+        // Response: a streamed JSON array of {log:...} frames then
+        // {record:{id,version,hash,data}} frames (docs/api/lenses.md:
+        // 82-137 framing, json.js encodeIterable array shape).
+        val body = ex.getRequestBody.readNBytes(MaxEphemeralBody + 1)
+        if (body.length > MaxEphemeralBody)
+          return respond(ex, 413, s"body exceeds $MaxEphemeralBody bytes")
+        val obj = JsonCodec.decode(body) match {
+          case o: PoObj => o
+          case _ => return respond(ex, 400, "body must be a JSON object")
+        }
+        obj.fields.get("mapType") match {
+          case Some(PoStr("dsl")) => ()
+          case Some(PoStr(other)) => return respond(ex, 501,
+            s"mapType '$other' needs a JS engine; this runtime supports 'dsl'")
+          case _ => return respond(ex, 400, "missing mapType")
+        }
+        val inputStrs: Seq[String] = obj.fields.get("inputs") match {
+          case Some(PoArr(items)) => items.collect { case PoStr(s) => s.trim }
+          case Some(PoStr(s)) => s.split("\n").toSeq.map(_.trim) // HTML-form shape
+          case _ => Seq.empty
+        }
+        val inputs = inputStrs.filter(_.nonEmpty).map { s =>
+          // the reference's form sends trailing-slash collection paths
+          DataPath.parse(s.stripSuffix("/")).getOrElse(
+            return respond(ex, 400, s"bad input path: $s"))
+        }
+        if (inputs.isEmpty) return respond(ex, 400, "inputs must name at least one collection")
+        inputs.find(p => !ReadPath.exists(store, DataPath(p.source, p.author, p.name)))
+          .foreach(p => return respond(ex, 404, s"no such input: ${p.collectionPath}"))
+        val fn = graft.lens.MapDsl.compile(
+          obj.fields.getOrElse("map", return respond(ex, 400, "missing map spec")))
+        graft.lens.EphemeralLens.stream(store, inputs, fn) { frames =>
+          // same discipline as the listings: force the first frame
+          // before committing the 200, abort mid-stream without the
+          // closing bracket so a failure is never a silent complete body
+          val head = if (frames.hasNext) Some(frames.next()) else None
+          ex.getResponseHeaders.set("Content-Type", mimeFor("json"))
+          ex.sendResponseHeaders(200, 0)
+          val out: OutputStream = ex.getResponseBody
+          out.write('[')
+          var first = true
+          def emit(v: PoValue): Unit = {
+            if (!first) out.write(',')
+            first = false
+            out.write(JsonCodec.encodeString(v).getBytes(UTF_8))
+          }
+          try { head.foreach(emit); frames.foreach(emit); out.write(']') }
+          finally out.close()
         }
       case ("GET", LensConfigPat(author, name)) =>
         // read-only lens configuration (lens-controller.js:61-75); the

@@ -327,6 +327,80 @@ class HttpApiSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("POST /lenses/ephemeral: DSL golden lens streams logs then records, then deletes itself") {
+    withApi { (base, c) =>
+      // the reference's golden fixture (test/test-models-lens.js:39-53)
+      def put(rid: String, json: String): Unit =
+        c.send(HttpRequest.newBuilder(URI.create(s"$base/datasets/alice:d1/records/$rid"))
+          .header("Content-Type", "application/json")
+          .PUT(HttpRequest.BodyPublishers.ofString(json)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      put("abc", """{"tags": ["cat", "dog"]}""")
+      put("def", """{"tags": ["dog", "mango"], "log": "log test"}""")
+      put("ghi", """{"tags": ["dog", "cat"], "error": "error test"}""")
+
+      val body =
+        """{
+          |  "memo": "golden tag index",
+          |  "mapType": "dsl",
+          |  "inputs": ["/datasets/alice:d1/"],
+          |  "map": {
+          |    "emit": [{"forEach": {"field": "tags"},
+          |              "key": {"item": true},
+          |              "value": {"set": [{"path": "recordID"}]}}],
+          |    "log": {"field": "log"},
+          |    "fail": {"field": "error"}
+          |  }
+          |}""".stripMargin
+      def post(b: String): HttpResponse[String] =
+        c.send(HttpRequest.newBuilder(URI.create(s"$base/lenses/ephemeral"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(b)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      val resp = post(body)
+      assert(resp.statusCode == 200)
+      val frames = JsonCodec.decodeString(resp.body).asInstanceOf[PoArr].items
+
+      // framing: every log frame precedes every record frame
+      // (docs/api/lenses.md:82-137; lens-controller.js:205-208)
+      val kinds = frames.map(_.asInstanceOf[PoObj].fields.keys.head)
+      assert(kinds.takeWhile(_ == "log") ++ kinds.dropWhile(_ == "log") == kinds)
+      val logs = frames.filter(f => f.asInstanceOf[PoObj].fields.contains("log"))
+        .map(_.asInstanceOf[PoObj].fields("log").asInstanceOf[PoObj].fields)
+      val recs = frames.filter(f => f.asInstanceOf[PoObj].fields.contains("record"))
+        .map(_.asInstanceOf[PoObj].fields("record").asInstanceOf[PoObj].fields)
+
+      // logs in input natural order: def's console line, then ghi's error
+      assert(logs.map(_("path")) == Vector(
+        PoStr("/datasets/alice:d1/records/def"),
+        PoStr("/datasets/alice:d1/records/ghi")))
+      assert(logs(0)("type") == PoStr("log"))
+      assert(logs(0)("args") == PoArr(Vector(PoStr("log test"))))
+      assert(logs(1)("type") == PoStr("error"))
+      assert(logs(1)("error").asInstanceOf[PoObj].fields("message") == PoStr("error test"))
+
+      // records: the golden index, natural-ordered, outputs-before-throw
+      // kept (ghi still appears under cat/dog)
+      val byId = recs.map(r => r("id").asInstanceOf[PoStr].s -> r("data")).toMap
+      assert(recs.map(_("id")) == Vector(PoStr("cat"), PoStr("dog"), PoStr("mango")))
+      assert(byId("cat") == PoSet(PoStr("abc"), PoStr("ghi")))
+      assert(byId("dog") == PoSet(PoStr("abc"), PoStr("def"), PoStr("ghi")))
+      assert(byId("mango") == PoSet(PoStr("def")))
+
+      // run-once: the throwaway lens is gone (lens-controller.js:215-217)
+      val lenses = get(c, s"$base/lenses/")
+      assert(!lenses.body.contains("ephemeral"))
+
+      // contract errors: arbitrary JS is 501 (no engine), bad spec is
+      // 400, unknown input collection is 404
+      assert(post(body.replace("\"dsl\"", "\"javascript\"")).statusCode == 501)
+      assert(post("""{"mapType": "dsl", "inputs": ["/datasets/alice:d1"],
+        "map": {"emit": [{"key": {"exec": "x"}, "value": {"lit": 1}}]}}""").statusCode == 400)
+      assert(post("""{"mapType": "dsl", "inputs": ["/datasets/alice:nope"],
+        "map": {"log": {"field": "x"}}}""").statusCode == 404)
+    }
+  }
+
   test("errors: 404 unknown route/collection, 400 bad body") {
     withApi { (base, c) =>
       assert(get(c, s"$base/nope").statusCode == 404)

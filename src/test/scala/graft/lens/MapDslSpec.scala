@@ -1,0 +1,91 @@
+package graft.lens
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.codec.JsonCodec
+import graft.core._
+
+/** The declarative map DSL (§2.4's HTTP-carriable form): golden-lens
+  * semantics, the text/markup primitives, absent propagation, and
+  * parse-time rejection of anything outside the grammar. */
+class MapDslSpec extends AnyFunSuite {
+
+  private def fn(json: String): MapFn =
+    MapDsl.compile(JsonCodec.decodeString(json))
+
+  private def runOn(f: MapFn, rid: String, data: PoValue): MapResult =
+    MapRunner.run(f,
+      MapPath(s"/datasets/a:d/records/$rid", "datasets", "a", "d", rid), data)
+
+  private val goldenJson =
+    """{
+      |  "emit": [{"forEach": {"field": "tags"},
+      |            "key": {"item": true},
+      |            "value": {"set": [{"path": "recordID"}]}}],
+      |  "log": {"field": "log"},
+      |  "fail": {"field": "error"}
+      |}""".stripMargin
+
+  test("golden tag-index lens: emit per tag, log and throw on demand") {
+    val f = fn(goldenJson)
+    // plain record: outputs only (reference test-models-lens.js:39-53)
+    val abc = runOn(f, "abc", PoObj("tags" -> PoArr(Vector(PoStr("cat"), PoStr("dog")))))
+    assert(abc.outputs == Vector(
+      "cat" -> PoSet(PoStr("abc")), "dog" -> PoSet(PoStr("abc"))))
+    assert(abc.logs.isEmpty && abc.error.isEmpty)
+    // log field present → console capture
+    val defR = runOn(f, "def", PoObj(
+      "tags" -> PoArr(Vector(PoStr("dog"), PoStr("mango"))),
+      "log" -> PoStr("log test")))
+    assert(defR.logs == Vector(LogEntry("log", Seq("log test"))))
+    assert(defR.error.isEmpty)
+    // error field present → throw AFTER emitting (outputs kept)
+    val ghi = runOn(f, "ghi", PoObj(
+      "tags" -> PoArr(Vector(PoStr("dog"), PoStr("cat"))),
+      "error" -> PoStr("error test")))
+    assert(ghi.outputs.map(_._1) == Vector("dog", "cat"))
+    assert(ghi.error == Some(CapturedError("RuntimeException", "error test")))
+  }
+
+  test("absent fields: no emissions, no logs, no errors") {
+    val f = fn(goldenJson)
+    val r = runOn(f, "x", PoObj("other" -> PoInt(1)))
+    assert(r.outputs.isEmpty && r.logs.isEmpty && r.error.isEmpty)
+  }
+
+  test("split/lower/concat build a token-index map") {
+    val f = fn(
+      """{"emit": [{"forEach": {"split": {"of": {"lower": {"field": "text"}},
+        |                                 "on": "[^a-z0-9]+"}},
+        |           "key": {"concat": [{"lit": "tok:"}, {"item": true}]},
+        |           "value": {"set": [{"path": "recordID"}]}}]}""".stripMargin)
+    val r = runOn(f, "r1", PoObj("text" -> PoStr("Hello, World! hello")))
+    assert(r.outputs == Vector(
+      "tok:hello" -> PoSet(PoStr("r1")), "tok:world" -> PoSet(PoStr("r1")),
+      "tok:hello" -> PoSet(PoStr("r1"))))
+  }
+
+  test("markup select + text: index records by their <a> link text") {
+    def tag(nm: String, rest: PoValue*): PoValue = PoArr(PoStr(nm) +: rest.toVector)
+    val f = fn(
+      """{"emit": [{"forEach": {"select": {"of": {"field": "doc"}, "css": "a"}},
+        |           "key": {"text": {"item": true}},
+        |           "value": {"arr": [{"path": "recordID"}]}}]}""".stripMargin)
+    val doc = tag("body", tag("a", PoStr("x")), tag("div", tag("a", PoStr("y"))))
+    val r = runOn(f, "r9", PoObj("doc" -> doc))
+    assert(r.outputs == Vector(
+      "x" -> PoArr(Vector(PoStr("r9"))), "y" -> PoArr(Vector(PoStr("r9")))))
+  }
+
+  test("parse rejects: unknown primitive, bad regex, missing key, empty spec") {
+    def bad(json: String): Unit =
+      intercept[IllegalArgumentException](fn(json))
+    bad("""{"emit": [{"key": {"exec": "rm -rf"}, "value": {"lit": 1}}]}""")
+    bad("""{"emit": [{"key": {"split": {"of": {"field": "t"}, "on": "("}},
+          |           "value": {"lit": 1}}]}""".stripMargin)
+    bad("""{"emit": [{"value": {"lit": 1}}]}""")
+    bad("""{}""")
+    bad("""[1,2]""")
+    bad("""{"emit": [{"key": {"path": "hostname"}, "value": {"lit": 1}}]}""")
+  }
+}
