@@ -363,6 +363,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Container-metadata triage (multimodal, no decode): deterministic
+    // MP4/Matroska fixtures built executor-side by an independent
+    // spec-layout writer, parsed back through the production
+    // ContainerMeta box/EBML walk. Every field is an integer function
+    // of doc_id the oracle re-derives — a wrong box offset, fixed-point
+    // shift, or missed track breaks the hash.
+    "q45_container_meta" -> ((s, dir) =>
+      graft.queries.MultimodalQueries.containerMeta(s, dir)),
+
     // Incremental lens maintenance under the hard signal (§2.6):
     // commit → full build → second commit updating/deleting/adding
     // subsets → INCREMENTAL build. Emits the final inverted index, the
@@ -883,6 +892,21 @@ object SparkEntry {
         |bench AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 7 = 3),
         |corp AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 7 <> 3)
         |SELECT DISTINCT doc_id FROM corp WHERE g IN (SELECT g FROM bench)
+        |ORDER BY doc_id""".stripMargin,
+    // q45: the fixture plants integer header fields as functions of
+    // doc_id; the oracle recomputes them relationally. The engine side
+    // must recover them by actually parsing the container bytes.
+    "q45_container_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'mkv' ELSE 'mp4' END AS container,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'matroska' ELSE 'isom' END AS brand,
+        |  CASE WHEN doc_id % 5 = 0 THEN 2000 + doc_id % 7000
+        |       ELSE 1000 + doc_id % 9000 END AS duration_ms,
+        |  CASE WHEN doc_id % 5 = 0 THEN 1 + doc_id % 2
+        |       ELSE 1 + doc_id % 3 END AS n_tracks,
+        |  160 + (doc_id % 8) * 16 AS width,
+        |  90 + (doc_id % 8) * 9 AS height
+        |FROM (SELECT DISTINCT doc_id FROM documents) t
         |ORDER BY doc_id""".stripMargin,
     // q44: the oracle rebuilds BOTH corpus states from scratch — the
     // pre-commit-2 index (idx1) and the post-commit-2 index (idx2,

@@ -1,0 +1,229 @@
+package graft.ops
+
+/** Container-header metadata WITHOUT decode — the triage step of a
+  * multimodal pipeline: at 100 TB you read a few hundred header bytes
+  * per blob to decide duration/dims/track shape BEFORE spending a
+  * decoder (and its codec licence) on it. Parses the two container
+  * families that dominate video corpora:
+  *  - MP4 / ISO BMFF (ISO 14496-12): box walk → `ftyp` major brand,
+  *    `moov/mvhd` timescale+duration, `trak` count, `trak/tkhd`
+  *    16.16-fixed track dims (version 0 and 1 layouts);
+  *  - Matroska / WebM (EBML, RFC 8794): vint walk → `DocType`,
+  *    `Segment/Info` TimestampScale+Duration, `Tracks/TrackEntry`
+  *    count, `Video` PixelWidth/PixelHeight.
+  * Pure integer/IEEE parsing, no codec, no JDK service provider —
+  * which is exactly why it works where full video decode is stubbed
+  * (Multimodal.StubDecoder note). Truncated/foreign bytes parse to
+  * None, never throw: a corpus triage pass must not die on one bad
+  * blob.
+  *
+  * Reference corpus note: pigeon-optics stores attachments as opaque
+  * blobs and never introspects them (attachments.js); this operator is
+  * part of the LLM-pipeline extension set, not a reference port.
+  */
+object ContainerMeta {
+
+  /** One container's header summary. `width`/`height` are the first
+    * video track's dims (0 when no video track declares any). */
+  final case class Meta(container: String, brand: String, durationMs: Long,
+                        nTracks: Long, width: Long, height: Long)
+
+  def parse(bytes: Array[Byte]): Option[Meta] =
+    try {
+      if (isMp4(bytes)) parseMp4(bytes)
+      else if (isEbml(bytes)) parseMkv(bytes)
+      else None
+    } catch { case _: Exception => None } // truncated/corrupt → not parseable
+
+  // ------------------------------------------------------------ MP4
+
+  def isMp4(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+
+  private def be16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
+  private def fourcc(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Walk the boxes of [from, to): (type, payloadStart, payloadEnd).
+    * A box whose declared size escapes the range is clamped and ends
+    * the walk — truncated input degrades, never loops or overruns. */
+  private def boxes(b: Array[Byte], lo: Int, hi: Int): Iterator[(String, Int, Int)] =
+    new Iterator[(String, Int, Int)] {
+      private var off = lo
+      def hasNext: Boolean = off + 8 <= hi
+      def next(): (String, Int, Int) = {
+        val size32 = be32(b, off)
+        val typ = fourcc(b, off + 4)
+        val payload: Long =
+          if (size32 == 1L) off + 16L else off + 8L
+        val end: Long =
+          if (size32 == 1L) off + be64(b, off + 8)  // largesize
+          else if (size32 == 0L) hi.toLong          // runs to end of file
+          else off + size32
+        val clamped = math.max(payload, math.min(end, hi.toLong)).toInt
+        off = if (end <= off || end > hi) hi else clamped
+        (typ, payload.toInt, clamped)
+      }
+    }
+
+  private def parseMp4(b: Array[Byte]): Option[Meta] = {
+    var brand = ""
+    var timescale = 0L
+    var duration = 0L
+    var nTracks = 0L
+    var width = 0L
+    var height = 0L
+    boxes(b, 0, b.length).foreach {
+      case ("ftyp", p, _) => brand = fourcc(b, p)
+      case ("moov", mp, me) =>
+        boxes(b, mp, me).foreach {
+          case ("mvhd", p, _) =>
+            val v = b(p) & 0xff
+            if (v == 1) { timescale = be32(b, p + 20); duration = be64(b, p + 24) }
+            else { timescale = be32(b, p + 12); duration = be32(b, p + 16) }
+          case ("trak", tp, te) =>
+            nTracks += 1
+            boxes(b, tp, te).foreach {
+              case ("tkhd", p, _) =>
+                val v = b(p) & 0xff
+                // ver/flags(4) + times/ids (v0: 20, v1: 32) +
+                // reserved(8)+layer(2)+alt(2)+vol(2)+reserved(2) = 16 +
+                // matrix(36) → width/height as 16.16 fixed point
+                val o = p + 4 + (if (v == 1) 32 else 20) + 16 + 36
+                val tw = be32(b, o) >> 16
+                val th = be32(b, o + 4) >> 16
+                if (width == 0 && tw > 0) { width = tw; height = th }
+              case _ => ()
+            }
+          case _ => ()
+        }
+      case _ => ()
+    }
+    if (timescale <= 0) None
+    else Some(Meta("mp4", brand, duration * 1000L / timescale, nTracks, width, height))
+  }
+
+  // ----------------------------------------------------- Matroska/EBML
+
+  def isEbml(b: Array[Byte]): Boolean =
+    b.length >= 4 && (b(0) & 0xff) == 0x1a && (b(1) & 0xff) == 0x45 &&
+      (b(2) & 0xff) == 0xdf && (b(3) & 0xff) == 0xa3
+
+  /** EBML element id: the vint INCLUDING its length-marker bits. */
+  private def readId(b: Array[Byte], o: Int): (Long, Int) = {
+    val first = b(o) & 0xff
+    val len = Integer.numberOfLeadingZeros(first) - 24 + 1
+    require(len >= 1 && len <= 4, s"bad EBML id at $o")
+    var v = 0L
+    var i = 0
+    while (i < len) { v = (v << 8) | (b(o + i) & 0xffL); i += 1 }
+    (v, len)
+  }
+
+  /** EBML size vint: marker bit stripped. */
+  private def readSize(b: Array[Byte], o: Int): (Long, Int) = {
+    val first = b(o) & 0xff
+    val len = Integer.numberOfLeadingZeros(first) - 24 + 1
+    require(len >= 1 && len <= 8, s"bad EBML size at $o")
+    var v = (first & (0xff >>> len)).toLong
+    var i = 1
+    while (i < len) { v = (v << 8) | (b(o + i) & 0xffL); i += 1 }
+    (v, len)
+  }
+
+  private def uint(b: Array[Byte], o: Int, n: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < n) { v = (v << 8) | (b(o + i) & 0xffL); i += 1 }
+    v
+  }
+
+  private def float(b: Array[Byte], o: Int, n: Int): Double = n match {
+    case 4 => java.lang.Float.intBitsToFloat(uint(b, o, 4).toInt).toDouble
+    case 8 => java.lang.Double.longBitsToDouble(uint(b, o, 8))
+    case _ => 0.0
+  }
+
+  /** Walk EBML elements of [from, to): (id, payloadStart, payloadEnd). */
+  private def ebml(b: Array[Byte], lo: Int, hi: Int): Iterator[(Long, Int, Int)] =
+    new Iterator[(Long, Int, Int)] {
+      private var off = lo
+      def hasNext: Boolean = off + 2 <= hi
+      def next(): (Long, Int, Int) = {
+        val (id, ilen) = readId(b, off)
+        val (sz, slen) = readSize(b, off + ilen)
+        val payload = off + ilen + slen
+        // all-ones size = unknown length (streaming): runs to range end
+        val unknown = sz == (1L << (7 * slen)) - 1
+        val end = if (unknown) hi else math.min(payload + sz, hi.toLong).toInt
+        off = end
+        (id, payload, end)
+      }
+    }
+
+  // the handful of element ids this triage needs (RFC 8794 / Matroska spec)
+  private val DocType = 0x4282L
+  private val Segment = 0x18538067L
+  private val Info = 0x1549a966L
+  private val TimestampScale = 0x2ad7b1L
+  private val DurationE = 0x4489L
+  private val Tracks = 0x1654ae6bL
+  private val TrackEntry = 0xaeL
+  private val Video = 0xe0L
+  private val PixelWidth = 0xb0L
+  private val PixelHeight = 0xbaL
+
+  private def parseMkv(b: Array[Byte]): Option[Meta] = {
+    var docType = ""
+    var tsScale = 1000000L // Matroska default
+    var durationTicks = 0.0
+    var nTracks = 0L
+    var width = 0L
+    var height = 0L
+    ebml(b, 0, b.length).foreach {
+      case (0x1a45dfa3L, hp, he) => // EBML header
+        ebml(b, hp, he).foreach {
+          case (DocType, p, e) =>
+            docType = new String(b, p, e - p, java.nio.charset.StandardCharsets.US_ASCII)
+          case _ => ()
+        }
+      case (Segment, sp, se) =>
+        ebml(b, sp, se).foreach {
+          case (Info, p, e) =>
+            ebml(b, p, e).foreach {
+              case (TimestampScale, o, oe) => tsScale = uint(b, o, oe - o)
+              case (DurationE, o, oe) => durationTicks = float(b, o, oe - o)
+              case _ => ()
+            }
+          case (Tracks, p, e) =>
+            ebml(b, p, e).foreach {
+              case (TrackEntry, tp, te) =>
+                nTracks += 1
+                ebml(b, tp, te).foreach {
+                  case (Video, vp, ve) =>
+                    ebml(b, vp, ve).foreach {
+                      case (PixelWidth, o, oe) if width == 0 => width = uint(b, o, oe - o)
+                      case (PixelHeight, o, oe) if height == 0 => height = uint(b, o, oe - o)
+                      case _ => ()
+                    }
+                  case _ => ()
+                }
+              case _ => ()
+            }
+          case _ => ()
+        }
+      case _ => ()
+    }
+    if (docType.isEmpty) None
+    else Some(Meta("mkv", docType,
+      // duration in ms: ticks × scale(ns per tick) / 1e6 — exact for the
+      // integer-valued durations real muxers write
+      math.round(durationTicks * tsScale / 1e6), nTracks, width, height))
+  }
+}

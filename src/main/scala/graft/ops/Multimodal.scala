@@ -336,6 +336,32 @@ object Multimodal {
       .toDF(idCol, bytesCol, mimeCol, "target_w", "target_h")
   }
 
+  /** Container-header triage: (id, media) → (id, container, brand,
+    * duration_ms, n_tracks, width, height) by pure integer parsing of
+    * MP4/ISO-BMFF and Matroska/WebM headers ([[ContainerMeta]]) — no
+    * codec, no decode. THE first pass of a 100 TB video pipeline: a few
+    * hundred header bytes decide what is worth decoding (and with
+    * which codec budget) before any decoder runs. Unparseable blobs
+    * come back container="unknown" with null fields — triage must
+    * classify bad blobs, not die on them. Plain projection shape: no
+    * shuffle, streams row by row. */
+  def containerMeta(df: DataFrame, idCol: String = "id",
+                    bytesCol: String = "media"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        ContainerMeta.parse(bytes) match {
+          case Some(m) => (id, m.container, Option(m.brand), Option(m.durationMs),
+            Option(m.nTracks), Option(m.width), Option(m.height))
+          case None => (id, "unknown", None: Option[String], None: Option[Long],
+            None: Option[Long], None: Option[Long], None: Option[Long])
+        }
+      }
+      .toDF(idCol, "container", "brand", "duration_ms", "n_tracks", "width", "height")
+  }
+
   /** Size-aware repartitioning for blob tables: media rows vary from KBs
     * to GBs, so row-count partitioning skews badly. Scans byte lengths
     * once (column-pruned — only the length is read when the source

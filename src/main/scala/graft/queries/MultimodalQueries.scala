@@ -62,6 +62,117 @@ object MultimodalQueries {
       .orderBy(col("doc_id"), col("window_idx"))
   }
 
+  /** Container-metadata triage under the hard signal: a deterministic
+    * MP4 (ISO BMFF boxes, doc_id % 5 != 0) or Matroska (EBML elements,
+    * doc_id % 5 == 0) byte stream per document — duration, track count
+    * and video dims are integer functions of doc_id, written
+    * executor-side by an independent builder (spec-layout writes, not
+    * the parser's tables) — parsed back through the production
+    * [[Multimodal.containerMeta]] path. Every emitted field is an
+    * integer the oracle re-derives from the same formulas, so a
+    * mis-parsed offset, a wrong fixed-point shift, or a missed track
+    * breaks the hash. No decode anywhere: this is the header-triage
+    * pass a 100 TB video pipeline runs before deciding what to decode. */
+  def containerMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val blobs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").cast("long")).distinct()
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val bytes =
+            if (id % 5 == 0)
+              mkvFixture(ticks = 2000 + id % 7000, nTracks = 1 + (id % 2).toInt,
+                w = 160 + (id % 8) * 16, h = 90 + (id % 8) * 9)
+            else
+              mp4Fixture(durMs = 1000 + id % 9000, nTracks = 1 + (id % 3).toInt,
+                w = 160 + (id % 8) * 16, h = 90 + (id % 8) * 9)
+          (id, bytes)
+        }
+      }.toDF("id", "media")
+    Multimodal.containerMeta(blobs)
+      .select(col("id").as("doc_id"), col("container"), col("brand"),
+        col("duration_ms"), col("n_tracks"), col("width"), col("height"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- fixture builders: independent spec-layout writers -------------
+
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  /** ISO BMFF box: 32-bit size + fourcc + payload. */
+  private def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    be32(8L + body.length) ++ typ.getBytes("US-ASCII") ++ body
+  }
+
+  /** identity transform matrix all tkhd/mvhd boxes carry */
+  private val Matrix: Array[Byte] =
+    be32(0x00010000L) ++ be32(0) ++ be32(0) ++
+      be32(0) ++ be32(0x00010000L) ++ be32(0) ++
+      be32(0) ++ be32(0) ++ be32(0x40000000L)
+
+  /** Deterministic minimal MP4: ftyp + moov(mvhd + nTracks × trak(tkhd));
+    * the FIRST track is the video track carrying 16.16 dims, the rest
+    * declare 0×0 (the audio-track convention). timescale 1000 so
+    * duration ticks == milliseconds. */
+  private def mp4Fixture(durMs: Long, nTracks: Int, w: Long, h: Long): Array[Byte] = {
+    val mvhd = box("mvhd",
+      be32(0), // version 0 + flags
+      be32(0), be32(0), // creation, modification
+      be32(1000), be32(durMs), // timescale, duration
+      be32(0x00010000L), be16(0x0100), Array.fill[Byte](10)(0), // rate, volume, reserved
+      Matrix, Array.fill[Byte](24)(0), be32(nTracks + 1L))
+    val traks = (1 to nTracks).map { tid =>
+      val (tw, th) = if (tid == 1) (w, h) else (0L, 0L)
+      box("trak", box("tkhd",
+        be32(7), // version 0, flags: enabled|in-movie|in-preview
+        be32(0), be32(0), be32(tid.toLong), be32(0), be32(durMs),
+        Array.fill[Byte](8)(0), be16(0), be16(0), be16(0), be16(0),
+        Matrix, be32(tw << 16), be32(th << 16)))
+    }
+    box("ftyp", "isom".getBytes("US-ASCII"), be32(0x200), "isom".getBytes("US-ASCII")) ++
+      box("moov", (mvhd +: traks): _*)
+  }
+
+  /** EBML element: id bytes + 8-byte size vint + payload (a non-minimal
+    * size encoding is valid EBML and keeps the writer trivial). */
+  private def el(id: Array[Byte], payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    val size = Array[Byte](0x01) ++
+      (0 until 7).map(i => ((body.length.toLong >> (8 * (6 - i))) & 0xff).toByte).toArray
+    id ++ size ++ body
+  }
+  private def id(bs: Int*): Array[Byte] = bs.map(_.toByte).toArray
+  private def uintEl(eid: Array[Byte], v: Long): Array[Byte] = el(eid, be32(v))
+
+  /** Deterministic minimal Matroska: EBML header (DocType matroska) +
+    * Segment(Info(TimestampScale, Duration float64) + Tracks(nTracks ×
+    * TrackEntry, first carries Video(PixelWidth, PixelHeight))).
+    * TimestampScale 1e6 ns so Duration ticks == milliseconds. */
+  private def mkvFixture(ticks: Long, nTracks: Int, w: Long, h: Long): Array[Byte] = {
+    val header = el(id(0x1a, 0x45, 0xdf, 0xa3),
+      uintEl(id(0x42, 0x86), 1), // EBMLVersion
+      el(id(0x42, 0x82), "matroska".getBytes("US-ASCII"))) // DocType
+    val durBits = java.lang.Double.doubleToLongBits(ticks.toDouble)
+    val info = el(id(0x15, 0x49, 0xa9, 0x66),
+      uintEl(id(0x2a, 0xd7, 0xb1), 1000000L), // TimestampScale
+      el(id(0x44, 0x89), // Duration (float64)
+        (0 until 8).map(i => ((durBits >> (8 * (7 - i))) & 0xff).toByte).toArray))
+    val entries = (1 to nTracks).map { tid =>
+      val video =
+        if (tid == 1) el(id(0xe0), uintEl(id(0xb0), w), uintEl(id(0xba), h))
+        else Array.empty[Byte]
+      el(id(0xae), uintEl(id(0xd7), tid.toLong), video) // TrackEntry
+    }
+    val tracks = el(id(0x16, 0x54, 0xae, 0x6b), entries: _*)
+    header ++ el(id(0x18, 0x53, 0x80, 0x67), info, tracks) // Segment
+  }
+
   /** REAL image decode under the hard signal, same construction as
     * [[audioDecode]]: a deterministic 32×16 RGB PNG per document (pixel
     * channels are integer arithmetic of (doc_id, x, y)), encoded with

@@ -169,6 +169,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.getAs[Int]("target_w") == 224)
   }
 
+  test("containerMeta: parses MP4 v0/v1 boxes and Matroska EBML; classifies junk") {
+    import spark.implicits._
+    // hand-built minimal MP4 with a 64-bit-duration (version 1) mvhd —
+    // the layout the fixture writer does NOT produce, so the v1 branch
+    // is pinned here
+    def be32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64(v: Long) = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    def box(t: String, body: Array[Byte]): Array[Byte] =
+      be32(8L + body.length) ++ t.getBytes("US-ASCII") ++ body
+    val mvhdV1 = box("mvhd",
+      Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++ // v1, creation/mod 64-bit
+        be32(90000) ++ be64(450000) ++ // timescale 90k, duration 5 s
+        Array.fill[Byte](80)(0))
+    val mp4 = box("ftyp", "mp42".getBytes("US-ASCII") ++ be32(0) ++
+      "mp42".getBytes("US-ASCII")) ++ box("moov", mvhdV1)
+    val m = ContainerMeta.parse(mp4)
+    assert(m.exists(x => x.container == "mp4" && x.brand == "mp42" &&
+      x.durationMs == 5000 && x.nTracks == 0))
+
+    // junk, truncated-mp4, and empty inputs classify, never throw
+    assert(ContainerMeta.parse("not a container".getBytes).isEmpty)
+    assert(ContainerMeta.parse(mp4.take(10)).isEmpty)
+    assert(ContainerMeta.parse(Array.empty[Byte]).isEmpty)
+
+    // through the Spark operator: unknown rows get null fields
+    val df = Seq((1L, mp4), (2L, "junk!junk".getBytes)).toDF("id", "media")
+    val out = Multimodal.containerMeta(df).orderBy("id").collect()
+    assert(out(0).getAs[String]("container") == "mp4")
+    assert(out(0).getAs[Long]("duration_ms") == 5000L)
+    assert(out(1).getAs[String]("container") == "unknown")
+    assert(out(1).isNullAt(out(1).fieldIndex("duration_ms")))
+  }
+
   test("balanceBySize: partition count tracks byte volume, not row count") {
     val total = mediaDf.select(sum(length(col("media")))).collect()(0).getLong(0)
     val target = total / 7
