@@ -181,13 +181,30 @@ final class Collection(val store: Store, val path: DataPath) {
   private def bucketExpr(b: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(col("id")), lit(b.toLong))
 
+  /** Read-compat projection over a raw snapshot frame. A 100 TB store
+    * lives across engine versions, so the snapshot schema is a
+    * CONTRACT with two evolution rules, both pinned by StoreSpec:
+    *  - extra columns (written by a NEWER engine, e.g. `bucket`, or any
+    *    future annotation column) are ignored — this projection selects
+    *    only what it understands;
+    *  - columns this engine added over time default when an OLDER
+    *    snapshot lacks them (`links` defaults to empty — a pre-links
+    *    snapshot has no attachment references by construction).
+    * New columns MUST be added here with a default, never by widening
+    * the bare select — that is what keeps old snapshots readable. */
+  private def compatProjection(df: DataFrame): DataFrame = {
+    val withLinks =
+      if (df.columns.contains("links")) df
+      else df.withColumn("links", array().cast("array<string>"))
+    withLinks.select("id", "version", "hash", "links", "value")
+  }
+
   /** Current snapshot scan — S1. Columns: id, version, hash, links, value. */
   def records: Dataset[RecordRow] = {
     val m = meta
     val d = snapshotDir(m.version)
     if (!hasParquet(d)) spark.emptyDataset[RecordRow]
-    else spark.read.parquet(d.toString)
-      .select("id", "version", "hash", "links", "value").as[RecordRow]
+    else compatProjection(spark.read.parquet(d.toString)).as[RecordRow]
   }
   def toDF: DataFrame = records.toDF()
 
@@ -331,7 +348,7 @@ final class Collection(val store: Store, val path: DataPath) {
             if (full.columns.contains("bucket"))
               full.filter(col("bucket").isin(touched: _*))
             else full.filter(bucketExpr(b).isin(touched: _*))
-          pruned.select("id", "version", "hash", "links", "value")
+          compatProjection(pruned)
         }
       case None => toDF
     }

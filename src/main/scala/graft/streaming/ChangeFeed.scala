@@ -96,9 +96,87 @@ final class CommitLog(store: Store, tailCapacity: Int = CommitLog.DefaultTailCap
     }
   }
 
-  /** All commits so far, batch view (ordered by event file). */
+  /** Roll durable commit files (and previously-rolled segments) whose
+    * events are all older than `maxAgeMs` into ONE segment file, when at
+    * least `minFiles` qualify. Returns the number of files rolled up.
+    *
+    * Why: `_commits/` otherwise grows one file per commit forever, and
+    * catch-up reads older than the tail buffer pay a full directory
+    * listing proportional to log AGE rather than to the events read.
+    * After compaction the directory holds O(live tail + 1) files.
+    *
+    * Cursor semantics are preserved exactly: the segment carries the
+    * same JSON lines in (ts, seq) order, its filename carries the
+    * [first, last] cursor range (so catch-up opens it only when the
+    * range overlaps), and `scanLatestCursor`/`eventsSinceCursor` treat
+    * segment contents identically to file-per-commit entries.
+    *
+    * Concurrency/crash safety: the segment is written tmp→ATOMIC_MOVE
+    * BEFORE the rolled files are deleted, so every event is always in
+    * at least one visible file; readers de-duplicate by (ts, seq).
+    * A crash between move and deletes leaves duplicates on disk — the
+    * next compact() deletes already-covered commit files instead of
+    * re-rolling them, and both the scan path and [[batch]] dedup.
+    * Synchronized with [[append]], so compaction never races a write.
+    *
+    * Structured-streaming note: a NEW segment file re-presents old
+    * events to a file-source query that already consumed the per-commit
+    * files — across a compaction the stream is at-least-once; consumers
+    * needing exactly-once key on (ts, seq), which every event carries.
+    * Run compact() when live streams are quiescent to avoid even that. */
+  def compact(maxAgeMs: Long = 0L,
+              minFiles: Int = CommitLog.DefaultCompactMinFiles): Int = synchronized {
+    if (!Files.isDirectory(dir)) return 0
+    val cutoff = System.currentTimeMillis() - maxAgeMs
+    val all = graft.core.Fs.list(dir)
+    val segLast: Option[(Long, Long)] = all.iterator
+      .map(_.getFileName.toString).filter(_.startsWith("segment-"))
+      .map(n => CommitLog.parseSegmentRange(n)._2)
+      .maxOption
+    // commit files already covered by a segment (a previous compaction
+    // crashed between move and delete): delete, never re-roll
+    val (covered, fresh) = all.iterator
+      .filter(_.getFileName.toString.startsWith("commit-"))
+      .map(p => (CommitLog.parseCursor(p.getFileName.toString), p))
+      .toVector
+      .partition { case (c, _) => segLast.exists(l => !CommitLog.cursorLt(l, c)) }
+    covered.foreach { case (_, p) => Files.deleteIfExists(p) }
+    // candidates: old-enough commit files + ALL old-enough prior
+    // segments (segments merge so the directory stays O(1) segments)
+    val fileCands = fresh.filter { case ((ts, _), _) => ts <= cutoff }.toSeq
+    val segCands = all.iterator
+      .map(p => (p.getFileName.toString, p))
+      .filter(_._1.startsWith("segment-"))
+      .map { case (n, p) => (CommitLog.parseSegmentRange(n), p) }
+      .filter { case ((_, (lastTs, _)), _) => lastTs <= cutoff }
+      .toSeq
+    if (fileCands.size + segCands.size < minFiles ||
+        fileCands.isEmpty && segCands.size < 2) return 0
+    val events: Seq[((Long, Long), String)] =
+      (fileCands.map { case (c, p) =>
+        (c, new String(Files.readAllBytes(p), UTF_8).trim)
+      } ++ segCands.flatMap { case (_, p) =>
+        new String(Files.readAllBytes(p), UTF_8).split("\n").iterator
+          .filter(_.nonEmpty).map(l => (CommitLog.lineCursor(l), l))
+      }).sortBy(_._1).distinctBy(_._1)
+    val (firstC, lastC) = (events.head._1, events.last._1)
+    val tmp = dir.resolve(s".tmp-segment-${lastC._1}-${lastC._2}")
+    Files.write(tmp, (events.map(_._2).mkString("\n") + "\n").getBytes(UTF_8))
+    Files.move(tmp, dir.resolve(
+      f"segment-${firstC._1}%013d-${firstC._2}%012d-${lastC._1}%013d-${lastC._2}%012d.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+    (fileCands ++ segCands.map(s => (s._1._1, s._2))).foreach {
+      case (_, p) => Files.deleteIfExists(p)
+    }
+    fileCands.size + segCands.size
+  }
+
+  /** All commits so far, batch view. Segments and per-commit files read
+    * through the same JSON source; (ts, seq) dedup makes the view exact
+    * even if a compaction crash left an event in two files. */
   def batch: DataFrame =
     store.spark.read.schema(CommitLog.schema).json(dir.toString)
+      .dropDuplicates("ts", "seq")
 
   /** The live stream: `readStream` over the log. Compose with
     * `.writeStream.foreachBatch(...)` for cascading rebuilds or any
@@ -138,15 +216,44 @@ final class CommitLog(store: Store, tailCapacity: Int = CommitLog.DefaultTailCap
   }
 
   /** Durable-log scan fallback: numeric (ts, seq) parse + tuple sort, so
-    * ordering never depends on filename zero-padding width. */
-  private def scanSinceCursor(afterTs: Long, afterSeq: Long): Seq[((Long, Long), String)] =
-    if (!Files.isDirectory(dir)) Seq.empty
-    else graft.core.Fs.list(dir).iterator
-      .filter(_.getFileName.toString.startsWith("commit-"))
-      .map(p => (CommitLog.parseCursor(p.getFileName.toString), p))
-      .filter { case (c, _) => CommitLog.cursorLt((afterTs, afterSeq), c) }
-      .toSeq.sortBy(_._1)
-      .map { case (c, p) => (c, new String(Files.readAllBytes(p), UTF_8).trim) }
+    * ordering never depends on filename zero-padding width. Reads BOTH
+    * per-commit files and compacted segments — a segment is opened only
+    * when its filename range overlaps the requested cursor, so reads of
+    * the recent past never pay for compacted history. Retries once if a
+    * file vanishes mid-scan (a concurrent compact() rolled it; the
+    * re-list sees the segment), and dedups by cursor in case the same
+    * event is momentarily visible in two files. */
+  private def scanSinceCursor(afterTs: Long, afterSeq: Long): Seq[((Long, Long), String)] = {
+    val cursor = (afterTs, afterSeq)
+    def attempt(): Seq[((Long, Long), String)] =
+      if (!Files.isDirectory(dir)) Seq.empty
+      else graft.core.Fs.list(dir).iterator.flatMap { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("commit-")) {
+          val c = CommitLog.parseCursor(n)
+          if (CommitLog.cursorLt(cursor, c))
+            Iterator((c, new String(Files.readAllBytes(p), UTF_8).trim))
+          else Iterator.empty
+        } else if (n.startsWith("segment-")) {
+          val (_, last) = CommitLog.parseSegmentRange(n)
+          if (CommitLog.cursorLt(cursor, last))
+            new String(Files.readAllBytes(p), UTF_8).split("\n").iterator
+              .filter(_.nonEmpty)
+              .map(l => (CommitLog.lineCursor(l), l))
+              .filter { case (c, _) => CommitLog.cursorLt(cursor, c) }
+          else Iterator.empty
+        } else Iterator.empty
+      }.toSeq.sortBy(_._1).distinctBy(_._1)
+    var tries = 0
+    while (true) {
+      try return attempt()
+      catch {
+        case e: java.nio.file.NoSuchFileException =>
+          tries += 1; if (tries > 3) throw e
+      }
+    }
+    Nil // unreachable
+  }
 
   /** The newest event's (ts, seq), or (0, -1) on an empty log — the
     * "subscribe from now" starting cursor. Scans the durable log (not
@@ -158,8 +265,12 @@ final class CommitLog(store: Store, tailCapacity: Int = CommitLog.DefaultTailCap
     if (!Files.isDirectory(dir)) (0L, -1L)
     else {
       val cursors = graft.core.Fs.list(dir).iterator
-        .map(_.getFileName.toString).filter(_.startsWith("commit-"))
-        .map(CommitLog.parseCursor).toSeq
+        .map(_.getFileName.toString).flatMap { n =>
+          if (n.startsWith("commit-")) Iterator(CommitLog.parseCursor(n))
+          else if (n.startsWith("segment-"))
+            Iterator(CommitLog.parseSegmentRange(n)._2)
+          else Iterator.empty
+        }.toSeq
       if (cursors.isEmpty) (0L, -1L) else cursors.max
     }
 }
@@ -170,9 +281,28 @@ object CommitLog {
     * commit rates). */
   val DefaultTailCapacity: Int = 4096
 
+  /** Don't bother rolling fewer files than this — compaction exists to
+    * bound directory growth, not to churn small logs. */
+  val DefaultCompactMinFiles: Int = 64
+
   private[streaming] def parseCursor(name: String): (Long, Long) = {
     val parts = name.stripPrefix("commit-").stripSuffix(".json").split("-")
     (parts(0).toLong, parts(1).toLong)
+  }
+
+  /** segment-<firstTs>-<firstSeq>-<lastTs>-<lastSeq>.json → range */
+  private[streaming] def parseSegmentRange(name: String): ((Long, Long), (Long, Long)) = {
+    val p = name.stripPrefix("segment-").stripSuffix(".json").split("-")
+    ((p(0).toLong, p(1).toLong), (p(2).toLong, p(3).toLong))
+  }
+
+  /** (ts, seq) of one stored event line — segment reads re-derive each
+    * line's cursor from the event body itself. */
+  private[streaming] def lineCursor(line: String): (Long, Long) = {
+    val o = graft.codec.JsonCodec.decodeString(line).asInstanceOf[graft.core.PoObj]
+    val ts = o.fields("ts") match { case graft.core.PoInt(v) => v; case _ => 0L }
+    val seq = o.fields("seq") match { case graft.core.PoInt(v) => v; case _ => 0L }
+    (ts, seq)
   }
 
   private[streaming] def cursorLt(a: (Long, Long), b: (Long, Long)): Boolean =

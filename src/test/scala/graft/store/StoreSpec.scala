@@ -177,4 +177,43 @@ class StoreSpec extends AnyFunSuite {
       WriteEntry("x", Some(PoInt(2)))), WriteMode.Merge)
     assert(c.read("x").get == PoInt(2))
   }
+
+  test("schema evolution: old-layout and future-layout snapshots stay readable") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val s = freshStore()
+    val c = s.dataset("alice", "evo").create()
+    c.write("seed", PoInt(0)) // v1 through the normal path
+
+    // hand-write a v2 snapshot that is BOTH older and newer than this
+    // engine at once: it LACKS the `links` column (pre-links layout)
+    // and CARRIES an extra `future_col` a later engine might add —
+    // exactly what a store surviving several engine versions holds
+    val v1 = PoInt(41)
+    val v2 = PoInt(42)
+    val rows = Seq(
+      ("a", 2L, graft.core.Cbor.hash(v1), graft.core.Cbor.encode(v1), "x"),
+      ("b", 2L, graft.core.Cbor.hash(v2), graft.core.Cbor.encode(v2), "y"))
+      .toDF("id", "version", "hash", "value", "future_col")
+    val collDir = java.nio.file.Paths.get(s.root, "datasets", "alice", "evo")
+    rows.coalesce(1).write.mode("overwrite").parquet(collDir.resolve("v2").toString)
+    // swap the manifest to the hand-written snapshot
+    val metaJson = new String(Files.readAllBytes(collDir.resolve("meta.json")), "UTF-8")
+    Files.write(collDir.resolve("meta.json"),
+      metaJson.replace("\"version\":1", "\"version\":2").getBytes("UTF-8"))
+
+    // reads: unknown column ignored, missing links defaults to empty
+    assert(c.read("b").get == PoInt(42))
+    val row = c.readRow("a").get
+    assert(row.links.isEmpty && row.version == 2L)
+    assert(c.list() == Seq("a", "b"))
+
+    // a normal engine commit on top of the mixed-layout snapshot works
+    // and carries the old records forward in the CURRENT layout
+    c.write("c", PoInt(3))
+    assert(c.read("a").get == PoInt(41))
+    assert(c.list() == Seq("a", "b", "c"))
+    assert(c.records.toDF().columns.toSeq ==
+      Seq("id", "version", "hash", "links", "value"))
+  }
 }
