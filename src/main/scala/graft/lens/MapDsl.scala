@@ -53,7 +53,10 @@ object MapDsl {
   case object Item extends Expr
   final case class Concat(parts: Vector[Expr]) extends Expr
   final case class Lower(of: Expr) extends Expr
-  final case class Split(of: Expr, on: String) extends Expr
+  // carries the COMPILED pattern: the regex is compiled once at parse
+  // time, not once per record in the map hot path (Pattern is
+  // Serializable, so it ships to executors with the AST)
+  final case class Split(of: Expr, on: java.util.regex.Pattern) extends Expr
   final case class Select(of: Option[Expr], css: String) extends Expr
   final case class Text(of: Expr) extends Expr
   final case class MkSet(items: Vector[Expr]) extends Expr
@@ -112,10 +115,12 @@ object MapDsl {
             case Some(PoStr(re)) => re
             case _ => fail("'split' needs a string 'on' regex")
           }
-          // reject invalid regex at parse time, not per record
-          try java.util.regex.Pattern.compile(on)
-          catch { case e: Exception => fail(s"bad split regex: ${e.getMessage}") }
-          Split(parseExpr(f.getOrElse("of", fail("'split' needs 'of'"))), on)
+          // an invalid regex is rejected here at parse time, and the
+          // compiled pattern is what the AST carries
+          val pat =
+            try java.util.regex.Pattern.compile(on)
+            catch { case e: Exception => fail(s"bad split regex: ${e.getMessage}") }
+          Split(parseExpr(f.getOrElse("of", fail("'split' needs 'of'"))), pat)
         case ("select", PoObj(f)) =>
           val css = f.get("css") match {
             case Some(PoStr(s)) if s.nonEmpty => s
@@ -193,7 +198,7 @@ object MapDsl {
         else Some(PoStr(vs.map(str).mkString))
       case Lower(of) => eval(of, ctx, item).map(v => PoStr(str(v).toLowerCase))
       case Split(of, on) => eval(of, ctx, item).map { v =>
-        PoArr(str(v).split(on, -1).iterator.filter(_.nonEmpty)
+        PoArr(on.split(str(v), -1).iterator.filter(_.nonEmpty)
           .map(PoStr.apply).toVector)
       }
       case Select(of, css) =>
@@ -213,7 +218,13 @@ object MapDsl {
     private def str(v: PoValue): String = v match {
       case PoStr(s) => s
       case PoInt(i) => i.toString
-      case PoNum(d) => if (d == d.floor && !d.isInfinite) d.toLong.toString else d.toString
+      // whole doubles print bare ONLY inside Long range: past it,
+      // d.toLong saturates at Long.MaxValue and distinct huge keys
+      // would collapse onto one record id — those fall through to the
+      // (distinct, if ugly) scientific notation instead
+      case PoNum(d) =>
+        if (d == d.floor && !d.isInfinite && math.abs(d) < 9.2e18) d.toLong.toString
+        else d.toString
       case PoBool(b) => b.toString
       case PoNull => "null"
       case other => graft.codec.JsonCodec.encodeString(other)

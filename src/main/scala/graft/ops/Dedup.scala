@@ -191,10 +191,27 @@ object Dedup {
   def dupClusters(pairs: DataFrame, aCol: String = "a_id",
                   bCol: String = "b_id", idCol: String = "doc_id",
                   checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    val sc = pairs.sparkSession.sparkContext
+    // setCheckpointDir is PROCESS-GLOBAL state: restore the caller's
+    // directory after the loop (checkpoint() is eager, so every write
+    // of ours lands before the restore). Concurrent dupClusters calls
+    // with different dirs still race on the global — that is Spark's
+    // one-checkpoint-dir-per-context model, not something this method
+    // can fix; serialize such callers.
+    val prevCkptDir = sc.getCheckpointDir
+    checkpointDir.foreach(sc.setCheckpointDir)
+    try {
+      dupClustersLoop(pairs, aCol, bCol, idCol, checkpointDir.isDefined)
+    } finally {
+      if (checkpointDir.isDefined) sc.setCheckpointDir(prevCkptDir.orNull)
+    }
+  }
+
+  private def dupClustersLoop(pairs: DataFrame, aCol: String, bCol: String,
+                              idCol: String, reliable: Boolean): DataFrame = {
     // one knob for every round materialization below
     def ckpt(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (reliable) df.checkpoint() else df.localCheckpoint()
     val edges = ckpt(pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .unionByName(pairs

@@ -61,12 +61,19 @@ object IncrementalLensQuery {
 
   def run(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // fresh root per invocation: a stale compute cache from a previous
-    // run would silently turn build 1 into an incremental no-op and
-    // break the invocation count
-    val root = java.nio.file.Files.createTempDirectory("graft-incq").toString
+    // scratch store keyed by scale factor and REUSED across runs (the
+    // q9 pattern — a fresh dir per invocation would leak a full corpus
+    // copy every bench iteration). Both collections are dropped up
+    // front: dropping the lens output removes its compute cache with
+    // it, so build 1 below always maps everything and the invocation
+    // count never sees state from a previous run.
+    val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val root = java.nio.file.Paths
+      .get(sys.props("java.io.tmpdir"), s"graft-incq-$sfName").toString
     val store = new Store(spark, root)
-    val ds = store.dataset("bench", "documents-inc").create()
+    val ds = store.dataset("bench", "documents-inc")
+    if (ds.exists) ds.drop()
+    ds.create()
 
     val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
     def enc(id: Long, text: String): (String, Array[Byte], Boolean) =
@@ -80,7 +87,9 @@ object IncrementalLensQuery {
     val acc = spark.sparkContext.longAccumulator("graft.q44.mapCalls")
     val lens = new Lens(store, "bench", "token-index-inc",
       Seq(DataPath("datasets", "bench", "documents-inc")),
-      new CountingTokenFn(acc)).create()
+      new CountingTokenFn(acc))
+    if (lens.output.exists) lens.output.drop() // removes cache + logs too
+    lens.create()
     lens.build() // full: empty cache maps everything → output version 1
 
     // ---- commit 2 (merge): disjoint touched subsets

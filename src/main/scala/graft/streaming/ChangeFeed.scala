@@ -162,12 +162,20 @@ final class CommitLog(store: Store, tailCapacity: Int = CommitLog.DefaultTailCap
     val (firstC, lastC) = (events.head._1, events.last._1)
     val tmp = dir.resolve(s".tmp-segment-${lastC._1}-${lastC._2}")
     Files.write(tmp, (events.map(_._2).mkString("\n") + "\n").getBytes(UTF_8))
-    Files.move(tmp, dir.resolve(
-      f"segment-${firstC._1}%013d-${firstC._2}%012d-${lastC._1}%013d-${lastC._2}%012d.json"),
-      StandardCopyOption.ATOMIC_MOVE)
-    (fileCands ++ segCands.map(s => (s._1._1, s._2))).foreach {
-      case (_, p) => Files.deleteIfExists(p)
-    }
+    val target = dir.resolve(
+      f"segment-${firstC._1}%013d-${firstC._2}%012d-${lastC._1}%013d-${lastC._2}%012d.json")
+    // REPLACE_EXISTING: the merged range can collide with an existing
+    // segment's name (crash recovery re-merging segment[1..k] with a
+    // same-range leftover) — replacing it with the identical merged
+    // content is correct; without the flag some filesystems throw
+    Files.move(tmp, target,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // never delete the file just written: a candidate segment whose
+    // range equals the merged range IS `target` after the move, and
+    // deleting it here would destroy the only copy of the rolled events
+    (fileCands.map(_._2) ++ segCands.map(_._2))
+      .filterNot(_.getFileName == target.getFileName)
+      .foreach(Files.deleteIfExists)
     fileCands.size + segCands.size
   }
 

@@ -361,10 +361,13 @@ class HttpApiSpec extends AnyFunSuite {
       assert(resp.statusCode == 200)
       val frames = JsonCodec.decodeString(resp.body).asInstanceOf[PoArr].items
 
-      // framing: every log frame precedes every record frame
+      // framing: every log frame precedes every record frame — no log
+      // may appear after the first record
       // (docs/api/lenses.md:82-137; lens-controller.js:205-208)
       val kinds = frames.map(_.asInstanceOf[PoObj].fields.keys.head)
-      assert(kinds.takeWhile(_ == "log") ++ kinds.dropWhile(_ == "log") == kinds)
+      assert(kinds.forall(k => k == "log" || k == "record"))
+      assert(!kinds.dropWhile(_ == "log").contains("log"),
+        s"log frame after a record frame: $kinds")
       val logs = frames.filter(f => f.asInstanceOf[PoObj].fields.contains("log"))
         .map(_.asInstanceOf[PoObj].fields("log").asInstanceOf[PoObj].fields)
       val recs = frames.filter(f => f.asInstanceOf[PoObj].fields.contains("record"))

@@ -213,6 +213,44 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(mid._1 > 0) // (sanity: parser ran on a real filename)
   }
 
+  test("compaction crash recovery: overlapping segments merge without losing events") {
+    val s = freshStore()
+    val log = new CommitLog(s)
+    val p = graft.store.DataPath("datasets", "a", "crash")
+    val commitsDir = java.nio.file.Paths.get(s.root, "_commits")
+    def snapshot(): Map[String, Array[Byte]] =
+      graft.core.Fs.list(commitsDir)
+        .map(f => f.getFileName.toString -> Files.readAllBytes(f)).toMap
+
+    (1 to 5).foreach(v => log.append(p, v.toLong))
+    assert(log.compact(maxAgeMs = 0L, minFiles = 1) == 5) // segment[1-5]
+    val afterFirst = snapshot()
+    log.append(p, 6L)
+    log.append(p, 7L)
+    val beforeSecond = snapshot()
+    assert(log.compact(maxAgeMs = 0L, minFiles = 1) == 3) // segment[1-7]
+    val afterSecond = snapshot()
+
+    // reconstruct the worst crash state: compact#2 died between the
+    // segment move and the deletes — segment[1-5], segment[1-7], AND
+    // commit-6/commit-7 all on disk at once
+    graft.core.Fs.list(commitsDir).foreach(f => Files.delete(f))
+    (afterFirst ++ beforeSecond ++ afterSecond).foreach { case (n, bytes) =>
+      Files.write(commitsDir.resolve(n), bytes)
+    }
+
+    // recovery compaction: the merged [1-7] range collides with the
+    // existing segment[1-7] name; the rewrite must land and the cleanup
+    // must NOT delete the file it just wrote
+    assert(log.compact(maxAgeMs = 0L, minFiles = 1) > 0)
+    val names = graft.core.Fs.list(commitsDir).map(_.getFileName.toString)
+    assert(names.count(_.startsWith("segment-")) == 1, s"state: $names")
+    assert(!names.exists(_.startsWith("commit-")))
+    val all = new CommitLog(s).eventsSinceCursor(0L, -1L)
+    assert(all.length == 7, s"events lost: ${all.map(_._2)}")
+    assert((1 to 7).forall(v => all.exists(_._2.contains(s""""version":$v"""))))
+  }
+
   test("restart seq seeds past the durable log: same-ms appends never collide") {
     val s = freshStore()
     val log1 = new CommitLog(s)
