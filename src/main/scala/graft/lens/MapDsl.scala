@@ -87,52 +87,65 @@ object MapDsl {
     case _ => fail("map spec must be a JSON object")
   }
 
+  /** Expression-nesting cap. The parser (and the evaluator mirroring
+    * its shape) recurses per nesting level, and the route feeds it
+    * request bodies: without a cap a ~3 MB body of nested one-key
+    * objects is a crafted StackOverflowError. 64 is far beyond any
+    * legitimate projection. */
+  val MaxDepth = 64
+
   private def parseEmit(v: PoValue): EmitRule = v match {
     case PoObj(fields) =>
       EmitRule(
-        fields.get("forEach").map(parseExpr),
-        parseExpr(fields.getOrElse("key", fail("emit rule needs 'key'"))),
-        parseExpr(fields.getOrElse("value", fail("emit rule needs 'value'"))))
+        fields.get("forEach").map(parseExpr(_, 0)),
+        parseExpr(fields.getOrElse("key", fail("emit rule needs 'key'")), 0),
+        parseExpr(fields.getOrElse("value", fail("emit rule needs 'value'")), 0))
     case _ => fail("emit rule must be an object")
   }
 
-  private def parseExpr(v: PoValue): Expr = v match {
-    case PoObj(fields) if fields.size == 1 =>
-      val (k, arg) = fields.head
-      (k, arg) match {
-        case ("lit", x) => Lit(x)
-        case ("field", PoStr(p)) if p.nonEmpty =>
-          Field(p.split("\\.", -1).toVector)
-        case ("path", PoStr(p)) =>
-          if (!Set("recordID", "author", "name", "source", "string")(p))
-            fail(s"unknown path part '$p'")
-          PathPart(p)
-        case ("item", _) => Item
-        case ("concat", PoArr(parts)) => Concat(parts.map(parseExpr).toVector)
-        case ("lower", x) => Lower(parseExpr(x))
-        case ("split", PoObj(f)) =>
-          val on = f.get("on") match {
-            case Some(PoStr(re)) => re
-            case _ => fail("'split' needs a string 'on' regex")
-          }
-          // an invalid regex is rejected here at parse time, and the
-          // compiled pattern is what the AST carries
-          val pat =
-            try java.util.regex.Pattern.compile(on)
-            catch { case e: Exception => fail(s"bad split regex: ${e.getMessage}") }
-          Split(parseExpr(f.getOrElse("of", fail("'split' needs 'of'"))), pat)
-        case ("select", PoObj(f)) =>
-          val css = f.get("css") match {
-            case Some(PoStr(s)) if s.nonEmpty => s
-            case _ => fail("'select' needs a string 'css' selector")
-          }
-          Select(f.get("of").map(parseExpr), css)
-        case ("text", x) => Text(parseExpr(x))
-        case ("set", PoArr(items)) => MkSet(items.map(parseExpr).toVector)
-        case ("arr", PoArr(items)) => MkArr(items.map(parseExpr).toVector)
-        case (other, _) => fail(s"unknown expression '$other'")
-      }
-    case _ => fail("expression must be a one-key object")
+  private def parseExpr(v: PoValue): Expr = parseExpr(v, 0)
+
+  private def parseExpr(v: PoValue, depth: Int): Expr = {
+    if (depth > MaxDepth) fail(s"expression nesting exceeds $MaxDepth")
+    val d = depth + 1
+    v match {
+      case PoObj(fields) if fields.size == 1 =>
+        val (k, arg) = fields.head
+        (k, arg) match {
+          case ("lit", x) => Lit(x)
+          case ("field", PoStr(p)) if p.nonEmpty =>
+            Field(p.split("\\.", -1).toVector)
+          case ("path", PoStr(p)) =>
+            if (!Set("recordID", "author", "name", "source", "string")(p))
+              fail(s"unknown path part '$p'")
+            PathPart(p)
+          case ("item", _) => Item
+          case ("concat", PoArr(parts)) => Concat(parts.map(parseExpr(_, d)).toVector)
+          case ("lower", x) => Lower(parseExpr(x, d))
+          case ("split", PoObj(f)) =>
+            val on = f.get("on") match {
+              case Some(PoStr(re)) => re
+              case _ => fail("'split' needs a string 'on' regex")
+            }
+            // an invalid regex is rejected here at parse time, and the
+            // compiled pattern is what the AST carries
+            val pat =
+              try java.util.regex.Pattern.compile(on)
+              catch { case e: Exception => fail(s"bad split regex: ${e.getMessage}") }
+            Split(parseExpr(f.getOrElse("of", fail("'split' needs 'of'")), d), pat)
+          case ("select", PoObj(f)) =>
+            val css = f.get("css") match {
+              case Some(PoStr(s)) if s.nonEmpty => s
+              case _ => fail("'select' needs a string 'css' selector")
+            }
+            Select(f.get("of").map(parseExpr(_, d)), css)
+          case ("text", x) => Text(parseExpr(x, d))
+          case ("set", PoArr(items)) => MkSet(items.map(parseExpr(_, d)).toVector)
+          case ("arr", PoArr(items)) => MkArr(items.map(parseExpr(_, d)).toVector)
+          case (other, _) => fail(s"unknown expression '$other'")
+        }
+      case _ => fail("expression must be a one-key object")
+    }
   }
 
   private def fail(msg: String): Nothing =

@@ -77,6 +77,22 @@ class MapDslSpec extends AnyFunSuite {
       "x" -> PoArr(Vector(PoStr("r9"))), "y" -> PoArr(Vector(PoStr("r9")))))
   }
 
+  test("parse caps expression nesting (HTTP bodies are attacker-sized)") {
+    // MaxDepth+2 nested lower() — must be an IllegalArgumentException
+    // (→ 400 at the route), never a StackOverflowError
+    val deep = ("""{"lower": """ * (MapDsl.MaxDepth + 2)) + """{"lit": 1}""" +
+      ("}" * (MapDsl.MaxDepth + 2))
+    val ex = intercept[IllegalArgumentException](
+      fn(s"""{"emit": [{"key": $deep, "value": {"lit": 1}}]}"""))
+    assert(ex.getMessage.contains("nesting"))
+    // at-the-limit nesting still parses
+    val ok = ("""{"lower": """ * (MapDsl.MaxDepth - 2)) + """{"lit": "X"}""" +
+      ("}" * (MapDsl.MaxDepth - 2))
+    val r = runOn(fn(s"""{"emit": [{"key": $ok, "value": {"lit": 1}}]}"""),
+      "r", PoObj())
+    assert(r.outputs == Vector("x" -> PoInt(1)))
+  }
+
   test("parse rejects: unknown primitive, bad regex, missing key, empty spec") {
     def bad(json: String): Unit =
       intercept[IllegalArgumentException](fn(json))

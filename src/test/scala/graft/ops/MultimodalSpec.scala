@@ -203,6 +203,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(1).isNullAt(out(1).fieldIndex("duration_ms")))
   }
 
+  test("containerMeta fuzz: arbitrary, magic-prefixed, and truncated bytes never throw") {
+    val rnd = new scala.util.Random(20260813)
+    // pure random bytes, including ones that start with the real magics
+    // so both parsers run past their dispatch check
+    (0 until 300).foreach { i =>
+      val b = new Array[Byte](rnd.nextInt(200))
+      rnd.nextBytes(b)
+      if (b.length >= 8 && i % 3 == 0) { // force the ftyp magic
+        b(4) = 'f'; b(5) = 't'; b(6) = 'y'; b(7) = 'p'
+      }
+      if (b.length >= 4 && i % 3 == 1) { // force the EBML magic
+        b(0) = 0x1a; b(1) = 0x45; b(2) = 0xdf.toByte; b(3) = 0xa3.toByte
+      }
+      ContainerMeta.parse(b) // must classify or reject, never throw
+    }
+    // every prefix-truncation of a REAL container must parse or reject
+    // cleanly — the triage pass meets half-uploaded blobs constantly
+    def be32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(t: String, body: Array[Byte]): Array[Byte] =
+      be32(8L + body.length) ++ t.getBytes("US-ASCII") ++ body
+    val mp4 = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0)) ++
+      box("moov", box("mvhd",
+        Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++ be32(1000) ++
+          be32(4321) ++ Array.fill[Byte](80)(0)))
+    (0 to mp4.length).foreach(n => ContainerMeta.parse(mp4.take(n)))
+    assert(ContainerMeta.parse(mp4).exists(_.durationMs == 4321))
+  }
+
   test("balanceBySize: partition count tracks byte volume, not row count") {
     val total = mediaDf.select(sum(length(col("media")))).collect()(0).getLong(0)
     val target = total / 7
