@@ -47,28 +47,11 @@ object SparkEntry {
   private val ivfCentroidsWritten =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Reap ivf_centroids-<pid> dirs left by processes that no longer
-    * exist (each process writes its own path so concurrent runs never
-    * race on content; dead processes' dirs would otherwise accumulate
-    * forever). Best-effort hygiene: Fs.rmTree tolerates two live
-    * processes reaping the same stale dir, and any other IO surprise
-    * must never fail the q18 query it piggybacks on. */
+  /** Reap ivf_centroids-<pid> dirs left by dead processes — the shared
+    * pid-scoped-scratch hygiene (Fs.reapStalePidDirs scaladoc). */
   private def reapStaleCentroidDirs(): Unit =
-    try {
-      val parent = java.nio.file.Paths.get(ivfCentroidsPath).getParent
-      if (java.nio.file.Files.isDirectory(parent)) {
-        val self = ProcessHandle.current().pid()
-        graft.core.Fs.list(parent).foreach { p =>
-          val n = p.getFileName.toString
-          if (n.startsWith("ivf_centroids-")) {
-            n.stripPrefix("ivf_centroids-").toLongOption.foreach { pid =>
-              if (pid != self && ProcessHandle.of(pid).isEmpty)
-                graft.core.Fs.rmTree(p)
-            }
-          }
-        }
-      }
-    } catch { case _: Throwable => () }
+    graft.core.Fs.reapStalePidDirs(
+      java.nio.file.Paths.get(ivfCentroidsPath).getParent, "ivf_centroids-")
 
   /** Exact same cosine as Ann.cosine, spelled in DuckDB: products and
     * the left-to-right sum are bit-identical across engines (q12 proved

@@ -390,7 +390,11 @@ final class HttpApi(store: Store, port: Int = 0) {
           .foreach(p => return respond(ex, 404, s"no such input: ${p.collectionPath}"))
         val fn = graft.lens.MapDsl.compile(
           obj.fields.getOrElse("map", return respond(ex, 400, "missing map spec")))
-        graft.lens.EphemeralLens.stream(store, inputs, fn) { frames =>
+        // sandbox = true: the map spec arrived over the wire, so every
+        // call runs under the preemptive 50 ms/256 MB budget (the
+        // reference's isolate caps) — a regex bomb in a split primitive
+        // becomes a per-record captured error, not a pinned core
+        graft.lens.EphemeralLens.stream(store, inputs, fn, sandbox = true) { frames =>
           // same discipline as the listings: force the first frame
           // before committing the 200, abort mid-stream without the
           // closing bracket so a failure is never a silent complete body

@@ -41,4 +41,26 @@ object Fs {
         if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] => ()
     }
   }
+
+  /** Reap sibling `<prefix><pid>` dirs left by processes that no longer
+    * exist. The pid-suffix pattern gives every live process its own
+    * scratch dir (concurrent runs never share state — in-process locks
+    * don't reach across processes) while this keeps dead processes'
+    * dirs from accumulating forever. Best-effort by design: rmTree
+    * tolerates two live reapers racing on one stale dir, and scratch
+    * hygiene must never fail the query it piggybacks on. */
+  def reapStalePidDirs(parent: Path, prefix: String): Unit =
+    try {
+      if (Files.isDirectory(parent)) {
+        val self = ProcessHandle.current().pid()
+        list(parent).foreach { p =>
+          val n = p.getFileName.toString
+          if (n.startsWith(prefix)) {
+            n.stripPrefix(prefix).toLongOption.foreach { pid =>
+              if (pid != self && ProcessHandle.of(pid).isEmpty) rmTree(p)
+            }
+          }
+        }
+      }
+    } catch { case _: Throwable => () }
 }

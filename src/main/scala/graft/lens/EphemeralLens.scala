@@ -29,10 +29,19 @@ object EphemeralLens {
     * sort) and the driver holds at most one partition of output at a
     * time, so an ephemeral lens over a huge input streams in O(partition)
     * driver memory — never a full collect. */
+  /** `sandbox = true` runs every map call under the PREEMPTIVE budget
+    * (MapRunner.runSandboxed, the reference's 50 ms + 256 MB isolate
+    * caps) — REQUIRED when the map came over the wire: a DSL spec can
+    * smuggle compute bombs the cooperative deadline never sees (e.g. a
+    * catastrophically-backtracking split regex pins a core between
+    * emit checkpoints). A preempted call records the error and loses
+    * its outputs, like an isolate kill. */
   def stream[A](store: Store, inputs: Seq[DataPath], fn: MapFn,
-                suffix: String = java.util.UUID.randomUUID().toString.take(8))
+                suffix: String = java.util.UUID.randomUUID().toString.take(8),
+                sandbox: Boolean = false)
                (consume: Iterator[PoValue] => A): A = {
-    val lens = new Lens(store, "system", s"ephemeral-$suffix", inputs, fn)
+    val base = new Lens(store, "system", s"ephemeral-$suffix", inputs, fn)
+    val lens = if (sandbox) base.withSandbox() else base
     require(!lens.exists, s"ephemeral lens collision: ${lens.path.encoded}")
     lens.create()
     try {

@@ -151,6 +151,29 @@ object MapDsl {
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"map DSL: $msg")
 
+  /** CharSequence that makes regex execution PREEMPTIBLE on sandbox
+    * threads: `java.util.regex` never polls interrupts, so an abandoned
+    * sandbox worker caught in catastrophic backtracking (a wire-supplied
+    * `(a|a)+$` bomb) would otherwise spin a core until the 2^n search
+    * finishes. The engine reads input through charAt constantly; one
+    * interrupt check per 4096 reads makes the abandoned worker die in
+    * microseconds at negligible per-char cost. Cooperative (non-sandbox)
+    * threads are exempt, same as MapContext.checkDeadline: a Spark task
+    * interrupt must cancel the TASK, not become a per-record error. */
+  private[lens] final class InterruptibleChars(s: String) extends CharSequence {
+    private var reads = 0
+    def length: Int = s.length
+    def charAt(i: Int): Char = {
+      reads += 1
+      if ((reads & 0xfff) == 0 && MapRunner.onSandboxThread.get() &&
+          Thread.currentThread().isInterrupted)
+        throw new InterruptedException("regex preempted by sandbox")
+      s.charAt(i)
+    }
+    def subSequence(a: Int, b: Int): CharSequence = s.subSequence(a, b)
+    override def toString: String = s
+  }
+
   /** Parse straight from JSON bytes (the HTTP body's `map` field is
     * already a decoded PoValue; this is the test/tooling convenience). */
   def compile(spec: PoValue): MapFn = new DslMapFn(parse(spec))
@@ -211,8 +234,8 @@ object MapDsl {
         else Some(PoStr(vs.map(str).mkString))
       case Lower(of) => eval(of, ctx, item).map(v => PoStr(str(v).toLowerCase))
       case Split(of, on) => eval(of, ctx, item).map { v =>
-        PoArr(on.split(str(v), -1).iterator.filter(_.nonEmpty)
-          .map(PoStr.apply).toVector)
+        PoArr(on.split(new MapDsl.InterruptibleChars(str(v)), -1).iterator
+          .filter(_.nonEmpty).map(PoStr.apply).toVector)
       }
       case Select(of, css) =>
         val root = of match {
@@ -231,12 +254,16 @@ object MapDsl {
     private def str(v: PoValue): String = v match {
       case PoStr(s) => s
       case PoInt(i) => i.toString
-      // whole doubles print bare ONLY inside Long range: past it,
-      // d.toLong saturates at Long.MaxValue and distinct huge keys
-      // would collapse onto one record id — those fall through to the
-      // (distinct, if ugly) scientific notation instead
+      // whole doubles print bare ONLY below 2^63: past it, d.toLong
+      // saturates at Long.MaxValue and distinct huge keys would
+      // collapse onto one record id — those fall through to the
+      // (distinct, if ugly) scientific notation instead. The bound is
+      // exact: every whole double strictly below 2^63 converts
+      // losslessly (Long.MaxValue.toDouble rounds up to 2^63, and < is
+      // strict).
       case PoNum(d) =>
-        if (d == d.floor && !d.isInfinite && math.abs(d) < 9.2e18) d.toLong.toString
+        if (d == d.floor && !d.isInfinite && math.abs(d) < Long.MaxValue.toDouble)
+          d.toLong.toString
         else d.toString
       case PoBool(b) => b.toString
       case PoNull => "null"

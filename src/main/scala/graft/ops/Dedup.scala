@@ -175,12 +175,16 @@ object Dedup {
     *    blocks live on executors; fastest, right for single-JVM runs,
     *    but an executor loss mid-convergence is NOT recoverable (the
     *    blocks are gone and so is the lineage to rebuild them).
-    *  - `checkpointDir = Some(dir)`: reliable `Dataset.checkpoint()`
-    *    into that directory (an HDFS/object-store path on a real
-    *    cluster) — an executor loss mid-convergence recomputes from the
-    *    checkpoint files; the per-round cost is one write+read of the
-    *    (small) label frame. THE mode for a 1000-executor deployment,
-    *    where losing an executor over a multi-round job is routine.
+    *  - `checkpointDir = Some(dir)`: reliable `Dataset.checkpoint()` —
+    *    an executor loss mid-convergence recomputes from the checkpoint
+    *    files; the per-round cost is one write+read of the (small)
+    *    label frame. THE mode for a 1000-executor deployment, where
+    *    losing an executor over a multi-round job is routine. `dir`
+    *    (an HDFS/object-store path on a real cluster) is applied via
+    *    `sc.setCheckpointDir` ONLY if the context has none yet —
+    *    Spark keeps one checkpoint directory per context and the
+    *    application owns that setting (the MLlib convention); a
+    *    context that already has one keeps it and is checkpointed to.
     * This is the same loop GraphX's connectedComponents runs;
     * star-contraction variants halve rounds if diameter ever bites.
     *
@@ -192,19 +196,17 @@ object Dedup {
                   bCol: String = "b_id", idCol: String = "doc_id",
                   checkpointDir: Option[String] = None): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
-    // setCheckpointDir is PROCESS-GLOBAL state: restore the caller's
-    // directory after the loop (checkpoint() is eager, so every write
-    // of ours lands before the restore). Concurrent dupClusters calls
-    // with different dirs still race on the global — that is Spark's
-    // one-checkpoint-dir-per-context model, not something this method
-    // can fix; serialize such callers.
-    val prevCkptDir = sc.getCheckpointDir
-    checkpointDir.foreach(sc.setCheckpointDir)
-    try {
-      dupClustersLoop(pairs, aCol, bCol, idCol, checkpointDir.isDefined)
-    } finally {
-      if (checkpointDir.isDefined) sc.setCheckpointDir(prevCkptDir.orNull)
-    }
+    // Spark has ONE checkpoint directory per context (MLlib's model:
+    // the application owns the setting). `checkpointDir` is honored
+    // only when none is set yet; an already-configured context keeps
+    // its directory and this call checkpoints there. Deliberately NO
+    // set-then-restore: restoring would yank the directory out from
+    // under a concurrent checkpointed caller mid-loop, and
+    // getCheckpointDir returns the UUID-suffixed internal path, so a
+    // "restore" would nest a fresh level on every call.
+    if (checkpointDir.isDefined && sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(checkpointDir.get)
+    dupClustersLoop(pairs, aCol, bCol, idCol, checkpointDir.isDefined)
   }
 
   private def dupClustersLoop(pairs: DataFrame, aCol: String, bCol: String,

@@ -61,15 +61,20 @@ object IncrementalLensQuery {
 
   def run(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // scratch store keyed by scale factor and REUSED across runs (the
-    // q9 pattern — a fresh dir per invocation would leak a full corpus
-    // copy every bench iteration). Both collections are dropped up
-    // front: dropping the lens output removes its compute cache with
-    // it, so build 1 below always maps everything and the invocation
-    // count never sees state from a previous run.
+    // scratch store keyed by (scale factor, pid) and REUSED across runs
+    // in one process (a fresh dir per invocation would leak a full
+    // corpus copy every bench iteration). The pid suffix keeps
+    // concurrent processes off each other's store (Store.withLock is
+    // in-process only); dead processes' dirs are reaped here, the
+    // ivf-centroids pattern. Both collections are dropped up front:
+    // dropping the lens output removes its compute cache with it, so
+    // build 1 below always maps everything and the invocation count
+    // never sees state from a previous run.
     val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
-    val root = java.nio.file.Paths
-      .get(sys.props("java.io.tmpdir"), s"graft-incq-$sfName").toString
+    val tmpRoot = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    graft.core.Fs.reapStalePidDirs(tmpRoot, s"graft-incq-$sfName-")
+    val root = tmpRoot
+      .resolve(s"graft-incq-$sfName-${ProcessHandle.current().pid()}").toString
     val store = new Store(spark, root)
     val ds = store.dataset("bench", "documents-inc")
     if (ds.exists) ds.drop()

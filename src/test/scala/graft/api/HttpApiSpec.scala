@@ -394,6 +394,19 @@ class HttpApiSpec extends AnyFunSuite {
       val lenses = get(c, s"$base/lenses/")
       assert(!lenses.body.contains("ephemeral"))
 
+      // the route runs wire-supplied maps SANDBOXED: a hostile split
+      // regex (~1 s of engine work per record on this JDK) is preempted
+      // per record into captured error frames — never a pinned core or
+      // a hung request
+      put("bomb", s"""{"text": "${"a" * 400000}"}""")
+      val redos = post(
+        """{"mapType": "dsl", "inputs": ["/datasets/alice:d1"],
+          |  "map": {"emit": [{"forEach": {"split": {"of": {"field": "text"},
+          |                                          "on": "(?=(a{0,5000}))b"}},
+          |                    "key": {"item": true}, "value": {"lit": 1}}]}}""".stripMargin)
+      assert(redos.statusCode == 200)
+      assert(redos.body.contains("MapTimeoutException"))
+
       // contract errors: arbitrary JS is 501 (no engine), bad spec is
       // 400, unknown input collection is 404
       assert(post(body.replace("\"dsl\"", "\"javascript\"")).statusCode == 501)

@@ -77,6 +77,37 @@ class MapDslSpec extends AnyFunSuite {
       "x" -> PoArr(Vector(PoStr("r9"))), "y" -> PoArr(Vector(PoStr("r9")))))
   }
 
+  test("sandbox preempts a hostile split regex; abandoned worker dies mid-regex") {
+    // ~4 s of regex work on this JDK (bounded lookahead re-scanned at
+    // every position — modern OpenJDK memoizes away the CLASSIC
+    // exponential (a|a)+$ bombs, so the hostile case is expensive-
+    // polynomial, which burns cores just as well)
+    val f = fn(
+      """{"emit": [{"forEach": {"split": {"of": {"field": "t"},
+        |                                 "on": "(?=(a{0,5000}))b"}},
+        |           "key": {"item": true}, "value": {"lit": 1}}]}""".stripMargin)
+    val bomb = PoObj("t" -> PoStr("a" * 1000000))
+    val t0 = System.nanoTime()
+    val r = MapRunner.runSandboxed(f,
+      MapPath("/datasets/a:d/records/x", "datasets", "a", "d", "x"),
+      bomb, timeoutMs = 50)
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(r.error.exists(_.errType == "MapTimeoutException"), r.error)
+    assert(r.outputs.isEmpty) // isolate-kill semantics
+    assert(elapsedMs < 3000, f"preemption took $elapsedMs%.0f ms")
+    // the ABANDONED worker must die promptly too (InterruptibleChars):
+    // java.util.regex never polls interrupts, so a plain String input
+    // would leave the worker burning the remaining seconds of regex
+    def busyWorkers(): Int = {
+      import scala.jdk.CollectionConverters._
+      Thread.getAllStackTraces.keySet.asScala.count(t =>
+        t.getName == "graft-map-sandbox" && t.getState == Thread.State.RUNNABLE)
+    }
+    val deadline = System.nanoTime() + 2000000000L
+    while (busyWorkers() > 0 && System.nanoTime() < deadline) Thread.sleep(20)
+    assert(busyWorkers() == 0, "abandoned sandbox worker still burning the regex")
+  }
+
   test("parse caps expression nesting (HTTP bodies are attacker-sized)") {
     // MaxDepth+2 nested lower() — must be an IllegalArgumentException
     // (→ 400 at the route), never a StackOverflowError
