@@ -430,6 +430,47 @@ object SparkEntry {
         .orderBy(col("source"), col("bin"))
     }),
 
+    // PII detection + redaction (the pre-training scrub stage):
+    // deterministic PII fixtures — two emails, an E.164 phone, a
+    // dotted-quad IP, all integer functions of doc_id — are appended to
+    // every document IN THE QUERY (both engines build the identical
+    // augmented text), then counted and globally redacted through the
+    // production Pii rules. Emitting md5(redacted) makes the check
+    // total: one unredacted occurrence, wrong sentinel, or non-global
+    // replace breaks the hash. The fixture column is materialized in
+    // its own projection first (the q25 CSE lesson) so the concat runs
+    // once, not once per regex scan.
+    "q46_pii_redaction" -> ((s, dir) => {
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or user"), col("doc_id").cast("string"),
+        lit("@backup.example.org call +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" ip 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), ((col("doc_id") * 7) % 256).cast("string"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), aug.as("aug"))
+        .select(col("doc_id"),
+          graft.ops.Pii.stats(col("aug")).as("p"),
+          md5(graft.ops.Pii.redact(col("aug"))).as("redact_md5"))
+        .select(col("doc_id"),
+          col("p.n_emails").cast("long").as("n_emails"),
+          col("p.n_phones").cast("long").as("n_phones"),
+          col("p.n_ips").cast("long").as("n_ips"),
+          col("redact_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Substring-LEVEL dedup (exact-substring class): maximal runs of
+    // word 8-grams occurring in ≥2 documents — which SPANS are copied,
+    // not which docs. Hash-keyed gram count + membership join + one
+    // per-doc island window; the oracle replicates gram → dup-set →
+    // island arithmetic with string grams (the operator's xxhash64
+    // shuffle key is exact absent a 64-bit collision, P≈|grams|²/2^65).
+    "q47_dup_spans" -> ((s, dir) =>
+      graft.ops.Dedup.duplicateSpans(t(s, dir, "documents"), n = 8)
+        .orderBy(col("doc_id"), col("start_pos"))),
+
     // Corpus length statistics with EXACT percentiles (Spark's
     // sort-based `percentile` aggregate, not approx_percentile): at
     // quarter fractions over integer lengths the linear interpolation
@@ -933,6 +974,54 @@ object SparkEntry {
         |  (SELECT n FROM fresh) AS n_map_calls
         |FROM idx2 i2 LEFT JOIN idx1 i1 ON i1.tok = i2.tok
         |ORDER BY token""".stripMargin,
+    // q46: the oracle builds the IDENTICAL augmented text, then counts
+    // and redacts with the same three patterns — DuckDB's RE2 and
+    // Spark's java.util.regex agree on them by construction (common
+    // subset only: explicit ranges, \b, no lookaround; see Pii
+    // scaladoc). 'g' = Spark regexp_replace's always-global semantics.
+    "q46_pii_redaction" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |         || '@mail.example.com or user' || CAST(doc_id AS VARCHAR)
+        |         || '@backup.example.org call +1-555-'
+        |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |         || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |         || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS aug
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(aug, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}\b')) AS n_phones,
+        |  len(regexp_extract_all(aug, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')) AS redact_md5
+        |FROM aug
+        |ORDER BY doc_id""".stripMargin,
+    // q47: string-gram replication of the span arithmetic — 8-grams
+    // with positions, grams in ≥2 distinct docs, islands of consecutive
+    // positions (pos − row_number() constant), span = run + 7.
+    "q47_dup_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, i AS pos,
+        |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+        |      || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7] AS gram
+        |  FROM t, unnest(generate_series(1, greatest(len(toks)-7, 0))) AS u(i)),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |dp AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM dp)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_pos,
+        |  CAST(count(*) + 7 AS BIGINT) AS span_tokens
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, start_pos""".stripMargin,
     // q38: q13's exact pair derivation, then connected components via a
     // recursive CTE (propagate every reachable label, take the min).
     "q38_dup_clusters" ->

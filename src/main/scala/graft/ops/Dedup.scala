@@ -320,4 +320,55 @@ object Dedup {
     docs.select(col(idCol)).join(agg, Seq(idCol), "left")
       .select(col(idCol), coalesce(sim, lit(0L)).as("simhash"))
   }
+
+  // -------------------------------------------- substring-level dedup
+
+  /** SUBSTRING-level duplication: maximal runs of word `n`-grams that
+    * also occur in at least one OTHER document — the exact-substring
+    * dedup class (boilerplate headers, license blocks, templated spans
+    * repeated across a corpus), a different axis from whole-document
+    * dedup (exactGroups/minhash/simhash: "is this doc a copy" vs "which
+    * SPANS of this doc are copied"). Returns one row per maximal span:
+    * (doc_id, start_pos 1-based, span_tokens).
+    *
+    * Reduction: a span of length L ≥ n is emitted iff every n-gram
+    * start inside it is corpus-duplicated; maximal spans = islands of
+    * consecutive duplicated gram positions (pos − row_number() is
+    * constant within an island). This is the standard fast
+    * approximation of suffix-array substring dedup: each CONSTITUENT
+    * n-gram provably occurs elsewhere, the full concatenated span may
+    * not occur contiguously elsewhere — n is the precision knob.
+    *
+    * Scale shape (100 TB): positions explode to |tokens| rows, but the
+    * shuffle key is a 64-bit `xxhash64` of the gram, never the gram
+    * string (shuffle width 8 bytes vs ~8 words; a hash collision could
+    * only mark a unique gram duplicated, P < |grams|²/2^65 — the q13
+    * 4e-8-class argument). Gram counting is one map-side-combined
+    * aggregation; duplicated-set membership is one hash join (broadcast
+    * if small, shuffle otherwise — left to AQE); island merging is one
+    * per-document window. Nothing is ever all-pairs. */
+  def duplicateSpans(docs: DataFrame, n: Int = 8, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = size(col("toks")) - lit(n - 1)
+    val grams = when(cnt <= 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), cnt),
+        i => concat_ws(" ", (0 until n).map(k => element_at(col("toks"), i + lit(k))): _*)))
+    val pos = docs
+      .select(col(idCol).cast("long").as(idCol), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), posexplode(grams).as(Seq("pos0", "gram")))
+      .select(col(idCol), (col("pos0") + 1).as("pos"), xxhash64(col("gram")).as("gh"))
+    val dup = pos.groupBy(col("gh"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("gh"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    pos.join(dup, "gh")
+      .select(col(idCol), col("pos"))
+      .withColumn("island", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("island"))
+      .agg(min(col("pos")).cast("long").as("start_pos"),
+        (count(lit(1)) + lit(n - 1)).cast("long").as("span_tokens"))
+      .select(col(idCol), col("start_pos"), col("span_tokens"))
+  }
 }

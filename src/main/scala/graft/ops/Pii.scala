@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** PII detection and redaction — the standard pre-training scrub stage
+  * (emails, phone numbers, IP addresses) that every large-scale corpus
+  * pipeline runs before text leaves curation.
+  *
+  * Everything is codegen'd `regexp_extract_all` / `regexp_replace`
+  * column expressions — no UDFs, so detection and redaction stay inside
+  * whole-stage codegen and scale linearly with executors; at 100 TB the
+  * whole stage is a single narrow projection (zero shuffles).
+  *
+  * Pattern-dialect parity: the patterns are deliberately restricted to
+  * the common subset of java.util.regex (Spark) and RE2 (DuckDB — the
+  * oracle engine): no lookaround, no backreferences, character classes
+  * spelled as explicit ranges (`[0-9]`, not `\d` — Java's `\d`/`\s` and
+  * RE2's disagree on edge code points; the `TextOps.bpePattern` lesson).
+  * `\b` is safe: both engines define word chars as `[A-Za-z0-9_]`.
+  *
+  * Redaction replaces every match with a typed sentinel (`<EMAIL>`,
+  * `<PHONE>`, `<IP>`), all occurrences per document (Spark's
+  * `regexp_replace` is global; the oracle must pass the `'g'` flag).
+  * The email pass runs FIRST so a digits-and-dots local part like
+  * `1.2.3.4@host.com` is consumed as one email before the IPv4 pass
+  * can see its prefix. Linkability-preserving pseudonymization (match →
+  * per-match hash token) is deliberately absent: it needs a per-match
+  * function application, which no codegen'd replace expression offers —
+  * it would force a UDF onto the hot path for a niche variant.
+  */
+object Pii {
+
+  /** Practical RFC-5322-subset email shape. */
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** E.164-with-dashes phone shape: `+<cc>-<3 digits>-<4 digits>`.
+    * Deliberately narrow — a broad "digit soup" phone pattern false-
+    * positives on IDs and timestamps; callers with other locale shapes
+    * pass their own (pattern, sentinel) via [[redactCustom]]. */
+  val phonePattern: String = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}\\b"
+
+  /** IPv4-shaped dotted quad (no octet-range check: `999.0.0.1` is not
+    * a valid address but IS something a scrubber should remove). */
+  val ipv4Pattern: String = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** (kind, pattern, sentinel) in application order — email first (see
+    * object scaladoc for why order matters). */
+  val defaultRules: Seq[(String, String, String)] = Seq(
+    ("email", emailPattern, "<EMAIL>"),
+    ("phone", phonePattern, "<PHONE>"),
+    ("ipv4", ipv4Pattern, "<IP>"))
+
+  /** Per-document match counts as struct(n_emails, n_phones, n_ips) —
+    * one regexp scan per kind, all in one projection. */
+  def stats(text: Column): Column = struct(
+    size(regexp_extract_all(text, lit(emailPattern), lit(0))).as("n_emails"),
+    size(regexp_extract_all(text, lit(phonePattern), lit(0))).as("n_phones"),
+    size(regexp_extract_all(text, lit(ipv4Pattern), lit(0))).as("n_ips"))
+
+  /** All default rules applied in order; every occurrence replaced. */
+  def redact(text: Column): Column = redactCustom(text, defaultRules)
+
+  /** Chained global replace over caller-supplied (kind, pattern,
+    * sentinel) rules — rules compose left-to-right, so earlier rules
+    * consume text later ones never see. */
+  def redactCustom(text: Column, rules: Seq[(String, String, String)]): Column =
+    rules.foldLeft(text) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, lit(pat), lit(repl))
+    }
+}

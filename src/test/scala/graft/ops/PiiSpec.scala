@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** PII detection/redaction semantics on literal fixtures — pattern
+  * shapes, global replace, rule ordering, passthrough. */
+class PiiSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def run(s: String): (Int, Int, Int, String) = {
+    import spark.implicits._
+    val row = Seq(s).toDF("text")
+      .select(Pii.stats(col("text")).as("p"), Pii.redact(col("text")).as("r"))
+      .select(col("p.n_emails"), col("p.n_phones"), col("p.n_ips"), col("r"))
+      .collect()(0)
+    (row.getInt(0), row.getInt(1), row.getInt(2), row.getString(3))
+  }
+
+  test("counts and redacts each kind") {
+    val (e, p, i, r) =
+      run("mail a.b+c@sub.example.org call +44-123-4567 host 192.168.0.1 done")
+    assert((e, p, i) == (1, 1, 1))
+    assert(r == "mail <EMAIL> call <PHONE> host <IP> done")
+  }
+
+  test("replaces ALL occurrences, not just the first") {
+    val (e, _, i, r) = run("x@y.com then z@w.net and 1.2.3.4 plus 5.6.7.8")
+    assert(e == 2 && i == 2)
+    assert(r == "<EMAIL> then <EMAIL> and <IP> plus <IP>")
+  }
+
+  test("email rule consumes a dotted-quad local part before the ipv4 rule sees it") {
+    val (e, _, i, r) = run("from 1.2.3.4@host.com ok")
+    assert(e == 1)
+    // stats counts each pattern independently (the quad IS ipv4-shaped);
+    // redaction is ordered, so the email sentinel wins
+    assert(i == 1)
+    assert(r == "from <EMAIL> ok")
+  }
+
+  test("no PII: text passes through byte-identical") {
+    val s = "plain words only, version 1.2 at 3pm + 4 things"
+    val (e, p, i, r) = run(s)
+    assert((e, p, i) == (0, 0, 0))
+    assert(r == s)
+  }
+
+  test("word boundary: ipv4 inside a longer dotted run still matches leftmost-first") {
+    // same nonoverlapping leftmost-first semantics as RE2 — pinned here
+    // so an engine change would surface as a spec failure, not an
+    // oracle hash mismatch
+    val (_, _, i, r) = run("chain 1.2.3.4.5 end")
+    assert(i == 1)
+    assert(r == "chain <IP>.5 end")
+  }
+
+  test("phone shape is narrow: bare digit runs and dates do not match") {
+    val (_, p, _, _) = run("on 2024-01-02 order 123-456-7890 total +1000")
+    assert(p == 0)
+  }
+
+  test("custom rules compose left-to-right") {
+    import spark.implicits._
+    val r = Seq("secret abc123 here").toDF("text")
+      .select(Pii.redactCustom(col("text"),
+        Seq(("id", "abc[0-9]+", "<ID>"), ("tag", "<ID> here", "<GONE>"))).as("r"))
+      .collect()(0).getString(0)
+    assert(r == "secret <GONE>")
+  }
+}
+
+/** Substring-level dedup semantics on hand-built fixtures. */
+class DuplicateSpansSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def spans(n: Int, docs: (Long, String)*): Set[(Long, Long, Long)] = {
+    import spark.implicits._
+    Dedup.duplicateSpans(docs.toDF("doc_id", "text"), n = n)
+      .as[(Long, Long, Long)].collect().toSet
+  }
+
+  test("a shared run yields one maximal span per doc; unique text yields none") {
+    val shared = "alpha beta gamma delta epsilon"
+    val got = spans(3,
+      1L -> s"one two $shared three",
+      2L -> s"$shared nine eight seven",
+      3L -> "totally unrelated words only here")
+    // doc 1: shared 5-token run starts at token 3; doc 2: at token 1.
+    // Three 3-gram starts each → maximal span of 3+3-1 = 5 tokens.
+    assert(got == Set((1L, 3L, 5L), (2L, 1L, 5L)))
+  }
+
+  test("two disjoint duplicated runs stay two islands") {
+    val got = spans(2,
+      1L -> "aa bb xx yy zz cc dd",
+      2L -> "aa bb qq1 qq2 qq3 cc dd")
+    assert(got == Set((1L, 1L, 2L), (1L, 6L, 2L), (2L, 1L, 2L), (2L, 6L, 2L)))
+  }
+
+  test("intra-doc repetition alone is NOT a duplicated span (cross-doc only)") {
+    val got = spans(2,
+      1L -> "rep rep rep rep",
+      2L -> "other words entirely distinct")
+    assert(got.isEmpty)
+  }
+
+  test("doc shorter than n contributes nothing") {
+    val got = spans(8, 1L -> "short text", 2L -> "short text")
+    assert(got.isEmpty)
+  }
+}
