@@ -471,6 +471,23 @@ object SparkEntry {
       graft.ops.Dedup.duplicateSpans(t(s, dir, "documents"), n = 8)
         .orderBy(col("doc_id"), col("start_pos"))),
 
+    // Corpus mixture construction (data mixing): per-source TOKEN
+    // budgets (src0..src9, budget 1500 + 500·(i mod 3); the other ten
+    // sources are absent from the spec and dropped), docs admitted as a
+    // greedy prefix in portable content-hash order while cumulative
+    // tokens fit. sum_ids pins exact membership (the q33 trick).
+    "q48_token_mixture" -> ((s, dir) => {
+      val budgets = (0 until 10).map(i => s"src$i" -> (1500L + 500L * (i % 3))).toMap
+      graft.ops.Mixing.tokenBudgetMixture(
+          t(s, dir, "documents"),
+          budgets, tokensCol = graft.ops.TextOps.tokenCount(col("text")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__tok")).cast("long").as("sum_tokens"),
+          sum(col("doc_id")).cast("long").as("sum_ids"))
+        .orderBy(col("source"))
+    }),
+
     // Corpus length statistics with EXACT percentiles (Spark's
     // sort-based `percentile` aggregate, not approx_percentile): at
     // quarter fractions over integer lengths the linear interpolation
@@ -1022,6 +1039,31 @@ object SparkEntry {
         |  CAST(count(*) + 7 AS BIGINT) AS span_tokens
         |FROM isl GROUP BY doc_id, island
         |ORDER BY doc_id, start_pos""".stripMargin,
+    // q48: same hash-order window arithmetic relationally — the budget
+    // CASE replicates the Scala map, cum runs over ROWS (no ties: the
+    // id tie-break makes the order total, but ROWS on both sides keeps
+    // the frames identical by construction).
+    "q48_token_mixture" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok,
+        |    ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1073741824 AS hb
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, source, tok, hb,
+        |    CASE WHEN CAST(substr(source, 4) AS INT) < 10
+        |         THEN 1500 + 500 * (CAST(substr(source, 4) AS INT) % 3) END AS budget
+        |  FROM d),
+        |c AS (
+        |  SELECT doc_id, source, tok, budget,
+        |    sum(tok) OVER (PARTITION BY source ORDER BY hb, doc_id
+        |                   ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM b)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM c WHERE budget IS NOT NULL AND cum <= budget
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q38: q13's exact pair derivation, then connected components via a
     // recursive CTE (propagate every reachable label, take the min).
     "q38_dup_clusters" ->

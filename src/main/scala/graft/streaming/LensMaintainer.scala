@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.lens.Lens
+
+/** Commit-log-driven lens maintenance — the MULTI-PROCESS scale form of
+  * [[graft.lens.LensHub]].
+  *
+  * `LensHub` keeps lenses fresh via in-JVM `store.onCommit` callbacks:
+  * correct when the writer and the lens builder are the same process.
+  * On a real cluster they usually are not — ingest jobs commit from one
+  * driver while a standing maintenance job owns lens builds. This class
+  * is that standing job: a Structured Streaming query over the DURABLE
+  * commit log (`CommitLog.stream` — the same JSON file source the SSE
+  * feed rides), `foreachBatch` → incremental `Lens.build()` for every
+  * lens whose inputs the batch touched.
+  *
+  * Semantics under the log's delivery guarantees:
+  *   - At-least-once is sufficient: `build()` is version-gated
+  *     incremental — a re-delivered (or compaction-re-presented) event
+  *     triggers a build that sees no fresh inputs and returns without
+  *     committing (LensBuild's no-op early return). No dedup state is
+  *     needed, so the maintainer itself is stateless and restart-safe:
+  *     the stream checkpoint (file-source offsets) is the only state.
+  *   - Lens-on-lens DAGs settle through the log itself: a build commits
+  *     its output collection, that commit appends to the log, and the
+  *     NEXT micro-batch triggers the dependents — topological waves
+  *     without any in-process DAG bookkeeping, across any number of
+  *     maintainer processes (concurrent builds of the same lens
+  *     serialize on the store's per-collection commit locks).
+  *   - Self-cycles (a lens listed among its own inputs) are rejected at
+  *     registration — with a trigger-per-commit loop they would rebuild
+  *     forever.
+  *
+  * Catch-up vs continuous: [[runOnce]] drains everything committed so
+  * far (Trigger.AvailableNow) and returns — the cron/batch form;
+  * [[start]] polls on an interval — the standing-job form.
+  */
+final class LensMaintainer(log: CommitLog, lenses: Seq[Lens],
+                           checkpointDir: String) {
+
+  lenses.foreach { l =>
+    require(!l.inputs.exists(_.collectionPath == l.path.collectionPath),
+      s"lens ${l.path.collectionPath} reads its own output: a log-driven " +
+        "maintainer would rebuild it on every build it performs")
+  }
+
+  /** input collectionPath → lenses reading it (one lens may appear under
+    * several inputs; builds below dedupe by lens). */
+  private val byInput: Map[String, Seq[Lens]] =
+    lenses.flatMap(l => l.inputs.map(_.collectionPath -> l))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+
+  /** One micro-batch: distinct touched paths (bounded by the number of
+    * collections, not the number of commits — the driver collect is
+    * safe), then ONE incremental build per dependent lens. */
+  private def onBatch(batch: DataFrame, batchId: Long): Unit = {
+    val touched = batch.select("path").distinct()
+      .collect().map(_.getString(0))
+    val dependents = touched.flatMap(p => byInput.getOrElse(p, Nil))
+      .distinct
+    dependents.foreach(_.build())
+  }
+
+  private def query(trigger: Trigger): StreamingQuery =
+    log.stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(onBatch _)
+      .trigger(trigger)
+      .start()
+
+  /** Drain all commits logged so far, then return. AvailableNow
+    * snapshots the source offsets at start, so commits produced by this
+    * run's own builds are NOT consumed by it — a lens-on-lens DAG
+    * settles with one runOnce() per DAG level (each level's builds are
+    * version-gated no-ops once settled, so over-calling is cheap and
+    * converges). The continuous [[start]] form settles DAGs without
+    * help, one micro-batch per level. */
+  def runOnce(): Unit = {
+    val q = query(Trigger.AvailableNow())
+    try q.awaitTermination() finally q.stop()
+  }
+
+  /** Standing maintenance job, polling the log every `intervalMs`. */
+  def start(intervalMs: Long = 1000L): StreamingQuery =
+    query(Trigger.ProcessingTime(intervalMs))
+}
