@@ -44,8 +44,13 @@ object SparkEntry {
     * q18 over several sf dirs, the LAST write would win — fine for the
     * driver contract (Verify/Bench/BenchOne are single-dir by
     * construction), noted for anyone scripting beyond it. */
-  private val ivfCentroidsWritten =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** sf dir → the in-flight/completed centroid write. A map of futures
+    * (not a claim set): the winner writes, LOSERS WAIT on the winner's
+    * future — a concurrent q18 must not proceed to search before the
+    * oracle input is durable, and a winner's failure removes the entry
+    * so any later call retries the write. */
+  private val ivfCentroidsWrites =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.CompletableFuture[Void]]()
 
   /** Reap ivf_centroids-<pid> dirs left by dead processes — the shared
     * pid-scoped-scratch hygiene (Fs.reapStalePidDirs scaladoc). */
@@ -560,20 +565,27 @@ object SparkEntry {
     "q18_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val model = graft.ops.Ivf.train(e, k = 16, iters = 3)
-      // atomic claim-then-write: Set.add is the claim, so two concurrent
-      // q18 runs in one process never start overlapping Spark overwrite
-      // jobs to the same path (they would share the _temporary staging
-      // dir and could fail or corrupt each other); a failed write rolls
-      // the claim back so a retry can write the oracle input
-      if (ivfCentroidsWritten.add(dir)) {
+      // one writer, everyone waits: putIfAbsent elects the writer (two
+      // concurrent overwrite jobs would share the _temporary staging
+      // dir and could fail or corrupt each other), and the loser JOINS
+      // the winner's future so no q18 returns before the oracle input
+      // is durable; a failed write removes the entry (retry-able) and
+      // propagates to both sides
+      val fut = new java.util.concurrent.CompletableFuture[Void]()
+      val prior = ivfCentroidsWrites.putIfAbsent(dir, fut)
+      if (prior == null) {
         try {
           reapStaleCentroidDirs()
           graft.ops.Ivf.centroidsDF(s, model).coalesce(1)
             .write.mode("overwrite").parquet(ivfCentroidsPath)
+          fut.complete(null)
         } catch {
-          case e: Throwable => ivfCentroidsWritten.remove(dir); throw e
+          case e: Throwable =>
+            ivfCentroidsWrites.remove(dir, fut)
+            fut.completeExceptionally(e)
+            throw e
         }
-      }
+      } else prior.join()
       graft.ops.Ivf.search(e, e.filter(col("vec_id") < 5), model, k = 10, nprobe = 4)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
         .orderBy(col("query_id"), col("rank"))

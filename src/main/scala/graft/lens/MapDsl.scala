@@ -138,6 +138,11 @@ object MapDsl {
               case Some(PoStr(s)) if s.nonEmpty => s
               case _ => fail("'select' needs a string 'css' selector")
             }
+            // same parse-time contract as 'split': garbage is a 400 at
+            // the wire, never a silently-empty index (the match path
+            // itself stays lenient)
+            graft.markup.Markup.validateSelector(css)
+              .left.foreach(m => fail(s"bad select css: $m"))
             Select(f.get("of").map(parseExpr(_, d)), css)
           case ("text", x) => Text(parseExpr(x, d))
           case ("set", PoArr(items)) => MkSet(items.map(parseExpr(_, d)).toVector)

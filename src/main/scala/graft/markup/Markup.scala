@@ -144,6 +144,43 @@ object Markup {
     out
   }
 
+  /** Parse-time validation of a selector string: Right(()) iff every
+    * comma group tokenizes into alternating compounds and combinators
+    * (no leading/trailing/double combinator) and every compound is
+    * built from the supported simple selectors (tag, #id, .class,
+    * [attr], [attr=val], *). The MATCH path stays lenient — a malformed
+    * compound simply never matches — but a wire boundary (MapDsl's
+    * 'select') uses this to reject garbage with a 400 at parse time
+    * instead of silently returning an empty index. */
+  def validateSelector(selector: String): Either[String, Unit] = {
+    val groups = selector.split(",").map(_.trim)
+    if (groups.forall(_.isEmpty)) return Left("empty selector")
+    groups.filter(_.nonEmpty).foldLeft[Either[String, Unit]](Right(())) { (acc, g) =>
+      acc.flatMap { _ =>
+        val toks = tokenizeSelector(g)
+        if (toks.isEmpty) Left(s"empty selector group in '$selector'")
+        else if (toks.last == ">" || toks.last == " ")
+          Left(s"selector group '$g' ends with a combinator")
+        else {
+          val structureOk = toks.zipWithIndex.forall { case (t, i) =>
+            if (i % 2 == 0) t != ">" && t != " " else t == ">" || t == " "
+          }
+          if (!structureOk) Left(s"selector group '$g' has misplaced combinators")
+          else toks.zipWithIndex.collectFirst {
+            case (t, i) if i % 2 == 0 && !compoundWellFormed(t) =>
+              Left(s"unsupported simple selector in '$t'"): Either[String, Unit]
+          }.getOrElse(Right(()))
+        }
+      }
+    }
+  }
+
+  private val SimpleSelector =
+    "([a-zA-Z*][a-zA-Z0-9_-]*)|(#[^#.\\[]+)|(\\.[^#.\\[]+)|(\\[[^\\]]+\\])".r
+
+  private def compoundWellFormed(compound: String): Boolean =
+    SimpleSelector.findAllIn(compound).mkString == compound && compound.nonEmpty
+
   /** depth-first (document order) list of (tag, ancestorsNearestFirst) */
   private def allTagsWithAncestry(root: PoValue): Vector[(PoValue, List[PoValue])] = {
     val buf = Vector.newBuilder[(PoValue, List[PoValue])]
@@ -197,8 +234,7 @@ object Markup {
   private def matchesCompound(node: PoValue, compound: String): Boolean = {
     if (!getType(node).contains("tag")) return false
     // split compound into simple selectors: tag, #id, .class, [attr...]
-    val Simple = "([a-zA-Z*][a-zA-Z0-9_-]*)|(#[^#.\\[]+)|(\\.[^#.\\[]+)|(\\[[^\\]]+\\])".r
-    val simples = Simple.findAllIn(compound).toList
+    val simples = SimpleSelector.findAllIn(compound).toList
     if (simples.isEmpty || simples.mkString != compound) return false
     simples.forall {
       case s if s.startsWith("#") => id(node).contains(s.drop(1))

@@ -40,8 +40,6 @@ object ContainerMeta {
   def isMp4(b: Array[Byte]): Boolean =
     b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
 
-  private def be16(b: Array[Byte], o: Int): Int =
-    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
   private def be32(b: Array[Byte], o: Int): Long =
     ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
       ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
@@ -207,11 +205,19 @@ object ContainerMeta {
                 nTracks += 1
                 ebml(b, tp, te).foreach {
                   case (Video, vp, ve) =>
+                    // dims are taken as a PAIR from the first Video
+                    // element declaring a nonzero width (same atomicity
+                    // as the MP4 tkhd path) — independent first-nonzero
+                    // guards could stitch width and height together
+                    // from DIFFERENT TrackEntry elements
+                    var tw = 0L
+                    var th = 0L
                     ebml(b, vp, ve).foreach {
-                      case (PixelWidth, o, oe) if width == 0 => width = uint(b, o, oe - o)
-                      case (PixelHeight, o, oe) if height == 0 => height = uint(b, o, oe - o)
+                      case (PixelWidth, o, oe) => tw = uint(b, o, oe - o)
+                      case (PixelHeight, o, oe) => th = uint(b, o, oe - o)
                       case _ => ()
                     }
+                    if (width == 0 && tw > 0) { width = tw; height = th }
                   case _ => ()
                 }
               case _ => ()

@@ -33,7 +33,11 @@ object Mixing {
   /** Docs admitted under `budgets` (source → max tokens), with their
     * token counts in `__tok`. `tokensCol` is any integer token-count
     * expression over the row (e.g. `TextOps.tokenCount(col("text"))` or
-    * a precomputed column). */
+    * a precomputed column). A NULL token count is pinned to ZERO before
+    * the window — window `sum` would otherwise skip the row, silently
+    * admitting a doc of unknown token mass without charging the budget
+    * (the accounting must stay exact even over gappy inputs; a caller
+    * who wants null-count docs excluded filters them first). */
   def tokenBudgetMixture(docs: DataFrame, budgets: Map[String, Long],
                          tokensCol: Column, sourceCol: String = "source",
                          idCol: String = "doc_id"): DataFrame = {
@@ -41,7 +45,7 @@ object Mixing {
       .orderBy(Sampling.hashBucket(col(idCol), 1 << 30), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
-      .withColumn("__tok", tokensCol.cast("long"))
+      .withColumn("__tok", coalesce(tokensCol.cast("long"), lit(0L)))
       .withColumn("__budget", element_at(typedlit(budgets), col(sourceCol)))
       .withColumn("__cum", sum(col("__tok")).over(w))
       .filter(col("__budget").isNotNull && col("__cum") <= col("__budget"))

@@ -50,9 +50,11 @@ final class CommitLog(store: Store, tailCapacity: Int = CommitLog.DefaultTailCap
     * a second CommitLog on the same store) inside the same millisecond
     * as the last durable commit would otherwise reproduce an existing
     * (ts, seq) filename, and the ATOMIC_MOVE would silently REPLACE
-    * that commit file — a lost event. Seeding guarantees every append's
-    * (ts, seq) strictly exceeds everything already on disk, which the
-    * tail/evictedUpTo logic also relies on (cursors unique + monotone). */
+    * that commit file — a lost event. Seeding makes a fresh instance's
+    * appends strictly exceed everything durable at construction, which
+    * the tail/evictedUpTo logic relies on (cursors unique + monotone);
+    * CONCURRENT writers are handled at publish time instead — see the
+    * createLink collision-retry in [[append]]. */
   private val seq = new AtomicLong(math.max(0L, initialCursor._2))
 
   /** Bounded tail of recent events, newest last. Guarded by `this`. */
@@ -72,24 +74,54 @@ final class CommitLog(store: Store, tailCapacity: Int = CommitLog.DefaultTailCap
     this
   }
 
-  /** Append one event: durable file first (atomic rename — the file
-    * source must never see a partial file), then the in-memory tail.
-    * Synchronized so the buffer's order always agrees with (ts, seq)
-    * order — commit rates are human-scale, the lock is uncontended. */
+  /** Append one event: durable file first (atomically visible — the
+    * file source must never see a partial file), then the in-memory
+    * tail. Synchronized so the buffer's order always agrees with
+    * (ts, seq) order — commit rates are human-scale, the lock is
+    * uncontended.
+    *
+    * Cross-PROCESS uniqueness: seq seeding only orders instances
+    * created after each other; two LIVE writers (the LensMaintainer
+    * topology — an ingest driver plus a maintainer committing lens
+    * outputs to the same log) can hold equal counters, and a same-ms
+    * append would then compute the same filename, where ATOMIC_MOVE
+    * (rename(2)) silently REPLACES the other writer's event. The
+    * durable publish is therefore `Files.createLink` — an atomic
+    * CREATE-NEW that FAILS on an existing name — and a collision
+    * re-seeds seq past the latest durable cursor and retries, so both
+    * events land and later appends sort after everything visible.
+    * (A non-colliding same-ms append from a behind-counter writer can
+    * still land below a cursor a reader already passed — same-ms
+    * catch-up is `>=`-inclusive (at-least-once) for exactly this, see
+    * [[eventsSince]].) */
   def append(path: DataPath, version: Long): Unit = synchronized {
     Files.createDirectories(dir)
     val ts = System.currentTimeMillis()
-    val n = seq.incrementAndGet()
-    val line =
+    val line0 = (n: Long) =>
       s"""{"path":"${path.collectionPath}","source":"${path.source}","author":"${path.author}","name":"${path.name}","version":$version,"ts":$ts,"seq":$n}"""
-    val tmp = dir.resolve(s".tmp-$ts-$n")
-    Files.write(tmp, (line + "\n").getBytes(UTF_8))
-    // seq padded to 12 digits: a %06d pad silently broke lexicographic
-    // file ordering past 1e6 commits in one process; readers additionally
-    // parse (ts, seq) numerically so old 6-digit names still sort right
-    Files.move(tmp, dir.resolve(f"commit-$ts%013d-$n%012d.json"),
-      StandardCopyOption.ATOMIC_MOVE)
-    tail.addLast(((ts, n), line))
+    var n = seq.incrementAndGet()
+    var published = false
+    while (!published) {
+      val line = line0(n)
+      val tmp = dir.resolve(s".tmp-$ts-$n-${ProcessHandle.current().pid()}")
+      Files.write(tmp, (line + "\n").getBytes(UTF_8))
+      // seq padded to 12 digits: a %06d pad silently broke lexicographic
+      // file ordering past 1e6 commits in one process; readers additionally
+      // parse (ts, seq) numerically so old 6-digit names still sort right
+      val target = dir.resolve(f"commit-$ts%013d-$n%012d.json")
+      try {
+        Files.createLink(target, tmp)
+        Files.delete(tmp)
+        published = true
+        tail.addLast(((ts, n), line))
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.delete(tmp)
+          val latest = scanLatestCursor()
+          n = math.max(n, math.max(seq.get(), latest._2)) + 1
+          seq.set(n)
+      }
+    }
     while (tail.size > tailCapacity) {
       val ev = tail.removeFirst()
       if (CommitLog.cursorLt(evictedUpTo, ev._1)) evictedUpTo = ev._1

@@ -27,9 +27,11 @@ import graft.lens.Lens
   *   - Lens-on-lens DAGs settle through the log itself: a build commits
   *     its output collection, that commit appends to the log, and the
   *     NEXT micro-batch triggers the dependents — topological waves
-  *     without any in-process DAG bookkeeping, across any number of
-  *     maintainer processes (concurrent builds of the same lens
-  *     serialize on the store's per-collection commit locks).
+  *     without any in-process DAG bookkeeping. Run ONE maintainer per
+  *     lens: the store's commit locks are in-JVM, so two maintainer
+  *     PROCESSES building the same lens concurrently would race the
+  *     snapshot swap (partition the lens set, or run one maintainer —
+  *     the log itself is multi-writer-safe, see CommitLog.append).
   *   - Self-cycles (a lens listed among its own inputs) are rejected at
   *     registration — with a trigger-per-commit loop they would rebuild
   *     forever.
@@ -53,15 +55,38 @@ final class LensMaintainer(log: CommitLog, lenses: Seq[Lens],
     lenses.flatMap(l => l.inputs.map(_.collectionPath -> l))
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
 
+  /** Lenses whose last build attempt threw — re-attempted on EVERY
+    * subsequent micro-batch (not only when their inputs are touched
+    * again), so a transient failure heals at the next poll instead of
+    * waiting for an unrelated commit. Guarded by the foreachBatch
+    * serial execution (one batch at a time per query). */
+  private val retry = scala.collection.mutable.LinkedHashSet[Lens]()
+
   /** One micro-batch: distinct touched paths (bounded by the number of
     * collections, not the number of commits — the driver collect is
-    * safe), then ONE incremental build per dependent lens. */
+    * safe), then ONE incremental build per dependent lens.
+    *
+    * Failure isolation: a throwing build must not fail the batch — the
+    * stream checkpoint would then replay the same batch forever and one
+    * poison lens would halt maintenance for every other lens (the
+    * LensHub parallel path collects sibling failures for the same
+    * reason, Lens.scala). Failures are logged, the lens is queued for
+    * re-attempt on every following batch, and the batch commits. */
   private def onBatch(batch: DataFrame, batchId: Long): Unit = {
     val touched = batch.select("path").distinct()
       .collect().map(_.getString(0))
-    val dependents = touched.flatMap(p => byInput.getOrElse(p, Nil))
-      .distinct
-    dependents.foreach(_.build())
+    val dependents =
+      (touched.flatMap(p => byInput.getOrElse(p, Nil)) ++ retry).distinct
+    dependents.foreach { l =>
+      try { l.build(); retry -= l }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          retry += l
+          System.err.println(
+            s"[lens-maintainer] build of ${l.path.collectionPath} failed " +
+              s"(will re-attempt next batch): $e")
+      }
+    }
   }
 
   private def query(trigger: Trigger): StreamingQuery =

@@ -135,4 +135,19 @@ class MapDslSpec extends AnyFunSuite {
     bad("""[1,2]""")
     bad("""{"emit": [{"key": {"path": "hostname"}, "value": {"lit": 1}}]}""")
   }
+
+  test("parse rejects garbage select selectors (same contract as split's regex)") {
+    def bad(css: String): Unit =
+      intercept[IllegalArgumentException](fn(
+        s"""{"emit": [{"key": {"text": {"select": {"css": "$css"}}},
+           |            "value": {"lit": 1}}]}""".stripMargin))
+    bad("{]]")          // not a selector at all
+    bad("a >")          // trailing combinator
+    bad("> a")          // leading combinator
+    bad("a[unclosed")   // malformed attribute selector
+    bad(",,")           // only commas
+    // well-formed selectors still parse
+    fn("""{"emit": [{"key": {"text": {"select": {"css": "div.x > a[href], #id b"}}},
+         |           "value": {"lit": 1}}]}""".stripMargin)
+  }
 }

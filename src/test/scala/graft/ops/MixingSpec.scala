@@ -42,6 +42,18 @@ class MixingSpec extends AnyFunSuite {
     assert(admitted == hashOrder.take(2).toSet)
   }
 
+  test("NULL token counts charge zero, not skip — accounting stays exact") {
+    import spark.implicits._
+    val rows = Seq((1L, "a", Some(10L)), (2L, "a", None), (3L, "a", Some(10L)))
+    val out = Mixing.tokenBudgetMixture(
+        rows.toDF("doc_id", "source", "ntok"), Map("a" -> 20L), col("ntok"))
+      .select(col("doc_id"), col("__tok")).as[(Long, Long)].collect().toMap
+    // the null-count doc is admitted at zero mass; both 10-token docs
+    // still fit because null charged nothing but ALSO counted as 0
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(2L) == 0L, "__tok pinned to zero, not null")
+  }
+
   test("budgets apply per source independently") {
     val rows = Seq((1L, "a", 10L), (2L, "a", 10L), (3L, "b", 10L), (4L, "b", 10L))
     val got = mix(Map("a" -> 10L, "b" -> 20L), rows: _*)

@@ -269,4 +269,27 @@ class ChangeFeedSpec extends AnyFunSuite {
     // all four events survive (nothing replaced)
     assert(log2.eventsSince(0L).length == 4)
   }
+
+  test("two LIVE writers on one log never lose an event (createLink collision-retry)") {
+    // the LensMaintainer topology: an ingest writer and a maintainer
+    // process each hold an installed CommitLog on the same _commits
+    // dir. Both seed equal counters at construction, so interleaved
+    // same-millisecond appends repeatedly compute the SAME (ts, seq)
+    // filename — the old ATOMIC_MOVE publish silently replaced the
+    // other writer's file. createLink fails on the existing name and
+    // the retry re-seeds past the durable latest; every event must
+    // survive with a distinct cursor.
+    val s = freshStore()
+    val logA = new CommitLog(s)
+    val logB = new CommitLog(s) // seeded identically to logA
+    val p = graft.store.DataPath("datasets", "a", "dual")
+    val n = 50
+    (1 to n).foreach { v =>
+      logA.append(p, v.toLong)      // advances only logA's counter
+      logB.append(p, (100 + v).toLong) // logB's counter collides constantly
+    }
+    val events = new CommitLog(s).eventsSinceCursor(0L, -1L)
+    assert(events.length == 2 * n, s"lost ${2 * n - events.length} of ${2 * n} events")
+    assert(events.map(_._1).distinct.length == 2 * n, "cursors must be unique")
+  }
 }
