@@ -111,4 +111,38 @@ class DuplicateSpansSpec extends AnyFunSuite {
     val got = spans(8, 1L -> "short text", 2L -> "short text")
     assert(got.isEmpty)
   }
+
+  test("random corpora match a brute-force span oracle (seeded)") {
+    // small vocab forces plenty of cross-doc gram collisions, so both
+    // single-position islands and long merged runs occur
+    val rnd = new scala.util.Random(1234)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val n = 2
+    val docs = (1L to 30L).map { id =>
+      id -> Array.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+
+    def brute: Set[(Long, Long, Long)] = {
+      val grams: Map[Long, Vector[String]] = docs.map { case (id, text) =>
+        id -> text.split(" ").toVector.sliding(n).filter(_.length == n)
+          .map(_.mkString(" ")).toVector
+      }.toMap
+      val docsByGram = grams.toSeq
+        .flatMap { case (id, gs) => gs.distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).toSet }
+      grams.toSeq.flatMap { case (id, gs) =>
+        val dupPos = gs.zipWithIndex
+          .collect { case (g, i) if docsByGram(g).size >= 2 => (i + 1).toLong }
+        // merge runs of consecutive positions into (start, span_tokens)
+        dupPos.foldLeft(List.empty[(Long, Long)]) {
+          case ((s, len) :: rest, p) if p == s + len => (s, len + 1) :: rest
+          case (acc, p) => (p, 1L) :: acc
+        }.map { case (s, len) => (id, s, len + n - 1) }
+      }.toSet
+    }
+
+    val got = spans(n, docs: _*)
+    assert(got == brute, s"missing=${brute -- got} extra=${got -- brute}")
+    assert(got.nonEmpty, "seeded corpus must contain duplicated spans")
+  }
 }
