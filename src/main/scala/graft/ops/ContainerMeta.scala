@@ -206,10 +206,12 @@ object ContainerMeta {
                 ebml(b, tp, te).foreach {
                   case (Video, vp, ve) =>
                     // dims are taken as a PAIR from the first Video
-                    // element declaring a nonzero width (same atomicity
-                    // as the MP4 tkhd path) — independent first-nonzero
+                    // element declaring BOTH nonzero (same atomicity as
+                    // the MP4 tkhd path) — independent first-nonzero
                     // guards could stitch width and height together
-                    // from DIFFERENT TrackEntry elements
+                    // from DIFFERENT TrackEntry elements, and a
+                    // half-declared pair must not lock out a later
+                    // complete track
                     var tw = 0L
                     var th = 0L
                     ebml(b, vp, ve).foreach {
@@ -217,7 +219,7 @@ object ContainerMeta {
                       case (PixelHeight, o, oe) => th = uint(b, o, oe - o)
                       case _ => ()
                     }
-                    if (width == 0 && tw > 0) { width = tw; height = th }
+                    if (width == 0 && tw > 0 && th > 0) { width = tw; height = th }
                   case _ => ()
                 }
               case _ => ()

@@ -30,16 +30,31 @@ import graft.store.{DataPath, Store}
   * older than the buffer. N clients polling a year-old log cost nothing
   * per tick; only genuine history replay pays the scan.
   *
-  * PREMISE: one writer process per store root — the same premise the
-  * store itself has (`Store.withLock` is an in-process lock; commits
-  * from two processes would race the manifest regardless of this
-  * class). The tail therefore sees every append, and the poll fast path
-  * never misses events. Cross-PROCESS consumers read the durable log
-  * (`batch`/`stream`/`eventsSince` catch-up and the Structured
-  * Streaming file source all scan the directory), so they are
-  * multi-reader safe either way.
+  * WRITER TOPOLOGY: the default (`soleWriter = true`) assumes one
+  * writer process per store root — the premise the store's collection
+  * commits have anyway (`Store.withLock` is in-process; two processes
+  * committing the SAME collection race the manifest regardless of this
+  * class). Under it the tail sees every append and the poll fast path
+  * never misses events. The LensMaintainer topology — an ingest
+  * process and a maintainer process committing DISJOINT collections to
+  * one shared log — passes `soleWriter = false` on every writer, which
+  * buys cross-process safety at a per-op cost:
+  *   - `append` re-seeds seq past the latest DURABLE cursor (one
+  *     directory list per append — human-scale commit rates, and
+  *     compaction keeps the directory O(live tail)), so every
+  *     published cursor strictly exceeds everything durable at publish
+  *     time and exact-cursor resumers never have an event land below
+  *     a cursor they already passed. Same-instant writers that pick
+  *     the same seq anyway serialize through the createLink collision
+  *     retry.
+  *   - `eventsSinceCursor` always serves from the durable scan — the
+  *     in-memory tail only sees THIS writer's appends, so the fast
+  *     path would silently hide the other writer's events.
+  * Cross-process CONSUMERS are safe in both modes: `batch`/`stream`
+  * and the Structured Streaming file source scan the directory.
   */
-final class CommitLog(store: Store, tailCapacity: Int = CommitLog.DefaultTailCapacity) {
+final class CommitLog(store: Store, tailCapacity: Int = CommitLog.DefaultTailCapacity,
+                      soleWriter: Boolean = true) {
   private def dir: Path = Paths.get(store.root, "_commits")
 
   /** The latest cursor already durable when this instance was built —
@@ -99,24 +114,35 @@ final class CommitLog(store: Store, tailCapacity: Int = CommitLog.DefaultTailCap
     val ts = System.currentTimeMillis()
     val line0 = (n: Long) =>
       s"""{"path":"${path.collectionPath}","source":"${path.source}","author":"${path.author}","name":"${path.name}","version":$version,"ts":$ts,"seq":$n}"""
-    var n = seq.incrementAndGet()
+    // multi-writer mode: seed past the DURABLE latest on every append
+    // (not just at construction) so the published cursor exceeds
+    // everything any process has made visible — the property exact-
+    // cursor resumers rely on. Sole-writer mode keeps the O(1) counter.
+    var n =
+      if (soleWriter) seq.incrementAndGet()
+      else { val d = math.max(seq.get(), scanLatestCursor()._2) + 1; seq.set(d); d }
     var published = false
     while (!published) {
       val line = line0(n)
-      val tmp = dir.resolve(s".tmp-$ts-$n-${ProcessHandle.current().pid()}")
+      // tmp name carries pid AND an instance nonce: two CommitLog
+      // instances in one JVM (or one pid reused across boots) must
+      // never share a tmp path — a shared tmp could publish the OTHER
+      // writer's line under this writer's cursor
+      val tmp = dir.resolve(
+        s".tmp-$ts-$n-${ProcessHandle.current().pid()}-$instanceNonce")
       Files.write(tmp, (line + "\n").getBytes(UTF_8))
       // seq padded to 12 digits: a %06d pad silently broke lexicographic
       // file ordering past 1e6 commits in one process; readers additionally
       // parse (ts, seq) numerically so old 6-digit names still sort right
       val target = dir.resolve(f"commit-$ts%013d-$n%012d.json")
       try {
-        Files.createLink(target, tmp)
-        Files.delete(tmp)
+        publish(tmp, target)
+        Files.deleteIfExists(tmp)
         published = true
         tail.addLast(((ts, n), line))
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          Files.delete(tmp)
+          Files.deleteIfExists(tmp)
           val latest = scanLatestCursor()
           n = math.max(n, math.max(seq.get(), latest._2)) + 1
           seq.set(n)
@@ -126,6 +152,36 @@ final class CommitLog(store: Store, tailCapacity: Int = CommitLog.DefaultTailCap
       val ev = tail.removeFirst()
       if (CommitLog.cursorLt(evictedUpTo, ev._1)) evictedUpTo = ev._1
     }
+  }
+
+  /** Distinguishes this instance's tmp files from any other instance's
+    * (same or different JVM, pid reuse included). */
+  private val instanceNonce: String =
+    java.lang.Long.toHexString(new java.security.SecureRandom().nextLong())
+
+  /** True until the filesystem proves it cannot hard-link. */
+  @volatile private var linkSupported = true
+
+  /** Atomic durable publish: `createLink` is CREATE-NEW (fails on an
+    * existing name — the cross-process collision detector). Filesystems
+    * without hard links (some NFS/SMB/FAT mounts) fall back to
+    * existence-checked ATOMIC_MOVE: atomic visibility is kept, but the
+    * check-then-move window means multi-writer collision detection is
+    * best-effort there — run such stores sole-writer. */
+  private def publish(tmp: Path, target: Path): Unit = {
+    if (linkSupported) {
+      try { Files.createLink(target, tmp); return }
+      catch {
+        case e: UnsupportedOperationException => linkSupported = false
+        case e: java.nio.file.FileSystemException
+            if !e.isInstanceOf[java.nio.file.FileAlreadyExistsException] &&
+              e.getMessage != null &&
+              e.getMessage.toLowerCase.contains("not supported") =>
+          linkSupported = false
+      }
+    }
+    if (Files.exists(target)) throw new java.nio.file.FileAlreadyExistsException(target.toString)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Roll durable commit files (and previously-rolled segments) whose
@@ -244,8 +300,11 @@ final class CommitLog(store: Store, tailCapacity: Int = CommitLog.DefaultTailCap
     * long-lived consumer (the SSE route) can resume-poll exactly.
     * Served from the in-memory tail whenever the cursor is newer than
     * everything evicted from it — the steady-state poll never touches
-    * the filesystem; only catch-up older than the buffer scans the log. */
+    * the filesystem; only catch-up older than the buffer scans the log.
+    * In multi-writer mode the tail is only THIS writer's view, so every
+    * read scans the durable log instead (see the class doc). */
   def eventsSinceCursor(afterTs: Long, afterSeq: Long): Seq[((Long, Long), String)] = {
+    if (!soleWriter) return scanSinceCursor(afterTs, afterSeq)
     val cursor = (afterTs, afterSeq)
     val buffered = synchronized {
       if (!CommitLog.cursorLt(cursor, evictedUpTo))

@@ -15,7 +15,11 @@ import graft.lens.Lens
   * is that standing job: a Structured Streaming query over the DURABLE
   * commit log (`CommitLog.stream` — the same JSON file source the SSE
   * feed rides), `foreachBatch` → incremental `Lens.build()` for every
-  * lens whose inputs the batch touched.
+  * lens whose inputs the batch touched. Every PROCESS that writes the
+  * shared log (the ingest driver, and this process — lens builds
+  * commit their outputs) must construct its CommitLog with
+  * `soleWriter = false`: cross-process append collision handling and
+  * scan-served reads (see the CommitLog class doc).
   *
   * Semantics under the log's delivery guarantees:
   *   - At-least-once is sufficient: `build()` is version-gated
@@ -57,10 +61,20 @@ final class LensMaintainer(log: CommitLog, lenses: Seq[Lens],
 
   /** Lenses whose last build attempt threw — re-attempted on EVERY
     * subsequent micro-batch (not only when their inputs are touched
-    * again), so a transient failure heals at the next poll instead of
-    * waiting for an unrelated commit. Guarded by the foreachBatch
-    * serial execution (one batch at a time per query). */
-  private val retry = scala.collection.mutable.LinkedHashSet[Lens]()
+    * again). Guarded by the foreachBatch serial execution (one batch at
+    * a time per query).
+    *
+    * SEEDED WITH ALL LENSES: the set is in-memory, and a failed build's
+    * triggering batch has already committed its checkpoint — after a
+    * restart the event will never replay, so a fresh maintainer
+    * reconciles EVERYTHING on its first batch instead. Settled lenses
+    * make that a version-gated no-op (two cheap emptiness probes each);
+    * stale ones — from a pre-restart failure or from commits consumed
+    * by a checkpoint that predates this lens's registration — rebuild.
+    * Known residual: micro-batches only fire on new commits, so a
+    * transiently-failed build on a then-quiescent log heals at the next
+    * commit or the next maintainer start, not on a timer. */
+  private val retry = scala.collection.mutable.LinkedHashSet[Lens](lenses: _*)
 
   /** One micro-batch: distinct touched paths (bounded by the number of
     * collections, not the number of commits — the driver collect is

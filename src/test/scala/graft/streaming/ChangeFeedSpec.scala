@@ -292,4 +292,34 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(events.length == 2 * n, s"lost ${2 * n - events.length} of ${2 * n} events")
     assert(events.map(_._1).distinct.length == 2 * n, "cursors must be unique")
   }
+
+  test("multi-writer mode: reads see the OTHER writer's events, cursors stay monotone") {
+    val s = freshStore()
+    val logA = new CommitLog(s, soleWriter = false)
+    val logB = new CommitLog(s, soleWriter = false)
+    val p = graft.store.DataPath("datasets", "a", "mw")
+
+    logA.append(p, 1L)
+    val c1 = logA.latestCursor
+    // B appends AFTER a reader already advanced to c1: multi-writer
+    // append re-seeds past the durable latest, so B's event must sort
+    // AFTER c1 (an exact-cursor resumer must not lose it) even though
+    // B's own counter was far behind A's
+    logB.append(p, 2L)
+    val afterC1 = logA.eventsSinceCursor(c1._1, c1._2)
+    assert(afterC1.length == 1, s"B's event must be visible after $c1, got $afterC1")
+    // and A's view serves it even though A's in-memory tail never saw
+    // it — multi-writer reads come from the durable scan
+    assert(afterC1.head._2.contains("\"version\":2"))
+    // interleaved writers stay pairwise monotone for a polling consumer
+    var cursor = logA.latestCursor // skip the two events above
+    var seen = 0
+    (1 to 20).foreach { v =>
+      (if (v % 2 == 0) logA else logB).append(p, (10 + v).toLong)
+      val got = logA.eventsSinceCursor(cursor._1, cursor._2)
+      seen += got.length
+      cursor = got.map(_._1).maxOption.getOrElse(cursor)
+    }
+    assert(seen == 20, s"polling consumer lost ${20 - seen} of 20 events")
+  }
 }
