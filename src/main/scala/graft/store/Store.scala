@@ -397,6 +397,15 @@ final class Collection(val store: Store, val path: DataPath) {
     * snapshots (keeping the previous one as the reference keeps its
     * `.backup`), then notify the change feed.
     *
+    * Crash windows (spec-pinned in StoreSpec "crash mid-commit"): a
+    * death before the manifest swap leaves an orphan v{N} dir that the
+    * manifest gate makes invisible and the next commit's
+    * mode("overwrite") replaces — no cleanup step exists or is needed.
+    * A death AFTER the swap but before notifyCommit loses only the
+    * change-feed event: collection state is durable and correct, and a
+    * LensMaintainer heals the missed trigger at its next start (its
+    * retry set seeds with all lenses) or at the input's next commit.
+    *
     * Bucketed stores write `bucket=k` partitions; with `carrySkip` set
     * (copy-on-write merge), only the touched buckets are in `df` and
     * every other bucket directory carries forward from the previous

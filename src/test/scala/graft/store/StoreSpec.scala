@@ -216,4 +216,32 @@ class StoreSpec extends AnyFunSuite {
     assert(c.records.toDF().columns.toSeq ==
       Seq("id", "version", "hash", "links", "value"))
   }
+
+  test("crash mid-commit: an orphan snapshot dir is invisible and the next commit heals it") {
+    val s = freshStore()
+    val c = s.dataset("alice", "crash").create()
+    c.write("a", PoInt(1)) // v1, the durable good state
+
+    // simulate a writer dying AFTER the v2 snapshot write started but
+    // BEFORE the manifest swap: a partial/garbage v2 dir exists, while
+    // meta.json still points at v1 — the manifest gate means readers
+    // must never look at it
+    val collDir = java.nio.file.Paths.get(s.root, "datasets", "alice", "crash")
+    Files.createDirectories(collDir.resolve("v2"))
+    Files.write(collDir.resolve("v2").resolve("part-00000.parquet"),
+      Array[Byte](1, 2, 3)) // not even parquet
+    assert(c.meta.version == 1)
+    assert(c.read("a").get == PoInt(1), "reads serve the manifest version, not the orphan")
+    assert(c.list() == Seq("a"))
+
+    // the next commit claims version 2 again: mode("overwrite")
+    // replaces the orphan wholesale — no manual cleanup step exists or
+    // is needed
+    val v = c.write("b", PoInt(2))
+    assert(v == 2)
+    assert(c.meta.version == 2)
+    assert(c.read("a").get == PoInt(1))
+    assert(c.read("b").get == PoInt(2))
+    assert(c.list() == Seq("a", "b"))
+  }
 }
