@@ -1,0 +1,103 @@
+package graft.js
+
+/** AST for the deterministic JavaScript subset executed by [[Interp]].
+  *
+  * The subset is what the reference's lens isolate actually exercises
+  * (reference: library/workers/javascript-lens-worker.js:104 wraps user
+  * code as `function map (path, data) { <code> }`; the worker tests at
+  * test/test-workers-javascript-lens.js and
+  * test/test-workers-javascript-environment.js use for-of, arrow
+  * functions, `Array.prototype.reduce`, spread calls, `new Set`,
+  * template-free strings and dynamic member access): ES5.1 statements
+  * and expressions plus arrow functions, `for-of`, template literals,
+  * spread in calls/array literals, and shorthand object properties.
+  * Generators, classes, async/await, getters/setters and `with` are
+  * rejected at parse time — matching the reference contract that
+  * unsupported syntax surfaces as a startup error, not a runtime one
+  * (test-workers-javascript-lens.js:21-30 expects `yield 5` to fail
+  * startup).
+  */
+object Ast {
+
+  /** 1-based source line, carried for error stacks
+    * (reference transformVMError keeps {line, code}). */
+  final case class Pos(line: Int)
+
+  sealed trait Node { def pos: Pos }
+
+  // ---- expressions ----
+  sealed trait Expr extends Node
+  final case class NumLit(v: Double, pos: Pos) extends Expr
+  final case class StrLit(v: String, pos: Pos) extends Expr
+  final case class BoolLit(v: Boolean, pos: Pos) extends Expr
+  final case class NullLit(pos: Pos) extends Expr
+  final case class UndefinedLit(pos: Pos) extends Expr
+  final case class RegexLit(pattern: String, flags: String, pos: Pos) extends Expr
+  /** `cooked` parts interleaved with `exprs`: parts.size == exprs.size + 1 */
+  final case class TemplateLit(parts: Vector[String], exprs: Vector[Expr], pos: Pos) extends Expr
+  final case class Ident(name: String, pos: Pos) extends Expr
+  final case class ThisExpr(pos: Pos) extends Expr
+  final case class ArrayLit(items: Vector[Expr], spreads: Set[Int], pos: Pos) extends Expr
+  /** key is the literal/computed property name; shorthand `{a}` arrives as (StrLit("a"), Ident("a")) */
+  final case class ObjectLit(entries: Vector[(Expr, Expr)], computed: Set[Int],
+                             spreads: Set[Int], pos: Pos) extends Expr
+  final case class FnExpr(name: Option[String], params: Vector[Pattern], restParam: Option[String],
+                          body: Vector[Stmt], isArrow: Boolean,
+                          /** arrow with expression body: `x => x + 1` */
+                          exprBody: Option[Expr], pos: Pos) extends Expr
+  final case class Unary(op: String, operand: Expr, pos: Pos) extends Expr
+  /** prefix/postfix ++/-- */
+  final case class Update(op: String, target: Expr, prefix: Boolean, pos: Pos) extends Expr
+  final case class Binary(op: String, l: Expr, r: Expr, pos: Pos) extends Expr
+  final case class Logical(op: String, l: Expr, r: Expr, pos: Pos) extends Expr
+  final case class Cond(test: Expr, cons: Expr, alt: Expr, pos: Pos) extends Expr
+  /** op is "=" or a compound like "+=" */
+  final case class Assign(op: String, target: Expr, value: Expr, pos: Pos) extends Expr
+  final case class Member(obj: Expr, prop: Expr, computed: Boolean, optional: Boolean, pos: Pos) extends Expr
+  final case class Call(callee: Expr, args: Vector[Expr], spreads: Set[Int],
+                        optional: Boolean, pos: Pos) extends Expr
+  final case class NewExpr(callee: Expr, args: Vector[Expr], spreads: Set[Int], pos: Pos) extends Expr
+  final case class Sequence(exprs: Vector[Expr], pos: Pos) extends Expr
+
+  // ---- binding patterns (params, declarations) ----
+  sealed trait Pattern extends Node
+  final case class IdPattern(name: String, pos: Pos) extends Pattern
+  final case class ArrayPattern(elems: Vector[Option[Pattern]], rest: Option[String], pos: Pos) extends Pattern
+  /** entries: (propertyName, binding); shorthand `{a}` is ("a", IdPattern("a")) */
+  final case class ObjectPattern(entries: Vector[(String, Pattern)], rest: Option[String], pos: Pos) extends Pattern
+  /** binding with default value: `(a = 1) =>` or `const {a = 1} = o` */
+  final case class DefaultPattern(inner: Pattern, default: Expr, pos: Pos) extends Pattern
+
+  // ---- statements ----
+  sealed trait Stmt extends Node
+  final case class ExprStmt(e: Expr, pos: Pos) extends Stmt
+  /** kind: var | let | const */
+  final case class VarDecl(kind: String, decls: Vector[(Pattern, Option[Expr])], pos: Pos) extends Stmt
+  final case class FnDecl(name: String, fn: FnExpr, pos: Pos) extends Stmt
+  final case class Block(stmts: Vector[Stmt], pos: Pos) extends Stmt
+  final case class If(test: Expr, cons: Stmt, alt: Option[Stmt], pos: Pos) extends Stmt
+  final case class While(test: Expr, body: Stmt, pos: Pos) extends Stmt
+  final case class DoWhile(body: Stmt, test: Expr, pos: Pos) extends Stmt
+  final case class For(init: Option[Stmt], test: Option[Expr], update: Option[Expr],
+                       body: Stmt, pos: Pos) extends Stmt
+  /** isOf=true → for-of, false → for-in; decl kind "" means bare target assignment */
+  final case class ForInOf(kind: String, target: Pattern, obj: Expr, isOf: Boolean,
+                           body: Stmt, pos: Pos) extends Stmt
+  final case class Return(value: Option[Expr], pos: Pos) extends Stmt
+  final case class Throw(value: Expr, pos: Pos) extends Stmt
+  final case class Try(block: Block, catchParam: Option[Pattern], catchBlock: Option[Block],
+                       finallyBlock: Option[Block], pos: Pos) extends Stmt
+  final case class Break(label: Option[String], pos: Pos) extends Stmt
+  final case class Continue(label: Option[String], pos: Pos) extends Stmt
+  final case class Labeled(label: String, body: Stmt, pos: Pos) extends Stmt
+  final case class Switch(disc: Expr, cases: Vector[(Option[Expr], Vector[Stmt])], pos: Pos) extends Stmt
+  final case class Empty(pos: Pos) extends Stmt
+
+  final case class Program(body: Vector[Stmt])
+}
+
+/** Syntax error with the 1-based line, reported at lens startup the way
+  * the reference reports isolate compile errors
+  * (javascript-lens-worker.js:107-110). */
+final class JsSyntaxError(msg: String, val line: Int)
+  extends RuntimeException(s"$msg (line $line)")

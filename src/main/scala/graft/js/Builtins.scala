@@ -1,0 +1,1273 @@
+package graft.js
+
+import Values._
+import Ast.Pos
+import scala.collection.mutable
+
+/** The standard library available to lens code — the deterministic subset
+  * the reference's isolate environment exposes
+  * (reference: library/workers/environment.js/index.js blocks
+  * Math.random; everything else is stock V8 built-ins).
+  *
+  * Notable deliberate traps, mirroring or extending the reference's
+  * determinism rules:
+  *  - `Math.random()` throws with the reference's exact message
+  *    (environment.js/index.js:3-5).
+  *  - argless `new Date()` / `Date.now()` throw — wall-clock reads would
+  *    make lens rebuilds non-reproducible.
+  */
+object Builtins {
+
+  private def native(name: String)(fn: (JsValue, Vector[JsValue]) => JsValue): JsNative =
+    new JsNative(name, fn)
+
+  private def arg(args: Vector[JsValue], i: Int): JsValue = args.lift(i).getOrElse(JsUndefined)
+
+  // ---------------- global scope construction ----------------
+
+  /** Build the global scope + the `global` self-referential object.
+    * `extraGlobals` carries the lens API (output/console/Markup). */
+  def makeGlobals(interp: () => Interp, extraGlobals: Seq[(String, JsValue)]): (Scope, JsObject) = {
+    val scope = new Scope(null)
+    val globalObj = JsObject.empty("global")
+
+    def put(name: String, v: JsValue): Unit = {
+      scope.declare(name, v)
+      globalObj.props.put(name, v)
+    }
+
+    put("undefined", JsUndefined)
+    put("NaN", JsNum(Double.NaN))
+    put("Infinity", JsNum(Double.PositiveInfinity))
+    put("globalThis", globalObj)
+    put("global", globalObj)
+
+    put("Math", mathObject)
+    put("JSON", jsonObject(interp))
+    put("Object", objectConstructor(interp))
+    put("Array", arrayConstructor(interp))
+    put("String", stringConstructor)
+    put("Number", numberConstructor)
+    put("Boolean", native("Boolean")((_, as) => JsBool(truthy(arg(as, 0)))))
+    put("Set", setConstructor(interp))
+    put("Map", mapConstructor(interp))
+    put("RegExp", native("RegExp") { (_, as) =>
+      val src = arg(as, 0) match {
+        case r: JsRegExpV => r.source
+        case other => toStr(other)
+      }
+      val flags = arg(as, 1) match {
+        case JsUndefined => arg(as, 0) match { case r: JsRegExpV => r.flags; case _ => "" }
+        case f => toStr(f)
+      }
+      compileRegex(src, flags, Pos(0))
+    })
+    put("Date", dateConstructor)
+    Seq("Error", "TypeError", "RangeError", "SyntaxError", "ReferenceError", "EvalError").foreach { en =>
+      put(en, native(en)((_, as) => makeError(en, arg(as, 0) match {
+        case JsUndefined => ""
+        case m => toStr(m)
+      })))
+    }
+    put("parseInt", native("parseInt")((_, as) => JsNum(parseIntJs(toStr(arg(as, 0)), arg(as, 1)))))
+    put("parseFloat", native("parseFloat")((_, as) => JsNum(parseFloatJs(toStr(arg(as, 0))))))
+    put("isNaN", native("isNaN")((_, as) => JsBool(java.lang.Double.isNaN(toNumber(arg(as, 0))))))
+    put("isFinite", native("isFinite") { (_, as) =>
+      val d = toNumber(arg(as, 0)); JsBool(!java.lang.Double.isNaN(d) && !java.lang.Double.isInfinite(d))
+    })
+    put("encodeURIComponent", native("encodeURIComponent") { (_, as) =>
+      JsStr(java.net.URLEncoder.encode(toStr(arg(as, 0)), "UTF-8")
+        .replace("+", "%20").replace("%21", "!").replace("%27", "'")
+        .replace("%28", "(").replace("%29", ")").replace("%7E", "~"))
+    })
+    put("decodeURIComponent", native("decodeURIComponent") { (_, as) =>
+      try JsStr(java.net.URLDecoder.decode(toStr(arg(as, 0)).replace("+", "%2B"), "UTF-8"))
+      catch { case _: Exception => throw JsThrown(makeError("URIError", "URI malformed")) }
+    })
+
+    extraGlobals.foreach { case (n, v) => put(n, v) }
+    (scope, globalObj)
+  }
+
+  // ---------------- constructors usable with `new` ----------------
+
+  /** `new X(...)` dispatch: the interpreter calls this for NewExpr */
+  def construct(ctor: JsValue, args: Vector[JsValue], interp: Interp, pos: Pos): JsValue = ctor match {
+    case n: JsNative => n.name match {
+      case "Set" | "Map" | "RegExp" | "Date" | "Error" | "TypeError" | "RangeError" |
+           "SyntaxError" | "ReferenceError" | "EvalError" | "Array" | "Object" =>
+        n.fn(JsUndefined, args) // these natives construct when called
+      case "String" => JsStr(args.headOption.map(toStr).getOrElse(""))
+      case "Number" => JsNum(args.headOption.map(toNumber).getOrElse(0.0))
+      case "Boolean" => JsBool(args.headOption.exists(truthy))
+      case other => throwType(s"$other is not a constructor in lens code")
+    }
+    case c: JsClosure =>
+      // user constructor functions: `this` is a fresh object; return
+      // object-result override, else `this`
+      val self = JsObject.empty()
+      interp.invokeClosure(c, self, args) match {
+        case o: JsObject => o
+        case a: JsArray => a
+        case _ => self
+      }
+    case other => throwType(s"${typeOf(other)} is not a constructor")
+  }
+
+  def instanceOf(v: JsValue, ctor: JsValue): Boolean = ctor match {
+    case n: JsNative => n.name match {
+      case "Array" => v.isInstanceOf[JsArray]
+      case "Set" => v.isInstanceOf[JsSetV]
+      case "Map" => v.isInstanceOf[JsMapV]
+      case "RegExp" => v.isInstanceOf[JsRegExpV]
+      case "Date" => v.isInstanceOf[JsDate]
+      case "Object" => v match {
+        case _: JsObject | _: JsArray | _: JsSetV | _: JsMapV | _: JsFunc | _: JsRegExpV => true
+        case _ => false
+      }
+      case "Error" => v match {
+        case o: JsObject => o.className.endsWith("Error")
+        case _ => false
+      }
+      case en if en.endsWith("Error") => v match {
+        case o: JsObject => o.className == en
+        case _ => false
+      }
+      case _ => false
+    }
+    case _: JsClosure => false // user classes unsupported; instanceof user-fn is always false here
+    case _ => throwType("right-hand side of 'instanceof' is not callable")
+  }
+
+  // ---------------- Math ----------------
+
+  private def mathObject: JsObject = {
+    val m = JsObject.empty("Math")
+    def put1(name: String)(f: Double => Double): Unit =
+      m.props.put(name, native(name)((_, as) => JsNum(f(toNumber(arg(as, 0))))))
+    m.props.put("PI", JsNum(math.Pi)); m.props.put("E", JsNum(math.E))
+    m.props.put("LN2", JsNum(math.log(2))); m.props.put("LN10", JsNum(math.log(10)))
+    m.props.put("LOG2E", JsNum(1 / math.log(2))); m.props.put("LOG10E", JsNum(1 / math.log(10)))
+    m.props.put("SQRT2", JsNum(math.sqrt(2))); m.props.put("SQRT1_2", JsNum(math.sqrt(0.5)))
+    put1("abs")(math.abs); put1("floor")(math.floor); put1("ceil")(math.ceil)
+    put1("round")(d => math.floor(d + 0.5)) // JS round: half-up, not half-even
+    put1("trunc")(d => if (d < 0) math.ceil(d) else math.floor(d))
+    put1("sign")(math.signum); put1("sqrt")(math.sqrt); put1("cbrt")(math.cbrt)
+    put1("exp")(math.exp); put1("expm1")(math.expm1)
+    put1("log")(math.log); put1("log2")(d => math.log(d) / math.log(2)); put1("log10")(math.log10)
+    put1("log1p")(math.log1p)
+    put1("sin")(math.sin); put1("cos")(math.cos); put1("tan")(math.tan)
+    put1("asin")(math.asin); put1("acos")(math.acos); put1("atan")(math.atan)
+    put1("sinh")(math.sinh); put1("cosh")(math.cosh); put1("tanh")(math.tanh)
+    put1("fround")(d => d.toFloat.toDouble)
+    m.props.put("atan2", native("atan2")((_, as) => JsNum(math.atan2(toNumber(arg(as, 0)), toNumber(arg(as, 1))))))
+    m.props.put("pow", native("pow")((_, as) => JsNum(math.pow(toNumber(arg(as, 0)), toNumber(arg(as, 1))))))
+    m.props.put("hypot", native("hypot")((_, as) => JsNum(math.sqrt(as.map(a => { val d = toNumber(a); d * d }).sum))))
+    m.props.put("min", native("min") { (_, as) =>
+      if (as.isEmpty) JsNum(Double.PositiveInfinity)
+      else JsNum(as.map(toNumber).reduce((a, b) => if (java.lang.Double.isNaN(a) || java.lang.Double.isNaN(b)) Double.NaN else math.min(a, b)))
+    })
+    m.props.put("max", native("max") { (_, as) =>
+      if (as.isEmpty) JsNum(Double.NegativeInfinity)
+      else JsNum(as.map(toNumber).reduce((a, b) => if (java.lang.Double.isNaN(a) || java.lang.Double.isNaN(b)) Double.NaN else math.max(a, b)))
+    })
+    // the reference's determinism trap, message verbatim (environment.js/index.js:3-5)
+    m.props.put("random", native("random") { (_, _) =>
+      throw JsThrown(makeError("Error", "Math.random() is unavailable. Lenses must be deterministic, not random"))
+    })
+    m.frozen = true
+    m
+  }
+
+  // ---------------- JSON ----------------
+
+  private def jsonObject(interp: () => Interp): JsObject = {
+    val j = JsObject.empty("JSON")
+    j.props.put("stringify", native("stringify") { (_, as) =>
+      val indent = arg(as, 2) match {
+        case JsNum(d) if d >= 1 => " " * math.min(10, d.toInt)
+        case JsStr(s) => s.take(10)
+        case _ => ""
+      }
+      jsonStringify(arg(as, 0), indent) match {
+        case Some(s) => JsStr(s)
+        case None => JsUndefined
+      }
+    })
+    j.props.put("parse", native("parse") { (_, as) =>
+      jsonParse(toStr(arg(as, 0)))
+    })
+    j.frozen = true
+    j
+  }
+
+  def jsonStringify(v: JsValue, indent: String): Option[String] = {
+    val seen = mutable.Set.empty[Int] // identity hashes of open containers (cycle guard)
+    def quote(s: String): String = {
+      val sb = new java.lang.StringBuilder("\"")
+      s.foreach {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.append('"').toString
+    }
+    def go(v: JsValue, depth: Int): Option[String] = v match {
+      case JsUndefined | _: JsFunc => None
+      case JsNull => Some("null")
+      case JsBool(b) => Some(b.toString)
+      case JsNum(d) =>
+        if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) Some("null")
+        else Some(numToString(d))
+      case JsStr(s) => Some(quote(s))
+      case JsDate(ms) => Some(quote(java.time.Instant.ofEpochMilli(ms.toLong).toString))
+      case _: JsSetV | _: JsMapV | _: JsRegExpV => Some("{}") // JS stringifies these as {}
+      case _: JsBytes => Some("{}")
+      case a: JsArray =>
+        val id = System.identityHashCode(a)
+        if (seen(id)) throw JsThrown(makeError("TypeError", "Converting circular structure to JSON"))
+        seen += id
+        val parts = a.items.map(it => go(it, depth + 1).getOrElse("null"))
+        seen -= id
+        if (indent.isEmpty) Some("[" + parts.mkString(",") + "]")
+        else if (parts.isEmpty) Some("[]")
+        else {
+          val pad = indent * (depth + 1)
+          Some("[\n" + parts.map(pad + _).mkString(",\n") + "\n" + indent * depth + "]")
+        }
+      case o: JsObject =>
+        val id = System.identityHashCode(o)
+        if (seen(id)) throw JsThrown(makeError("TypeError", "Converting circular structure to JSON"))
+        seen += id
+        val parts = o.props.toVector.flatMap { case (k, pv) =>
+          go(pv, depth + 1).map(s => (quote(k), s))
+        }
+        seen -= id
+        if (indent.isEmpty) Some("{" + parts.map { case (k, s) => s"$k:$s" }.mkString(",") + "}")
+        else if (parts.isEmpty) Some("{}")
+        else {
+          val pad = indent * (depth + 1)
+          Some("{\n" + parts.map { case (k, s) => s"$pad$k: $s" }.mkString(",\n") + "\n" + indent * depth + "}")
+        }
+    }
+    go(v, 0)
+  }
+
+  def jsonParse(s: String): JsValue = {
+    // small recursive-descent JSON parser onto JsValue
+    var i = 0
+    def err(): Nothing = throw JsThrown(makeError("SyntaxError", s"Unexpected token in JSON at position $i"))
+    def ws(): Unit = while (i < s.length && (s.charAt(i) == ' ' || s.charAt(i) == '\n' || s.charAt(i) == '\t' || s.charAt(i) == '\r')) i += 1
+    def value(): JsValue = {
+      ws()
+      if (i >= s.length) err()
+      s.charAt(i) match {
+        case '{' =>
+          i += 1; ws()
+          val o = JsObject.empty()
+          if (i < s.length && s.charAt(i) == '}') { i += 1; return o }
+          var more = true
+          while (more) {
+            ws()
+            if (i >= s.length || s.charAt(i) != '"') err()
+            val k = str()
+            ws()
+            if (i >= s.length || s.charAt(i) != ':') err()
+            i += 1
+            o.props.put(k, value())
+            ws()
+            if (i < s.length && s.charAt(i) == ',') i += 1
+            else if (i < s.length && s.charAt(i) == '}') { i += 1; more = false }
+            else err()
+          }
+          o
+        case '[' =>
+          i += 1; ws()
+          val a = JsArray.empty
+          if (i < s.length && s.charAt(i) == ']') { i += 1; return a }
+          var more = true
+          while (more) {
+            a.items += value()
+            ws()
+            if (i < s.length && s.charAt(i) == ',') i += 1
+            else if (i < s.length && s.charAt(i) == ']') { i += 1; more = false }
+            else err()
+          }
+          a
+        case '"' => JsStr(str())
+        case 't' => if (s.startsWith("true", i)) { i += 4; JsBool(true) } else err()
+        case 'f' => if (s.startsWith("false", i)) { i += 5; JsBool(false) } else err()
+        case 'n' => if (s.startsWith("null", i)) { i += 4; JsNull } else err()
+        case c if c == '-' || c.isDigit =>
+          val start = i
+          if (s.charAt(i) == '-') i += 1
+          while (i < s.length && s.charAt(i).isDigit) i += 1
+          if (i < s.length && s.charAt(i) == '.') { i += 1; while (i < s.length && s.charAt(i).isDigit) i += 1 }
+          if (i < s.length && (s.charAt(i) == 'e' || s.charAt(i) == 'E')) {
+            i += 1
+            if (i < s.length && (s.charAt(i) == '+' || s.charAt(i) == '-')) i += 1
+            while (i < s.length && s.charAt(i).isDigit) i += 1
+          }
+          JsNum(java.lang.Double.parseDouble(s.substring(start, i)))
+        case _ => err()
+      }
+    }
+    def str(): String = {
+      i += 1 // opening quote
+      val sb = new java.lang.StringBuilder
+      while (i < s.length && s.charAt(i) != '"') {
+        val c = s.charAt(i)
+        if (c == '\\') {
+          i += 1
+          if (i >= s.length) err()
+          s.charAt(i) match {
+            case '"' => sb.append('"'); case '\\' => sb.append('\\'); case '/' => sb.append('/')
+            case 'n' => sb.append('\n'); case 't' => sb.append('\t'); case 'r' => sb.append('\r')
+            case 'b' => sb.append('\b'); case 'f' => sb.append('\f')
+            case 'u' =>
+              if (i + 4 >= s.length) err()
+              sb.append(Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar); i += 4
+            case _ => err()
+          }
+          i += 1
+        } else { sb.append(c); i += 1 }
+      }
+      if (i >= s.length) err()
+      i += 1 // closing quote
+      sb.toString
+    }
+    val v = value()
+    ws()
+    if (i != s.length) err()
+    v
+  }
+
+  // ---------------- Object / Array / String / Number constructors ----------------
+
+  private def objectConstructor(interp: () => Interp): JsValue = {
+    val o = JsObject.empty("Function")
+    val _ = interp
+    def entriesOf(v: JsValue): Vector[(String, JsValue)] = v match {
+      case obj: JsObject => obj.props.toVector
+      case a: JsArray => a.items.zipWithIndex.map { case (x, ix) => (ix.toString, x) }.toVector
+      case JsStr(s) => s.zipWithIndex.map { case (c, ix) => (ix.toString, JsStr(c.toString)) }.toVector
+      case _ => Vector.empty
+    }
+    o.props.put("keys", native("keys")((_, as) => JsArray.of(entriesOf(arg(as, 0)).map(e => JsStr(e._1)): _*)))
+    o.props.put("values", native("values")((_, as) => JsArray.of(entriesOf(arg(as, 0)).map(_._2): _*)))
+    o.props.put("entries", native("entries")((_, as) =>
+      JsArray.of(entriesOf(arg(as, 0)).map { case (k, v) => JsArray.of(JsStr(k), v) }: _*)))
+    o.props.put("assign", native("assign") { (_, as) =>
+      as.headOption match {
+        case Some(target: JsObject) =>
+          as.drop(1).foreach {
+            case src: JsObject => src.props.foreach { case (k, v) => if (!target.frozen) target.props.put(k, v) }
+            case _ => ()
+          }
+          target
+        case _ => throwType("Object.assign target must be an object")
+      }
+    })
+    o.props.put("freeze", native("freeze") { (_, as) =>
+      arg(as, 0) match { case obj: JsObject => obj.frozen = true; obj; case other => other }
+    })
+    o.props.put("isFrozen", native("isFrozen") { (_, as) =>
+      arg(as, 0) match { case obj: JsObject => JsBool(obj.frozen); case _ => JsBool(true) }
+    })
+    o.props.put("fromEntries", native("fromEntries") { (_, as) =>
+      val out = JsObject.empty()
+      arg(as, 0) match {
+        case a: JsArray => a.items.foreach {
+          case pair: JsArray if pair.items.length >= 1 =>
+            out.props.put(toStr(pair.items(0)), pair.items.lift(1).getOrElse(JsUndefined))
+          case _ => throwType("Object.fromEntries entries must be [key, value] pairs")
+        }
+        case m: JsMapV => m.entries.values.foreach { case (k, v) => out.props.put(toStr(k), v) }
+        case _ => throwType("Object.fromEntries needs an iterable of entries")
+      }
+      out
+    })
+    o.props.put("create", native("create") { (_, as) =>
+      arg(as, 0) match {
+        case JsNull => JsObject.empty()
+        case proto: JsObject =>
+          val out = JsObject.empty()
+          proto.props.foreach { case (k, v) => out.props.put(k, v) } // flattened; no live proto chain
+          out
+        case _ => throwType("Object.create needs an object or null prototype")
+      }
+    })
+    o.props.put("getOwnPropertyNames", native("getOwnPropertyNames")((_, as) =>
+      JsArray.of(entriesOf(arg(as, 0)).map(e => JsStr(e._1)): _*)))
+    o.props.put("hasOwn", native("hasOwn") { (_, as) =>
+      arg(as, 0) match {
+        case obj: JsObject => JsBool(obj.props.contains(toStr(arg(as, 1))))
+        case a: JsArray => JsBool(toStr(arg(as, 1)).toIntOption.exists(ix => ix >= 0 && ix < a.items.length))
+        case _ => JsBool(false)
+      }
+    })
+    hybridCallable(native("Object") { (_, as) =>
+      arg(as, 0) match {
+        case JsUndefined | JsNull => JsObject.empty()
+        case obj => obj
+      }
+    }, o)
+  }
+
+  private def arrayConstructor(interp: () => Interp): JsValue = {
+    val a = JsObject.empty("Function")
+    a.props.put("isArray", native("isArray")((_, as) => JsBool(arg(as, 0).isInstanceOf[JsArray])))
+    a.props.put("of", native("of")((_, as) => JsArray.of(as: _*)))
+    a.props.put("from", native("from") { (_, as) =>
+      val src = arg(as, 0)
+      val base: Vector[JsValue] = src match {
+        case arr: JsArray => arr.items.toVector
+        case JsStr(s) => s.codePoints().toArray.toVector.map(cp => JsStr(new String(Character.toChars(cp))))
+        case set: JsSetV => set.entries.values.toVector
+        case m: JsMapV => m.entries.values.toVector.map { case (k, v) => JsArray.of(k, v) }
+        case o: JsObject =>
+          // array-like: {length: n, 0: ..., 1: ...}
+          val len = o.props.get("length").map(v => math.max(0, toNumber(v).toInt)).getOrElse(0)
+          (0 until len).toVector.map(ix => o.props.getOrElse(ix.toString, JsUndefined))
+        case JsUndefined | JsNull => throwType("Array.from needs an iterable")
+        case _ => Vector.empty
+      }
+      val mapped = arg(as, 1) match {
+        case JsUndefined => base
+        case fn => base.zipWithIndex.map { case (v, ix) => interp().callCallback(fn, Vector(v, JsNum(ix))) }
+      }
+      JsArray.of(mapped: _*)
+    })
+    // calling Array(n) / new Array(n)
+    val callable = native("Array") { (_, as) =>
+      as match {
+        case Vector(JsNum(d)) if d == math.floor(d) && d >= 0 =>
+          if (d > 100000000) throwRange("array length too large for lens code")
+          new JsArray(mutable.ArrayBuffer.fill(d.toInt)(JsUndefined))
+        case _ => JsArray.of(as: _*)
+      }
+    }
+    // merge statics onto the callable by boxing: we return a native that also
+    // carries props via the objectMethod hook — simplest is a hybrid object
+    hybridCallable(callable, a)
+  }
+
+  /** a native function that also exposes static properties (Array.isArray,
+    * Object.keys, …): represented as the native itself; statics resolved in
+    * [[functionMethod]] via this registry */
+  private val staticsRegistry = new java.util.IdentityHashMap[JsNative, JsObject]()
+  private def hybridCallable(fn: JsNative, statics: JsObject): JsNative = {
+    staticsRegistry.put(fn, statics)
+    fn
+  }
+
+  private def stringConstructor: JsValue = {
+    val statics = JsObject.empty("Function")
+    statics.props.put("fromCharCode", native("fromCharCode") { (_, as) =>
+      JsStr(as.map(a => toNumber(a).toInt.toChar).mkString)
+    })
+    statics.props.put("fromCodePoint", native("fromCodePoint") { (_, as) =>
+      val sb = new java.lang.StringBuilder
+      as.foreach(a => sb.appendCodePoint(toNumber(a).toInt))
+      JsStr(sb.toString)
+    })
+    statics.props.put("raw", native("raw")((_, as) => arg(as, 0) match {
+      case o: JsObject => o.props.get("raw").map(toStr).map(JsStr(_)).getOrElse(JsStr(""))
+      case other => JsStr(toStr(other))
+    }))
+    hybridCallable(native("String")((_, as) => JsStr(as.headOption.map(toStr).getOrElse(""))), statics)
+  }
+
+  private def numberConstructor: JsValue = {
+    val statics = JsObject.empty("Function")
+    statics.props.put("isInteger", native("isInteger")((_, as) => arg(as, 0) match {
+      case JsNum(d) => JsBool(!java.lang.Double.isNaN(d) && !java.lang.Double.isInfinite(d) && d == math.floor(d))
+      case _ => JsBool(false)
+    }))
+    statics.props.put("isSafeInteger", native("isSafeInteger")((_, as) => arg(as, 0) match {
+      case JsNum(d) => JsBool(d == math.floor(d) && math.abs(d) <= 9007199254740991.0)
+      case _ => JsBool(false)
+    }))
+    statics.props.put("isFinite", native("isFinite")((_, as) => arg(as, 0) match {
+      case JsNum(d) => JsBool(!java.lang.Double.isNaN(d) && !java.lang.Double.isInfinite(d))
+      case _ => JsBool(false)
+    }))
+    statics.props.put("isNaN", native("isNaN")((_, as) => arg(as, 0) match {
+      case JsNum(d) => JsBool(java.lang.Double.isNaN(d))
+      case _ => JsBool(false)
+    }))
+    statics.props.put("parseFloat", native("parseFloat")((_, as) => JsNum(parseFloatJs(toStr(arg(as, 0))))))
+    statics.props.put("parseInt", native("parseInt")((_, as) => JsNum(parseIntJs(toStr(arg(as, 0)), arg(as, 1)))))
+    statics.props.put("MAX_SAFE_INTEGER", JsNum(9007199254740991.0))
+    statics.props.put("MIN_SAFE_INTEGER", JsNum(-9007199254740991.0))
+    statics.props.put("MAX_VALUE", JsNum(Double.MaxValue))
+    statics.props.put("MIN_VALUE", JsNum(java.lang.Double.MIN_VALUE))
+    statics.props.put("EPSILON", JsNum(math.ulp(1.0)))
+    statics.props.put("POSITIVE_INFINITY", JsNum(Double.PositiveInfinity))
+    statics.props.put("NEGATIVE_INFINITY", JsNum(Double.NegativeInfinity))
+    statics.props.put("NaN", JsNum(Double.NaN))
+    hybridCallable(native("Number")((_, as) => JsNum(as.headOption.map(toNumber).getOrElse(0.0))), statics)
+  }
+
+  private def setConstructor(interp: () => Interp): JsValue =
+    native("Set") { (_, as) =>
+      val s = JsSetV.empty
+      arg(as, 0) match {
+        case JsUndefined | JsNull => ()
+        case it => interp().iterate(it, Pos(0)).foreach(v => s.entries.put(new JsKey(v), v))
+      }
+      s
+    }
+
+  private def mapConstructor(interp: () => Interp): JsValue =
+    native("Map") { (_, as) =>
+      val m = JsMapV.empty
+      arg(as, 0) match {
+        case JsUndefined | JsNull => ()
+        case it => interp().iterate(it, Pos(0)).foreach {
+          case pair: JsArray if pair.items.nonEmpty =>
+            val k = pair.items(0)
+            m.entries.put(new JsKey(k), (k, pair.items.lift(1).getOrElse(JsUndefined)))
+          case _ => throwType("Map entries must be [key, value] pairs")
+        }
+      }
+      m
+    }
+
+  private def dateConstructor: JsValue = {
+    val statics = JsObject.empty("Function")
+    statics.props.put("now", native("now") { (_, _) =>
+      throw JsThrown(makeError("Error",
+        "Date.now() is unavailable. Lenses must be deterministic; pass timestamps in as record data"))
+    })
+    statics.props.put("parse", native("parse") { (_, as) =>
+      try JsNum(java.time.Instant.parse(toStr(arg(as, 0))).toEpochMilli.toDouble)
+      catch { case _: Exception => JsNum(Double.NaN) }
+    })
+    statics.props.put("UTC", native("UTC") { (_, as) =>
+      val y = toNumber(arg(as, 0)).toInt
+      val mo = arg(as, 1) match { case JsUndefined => 0; case v => toNumber(v).toInt }
+      val d = arg(as, 2) match { case JsUndefined => 1; case v => toNumber(v).toInt }
+      val h = arg(as, 3) match { case JsUndefined => 0; case v => toNumber(v).toInt }
+      val mi = arg(as, 4) match { case JsUndefined => 0; case v => toNumber(v).toInt }
+      val se = arg(as, 5) match { case JsUndefined => 0; case v => toNumber(v).toInt }
+      val ms = arg(as, 6) match { case JsUndefined => 0; case v => toNumber(v).toInt }
+      val instant = java.time.LocalDateTime.of(y, 1, 1, 0, 0, 0)
+        .plusMonths(mo.toLong).plusDays((d - 1).toLong).plusHours(h.toLong)
+        .plusMinutes(mi.toLong).plusSeconds(se.toLong)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli + ms
+      JsNum(instant.toDouble)
+    })
+    hybridCallable(native("Date") { (_, as) =>
+      as match {
+        case Vector() =>
+          throw JsThrown(makeError("Error",
+            "new Date() with no arguments is unavailable. Lenses must be deterministic; pass timestamps in as record data"))
+        case Vector(JsNum(ms)) => JsDate(ms)
+        case Vector(JsStr(s)) =>
+          try JsDate(java.time.Instant.parse(s).toEpochMilli.toDouble)
+          catch { case _: Exception => JsDate(Double.NaN) }
+        case _ => throwType("multi-argument Date construction is not supported in lens code (use Date.UTC)")
+      }
+    }, statics)
+  }
+
+  // ---------------- per-type method dispatch ----------------
+
+  def functionMethod(f: JsFunc, name: String, interp: Interp): Option[JsValue] = {
+    f match {
+      case n: JsNative =>
+        val statics = staticsRegistry.get(n)
+        if (statics != null && statics.props.contains(name)) return Some(statics.props(name))
+      case _ => ()
+    }
+    name match {
+      case "name" => Some(JsStr(f.name))
+      case "length" => Some(JsNum(f match {
+        case c: JsClosure => c.params.length.toDouble
+        case _ => 0.0
+      }))
+      case "call" => Some(native("call") { (_, as) =>
+        interp.callFunction(f, arg(as, 0), as.drop(1), Pos(0), f.name)
+      })
+      case "apply" => Some(native("apply") { (_, as) =>
+        val applied = arg(as, 1) match {
+          case a: JsArray => a.items.toVector
+          case JsUndefined | JsNull => Vector.empty[JsValue]
+          case _ => throwType("apply arguments must be an array")
+        }
+        interp.callFunction(f, arg(as, 0), applied, Pos(0), f.name)
+      })
+      case "bind" => Some(native("bind") { (_, as) =>
+        val boundThis = arg(as, 0)
+        val boundArgs = as.drop(1)
+        native(s"bound ${f.name}") { (_, callArgs) =>
+          interp.callFunction(f, boundThis, boundArgs ++ callArgs, Pos(0), f.name)
+        }
+      })
+      case "toString" => Some(native("toString")((_, _) => JsStr(toStr(f))))
+      case _ => None
+    }
+  }
+
+  def objectMethod(o: JsObject, name: String): Option[JsValue] = name match {
+    case "hasOwnProperty" => Some(native("hasOwnProperty")((_, as) => JsBool(o.props.contains(toStr(arg(as, 0))))))
+    case "toString" => Some(native("toString")((_, _) => JsStr(toStr(o))))
+    case _ => None
+  }
+
+  def dateMethod(d: JsDate, name: String): Option[JsValue] = {
+    lazy val utc = java.time.Instant.ofEpochMilli(d.epochMillis.toLong).atZone(java.time.ZoneOffset.UTC)
+    name match {
+      case "getTime" | "valueOf" => Some(native(name)((_, _) => JsNum(d.epochMillis)))
+      case "toISOString" => Some(native(name)((_, _) => JsStr(java.time.Instant.ofEpochMilli(d.epochMillis.toLong).toString)))
+      case "toJSON" => Some(native(name)((_, _) => JsStr(java.time.Instant.ofEpochMilli(d.epochMillis.toLong).toString)))
+      case "getUTCFullYear" => Some(native(name)((_, _) => JsNum(utc.getYear.toDouble)))
+      case "getUTCMonth" => Some(native(name)((_, _) => JsNum((utc.getMonthValue - 1).toDouble)))
+      case "getUTCDate" => Some(native(name)((_, _) => JsNum(utc.getDayOfMonth.toDouble)))
+      case "getUTCDay" => Some(native(name)((_, _) => JsNum((utc.getDayOfWeek.getValue % 7).toDouble)))
+      case "getUTCHours" => Some(native(name)((_, _) => JsNum(utc.getHour.toDouble)))
+      case "getUTCMinutes" => Some(native(name)((_, _) => JsNum(utc.getMinute.toDouble)))
+      case "getUTCSeconds" => Some(native(name)((_, _) => JsNum(utc.getSecond.toDouble)))
+      case "getUTCMilliseconds" => Some(native(name)((_, _) => JsNum((d.epochMillis.toLong % 1000).toDouble)))
+      case _ => None
+    }
+  }
+
+  // ---- regex ----
+
+  def compileRegex(source: String, flags: String, pos: Pos): JsRegExpV = {
+    var f = 0
+    flags.foreach {
+      case 'i' => f |= java.util.regex.Pattern.CASE_INSENSITIVE | java.util.regex.Pattern.UNICODE_CASE
+      case 'm' => f |= java.util.regex.Pattern.MULTILINE
+      case 's' => f |= java.util.regex.Pattern.DOTALL
+      case 'g' | 'u' => () // g handled by callers; u is the default in java.util.regex
+      case 'y' => throw new JsSyntaxError("sticky regex flag 'y' is not supported in lens code", pos.line)
+      case other => throw new JsSyntaxError(s"unsupported regex flag '$other'", pos.line)
+    }
+    val javaPattern = translateRegex(source)
+    try new JsRegExpV(source, flags, java.util.regex.Pattern.compile(javaPattern, f))
+    catch {
+      case e: java.util.regex.PatternSyntaxException =>
+        throw JsThrown(makeError("SyntaxError", s"Invalid regular expression: ${e.getDescription}"))
+    }
+  }
+
+  /** JS → java.util.regex translation for the common subset. The engines
+    * agree on almost everything lens code uses; the one systematic fixup
+    * needed is `\d`-style classes inside `[]` (identical) and `\/`
+    * (redundant escape in Java, harmless). Left as close to identity as
+    * possible — divergences are documented subset limits. */
+  private def translateRegex(src: String): String = src
+
+  def regexMethod(r: JsRegExpV, name: String, interp: Interp): Option[JsValue] = name match {
+    case "source" => Some(JsStr(r.source))
+    case "flags" => Some(JsStr(r.flags))
+    case "global" => Some(JsBool(r.global))
+    case "lastIndex" => Some(JsNum(r.lastIndex.toDouble))
+    case "test" => Some(native("test") { (_, as) =>
+      val s = toStr(arg(as, 0))
+      if (r.global) {
+        val m = r.pattern.matcher(s)
+        val found = m.find(math.min(r.lastIndex, s.length))
+        r.lastIndex = if (found) m.end else 0
+        JsBool(found)
+      } else JsBool(r.pattern.matcher(s).find())
+    })
+    case "exec" => Some(native("exec") { (_, as) =>
+      val s = toStr(arg(as, 0))
+      val m = r.pattern.matcher(s)
+      val start = if (r.global) math.min(r.lastIndex, s.length) else 0
+      if (m.find(start)) {
+        if (r.global) r.lastIndex = m.end
+        Some(execResult(m, s)).get
+      } else {
+        if (r.global) r.lastIndex = 0
+        JsNull
+      }
+    })
+    case "toString" => Some(native("toString")((_, _) => JsStr(s"/${r.source}/${r.flags}")))
+    case _ => None
+  }
+
+  def execResult(m: java.util.regex.Matcher, input: String): JsArray = {
+    val out = JsArray.empty
+    (0 to m.groupCount).foreach { g =>
+      out.items += (if (m.group(g) == null) JsUndefined else JsStr(m.group(g)))
+    }
+    out
+  }
+
+  // ---- Set / Map methods ----
+
+  def setMethod(s: JsSetV, name: String, interp: Interp): Option[JsValue] = name match {
+    case "size" => Some(JsNum(s.entries.size.toDouble))
+    case "add" => Some(native("add") { (_, as) =>
+      val v = arg(as, 0); s.entries.put(new JsKey(v), v); s
+    })
+    case "has" => Some(native("has")((_, as) => JsBool(s.entries.contains(new JsKey(arg(as, 0))))))
+    case "delete" => Some(native("delete")((_, as) => JsBool(s.entries.remove(new JsKey(arg(as, 0))).isDefined)))
+    case "clear" => Some(native("clear")((_, _) => { s.entries.clear(); JsUndefined }))
+    case "forEach" => Some(native("forEach") { (_, as) =>
+      val fn = arg(as, 0)
+      s.entries.values.toVector.foreach(v => interp.callCallback(fn, Vector(v, v, s)))
+      JsUndefined
+    })
+    case "values" | "keys" => Some(native(name)((_, _) => JsArray.of(s.entries.values.toVector: _*)))
+    case "entries" => Some(native("entries")((_, _) =>
+      JsArray.of(s.entries.values.toVector.map(v => JsArray.of(v, v)): _*)))
+    case _ => None
+  }
+
+  def mapMethod(m: JsMapV, name: String, interp: Interp): Option[JsValue] = name match {
+    case "size" => Some(JsNum(m.entries.size.toDouble))
+    case "get" => Some(native("get")((_, as) => m.entries.get(new JsKey(arg(as, 0))).map(_._2).getOrElse(JsUndefined)))
+    case "set" => Some(native("set") { (_, as) =>
+      val k = arg(as, 0); m.entries.put(new JsKey(k), (k, arg(as, 1))); m
+    })
+    case "has" => Some(native("has")((_, as) => JsBool(m.entries.contains(new JsKey(arg(as, 0))))))
+    case "delete" => Some(native("delete")((_, as) => JsBool(m.entries.remove(new JsKey(arg(as, 0))).isDefined)))
+    case "clear" => Some(native("clear")((_, _) => { m.entries.clear(); JsUndefined }))
+    case "forEach" => Some(native("forEach") { (_, as) =>
+      val fn = arg(as, 0)
+      m.entries.values.toVector.foreach { case (k, v) => interp.callCallback(fn, Vector(v, k, m)) }
+      JsUndefined
+    })
+    case "keys" => Some(native("keys")((_, _) => JsArray.of(m.entries.values.toVector.map(_._1): _*)))
+    case "values" => Some(native("values")((_, _) => JsArray.of(m.entries.values.toVector.map(_._2): _*)))
+    case "entries" => Some(native("entries")((_, _) =>
+      JsArray.of(m.entries.values.toVector.map { case (k, v) => JsArray.of(k, v) }: _*)))
+    case _ => None
+  }
+
+  // ---- Number.prototype ----
+
+  def numberMethod(d: Double, name: String): Option[JsValue] = name match {
+    case "toFixed" => Some(native("toFixed") { (_, as) =>
+      val digits = arg(as, 0) match { case JsUndefined => 0; case v => toNumber(v).toInt }
+      if (digits < 0 || digits > 100) throwRange("toFixed() digits argument must be between 0 and 100")
+      if (java.lang.Double.isNaN(d)) JsStr("NaN")
+      else JsStr(new java.math.BigDecimal(d).setScale(digits, java.math.RoundingMode.HALF_UP).toPlainString)
+    })
+    case "toString" => Some(native("toString") { (_, as) =>
+      arg(as, 0) match {
+        case JsUndefined => JsStr(numToString(d))
+        case radixV =>
+          val radix = toNumber(radixV).toInt
+          if (radix < 2 || radix > 36) throwRange("toString() radix must be between 2 and 36")
+          if (radix == 10) JsStr(numToString(d))
+          else if (d == math.floor(d) && !java.lang.Double.isInfinite(d))
+            JsStr(java.lang.Long.toString(d.toLong, radix))
+          else JsStr(numToString(d)) // fractional non-10 radix: out of subset
+      }
+    })
+    case "valueOf" => Some(native("valueOf")((_, _) => JsNum(d)))
+    case "toPrecision" => Some(native("toPrecision") { (_, as) =>
+      arg(as, 0) match {
+        case JsUndefined => JsStr(numToString(d))
+        case p =>
+          val digits = toNumber(p).toInt
+          if (digits < 1 || digits > 100) throwRange("toPrecision() argument must be between 1 and 100")
+          JsStr(new java.math.BigDecimal(d).round(new java.math.MathContext(digits)).toString)
+      }
+    })
+    case _ => None
+  }
+
+  // ---- String.prototype ----
+
+  def stringMethod(s: String, name: String, interp: Interp): Option[JsValue] = {
+    def withStr(nm: String)(f: Vector[JsValue] => JsValue): Option[JsValue] = Some(native(nm)((_, as) => f(as)))
+    name match {
+      case "charAt" => withStr(name) { as =>
+        val i = toNumber(arg(as, 0)).toInt
+        JsStr(if (i >= 0 && i < s.length) s.charAt(i).toString else "")
+      }
+      case "charCodeAt" => withStr(name) { as =>
+        val i = arg(as, 0) match { case JsUndefined => 0; case v => toNumber(v).toInt }
+        if (i >= 0 && i < s.length) JsNum(s.charAt(i).toDouble) else JsNum(Double.NaN)
+      }
+      case "codePointAt" => withStr(name) { as =>
+        val i = arg(as, 0) match { case JsUndefined => 0; case v => toNumber(v).toInt }
+        if (i >= 0 && i < s.length) JsNum(s.codePointAt(i).toDouble) else JsUndefined
+      }
+      case "at" => withStr(name) { as =>
+        val i0 = toNumber(arg(as, 0)).toInt
+        val i = if (i0 < 0) s.length + i0 else i0
+        if (i >= 0 && i < s.length) JsStr(s.charAt(i).toString) else JsUndefined
+      }
+      case "indexOf" => withStr(name)(as => JsNum(s.indexOf(toStr(arg(as, 0)),
+        arg(as, 1) match { case JsUndefined => 0; case v => toNumber(v).toInt }).toDouble))
+      case "lastIndexOf" => withStr(name)(as => JsNum(s.lastIndexOf(toStr(arg(as, 0))).toDouble))
+      case "includes" => withStr(name)(as => JsBool(s.contains(toStr(arg(as, 0)))))
+      case "startsWith" => withStr(name)(as => JsBool(s.startsWith(toStr(arg(as, 0)),
+        arg(as, 1) match { case JsUndefined => 0; case v => toNumber(v).toInt })))
+      case "endsWith" => withStr(name) { as =>
+        val end = arg(as, 1) match { case JsUndefined => s.length; case v => toNumber(v).toInt }
+        JsBool(s.substring(0, math.min(math.max(end, 0), s.length)).endsWith(toStr(arg(as, 0))))
+      }
+      case "slice" => withStr(name) { as =>
+        val len = s.length
+        def clamp(v: Double, neg: Boolean): Int = {
+          val i = if (v < 0) len + v.toInt else v.toInt
+          math.max(0, math.min(len, i))
+        }
+        val start = arg(as, 0) match { case JsUndefined => 0; case v => clamp(toNumber(v), true) }
+        val end = arg(as, 1) match { case JsUndefined => len; case v => clamp(toNumber(v), true) }
+        JsStr(if (start >= end) "" else s.substring(start, end))
+      }
+      case "substring" => withStr(name) { as =>
+        val len = s.length
+        def clamp(v: Double): Int = math.max(0, math.min(len, if (java.lang.Double.isNaN(v)) 0 else v.toInt))
+        val a = arg(as, 0) match { case JsUndefined => 0; case v => clamp(toNumber(v)) }
+        val b = arg(as, 1) match { case JsUndefined => len; case v => clamp(toNumber(v)) }
+        JsStr(s.substring(math.min(a, b), math.max(a, b)))
+      }
+      case "substr" => withStr(name) { as =>
+        val len = s.length
+        var start = toNumber(arg(as, 0)).toInt
+        if (start < 0) start = math.max(0, len + start)
+        if (start >= len) JsStr("")
+        else {
+          val count = arg(as, 1) match { case JsUndefined => len - start; case v => toNumber(v).toInt }
+          JsStr(s.substring(start, math.min(len, start + math.max(0, count))))
+        }
+      }
+      case "toLowerCase" | "toLocaleLowerCase" => withStr(name)(_ => JsStr(s.toLowerCase(java.util.Locale.ROOT)))
+      case "toUpperCase" | "toLocaleUpperCase" => withStr(name)(_ => JsStr(s.toUpperCase(java.util.Locale.ROOT)))
+      case "trim" => withStr(name)(_ => JsStr(s.trim))
+      case "trimStart" => withStr(name)(_ => JsStr(s.replaceAll("^\\s+", "")))
+      case "trimEnd" => withStr(name)(_ => JsStr(s.replaceAll("\\s+$", "")))
+      case "split" => withStr(name) { as =>
+        val limit = arg(as, 1) match { case JsUndefined => Int.MaxValue; case v => toNumber(v).toInt }
+        val parts: Vector[String] = arg(as, 0) match {
+          case JsUndefined => Vector(s)
+          case r: JsRegExpV => splitByRegex(s, r.pattern)
+          case sep =>
+            val sepS = toStr(sep)
+            if (sepS.isEmpty) s.map(_.toString).toVector
+            else splitByLiteral(s, sepS)
+        }
+        JsArray.of(parts.take(math.max(0, limit)).map(JsStr(_)): _*)
+      }
+      case "replace" => withStr(name)(as => JsStr(replaceImpl(s, arg(as, 0), arg(as, 1), all = false, interp)))
+      case "replaceAll" => withStr(name)(as => JsStr(replaceImpl(s, arg(as, 0), arg(as, 1), all = true, interp)))
+      case "match" => withStr(name) { as =>
+        arg(as, 0) match {
+          case r: JsRegExpV =>
+            if (r.global) {
+              val m = r.pattern.matcher(s)
+              val out = JsArray.empty
+              while (m.find()) out.items += JsStr(m.group())
+              if (out.items.isEmpty) JsNull else out
+            } else {
+              val m = r.pattern.matcher(s)
+              if (m.find()) execResult(m, s) else JsNull
+            }
+          case other =>
+            val r = compileRegex(java.util.regex.Pattern.quote(toStr(other)), "", Pos(0))
+            val m = r.pattern.matcher(s)
+            if (m.find()) execResult(m, s) else JsNull
+        }
+      }
+      case "search" => withStr(name) { as =>
+        arg(as, 0) match {
+          case r: JsRegExpV =>
+            val m = r.pattern.matcher(s)
+            JsNum(if (m.find()) m.start.toDouble else -1.0)
+          case other => JsNum(s.indexOf(toStr(other)).toDouble)
+        }
+      }
+      case "repeat" => withStr(name) { as =>
+        val n = toNumber(arg(as, 0)).toInt
+        if (n < 0) throwRange("repeat count must be non-negative")
+        if (n.toLong * s.length > 50000000L) throwRange("repeat result too large for lens code")
+        JsStr(s * n)
+      }
+      case "padStart" => withStr(name) { as =>
+        val target = toNumber(arg(as, 0)).toInt
+        val pad = arg(as, 1) match { case JsUndefined => " "; case v => toStr(v) }
+        JsStr(padTo(s, target, pad, start = true))
+      }
+      case "padEnd" => withStr(name) { as =>
+        val target = toNumber(arg(as, 0)).toInt
+        val pad = arg(as, 1) match { case JsUndefined => " "; case v => toStr(v) }
+        JsStr(padTo(s, target, pad, start = false))
+      }
+      case "concat" => withStr(name)(as => JsStr(s + as.map(toStr).mkString))
+      case "localeCompare" => withStr(name)(as => JsNum(Integer.signum(s.compareTo(toStr(arg(as, 0)))).toDouble))
+      case "normalize" => withStr(name) { as =>
+        val form = arg(as, 0) match { case JsUndefined => "NFC"; case v => toStr(v) }
+        JsStr(java.text.Normalizer.normalize(s, java.text.Normalizer.Form.valueOf(form)))
+      }
+      case "toString" | "valueOf" => withStr(name)(_ => JsStr(s))
+      case _ => None
+    }
+  }
+
+  private def padTo(s: String, target: Int, pad: String, start: Boolean): String = {
+    if (target <= s.length || pad.isEmpty) s
+    else {
+      if (target > 10000000) throwRange("pad target too large for lens code")
+      val sb = new java.lang.StringBuilder
+      while (sb.length < target - s.length) sb.append(pad)
+      sb.setLength(target - s.length)
+      if (start) sb.toString + s else s + sb.toString
+    }
+  }
+
+  /** JS String.prototype.split with literal separator (Java's split has
+    * different trailing-empty semantics) */
+  private def splitByLiteral(s: String, sep: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var from = 0
+    var idx = s.indexOf(sep, from)
+    while (idx >= 0) {
+      out += s.substring(from, idx)
+      from = idx + sep.length
+      idx = s.indexOf(sep, from)
+    }
+    out += s.substring(from)
+    out.result()
+  }
+
+  /** JS String.prototype.split(regex): keeps leading AND trailing empties
+    * (unlike Java's default), includes capture groups in the output, and
+    * advances one position past zero-width matches. Mirrors the spec's
+    * SplitMatch loop with a find(q)-based scan. */
+  private def splitByRegex(s: String, p: java.util.regex.Pattern): Vector[String] = {
+    if (s.isEmpty) {
+      return if (p.matcher(s).find()) Vector.empty else Vector(s)
+    }
+    val out = Vector.newBuilder[String]
+    val m = p.matcher(s)
+    var last = 0 // start of the current un-emitted segment
+    var q = 0    // scan position
+    while (q < s.length) {
+      if (m.find(q)) {
+        if (m.end == last && m.start == last) q += 1 // zero-width at segment start: skip
+        else if (m.start >= s.length) q = s.length
+        else {
+          out += s.substring(last, m.start)
+          // capture groups are part of the split result per spec;
+          // an unmatched group surfaces as "" (subset: JS uses undefined)
+          (1 to m.groupCount).foreach(g => out += Option(m.group(g)).getOrElse(""))
+          last = m.end
+          q = if (m.end == m.start) m.end + 1 else m.end
+        }
+      } else q = s.length
+    }
+    out += s.substring(last)
+    out.result()
+  }
+
+  private def replaceImpl(s: String, pat: JsValue, rep: JsValue, all: Boolean, interp: Interp): String = {
+    def replacementFor(matched: String, groups: Vector[Option[String]], index: Int): String = rep match {
+      case f: JsFunc =>
+        val args = Vector(JsStr(matched)) ++
+          groups.map(g => g.map(JsStr(_): JsValue).getOrElse(JsUndefined)) ++
+          Vector(JsNum(index.toDouble), JsStr(s))
+        toStr(interp.callFunction(f, JsUndefined, args, Pos(0), "replacer"))
+      case other =>
+        // $& = match, $1..$9 groups, $$ literal
+        val template = toStr(other)
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i < template.length) {
+          val c = template.charAt(i)
+          if (c == '$' && i + 1 < template.length) {
+            template.charAt(i + 1) match {
+              case '$' => sb.append('$'); i += 2
+              case '&' => sb.append(matched); i += 2
+              case d if d.isDigit =>
+                val g = d - '0'
+                if (g >= 1 && g <= groups.length) { sb.append(groups(g - 1).getOrElse("")); i += 2 }
+                else { sb.append(c); i += 1 }
+              case _ => sb.append(c); i += 1
+            }
+          } else { sb.append(c); i += 1 }
+        }
+        sb.toString
+    }
+    pat match {
+      case r: JsRegExpV =>
+        val doAll = all || r.global
+        val m = r.pattern.matcher(s)
+        val sb = new java.lang.StringBuilder
+        var last = 0 // end of last appended region
+        var q = 0    // scan position
+        var done = false
+        while (!done && q <= s.length) {
+          if (m.find(q)) {
+            sb.append(s, last, m.start)
+            val groups = (1 to m.groupCount).map(g => Option(m.group(g))).toVector
+            sb.append(replacementFor(m.group(), groups, m.start))
+            last = m.end
+            q = if (m.end == m.start) m.end + 1 else m.end // zero-width: advance
+            if (!doAll) done = true
+          } else done = true
+        }
+        sb.append(s.substring(math.min(last, s.length)))
+        sb.toString
+      case other =>
+        val lit = toStr(other)
+        if (!all) {
+          val idx = s.indexOf(lit)
+          if (idx < 0) s
+          else s.substring(0, idx) + replacementFor(lit, Vector.empty, idx) + s.substring(idx + lit.length)
+        } else {
+          if (lit.isEmpty) return s
+          val sb = new java.lang.StringBuilder
+          var from = 0
+          var idx = s.indexOf(lit, from)
+          while (idx >= 0) {
+            sb.append(s, from, idx)
+            sb.append(replacementFor(lit, Vector.empty, idx))
+            from = idx + lit.length
+            idx = s.indexOf(lit, from)
+          }
+          sb.append(s.substring(from))
+          sb.toString
+        }
+    }
+  }
+
+  // ---- Array.prototype ----
+
+  def arrayMethod(a: JsArray, name: String, interp: Interp): Option[JsValue] = {
+    def nat(nm: String)(f: Vector[JsValue] => JsValue): Option[JsValue] = Some(native(nm)((_, as) => f(as)))
+    def normIndex(v: Double, len: Int): Int = {
+      val i = if (v < 0) len + v.toInt else v.toInt
+      math.max(0, math.min(len, i))
+    }
+    name match {
+      case "push" => nat(name) { as => a.items ++= as; JsNum(a.items.length.toDouble) }
+      case "pop" => nat(name) { _ =>
+        if (a.items.isEmpty) JsUndefined else a.items.remove(a.items.length - 1)
+      }
+      case "shift" => nat(name) { _ =>
+        if (a.items.isEmpty) JsUndefined else a.items.remove(0)
+      }
+      case "unshift" => nat(name) { as => a.items.prependAll(as); JsNum(a.items.length.toDouble) }
+      case "slice" => nat(name) { as =>
+        val len = a.items.length
+        val start = arg(as, 0) match { case JsUndefined => 0; case v => normIndex(toNumber(v), len) }
+        val end = arg(as, 1) match { case JsUndefined => len; case v => normIndex(toNumber(v), len) }
+        JsArray.of(a.items.slice(start, math.max(start, end)).toSeq: _*)
+      }
+      case "splice" => nat(name) { as =>
+        val len = a.items.length
+        val start = arg(as, 0) match { case JsUndefined => 0; case v => normIndex(toNumber(v), len) }
+        val deleteCount = arg(as, 1) match {
+          case JsUndefined => len - start
+          case v => math.max(0, math.min(len - start, toNumber(v).toInt))
+        }
+        val removed = JsArray.of(a.items.slice(start, start + deleteCount).toSeq: _*)
+        a.items.remove(start, deleteCount)
+        a.items.insertAll(start, as.drop(2))
+        removed
+      }
+      case "indexOf" => nat(name) { as =>
+        JsNum(a.items.indexWhere(strictEquals(_, arg(as, 0))).toDouble)
+      }
+      case "lastIndexOf" => nat(name) { as =>
+        JsNum(a.items.lastIndexWhere(strictEquals(_, arg(as, 0))).toDouble)
+      }
+      case "includes" => nat(name) { as =>
+        val target = arg(as, 0)
+        // includes uses SameValueZero (NaN found), unlike indexOf
+        JsBool(a.items.exists(v => new JsKey(v) == new JsKey(target)))
+      }
+      case "join" => nat(name) { as =>
+        val sep = arg(as, 0) match { case JsUndefined => ","; case v => toStr(v) }
+        JsStr(a.items.map {
+          case JsUndefined | JsNull => ""
+          case v => toStr(v)
+        }.mkString(sep))
+      }
+      case "concat" => nat(name) { as =>
+        val out = JsArray.of(a.items.toSeq: _*)
+        as.foreach {
+          case arr: JsArray => out.items ++= arr.items
+          case v => out.items += v
+        }
+        out
+      }
+      case "reverse" => nat(name) { _ =>
+        val rev = a.items.reverse
+        a.items.clear(); a.items ++= rev
+        a
+      }
+      case "map" => nat(name) { as =>
+        val fn = arg(as, 0)
+        JsArray.of(a.items.toVector.zipWithIndex.map { case (v, i) =>
+          interp.callCallback(fn, Vector(v, JsNum(i.toDouble), a))
+        }: _*)
+      }
+      case "filter" => nat(name) { as =>
+        val fn = arg(as, 0)
+        JsArray.of(a.items.toVector.zipWithIndex.collect {
+          case (v, i) if truthy(interp.callCallback(fn, Vector(v, JsNum(i.toDouble), a))) => v
+        }: _*)
+      }
+      case "forEach" => nat(name) { as =>
+        val fn = arg(as, 0)
+        a.items.toVector.zipWithIndex.foreach { case (v, i) =>
+          interp.callCallback(fn, Vector(v, JsNum(i.toDouble), a))
+        }
+        JsUndefined
+      }
+      case "reduce" => nat(name) { as =>
+        val fn = arg(as, 0)
+        val items = a.items.toVector
+        if (items.isEmpty && as.length < 2)
+          throw JsThrown(makeError("TypeError", "Reduce of empty array with no initial value"))
+        var (acc, startIdx) =
+          if (as.length >= 2) (as(1), 0)
+          else (items(0), 1)
+        (startIdx until items.length).foreach { i =>
+          acc = interp.callCallback(fn, Vector(acc, items(i), JsNum(i.toDouble), a))
+        }
+        acc
+      }
+      case "reduceRight" => nat(name) { as =>
+        val fn = arg(as, 0)
+        val items = a.items.toVector
+        if (items.isEmpty && as.length < 2)
+          throw JsThrown(makeError("TypeError", "Reduce of empty array with no initial value"))
+        var (acc, startIdx) =
+          if (as.length >= 2) (as(1), items.length - 1)
+          else (items.last, items.length - 2)
+        (startIdx to 0 by -1).foreach { i =>
+          acc = interp.callCallback(fn, Vector(acc, items(i), JsNum(i.toDouble), a))
+        }
+        acc
+      }
+      case "find" => nat(name) { as =>
+        val fn = arg(as, 0)
+        a.items.toVector.zipWithIndex
+          .find { case (v, i) => truthy(interp.callCallback(fn, Vector(v, JsNum(i.toDouble), a))) }
+          .map(_._1).getOrElse(JsUndefined)
+      }
+      case "findIndex" => nat(name) { as =>
+        val fn = arg(as, 0)
+        JsNum(a.items.toVector.zipWithIndex
+          .find { case (v, i) => truthy(interp.callCallback(fn, Vector(v, JsNum(i.toDouble), a))) }
+          .map(_._2).getOrElse(-1).toDouble)
+      }
+      case "some" => nat(name) { as =>
+        val fn = arg(as, 0)
+        JsBool(a.items.toVector.zipWithIndex.exists { case (v, i) =>
+          truthy(interp.callCallback(fn, Vector(v, JsNum(i.toDouble), a)))
+        })
+      }
+      case "every" => nat(name) { as =>
+        val fn = arg(as, 0)
+        JsBool(a.items.toVector.zipWithIndex.forall { case (v, i) =>
+          truthy(interp.callCallback(fn, Vector(v, JsNum(i.toDouble), a)))
+        })
+      }
+      case "sort" => nat(name) { as =>
+        val cmp = arg(as, 0)
+        val (defined, undef) = a.items.toVector.partition(_ != JsUndefined)
+        val sorted = cmp match {
+          case JsUndefined =>
+            // default sort: by ToString, code-unit order (stable)
+            defined.sortBy(toStr)
+          case fn =>
+            defined.sortWith { (x, y) =>
+              toNumber(interp.callCallback(fn, Vector(x, y))) < 0
+            }
+        }
+        a.items.clear()
+        a.items ++= sorted
+        a.items ++= undef
+        a
+      }
+      case "flat" => nat(name) { as =>
+        val depth = arg(as, 0) match { case JsUndefined => 1; case v => toNumber(v).toInt }
+        def fl(items: Vector[JsValue], d: Int): Vector[JsValue] =
+          items.flatMap {
+            case arr: JsArray if d > 0 => fl(arr.items.toVector, d - 1)
+            case v => Vector(v)
+          }
+        JsArray.of(fl(a.items.toVector, depth): _*)
+      }
+      case "flatMap" => nat(name) { as =>
+        val fn = arg(as, 0)
+        JsArray.of(a.items.toVector.zipWithIndex.flatMap { case (v, i) =>
+          interp.callCallback(fn, Vector(v, JsNum(i.toDouble), a)) match {
+            case arr: JsArray => arr.items.toVector
+            case other => Vector(other)
+          }
+        }: _*)
+      }
+      case "fill" => nat(name) { as =>
+        val v = arg(as, 0)
+        val len = a.items.length
+        val start = arg(as, 1) match { case JsUndefined => 0; case x => normIndex(toNumber(x), len) }
+        val end = arg(as, 2) match { case JsUndefined => len; case x => normIndex(toNumber(x), len) }
+        (start until end).foreach(a.items(_) = v)
+        a
+      }
+      case "at" => nat(name) { as =>
+        val i0 = toNumber(arg(as, 0)).toInt
+        val i = if (i0 < 0) a.items.length + i0 else i0
+        if (i >= 0 && i < a.items.length) a.items(i) else JsUndefined
+      }
+      case "keys" => nat(name)(_ => JsArray.of(a.items.indices.map(i => JsNum(i.toDouble)): _*))
+      case "values" => nat(name)(_ => JsArray.of(a.items.toSeq: _*))
+      case "entries" => nat(name)(_ =>
+        JsArray.of(a.items.toVector.zipWithIndex.map { case (v, i) => JsArray.of(JsNum(i.toDouble), v) }: _*))
+      case "toString" => nat(name)(_ => JsStr(toStr(a)))
+      case _ => None
+    }
+  }
+
+  // ---- parseInt / parseFloat ----
+
+  def parseIntJs(s0: String, radixV: JsValue): Double = {
+    var s = s0.trim
+    var sign = 1
+    if (s.startsWith("-")) { sign = -1; s = s.substring(1) }
+    else if (s.startsWith("+")) s = s.substring(1)
+    var radix = radixV match {
+      case JsUndefined => 0
+      case v => toNumber(v).toInt
+    }
+    if (radix == 0) {
+      if (s.startsWith("0x") || s.startsWith("0X")) { radix = 16; s = s.substring(2) }
+      else radix = 10
+    } else if (radix == 16 && (s.startsWith("0x") || s.startsWith("0X"))) s = s.substring(2)
+    if (radix < 2 || radix > 36) return Double.NaN
+    var end = 0
+    while (end < s.length && Character.digit(s.charAt(end), radix) >= 0) end += 1
+    if (end == 0) Double.NaN
+    else {
+      // accumulate as double to mirror JS precision behavior on long digit runs
+      var acc = 0.0
+      (0 until end).foreach(i => acc = acc * radix + Character.digit(s.charAt(i), radix))
+      sign * acc
+    }
+  }
+
+  def parseFloatJs(s0: String): Double = {
+    val s = s0.trim
+    val m = java.util.regex.Pattern
+      .compile("^[+-]?(Infinity|\\d+\\.?\\d*(?:[eE][+-]?\\d+)?|\\.\\d+(?:[eE][+-]?\\d+)?)")
+      .matcher(s)
+    if (!m.find()) Double.NaN
+    else {
+      val tok = m.group()
+      if (tok.endsWith("Infinity")) { if (tok.startsWith("-")) Double.NegativeInfinity else Double.PositiveInfinity }
+      else java.lang.Double.parseDouble(tok)
+    }
+  }
+}

@@ -1,0 +1,623 @@
+package graft.js
+
+import Ast._
+import Values._
+import scala.collection.mutable
+import scala.util.control.NoStackTrace
+
+/** Execution budget. Step and allocation violations are HOST exceptions
+  * (not [[JsThrown]]) so user `try`/`catch` cannot swallow them — the
+  * same way the reference's isolate timeout/memory kill cannot be caught
+  * by lens code (reference: javascript-lens-worker.js:55,133).
+  *
+  * `control` is invoked every [[ControlEvery]] steps; the lens worker
+  * points it at `MapContext.checkDeadline()` so wall-clock timeouts and
+  * sandbox preemption fire mid-loop, not only at emit points.
+  */
+final class Budget(val maxSteps: Long, val maxAllocUnits: Long,
+                   val control: () => Unit) {
+  private var steps = 0L
+  private var alloc = 0L
+  def tick(): Unit = {
+    steps += 1
+    if ((steps & 2047) == 0) control()
+    if (steps > maxSteps)
+      throw new JsBudgetExceeded(s"lens code exceeded $maxSteps interpreter steps")
+  }
+  /** units ≈ chars or elements; a coarse but monotone proxy for heap use */
+  def allocate(units: Long): Unit = {
+    alloc += units
+    if (alloc > maxAllocUnits)
+      throw new JsBudgetExceeded(s"lens code exceeded $maxAllocUnits allocation units")
+  }
+}
+object Budget {
+  /** generous defaults: far above any sane per-record map, far below a
+    * runaway loop's appetite */
+  val DefaultMaxSteps: Long = 20L * 1000 * 1000
+  val DefaultMaxAlloc: Long = 64L * 1000 * 1000
+  def default(control: () => Unit = () => ()): Budget =
+    new Budget(DefaultMaxSteps, DefaultMaxAlloc, control)
+}
+
+final class JsBudgetExceeded(msg: String) extends RuntimeException(msg)
+
+// ---- control-flow signals (never escape a function boundary) ----
+private[js] final case class ReturnSig(v: JsValue) extends RuntimeException with NoStackTrace
+private[js] final case class BreakSig(label: Option[String]) extends RuntimeException with NoStackTrace
+private[js] final case class ContinueSig(label: Option[String]) extends RuntimeException with NoStackTrace
+
+/** Tree-walking evaluator for the parsed subset. One instance per map
+  * call (cheap: scopes are small); the AST is shared and immutable. */
+final class Interp(globalScope: Scope, budget: Budget) {
+
+  def runProgram(prog: Program, scope: Scope): Unit = {
+    hoist(prog.body, scope)
+    // the program IS a function body in the lens contract
+    // (`function map (path, data) { <code> }`) — a top-level `return`
+    // simply ends the call
+    try prog.body.foreach(exec(_, scope))
+    catch { case ReturnSig(_) => () }
+  }
+
+  /** hoisting: `var` names → undefined, function declarations → bound,
+    * in the given (function-level) scope; does not descend into nested
+    * functions */
+  private def hoist(stmts: Seq[Stmt], scope: Scope): Unit = {
+    def names(pat: Pattern): Seq[String] = pat match {
+      case IdPattern(n, _) => Seq(n)
+      case ArrayPattern(elems, rest, _) => elems.flatten.flatMap(names) ++ rest
+      case ObjectPattern(entries, rest, _) => entries.map(_._2).flatMap(names) ++ rest
+      case DefaultPattern(inner, _, _) => names(inner)
+    }
+    def walk(s: Stmt): Unit = s match {
+      case VarDecl("var", decls, _) =>
+        decls.foreach { case (pat, _) => names(pat).foreach { n =>
+          if (!scope.vars.contains(n)) scope.declare(n, JsUndefined)
+        } }
+      case FnDecl(name, fn, _) => scope.declare(name, makeClosure(fn, scope, JsUndefined))
+      case Block(ss, _) => ss.foreach(walk)
+      case If(_, c, a, _) => walk(c); a.foreach(walk)
+      case While(_, b, _) => walk(b)
+      case DoWhile(b, _, _) => walk(b)
+      case For(i, _, _, b, _) => i.foreach(walk); walk(b)
+      case ForInOf(_, _, _, _, b, _) => walk(b)
+      case Try(b, _, cb, fb, _) => walk(b); cb.foreach(walk); fb.foreach(walk)
+      case Labeled(_, b, _) => walk(b)
+      case Switch(_, cases, _) => cases.foreach(_._2.foreach(walk))
+      case _ => ()
+    }
+    stmts.foreach(walk)
+  }
+
+  private def makeClosure(fn: FnExpr, env: Scope, thisV: JsValue): JsClosure =
+    new JsClosure(fn.name, fn.params, fn.restParam, fn.body, fn.exprBody, fn.isArrow, env, thisV)
+
+  // ---------------- statements ----------------
+
+  def exec(s: Stmt, scope: Scope): Unit = {
+    budget.tick()
+    s match {
+      case ExprStmt(e, _) => eval(e, scope); ()
+      case VarDecl(kind, decls, _) =>
+        decls.foreach { case (pat, init) =>
+          // `var x;` with no initializer must NOT clobber a value already
+          // assigned to the hoisted binding
+          if (kind != "var" || init.isDefined) {
+            val v = init.map(eval(_, scope)).getOrElse(JsUndefined)
+            bindPattern(pat, v, scope, kind)
+          }
+        }
+      case _: FnDecl => () // bound during hoisting
+      case Block(stmts, _) =>
+        val inner = new Scope(scope)
+        hoistFnDeclsOnly(stmts, inner)
+        stmts.foreach(exec(_, inner))
+      case If(test, cons, alt, _) =>
+        if (truthy(eval(test, scope))) exec(cons, scope)
+        else alt.foreach(exec(_, scope))
+      case w: While => execLoop(w, scope, None)
+      case d: DoWhile => execLoop(d, scope, None)
+      case f: For => execLoop(f, scope, None)
+      case f: ForInOf => execLoop(f, scope, None)
+      case Return(value, _) => throw ReturnSig(value.map(eval(_, scope)).getOrElse(JsUndefined))
+      case Throw(value, _) => throw JsThrown(eval(value, scope))
+      case Try(block, catchParam, catchBlock, finallyBlock, _) =>
+        try {
+          try exec(block, scope)
+          catch {
+            case JsThrown(v) if catchBlock.isDefined =>
+              val cScope = new Scope(scope)
+              catchParam.foreach(bindPattern(_, v, cScope, "let"))
+              exec(catchBlock.get, cScope)
+          }
+        } finally finallyBlock.foreach(exec(_, scope))
+      case Break(label, _) => throw BreakSig(label)
+      case Continue(label, _) => throw ContinueSig(label)
+      case Labeled(label, body, _) =>
+        body match {
+          case loop @ (_: While | _: DoWhile | _: For | _: ForInOf) =>
+            execLoop(loop, scope, Some(label))
+          case other =>
+            try exec(other, scope)
+            catch { case BreakSig(Some(l)) if l == label => () }
+        }
+      case Switch(disc, cases, _) =>
+        val d = eval(disc, scope)
+        val swScope = new Scope(scope)
+        var matched = false
+        try {
+          cases.foreach { case (test, stmts) =>
+            if (!matched && test.exists(t => strictEquals(d, eval(t, swScope)))) matched = true
+            if (matched) stmts.foreach(exec(_, swScope))
+          }
+          if (!matched) {
+            // default clause (and fallthrough after it)
+            val di = cases.indexWhere(_._1.isEmpty)
+            if (di >= 0) cases.drop(di).foreach(_._2.foreach(exec(_, swScope)))
+          }
+        } catch { case BreakSig(None) => () }
+      case Empty(_) => ()
+    }
+  }
+
+  /** function declarations inside a block are block-scoped here (sane
+    * subset of the spec's annex-B mess) */
+  private def hoistFnDeclsOnly(stmts: Seq[Stmt], scope: Scope): Unit =
+    stmts.foreach {
+      case FnDecl(name, fn, _) => scope.declare(name, makeClosure(fn, scope, JsUndefined))
+      case _ => ()
+    }
+
+  /** run one loop statement, handling break/continue — both unlabeled and
+    * (when `label` is set) this loop's own label */
+  private def execLoop(loop: Stmt, scope: Scope, label: Option[String]): Unit = {
+    def body(b: Stmt, s: Scope): Unit =
+      try exec(b, s)
+      catch {
+        case ContinueSig(None) => ()
+        case ContinueSig(l) if label.isDefined && l == label => ()
+      }
+    try {
+      loop match {
+        case While(test, b, _) =>
+          while (truthy(eval(test, scope))) body(b, scope)
+        case DoWhile(b, test, _) =>
+          var go = true
+          while (go) { body(b, scope); go = truthy(eval(test, scope)) }
+        case For(init, test, update, b, _) =>
+          val forScope = new Scope(scope)
+          init.foreach(exec(_, forScope))
+          while (test.forall(t => truthy(eval(t, forScope)))) {
+            body(b, forScope)
+            update.foreach(eval(_, forScope))
+          }
+        case f: ForInOf =>
+          val obj = eval(f.obj, scope)
+          val it: Iterator[JsValue] =
+            if (f.isOf) iterate(obj, f.pos)
+            else obj match { // for-in: enumerable own keys as strings
+              case o: JsObject => o.props.keys.toVector.iterator.map(JsStr(_))
+              case a: JsArray => a.items.indices.iterator.map(i => JsStr(i.toString))
+              case _ => Iterator.empty // incl. null/undefined: zero iterations
+            }
+          while (it.hasNext) {
+            budget.tick()
+            val v = it.next()
+            val iterScope = new Scope(scope)
+            f.kind match {
+              case "" =>
+                val IdPattern(n, _) = f.target: @unchecked
+                if (!scope.assign(n, v)) throwRef(s"$n is not defined")
+              case kind => bindPattern(f.target, v, iterScope, kind)
+            }
+            body(f.body, iterScope)
+          }
+        case other => exec(other, scope)
+      }
+    } catch {
+      case BreakSig(None) => ()
+      case BreakSig(l) if label.isDefined && l == label => ()
+    }
+  }
+
+  /** the for-of / spread iteration protocol over our builtin iterables */
+  def iterate(v: JsValue, pos: Pos): Iterator[JsValue] = v match {
+    case a: JsArray => a.items.toVector.iterator
+    case JsStr(s) =>
+      // iterate code points, as JS string iteration does
+      val cps = s.codePoints().toArray
+      cps.iterator.map(cp => JsStr(new String(Character.toChars(cp))))
+    case set: JsSetV => set.entries.values.toVector.iterator
+    case m: JsMapV => m.entries.values.toVector.iterator.map { case (k, vv) => JsArray.of(k, vv) }
+    case o: JsObject => throwType("object is not iterable (cannot spread/for-of a plain object)")
+    case other => throwType(s"${typeOf(other)} is not iterable")
+  }
+
+  private def bindPattern(pat: Pattern, v: JsValue, scope: Scope, kind: String): Unit = pat match {
+    case IdPattern(n, _) =>
+      kind match {
+        case "var" =>
+          // var: function-scoped — find the scope that hoisting declared it in
+          if (!scope.assign(n, v)) scope.declare(n, v)
+        case "const" => scope.declare(n, v, const = true)
+        case _ => scope.declare(n, v)
+      }
+    case DefaultPattern(inner, default, _) =>
+      val actual = if (v == JsUndefined) eval(default, scope) else v
+      bindPattern(inner, actual, scope, kind)
+    case ArrayPattern(elems, rest, p0) =>
+      val items: Vector[JsValue] = v match {
+        case a: JsArray => a.items.toVector
+        case other => iterate(other, p0).toVector
+      }
+      elems.zipWithIndex.foreach {
+        case (Some(p), i) => bindPattern(p, items.lift(i).getOrElse(JsUndefined), scope, kind)
+        case (None, _) => ()
+      }
+      rest.foreach { r =>
+        val tail = items.drop(elems.length)
+        budget.allocate(tail.length.toLong)
+        bindPattern(IdPattern(r, p0), new JsArray(mutable.ArrayBuffer(tail: _*)), scope, kind)
+      }
+    case ObjectPattern(entries, rest, p0) =>
+      v match {
+        case JsNull | JsUndefined => throwType("cannot destructure null or undefined")
+        case _ => ()
+      }
+      val taken = mutable.HashSet.empty[String]
+      entries.foreach { case (propName, target) =>
+        taken += propName
+        bindPattern(target, getMember(v, JsStr(propName), p0), scope, kind)
+      }
+      rest.foreach { r =>
+        val o = JsObject.empty()
+        v match {
+          case src: JsObject => src.props.foreach { case (k, pv) => if (!taken(k)) o.props.put(k, pv) }
+          case _ => ()
+        }
+        budget.allocate(o.props.size.toLong)
+        bindPattern(IdPattern(r, p0), o, scope, kind)
+      }
+  }
+
+  // ---------------- expressions ----------------
+
+  def eval(e: Expr, scope: Scope): JsValue = {
+    budget.tick()
+    e match {
+      case NumLit(v, _) => JsNum(v)
+      case StrLit(v, _) => JsStr(v)
+      case BoolLit(v, _) => JsBool(v)
+      case NullLit(_) => JsNull
+      case UndefinedLit(_) => JsUndefined
+      case RegexLit(pattern, flags, pos) => Builtins.compileRegex(pattern, flags, pos)
+      case TemplateLit(parts, exprs, _) =>
+        val sb = new java.lang.StringBuilder(parts.head)
+        exprs.indices.foreach { i =>
+          sb.append(toStr(eval(exprs(i), scope)))
+          sb.append(parts(i + 1))
+        }
+        budget.allocate(sb.length.toLong)
+        JsStr(sb.toString)
+      case Ident(name, _) =>
+        scope.lookup(name).getOrElse(throwRef(s"$name is not defined"))
+      case ThisExpr(_) => scope.lookup("this").getOrElse(JsUndefined)
+      case ArrayLit(items, spreads, pos) =>
+        val buf = mutable.ArrayBuffer.empty[JsValue]
+        items.zipWithIndex.foreach { case (item, i) =>
+          if (spreads.contains(i)) buf ++= iterate(eval(item, scope), pos)
+          else buf += eval(item, scope)
+        }
+        budget.allocate(buf.length.toLong + 1)
+        new JsArray(buf)
+      case ObjectLit(entries, computed, spreads, _) =>
+        val o = JsObject.empty()
+        entries.zipWithIndex.foreach { case ((k, v), i) =>
+          if (spreads.contains(i)) {
+            eval(v, scope) match {
+              case src: JsObject => src.props.foreach { case (pk, pv) => o.props.put(pk, pv) }
+              case src: JsArray => src.items.zipWithIndex.foreach { case (pv, pi) => o.props.put(pi.toString, pv) }
+              case JsNull | JsUndefined => ()
+              case _ => ()
+            }
+          } else {
+            val key = if (computed.contains(i)) toStr(eval(k, scope))
+                      else k.asInstanceOf[StrLit].v
+            o.props.put(key, eval(v, scope))
+          }
+        }
+        budget.allocate(o.props.size.toLong + 1)
+        o
+      case fn: FnExpr =>
+        val thisV = if (fn.isArrow) scope.lookup("this").getOrElse(JsUndefined) else JsUndefined
+        makeClosure(fn, scope, thisV)
+      case Unary(op, operand, _) => evalUnary(op, operand, scope)
+      case u: Update => evalUpdate(u, scope)
+      case Binary(op, l, r, pos) => evalBinary(op, eval(l, scope), eval(r, scope), pos)
+      case Logical(op, l, r, _) =>
+        val lv = eval(l, scope)
+        op match {
+          case "&&" => if (truthy(lv)) eval(r, scope) else lv
+          case "||" => if (truthy(lv)) lv else eval(r, scope)
+          case "??" => if (lv == JsNull || lv == JsUndefined) eval(r, scope) else lv
+        }
+      case Cond(test, cons, alt, _) =>
+        if (truthy(eval(test, scope))) eval(cons, scope) else eval(alt, scope)
+      case a: Assign => evalAssign(a, scope)
+      case m: Member =>
+        val obj = eval(m.obj, scope)
+        if (m.optional && (obj == JsNull || obj == JsUndefined)) JsUndefined
+        else getMember(obj, evalPropKey(m, scope), m.pos)
+      case c: Call => evalCall(c, scope)
+      case n: NewExpr => evalNew(n, scope)
+      case Sequence(exprs, _) => exprs.map(eval(_, scope)).last
+    }
+  }
+
+  private def evalPropKey(m: Member, scope: Scope): JsValue =
+    if (m.computed) eval(m.prop, scope) else m.prop.asInstanceOf[StrLit] match { case StrLit(s, _) => JsStr(s) }
+
+  private def evalUnary(op: String, operand: Expr, scope: Scope): JsValue = op match {
+    case "typeof" =>
+      operand match {
+        case Ident(name, _) => JsStr(scope.lookup(name).map(typeOf).getOrElse("undefined"))
+        case _ => JsStr(typeOf(eval(operand, scope)))
+      }
+    case "!" => JsBool(!truthy(eval(operand, scope)))
+    case "-" => JsNum(-toNumber(eval(operand, scope)))
+    case "+" => JsNum(toNumber(eval(operand, scope)))
+    case "~" => JsNum((~toInt32(toNumber(eval(operand, scope)))).toDouble)
+    case "void" => eval(operand, scope); JsUndefined
+    case "delete" => operand match {
+      case m: Member =>
+        val obj = eval(m.obj, scope)
+        val key = toStr(evalPropKey(m, scope))
+        obj match {
+          case o: JsObject => if (!o.frozen) o.props.remove(key); JsBool(true)
+          case a: JsArray =>
+            val i = key.toIntOption
+            if (i.exists(x => x >= 0 && x < a.items.length)) { a.items(i.get) = JsUndefined; JsBool(true) }
+            else JsBool(true)
+          case _ => JsBool(true)
+        }
+      case _ => JsBool(true)
+    }
+  }
+
+  private def evalUpdate(u: Update, scope: Scope): JsValue = {
+    val old = toNumber(eval(u.target, scope))
+    val neu = if (u.op == "++") old + 1 else old - 1
+    assignTo(u.target, JsNum(neu), scope)
+    JsNum(if (u.prefix) neu else old)
+  }
+
+  private def evalAssign(a: Assign, scope: Scope): JsValue = {
+    val value: JsValue = a.op match {
+      case "=" => eval(a.value, scope)
+      case "&&=" =>
+        val cur = eval(a.target, scope)
+        if (!truthy(cur)) return cur
+        eval(a.value, scope)
+      case "||=" =>
+        val cur = eval(a.target, scope)
+        if (truthy(cur)) return cur
+        eval(a.value, scope)
+      case "??=" =>
+        val cur = eval(a.target, scope)
+        if (cur != JsNull && cur != JsUndefined) return cur
+        eval(a.value, scope)
+      case compound =>
+        val binOp = compound.dropRight(1) // "+=" → "+"
+        evalBinary(binOp, eval(a.target, scope), eval(a.value, scope), a.pos)
+    }
+    assignTo(a.target, value, scope)
+    value
+  }
+
+  private def assignTo(target: Expr, v: JsValue, scope: Scope): Unit = target match {
+    case Ident(name, _) =>
+      if (!scope.assign(name, v)) throwRef(s"$name is not defined")
+    case m: Member =>
+      val obj = eval(m.obj, scope)
+      setMember(obj, evalPropKey(m, scope), v, m.pos)
+    case _ => throwType("invalid assignment target")
+  }
+
+  def evalBinary(op: String, l: JsValue, r: JsValue, pos: Pos): JsValue = op match {
+    case "+" =>
+      val lp = toPrimitive(l); val rp = toPrimitive(r)
+      (lp, rp) match {
+        case (JsStr(a), _) => budget.allocate(a.length.toLong + 8); JsStr(a + toStr(rp))
+        case (_, JsStr(b)) => budget.allocate(b.length.toLong + 8); JsStr(toStr(lp) + b)
+        case _ => JsNum(toNumber(lp) + toNumber(rp))
+      }
+    case "-" => JsNum(toNumber(l) - toNumber(r))
+    case "*" => JsNum(toNumber(l) * toNumber(r))
+    case "/" => JsNum(toNumber(l) / toNumber(r))
+    case "%" => JsNum(toNumber(l) % toNumber(r))
+    case "**" => JsNum(math.pow(toNumber(l), toNumber(r)))
+    case "==" => JsBool(looseEquals(l, r))
+    case "!=" => JsBool(!looseEquals(l, r))
+    case "===" => JsBool(strictEquals(l, r))
+    case "!==" => JsBool(!strictEquals(l, r))
+    case "<" | ">" | "<=" | ">=" =>
+      val lp = toPrimitive(l); val rp = toPrimitive(r)
+      (lp, rp) match {
+        case (JsStr(a), JsStr(b)) =>
+          val c = a.compareTo(b)
+          JsBool(op match { case "<" => c < 0; case ">" => c > 0; case "<=" => c <= 0; case _ => c >= 0 })
+        case _ =>
+          val a = toNumber(lp); val b = toNumber(rp)
+          if (java.lang.Double.isNaN(a) || java.lang.Double.isNaN(b)) JsBool(false)
+          else JsBool(op match { case "<" => a < b; case ">" => a > b; case "<=" => a <= b; case _ => a >= b })
+      }
+    case "&" => JsNum((toInt32(toNumber(l)) & toInt32(toNumber(r))).toDouble)
+    case "|" => JsNum((toInt32(toNumber(l)) | toInt32(toNumber(r))).toDouble)
+    case "^" => JsNum((toInt32(toNumber(l)) ^ toInt32(toNumber(r))).toDouble)
+    case "<<" => JsNum((toInt32(toNumber(l)) << (toInt32(toNumber(r)) & 31)).toDouble)
+    case ">>" => JsNum((toInt32(toNumber(l)) >> (toInt32(toNumber(r)) & 31)).toDouble)
+    case ">>>" => JsNum((toUint32(toNumber(l)) >>> (toInt32(toNumber(r)) & 31)).toDouble)
+    case "instanceof" => JsBool(Builtins.instanceOf(l, r))
+    case "in" =>
+      r match {
+        case o: JsObject => JsBool(o.props.contains(toStr(l)))
+        case a: JsArray =>
+          val i = toStr(l).toIntOption
+          JsBool(i.exists(x => x >= 0 && x < a.items.length) || toStr(l) == "length")
+        case _ => throwType("'in' needs an object right-hand side")
+      }
+  }
+
+  // ---------------- member access / calls ----------------
+
+  def getMember(obj: JsValue, key: JsValue, pos: Pos): JsValue = {
+    obj match {
+      case JsNull | JsUndefined =>
+        throwType(s"Cannot read properties of ${toStr(obj)} (reading '${toStr(key)}')")
+      case o: JsObject =>
+        val k = toStr(key)
+        o.props.getOrElse(k, Builtins.objectMethod(o, k).getOrElse(JsUndefined))
+      case a: JsArray =>
+        key match {
+          case JsNum(d) if d >= 0 && d == math.floor(d) && d < a.items.length => a.items(d.toInt)
+          case _ =>
+            val k = toStr(key)
+            if (k == "length") JsNum(a.items.length.toDouble)
+            else k.toIntOption match {
+              case Some(i) if i >= 0 && i < a.items.length => a.items(i)
+              case Some(_) => JsUndefined
+              case None => Builtins.arrayMethod(a, k, this).getOrElse(JsUndefined)
+            }
+        }
+      case JsStr(s) =>
+        key match {
+          case JsNum(d) if d >= 0 && d == math.floor(d) && d < s.length => JsStr(s.charAt(d.toInt).toString)
+          case _ =>
+            val k = toStr(key)
+            if (k == "length") JsNum(s.length.toDouble)
+            else k.toIntOption match {
+              case Some(i) => if (i >= 0 && i < s.length) JsStr(s.charAt(i).toString) else JsUndefined
+              case None => Builtins.stringMethod(s, k, this).getOrElse(JsUndefined)
+            }
+        }
+      case n: JsNum => Builtins.numberMethod(n.v, toStr(key)).getOrElse(JsUndefined)
+      case b: JsBool => JsUndefined
+      case set: JsSetV => Builtins.setMethod(set, toStr(key), this).getOrElse(JsUndefined)
+      case m: JsMapV => Builtins.mapMethod(m, toStr(key), this).getOrElse(JsUndefined)
+      case bytes: JsBytes =>
+        val k = toStr(key)
+        if (k == "length" || k == "byteLength") JsNum(bytes.bytes.length.toDouble)
+        else k.toIntOption match {
+          case Some(i) if i >= 0 && i < bytes.bytes.length => JsNum((bytes.bytes(i) & 0xff).toDouble)
+          case _ => JsUndefined
+        }
+      case d: JsDate => Builtins.dateMethod(d, toStr(key)).getOrElse(JsUndefined)
+      case r: JsRegExpV => Builtins.regexMethod(r, toStr(key), this).getOrElse(JsUndefined)
+      case f: JsFunc => Builtins.functionMethod(f, toStr(key), this).getOrElse(JsUndefined)
+    }
+  }
+
+  def setMember(obj: JsValue, key: JsValue, v: JsValue, pos: Pos): Unit = obj match {
+    case JsNull | JsUndefined =>
+      throwType(s"Cannot set properties of ${toStr(obj)} (setting '${toStr(key)}')")
+    case o: JsObject =>
+      if (!o.frozen) { budget.allocate(4); o.props.put(toStr(key), v) }
+    case a: JsArray =>
+      val k = toStr(key)
+      if (k == "length") {
+        val n = toNumber(v)
+        if (n < 0 || n != math.floor(n)) throwRange("invalid array length")
+        val len = n.toInt
+        if (len < a.items.length) a.items.remove(len, a.items.length - len)
+        else { budget.allocate((len - a.items.length).toLong); while (a.items.length < len) a.items += JsUndefined }
+      } else k.toIntOption match {
+        case Some(i) if i >= 0 =>
+          if (i >= 1000000000) throwRange("array index too large for lens code")
+          budget.allocate(math.max(1, i + 1 - a.items.length).toLong)
+          while (a.items.length <= i) a.items += JsUndefined
+          a.items(i) = v
+        case _ => () // named props on arrays: dropped in our subset
+      }
+    case r: JsRegExpV if toStr(key) == "lastIndex" => r.lastIndex = toNumber(v).toInt
+    case _ => () // silent no-op on primitives, like sloppy-mode JS
+  }
+
+  private def evalCall(c: Call, scope: Scope): JsValue = {
+    // method call: evaluate receiver once
+    c.callee match {
+      case m: Member =>
+        val obj = eval(m.obj, scope)
+        if ((m.optional || c.optional) && (obj == JsNull || obj == JsUndefined)) return JsUndefined
+        val fnV = getMember(obj, evalPropKey(m, scope), m.pos)
+        if (c.optional && (fnV == JsNull || fnV == JsUndefined)) return JsUndefined
+        val args = spreadArgs(c.args, c.spreads, scope, c.pos)
+        callFunction(fnV, obj, args, c.pos,
+          name = if (!m.computed) m.prop.asInstanceOf[StrLit].v else "computed")
+      case other =>
+        val fnV = eval(other, scope)
+        if (c.optional && (fnV == JsNull || fnV == JsUndefined)) return JsUndefined
+        val args = spreadArgs(c.args, c.spreads, scope, c.pos)
+        callFunction(fnV, JsUndefined, args, c.pos, name = other match {
+          case Ident(n, _) => n
+          case _ => "expression"
+        })
+    }
+  }
+
+  private def spreadArgs(args: Vector[Expr], spreads: Set[Int], scope: Scope, pos: Pos): Vector[JsValue] = {
+    val buf = mutable.ArrayBuffer.empty[JsValue]
+    args.zipWithIndex.foreach { case (a, i) =>
+      if (spreads.contains(i)) buf ++= iterate(eval(a, scope), pos)
+      else buf += eval(a, scope)
+    }
+    buf.toVector
+  }
+
+  def callFunction(fnV: JsValue, thisV: JsValue, args: Vector[JsValue], pos: Pos,
+                   name: String = ""): JsValue = {
+    budget.tick()
+    fnV match {
+      case native: JsNative => native.fn(thisV, args)
+      case closure: JsClosure => invokeClosure(closure, thisV, args)
+      case other => throwType(s"$name is not a function (got ${typeOf(other)})")
+    }
+  }
+
+  def invokeClosure(c: JsClosure, thisV: JsValue, args: Vector[JsValue]): JsValue = {
+    val fnScope = new Scope(c.env)
+    val effectiveThis = if (c.isArrow) c.capturedThis else thisV
+    fnScope.declare("this", effectiveThis)
+    // named function expressions can self-reference
+    c.fnName.foreach(n => if (fnScope.lookup(n).isEmpty) fnScope.declare(n, c))
+    c.params.zipWithIndex.foreach { case (p, i) =>
+      bindPattern(p, args.lift(i).getOrElse(JsUndefined), fnScope, "let")
+    }
+    c.restParam.foreach { r =>
+      val rest = args.drop(c.params.length)
+      budget.allocate(rest.length.toLong + 1)
+      fnScope.declare(r, new JsArray(mutable.ArrayBuffer(rest: _*)))
+    }
+    if (!c.isArrow) {
+      budget.allocate(args.length.toLong + 1)
+      fnScope.declare("arguments", new JsArray(mutable.ArrayBuffer(args: _*)))
+    }
+    c.exprBody match {
+      case Some(e) => eval(e, fnScope)
+      case None =>
+        hoist(c.body, fnScope)
+        try { c.body.foreach(exec(_, fnScope)); JsUndefined }
+        catch { case ReturnSig(v) => v }
+    }
+  }
+
+  private def evalNew(n: NewExpr, scope: Scope): JsValue = {
+    val ctor = eval(n.callee, scope)
+    val args = spreadArgs(n.args, n.spreads, scope, n.pos)
+    Builtins.construct(ctor, args, this, n.pos)
+  }
+
+  // exposed for builtins that re-enter (map/filter/reduce/sort callbacks)
+  def callCallback(fn: JsValue, args: Vector[JsValue], pos: Pos = Pos(0)): JsValue =
+    callFunction(fn, JsUndefined, args, pos, "callback")
+}

@@ -1,0 +1,239 @@
+package graft.js
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Tokenizer for the JS subset.
+  *
+  * Newline positions are tracked per token (`nlBefore`) so the parser can
+  * apply automatic semicolon insertion and the restricted productions for
+  * `return`/`throw`/`++`/`--`. Regex literals are lexed context-sensitively:
+  * a `/` starts a regex when the previous significant token cannot end an
+  * expression — the same heuristic real engines use for the grammar's
+  * InputElementRegExp goal.
+  */
+object Lexer {
+
+  final case class Token(kind: String, text: String, num: Double, line: Int,
+                         nlBefore: Boolean) {
+    def is(k: String, t: String): Boolean = kind == k && text == t
+  }
+  // kinds: num str template regex ident keyword punct eof
+  //   template tokens carry raw text with `${`-splits re-lexed by the parser
+
+  val Keywords: Set[String] = Set(
+    "var", "let", "const", "function", "return", "if", "else", "for", "while",
+    "do", "break", "continue", "throw", "try", "catch", "finally", "new",
+    "delete", "typeof", "instanceof", "in", "of", "this", "null", "true",
+    "false", "undefined", "switch", "case", "default", "void")
+
+  /** syntax we refuse (startup error), per the reference contract */
+  val Rejected: Set[String] = Set("class", "yield", "async", "await", "with",
+    "import", "export", "super", "extends")
+
+  private val Puncts: Array[String] = Array(
+    // longest first so greedy matching is correct
+    ">>>=", "...", "===", "!==", "**=", "<<=", ">>=", ">>>", "&&=", "||=", "??=",
+    "=>", "==", "!=", "<=", ">=", "&&", "||", "??", "?.", "++", "--", "+=", "-=",
+    "*=", "/=", "%=", "&=", "|=", "^=", "<<", ">>", "**",
+    "{", "}", "(", ")", "[", "]", ";", ",", "<", ">", "+", "-", "*", "/", "%",
+    "&", "|", "^", "!", "~", "?", ":", "=", ".", "`")
+
+  def tokenize(src: String): Vector[Token] = {
+    val out = ArrayBuffer.empty[Token]
+    var i = 0
+    var line = 1
+    var nl = false
+    val n = src.length
+
+    def prevSignificant: Option[Token] = out.lastOption
+
+    /** can the previous token end an expression? if yes, `/` is division */
+    def prevEndsExpr: Boolean = prevSignificant match {
+      case None => false
+      case Some(t) => t.kind match {
+        case "num" | "str" | "regex" | "template" => true
+        case "ident" => true
+        case "keyword" => t.text == "this" || t.text == "null" || t.text == "true" ||
+          t.text == "false" || t.text == "undefined"
+        case "punct" => t.text == ")" || t.text == "]" || t.text == "}"
+        case _ => false
+      }
+    }
+
+    def err(msg: String): Nothing = throw new JsSyntaxError(msg, line)
+
+    while (i < n) {
+      val c = src.charAt(i)
+      if (c == '\n') { line += 1; nl = true; i += 1 }
+      else if (c == ' ' || c == '\t' || c == '\r' || c == '\u000b' || c == '\u000c' || c == '\u00a0') i += 1
+      else if (c == '/' && i + 1 < n && src.charAt(i + 1) == '/') {
+        while (i < n && src.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && src.charAt(i + 1) == '*') {
+        i += 2
+        var closed = false
+        while (i < n && !closed) {
+          if (src.charAt(i) == '\n') { line += 1; nl = true }
+          if (src.charAt(i) == '*' && i + 1 < n && src.charAt(i + 1) == '/') { closed = true; i += 2 }
+          else i += 1
+        }
+        if (!closed) err("unterminated block comment")
+      } else if (c.isDigit || (c == '.' && i + 1 < n && src.charAt(i + 1).isDigit)) {
+        val start = i
+        if (c == '0' && i + 1 < n && (src.charAt(i + 1) == 'x' || src.charAt(i + 1) == 'X')) {
+          i += 2
+          while (i < n && (src.charAt(i).isDigit || "abcdefABCDEF".indexOf(src.charAt(i)) >= 0)) i += 1
+          val text = src.substring(start, i)
+          out += Token("num", text, java.lang.Long.parseLong(text.substring(2), 16).toDouble, line, nl); nl = false
+        } else if (c == '0' && i + 1 < n && (src.charAt(i + 1) == 'b' || src.charAt(i + 1) == 'B')) {
+          i += 2
+          while (i < n && (src.charAt(i) == '0' || src.charAt(i) == '1')) i += 1
+          val text = src.substring(start, i)
+          out += Token("num", text, java.lang.Long.parseLong(text.substring(2), 2).toDouble, line, nl); nl = false
+        } else if (c == '0' && i + 1 < n && (src.charAt(i + 1) == 'o' || src.charAt(i + 1) == 'O')) {
+          i += 2
+          while (i < n && src.charAt(i) >= '0' && src.charAt(i) <= '7') i += 1
+          val text = src.substring(start, i)
+          out += Token("num", text, java.lang.Long.parseLong(text.substring(2), 8).toDouble, line, nl); nl = false
+        } else {
+          while (i < n && src.charAt(i).isDigit) i += 1
+          if (i < n && src.charAt(i) == '.') { i += 1; while (i < n && src.charAt(i).isDigit) i += 1 }
+          if (i < n && (src.charAt(i) == 'e' || src.charAt(i) == 'E')) {
+            i += 1
+            if (i < n && (src.charAt(i) == '+' || src.charAt(i) == '-')) i += 1
+            if (i >= n || !src.charAt(i).isDigit) err("malformed exponent")
+            while (i < n && src.charAt(i).isDigit) i += 1
+          }
+          if (i < n && src.charAt(i) == 'n') err("BigInt literals are not supported in lens code")
+          val text = src.substring(start, i)
+          out += Token("num", text, java.lang.Double.parseDouble(text), line, nl); nl = false
+        }
+        if (i < n && (src.charAt(i).isLetter || src.charAt(i) == '_' || src.charAt(i) == '$'))
+          err("identifier starts immediately after numeric literal")
+      } else if (c == '"' || c == '\'') {
+        val quote = c
+        val sb = new java.lang.StringBuilder
+        i += 1
+        var closed = false
+        while (i < n && !closed) {
+          val ch = src.charAt(i)
+          if (ch == quote) { closed = true; i += 1 }
+          else if (ch == '\n') err("unterminated string literal")
+          else if (ch == '\\') { i += 1; if (i >= n) err("unterminated string literal"); i = readEscape(src, i, sb, () => { line += 1 }, err) }
+          else { sb.append(ch); i += 1 }
+        }
+        if (!closed) err("unterminated string literal")
+        out += Token("str", sb.toString, 0, line, nl); nl = false
+      } else if (c == '`') {
+        // hand the parser the raw template span (backtick to backtick,
+        // honoring ${...} nesting); the parser re-lexes the holes
+        val start = i
+        i += 1
+        var depth = 0
+        var closed = false
+        val startLine = line
+        while (i < n && !closed) {
+          val ch = src.charAt(i)
+          if (ch == '\n') { line += 1 }
+          if (ch == '\\') i += 2
+          else if (depth == 0 && ch == '`') { closed = true; i += 1 }
+          else if (ch == '$' && i + 1 < n && src.charAt(i + 1) == '{') { depth += 1; i += 2 }
+          else if (depth > 0 && ch == '}') { depth -= 1; i += 1 }
+          else if (depth > 0 && ch == '{') { depth += 1; i += 1 } // nested object literal in hole
+          else i += 1
+        }
+        if (!closed) { line = startLine; err("unterminated template literal") }
+        out += Token("template", src.substring(start, i), 0, startLine, nl); nl = false
+      } else if (c == '/' && !prevEndsExpr) {
+        // regex literal
+        val start = i
+        i += 1
+        var inClass = false
+        var closed = false
+        while (i < n && !closed) {
+          val ch = src.charAt(i)
+          if (ch == '\n') err("unterminated regular expression")
+          else if (ch == '\\') i += 2
+          else if (ch == '[') { inClass = true; i += 1 }
+          else if (ch == ']') { inClass = false; i += 1 }
+          else if (ch == '/' && !inClass) { closed = true; i += 1 }
+          else i += 1
+        }
+        if (!closed) err("unterminated regular expression")
+        val flagStart = i
+        while (i < n && (src.charAt(i).isLetter)) i += 1
+        out += Token("regex", src.substring(start, i), 0, line, nl); nl = false
+        val _ = flagStart
+      } else if (Character.isJavaIdentifierStart(c) || c == '$') {
+        val start = i
+        while (i < n && (Character.isJavaIdentifierPart(src.charAt(i)) || src.charAt(i) == '$')) i += 1
+        val text = src.substring(start, i)
+        if (Rejected.contains(text))
+          err(s"'$text' is not supported in lens code")
+        val kind = if (Keywords.contains(text)) "keyword" else "ident"
+        out += Token(kind, text, 0, line, nl); nl = false
+      } else {
+        var matched: String = null
+        var k = 0
+        while (matched == null && k < Puncts.length) {
+          val p = Puncts(k)
+          if (src.startsWith(p, i)) matched = p
+          k += 1
+        }
+        if (matched == null) err(s"unexpected character '$c'")
+        if (matched == "`") err("unterminated template literal")
+        out += Token("punct", matched, 0, line, nl); nl = false
+        i += matched.length
+      }
+    }
+    out += Token("eof", "", 0, line, nl)
+    out.toVector
+  }
+
+  /** read one escape sequence starting at src(i) (the char after '\'),
+    * append the decoded char(s), return the next index */
+  private def readEscape(src: String, i0: Int, sb: java.lang.StringBuilder,
+                         onNewline: () => Unit, err: String => Nothing): Int = {
+    var i = i0
+    val e = src.charAt(i)
+    e match {
+      case 'n' => sb.append('\n'); i + 1
+      case 't' => sb.append('\t'); i + 1
+      case 'r' => sb.append('\r'); i + 1
+      case 'b' => sb.append('\b'); i + 1
+      case 'f' => sb.append('\f'); i + 1
+      case 'v' => sb.append('\u000b'); i + 1
+      case '0' if i + 1 >= src.length || !src.charAt(i + 1).isDigit => sb.append('\u0000'); i + 1
+      case 'x' =>
+        if (i + 2 >= src.length) err("bad \\x escape")
+        sb.append(Integer.parseInt(src.substring(i + 1, i + 3), 16).toChar); i + 3
+      case 'u' =>
+        if (i + 1 < src.length && src.charAt(i + 1) == '{') {
+          val close = src.indexOf('}', i + 2)
+          if (close < 0) err("bad \\u{} escape")
+          val cp = Integer.parseInt(src.substring(i + 2, close), 16)
+          sb.appendCodePoint(cp); close + 1
+        } else {
+          if (i + 4 >= src.length) err("bad \\u escape")
+          sb.append(Integer.parseInt(src.substring(i + 1, i + 5), 16).toChar); i + 5
+        }
+      case '\n' => onNewline(); i + 1 // line continuation
+      case '\r' =>
+        onNewline()
+        if (i + 1 < src.length && src.charAt(i + 1) == '\n') i + 2 else i + 1
+      case other => sb.append(other); i + 1
+    }
+  }
+
+  /** decode escapes inside a template literal chunk (cooked value) */
+  def cookTemplateChunk(raw: String, line: Int): String = {
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    def err(msg: String): Nothing = throw new JsSyntaxError(msg, line)
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (c == '\\' && i + 1 < raw.length) i = readEscape(raw, i + 1, sb, () => (), err)
+      else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+}

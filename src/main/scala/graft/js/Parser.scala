@@ -1,0 +1,726 @@
+package graft.js
+
+import Ast._
+import Lexer.Token
+import scala.collection.mutable.ArrayBuffer
+
+/** Recursive-descent / precedence-climbing parser for the JS subset.
+  *
+  * Automatic semicolon insertion follows the spec's three rules in
+  * simplified form: a statement is terminated by `;`, or by `}` / EOF, or
+  * by a token preceded by a line break that cannot continue the current
+  * statement. `return`/`throw`/`break`/`continue` and postfix `++`/`--`
+  * honor the restricted-production rule (no line break allowed before the
+  * operand/operator).
+  *
+  * Unsupported ES features (classes, generators, async, getters/setters,
+  * labels on everything we don't loop, `with`) fail here with a
+  * [[JsSyntaxError]] — surfaced by the lens worker as a STARTUP error, the
+  * same contract as the reference isolate compile step
+  * (reference: library/workers/javascript-lens-worker.js:102-111,
+  * test/test-workers-javascript-lens.js:21-30).
+  */
+final class Parser(tokens: Vector[Token]) {
+  private var p = 0
+
+  private def peek: Token = tokens(p)
+  private def peekAt(k: Int): Token = tokens(math.min(p + k, tokens.length - 1))
+  private def pos: Pos = Pos(peek.line)
+  private def advance(): Token = { val t = tokens(p); if (p < tokens.length - 1) p += 1; t }
+  private def err(msg: String): Nothing = throw new JsSyntaxError(msg, peek.line)
+
+  private def at(kind: String, text: String): Boolean = peek.kind == kind && peek.text == text
+  private def atPunct(text: String): Boolean = at("punct", text)
+  private def atKw(text: String): Boolean = at("keyword", text)
+  private def eat(kind: String, text: String): Token = {
+    if (!at(kind, text)) err(s"expected '$text' but found '${if (peek.kind == "eof") "end of code" else peek.text}'")
+    advance()
+  }
+  private def eatPunct(text: String): Token = eat("punct", text)
+
+  def parseProgram(): Program = {
+    val stmts = ArrayBuffer.empty[Stmt]
+    while (peek.kind != "eof") stmts += parseStatement()
+    Program(stmts.toVector)
+  }
+
+  // ---------------- statements ----------------
+
+  private def parseStatement(): Stmt = {
+    val p0 = pos
+    peek.kind match {
+      case "punct" if peek.text == "{" => parseBlock()
+      case "punct" if peek.text == ";" => advance(); Empty(p0)
+      case "keyword" => peek.text match {
+        case "var" | "let" | "const" => val d = parseVarDecl(); expectSemi(); d
+        case "function" => parseFnDecl()
+        case "if" => parseIf()
+        case "for" => parseFor()
+        case "while" => parseWhile()
+        case "do" => parseDoWhile()
+        case "return" =>
+          advance()
+          val value =
+            if (atPunct(";") || atPunct("}") || peek.kind == "eof" || peek.nlBefore) None
+            else Some(parseExpression())
+          expectSemi(); Return(value, p0)
+        case "throw" =>
+          advance()
+          if (peek.nlBefore) err("newline not allowed after 'throw'")
+          val v = parseExpression(); expectSemi(); Throw(v, p0)
+        case "try" => parseTry()
+        case "break" =>
+          advance()
+          val label = if (peek.kind == "ident" && !peek.nlBefore) Some(advance().text) else None
+          expectSemi(); Break(label, p0)
+        case "continue" =>
+          advance()
+          val label = if (peek.kind == "ident" && !peek.nlBefore) Some(advance().text) else None
+          expectSemi(); Continue(label, p0)
+        case "switch" => parseSwitch()
+        case _ => val e = parseExpression(); expectSemi(); ExprStmt(e, p0)
+      }
+      case "ident" if peekAt(1).is("punct", ":") =>
+        val label = advance().text
+        advance() // :
+        Labeled(label, parseStatement(), p0)
+      case _ => val e = parseExpression(); expectSemi(); ExprStmt(e, p0)
+    }
+  }
+
+  /** simplified ASI: `;` consumed if present; otherwise legal only before
+    * `}` / EOF or when a line break preceded the next token */
+  private def expectSemi(): Unit = {
+    if (atPunct(";")) { advance(); return }
+    if (atPunct("}") || peek.kind == "eof" || peek.nlBefore) return
+    err(s"expected ';' but found '${peek.text}'")
+  }
+
+  private def parseBlock(): Block = {
+    val p0 = pos
+    eatPunct("{")
+    val stmts = ArrayBuffer.empty[Stmt]
+    while (!atPunct("}")) {
+      if (peek.kind == "eof") err("unexpected end of code in block")
+      stmts += parseStatement()
+    }
+    eatPunct("}")
+    Block(stmts.toVector, p0)
+  }
+
+  private def parseVarDecl(): VarDecl = {
+    val p0 = pos
+    val kind = advance().text
+    val decls = ArrayBuffer.empty[(Pattern, Option[Expr])]
+    var more = true
+    while (more) {
+      val pat = parseBindingPattern()
+      val init = if (atPunct("=")) { advance(); Some(parseAssignExpr()) } else None
+      if (kind == "const" && init.isEmpty) err("missing initializer in const declaration")
+      decls += ((pat, init))
+      if (atPunct(",")) advance() else more = false
+    }
+    VarDecl(kind, decls.toVector, p0)
+  }
+
+  private def parseBindingPattern(): Pattern = {
+    val p0 = pos
+    if (peek.kind == "ident") IdPattern(advance().text, p0)
+    else if (atPunct("[")) {
+      advance()
+      val elems = ArrayBuffer.empty[Option[Pattern]]
+      var rest: Option[String] = None
+      while (!atPunct("]")) {
+        if (atPunct(",")) { elems += None; advance() }
+        else if (atPunct("...")) {
+          advance()
+          if (peek.kind != "ident") err("rest element must be an identifier")
+          rest = Some(advance().text)
+          if (!atPunct("]")) err("rest element must be last")
+        } else {
+          elems += Some(parseBindingWithDefault())
+          if (atPunct(",")) advance()
+          else if (!atPunct("]")) err("expected ',' or ']' in array pattern")
+        }
+      }
+      eatPunct("]")
+      ArrayPattern(elems.toVector, rest, p0)
+    } else if (atPunct("{")) {
+      advance()
+      val entries = ArrayBuffer.empty[(String, Pattern)]
+      var rest: Option[String] = None
+      while (!atPunct("}")) {
+        if (atPunct("...")) {
+          advance()
+          if (peek.kind != "ident") err("rest element must be an identifier")
+          rest = Some(advance().text)
+          if (!atPunct("}")) err("rest element must be last")
+        } else {
+          val key =
+            if (peek.kind == "ident" || peek.kind == "keyword") advance().text
+            else if (peek.kind == "str") advance().text
+            else err("expected property name in object pattern")
+          val target: Pattern =
+            if (atPunct(":")) { advance(); parseBindingWithDefault() }
+            else {
+              val base = IdPattern(key, p0)
+              if (atPunct("=")) { advance(); DefaultPattern(base, parseAssignExpr(), p0) } else base
+            }
+          entries += ((key, target))
+          if (atPunct(",")) advance()
+          else if (!atPunct("}")) err("expected ',' or '}' in object pattern")
+        }
+      }
+      eatPunct("}")
+      ObjectPattern(entries.toVector, rest, p0)
+    } else err("expected binding identifier or destructuring pattern")
+  }
+
+  private def parseBindingWithDefault(): Pattern = {
+    val p0 = pos
+    val base = parseBindingPattern()
+    if (atPunct("=")) { advance(); DefaultPattern(base, parseAssignExpr(), p0) } else base
+  }
+
+  private def parseFnDecl(): Stmt = {
+    val p0 = pos
+    advance() // function
+    if (atPunct("*")) err("generator functions are not supported in lens code")
+    if (peek.kind != "ident") err("function declarations need a name")
+    val name = advance().text
+    val (params, rest, body) = parseFnRest()
+    FnDecl(name, FnExpr(Some(name), params, rest, body, isArrow = false, None, p0), p0)
+  }
+
+  private def parseFnRest(): (Vector[Pattern], Option[String], Vector[Stmt]) = {
+    eatPunct("(")
+    val params = ArrayBuffer.empty[Pattern]
+    var rest: Option[String] = None
+    while (!atPunct(")")) {
+      if (atPunct("...")) {
+        advance()
+        if (peek.kind != "ident") err("rest parameter must be an identifier")
+        rest = Some(advance().text)
+        if (!atPunct(")")) err("rest parameter must be last")
+      } else {
+        params += parseBindingWithDefault()
+        if (atPunct(",")) advance()
+        else if (!atPunct(")")) err("expected ',' or ')' in parameter list")
+      }
+    }
+    eatPunct(")")
+    val body = parseBlock().stmts
+    (params.toVector, rest, body)
+  }
+
+  private def parseIf(): Stmt = {
+    val p0 = pos
+    advance(); eatPunct("(")
+    val test = parseExpression()
+    eatPunct(")")
+    val cons = parseStatement()
+    val alt = if (atKw("else")) { advance(); Some(parseStatement()) } else None
+    If(test, cons, alt, p0)
+  }
+
+  private def parseWhile(): Stmt = {
+    val p0 = pos
+    advance(); eatPunct("(")
+    val test = parseExpression()
+    eatPunct(")")
+    While(test, parseStatement(), p0)
+  }
+
+  private def parseDoWhile(): Stmt = {
+    val p0 = pos
+    advance()
+    val body = parseStatement()
+    if (!atKw("while")) err("expected 'while' after do-block")
+    advance(); eatPunct("(")
+    val test = parseExpression()
+    eatPunct(")")
+    if (atPunct(";")) advance()
+    DoWhile(body, test, p0)
+  }
+
+  private def parseFor(): Stmt = {
+    val p0 = pos
+    advance(); eatPunct("(")
+    // distinguish for(;;) / for(init;test;upd) / for-of / for-in
+    if (atPunct(";")) {
+      advance()
+      return parseForClassic(None, p0)
+    }
+    val declKind = if (atKw("var") || atKw("let") || atKw("const")) Some(peek.text) else None
+    val mark = p
+    if (declKind.isDefined) {
+      advance()
+      val pat = parseBindingPattern()
+      if (atKw("of") || atKw("in")) {
+        val isOf = advance().text == "of"
+        val obj = parseAssignExpr()
+        eatPunct(")")
+        return ForInOf(declKind.get, pat, obj, isOf, parseStatement(), p0)
+      }
+      // classic with declaration: rewind and parse as full VarDecl
+      p = mark
+      val d = parseVarDecl()
+      eatPunct(";")
+      return parseForClassic(Some(d), p0)
+    }
+    // no declaration: either `for (x of y)` / `for (x.y in z)` or classic with init expr
+    val exprMark = p
+    val target = parseExpression()
+    if (atKw("of") || atKw("in")) {
+      val isOf = advance().text == "of"
+      val pat = target match {
+        case Ident(n, ip) => IdPattern(n, ip)
+        case _ => err("for-" + (if (isOf) "of" else "in") + " target must be a simple identifier (declare it with const/let)")
+      }
+      val obj = parseAssignExpr()
+      eatPunct(")")
+      ForInOf("", pat, obj, isOf, parseStatement(), p0)
+    } else {
+      p = exprMark
+      val initE = parseExpression()
+      eatPunct(";")
+      parseForClassic(Some(ExprStmt(initE, p0)), p0)
+    }
+  }
+
+  private def parseForClassic(init: Option[Stmt], p0: Pos): Stmt = {
+    val test = if (atPunct(";")) None else Some(parseExpression())
+    eatPunct(";")
+    val update = if (atPunct(")")) None else Some(parseExpression())
+    eatPunct(")")
+    For(init, test, update, parseStatement(), p0)
+  }
+
+  private def parseTry(): Stmt = {
+    val p0 = pos
+    advance()
+    val block = parseBlock()
+    var catchParam: Option[Pattern] = None
+    var catchBlock: Option[Block] = None
+    if (atKw("catch")) {
+      advance()
+      if (atPunct("(")) { advance(); catchParam = Some(parseBindingPattern()); eatPunct(")") }
+      catchBlock = Some(parseBlock())
+    }
+    val finallyBlock = if (atKw("finally")) { advance(); Some(parseBlock()) } else None
+    if (catchBlock.isEmpty && finallyBlock.isEmpty) err("try needs catch or finally")
+    Try(block, catchParam, catchBlock, finallyBlock, p0)
+  }
+
+  private def parseSwitch(): Stmt = {
+    val p0 = pos
+    advance(); eatPunct("(")
+    val disc = parseExpression()
+    eatPunct(")")
+    eatPunct("{")
+    val cases = ArrayBuffer.empty[(Option[Expr], Vector[Stmt])]
+    var sawDefault = false
+    while (!atPunct("}")) {
+      val test: Option[Expr] =
+        if (atKw("case")) { advance(); val e = Some(parseExpression()); eatPunct(":"); e }
+        else if (atKw("default")) {
+          if (sawDefault) err("duplicate default clause")
+          sawDefault = true; advance(); eatPunct(":"); None
+        } else err("expected 'case' or 'default' in switch body")
+      val stmts = ArrayBuffer.empty[Stmt]
+      while (!atPunct("}") && !atKw("case") && !atKw("default")) stmts += parseStatement()
+      cases += ((test, stmts.toVector))
+    }
+    eatPunct("}")
+    Switch(disc, cases.toVector, p0)
+  }
+
+  // ---------------- expressions ----------------
+
+  def parseExpression(): Expr = {
+    val p0 = pos
+    val first = parseAssignExpr()
+    if (!atPunct(",")) first
+    else {
+      val exprs = ArrayBuffer[Expr](first)
+      while (atPunct(",")) { advance(); exprs += parseAssignExpr() }
+      Sequence(exprs.toVector, p0)
+    }
+  }
+
+  private def parseAssignExpr(): Expr = {
+    // arrow functions: lookahead for `ident =>` or `( ... ) =>`
+    if (peek.kind == "ident" && peekAt(1).is("punct", "=>")) {
+      val p0 = pos
+      val param = IdPattern(advance().text, p0)
+      advance() // =>
+      return parseArrowBody(Vector(param), None, p0)
+    }
+    if (atPunct("(") && isArrowParamList) {
+      val p0 = pos
+      val (params, rest) = parseArrowParams()
+      eatPunct("=>")
+      return parseArrowBody(params, rest, p0)
+    }
+    val p0 = pos
+    val left = parseConditional()
+    if (peek.kind == "punct" && AssignOps.contains(peek.text)) {
+      val op = advance().text
+      left match {
+        case _: Ident | _: Member => ()
+        case _ => err("invalid assignment target")
+      }
+      val right = parseAssignExpr()
+      Assign(op, left, right, p0)
+    } else left
+  }
+
+  private val AssignOps = Set("=", "+=", "-=", "*=", "/=", "%=", "**=", "&&=", "||=", "??=", "&=", "|=", "^=", "<<=", ">>=", ">>>=")
+
+  /** decide whether `(` opens an arrow parameter list by scanning to the
+    * matching `)` and checking for `=>` */
+  private def isArrowParamList: Boolean = {
+    var depth = 0
+    var k = p
+    while (k < tokens.length) {
+      val t = tokens(k)
+      if (t.kind == "punct" && (t.text == "(" || t.text == "[" || t.text == "{")) depth += 1
+      else if (t.kind == "punct" && (t.text == ")" || t.text == "]" || t.text == "}")) {
+        depth -= 1
+        if (depth == 0) return k + 1 < tokens.length && tokens(k + 1).is("punct", "=>")
+      } else if (t.kind == "eof") return false
+      k += 1
+    }
+    false
+  }
+
+  private def parseArrowParams(): (Vector[Pattern], Option[String]) = {
+    eatPunct("(")
+    val params = ArrayBuffer.empty[Pattern]
+    var rest: Option[String] = None
+    while (!atPunct(")")) {
+      if (atPunct("...")) {
+        advance()
+        if (peek.kind != "ident") err("rest parameter must be an identifier")
+        rest = Some(advance().text)
+      } else {
+        params += parseBindingWithDefault()
+      }
+      if (atPunct(",")) advance()
+      else if (!atPunct(")")) err("expected ',' or ')' in arrow parameters")
+    }
+    eatPunct(")")
+    (params.toVector, rest)
+  }
+
+  private def parseArrowBody(params: Vector[Pattern], rest: Option[String], p0: Pos): Expr = {
+    if (atPunct("{")) {
+      val body = parseBlock().stmts
+      FnExpr(None, params, rest, body, isArrow = true, None, p0)
+    } else {
+      val e = parseAssignExpr()
+      FnExpr(None, params, rest, Vector.empty, isArrow = true, Some(e), p0)
+    }
+  }
+
+  private def parseConditional(): Expr = {
+    val p0 = pos
+    val test = parseNullish()
+    if (atPunct("?")) {
+      advance()
+      val cons = parseAssignExpr()
+      eatPunct(":")
+      val alt = parseAssignExpr()
+      Cond(test, cons, alt, p0)
+    } else test
+  }
+
+  private def parseNullish(): Expr = leftAssocLogical(Seq("??"), () => parseOr())
+  private def parseOr(): Expr = leftAssocLogical(Seq("||"), () => parseAnd())
+  private def parseAnd(): Expr = leftAssocLogical(Seq("&&"), () => parseBitOr())
+
+  private def leftAssocLogical(ops: Seq[String], next: () => Expr): Expr = {
+    val p0 = pos
+    var left = next()
+    while (peek.kind == "punct" && ops.contains(peek.text)) {
+      val op = advance().text
+      left = Logical(op, left, next(), p0)
+    }
+    left
+  }
+
+  private def leftAssoc(ops: Seq[String], next: () => Expr, keywords: Seq[String] = Nil): Expr = {
+    val p0 = pos
+    var left = next()
+    while ((peek.kind == "punct" && ops.contains(peek.text)) ||
+           (peek.kind == "keyword" && keywords.contains(peek.text))) {
+      val op = advance().text
+      left = Binary(op, left, next(), p0)
+    }
+    left
+  }
+
+  private def parseBitOr(): Expr = leftAssoc(Seq("|"), () => parseBitXor())
+  private def parseBitXor(): Expr = leftAssoc(Seq("^"), () => parseBitAnd())
+  private def parseBitAnd(): Expr = leftAssoc(Seq("&"), () => parseEquality())
+  private def parseEquality(): Expr = leftAssoc(Seq("==", "!=", "===", "!=="), () => parseRelational())
+  private def parseRelational(): Expr =
+    leftAssoc(Seq("<", ">", "<=", ">="), () => parseShift(), keywords = Seq("instanceof", "in"))
+  private def parseShift(): Expr = leftAssoc(Seq("<<", ">>", ">>>"), () => parseAdditive())
+  private def parseAdditive(): Expr = leftAssoc(Seq("+", "-"), () => parseMultiplicative())
+  private def parseMultiplicative(): Expr = leftAssoc(Seq("*", "/", "%"), () => parseExponent())
+
+  private def parseExponent(): Expr = {
+    val p0 = pos
+    val base = parseUnary()
+    if (atPunct("**")) { advance(); Binary("**", base, parseExponent(), p0) } // right-assoc
+    else base
+  }
+
+  private def parseUnary(): Expr = {
+    val p0 = pos
+    if (peek.kind == "punct" && Seq("!", "-", "+", "~").contains(peek.text)) {
+      val op = advance().text
+      Unary(op, parseUnary(), p0)
+    } else if (atKw("typeof") || atKw("void") || atKw("delete")) {
+      val op = advance().text
+      Unary(op, parseUnary(), p0)
+    } else if (atPunct("++") || atPunct("--")) {
+      val op = advance().text
+      val target = parseUnary()
+      target match {
+        case _: Ident | _: Member => ()
+        case _ => err("invalid increment/decrement target")
+      }
+      Update(op, target, prefix = true, p0)
+    } else parsePostfix()
+  }
+
+  private def parsePostfix(): Expr = {
+    val p0 = pos
+    val e = parseCallMember()
+    if ((atPunct("++") || atPunct("--")) && !peek.nlBefore) {
+      val op = advance().text
+      e match {
+        case _: Ident | _: Member => ()
+        case _ => err("invalid increment/decrement target")
+      }
+      Update(op, e, prefix = false, p0)
+    } else e
+  }
+
+  private def parseCallMember(): Expr = {
+    var e: Expr =
+      if (atKw("new")) {
+        val p0 = pos
+        advance()
+        val callee = parseMemberOnly(parsePrimary())
+        val (args, spreads) =
+          if (atPunct("(")) parseArgs()
+          else (Vector.empty[Expr], Set.empty[Int])
+        NewExpr(callee, args, spreads, p0)
+      } else parsePrimary()
+    var more = true
+    while (more) {
+      val p0 = pos
+      if (atPunct(".")) {
+        advance()
+        if (peek.kind != "ident" && peek.kind != "keyword") err("expected property name after '.'")
+        e = Member(e, StrLit(advance().text, p0), computed = false, optional = false, p0)
+      } else if (atPunct("?.")) {
+        advance()
+        if (atPunct("(")) {
+          val (args, spreads) = parseArgs()
+          e = Call(e, args, spreads, optional = true, p0)
+        } else if (atPunct("[")) {
+          advance(); val idx = parseExpression(); eatPunct("]")
+          e = Member(e, idx, computed = true, optional = true, p0)
+        } else {
+          if (peek.kind != "ident" && peek.kind != "keyword") err("expected property name after '?.'")
+          e = Member(e, StrLit(advance().text, p0), computed = false, optional = true, p0)
+        }
+      } else if (atPunct("[")) {
+        advance()
+        val idx = parseExpression()
+        eatPunct("]")
+        e = Member(e, idx, computed = true, optional = false, p0)
+      } else if (atPunct("(")) {
+        val (args, spreads) = parseArgs()
+        e = Call(e, args, spreads, optional = false, p0)
+      } else if (peek.kind == "template") {
+        err("tagged template literals are not supported in lens code")
+      } else more = false
+    }
+    e
+  }
+
+  /** member chain without call — for `new X.Y.Z(...)` callee resolution */
+  private def parseMemberOnly(base: Expr): Expr = {
+    var e = base
+    var more = true
+    while (more) {
+      val p0 = pos
+      if (atPunct(".")) {
+        advance()
+        if (peek.kind != "ident" && peek.kind != "keyword") err("expected property name after '.'")
+        e = Member(e, StrLit(advance().text, p0), computed = false, optional = false, p0)
+      } else if (atPunct("[")) {
+        advance(); val idx = parseExpression(); eatPunct("]")
+        e = Member(e, idx, computed = true, optional = false, p0)
+      } else more = false
+    }
+    e
+  }
+
+  private def parseArgs(): (Vector[Expr], Set[Int]) = {
+    eatPunct("(")
+    val args = ArrayBuffer.empty[Expr]
+    val spreads = scala.collection.mutable.Set.empty[Int]
+    while (!atPunct(")")) {
+      if (atPunct("...")) { advance(); spreads += args.length }
+      args += parseAssignExpr()
+      if (atPunct(",")) advance()
+      else if (!atPunct(")")) err("expected ',' or ')' in arguments")
+    }
+    eatPunct(")")
+    (args.toVector, spreads.toSet)
+  }
+
+  private def parsePrimary(): Expr = {
+    val p0 = pos
+    peek.kind match {
+      case "num" => NumLit(advance().num, p0)
+      case "str" => StrLit(advance().text, p0)
+      case "template" => parseTemplate(advance())
+      case "regex" =>
+        val t = advance()
+        val lastSlash = t.text.lastIndexOf('/')
+        RegexLit(t.text.substring(1, lastSlash), t.text.substring(lastSlash + 1), p0)
+      case "ident" => Ident(advance().text, p0)
+      case "keyword" => peek.text match {
+        case "true" => advance(); BoolLit(true, p0)
+        case "false" => advance(); BoolLit(false, p0)
+        case "null" => advance(); NullLit(p0)
+        case "undefined" => advance(); UndefinedLit(p0)
+        case "this" => advance(); ThisExpr(p0)
+        case "function" =>
+          advance()
+          if (atPunct("*")) err("generator functions are not supported in lens code")
+          val name = if (peek.kind == "ident") Some(advance().text) else None
+          val (params, rest, body) = parseFnRest()
+          FnExpr(name, params, rest, body, isArrow = false, None, p0)
+        case "new" => parseCallMember() // handled there
+        case other => err(s"unexpected keyword '$other'")
+      }
+      case "punct" => peek.text match {
+        case "(" =>
+          advance()
+          val e = parseExpression()
+          eatPunct(")")
+          e
+        case "[" =>
+          advance()
+          val items = ArrayBuffer.empty[Expr]
+          val spreads = scala.collection.mutable.Set.empty[Int]
+          while (!atPunct("]")) {
+            if (atPunct(",")) { items += UndefinedLit(p0); advance() } // elision
+            else {
+              if (atPunct("...")) { advance(); spreads += items.length }
+              items += parseAssignExpr()
+              if (atPunct(",")) advance()
+              else if (!atPunct("]")) err("expected ',' or ']' in array literal")
+            }
+          }
+          eatPunct("]")
+          ArrayLit(items.toVector, spreads.toSet, p0)
+        case "{" => parseObjectLit()
+        case other => err(s"unexpected token '$other'")
+      }
+      case "eof" => err("unexpected end of code")
+      case other => err(s"unexpected $other token")
+    }
+  }
+
+  private def parseObjectLit(): Expr = {
+    val p0 = pos
+    eatPunct("{")
+    val entries = ArrayBuffer.empty[(Expr, Expr)]
+    val computed = scala.collection.mutable.Set.empty[Int]
+    val spreads = scala.collection.mutable.Set.empty[Int]
+    while (!atPunct("}")) {
+      val entryPos = pos
+      if (atPunct("...")) {
+        advance()
+        spreads += entries.length
+        entries += ((StrLit("", entryPos), parseAssignExpr()))
+      } else {
+        val keyExpr: Expr =
+          if (atPunct("[")) { advance(); val k = parseAssignExpr(); eatPunct("]"); computed += entries.length; k }
+          else if (peek.kind == "ident" || peek.kind == "keyword") StrLit(advance().text, entryPos)
+          else if (peek.kind == "str") StrLit(advance().text, entryPos)
+          else if (peek.kind == "num") StrLit(Values.numToString(advance().num), entryPos)
+          else err("expected property name in object literal")
+        if (atPunct("(")) {
+          // method shorthand {m() {...}}
+          val (params, rest, body) = parseFnRest()
+          entries += ((keyExpr, FnExpr(None, params, rest, body, isArrow = false, None, entryPos)))
+        } else if (atPunct(":")) {
+          advance()
+          entries += ((keyExpr, parseAssignExpr()))
+        } else {
+          // shorthand {a}
+          keyExpr match {
+            case StrLit(nm, kp) => entries += ((keyExpr, Ident(nm, kp)))
+            case _ => err("expected ':' after computed property name")
+          }
+        }
+      }
+      if (atPunct(",")) advance()
+      else if (!atPunct("}")) err("expected ',' or '}' in object literal")
+    }
+    eatPunct("}")
+    ObjectLit(entries.toVector, computed.toSet, spreads.toSet, p0)
+  }
+
+  /** re-lex a raw template token (`...${e}...`) into parts + hole exprs */
+  private def parseTemplate(t: Token): Expr = {
+    val raw = t.text
+    val inner = raw.substring(1, raw.length - 1) // strip backticks
+    val parts = ArrayBuffer.empty[String]
+    val exprs = ArrayBuffer.empty[Expr]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < inner.length) {
+      val c = inner.charAt(i)
+      if (c == '\\') { sb.append(c); if (i + 1 < inner.length) sb.append(inner.charAt(i + 1)); i += 2 }
+      else if (c == '$' && i + 1 < inner.length && inner.charAt(i + 1) == '{') {
+        parts += Lexer.cookTemplateChunk(sb.toString, t.line); sb.setLength(0)
+        var depth = 1
+        val start = i + 2
+        var j = start
+        while (j < inner.length && depth > 0) {
+          val cj = inner.charAt(j)
+          if (cj == '{') depth += 1
+          else if (cj == '}') depth -= 1
+          if (depth > 0) j += 1
+        }
+        if (depth != 0) throw new JsSyntaxError("unterminated ${...} in template literal", t.line)
+        val holeSrc = inner.substring(start, j)
+        val holeTokens = Lexer.tokenize(holeSrc)
+        val holeParser = new Parser(holeTokens)
+        val holeExpr = holeParser.parseExpression()
+        if (holeParser.peek.kind != "eof")
+          throw new JsSyntaxError("unexpected tokens in template hole", t.line)
+        exprs += holeExpr
+        i = j + 1
+      } else { sb.append(c); i += 1 }
+    }
+    parts += Lexer.cookTemplateChunk(sb.toString, t.line)
+    TemplateLit(parts.toVector, exprs.toVector, Pos(t.line))
+  }
+}
+
+object Parser {
+  /** parse a full program (lens map body) */
+  def parse(src: String): Program = new Parser(Lexer.tokenize(src)).parseProgram()
+}

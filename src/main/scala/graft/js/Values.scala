@@ -1,0 +1,310 @@
+package graft.js
+
+import scala.collection.mutable
+import scala.util.control.NoStackTrace
+
+/** Runtime values for the JS subset interpreter.
+  *
+  * Numbers are IEEE doubles (JS semantics); strings are UTF-16 Java
+  * strings (same code-unit model as JS). Objects and arrays are mutable
+  * with insertion-ordered properties. `Set`/`Map` use SameValueZero keys
+  * in insertion order — the reference's golden lens emits `new
+  * Set([path.recordID])` values whose canonical encoding depends on
+  * insertion order (reference: test/test-models-lens.js:31-53).
+  */
+sealed trait JsValue
+
+case object JsUndefined extends JsValue
+case object JsNull extends JsValue
+final case class JsBool(b: Boolean) extends JsValue
+final case class JsNum(v: Double) extends JsValue
+final case class JsStr(s: String) extends JsValue
+
+final class JsObject(val props: mutable.LinkedHashMap[String, JsValue],
+                     val className: String = "Object") extends JsValue {
+  var frozen: Boolean = false
+}
+object JsObject {
+  def empty(className: String = "Object"): JsObject =
+    new JsObject(mutable.LinkedHashMap.empty, className)
+  def of(entries: (String, JsValue)*): JsObject = {
+    val o = empty()
+    entries.foreach { case (k, v) => o.props.put(k, v) }
+    o
+  }
+}
+
+final class JsArray(val items: mutable.ArrayBuffer[JsValue]) extends JsValue
+object JsArray {
+  def empty: JsArray = new JsArray(mutable.ArrayBuffer.empty)
+  def of(vs: JsValue*): JsArray = new JsArray(mutable.ArrayBuffer(vs: _*))
+}
+
+/** SameValueZero key wrapper: primitives by value (NaN == NaN),
+  * objects/arrays/functions by reference identity. */
+final class JsKey(val v: JsValue) {
+  override def hashCode: Int = v match {
+    case JsUndefined => 0
+    case JsNull => 1
+    case JsBool(b) => if (b) 2 else 3
+    case JsNum(d) => if (d == 0.0) 4 else java.lang.Double.hashCode(d) // +0 and -0 same bucket
+    case JsStr(s) => s.hashCode
+    case other => System.identityHashCode(other)
+  }
+  override def equals(o: Any): Boolean = o match {
+    case k: JsKey => (v, k.v) match {
+      case (JsUndefined, JsUndefined) | (JsNull, JsNull) => true
+      case (JsBool(a), JsBool(b)) => a == b
+      case (JsNum(a), JsNum(b)) =>
+        (a == b) || (java.lang.Double.isNaN(a) && java.lang.Double.isNaN(b))
+      case (JsStr(a), JsStr(b)) => a == b
+      case (a, b) => a.asInstanceOf[AnyRef] eq b.asInstanceOf[AnyRef]
+    }
+    case _ => false
+  }
+}
+
+final class JsSetV(val entries: mutable.LinkedHashMap[JsKey, JsValue]) extends JsValue
+object JsSetV { def empty: JsSetV = new JsSetV(mutable.LinkedHashMap.empty) }
+
+final class JsMapV(val entries: mutable.LinkedHashMap[JsKey, (JsValue, JsValue)]) extends JsValue
+object JsMapV { def empty: JsMapV = new JsMapV(mutable.LinkedHashMap.empty) }
+
+/** Raw bytes (attachments / binary record fields ride through untouched). */
+final class JsBytes(val bytes: Array[Byte]) extends JsValue
+
+/** An instant with an explicit epoch-millis origin (argless `new Date()`
+  * is rejected — lens determinism, same policy as the environment's
+  * Math.random trap). */
+final case class JsDate(epochMillis: Double) extends JsValue
+
+final class JsRegExpV(val source: String, val flags: String,
+                      val pattern: java.util.regex.Pattern) extends JsValue {
+  var lastIndex: Int = 0
+  def global: Boolean = flags.contains('g')
+}
+
+sealed trait JsFunc extends JsValue { def name: String }
+/** user-defined function/closure */
+final class JsClosure(val fnName: Option[String], val params: Vector[Ast.Pattern],
+                      val restParam: Option[String], val body: Vector[Ast.Stmt],
+                      val exprBody: Option[Ast.Expr], val isArrow: Boolean,
+                      val env: Scope, val capturedThis: JsValue) extends JsFunc {
+  def name: String = fnName.getOrElse("")
+}
+/** host-provided function */
+final class JsNative(val name: String,
+                     val fn: (JsValue, Vector[JsValue]) => JsValue) extends JsFunc
+
+/** a JS `throw` in flight; only THESE are catchable by user try/catch —
+  * budget violations (timeout/memory/steps) are host exceptions that
+  * escape the interpreter, matching the reference isolate where a
+  * timeout/OOM kills the map call even inside user try blocks. */
+final case class JsThrown(value: JsValue)
+  extends RuntimeException(Values.errorMessageOf(value)) with NoStackTrace
+
+/** lexical scope for bindings */
+final class Scope(val parent: Scope) {
+  val vars: mutable.HashMap[String, JsValue] = mutable.HashMap.empty
+  val consts: mutable.HashSet[String] = mutable.HashSet.empty
+
+  def declare(name: String, v: JsValue, const: Boolean = false): Unit = {
+    vars.put(name, v)
+    if (const) consts.add(name) else consts.remove(name)
+  }
+  def lookup(name: String): Option[JsValue] = {
+    var s: Scope = this
+    while (s != null) {
+      val got = s.vars.get(name)
+      if (got.isDefined) return got
+      s = s.parent
+    }
+    None
+  }
+  /** returns false if the name is not declared anywhere */
+  def assign(name: String, v: JsValue): Boolean = {
+    var s: Scope = this
+    while (s != null) {
+      if (s.vars.contains(name)) {
+        if (s.consts.contains(name))
+          throw JsThrown(Values.makeError("TypeError", s"Assignment to constant variable '$name'"))
+        s.vars.put(name, v)
+        return true
+      }
+      s = s.parent
+    }
+    false
+  }
+}
+
+object Values {
+
+  def truthy(v: JsValue): Boolean = v match {
+    case JsUndefined | JsNull => false
+    case JsBool(b) => b
+    case JsNum(d) => d != 0.0 && !java.lang.Double.isNaN(d)
+    case JsStr(s) => s.nonEmpty
+    case _ => true
+  }
+
+  def typeOf(v: JsValue): String = v match {
+    case JsUndefined => "undefined"
+    case JsNull => "object"
+    case _: JsBool => "boolean"
+    case _: JsNum => "number"
+    case _: JsStr => "string"
+    case _: JsFunc => "function"
+    case _ => "object"
+  }
+
+  /** ECMA-262 Number::toString(10) — JS formatting, not Java's
+    * (integral values print without ".0"; scientific only outside
+    * [1e-6, 1e21)). */
+  def numToString(d: Double): String = {
+    if (java.lang.Double.isNaN(d)) return "NaN"
+    if (d == 0.0) return "0"
+    if (java.lang.Double.isInfinite(d)) return if (d > 0) "Infinity" else "-Infinity"
+    val neg = d < 0
+    val abs = math.abs(d)
+    // shortest-roundtrip digits from Java, then re-layout per JS rules
+    val java_ = java.lang.Double.toString(abs) // e.g. "1.23E8", "0.001", "42.0"
+    val (digitsRaw, expRaw) = java_.indexOf('E') match {
+      case -1 => (java_, 0)
+      case e => (java_.substring(0, e), java_.substring(e + 1).toInt)
+    }
+    val dot = digitsRaw.indexOf('.')
+    val digitsAll = (digitsRaw.substring(0, dot) + digitsRaw.substring(dot + 1))
+    val intLen = dot
+    // strip leading zeros (e.g. "0.001" → digits "0001", intLen 1)
+    var lead = 0
+    while (lead < digitsAll.length - 1 && digitsAll.charAt(lead) == '0') lead += 1
+    var digits = digitsAll.substring(lead)
+    // n: decimal point position relative to digit string (value = 0.digits × 10^n)
+    var n = intLen - lead + expRaw
+    // strip trailing zeros
+    var end = digits.length
+    while (end > 1 && digits.charAt(end - 1) == '0') end -= 1
+    digits = digits.substring(0, end)
+    val k = digits.length
+    val s =
+      if (k <= n && n <= 21) digits + "0" * (n - k)
+      else if (0 < n && n <= 21) digits.substring(0, n) + "." + digits.substring(n)
+      else if (-6 < n && n <= 0) "0." + "0" * (-n) + digits
+      else {
+        val mant = if (k == 1) digits else digits.substring(0, 1) + "." + digits.substring(1)
+        val e = n - 1
+        mant + "e" + (if (e >= 0) "+" else "") + e
+      }
+    if (neg) "-" + s else s
+  }
+
+  /** ToNumber */
+  def toNumber(v: JsValue): Double = v match {
+    case JsUndefined => Double.NaN
+    case JsNull => 0.0
+    case JsBool(b) => if (b) 1.0 else 0.0
+    case JsNum(d) => d
+    case JsStr(s) => stringToNumber(s)
+    case JsDate(ms) => ms
+    case a: JsArray =>
+      if (a.items.isEmpty) 0.0
+      else if (a.items.length == 1) toNumber(a.items(0))
+      else Double.NaN
+    case _ => Double.NaN
+  }
+
+  def stringToNumber(s0: String): Double = {
+    val s = s0.trim
+    if (s.isEmpty) return 0.0
+    try {
+      if (s.startsWith("0x") || s.startsWith("0X")) java.lang.Long.parseLong(s.substring(2), 16).toDouble
+      else if (s.startsWith("0b") || s.startsWith("0B")) java.lang.Long.parseLong(s.substring(2), 2).toDouble
+      else if (s.startsWith("0o") || s.startsWith("0O")) java.lang.Long.parseLong(s.substring(2), 8).toDouble
+      else if (s == "Infinity" || s == "+Infinity") Double.PositiveInfinity
+      else if (s == "-Infinity") Double.NegativeInfinity
+      else {
+        // reject Java-isms JS does not accept: trailing 'd'/'f', leading '.''s ok
+        if (s.exists(c => !(c.isDigit || c == '.' || c == 'e' || c == 'E' || c == '+' || c == '-'))) Double.NaN
+        else java.lang.Double.parseDouble(s)
+      }
+    } catch { case _: NumberFormatException => Double.NaN }
+  }
+
+  def toInt32(d: Double): Int = {
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) 0
+    else d.toLong.toInt
+  }
+  def toUint32(d: Double): Long = toInt32(d).toLong & 0xffffffffL
+
+  /** ToString */
+  def toStr(v: JsValue): String = v match {
+    case JsUndefined => "undefined"
+    case JsNull => "null"
+    case JsBool(b) => b.toString
+    case JsNum(d) => numToString(d)
+    case JsStr(s) => s
+    case a: JsArray => a.items.map {
+      case JsUndefined | JsNull => ""
+      case x => toStr(x)
+    }.mkString(",")
+    case o: JsObject if o.className.endsWith("Error") =>
+      val name = o.props.get("name").map(toStr).getOrElse(o.className)
+      val msg = o.props.get("message").map(toStr).getOrElse("")
+      if (msg.isEmpty) name else s"$name: $msg"
+    case _: JsObject => "[object Object]"
+    case f: JsFunc => s"function ${f.name}() { [code] }"
+    case _: JsSetV => "[object Set]"
+    case _: JsMapV => "[object Map]"
+    case b: JsBytes => s"[bytes ${b.bytes.length}]"
+    case JsDate(ms) => java.time.Instant.ofEpochMilli(ms.toLong).toString
+    case r: JsRegExpV => s"/${r.source}/${r.flags}"
+  }
+
+  /** === */
+  def strictEquals(a: JsValue, b: JsValue): Boolean = (a, b) match {
+    case (JsUndefined, JsUndefined) | (JsNull, JsNull) => true
+    case (JsBool(x), JsBool(y)) => x == y
+    case (JsNum(x), JsNum(y)) => x == y // NaN !== NaN, +0 === -0
+    case (JsStr(x), JsStr(y)) => x == y
+    case (x: AnyRef, y: AnyRef) => x eq y
+  }
+
+  /** == with spec coercions */
+  def looseEquals(a: JsValue, b: JsValue): Boolean = (a, b) match {
+    case (JsUndefined | JsNull, JsUndefined | JsNull) => true
+    case (JsNum(x), JsNum(y)) => x == y
+    case (JsStr(x), JsStr(y)) => x == y
+    case (JsBool(x), JsBool(y)) => x == y
+    case (JsNum(x), JsStr(s)) => x == stringToNumber(s)
+    case (JsStr(s), JsNum(y)) => stringToNumber(s) == y
+    case (JsBool(_), _) => looseEquals(JsNum(toNumber(a)), b)
+    case (_, JsBool(_)) => looseEquals(a, JsNum(toNumber(b)))
+    case (JsNum(_) | JsStr(_), _: JsObject | _: JsArray) => looseEquals(a, toPrimitive(b))
+    case (_: JsObject | _: JsArray, JsNum(_) | JsStr(_)) => looseEquals(toPrimitive(a), b)
+    case (x: AnyRef, y: AnyRef) => x eq y
+  }
+
+  /** ToPrimitive with default hint (objects → toString for our subset) */
+  def toPrimitive(v: JsValue): JsValue = v match {
+    case _: JsObject | _: JsArray | _: JsSetV | _: JsMapV | _: JsFunc | _: JsRegExpV | _: JsBytes => JsStr(toStr(v))
+    case JsDate(ms) => JsNum(ms)
+    case prim => prim
+  }
+
+  def makeError(errType: String, message: String): JsObject = {
+    val o = JsObject.empty(errType)
+    o.props.put("name", JsStr(errType))
+    o.props.put("message", JsStr(message))
+    o.props.put("stack", JsStr(s"$errType: $message"))
+    o
+  }
+
+  def errorMessageOf(v: JsValue): String = v match {
+    case o: JsObject => o.props.get("message").map(toStr).getOrElse(toStr(v))
+    case other => toStr(other)
+  }
+
+  def throwType(msg: String): Nothing = throw JsThrown(makeError("TypeError", msg))
+  def throwRange(msg: String): Nothing = throw JsThrown(makeError("RangeError", msg))
+  def throwRef(msg: String): Nothing = throw JsThrown(makeError("ReferenceError", msg))
+}

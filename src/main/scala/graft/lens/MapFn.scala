@@ -116,10 +116,18 @@ object MapRunner {
       ctx.checkDeadline()
       ctx.result(None)
     } catch {
-      case e: Throwable =>
-        ctx.result(Some(CapturedError(e.getClass.getSimpleName,
-          String.valueOf(e.getMessage))))
+      case e: Throwable => ctx.result(Some(toCaptured(e)))
     }
+  }
+
+  /** A JS-lens throw reports the THROWN VALUE's constructor name, the
+    * way the reference does (javascript-lens-worker.js:44
+    * `error.constructor.name`); host exceptions report their class. */
+  private[lens] def toCaptured(e: Throwable): CapturedError = e match {
+    case graft.js.JsThrown(v) =>
+      CapturedError(graft.js.PoBridge.errorTypeOf(v), graft.js.Values.errorMessageOf(v))
+    case other =>
+      CapturedError(other.getClass.getSimpleName, String.valueOf(other.getMessage))
   }
 
   // --- preemptive sandbox ------------------------------------------------
@@ -173,8 +181,7 @@ object MapRunner {
         val res =
           try { fn.map(ctx); ctx.checkDeadline(); ctx.result(None) }
           catch {
-            case e: Throwable => ctx.result(Some(CapturedError(
-              e.getClass.getSimpleName, String.valueOf(e.getMessage))))
+            case e: Throwable => ctx.result(Some(toCaptured(e)))
           }
         done.complete(res)
       }
