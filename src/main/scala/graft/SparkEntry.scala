@@ -493,6 +493,14 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // ---- The engine path with USER JAVASCRIPT as the map runtime:
+    //      the same golden inverted index as q9, but the tokenizer is a
+    //      JS lens body executed by graft.js.Interp (mapType
+    //      'javascript' — the reference's native lens form). Same
+    //      oracle as q9: one SQL statement checks both map runtimes. ----
+    "q49_js_lens_token_index" -> ((s, dir) =>
+      graft.queries.LensTokenIndex.runJs(s, dir)),
+
     // Corpus length statistics with EXACT percentiles (Spark's
     // sort-based `percentile` aggregate, not approx_percentile): at
     // quarter fractions over integer lengths the linear interpolation
@@ -1076,6 +1084,18 @@ object SparkEntry {
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM c WHERE budget IS NOT NULL AND cum <= budget
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q49: identical statement to q9 — the tokenization the JS lens
+    // computes record-by-record is the same relational set.
+    "q49_js_lens_token_index" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT d.doc_id, u.tok
+        |  FROM documents d,
+        |       unnest(string_split_regex(lower(d.text), '[^a-z0-9]+')) AS u(tok)
+        |  WHERE u.tok <> ''
+        |)
+        |SELECT tok AS token, count(*) AS n_docs,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+        |FROM toks GROUP BY 1 ORDER BY 1""".stripMargin,
     // q38: q13's exact pair derivation, then connected components via a
     // recursive CTE (propagate every reachable label, take the min).
     "q38_dup_clusters" ->

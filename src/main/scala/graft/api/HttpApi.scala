@@ -32,18 +32,22 @@ import graft.store._
   *   PUT    /datasets/A:N/import[?filename=|?overwrite=]  file import (dataset-controller:249)
   *   GET    /attachments/HEX[?type=mime]               blob serving (attachment-controller:7)
   *   GET    /attachments/HEX/meta                      blob meta + linkers (attachment-controller:17)
-  *   GET    /lenses/A:N/configuration                  read-only lens config (lens-controller:61)
+  *   GET    /lenses/A:N/configuration                  lens config incl. map code (lens-controller:61)
+  *   PUT    /lenses/A:N/configuration                  update config + full rebuild (lens-controller:76)
+  *   GET    /lenses/A:N/configuration/map              raw map code, typed by mapType (lens-controller:101)
+  *   PUT    /lenses/create                             create lens + first build (lens-controller:20)
   *   GET    /lenses/A:N/logs                           last-build logs (lens-controller:105)
   *   GET    /{datasets|lenses|meta}/A:N/event-stream    live SSE push (export-controller:153)
   *   GET    /changes?since=ts[&seq=n]                  SSE catch-up events
   *   POST   /lenses/ephemeral                          run-once lens, streamed logs+records (lens-controller:191)
-  * The reference's ephemeral body carries a JS map FUNCTION; with no JS
-  * engine in this runtime the map rides as the declarative JSON DSL
-  * ([[graft.lens.MapDsl]], mapType "dsl") — expressive enough for the
-  * reference's golden tag-index lens; arbitrary-JS bodies answer 501
-  * until a JS engine exists behind the MapFn seam (README). Lens
-  * configuration stays read-only over HTTP for the same reason (its PUT
-  * body is map code).
+  * Map-carrying bodies ({memo?, inputs, mapType, code|map}) take
+  * mapType "javascript" — the reference's native form, the code string
+  * executed by the in-process interpreter ([[graft.lens.JsMapFn]]) —
+  * or the declarative JSON DSL ([[graft.lens.MapDsl]], mapType "dsl").
+  * Either way the map arrived over the wire, so every call runs under
+  * the preemptive sandbox (the reference's isolate caps). Syntax errors
+  * answer 400 at configuration time, the reference's startup-errors
+  * contract (javascript-lens-worker.js:102-111).
   */
 final class HttpApi(store: Store, port: Int = 0) {
 
@@ -93,6 +97,7 @@ final class HttpApi(store: Store, port: Int = 0) {
   private val AttachmentPat = "^/attachments/([0-9a-fA-F]{64})$".r
   private val AttachmentMetaPat = "^/attachments/([0-9a-fA-F]{64})/meta$".r
   private val LensConfigPat = "^/lenses/([^:/]+):([^:/]+)/configuration$".r
+  private val LensMapPat = "^/lenses/([^:/]+):([^:/]+)/configuration/map$".r
   private val LensLogsPat = "^/lenses/([^:/]+):([^:/]+)/logs$".r
 
   private def route(ex: HttpExchange): Unit = {
@@ -355,45 +360,28 @@ final class HttpApi(store: Store, port: Int = 0) {
       case ("POST", "/lenses/ephemeral") =>
         // run-once lens (lens-controller.js:191-218): create a throwaway
         // lens from the request body, build, stream logs then records,
-        // delete. The reference body carries a JS FUNCTION; with no JS
-        // engine here the map rides as the declarative DSL (MapDsl) —
-        // mapType "dsl". Body: {memo?, mapType: "dsl", map: {...},
+        // delete. Body: {memo?, mapType: "javascript"|"dsl",
+        //   code: "js..." | map: {...},
         //   inputs: ["/datasets/a:n", ...] | "one-per-line string"}.
         // Response: a streamed JSON array of {log:...} frames then
         // {record:{id,version,hash,data}} frames (docs/api/lenses.md:
         // 82-137 framing, json.js encodeIterable array shape).
-        val body = ex.getRequestBody.readNBytes(MaxEphemeralBody + 1)
-        if (body.length > MaxEphemeralBody)
-          return respond(ex, 413, s"body exceeds $MaxEphemeralBody bytes")
-        val obj = JsonCodec.decode(body) match {
-          case o: PoObj => o
-          case _ => return respond(ex, 400, "body must be a JSON object")
+        val obj = jsonBody(ex) match {
+          case Left((code, msg)) => return respond(ex, code, msg)
+          case Right(o) => o
         }
-        obj.fields.get("mapType") match {
-          case Some(PoStr("dsl")) => ()
-          case Some(PoStr(other)) => return respond(ex, 501,
-            s"mapType '$other' needs a JS engine; this runtime supports 'dsl'")
-          case _ => return respond(ex, 400, "missing mapType")
+        val inputs = wireInputs(obj) match {
+          case Left((code, msg)) => return respond(ex, code, msg)
+          case Right(ps) => ps
         }
-        val inputStrs: Seq[String] = obj.fields.get("inputs") match {
-          case Some(PoArr(items)) => items.collect { case PoStr(s) => s.trim }
-          case Some(PoStr(s)) => s.split("\n").toSeq.map(_.trim) // HTML-form shape
-          case _ => Seq.empty
+        val fn = wireMapFn(obj) match {
+          case Left((code, msg)) => return respond(ex, code, msg)
+          case Right(f) => f
         }
-        val inputs = inputStrs.filter(_.nonEmpty).map { s =>
-          // the reference's form sends trailing-slash collection paths
-          DataPath.parse(s.stripSuffix("/")).getOrElse(
-            return respond(ex, 400, s"bad input path: $s"))
-        }
-        if (inputs.isEmpty) return respond(ex, 400, "inputs must name at least one collection")
-        inputs.find(p => !ReadPath.exists(store, DataPath(p.source, p.author, p.name)))
-          .foreach(p => return respond(ex, 404, s"no such input: ${p.collectionPath}"))
-        val fn = graft.lens.MapDsl.compile(
-          obj.fields.getOrElse("map", return respond(ex, 400, "missing map spec")))
-        // sandbox = true: the map spec arrived over the wire, so every
+        // sandbox = true: the map code arrived over the wire, so every
         // call runs under the preemptive 50 ms/256 MB budget (the
-        // reference's isolate caps) — a regex bomb in a split primitive
-        // becomes a per-record captured error, not a pinned core
+        // reference's isolate caps) — a regex bomb or hot loop becomes
+        // a per-record captured error, not a pinned core
         graft.lens.EphemeralLens.stream(store, inputs, fn, sandbox = true) { frames =>
           // same discipline as the listings: force the first frame
           // before committing the 200, abort mid-stream without the
@@ -413,14 +401,106 @@ final class HttpApi(store: Store, port: Int = 0) {
           finally out.close()
         }
       case ("GET", LensConfigPat(author, name)) =>
-        // read-only lens configuration (lens-controller.js:61-75); the
-        // PUT side needs a map-code body → JS engine, see class scaladoc
+        // lens configuration incl. the map code (lens-controller.js:61-75
+        // readMeta; the config IS the meta since saveConfig persists
+        // {memo, mapType, code, inputs})
         graft.lens.Lens.configOf(store, author, name) match {
           case None => respond(ex, 404, "no such lens")
           case Some(cfg) =>
             ex.getResponseHeaders.set("X-Version",
               store.lens(author, name).meta.version.toString)
             respondValue(ex, 200, cfg, "json")
+        }
+      case ("PUT", "/lenses/create") =>
+        // create + first build (lens-controller.js:20-59: lens.create →
+        // lens.build → 303 to the lens page). Body: {author?, name,
+        // memo?, inputs, mapType, code|map}; author defaults to "system"
+        // (auth is out-of-engine, SURVEY §1.1 — "author" is a partition
+        // column, not an identity).
+        val obj = jsonBody(ex) match {
+          case Left((code, msg)) => return respond(ex, code, msg)
+          case Right(o) => o
+        }
+        val author = obj.fields.get("author") match {
+          case Some(PoStr(a)) => a
+          case _ => "system"
+        }
+        val lensName = obj.fields.get("name") match {
+          case Some(PoStr(n)) => n
+          case _ => return respond(ex, 400, "missing lens name")
+        }
+        val memo = obj.fields.get("memo") match {
+          case Some(PoStr(m)) => m; case _ => ""
+        }
+        val inputs = wireInputs(obj) match {
+          case Left((code, msg)) => return respond(ex, code, msg)
+          case Right(ps) => ps
+        }
+        val fn = wireMapFn(obj) match {
+          case Left((code, msg)) => return respond(ex, code, msg)
+          case Right(f) => f
+        }
+        if (store.lens(author, lensName).exists)
+          return respond(ex, 409, s"lens $author:$lensName already exists")
+        val lens = new graft.lens.Lens(store, author, lensName, inputs, fn,
+          graft.lens.MapRunner.DefaultTimeoutMs, sandboxed = true,
+          graft.lens.MapRunner.DefaultMemCapBytes, memo)
+        lens.create()
+        lens.buildFull()
+        ex.getResponseHeaders.set("Location", s"/lenses/$author:$lensName/")
+        respond(ex, 303, "")
+      case ("PUT", LensConfigPat(author, name)) =>
+        // update config + full rebuild (lens-controller.js:76-99
+        // updateMeta → lens.build → 204). The rebuild is FULL because
+        // the map function may have changed — the incremental cache is
+        // keyed by input version, not map identity (Lens.buildFull doc).
+        if (!store.lens(author, name).exists)
+          return respond(ex, 404, "no such lens")
+        val obj = jsonBody(ex) match {
+          case Left((code, msg)) => return respond(ex, code, msg)
+          case Right(o) => o
+        }
+        val memo = obj.fields.get("memo") match {
+          case Some(PoStr(m)) => m; case _ => ""
+        }
+        val inputs = wireInputs(obj) match {
+          case Left((code, msg)) => return respond(ex, code, msg)
+          case Right(ps) => ps
+        }
+        val fn = wireMapFn(obj) match {
+          case Left((code, msg)) => return respond(ex, code, msg)
+          case Right(f) => f
+        }
+        val lens = new graft.lens.Lens(store, author, name, inputs, fn,
+          graft.lens.MapRunner.DefaultTimeoutMs, sandboxed = true,
+          graft.lens.MapRunner.DefaultMemCapBytes, memo)
+        lens.saveConfig()
+        lens.buildFull()
+        respond(ex, 204, "")
+      case ("GET", LensMapPat(author, name)) =>
+        // raw map code, content-typed by mapType (lens-controller.js:
+        // 101-104 `res.type(meta.mapType).send(meta.code)`)
+        graft.lens.Lens.configOf(store, author, name) match {
+          case None => respond(ex, 404, "no such lens")
+          case Some(PoObj(fields)) =>
+            val mapType = fields.get("mapType") match {
+              case Some(PoStr(t)) => t; case _ => "scala"
+            }
+            val (mime, body) = fields.get("code") match {
+              case Some(PoStr(code)) =>
+                (if (mapType == "javascript") "text/javascript; charset=utf-8"
+                 else "text/plain; charset=utf-8") -> code
+              case Some(spec) => // dsl spec rides as its JSON
+                "application/json; charset=utf-8" -> JsonCodec.encodeString(spec)
+              case None => return respond(ex, 404, "lens has no stored map code")
+            }
+            ex.getResponseHeaders.set("X-Version",
+              store.lens(author, name).meta.version.toString)
+            ex.getResponseHeaders.set("Content-Type", mime)
+            val bytes = body.getBytes(UTF_8)
+            ex.sendResponseHeaders(200, bytes.length.toLong)
+            ex.getResponseBody.write(bytes)
+          case Some(_) => respond(ex, 500, "malformed lens.json")
         }
       case ("GET", LensLogsPat(author, name)) =>
         // last-build logs (lens-controller.js:105-113), streamed with
@@ -468,6 +548,69 @@ final class HttpApi(store: Store, port: Int = 0) {
         val body = commitLog.eventsSince(since, seq).mkString("\n")
         respond(ex, 200, body)
       case _ => respond(ex, 404, s"no route: $method $path")
+    }
+  }
+
+  /** decoded JSON object body, capped at the reference's 3 MB
+    * (lens-controller.js:192 `parse.body({ maxSize: 3145728 })`) */
+  private def jsonBody(ex: HttpExchange): Either[(Int, String), PoObj] = {
+    val body = ex.getRequestBody.readNBytes(MaxEphemeralBody + 1)
+    if (body.length > MaxEphemeralBody)
+      Left(413 -> s"body exceeds $MaxEphemeralBody bytes")
+    else JsonCodec.decode(body) match {
+      case o: PoObj => Right(o)
+      case _ => Left(400 -> "body must be a JSON object")
+    }
+  }
+
+  /** {mapType, code|map} → MapFn. mapType "javascript" compiles the code
+    * string through the in-process interpreter — parse failures are the
+    * reference's startup errors (javascript-lens-worker.js:102-111),
+    * reported at configuration time, not per record. */
+  private def wireMapFn(obj: PoObj): Either[(Int, String), graft.lens.MapFn] =
+    obj.fields.get("mapType") match {
+      case Some(PoStr("javascript")) => obj.fields.get("code") match {
+        case Some(PoStr(code)) => graft.lens.JsMapFn.compile(code) match {
+          case Right(fn) => Right(fn)
+          case Left(err) => Left(400 -> s"${err.errType}: ${err.message}")
+        }
+        case _ => Left(400 -> "mapType 'javascript' needs a string `code` field")
+      }
+      case Some(PoStr("dsl")) =>
+        obj.fields.get("map").orElse(obj.fields.get("code")) match {
+          case Some(spec) =>
+            try Right(graft.lens.MapDsl.compile(spec))
+            catch { case e: IllegalArgumentException =>
+              Left(400 -> String.valueOf(e.getMessage)) }
+          case None => Left(400 -> "missing map spec")
+        }
+      case Some(PoStr(other)) =>
+        Left(400 -> s"unknown mapType '$other' (supported: javascript, dsl)")
+      case _ => Left(400 -> "missing mapType")
+    }
+
+  /** inputs: ["/datasets/a:n", ...] or the HTML-form one-per-line string
+    * (lens-controller.js:44 `inputs.split('\n')`); requires ≥1 and that
+    * each names an existing collection. */
+  private def wireInputs(obj: PoObj): Either[(Int, String), Seq[DataPath]] = {
+    val strs: Seq[String] = obj.fields.get("inputs") match {
+      case Some(PoArr(items)) => items.collect { case PoStr(s) => s.trim }
+      case Some(PoStr(s)) => s.split("\n").toSeq.map(_.trim)
+      case _ => Seq.empty
+    }
+    val parsed = strs.filter(_.nonEmpty).map { s =>
+      // the reference's form sends trailing-slash collection paths
+      s -> DataPath.parse(s.stripSuffix("/"))
+    }
+    parsed.collectFirst { case (s, None) => s } match {
+      case Some(bad) => Left(400 -> s"bad input path: $bad")
+      case None =>
+        val inputs = parsed.flatMap(_._2)
+        if (inputs.isEmpty) Left(400 -> "inputs must name at least one collection")
+        else inputs.find(p => !ReadPath.exists(store, DataPath(p.source, p.author, p.name))) match {
+          case Some(p) => Left(404 -> s"no such input: ${p.collectionPath}")
+          case None => Right(inputs)
+        }
     }
   }
 

@@ -38,13 +38,14 @@ final class Lens(val store: Store, val author: String, val name: String,
                  val inputs: Seq[DataPath], val fn: MapFn,
                  val timeoutMs: Long = MapRunner.NoTimeoutMs,
                  val sandboxed: Boolean = false,
-                 val memCapBytes: Long = MapRunner.DefaultMemCapBytes) {
+                 val memCapBytes: Long = MapRunner.DefaultMemCapBytes,
+                 val memo: String = "") {
   require(inputs.nonEmpty, "a lens needs at least one input")
 
   /** per-map-call budget (the reference's 50 ms lensTimeout) — armed for
     * untrusted map code; cooperative (checked at emit/log). */
   def withTimeout(ms: Long): Lens =
-    new Lens(store, author, name, inputs, fn, ms, sandboxed, memCapBytes)
+    new Lens(store, author, name, inputs, fn, ms, sandboxed, memCapBytes, memo)
 
   /** Preemptive isolate-style sandbox (the reference's lens worker caps:
     * 50 ms + 256 MB, javascript-lens-worker.js:55,116): each map call
@@ -54,7 +55,7 @@ final class Lens(val store: Store, val author: String, val name: String,
     * for trusted code. */
   def withSandbox(ms: Long = MapRunner.DefaultTimeoutMs,
                   memCap: Long = MapRunner.DefaultMemCapBytes): Lens =
-    new Lens(store, author, name, inputs, fn, ms, sandboxed = true, memCap)
+    new Lens(store, author, name, inputs, fn, ms, sandboxed = true, memCap, memo)
 
   val path: DataPath = DataPath("lenses", author, name)
   def output: Collection = store.collection(path)
@@ -65,11 +66,32 @@ final class Lens(val store: Store, val author: String, val name: String,
     * any process — not just the one holding this Lens instance. */
   def create(): Lens = {
     output.create()
-    val cfg = graft.core.PoObj(
-      "mapType" -> graft.core.PoStr("scala"),
-      "fn" -> graft.core.PoStr(fn.getClass.getName),
-      "inputs" -> graft.core.PoArr(
-        inputs.map(p => graft.core.PoStr(p.collectionPath)).toVector))
+    saveConfig()
+    this
+  }
+
+  /** (Re)writes lens.json WITHOUT touching the output collection — the
+    * `PUT /lenses/A:N/configuration` path (lens-controller.js:76-99
+    * updateMeta), where the collection already exists and only the map
+    * definition / inputs / memo change. The config carries the map
+    * itself for wire-expressible types ('javascript' code string,
+    * 'dsl' spec JSON — reference meta shape lens.js:60-67 {mapType,
+    * code, inputs, memo}), so [[Lens.fromConfig]] can reconstruct the
+    * lens in a different process; in-process Scala fns persist their
+    * class name, resolvable only when that class is on the classpath. */
+  def saveConfig(): Lens = {
+    import graft.core.{PoArr, PoObj, PoStr}
+    val (mapType, code) = fn match {
+      case js: JsMapFn => ("javascript", PoStr(js.code))
+      case dsl: MapDsl.DslMapFn =>
+        ("dsl", graft.codec.JsonCodec.decodeString(dsl.rawSpecJson))
+      case other => ("scala", PoStr(other.getClass.getName))
+    }
+    val cfg = PoObj(
+      "memo" -> PoStr(memo),
+      "mapType" -> PoStr(mapType),
+      "code" -> code,
+      "inputs" -> PoArr(inputs.map(p => PoStr(p.collectionPath)).toVector))
     Files.write(store.dir(path).resolve("lens.json"),
       graft.codec.JsonCodec.encode(cfg))
     this
@@ -105,6 +127,60 @@ object Lens {
       Some(graft.codec.JsonCodec.decode(Files.readAllBytes(f)))
     else None
   }
+
+  /** Reconstructs a runnable Lens from its persisted lens.json — the
+    * multi-process dual of [[Lens.create]]: an HTTP `PUT` or a separate
+    * maintainer process can rebuild a lens it did not configure
+    * (reference: lens.js:117-129 loads {mapType, code} from meta and
+    * hands it to the worker). Wire map types ('javascript', 'dsl')
+    * recompile from the stored code and run SANDBOXED (the code arrived
+    * over the wire once); mapType 'scala' resolves the stored class name
+    * to its singleton object, or a zero-arg constructor — None when the
+    * class is not on this process's classpath or the code no longer
+    * parses. */
+  def fromConfig(store: Store, author: String, name: String): Option[Lens] =
+    configOf(store, author, name).flatMap {
+      case graft.core.PoObj(fields) =>
+        val inputs = fields.get("inputs") match {
+          case Some(graft.core.PoArr(items)) =>
+            items.collect { case graft.core.PoStr(s) => s }
+              .flatMap(s => DataPath.parse(s.stripSuffix("/"))).toSeq
+          case _ => Seq.empty
+        }
+        if (inputs.isEmpty) None
+        else {
+          val memo = fields.get("memo") match {
+            case Some(graft.core.PoStr(m)) => m
+            case _ => ""
+          }
+          def wired(fn: MapFn): Lens =
+            new Lens(store, author, name, inputs, fn,
+              MapRunner.DefaultTimeoutMs, sandboxed = true,
+              MapRunner.DefaultMemCapBytes, memo)
+          (fields.get("mapType"), fields.get("code")) match {
+            case (Some(graft.core.PoStr("javascript")), Some(graft.core.PoStr(code))) =>
+              JsMapFn.compile(code).toOption.map(wired)
+            case (Some(graft.core.PoStr("dsl")), Some(spec)) =>
+              try Some(wired(MapDsl.compile(spec)))
+              catch { case _: IllegalArgumentException => None }
+            case (Some(graft.core.PoStr("scala")), Some(graft.core.PoStr(cls))) =>
+              resolveScalaFn(cls).map(fn =>
+                new Lens(store, author, name, inputs, fn, memo = memo))
+            case _ => None
+          }
+        }
+      case _ => None
+    }
+
+  /** `object Foo extends MapFn` → MODULE$; else zero-arg constructor. */
+  private def resolveScalaFn(className: String): Option[MapFn] =
+    try {
+      val cls = Class.forName(className)
+      val inst =
+        if (className.endsWith("$")) cls.getField("MODULE$").get(null)
+        else cls.getDeclaredConstructor().newInstance()
+      inst match { case fn: MapFn => Some(fn); case _ => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Last-build logs by path (reference: lens.js:87-92 iterateLogs),
     * without needing the original Lens instance — the logs parquet is

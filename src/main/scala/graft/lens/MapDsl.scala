@@ -181,15 +181,19 @@ object MapDsl {
 
   /** Parse straight from JSON bytes (the HTTP body's `map` field is
     * already a decoded PoValue; this is the test/tooling convenience). */
-  def compile(spec: PoValue): MapFn = new DslMapFn(parse(spec))
+  def compile(spec: PoValue): MapFn =
+    new DslMapFn(parse(spec), graft.codec.JsonCodec.encodeString(spec))
 
   // ------------------------------------------------------------ eval
 
   /** The compiled function. Evaluation per record: emit rules in spec
     * order (forEach elements in array order), then log, then fail —
     * matching the golden lens's output-log-throw sequence, so outputs
-    * emitted before the throw are kept (MapResult contract). */
-  final class DslMapFn(val spec: Spec) extends MapFn {
+    * emitted before the throw are kept (MapResult contract).
+    * `rawSpecJson` keeps the author's spec for lens.json persistence —
+    * as its JSON text, not the PoValue: the fn ships to executors and
+    * PoObj's VectorMap is not Java-serializable. */
+  final class DslMapFn(val spec: Spec, val rawSpecJson: String) extends MapFn {
     def map(ctx: MapContext): Unit = {
       spec.emits.foreach { rule =>
         rule.forEach match {

@@ -39,11 +39,39 @@ object LensTokenIndex {
     }
   }
 
-  def run(spark: SparkSession, sfDir: String): DataFrame = {
+  /** q49: the SAME inverted index, but the map is USER JAVASCRIPT run by
+    * the in-process interpreter ([[graft.lens.JsMapFn]]) — the
+    * reference's native lens form (mapType 'javascript'). Tokenization
+    * is chosen identical to [[TokenFn]], so q9's DuckDB oracle checks
+    * this path too: one oracle, two map runtimes. `new Set([...])`
+    * bridges to the engine's PoSet, so the reduce lattice unions doc ids
+    * exactly as the Scala lens does. */
+  val JsTokenCode: String =
+    """if (typeof data.text === 'string') {
+      |  const seen = new Set()
+      |  for (const tok of data.text.toLowerCase().split(/[^a-z0-9]+/)) {
+      |    if (tok !== '' && !seen.has(tok)) {
+      |      seen.add(tok)
+      |      output(tok, new Set([Number(path.recordID)]))
+      |    }
+      |  }
+      |}""".stripMargin
+
+  def run(spark: SparkSession, sfDir: String): DataFrame =
+    runWith(spark, sfDir, "lensq", TokenFn)
+
+  def runJs(spark: SparkSession, sfDir: String): DataFrame =
+    runWith(spark, sfDir, "lensjsq",
+      graft.lens.JsMapFn.compile(JsTokenCode).fold(
+        e => throw new IllegalStateException(s"${e.errType}: ${e.message}"),
+        identity))
+
+  private def runWith(spark: SparkSession, sfDir: String, tag: String,
+                      fn: MapFn): DataFrame = {
     import spark.implicits._
     // scratch store keyed by scale factor, rebuilt per run
     val sfName = Paths.get(sfDir).getFileName.toString
-    val root = Paths.get(sys.props("java.io.tmpdir"), s"graft-lensq-$sfName").toString
+    val root = Paths.get(sys.props("java.io.tmpdir"), s"graft-$tag-$sfName").toString
     val store = new Store(spark, root)
 
     val ds = store.dataset("bench", "documents")
@@ -57,7 +85,7 @@ object LensTokenIndex {
     ds.writeEntriesDF(entries, WriteMode.Overwrite)
 
     val lens = new Lens(store, "bench", "token-index",
-      Seq(DataPath("datasets", "bench", "documents")), TokenFn)
+      Seq(DataPath("datasets", "bench", "documents")), fn)
     if (lens.output.exists) lens.output.drop()
     lens.create()
     lens.build()

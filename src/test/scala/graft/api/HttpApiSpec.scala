@@ -358,7 +358,7 @@ class HttpApiSpec extends AnyFunSuite {
           .POST(HttpRequest.BodyPublishers.ofString(b)).build(),
           HttpResponse.BodyHandlers.ofString())
       val resp = post(body)
-      assert(resp.statusCode == 200)
+      assert(resp.statusCode == 200, resp.body)
       val frames = JsonCodec.decodeString(resp.body).asInstanceOf[PoArr].items
 
       // framing: every log frame precedes every record frame — no log
@@ -407,13 +407,120 @@ class HttpApiSpec extends AnyFunSuite {
       assert(redos.statusCode == 200)
       assert(redos.body.contains("MapTimeoutException"))
 
-      // contract errors: arbitrary JS is 501 (no engine), bad spec is
-      // 400, unknown input collection is 404
-      assert(post(body.replace("\"dsl\"", "\"javascript\"")).statusCode == 501)
+      // contract errors: javascript without a code string is 400, an
+      // unknown mapType is 400, bad spec is 400, unknown input is 404
+      assert(post(body.replace("\"dsl\"", "\"javascript\"")).statusCode == 400)
+      assert(post(body.replace("\"dsl\"", "\"python\"")).statusCode == 400)
       assert(post("""{"mapType": "dsl", "inputs": ["/datasets/alice:d1"],
         "map": {"emit": [{"key": {"exec": "x"}, "value": {"lit": 1}}]}}""").statusCode == 400)
       assert(post("""{"mapType": "dsl", "inputs": ["/datasets/alice:nope"],
         "map": {"log": {"field": "x"}}}""").statusCode == 404)
+    }
+  }
+
+  test("JS lens lifecycle over HTTP: create, read config+map, rebuild on PUT, ephemeral") {
+    withApi { (base, c) =>
+      def put(rid: String, json: String): Unit =
+        c.send(HttpRequest.newBuilder(URI.create(s"$base/datasets/alice:d1/records/$rid"))
+          .header("Content-Type", "application/json")
+          .PUT(HttpRequest.BodyPublishers.ofString(json)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      // the reference's golden fixture (test/test-models-lens.js:39-53)
+      put("abc", """{"tags": ["cat", "dog"]}""")
+      put("def", """{"tags": ["dog", "mango"], "log": "log test"}""")
+      put("ghi", """{"tags": ["dog", "cat"], "error": "error test"}""")
+
+      // the reference's golden tag-index lens AS JAVASCRIPT — the form
+      // every reference user actually writes (test/test-models-lens.js:
+      // 27-35), shipped over the wire and executed by the interpreter
+      val goldenJs =
+        """if (Array.isArray(data.tags)) {
+          |  for (const tag of data.tags) output(tag, new Set([path.recordID]))
+          |}
+          |if (data.log) console.log(data.log)
+          |if (data.error) throw new Error(data.error)""".stripMargin
+      def createBody(name: String, code: String): String =
+        JsonCodec.encodeString(PoObj(
+          "author" -> PoStr("alice"), "name" -> PoStr(name),
+          "memo" -> PoStr("golden tag index"),
+          "mapType" -> PoStr("javascript"), "code" -> PoStr(code),
+          "inputs" -> PoArr(Vector(PoStr("/datasets/alice:d1/")))))
+      def putReq(url: String, body: String): HttpResponse[String] =
+        c.send(HttpRequest.newBuilder(URI.create(url))
+          .header("Content-Type", "application/json")
+          .PUT(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+
+      // PUT /lenses/create → lens exists, built, 303 to its page
+      // (lens-controller.js:41-52)
+      val created = putReq(s"$base/lenses/create", createBody("tagidx", goldenJs))
+      assert(created.statusCode == 303)
+      assert(created.headers.firstValue("Location").get == "/lenses/alice:tagidx/")
+
+      // the built output is the golden index
+      val cat = get(c, s"$base/lenses/alice:tagidx/records/cat")
+      assert(cat.statusCode == 200)
+      assert(JsonCodec.decodeString(cat.body) == PoSet(PoStr("abc"), PoStr("ghi")))
+      val dog = get(c, s"$base/lenses/alice:tagidx/records/dog")
+      assert(JsonCodec.decodeString(dog.body) ==
+        PoSet(PoStr("abc"), PoStr("def"), PoStr("ghi")))
+
+      // configuration carries the code; the /map route serves it raw
+      // with the mapType's content type (lens-controller.js:101-104)
+      val cfg = JsonCodec.decodeString(
+        get(c, s"$base/lenses/alice:tagidx/configuration").body)
+        .asInstanceOf[PoObj].fields
+      assert(cfg("mapType") == PoStr("javascript"))
+      assert(cfg("code") == PoStr(goldenJs))
+      assert(cfg("memo") == PoStr("golden tag index"))
+      val rawMap = get(c, s"$base/lenses/alice:tagidx/configuration/map")
+      assert(rawMap.statusCode == 200)
+      assert(rawMap.body == goldenJs)
+      assert(rawMap.headers.firstValue("Content-Type").get.startsWith("text/javascript"))
+
+      // errors and logs surfaced through the logs route: ghi's throw is
+      // an Error-typed captured error (worker:44 constructor name)
+      val logs = JsonCodec.decodeString(
+        get(c, s"$base/lenses/alice:tagidx/logs").body).asInstanceOf[PoArr].items
+      val err = logs.map(_.asInstanceOf[PoObj].fields)
+        .find(f => f("type") == PoStr("error")).get
+      assert(err("error").asInstanceOf[PoObj].fields("type") == PoStr("Error"))
+      assert(err("error").asInstanceOf[PoObj].fields("message") == PoStr("error test"))
+
+      // duplicate create → 409; syntax-error code → 400 at startup, the
+      // reference's startup-errors contract (worker:102-111)
+      assert(putReq(s"$base/lenses/create", createBody("tagidx", goldenJs)).statusCode == 409)
+      assert(putReq(s"$base/lenses/create", createBody("bad", "yield 5")).statusCode == 400)
+
+      // PUT configuration swaps the map and FULL-rebuilds (lens-
+      // controller.js:76-99): prefix every key, old keys disappear
+      val prefixed = goldenJs.replace("output(tag,", "output('k-' + tag,")
+      val updated = putReq(s"$base/lenses/alice:tagidx/configuration",
+        createBody("tagidx", prefixed))
+      assert(updated.statusCode == 204)
+      assert(get(c, s"$base/lenses/alice:tagidx/records/k-cat").statusCode == 200)
+      assert(get(c, s"$base/lenses/alice:tagidx/records/cat").statusCode == 404)
+      assert(putReq(s"$base/lenses/alice:nope/configuration",
+        createBody("nope", goldenJs)).statusCode == 404)
+
+      // ephemeral with mapType javascript: logs-then-records framing,
+      // deletes itself (lens-controller.js:191-218)
+      val eph = c.send(HttpRequest.newBuilder(URI.create(s"$base/lenses/ephemeral"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(JsonCodec.encodeString(PoObj(
+          "memo" -> PoStr("eph js"), "mapType" -> PoStr("javascript"),
+          "code" -> PoStr(goldenJs),
+          "inputs" -> PoStr("/datasets/alice:d1/"))))).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(eph.statusCode == 200)
+      val frames = JsonCodec.decodeString(eph.body).asInstanceOf[PoArr].items
+      val kinds = frames.map(_.asInstanceOf[PoObj].fields.keys.head)
+      assert(!kinds.dropWhile(_ == "log").contains("log"))
+      val recIds = frames.collect {
+        case PoObj(f) if f.contains("record") =>
+          f("record").asInstanceOf[PoObj].fields("id")
+      }
+      assert(recIds == Vector(PoStr("cat"), PoStr("dog"), PoStr("mango")))
     }
   }
 
