@@ -584,7 +584,24 @@ final class Interp(globalScope: Scope, budget: Budget) {
     }
   }
 
+  // Call-depth cap: unbounded user recursion (`function f(){f()}f()`)
+  // would hit a JVM StackOverflowError long before the step budget
+  // (thousands of frames vs 20M steps). Real engines throw a CATCHABLE
+  // RangeError here — match that, so lens code may try/catch it, while
+  // the budget/timeout kills above stay uncatchable.
+  private var callDepth = 0
+
   def invokeClosure(c: JsClosure, thisV: JsValue, args: Vector[JsValue]): JsValue = {
+    callDepth += 1
+    if (callDepth > Interp.MaxCallDepth) {
+      callDepth -= 1
+      throwRange("Maximum call stack size exceeded")
+    }
+    try invokeClosureBody(c, thisV, args)
+    finally callDepth -= 1
+  }
+
+  private def invokeClosureBody(c: JsClosure, thisV: JsValue, args: Vector[JsValue]): JsValue = {
     val fnScope = new Scope(c.env)
     val effectiveThis = if (c.isArrow) c.capturedThis else thisV
     fnScope.declare("this", effectiveThis)
@@ -620,4 +637,11 @@ final class Interp(globalScope: Scope, budget: Budget) {
   // exposed for builtins that re-enter (map/filter/reduce/sort callbacks)
   def callCallback(fn: JsValue, args: Vector[JsValue], pos: Pos = Pos(0)): JsValue =
     callFunction(fn, JsUndefined, args, pos, "callback")
+}
+
+object Interp {
+  /** user-function call depth cap (see the callDepth comment): 500
+    * closure frames ≈ a few thousand JVM frames — far under the JVM
+    * stack, far over any sane lens recursion */
+  val MaxCallDepth = 500
 }

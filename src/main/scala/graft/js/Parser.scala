@@ -22,6 +22,21 @@ import scala.collection.mutable.ArrayBuffer
   */
 final class Parser(tokens: Vector[Token]) {
   private var p = 0
+  // Recursion guard: code arrives over the wire, and a pathological
+  // nesting bomb (`((((…`, `[[[[…`, `!!!!…`, `{{{{…`) must fail as a
+  // SYNTAX error (→ HTTP 400 at configuration time), not blow the
+  // JVM stack of whatever thread compiled it. 400 levels is far past
+  // any human lens; each level costs ~a dozen JVM frames through the
+  // precedence chain, so the cap also bounds eval-side expression
+  // recursion.
+  private var depth = 0
+  private def guarded[T](body: => T): T = {
+    depth += 1
+    if (depth > Parser.MaxNestingDepth)
+      throw new JsSyntaxError(
+        s"code nesting exceeds ${Parser.MaxNestingDepth} levels", peek.line)
+    try body finally depth -= 1
+  }
 
   private def peek: Token = tokens(p)
   private def peekAt(k: Int): Token = tokens(math.min(p + k, tokens.length - 1))
@@ -46,7 +61,7 @@ final class Parser(tokens: Vector[Token]) {
 
   // ---------------- statements ----------------
 
-  private def parseStatement(): Stmt = {
+  private def parseStatement(): Stmt = guarded {
     val p0 = pos
     peek.kind match {
       case "punct" if peek.text == "{" => parseBlock()
@@ -348,7 +363,7 @@ final class Parser(tokens: Vector[Token]) {
     }
   }
 
-  private def parseAssignExpr(): Expr = {
+  private def parseAssignExpr(): Expr = guarded {
     // arrow functions: lookahead for `ident =>` or `( ... ) =>`
     if (peek.kind == "ident" && peekAt(1).is("punct", "=>")) {
       val p0 = pos
@@ -477,7 +492,7 @@ final class Parser(tokens: Vector[Token]) {
     else base
   }
 
-  private def parseUnary(): Expr = {
+  private def parseUnary(): Expr = guarded {
     val p0 = pos
     if (peek.kind == "punct" && Seq("!", "-", "+", "~").contains(peek.text)) {
       val op = advance().text
@@ -721,6 +736,10 @@ final class Parser(tokens: Vector[Token]) {
 }
 
 object Parser {
+  /** deepest statement/expression nesting a program may use (see the
+    * recursion-guard comment on the class) */
+  val MaxNestingDepth = 400
+
   /** parse a full program (lens map body) */
   def parse(src: String): Program = new Parser(Lexer.tokenize(src)).parseProgram()
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.lens.Lens
+import graft.store.Store
 
 /** Commit-log-driven lens maintenance — the MULTI-PROCESS scale form of
   * [[graft.lens.LensHub]].
@@ -125,4 +126,37 @@ final class LensMaintainer(log: CommitLog, lenses: Seq[Lens],
   /** Standing maintenance job, polling the log every `intervalMs`. */
   def start(intervalMs: Long = 1000L): StreamingQuery =
     query(Trigger.ProcessingTime(intervalMs))
+}
+
+object LensMaintainer {
+  /** Every persisted lens config in the store, reconstructed via
+    * [[graft.lens.Lens.fromConfig]]. Returns `(runnable, skipped)`:
+    * skipped collectionPaths either failed to resolve in THIS process
+    * (Scala class not on the classpath, code no longer parses, missing/
+    * malformed lens.json) or read their own output (a log-driven
+    * maintainer would rebuild such a lens forever). Callers decide
+    * whether skipped is an error; [[fromStore]] proceeds without them —
+    * a maintainer deployment should keep the healthy lenses fresh even
+    * when one config is broken. */
+  def storedLenses(store: Store): (Seq[Lens], Seq[String]) = {
+    val paths = for {
+      author <- store.listAuthors("lenses")
+      name <- store.listCollections("lenses", author)
+    } yield (author, name)
+    val (ok, bad) = paths.map { case (author, name) =>
+      Lens.fromConfig(store, author, name)
+        .filter(l => !l.inputs.exists(_.collectionPath == l.path.collectionPath))
+        .toRight(s"/lenses/$author:$name")
+    }.partition(_.isRight)
+    (ok.flatMap(_.toOption), bad.collect { case Left(p) => p })
+  }
+
+  /** The multi-process deployment entry: a maintainer that discovers
+    * its lens set from the store's persisted configs — it owns nothing
+    * but the store path and a checkpoint dir, so an ingest process and
+    * a maintainer process need share no code or wiring beyond the
+    * filesystem (reference: the lens worker pool serving whatever
+    * lenses the models directory holds, worker-server.js:7-12). */
+  def fromStore(store: Store, log: CommitLog, checkpointDir: String): LensMaintainer =
+    new LensMaintainer(log, storedLenses(store)._1, checkpointDir)
 }

@@ -344,6 +344,35 @@ class JsInterpSpec extends AnyFunSuite with Matchers {
     r.error.get.errType shouldBe "JsBudgetExceeded"
   }
 
+  test("nesting bombs are SYNTAX errors, not a blown JVM stack") {
+    // wire-supplied code compiles on an HTTP thread — `((((…` must 400
+    for (bomb <- Seq(
+      "(" * 5000 + "1" + ")" * 5000,
+      "[" * 5000 + "]" * 5000,
+      "!" * 5000 + "true",
+      "{" * 5000 + "}" * 5000)) {
+      JsMapFn.compile(bomb) match {
+        case Left(err) => err.errType shouldBe "SyntaxError"
+        case Right(_) => fail("expected nesting-depth syntax error")
+      }
+    }
+    // …while legitimately deep-but-sane code still parses
+    JsMapFn.compile("(".repeat(50) + "1" + ")".repeat(50)).isRight shouldBe true
+  }
+
+  test("unbounded recursion throws a CATCHABLE RangeError, like real engines") {
+    val r = run(
+      """function f (n) { return f(n + 1) }
+        |try { f(0) } catch (e) {
+        |  output('name', e.name); output('caught', true)
+        |}""".stripMargin)
+    r.error shouldBe None
+    r.outputs.toMap.apply("name") shouldBe PoStr("RangeError")
+    // bounded recursion is untouched (also exercised in the
+    // functions test above)
+    evalExpr("(function f (n) { return n === 0 ? 0 : f(n - 1) })(400)") shouldBe PoInt(0)
+  }
+
   test("syntax errors are startup errors, not map errors") {
     JsMapFn.compile("output('a', 1)\nyield 5").isLeft shouldBe true
     JsMapFn.compile("function (") match {

@@ -113,6 +113,17 @@ class JsLensWorkerSpec extends AnyFunSuite with Matchers {
     rpc("Markup.toXML", doc) shouldBe PoStr("""<root><div id="yeah">no</div><span>cool</span></root>""")
   }
 
+  test("ivm environment: Markup.toHTML()") {
+    // the reference's exact document, including the attr-less JsonML
+    // shorthand forms (test-workers-javascript-lens.js:147-152)
+    val doc = PoArr(Vector(PoStr("#document"), PoObj("doctype" -> PoStr("html")),
+      PoArr(Vector(PoStr("html"),
+        PoArr(Vector(PoStr("div"), PoObj("id" -> PoStr("yeah")), PoStr("no"))),
+        PoArr(Vector(PoStr("span"), PoStr("cool")))))))
+    rpc("Markup.toHTML", doc) shouldBe
+      PoStr("<!DOCTYPE html>\n<html><div id=yeah>no</div><span>cool</span></html>")
+  }
+
   test("global is self-referential and carries the API") {
     val fn = JsMapFn.compile(
       """output('selfRef', global.global === global)

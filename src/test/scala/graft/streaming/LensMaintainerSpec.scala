@@ -142,6 +142,40 @@ class LensMaintainerSpec extends AnyFunSuite {
     assert(lens.output.meta.version == v, "replayed events must not commit")
   }
 
+  test("fromStore discovers persisted JS/DSL lens configs and maintains them") {
+    val (store, log) = fixture()
+    val d = store.dataset("a", "docs").create()
+    d.write("r1", doc("cat"))
+    d.write("r2", doc("cat", "dog"))
+
+    // configured by "another process": only lens.json survives — the
+    // maintainer reconstructs the fn from {mapType, code}
+    graft.lens.JsMapFn.compile(
+      """for (const tag of (data.tags || [])) output(tag, new Set([path.recordID]))"""
+    ).toOption.map(fn => new Lens(store, "a", "jstags",
+      Seq(DataPath("datasets", "a", "docs")), fn,
+      memo = "from the ingest process").create())
+      .getOrElse(fail("compile failed"))
+
+    // a broken config must not take down the healthy lens: hand-write
+    // a lens.json whose code no longer parses
+    store.collection(DataPath("lenses", "a", "broken")).create()
+    Files.write(store.dir(DataPath("lenses", "a", "broken")).resolve("lens.json"),
+      graft.codec.JsonCodec.encode(PoObj(
+        "memo" -> PoStr(""), "mapType" -> PoStr("javascript"),
+        "code" -> PoStr("yield 5"),
+        "inputs" -> PoArr(Vector(PoStr("/datasets/a:docs"))))))
+
+    val (runnable, skipped) = LensMaintainer.storedLenses(store)
+    assert(runnable.map(_.path.collectionPath) == Seq("/lenses/a:jstags"))
+    assert(skipped == Seq("/lenses/a:broken"))
+
+    LensMaintainer.fromStore(store, log, ck()).runOnce()
+    val jstags = store.collection(DataPath("lenses", "a", "jstags"))
+    assert(setOf(jstags.read("cat").get) == Set("r1", "r2"))
+    assert(setOf(jstags.read("dog").get) == Set("r2"))
+  }
+
   test("a lens reading its own output is rejected at construction") {
     val (store, log) = fixture()
     val self = new Lens(store, "a", "loop",
