@@ -272,7 +272,13 @@ object Markup {
         sb.append("<?").append(name(n).get)
         attributes(n).foreach { case (k, v) => sb.append(' ').append(k).append("=\"").append(escapeAttr(v)).append('"') }
         sb.append("?>")
-      case Some("document") | Some("fragment") => childNodes(n).foreach(w)
+      case Some("document") =>
+        // the reference round-trips the doctype through XML output too
+        // (test-workers-javascript-environment.js:111-113: toXML of the
+        // golden html document equals its source text)
+        attribute(n, "doctype").foreach(d => sb.append(s"<!DOCTYPE $d>\n"))
+        childNodes(n).foreach(w)
+      case Some("fragment") => childNodes(n).foreach(w)
       case Some("tag") =>
         val nm = name(n).get
         sb.append('<').append(nm)
