@@ -202,7 +202,11 @@ object Builtins {
   }
 
   def jsonStringify(v: JsValue, indent: String): Option[String] = {
-    val seen = mutable.Set.empty[Int] // identity hashes of open containers (cycle guard)
+    // open containers by REFERENCE (cycle guard): an identityHashCode-keyed
+    // Set[Int] here would false-positive on hash collisions, which are
+    // expected across the millions of per-record allocations of a long build
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[JsValue, java.lang.Boolean]())
     def quote(s: String): String = {
       val sb = new java.lang.StringBuilder("\"")
       s.foreach {
@@ -230,11 +234,10 @@ object Builtins {
       case _: JsSetV | _: JsMapV | _: JsRegExpV => Some("{}") // JS stringifies these as {}
       case _: JsBytes => Some("{}")
       case a: JsArray =>
-        val id = System.identityHashCode(a)
-        if (seen(id)) throw JsThrown(makeError("TypeError", "Converting circular structure to JSON"))
-        seen += id
+        if (seen.contains(a)) throw JsThrown(makeError("TypeError", "Converting circular structure to JSON"))
+        seen.add(a)
         val parts = a.items.map(it => go(it, depth + 1).getOrElse("null"))
-        seen -= id
+        seen.remove(a)
         if (indent.isEmpty) Some("[" + parts.mkString(",") + "]")
         else if (parts.isEmpty) Some("[]")
         else {
@@ -242,13 +245,12 @@ object Builtins {
           Some("[\n" + parts.map(pad + _).mkString(",\n") + "\n" + indent * depth + "]")
         }
       case o: JsObject =>
-        val id = System.identityHashCode(o)
-        if (seen(id)) throw JsThrown(makeError("TypeError", "Converting circular structure to JSON"))
-        seen += id
+        if (seen.contains(o)) throw JsThrown(makeError("TypeError", "Converting circular structure to JSON"))
+        seen.add(o)
         val parts = o.props.toVector.flatMap { case (k, pv) =>
           go(pv, depth + 1).map(s => (quote(k), s))
         }
-        seen -= id
+        seen.remove(o)
         if (indent.isEmpty) Some("{" + parts.map { case (k, s) => s"$k:$s" }.mkString(",") + "}")
         else if (parts.isEmpty) Some("{}")
         else {
@@ -432,8 +434,10 @@ object Builtins {
         case set: JsSetV => set.entries.values.toVector
         case m: JsMapV => m.entries.values.toVector.map { case (k, v) => JsArray.of(k, v) }
         case o: JsObject =>
-          // array-like: {length: n, 0: ..., 1: ...}
+          // array-like: {length: n, 0: ..., 1: ...} — length is
+          // user-controlled, so charge it before materializing
           val len = o.props.get("length").map(v => math.max(0, toNumber(v).toInt)).getOrElse(0)
+          interp().budget.allocate(len.toLong + 1)
           (0 until len).toVector.map(ix => o.props.getOrElse(ix.toString, JsUndefined))
         case JsUndefined | JsNull => throwType("Array.from needs an iterable")
         case _ => Vector.empty
@@ -444,11 +448,14 @@ object Builtins {
       }
       JsArray.of(mapped: _*)
     })
-    // calling Array(n) / new Array(n)
+    // calling Array(n) / new Array(n) — charged against the allocation
+    // budget like every other materialization path (a bare `new
+    // Array(1e8)` must not be a budget-free ~800 MB buffer)
     val callable = native("Array") { (_, as) =>
       as match {
         case Vector(JsNum(d)) if d == math.floor(d) && d >= 0 =>
           if (d > 100000000) throwRange("array length too large for lens code")
+          interp().budget.allocate(d.toLong + 1)
           new JsArray(mutable.ArrayBuffer.fill(d.toInt)(JsUndefined))
         case _ => JsArray.of(as: _*)
       }
@@ -459,13 +466,12 @@ object Builtins {
   }
 
   /** a native function that also exposes static properties (Array.isArray,
-    * Object.keys, …): represented as the native itself; statics resolved in
-    * [[functionMethod]] via this registry */
-  private val staticsRegistry = new java.util.IdentityHashMap[JsNative, JsObject]()
-  private def hybridCallable(fn: JsNative, statics: JsObject): JsNative = {
-    staticsRegistry.put(fn, statics)
-    fn
-  }
+    * Object.keys, …): the statics ride ON the [[JsNative]] instance and are
+    * resolved in [[functionMethod]]. (An earlier JVM-global registry here
+    * grew by five entries per map call from concurrent executor threads —
+    * an unbounded leak and an unsynchronized-IdentityHashMap race.) */
+  private def hybridCallable(fn: JsNative, statics: JsObject): JsNative =
+    new JsNative(fn.name, fn.fn, statics)
 
   private def stringConstructor: JsValue = {
     val statics = JsObject.empty("Function")
@@ -583,7 +589,7 @@ object Builtins {
   def functionMethod(f: JsFunc, name: String, interp: Interp): Option[JsValue] = {
     f match {
       case n: JsNative =>
-        val statics = staticsRegistry.get(n)
+        val statics = n.statics
         if (statics != null && statics.props.contains(name)) return Some(statics.props(name))
       case _ => ()
     }
@@ -781,6 +787,14 @@ object Builtins {
     case _ => None
   }
 
+  // ---- Boolean.prototype ----
+
+  def booleanMethod(b: Boolean, name: String): Option[JsValue] = name match {
+    case "toString" => Some(native("toString")((_, _) => JsStr(b.toString)))
+    case "valueOf" => Some(native("valueOf")((_, _) => JsBool(b)))
+    case _ => None
+  }
+
   // ---- String.prototype ----
 
   def stringMethod(s: String, name: String, interp: Interp): Option[JsValue] = {
@@ -872,33 +886,38 @@ object Builtins {
               if (m.find()) execResult(m, s) else JsNull
             }
           case other =>
-            val r = compileRegex(java.util.regex.Pattern.quote(toStr(other)), "", Pos(0))
+            // a string argument is coerced to a PATTERN (new RegExp(s)),
+            // not a literal — '.'/'\\d' etc stay metacharacters
+            val r = compileRegex(toStr(other), "", Pos(0))
             val m = r.pattern.matcher(s)
             if (m.find()) execResult(m, s) else JsNull
         }
       }
       case "search" => withStr(name) { as =>
-        arg(as, 0) match {
-          case r: JsRegExpV =>
-            val m = r.pattern.matcher(s)
-            JsNum(if (m.find()) m.start.toDouble else -1.0)
-          case other => JsNum(s.indexOf(toStr(other)).toDouble)
+        val r = arg(as, 0) match {
+          case re: JsRegExpV => re
+          case other => compileRegex(toStr(other), "", Pos(0)) // same coercion as match
         }
+        val m = r.pattern.matcher(s)
+        JsNum(if (m.find()) m.start.toDouble else -1.0)
       }
       case "repeat" => withStr(name) { as =>
         val n = toNumber(arg(as, 0)).toInt
         if (n < 0) throwRange("repeat count must be non-negative")
         if (n.toLong * s.length > 50000000L) throwRange("repeat result too large for lens code")
+        interp.budget.allocate(n.toLong * s.length + 1)
         JsStr(s * n)
       }
       case "padStart" => withStr(name) { as =>
         val target = toNumber(arg(as, 0)).toInt
         val pad = arg(as, 1) match { case JsUndefined => " "; case v => toStr(v) }
+        interp.budget.allocate(math.max(s.length, target).toLong + 1)
         JsStr(padTo(s, target, pad, start = true))
       }
       case "padEnd" => withStr(name) { as =>
         val target = toNumber(arg(as, 0)).toInt
         val pad = arg(as, 1) match { case JsUndefined => " "; case v => toStr(v) }
+        interp.budget.allocate(math.max(s.length, target).toLong + 1)
         JsStr(padTo(s, target, pad, start = false))
       }
       case "concat" => withStr(name)(as => JsStr(s + as.map(toStr).mkString))
@@ -1182,9 +1201,15 @@ object Builtins {
             // default sort: by ToString, code-unit order (stable)
             defined.sortBy(toStr)
           case fn =>
-            defined.sortWith { (x, y) =>
+            // an inconsistent comparator must not surface TimSort's
+            // IllegalArgumentException as an uncatchable HOST error that
+            // kills the map call — the spec makes the result order
+            // implementation-defined, never a throw; fall back to the
+            // original (deterministic) order. A comparator that itself
+            // throws (JsThrown) still propagates, as in real JS.
+            try defined.sortWith { (x, y) =>
               toNumber(interp.callCallback(fn, Vector(x, y))) < 0
-            }
+            } catch { case _: IllegalArgumentException => defined }
         }
         a.items.clear()
         a.items ++= sorted

@@ -49,7 +49,7 @@ private[js] final case class ContinueSig(label: Option[String]) extends RuntimeE
 
 /** Tree-walking evaluator for the parsed subset. One instance per map
   * call (cheap: scopes are small); the AST is shared and immutable. */
-final class Interp(globalScope: Scope, budget: Budget) {
+final class Interp(globalScope: Scope, val budget: Budget) {
 
   def runProgram(prog: Program, scope: Scope): Unit = {
     hoist(prog.body, scope)
@@ -63,16 +63,17 @@ final class Interp(globalScope: Scope, budget: Budget) {
   /** hoisting: `var` names → undefined, function declarations → bound,
     * in the given (function-level) scope; does not descend into nested
     * functions */
+  private def patternNames(pat: Pattern): Seq[String] = pat match {
+    case IdPattern(n, _) => Seq(n)
+    case ArrayPattern(elems, rest, _) => elems.flatten.flatMap(patternNames) ++ rest
+    case ObjectPattern(entries, rest, _) => entries.map(_._2).flatMap(patternNames) ++ rest
+    case DefaultPattern(inner, _, _) => patternNames(inner)
+  }
+
   private def hoist(stmts: Seq[Stmt], scope: Scope): Unit = {
-    def names(pat: Pattern): Seq[String] = pat match {
-      case IdPattern(n, _) => Seq(n)
-      case ArrayPattern(elems, rest, _) => elems.flatten.flatMap(names) ++ rest
-      case ObjectPattern(entries, rest, _) => entries.map(_._2).flatMap(names) ++ rest
-      case DefaultPattern(inner, _, _) => names(inner)
-    }
     def walk(s: Stmt): Unit = s match {
       case VarDecl("var", decls, _) =>
-        decls.foreach { case (pat, _) => names(pat).foreach { n =>
+        decls.foreach { case (pat, _) => patternNames(pat).foreach { n =>
           if (!scope.vars.contains(n)) scope.declare(n, JsUndefined)
         } }
       case FnDecl(name, fn, _) => scope.declare(name, makeClosure(fn, scope, JsUndefined))
@@ -188,8 +189,24 @@ final class Interp(globalScope: Scope, budget: Budget) {
         case For(init, test, update, b, _) =>
           val forScope = new Scope(scope)
           init.foreach(exec(_, forScope))
+          // ES2015 per-iteration environments: `for (let i ...)` gives
+          // each iteration its OWN copy of the let bindings, so closures
+          // created in the body capture that iteration's value (the
+          // classic `fns.push(() => i)` emits 0,1,2 — not 3,3,3). The
+          // body runs in a fresh scope seeded with the current values;
+          // body assignments copy back so test/update observe them.
+          val letNames: Seq[String] = init match {
+            case Some(VarDecl("let", decls, _)) => decls.flatMap(d => patternNames(d._1))
+            case _ => Nil
+          }
           while (test.forall(t => truthy(eval(t, forScope)))) {
-            body(b, forScope)
+            if (letNames.isEmpty) body(b, forScope)
+            else {
+              val iterScope = new Scope(scope)
+              letNames.foreach(n => iterScope.declare(n, forScope.vars(n)))
+              body(b, iterScope)
+              letNames.foreach(n => forScope.vars.put(n, iterScope.vars(n)))
+            }
             update.foreach(eval(_, forScope))
           }
         case f: ForInOf =>
@@ -345,11 +362,8 @@ final class Interp(globalScope: Scope, budget: Budget) {
       case Cond(test, cons, alt, _) =>
         if (truthy(eval(test, scope))) eval(cons, scope) else eval(alt, scope)
       case a: Assign => evalAssign(a, scope)
-      case m: Member =>
-        val obj = eval(m.obj, scope)
-        if (m.optional && (obj == JsNull || obj == JsUndefined)) JsUndefined
-        else getMember(obj, evalPropKey(m, scope), m.pos)
-      case c: Call => evalCall(c, scope)
+      case m: Member => evalChain(m, scope).getOrElse(JsUndefined)
+      case c: Call => evalChain(c, scope).getOrElse(JsUndefined)
       case n: NewExpr => evalNew(n, scope)
       case Sequence(exprs, _) => exprs.map(eval(_, scope)).last
     }
@@ -385,43 +399,57 @@ final class Interp(globalScope: Scope, budget: Budget) {
     }
   }
 
+  /** A resolved assignment target. The object and property-key
+    * expressions of a Member target are evaluated ONCE at resolution
+    * (per spec order: target reference BEFORE the right-hand side) —
+    * so `a[f()] += 1` / `a[f()]++` call `f` exactly once, and
+    * `a[f()] = g()` runs `f` before `g`. */
+  private sealed trait Ref { def get: JsValue; def set(v: JsValue): Unit }
+  private def resolveRef(target: Expr, scope: Scope): Ref = target match {
+    case Ident(name, _) => new Ref {
+      def get: JsValue = scope.lookup(name).getOrElse(throwRef(s"$name is not defined"))
+      def set(v: JsValue): Unit = if (!scope.assign(name, v)) throwRef(s"$name is not defined")
+    }
+    case m: Member =>
+      val obj = eval(m.obj, scope)
+      val key = evalPropKey(m, scope)
+      new Ref {
+        def get: JsValue = getMember(obj, key, m.pos)
+        def set(v: JsValue): Unit = setMember(obj, key, v, m.pos)
+      }
+    case _ => throwType("invalid assignment target")
+  }
+
   private def evalUpdate(u: Update, scope: Scope): JsValue = {
-    val old = toNumber(eval(u.target, scope))
+    val ref = resolveRef(u.target, scope)
+    val old = toNumber(ref.get)
     val neu = if (u.op == "++") old + 1 else old - 1
-    assignTo(u.target, JsNum(neu), scope)
+    ref.set(JsNum(neu))
     JsNum(if (u.prefix) neu else old)
   }
 
   private def evalAssign(a: Assign, scope: Scope): JsValue = {
+    val ref = resolveRef(a.target, scope)
     val value: JsValue = a.op match {
       case "=" => eval(a.value, scope)
       case "&&=" =>
-        val cur = eval(a.target, scope)
+        val cur = ref.get
         if (!truthy(cur)) return cur
         eval(a.value, scope)
       case "||=" =>
-        val cur = eval(a.target, scope)
+        val cur = ref.get
         if (truthy(cur)) return cur
         eval(a.value, scope)
       case "??=" =>
-        val cur = eval(a.target, scope)
+        val cur = ref.get
         if (cur != JsNull && cur != JsUndefined) return cur
         eval(a.value, scope)
       case compound =>
         val binOp = compound.dropRight(1) // "+=" → "+"
-        evalBinary(binOp, eval(a.target, scope), eval(a.value, scope), a.pos)
+        evalBinary(binOp, ref.get, eval(a.value, scope), a.pos)
     }
-    assignTo(a.target, value, scope)
+    ref.set(value)
     value
-  }
-
-  private def assignTo(target: Expr, v: JsValue, scope: Scope): Unit = target match {
-    case Ident(name, _) =>
-      if (!scope.assign(name, v)) throwRef(s"$name is not defined")
-    case m: Member =>
-      val obj = eval(m.obj, scope)
-      setMember(obj, evalPropKey(m, scope), v, m.pos)
-    case _ => throwType("invalid assignment target")
   }
 
   def evalBinary(op: String, l: JsValue, r: JsValue, pos: Pos): JsValue = op match {
@@ -502,7 +530,7 @@ final class Interp(globalScope: Scope, budget: Budget) {
             }
         }
       case n: JsNum => Builtins.numberMethod(n.v, toStr(key)).getOrElse(JsUndefined)
-      case b: JsBool => JsUndefined
+      case b: JsBool => Builtins.booleanMethod(b.b, toStr(key)).getOrElse(JsUndefined)
       case set: JsSetV => Builtins.setMethod(set, toStr(key), this).getOrElse(JsUndefined)
       case m: JsMapV => Builtins.mapMethod(m, toStr(key), this).getOrElse(JsUndefined)
       case bytes: JsBytes =>
@@ -543,26 +571,59 @@ final class Interp(globalScope: Scope, budget: Budget) {
     case _ => () // silent no-op on primitives, like sloppy-mode JS
   }
 
-  private def evalCall(c: Call, scope: Scope): JsValue = {
-    // method call: evaluate receiver once
-    c.callee match {
-      case m: Member =>
-        val obj = eval(m.obj, scope)
-        if ((m.optional || c.optional) && (obj == JsNull || obj == JsUndefined)) return JsUndefined
-        val fnV = getMember(obj, evalPropKey(m, scope), m.pos)
-        if (c.optional && (fnV == JsNull || fnV == JsUndefined)) return JsUndefined
-        val args = spreadArgs(c.args, c.spreads, scope, c.pos)
-        callFunction(fnV, obj, args, c.pos,
-          name = if (!m.computed) m.prop.asInstanceOf[StrLit].v else "computed")
-      case other =>
-        val fnV = eval(other, scope)
-        if (c.optional && (fnV == JsNull || fnV == JsUndefined)) return JsUndefined
-        val args = spreadArgs(c.args, c.spreads, scope, c.pos)
-        callFunction(fnV, JsUndefined, args, c.pos, name = other match {
-          case Ident(n, _) => n
-          case _ => "expression"
-        })
-    }
+  private def nullish(v: JsValue): Boolean = v == JsNull || v == JsUndefined
+
+  /** Evaluate a member/call chain with ES2020 optional-chaining
+    * short-circuit: once ONE `?.` link sees a nullish base, the WHOLE
+    * remaining chain — outer non-optional `.`/`[]` links AND calls,
+    * whose arguments are then never evaluated — yields `undefined`
+    * (`a?.b.c` on nullish `a` is `undefined`, not a TypeError on the
+    * `.c` step). `None` = short-circuited. One subset divergence:
+    * our parser discards parentheses, so `(a?.b).c` short-circuits
+    * like `a?.b.c` instead of throwing. */
+  private def evalChain(e: Expr, scope: Scope): Option[JsValue] = e match {
+    case m: Member =>
+      budget.tick()
+      evalChain(m.obj, scope) match {
+        case None => None
+        case Some(base) =>
+          if (m.optional && nullish(base)) None
+          else Some(getMember(base, evalPropKey(m, scope), m.pos))
+      }
+    case c: Call =>
+      budget.tick()
+      c.callee match {
+        case m: Member =>
+          // method call: evaluate receiver once
+          evalChain(m.obj, scope) match {
+            case None => None
+            case Some(obj) =>
+              if (m.optional && nullish(obj)) None
+              else {
+                val fnV = getMember(obj, evalPropKey(m, scope), m.pos)
+                if (c.optional && nullish(fnV)) None
+                else {
+                  val args = spreadArgs(c.args, c.spreads, scope, c.pos)
+                  Some(callFunction(fnV, obj, args, c.pos,
+                    name = if (!m.computed) m.prop.asInstanceOf[StrLit].v else "computed"))
+                }
+              }
+          }
+        case other =>
+          evalChain(other, scope) match {
+            case None => None
+            case Some(fnV) =>
+              if (c.optional && nullish(fnV)) None
+              else {
+                val args = spreadArgs(c.args, c.spreads, scope, c.pos)
+                Some(callFunction(fnV, JsUndefined, args, c.pos, name = other match {
+                  case Ident(n, _) => n
+                  case _ => "expression"
+                }))
+              }
+          }
+      }
+    case other => Some(eval(other, scope))
   }
 
   private def spreadArgs(args: Vector[Expr], spreads: Set[Int], scope: Scope, pos: Pos): Vector[JsValue] = {

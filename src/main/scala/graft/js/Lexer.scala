@@ -79,21 +79,24 @@ object Lexer {
         if (!closed) err("unterminated block comment")
       } else if (c.isDigit || (c == '.' && i + 1 < n && src.charAt(i + 1).isDigit)) {
         val start = i
+        // radix literals parse through BigInteger, not Long: JS admits
+        // values past 2^63 (0xFFFFFFFFFFFFFFFF is a fine double), and a
+        // Long overflow here would escape as an uncaught
+        // NumberFormatException instead of a startup JsSyntaxError
+        def radixLiteral(radix: Int, isDigit: Char => Boolean, what: String): Unit = {
+          i += 2
+          val dStart = i
+          while (i < n && isDigit(src.charAt(i))) i += 1
+          if (i == dStart) err(s"missing digits after '0$what'")
+          val text = src.substring(start, i)
+          out += Token("num", text, new java.math.BigInteger(text.substring(2), radix).doubleValue, line, nl); nl = false
+        }
         if (c == '0' && i + 1 < n && (src.charAt(i + 1) == 'x' || src.charAt(i + 1) == 'X')) {
-          i += 2
-          while (i < n && (src.charAt(i).isDigit || "abcdefABCDEF".indexOf(src.charAt(i)) >= 0)) i += 1
-          val text = src.substring(start, i)
-          out += Token("num", text, java.lang.Long.parseLong(text.substring(2), 16).toDouble, line, nl); nl = false
+          radixLiteral(16, ch => ch.isDigit || "abcdefABCDEF".indexOf(ch) >= 0, "x")
         } else if (c == '0' && i + 1 < n && (src.charAt(i + 1) == 'b' || src.charAt(i + 1) == 'B')) {
-          i += 2
-          while (i < n && (src.charAt(i) == '0' || src.charAt(i) == '1')) i += 1
-          val text = src.substring(start, i)
-          out += Token("num", text, java.lang.Long.parseLong(text.substring(2), 2).toDouble, line, nl); nl = false
+          radixLiteral(2, ch => ch == '0' || ch == '1', "b")
         } else if (c == '0' && i + 1 < n && (src.charAt(i + 1) == 'o' || src.charAt(i + 1) == 'O')) {
-          i += 2
-          while (i < n && src.charAt(i) >= '0' && src.charAt(i) <= '7') i += 1
-          val text = src.substring(start, i)
-          out += Token("num", text, java.lang.Long.parseLong(text.substring(2), 8).toDouble, line, nl); nl = false
+          radixLiteral(8, ch => ch >= '0' && ch <= '7', "o")
         } else {
           while (i < n && src.charAt(i).isDigit) i += 1
           if (i < n && src.charAt(i) == '.') { i += 1; while (i < n && src.charAt(i).isDigit) i += 1 }
@@ -125,23 +128,11 @@ object Lexer {
         out += Token("str", sb.toString, 0, line, nl); nl = false
       } else if (c == '`') {
         // hand the parser the raw template span (backtick to backtick,
-        // honoring ${...} nesting); the parser re-lexes the holes
+        // honoring ${...} nesting — string/comment-aware, see
+        // templateEnd); the parser re-lexes the holes
         val start = i
-        i += 1
-        var depth = 0
-        var closed = false
         val startLine = line
-        while (i < n && !closed) {
-          val ch = src.charAt(i)
-          if (ch == '\n') { line += 1 }
-          if (ch == '\\') i += 2
-          else if (depth == 0 && ch == '`') { closed = true; i += 1 }
-          else if (ch == '$' && i + 1 < n && src.charAt(i + 1) == '{') { depth += 1; i += 2 }
-          else if (depth > 0 && ch == '}') { depth -= 1; i += 1 }
-          else if (depth > 0 && ch == '{') { depth += 1; i += 1 } // nested object literal in hole
-          else i += 1
-        }
-        if (!closed) { line = startLine; err("unterminated template literal") }
+        i = templateEnd(src, i + 1, () => line += 1, err)
         out += Token("template", src.substring(start, i), 0, startLine, nl); nl = false
       } else if (c == '/' && !prevEndsExpr) {
         // regex literal
@@ -205,16 +196,24 @@ object Lexer {
       case '0' if i + 1 >= src.length || !src.charAt(i + 1).isDigit => sb.append('\u0000'); i + 1
       case 'x' =>
         if (i + 2 >= src.length) err("bad \\x escape")
-        sb.append(Integer.parseInt(src.substring(i + 1, i + 3), 16).toChar); i + 3
+        val h = try Integer.parseInt(src.substring(i + 1, i + 3), 16)
+                catch { case _: NumberFormatException => err("bad \\x escape") }
+        sb.append(h.toChar); i + 3
       case 'u' =>
         if (i + 1 < src.length && src.charAt(i + 1) == '{') {
           val close = src.indexOf('}', i + 2)
           if (close < 0) err("bad \\u{} escape")
-          val cp = Integer.parseInt(src.substring(i + 2, close), 16)
+          // parse failures AND out-of-range code points (\u{FFFFFFFF})
+          // must be startup syntax errors, not escaped host exceptions
+          val cp = try Integer.parseInt(src.substring(i + 2, close), 16)
+                   catch { case _: NumberFormatException => err("bad \\u{} escape") }
+          if (cp > 0x10FFFF) err("undefined code point in \\u{} escape")
           sb.appendCodePoint(cp); close + 1
         } else {
           if (i + 4 >= src.length) err("bad \\u escape")
-          sb.append(Integer.parseInt(src.substring(i + 1, i + 5), 16).toChar); i + 5
+          val u = try Integer.parseInt(src.substring(i + 1, i + 5), 16)
+                  catch { case _: NumberFormatException => err("bad \\u escape") }
+          sb.append(u.toChar); i + 5
         }
       case '\n' => onNewline(); i + 1 // line continuation
       case '\r' =>
@@ -222,6 +221,72 @@ object Lexer {
         if (i + 1 < src.length && src.charAt(i + 1) == '\n') i + 2 else i + 1
       case other => sb.append(other); i + 1
     }
+  }
+
+  /** Index just PAST the closing backtick of a template literal whose
+    * body starts at `start` (the char after the opening backtick).
+    * `${...}` holes are skipped via [[holeEnd]], so a `}` or backtick
+    * inside a hole's string literal / comment / nested template cannot
+    * mis-terminate the scan. */
+  def templateEnd(s: String, start: Int, onNewline: () => Unit, err: String => Nothing): Int = {
+    var i = start
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\n') { onNewline(); i += 1 }
+      else if (c == '\\') i += 2
+      else if (c == '`') return i + 1
+      else if (c == '$' && i + 1 < s.length && s.charAt(i + 1) == '{')
+        i = holeEnd(s, i + 2, onNewline, err) + 1
+      else i += 1
+    }
+    err("unterminated template literal")
+  }
+
+  /** Index OF the `}` closing a `${` hole whose expression text starts
+    * at `start`. The hole is EXPRESSION context, so the scan must not
+    * count braces blindly: a `}` inside a string literal (`` `${m['}']}`
+    * ``), a comment, or a nested template does not close the hole.
+    * (A `}` inside a regex literal is still miscounted — distinguishing
+    * `/` division from a regex start needs full token context; that
+    * corner stays outside the subset.) */
+  def holeEnd(s: String, start: Int, onNewline: () => Unit, err: String => Nothing): Int = {
+    var i = start
+    var depth = 1
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\n') { onNewline(); i += 1 }
+      else if (c == '\'' || c == '"') {
+        val q = c
+        i += 1
+        var closed = false
+        while (i < s.length && !closed) {
+          val ch = s.charAt(i)
+          if (ch == '\\') i += 2
+          else if (ch == q) { closed = true; i += 1 }
+          else if (ch == '\n') err("unterminated string literal in template hole")
+          else i += 1
+        }
+        if (!closed) err("unterminated string literal in template hole")
+      }
+      else if (c == '`') i = templateEnd(s, i + 1, onNewline, err)
+      else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '/') {
+        while (i < s.length && s.charAt(i) != '\n') i += 1
+      }
+      else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+        i += 2
+        var closed = false
+        while (i < s.length && !closed) {
+          if (s.charAt(i) == '\n') onNewline()
+          if (s.charAt(i) == '*' && i + 1 < s.length && s.charAt(i + 1) == '/') { closed = true; i += 2 }
+          else i += 1
+        }
+        if (!closed) err("unterminated block comment in template hole")
+      }
+      else if (c == '{') { depth += 1; i += 1 }
+      else if (c == '}') { depth -= 1; if (depth == 0) return i; i += 1 }
+      else i += 1
+    }
+    err("unterminated ${...} in template literal")
   }
 
   /** decode escapes inside a template literal chunk (cooked value) */

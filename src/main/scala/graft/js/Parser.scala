@@ -283,9 +283,22 @@ final class Parser(tokens: Vector[Token]) {
       eatPunct(";")
       return parseForClassic(Some(d), p0)
     }
-    // no declaration: either `for (x of y)` / `for (x.y in z)` or classic with init expr
+    // no declaration: either `for (x of y)` / `for (x in y)` or classic
+    // with init expr. NOTE: a bare `x in y` never survives to the
+    // atKw("in") check below — parseRelational consumes `in` as a binary
+    // operator — so for-in is recognized from the Binary node instead.
     val exprMark = p
     val target = parseExpression()
+    target match {
+      case Binary("in", lhs, obj, _) if atPunct(")") =>
+        val pat = lhs match {
+          case Ident(nm, ip) => IdPattern(nm, ip)
+          case _ => err("for-in target must be a simple identifier (declare it with const/let)")
+        }
+        eatPunct(")")
+        return ForInOf("", pat, obj, isOf = false, parseStatement(), p0)
+      case _ => ()
+    }
     if (atKw("of") || atKw("in")) {
       val isOf = advance().text == "of"
       val pat = target match {
@@ -710,16 +723,11 @@ final class Parser(tokens: Vector[Token]) {
       if (c == '\\') { sb.append(c); if (i + 1 < inner.length) sb.append(inner.charAt(i + 1)); i += 2 }
       else if (c == '$' && i + 1 < inner.length && inner.charAt(i + 1) == '{') {
         parts += Lexer.cookTemplateChunk(sb.toString, t.line); sb.setLength(0)
-        var depth = 1
         val start = i + 2
-        var j = start
-        while (j < inner.length && depth > 0) {
-          val cj = inner.charAt(j)
-          if (cj == '{') depth += 1
-          else if (cj == '}') depth -= 1
-          if (depth > 0) j += 1
-        }
-        if (depth != 0) throw new JsSyntaxError("unterminated ${...} in template literal", t.line)
+        // string/comment/nested-template-aware scan — shared with the
+        // lexer, so both phases agree on where each hole ends
+        val j = Lexer.holeEnd(inner, start, () => (),
+          msg => throw new JsSyntaxError(msg, t.line))
         val holeSrc = inner.substring(start, j)
         val holeTokens = Lexer.tokenize(holeSrc)
         val holeParser = new Parser(holeTokens)

@@ -92,9 +92,13 @@ final class JsClosure(val fnName: Option[String], val params: Vector[Ast.Pattern
                       val env: Scope, val capturedThis: JsValue) extends JsFunc {
   def name: String = fnName.getOrElse("")
 }
-/** host-provided function */
+/** host-provided function; `statics` (nullable) carries constructor
+  * properties (Array.isArray, Object.keys, …) on the instance itself —
+  * NOT in a shared registry, so per-call environments cannot leak or
+  * race through JVM-global state */
 final class JsNative(val name: String,
-                     val fn: (JsValue, Vector[JsValue]) => JsValue) extends JsFunc
+                     val fn: (JsValue, Vector[JsValue]) => JsValue,
+                     val statics: JsObject = null) extends JsFunc
 
 /** a JS `throw` in flight; only THESE are catchable by user try/catch —
   * budget violations (timeout/memory/steps) are host exceptions that
@@ -217,9 +221,11 @@ object Values {
     val s = s0.trim
     if (s.isEmpty) return 0.0
     try {
-      if (s.startsWith("0x") || s.startsWith("0X")) java.lang.Long.parseLong(s.substring(2), 16).toDouble
-      else if (s.startsWith("0b") || s.startsWith("0B")) java.lang.Long.parseLong(s.substring(2), 2).toDouble
-      else if (s.startsWith("0o") || s.startsWith("0O")) java.lang.Long.parseLong(s.substring(2), 8).toDouble
+      // BigInteger, not Long: JS admits radix literals past 2^63 (they
+      // round to the nearest double, same as BigInteger.doubleValue)
+      if (s.startsWith("0x") || s.startsWith("0X")) new java.math.BigInteger(s.substring(2), 16).doubleValue
+      else if (s.startsWith("0b") || s.startsWith("0B")) new java.math.BigInteger(s.substring(2), 2).doubleValue
+      else if (s.startsWith("0o") || s.startsWith("0O")) new java.math.BigInteger(s.substring(2), 8).doubleValue
       else if (s == "Infinity" || s == "+Infinity") Double.PositiveInfinity
       else if (s == "-Infinity") Double.NegativeInfinity
       else {

@@ -26,6 +26,18 @@ import graft.markup.Markup
   * `yield 5` to fail startup, not map). The instance carries only the
   * source string across the wire; each executor re-parses once (lazy,
   * deterministic — it cannot fail after a successful compile).
+  *
+  * The GLOBAL ENVIRONMENT is rebuilt per record, deliberately: lens
+  * code may mutate any unfrozen global (`Math.floor = ...`,
+  * `global.x = 1`), and Spark's record order within a partition is
+  * not a contract — per-record environments make the build
+  * deterministic where the reference's long-lived sequential isolate
+  * merely tolerates cross-record state. The cost is ~a hundred small
+  * closure allocations per record, negligible against the map body's
+  * own interpretation (q49 benches equal to its Scala twin q9); the
+  * frozen, context-free `Markup` bridge is built once per JVM and
+  * shared (it is immutable by construction — `frozen` blocks every
+  * user-reachable mutation path).
   */
 final class JsMapFn(val code: String) extends MapFn {
 
@@ -65,7 +77,7 @@ final class JsMapFn(val code: String) extends MapFn {
     val extras: Seq[(String, JsValue)] = Seq(
       "console" -> consoleObj,
       "output" -> outputFn,
-      "Markup" -> JsMapFn.markupGlobal(() => interpRef))
+      "Markup" -> JsMapFn.sharedMarkup)
 
     val (globalScope, _) = Builtins.makeGlobals(() => interpRef, extras)
     val budget = Budget.default(() => ctx.checkDeadline())
@@ -95,8 +107,12 @@ object JsMapFn {
   /** The `Markup` global — bridges to the engine's PigeonMark library
     * ([[graft.markup.Markup]]), same surface as the reference's isolate
     * environment (environment.js/markup.js: select, get.*, set.*,
-    * isPigeonMark, toHTML, toXML). */
-  private[lens] def markupGlobal(interp: () => Interp): JsObject = {
+    * isPigeonMark, toHTML, toXML). Frozen and context-free, so ONE
+    * instance is shared by every map call in the JVM (concurrent task
+    * threads only ever read it). */
+  private[lens] lazy val sharedMarkup: JsObject = markupGlobal
+
+  private def markupGlobal: JsObject = {
     def native1(name: String)(f: Vector[JsValue] => JsValue): JsNative =
       new JsNative(name, (_, args) => f(args))
     def po(v: JsValue): PoValue = PoBridge.toPo(v)

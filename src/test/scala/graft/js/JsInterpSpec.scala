@@ -429,4 +429,100 @@ class JsInterpSpec extends AnyFunSuite with Matchers {
     run("output('f', () => 1)").error.get.errType shouldBe "TypeError"
     run("const a = []; a.push(a); output('a', a)").error.get.errType shouldBe "TypeError"
   }
+
+  // ---------------- review-hardening regressions ----------------
+
+  test("bare for-in parses (the relational 'in' operator must not eat it)") {
+    val data = PoObj("b" -> PoInt(1), "a" -> PoInt(2))
+    evalExpr("(() => { let ks = []; let k; for (k in data) ks.push(k); return ks.join(',') })()",
+      data) shouldBe PoStr("b,a")
+    // and `x in y` as a plain EXPRESSION still works everywhere else
+    evalExpr("'a' in data ? 1 : 0", data) shouldBe PoInt(1)
+    evalExpr("(() => { for (let i = 'a' in data ? 0 : 9; i < 1; i++) {} return 'done' })()",
+      data) shouldBe PoStr("done")
+  }
+
+  test("optional chaining short-circuits the WHOLE chain, calls included") {
+    evalExpr("data.meta?.author.name") shouldBe PoUndefined
+    evalExpr("data.meta?.a.b.c[0].d") shouldBe PoUndefined
+    evalExpr("data.meta?.frob().deeper") shouldBe PoUndefined
+    // a short-circuited call must not evaluate its arguments
+    evalExpr("(() => { let called = 0; const f = () => called++; data.meta?.m(f()); return called })()") shouldBe PoInt(0)
+    // non-nullish bases still evaluate normally through ?.
+    evalExpr("({a: {b: 7}}).a?.b") shouldBe PoInt(7)
+    // and a non-optional read of undefined still throws
+    run("output('r', data.meta.author)").error.get.errType shouldBe "TypeError"
+  }
+
+  test("for-let closures capture per-iteration bindings (ES2015)") {
+    evalExpr("(() => { const fns = []; for (let i = 0; i < 3; i++) fns.push(() => i); return fns.map(f => f()).join(',') })()") shouldBe PoStr("0,1,2")
+    // body assignments to the let binding must be seen by test/update
+    evalExpr("(() => { let log = []; for (let i = 0; i < 10; i++) { i += 2; log.push(i) } return log.join(',') })()") shouldBe PoStr("2,5,8,11")
+  }
+
+  test("radix literals past 2^63 round to doubles; empty digits are startup errors") {
+    evalExpr("'' + 0xFFFFFFFFFFFFFFFF") shouldBe PoStr("18446744073709552000")
+    evalExpr("'' + Number('0xFFFFFFFFFFFFFFFF')") shouldBe PoStr("18446744073709552000")
+    evalExpr("0b1111") shouldBe PoInt(15)
+    for (bad <- Seq("const x = 0x", "const x = 0b2", "const x = 0o")) {
+      assert(JsMapFn.compile(bad).isLeft, s"expected startup error for: $bad")
+    }
+  }
+
+  test("malformed unicode escapes are startup errors, not host exceptions") {
+    assert(JsMapFn.compile("const s = '\\u{FFFFFFFF}'").isLeft)
+    assert(JsMapFn.compile("const s = '\\u{}'").isLeft)
+    assert(JsMapFn.compile("const s = '\\xzz'").isLeft)
+    evalExpr("'\\u{1F600}'.length") shouldBe PoInt(2) // valid astral escape still works
+  }
+
+  test("match/search coerce a string argument to a PATTERN, not a literal") {
+    evalExpr("'abc'.match('a.c')[0]") shouldBe PoStr("abc")
+    evalExpr("'xa1b'.search('\\\\d')") shouldBe PoInt(2)
+    evalExpr("'a+b'.match('a\\\\+b')[0]") shouldBe PoStr("a+b")
+    evalExpr("'' + 'abc'.match('a[z]')") shouldBe PoStr("null")
+  }
+
+  test("JSON.stringify: DAG reuse is fine, true cycles throw") {
+    evalExpr("(() => { const o = {x: 1}; return JSON.stringify({a: o, b: o}) })()") shouldBe
+      PoStr("""{"a":{"x":1},"b":{"x":1}}""")
+    run("const o = {}; o.self = o; output('r', JSON.stringify(o))")
+      .error.get.errType shouldBe "TypeError"
+  }
+
+  test("new Array(n) is charged against the allocation budget") {
+    val r = run("const a = new Array(100000000); output('r', a.length)")
+    r.error.get.errType shouldBe "JsBudgetExceeded"
+    // Array.from({length: n}) rides the same gate
+    run("output('r', Array.from({length: 99999999}).length)")
+      .error.get.errType shouldBe "JsBudgetExceeded"
+    evalExpr("new Array(3).length") shouldBe PoInt(3)
+  }
+
+  test("template holes are string-aware: '}' inside a quoted string") {
+    evalExpr("`${'}'}ok`") shouldBe PoStr("}ok")
+    evalExpr("`${data.x === '}' ? 'close' : 'other'}`",
+      PoObj("x" -> PoStr("}"))) shouldBe PoStr("close")
+    evalExpr("`a${`b${'}'}c`}d`") shouldBe PoStr("ab}cd")
+  }
+
+  test("compound assignment / update on computed members evaluates obj+key ONCE, in spec order") {
+    evalExpr("(() => { let n = 0; const f = () => { n++; return 0 }; const a = [5]; a[f()] += 1; return n + ':' + a[0] })()") shouldBe PoStr("1:6")
+    evalExpr("(() => { let n = 0; const f = () => { n++; return 0 }; const a = [5]; a[f()]++; return n + ':' + a[0] })()") shouldBe PoStr("1:6")
+    // target reference resolves BEFORE the right-hand side
+    evalExpr("(() => { const calls = []; const f = () => { calls.push('f'); return 0 }; const g = () => { calls.push('g'); return 1 }; const a = [0]; a[f()] = g(); return calls.join(',') })()") shouldBe PoStr("f,g")
+  }
+
+  test("an inconsistent sort comparator never surfaces a host error") {
+    val r = run("const a = Array.from({length: 64}, (x, i) => 63 - i); a.sort(() => 1); output('r', a.length)")
+    r.error shouldBe None
+    r.outputs.head._2 shouldBe PoInt(64)
+    // a comparator that THROWS still propagates as a catchable JS error
+    run("[3,1,2].sort(() => { throw new Error('boom') })").error.get.message shouldBe "boom"
+  }
+
+  test("boolean primitives carry toString/valueOf") {
+    evalExpr("true.toString()") shouldBe PoStr("true")
+    evalExpr("(1 === 2).toString()") shouldBe PoStr("false")
+  }
 }
