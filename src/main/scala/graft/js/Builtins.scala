@@ -247,7 +247,7 @@ object Builtins {
       case o: JsObject =>
         if (seen.contains(o)) throw JsThrown(makeError("TypeError", "Converting circular structure to JSON"))
         seen.add(o)
-        val parts = o.props.toVector.flatMap { case (k, pv) =>
+        val parts = ownEntries(o).flatMap { case (k, pv) =>
           go(pv, depth + 1).map(s => (quote(k), s))
         }
         seen.remove(o)
@@ -356,7 +356,7 @@ object Builtins {
     val o = JsObject.empty("Function")
     val _ = interp
     def entriesOf(v: JsValue): Vector[(String, JsValue)] = v match {
-      case obj: JsObject => obj.props.toVector
+      case obj: JsObject => ownEntries(obj)
       case a: JsArray => a.items.zipWithIndex.map { case (x, ix) => (ix.toString, x) }.toVector
       case JsStr(s) => s.zipWithIndex.map { case (c, ix) => (ix.toString, JsStr(c.toString)) }.toVector
       case _ => Vector.empty
@@ -760,6 +760,10 @@ object Builtins {
       val digits = arg(as, 0) match { case JsUndefined => 0; case v => toNumber(v).toInt }
       if (digits < 0 || digits > 100) throwRange("toFixed() digits argument must be between 0 and 100")
       if (java.lang.Double.isNaN(d)) JsStr("NaN")
+      // spec: |x| ≥ 10^21 falls back to ToString (exponential), and the
+      // exact-binary BigDecimal(d) constructor is the point — toFixed
+      // rounds the true binary value ((1.005).toFixed(2) is "1.00")
+      else if (math.abs(d) >= 1e21) JsStr(numToString(d))
       else JsStr(new java.math.BigDecimal(d).setScale(digits, java.math.RoundingMode.HALF_UP).toPlainString)
     })
     case "toString" => Some(native("toString") { (_, as) =>
@@ -779,12 +783,42 @@ object Builtins {
       arg(as, 0) match {
         case JsUndefined => JsStr(numToString(d))
         case p =>
-          val digits = toNumber(p).toInt
-          if (digits < 1 || digits > 100) throwRange("toPrecision() argument must be between 1 and 100")
-          JsStr(new java.math.BigDecimal(d).round(new java.math.MathContext(digits)).toString)
+          val prec = toNumber(p).toInt
+          if (prec < 1 || prec > 100) throwRange("toPrecision() argument must be between 1 and 100")
+          JsStr(toPrecisionString(d, prec))
       }
     })
     case _ => None
+  }
+
+  /** ECMA Number.prototype.toPrecision layout — NOT Java's
+    * BigDecimal.toString (whose "1.2E+2" notation and exponent
+    * thresholds differ): exactly `p` significant digits (zero-padded),
+    * exponential form `d.dd…e±e` (lowercase, signed) only when the
+    * decimal exponent e < −6 or e ≥ p; ties round half-up on the
+    * magnitude of the exact binary value. */
+  private def toPrecisionString(d: Double, p: Int): String = {
+    if (java.lang.Double.isNaN(d)) return "NaN"
+    if (java.lang.Double.isInfinite(d)) return if (d > 0) "Infinity" else "-Infinity"
+    val neg = d < 0
+    val (digits, e) =
+      if (d == 0.0) ("0" * p, 0)
+      else {
+        val bd = new java.math.BigDecimal(math.abs(d))
+          .round(new java.math.MathContext(p, java.math.RoundingMode.HALF_UP))
+        val unscaled = bd.unscaledValue.toString
+        val exp = (unscaled.length - 1) - bd.scale
+        (unscaled.padTo(p, '0'), exp)
+      }
+    val s =
+      if (e < -6 || e >= p) {
+        val mant = if (p == 1) digits else digits.substring(0, 1) + "." + digits.substring(1)
+        mant + "e" + (if (e >= 0) "+" else "") + e
+      } else if (e >= 0) {
+        if (p > e + 1) digits.substring(0, e + 1) + "." + digits.substring(e + 1)
+        else digits
+      } else "0." + "0" * (-e - 1) + digits
+    if (neg) "-" + s else s
   }
 
   // ---- Boolean.prototype ----

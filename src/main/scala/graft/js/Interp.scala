@@ -214,7 +214,7 @@ final class Interp(globalScope: Scope, val budget: Budget) {
           val it: Iterator[JsValue] =
             if (f.isOf) iterate(obj, f.pos)
             else obj match { // for-in: enumerable own keys as strings
-              case o: JsObject => o.props.keys.toVector.iterator.map(JsStr(_))
+              case o: JsObject => ownEntries(o).iterator.map(e => JsStr(e._1))
               case a: JsArray => a.items.indices.iterator.map(i => JsStr(i.toString))
               case _ => Iterator.empty // incl. null/undefined: zero iterations
             }

@@ -238,9 +238,34 @@ object Values {
 
   def toInt32(d: Double): Int = {
     if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) 0
-    else d.toLong.toInt
+    else {
+      // ECMA ToInt32 wraps modulo 2^32 — `.toLong` SATURATES at ±2^63,
+      // so (2**63)|0 would come out -1 instead of 0; reduce in double
+      // space first (truncation is exact: every |d| ≥ 2^53 is integral)
+      val t = if (d < 0) math.ceil(d) else math.floor(d)
+      (t % 4294967296.0).toLong.toInt
+    }
   }
   def toUint32(d: Double): Long = toInt32(d).toLong & 0xffffffffL
+
+  /** OrdinaryOwnPropertyKeys enumeration order: integer-like keys
+    * (canonical array indices, 0..2^32-2, no leading zeros) ascending
+    * FIRST, then string keys in insertion order. V8-observable through
+    * Object.keys/values/entries, for-in, spread and JSON.stringify —
+    * the reference's lenses run on real V8, so output bytes depend on
+    * this order whenever a map emits objects with numeric keys. */
+  def arrayIndexKey(k: String): Boolean =
+    k.nonEmpty && k.length <= 10 && k.forall(_.isDigit) &&
+      (k.length == 1 || k.charAt(0) != '0') && k.toLong < 4294967295L
+
+  def ownEntries(o: JsObject): Vector[(String, JsValue)] = {
+    val all = o.props.toVector
+    if (!all.exists(e => arrayIndexKey(e._1))) all // common case: no re-sort
+    else {
+      val (idx, rest) = all.partition(e => arrayIndexKey(e._1))
+      idx.sortBy(_._1.toLong) ++ rest
+    }
+  }
 
   /** ToString */
   def toStr(v: JsValue): String = v match {
