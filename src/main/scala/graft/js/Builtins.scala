@@ -658,7 +658,7 @@ object Builtins {
       case 'y' => throw new JsSyntaxError("sticky regex flag 'y' is not supported in lens code", pos.line)
       case other => throw new JsSyntaxError(s"unsupported regex flag '$other'", pos.line)
     }
-    val javaPattern = translateRegex(source)
+    val javaPattern = translateRegex(source, multiline = flags.contains('m'))
     try new JsRegExpV(source, flags, java.util.regex.Pattern.compile(javaPattern, f))
     catch {
       case e: java.util.regex.PatternSyntaxException =>
@@ -671,7 +671,46 @@ object Builtins {
     * needed is `\d`-style classes inside `[]` (identical) and `\/`
     * (redundant escape in Java, harmless). Left as close to identity as
     * possible — divergences are documented subset limits. */
-  private def translateRegex(src: String): String = src
+  /** JS \s per ECMA-262 WhiteSpace+LineTerminator — java.util.regex \s
+    * is ASCII-only, so NBSP/ideographic-space-aware tokenizer lenses
+    * would silently diverge without this. \t-\r covers \v and \f. */
+  private val JsWhitespaceClass =
+    "\\t-\\r \u00A0\u1680\u2000-\u200A\u2028\u2029\u202F\u205F\u3000\uFEFF"
+
+  /** ECMA regex source → java.util.regex source. Same syntax for the
+    * most part; the silent divergences translated here:
+    *  - `\s`/`\S` → explicit JS whitespace class (Java's is ASCII-only);
+    *    emitted as a nested class, legal both inside and outside `[...]`
+    *  - bare `$` without the m flag → `\z` (Java's `$` matches BEFORE a
+    *    final line terminator; JS anchors to the true end)
+    *  - `[^]` → `[\s\S]` and `[]` → `(?!)` (Java rejects empty classes)
+    *  - `\u{...}` → `\x{...}` code-point escapes
+    *  - a literal `[` inside a class is escaped (Java would start a
+    *    nested class union where JS reads a literal bracket) */
+  private def translateRegex(src: String, multiline: Boolean): String = {
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    var inClass = false
+    val n = src.length
+    while (i < n) {
+      val c = src.charAt(i)
+      if (c == '\\' && i + 1 < n) {
+        val d = src.charAt(i + 1)
+        if (d == 's') { sb.append('[').append(JsWhitespaceClass).append(']'); i += 2 }
+        else if (d == 'S') { sb.append("[^").append(JsWhitespaceClass).append(']'); i += 2 }
+        else if (d == 'u' && i + 2 < n && src.charAt(i + 2) == '{') { sb.append("\\x"); i += 2 }
+        else { sb.append(c).append(d); i += 2 }
+      } else if (!inClass && c == '[') {
+        if (src.startsWith("[^]", i)) { sb.append("[\\s\\S]"); i += 3 }
+        else if (src.startsWith("[]", i)) { sb.append("(?!)"); i += 2 }
+        else { inClass = true; sb.append(c); i += 1 }
+      } else if (inClass && c == '[') { sb.append("\\["); i += 1 }
+      else if (inClass && c == ']') { inClass = false; sb.append(c); i += 1 }
+      else if (!inClass && c == '$' && !multiline) { sb.append("\\z"); i += 1 }
+      else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   def regexMethod(r: JsRegExpV, name: String, interp: Interp): Option[JsValue] = name match {
     case "source" => Some(JsStr(r.source))

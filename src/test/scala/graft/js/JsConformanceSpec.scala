@@ -331,6 +331,34 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
     )
   }
 
+  test("regex: JS semantics through the Java translation layer") {
+    expect(
+      // JS \s includes Unicode whitespace; Java's bare \s is ASCII-only
+      "/\\s/.test('\\u00A0')" -> "true",
+      "/\\S/.test('\\u00A0')" -> "false",
+      "'a\\u00A0b'.split(/\\s+/).join(',')" -> "a,b",
+      "/[\\s,]/.test('\\u3000')" -> "true",
+      // bare $ anchors the TRUE end in JS; Java's $ accepts a trailing \n
+      "/x$/.test('x\\n')" -> "false",
+      "/x$/m.test('x\\ny')" -> "true",
+      "/a$/.test('a')" -> "true",
+      "/\\$/.test('$')" -> "true",   // escaped dollar stays literal
+      "/[$]/.test('$')" -> "true",   // dollar in a class stays literal
+      // Java rejects empty classes; JS [^] = anything, [] = nothing
+      "/[^]/.test('\\n')" -> "true",
+      "'a'.replace(/[^]/, 'z')" -> "z",
+      "/a[]b/.test('ab')" -> "false",
+      // literal [ inside a class (Java would open a nested class)
+      "/[[]/.test('[')" -> "true",
+      "/a[[\\]]b/.test('a[b')" -> "true",
+      // code-point escapes
+      "/\\u{48}/u.test('H')" -> "true",
+      // zero-width global matches advance (no hang, JS match count)
+      "'abc'.match(/(?:)/g).length" -> "4",
+      "'aaa'.replace(/a*/g, '-')" -> "--", // full match, then the zero-width match at the end
+    )
+  }
+
   test("string/number + operator precedence of coercion") {
     expect(
       "1 + 2 + '3'" -> "33",
