@@ -960,8 +960,10 @@ object Builtins {
             }
           case other =>
             // a string argument is coerced to a PATTERN (new RegExp(s)),
-            // not a literal — '.'/'\\d' etc stay metacharacters
-            val r = compileRegex(toStr(other), "", Pos(0))
+            // not a literal — '.'/'\\d' etc stay metacharacters; a
+            // MISSING argument is RegExp(undefined) = the empty pattern,
+            // not the literal string "undefined"
+            val r = compileRegex(if (other == JsUndefined) "" else toStr(other), "", Pos(0))
             val m = r.pattern.matcher(s)
             if (m.find()) execResult(m, s) else JsNull
         }
@@ -969,7 +971,8 @@ object Builtins {
       case "search" => withStr(name) { as =>
         val r = arg(as, 0) match {
           case re: JsRegExpV => re
-          case other => compileRegex(toStr(other), "", Pos(0)) // same coercion as match
+          case other => // same coercion as match, incl. the undefined case
+            compileRegex(if (other == JsUndefined) "" else toStr(other), "", Pos(0))
         }
         val m = r.pattern.matcher(s)
         JsNum(if (m.find()) m.start.toDouble else -1.0)

@@ -196,24 +196,19 @@ object Lexer {
       case '0' if i + 1 >= src.length || !src.charAt(i + 1).isDigit => sb.append('\u0000'); i + 1
       case 'x' =>
         if (i + 2 >= src.length) err("bad \\x escape")
-        val h = try Integer.parseInt(src.substring(i + 1, i + 3), 16)
-                catch { case _: NumberFormatException => err("bad \\x escape") }
-        sb.append(h.toChar); i + 3
+        sb.append(parseHex(src.substring(i + 1, i + 3), () => err("bad \\x escape")).toChar); i + 3
       case 'u' =>
         if (i + 1 < src.length && src.charAt(i + 1) == '{') {
           val close = src.indexOf('}', i + 2)
           if (close < 0) err("bad \\u{} escape")
           // parse failures AND out-of-range code points (\u{FFFFFFFF})
           // must be startup syntax errors, not escaped host exceptions
-          val cp = try Integer.parseInt(src.substring(i + 2, close), 16)
-                   catch { case _: NumberFormatException => err("bad \\u{} escape") }
+          val cp = parseHex(src.substring(i + 2, close), () => err("bad \\u{} escape"))
           if (cp > 0x10FFFF) err("undefined code point in \\u{} escape")
           sb.appendCodePoint(cp); close + 1
         } else {
           if (i + 4 >= src.length) err("bad \\u escape")
-          val u = try Integer.parseInt(src.substring(i + 1, i + 5), 16)
-                  catch { case _: NumberFormatException => err("bad \\u escape") }
-          sb.append(u.toChar); i + 5
+          sb.append(parseHex(src.substring(i + 1, i + 5), () => err("bad \\u escape")).toChar); i + 5
         }
       case '\n' => onNewline(); i + 1 // line continuation
       case '\r' =>
@@ -221,6 +216,17 @@ object Lexer {
         if (i + 1 < src.length && src.charAt(i + 1) == '\n') i + 2 else i + 1
       case other => sb.append(other); i + 1
     }
+  }
+
+  /** Strict non-negative hex parse for escape digits. `Integer.parseInt`
+    * alone would accept a '+'/'-' sign ("\\x-1" → char U+FFFF, "\\u{-1}"
+    * → appendCodePoint(-1) throwing an uncaught IllegalArgumentException)
+    * where JS makes every signed escape a SyntaxError. */
+  private def parseHex(digits: String, bad: () => Nothing): Int = {
+    if (digits.isEmpty || !digits.forall(c =>
+      (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F'))) bad()
+    try Integer.parseInt(digits, 16)
+    catch { case _: NumberFormatException => bad() } // > Int.MaxValue digits
   }
 
   /** Index just PAST the closing backtick of a template literal whose

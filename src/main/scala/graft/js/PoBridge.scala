@@ -69,7 +69,11 @@ object PoBridge {
         PoArr(a.items.toVector.map(go))
       }
       case o: JsObject => cycleGuard(o) {
-        PoObj(o.props.foldLeft(VectorMap.empty[String, PoValue]) {
+        // V8 enumeration order (integer-like keys first) — output()
+        // must serialize the same key order the lens observes via
+        // Object.keys/JSON.stringify, and the same order the
+        // reference's V8 isolate would emit
+        PoObj(Values.ownEntries(o).foldLeft(VectorMap.empty[String, PoValue]) {
           case (acc, (k, pv)) => acc.updated(k, go(pv))
         })
       }

@@ -220,12 +220,17 @@ object Values {
   def stringToNumber(s0: String): Double = {
     val s = s0.trim
     if (s.isEmpty) return 0.0
+    // BigInteger accepts a leading '+'/'-' in the digits, but JS radix
+    // strings admit none: Number("0x-5") is NaN, not -5
+    def radix(body: String, r: Int): Double =
+      if (body.isEmpty || body.charAt(0) == '+' || body.charAt(0) == '-') Double.NaN
+      else new java.math.BigInteger(body, r).doubleValue
     try {
       // BigInteger, not Long: JS admits radix literals past 2^63 (they
       // round to the nearest double, same as BigInteger.doubleValue)
-      if (s.startsWith("0x") || s.startsWith("0X")) new java.math.BigInteger(s.substring(2), 16).doubleValue
-      else if (s.startsWith("0b") || s.startsWith("0B")) new java.math.BigInteger(s.substring(2), 2).doubleValue
-      else if (s.startsWith("0o") || s.startsWith("0O")) new java.math.BigInteger(s.substring(2), 8).doubleValue
+      if (s.startsWith("0x") || s.startsWith("0X")) radix(s.substring(2), 16)
+      else if (s.startsWith("0b") || s.startsWith("0B")) radix(s.substring(2), 2)
+      else if (s.startsWith("0o") || s.startsWith("0O")) radix(s.substring(2), 8)
       else if (s == "Infinity" || s == "+Infinity") Double.PositiveInfinity
       else if (s == "-Infinity") Double.NegativeInfinity
       else {
@@ -255,7 +260,9 @@ object Values {
     * the reference's lenses run on real V8, so output bytes depend on
     * this order whenever a map emits objects with numeric keys. */
   def arrayIndexKey(k: String): Boolean =
-    k.nonEmpty && k.length <= 10 && k.forall(_.isDigit) &&
+    // ASCII digits ONLY: Char.isDigit accepts Unicode digits ('٣'),
+    // which V8 treats as plain string keys, not indices
+    k.nonEmpty && k.length <= 10 && k.forall(c => c >= '0' && c <= '9') &&
       (k.length == 1 || k.charAt(0) != '0') && k.toLong < 4294967295L
 
   def ownEntries(o: JsObject): Vector[(String, JsValue)] = {

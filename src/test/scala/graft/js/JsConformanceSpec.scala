@@ -359,6 +359,32 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
     )
   }
 
+  test("review regressions: signed escapes, radix signs, unicode digit keys, argless match") {
+    // signed hex in escapes is a SyntaxError, never a sign-parsed char
+    for (bad <- Seq("const s = '\\x-1'", "const s = '\\u-123'", "const s = '\\u{-1}'")) {
+      assert(JsMapFn.compile(bad).isLeft, s"expected startup error for: $bad")
+    }
+    expect(
+      "Number('0x-5')" -> "NaN",
+      "Number('0b+1')" -> "NaN",
+      "Number('-0x5')" -> "NaN", // sign BEFORE the prefix is NaN in JS too
+      // Unicode digits are plain string keys, not array indices
+      "Object.keys({'\\u0663': 1, a: 2, 1: 3}).join(',')" -> "1,٣,a",
+      // argless match/search = RegExp(undefined) = empty pattern
+      "'abc'.match().length" -> "1",
+      "'abc'.match()[0]" -> "",
+      "'abc'.search()" -> "0",
+    )
+    // output() serializes object keys in V8 enumeration order, matching
+    // what the lens itself observes through Object.keys/JSON.stringify
+    val res = run("output('r', {b: 1, 0: 2})")
+    res.error shouldBe None
+    res.outputs.head._2 match {
+      case PoObj(fields) => fields.keys.toVector shouldBe Vector("0", "b")
+      case other => fail(s"expected PoObj, got $other")
+    }
+  }
+
   test("string/number + operator precedence of coercion") {
     expect(
       "1 + 2 + '3'" -> "33",
