@@ -39,7 +39,18 @@ import graft.store._
   *   GET    /lenses/A:N/logs                           last-build logs (lens-controller:105)
   *   GET    /{datasets|lenses|meta}/A:N/event-stream    live SSE push (export-controller:153)
   *   GET    /changes?since=ts[&seq=n]                  SSE catch-up events
-  *   POST   /lenses/ephemeral                          run-once lens, streamed logs+records (lens-controller:191)
+  *   POST   /lenses/ephemeral                          run-once lens, streamed logs+records (lens-controller:191; unguarded, like the reference)
+  *   POST   /auth                                      login/register → {author, auth} (auth-controller:13)
+  *   GET    /authors/                                  author account listing (auth-controller:38)
+  *   GET    /authors/A/                                profile + collections (auth-controller:47)
+  *
+  * Auth (opt-in `authOpt`): HTTP Basic credentials resolve to an
+  * [[Identity]] per request (reference basicAuthMiddleware,
+  * auth.js:16-35); record writes 401 without ownership
+  * (dataset-controller:159), import / collection DELETE / lens
+  * create+configure 403 (ownerRequired, auth.js:63-77), reads open.
+  * With no Auth configured every guard is a no-op — the
+  * embedded-library mode where authorization happens upstream.
   * Map-carrying bodies ({memo?, inputs, mapType, code|map}) take
   * mapType "javascript" — the reference's native form, the code string
   * executed by the in-process interpreter ([[graft.lens.JsMapFn]]) —
@@ -48,8 +59,17 @@ import graft.store._
   * the preemptive sandbox (the reference's isolate caps). Syntax errors
   * answer 400 at configuration time, the reference's startup-errors
   * contract (javascript-lens-worker.js:102-111).
-  */
-final class HttpApi(store: Store, port: Int = 0) {
+  *
+  * @param lensTimeoutMs per-map-call preemptive budget for wire-supplied
+  *   maps — the reference's `settings.lensTimeout` (package.json
+  *   defaults: "50ms"), a server setting, not a constant: operators
+  *   size it to their hardware. The 50 ms default matches the
+  *   reference's.
+  * @param lensMemCapBytes the companion allocation cap (the reference's
+  *   isolate `memoryLimit`, javascript-lens-worker.js:55) */
+final class HttpApi(store: Store, port: Int = 0, authOpt: Option[Auth] = None,
+                    lensTimeoutMs: Long = graft.lens.MapRunner.DefaultTimeoutMs,
+                    lensMemCapBytes: Long = graft.lens.MapRunner.DefaultMemCapBytes) {
 
   /** reference body cap for the ephemeral route
     * (lens-controller.js:192 `parse.body({ maxSize: 3145728 })`). */
@@ -100,9 +120,64 @@ final class HttpApi(store: Store, port: Int = 0) {
   private val LensMapPat = "^/lenses/([^:/]+):([^:/]+)/configuration/map$".r
   private val LensLogsPat = "^/lenses/([^:/]+):([^:/]+)/logs$".r
 
+  // ---- auth (reference: basicAuthMiddleware auth.js:16-35, route
+  // guards auth.js:38-77; all no-ops when no Auth is configured —
+  // the embedded-library mode where authorization happens upstream) ----
+
+  /** Basic credentials → identity. `Left` = malformed/failed login,
+    * answered 400 with the reference's message (auth.js:24-26).
+    * Non-Basic Authorization schemes are ignored, like the reference. */
+  private def identityOf(ex: HttpExchange): Either[String, Option[Identity]] =
+    authOpt match {
+      case None => Right(None)
+      case Some(a) =>
+        Option(ex.getRequestHeaders.getFirst("Authorization")) match {
+          case None => Right(None)
+          case Some(h) =>
+            val parts = h.split(" ", 2)
+            if (parts.length < 2 || !parts(0).equalsIgnoreCase("Basic")) Right(None)
+            else {
+              val creds =
+                try new String(java.util.Base64.getDecoder.decode(parts(1).trim), UTF_8)
+                catch { case _: IllegalArgumentException =>
+                  return Left("Invalid credentials supplied with Basic HTTP authentication: bad base64") }
+              val ix = creds.indexOf(':')
+              if (ix < 0) Left("Invalid credentials supplied with Basic HTTP authentication: missing password")
+              else a.login(creds.substring(0, ix), creds.substring(ix + 1)) match {
+                case Right(id) => Right(Some(id))
+                case Left(msg) => Left(s"Invalid credentials supplied with Basic HTTP authentication: $msg")
+              }
+            }
+        }
+    }
+
+  /** true = proceed. With auth enabled and the caller not owning
+    * `resourceAuthor` (same author, or admin — auth.js:38-41), answers
+    * the route's failure code and returns false: record writes say 401
+    * (dataset-controller.js:159), ownerRequired routes say 403
+    * (auth.js:63-77). */
+  private def requireOwner(ex: HttpExchange, identity: Option[Identity],
+                           resourceAuthor: String, forbidden: Boolean): Boolean =
+    authOpt.isEmpty || (identity match {
+      case Some(id) if id.owns(resourceAuthor) => true
+      case _ =>
+        if (forbidden) respond(ex, 403, "You need to login as someone with permission to edit this")
+        else {
+          ex.getResponseHeaders.set("WWW-Authenticate", "Basic realm=\"PigeonOptics\", charset=\"UTF-8\"")
+          respond(ex, 401, "This request requires you be logged in with basic auth")
+        }
+        false
+    })
+
+  private val AuthorProfilePat = "^/authors/([^/:]+)/$".r
+
   private def route(ex: HttpExchange): Unit = {
     val path = ex.getRequestURI.getPath
     val method = ex.getRequestMethod
+    val identity: Option[Identity] = identityOf(ex) match {
+      case Left(msg) => return respond(ex, 400, msg)
+      case Right(id) => id
+    }
     (method, path) match {
       case ("GET", RecordsPat(source, author, name)) =>
         val p = DataPath(source, author, name)
@@ -153,14 +228,17 @@ final class HttpApi(store: Store, port: Int = 0) {
           .getOrElse(return respond(ex, 404, "no such record"))
         respondValue(ex, 200, v, Option(ext).getOrElse("json"))
       case ("PUT", RecordPat("datasets", author, name, rid, _, _)) =>
+        if (!requireOwner(ex, identity, author, forbidden = false)) return
         val codec = codecFor(ex).getOrElse(JsonCodec)
         val value = codec.decode(ex.getRequestBody.readAllBytes())
         val version = store.dataset(author, name).write(rid, value)
         respondValue(ex, 200, PoObj("version" -> PoInt(version)), "json")
       case ("DELETE", RecordPat("datasets", author, name, rid, _, _)) =>
+        if (!requireOwner(ex, identity, author, forbidden = false)) return
         val version = store.dataset(author, name).delete(rid)
         respondValue(ex, 200, PoObj("version" -> PoInt(version)), "json")
       case ("POST", RecordsPat("datasets", author, name)) =>
+        if (!requireOwner(ex, identity, author, forbidden = false)) return
         val codec = codecFor(ex).getOrElse(JsonCodec)
         codec.decode(ex.getRequestBody.readAllBytes()) match {
           case PoObj(fields) =>
@@ -207,6 +285,8 @@ final class HttpApi(store: Store, port: Int = 0) {
         //  - raw body + ?filename=x.jsonl = single entries-file import
         //    ({id: value} map or [id, value] pair array).
         // ?overwrite=true replaces the collection instead of merging.
+        // ownerRequired in the reference (dataset-controller.js:249)
+        if (!requireOwner(ex, identity, author, forbidden = true)) return
         val qp = queryParams(ex)
         val mode = if (qp.get("overwrite").contains("true")) WriteMode.Overwrite
                    else WriteMode.Merge
@@ -319,7 +399,9 @@ final class HttpApi(store: Store, port: Int = 0) {
           "updated" -> PoInt(m.updated), "memo" -> PoStr(m.memo)), "json")
       case ("DELETE", CollectionPat(source, author, name)) =>
         // drop whole collection (dataset-controller.js:79-87,
-        // lens-controller.js:115-118) — 204, like the reference
+        // lens-controller.js:115-118) — 204, like the reference;
+        // ownerRequired in both reference controllers
+        if (!requireOwner(ex, identity, author, forbidden = true)) return
         val c = store.collection(DataPath(source, author, name))
         if (!c.exists) return respond(ex, 404, "no such collection")
         c.drop()
@@ -382,7 +464,8 @@ final class HttpApi(store: Store, port: Int = 0) {
         // call runs under the preemptive 50 ms/256 MB budget (the
         // reference's isolate caps) — a regex bomb or hot loop becomes
         // a per-record captured error, not a pinned core
-        graft.lens.EphemeralLens.stream(store, inputs, fn, sandbox = true) { frames =>
+        graft.lens.EphemeralLens.stream(store, inputs, fn, sandbox = true,
+          sandboxMs = lensTimeoutMs, sandboxMemCap = lensMemCapBytes) { frames =>
           // same discipline as the listings: force the first frame
           // before committing the 200, abort mid-stream without the
           // closing bracket so a failure is never a silent complete body
@@ -413,18 +496,25 @@ final class HttpApi(store: Store, port: Int = 0) {
         }
       case ("PUT", "/lenses/create") =>
         // create + first build (lens-controller.js:20-59: lens.create →
-        // lens.build → 303 to the lens page). Body: {author?, name,
-        // memo?, inputs, mapType, code|map}; author defaults to "system"
-        // (auth is out-of-engine, SURVEY §1.1 — "author" is a partition
-        // column, not an identity).
+        // lens.build → 303 to the lens page; guarded by auth.required).
+        // Body: {author?, name, memo?, inputs, mapType, code|map}.
+        // With auth enabled: 401 unless logged in, author defaults to
+        // the caller's identity (the reference creates under
+        // req.author), explicit non-owned author → 403. Without auth,
+        // author defaults to "system" (embedded-library mode).
+        if (authOpt.isDefined && identity.isEmpty) {
+          ex.getResponseHeaders.set("WWW-Authenticate", "Basic realm=\"PigeonOptics\", charset=\"UTF-8\"")
+          return respond(ex, 401, "This request requires you be logged in with basic auth")
+        }
         val obj = jsonBody(ex) match {
           case Left((code, msg)) => return respond(ex, code, msg)
           case Right(o) => o
         }
         val author = obj.fields.get("author") match {
           case Some(PoStr(a)) => a
-          case _ => "system"
+          case _ => identity.map(_.author).getOrElse("system")
         }
+        if (!requireOwner(ex, identity, author, forbidden = true)) return
         val lensName = obj.fields.get("name") match {
           case Some(PoStr(n)) => n
           case _ => return respond(ex, 400, "missing lens name")
@@ -443,17 +533,18 @@ final class HttpApi(store: Store, port: Int = 0) {
         if (store.lens(author, lensName).exists)
           return respond(ex, 409, s"lens $author:$lensName already exists")
         val lens = new graft.lens.Lens(store, author, lensName, inputs, fn,
-          graft.lens.MapRunner.DefaultTimeoutMs, sandboxed = true,
-          graft.lens.MapRunner.DefaultMemCapBytes, memo)
+          lensTimeoutMs, sandboxed = true, lensMemCapBytes, memo)
         lens.create()
         lens.buildFull()
         ex.getResponseHeaders.set("Location", s"/lenses/$author:$lensName/")
         respond(ex, 303, "")
       case ("PUT", LensConfigPat(author, name)) =>
         // update config + full rebuild (lens-controller.js:76-99
-        // updateMeta → lens.build → 204). The rebuild is FULL because
-        // the map function may have changed — the incremental cache is
-        // keyed by input version, not map identity (Lens.buildFull doc).
+        // updateMeta → lens.build → 204; guarded by ownerRequired). The
+        // rebuild is FULL because the map function may have changed —
+        // the incremental cache is keyed by input version, not map
+        // identity (Lens.buildFull doc).
+        if (!requireOwner(ex, identity, author, forbidden = true)) return
         if (!store.lens(author, name).exists)
           return respond(ex, 404, "no such lens")
         val obj = jsonBody(ex) match {
@@ -472,8 +563,7 @@ final class HttpApi(store: Store, port: Int = 0) {
           case Right(f) => f
         }
         val lens = new graft.lens.Lens(store, author, name, inputs, fn,
-          graft.lens.MapRunner.DefaultTimeoutMs, sandboxed = true,
-          graft.lens.MapRunner.DefaultMemCapBytes, memo)
+          lensTimeoutMs, sandboxed = true, lensMemCapBytes, memo)
         lens.saveConfig()
         lens.buildFull()
         respond(ex, 204, "")
@@ -547,6 +637,40 @@ final class HttpApi(store: Store, port: Int = 0) {
         val seq = qp.get("seq").map(_.toLong).getOrElse(-1L)
         val body = commitLog.eventsSince(since, seq).mkString("\n")
         respond(ex, 200, body)
+      case ("POST", "/auth") =>
+        // login/register (auth-controller.js:13-32, JSON API form of the
+        // reference's form POST): {name, password, register?} → identity
+        val a = authOpt.getOrElse(return respond(ex, 404, "auth is not enabled"))
+        val obj = jsonBody(ex) match {
+          case Left((code, msg)) => return respond(ex, code, msg)
+          case Right(o) => o
+        }
+        (obj.fields.get("name"), obj.fields.get("password")) match {
+          case (Some(PoStr(nm)), Some(PoStr(pw))) =>
+            val attempt =
+              if (obj.fields.get("register").contains(PoBool(true))) a.register(nm, pw)
+              else a.login(nm, pw)
+            attempt match {
+              case Right(id) => respondValue(ex, 200,
+                PoObj("author" -> PoStr(id.author), "auth" -> PoStr(id.auth)), "json")
+              case Left(msg) => respond(ex, 400, msg)
+            }
+          case _ => respond(ex, 400, "body must carry string name and password fields")
+        }
+      case ("GET", "/authors/") =>
+        // all author accounts (auth-controller.js:38-45 / auth.js:202-216)
+        val a = authOpt.getOrElse(return respond(ex, 404, "auth is not enabled"))
+        respondValue(ex, 200, PoArr(a.list().map(PoStr.apply)), "json")
+      case ("GET", AuthorProfilePat(author)) =>
+        // profile + the author's collections (auth-controller.js:47-61)
+        val a = authOpt.getOrElse(return respond(ex, 404, "auth is not enabled"))
+        a.profile(author) match {
+          case None => respond(ex, 404, "no such author")
+          case Some(id) => respondValue(ex, 200, PoObj(
+            "auth" -> PoStr(id.auth),
+            "datasets" -> PoArr(store.listCollections("datasets", author).map(PoStr.apply).toVector),
+            "lenses" -> PoArr(store.listCollections("lenses", author).map(PoStr.apply).toVector)), "json")
+        }
       case _ => respond(ex, 404, s"no route: $method $path")
     }
   }

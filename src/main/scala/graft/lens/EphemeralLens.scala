@@ -38,10 +38,12 @@ object EphemeralLens {
     * its outputs, like an isolate kill. */
   def stream[A](store: Store, inputs: Seq[DataPath], fn: MapFn,
                 suffix: String = java.util.UUID.randomUUID().toString.take(8),
-                sandbox: Boolean = false)
+                sandbox: Boolean = false,
+                sandboxMs: Long = MapRunner.DefaultTimeoutMs,
+                sandboxMemCap: Long = MapRunner.DefaultMemCapBytes)
                (consume: Iterator[PoValue] => A): A = {
     val base = new Lens(store, "system", s"ephemeral-$suffix", inputs, fn)
-    val lens = if (sandbox) base.withSandbox() else base
+    val lens = if (sandbox) base.withSandbox(sandboxMs, sandboxMemCap) else base
     require(!lens.exists, s"ephemeral lens collision: ${lens.path.encoded}")
     lens.create()
     try {

@@ -13,11 +13,18 @@ import graft.store.Store
 
 class HttpApiSpec extends AnyFunSuite {
 
-  private def withApi(f: (String, HttpClient) => Unit): Unit = {
+  /** `lensTimeoutMs` defaults to the reference's 50 ms; tests whose maps
+    * do real per-record work (the JS lifecycle) pass a CI-safe budget —
+    * a loaded box can spend >50 ms on the first interpreter call (JIT +
+    * parse), which correctly drops that record's outputs as a timeout
+    * error and turns the assertion flaky. The ephemeral REDOS test keeps
+    * the tight default: its point IS the preemption. */
+  private def withApi(lensTimeoutMs: Long = graft.lens.MapRunner.DefaultTimeoutMs)
+                     (f: (String, HttpClient) => Unit): Unit = {
     val store = new Store(SparkTestBase.spark,
       Files.createTempDirectory("graft-http").toString)
     store.dataset("alice", "d1").create()
-    val api = new HttpApi(store).start()
+    val api = new HttpApi(store, lensTimeoutMs = lensTimeoutMs).start()
     try f(s"http://127.0.0.1:${api.boundPort}", HttpClient.newHttpClient())
     finally api.stop()
   }
@@ -27,7 +34,7 @@ class HttpApiSpec extends AnyFunSuite {
       HttpResponse.BodyHandlers.ofString())
 
   test("PUT/GET/DELETE a record over HTTP; listing shows version+hash") {
-    withApi { (base, c) =>
+    withApi() { (base, c) =>
       val put = c.send(HttpRequest.newBuilder(URI.create(s"$base/datasets/alice:d1/records/r1"))
         .header("Content-Type", "application/json")
         .PUT(HttpRequest.BodyPublishers.ofString("""{"x": 5, "tags": ["a"]}"""))
@@ -58,7 +65,7 @@ class HttpApiSpec extends AnyFunSuite {
   }
 
   test("bulk merge POST, flat-file export with ?at=, change feed") {
-    withApi { (base, c) =>
+    withApi() { (base, c) =>
       val post = c.send(HttpRequest.newBuilder(URI.create(s"$base/datasets/alice:d1/records/"))
         .header("Content-Type", "application/json")
         .POST(HttpRequest.BodyPublishers.ofString("""{"a": 1, "b": {"k": true}}"""))
@@ -97,7 +104,7 @@ class HttpApiSpec extends AnyFunSuite {
   }
 
   test("listing streams in natural order with ?start/?limit pagination") {
-    withApi { (base, c) =>
+    withApi() { (base, c) =>
       // write out of natural order; digit runs must sort numerically
       Seq("item10", "item2", "item1", "other9", "item3").foreach { id =>
         c.send(HttpRequest.newBuilder(URI.create(s"$base/datasets/alice:d1/records/$id"))
@@ -122,7 +129,7 @@ class HttpApiSpec extends AnyFunSuite {
   }
 
   test("import route: zip of files and a single entries file round-trip") {
-    withApi { (base, c) =>
+    withApi() { (base, c) =>
       // files mode: a zip body, one record per entry (filename minus ext)
       val zipBytes = {
         val buf = new java.io.ByteArrayOutputStream()
@@ -167,7 +174,7 @@ class HttpApiSpec extends AnyFunSuite {
   }
 
   test("zip export route: records + deduplicated attachments stream down") {
-    withApi { (base, c) =>
+    withApi() { (base, c) =>
       c.send(HttpRequest.newBuilder(URI.create(s"$base/datasets/alice:d1/records/a"))
         .header("Content-Type", "application/json")
         .PUT(HttpRequest.BodyPublishers.ofString("""{"v": 1}""")).build(),
@@ -191,7 +198,7 @@ class HttpApiSpec extends AnyFunSuite {
   }
 
   test("event-stream: SSE client receives a live commit mid-connection") {
-    withApi { (base, c) =>
+    withApi() { (base, c) =>
       import java.util.concurrent.{LinkedBlockingQueue, TimeUnit}
       val lines = new LinkedBlockingQueue[String]()
       val sub = c.sendAsync(HttpRequest.newBuilder(
@@ -229,7 +236,7 @@ class HttpApiSpec extends AnyFunSuite {
   }
 
   test("collection listings, meta, and DELETE round-trip (dataset/lens controllers)") {
-    withApi { (base, c) =>
+    withApi() { (base, c) =>
       val store2ndAuthor = get(c, s"$base/datasets/")
       assert(store2ndAuthor.statusCode == 200)
       assert(JsonCodec.decodeString(store2ndAuthor.body) ==
@@ -328,7 +335,7 @@ class HttpApiSpec extends AnyFunSuite {
   }
 
   test("POST /lenses/ephemeral: DSL golden lens streams logs then records, then deletes itself") {
-    withApi { (base, c) =>
+    withApi() { (base, c) =>
       // the reference's golden fixture (test/test-models-lens.js:39-53)
       def put(rid: String, json: String): Unit =
         c.send(HttpRequest.newBuilder(URI.create(s"$base/datasets/alice:d1/records/$rid"))
@@ -419,7 +426,7 @@ class HttpApiSpec extends AnyFunSuite {
   }
 
   test("JS lens lifecycle over HTTP: create, read config+map, rebuild on PUT, ephemeral") {
-    withApi { (base, c) =>
+    withApi(lensTimeoutMs = 5000) { (base, c) =>
       def put(rid: String, json: String): Unit =
         c.send(HttpRequest.newBuilder(URI.create(s"$base/datasets/alice:d1/records/$rid"))
           .header("Content-Type", "application/json")
@@ -525,7 +532,7 @@ class HttpApiSpec extends AnyFunSuite {
   }
 
   test("errors: 404 unknown route/collection, 400 bad body") {
-    withApi { (base, c) =>
+    withApi() { (base, c) =>
       assert(get(c, s"$base/nope").statusCode == 404)
       assert(get(c, s"$base/datasets/alice:none/records/").statusCode == 404)
       val bad = c.send(HttpRequest.newBuilder(URI.create(s"$base/datasets/alice:d1/records/"))
