@@ -64,9 +64,11 @@ object IncrementalLensQuery {
     // scratch store keyed by (scale factor, pid) and REUSED across runs
     // in one process (a fresh dir per invocation would leak a full
     // corpus copy every bench iteration). The pid suffix keeps
-    // concurrent processes off each other's store (Store.withLock is
-    // in-process only); dead processes' dirs are reaped here, the
-    // ivf-centroids pattern. Both collections are dropped up front:
+    // concurrent processes off each other's store — commits would
+    // serialize safely (Store.withLock holds an OS file lock) but this
+    // query asserts exact map-invocation counts, which a concurrent
+    // rebuilder would perturb; dead processes' dirs are reaped here,
+    // the ivf-centroids pattern. Both collections are dropped up front:
     // dropping the lens output removes its compute cache with it, so
     // build 1 below always maps everything and the invocation count
     // never sees state from a previous run.

@@ -38,6 +38,18 @@ object Store {
     require(id != null && id.nonEmpty, "recordID must be a non-empty string")
     require(id.length <= 10000, s"recordID too long (${id.length} > 10000)")
   }
+
+  /** JVM-global writer monitors keyed by `absoluteRoot|collectionPath`
+    * (see [[Store.withLock]]): all Store instances in this process
+    * serialize a collection's commits through one monitor before any of
+    * them touches the per-JVM OS file lock. */
+  private[store] val writerMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Reentrant hold counts per key; only read/written while the key's
+    * monitor is held, so plain puts suffice. */
+  private[store] val lockDepths =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 }
 
 /** The one natural-order pagination plan, shared by every listing
@@ -65,9 +77,12 @@ object Listing {
   * collection version, plus `meta.json` naming the current version —
   * commit is write-new-snapshot then atomically swap the manifest
   * (the Spark analogue of the reference's tmp + rename dance,
-  * fs/raw.js:152-197). Writers serialize per collection via a driver-side
-  * lock (the reference's named in-memory locks, fs/objects.js:127); Spark
-  * jobs inside a commit stay fully parallel.
+  * fs/raw.js:152-197). Writers serialize per collection via a two-layer
+  * lock — a JVM-global monitor plus an OS file lock in `root/_locks/`
+  * (the reference's named in-memory locks, fs/objects.js:127, upgraded
+  * to multi-process) — so concurrent writer PROCESSES on one root can't
+  * lose a commit to a manifest race; Spark jobs inside a commit stay
+  * fully parallel.
   *
   * `buckets = Some(B)`: copy-on-write snapshots hash-partitioned into B
   * id-buckets. A merge commit rewrites ONLY the buckets containing
@@ -82,9 +97,20 @@ final class Store(val spark: SparkSession, val root: String,
                   val buckets: Option[Int] = None) {
   import spark.implicits._
 
-  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def lockFor(key: String): Object =
-    locks.computeIfAbsent(key, _ => new Object)
+  /** Key for the JVM-global writer monitors: two Store instances on the
+    * same root (HTTP server + LensMaintainer sharing a JVM, or a test
+    * harness) must share ONE monitor per collection, not one per
+    * instance — OS file locks are per-JVM, so a second instance reaching
+    * for the file lock concurrently would throw
+    * OverlappingFileLockException instead of waiting. */
+  private val rootKey = Paths.get(root).toAbsolutePath.normalize.toString
+
+  /** `root/_locks/<urlencoded collectionPath>.lock` — a sibling of the
+    * source dirs (never enumerated as an author namespace; outlives
+    * `drop()` so re-create races still serialize). */
+  private def lockFile(path: DataPath): Path =
+    Paths.get(root, "_locks",
+      java.net.URLEncoder.encode(path.collectionPath, "UTF-8") + ".lock")
 
   /** Commit listeners: (path, newVersion) — the change feed that drives
     * cascading lens rebuilds (reference: update-events.js:7-14). */
@@ -119,8 +145,61 @@ final class Store(val spark: SparkSession, val root: String,
     else graft.core.Fs.list(p).iterator.filter(Files.isDirectory(_))
       .map(_.getFileName.toString).toSeq.sorted(NaturalOrder)
 
-  private[store] def withLock[A](path: DataPath)(f: => A): A =
-    lockFor(path.collectionPath).synchronized(f)
+  /** Writer exclusion for a collection, across THREADS and PROCESSES.
+    *
+    * Two layers, both required: the JVM-global monitor serializes every
+    * thread of every Store instance in this process (per-instance maps
+    * would let two instances on one root race); the OS advisory lock on
+    * [[lockFile]] then makes a second PROCESS block until this commit's
+    * manifest swap lands. Because `meta` is read inside this lock and
+    * the manifest swap is its last act, the loser of the race re-reads
+    * the winner's version and merges on top of it — no lost update
+    * (previously documented as a single-writer-process premise in
+    * ChangeFeed's scaladoc; now enforced). The lock spans one commit —
+    * prepare job through manifest swap — matching the reference's named
+    * in-memory locks (fs/objects.js:127) upgraded to multi-process.
+    *
+    * Reads never touch this: the manifest swap is atomic, so readers see
+    * the old or the new version, never a torn one.
+    *
+    * A filesystem without `FileChannel.lock` support (some network
+    * mounts) degrades to JVM-only serialization — same guarantee the
+    * store had before. On a real cluster the store root is a shared
+    * POSIX mount (local/NFSv4); object-store deployments would swap
+    * this seam for a coordination service. */
+  private[store] def withLock[A](path: DataPath)(f: => A): A = {
+    val key = rootKey + "|" + path.collectionPath
+    val mon = Store.writerMonitors.computeIfAbsent(key, _ => new Object)
+    mon.synchronized {
+      // reentrancy: hold counts are only touched under the key's monitor
+      val depth = Store.lockDepths.getOrDefault(key, 0)
+      if (depth > 0) {
+        Store.lockDepths.put(key, depth + 1)
+        try f finally Store.lockDepths.put(key, depth)
+      } else {
+        var ch: java.nio.channels.FileChannel = null
+        var fl: java.nio.channels.FileLock = null
+        try {
+          val lf = lockFile(path)
+          Files.createDirectories(lf.getParent)
+          ch = java.nio.channels.FileChannel.open(lf,
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.WRITE)
+          fl = ch.lock() // blocks while another PROCESS holds a commit
+        } catch {
+          case _: java.io.IOException | _: UnsupportedOperationException =>
+            if (ch != null) { ch.close(); ch = null } // lock-less FS: JVM-only exclusion
+        }
+        Store.lockDepths.put(key, 1)
+        try f
+        finally {
+          Store.lockDepths.remove(key)
+          if (fl != null) fl.release()
+          if (ch != null) ch.close()
+        }
+      }
+    }
+  }
 
   /** gc-vs-commit gate (reference: attachments.js hold/validate): every
     * commit holds the read side from link validation through manifest

@@ -31,10 +31,11 @@ import graft.store.{DataPath, Store}
   * per tick; only genuine history replay pays the scan.
   *
   * WRITER TOPOLOGY: the default (`soleWriter = true`) assumes one
-  * writer process per store root — the premise the store's collection
-  * commits have anyway (`Store.withLock` is in-process; two processes
-  * committing the SAME collection race the manifest regardless of this
-  * class). Under it the tail sees every append and the poll fast path
+  * writer process per store root. (Collection commits themselves are
+  * multi-process-safe either way — `Store.withLock` holds an OS file
+  * lock across the commit — this flag is only about THIS class's
+  * tail-buffer/cursor bookkeeping.) Under it the tail sees every
+  * append and the poll fast path
   * never misses events. The LensMaintainer topology — an ingest
   * process and a maintainer process committing DISJOINT collections to
   * one shared log — passes `soleWriter = false` on every writer, which

@@ -244,4 +244,69 @@ class StoreSpec extends AnyFunSuite {
     assert(c.read("b").get == PoInt(2))
     assert(c.list() == Seq("a", "b"))
   }
+
+  test("two Store instances on one root: concurrent merges serialize, no lost update") {
+    // The dual-writer topology (ingest process + lens maintainer, or an
+    // HTTP server plus a batch job): both writers read the manifest,
+    // merge, and swap it. Unserialized, both would read v0, both write
+    // a v1 snapshot, and the last manifest swap wins — one commit
+    // silently vanishes. Store.withLock's JVM-global monitor (and, for
+    // real processes, the OS file lock taken under it) makes the loser
+    // wait, re-read the winner's manifest, and merge ON TOP of it.
+    val root = Files.createTempDirectory("graft-store-xproc").toString
+    val s1 = new Store(SparkTestBase.spark, root)
+    val s2 = new Store(SparkTestBase.spark, root)
+    s1.dataset("alice", "d1").create()
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def writer(s: Store, id: String, v: Long): Thread = {
+      val t = new Thread(() =>
+        try { start.await(); s.dataset("alice", "d1").write(id, PoInt(v)); () }
+        catch { case e: Throwable => failures.add(e) })
+      t.start(); t
+    }
+    val t1 = writer(s1, "r1", 1)
+    val t2 = writer(s2, "r2", 2)
+    start.countDown()
+    t1.join(120000); t2.join(120000)
+    assert(failures.isEmpty, s"writer failed: ${failures.peek()}")
+    val c = s1.dataset("alice", "d1")
+    assert(c.meta.version == 2, "both commits must land as distinct versions")
+    assert(c.list().toSet == Set("r1", "r2"), "no commit may be lost to a manifest race")
+    assert(c.read("r1").get == PoInt(1))
+    assert(c.read("r2").get == PoInt(2))
+  }
+
+  test("a commit holds the OS file lock for its whole duration") {
+    // Proof that the cross-PROCESS layer is real: notifyCommit fires as
+    // the commit's last act, still inside withLock — at that moment a
+    // second channel in this JVM must see the region locked
+    // (OverlappingFileLockException), which is exactly the lock a
+    // second process would block on. Outside the commit the lock must
+    // be free, or every later writer process would hang.
+    val s = freshStore()
+    val c = s.dataset("alice", "locked").create()
+    val lockPath = java.nio.file.Paths.get(s.root, "_locks",
+      java.net.URLEncoder.encode("/datasets/alice:locked", "UTF-8") + ".lock")
+    @volatile var duringCommit: Option[Boolean] = None
+    s.onCommit { (_, _) =>
+      if (duringCommit.isEmpty) {
+        val ch = java.nio.channels.FileChannel.open(lockPath,
+          java.nio.file.StandardOpenOption.WRITE)
+        try duringCommit = Some(
+          try { val l = ch.tryLock(); if (l != null) l.release(); false }
+          catch { case _: java.nio.channels.OverlappingFileLockException => true })
+        finally ch.close()
+      }
+    }
+    c.write("r1", PoInt(1))
+    assert(duringCommit.contains(true), "commit must hold the OS lock when it goes live")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val l = ch.tryLock()
+      assert(l != null, "lock must be released once the commit returns")
+      l.release()
+    } finally ch.close()
+  }
 }
