@@ -278,7 +278,22 @@ final class LensHub(store: Store, parallelCascade: Boolean = false) {
 
 object LensBuild {
 
-  def build(lens: Lens, incremental: Boolean): Long = {
+  /** The whole build — map → spool → reduce → commit → cache swap —
+    * runs under the output collection's writer lock (Store.withLock:
+    * JVM monitor + OS file lock), because the compute-cache staging
+    * dirs (`cache-next`, `logs-next`) are SHARED paths: two processes
+    * building one lens concurrently would interleave Spark overwrites
+    * into the same `_temporary` dir and race the final swaps. Under
+    * the lock, the second builder enters after the first's cache swap,
+    * its freshness gate sees everything current, and it no-ops — the
+    * at-least-once absorption the maintainer relies on, now safe
+    * across processes, not just within the in-JVM cascade's `building`
+    * set. The nested `commitPrepared` re-enters via the lock's hold
+    * count. */
+  def build(lens: Lens, incremental: Boolean): Long =
+    lens.store.withLock(lens.path)(doBuild(lens, incremental))
+
+  private def doBuild(lens: Lens, incremental: Boolean): Long = {
     val store = lens.store
     val spark = store.spark
     import spark.implicits._

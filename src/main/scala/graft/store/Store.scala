@@ -166,8 +166,14 @@ final class Store(val spark: SparkSession, val root: String,
     * mounts) degrades to JVM-only serialization — same guarantee the
     * store had before. On a real cluster the store root is a shared
     * POSIX mount (local/NFSv4); object-store deployments would swap
-    * this seam for a coordination service. */
-  private[store] def withLock[A](path: DataPath)(f: => A): A = {
+    * this seam for a coordination service.
+    *
+    * `private[graft]` (not `[store]`): a lens build takes this lock on
+    * its OUTPUT collection around the whole map→spool→reduce pipeline,
+    * not just the final commit — the compute-cache staging dirs are
+    * shared paths, so build-level exclusion is what makes two
+    * maintainer processes safe (LensBuild.build). */
+  private[graft] def withLock[A](path: DataPath)(f: => A): A = {
     val key = rootKey + "|" + path.collectionPath
     val mon = Store.writerMonitors.computeIfAbsent(key, _ => new Object)
     mon.synchronized {

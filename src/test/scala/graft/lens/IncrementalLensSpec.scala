@@ -180,6 +180,44 @@ class IncrementalLensSpec extends AnyFunSuite {
     d2.write("x", PoInt(1))
     assert(s1.output.read("n").get == PoInt(1))
   }
+
+  test("concurrent builds of ONE lens from two store instances: one maps, one no-ops") {
+    // The two-maintainer topology: separate Store instances (in real
+    // deployments, separate processes) race a build of the same lens.
+    // LensBuild.build holds the output collection's writer lock for the
+    // whole pipeline, so the loser enters only after the winner's cache
+    // swap — its freshness gate then sees every input current and
+    // no-ops. Unserialized, both would overwrite the shared cache-next
+    // staging dir mid-job. Each record maps exactly once, ever.
+    val root = Files.createTempDirectory("graft-inc-xproc").toString
+    val s1 = new Store(SparkTestBase.spark, root)
+    val s2 = new Store(SparkTestBase.spark, root)
+    val ds = s1.dataset("alice", "docs").create()
+    ds.write("a", doc("x"))
+    ds.write("b", doc("x", "y"))
+    CountingTagFn.calls.set(0)
+    val in = Seq(DataPath("datasets", "alice", "docs"))
+    val l1 = new Lens(s1, "alice", "xidx", in, CountingTagFn).create()
+    val l2 = new Lens(s2, "alice", "xidx", in, CountingTagFn)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val versions = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(l1, l2).map { l =>
+      val t = new Thread(() =>
+        try { start.await(); versions.add(l.build()); () }
+        catch { case e: Throwable => failures.add(e) })
+      t.start(); t
+    }
+    start.countDown()
+    threads.foreach(_.join(120000))
+    assert(failures.isEmpty, s"build failed: ${failures.peek()}")
+    assert(CountingTagFn.calls.get == 2,
+      "each input record must map exactly once across BOTH builds — the loser no-ops")
+    assert(versions.toArray.map(_.asInstanceOf[Long]).toSeq == Seq(1L, 1L),
+      "both builds must report the same committed version")
+    assert(setOf(l2.output.read("x").get) == Set("a", "b"))
+    assert(setOf(l2.output.read("y").get) == Set("b"))
+  }
 }
 
 /** Rendezvous across the two concurrently-built lenses: each map call
