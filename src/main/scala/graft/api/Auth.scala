@@ -74,10 +74,11 @@ final class Auth(dir: Path) {
     if (pass.length < 8) return Left("Password must be at least 8 characters long")
     val salt = new Array[Byte](64)
     rng.nextBytes(salt)
-    writeAccount(author, PoObj(
+    if (!writeAccount(author, PoObj(
       "passSalt" -> PoBytes(salt),
       "passHash" -> PoBytes(hash(salt, pass)),
-      "auth" -> PoStr(auth)))
+      "auth" -> PoStr(auth)), createNew = true))
+      return Left("Someone else is using this name already, pick a different one")
     Right(Identity(author, auth))
   }
 
@@ -163,13 +164,18 @@ final class Auth(dir: Path) {
     md.digest()
   }
 
-  /** percent-encode anything outside [A-Za-z0-9._-] so any legal author
-    * name (spaces, unicode) maps to a safe single path segment */
+  /** percent-encode anything outside [A-Za-z0-9_-] so any author name —
+    * spaces, unicode, and crucially "." / ".." — maps to a safe single
+    * path segment that can never resolve upward: `authorDir("..")` is
+    * `authors/%2E%2E`, not the auth root. ('.' is deliberately NOT in
+    * the allowed set: a name of only dots would otherwise turn
+    * `delete`/`rmTree` into a traversal, and delete takes raw names
+    * with no registration-time validation in front of it.) */
   private def encodeName(author: String): String = {
     val sb = new StringBuilder
     author.getBytes(UTF_8).foreach { b =>
       val c = (b & 0xff).toChar
-      if (c.isLetterOrDigit && c < 128 || c == '.' || c == '_' || c == '-') sb.append(c)
+      if (c.isLetterOrDigit && c < 128 || c == '_' || c == '-') sb.append(c)
       else sb.append(f"%%${b & 0xff}%02X")
     }
     sb.toString
@@ -189,12 +195,36 @@ final class Auth(dir: Path) {
   private def authorDir(author: String): Path = dir.resolve("authors").resolve(encodeName(author))
   private def accountPath(author: String): Path = authorDir(author).resolve("account.cbor")
 
-  private def writeAccount(author: String, value: PoObj): Unit = {
+  /** `createNew = true` (registration): publish via `Files.createLink`,
+    * which is atomic CREATE-NEW — two PROCESSES racing a registration
+    * of one name can't silently replace each other's account (an
+    * ATOMIC_MOVE rename would: POSIX rename always replaces). The
+    * in-instance `synchronized` only covers threads; this covers the
+    * dual-server topology the store's commit locks already serve.
+    * Returns false when the name was taken underneath us. */
+  private def writeAccount(author: String, value: PoObj, createNew: Boolean = false): Boolean = {
     val target = accountPath(author)
     Files.createDirectories(target.getParent)
     val tmp = target.resolveSibling(s".account-${java.util.UUID.randomUUID()}.tmp")
     Files.write(tmp, Cbor.encode(value))
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    try {
+      if (createNew) {
+        try { Files.createLink(target, tmp); true }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: UnsupportedOperationException =>
+            // no-hardlink filesystem: degrade to rename (last-writer-wins
+            // on a cross-process race, same as before this guard)
+            Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+              StandardCopyOption.REPLACE_EXISTING)
+            true
+        }
+      } else {
+        Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        true
+      }
+    } finally Files.deleteIfExists(tmp)
   }
 
   private def readAccount(author: String): Option[PoObj] =

@@ -162,22 +162,32 @@ final class HttpApi(store: Store, port: Int = 0, authOpt: Option[Auth] = None,
       case Some(id) if id.owns(resourceAuthor) => true
       case _ =>
         if (forbidden) respond(ex, 403, "You need to login as someone with permission to edit this")
-        else {
-          ex.getResponseHeaders.set("WWW-Authenticate", "Basic realm=\"PigeonOptics\", charset=\"UTF-8\"")
-          respond(ex, 401, "This request requires you be logged in with basic auth")
-        }
+        else respondUnauthorized(ex)
         false
     })
 
   private val AuthorProfilePat = "^/authors/([^/:]+)/$".r
 
+  private def respondUnauthorized(ex: HttpExchange): Unit = {
+    ex.getResponseHeaders.set("WWW-Authenticate",
+      "Basic realm=\"PigeonOptics\", charset=\"UTF-8\"")
+    respond(ex, 401, "This request requires you be logged in with basic auth")
+  }
+
   private def route(ex: HttpExchange): Unit = {
     val path = ex.getRequestURI.getPath
     val method = ex.getRequestMethod
-    val identity: Option[Identity] = identityOf(ex) match {
-      case Left(msg) => return respond(ex, 400, msg)
-      case Right(id) => id
-    }
+    // POST /auth never resolves the header: a client left with a stale
+    // Basic header after a password change must still be able to reach
+    // the login/register body — resolving first would 400 every attempt
+    // and lock it out permanently. Every other route keeps the
+    // reference middleware's contract (bad credentials → 400).
+    val identity: Option[Identity] =
+      if (method == "POST" && path == "/auth") None
+      else identityOf(ex) match {
+        case Left(msg) => return respond(ex, 400, msg)
+        case Right(id) => id
+      }
     (method, path) match {
       case ("GET", RecordsPat(source, author, name)) =>
         val p = DataPath(source, author, name)
@@ -502,10 +512,8 @@ final class HttpApi(store: Store, port: Int = 0, authOpt: Option[Auth] = None,
         // the caller's identity (the reference creates under
         // req.author), explicit non-owned author → 403. Without auth,
         // author defaults to "system" (embedded-library mode).
-        if (authOpt.isDefined && identity.isEmpty) {
-          ex.getResponseHeaders.set("WWW-Authenticate", "Basic realm=\"PigeonOptics\", charset=\"UTF-8\"")
-          return respond(ex, 401, "This request requires you be logged in with basic auth")
-        }
+        if (authOpt.isDefined && identity.isEmpty)
+          return respondUnauthorized(ex)
         val obj = jsonBody(ex) match {
           case Left((code, msg)) => return respond(ex, code, msg)
           case Right(o) => o
@@ -647,9 +655,20 @@ final class HttpApi(store: Store, port: Int = 0, authOpt: Option[Auth] = None,
         }
         (obj.fields.get("name"), obj.fields.get("password")) match {
           case (Some(PoStr(nm)), Some(PoStr(pw))) =>
-            val attempt =
-              if (obj.fields.get("register").contains(PoBool(true))) a.register(nm, pw)
-              else a.login(nm, pw)
+            val register = obj.fields.get("register").contains(PoBool(true))
+            // A store populated before auth was enabled may hold
+            // collections under authors that never registered; open
+            // registration must not let a stranger claim such a
+            // namespace and inherit write/delete over its data. The
+            // operator seeds those accounts via the Auth model
+            // directly.
+            if (register &&
+                (store.listCollections("datasets", nm).nonEmpty ||
+                 store.listCollections("lenses", nm).nonEmpty) &&
+                !a.exists(nm))
+              return respond(ex, 400,
+                "Someone else is using this name already, pick a different one")
+            val attempt = if (register) a.register(nm, pw) else a.login(nm, pw)
             attempt match {
               case Right(id) => respondValue(ex, 200,
                 PoObj("author" -> PoStr(id.author), "auth" -> PoStr(id.auth)), "json")

@@ -39,17 +39,41 @@ object Store {
     require(id.length <= 10000, s"recordID too long (${id.length} > 10000)")
   }
 
-  /** JVM-global writer monitors keyed by `absoluteRoot|collectionPath`
+  /** One JVM-global writer monitor per `canonicalRoot|collectionPath`
     * (see [[Store.withLock]]): all Store instances in this process
     * serialize a collection's commits through one monitor before any of
-    * them touches the per-JVM OS file lock. */
-  private[store] val writerMonitors =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+    * them touches the per-JVM OS file lock. Entries are refcounted and
+    * removed when the last interested thread releases — a long-lived
+    * JVM that creates and drops many stores/collections (a multi-tenant
+    * server, this repo's own test suite) must not accumulate monitors
+    * forever. `refs == -1` marks an entry mid-removal; acquirers that
+    * observe it help remove and re-intern. */
+  private[store] final class WriterEntry {
+    val refs = new java.util.concurrent.atomic.AtomicInteger(0)
+    /** reentrant hold depth; guarded by `synchronized` on this entry */
+    var depth = 0
+  }
 
-  /** Reentrant hold counts per key; only read/written while the key's
-    * monitor is held, so plain puts suffice. */
-  private[store] val lockDepths =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private val writerLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, WriterEntry]()
+
+  private[store] def acquireWriterEntry(key: String): WriterEntry = {
+    var out: WriterEntry = null
+    while (out == null) {
+      val e = writerLocks.computeIfAbsent(key, _ => new WriterEntry)
+      val r = e.refs.get()
+      if (r >= 0 && e.refs.compareAndSet(r, r + 1)) out = e
+      else writerLocks.remove(key, e) // being retired: help and retry
+    }
+    out
+  }
+
+  private[store] def releaseWriterEntry(key: String, e: WriterEntry): Unit =
+    if (e.refs.decrementAndGet() == 0 && e.refs.compareAndSet(0, -1))
+      writerLocks.remove(key, e)
+
+  /** visible for the leak spec */
+  private[store] def writerLockCount: Int = writerLocks.size()
 }
 
 /** The one natural-order pagination plan, shared by every listing
@@ -102,8 +126,16 @@ final class Store(val spark: SparkSession, val root: String,
     * harness) must share ONE monitor per collection, not one per
     * instance — OS file locks are per-JVM, so a second instance reaching
     * for the file lock concurrently would throw
-    * OverlappingFileLockException instead of waiting. */
-  private val rootKey = Paths.get(root).toAbsolutePath.normalize.toString
+    * OverlappingFileLockException instead of waiting. `toRealPath` (the
+    * root dir is created first so it always resolves) rather than
+    * `toAbsolutePath`: two instances addressing one root through a
+    * symlink alias must still intern the SAME monitor, or they'd meet
+    * at the OS lock and crash instead of queueing. */
+  private val rootKey = {
+    val p = Paths.get(root)
+    try { Files.createDirectories(p); p.toRealPath().toString }
+    catch { case _: java.io.IOException => p.toAbsolutePath.normalize.toString }
+  }
 
   /** `root/_locks/<urlencoded collectionPath>.lock` — a sibling of the
     * source dirs (never enumerated as an author namespace; outlives
@@ -175,13 +207,11 @@ final class Store(val spark: SparkSession, val root: String,
     * maintainer processes safe (LensBuild.build). */
   private[graft] def withLock[A](path: DataPath)(f: => A): A = {
     val key = rootKey + "|" + path.collectionPath
-    val mon = Store.writerMonitors.computeIfAbsent(key, _ => new Object)
-    mon.synchronized {
-      // reentrancy: hold counts are only touched under the key's monitor
-      val depth = Store.lockDepths.getOrDefault(key, 0)
-      if (depth > 0) {
-        Store.lockDepths.put(key, depth + 1)
-        try f finally Store.lockDepths.put(key, depth)
+    val entry = Store.acquireWriterEntry(key)
+    try entry.synchronized {
+      if (entry.depth > 0) { // reentrant: e.g. a lens build's nested commit
+        entry.depth += 1
+        try f finally entry.depth -= 1
       } else {
         var ch: java.nio.channels.FileChannel = null
         var fl: java.nio.channels.FileLock = null
@@ -193,18 +223,25 @@ final class Store(val spark: SparkSession, val root: String,
             java.nio.file.StandardOpenOption.WRITE)
           fl = ch.lock() // blocks while another PROCESS holds a commit
         } catch {
+          // An interrupt mid-acquisition must FAIL the commit, not
+          // silently drop the cross-process guarantee: both exceptions
+          // are IOExceptions and would otherwise match the degrade arm.
+          case e @ (_: java.nio.channels.FileLockInterruptionException |
+                    _: java.nio.channels.ClosedByInterruptException) =>
+            if (ch != null) ch.close()
+            throw e
           case _: java.io.IOException | _: UnsupportedOperationException =>
             if (ch != null) { ch.close(); ch = null } // lock-less FS: JVM-only exclusion
         }
-        Store.lockDepths.put(key, 1)
+        entry.depth = 1
         try f
         finally {
-          Store.lockDepths.remove(key)
+          entry.depth = 0
           if (fl != null) fl.release()
           if (ch != null) ch.close()
         }
       }
-    }
+    } finally Store.releaseWriterEntry(key, entry)
   }
 
   /** gc-vs-commit gate (reference: attachments.js hold/validate): every

@@ -69,6 +69,22 @@ class AuthSpec extends AnyFunSuite {
     assert(Identity("root-admin", "admin").owns("anyone"))
   }
 
+  test("dot-only names cannot traverse: delete(\"..\") touches no other account") {
+    // delete/exists/profile take RAW names with no validation gate in
+    // front — the name encoding itself must make upward resolution
+    // impossible ('.' is percent-encoded, so authorDir("..") is the
+    // literal segment "%2E%2E", not the parent)
+    val a = freshAuth()
+    a.register("keep-me", "password-1")
+    a.register("also-keep", "password-2")
+    a.delete("..")
+    a.delete(".")
+    a.delete("../../etc")
+    assert(a.list() == Vector("also-keep", "keep-me"), "no account may be collateral")
+    assert(a.login("keep-me", "password-1").isRight)
+    assert(!a.exists(".."))
+  }
+
   // ---- HTTP enforcement ----
 
   private def withAuthedApi(f: (String, HttpClient, Auth) => Unit): Unit = {
@@ -181,5 +197,52 @@ class AuthSpec extends AnyFunSuite {
       assert(p.fields("auth") == PoStr("regular"))
       assert(p.fields("lenses") == PoArr(Vector(PoStr("idx"))))
     }
+  }
+
+  test("POST /auth ignores a stale Basic header: re-login after password change works") {
+    withAuthedApi { (base, c, auth) =>
+      assert(auth.changePassword("alice", "alice-new-pass9") == Right(()))
+      // the client still sends the OLD cached header everywhere; the
+      // login route must reach the body anyway or the client is locked
+      // out forever (other routes keep the middleware's 400 contract)
+      val relogin = c.send(HttpRequest.newBuilder(URI.create(s"$base/auth"))
+        .header("Content-Type", "application/json")
+        .header("Authorization", basic("alice", "alice-pass-1")) // stale
+        .POST(HttpRequest.BodyPublishers.ofString("""{"name":"alice","password":"alice-new-pass9"}"""))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(relogin.statusCode == 200)
+      assert(JsonCodec.decodeString(relogin.body) ==
+        PoObj("author" -> PoStr("alice"), "auth" -> PoStr("regular")))
+      // a GET with the stale header still answers the middleware 400
+      val stale = c.send(HttpRequest.newBuilder(URI.create(s"$base/datasets/alice:d1/records/"))
+        .header("Authorization", basic("alice", "alice-pass-1")).GET.build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(stale.statusCode == 400)
+    }
+  }
+
+  test("registration cannot claim an author namespace that already owns collections") {
+    // data written before auth was enabled: a dataset exists under
+    // "legacy" but no account does — an open register of that name
+    // would hand a stranger write/delete over the orphaned data
+    val store = new Store(SparkTestBase.spark,
+      Files.createTempDirectory("graft-http-orphan").toString)
+    store.dataset("legacy", "d1").create()
+    val api = new HttpApi(store, authOpt = Some(freshAuth())).start()
+    try {
+      val base = s"http://127.0.0.1:${api.boundPort}"
+      val c = HttpClient.newHttpClient()
+      def reg(name: String): HttpResponse[String] =
+        c.send(HttpRequest.newBuilder(URI.create(s"$base/auth"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(
+            s"""{"name":"$name","password":"grab-it-123","register":true}"""))
+          .build(), HttpResponse.BodyHandlers.ofString())
+      val grab = reg("legacy")
+      assert(grab.statusCode == 400)
+      assert(grab.body.contains("using this name already"))
+      // an unclaimed name still registers fine
+      assert(reg("fresh-name").statusCode == 200)
+    } finally api.stop()
   }
 }

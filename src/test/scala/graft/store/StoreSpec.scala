@@ -277,6 +277,21 @@ class StoreSpec extends AnyFunSuite {
     assert(c.read("r2").get == PoInt(2))
   }
 
+  test("writer monitors are interned per-use and retired after: no global growth") {
+    // the monitor map is JVM-global; a server creating and dropping
+    // collections for years (or this suite's thousands of temp stores)
+    // must not accumulate an entry per collection ever locked
+    val before = Store.writerLockCount
+    val s = freshStore()
+    (1 to 5).foreach { i =>
+      val c = s.dataset("alice", s"tmp$i").create()
+      c.write("r", PoInt(i))
+      c.drop()
+    }
+    assert(Store.writerLockCount == before,
+      "every writer-lock entry must be retired once its last holder releases")
+  }
+
   test("a commit holds the OS file lock for its whole duration") {
     // Proof that the cross-PROCESS layer is real: notifyCommit fires as
     // the commit's last act, still inside withLock — at that moment a
