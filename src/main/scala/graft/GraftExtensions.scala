@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{ContentHashExpr, CosineSimExpr, DotProductExpr, NaturalKeyExpr}
+import graft.expressions.{ContentHashExpr, CosineSimExpr, DotProductExpr, NaturalKeyExpr, NfcNormalizeExpr}
 
 /** Standard `SparkSessionExtensions` entry point: makes the engine's
   * native functions available on ANY cluster via configuration alone —
@@ -30,7 +30,8 @@ object GraftExtensions {
     fn("natural_key", es => NaturalKeyExpr(es.head), classOf[NaturalKeyExpr]),
     fn("content_hash", es => ContentHashExpr(es.head), classOf[ContentHashExpr]),
     fn("dot_product", es => DotProductExpr(es(0), es(1)), classOf[DotProductExpr]),
-    fn("cosine_sim", es => CosineSimExpr(es(0), es(1)), classOf[CosineSimExpr]))
+    fn("cosine_sim", es => CosineSimExpr(es(0), es(1)), classOf[CosineSimExpr]),
+    fn("nfc_normalize", es => NfcNormalizeExpr(es.head), classOf[NfcNormalizeExpr]))
 
   def inject(ext: SparkSessionExtensions): Unit =
     functions.foreach(ext.injectFunction)

@@ -501,6 +501,94 @@ object SparkEntry {
     "q49_js_lens_token_index" -> ((s, dir) =>
       graft.queries.LensTokenIndex.runJs(s, dir)),
 
+    // Unicode + whitespace normalization (the pre-dedup scrub): docs
+    // with doc_id%3==0 get a deterministic dirty suffix — a BEL control
+    // BETWEEN a base letter and its combining acute (so composition
+    // only happens if controls strip FIRST), a combining ring, tabs and
+    // double spaces. clean() = stripControls → NFC → collapseWhitespace;
+    // md5(cleaned) makes the check total (one uncomposed char, one
+    // surviving control, or a wrong rule order breaks the hash).
+    "q50_normalize_clean" -> ((s, dir) => {
+      val dirty = concat(col("text"),
+        lit(" cafe\u0007\u0301\tA\u030A  fin"))
+      val aug = when(col("doc_id") % 3 === 0, dirty).otherwise(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), aug.as("aug"))
+        .select(col("doc_id"),
+          graft.ops.Normalize.clean(col("aug")).as("cleaned"),
+          col("aug"))
+        .select(col("doc_id"),
+          when(col("cleaned") =!= col("aug"), 1L).otherwise(0L).as("changed"),
+          length(col("cleaned")).cast("long").as("clean_len"),
+          md5(col("cleaned")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // URL → registered-domain corpus stats (domain-level curation):
+    // every doc gets two deterministic URLs (7 example*.com and 3
+    // assets*.net registered domains across the corpus); extraction,
+    // host and domain parsing all run the production UrlOps regexes —
+    // which the oracle executes VERBATIM (the Pii dialect rule).
+    "q51_url_domains" -> ((s, dir) => {
+      val aug = concat(col("text"),
+        lit(" see https://sub"), (col("doc_id") % 5).cast("string"),
+        lit(".example"), (col("doc_id") % 7).cast("string"),
+        lit(".com/p"), col("doc_id").cast("string"),
+        lit(" and http://cdn.assets"), (col("doc_id") % 3).cast("string"),
+        lit(".net/x"), (col("doc_id") % 11).cast("string"))
+      graft.ops.UrlOps.domainStats(
+          t(s, dir, "documents").select(col("doc_id"), aug.as("aug")),
+          col("aug"))
+        .select(col("domain"), col("n_urls").cast("long").as("n_urls"),
+          col("n_docs").cast("long").as("n_docs"))
+        .orderBy(col("domain"))
+    }),
+
+    // HTML main-content extraction through the PRODUCTION markup
+    // engine (S13 HtmlCodec.parse + §2.7 Markup.select/text at corpus
+    // scale): each doc is wrapped in a full page — title, nav with
+    // doc_id%4+1 links, <main> holding the text, footer — and the
+    // extractor must recover the EXACT original text (md5-checked),
+    // the link count, and the title, proving parse→select→text
+    // round-trips byte-exactly while boilerplate is dropped.
+    "q52_html_extract" -> ((s, dir) => {
+      val navLinks = concat_ws("", transform(
+        sequence(lit(0), (col("doc_id") % 4).cast("int")),
+        i => concat(lit("<a href=\"/l"), i.cast("string"), lit("\">nav "),
+          i.cast("string"), lit("</a>"))))
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title></head><body><nav>"), navLinks,
+        lit("</nav><main id=\"main\"><p>"), col("text"),
+        lit("</p></main><footer>boilerplate footer</footer></body></html>"))
+      graft.ops.HtmlExtract.mainContent(
+          t(s, dir, "documents").select(col("doc_id"), html.as("html")),
+          idCol = "doc_id", htmlCol = "html")
+        .select(col("doc_id"), md5(col("main_text")).as("main_md5"),
+          col("n_links").cast("long").as("n_links"), col("title"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // TF-IDF keyword extraction with the FLOAT-FREE salience rank
+    // (tf DESC, df ASC, token ASC — df ASC is idf DESC, so no log on
+    // any engine): top-3 tokens ≥4 chars per document.
+    "q53_keywords" -> ((s, dir) =>
+      graft.ops.TextOps.topKeywords(
+          t(s, dir, "documents"), idCol = "doc_id", textCol = col("text"),
+          k = 3, minTokenLen = 4)
+        .orderBy(col("doc_id"), col("rank"))),
+
+    // Deterministic global training-order shuffle: content-hash
+    // (shard, pos) addresses — the same portable sha256-prefix hash as
+    // q33, so the oracle re-derives every address and the check pins
+    // the full permutation, not just membership.
+    "q54_corpus_shuffle" -> ((s, dir) =>
+      graft.ops.Sampling.corpusShuffle(
+          t(s, dir, "documents").select(col("doc_id")),
+          idCol = "doc_id", shards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("doc_id"))),
+
     // Corpus length statistics with EXACT percentiles (Spark's
     // sort-based `percentile` aggregate, not approx_percentile): at
     // quarter fractions over integer lengths the linear interpolation
@@ -1096,6 +1184,96 @@ object SparkEntry {
         |SELECT tok AS token, count(*) AS n_docs,
         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
         |FROM toks GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q50: the oracle rebuilds the IDENTICAL augmented text (chr() for
+    // the escapes), then applies the SAME three rules in the SAME
+    // order — strip controls, nfc_normalize (DuckDB's UAX#15 matches
+    // the JDK's), collapse whitespace + trim. Patterns verbatim from
+    // Normalize (java/RE2 common subset).
+    "q50_normalize_clean" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN text || ' cafe' || chr(7) || chr(769) || chr(9)
+        |             || 'A' || chr(778) || '  fin'
+        |      ELSE text END AS aug
+        |  FROM documents),
+        |cleaned AS (
+        |  SELECT doc_id, aug,
+        |    trim(regexp_replace(
+        |      nfc_normalize(regexp_replace(aug,
+        |        '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')),
+        |      '[ \t\r\n]+', ' ', 'g')) AS cleaned
+        |  FROM aug)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN cleaned <> aug THEN 1 ELSE 0 END AS BIGINT) AS changed,
+        |  CAST(length(cleaned) AS BIGINT) AS clean_len,
+        |  md5(cleaned) AS clean_md5
+        |FROM cleaned ORDER BY doc_id""".stripMargin,
+    // q51: identical augmented text, then the PRODUCTION UrlOps regexes
+    // verbatim: extract all URLs, host = group 1, registered domain =
+    // last two labels of the host.
+    "q51_url_domains" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' see https://sub' || CAST(doc_id % 5 AS VARCHAR)
+        |         || '.example' || CAST(doc_id % 7 AS VARCHAR)
+        |         || '.com/p' || CAST(doc_id AS VARCHAR)
+        |         || ' and http://cdn.assets' || CAST(doc_id % 3 AS VARCHAR)
+        |         || '.net/x' || CAST(doc_id % 11 AS VARCHAR) AS aug
+        |  FROM documents),
+        |urls AS (
+        |  SELECT doc_id, u.url
+        |  FROM aug, unnest(regexp_extract_all(aug,
+        |    'https?://[A-Za-z0-9.-]+(?:/[A-Za-z0-9._~/%+=-]*)?')) AS u(url)),
+        |doms AS (
+        |  SELECT doc_id,
+        |    regexp_extract(
+        |      regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1),
+        |      '([A-Za-z0-9-]+\.[A-Za-z0-9-]+)$', 1) AS domain
+        |  FROM urls)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM doms GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q52: the extractor must recover EXACTLY the original text from
+    // the page (md5 equality), count the planted nav links, and parse
+    // the title — the oracle knows all three from the construction.
+    "q52_html_extract" ->
+      """SELECT doc_id, md5(text) AS main_md5,
+        |  CAST(doc_id % 4 + 1 AS BIGINT) AS n_links,
+        |  'Doc ' || CAST(doc_id AS VARCHAR) AS title
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // q53: same tokenization, tf from the exploded stream, df counted
+    // over the (doc, token) frame, identical integer-only rank.
+    "q53_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, u.token
+        |  FROM documents,
+        |       unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(token)
+        |  WHERE length(u.token) >= 4),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (
+        |  SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |r AS (
+        |  SELECT doc_id, token, tf, df,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tf DESC, df ASC, token ASC) AS rank
+        |  FROM tf JOIN dfreq USING (token))
+        |SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+        |  CAST(df AS BIGINT) AS df, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // q54: the q33 hash construction (sha256-prefix in BIGINT) at two
+    // granularities — shard = h % 8, pos = rank by (h % 2^30, id)
+    // within the shard; the oracle re-derives the full permutation.
+    "q54_corpus_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard,
+        |    ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1073741824 AS hb
+        |  FROM documents)
+        |SELECT doc_id, shard,
+        |  row_number() OVER (PARTITION BY shard ORDER BY hb, doc_id) AS pos
+        |FROM h ORDER BY doc_id""".stripMargin,
     // q38: q13's exact pair derivation, then connected components via a
     // recursive CTE (propagate every reachable label, take the min).
     "q38_dup_clusters" ->

@@ -44,7 +44,36 @@ case class ContentHashExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization (canonical composition) as a native
+  * expression — the first pass of any multilingual corpus scrub
+  * (decomposed accent sequences and singleton variants otherwise make
+  * byte-equal-looking strings hash and dedup differently).
+  * `java.text.Normalizer` is JDK-built-in and matches DuckDB's
+  * `nfc_normalize` (both implement UAX #15), so results are
+  * oracle-checkable cross-engine. The already-normalized fast path
+  * (`isNormalized`, an O(n) scan with no allocation) makes the common
+  * ASCII case nearly free. */
+case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      GraftFunctions.nfc(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.expressions.GraftFunctions.nfc($c.toString()))")
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalizeExpr =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
+
+  /** Static helper the codegen'd `nfc_normalize` calls. */
+  def nfc(s: String): String =
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) s
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+
   /** Register natural_key / content_hash with the session's function
     * registry (idempotent) so `expr("natural_key(id)")` and SQL can use
     * them. */
@@ -66,6 +95,10 @@ object GraftFunctions {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimExpr(exprs(0), exprs(1)))
+    reg.registerFunction(
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "nfc_normalize"),
+      (exprs: Seq[Expression]) => NfcNormalizeExpr(exprs.head))
   }
 
 }

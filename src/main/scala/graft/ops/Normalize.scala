@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.expressions.NfcNormalizeExpr
+
+/** Unicode + whitespace text normalization — the pass every web-scale
+  * corpus runs BEFORE dedup and quality scoring, because byte-distinct
+  * spellings of the same text (decomposed accents, control garbage,
+  * ragged whitespace) otherwise defeat exact dedup and skew token
+  * counts.
+  *
+  * Three composable rules, all codegen'd column expressions (one narrow
+  * projection at any scale, zero shuffles):
+  *
+  *   1. [[stripControls]] — remove C0 controls (except `\t` `\n` `\r`)
+  *      and DEL: decode errors and terminal-escape residue, never
+  *      legitimate text.
+  *   2. [[nfc]] — Unicode canonical composition (UAX #15 NFC) via a
+  *      native expression (`NfcNormalizeExpr`, JDK `java.text
+  *      .Normalizer` with an allocation-free already-normalized fast
+  *      path). NFC, not NFKC: canonical equivalence is safe to apply
+  *      blindly; compatibility folding (ﬁ→fi, ²→2) is lossy and a
+  *      policy choice left to callers.
+  *   3. [[collapseWhitespace]] — runs of spaces/tabs/CR/NL become one
+  *      space, then trim. (Pipelines that need paragraph structure
+  *      keep `\n` — use the rules à la carte.)
+  *
+  * Pattern-dialect parity (the [[Pii]] rule): character classes are
+  * explicit code-point ranges in the java.util.regex / RE2 common
+  * subset, so the DuckDB oracle can run the identical patterns, and
+  * DuckDB's `nfc_normalize` matches the JDK's NFC (both implement
+  * UAX #15 over the same Unicode data).
+  */
+object Normalize {
+
+  import org.apache.spark.sql.GraftSqlShim.{column => toCol, expression => toExpr}
+
+  /** C0 controls minus `\t\n\r`, plus DEL — explicit ranges, RE2-safe. */
+  val controlPattern: String = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+  /** Whitespace runs (space, tab, CR, NL) — deliberately NOT `\s`
+    * (Java's includes `\x0B`, RE2's differs on Unicode space). */
+  val whitespaceRunPattern: String = "[ \\t\\r\\n]+"
+
+  def stripControls(text: Column): Column =
+    regexp_replace(text, controlPattern, "")
+
+  /** Unicode NFC via the native codegen'd expression. */
+  def nfc(text: Column): Column = toCol(NfcNormalizeExpr(toExpr(text)))
+
+  def collapseWhitespace(text: Column): Column =
+    trim(regexp_replace(text, whitespaceRunPattern, " "))
+
+  /** The standard full clean: strip → NFC → collapse. Controls go
+    * first (a control between a base char and its combining mark would
+    * block composition); whitespace last (NFC can introduce no new
+    * whitespace, so the collapse result is final). */
+  def clean(text: Column): Column =
+    collapseWhitespace(nfc(stripControls(text)))
+}

@@ -46,4 +46,23 @@ object Sampling {
       .filter(col("__rn") <= perStratum)
       .drop("__rn")
   }
+
+  /** Deterministic global training-order shuffle: every row gets a
+    * (shard, pos) address — shard by id-hash, position within the shard
+    * by (finer id-hash, id). Training loaders read shards in parallel
+    * and rows within a shard in `pos` order; because the address is a
+    * pure function of the id, the order is identical on every run, any
+    * cluster layout, and any engine (unlike `df.orderBy(rand(seed))`,
+    * whose sample-and-range partitioning is layout-dependent).
+    *
+    * Scale: the ONE window shuffle partitions by shard — parallelism =
+    * `shards`, so size shards to the cluster (thousands), never 1: a
+    * global `row_number` with no partition would be one reducer. */
+  def corpusShuffle(df: DataFrame, idCol: String, shards: Int): DataFrame = {
+    require(shards > 0, s"shards must be positive: $shards")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(hashBucket(col(idCol), 1 << 30), col(idCol))
+    df.withColumn("shard", hashBucket(col(idCol), shards))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
 }

@@ -149,4 +149,37 @@ object TextOps {
     * intentional wraparound throws ARITHMETIC_OVERFLOW.) */
   def docFingerprint(text: Column): Column =
     xxhash64(concat_ws(" ", tokens(text)))
+
+  /** TF-IDF-flavored keyword extraction: the top `k` tokens per
+    * document ranked by (tf DESC, corpus document-frequency ASC, token
+    * ASC) — term salience without a float idf. The float-free rank is
+    * deliberate: `log(N/df)` is monotone-decreasing in df, so ordering
+    * by `df ASC` IS ordering by idf at equal tf, and the integer sort
+    * is bit-stable across engines (the oracle-parity rule every
+    * operator here follows).
+    *
+    * Plan shape at 100 TB: one explode, one (doc, token) partial-agg
+    * shuffle for tf, one token-keyed agg for df computed FROM the tf
+    * frame (never a second corpus scan), one shuffle join on token,
+    * one per-doc window. The df side is vocabulary-sized — big, so it
+    * stays a shuffle join (no broadcast assumption).
+    *
+    * Output: (id, token, tf, df, rank), rank ∈ [1, k]. */
+  def topKeywords(docs: DataFrame, idCol: String, textCol: Column,
+                  k: Int = 3, minTokenLen: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol), explode(tokens(textCol)).as("token"))
+      .filter(length(col("token")) >= minTokenLen)
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df")) // tf is one row per (doc, token)
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+    tf.join(dfreq, "token")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("df"), col("rank"))
+  }
 }
