@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types
 
 /** Loaders for the driver-generated synthetic tables (TESTDATA.md).
   *
@@ -16,22 +17,34 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-      // reader rejects; with spark.sql.legacy.parquet.nanosAsLong=true
-      // (set once at session build — GraftSession) it arrives as raw
-      // nanos, converted here to a microsecond timestamp (Spark's native
-      // resolution). DuckDB reads the same file at nanos and truncates
-      // identically at micro granularity.
-      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-      // `ts div 1000`, NOT `ts / 1000`: Spark's `/` is double division,
-      // and epoch nanos (~1.7e18) exceed a double's 2^53 integer range —
-      // the rounded quotient is off by ±1 µs (caught by q30's raw-micros
-      // oracle; day/window bucketing had absorbed it).
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    } else spark.read.parquet(s"$sfDir/$name.parquet")
-    df
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
   }
+
+  /** Normalize events.ts to a session-TZ (UTC) TimestampType at
+    * microsecond resolution, whatever physical type the driver generated:
+    *
+    *  - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it
+    *    unless spark.sql.legacy.parquet.nanosAsLong=true (set once at
+    *    session build — GraftSession), under which it arrives as raw nano
+    *    LONGs. `ts div 1000`, NOT `ts / 1000`: Spark's `/` is double
+    *    division, and epoch nanos (~1.7e18) exceed a double's 2^53
+    *    integer range — the rounded quotient is off by ±1 µs (caught by
+    *    q30's raw-micros oracle; day/window bucketing had absorbed it).
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+    *    TIMESTAMP_NTZ; with the session TZ pinned to UTC the cast to
+    *    TimestampType is the identity on the underlying micros, and
+    *    DuckDB reads the same file at the same naive micro values.
+    *  - already TimestampType: pass through.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(types.TimestampType))
+      case _ => df
+    }
 
   /** Register all tables as temp views so spark.sql(...) can be used with
     * the same statements the DuckDB oracle runs. */

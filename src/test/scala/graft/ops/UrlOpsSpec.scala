@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** URL extraction / registered-domain semantics and the two frame-level
+  * operators (domainStats, dropBlocklistedDocs). */
+class UrlOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def urls(s: String): Seq[String] = {
+    import spark.implicits._
+    Seq(s).toDF("t")
+      .select(UrlOps.extractUrls(col("t")).as("u"))
+      .collect()(0).getSeq[String](0)
+  }
+
+  private def domainOf(u: String): String = {
+    import spark.implicits._
+    Seq(u).toDF("u")
+      .select(UrlOps.registeredDomain(col("u")).as("d"))
+      .collect()(0).getString(0)
+  }
+
+  test("extracts multiple urls in document order, http and https") {
+    assert(urls("see https://a.example.com/x and http://b.net/y?q=1 end") ==
+      Seq("https://a.example.com/x", "http://b.net/y"))
+  }
+
+  test("path stops at whitespace; bare-host url allowed") {
+    assert(urls("go http://example.org now") == Seq("http://example.org"))
+    assert(urls("x https://h.io/p/q.r_s~t%20u end") ==
+      Seq("https://h.io/p/q.r_s~t%20u"))
+  }
+
+  test("non-url text yields no matches (precision over recall)") {
+    assert(urls("ftp://old.example.com and www.example.com alone") == Seq())
+  }
+
+  test("registered domain is the last two host labels") {
+    assert(domainOf("https://deep.sub.example.com/p") == "example.com")
+    assert(domainOf("http://example.org") == "example.org")
+    assert(domainOf("not a url") == "")
+  }
+
+  test("domainStats counts urls and distinct docs per domain") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a https://x.one.com/1 b https://y.one.com/2"),
+      (2L, "c https://z.one.com/3"),
+      (3L, "d http://q.two.net/4")).toDF("doc_id", "text")
+    val got = UrlOps.domainStats(docs, col("text"))
+      .orderBy("domain").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("one.com", 3L, 2L), ("two.net", 1L, 1L)))
+  }
+
+  test("dropBlocklistedDocs removes exactly the docs linking a blocked domain") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "ok https://good.example.com/a"),
+      (2L, "bad https://cdn.spam.net/x plus https://good.example.com/b"),
+      (3L, "no urls at all")).toDF("doc_id", "text")
+    val kept = UrlOps.dropBlocklistedDocs(docs, col("text"), Seq("spam.net"))
+      .select("doc_id").orderBy("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(1L, 3L))
+  }
+}

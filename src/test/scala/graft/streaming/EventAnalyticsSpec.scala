@@ -47,12 +47,10 @@ class EventAnalyticsSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     val dir = "/root/testdata/sf0.001"
-    // TIMESTAMP(NANOS) arrives as long under nanosAsLong; convert like
-    // Tables.load does for the batch path
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    // the file source needs an explicit schema: infer it from a batch read
+    // so the test tracks whatever physical ts type the driver generated,
+    // then normalize through the same helper the batch path uses
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // the file source wants a directory: link the driver file into one
     val streamDir = java.nio.file.Files.createTempDirectory("graft-events")
     try java.nio.file.Files.createLink(streamDir.resolve("events.parquet"),
@@ -62,8 +60,7 @@ class EventAnalyticsSpec extends AnyFunSuite {
         streamDir.resolve("events.parquet"))
     }
     val raw = spark.readStream.schema(schema).parquet(streamDir.toString)
-    val events = raw.withColumn("ts",
-      timestamp_micros((col("ts") / 1000L).cast("long")))
+    val events = graft.Tables.normalizeEventTs(raw)
     val q = EventAnalytics.windowedStats(events, windowLen = "1 day",
       lateness = "1 hour")
       .writeStream.format("memory").queryName("real_events")
