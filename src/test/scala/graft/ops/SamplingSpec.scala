@@ -37,6 +37,31 @@ class SamplingSpec extends AnyFunSuite {
     assert(in20.union(rest) == all)
   }
 
+  test("corpusShuffle: dense per-shard positions, layout-independent order") {
+    import spark.implicits._
+    def addr(df: org.apache.spark.sql.DataFrame) =
+      Sampling.corpusShuffle(df, "doc_id", shards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .as[(Long, Int, Long)].collect().toSet
+    val a = addr(docs)
+    assert(a.size == 500, "every row gets exactly one address")
+    assert(a.forall { case (_, s, _) => s >= 0 && s < 8 })
+    // positions within each shard are dense 1..n — a loader can stream
+    // a shard by pos with no gaps
+    a.groupBy(_._2).foreach { case (s, rows) =>
+      val ps = rows.map(_._3).toSeq.sorted
+      assert(ps == (1L to ps.size), s"shard $s positions not dense: $ps")
+    }
+    // the address is a pure function of the id: any partitioning, same order
+    assert(addr(docs.repartition(17)) == a)
+    // not id order: the shuffle must actually permute within shards
+    val byShard = a.groupBy(_._2).values
+    assert(byShard.exists { rows =>
+      val inPos = rows.toSeq.sortBy(_._3).map(_._1)
+      inPos != inPos.sorted
+    }, "pos order should not be id order")
+  }
+
   test("stratifiedSample: per-stratum cap, deterministic membership") {
     import spark.implicits._
     val s1 = Sampling.stratifiedSample(docs, "lang", "doc_id", 10)
