@@ -8,10 +8,17 @@ import org.apache.spark.sql.SparkSession
   * rounds, and the timed pass sinks to the `noop` datasource — a real
   * row-by-row materialization Catalyst cannot shortcut the way it can a
   * `count()` (which prunes aggregate columns and drops final sorts).
+  *
+  * Min-of-N (VERDICT r5 #2): each query is timed N times (default 3)
+  * after warmup and reports the MIN. A single loaded-box hiccup on one
+  * run can no longer poison the round's recorded number (BENCH_r05
+  * recorded phantom 4-7x regressions on q36-q38 this way). All raw
+  * runs are emitted under "runs" so drift is auditable.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(3)
     val spark = GraftSession.build() // SPARK_GRAFT_CPUS or all cores
 
     def sink(name: String): Unit =
@@ -22,12 +29,19 @@ object Bench {
     // A failed query must be visible in the JSON (VERDICT r2 #9): its
     // time-to-exception is not a benchmark number, so it reports under
     // "errors" and is excluded from the total rather than improving it.
-    val results = names.map { name =>
-      val t0 = System.nanoTime()
-      val err = try { sink(name); None } catch {
-        case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName))
+    // (name, successful run times asc, first error if every run failed)
+    val results: Seq[(String, Seq[Double], Option[String])] = names.map { name =>
+      var firstErr: Option[String] = None
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { sink(name); Some((System.nanoTime() - t0) / 1e9) } catch {
+          case e: Throwable =>
+            if (firstErr.isEmpty)
+              firstErr = Some(Option(e.getMessage).getOrElse(e.getClass.getName))
+            None
+        }
       }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      (name, times.sorted, if (times.isEmpty) firstErr else None)
     }
     // truncate BEFORE escaping (truncating after can cut an escape
     // sequence in half → invalid JSON), then escape every control char
@@ -38,12 +52,14 @@ object Bench {
       case c => c.toString
     } + "\""
     val ok = results.filter(_._3.isEmpty)
-    val qs = ok.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = ok.map { case (k, ts, _) => "\"" + k + "\":" + ts.min }
+      .mkString("{", ",", "}")
+    val runs = ok.map { case (k, ts, _) => "\"" + k + "\":" + ts.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) => "\"" + k + "\":" + jstr(m) }
       .mkString("{", ",", "}")
-    val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val total = ok.map(_._2.min).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"runs":$runs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

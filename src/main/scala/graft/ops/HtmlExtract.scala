@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.codec.HtmlCodec
+import graft.core.{PoStr, PoValue}
 import graft.markup.Markup
 
 /** HTML main-content extraction — the boilerplate-removal stage of a
@@ -53,7 +54,37 @@ object HtmlExtract {
         case None =>
           val blocks = Markup.select(tree, "p, div, td")
           if (blocks.isEmpty) Markup.text(tree)
-          else blocks.map(Markup.text).maxBy(_.length)
+          else {
+            // Densest block in ONE post-order pass (VERDICT r5 #3): the
+            // old blocks.map(Markup.text).maxBy assembled the full
+            // subtree text of every nested match — O(depth * n) string
+            // work on pathologically nested crawl pages. Here each
+            // node's subtree text LENGTH is computed once bottom-up
+            // (identity-keyed: equal-but-distinct subtrees must not
+            // collide), and text is assembled only for the winner.
+            // maxBy keeps the first maximum, matching the old
+            // document-order tie-break exactly.
+            val len = new java.util.IdentityHashMap[PoValue, java.lang.Long]()
+            def walk(n: PoValue): Long = n match {
+              case PoStr(s) => s.length.toLong
+              case node =>
+                val l = Markup.getType(node) match {
+                  case Some("comment") | Some("pi") => 0L
+                  case Some("cdata") =>
+                    Markup.childNodes(node)
+                      .collect { case PoStr(s) => s.length.toLong }.sum
+                  case _ => Markup.childNodes(node).map(walk).sum
+                }
+                len.put(node, l)
+                l
+            }
+            walk(tree)
+            val best = blocks.maxBy { b =>
+              val l = len.get(b)
+              if (l == null) Markup.text(b).length.toLong else l.longValue
+            }
+            Markup.text(best)
+          }
       }
       (main, nLinks, title)
     } catch { case scala.util.control.NonFatal(_) => ("", 0, "") }

@@ -34,6 +34,32 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(title == "")
   }
 
+  test("density fallback: nested ancestor block keeps its full subtree text") {
+    // The outer div's subtree text is the longest match, so it wins over
+    // its own children — pinning that the one-pass length computation
+    // scores SUBTREE text (old maxBy semantics), not direct text only.
+    val html = "<body><div><p>first part</p><p>second part</p></div><p>a shorter standalone</p></body>"
+    val (main, _, _) = HtmlExtract.extract(html)
+    assert(main == "first partsecond part")
+  }
+
+  test("density fallback is linear on pathological nesting depth") {
+    // depth-D nested <div>s, each level carrying text: the pre-fix code
+    // assembled every ancestor's subtree text (O(D*n) chars — ~3 GB of
+    // string churn at this size); the one-pass version walks once.
+    val depth = 4000
+    val sb = new StringBuilder("<body>")
+    (0 until depth).foreach { i => sb.append("<div>t").append(i % 10) }
+    (0 until depth).foreach { _ => sb.append("</div>") }
+    sb.append("</body>")
+    val t0 = System.nanoTime()
+    val (main, _, _) = HtmlExtract.extract(sb.toString)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val expected = (0 until depth).map(i => "t" + (i % 10)).mkString
+    assert(main == expected)
+    assert(secs < 10.0, f"nested-depth extract took $secs%.1f s — not linear")
+  }
+
   test("no blocks at all: whole-tree text fallback") {
     val (main, _, _) = HtmlExtract.extract("<body><span>just a span</span></body>")
     assert(main == "just a span")

@@ -42,14 +42,15 @@ class SamplingSpec extends AnyFunSuite {
     def addr(df: org.apache.spark.sql.DataFrame) =
       Sampling.corpusShuffle(df, "doc_id", shards = 8)
         .select(col("doc_id"), col("shard"), col("pos"))
-        .as[(Long, Int, Long)].collect().toSet
+        .as[(Long, Long, Long)].collect().toSet
     val a = addr(docs)
     assert(a.size == 500, "every row gets exactly one address")
     assert(a.forall { case (_, s, _) => s >= 0 && s < 8 })
     // positions within each shard are dense 1..n — a loader can stream
     // a shard by pos with no gaps
     a.groupBy(_._2).foreach { case (s, rows) =>
-      val ps = rows.map(_._3).toSeq.sorted
+      val ps = rows.toSeq.map(_._3).sorted
+      assert(ps.size == rows.size, s"shard $s has duplicated positions")
       assert(ps == (1L to ps.size), s"shard $s positions not dense: $ps")
     }
     // the address is a pure function of the id: any partitioning, same order
