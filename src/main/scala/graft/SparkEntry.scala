@@ -1210,10 +1210,12 @@ object SparkEntry {
         |  md5(cleaned) AS clean_md5
         |FROM cleaned ORDER BY doc_id""".stripMargin,
     // q51: identical augmented text, then the PRODUCTION UrlOps regexes
-    // verbatim: extract all URLs, host = group 1, registered domain =
-    // last two labels of the host.
+    // verbatim — including the PSL-driven registered-domain pattern,
+    // which is GENERATED from the same public_suffix_list.dat the
+    // engine ships (the PSL is data: both engines run the identical
+    // compiled alternation, RE2-safe by construction).
     "q51_url_domains" ->
-      """WITH aug AS (
+      s"""WITH aug AS (
         |  SELECT doc_id,
         |    text || ' see https://sub' || CAST(doc_id % 5 AS VARCHAR)
         |         || '.example' || CAST(doc_id % 7 AS VARCHAR)
@@ -1229,7 +1231,7 @@ object SparkEntry {
         |  SELECT doc_id,
         |    regexp_extract(
         |      regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1),
-        |      '([A-Za-z0-9-]+\.[A-Za-z0-9-]+)$', 1) AS domain
+        |      '${graft.ops.UrlOps.registeredDomainPattern}', 1) AS domain
         |  FROM urls)
         |SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs

@@ -16,12 +16,40 @@ import org.apache.spark.sql.functions._
   * list side is human-curated (thousands of rows), never a shuffle of
   * the corpus.
   *
-  * Registered domain = last two dot-labels of the host. Real pipelines
-  * consult the Public Suffix List (`co.uk` has three); the PSL is a
-  * data file, not an algorithm — swap [[registeredDomain]]'s pattern
-  * for a PSL-driven suffix match without touching any caller.
+  * Registered domain = one label + the longest matching PUBLIC SUFFIX,
+  * where the suffix set is data: a curated Public Suffix List subset
+  * shipped at `resources/graft/public_suffix_list.dat` (swap in the
+  * full upstream file to widen coverage — nothing else changes). The
+  * matcher compiles the list into one anchored alternation tried
+  * longest-suffix-first, with the PSL default rule (any unlisted TLD
+  * is a suffix) as the final generic alternative — so `bbc.co.uk`
+  * resolves to `bbc.co.uk`, not `co.uk`. The compiled pattern is a
+  * plan-time literal (zero executor-side file reads) and runs
+  * verbatim in DuckDB (RE2-safe: no lookaround, ordered alternation
+  * agrees with leftmost-longest since listed suffixes are strictly
+  * longer than the generic fallback at any match start).
+  *
+  * Known subset limits (documented, deliberate): wildcard (`*.ck`)
+  * and exception (`!www.ck`) PSL rule forms are omitted, and a host
+  * that IS a bare public suffix (`co.uk` with no third label)
+  * resolves as if its last label were the suffix instead of matching
+  * nothing — crawl URL mining never meets bare-suffix hosts.
   */
 object UrlOps {
+
+  /** Multi-label public suffixes from the PSL data file (single-label
+    * TLDs are the default rule, not listed). Loaded once per JVM at
+    * plan construction; the executors only ever see the compiled
+    * pattern string inside the expression tree. */
+  private[ops] lazy val pslSuffixes: Seq[String] = {
+    val in = getClass.getResourceAsStream("/graft/public_suffix_list.dat")
+    require(in != null, "missing resource graft/public_suffix_list.dat")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("//") && l.contains("."))
+      .toVector
+    finally in.close()
+  }
 
   /** http(s) URL shape: scheme, host, optional path. Host chars before
     * the first `/`; path stops at whitespace or common sentence trail.
@@ -33,9 +61,19 @@ object UrlOps {
   /** Group-1 = host of a single URL string. */
   val hostPattern: String = "https?://([A-Za-z0-9.-]+)"
 
-  /** Group-1 = last two labels of a host ("registered domain"). */
-  val registeredDomainPattern: String =
-    "([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$"
+  /** Group-1 = registered domain of a host: one label + longest
+    * matching public suffix. Alternation order is label-count DESC
+    * then alphabetical, so `s3.amazonaws.com` wins over a would-be
+    * `amazonaws.com` entry and `co.uk` is tried before the generic
+    * single-label fallback that closes the alternation (the PSL
+    * default rule). Case-insensitive on the listed suffixes to match
+    * the old character-class behavior on uppercase hosts. */
+  lazy val registeredDomainPattern: String = {
+    val multi = pslSuffixes.distinct
+      .sortBy(s => (-s.count(_ == '.'), s))
+      .map(_.replace(".", "\\."))
+    "([A-Za-z0-9-]+\\.(?:(?i:" + multi.mkString("|") + ")|[A-Za-z0-9-]+))$"
+  }
 
   /** All URLs in a text column, in document order. */
   def extractUrls(text: Column): Column =

@@ -39,10 +39,38 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(urls("ftp://old.example.com and www.example.com alone") == Seq())
   }
 
-  test("registered domain is the last two host labels") {
+  test("registered domain: one label + suffix under the PSL default rule") {
     assert(domainOf("https://deep.sub.example.com/p") == "example.com")
     assert(domainOf("http://example.org") == "example.org")
     assert(domainOf("not a url") == "")
+  }
+
+  test("registered domain: multi-label public suffixes (PSL data file)") {
+    // two-label ccTLD suffixes: the third label is the registrable one
+    assert(domainOf("https://www.bbc.co.uk/news") == "bbc.co.uk")
+    assert(domainOf("https://example.com.au/") == "example.com.au")
+    assert(domainOf("http://a.b.shop.co.jp") == "shop.co.jp")
+    // platform suffixes from the private section
+    assert(domainOf("https://user.github.io/repo") == "user.github.io")
+    assert(domainOf("https://myapp.herokuapp.com/x") == "myapp.herokuapp.com")
+    // three-label suffix beats its own tail
+    assert(domainOf("https://bucket.s3.amazonaws.com/key") == "bucket.s3.amazonaws.com")
+    // unlisted TLD falls back to the default rule (last two labels)
+    assert(domainOf("https://x.y.example.dev/") == "example.dev")
+    // listed suffixes match case-insensitively, capture keeps input case
+    assert(domainOf("https://WWW.BBC.CO.UK/") == "BBC.CO.UK")
+  }
+
+  test("PSL pattern is generated from the data file, longest suffix first") {
+    val multi = UrlOps.pslSuffixes
+    assert(multi.nonEmpty && multi.forall(_.contains(".")))
+    // the compiled alternation is exactly the data file's entries,
+    // escaped, ordered label-count DESC then alphabetical
+    val expected = multi.distinct
+      .sortBy(s => (-s.count(_ == '.'), s))
+      .map(_.replace(".", "\\."))
+      .mkString("|")
+    assert(UrlOps.registeredDomainPattern.contains(expected))
   }
 
   test("domainStats counts urls and distinct docs per domain") {
