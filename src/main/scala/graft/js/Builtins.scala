@@ -747,6 +747,9 @@ object Builtins {
     (0 to m.groupCount).foreach { g =>
       out.items += (if (m.group(g) == null) JsUndefined else JsStr(m.group(g)))
     }
+    // V8 match/exec results are arrays with own props (ES 22.2.7.2)
+    out.extraPut("index", JsNum(m.start.toDouble))
+    out.extraPut("input", JsStr(input))
     out
   }
 
@@ -892,8 +895,11 @@ object Builtins {
       }
       case "indexOf" => withStr(name)(as => JsNum(s.indexOf(toStr(arg(as, 0)),
         arg(as, 1) match { case JsUndefined => 0; case v => toNumber(v).toInt }).toDouble))
-      case "lastIndexOf" => withStr(name)(as => JsNum(s.lastIndexOf(toStr(arg(as, 0))).toDouble))
-      case "includes" => withStr(name)(as => JsBool(s.contains(toStr(arg(as, 0)))))
+      case "lastIndexOf" => withStr(name)(as => JsNum(s.lastIndexOf(toStr(arg(as, 0)),
+        arg(as, 1) match { case JsUndefined => s.length; case v =>
+          val d = toNumber(v); if (d.isNaN) s.length else d.toInt }).toDouble))
+      case "includes" => withStr(name)(as => JsBool(s.indexOf(toStr(arg(as, 0)),
+        arg(as, 1) match { case JsUndefined => 0; case v => math.max(0, toNumber(v).toInt) }) >= 0))
       case "startsWith" => withStr(name)(as => JsBool(s.startsWith(toStr(arg(as, 0)),
         arg(as, 1) match { case JsUndefined => 0; case v => toNumber(v).toInt })))
       case "endsWith" => withStr(name) { as =>
@@ -1071,7 +1077,9 @@ object Builtins {
           Vector(JsNum(index.toDouble), JsStr(s))
         toStr(interp.callFunction(f, JsUndefined, args, Pos(0), "replacer"))
       case other =>
-        // $& = match, $1..$9 groups, $$ literal
+        // $& = match, $` / $' = before/after context, $1..$99 groups
+        // ($nn preferred over $n when both are valid groups, like V8),
+        // $$ literal; anything else stays literal (ES 22.1.3.19.1)
         val template = toStr(other)
         val sb = new java.lang.StringBuilder
         var i = 0
@@ -1081,10 +1089,20 @@ object Builtins {
             template.charAt(i + 1) match {
               case '$' => sb.append('$'); i += 2
               case '&' => sb.append(matched); i += 2
+              case '`' => sb.append(s, 0, index); i += 2
+              case '\'' => sb.append(s, index + matched.length, s.length); i += 2
               case d if d.isDigit =>
-                val g = d - '0'
-                if (g >= 1 && g <= groups.length) { sb.append(groups(g - 1).getOrElse("")); i += 2 }
-                else { sb.append(c); i += 1 }
+                val two =
+                  if (i + 2 < template.length && template.charAt(i + 2).isDigit)
+                    (d - '0') * 10 + (template.charAt(i + 2) - '0')
+                  else 0
+                if (two >= 1 && two <= groups.length) {
+                  sb.append(groups(two - 1).getOrElse("")); i += 3
+                } else {
+                  val g = d - '0'
+                  if (g >= 1 && g <= groups.length) { sb.append(groups(g - 1).getOrElse("")); i += 2 }
+                  else { sb.append(c); i += 1 }
+                }
               case _ => sb.append(c); i += 1
             }
           } else { sb.append(c); i += 1 }
@@ -1169,16 +1187,34 @@ object Builtins {
         a.items.insertAll(start, as.drop(2))
         removed
       }
+      // fromIndex normalization shared by indexOf/includes: negative
+      // counts from the end, then clamps to 0 (ES 23.1.3)
       case "indexOf" => nat(name) { as =>
-        JsNum(a.items.indexWhere(strictEquals(_, arg(as, 0))).toDouble)
+        val from = arg(as, 1) match {
+          case JsUndefined => 0
+          case v => val i = toNumber(v).toInt
+            math.max(0, if (i < 0) a.items.length + i else i)
+        }
+        JsNum(a.items.indexWhere(strictEquals(_, arg(as, 0)), from).toDouble)
       }
       case "lastIndexOf" => nat(name) { as =>
-        JsNum(a.items.lastIndexWhere(strictEquals(_, arg(as, 0))).toDouble)
+        val end = arg(as, 1) match {
+          case JsUndefined => a.items.length - 1
+          case v => val i = toNumber(v).toInt
+            math.min(a.items.length - 1, if (i < 0) a.items.length + i else i)
+        }
+        JsNum((if (end < 0) -1
+               else a.items.lastIndexWhere(strictEquals(_, arg(as, 0)), end)).toDouble)
       }
       case "includes" => nat(name) { as =>
         val target = arg(as, 0)
+        val from = arg(as, 1) match {
+          case JsUndefined => 0
+          case v => val i = toNumber(v).toInt
+            math.max(0, if (i < 0) a.items.length + i else i)
+        }
         // includes uses SameValueZero (NaN found), unlike indexOf
-        JsBool(a.items.exists(v => new JsKey(v) == new JsKey(target)))
+        JsBool(a.items.indexWhere(v => new JsKey(v) == new JsKey(target), from) >= 0)
       }
       case "join" => nat(name) { as =>
         val sep = arg(as, 0) match { case JsUndefined => ","; case v => toStr(v) }

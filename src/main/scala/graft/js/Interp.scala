@@ -515,7 +515,8 @@ final class Interp(globalScope: Scope, val budget: Budget) {
             else k.toIntOption match {
               case Some(i) if i >= 0 && i < a.items.length => a.items(i)
               case Some(_) => JsUndefined
-              case None => Builtins.arrayMethod(a, k, this).getOrElse(JsUndefined)
+              case None => a.extraGet(k) // own named props shadow methods
+                .orElse(Builtins.arrayMethod(a, k, this)).getOrElse(JsUndefined)
             }
         }
       case JsStr(s) =>
@@ -565,7 +566,7 @@ final class Interp(globalScope: Scope, val budget: Budget) {
           budget.allocate(math.max(1, i + 1 - a.items.length).toLong)
           while (a.items.length <= i) a.items += JsUndefined
           a.items(i) = v
-        case _ => () // named props on arrays: dropped in our subset
+        case _ => budget.allocate(4); a.extraPut(k, v) // named props, like V8
       }
     case r: JsRegExpV if toStr(key) == "lastIndex" => r.lastIndex = toNumber(v).toInt
     case _ => () // silent no-op on primitives, like sloppy-mode JS

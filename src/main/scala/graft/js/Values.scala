@@ -34,7 +34,19 @@ object JsObject {
   }
 }
 
-final class JsArray(val items: mutable.ArrayBuffer[JsValue]) extends JsValue
+final class JsArray(val items: mutable.ArrayBuffer[JsValue]) extends JsValue {
+  /** Non-index own properties. V8 arrays accept named props, and
+    * match/exec results carry `index`/`input` this way. Null until
+    * first use — almost no array ever has any, and the hot paths
+    * (indexing, iteration, methods) never touch it. */
+  var extra: mutable.Map[String, JsValue] = null
+  def extraGet(k: String): Option[JsValue] =
+    if (extra == null) None else extra.get(k)
+  def extraPut(k: String, v: JsValue): Unit = {
+    if (extra == null) extra = mutable.Map.empty
+    extra.put(k, v)
+  }
+}
 object JsArray {
   def empty: JsArray = new JsArray(mutable.ArrayBuffer.empty)
   def of(vs: JsValue*): JsArray = new JsArray(mutable.ArrayBuffer(vs: _*))

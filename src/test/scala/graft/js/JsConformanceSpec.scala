@@ -398,4 +398,316 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
       "+{}" -> "NaN",
     )
   }
-}
+
+  test("sort is stable (TimSort contract V8 ships)") {
+    expect(
+      "[[1,'a'],[0,'b'],[1,'c'],[0,'d']].sort((x,y)=>x[0]-y[0]).map(p=>p[1]).join('')" -> "bdac",
+      "['b','a','c'].sort(() => 0).join('')" -> "bac",
+      "[2,1].sort(() => NaN).join(',')" -> "2,1", // NaN comparator acts as 0
+      "[1,10,2].sort((a,b)=>b-a).join(',')" -> "10,2,1",
+      "[undefined,1,undefined,0].sort().join(',')" -> "0,1,,", // undefined always LAST
+    )
+  }
+
+  test("surrogate pairs: length in code units, iteration in code points") {
+    expect(
+      "'\\u{1F600}'.length" -> "2",
+      "[...'\\u{1F600}'].length" -> "1",
+      "'\\u{1F600}'.codePointAt(0)" -> "128512",
+      "'\\u{1F600}'.charCodeAt(0)" -> "55357",
+      "String.fromCodePoint(128512).length" -> "2",
+      "'\\u{1F600}' === '\\uD83D\\uDE00'" -> "true",
+      "'ab\\u{1F600}'.slice(-2).codePointAt(0)" -> "128512", // slice is code-unit based
+    )
+  }
+
+  test("string search/pad/trim second tier") {
+    expect(
+      "'abcdef'.includes('cd', 3)" -> "false",
+      "'abcdef'.includes('cd', 2)" -> "true",
+      "'abc'.endsWith('b', 2)" -> "true",
+      "'  x  '.trimStart()" -> "x  ",
+      "'  x  '.trimEnd()" -> "  x",
+      "'ab'.padEnd(5, 'xy')" -> "abxyx",
+      "'a-b-c'.split('-', 2).join(',')" -> "a,b",
+      "'b'.concat('c', 'd')" -> "bcd",
+      "'abc'.at(-4)" -> "undefined",
+      "'abc'.search(/b/)" -> "1",
+    )
+  }
+
+  test("Number statics: no-coercion predicates vs global coercers") {
+    expect(
+      "Number.isInteger(5.0)" -> "true",  // 5.0 IS the integer 5
+      "Number.isInteger('5')" -> "false", // no coercion
+      "Number.isNaN('x')" -> "false",     // no coercion
+      "isNaN('x')" -> "true",             // global DOES coerce
+      "Number.isSafeInteger(2**53)" -> "false",
+      "Number.isSafeInteger(2**53 - 1)" -> "true",
+      "Number.MAX_SAFE_INTEGER" -> "9007199254740991",
+    )
+  }
+
+  test("float arithmetic identities") {
+    expect(
+      "0.1 + 0.2" -> "0.30000000000000004",
+      "(0.1 + 0.2).toFixed(1)" -> "0.3",
+      "1/0" -> "Infinity",
+      "-1/0" -> "-Infinity",
+      "0/0" -> "NaN",
+      "1/-0" -> "-Infinity", // -0 exists even though '' + -0 is '0'
+      "'' + -0" -> "0",
+      "5 % -3" -> "2",   // JS remainder keeps the DIVIDEND sign
+      "-5 % 3" -> "-2",
+      "5.5 % 2" -> "1.5",
+    )
+  }
+
+  test("Math second tier") {
+    expect(
+      "Math.hypot(3, 4)" -> "5",
+      "Math.cbrt(27)" -> "3",
+      "Math.log2(8)" -> "3",
+      "Math.log10(1000)" -> "3",
+      "Math.abs(-0)" -> "0",
+      "Math.pow(2, -1)" -> "0.5",
+      "Math.sign(-0)" -> "0",
+    )
+  }
+
+  test("array mutators return values, not the array") {
+    expect(
+      "(() => { const a=[1]; return a.push(2,3) })()" -> "3",      // new length
+      "(() => { const a=[1,2]; return a.pop() + ',' + a.length })()" -> "2,1",
+      "(() => { const a=[1,2]; return a.shift() + ',' + a.join('') })()" -> "1,2",
+      "(() => { const a=[2]; return a.unshift(1) + ',' + a.join(',') })()" -> "2,1,2",
+      "[1,2,3].fill(0, 1).join(',')" -> "1,0,0",
+    )
+  }
+
+  test("array second tier: flatMap, every/some, from/of, fromIndex") {
+    expect(
+      "[1,2,3,4].flatMap(x => [x, x*2]).length" -> "8",
+      "[1,2,3].every(x => x > 0)" -> "true",
+      "[1,2].some(x => x > 1)" -> "true",
+      "[].every(x => false)" -> "true",   // vacuous truth
+      "[].some(x => true)" -> "false",
+      "Array.from('ab').join(',')" -> "a,b",
+      "Array.from([1,2], x => x * 2).join(',')" -> "2,4",
+      "Array.of(7).length" -> "1",
+      "Array(3).length" -> "3",
+      "Array(3).join(',')" -> ",,",
+      "[1,2,3].indexOf(2, 2)" -> "-1",
+      "[1,2,3].indexOf(2, -2)" -> "1",   // negative fromIndex counts from end
+      "[1,2,1].lastIndexOf(1)" -> "2",
+      "[1,2,1].lastIndexOf(1, 1)" -> "0",
+      "[1,2,3].includes(1, 1)" -> "false",
+      "'aXa'.lastIndexOf('a', 1)" -> "0",
+      "[1,2,3].join()" -> "1,2,3",        // default separator is comma
+      "[null, undefined, 1].join(',')" -> ",,1", // null/undefined join as ''
+      "[...[10,20].entries()][1].join(',')" -> "1,20",
+    )
+  }
+
+  test("Set/Map: insertion order, identity keys, SameValueZero") {
+    expect(
+      "new Set(['a','a','b']).size" -> "2",
+      "(() => { const s = new Set([1]); return s.has(1) + ',' + s.has(2) })()" -> "true,false",
+      "(() => { const s = new Set([3,1,3,2]); return [...s].join(',') })()" -> "3,1,2",
+      "(() => { const m = new Map([['a',1]]); m.set('b',2); return m.get('b') + ',' + m.size })()" -> "2,2",
+      "(() => { const m = new Map(); const k={}; m.set(k,1); return (m.get({}) === undefined) + ',' + m.get(k) })()" -> "true,1",
+      "(() => { const m = new Map([[NaN, 'x']]); return m.get(NaN) })()" -> "x", // SameValueZero
+    )
+  }
+
+  test("let is per-iteration in for loops; var is function-scoped") {
+    expect(
+      "(() => { const fs=[]; for (let i=0;i<3;i++) fs.push(() => i); return fs.map(f=>f()).join(',') })()" -> "0,1,2",
+      "(() => { const fs=[]; for (var i=0;i<3;i++) fs.push(() => i); return fs.map(f=>f()).join(',') })()" -> "3,3,3",
+      "(() => { let x=1; { let x=2; } return x })()" -> "1",
+      "(() => { return y; var y })()" -> "undefined", // var hoists as undefined
+    )
+  }
+
+  test("nullish coalescing and optional chaining short-circuit") {
+    expect(
+      "null ?? 'd'" -> "d",
+      "undefined ?? 'd'" -> "d",
+      "0 ?? 'd'" -> "0",       // ?? only on null/undefined
+      "'' ?? 'd'" -> "",
+      "0 || 'd'" -> "d",       // || on any falsy — the contrast
+      "({a:{b:1}}).a?.b" -> "1",
+      "({}).x?.y" -> "undefined",
+      "null?.f()" -> "undefined", // call after ?. short-circuits too
+      "(() => { let n = 0; const o = {}; o.x?.[n++]; return n })()" -> "0",
+    )
+  }
+
+  test("destructuring: holes, defaults, rest, nested, params") {
+    expect(
+      "(() => { const [a,,b=5, ...r] = [1,2,undefined,4,5]; return [a,b,r.join('')].join('|') })()" -> "1|5|45",
+      "(() => { const {a, c = 3, ...rest} = {a: 7, d: 1}; return [a,c,rest.d].join(',') })()" -> "7,3,1",
+      "(([a, b]) => a + b)([1, 2])" -> "3",
+      "(({x: {y}}) => y)({x: {y: 9}})" -> "9",
+    )
+  }
+
+  test("throw/catch: non-Error values, builtin error classes, instanceof") {
+    expect(
+      "(() => { try { throw 42 } catch (e) { return typeof e } })()" -> "number",
+      "(() => { try { null.x } catch (e) { return e instanceof TypeError } })()" -> "true",
+      "(() => { try { undef_var } catch (e) { return e.name } })()" -> "ReferenceError",
+      "(() => { try { JSON.parse('{bad') } catch (e) { return e.name } })()" -> "SyntaxError",
+      "new Error('m').message" -> "m",
+      "new TypeError('t').name" -> "TypeError",
+      "[] instanceof Array" -> "true",
+      "new Error('x') instanceof Error" -> "true",
+    )
+  }
+
+  test("JSON.stringify: non-finite, undefined root, functions, control chars, indent") {
+    expect(
+      "JSON.stringify(NaN)" -> "null",
+      "JSON.stringify(Infinity)" -> "null",
+      "typeof JSON.stringify(undefined)" -> "undefined",
+      "JSON.stringify({a: (() => 1), b: 2})" -> "{\"b\":2}", // functions dropped like undefined
+      "JSON.stringify('\\u001f')" -> "\"\\u001f\"",
+      "JSON.stringify({a:1}, null, 2)" -> "{\n  \"a\": 1\n}",
+      "JSON.stringify([1], null, 2)" -> "[\n  1\n]",
+    )
+  }
+
+  test("increment/compound assignment evaluation order") {
+    expect(
+      "(() => { let x = 5; return x++ + ++x })()" -> "12", // 5 + 7
+      "(() => { let x = 5; return x-- - --x })()" -> "2",  // 5 - 3
+      "(() => { const o = {n: 1}; o.n += 2; return o.n })()" -> "3",
+      "(() => { let s = 'a'; s += 1; return s })()" -> "a1",
+      "(() => { let x = 10; x **= 2; return x })()" -> "100",
+      "(() => { let a = null; a ??= 7; let b = 0; b ??= 9; return '' + a + b })()" -> "70",
+      "(() => { let a = 0; a ||= 5; let b = 1; b &&= 6; return '' + a + b })()" -> "56",
+    )
+  }
+
+  test("for-of over entries/strings; for-in over array indices") {
+    expect(
+      "(() => { let t=''; for (const [k,v] of Object.entries({x:1,y:2})) t += k+v; return t })()" -> "x1y2",
+      "(() => { let t=0; for (const c of 'abc') t++; return t })()" -> "3",
+      "(() => { let t=''; for (const k in [7,8]) t += k; return t })()" -> "01", // index STRINGS
+      "(() => { let t=''; for (const c of '\\u{1F600}x') t += '|'; return t })()" -> "||", // code points
+    )
+  }
+
+  test("template literals: interpolation, nesting, escapes") {
+    expect(
+      "`a${1+1}b${'c'}`" -> "a2bc",
+      "`${`x${2}`}`" -> "x2",
+      "`line1\\nline2`.split('\\n').length" -> "2",
+      "`${undefined}|${null}`" -> "undefined|null",
+    )
+  }
+
+  test("regex application: global match, exec groups, backreference replace") {
+    expect(
+      "'a1b22c'.match(/\\d+/g).join(',')" -> "1,22",
+      "'abc'.match(/x/) === null" -> "true",
+      "/(\\d+)/.exec('a42')[1]" -> "42",
+      "'2026-08-13'.replace(/(\\d+)-(\\d+)-(\\d+)/, '$3/$2/$1')" -> "13/08/2026",
+      "'aAbB'.replace(/[a-z]/gi, '-')" -> "----",
+    )
+  }
+
+  test("short-circuit operators evaluate the right number of times") {
+    expect(
+      "(() => { let n=0; const f=() => { n++; return true }; f() || f(); f() && f(); return n })()" -> "3",
+      "(() => { let n=0; false && n++; true || n++; return n })()" -> "0",
+    )
+  }
+
+  test("encodeURIComponent / decodeURIComponent") {
+    expect(
+      "encodeURIComponent('a b&c=d')" -> "a%20b%26c%3Dd",
+      "encodeURIComponent(\"-_.!~*'()\")" -> "-_.!~*'()", // unreserved marks pass through
+      "decodeURIComponent('a%20b')" -> "a b",
+      "encodeURIComponent('\\u00e9')" -> "%C3%A9", // UTF-8 percent encoding
+    )
+  }
+
+  test("Object.assign returns the mutated target; values follow key order") {
+    expect(
+      "(() => { const t={a:1}; const r=Object.assign(t, {b:2}); return (r===t) + ',' + JSON.stringify(t) })()" -> "true,{\"a\":1,\"b\":2}",
+      "Object.assign({a:1}, {a:2}, {a:3}).a" -> "3", // later sources win
+      "Object.values({b:1, 2:2, 1:3}).join(',')" -> "3,2,1", // integer keys first
+      "Object.fromEntries([['a',1],['b',2]]).b" -> "2",
+    )
+  }
+
+  test("boolean coercion: the seven falsy values and nothing else") {
+    expect(
+      "!!''" -> "false",
+      "!!'0'" -> "true",   // non-empty string is truthy, even '0'
+      "!!0" -> "false",
+      "!!NaN" -> "false",
+      "!![]" -> "true",    // objects always truthy
+      "!!{}" -> "true",
+      "Boolean(' ')" -> "true",
+    )
+  }
+
+  test("in operator: indices, length, inherited-free objects") {
+    expect(
+      "0 in [5]" -> "true",
+      "1 in [5]" -> "false",
+      "'length' in []" -> "true",
+      "'x' in {x: 0}" -> "true",
+      "(() => { try { return 'a' in 'abc' } catch (e) { return e.name } })()" -> "TypeError", // in needs an object
+    )
+  }
+
+  test("reduceRight and NaN propagation in min/max") {
+    expect(
+      "['a','b','c'].reduceRight((a,b) => a + b)" -> "cba",
+      "[1,2,3].reduceRight((a,b) => a + b, 10)" -> "16",
+      "Math.max(1, NaN)" -> "NaN",
+      "Math.min(NaN, 1)" -> "NaN",
+    )
+  }
+
+  test("optional call and match result anatomy") {
+    expect(
+      "({f: () => 3}).f?.()" -> "3",
+      "({}).f?.()" -> "undefined",
+      "'a1'.match(/(\\d)/)[1]" -> "1",
+      "'xa'.match(/a/).index" -> "1",
+      "'xyz'.match(/y/).input" -> "xyz",
+    )
+  }
+
+  test("ternary right-associativity and typeof chains") {
+    expect(
+      "true ? 1 : true ? 2 : 3" -> "1",
+      "false ? 1 : true ? 2 : 3" -> "2",
+      "false ? 1 : false ? 2 : 3" -> "3",
+      "typeof typeof 1" -> "string",
+      "`${[1,2]}`" -> "1,2",
+      "`${({})}`" -> "[object Object]",
+    )
+  }
+
+  test("replacement patterns: $$, $`, $' and unknown $x") {
+    expect(
+      "'a'.replace(/a/, '$$')" -> "$",
+      "'abc'.replace(/b/, '$`')" -> "aac",  // $` = text BEFORE the match
+      "'abc'.replace(/b/, \"$'\")" -> "acc", // $' = text AFTER the match
+      "'a'.replace(/a/, '$x')" -> "$x",      // unknown pattern stays literal
+    )
+  }
+
+  test("global isFinite coerces; Number.isFinite does not") {
+    expect(
+      "isFinite('5')" -> "true",
+      "Number.isFinite('5')" -> "false",
+      "isFinite(Infinity)" -> "false",
+      "Number.isFinite(2**53)" -> "true",
+    )
+  }}
