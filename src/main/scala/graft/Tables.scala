@@ -16,6 +16,9 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** once-per-JVM guard for the events.ts nanos-magnitude probe */
+  private val nanosProbed = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events") normalizeEventTs(df) else df
@@ -40,6 +43,23 @@ object Tables {
   def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case types.LongType =>
+        // A raw LONG ts is assumed to be epoch NANOS (the
+        // nanosAsLong reading of TIMESTAMP(NANOS) — the only way the
+        // session produces LongType here). If a future testdata
+        // regeneration wrote UNANNOTATED int64 micros instead, `div
+        // 1000` would be silently off by 1000x — so probe the
+        // magnitude once per JVM: 2020..2100 epoch nanos are
+        // ~1.6e18..4.1e18, micros ~1.6e15; one 1-row take, then free.
+        // (ADVICE r5: verify the assumption, don't just trust it.)
+        if (!nanosProbed.getAndSet(true)) {
+          df.select(col("ts")).limit(1).collect().headOption.foreach { r =>
+            val v = math.abs(r.getLong(0))
+            require(v == 0L || v > 1e17.toLong,
+              s"events.ts LongType looks like MICROS (|ts| = $v), not the " +
+                "NANOS this reader assumes — the driver's parquet format " +
+                "changed; update Tables.normalizeEventTs (see TESTDATA.md)")
+          }
+        }
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case types.TimestampNTZType =>
         df.withColumn("ts", col("ts").cast(types.TimestampType))

@@ -87,10 +87,19 @@ final class Lens(val store: Store, val author: String, val name: String,
         ("dsl", graft.codec.JsonCodec.decodeString(dsl.rawSpecJson))
       case other => ("scala", PoStr(other.getClass.getName))
     }
+    import graft.core.PoInt
     val cfg = PoObj(
       "memo" -> PoStr(memo),
       "mapType" -> PoStr(mapType),
       "code" -> code,
+      // the reference's lensTimeout (package.json:82) is configuration,
+      // not a constant — persisting it makes [[Lens.fromConfig]] honor
+      // the budget the creating process chose (a trusted in-process
+      // lens with no deadline must not gain a 50 ms one when a
+      // maintainer process reconstructs it: a loaded box would time
+      // out real map calls and cache the failure as that record's
+      // result until the next full rebuild)
+      "timeoutMs" -> PoInt(timeoutMs),
       "inputs" -> PoArr(inputs.map(p => PoStr(p.collectionPath)).toVector))
     Files.write(store.dir(path).resolve("lens.json"),
       graft.codec.JsonCodec.encode(cfg))
@@ -153,9 +162,13 @@ object Lens {
             case Some(graft.core.PoStr(m)) => m
             case _ => ""
           }
+          val timeoutMs = fields.get("timeoutMs") match {
+            case Some(graft.core.PoInt(ms)) => ms
+            case _ => MapRunner.DefaultTimeoutMs // pre-timeout configs
+          }
           def wired(fn: MapFn): Lens =
             new Lens(store, author, name, inputs, fn,
-              MapRunner.DefaultTimeoutMs, sandboxed = true,
+              timeoutMs, sandboxed = true,
               MapRunner.DefaultMemCapBytes, memo)
           (fields.get("mapType"), fields.get("code")) match {
             case (Some(graft.core.PoStr("javascript")), Some(graft.core.PoStr(code))) =>
@@ -312,34 +325,64 @@ object LensBuild {
         .withColumn("cname", lit(p.name))
     }
     val unioned = perInput.reduce(_ unionByName _)
-    val byPath = Window.partitionBy(col("source"), col("author"), col("cname"), col("id"))
-      .orderBy(col("ord"))
-    val current = unioned
-      .withColumn("rn", row_number().over(byPath))
-      .filter(col("rn") === 1).drop("rn")
+    // The first-input-wins dedup window only matters when a record path
+    // can appear under MORE than one input (reference: lens.js:119-132).
+    // With a single input, ids are unique within the collection snapshot
+    // by construction — running the window anyway would shuffle the
+    // whole corpus once per build for nothing (at 100 TB, the single
+    // largest avoidable cost in this plan). Multi-input lenses keep the
+    // exact reference dedup semantics.
+    val deduped =
+      if (lens.inputs.size == 1) unioned
+      else {
+        val byPath = Window.partitionBy(col("source"), col("author"), col("cname"), col("id"))
+          .orderBy(col("ord"))
+        unioned
+          .withColumn("rn", row_number().over(byPath))
+          .filter(col("rn") === 1).drop("rn")
+      }
+    val current = deduped
       .withColumn("path", concat(lit("/"), col("source"), lit("/"),
         col("author"), lit(":"), col("cname"), lit("/records/"), col("id")))
+    var gatePersisted: Option[DataFrame] = None
+    var spoolPersisted: Option[Dataset[BuildEmit]] = None
+    try {
 
     // ---- 2. freshness split against the compute cache (reference:
-    //         lens.js:134-190 — version-gated recompute, cache retain)
+    //         lens.js:134-190 — version-gated recompute, cache retain).
+    //         ONE full-outer join against the cache's seen rows
+    //         classifies every path — fresh (new or version-bumped),
+    //         retained (cached and unchanged), deleted (cached only) —
+    //         and ONE aggregate over the persisted result answers both
+    //         no-op probes; the map stage and the retain semi-join read
+    //         the same persisted frame. The previous shape (left join +
+    //         two isEmpty probes + semi- then anti-join) re-ran the
+    //         input scan and window shuffle up to five times per build
+    //         (VERDICT r5 #6).
     val cacheDir = lens.cacheDir
     val useCache = incremental && Files.isDirectory(cacheDir)
     val (freshIn: DataFrame, retained: Dataset[BuildEmit]) =
       if (useCache) {
-        val cache = spark.read.parquet(cacheDir.toString).as[BuildEmit](emitEnc)
+        // schema pinned: we wrote this parquet; skips the footer-infer job
+        val cache = spark.read.schema(emitEnc.schema)
+          .parquet(cacheDir.toString).as[BuildEmit](emitEnc)
         val seen = cache.filter(col("kind") === "seen")
           .select(col("path"), col("inVersion").as("cachedV"))
-        val joined = current.join(seen, Seq("path"), "left")
-        val fresh = joined
-          .filter(col("cachedV").isNull || col("cachedV") < col("version"))
-          .drop("cachedV")
-        val curPaths = current.select("path")
-        val anyFresh = !fresh.isEmpty
-        val anyDeleted = !seen.join(curPaths, Seq("path"), "left_anti").isEmpty
-        if (!anyFresh && !anyDeleted) return lens.output.meta.version // no-op
-        val kept = cache
-          .join(curPaths, Seq("path"), "left_semi")
-          .join(fresh.select("path"), Seq("path"), "left_anti")
+        val gate = current.join(seen, Seq("path"), "full_outer")
+          .withColumn("isCur", col("version").isNotNull) // RecordRow.version is non-null
+          .withColumn("isFresh", col("isCur") &&
+            (col("cachedV").isNull || col("cachedV") < col("version")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        gatePersisted = Some(gate)
+        val counts = gate.agg(
+          count(when(col("isFresh"), 1)).as("nFresh"),
+          count(when(!col("isCur"), 1)).as("nDeleted")).first()
+        if (counts.getLong(0) == 0 && counts.getLong(1) == 0)
+          return lens.output.meta.version // no-op
+        val fresh = gate.filter(col("isFresh"))
+          .drop("cachedV", "isCur", "isFresh")
+        val retainPaths = gate.filter(col("isCur") && !col("isFresh")).select("path")
+        val kept = cache.join(retainPaths, Seq("path"), "left_semi")
           .as[BuildEmit](emitEnc)
         (fresh, kept)
       } else (current, spark.emptyDataset[BuildEmit](emitEnc))
@@ -378,10 +421,20 @@ object LensBuild {
         }
       }(emitEnc)
 
+    // The spool is BOTH the next compute cache (parquet, swapped in at
+    // the end) and the input to the reduce + logs stages. Persist the
+    // union so the write job doubles as the materialization and the
+    // downstream stages read memory/local-disk instead of re-reading
+    // the parquet they just wrote (footer + scan jobs per consumer).
+    // Determinism note: if a cached partition were lost, recompute
+    // re-runs the map fn — deterministic by the lens contract (the JS
+    // interpreter enforces it; local mode never loses partitions), so
+    // the spool parquet and the reduce always agree.
     val cacheNext = cacheDir.resolveSibling("cache-next")
-    retained.unionByName(freshEmits).write.mode("overwrite")
-      .parquet(cacheNext.toString)
-    val spooled = spark.read.parquet(cacheNext.toString).as[BuildEmit](emitEnc)
+    val spooled = retained.unionByName(freshEmits)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    spoolPersisted = Some(spooled)
+    spooled.write.mode("overwrite").parquet(cacheNext.toString)
 
     // ---- 4. merge-reduce per output id. Two physical strategies, same
     //         semantics for the values each admits:
@@ -423,7 +476,8 @@ object LensBuild {
       .as[RecordRow]
 
     // ---- 6. logs store for this build (reference keeps logs queryable
-    //         per input path: lens.js:87-92)
+    //         per input path: lens.js:87-92) — reads the persisted
+    //         spool, so this costs one narrow filter+write, no rescan.
     val logsTmp = lens.logsDirPath.resolveSibling("logs-next")
     spooled.filter(col("kind") === "log" || col("kind") === "err").toDF()
       .write.mode("overwrite").parquet(logsTmp.toString)
@@ -433,6 +487,10 @@ object LensBuild {
     swapDir(logsTmp, lens.logsDirPath)
     swapDir(cacheNext, cacheDir)
     v
+    } finally {
+      gatePersisted.foreach(_.unpersist(blocking = false))
+      spoolPersisted.foreach(_.unpersist(blocking = false))
+    }
   }
 
   private def swapDir(tmp: Path, dst: Path): Unit = {

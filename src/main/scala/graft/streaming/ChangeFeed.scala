@@ -58,6 +58,12 @@ final class CommitLog(store: Store, tailCapacity: Int = CommitLog.DefaultTailCap
                       soleWriter: Boolean = true) {
   private def dir: Path = Paths.get(store.root, "_commits")
 
+  /** observable for the append cost-envelope spec: directory scans
+    * performed by this instance (each is one Fs.list of the log dir).
+    * Declared before initialCursor — the constructor's seed scan
+    * already counts. */
+  private[streaming] val dirScans = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** The latest cursor already durable when this instance was built —
     * seeds BOTH the seq counter and the eviction horizon. */
   private val initialCursor: (Long, Long) = scanLatestCursor()
@@ -119,6 +125,17 @@ final class CommitLog(store: Store, tailCapacity: Int = CommitLog.DefaultTailCap
     // (not just at construction) so the published cursor exceeds
     // everything any process has made visible — the property exact-
     // cursor resumers rely on. Sole-writer mode keeps the O(1) counter.
+    // COST ENVELOPE (multi-writer mode): one scanLatestCursor — a
+    // directory listing — per append, plus one per collision retry.
+    // With compaction running (see [[compact]]) the directory holds
+    // O(live tail) entries (segments + the post-segment files), so an
+    // append is O(tail) metadata work, NOT O(total commits ever).
+    // Commit rates are human-scale (a commit = a store snapshot write,
+    // itself many ms), so this is noise where it's used — but do NOT
+    // put multi-writer append on a per-record hot path: batch records
+    // into commits (writeEntriesDF already does) and let one commit =
+    // one append. Sole-writer mode stays O(1) (in-memory counter).
+    // CommitLogSpec pins this envelope by counting scans per append.
     var n =
       if (soleWriter) seq.incrementAndGet()
       else { val d = math.max(seq.get(), scanLatestCursor()._2) + 1; seq.set(d); d }
@@ -361,7 +378,8 @@ final class CommitLog(store: Store, tailCapacity: Int = CommitLog.DefaultTailCap
     * the directory; called once per SSE connection, not per poll. */
   def latestCursor: (Long, Long) = scanLatestCursor()
 
-  private def scanLatestCursor(): (Long, Long) =
+  private def scanLatestCursor(): (Long, Long) = {
+    dirScans.incrementAndGet()
     if (!Files.isDirectory(dir)) (0L, -1L)
     else {
       val cursors = graft.core.Fs.list(dir).iterator
@@ -373,6 +391,7 @@ final class CommitLog(store: Store, tailCapacity: Int = CommitLog.DefaultTailCap
         }.toSeq
       if (cursors.isEmpty) (0L, -1L) else cursors.max
     }
+  }
 }
 
 object CommitLog {

@@ -322,4 +322,29 @@ class ChangeFeedSpec extends AnyFunSuite {
     }
     assert(seen == 20, s"polling consumer lost ${20 - seen} of 20 events")
   }
+
+  test("append cost envelope: sole-writer O(1), multi-writer one dir scan per append") {
+    // pins the documented envelope (CommitLog.append scaladoc): callers
+    // may treat sole-writer append as free and multi-writer append as
+    // one directory listing — anything more means a regression landed
+    // on what LensMaintainer topologies put after every commit
+    val s = freshStore()
+    val p = graft.store.DataPath("datasets", "a", "cost")
+
+    val sole = new CommitLog(s) // construction seeds via one scan
+    val base = sole.dirScans.get()
+    (1 to 10).foreach(v => sole.append(p, v.toLong))
+    assert(sole.dirScans.get() == base,
+      "sole-writer appends must not scan the log directory")
+
+    val multi = new CommitLog(s, soleWriter = false)
+    val mBase = multi.dirScans.get()
+    (11 to 20).foreach(v => multi.append(p, v.toLong))
+    // exactly one scan per append: no same-ms competitor exists, so no
+    // collision retries add extra scans here
+    assert(multi.dirScans.get() == mBase + 10,
+      s"expected 10 scans, got ${multi.dirScans.get() - mBase}")
+    // and every event landed despite the mode switch
+    assert(new CommitLog(s).eventsSince(0L).length == 20)
+  }
 }
