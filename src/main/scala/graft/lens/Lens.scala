@@ -202,16 +202,35 @@ object Lens {
     * framing is deterministic — parquet file order is map-partition
     * order, which is not. */
   def logsOf(store: Store, author: String, name: String): DataFrame = {
-    val dir = store.dir(DataPath("lenses", author, name)).resolve("logs")
+    import org.apache.spark.sql.functions.col
     val spark = store.spark
     val cols = Seq("path", "kind", "logKind", "logArgs", "errType", "errMsg")
-    if (Files.isDirectory(dir))
-      spark.read.parquet(dir.toString)
-        .orderBy(org.apache.spark.sql.functions.col("ord"),
-          org.apache.spark.sql.functions.col("natKey"))
-        .select(cols.map(org.apache.spark.sql.functions.col): _*)
-    else spark.emptyDataset(org.apache.spark.sql.Encoders.product[BuildEmit])
-      .toDF().select(cols.map(org.apache.spark.sql.functions.col): _*)
+    // Logs are served from the COMPUTE CACHE: the spool a build writes
+    // there contains exactly the log/err rows of every current input
+    // (retained rows keep the rows from the build that last mapped
+    // them), so a separate logs parquet would duplicate it byte for
+    // byte — one write job per build, deleted in round 6. kind is a
+    // leading filter → parquet predicate pushdown skips the out/seen
+    // row groups. Legacy stores that still have a logs/ dir (written
+    // before round 6) fall back to it.
+    val cacheDir = store.dir(DataPath("lenses", author, name)).resolve("cache")
+    val legacy = store.dir(DataPath("lenses", author, name)).resolve("logs")
+    val src =
+      if (Files.isDirectory(cacheDir)) Some(cacheDir)
+      else if (Files.isDirectory(legacy)) Some(legacy)
+      else None
+    src match {
+      case Some(dir) =>
+        spark.read
+          .schema(org.apache.spark.sql.Encoders.product[BuildEmit].schema)
+          .parquet(dir.toString)
+          .filter(col("kind") === "log" || col("kind") === "err")
+          .orderBy(col("ord"), col("natKey"))
+          .select(cols.map(col): _*)
+      case None =>
+        spark.emptyDataset(org.apache.spark.sql.Encoders.product[BuildEmit])
+          .toDF().select(cols.map(col): _*)
+    }
   }
 }
 
@@ -294,7 +313,7 @@ object LensBuild {
   /** The whole build — map → spool → reduce → commit → cache swap —
     * runs under the output collection's writer lock (Store.withLock:
     * JVM monitor + OS file lock), because the compute-cache staging
-    * dirs (`cache-next`, `logs-next`) are SHARED paths: two processes
+    * dir (`cache-next`) is a SHARED path: two processes
     * building one lens concurrently would interleave Spark overwrites
     * into the same `_temporary` dir and race the final swaps. Under
     * the lock, the second builder enters after the first's cache swap,
@@ -475,17 +494,12 @@ object LensBuild {
       .select(col("id"), col("version"), col("hash"), col("links"), col("value"))
       .as[RecordRow]
 
-    // ---- 6. logs store for this build (reference keeps logs queryable
-    //         per input path: lens.js:87-92) — reads the persisted
-    //         spool, so this costs one narrow filter+write, no rescan.
-    val logsTmp = lens.logsDirPath.resolveSibling("logs-next")
-    spooled.filter(col("kind") === "log" || col("kind") === "err").toDF()
-      .write.mode("overwrite").parquet(logsTmp.toString)
-
+    // (logs need no write of their own — Lens.logsOf serves them from
+    // the cache parquet the spool becomes, reference lens.js:87-92)
     val v = out.commitPrepared(rows)
 
-    swapDir(logsTmp, lens.logsDirPath)
     swapDir(cacheNext, cacheDir)
+    graft.core.Fs.rmTree(lens.logsDirPath) // pre-round-6 legacy duplicate
     v
     } finally {
       gatePersisted.foreach(_.unpersist(blocking = false))
