@@ -61,6 +61,45 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(domainOf("https://WWW.BBC.CO.UK/") == "BBC.CO.UK")
   }
 
+  test("property: regex matcher agrees with algorithmic longest-suffix PSL match") {
+    // The compiled alternation must behave exactly like the textbook
+    // PSL algorithm (longest listed suffix wins, else the default rule:
+    // last label is the suffix; registered domain = suffix + one label;
+    // a host that IS a suffix degrades to the default rule — the
+    // documented subset semantics). 500 seeded hosts built from listed
+    // suffixes, plain TLDs, and random label stacks.
+    import scala.util.Random
+    val suffixes = UrlOps.pslSuffixes.toVector
+    def reference(host: String): String = {
+      val labels = host.split('.')
+      val matched = suffixes
+        .filter(s => host == s || host.endsWith("." + s))
+        .filter(s => s.split('.').length < labels.length) // need a label left
+        .maxByOption(_.split('.').length)
+      val sufLen = matched.map(_.split('.').length).getOrElse(1)
+      if (labels.length <= sufLen) "" // bare single label: no match
+      else labels.takeRight(sufLen + 1).mkString(".")
+    }
+    val r = new Random(7)
+    val labelPool = Vector("a", "bb", "site", "x1", "my-app", "cdn9")
+    val tails = suffixes ++ Vector("com", "net", "io", "dev", "example")
+    val hosts = (1 to 500).map { _ =>
+      val tail = tails(r.nextInt(tails.size))
+      val depth = r.nextInt(3) // 0..2 extra labels
+      val front = Vector.fill(depth + (if (r.nextBoolean()) 1 else 0))(
+        labelPool(r.nextInt(labelPool.size)))
+      (front :+ tail).mkString(".")
+    }.distinct
+    import spark.implicits._
+    val got = hosts.toDF("h")
+      .select(col("h"), regexp_extract(col("h"),
+        UrlOps.registeredDomainPattern, 1).as("d"))
+      .collect().map(r2 => r2.getString(0) -> r2.getString(1)).toMap
+    hosts.foreach { h =>
+      assert(got(h) == reference(h), s"host $h: regex '${got(h)}' vs psl '${reference(h)}'")
+    }
+  }
+
   test("PSL pattern is generated from the data file, longest suffix first") {
     val multi = UrlOps.pslSuffixes
     assert(multi.nonEmpty && multi.forall(_.contains(".")))
