@@ -905,6 +905,28 @@ object SparkEntry {
              sum(col("doc_id")).cast("long").as("sum_ids"))
         .orderBy(col("lang"))
     }),
+
+    // Per-domain document cap (crawl curation): one synthetic URL per
+    // doc — a third land on PSL multi-label domains (shopK.co.uk, the
+    // case a naive last-two-labels cap collapses into one bucket) —
+    // then UrlOps.capPerDomain keeps the 10 hash-first docs per
+    // registered domain. WindowGroupLimit map-side top-k is the skew
+    // story (see the operator's scaladoc); the portable hash makes the
+    // kept SET itself the oracle check, not just counts.
+    "q55_domain_cap" -> ((s, dir) => {
+      val url = when(col("doc_id") % 3 === 0,
+          concat(lit("https://host"), (col("doc_id") % 4).cast("string"),
+            lit(".shop"), (col("doc_id") % 5).cast("string"), lit(".co.uk/x")))
+        .otherwise(concat(lit("https://sub"), (col("doc_id") % 5).cast("string"),
+          lit(".example"), (col("doc_id") % 7).cast("string"),
+          lit(".com/p"), col("doc_id").cast("string")))
+      graft.ops.UrlOps.capPerDomain(
+          t(s, dir, "documents").select(col("doc_id"), url.as("url")),
+          col("url"), cap = 10, idCol = "doc_id")
+        .select(col("doc_id"),
+          graft.ops.UrlOps.registeredDomain(col("url")).as("domain"))
+        .orderBy(col("domain"), col("doc_id"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1611,6 +1633,33 @@ object SparkEntry {
         |  FROM h)
         |SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM r WHERE rn <= 50 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q55: identical URL construction, the PRODUCTION PSL-generated
+    // domain pattern, the portable hash order, and the same cap — the
+    // kept row SET must match exactly.
+    "q55_domain_cap" ->
+      s"""WITH u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN 'https://host' || CAST(doc_id % 4 AS VARCHAR)
+        |           || '.shop' || CAST(doc_id % 5 AS VARCHAR) || '.co.uk/x'
+        |      ELSE 'https://sub' || CAST(doc_id % 5 AS VARCHAR)
+        |           || '.example' || CAST(doc_id % 7 AS VARCHAR)
+        |           || '.com/p' || CAST(doc_id AS VARCHAR)
+        |    END AS url
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |    regexp_extract(
+        |      regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1),
+        |      '${graft.ops.UrlOps.registeredDomainPattern}', 1) AS domain,
+        |    ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1073741824 AS hb
+        |  FROM u),
+        |r AS (
+        |  SELECT doc_id, domain,
+        |    row_number() OVER (PARTITION BY domain ORDER BY hb, doc_id) AS rn
+        |  FROM d)
+        |SELECT doc_id, domain FROM r WHERE rn <= 10
+        |ORDER BY domain, doc_id""".stripMargin,
     // q31: plain inequality join — DuckDB's optimizer handles the small
     // SF; the Spark side's binning exists for the 100 TB case.
     "q31_range_follow" ->

@@ -101,6 +101,31 @@ object UrlOps {
         countDistinct(col("doc_id")).as("n_docs"))
   }
 
+  /** At most `cap` documents per registered domain — the crawl-curation
+    * step that stops one boilerplate-heavy domain from dominating a
+    * corpus (per-domain caps are how real pipelines bound majority
+    * sources; the PSL matters here: a last-two-labels cap would lump
+    * every `*.co.uk` site into one bucket). Membership is ordered by
+    * the portable content hash ([[Sampling.hashBucket]], id tie-break),
+    * so the kept set survives reruns, repartitions, and engines.
+    *
+    * Scale: one window shuffle partitioned by domain; the `rank <= cap`
+    * filter triggers Spark's WindowGroupLimit, which top-k-prunes on
+    * the MAP side — a mega-domain ships only `cap` candidate rows per
+    * input partition, never its full row set, so domain skew (the norm
+    * in crawls) cannot produce a straggler reducer. */
+  def capPerDomain(docs: DataFrame, urlCol: Column, cap: Int,
+                   idCol: String = "doc_id"): DataFrame = {
+    require(cap > 0, s"cap must be positive: $cap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__domain"))
+      .orderBy(Sampling.hashBucket(col(idCol), 1 << 30), col(idCol))
+    docs.withColumn("__domain", registeredDomain(urlCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn", "__domain")
+  }
+
   /** Drop documents that link to any blocklisted registered domain.
     * The per-doc domain set is reduced FIRST (explode → distinct within
     * the row via array ops would re-shuffle; a semi-join on the

@@ -124,6 +124,33 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(got == Seq(("one.com", 3L, 2L), ("two.net", 1L, 1L)))
   }
 
+  test("capPerDomain: at most cap docs per registered domain, deterministic set") {
+    import spark.implicits._
+    // 30 docs on one .co.uk domain (PSL: one bucket per shopN.co.uk,
+    // NOT one bucket for all of co.uk), 3 on another, 2 unlisted-TLD
+    val docs = ((1L to 30L).map(i => (i, s"https://a.shop1.co.uk/$i")) ++
+      (31L to 33L).map(i => (i, s"https://b.shop2.co.uk/$i")) ++
+      Seq((34L, "https://x.example.com/1"), (35L, "https://y.example.com/2")))
+      .toDF("doc_id", "url")
+    val kept = UrlOps.capPerDomain(docs, col("url"), cap = 5)
+    val byDomain = kept
+      .withColumn("d", UrlOps.registeredDomain(col("url")))
+      .groupBy("d").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(byDomain == Map("shop1.co.uk" -> 5L, "shop2.co.uk" -> 3L,
+      "example.com" -> 2L))
+    // deterministic: same kept set after a repartition
+    val a = kept.select("doc_id").as[Long].collect().toSet
+    val b = UrlOps.capPerDomain(docs.repartition(7), col("url"), cap = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+    // the skew story: the rank<=cap filter must compile to a
+    // WindowGroupLimit (map-side top-k per domain), not a full sort
+    val plan = UrlOps.capPerDomain(docs, col("url"), cap = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
+
   test("dropBlocklistedDocs removes exactly the docs linking a blocked domain") {
     import spark.implicits._
     val docs = Seq(
