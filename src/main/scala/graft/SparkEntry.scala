@@ -360,6 +360,14 @@ object SparkEntry {
     "q45_container_meta" -> ((s, dir) =>
       graft.queries.MultimodalQueries.containerMeta(s, dir)),
 
+    // Keyframe byte-range planning (the step between q45's header
+    // triage and frame decode): stss/stsz/stsc/stco tables as integer
+    // functions of doc_id, resolved through the production sample→chunk
+    // arithmetic; the oracle re-derives offsets with generate_series
+    // over the same formulas.
+    "q56_keyframe_index" -> ((s, dir) =>
+      graft.queries.MultimodalQueries.keyframeIndex(s, dir)),
+
     // Incremental lens maintenance under the hard signal (§2.6):
     // commit → full build → second commit updating/deleting/adding
     // subsets → INCREMENTAL build. Emits the final inverted index, the
@@ -1079,6 +1087,38 @@ object SparkEntry {
         |  90 + (doc_id % 8) * 9 AS height
         |FROM (SELECT DISTINCT doc_id FROM documents) t
         |ORDER BY doc_id""".stripMargin,
+    // q56: the oracle re-derives every keyframe's byte offset from the
+    // fixture formulas — chunk = (n-1) DIV spc, offset = stco(chunk) +
+    // sizes of the chunk's earlier samples (generate_series over the
+    // intra-chunk range; empty when the keyframe opens its chunk).
+    "q56_keyframe_index" ->
+      """WITH p AS (
+        |  SELECT DISTINCT doc_id,
+        |    10 + doc_id % 20 AS s,
+        |    1 + doc_id % 5 AS g,
+        |    1 + doc_id % 3 AS spc
+        |  FROM documents),
+        |kf AS (
+        |  SELECT doc_id, s, g, spc,
+        |    1 + u.j * g AS n
+        |  FROM p, unnest(generate_series(0, CAST((s - 1) // g AS BIGINT))) AS u(j)),
+        |off AS (
+        |  SELECT kf.doc_id, kf.n,
+        |    4096 + 1000 * ((kf.n - 1) // kf.spc)
+        |      + COALESCE((SELECT sum(100 + ((kf.doc_id + m.m) % 50))
+        |                  FROM unnest(generate_series(kf.n - ((kf.n - 1) % kf.spc), kf.n - 1)) AS m(m)), 0)
+        |      AS kf_off,
+        |    100 + ((kf.doc_id + kf.n) % 50) AS kf_sz
+        |  FROM kf)
+        |SELECT p.doc_id,
+        |  CAST(p.s AS BIGINT) AS n_samples,
+        |  CAST(1 + (p.s - 1) // p.g AS BIGINT) AS n_keyframes,
+        |  CAST(min(off.kf_off) AS BIGINT) AS first_kf_offset,
+        |  CAST(max(CASE WHEN off.n = 1 + ((p.s - 1) // p.g) * p.g THEN off.kf_off END) AS BIGINT) AS last_kf_offset,
+        |  CAST(sum(off.kf_sz) AS BIGINT) AS kf_bytes
+        |FROM p JOIN off ON p.doc_id = off.doc_id
+        |GROUP BY p.doc_id, p.s, p.g
+        |ORDER BY p.doc_id""".stripMargin,
     // q44: the oracle rebuilds BOTH corpus states from scratch — the
     // pre-commit-2 index (idx1) and the post-commit-2 index (idx2,
     // with the update/delete/new arithmetic replicated relationally) —

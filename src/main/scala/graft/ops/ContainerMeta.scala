@@ -35,6 +35,36 @@ object ContainerMeta {
       else None
     } catch { case _: Exception => None } // truncated/corrupt → not parseable
 
+  /** One keyframe's byte range in the file: read [offset, offset+size)
+    * and you have a decodable sync sample — no bytes of the non-key
+    * frames between them are touched. */
+  final case class KeyframeRange(sampleNumber: Long, offset: Long, size: Long)
+
+  /** The resolved sample table: total sample count + keyframe ranges. */
+  final case class KeyframeTable(nSamples: Long, keyframes: Vector[KeyframeRange])
+
+  /** Keyframe byte-range index of the FIRST MP4 track carrying a full
+    * sample table — the byte-range PLANNING step between header triage
+    * ([[parse]]) and frame decode: a 100 TB video pipeline lists
+    * (offset, size) per sync sample from ~KBs of `stbl` tables, then
+    * fetches ONLY those ranges (object-store range GETs), never the
+    * full blob. Walks `trak/mdia/minf/stbl`:
+    *  - `stss` sync-sample numbers (absent ⇒ EVERY sample is a sync
+    *    sample, per ISO 14496-12 8.6.2);
+    *  - `stsz` sizes (uniform `sample_size` or per-sample table);
+    *  - `stco`/`co64` chunk offsets (32- and 64-bit);
+    *  - `stsc` sample→chunk runs, resolved exactly: a keyframe's
+    *    offset = its chunk's offset + sizes of the samples before it
+    *    within that chunk.
+    * Matroska keyframe listing needs Cues/Cluster scanning past the
+    * header — out of scope here (None), as is a file with no sample
+    * table (fragmented MP4). Truncated/corrupt bytes → None, never a
+    * throw. */
+  def keyframeIndex(bytes: Array[Byte]): Option[KeyframeTable] =
+    try {
+      if (isMp4(bytes)) parseKeyframes(bytes) else None
+    } catch { case _: Exception => None }
+
   // ------------------------------------------------------------ MP4
 
   def isMp4(b: Array[Byte]): Boolean =
@@ -105,6 +135,123 @@ object ContainerMeta {
     }
     if (timescale <= 0) None
     else Some(Meta("mp4", brand, duration * 1000L / timescale, nTracks, width, height))
+  }
+
+  /** stbl of the first trak that has a chunk-offset table, as raw
+    * payload ranges; then the resolution arithmetic. */
+  private def parseKeyframes(b: Array[Byte]): Option[KeyframeTable] = {
+    // locate moov → trak* → mdia → minf → stbl
+    var stss: Vector[Long] = null        // sync sample numbers, 1-based
+    var sizes: Either[Long, Vector[Long]] = null // uniform | per-sample
+    var sampleCount = 0L                 // stsz sample_count (both layouts)
+    var chunkOffsets: Vector[Long] = null
+    var stsc: Vector[(Long, Long)] = null // (first_chunk, samples_per_chunk)
+    var found = false
+    boxes(b, 0, b.length).foreach {
+      case ("moov", mp, me) if !found =>
+        boxes(b, mp, me).foreach {
+          case ("trak", tp, te) if !found =>
+            boxes(b, tp, te).foreach {
+              case ("mdia", dp, de) if !found =>
+                boxes(b, dp, de).foreach {
+                  case ("minf", fp, fe) if !found =>
+                    boxes(b, fp, fe).foreach {
+                      case ("stbl", sp, se) if !found =>
+                        var co: Vector[Long] = null
+                        var sz: Either[Long, Vector[Long]] = null
+                        var szN = 0L
+                        var sc: Vector[(Long, Long)] = null
+                        var ss: Vector[Long] = null
+                        boxes(b, sp, se).foreach {
+                          case ("stss", p, _) =>
+                            val n = be32(b, p + 4).toInt
+                            ss = (0 until n).map(i => be32(b, p + 8 + 4 * i)).toVector
+                          case ("stsz", p, _) =>
+                            val uniform = be32(b, p + 4)
+                            szN = be32(b, p + 8) // sample_count, both layouts
+                            sz = if (uniform != 0) Left(uniform)
+                            else Right((0 until szN.toInt)
+                              .map(i => be32(b, p + 12 + 4 * i)).toVector)
+                          case ("stco", p, _) =>
+                            val n = be32(b, p + 4).toInt
+                            co = (0 until n).map(i => be32(b, p + 8 + 4 * i)).toVector
+                          case ("co64", p, _) =>
+                            val n = be32(b, p + 4).toInt
+                            co = (0 until n).map(i => be64(b, p + 8 + 8 * i)).toVector
+                          case ("stsc", p, _) =>
+                            val n = be32(b, p + 4).toInt
+                            sc = (0 until n).map(i =>
+                              (be32(b, p + 8 + 12 * i), be32(b, p + 12 + 12 * i))).toVector
+                          case _ => ()
+                        }
+                        if (co != null && sz != null) {
+                          found = true
+                          chunkOffsets = co; sizes = sz; stsc = sc; stss = ss
+                          sampleCount = szN
+                        }
+                      case _ => ()
+                    }
+                  case _ => ()
+                }
+              case _ => ()
+            }
+          case _ => ()
+        }
+      case _ => ()
+    }
+    if (!found) return None
+
+    def sizeOf(sample1: Long): Long = sizes match { // 1-based sample number
+      case Left(u) => u
+      case Right(v) => v((sample1 - 1).toInt)
+    }
+    val nSamples: Long = sampleCount
+    val syncs: Vector[Long] =
+      if (stss != null) stss.filter(s => s >= 1 && s <= nSamples)
+      else (1L to nSamples).toVector // no stss ⇒ all sync (ISO 8.6.2)
+
+    // resolve sample number → (chunk, index in chunk) through the stsc
+    // runs; entry i covers chunks [first_i, first_{i+1}) at spc_i
+    // samples each. Built once as cumulative spans, then each sync
+    // sample resolves in O(log runs).
+    val runs0 = if (stsc == null || stsc.isEmpty) Vector((1L, 1L)) else stsc
+    // (firstChunk, spc, firstSampleOfRun)
+    val spans = {
+      val out = Vector.newBuilder[(Long, Long, Long)]
+      var sampleBase = 1L
+      var i = 0
+      while (i < runs0.length) {
+        val (first, spc) = runs0(i)
+        val lastChunkExcl =
+          if (i + 1 < runs0.length) runs0(i + 1)._1 else chunkOffsets.length + 1L
+        out += ((first, spc, sampleBase))
+        sampleBase += (lastChunkExcl - first) * spc
+        i += 1
+      }
+      out.result()
+    }
+    def resolve(sample1: Long): (Long, Long) = { // → (chunk1, indexInChunk)
+      val span = spans.reverse.find(_._3 <= sample1).getOrElse(spans.head)
+      val (firstChunk, spc, sampleBase) = span
+      val rel = sample1 - sampleBase
+      (firstChunk + rel / spc, rel % spc)
+    }
+    val out = Vector.newBuilder[KeyframeRange]
+    var consistent = true
+    syncs.foreach { s =>
+      if (consistent) {
+        val (chunk1, idx) = resolve(s)
+        if (chunk1 < 1 || chunk1 > chunkOffsets.length)
+          consistent = false // inconsistent tables: refuse, don't fabricate
+        else {
+          var off = chunkOffsets((chunk1 - 1).toInt)
+          var m = s - idx // first sample of the chunk
+          while (m < s) { off += sizeOf(m); m += 1 }
+          out += KeyframeRange(s, off, sizeOf(s))
+        }
+      }
+    }
+    if (consistent) Some(KeyframeTable(nSamples, out.result())) else None
   }
 
   // ----------------------------------------------------- Matroska/EBML

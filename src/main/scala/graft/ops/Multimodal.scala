@@ -362,6 +362,35 @@ object Multimodal {
       .toDF(idCol, "container", "brand", "duration_ms", "n_tracks", "width", "height")
   }
 
+  /** Keyframe byte-range planning over a blob table
+    * ([[ContainerMeta.keyframeIndex]]): per blob, the sync-sample count
+    * and the byte-range envelope a fetch planner needs — n_samples,
+    * n_keyframes, first/last keyframe offsets, total keyframe bytes.
+    * Blobs without a resolvable sample table (non-MP4, fragmented,
+    * corrupt) yield nulls, never a failure. Same shape as
+    * [[containerMeta]]: one narrow mapPartitions pass, no shuffle —
+    * stbl tables are KBs regardless of blob size. */
+  def keyframeIndex(df: DataFrame, idCol: String = "id",
+                    bytesCol: String = "media"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        ContainerMeta.keyframeIndex(bytes) match {
+          case Some(t) =>
+            val ks = t.keyframes
+            (id, Option(t.nSamples), Option(ks.length.toLong),
+              ks.headOption.map(_.offset), ks.lastOption.map(_.offset),
+              Option(ks.map(_.size).sum))
+          case None => (id, None: Option[Long], None: Option[Long],
+            None: Option[Long], None: Option[Long], None: Option[Long])
+        }
+      }
+      .toDF(idCol, "n_samples", "n_keyframes", "first_kf_offset",
+        "last_kf_offset", "kf_bytes")
+  }
+
   /** Size-aware repartitioning for blob tables: media rows vary from KBs
     * to GBs, so row-count partitioning skews badly. Scans byte lengths
     * once (column-pruned — only the length is read when the source

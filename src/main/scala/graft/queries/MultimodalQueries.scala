@@ -173,6 +173,66 @@ object MultimodalQueries {
     header ++ el(id(0x18, 0x53, 0x80, 0x67), info, tracks) // Segment
   }
 
+  /** Keyframe byte-range planning under the hard signal: a
+    * deterministic MP4 per document whose `stbl` tables — stss sync
+    * samples every g, per-sample stsz sizes, a single uniform-spc stsc
+    * run, stco chunk offsets — are integer functions of doc_id, written
+    * by the independent spec-layout builder and resolved back through
+    * the production [[Multimodal.keyframeIndex]] path
+    * ([[graft.ops.ContainerMeta.keyframeIndex]]). The emitted envelope
+    * (sample count, keyframe count, first/last keyframe OFFSET, total
+    * keyframe bytes) exercises the full chunk arithmetic: a keyframe's
+    * offset is its chunk's stco entry plus the sizes of the samples
+    * before it inside that chunk — one wrong run resolution or
+    * intra-chunk sum breaks the hash. This is the fetch-planning pass
+    * between header triage (q45) and frame decode: at 100 TB you list
+    * ranges from KBs of tables and range-GET only sync samples. */
+  def keyframeIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val blobs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").cast("long")).distinct()
+      .as[Long]
+      .mapPartitions(_.map(id => (id, mp4KfFixture(id))))
+      .toDF("id", "media")
+    Multimodal.keyframeIndex(blobs)
+      .select(col("id").as("doc_id"), col("n_samples"), col("n_keyframes"),
+        col("first_kf_offset"), col("last_kf_offset"), col("kf_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic MP4 with a full sample table:
+    * ftyp + moov(mvhd + trak(tkhd + mdia(minf(stbl(stss stsz stsc stco))))).
+    *   samples     s   = 10 + id % 20
+    *   sync gap    g   = 1 + id % 5   (stss = 1, 1+g, …)
+    *   chunking    spc = 1 + id % 3   (one stsc run; last chunk partial)
+    *   sizes       sz(n) = 100 + ((id + n) % 50),  n 1-based
+    *   offsets     stco(c) = 4096 + 1000·c,        c 0-based */
+  private def mp4KfFixture(docId: Long): Array[Byte] = {
+    val s = (10 + docId % 20).toInt
+    val g = (1 + docId % 5).toInt
+    val spc = (1 + docId % 3).toInt
+    val nkf = 1 + (s - 1) / g
+    val chunks = (s + spc - 1) / spc
+    val stss = box("stss", be32(0), be32(nkf.toLong),
+      (0 until nkf).flatMap(j => be32(1L + j.toLong * g)).toArray)
+    val stsz = box("stsz", be32(0), be32(0) /* per-sample */, be32(s.toLong),
+      (1 to s).flatMap(n => be32(100L + ((docId + n) % 50))).toArray)
+    val stsc = box("stsc", be32(0), be32(1), be32(1), be32(spc.toLong), be32(1))
+    val stco = box("stco", be32(0), be32(chunks.toLong),
+      (0 until chunks).flatMap(c => be32(4096L + 1000L * c)).toArray)
+    val mdia = box("mdia", box("minf", box("stbl", stss, stsz, stsc, stco)))
+    val tkhd = box("tkhd",
+      be32(7), be32(0), be32(0), be32(1), be32(0), be32(1000),
+      Array.fill[Byte](8)(0), be16(0), be16(0), be16(0), be16(0),
+      Matrix, be32(320L << 16), be32(180L << 16))
+    val mvhd = box("mvhd",
+      be32(0), be32(0), be32(0), be32(1000), be32(1000),
+      be32(0x00010000L), be16(0x0100), Array.fill[Byte](10)(0),
+      Matrix, Array.fill[Byte](24)(0), be32(2L))
+    box("ftyp", "isom".getBytes("US-ASCII"), be32(0x200), "isom".getBytes("US-ASCII")) ++
+      box("moov", mvhd, box("trak", tkhd, mdia))
+  }
+
   /** REAL image decode under the hard signal, same construction as
     * [[audioDecode]]: a deterministic 32×16 RGB PNG per document (pixel
     * channels are integer arithmetic of (doc_id, x, y)), encoded with

@@ -232,6 +232,99 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ContainerMeta.parse(mp4).exists(_.durationMs == 4321))
   }
 
+  // ---- keyframe index: spec-layout stbl builders -----------------------
+  private object Kf {
+    def be32(v: Long): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    def box(t: String, parts: Array[Byte]*): Array[Byte] = {
+      val body = parts.flatten.toArray
+      be32(8L + body.length) ++ t.getBytes("US-ASCII") ++ body
+    }
+    def mp4(stbl: Array[Byte]*): Array[Byte] =
+      box("ftyp", "isom".getBytes("US-ASCII"), be32(0)) ++
+        box("moov", box("trak", box("mdia", box("minf", box("stbl", stbl.flatten.toArray)))))
+  }
+
+  test("keyframeIndex: stsc chunk runs + intra-chunk size sums resolve exact offsets") {
+    import Kf._
+    // 7 samples, sizes 10..70; chunks of 3 (last partial); keyframes 1,4,6.
+    // sample→chunk: 1-3→c0@1000, 4-6→c1@5000, 7→c2@9000
+    //   kf 1: off 1000 (opens c0), size 10
+    //   kf 4: off 5000 (opens c1), size 40
+    //   kf 6: off 5000+40+50=5090 (two earlier samples in c1), size 60
+    val b = mp4(
+      box("stss", be32(0), be32(3), be32(1), be32(4), be32(6)),
+      box("stsz", be32(0), be32(0), be32(7),
+        (1 to 7).flatMap(n => be32(10L * n)).toArray),
+      box("stsc", be32(0), be32(1), be32(1), be32(3), be32(1)),
+      box("stco", be32(0), be32(3), be32(1000), be32(5000), be32(9000)))
+    val t = ContainerMeta.keyframeIndex(b).get
+    assert(t.nSamples == 7)
+    assert(t.keyframes == Vector(
+      ContainerMeta.KeyframeRange(1, 1000, 10),
+      ContainerMeta.KeyframeRange(4, 5000, 40),
+      ContainerMeta.KeyframeRange(6, 5090, 60)))
+  }
+
+  test("keyframeIndex: multiple stsc runs change samples-per-chunk mid-file") {
+    import Kf._
+    // 6 samples: chunks 1 (2 samples) then chunks 2.. (1 sample each)
+    // sample→chunk: 1-2→c0@100, 3→c1@200, 4→c2@300, 5→c3@400, 6→c4@500
+    val b = mp4(
+      box("stss", be32(0), be32(2), be32(2), be32(5)),
+      box("stsz", be32(0), be32(0), be32(6),
+        (1 to 6).flatMap(n => be32(n.toLong)).toArray),
+      box("stsc", be32(0), be32(2),
+        be32(1), be32(2), be32(1),   // chunk 1: 2 samples
+        be32(2), be32(1), be32(1)),  // chunks 2+: 1 sample
+      box("stco", be32(0), be32(5),
+        be32(100), be32(200), be32(300), be32(400), be32(500)))
+    val t = ContainerMeta.keyframeIndex(b).get
+    // kf 2: chunk 0, one earlier sample (size 1) → 101; kf 5: chunk 3 → 400
+    assert(t.keyframes == Vector(
+      ContainerMeta.KeyframeRange(2, 101, 2),
+      ContainerMeta.KeyframeRange(5, 400, 5)))
+  }
+
+  test("keyframeIndex: no stss means every sample is a sync sample; uniform stsz; co64") {
+    import Kf._
+    val b = mp4(
+      box("stsz", be32(0), be32(25) /* uniform */, be32(3)),
+      box("stsc", be32(0), be32(1), be32(1), be32(1), be32(1)),
+      box("co64", be32(0), be32(3), be64(1L << 33), be64((1L << 33) + 100),
+        be64((1L << 33) + 200)))
+    val t = ContainerMeta.keyframeIndex(b).get
+    assert(t.nSamples == 3)
+    assert(t.keyframes.map(_.sampleNumber) == Vector(1L, 2L, 3L))
+    assert(t.keyframes.map(_.offset) ==
+      Vector(1L << 33, (1L << 33) + 100, (1L << 33) + 200))
+    assert(t.keyframes.forall(_.size == 25))
+  }
+
+  test("keyframeIndex: junk, MKV, and table-less MP4 yield None; fuzz never throws") {
+    import Kf._
+    assert(ContainerMeta.keyframeIndex(Array[Byte](1, 2, 3)).isEmpty)
+    // header-only MP4 (q45-style, no stbl) has no index
+    val headerOnly = box("ftyp", "isom".getBytes("US-ASCII"), be32(0)) ++
+      box("moov", box("mvhd", be32(0), be32(0), be32(0), be32(1000), be32(1)))
+    assert(ContainerMeta.keyframeIndex(headerOnly).isEmpty)
+    // keyframe pointing past the chunk table: refuse, don't fabricate
+    val bad = mp4(
+      box("stss", be32(0), be32(1), be32(9)),
+      box("stsz", be32(0), be32(10), be32(9)),
+      box("stsc", be32(0), be32(1), be32(1), be32(1), be32(1)),
+      box("stco", be32(0), be32(2), be32(100), be32(200)))
+    assert(ContainerMeta.keyframeIndex(bad).isEmpty)
+    val rnd = new scala.util.Random(56)
+    (0 until 200).foreach { i =>
+      val b = new Array[Byte](rnd.nextInt(150))
+      rnd.nextBytes(b)
+      if (b.length >= 8 && i % 2 == 0) { b(4) = 'f'; b(5) = 't'; b(6) = 'y'; b(7) = 'p' }
+      ContainerMeta.keyframeIndex(b) // classify or reject, never throw
+    }
+  }
+
   test("balanceBySize: partition count tracks byte volume, not row count") {
     val total = mediaDf.select(sum(length(col("media")))).collect()(0).getLong(0)
     val target = total / 7

@@ -46,10 +46,18 @@ class RecoverySpec extends AnyFunSuite {
   test("concurrent single-record writes serialize under the collection lock") {
     val s = freshStore()
     val c = s.dataset("a", "conc").create()
+    // a thread whose write throws must FAIL the test with that error,
+    // not die silently and surface as an inscrutable version-count
+    // mismatch two asserts later
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val threads = (0 until 4).map { t =>
-      new Thread(() => (0 until 3).foreach(i => c.write(s"t$t-$i", PoInt(i.toLong))))
+      new Thread(() =>
+        try (0 until 3).foreach(i => c.write(s"t$t-$i", PoInt(i.toLong)))
+        catch { case e: Throwable => errors.add(e) })
     }
     threads.foreach(_.start()); threads.foreach(_.join())
+    if (!errors.isEmpty)
+      fail(s"${errors.size} writer thread(s) threw; first:", errors.peek())
     assert(c.meta.version == 12) // every commit counted exactly once
     assert(c.list().size == 12)
   }
