@@ -131,7 +131,13 @@ object Dedup {
   def nearDupPairs(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text", nGram: Int = 3,
                    threshNum: Int = 1, threshDen: Int = 2): DataFrame = {
+    // persist: the shingle frame feeds the signature derivation AND
+    // both sides of the exact-verify join — three consumers, and
+    // shingling (tokenize + n-gram assembly over every document) is
+    // the most expensive narrow stage in the operator. Same lifetime
+    // reasoning as cosineNearDupPairs' signature persist.
     val sh = TextOps.shingles(docs, idCol, textCol, nGram)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = minhashSignatures(sh, idCol)
     val cand = lshCandidatePairs(sig, idCol)
     val shA = sh.select(col(idCol).as("a_id"), col("sh").as("sh_a"))
@@ -259,7 +265,17 @@ object Dedup {
                          dim: Int, tables: Int = 8, bitsPerTable: Int = 8,
                          idCol: String = "vec_id",
                          embCol: String = "embedding"): DataFrame = {
+    // persist: the signature frame feeds BOTH sides of the candidate
+    // self-join — without it the L×k dot products per vector run twice
+    // (the two join sides canonicalize differently, so exchange reuse
+    // does not apply). Corpus-scale note: sig is (id, tbl, bucket) —
+    // 3 narrow ints × tables per vector, far smaller than the
+    // embeddings themselves; MEMORY_AND_DISK spills cleanly. Left
+    // persisted for the query's lifetime (the operator returns a lazy
+    // frame, so there is no safe unpersist point inside it); Spark's
+    // LRU eviction reclaims it.
     val sig = Ann.multiSignatures(embeddings, dim, tables, bitsPerTable, idCol, embCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sig.select(col(idCol).as("a_id"), col("tbl"), col("bucket"))
     val b = sig.select(col(idCol).as("b_id"), col("tbl"), col("bucket"))
     val cand = a.join(b, Seq("tbl", "bucket"))
