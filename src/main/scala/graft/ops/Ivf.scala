@@ -66,9 +66,14 @@ object Ivf {
             idCol: String = "vec_id", embCol: String = "embedding"): Model = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // persist for the training loop: the seed collect + every k-means
+    // iteration re-scan this projection (iters+1 consumers); train()
+    // is eager (ends in collects), so the unpersist point is exact
     val vecs: Dataset[(Long, Seq[Double])] = corpus
       .select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
       .as[(Long, Seq[Double])]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     var centroids = vecs.orderBy(col(idCol)).limit(k).collect()
       .map(_._2.toArray)
     (0 until iters).foreach { _ =>
@@ -105,6 +110,7 @@ object Ivf {
         .map(c => combined.get(c).map(_.toArray).getOrElse(centroids(c))).toArray
     }
     Model(centroids)
+    } finally vecs.unpersist(blocking = false)
   }
 
   /** Trained centroids as a (cell INT, centroid ARRAY<DOUBLE>) frame —
