@@ -362,7 +362,15 @@ object Dedup {
     * 4e-8-class argument). Gram counting is one map-side-combined
     * aggregation; duplicated-set membership is one hash join (broadcast
     * if small, shuffle otherwise — left to AQE); island merging is one
-    * per-document window. Nothing is ever all-pairs. */
+    * per-document window. Nothing is ever all-pairs.
+    *
+    * `pos` is deliberately NOT persisted despite its two consumers
+    * (count agg + membership join): it is an |tokens|-row exploded
+    * frame, so caching it at corpus scale writes ~the corpus to local
+    * disk — recomputing the narrow tokenize/gram/hash projection on
+    * the second pass is the cheaper side of that trade (the opposite
+    * call from the small signature/shingle frames persisted in
+    * nearDupPairs/cosineNearDupPairs). */
   def duplicateSpans(docs: DataFrame, n: Int = 8, idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
