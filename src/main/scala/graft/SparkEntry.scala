@@ -914,6 +914,29 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // Paragraph-level corpus dedup: four word-slice paragraphs per doc,
+    // with GLOBAL boilerplate planted into slot 2 (doc_id % 4 == 0) and
+    // slot 3 (doc_id % 6 == 0) — every occurrence after the globally
+    // first (by doc_id, position) must drop, and kept_md5 pins each
+    // doc's surviving text byte-for-byte.
+    "q57_paragraph_dedup" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      def para(start: Int) = array_join(slice(words, start, 15), " ")
+      val p1 = para(1)
+      val p2 = when(col("doc_id") % 4 === 0,
+        lit("subscribe to our newsletter for weekly updates and offers"))
+        .otherwise(para(16))
+      val p3 = when(col("doc_id") % 6 === 0,
+        lit("all rights reserved unauthorized reproduction is prohibited"))
+        .otherwise(para(31))
+      val p4 = para(46)
+      val aug = concat_ws("\n\n", p1, p2, p3, p4)
+      graft.ops.Dedup.paragraphDedup(
+          t(s, dir, "documents").select(col("doc_id"), aug.as("aug")),
+          idCol = "doc_id", textCol = "aug")
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-domain document cap (crawl curation): one synthetic URL per
     // doc — a third land on PSL multi-label domains (shopK.co.uk, the
     // case a naive last-two-labels cap collapses into one bucket) —
@@ -1673,6 +1696,38 @@ object SparkEntry {
         |  FROM h)
         |SELECT lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM r WHERE rn <= 50 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q57: identical paragraph construction (word slices + planted
+    // boilerplate), md5 as the paragraph identity, first occurrence by
+    // (doc_id, idx) via the same window rule; kept text re-joined in
+    // idx order and md5'd.
+    "q57_paragraph_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |pl AS (
+        |  SELECT doc_id,
+        |    [array_to_string(list_slice(ws, 1, 15), ' '),
+        |     CASE WHEN doc_id % 4 = 0
+        |       THEN 'subscribe to our newsletter for weekly updates and offers'
+        |       ELSE array_to_string(list_slice(ws, 16, 30), ' ') END,
+        |     CASE WHEN doc_id % 6 = 0
+        |       THEN 'all rights reserved unauthorized reproduction is prohibited'
+        |       ELSE array_to_string(list_slice(ws, 31, 45), ' ') END,
+        |     array_to_string(list_slice(ws, 46, 60), ' ')] AS ps
+        |  FROM w),
+        |paras AS (
+        |  SELECT doc_id, u.i AS idx, ps[u.i] AS para
+        |  FROM pl, unnest(generate_series(1, len(ps))) AS u(i)
+        |  WHERE trim(ps[u.i]) <> ''),
+        |ranked AS (
+        |  SELECT doc_id, idx, para,
+        |    row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, idx) AS rk
+        |  FROM paras)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_paras,
+        |  CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  md5(coalesce(string_agg(CASE WHEN rk = 1 THEN para END, chr(10) || chr(10)
+        |    ORDER BY idx), '')) AS kept_md5
+        |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // q55: identical URL construction, the PRODUCTION PSL-generated
     // domain pattern, the portable hash order, and the same cap — the
     // kept row SET must match exactly.

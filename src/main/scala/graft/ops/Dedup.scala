@@ -371,6 +371,51 @@ object Dedup {
     * the second pass is the cheaper side of that trade (the opposite
     * call from the small signature/shingle frames persisted in
     * nearDupPairs/cosineNearDupPairs). */
+  /** Corpus-wide PARAGRAPH dedup — the granularity real web-curation
+    * pipelines dedup at between whole documents ([[exactGroups]]) and
+    * copied spans ([[duplicateSpans]]): boilerplate paragraphs (cookie
+    * banners, newsletter pitches, license headers) repeat across
+    * thousands of pages whose documents are otherwise distinct. Every
+    * occurrence of a repeated paragraph EXCEPT the globally first —
+    * ordered by (doc_id, position), so membership is deterministic and
+    * engine-independent — is dropped; each document keeps its surviving
+    * paragraphs in original order.
+    *
+    * Returns (doc_id, n_paras, n_kept, kept_text): counts plus the
+    * re-joined surviving text ("\n\n"-separated). Documents whose every
+    * paragraph was a seen-elsewhere duplicate keep zero paragraphs and
+    * an empty kept_text — the downstream quality gate's decision, not
+    * this operator's.
+    *
+    * Scale shape: explode to one row per paragraph, md5 the paragraph
+    * (32-byte shuffle key, portable to any SQL engine), ONE window
+    * shuffle on the hash for first-occurrence ranking (groups are tiny:
+    * occurrence counts per paragraph), one per-doc aggregation to
+    * reassemble. Never all-pairs, nothing driver-side. */
+  def paragraphDedup(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text",
+                     sepPattern: String = "\\n{2,}"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val paras = docs
+      .select(col(idCol).cast("long").as(idCol),
+        posexplode(split(col(textCol), sepPattern)).as(Seq("idx", "para")))
+      .filter(trim(col("para")) =!= "")
+    val ranked = paras
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(md5(col("para"))).orderBy(col(idCol), col("idx"))))
+    ranked
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("long").as("n_paras"),
+        sum(when(col("rk") === 1, 1L).otherwise(0L)).cast("long").as("n_kept"),
+        md5(concat_ws("\n\n",
+          transform(
+            array_sort(collect_list(when(col("rk") === 1,
+              struct(col("idx"), col("para"))))),
+            s => s.getField("para")))).as("kept_md5"))
+      .select(col(idCol), col("n_paras"), col("n_kept"), col("kept_md5"))
+  }
+
   def duplicateSpans(docs: DataFrame, n: Int = 8, idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
