@@ -714,6 +714,20 @@ object SparkEntry {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // Semantic decontamination: eval set = vec_id % 97 == 0, corpus =
+    // the rest; corpus rows embedding-close (any-table signature
+    // collision + exact cosine >= 0.3) to any eval row are flagged.
+    // The oracle replicates the same signature bucketing, so the
+    // approximate candidate set itself is pinned, not just the verify.
+    "q58_semantic_decontaminate" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.ops.Dedup.semanticContaminatedIds(
+          e.filter(col("vec_id") % 97 =!= 0),
+          e.filter(col("vec_id") % 97 === 0),
+          threshold = 0.3, dim = 64)
+        .orderBy(col("vec_id"))
+    }),
+
     // Language-ID confusion matrix: the stopword-hit heuristic guess
     // against the table's labeled lang. Pure codegen'd column
     // expressions; the oracle replicates hit counting and the
@@ -1779,5 +1793,21 @@ object SparkEntry {
         |  JOIN e eb ON eb.vec_id = c.b_id)
         |SELECT a_id, b_id, cos FROM pairs WHERE cos >= 0.3
         |ORDER BY a_id, b_id""".stripMargin,
+    // q58: same 64-plane multi-table signature CTE as q24, restricted
+    // to the corpus/eval split; collision in ANY table is a candidate,
+    // exact cosine confirms.
+    "q58_semantic_decontaminate" ->
+      s"""WITH $planes64Cte,
+        |cand AS (
+        |  SELECT DISTINCT c.vec_id, q.vec_id AS eval_id
+        |  FROM sig64 c JOIN sig64 q
+        |    ON c.tbl = q.tbl AND c.bucket = q.bucket
+        |  WHERE c.vec_id % 97 <> 0 AND q.vec_id % 97 = 0)
+        |SELECT DISTINCT cand.vec_id AS vec_id
+        |FROM cand
+        |JOIN e a ON a.vec_id = cand.vec_id
+        |JOIN e b ON b.vec_id = cand.eval_id
+        |WHERE ${duckCosine("a.emb", "b.emb")} >= 0.3
+        |ORDER BY cand.vec_id""".stripMargin,
   )
 }

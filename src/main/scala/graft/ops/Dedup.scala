@@ -291,6 +291,40 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("cos"))
   }
 
+  /** SEMANTIC decontamination: corpus rows whose embedding is
+    * near-identical (cosine ≥ threshold) to ANY eval-set embedding —
+    * the paraphrase-robust complement of [[contaminatedIds]]: n-gram
+    * overlap catches verbatim eval leakage, this catches reworded
+    * copies that embed to the same point. Candidates come from
+    * any-table signature collision (the [[cosineNearDupPairs]] recall
+    * math), exact cosine verifies; returns DISTINCT corpus ids.
+    *
+    * Scale shape: the eval side is small by definition (a benchmark,
+    * not a corpus), so its signatures AND its embeddings broadcast —
+    * the corpus is touched by exactly one narrow signature pass and
+    * one broadcast-join verify; no corpus-side self-join exists at
+    * all. */
+  def semanticContaminatedIds(corpus: DataFrame, evalSet: DataFrame,
+                              threshold: Double, dim: Int,
+                              tables: Int = 8, bitsPerTable: Int = 8,
+                              idCol: String = "vec_id",
+                              embCol: String = "embedding"): DataFrame = {
+    val sigC = Ann.multiSignatures(corpus, dim, tables, bitsPerTable, idCol, embCol)
+    val sigE = Ann.multiSignatures(evalSet, dim, tables, bitsPerTable, idCol, embCol)
+      .select(col(idCol).as("eval_id"), col("tbl"), col("bucket"))
+    val cand = sigC.join(broadcast(sigE), Seq("tbl", "bucket"))
+      .select(col(idCol), col("eval_id")).distinct()
+    val ce = corpus.select(col(idCol).cast("long"),
+      col(embCol).cast("array<double>").as("emb_c"))
+    val ee = evalSet.select(col(idCol).cast("long").as("eval_id"),
+      col(embCol).cast("array<double>").as("emb_e"))
+    cand
+      .join(ce, idCol)
+      .join(broadcast(ee), "eval_id")
+      .filter(Ann.cosine(col("emb_c"), col("emb_e")) >= threshold)
+      .select(col(idCol)).distinct()
+  }
+
   /** The default in-engine token hash: xxhash64, the cheapest codegen'd
     * 64-bit hash Spark has. */
   val xxTokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =

@@ -54,6 +54,37 @@ class IvfSpec extends AnyFunSuite {
     assert(pairs == expected, s"missing=${expected -- pairs} extra=${pairs -- expected}")
   }
 
+  test("semantic decontamination flags embedding-close corpus rows, nothing else") {
+    import spark.implicits._
+    val base = embs.select(col("vec_id").cast("long"),
+      col("embedding").cast("array<double>")).as[(Long, Seq[Double])].collect()
+    // eval set: 3 originals. Corpus: everything else + 2 PLANTED
+    // near-copies of eval vectors (cos≈1 → identical signatures in
+    // every table → candidate generation cannot miss them).
+    val evalSet = base.take(3)
+    val planted = evalSet.take(2).map { case (id, v) =>
+      (id + 500000L, v.map(_ * 1.0000001))
+    }
+    val corpus = base.drop(3) ++ planted
+    val got = Dedup.semanticContaminatedIds(
+        spark.createDataset(corpus.toSeq).toDF("vec_id", "embedding"),
+        spark.createDataset(evalSet.toSeq).toDF("vec_id", "embedding"),
+        threshold = 0.999, dim = 64)
+      .as[Long].collect().toSet
+    val plantedIds = planted.map(_._1).toSet
+    assert(plantedIds.subsetOf(got),
+      s"planted copies must flag: missing ${plantedIds -- got}")
+    // at 0.999 nothing unplanted should be that close to an eval vector
+    val brute = corpus.filter { case (_, v) =>
+      evalSet.exists { case (_, e) =>
+        val dot = v.zip(e).map { case (a, b) => a * b }.sum
+        val cos = dot / (math.sqrt(v.map(x => x * x).sum) * math.sqrt(e.map(x => x * x).sum))
+        cos >= 0.999
+      }
+    }.map(_._1).toSet
+    assert(got.subsetOf(brute), s"false positives: ${got -- brute}")
+  }
+
   test("cosine near-dup recall at MODERATE similarity (multi-table tables)") {
     import spark.implicits._
     // plant 20 noisy copies at cos≈0.95 — the regime a single 8-bit
