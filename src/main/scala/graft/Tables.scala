@@ -52,13 +52,15 @@ object Tables {
         // ~1.6e18..4.1e18, micros ~1.6e15; one 1-row take, then free.
         // (ADVICE r5: verify the assumption, don't just trust it.)
         if (!nanosProbed.getAndSet(true)) {
-          df.select(col("ts")).limit(1).collect().headOption.foreach { r =>
-            val v = math.abs(r.getLong(0))
-            require(v == 0L || v > 1e17.toLong,
-              s"events.ts LongType looks like MICROS (|ts| = $v), not the " +
-                "NANOS this reader assumes — the driver's parquet format " +
-                "changed; update Tables.normalizeEventTs (see TESTDATA.md)")
-          }
+          df.select(col("ts")).limit(1).collect().headOption
+            .filterNot(_.isNullAt(0)) // a null first ts proves nothing
+            .foreach { r =>
+              val v = math.abs(r.getLong(0))
+              require(v == 0L || v > 1e17.toLong,
+                s"events.ts LongType looks like MICROS (|ts| = $v), not the " +
+                  "NANOS this reader assumes — the driver's parquet format " +
+                  "changed; update Tables.normalizeEventTs (see TESTDATA.md)")
+            }
         }
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case types.TimestampNTZType =>

@@ -897,7 +897,10 @@ object Builtins {
         arg(as, 1) match { case JsUndefined => 0; case v => toNumber(v).toInt }).toDouble))
       case "lastIndexOf" => withStr(name)(as => JsNum(s.lastIndexOf(toStr(arg(as, 0)),
         arg(as, 1) match { case JsUndefined => s.length; case v =>
-          val d = toNumber(v); if (d.isNaN) s.length else d.toInt }).toDouble))
+          // ES 22.1.3.9: NaN → +Inf, else clamp to [0, len] — a STRING's
+          // negative position clamps to 0 (unlike Array#lastIndexOf,
+          // which counts from the end)
+          val d = toNumber(v); if (d.isNaN) s.length else math.max(0, d.toInt) }).toDouble))
       case "includes" => withStr(name)(as => JsBool(s.indexOf(toStr(arg(as, 0)),
         arg(as, 1) match { case JsUndefined => 0; case v => math.max(0, toNumber(v).toInt) }) >= 0))
       case "startsWith" => withStr(name)(as => JsBool(s.startsWith(toStr(arg(as, 0)),

@@ -514,7 +514,10 @@ final class Interp(globalScope: Scope, val budget: Budget) {
             if (k == "length") JsNum(a.items.length.toDouble)
             else k.toIntOption match {
               case Some(i) if i >= 0 && i < a.items.length => a.items(i)
-              case Some(_) => JsUndefined
+              // negative / out-of-range numeric keys are NAMED props in
+              // JS (a[-1] = x is a["-1"]) — setMember stores them in
+              // extra, so the read side must consult it too
+              case Some(_) => a.extraGet(k).getOrElse(JsUndefined)
               case None => a.extraGet(k) // own named props shadow methods
                 .orElse(Builtins.arrayMethod(a, k, this)).getOrElse(JsUndefined)
             }

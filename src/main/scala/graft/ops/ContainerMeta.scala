@@ -140,23 +140,20 @@ object ContainerMeta {
   /** stbl of the first trak that has a chunk-offset table, as raw
     * payload ranges; then the resolution arithmetic. */
   private def parseKeyframes(b: Array[Byte]): Option[KeyframeTable] = {
-    // locate moov → trak* → mdia → minf → stbl
-    var stss: Vector[Long] = null        // sync sample numbers, 1-based
-    var sizes: Either[Long, Vector[Long]] = null // uniform | per-sample
-    var sampleCount = 0L                 // stsz sample_count (both layouts)
-    var chunkOffsets: Vector[Long] = null
-    var stsc: Vector[(Long, Long)] = null // (first_chunk, samples_per_chunk)
-    var found = false
+    // One parsed trak's tables: (stss|null, sizes, sampleCount, offsets, runs)
+    final case class Tables(ss: Vector[Long], sizes: Either[Long, Vector[Long]],
+                            n: Long, co: Vector[Long], sc: Vector[(Long, Long)])
+    val candidates = Vector.newBuilder[Tables]
     boxes(b, 0, b.length).foreach {
-      case ("moov", mp, me) if !found =>
+      case ("moov", mp, me) =>
         boxes(b, mp, me).foreach {
-          case ("trak", tp, te) if !found =>
+          case ("trak", tp, te) =>
             boxes(b, tp, te).foreach {
-              case ("mdia", dp, de) if !found =>
+              case ("mdia", dp, de) =>
                 boxes(b, dp, de).foreach {
-                  case ("minf", fp, fe) if !found =>
+                  case ("minf", fp, fe) =>
                     boxes(b, fp, fe).foreach {
-                      case ("stbl", sp, se) if !found =>
+                      case ("stbl", sp, se) =>
                         var co: Vector[Long] = null
                         var sz: Either[Long, Vector[Long]] = null
                         var szN = 0L
@@ -184,11 +181,8 @@ object ContainerMeta {
                               (be32(b, p + 8 + 12 * i), be32(b, p + 12 + 12 * i))).toVector
                           case _ => ()
                         }
-                        if (co != null && sz != null) {
-                          found = true
-                          chunkOffsets = co; sizes = sz; stsc = sc; stss = ss
-                          sampleCount = szN
-                        }
+                        if (co != null && sz != null)
+                          candidates += Tables(ss, sz, szN, co, sc)
                       case _ => ()
                     }
                   case _ => ()
@@ -199,7 +193,21 @@ object ContainerMeta {
         }
       case _ => ()
     }
-    if (!found) return None
+    // Track selection: a trak CARRYING stss is the video track (audio
+    // tracks have no sync-sample table — under the absent-stss ⇒
+    // all-sync rule an audio-first mux would report every audio sample
+    // as a "keyframe" and bury the real ones). Fall back to the first
+    // trak with tables only when no trak declares stss.
+    val all = candidates.result()
+    val picked = all.find(_.ss != null).orElse(all.headOption) match {
+      case Some(t) => t
+      case None => return None
+    }
+    val stss = picked.ss
+    val sizes = picked.sizes
+    val sampleCount = picked.n
+    val chunkOffsets = picked.co
+    val stsc = picked.sc
 
     def sizeOf(sample1: Long): Long = sizes match { // 1-based sample number
       case Left(u) => u
@@ -212,29 +220,36 @@ object ContainerMeta {
 
     // resolve sample number → (chunk, index in chunk) through the stsc
     // runs; entry i covers chunks [first_i, first_{i+1}) at spc_i
-    // samples each. Built once as cumulative spans, then each sync
-    // sample resolves in O(log runs).
+    // samples each. Built once as cumulative spans; each sync sample
+    // binary-searches the span array — O(log runs) per keyframe, no
+    // per-call allocation (hour-long VBR files carry thousands of runs).
     val runs0 = if (stsc == null || stsc.isEmpty) Vector((1L, 1L)) else stsc
-    // (firstChunk, spc, firstSampleOfRun)
-    val spans = {
-      val out = Vector.newBuilder[(Long, Long, Long)]
+    // parallel arrays: firstChunk / spc / firstSampleOfRun
+    val spanFirstChunk = new Array[Long](runs0.length)
+    val spanSpc = new Array[Long](runs0.length)
+    val spanBase = new Array[Long](runs0.length)
+    locally {
       var sampleBase = 1L
       var i = 0
       while (i < runs0.length) {
         val (first, spc) = runs0(i)
         val lastChunkExcl =
           if (i + 1 < runs0.length) runs0(i + 1)._1 else chunkOffsets.length + 1L
-        out += ((first, spc, sampleBase))
+        spanFirstChunk(i) = first; spanSpc(i) = spc; spanBase(i) = sampleBase
         sampleBase += (lastChunkExcl - first) * spc
         i += 1
       }
-      out.result()
     }
     def resolve(sample1: Long): (Long, Long) = { // → (chunk1, indexInChunk)
-      val span = spans.reverse.find(_._3 <= sample1).getOrElse(spans.head)
-      val (firstChunk, spc, sampleBase) = span
-      val rel = sample1 - sampleBase
-      (firstChunk + rel / spc, rel % spc)
+      // rightmost span with firstSampleOfRun <= sample1
+      var lo = 0
+      var hi = spanBase.length - 1
+      while (lo < hi) {
+        val mid = (lo + hi + 1) >>> 1
+        if (spanBase(mid) <= sample1) lo = mid else hi = mid - 1
+      }
+      val rel = sample1 - spanBase(lo)
+      (spanFirstChunk(lo) + rel / spanSpc(lo), rel % spanSpc(lo))
     }
     val out = Vector.newBuilder[KeyframeRange]
     var consistent = true

@@ -415,11 +415,17 @@ object Dedup {
     * engine-independent — is dropped; each document keeps its surviving
     * paragraphs in original order.
     *
-    * Returns (doc_id, n_paras, n_kept, kept_text): counts plus the
-    * re-joined surviving text ("\n\n"-separated). Documents whose every
-    * paragraph was a seen-elsewhere duplicate keep zero paragraphs and
-    * an empty kept_text — the downstream quality gate's decision, not
-    * this operator's.
+    * Returns (doc_id, n_paras, n_kept, kept_md5): counts plus the md5
+    * of the re-joined surviving text ("\n\n"-separated) — the compact
+    * shape the driver-contract hash check wants; a pipeline stage that
+    * needs the text itself re-joins from the ranked frame (same two
+    * lines, skip the md5). A document whose EVERY paragraph was a
+    * seen-elsewhere duplicate keeps zero paragraphs (n_kept = 0,
+    * kept_md5 = md5 of "") — dropping it is the downstream quality
+    * gate's decision, not this operator's. A document with NO
+    * non-blank paragraphs at all produces no output row (it has
+    * nothing to dedup; its disposition belongs to the quality gate
+    * upstream of this operator).
     *
     * Scale shape: explode to one row per paragraph, md5 the paragraph
     * (32-byte shuffle key, portable to any SQL engine), ONE window

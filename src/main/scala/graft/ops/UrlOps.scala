@@ -117,13 +117,21 @@ object UrlOps {
   def capPerDomain(docs: DataFrame, urlCol: Column, cap: Int,
                    idCol: String = "doc_id"): DataFrame = {
     require(cap > 0, s"cap must be positive: $cap")
+    // Rows whose URL yields NO registered domain ("" — not URL-shaped,
+    // exotic host) pass through UNCAPPED: they are not a domain
+    // population, and treating "" as one pseudo-domain would silently
+    // discard every unparseable-URL document past the first `cap`.
+    // Whether to keep such docs is the downstream quality gate's call.
+    val withD = docs.withColumn("__domain", registeredDomain(urlCol))
+    val domainless = withD.filter(col("__domain") === "").drop("__domain")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__domain"))
       .orderBy(Sampling.hashBucket(col(idCol), 1 << 30), col(idCol))
-    docs.withColumn("__domain", registeredDomain(urlCol))
+    withD.filter(col("__domain") =!= "")
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= cap)
       .drop("__rn", "__domain")
+      .unionByName(domainless)
   }
 
   /** Drop documents that link to any blocklisted registered domain.

@@ -503,6 +503,9 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
       "[1,2,1].lastIndexOf(1, 1)" -> "0",
       "[1,2,3].includes(1, 1)" -> "false",
       "'aXa'.lastIndexOf('a', 1)" -> "0",
+      "'abab'.lastIndexOf('a', -1)" -> "0",  // STRING position clamps to 0...
+      "[1,2,1].lastIndexOf(1, -1)" -> "2",   // ...ARRAY fromIndex counts from end
+      "(() => { const a = [1,2]; a[-1] = 'x'; return a[-1] + ',' + a.length })()" -> "x,2",
       "[1,2,3].join()" -> "1,2,3",        // default separator is comma
       "[null, undefined, 1].join(',')" -> ",,1", // null/undefined join as ''
       "[...[10,20].entries()][1].join(',')" -> "1,20",

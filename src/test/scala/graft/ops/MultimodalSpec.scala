@@ -302,6 +302,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(t.keyframes.forall(_.size == 25))
   }
 
+  test("keyframeIndex: audio-first mux — the trak WITH stss wins, not the first trak") {
+    import Kf._
+    // trak 1 = audio: stco+stsz but NO stss (every sample sync under
+    // the default rule); trak 2 = video with an stss. A first-trak-wins
+    // picker would report thousands of audio \"keyframes\" and never
+    // list the video ones.
+    val audio = box("trak", box("mdia", box("minf", box("stbl",
+      box("stsz", be32(0), be32(4), be32(100)),
+      box("stsc", be32(0), be32(1), be32(1), be32(100), be32(1)),
+      box("stco", be32(0), be32(1), be32(50000))))))
+    val video = box("trak", box("mdia", box("minf", box("stbl",
+      box("stss", be32(0), be32(2), be32(1), be32(3)),
+      box("stsz", be32(0), be32(0), be32(4),
+        (1 to 4).flatMap(n => be32(100L * n)).toArray),
+      box("stsc", be32(0), be32(1), be32(1), be32(4), be32(1)),
+      box("stco", be32(0), be32(1), be32(9000))))))
+    val b = box("ftyp", "isom".getBytes("US-ASCII"), be32(0)) ++
+      box("moov", audio, video)
+    val t = ContainerMeta.keyframeIndex(b).get
+    assert(t.nSamples == 4)
+    assert(t.keyframes == Vector(
+      ContainerMeta.KeyframeRange(1, 9000, 100),
+      ContainerMeta.KeyframeRange(3, 9000 + 100 + 200, 300)))
+  }
+
   test("keyframeIndex: junk, MKV, and table-less MP4 yield None; fuzz never throws") {
     import Kf._
     assert(ContainerMeta.keyframeIndex(Array[Byte](1, 2, 3)).isEmpty)

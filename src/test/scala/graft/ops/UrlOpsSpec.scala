@@ -151,6 +151,18 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
   }
 
+  test("capPerDomain: unparseable-URL docs pass through uncapped, never one '' bucket") {
+    import spark.implicits._
+    // 8 docs with no extractable domain + 3 on a real domain, cap 2:
+    // a ''-as-domain cap would keep only 2 of the 8 domainless docs
+    val docs = ((1L to 8L).map(i => (i, s"not a url $i")) ++
+      (9L to 11L).map(i => (i, s"https://x.example.com/$i"))).toDF("doc_id", "url")
+    val kept = UrlOps.capPerDomain(docs, col("url"), cap = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert((1L to 8L).toSet.subsetOf(kept), "domainless docs must all survive")
+    assert(kept.count(_ >= 9L) == 2, "the real domain still caps")
+  }
+
   test("dropBlocklistedDocs removes exactly the docs linking a blocked domain") {
     import spark.implicits._
     val docs = Seq(
