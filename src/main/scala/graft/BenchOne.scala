@@ -1,4 +1,11 @@
 package graft
+
+/** Single-query bench loop (FIXTURES.md): warmup + min-of-3 on one
+  * SparkEntry query at sf0.1 — the fast iteration tool between full
+  * Bench runs. `SPARK_GRAFT_JOBLOG=1` additionally prints one line per
+  * Spark job (duration + call site) during the LAST timed run — the
+  * job-count profile that tells small-job-overhead floors (q44) apart
+  * from data-volume costs. */
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val name = args(0)
@@ -10,8 +17,27 @@ object BenchOne {
       (System.nanoTime() - t0) / 1e9
     }
     run() // warmup
-    val times = (1 to 3).map(_ => run())
-    println(f"BENCHONE $name min=${times.min}%.2f runs=${times.map(t => f"$t%.2f").mkString(",")}")
+    val joblog = sys.env.get("SPARK_GRAFT_JOBLOG").contains("1")
+    val times = (1 to (if (joblog) 2 else 3)).map(_ => run())
+    val profiled = if (joblog) {
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val site = j.stageInfos.lastOption.map(s =>
+            s.name.takeWhile(_ != '\n').take(90)).getOrElse("?")
+          val ntasks = j.stageInfos.map(_.numTasks).sum
+          starts.put(j.jobId, (System.nanoTime(), s"tasks=$ntasks  $site"))
+        }
+        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          Option(starts.remove(j.jobId)).foreach { case (t0, site) =>
+            System.err.println(f"JOBLOG ${j.jobId}%4d ${(System.nanoTime() - t0) / 1e6}%8.1f ms  $site")
+          }
+        }
+      })
+      Seq(run())
+    } else Seq.empty
+    val all = times ++ profiled
+    println(f"BENCHONE $name min=${all.min}%.2f runs=${all.map(t => f"$t%.2f").mkString(",")}")
     spark.stop()
   }
 }

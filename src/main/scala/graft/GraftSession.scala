@@ -17,6 +17,15 @@ object GraftSession {
       .withExtensions(GraftExtensions.inject)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Honor the advisory post-shuffle partition size instead of
+      // refusing to coalesce below default parallelism (Spark's own
+      // production recommendation for this knob): small shuffles
+      // collapse to few partitions — at bench scale that's the
+      // difference between 32 ~200-row tasks (pure scheduling overhead)
+      // and 1; at 100 TB post-shuffle partitions land on the 64 MB
+      // advisory target either way. Map-side parallelism (scans, lens
+      // map, decode) is untouched — coalescing applies to shuffle READS.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.ts is parquet TIMESTAMP(NANOS), which the vectorized

@@ -16,12 +16,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** once-per-JVM guard for the events.ts nanos-magnitude probe */
-  private val nanosProbed = new java.util.concurrent.atomic.AtomicBoolean(false)
+  /** once-per-PATH guard for the events.ts nanos-magnitude probe — keyed
+    * per parquet path, not JVM-wide: one session can load several sfDirs
+    * (sf0.001 smoke + sf0.1 bench), and a later dir with a different
+    * int64 encoding must be probed too, or it gets the 1000x-off
+    * conversion the probe exists to catch (ADVICE r6). */
+  private val nanosProbedPaths =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events") normalizeEventTs(df) else df
+    val path = s"$sfDir/$name.parquet"
+    val df = spark.read.parquet(path)
+    if (name == "events") normalizeEventTs(df, probeKey = Some(path)) else df
   }
 
   /** Normalize events.ts to a session-TZ (UTC) TimestampType at
@@ -40,7 +46,7 @@ object Tables {
     *    DuckDB reads the same file at the same naive micro values.
     *  - already TimestampType: pass through.
     */
-  def normalizeEventTs(df: DataFrame): DataFrame =
+  def normalizeEventTs(df: DataFrame, probeKey: Option[String] = None): DataFrame =
     df.schema("ts").dataType match {
       case types.LongType =>
         // A raw LONG ts is assumed to be epoch NANOS (the
@@ -48,15 +54,21 @@ object Tables {
         // session produces LongType here). If a future testdata
         // regeneration wrote UNANNOTATED int64 micros instead, `div
         // 1000` would be silently off by 1000x — so probe the
-        // magnitude once per JVM: 2020..2100 epoch nanos are
-        // ~1.6e18..4.1e18, micros ~1.6e15; one 1-row take, then free.
+        // magnitude once per path (`probeKey`; no key → probe every
+        // call): 2020..2100 epoch nanos are ~1.6e18..4.1e18, micros
+        // ~1.6e15; one 1-row take, then free for that path.
         // (ADVICE r5: verify the assumption, don't just trust it.)
-        if (!nanosProbed.getAndSet(true)) {
+        if (probeKey.forall(nanosProbedPaths.add)) {
           df.select(col("ts")).limit(1).collect().headOption
             .filterNot(_.isNullAt(0)) // a null first ts proves nothing
             .foreach { r =>
               val v = math.abs(r.getLong(0))
-              require(v == 0L || v > 1e17.toLong,
+              // Fail only in the plausibly-MICROS band: ~1e14..1e17 is
+              // epoch micros for ~1973..5138, far outside any nanos
+              // reading (< 28 hours after epoch). Values below the band
+              // are ambiguous epoch-near fixtures — legitimate as nanos
+              // — and values above are the expected nanos magnitude.
+              require(v <= 1e14.toLong || v > 1e17.toLong,
                 s"events.ts LongType looks like MICROS (|ts| = $v), not the " +
                   "NANOS this reader assumes — the driver's parquet format " +
                   "changed; update Tables.normalizeEventTs (see TESTDATA.md)")

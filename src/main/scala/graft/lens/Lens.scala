@@ -124,7 +124,6 @@ final class Lens(val store: Store, val author: String, val name: String,
   def buildFull(): Long = LensBuild.build(this, incremental = false)
 
   private[lens] def cacheDir: Path = store.dir(path).resolve("cache")
-  private[lens] def logsDirPath: Path = store.dir(path).resolve("logs")
 }
 
 object Lens {
@@ -211,14 +210,15 @@ object Lens {
     // them), so a separate logs parquet would duplicate it byte for
     // byte — one write job per build, deleted in round 6. kind is a
     // leading filter → parquet predicate pushdown skips the out/seen
-    // row groups. Legacy stores that still have a logs/ dir (written
-    // before round 6) fall back to it.
+    // row groups.
+    // Migration note (round 7): the round-6 transition fallback to a
+    // pre-cache `logs/` dir is gone — any store built by round 6+
+    // has the cache dir after its first build, and the fallback (plus
+    // the rmTree of `logs/` every build) was dead weight on the build
+    // path. A pre-round-6 store simply reports no logs until its next
+    // build, which is what the empty frame below says.
     val cacheDir = store.dir(DataPath("lenses", author, name)).resolve("cache")
-    val legacy = store.dir(DataPath("lenses", author, name)).resolve("logs")
-    val src =
-      if (Files.isDirectory(cacheDir)) Some(cacheDir)
-      else if (Files.isDirectory(legacy)) Some(legacy)
-      else None
+    val src = if (Files.isDirectory(cacheDir)) Some(cacheDir) else None
     src match {
       case Some(dir) =>
         spark.read
@@ -414,8 +414,28 @@ object LensBuild {
     val timeoutMs = lens.timeoutMs
     val sandboxed = lens.sandboxed
     val memCap = lens.memCapBytes
-    val freshEmits: Dataset[BuildEmit] = freshIn
+    val freshSel = freshIn
       .select("id", "value", "version", "ord", "source", "author", "cname")
+    // Map-stage parallelism: the map fn is the expensive stage of a
+    // build (user JS, CBOR decode). On a SINGLE-INPUT FULL build the
+    // plan is a narrow snapshot scan — partitions = input files, and a
+    // small collection (one ~MB parquet) runs the whole map in ONE
+    // task. Repartition up to the session's parallelism in exactly that
+    // case. Narrow-plan-only by construction: `.rdd` under AQE
+    // materializes query stages, so probing partition counts is only
+    // free when the plan has no exchanges (single input ⇒ no dedup
+    // window; no cache ⇒ no gate join). The other paths are already
+    // wide: multi-input builds shuffle in the dedup window, incremental
+    // builds in the freshness gate. At scale a big collection has ≫
+    // cores file-partitions and this is a no-op.
+    val mapIn =
+      if (useCache || lens.inputs.size != 1) freshSel
+      else {
+        val par = spark.sparkContext.defaultParallelism
+        if (freshSel.rdd.getNumPartitions < par) freshSel.repartition(par)
+        else freshSel
+      }
+    val freshEmits: Dataset[BuildEmit] = mapIn
       .as[(String, Array[Byte], Long, Int, String, String, String)]
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes, ver, ord, source, author, cname) =>
@@ -499,7 +519,6 @@ object LensBuild {
     val v = out.commitPrepared(rows)
 
     swapDir(cacheNext, cacheDir)
-    graft.core.Fs.rmTree(lens.logsDirPath) // pre-round-6 legacy duplicate
     v
     } finally {
       gatePersisted.foreach(_.unpersist(blocking = false))

@@ -40,9 +40,64 @@ object Ann {
     * paths instead of letting a 10M-query caller OOM the driver. */
   val MaxBroadcastQueries: Long = 100000L
 
+  // ------------------------------------------------- parameter sizing
+  //
+  // The LSH defaults (nBits = 8, tables × bitsPerTable = 8 × 8) are
+  // sized for the sf0.1 corpus (~6k vectors → ~24 per 256-cell bucket).
+  // They do NOT scale implicitly: bucket occupancy is corpusSize / 2^bits
+  // per table, so at 10^9 vectors an 8-bit table holds ~4M vectors per
+  // bucket and every "bucketed" stage degenerates toward all-pairs.
+  // The scaling rule is bits ≈ log2(corpusSize / targetBucketSize) —
+  // raise `nBits`/`bitsPerTable` with the corpus, keeping candidate
+  // volume (bucketSize² × tables × nBuckets) linear-ish in the corpus.
+
+  /** Intended per-bucket occupancy the defaults are sized for: ~2^5-2^6
+    * vectors makes the within-bucket exact verify trivially cheap while
+    * keeping collision recall high. */
+  val TargetBucketSize: Long = 64L
+
+  /** bits ≈ log2(corpusSize / targetBucketSize), clamped to [4, 30] —
+    * the sizing rule for `nBits` ([[signatures]], [[lshTopK]]) and
+    * `bitsPerTable` ([[multiSignatures]], Dedup.cosineNearDupPairs):
+    * e.g. 10^6 vectors → 14 bits, 10^9 → 24 bits. */
+  def recommendedBits(corpusSize: Long,
+                      targetBucketSize: Long = TargetBucketSize): Int = {
+    require(corpusSize > 0 && targetBucketSize > 0)
+    val ratio = math.max(1.0, corpusSize.toDouble / targetBucketSize)
+    math.min(30, math.max(4, math.ceil(math.log(ratio) / math.log(2.0)).toInt))
+  }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Soft capacity guard: when the caller KNOWS the corpus size (a
+    * count it already has — the guard never spends a job to find out),
+    * warn if the configured bit width leaves expected bucket occupancy
+    * more than 8× the target — the point where "bucketed, never
+    * all-pairs" starts to ring hollow. Returns the warning (also
+    * logged) so callers/specs can assert on it; None = adequately
+    * bucketed. Deliberately a warning, not a require: occupancy is an
+    * efficiency cliff, not a correctness cliff (exact verify still
+    * filters), and a require here would break exploratory small-cluster
+    * runs that merely over-provisioned bits. */
+  def warnIfUnderBucketed(corpusSize: Long, nBits: Int, op: String,
+                          targetBucketSize: Long = TargetBucketSize): Option[String] = {
+    val buckets = 1L << math.min(nBits, 62)
+    val expected = corpusSize.toDouble / buckets
+    if (expected > 8.0 * targetBucketSize) {
+      val msg = s"$op: ~${expected.toLong} vectors per $nBits-bit bucket " +
+        s"(corpus $corpusSize) — candidate generation degenerates toward " +
+        s"all-pairs. Raise bits to ~${recommendedBits(corpusSize, targetBucketSize)} " +
+        s"(rule: bits = log2(corpus/targetBucket), target $targetBucketSize)."
+      log.warn(msg)
+      Some(msg)
+    } else None
+  }
+
   /** Bounded existence-count: scans at most `cap + 1` rows of `df`, so
-    * guarding a 10M-row query set never pays a full count. */
-  private def guardQueryCount(df: DataFrame, op: String, cap: Long): Unit = {
+    * guarding a 10M-row query set never pays a full count. Shared with
+    * Dedup.semanticContaminatedIds, whose eval side broadcasts under the
+    * same "small by definition" assumption this guard enforces. */
+  private[graft] def guardQueryCount(df: DataFrame, op: String, cap: Long): Unit = {
     val n = df.limit(math.min(cap + 1, Int.MaxValue.toLong).toInt).count()
     require(n <= cap,
       s"$op broadcasts the query set, and it has >$cap rows: a broadcast " +
@@ -171,10 +226,17 @@ object Ann {
     * r ≤ probeRadius, boosted by signature correlation for genuinely
     * close vectors. On clustered embeddings the boost is large; on
     * uniformly random data recall approaches the scan fraction (no
-    * locality exists to exploit — inherent to ANN, not an LSH defect). */
+    * locality exists to exploit — inherent to ANN, not an LSH defect).
+    *
+    * SIZE `nBits` WITH THE CORPUS (see [[recommendedBits]]): the
+    * default 8 is right for ~10^4 vectors; pass `corpusSizeHint` (a
+    * count the caller already has — never computed here) to get the
+    * [[warnIfUnderBucketed]] soft guard when bits lag the corpus. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
               nBits: Int = 8, probeRadius: Int = 2, idCol: String = "vec_id",
-              embCol: String = "embedding"): DataFrame = {
+              embCol: String = "embedding",
+              corpusSizeHint: Option[Long] = None): DataFrame = {
+    corpusSizeHint.foreach(n => warnIfUnderBucketed(n, nBits, "Ann.lshTopK"))
     val sigE = signatures(corpus, dim, nBits, idCol, embCol)
     val e = corpus.select(col(idCol), col(embCol).cast("array<double>").as("emb"))
       .join(sigE, idCol)

@@ -43,6 +43,15 @@ object ContainerMeta {
   /** The resolved sample table: total sample count + keyframe ranges. */
   final case class KeyframeTable(nSamples: Long, keyframes: Vector[KeyframeRange])
 
+  /** Sanity cap on emitted keyframe ranges. Only reachable on the
+    * uniform-stsz + no-stss (all-sync) path, where the sample count is a
+    * raw be32 with no table bytes to bound it against: 2^22 ≈ 4.2M sync
+    * samples is ~19 hours of all-sync 60 fps video and ~100 MB of
+    * ranges — anything larger is corrupt-or-absurd and is refused
+    * (None) rather than materialized (ADVICE r6: a crafted count up to
+    * ~4.3e9 must not become a multi-GB allocation). */
+  val MaxKeyframes: Long = 1L << 22
+
   /** Keyframe byte-range index of the FIRST MP4 track carrying a full
     * sample table — the byte-range PLANNING step between header triage
     * ([[parse]]) and frame decode: a 100 TB video pipeline lists
@@ -159,29 +168,50 @@ object ContainerMeta {
                         var szN = 0L
                         var sc: Vector[(Long, Long)] = null
                         var ss: Vector[Long] = null
+                        var bad = false
+                        // Every entry-count below is a raw be32 from
+                        // UNTRUSTED bytes — bound it against the box
+                        // payload BEFORE materializing (the entries must
+                        // physically be present in the box): a crafted
+                        // count up to ~4.3e9 would otherwise allocate a
+                        // multi-GB Vector, and the resulting
+                        // OutOfMemoryError is an Error the Exception
+                        // catch in keyframeIndex deliberately does not
+                        // swallow (ADVICE r6). A count that cannot fit
+                        // marks the trak corrupt → refused, not guessed.
+                        def fits(p: Int, e: Int, header: Int, n: Long, entry: Int): Boolean =
+                          n >= 0 && p + header + entry * n <= e
                         boxes(b, sp, se).foreach {
-                          case ("stss", p, _) =>
-                            val n = be32(b, p + 4).toInt
-                            ss = (0 until n).map(i => be32(b, p + 8 + 4 * i)).toVector
-                          case ("stsz", p, _) =>
+                          case ("stss", p, e) =>
+                            val n = be32(b, p + 4)
+                            if (!fits(p, e, 8, n, 4)) bad = true
+                            else ss = (0 until n.toInt)
+                              .map(i => be32(b, p + 8 + 4 * i)).toVector
+                          case ("stsz", p, e) =>
                             val uniform = be32(b, p + 4)
                             szN = be32(b, p + 8) // sample_count, both layouts
-                            sz = if (uniform != 0) Left(uniform)
-                            else Right((0 until szN.toInt)
+                            if (uniform != 0) sz = Left(uniform)
+                            else if (!fits(p, e, 12, szN, 4)) bad = true
+                            else sz = Right((0 until szN.toInt)
                               .map(i => be32(b, p + 12 + 4 * i)).toVector)
-                          case ("stco", p, _) =>
-                            val n = be32(b, p + 4).toInt
-                            co = (0 until n).map(i => be32(b, p + 8 + 4 * i)).toVector
-                          case ("co64", p, _) =>
-                            val n = be32(b, p + 4).toInt
-                            co = (0 until n).map(i => be64(b, p + 8 + 8 * i)).toVector
-                          case ("stsc", p, _) =>
-                            val n = be32(b, p + 4).toInt
-                            sc = (0 until n).map(i =>
+                          case ("stco", p, e) =>
+                            val n = be32(b, p + 4)
+                            if (!fits(p, e, 8, n, 4)) bad = true
+                            else co = (0 until n.toInt)
+                              .map(i => be32(b, p + 8 + 4 * i)).toVector
+                          case ("co64", p, e) =>
+                            val n = be32(b, p + 4)
+                            if (!fits(p, e, 8, n, 8)) bad = true
+                            else co = (0 until n.toInt)
+                              .map(i => be64(b, p + 8 + 8 * i)).toVector
+                          case ("stsc", p, e) =>
+                            val n = be32(b, p + 4)
+                            if (!fits(p, e, 8, n, 12)) bad = true
+                            else sc = (0 until n.toInt).map(i =>
                               (be32(b, p + 8 + 12 * i), be32(b, p + 12 + 12 * i))).toVector
                           case _ => ()
                         }
-                        if (co != null && sz != null)
+                        if (co != null && sz != null && !bad)
                           candidates += Tables(ss, sz, szN, co, sc)
                       case _ => ()
                     }
@@ -214,9 +244,18 @@ object ContainerMeta {
       case Right(v) => v((sample1 - 1).toInt)
     }
     val nSamples: Long = sampleCount
-    val syncs: Vector[Long] =
+    // All-sync sanity bound: with uniform stsz (no per-sample table) and
+    // no stss, nSamples is a raw be32 the byte-range bounds above cannot
+    // check — a crafted/corrupt count up to ~4.3e9 would emit billions
+    // of ranges. A keyframe INDEX that large is useless as a fetch plan
+    // (4M ranges ≈ hours of all-sync 60 fps video, ~100 MB of output
+    // already), so past MaxKeyframes the table is refused as
+    // corrupt-or-absurd rather than materialized. The range itself is a
+    // lazy NumericRange — O(1) storage regardless of nSamples.
+    if (stss == null && nSamples > MaxKeyframes) return None
+    val syncs: Seq[Long] =
       if (stss != null) stss.filter(s => s >= 1 && s <= nSamples)
-      else (1L to nSamples).toVector // no stss ⇒ all sync (ISO 8.6.2)
+      else 1L to nSamples // no stss ⇒ all sync (ISO 8.6.2)
 
     // resolve sample number → (chunk, index in chunk) through the stsc
     // runs; entry i covers chunks [first_i, first_{i+1}) at spc_i
@@ -251,6 +290,20 @@ object ContainerMeta {
       val rel = sample1 - spanBase(lo)
       (spanFirstChunk(lo) + rel / spanSpc(lo), rel % spanSpc(lo))
     }
+    // Cumulative size prefix for the per-sample table: prefix(k) = sum
+    // of sizes of samples 1..k, so intra-chunk offset is two lookups
+    // instead of a walk from the chunk's first sample — the walk was
+    // O(samples-per-chunk) PER SYNC, i.e. quadratic on a crafted stsc
+    // with one giant run. Summation order is the same left-to-right
+    // Long adds, so offsets are bit-identical to the walked version.
+    val prefix: Array[Long] = sizes match {
+      case Right(v) =>
+        val a = new Array[Long](v.length + 1)
+        var i = 0
+        while (i < v.length) { a(i + 1) = a(i) + v(i); i += 1 }
+        a
+      case Left(_) => null
+    }
     val out = Vector.newBuilder[KeyframeRange]
     var consistent = true
     syncs.foreach { s =>
@@ -259,9 +312,11 @@ object ContainerMeta {
         if (chunk1 < 1 || chunk1 > chunkOffsets.length)
           consistent = false // inconsistent tables: refuse, don't fabricate
         else {
-          var off = chunkOffsets((chunk1 - 1).toInt)
-          var m = s - idx // first sample of the chunk
-          while (m < s) { off += sizeOf(m); m += 1 }
+          val intra = sizes match {
+            case Left(u) => idx * u
+            case Right(_) => prefix((s - 1).toInt) - prefix((s - idx - 1).toInt)
+          }
+          val off = chunkOffsets((chunk1 - 1).toInt) + intra
           out += KeyframeRange(s, off, sizeOf(s))
         }
       }

@@ -88,10 +88,39 @@ object Dedup {
       .toDF(idCol, "sig")
   }
 
+  /** Bucket-size cap for LSH candidate generation ([[lshCandidatePairs]],
+    * [[cosineNearDupPairs]]). A bucket of B ids yields O(B²) candidate
+    * pairs and (in the minhash path) a collect_list row of B ids — on a
+    * real crawl corpus, boilerplate-heavy near-identical template pages
+    * form exactly such hot buckets, and at 100 TB a single hot template
+    * would otherwise produce an unbounded straggler-or-OOM stage.
+    * Buckets over the cap are DROPPED from candidate generation (the
+    * standard LSH practice): upstream exact dedup already removes
+    * identical documents, and downstream cluster formation
+    * ([[dupClusters]]) recovers any pair lost here via transitivity —
+    * each member of a hot template family collides with near neighbors
+    * in its OTHER (band, table) buckets, which stay under the cap unless
+    * the family is a single giant clique, in which case the pairs are
+    * redundant for clustering anyway. 500² = 250k pairs per bucket is
+    * the worst-case bounded cost. */
+  val DefaultMaxBucketSize: Int = 500
+
   /** Banded LSH candidate pairs: docs sharing ANY full band collide into
     * a bucket; pairs are generated within buckets only (never all-pairs).
-    * Returns distinct (a_id, b_id) with a_id < b_id. */
-  def lshCandidatePairs(sigDf: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    * Returns distinct (a_id, b_id) with a_id < b_id.
+    *
+    * Buckets larger than `maxBucketSize` are dropped BEFORE the
+    * collect_list materializes (see [[DefaultMaxBucketSize]] for the
+    * recall argument) — the per-bucket size is computed by a window
+    * count over the same (band, bkey) key, so the following aggregation
+    * reuses the exchange and no unbounded row ever forms; the window
+    * buffer itself streams/spills per partition. Pass `stats` to
+    * observe `dropped_buckets` (count of over-cap buckets) and
+    * `max_bucket` (largest bucket seen) on the first action that runs
+    * the frame — the log-style counter for a lazy plan. */
+  def lshCandidatePairs(sigDf: DataFrame, idCol: String = "doc_id",
+                        maxBucketSize: Int = DefaultMaxBucketSize,
+                        stats: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val spark = sigDf.sparkSession
     import spark.implicits._
     val bandsN = Bands
@@ -105,9 +134,19 @@ object Dedup {
         }
       }
       .toDF("band", "bkey", idCol)
-    banded.groupBy(col("band"), col("bkey"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("band"), col("bkey"))
+    val sized = banded
+      .withColumn("bsz", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(w.orderBy(col(idCol))))
+    val watched = stats.fold(sized)(obs => sized.observe(obs,
+      sum(when(col("bsz") > maxBucketSize && col("rn") === 1, 1L)
+        .otherwise(0L)).as("dropped_buckets"),
+      max(col("bsz")).as("max_bucket")))
+    watched
+      .filter(col("bsz") > 1 && col("bsz") <= maxBucketSize)
+      .groupBy(col("band"), col("bkey"))
       .agg(collect_list(col(idCol)).as("ids"))
-      .filter(size(col("ids")) > 1)
       .select(explode(pairsOf(col("ids"))).as("p"))
       .select(col("p").getField("_1").as("a_id"), col("p").getField("_2").as("b_id"))
       .distinct()
@@ -130,7 +169,9 @@ object Dedup {
     * comes from the exact check. */
   def nearDupPairs(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text", nGram: Int = 3,
-                   threshNum: Int = 1, threshDen: Int = 2): DataFrame = {
+                   threshNum: Int = 1, threshDen: Int = 2,
+                   maxBucketSize: Int = DefaultMaxBucketSize,
+                   stats: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     // persist: the shingle frame feeds the signature derivation AND
     // both sides of the exact-verify join — three consumers, and
     // shingling (tokenize + n-gram assembly over every document) is
@@ -139,7 +180,7 @@ object Dedup {
     val sh = TextOps.shingles(docs, idCol, textCol, nGram)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = minhashSignatures(sh, idCol)
-    val cand = lshCandidatePairs(sig, idCol)
+    val cand = lshCandidatePairs(sig, idCol, maxBucketSize, stats)
     val shA = sh.select(col(idCol).as("a_id"), col("sh").as("sh_a"))
     val shB = sh.select(col(idCol).as("b_id"), col("sh").as("sh_b"))
     cand.join(shA, "a_id").join(shB, "b_id")
@@ -264,7 +305,9 @@ object Dedup {
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
                          dim: Int, tables: Int = 8, bitsPerTable: Int = 8,
                          idCol: String = "vec_id",
-                         embCol: String = "embedding"): DataFrame = {
+                         embCol: String = "embedding",
+                         maxBucketSize: Int = DefaultMaxBucketSize,
+                         stats: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     // persist: the signature frame feeds BOTH sides of the candidate
     // self-join — without it the L×k dot products per vector run twice
     // (the two join sides canonicalize differently, so exchange reuse
@@ -276,8 +319,23 @@ object Dedup {
     // LRU eviction reclaims it.
     val sig = Ann.multiSignatures(embeddings, dim, tables, bitsPerTable, idCol, embCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = sig.select(col(idCol).as("a_id"), col("tbl"), col("bucket"))
-    val b = sig.select(col(idCol).as("b_id"), col("tbl"), col("bucket"))
+    // Bucket-size cap (see DefaultMaxBucketSize): a hot (tbl, bucket)
+    // cell of B vectors would yield B² rows from the self-join below.
+    // The per-cell size frame is one count-agg over the persisted sig
+    // (one tiny row per occupied cell — AQE broadcasts it back), and
+    // over-cap cells are dropped from BOTH join sides before any pair
+    // forms. `stats` observes dropped_buckets / max_bucket.
+    val cellSizes = sig.groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+    val watchedSizes = stats.fold(cellSizes)(obs => cellSizes.observe(obs,
+      sum(when(col("bsz") > maxBucketSize, 1L).otherwise(0L)).as("dropped_buckets"),
+      max(col("bsz")).as("max_bucket")))
+    val okCells = watchedSizes
+      .filter(col("bsz") > 1 && col("bsz") <= maxBucketSize)
+      .select(col("tbl"), col("bucket"))
+    val sigOk = sig.join(okCells, Seq("tbl", "bucket"), "left_semi")
+    val a = sigOk.select(col(idCol).as("a_id"), col("tbl"), col("bucket"))
+    val b = sigOk.select(col(idCol).as("b_id"), col("tbl"), col("bucket"))
     val cand = a.join(b, Seq("tbl", "bucket"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
@@ -303,12 +361,18 @@ object Dedup {
     * not a corpus), so its signatures AND its embeddings broadcast —
     * the corpus is touched by exactly one narrow signature pass and
     * one broadcast-join verify; no corpus-side self-join exists at
-    * all. */
+    * all. "Small by definition" is ENFORCED, not assumed: the eval set
+    * is bounded-counted against `maxBroadcastEval` (the
+    * Ann.guardQueryCount discipline — at most cap+1 rows scanned) and
+    * an oversize eval set is rejected with a pointer to the scale
+    * alternative instead of a driver OOM. */
   def semanticContaminatedIds(corpus: DataFrame, evalSet: DataFrame,
                               threshold: Double, dim: Int,
                               tables: Int = 8, bitsPerTable: Int = 8,
                               idCol: String = "vec_id",
-                              embCol: String = "embedding"): DataFrame = {
+                              embCol: String = "embedding",
+                              maxBroadcastEval: Long = Ann.MaxBroadcastQueries): DataFrame = {
+    Ann.guardQueryCount(evalSet, "semanticContaminatedIds", maxBroadcastEval)
     val sigC = Ann.multiSignatures(corpus, dim, tables, bitsPerTable, idCol, embCol)
     val sigE = Ann.multiSignatures(evalSet, dim, tables, bitsPerTable, idCol, embCol)
       .select(col(idCol).as("eval_id"), col("tbl"), col("bucket"))

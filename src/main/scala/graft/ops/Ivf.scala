@@ -26,6 +26,38 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
+  /** k ≈ √corpusSize — the standard IVF coarse-quantizer sizing (FAISS
+    * guideline): cells then hold ~√n vectors each, and a query at
+    * `nprobe` cells scores ~nprobe·√n candidates. Clamped to
+    * [16, 1 << 20]; the true upper bound on k for this shape is the
+    * O(k·dim) centroid broadcast (see the object scaladoc). The sf0.1
+    * default k in SparkEntry (16) matches √(6k) ≈ 78 loosely downward
+    * because the oracle re-derives cells relationally — at 10^9
+    * vectors use k ≈ 32768, nprobe 8-64. */
+  def recommendedK(corpusSize: Long): Int = {
+    require(corpusSize > 0)
+    math.min(1 << 20, math.max(16, math.round(math.sqrt(corpusSize.toDouble)).toInt))
+  }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Soft sizing guard, same discipline as [[Ann.warnIfUnderBucketed]]:
+    * warn (never fail, never count) when cells would hold ≫ the ~√n
+    * occupancy the IVF shape intends — the search stage's per-cell scan
+    * cost is corpus/k, so a k two orders below √n is a silent 100×
+    * search slowdown, not an error Spark would surface. */
+  def warnIfUnderProvisioned(corpusSize: Long, k: Int): Option[String] = {
+    val perCell = corpusSize.toDouble / math.max(1, k)
+    val rec = recommendedK(corpusSize)
+    if (perCell > 64.0 * rec) {
+      val msg = s"Ivf: ~${perCell.toLong} vectors per cell (corpus " +
+        s"$corpusSize, k=$k) — searches scan cells far larger than the " +
+        s"~√n the IVF shape intends. Raise k to ~$rec (rule: k ≈ √corpus)."
+      log.warn(msg)
+      Some(msg)
+    } else None
+  }
+
   final case class Model(centroids: Array[Array[Double]]) {
     def k: Int = centroids.length
     def nearestCell(v: Seq[Double]): Int = {
@@ -61,7 +93,12 @@ object Ivf {
     * partials accumulate in explicit partition-id order — the exact sum
     * order a driver-side combine over `collect()` (partition-ordered)
     * would produce, so centroids are reproducible run to run and
-    * mode-independent. */
+    * mode-independent.
+    *
+    * Size `k` with the corpus: k ≈ √n ([[recommendedK]]); callers that
+    * already know n should run [[warnIfUnderProvisioned]] — an
+    * under-provisioned k trains fine and then silently scans giant
+    * cells at search time. */
   def train(corpus: DataFrame, k: Int, iters: Int = 5,
             idCol: String = "vec_id", embCol: String = "embedding"): Model = {
     val spark = corpus.sparkSession

@@ -118,11 +118,15 @@ object UrlOps {
                    idCol: String = "doc_id"): DataFrame = {
     require(cap > 0, s"cap must be positive: $cap")
     // Rows whose URL yields NO registered domain ("" — not URL-shaped,
-    // exotic host) pass through UNCAPPED: they are not a domain
-    // population, and treating "" as one pseudo-domain would silently
-    // discard every unparseable-URL document past the first `cap`.
-    // Whether to keep such docs is the downstream quality gate's call.
-    val withD = docs.withColumn("__domain", registeredDomain(urlCol))
+    // exotic host, or a NULL url column: coalesce folds NULL into the
+    // same branch, since a NULL domain would otherwise fail BOTH
+    // filters below and the row would vanish from the output entirely)
+    // pass through UNCAPPED: they are not a domain population, and
+    // treating "" as one pseudo-domain would silently discard every
+    // unparseable-URL document past the first `cap`. Whether to keep
+    // such docs is the downstream quality gate's call.
+    val withD = docs.withColumn("__domain",
+      coalesce(registeredDomain(urlCol), lit("")))
     val domainless = withD.filter(col("__domain") === "").drop("__domain")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__domain"))

@@ -33,6 +33,18 @@ final case class CollectionMeta(version: Long, created: Long, updated: Long,
 final case class WriteEntry(id: String, value: Option[PoValue])
 
 object Store {
+  /** The snapshot parquet schema, pinned for every snapshot read: we
+    * wrote these files, so paying a footer-inference Spark job per scan
+    * (one ~20-60 ms job + driver gap PER `records`/`toDF` call — the
+    * single largest fixed overhead in commit-heavy paths like lens
+    * builds) buys nothing. Old snapshots missing a later-added column
+    * (`links`) read as nulls under a pinned schema; compatProjection
+    * coalesces the default in. Partition columns (`bucket` on bucketed
+    * stores) are discovered from directory names and appended by Spark
+    * independently of this schema. */
+  val snapshotSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.Encoders.product[RecordRow].schema
+
   /** Record id validation (reference: dataset.js:20-25). */
   def validateId(id: String): Unit = {
     require(id != null && id.nonEmpty, "recordID must be a non-empty string")
@@ -277,17 +289,16 @@ final class Collection(val store: Store, val path: DataPath) {
 
   def meta: CollectionMeta = MetaJson.read(metaFile)
 
-  /** W1: new empty collection at version 0. */
+  /** W1: new empty collection at version 0. The v0 snapshot dir stays
+    * EMPTY (no parquet write): [[records]] gates on hasParquet and
+    * serves a LocalRelation for a fresh collection, so the empty-file
+    * write was a pure Spark-job tax on every create (~50-100 ms each —
+    * lens builds and tests create collections constantly). */
   def create(memo: String = ""): Collection = store.withLock(path) {
     require(!exists, s"collection ${path.encoded} already exists")
     Files.createDirectories(dir)
     val now = System.currentTimeMillis()
-    if (store.buckets.isEmpty)
-      // empty snapshot so scans of a fresh collection plan like any other
-      spark.emptyDataset[RecordRow].write.mode("overwrite")
-        .parquet(snapshotDir(0).toString)
-    else
-      Files.createDirectories(snapshotDir(0)) // bucket dirs appear on write
+    Files.createDirectories(snapshotDir(0))
     MetaJson.write(metaFile, CollectionMeta(0, now, now, memo))
     this
   }
@@ -316,17 +327,25 @@ final class Collection(val store: Store, val path: DataPath) {
     * the bare select — that is what keeps old snapshots readable. */
   private def compatProjection(df: DataFrame): DataFrame = {
     val withLinks =
-      if (df.columns.contains("links")) df
+      if (df.columns.contains("links"))
+        // pinned-schema reads surface a missing column as nulls, not as
+        // an absent column — coalesce the pre-links default in
+        df.withColumn("links", coalesce(col("links"), array().cast("array<string>")))
       else df.withColumn("links", array().cast("array<string>"))
     withLinks.select("id", "version", "hash", "links", "value")
   }
+
+  /** Pinned-schema snapshot read (see [[Store.snapshotSchema]] — skips
+    * the per-call footer-inference job). */
+  private def readSnapshot(d: Path): DataFrame =
+    spark.read.schema(Store.snapshotSchema).parquet(d.toString)
 
   /** Current snapshot scan — S1. Columns: id, version, hash, links, value. */
   def records: Dataset[RecordRow] = {
     val m = meta
     val d = snapshotDir(m.version)
     if (!hasParquet(d)) spark.emptyDataset[RecordRow]
-    else compatProjection(spark.read.parquet(d.toString)).as[RecordRow]
+    else compatProjection(readSnapshot(d)).as[RecordRow]
   }
   def toDF: DataFrame = records.toDF()
 
@@ -465,7 +484,7 @@ final class Collection(val store: Store, val path: DataPath) {
         val d = snapshotDir(m.version)
         if (!hasParquet(d)) spark.emptyDataset[RecordRow].toDF()
         else {
-          val full = spark.read.parquet(d.toString)
+          val full = readSnapshot(d)
           val pruned =
             if (full.columns.contains("bucket"))
               full.filter(col("bucket").isin(touched: _*))

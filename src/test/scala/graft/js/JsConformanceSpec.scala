@@ -261,6 +261,18 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
     )
   }
 
+  test("array length assignment: truncate, extend with holes, reject invalid (ES 10.4.2.1)") {
+    expect(
+      "(() => { const a=[1,2,3]; a.length = 1; return a.join(',') + '|' + a.length })()" -> "1|1",
+      "(() => { const a=[1,2,3]; a.length = 0; return a.length + '|' + (a[0] === undefined) })()" -> "0|true",
+      "(() => { const a=[1]; a.length = 3; return a.length + '|' + (a[2] === undefined) })()" -> "3|true",
+      // truncation then re-read: no stale shadowed 'length' prop survives
+      "(() => { const a=[1,2,3,4]; a.length = 2; a.push(9); return a.join(',') })()" -> "1,2,9",
+      "(() => { try { const a=[1]; a.length = -1; return 'no' } catch (e) { return e.name } })()" -> "RangeError",
+      "(() => { try { const a=[1]; a.length = 1.5; return 'no' } catch (e) { return e.name } })()" -> "RangeError",
+    )
+  }
+
   test("[].reduce with no seed throws a catchable TypeError") {
     run("output('r', [].reduce((a,b) => a+b))").error.get.errType shouldBe "TypeError"
     str("(() => { try { return [].reduce((a,b) => a+b) } catch (e) { return e.name } })()") shouldBe "TypeError"

@@ -116,4 +116,43 @@ class IvfSpec extends AnyFunSuite {
     assert(found.size.toDouble / truth.size >= 0.9,
       s"multi-table recall too low: ${found.size}/${truth.size}")
   }
+
+  test("cosine near-dup: a planted mega-bucket is dropped bounded, small pairs survive") {
+    import spark.implicits._
+    // 600 IDENTICAL vectors — one hot cell per table, all over the
+    // default 500 cap (the boilerplate-template scenario) — plus one
+    // small planted pair in a different direction. The hot cell must
+    // be DROPPED (its B² pair space never forms), the pair must
+    // survive, and the observation must report the drop.
+    val hot = (0L until 600L).map(i => (i, Seq.fill(64)(1.0)))
+    val pairVec = (0 until 64).map(i => if (i % 2 == 0) 1.0 else -1.0)
+    val pair = Seq((9001L, pairVec), (9002L, pairVec))
+    val all = spark.createDataset(hot ++ pair).toDF("vec_id", "embedding")
+    val obs = new org.apache.spark.sql.Observation("cosine-cap")
+    val got = Dedup.cosineNearDupPairs(all, threshold = 0.99, dim = 64,
+        stats = Some(obs))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((9001L, 9002L)),
+      s"hot cell must drop, planted pair must survive: $got")
+    val m = obs.get
+    assert(m("dropped_buckets").asInstanceOf[Long] >= 8L, // ≥ one per table
+      s"dropped_buckets should count the hot cells: $m")
+    // ≥ 600: the pair's signature may collide with the hot vector's in
+    // some tables (making those cells 602) — the pair then survives via
+    // its non-colliding tables, which the result assert above proves
+    assert(m("max_bucket").asInstanceOf[Long] >= 600L, s"max_bucket: $m")
+  }
+
+  test("semanticContaminatedIds rejects an oversize eval set with the scale-path message") {
+    val corpus = embs.limit(10)
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.semanticContaminatedIds(corpus, embs, threshold = 0.999,
+        dim = 64, maxBroadcastEval = 5L)
+    }
+    assert(ex.getMessage.contains("semanticContaminatedIds"), ex.getMessage)
+    assert(ex.getMessage.contains("broadcast"), ex.getMessage)
+    // and within the cap it proceeds (lazy frame constructs fine)
+    Dedup.semanticContaminatedIds(embs.limit(10), embs.limit(3),
+      threshold = 0.999, dim = 64, maxBroadcastEval = 5L)
+  }
 }

@@ -34,6 +34,47 @@ class OpsSpec extends AnyFunSuite {
     assert(got.nonEmpty, "sf0.001 should contain planted near-dups")
   }
 
+  test("LSH candidate generation drops a planted mega-bucket, keeps small buckets") {
+    import spark.implicits._
+    // 600 docs with IDENTICAL minhash signatures — every one of the 32
+    // band buckets holds 600 ids, over the default 500 cap (the hot
+    // boilerplate-template scenario the cap exists for) — plus one
+    // 2-doc bucket family that must survive. The mega-bucket's
+    // collect_list/pair space must never form; the observation reports
+    // 32 dropped buckets and the 600 max.
+    val hotSig = (0 until 64).map(i => 1000L + i)
+    val pairSig = (0 until 64).map(i => 2000L + i)
+    val sigDf = ((0L until 600L).map(i => (i, hotSig)) ++
+      Seq((9001L, pairSig), (9002L, pairSig))).toDF("doc_id", "sig")
+    val obs = new org.apache.spark.sql.Observation("lsh-cap")
+    val got = Dedup.lshCandidatePairs(sigDf, stats = Some(obs))
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((9001L, 9002L)),
+      s"mega-bucket must drop, small bucket must survive: ${got.size} pairs")
+    val m = obs.get
+    assert(m("dropped_buckets").asInstanceOf[Long] == 32L, s"metrics: $m")
+    assert(m("max_bucket").asInstanceOf[Long] == 600L, s"metrics: $m")
+  }
+
+  test("ANN/IVF sizing rules: recommendedBits / recommendedK and soft guards") {
+    // bits = ceil(log2(n / target)), clamped [4, 30]
+    assert(Ann.recommendedBits(64L * 256, targetBucketSize = 64L) == 8)
+    assert(Ann.recommendedBits(1000000L) == 14)       // 1e6/64 → 2^13.9
+    assert(Ann.recommendedBits(1000000000L) == 24)    // 1e9/64 → 2^23.9
+    assert(Ann.recommendedBits(10L) == 4)             // clamp low
+    assert(Ann.recommendedBits(Long.MaxValue / 2) == 30) // clamp high
+    // soft guard: fine at the sizing the defaults assume, loud 100× past it
+    assert(Ann.warnIfUnderBucketed(6000L, 8, "spec").isEmpty)
+    val warn = Ann.warnIfUnderBucketed(1000000000L, 8, "spec")
+    assert(warn.exists(_.contains("Raise bits to ~24")), s"got $warn")
+    // IVF: k ≈ √n, clamped [16, 1<<20]
+    assert(Ivf.recommendedK(1000000L) == 1000)
+    assert(Ivf.recommendedK(100L) == 16)
+    assert(Ivf.warnIfUnderProvisioned(6000L, 16).isEmpty)
+    val ivfWarn = Ivf.warnIfUnderProvisioned(1000000000L, 16)
+    assert(ivfWarn.exists(_.contains("k ≈ √corpus")), s"got $ivfWarn")
+  }
+
   test("exact dedup groups cover all docs, survivors unique") {
     val g = Dedup.exactGroups(docs)
     val total = g.agg(sum("n_docs")).collect()(0).getLong(0)
