@@ -19,7 +19,20 @@ import scala.collection.mutable.ArrayBuffer
   * same contract as the reference isolate compile step
   * (reference: library/workers/javascript-lens-worker.js:102-111,
   * test/test-workers-javascript-lens.js:21-30).
-  */
+  *
+  * Accessor properties (get/set), revisited round 7 and deliberately
+  * kept OUT: an accessor slot would thread through every own-property
+  * VALUE read in the engine — JSON.stringify, Object.values/entries/
+  * assign, spread copies, for-in bodies, toPrimitive, and the PoBridge
+  * conversion that produces lens OUTPUT — and any missed site silently
+  * leaks a raw accessor record into a lens result (a data-corruption
+  * class of bug, not a crash). No lens in the reference's corpus uses
+  * accessors (test/test-workers-javascript-lens.js, test-models-lens.js),
+  * so the trade is: zero observed need vs a regression surface spanning
+  * the whole builtin layer. The startup-rejection contract is pinned by
+  * JsConformanceSpec ("accessor properties are a startup syntax error"),
+  * so a wild lens that does use them gets an explicit compile error at
+  * configuration time — never wrong output. */
 final class Parser(tokens: Vector[Token]) {
   private var p = 0
   // Recursion guard: code arrives over the wire, and a pathological

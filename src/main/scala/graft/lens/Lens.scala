@@ -380,7 +380,11 @@ object LensBuild {
     //         (VERDICT r5 #6).
     val cacheDir = lens.cacheDir
     val useCache = incremental && Files.isDirectory(cacheDir)
-    val (freshIn: DataFrame, retained: Dataset[BuildEmit]) =
+    // (fresh input rows, retained cache rows, and — when the cache is in
+    // play — the cache frame + retain-path set, which the bucketed
+    // output's changed-id derivation below needs)
+    val (freshIn: DataFrame, retained: Dataset[BuildEmit],
+         cacheInfo: Option[(Dataset[BuildEmit], DataFrame)]) =
       if (useCache) {
         // schema pinned: we wrote this parquet; skips the footer-infer job
         val cache = spark.read.schema(emitEnc.schema)
@@ -403,8 +407,8 @@ object LensBuild {
         val retainPaths = gate.filter(col("isCur") && !col("isFresh")).select("path")
         val kept = cache.join(retainPaths, Seq("path"), "left_semi")
           .as[BuildEmit](emitEnc)
-        (fresh, kept)
-      } else (current, spark.emptyDataset[BuildEmit](emitEnc))
+        (fresh, kept, Some((cache, retainPaths)))
+      } else (current, spark.emptyDataset[BuildEmit](emitEnc), None)
 
     // ---- 3. map stage: executor-side flatMap with log/error capture
     //         over the FRESH records only; spooled together with the
@@ -516,7 +520,31 @@ object LensBuild {
 
     // (logs need no write of their own — Lens.logsOf serves them from
     // the cache parquet the spool becomes, reference lens.js:87-92)
-    val v = out.commitPrepared(rows)
+
+    // Bucketed lens output + incremental build: hand commitPrepared the
+    // CHANGED output ids so it rewrites only their buckets and carries
+    // the rest by hardlink (the writeEntriesDF COW profile, now for
+    // lens commits too). An output id's value can change only if some
+    // contribution to it moved — i.e. it appears in the NEW emits of a
+    // non-retained (fresh) path, or in the CACHED emits of a
+    // non-retained (fresh-or-deleted) path (old contributions of an
+    // updated path may shrink; a fully-deleted path may vanish its ids,
+    // which the carry must not resurrect). Unchanged-bucket rows are
+    // content-identical by the hash gate above, satisfying the
+    // commitPrepared caller contract. At 100 TB this is the difference
+    // between rewriting the whole derived collection per incremental
+    // tick and rewriting 1/B of it.
+    val changedIds: Option[DataFrame] = cacheInfo.collect {
+      case (cache, retainPaths) if store.buckets.isDefined =>
+        val newContrib = spooled.toDF().filter(col("kind") === "out")
+          .join(retainPaths, Seq("path"), "left_anti")
+          .select(col("outId").as("id"))
+        val oldContrib = cache.toDF().filter(col("kind") === "out")
+          .join(retainPaths, Seq("path"), "left_anti")
+          .select(col("outId").as("id"))
+        newContrib.unionByName(oldContrib).distinct()
+    }
+    val v = out.commitPrepared(rows, changedIds)
 
     swapDir(cacheNext, cacheDir)
     v

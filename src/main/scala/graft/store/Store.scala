@@ -601,12 +601,36 @@ final class Collection(val store: Store, val path: DataPath) {
   }
 
   /** Replace contents from an already-prepared RecordRow dataset (used by
-    * the lens materializer, which computes versions itself). */
-  private[graft] def commitPrepared(rows: Dataset[RecordRow]): Long = store.withLock(path) { store.withCommitGate {
+    * the lens materializer, which computes versions itself).
+    *
+    * `changedIds` (single `id` STRING column) enables the copy-on-write
+    * bucket carry on a bucketed store — the same I/O profile a dataset
+    * merge commit gets from [[writeEntriesDF]]: only the buckets
+    * containing a changed id are rewritten; every other bucket carries
+    * forward from the previous snapshot by hardlink. CALLER CONTRACT:
+    * `rows` is still the FULL output, and every row outside a changed
+    * id's bucket must be content-identical to the previous snapshot
+    * (the lens build's hash-gate guarantees this — unchanged output ids
+    * keep their version); `changedIds` must cover every id whose row
+    * changed AND every id that vanished. Without `changedIds` (or on an
+    * unbucketed store, or when no previous snapshot exists) the commit
+    * rewrites the snapshot wholesale, as before. */
+  private[graft] def commitPrepared(rows: Dataset[RecordRow],
+                                    changedIds: Option[DataFrame] = None): Long =
+    store.withLock(path) { store.withCommitGate {
     require(exists, s"collection ${path.encoded} does not exist")
     val m = meta
     val newVersion = m.version + 1
-    commitSnapshot(rows.toDF(), m, newVersion)
+    val cow = store.buckets
+      .filter(_ => changedIds.isDefined && hasParquet(snapshotDir(m.version)))
+    cow match {
+      case Some(b) =>
+        val touched = touchedBuckets(changedIds.get, b)
+        val filtered = rows.toDF().filter(bucketExpr(b).isin(touched: _*))
+        commitSnapshot(filtered, m, newVersion, carrySkip = Some(touched.toSet))
+      case None =>
+        commitSnapshot(rows.toDF(), m, newVersion)
+    }
     newVersion
   } }
 

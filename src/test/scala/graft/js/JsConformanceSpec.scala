@@ -273,6 +273,23 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
     )
   }
 
+  test("accessor properties are a startup syntax error, never silent misbehavior") {
+    // The documented subset boundary (Parser scaladoc, round 7): a lens
+    // using get/set must fail at CONFIGURATION time with a syntax error
+    // — the reference worker's compile-step contract — because a
+    // half-supported accessor would corrupt lens output silently.
+    for (src <- Seq(
+      "const o = { get x() { return 1 } }; output('r', '' + o.x)",
+      "const o = { set x(v) { } }; o.x = 1; output('r', 'no')",
+      "class A { get x() { return 1 } }; output('r', 'no')",
+    )) {
+      JsMapFn.compile(src) match {
+        case Left(err) => err.errType shouldBe "SyntaxError"
+        case Right(_) => fail(s"accessor source must be rejected at startup: $src")
+      }
+    }
+  }
+
   test("[].reduce with no seed throws a catchable TypeError") {
     run("output('r', [].reduce((a,b) => a+b))").error.get.errType shouldBe "TypeError"
     str("(() => { try { return [].reduce((a,b) => a+b) } catch (e) { return e.name } })()") shouldBe "TypeError"

@@ -80,6 +80,50 @@ class BucketedStoreSpec extends AnyFunSuite {
     assert(c.list().size == 64)
   }
 
+  test("lens output COW: incremental build rewrites only changed-output buckets") {
+    val s = freshStore(b = 8)
+    val d = s.dataset("sys", "docs2").create()
+    // 64 records, each with a unique tag → 64 output ids spread over buckets
+    d.writeEntries((0 until 64).map(i =>
+      WriteEntry(s"r$i", Some(PoObj("tags" -> PoArr(Vector(PoStr(s"t$i"))))))),
+      WriteMode.Merge)
+    val lens = new graft.lens.Lens(s, "sys", "idx2",
+      Seq(DataPath("datasets", "sys", "docs2")), graft.lens.TagIndexFn).create()
+    lens.build() // full → lens v1
+    val outDir = s.dir(DataPath("lenses", "sys", "idx2"))
+    val v1 = outDir.resolve("v1")
+    val bucketsV1 = Files.list(v1).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("bucket=")).toSet
+    assert(bucketsV1.size > 3, s"want several buckets, got $bucketsV1")
+
+    // retag ONE record: t0 vanishes, t0x appears → at most two output
+    // buckets change; every other bucket must carry forward by hardlink
+    d.write("r0", PoObj("tags" -> PoArr(Vector(PoStr("t0x")))))
+    lens.build() // incremental → lens v2, COW commit
+    val v2 = outDir.resolve("v2")
+    assert(Files.isDirectory(v2))
+    def filesOf(p: Path): Seq[Path] =
+      Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_))
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    var carried = 0
+    var rewritten = 0
+    bucketsV1.foreach { bn =>
+      val oldFiles = filesOf(v1.resolve(bn))
+      val newFiles = filesOf(v2.resolve(bn))
+      val sameInode = oldFiles.nonEmpty && newFiles.nonEmpty &&
+        newFiles.forall(nf => oldFiles.exists(of => Files.isSameFile(of, nf)))
+      if (sameInode) carried += 1 else rewritten += 1
+    }
+    assert(rewritten <= 2, s"only t0/t0x buckets may rewrite (got $rewritten)")
+    assert(carried >= bucketsV1.size - 2, "untouched buckets carry by hardlink")
+    // semantics survive the carry: t0 vanished, t0x appeared, others intact
+    val ids = lens.output.list()
+    assert(!ids.contains("t0") && ids.contains("t0x") && ids.contains("t63"))
+    assert(ids.size == 64)
+    assert(lens.output.readRow("t1").get.version == 1,
+      "unchanged outputs keep their version through the COW commit")
+  }
+
   test("bucketed store works through readPath, export and the lens pipeline") {
     val s = freshStore()
     val d = s.dataset("sys", "docs").create()
