@@ -351,6 +351,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Contamination overlap SCORES (the ranked complement of q43's
+    // binary membership): distinct 8-grams per corpus doc + how many
+    // appear in the benchmark subset — all-integer, so a fraction
+    // threshold compares exactly on any engine.
+    "q59_contamination_scores" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ops.Dedup.contaminationScores(
+          d.filter(col("doc_id") % 7 =!= 3),
+          d.filter(col("doc_id") % 7 === 3), n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Vocabulary construction (tokenizer-training prestep): top-100
+    // corpus tokens by total occurrences with document frequencies,
+    // ranked by the deterministic (occurrences DESC, token ASC) total
+    // order. TakeOrderedAndProject, never a global sort.
+    "q60_vocab_topk" -> ((s, dir) =>
+      graft.ops.TextOps.vocabTopK(t(s, dir, "documents"), k = 100)),
+
     // Container-metadata triage (multimodal, no decode): deterministic
     // MP4/Matroska fixtures built executor-side by an independent
     // spec-layout writer, parsed back through the production
@@ -1109,6 +1128,40 @@ object SparkEntry {
         |corp AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 7 <> 3)
         |SELECT DISTINCT doc_id FROM corp WHERE g IN (SELECT g FROM bench)
         |ORDER BY doc_id""".stripMargin,
+    "q59_contamination_scores" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(toks)-7, 0)),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+        |           || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7])) AS sh
+        |  FROM (
+        |    SELECT doc_id,
+        |      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |    FROM documents)),
+        |bench AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 7 = 3),
+        |corp AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 7 <> 3),
+        |base AS (SELECT doc_id, len(sh)::BIGINT AS n_grams FROM s
+        |         WHERE doc_id % 7 <> 3 AND len(sh) > 0),
+        |hits AS (SELECT doc_id, count(*)::BIGINT AS n_hit FROM corp
+        |         WHERE g IN (SELECT g FROM bench) GROUP BY doc_id)
+        |SELECT base.doc_id, n_grams, coalesce(n_hit, 0)::BIGINT AS n_hit
+        |FROM base LEFT JOIN hits ON base.doc_id = hits.doc_id
+        |ORDER BY base.doc_id""".stripMargin,
+
+    "q60_vocab_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+        |  FROM documents),
+        |agg AS (
+        |  SELECT token, count(DISTINCT doc_id)::BIGINT AS n_docs,
+        |         count(*)::BIGINT AS n_occurrences
+        |  FROM tok GROUP BY token)
+        |SELECT row_number() OVER (ORDER BY n_occurrences DESC, token)::BIGINT AS rank,
+        |       token, n_docs, n_occurrences
+        |FROM agg ORDER BY n_occurrences DESC, token LIMIT 100""".stripMargin,
+
     // q45: the fixture plants integer header fields as functions of
     // doc_id; the oracle recomputes them relationally. The engine side
     // must recover them by actually parsing the container bytes.

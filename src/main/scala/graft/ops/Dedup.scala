@@ -208,6 +208,40 @@ object Dedup {
     c.join(b, Seq("g"), "left_semi").select(col(idCol)).distinct()
   }
 
+  /** Contamination OVERLAP SCORES — the ranked complement of the binary
+    * [[contaminatedIds]] membership: per corpus document, how many of
+    * its distinct word `n`-grams also appear in the benchmark. A
+    * curation pipeline thresholds or ranks on the fraction
+    * (n_hit / n_grams) instead of dropping on a single shared gram;
+    * the output stays all-integer (n_grams, n_hit) so the decision
+    * threshold compares exactly on any engine (`n_hit * 100 > n_grams
+    * * p` — the q41 float-free discipline). Documents with no n-grams
+    * at all (fewer than `n` tokens) produce no row: they have nothing
+    * to score, and their disposition belongs to the length-based
+    * quality gate upstream.
+    *
+    * Scale shape: identical to [[contaminatedIds]] — one exploded
+    * distinct-shingle frame, the (tiny) benchmark aggregated to
+    * distinct grams first so AQE can broadcast it, one semi-join keyed
+    * on the gram, one per-doc count; plus one narrow per-doc size
+    * projection and a final small join to restore zero-hit docs. Never
+    * doc×doc. */
+  def contaminationScores(corpus: DataFrame, benchmark: DataFrame,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          n: Int = 8): DataFrame = {
+    val grams = TextOps.shingles(corpus, idCol, textCol, n)
+    val base = grams.select(col(idCol), size(col("sh")).cast("long").as("n_grams"))
+      .filter(col("n_grams") > 0)
+    val ex = grams.select(col(idCol), explode(col("sh")).as("g"))
+    val bench = TextOps.shingles(benchmark, idCol, textCol, n)
+      .select(explode(col("sh")).as("g")).distinct()
+    val hits = ex.join(bench, Seq("g"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
+    base.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+  }
+
   /** Connected-component clustering of near-duplicate pairs — the
     * survivor-selection step of a dedup pipeline: pair lists say WHO
     * matches whom; a pipeline needs CLUSTERS (keep one id per

@@ -182,4 +182,34 @@ object TextOps {
       .filter(col("rank") <= k)
       .select(col(idCol), col("token"), col("tf"), col("df"), col("rank"))
   }
+
+  /** Corpus vocabulary statistics, top `k` tokens — the
+    * tokenizer-training / vocab-construction prestep of an LLM
+    * pipeline: every BPE/unigram trainer starts from exactly this
+    * (token, total occurrences, document frequency) table. Ranked by
+    * (occurrences DESC, token ASC) — a total order, so the top-k cut is
+    * deterministic and engine-independent; all-integer output (the
+    * oracle-parity rule).
+    *
+    * Plan shape at 100 TB: one explode, one token-keyed aggregation
+    * with map-side partial aggregation for BOTH counts (n_docs is
+    * count_distinct over doc_id, which Spark partial-aggregates as a
+    * distinct expand), then `orderBy().limit(k)` — which compiles to
+    * TakeOrderedAndProject: per-partition top-k heaps and a tiny driver
+    * merge, never a global sort. The final rank assignment runs over k
+    * rows only. */
+  def vocabTopK(docs: DataFrame, k: Int = 100, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val agg = tok.groupBy(col("token")).agg(
+      countDistinct(col(idCol)).as("n_docs"),
+      count(lit(1)).as("n_occurrences"))
+    // window over the k-row result of TakeOrdered — bounded by k, not
+    // the vocabulary (the single-partition window rule's exception)
+    val top = agg.orderBy(col("n_occurrences").desc, col("token")).limit(k)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("n_occurrences").desc, col("token"))).cast("long"))
+      .select(col("rank"), col("token"), col("n_docs"), col("n_occurrences"))
+  }
 }

@@ -75,6 +75,51 @@ class OpsSpec extends AnyFunSuite {
     assert(ivfWarn.exists(_.contains("k ≈ √corpus")), s"got $ivfWarn")
   }
 
+  test("contamination scores equal brute-force gram-overlap counts") {
+    import spark.implicits._
+    val all = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect()
+    def grams(t: String): Set[String] = {
+      val toks = Option(t).getOrElse("").toLowerCase
+        .split("[^a-z0-9]+").filter(_.nonEmpty)
+      if (toks.length < 8) Set.empty
+      else toks.sliding(8).map(_.mkString(" ")).toSet
+    }
+    val bench = all.filter(_._1 % 7 == 3).flatMap(d => grams(d._2)).toSet
+    val expected = all.filter(_._1 % 7 != 3).flatMap { case (id, t) =>
+      val g = grams(t)
+      if (g.isEmpty) None else Some((id, g.size.toLong, g.count(bench).toLong))
+    }.toSet
+    val got = Dedup.contaminationScores(
+        docs.filter(col("doc_id") % 7 =!= 3),
+        docs.filter(col("doc_id") % 7 === 3), n = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+    assert(got.exists(_._3 > 0), "sf0.001 should contain planted overlap")
+    assert(got.exists(r => r._3 == 0), "and clean docs scoring zero")
+  }
+
+  test("vocabTopK equals brute-force token counting with the deterministic tie order") {
+    import spark.implicits._
+    val all = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect()
+    val occ = scala.collection.mutable.Map[String, Long]()
+    val dfq = scala.collection.mutable.Map[String, Set[Long]]()
+    all.foreach { case (id, t) =>
+      Option(t).getOrElse("").toLowerCase.split("[^a-z0-9]+")
+        .filter(_.nonEmpty).foreach { tok =>
+          occ(tok) = occ.getOrElse(tok, 0L) + 1
+          dfq(tok) = dfq.getOrElse(tok, Set.empty) + id
+        }
+    }
+    val expected = occ.toSeq.sortBy { case (t, n) => (-n, t) }.take(10)
+      .zipWithIndex.map { case ((t, n), i) =>
+        (i + 1L, t, dfq(t).size.toLong, n) }
+    val got = TextOps.vocabTopK(docs, k = 10)
+      .as[(Long, String, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == expected, s"\n got=$got\nwant=$expected")
+  }
+
   test("exact dedup groups cover all docs, survivors unique") {
     val g = Dedup.exactGroups(docs)
     val total = g.agg(sum("n_docs")).collect()(0).getLong(0)
