@@ -407,6 +407,19 @@ object SparkEntry {
           graft.ops.Dedup.nearDupPairs(t(s, dir, "documents")))
         .orderBy(col("doc_id"))),
 
+    // Survivor selection over near-dup clusters (the policy step after
+    // q38): keep the highest-quality member per duplicate family —
+    // (token count DESC, doc_id ASC), a deterministic total order. One
+    // join + one partial-aggregating max(struct), no per-cluster sort.
+    "q61_cluster_survivors" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val clusters = graft.ops.Dedup.dupClusters(graft.ops.Dedup.nearDupPairs(d))
+      val quality = d.select(col("doc_id").cast("long"),
+        graft.ops.TextOps.tokenCount(col("text")).cast("long").as("score"))
+      graft.ops.Dedup.clusterSurvivors(clusters, quality)
+        .orderBy(col("cluster_id"))
+    }),
+
     // Quality-score features aggregated per source (LLM text analysis):
     // per-row double features are bit-identical across engines (same op
     // order), then decimal-cast before the sum so aggregation order
@@ -1455,6 +1468,48 @@ object SparkEntry {
         |  SELECT e.a, r.label FROM reach r JOIN edges e ON e.b = r.node)
         |SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    // q61: q38's component CTE + integer token-count quality + a
+    // (score DESC, doc_id ASC) window pick — the same total order the
+    // engine's max(struct(score, -id)) encodes.
+    "q61_cluster_survivors" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(toks)-2, 0)),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM (
+        |    SELECT doc_id,
+        |      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |    FROM documents)
+        |),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE 2 * len(list_intersect(a.sh, b.sh)) >= len(list_distinct(a.sh || b.sh))
+        |    AND len(list_distinct(a.sh || b.sh)) > 0),
+        |edges AS (
+        |  SELECT a_id AS a, b_id AS b FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach(node, label) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, r.label FROM reach r JOIN edges e ON e.b = r.node),
+        |clusters AS (
+        |  SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+        |  FROM reach GROUP BY node),
+        |q AS (
+        |  SELECT doc_id, CAST(len(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS score
+        |  FROM documents),
+        |r AS (
+        |  SELECT c.cluster_id, c.doc_id, q.score,
+        |    row_number() OVER (PARTITION BY c.cluster_id
+        |                       ORDER BY q.score DESC, c.doc_id) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS n_members
+        |  FROM clusters c JOIN q USING (doc_id))
+        |SELECT cluster_id, doc_id AS survivor_id, score AS survivor_score, n_members
+        |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     "q17_text_quality" ->
       """WITH f AS (
         |  SELECT source,

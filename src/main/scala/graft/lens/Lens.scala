@@ -432,13 +432,11 @@ object LensBuild {
     // wide: multi-input builds shuffle in the dedup window, incremental
     // builds in the freshness gate. At scale a big collection has ≫
     // cores file-partitions and this is a no-op.
+    val smallInput = !useCache && lens.inputs.size == 1 &&
+      freshSel.rdd.getNumPartitions < spark.sparkContext.defaultParallelism
     val mapIn =
-      if (useCache || lens.inputs.size != 1) freshSel
-      else {
-        val par = spark.sparkContext.defaultParallelism
-        if (freshSel.rdd.getNumPartitions < par) freshSel.repartition(par)
-        else freshSel
-      }
+      if (smallInput) freshSel.repartition(spark.sparkContext.defaultParallelism)
+      else freshSel
     val freshEmits: Dataset[BuildEmit] = mapIn
       .as[(String, Array[Byte], Long, Int, String, String, String)]
       .mapPartitions { rows =>
@@ -474,7 +472,18 @@ object LensBuild {
     // interpreter enforces it; local mode never loses partitions), so
     // the spool parquet and the reduce always agree.
     val cacheNext = cacheDir.resolveSibling("cache-next")
-    val spooled = retained.unionByName(freshEmits)
+    // When the map input was small enough to need the explicit
+    // repartition above, rebalance the spool back down before it
+    // becomes the cache: an AQE-coalescible no-arg repartition collapses
+    // the 32 near-empty map partitions to size-targeted ones, so the
+    // cache is 1-2 files instead of 33 and every later incremental
+    // build's cache scan schedules a handful of tasks, not a file per
+    // core. Big builds never hit this branch — their spool keeps its
+    // natural partitioning and pays no extra shuffle.
+    val spoolFrame =
+      if (smallInput) retained.unionByName(freshEmits).repartition()
+      else retained.unionByName(freshEmits)
+    val spooled = spoolFrame
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     spoolPersisted = Some(spooled)
     spooled.write.mode("overwrite").parquet(cacheNext.toString)

@@ -330,6 +330,37 @@ object Dedup {
     labels.select(col("node").as(idCol), col("label").as("cluster_id"))
   }
 
+  /** Quality-based SURVIVOR SELECTION over near-dup clusters — the
+    * policy step after [[dupClusters]]: real pipelines keep the
+    * highest-quality member of each duplicate family (longest, best
+    * quality score), not the arbitrary min-id. Survivor = (score DESC,
+    * id ASC) first — a total order, so the choice is deterministic and
+    * engine-independent; scores should be integers (token counts,
+    * quality ranks) per the float-free oracle discipline.
+    *
+    * Output: (cluster_id, survivor_id, survivor_score, n_members).
+    *
+    * Scale shape: one join of the cluster frame to the quality frame
+    * keyed on the id, then ONE aggregation with map-side partial
+    * `max(struct(score, -id))` — no window, no per-cluster sort; a
+    * million-member cluster costs its reducer one running max. */
+  def clusterSurvivors(clusters: DataFrame, quality: DataFrame,
+                       idCol: String = "doc_id",
+                       clusterCol: String = "cluster_id",
+                       scoreCol: String = "score"): DataFrame =
+    clusters.join(quality, idCol)
+      .groupBy(col(clusterCol))
+      .agg(
+        count(lit(1)).cast("long").as("n_members"),
+        // lexicographic struct max: highest score, then LOWEST id (the
+        // negation flips the tie-break inside one commutative max)
+        max(struct(col(scoreCol).cast("long").as("s"),
+          (-col(idCol).cast("long")).as("negid"))).as("m"))
+      .select(col(clusterCol),
+        (-col("m.negid")).as("survivor_id"),
+        col("m.s").as("survivor_score"),
+        col("n_members"))
+
   /** Embedding-cosine near-duplicate pairs: multi-table hyperplane
     * signatures generate candidates (collision in ANY of the L k-bit
     * tables — see Ann.multiSignatures for the recall math; a single

@@ -75,6 +75,19 @@ class OpsSpec extends AnyFunSuite {
     assert(ivfWarn.exists(_.contains("k ≈ √corpus")), s"got $ivfWarn")
   }
 
+  test("cluster survivors: highest score wins, min id breaks ties, members counted") {
+    import spark.implicits._
+    val clusters = Seq(
+      (1L, 10L), (2L, 10L), (3L, 10L),   // cluster 10
+      (7L, 7L), (9L, 7L)).toDF("doc_id", "cluster_id")
+    val quality = Seq(
+      (1L, 5L), (2L, 9L), (3L, 9L),      // tie on 9 → min id 2 wins
+      (7L, 4L), (9L, 4L)).toDF("doc_id", "score")
+    val got = Dedup.clusterSurvivors(clusters, quality)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((10L, 2L, 9L, 3L), (7L, 7L, 4L, 2L)), got.toString)
+  }
+
   test("contamination scores equal brute-force gram-overlap counts") {
     import spark.implicits._
     val all = docs.select(col("doc_id").cast("long"), col("text"))
