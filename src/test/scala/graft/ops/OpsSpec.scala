@@ -75,6 +75,22 @@ class OpsSpec extends AnyFunSuite {
     assert(ivfWarn.exists(_.contains("k ≈ √corpus")), s"got $ivfWarn")
   }
 
+  test("plan shapes: vocabTopK is TakeOrdered, clusterSurvivors aggregates without a window") {
+    val vocabPlan = TextOps.vocabTopK(docs, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(vocabPlan.contains("TakeOrderedAndProject"),
+      s"top-k must never be a global sort:\n$vocabPlan")
+    import spark.implicits._
+    val clusters = Seq((1L, 1L)).toDF("doc_id", "cluster_id")
+    val quality = Seq((1L, 5L)).toDF("doc_id", "score")
+    val survPlan = Dedup.clusterSurvivors(clusters, quality)
+      .queryExecution.executedPlan.toString
+    assert(!survPlan.contains("Window"),
+      s"survivor pick must be an aggregate, not a per-cluster window:\n$survPlan")
+    assert(survPlan.contains("partial_max") || survPlan.contains("partial_"),
+      s"expected map-side partial aggregation:\n$survPlan")
+  }
+
   test("cluster survivors: highest score wins, min id breaks ties, members counted") {
     import spark.implicits._
     val clusters = Seq(

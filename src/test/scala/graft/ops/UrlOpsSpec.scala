@@ -151,6 +151,18 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
   }
 
+  test("capPerDomain: NULL-URL rows pass through uncapped, not silently dropped") {
+    import spark.implicits._
+    // a NULL url made the domain NULL, which failed BOTH branch filters
+    // — the row vanished from the output entirely (ADVICE r6)
+    val docs = (Seq((1L, null), (2L, null)) ++
+      (3L to 6L).map(i => (i, s"https://x.example.com/$i"))).toDF("doc_id", "url")
+    val kept = UrlOps.capPerDomain(docs, col("url"), cap = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(Set(1L, 2L).subsetOf(kept), s"NULL-url docs must survive: $kept")
+    assert(kept.count(_ >= 3L) == 2, "the real domain still caps")
+  }
+
   test("capPerDomain: unparseable-URL docs pass through uncapped, never one '' bucket") {
     import spark.implicits._
     // 8 docs with no extractable domain + 3 on a real domain, cap 2:
