@@ -302,6 +302,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(t.keyframes.forall(_.size == 25))
   }
 
+  test("keyframeIndex: crafted counts that cannot fit the bytes refuse, never allocate") {
+    import Kf._
+    // ADVICE r6 scenario: uniform stsz (no per-sample table to bound)
+    // + no stss → all-sync path with sample_count = 0xFFFFFFFF. Must be
+    // None (MaxKeyframes sanity cap), and must return promptly — a
+    // materialized (1..4.3e9) range would OOM before failing.
+    val huge = mp4(
+      box("stsz", be32(0), be32(25), be32(0xffffffffL)),
+      box("stsc", be32(0), be32(1), be32(1), be32(1), be32(1)),
+      box("stco", be32(0), be32(1), be32(100)))
+    assert(ContainerMeta.keyframeIndex(huge).isEmpty)
+
+    // per-entry tables claiming more entries than their box holds:
+    // each must mark the trak corrupt (None), not allocate the claim
+    def bad(stbl: Array[Byte]*): Unit =
+      assert(ContainerMeta.keyframeIndex(mp4(stbl.flatten.toArray)).isEmpty)
+    val okSz = box("stsz", be32(0), be32(25), be32(2))
+    val okCo = box("stco", be32(0), be32(1), be32(100))
+    bad(box("stss", be32(0), be32(0x7fffffffL), be32(1)), okSz, okCo)
+    bad(box("stsz", be32(0), be32(0), be32(0x7fffffffL), be32(10)), okCo)
+    bad(okSz, box("stco", be32(0), be32(0x7fffffffL), be32(100)))
+    bad(okSz, box("co64", be32(0), be32(0x7fffffffL), be64(100)))
+    bad(okSz, okCo, box("stsc", be32(0), be32(0x7fffffffL), be32(1), be32(1)))
+
+    // a sane small all-sync file still parses (the cap is far away)
+    val fine = mp4(
+      box("stsz", be32(0), be32(25), be32(3)),
+      box("stsc", be32(0), be32(1), be32(1), be32(1), be32(1)),
+      box("stco", be32(0), be32(3), be32(100), be32(200), be32(300)))
+    assert(ContainerMeta.keyframeIndex(fine).get.keyframes.size == 3)
+  }
+
   test("keyframeIndex: audio-first mux — the trak WITH stss wins, not the first trak") {
     import Kf._
     // trak 1 = audio: stco+stsz but NO stss (every sample sync under
