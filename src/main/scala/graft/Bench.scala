@@ -59,13 +59,17 @@ object Bench {
       case c => c.toString
     } + "\""
     val ok = results.filter(_._2.nonEmpty) // ≥1 passing run → has a min
-    val qs = ok.map { case (k, ts, _) => "\"" + k + "\":" + ts.min }
+    // ms precision, not raw double repr: 17-char doubles made the r6
+    // JSON line long enough to hit the driver's log cap, truncating the
+    // recorded artifact. 0.001 s is far below box noise anyway.
+    def f(t: Double): String = f"$t%.3f"
+    val qs = ok.map { case (k, ts, _) => "\"" + k + "\":" + f(ts.min) }
       .mkString("{", ",", "}")
-    val runs = ok.map { case (k, ts, _) => "\"" + k + "\":" + ts.mkString("[", ",", "]") }
+    val runs = ok.map { case (k, ts, _) => "\"" + k + "\":" + ts.map(f).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) => "\"" + k + "\":" + jstr(m) }
       .mkString("{", ",", "}")
-    val total = ok.map(_._2.min).sum
+    val total = f(ok.map(_._2.min).sum)
     println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"runs":$runs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
