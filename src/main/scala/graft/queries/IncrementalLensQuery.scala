@@ -82,7 +82,13 @@ object IncrementalLensQuery {
     if (ds.exists) ds.drop()
     ds.create()
 
+    // The documents table is one parquet file → one partition; without
+    // a spread, the CBOR encode here AND the store's hash/link prep run
+    // single-threaded. Repartitioning the ingest frame is the right
+    // call at any scale (bulk ingest from few files is exactly when a
+    // loader should rebalance before the expensive per-row work).
     val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+      .repartition(spark.sparkContext.defaultParallelism)
     def enc(id: Long, text: String): (String, Array[Byte], Boolean) =
       (id.toString, Cbor.encode(PoObj("text" -> PoStr(text))), false)
 
