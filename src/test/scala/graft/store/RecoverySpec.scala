@@ -56,8 +56,16 @@ class RecoverySpec extends AnyFunSuite {
         catch { case e: Throwable => errors.add(e) })
     }
     threads.foreach(_.start()); threads.foreach(_.join())
-    if (!errors.isEmpty)
-      fail(s"${errors.size} writer thread(s) threw; first:", errors.peek())
+    if (!errors.isEmpty) {
+      // inline the first cause's full chain + top frames: the default
+      // reporter drops the cause object, which made the round-6/7 flake
+      // undiagnosable from logs
+      val e = errors.peek()
+      val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => s"${t.getClass.getName}: ${t.getMessage}").mkString("\n  caused by ")
+      val frames = e.getStackTrace.take(12).mkString("\n    ", "\n    ", "")
+      fail(s"${errors.size} writer thread(s) threw; first: $chain$frames", e)
+    }
     assert(c.meta.version == 12) // every commit counted exactly once
     assert(c.list().size == 12)
   }
