@@ -420,6 +420,97 @@ object SparkEntry {
         .orderBy(col("cluster_id"))
     }),
 
+    // Inverted-index construction (retrieval side): token → df-banded,
+    // tf-ranked, capped posting lists. The df band [3, 40] cuts hapax
+    // noise AND stopword mega-postings before any list forms; the
+    // posting cap (8, by tf DESC / id ASC) compiles to WindowGroupLimit
+    // so a hot token ships 8 rows per map partition. postings is
+    // window-rank ordered (array_sort over (rank, id) structs), never
+    // collect_list arrival order.
+    "q62_inverted_index" -> ((s, dir) =>
+      graft.ops.TextOps.invertedIndex(t(s, dir, "documents"),
+          minDf = 3, maxDf = 40, maxPostings = 8)
+        .orderBy(col("token"))),
+
+    // Reference-LM coverage gate (the integer-exact shape of CCNet
+    // perplexity filtering): bigram model trained on the doc_id%5==0
+    // slice (occurrence count >= 2), every other doc scored by how many
+    // of its bigram occurrences the model knows; keep = coverage >= 3/5
+    // compared in integer arithmetic.
+    "q63_lm_hit_rate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ops.TextOps.lmHitRate(
+          d.filter(col("doc_id") % 5 =!= 0),
+          d.filter(col("doc_id") % 5 === 0),
+          minCount = 2, keepNum = 3, keepDen = 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Temperature-scaled mixture (τ=2): per-source budgets derived as
+    // totalBudget·floor(sqrt(tokens_s))/Σw — sqrt is IEEE-exact on both
+    // engines, everything after it is integer arithmetic. Same
+    // hash-order greedy-prefix admission as q48; sum_ids pins exact
+    // membership, min(budget) pins the derived budget itself.
+    "q64_temperature_mixture" -> ((s, dir) =>
+      graft.ops.Mixing.temperatureMixture(
+          t(s, dir, "documents"), totalBudget = 120000L,
+          tokensCol = graft.ops.TextOps.tokenCount(col("text")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__tok")).cast("long").as("sum_tokens"),
+          sum(col("doc_id")).cast("long").as("sum_ids"),
+          min(col("__budget")).as("budget"))
+        .orderBy(col("source"))),
+
+    // Corpus-wide k-NN GRAPH (semantic clustering / SemDeDup prestep):
+    // every vector's top-5 neighbors among any-table signature
+    // collisions, capped buckets (the near-dup family bound), exact
+    // bit-stable cosine, WindowGroupLimit top-k per node. The oracle
+    // replicates the 64-plane bucketing AND the 500-cap, so the
+    // candidate graph itself is pinned, not just the ranking.
+    "q65_knn_graph" -> ((s, dir) =>
+      graft.ops.Ann.knnGraph(t(s, dir, "embeddings"), k = 5, dim = 64)
+        .orderBy(col("vec_id"), col("rank"))),
+
+    // Hard-negative mining (contrastive-training prestep): top-5
+    // most-similar neighbors in a DIFFERENT cluster, where the cluster
+    // assignment is the table-0 signature bucket (deterministic and
+    // oracle-replicable — the operator takes ANY (id, cluster) frame:
+    // IVF cells, dup components, source labels). The cluster filter
+    // runs on candidates BEFORE the top-k, so same-cluster twins can
+    // never crowd the negative slots.
+    "q67_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val clusters = graft.ops.Ann.multiSignatures(e, dim = 64)
+        .filter(col("tbl") === 0)
+        .select(col("vec_id"), col("bucket").as("cluster_id"))
+      graft.ops.Ann.hardNegatives(e, clusters, k = 5, dim = 64)
+        .orderBy(col("vec_id"), col("rank"))
+    }),
+
+    // Canonical-URL dedup (crawl-frontier recrawl suppression): a
+    // deterministic URL zoo as a function of doc_id — scheme/host case,
+    // default :443 vs explicit :8080, www., tracking params, fragments,
+    // trailing slashes — canonicalized by the production regex pipeline
+    // and grouped. The oracle derives each doc's expected canonical
+    // form INDEPENDENTLY from the construction arithmetic (the
+    // multimodal-fixture pattern), so a wrong strip order or missed
+    // separator repair breaks the hash.
+    "q66_canonical_url" -> ((s, dir) => {
+      val id = col("doc_id")
+      val url = concat(
+        lit("HTTPS://WWW.Site"), (id % 7).cast("string"), lit(".COM"),
+        when(id % 3 === 0, ":443").when(id % 3 === 1, ":8080").otherwise(""),
+        lit("/Article/"), (id % 13).cast("string"),
+        when(id % 2 === 0,
+          concat(lit("/?utm_source=feed&utm_campaign=x&ref="), (id % 4).cast("string")))
+          .otherwise(lit("/")),
+        when(id % 5 === 0, "#sec").otherwise(""))
+      graft.ops.UrlOps.canonicalUrlGroups(
+          t(s, dir, "documents").withColumn("url", url), col("url"))
+        .orderBy(col("canonical_url"))
+    }),
+
     // Quality-score features aggregated per source (LLM text analysis):
     // per-row double features are bit-identical across engines (same op
     // order), then decimal-cast before the sum so aggregation order
@@ -1917,5 +2008,149 @@ object SparkEntry {
         |JOIN e b ON b.vec_id = cand.eval_id
         |WHERE ${duckCosine("a.emb", "b.emb")} >= 0.3
         |ORDER BY cand.vec_id""".stripMargin,
+    // q62: tf from the exploded stream, df over the (token, doc) frame,
+    // the same [3, 40] df band, rank by (tf DESC, id ASC), cap 8,
+    // postings assembled in rank order by string_agg ORDER BY rn.
+    "q62_inverted_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id, u.token
+        |  FROM documents,
+        |       unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(token)
+        |  WHERE u.token <> ''),
+        |tf AS (SELECT token, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (
+        |  SELECT token, count(*)::BIGINT AS df FROM tf
+        |  GROUP BY 1 HAVING count(*) BETWEEN 3 AND 40),
+        |ranked AS (
+        |  SELECT t.token, d.df, t.doc_id,
+        |    row_number() OVER (PARTITION BY t.token
+        |                       ORDER BY t.tf DESC, t.doc_id) AS rn
+        |  FROM tf t JOIN dfreq d USING (token))
+        |SELECT token, df, count(*)::BIGINT AS n_postings,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rn) AS postings
+        |FROM ranked WHERE rn <= 8
+        |GROUP BY token, df ORDER BY token""".stripMargin,
+    // q63: bigram OCCURRENCES (not distinct shingles) on both sides;
+    // model = ref-slice bigrams with count >= 2; integer coverage
+    // compare n_hits*5 >= n_bigrams*3.
+    "q63_lm_hit_rate" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, greatest(len(toks)-1, 0)),
+        |      i -> toks[i] || ' ' || toks[i+1]) AS grams
+        |  FROM t),
+        |model AS (
+        |  SELECT g2 FROM (SELECT unnest(grams) AS g2 FROM g WHERE doc_id % 5 = 0)
+        |  GROUP BY g2 HAVING count(*) >= 2),
+        |base AS (
+        |  SELECT doc_id, len(grams)::BIGINT AS n_bigrams FROM g
+        |  WHERE doc_id % 5 <> 0 AND len(grams) > 0),
+        |corp AS (SELECT doc_id, unnest(grams) AS g2 FROM g WHERE doc_id % 5 <> 0),
+        |hits AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_hits FROM corp
+        |  WHERE g2 IN (SELECT g2 FROM model) GROUP BY doc_id)
+        |SELECT base.doc_id, n_bigrams, coalesce(n_hits, 0)::BIGINT AS n_hits,
+        |  CAST(CASE WHEN coalesce(n_hits, 0) * 5 >= n_bigrams * 3
+        |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM base LEFT JOIN hits ON base.doc_id = hits.doc_id
+        |ORDER BY base.doc_id""".stripMargin,
+    // q64: same hash-order window arithmetic as q48, with the budgets
+    // derived in-query: w = floor(sqrt(source token sum)) — sqrt is
+    // IEEE correctly rounded on both engines — then integer division
+    // of the 120000-token global budget.
+    "q64_temperature_mixture" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok,
+        |    ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1073741824 AS hb
+        |  FROM documents),
+        |sz AS (SELECT source, sum(tok) AS st FROM d GROUP BY 1),
+        |wts AS (SELECT source, CAST(floor(sqrt(CAST(st AS DOUBLE))) AS BIGINT) AS w FROM sz),
+        |tw AS (SELECT sum(w) AS tw FROM wts),
+        |bud AS (SELECT source, CAST(w * 120000 AS BIGINT) // tw.tw AS budget FROM wts, tw),
+        |c AS (
+        |  SELECT d.doc_id, d.source, d.tok, b.budget,
+        |    sum(d.tok) OVER (PARTITION BY d.source ORDER BY d.hb, d.doc_id
+        |                     ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d JOIN bud b USING (source))
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(min(budget) AS BIGINT) AS budget
+        |FROM c WHERE cum <= budget
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q65: the same 64-plane multi-table signature CTE as q24/q58, PLUS
+    // the 500-cap cell filter, directed candidate pairs, bit-identical
+    // cosine, and the per-node (cos DESC, dst ASC) top-5 rank.
+    "q65_knn_graph" ->
+      s"""WITH $planes64Cte,
+        |sizes AS (SELECT tbl, bucket, count(*) AS bsz FROM sig64 GROUP BY 1, 2),
+        |ok AS (SELECT tbl, bucket FROM sizes WHERE bsz > 1 AND bsz <= 500),
+        |sok AS (SELECT s.vec_id, s.tbl, s.bucket FROM sig64 s JOIN ok USING (tbl, bucket)),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+        |  FROM sok a JOIN sok b
+        |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        |pairs AS (
+        |  SELECT c.src, c.dst, ${duckCosine("es.emb", "ed.emb")} AS cos
+        |  FROM cand c
+        |  JOIN e es ON es.vec_id = c.src
+        |  JOIN e ed ON ed.vec_id = c.dst),
+        |ranked AS (
+        |  SELECT src, dst, cos,
+        |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+        |  FROM pairs)
+        |SELECT src AS vec_id, CAST(rn AS BIGINT) AS rank, dst AS neighbor_id, cos
+        |FROM ranked WHERE rn <= 5 ORDER BY vec_id, rank""".stripMargin,
+    // q67: q65's candidate machinery + the cluster filter — cluster =
+    // table-0 signature bucket, replicated from the same planes CTE.
+    "q67_hard_negatives" ->
+      s"""WITH $planes64Cte,
+        |sizes AS (SELECT tbl, bucket, count(*) AS bsz FROM sig64 GROUP BY 1, 2),
+        |ok AS (SELECT tbl, bucket FROM sizes WHERE bsz > 1 AND bsz <= 500),
+        |sok AS (SELECT s.vec_id, s.tbl, s.bucket FROM sig64 s JOIN ok USING (tbl, bucket)),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+        |  FROM sok a JOIN sok b
+        |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        |clus AS (SELECT vec_id, bucket AS cl FROM sig64 WHERE tbl = 0),
+        |filt AS (
+        |  SELECT c.src, c.dst FROM cand c
+        |  JOIN clus a ON a.vec_id = c.src
+        |  JOIN clus b ON b.vec_id = c.dst
+        |  WHERE a.cl <> b.cl),
+        |pairs AS (
+        |  SELECT f.src, f.dst, ${duckCosine("es.emb", "ed.emb")} AS cos
+        |  FROM filt f
+        |  JOIN e es ON es.vec_id = f.src
+        |  JOIN e ed ON ed.vec_id = f.dst),
+        |ranked AS (
+        |  SELECT src, dst, cos,
+        |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+        |  FROM pairs)
+        |SELECT src AS vec_id, CAST(rn AS BIGINT) AS rank, dst AS neighbor_id, cos
+        |FROM ranked WHERE rn <= 5 ORDER BY vec_id, rank""".stripMargin,
+    // q66: the oracle does NOT run the canonicalizer — it derives each
+    // doc's expected canonical form independently from the fixture
+    // arithmetic (lowercased scheme/host, :443 stripped only for the
+    // %3==0 branch, :8080 kept, www. stripped, fragment and tracking
+    // params gone, trailing-slash rules applied), then groups.
+    "q66_canonical_url" ->
+      """WITH canon AS (
+        |  SELECT doc_id,
+        |    'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+        |      || CASE WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END
+        |      || '/Article/' || CAST(doc_id % 13 AS VARCHAR)
+        |      || CASE WHEN doc_id % 2 = 0
+        |              THEN '?ref=' || CAST(doc_id % 4 AS VARCHAR)
+        |              ELSE '' END AS canonical_url
+        |  FROM documents)
+        |SELECT canonical_url, count(*)::BIGINT AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS keeper_id
+        |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -259,4 +259,116 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col(idCol).as("neighbor_id"), col("score"))
   }
+
+  /** Corpus-wide k-NEAREST-NEIGHBOR GRAPH — every vector's top-k
+    * most-similar neighbors among vectors it shares ANY signature-table
+    * bucket with. The neighbor graph is the workhorse structure behind
+    * semantic clustering, SemDeDup-style pruning, and hard-negative
+    * mining; unlike [[lshTopK]] (few queries, broadcast side) EVERY row
+    * is a query, so the only admissible shape is a bucketed self-join —
+    * never query-broadcast, never all-pairs.
+    *
+    * Scale bounds, both inherited from the near-dup family:
+    *  - multi-table signatures ([[multiSignatures]]: `tables` ×
+    *    `bitsPerTable` hyperplane bits; any-table collision is a
+    *    candidate) keep per-bucket populations uniform — size
+    *    `bitsPerTable` with the corpus per [[recommendedBits]];
+    *  - buckets over `maxBucketSize` are dropped from candidate
+    *    generation BEFORE the self-join (the
+    *    [[graft.ops.Dedup.DefaultMaxBucketSize]] recall argument: hot
+    *    templates collide in their other tables), so no bucket ever
+    *    contributes more than `maxBucketSize`² candidate rows.
+    *
+    * The per-node top-k is a `row_number <= k` window over
+    * (cosine DESC, neighbor ASC) — a total order, engine-exact since
+    * the cosine expression is the bit-stable [[cosine]] — which
+    * compiles to WindowGroupLimit: map-side top-k per node, so a
+    * high-degree node ships k rows per partition, not its full
+    * candidate set.
+    *
+    * Output: (idCol, rank, neighbor_id, cos); nodes with no under-cap
+    * collisions are absent (they have no measured neighbors). */
+  def knnGraph(embeddings: DataFrame, k: Int, dim: Int, tables: Int = 8,
+               bitsPerTable: Int = 8, idCol: String = "vec_id",
+               embCol: String = "embedding",
+               maxBucketSize: Int = graft.ops.Dedup.DefaultMaxBucketSize,
+               stats: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    val cand = cappedSelfCandidates(embeddings, dim, tables, bitsPerTable,
+      idCol, embCol, maxBucketSize, stats)
+    scoreTopK(cand, embeddings, k, idCol, embCol)
+  }
+
+  /** HARD-NEGATIVE MINING for contrastive training — for every vector,
+    * its top-k most-similar neighbors in a DIFFERENT cluster: close
+    * enough to be informative, labeled different so they are negatives.
+    * `clusters` is any (idCol, cluster_id) assignment — IVF cells,
+    * near-dup components, source labels. The cluster filter runs on the
+    * CANDIDATE pairs, before scoring and before the top-k window, so
+    * negatives rank among negatives only (a same-cluster twin can never
+    * crowd the k slots). Same candidate machinery and scale bounds as
+    * [[knnGraph]]; the two cluster joins are id-keyed shuffle joins
+    * (the assignment frame is corpus-sized — no broadcast assumption).
+    * Output: (idCol, rank, neighbor_id, cos). */
+  def hardNegatives(embeddings: DataFrame, clusters: DataFrame, k: Int,
+                    dim: Int, tables: Int = 8, bitsPerTable: Int = 8,
+                    idCol: String = "vec_id", embCol: String = "embedding",
+                    clusterCol: String = "cluster_id",
+                    maxBucketSize: Int = graft.ops.Dedup.DefaultMaxBucketSize,
+                    stats: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    val cand = cappedSelfCandidates(embeddings, dim, tables, bitsPerTable,
+      idCol, embCol, maxBucketSize, stats)
+    val cl = clusters.select(col(idCol).cast("long"), col(clusterCol))
+    val filt = cand
+      .join(cl.select(col(idCol).as("src"), col(clusterCol).as("__cl_s")), "src")
+      .join(cl.select(col(idCol).as("dst"), col(clusterCol).as("__cl_d")), "dst")
+      .filter(col("__cl_s") =!= col("__cl_d"))
+      .select(col("src"), col("dst"))
+    scoreTopK(filt, embeddings, k, idCol, embCol)
+  }
+
+  /** Shared candidate stage of [[knnGraph]]/[[hardNegatives]]: distinct
+    * DIRECTED pairs of ids sharing any under-cap signature cell. */
+  private def cappedSelfCandidates(embeddings: DataFrame, dim: Int,
+                                   tables: Int, bitsPerTable: Int,
+                                   idCol: String, embCol: String,
+                                   maxBucketSize: Int,
+                                   stats: Option[org.apache.spark.sql.Observation]): DataFrame = {
+    // persist: the signature frame feeds the cell-size agg AND both
+    // self-join sides (same lifetime reasoning as cosineNearDupPairs)
+    val sig = multiSignatures(embeddings, dim, tables, bitsPerTable, idCol, embCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cellSizes = sig.groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+    val watched = stats.fold(cellSizes)(obs => cellSizes.observe(obs,
+      sum(when(col("bsz") > maxBucketSize, 1L).otherwise(0L)).as("dropped_buckets"),
+      max(col("bsz")).as("max_bucket")))
+    val okCells = watched
+      .filter(col("bsz") > 1 && col("bsz") <= maxBucketSize)
+      .select(col("tbl"), col("bucket"))
+    val sigOk = sig.join(okCells, Seq("tbl", "bucket"), "left_semi")
+    sigOk.select(col(idCol).as("src"), col("tbl"), col("bucket"))
+      .join(sigOk.select(col(idCol).as("dst"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+  }
+
+  /** Shared scoring+ranking tail: exact bit-stable cosine on candidate
+    * pairs, per-src (cos DESC, dst ASC) row_number ≤ k — compiles to
+    * WindowGroupLimit (map-side top-k per node). */
+  private def scoreTopK(cand: DataFrame, embeddings: DataFrame, k: Int,
+                        idCol: String, embCol: String): DataFrame = {
+    val e = embeddings
+      .select(col(idCol).cast("long"), col(embCol).cast("array<double>").as("emb"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos").desc, col("dst").asc)
+    cand
+      .join(e.select(col(idCol).cast("long").as("src"), col("emb").as("emb_s")), "src")
+      .join(e.select(col(idCol).cast("long").as("dst"), col("emb").as("emb_d")), "dst")
+      .withColumn("cos", cosine(col("emb_s"), col("emb_d")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("src").as(idCol), col("rank"),
+        col("dst").as("neighbor_id"), col("cos"))
+  }
 }

@@ -51,4 +51,54 @@ object Mixing {
       .filter(col("__budget").isNotNull && col("__cum") <= col("__budget"))
       .drop("__budget", "__cum")
   }
+
+  /** TEMPERATURE-scaled mixture — [[tokenBudgetMixture]] with the
+    * per-source budgets DERIVED from the corpus instead of hand-listed:
+    * source `s` gets `totalBudget · w_s / Σw` where `w_s =
+    * floor(sqrt(tokens_s))` — the τ=2 temperature-sampling rule
+    * (weight ∝ size^(1/τ)) that every multilingual/multi-source
+    * training recipe uses to up-weight small sources without letting
+    * the largest source dominate. The exponent is fixed at ½
+    * deliberately: `sqrt` is IEEE-754 correctly rounded on every
+    * engine, so `floor(sqrt(x))` is an exact integer cross-engine,
+    * whereas a general `pow(x, 1/τ)` is libm-dependent — the budget
+    * arithmetic stays all-integer after the one sqrt (the oracle-parity
+    * rule). Budgets use integer division, so up to `nSources−1` tokens
+    * of `totalBudget` go unassigned — noise at corpus scale.
+    *
+    * Fully distributed — no driver collect: sizes are one per-source
+    * partial agg; the one-row ΣW frame and the per-source budget frame
+    * are broadcast back (both are #sources-sized); admission is the
+    * same per-source hash-order prefix window as the explicit-budget
+    * form. Every source present in `docs` participates (a temperature
+    * mixture reweights the whole corpus — dropping a source is the
+    * explicit form's job).
+    *
+    * Output: the admitted docs with `__tok` (the charged token count)
+    * and `__budget` (the derived per-source budget) retained — the
+    * caller can audit utilisation per source. */
+  def temperatureMixture(docs: DataFrame, totalBudget: Long,
+                         tokensCol: Column, sourceCol: String = "source",
+                         idCol: String = "doc_id"): DataFrame = {
+    require(totalBudget > 0, s"totalBudget must be positive: $totalBudget")
+    val d = docs.withColumn("__tok", coalesce(tokensCol.cast("long"), lit(0L)))
+    val weights = d.groupBy(col(sourceCol))
+      .agg(sum(col("__tok")).as("__src_tokens"))
+      .withColumn("__w", floor(sqrt(col("__src_tokens").cast("double"))))
+    val totalW = weights.agg(sum(col("__w")).as("__tw"))
+    // integer DIV keeps the budget arithmetic exact (a double `/` would
+    // round w·B near 2^53); guarded against an all-empty corpus
+    val budgets = weights.crossJoin(broadcast(totalW))
+      .withColumn("__budget",
+        when(col("__tw") > 0,
+          expr("__w * " + totalBudget + "L DIV __tw")).otherwise(lit(0L)))
+      .select(col(sourceCol), col("__budget"))
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(Sampling.hashBucket(col(idCol), 1 << 30), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.join(broadcast(budgets), sourceCol)
+      .withColumn("__cum", sum(col("__tok")).over(w))
+      .filter(col("__cum") <= col("__budget"))
+      .drop("__cum")
+  }
 }

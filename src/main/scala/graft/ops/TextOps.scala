@@ -42,13 +42,44 @@ object TextOps {
     * per element, and an inline `tokens(text)` subtree would re-run the
     * split per n-gram (measured 14 s vs 0.6 s at sf0.1). */
   def repetitionStats(toks: Column, n: Int = 2): Column = {
-    val cnt = size(toks) - lit(n - 1)
-    // guard: sequence(1, 0) would generate a DESCENDING [1, 0] in Spark
-    val grams = when(cnt <= 0, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), cnt),
-        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*)))
+    val grams = wordNgrams(toks, n)
     struct(size(grams).as("n_grams"),
       (size(grams) - size(array_distinct(grams))).as("n_dup"))
+  }
+
+  /** All word n-gram OCCURRENCES of a token array, in document order
+    * (space-joined, one per sliding position — NOT deduplicated; the
+    * distinct-set form is [[shingles]]). Pure column expression. `toks`
+    * must be a materialized tokens column (the [[repetitionStats]] CSE
+    * rule). */
+  def wordNgrams(toks: Column, n: Int): Column = {
+    val cnt = size(toks) - lit(n - 1)
+    // guard: sequence(1, 0) would generate a DESCENDING [1, 0] in Spark
+    when(cnt <= 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), cnt),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*)))
+  }
+
+  /** Word n-gram OCCURRENCES per document, exploded: (id, g STRING),
+    * one row per sliding position in document order. Typed mapPartitions
+    * (the [[shingles]] pattern): the tokenizer runs ONCE per document in
+    * a tight executor loop — the column-expression alternative
+    * ([[wordNgrams]] under an explode) re-evaluates the regex split per
+    * gram once CollapseProject merges the projections, which measured
+    * 15 s vs ~1 s at sf0.1 (the q41 lesson in exploded form). */
+  def ngramOccurrences(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = Option(text).getOrElse("").toLowerCase
+          .split("[^a-z0-9]+").filter(_.nonEmpty)
+        if (toks.length < n) Iterator.empty
+        else toks.sliding(n).map(g => (id, g.mkString(" ")))
+      }
+      .toDF(idCol, "g")
   }
 
   /** Distinct word n-gram shingles per document: (id, sh ARRAY<STRING>).
@@ -211,5 +242,100 @@ object TextOps {
     top.withColumn("rank", row_number().over(
         Window.orderBy(col("n_occurrences").desc, col("token"))).cast("long"))
       .select(col("rank"), col("token"), col("n_docs"), col("n_occurrences"))
+  }
+
+  /** Inverted-index construction (token → posting list) — the retrieval
+    * side of a data pipeline: corpus search, duplicate triage, and
+    * RAG-style lookup all start from this table. Two explicit scale
+    * bounds make it a 100 TB operator instead of a toy:
+    *
+    *  - a DOCUMENT-FREQUENCY BAND [minDf, maxDf]: hapax tokens (index
+    *    noise, typically ~half the vocabulary) and stopwords (whose
+    *    posting lists would be corpus-sized — the classic index skew)
+    *    are both cut before any posting list forms;
+    *  - a POSTING CAP `maxPostings`: each surviving token keeps only
+    *    its top postings by (tf DESC, id ASC) — a total order, so the
+    *    cut is deterministic. `df` still reports the TRUE document
+    *    frequency, so cap truncation is visible (`n_postings < df`).
+    *
+    * Plan shape: one explode, one (token, doc) partial-agg shuffle for
+    * tf, one token-keyed agg for df FROM the tf frame (no second corpus
+    * scan — the [[topKeywords]] rule), one shuffle join tf↔df (the df
+    * side is vocabulary-sized, no broadcast assumption), one per-token
+    * window whose `row_number <= maxPostings` filter compiles to
+    * WindowGroupLimit (map-side top-k: a capped-but-hot token ships
+    * `maxPostings` rows per input partition, never its full posting
+    * set), and one final per-token agg that assembles the list. The
+    * posting string is ordered by the window rank via `array_sort` over
+    * (rank, id) structs — collect_list order is partition-arrival
+    * nondeterminism, never exposed.
+    *
+    * Output: (token, df, n_postings, postings "id,id,…"). */
+  def invertedIndex(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", minDf: Long = 2,
+                    maxDf: Long = 50, maxPostings: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"), col(idCol))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df").between(minDf, maxDf))
+    val w = Window.partitionBy(col("token"))
+      .orderBy(col("tf").desc, col(idCol).asc)
+    tf.join(dfreq, "token")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxPostings)
+      .groupBy(col("token"), col("df"))
+      .agg(
+        count(lit(1)).cast("long").as("n_postings"),
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("rn"), col(idCol).as("id")))),
+          s => s.getField("id").cast("string"))).as("postings"))
+      .select(col("token"), col("df"), col("n_postings"), col("postings"))
+  }
+
+  /** Reference-LM coverage gate — the shape of CCNet/KenLM perplexity
+    * filtering with the float perplexity replaced by an integer
+    * COVERAGE statistic (the oracle-parity rule: `log` is libm-
+    * dependent, bigram-hit counting is exact on any engine): train a
+    * bigram "model" on a trusted reference slice (occurrence count ≥
+    * `minCount` prunes noise), then score every candidate document by
+    * how many of its bigram occurrences the model has seen. Documents
+    * whose coverage clears `keepNum/keepDen` pass the gate — low
+    * coverage means the text's local word transitions don't look like
+    * the reference distribution (gibberish, wrong language, OCR noise:
+    * exactly what perplexity filters catch).
+    *
+    * Plan shape: both sides build gram occurrences in ONE tight
+    * executor pass each ([[ngramOccurrences]] — never the per-gram
+    * re-tokenizing HOF form); the model is a gram-keyed partial agg
+    * reduced to a distinct gram frame; scoring is ONE shuffle left
+    * join on the gram key (the model is vocabulary-scale — no
+    * broadcast assumption) feeding ONE per-doc aggregation that counts
+    * total and model-known occurrences together — the corpus gram
+    * stream is touched exactly once, nothing is joined back. Same
+    * join shape as [[graft.ops.Dedup.contaminationScores]], which is
+    * the point: a decontaminator and an LM gate are the same join with
+    * opposite polarity.
+    *
+    * Output: (idCol, n_bigrams, n_hits, keep 0/1), empty-gram docs
+    * dropped (nothing to score). */
+  def lmHitRate(docs: DataFrame, ref: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text", minCount: Long = 2,
+                keepNum: Int = 3, keepDen: Int = 5): DataFrame = {
+    val model = ngramOccurrences(ref, idCol, textCol, 2)
+      .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select(col("g"), lit(1L).as("__hit"))
+    ngramOccurrences(docs, idCol, textCol, 2)
+      .join(model, Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(col("__hit")).as("n_hits")) // count() skips nulls: misses
+      .withColumn("keep",
+        when(col("n_hits") * keepDen >= col("n_bigrams") * keepNum, 1L)
+          .otherwise(0L))
   }
 }

@@ -138,6 +138,78 @@ object UrlOps {
       .unionByName(domainless)
   }
 
+  // ---- URL canonicalization (crawl-frontier / recrawl dedup) ----
+  // A crawl sees the same page under many spellings: scheme/host case,
+  // default ports, `www.`, tracking query params, fragments, trailing
+  // slashes. Canonicalizing BEFORE URL-level dedup is how frontier
+  // managers and recrawl schedulers avoid fetching one page N times.
+  // All patterns live in the java.util.regex/RE2 common subset (the
+  // Pii dialect rules) and are public vals so the oracle interpolates
+  // them verbatim.
+
+  /** Group-1 = scheme of a URL-shaped string. */
+  val schemePattern: String = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+  /** Group-1 = host[:port] (everything between :// and path/query/#). */
+  val hostPortPattern: String = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+
+  /** Group-1 = path+query, fragment excluded (stops at the first #). */
+  val restPattern: String = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)"
+
+  /** Tracking query parameters stripped by canonicalization (lowercase
+    * names — canonicalization does not case-fold the query string, so
+    * an upper-case `UTM_SOURCE` survives; crawl URLs emit them lower). */
+  val trackingParam: String = "(?:utm_[a-z0-9_]*|fbclid|gclid|ref_src)"
+
+  /** Canonical form of one URL value:
+    *  1. scheme and host lowercased (ports/paths untouched);
+    *  2. default port stripped (`:80` for http, `:443` for https);
+    *  3. leading `www.` stripped;
+    *  4. fragment dropped;
+    *  5. tracking params ([[trackingParam]]) removed, `?`/`&`
+    *     separators repaired;
+    *  6. trailing `/` dropped (before end or before the query), so
+    *     `/a/` ≡ `/a` and a bare host ≡ host + `/`.
+    * A value that isn't scheme://host shaped passes through UNCHANGED
+    * (canonicalization must never merge two non-URLs into one "" key).
+    * Pure codegen'd regexp projections — zero shuffles, linear scan. */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, schemePattern, 1))
+    val hostPort = lower(regexp_extract(url, hostPortPattern, 1))
+    val noPort = when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .otherwise(hostPort)
+    val cleanHost = regexp_replace(noPort, "^www\\.", "")
+    val rest = regexp_extract(url, restPattern, 1)
+    // tracking params: non-leading `&p=v` first (global), then a
+    // leading `?p=v&` keeps the `?` for the successor, then a lone
+    // `?p=v` tail drops entirely
+    val noTrack = regexp_replace(
+      regexp_replace(
+        regexp_replace(rest, "&" + trackingParam + "=[^&#]*", ""),
+        "\\?" + trackingParam + "=[^&#]*&", "?"),
+      "\\?" + trackingParam + "=[^&#]*$", "")
+    val noSlashQ = regexp_replace(noTrack, "/\\?", "?")
+    val cleanRest = regexp_replace(noSlashQ, "/$", "")
+    when(scheme === "", url)
+      .otherwise(concat(scheme, lit("://"), cleanHost, cleanRest))
+  }
+
+  /** URL-level dedup groups over a (id, url) frame: one row per
+    * canonical URL with its population and the deterministic keeper
+    * (min id — the "first fetch wins" recrawl rule). One projection +
+    * one partial-agg shuffle; a hot URL (everyone links the same page)
+    * is just a count, combined map-side. NULL urls drop (no fetch key).
+    * Output: (canonical_url, n_docs, keeper_id). */
+  def canonicalUrlGroups(docs: DataFrame, urlCol: Column,
+                         idCol: String = "doc_id"): DataFrame =
+    docs.filter(urlCol.isNotNull)
+      .select(canonicalizeUrl(urlCol).as("canonical_url"),
+        col(idCol).cast("long").as("id"))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        min(col("id")).as("keeper_id"))
+
   /** Drop documents that link to any blocklisted registered domain.
     * The per-doc domain set is reduced FIRST (explode → distinct within
     * the row via array ops would re-shuffle; a semi-join on the

@@ -60,6 +60,36 @@ class MixingSpec extends AnyFunSuite {
     assert(got.count(Set(3L, 4L)) == 2, "b admits both")
     assert(got.count(Set(1L, 2L)) == 1, "a admits exactly one")
   }
+
+  // ---- temperatureMixture ----
+
+  test("temperature budgets are totalBudget·⌊√tokens⌋/Σw, per source") {
+    import spark.implicits._
+    // a: 100 docs × 1 token (w=10); b: 400 docs × 1 token (w=20);
+    // total 30 → budgets land exactly on 10 and 20
+    val rows = (1L to 100L).map(i => (i, "a", 1L)) ++
+      (101L to 500L).map(i => (i, "b", 1L))
+    val out = Mixing.temperatureMixture(
+        rows.toDF("doc_id", "source", "ntok"), totalBudget = 30L, col("ntok"))
+      .select(col("source"), col("__budget")).as[(String, Long)].collect()
+    val budgets = out.toSet
+    assert(budgets == Set(("a", 10L), ("b", 20L)), s"got $budgets")
+    val counts = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(counts == Map("a" -> 10, "b" -> 20), s"got $counts")
+  }
+
+  test("temperature mixture keeps every source and is deterministic") {
+    import spark.implicits._
+    val rows = Seq((1L, "a", 4L), (2L, "a", 4L), (3L, "tiny", 1L))
+    def run() = Mixing.temperatureMixture(
+        rows.toDF("doc_id", "source", "ntok"), totalBudget = 5L, col("ntok"))
+      .select("doc_id").as[Long].collect().toSet
+    val got = run()
+    // w_a = ⌊√8⌋ = 2, w_tiny = 1, Σ=3 → budgets 3 and 1: the tiny
+    // source is NOT starved (that is the point of temperature scaling)
+    assert(got.contains(3L), s"tiny source admitted: $got")
+    assert(run() == got, "same spec → same membership")
+  }
 }
 
 /** Test-side replica of Sampling.hashBucket for order assertions. */

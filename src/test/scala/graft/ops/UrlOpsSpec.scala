@@ -185,4 +185,58 @@ class UrlOpsSpec extends AnyFunSuite {
       .select("doc_id").orderBy("doc_id").as[Long].collect().toSeq
     assert(kept == Seq(1L, 3L))
   }
+
+  // ---- canonicalizeUrl ----
+
+  private def canon(u: String): String = {
+    import spark.implicits._
+    Seq(u).toDF("u").select(UrlOps.canonicalizeUrl(col("u")).as("c"))
+      .as[String].head()
+  }
+
+  test("canonicalize folds scheme/host case but never the path") {
+    assert(canon("HTTP://WWW.EXample.COM/Mixed/Case") ==
+      "http://example.com/Mixed/Case")
+  }
+
+  test("canonicalize strips only the scheme's default port") {
+    assert(canon("https://a.com:443/x") == "https://a.com/x")
+    assert(canon("http://a.com:80/x") == "http://a.com/x")
+    assert(canon("https://a.com:8080/x") == "https://a.com:8080/x")
+    assert(canon("http://a.com:443/x") == "http://a.com:443/x",
+      ":443 is NOT http's default")
+  }
+
+  test("canonicalize removes tracking params and repairs separators") {
+    assert(canon("https://a.com/x?utm_source=f&id=2") == "https://a.com/x?id=2")
+    assert(canon("https://a.com/x?id=2&utm_campaign=c") == "https://a.com/x?id=2")
+    assert(canon("https://a.com/x?utm_a=1&utm_b=2") == "https://a.com/x")
+    assert(canon("https://a.com/x?gclid=z&fbclid=y&q=1") == "https://a.com/x?q=1")
+  }
+
+  test("canonicalize drops fragments and trailing slashes") {
+    assert(canon("https://a.com/x#section") == "https://a.com/x")
+    assert(canon("https://a.com/") == "https://a.com")
+    assert(canon("https://a.com/a/b/") == "https://a.com/a/b")
+    assert(canon("https://a.com/a/?id=1") == "https://a.com/a?id=1")
+  }
+
+  test("canonicalize passes non-URLs through unchanged") {
+    assert(canon("not a url") == "not a url")
+    assert(canon("") == "")
+  }
+
+  test("canonicalUrlGroups: first fetch wins, counts exact, NULLs drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (5L, Some("https://WWW.A.com/x/")),
+      (2L, Some("https://a.com/x?utm_source=s")),
+      (7L, Some("https://a.com/x#top")),
+      (9L, Some("https://b.com/y")),
+      (4L, None)).toDF("doc_id", "url")
+    val got = UrlOps.canonicalUrlGroups(docs, col("url"))
+      .orderBy("canonical_url")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("https://a.com/x", 3L, 2L), ("https://b.com/y", 1L, 9L)))
+  }
 }

