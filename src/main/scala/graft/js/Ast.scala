@@ -32,6 +32,8 @@ object Ast {
   final case class BoolLit(v: Boolean, pos: Pos) extends Expr
   final case class NullLit(pos: Pos) extends Expr
   final case class UndefinedLit(pos: Pos) extends Expr
+  /** array-literal elision slot — evaluates to an array HOLE */
+  final case class HoleLit(pos: Pos) extends Expr
   final case class RegexLit(pattern: String, flags: String, pos: Pos) extends Expr
   /** `cooked` parts interleaved with `exprs`: parts.size == exprs.size + 1 */
   final case class TemplateLit(parts: Vector[String], exprs: Vector[Expr], pos: Pos) extends Expr

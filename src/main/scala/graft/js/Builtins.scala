@@ -223,7 +223,7 @@ object Builtins {
       sb.append('"').toString
     }
     def go(v: JsValue, depth: Int): Option[String] = v match {
-      case JsUndefined | _: JsFunc => None
+      case _: JsUndefinedKind | _: JsFunc => None
       case JsNull => Some("null")
       case JsBool(b) => Some(b.toString)
       case JsNum(d) =>
@@ -357,7 +357,8 @@ object Builtins {
     val _ = interp
     def entriesOf(v: JsValue): Vector[(String, JsValue)] = v match {
       case obj: JsObject => ownEntries(obj)
-      case a: JsArray => a.items.zipWithIndex.map { case (x, ix) => (ix.toString, x) }.toVector
+      case a: JsArray => a.items.zipWithIndex.collect {
+        case (x, ix) if !(x eq JsHole) => (ix.toString, x) }.toVector
       case JsStr(s) => s.zipWithIndex.map { case (c, ix) => (ix.toString, JsStr(c.toString)) }.toVector
       case _ => Vector.empty
     }
@@ -375,6 +376,16 @@ object Builtins {
           target
         case _ => throwType("Object.assign target must be an object")
       }
+    })
+    o.props.put("is", native("is") { (_, as) =>
+      val (x, y) = (arg(as, 0), arg(as, 1))
+      JsBool((x, y) match {
+        // SameValue: NaN equals NaN, +0 and -0 differ (exactly the two
+        // places it departs from ===)
+        case (JsNum(a), JsNum(b)) =>
+          java.lang.Double.doubleToLongBits(a) == java.lang.Double.doubleToLongBits(b)
+        case _ => strictEquals(x, y)
+      })
     })
     o.props.put("freeze", native("freeze") { (_, as) =>
       arg(as, 0) match { case obj: JsObject => obj.frozen = true; obj; case other => other }
@@ -410,7 +421,8 @@ object Builtins {
     o.props.put("hasOwn", native("hasOwn") { (_, as) =>
       arg(as, 0) match {
         case obj: JsObject => JsBool(obj.props.contains(toStr(arg(as, 1))))
-        case a: JsArray => JsBool(toStr(arg(as, 1)).toIntOption.exists(ix => ix >= 0 && ix < a.items.length))
+        case a: JsArray => JsBool(toStr(arg(as, 1)).toIntOption.exists(ix =>
+          ix >= 0 && ix < a.items.length && !(a.items(ix) eq JsHole)))
         case _ => JsBool(false)
       }
     })
@@ -429,7 +441,7 @@ object Builtins {
     a.props.put("from", native("from") { (_, as) =>
       val src = arg(as, 0)
       val base: Vector[JsValue] = src match {
-        case arr: JsArray => arr.items.toVector
+        case arr: JsArray => arr.items.toVector.map(Values.deHole) // from() densifies
         case JsStr(s) => s.codePoints().toArray.toVector.map(cp => JsStr(new String(Character.toChars(cp))))
         case set: JsSetV => set.entries.values.toVector
         case m: JsMapV => m.entries.values.toVector.map { case (k, v) => JsArray.of(k, v) }
@@ -456,7 +468,7 @@ object Builtins {
         case Vector(JsNum(d)) if d == math.floor(d) && d >= 0 =>
           if (d > 100000000) throwRange("array length too large for lens code")
           interp().budget.allocate(d.toLong + 1)
-          new JsArray(mutable.ArrayBuffer.fill(d.toInt)(JsUndefined))
+          new JsArray(mutable.ArrayBuffer.fill(d.toInt)(JsHole: JsValue)) // Array(n) is ALL holes, like V8
         case _ => JsArray.of(as: _*)
       }
     }
@@ -750,7 +762,43 @@ object Builtins {
     // V8 match/exec results are arrays with own props (ES 22.2.7.2)
     out.extraPut("index", JsNum(m.start.toDouble))
     out.extraPut("input", JsStr(input))
+    // named captures: `groups` is an object with EVERY declared name
+    // (undefined for non-participants), or absent entirely when the
+    // pattern has none — V8's exact shape. Java's (?<name>) syntax is
+    // the same as JS's; names are restricted to Java's [A-Za-z][A-Za-z0-9]*
+    // subset (a `$`/`_`-leading JS name fails at construction — a
+    // documented subset limit, loud, never a silent divergence).
+    val names = namedGroups(m.pattern.pattern)
+    if (names.nonEmpty) {
+      val g = JsObject.empty()
+      names.foreach { nm =>
+        g.props.put(nm,
+          Option(m.group(nm)).map(s => JsStr(s): JsValue).getOrElse(JsUndefined))
+      }
+      out.extraPut("groups", g)
+    }
     out
+  }
+
+  /** declared named-capture groups of a compiled pattern source, in
+    * order; skips escapes, classes, and (?<=/(?<! lookbehinds */
+  private def namedGroups(src: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    var inClass = false
+    val n = src.length
+    while (i < n) {
+      val c = src.charAt(i)
+      if (c == '\\') i += 2
+      else if (inClass) { if (c == ']') inClass = false; i += 1 }
+      else if (c == '[') { inClass = true; i += 1 }
+      else if (c == '(' && src.startsWith("(?<", i) && i + 3 < n
+          && src.charAt(i + 3) != '=' && src.charAt(i + 3) != '!') {
+        val end = src.indexOf('>', i + 3)
+        if (end > 0) { out += src.substring(i + 3, end); i = end + 1 } else i += 1
+      } else i += 1
+    }
+    out.result()
   }
 
   // ---- Set / Map methods ----
@@ -815,12 +863,24 @@ object Builtins {
           val radix = toNumber(radixV).toInt
           if (radix < 2 || radix > 36) throwRange("toString() radix must be between 2 and 36")
           if (radix == 10) JsStr(numToString(d))
-          else if (d == math.floor(d) && !java.lang.Double.isInfinite(d))
+          else if (java.lang.Double.isNaN(d)) JsStr("NaN")
+          else if (java.lang.Double.isInfinite(d)) JsStr(if (d > 0) "Infinity" else "-Infinity")
+          else if (d == math.floor(d) && math.abs(d) < 9.007199254740992e15)
             JsStr(java.lang.Long.toString(d.toLong, radix))
-          else JsStr(numToString(d)) // fractional non-10 radix: out of subset
+          else JsStr(doubleToRadix(d, radix))
       }
     })
     case "valueOf" => Some(native("valueOf")((_, _) => JsNum(d)))
+    case "toExponential" => Some(native("toExponential") { (_, as) =>
+      if (java.lang.Double.isNaN(d)) JsStr("NaN")
+      else if (java.lang.Double.isInfinite(d)) JsStr(if (d > 0) "Infinity" else "-Infinity")
+      else {
+        val fOpt = arg(as, 0) match { case JsUndefined => None; case v => Some(toNumber(v).toInt) }
+        fOpt.foreach(f => if (f < 0 || f > 100)
+          throwRange("toExponential() argument must be between 0 and 100"))
+        JsStr(toExponentialString(d, fOpt))
+      }
+    })
     case "toPrecision" => Some(native("toPrecision") { (_, as) =>
       arg(as, 0) match {
         case JsUndefined => JsStr(numToString(d))
@@ -831,6 +891,106 @@ object Builtins {
       }
     })
     case _ => None
+  }
+
+  /** Double → non-decimal radix string, the V8-compatible shape: emit
+    * fraction digits while the remaining value exceeds half an ulp of
+    * the original, then round the last digit to nearest (ties to even
+    * on the digit parity) — the standard shortest-faithful radix
+    * conversion (ECMA leaves non-decimal ToString implementation-
+    * approximate; this is what every JS engine ships). Integer part via
+    * BigDecimal (exact — doubles are dyadic rationals). */
+  private def doubleToRadix(d: Double, radix: Int): String = {
+    val neg = d < 0
+    val ad = math.abs(d)
+    val intPart = math.floor(ad)
+    var frac = ad - intPart
+    val intStr =
+      if (intPart < 9.007199254740992e15) java.lang.Long.toString(intPart.toLong, radix)
+      else new java.math.BigDecimal(intPart).toBigInteger.toString(radix)
+    val sb = new java.lang.StringBuilder
+    if (frac > 0) {
+      // half-ulp of the ORIGINAL double bounds how many fraction digits
+      // are faithful; below it the digits would be binary noise
+      var delta = 0.5 * (Math.ulp(ad))
+      if (delta <= 0) delta = java.lang.Double.MIN_VALUE
+      sb.append('.')
+      var continue = true
+      while (continue && frac >= delta) {
+        frac *= radix
+        delta *= radix
+        var digit = frac.toInt
+        frac -= digit
+        if (frac > 0.5 || (frac == 0.5 && (digit & 1) == 1)) {
+          // round up, with carry back through the emitted digits
+          if (frac + delta > 1) {
+            digit += 1
+            continue = false
+            var carry = digit >= radix
+            if (carry) digit -= radix
+            sb.append(Character.forDigit(digit, radix))
+            if (carry) {
+              // propagate: bump prior digits; digits are after the '.'
+              var i = sb.length - 2
+              var carrying = true
+              while (carrying && i > 0 && sb.charAt(i) != '.') {
+                val v = Character.digit(sb.charAt(i), radix) + 1
+                if (v >= radix) { sb.setCharAt(i, Character.forDigit(0, radix)); i -= 1 }
+                else { sb.setCharAt(i, Character.forDigit(v, radix)); carrying = false }
+              }
+              if (carrying) {
+                // carry crossed the point: integer part + 1 (rare)
+                val bumped = new java.math.BigInteger(intStr, radix)
+                  .add(java.math.BigInteger.ONE).toString(radix)
+                val frDigits = sb.substring(1)
+                return (if (neg) "-" else "") + bumped + "." + frDigits
+              }
+            }
+          } else sb.append(Character.forDigit(digit, radix))
+        } else sb.append(Character.forDigit(digit, radix))
+      }
+      // strip a trailing run of zeros the rounding may have produced
+      while (sb.length > 1 && sb.charAt(sb.length - 1) == '0') sb.setLength(sb.length - 1)
+      if (sb.length == 1) sb.setLength(0) // nothing faithful after all
+    }
+    (if (neg) "-" else "") + intStr + sb.toString
+  }
+
+  /** ECMA Number.prototype.toExponential layout: `d.dd…e±e` with an
+    * UNPADDED exponent (`0e+0`, `1.2e+5` — never `e+05`); with
+    * fractionDigits, exactly that many digits after the point, ties
+    * half-up on the exact binary value (the toFixed rule); without,
+    * the shortest digit string that round-trips (Double.toString's
+    * shortest-repr digits). */
+  private def toExponentialString(d: Double, fOpt: Option[Int]): String = {
+    val neg = d < 0
+    val ad = math.abs(d)
+    val (digits, e) =
+      if (ad == 0.0) ("0" * (fOpt.getOrElse(0) + 1), 0)
+      else fOpt match {
+        case Some(f) =>
+          val bd = new java.math.BigDecimal(ad)
+            .round(new java.math.MathContext(f + 1, java.math.RoundingMode.HALF_UP))
+          digitsAndDecExp(bd, f + 1)
+        case None =>
+          val bd = new java.math.BigDecimal(java.lang.Double.toString(ad))
+            .stripTrailingZeros
+          digitsAndDecExp(bd, bd.precision)
+      }
+    val mant =
+      if (digits.length == 1) digits
+      else digits.substring(0, 1) + "." + digits.substring(1)
+    val sign = if (e < 0) "-" else "+"
+    (if (neg) "-" else "") + mant + "e" + sign + math.abs(e)
+  }
+
+  /** significant digits (zero-padded to `prec`) + decimal exponent of
+    * the leading digit */
+  private def digitsAndDecExp(bd: java.math.BigDecimal, prec: Int): (String, Int) = {
+    val unscaled = bd.unscaledValue.toString
+    val padded =
+      if (unscaled.length < prec) unscaled + "0" * (prec - unscaled.length) else unscaled
+    (padded, bd.precision - bd.scale - 1)
   }
 
   /** ECMA Number.prototype.toPrecision layout — NOT Java's
@@ -986,6 +1146,28 @@ object Builtins {
         val m = r.pattern.matcher(s)
         JsNum(if (m.find()) m.start.toDouble else -1.0)
       }
+      case "matchAll" => withStr(name) { as =>
+        // subset: returns an ARRAY of exec-results rather than a lazy
+        // iterator — spread/for-of/length behave identically, a manual
+        // .next() does not (documented; lens code spreads)
+        val r = arg(as, 0) match {
+          case re: JsRegExpV =>
+            if (!re.global)
+              throwType("String.prototype.matchAll called with a non-global RegExp argument")
+            re
+          case other =>
+            compileRegex(if (other == JsUndefined) "" else toStr(other), "g", Pos(0))
+        }
+        val m = r.pattern.matcher(s)
+        val out = JsArray.empty
+        var q = 0
+        while (q <= s.length && m.find(q)) {
+          interp.budget.allocate(4)
+          out.items += execResult(m, s)
+          q = if (m.end == m.start) m.end + 1 else m.end // zero-width: advance
+        }
+        out
+      }
       case "repeat" => withStr(name) { as =>
         val n = toNumber(arg(as, 0)).toInt
         if (n < 0) throwRange("repeat count must be non-negative")
@@ -1073,16 +1255,30 @@ object Builtins {
   }
 
   private def replaceImpl(s: String, pat: JsValue, rep: JsValue, all: Boolean, interp: Interp): String = {
-    def replacementFor(matched: String, groups: Vector[Option[String]], index: Int): String = rep match {
+    def replacementFor(matched: String, groups: Vector[Option[String]], index: Int,
+                       named: Vector[(String, Option[String])]): String = rep match {
       case f: JsFunc =>
+        // when the pattern declares named groups, V8 appends the groups
+        // object as one extra trailing argument (ES 22.1.3.19 step 16.j)
+        val groupsObj: Vector[JsValue] =
+          if (named.isEmpty) Vector.empty
+          else {
+            val g = JsObject.empty()
+            named.foreach { case (nm, v) =>
+              g.props.put(nm, v.map(x => JsStr(x): JsValue).getOrElse(JsUndefined))
+            }
+            Vector(g)
+          }
         val args = Vector(JsStr(matched)) ++
           groups.map(g => g.map(JsStr(_): JsValue).getOrElse(JsUndefined)) ++
-          Vector(JsNum(index.toDouble), JsStr(s))
+          Vector(JsNum(index.toDouble), JsStr(s)) ++ groupsObj
         toStr(interp.callFunction(f, JsUndefined, args, Pos(0), "replacer"))
       case other =>
         // $& = match, $` / $' = before/after context, $1..$99 groups
         // ($nn preferred over $n when both are valid groups, like V8),
-        // $$ literal; anything else stays literal (ES 22.1.3.19.1)
+        // $<name> named groups (literal when the pattern declares none,
+        // "" for an unknown name — ES GetSubstitution), $$ literal;
+        // anything else stays literal (ES 22.1.3.19.1)
         val template = toStr(other)
         val sb = new java.lang.StringBuilder
         var i = 0
@@ -1094,6 +1290,14 @@ object Builtins {
               case '&' => sb.append(matched); i += 2
               case '`' => sb.append(s, 0, index); i += 2
               case '\'' => sb.append(s, index + matched.length, s.length); i += 2
+              case '<' if named.nonEmpty =>
+                val close = template.indexOf('>', i + 2)
+                if (close < 0) { sb.append(c); i += 1 }
+                else {
+                  val nm = template.substring(i + 2, close)
+                  named.find(_._1 == nm).foreach(_._2.foreach(sb.append))
+                  i = close + 1
+                }
               case d if d.isDigit =>
                 val two =
                   if (i + 2 < template.length && template.charAt(i + 2).isDigit)
@@ -1116,6 +1320,7 @@ object Builtins {
       case r: JsRegExpV =>
         val doAll = all || r.global
         val m = r.pattern.matcher(s)
+        val names = namedGroups(r.pattern.pattern)
         val sb = new java.lang.StringBuilder
         var last = 0 // end of last appended region
         var q = 0    // scan position
@@ -1124,7 +1329,8 @@ object Builtins {
           if (m.find(q)) {
             sb.append(s, last, m.start)
             val groups = (1 to m.groupCount).map(g => Option(m.group(g))).toVector
-            sb.append(replacementFor(m.group(), groups, m.start))
+            val named = names.map(nm => nm -> Option(m.group(nm)))
+            sb.append(replacementFor(m.group(), groups, m.start, named))
             last = m.end
             q = if (m.end == m.start) m.end + 1 else m.end // zero-width: advance
             if (!doAll) done = true
@@ -1137,7 +1343,7 @@ object Builtins {
         if (!all) {
           val idx = s.indexOf(lit)
           if (idx < 0) s
-          else s.substring(0, idx) + replacementFor(lit, Vector.empty, idx) + s.substring(idx + lit.length)
+          else s.substring(0, idx) + replacementFor(lit, Vector.empty, idx, Vector.empty) + s.substring(idx + lit.length)
         } else {
           if (lit.isEmpty) return s
           val sb = new java.lang.StringBuilder
@@ -1145,7 +1351,7 @@ object Builtins {
           var idx = s.indexOf(lit, from)
           while (idx >= 0) {
             sb.append(s, from, idx)
-            sb.append(replacementFor(lit, Vector.empty, idx))
+            sb.append(replacementFor(lit, Vector.empty, idx, Vector.empty))
             from = idx + lit.length
             idx = s.indexOf(lit, from)
           }
@@ -1166,10 +1372,10 @@ object Builtins {
     name match {
       case "push" => nat(name) { as => a.items ++= as; JsNum(a.items.length.toDouble) }
       case "pop" => nat(name) { _ =>
-        if (a.items.isEmpty) JsUndefined else a.items.remove(a.items.length - 1)
+        if (a.items.isEmpty) JsUndefined else Values.deHole(a.items.remove(a.items.length - 1))
       }
       case "shift" => nat(name) { _ =>
-        if (a.items.isEmpty) JsUndefined else a.items.remove(0)
+        if (a.items.isEmpty) JsUndefined else Values.deHole(a.items.remove(0))
       }
       case "unshift" => nat(name) { as => a.items.prependAll(as); JsNum(a.items.length.toDouble) }
       case "slice" => nat(name) { as =>
@@ -1198,7 +1404,8 @@ object Builtins {
           case v => val i = toNumber(v).toInt
             math.max(0, if (i < 0) a.items.length + i else i)
         }
-        JsNum(a.items.indexWhere(strictEquals(_, arg(as, 0)), from).toDouble)
+        // holes are skipped (indexOf never matches undefined in a hole)
+        JsNum(a.items.indexWhere(v => !(v eq JsHole) && strictEquals(v, arg(as, 0)), from).toDouble)
       }
       case "lastIndexOf" => nat(name) { as =>
         val end = arg(as, 1) match {
@@ -1207,7 +1414,7 @@ object Builtins {
             math.min(a.items.length - 1, if (i < 0) a.items.length + i else i)
         }
         JsNum((if (end < 0) -1
-               else a.items.lastIndexWhere(strictEquals(_, arg(as, 0)), end)).toDouble)
+               else a.items.lastIndexWhere(v => !(v eq JsHole) && strictEquals(v, arg(as, 0)), end)).toDouble)
       }
       case "includes" => nat(name) { as =>
         val target = arg(as, 0)
@@ -1241,76 +1448,97 @@ object Builtins {
       }
       case "map" => nat(name) { as =>
         val fn = arg(as, 0)
+        // holes: callback skipped, hole KEPT in the result (ES 23.1.3.21)
         JsArray.of(a.items.toVector.zipWithIndex.map { case (v, i) =>
-          interp.callCallback(fn, Vector(v, JsNum(i.toDouble), a))
+          if (v eq JsHole) JsHole
+          else interp.callCallback(fn, Vector(v, JsNum(i.toDouble), a))
         }: _*)
       }
       case "filter" => nat(name) { as =>
         val fn = arg(as, 0)
         JsArray.of(a.items.toVector.zipWithIndex.collect {
-          case (v, i) if truthy(interp.callCallback(fn, Vector(v, JsNum(i.toDouble), a))) => v
+          case (v, i) if !(v eq JsHole) &&
+            truthy(interp.callCallback(fn, Vector(v, JsNum(i.toDouble), a))) => v
         }: _*)
       }
       case "forEach" => nat(name) { as =>
         val fn = arg(as, 0)
         a.items.toVector.zipWithIndex.foreach { case (v, i) =>
-          interp.callCallback(fn, Vector(v, JsNum(i.toDouble), a))
+          if (!(v eq JsHole)) interp.callCallback(fn, Vector(v, JsNum(i.toDouble), a))
         }
         JsUndefined
       }
       case "reduce" => nat(name) { as =>
         val fn = arg(as, 0)
-        val items = a.items.toVector
-        if (items.isEmpty && as.length < 2)
+        // holes are skipped entirely; the no-seed accumulator is the
+        // first PRESENT element (its original index preserved)
+        val present = a.items.toVector.zipWithIndex.filterNot(_._1 eq JsHole)
+        if (present.isEmpty && as.length < 2)
           throw JsThrown(makeError("TypeError", "Reduce of empty array with no initial value"))
-        var (acc, startIdx) =
-          if (as.length >= 2) (as(1), 0)
-          else (items(0), 1)
-        (startIdx until items.length).foreach { i =>
-          acc = interp.callCallback(fn, Vector(acc, items(i), JsNum(i.toDouble), a))
+        var (acc, rest) =
+          if (as.length >= 2) (as(1), present)
+          else (present.head._1, present.tail)
+        rest.foreach { case (v, i) =>
+          acc = interp.callCallback(fn, Vector(acc, v, JsNum(i.toDouble), a))
         }
         acc
       }
       case "reduceRight" => nat(name) { as =>
         val fn = arg(as, 0)
-        val items = a.items.toVector
-        if (items.isEmpty && as.length < 2)
+        // holes are skipped; callbacks still see ORIGINAL indices
+        val present = a.items.toVector.zipWithIndex.filterNot(_._1 eq JsHole)
+        if (present.isEmpty && as.length < 2)
           throw JsThrown(makeError("TypeError", "Reduce of empty array with no initial value"))
-        var (acc, startIdx) =
-          if (as.length >= 2) (as(1), items.length - 1)
-          else (items.last, items.length - 2)
-        (startIdx to 0 by -1).foreach { i =>
-          acc = interp.callCallback(fn, Vector(acc, items(i), JsNum(i.toDouble), a))
+        var (acc, rest) =
+          if (as.length >= 2) (as(1), present.reverse)
+          else (present.last._1, present.reverse.tail)
+        rest.foreach { case (v, i) =>
+          acc = interp.callCallback(fn, Vector(acc, v, JsNum(i.toDouble), a))
         }
         acc
       }
       case "find" => nat(name) { as =>
         val fn = arg(as, 0)
+        // find (unlike forEach/map) VISITS holes, as undefined
         a.items.toVector.zipWithIndex
-          .find { case (v, i) => truthy(interp.callCallback(fn, Vector(v, JsNum(i.toDouble), a))) }
-          .map(_._1).getOrElse(JsUndefined)
+          .find { case (v, i) => truthy(interp.callCallback(fn, Vector(Values.deHole(v), JsNum(i.toDouble), a))) }
+          .map(p => Values.deHole(p._1)).getOrElse(JsUndefined)
       }
       case "findIndex" => nat(name) { as =>
         val fn = arg(as, 0)
         JsNum(a.items.toVector.zipWithIndex
-          .find { case (v, i) => truthy(interp.callCallback(fn, Vector(v, JsNum(i.toDouble), a))) }
+          .find { case (v, i) => truthy(interp.callCallback(fn, Vector(Values.deHole(v), JsNum(i.toDouble), a))) }
+          .map(_._2).getOrElse(-1).toDouble)
+      }
+      case "findLast" => nat(name) { as =>
+        val fn = arg(as, 0)
+        a.items.toVector.zipWithIndex.reverseIterator
+          .find { case (v, i) => truthy(interp.callCallback(fn, Vector(Values.deHole(v), JsNum(i.toDouble), a))) }
+          .map(p => Values.deHole(p._1)).getOrElse(JsUndefined)
+      }
+      case "findLastIndex" => nat(name) { as =>
+        val fn = arg(as, 0)
+        JsNum(a.items.toVector.zipWithIndex.reverseIterator
+          .find { case (v, i) => truthy(interp.callCallback(fn, Vector(Values.deHole(v), JsNum(i.toDouble), a))) }
           .map(_._2).getOrElse(-1).toDouble)
       }
       case "some" => nat(name) { as =>
         val fn = arg(as, 0)
         JsBool(a.items.toVector.zipWithIndex.exists { case (v, i) =>
-          truthy(interp.callCallback(fn, Vector(v, JsNum(i.toDouble), a)))
+          !(v eq JsHole) && truthy(interp.callCallback(fn, Vector(v, JsNum(i.toDouble), a)))
         })
       }
       case "every" => nat(name) { as =>
         val fn = arg(as, 0)
         JsBool(a.items.toVector.zipWithIndex.forall { case (v, i) =>
-          truthy(interp.callCallback(fn, Vector(v, JsNum(i.toDouble), a)))
+          (v eq JsHole) || truthy(interp.callCallback(fn, Vector(v, JsNum(i.toDouble), a)))
         })
       }
       case "sort" => nat(name) { as =>
         val cmp = arg(as, 0)
-        val (defined, undef) = a.items.toVector.partition(_ != JsUndefined)
+        // V8 order: sorted values, then undefineds, then holes at the end
+        val (holes, nonHole) = a.items.toVector.partition(_ eq JsHole)
+        val (defined, undef) = nonHole.partition(_ != JsUndefined)
         val sorted = cmp match {
           case JsUndefined =>
             // default sort: by ToString, code-unit order (stable)
@@ -1329,12 +1557,14 @@ object Builtins {
         a.items.clear()
         a.items ++= sorted
         a.items ++= undef
+        a.items ++= holes
         a
       }
       case "flat" => nat(name) { as =>
         val depth = arg(as, 0) match { case JsUndefined => 1; case v => toNumber(v).toInt }
         def fl(items: Vector[JsValue], d: Int): Vector[JsValue] =
           items.flatMap {
+            case h if h eq JsHole => Vector.empty // holes vanish at every depth
             case arr: JsArray if d > 0 => fl(arr.items.toVector, d - 1)
             case v => Vector(v)
           }
@@ -1343,7 +1573,8 @@ object Builtins {
       case "flatMap" => nat(name) { as =>
         val fn = arg(as, 0)
         JsArray.of(a.items.toVector.zipWithIndex.flatMap { case (v, i) =>
-          interp.callCallback(fn, Vector(v, JsNum(i.toDouble), a)) match {
+          if (v eq JsHole) Vector.empty // map skips + flat drops
+          else interp.callCallback(fn, Vector(v, JsNum(i.toDouble), a)) match {
             case arr: JsArray => arr.items.toVector
             case other => Vector(other)
           }
@@ -1357,15 +1588,29 @@ object Builtins {
         (start until end).foreach(a.items(_) = v)
         a
       }
+      case "copyWithin" => nat(name) { as =>
+        val len = a.items.length
+        val target = normIndex(toNumber(arg(as, 0)), len)
+        val start = arg(as, 1) match { case JsUndefined => 0; case x => normIndex(toNumber(x), len) }
+        val end = arg(as, 2) match { case JsUndefined => len; case x => normIndex(toNumber(x), len) }
+        val count = math.min(end - start, len - target)
+        if (count > 0) {
+          // snapshot first: source and destination ranges may overlap
+          val src = a.items.slice(start, start + count).toVector
+          var k = 0
+          while (k < count) { a.items(target + k) = src(k); k += 1 }
+        }
+        a
+      }
       case "at" => nat(name) { as =>
         val i0 = toNumber(arg(as, 0)).toInt
         val i = if (i0 < 0) a.items.length + i0 else i0
-        if (i >= 0 && i < a.items.length) a.items(i) else JsUndefined
+        if (i >= 0 && i < a.items.length) Values.deHole(a.items(i)) else JsUndefined
       }
       case "keys" => nat(name)(_ => JsArray.of(a.items.indices.map(i => JsNum(i.toDouble)): _*))
-      case "values" => nat(name)(_ => JsArray.of(a.items.toSeq: _*))
+      case "values" => nat(name)(_ => JsArray.of(a.items.toSeq.map(Values.deHole): _*))
       case "entries" => nat(name)(_ =>
-        JsArray.of(a.items.toVector.zipWithIndex.map { case (v, i) => JsArray.of(JsNum(i.toDouble), v) }: _*))
+        JsArray.of(a.items.toVector.zipWithIndex.map { case (v, i) => JsArray.of(JsNum(i.toDouble), Values.deHole(v)) }: _*))
       case "toString" => nat(name)(_ => JsStr(toStr(a)))
       case _ => None
     }

@@ -240,7 +240,7 @@ final class Interp(globalScope: Scope, val budget: Budget) {
 
   /** the for-of / spread iteration protocol over our builtin iterables */
   def iterate(v: JsValue, pos: Pos): Iterator[JsValue] = v match {
-    case a: JsArray => a.items.toVector.iterator
+    case a: JsArray => a.items.toVector.iterator.map(Values.deHole) // holes iterate as undefined
     case JsStr(s) =>
       // iterate code points, as JS string iteration does
       val cps = s.codePoints().toArray
@@ -265,7 +265,7 @@ final class Interp(globalScope: Scope, val budget: Budget) {
       bindPattern(inner, actual, scope, kind)
     case ArrayPattern(elems, rest, p0) =>
       val items: Vector[JsValue] = v match {
-        case a: JsArray => a.items.toVector
+        case a: JsArray => a.items.toVector.map(Values.deHole) // destructuring reads holes as undefined
         case other => iterate(other, p0).toVector
       }
       elems.zipWithIndex.foreach {
@@ -308,6 +308,7 @@ final class Interp(globalScope: Scope, val budget: Budget) {
       case BoolLit(v, _) => JsBool(v)
       case NullLit(_) => JsNull
       case UndefinedLit(_) => JsUndefined
+      case HoleLit(_) => JsHole // only ArrayLit emits these
       case RegexLit(pattern, flags, pos) => Builtins.compileRegex(pattern, flags, pos)
       case TemplateLit(parts, exprs, _) =>
         val sb = new java.lang.StringBuilder(parts.head)
@@ -391,7 +392,7 @@ final class Interp(globalScope: Scope, val budget: Budget) {
           case o: JsObject => if (!o.frozen) o.props.remove(key); JsBool(true)
           case a: JsArray =>
             val i = key.toIntOption
-            if (i.exists(x => x >= 0 && x < a.items.length)) { a.items(i.get) = JsUndefined; JsBool(true) }
+            if (i.exists(x => x >= 0 && x < a.items.length)) { a.items(i.get) = JsHole; JsBool(true) } // V8 leaves a hole
             else JsBool(true)
           case _ => JsBool(true)
         }
@@ -492,7 +493,9 @@ final class Interp(globalScope: Scope, val budget: Budget) {
         case o: JsObject => JsBool(o.props.contains(toStr(l)))
         case a: JsArray =>
           val i = toStr(l).toIntOption
-          JsBool(i.exists(x => x >= 0 && x < a.items.length) || toStr(l) == "length")
+          // a hole is an ABSENT property: `1 in [1,,3]` is false in V8
+          JsBool(i.exists(x => x >= 0 && x < a.items.length && !(a.items(x) eq JsHole))
+            || toStr(l) == "length")
         case _ => throwType("'in' needs an object right-hand side")
       }
   }
@@ -501,19 +504,29 @@ final class Interp(globalScope: Scope, val budget: Budget) {
 
   def getMember(obj: JsValue, key: JsValue, pos: Pos): JsValue = {
     obj match {
-      case JsNull | JsUndefined =>
+      case JsNull | (_: JsUndefinedKind) =>
         throwType(s"Cannot read properties of ${toStr(obj)} (reading '${toStr(key)}')")
       case o: JsObject =>
         val k = toStr(key)
-        o.props.getOrElse(k, Builtins.objectMethod(o, k).getOrElse(JsUndefined))
+        o.props.getOrElse(k,
+          Builtins.objectMethod(o, k).getOrElse {
+            // `.constructor` resolves to the GLOBAL builtin of the
+            // object's class by identity (`e.constructor === TypeError`
+            // must hold — V8's prototype-chain answer); plain objects
+            // answer Object. Own props above shadow it, like V8.
+            if (k == "constructor")
+              globalScope.lookup(o.className)
+                .orElse(globalScope.lookup("Object")).getOrElse(JsUndefined)
+            else JsUndefined
+          })
       case a: JsArray =>
         key match {
-          case JsNum(d) if d >= 0 && d == math.floor(d) && d < a.items.length => a.items(d.toInt)
+          case JsNum(d) if d >= 0 && d == math.floor(d) && d < a.items.length => Values.deHole(a.items(d.toInt))
           case _ =>
             val k = toStr(key)
             if (k == "length") JsNum(a.items.length.toDouble)
             else k.toIntOption match {
-              case Some(i) if i >= 0 && i < a.items.length => a.items(i)
+              case Some(i) if i >= 0 && i < a.items.length => Values.deHole(a.items(i))
               // negative / out-of-range numeric keys are NAMED props in
               // JS (a[-1] = x is a["-1"]) — setMember stores them in
               // extra, so the read side must consult it too
@@ -562,12 +575,12 @@ final class Interp(globalScope: Scope, val budget: Budget) {
         if (n < 0 || n != math.floor(n)) throwRange("invalid array length")
         val len = n.toInt
         if (len < a.items.length) a.items.remove(len, a.items.length - len)
-        else { budget.allocate((len - a.items.length).toLong); while (a.items.length < len) a.items += JsUndefined }
+        else { budget.allocate((len - a.items.length).toLong); while (a.items.length < len) a.items += JsHole } // extension creates HOLES, like V8
       } else k.toIntOption match {
         case Some(i) if i >= 0 =>
           if (i >= 1000000000) throwRange("array index too large for lens code")
           budget.allocate(math.max(1, i + 1 - a.items.length).toLong)
-          while (a.items.length <= i) a.items += JsUndefined
+          while (a.items.length <= i) a.items += JsHole // gap slots are HOLES, like V8
           a.items(i) = v
         case _ => budget.allocate(4); a.extraPut(k, v) // named props, like V8
       }

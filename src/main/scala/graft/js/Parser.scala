@@ -664,7 +664,7 @@ final class Parser(tokens: Vector[Token]) {
           val items = ArrayBuffer.empty[Expr]
           val spreads = scala.collection.mutable.Set.empty[Int]
           while (!atPunct("]")) {
-            if (atPunct(",")) { items += UndefinedLit(p0); advance() } // elision
+            if (atPunct(",")) { items += HoleLit(p0); advance() } // elision → hole, like V8
             else {
               if (atPunct("...")) { advance(); spreads += items.length }
               items += parseAssignExpr()

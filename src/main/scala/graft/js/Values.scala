@@ -14,7 +14,23 @@ import scala.util.control.NoStackTrace
   */
 sealed trait JsValue
 
-case object JsUndefined extends JsValue
+/** `undefined` — and its array-hole twin. `JsHole` marks an ABSENT
+  * array slot (elision, `delete a[i]`, `Array(n)`, length extension):
+  * it is `==` JsUndefined everywhere (every read of a hole observes
+  * `undefined`, exactly V8), but `eq`-distinguishable so the array
+  * enumeration methods can implement V8's hole-skipping (forEach/
+  * filter/map/keys/indexOf skip holes; find/iteration/join do not).
+  * INVARIANT: JsHole never escapes an array's `items` buffer — every
+  * read that hands a slot to user code or stores it elsewhere converts
+  * via [[JsValues.deHole]]. */
+sealed class JsUndefinedKind extends JsValue {
+  override def equals(o: Any): Boolean = o.isInstanceOf[JsUndefinedKind]
+  override def hashCode: Int = 0x11d
+  override def toString: String = "JsUndefined"
+}
+object JsUndefined extends JsUndefinedKind
+object JsHole extends JsUndefinedKind { override def toString: String = "JsHole" }
+
 case object JsNull extends JsValue
 final case class JsBool(b: Boolean) extends JsValue
 final case class JsNum(v: Double) extends JsValue
@@ -155,6 +171,9 @@ final class Scope(val parent: Scope) {
 
 object Values {
 
+  /** the one sanctioned exit for array holes: reads observe undefined */
+  @inline def deHole(v: JsValue): JsValue = if (v eq JsHole) JsUndefined else v
+
   def truthy(v: JsValue): Boolean = v match {
     case JsUndefined | JsNull => false
     case JsBool(b) => b
@@ -288,7 +307,7 @@ object Values {
 
   /** ToString */
   def toStr(v: JsValue): String = v match {
-    case JsUndefined => "undefined"
+    case _: JsUndefinedKind => "undefined"
     case JsNull => "null"
     case JsBool(b) => b.toString
     case JsNum(d) => numToString(d)

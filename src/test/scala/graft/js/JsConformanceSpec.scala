@@ -742,4 +742,100 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
       "isFinite(Infinity)" -> "false",
       "Number.isFinite(2**53)" -> "true",
     )
+  }
+
+  // ---- round-7 V8-validated additions (every expectation below was
+  //      produced by running the expression in node v20 / V8) ----
+
+  test("sparse arrays: holes skip in enumeration, read as undefined") {
+    expect(
+      "[1,,3].map(x => x * 2).join(',')" -> "2,,6", // hole KEPT, callback skipped
+      "[1,,3].filter(() => true).length" -> "2",
+      "(()=>{ let n=0; [1,,3].forEach(()=>n++); return n })()" -> "2",
+      "[1,,3].indexOf(undefined)" -> "-1",          // holes never match
+      "[1,,3].includes(undefined)" -> "true",       // includes treats as undefined
+      "Object.keys([1,,3]).join(',')" -> "0,2",
+      "[1,,3].find(x => x === undefined) === undefined" -> "true", // find VISITS holes
+      "[,1].reduce((a,b)=>a+b)" -> "1",             // no-seed acc = first PRESENT
+      "[1,,3].flat().length" -> "2",                // flat drops holes
+      "[...[1,,3]].length" -> "3",                  // iteration does NOT skip
+      "[...[1,,3]][1] === undefined" -> "true",
+      "1 in [1,,3]" -> "false",                     // a hole is an absent property
+      "0 in [1,,3]" -> "true",
+      "[1,,3].join('-')" -> "1--3",
+      "JSON.stringify([1,,3])" -> "[1,null,3]",
+      "[,,].length" -> "2",                         // trailing comma is not a slot
+      "[3,,1,undefined,2].sort().join(',')" -> "1,2,3,,", // undefineds, THEN holes
+      "(()=>{ const [x,y]=[1,,3]; return ''+y })()" -> "undefined",
+      // skipped holes never compact the callback's index argument
+      "[1,,3].reduce((a,v,i)=>a+':'+v+'@'+i, 's')" -> "s:1@0:3@2",
+      "[1,,3].reduceRight((a,v,i)=>a+':'+v+'@'+i, 's')" -> "s:3@2:1@0",
+    )
+  }
+
+  test("holes from delete / Array(n) / length extension / index gaps") {
+    expect(
+      "(()=>{ const a=[1,2,3]; delete a[1]; return JSON.stringify([a.length, 1 in a, a.indexOf(undefined)]) })()" -> "[3,false,-1]",
+      "Array(3).map(x=>1).length" -> "3",           // all-holes: map keeps them
+      "Array(3).filter(()=>true).length" -> "0",
+      "Array(3).fill(7).join(',')" -> "7,7,7",      // fill densifies
+      "JSON.stringify(Array(2))" -> "[null,null]",
+      "(()=>{ const a=[1]; a[3]=9; return Object.keys(a).join(',') })()" -> "0,3",
+      "(()=>{ const a=[1]; a.length=3; return a.filter(()=>true).length })()" -> "1",
+      "Array.from([1,,3]).filter(()=>true).length" -> "3", // from() densifies
+      "Object.hasOwn([1,,3], 1)" -> "false",
+      "[1,,3].slice(1).filter(()=>true).length" -> "1",    // slice preserves holes
+    )
+  }
+
+  test("toExponential: unpadded exponent, half-up on the binary value") {
+    expect(
+      "(8.765).toExponential(2)" -> "8.77e+0",  // binary 8.765000…5 rounds UP
+      "(0).toExponential()" -> "0e+0",
+      "(123456).toExponential(1)" -> "1.2e+5",
+      "(123456).toExponential()" -> "1.23456e+5",
+      "(100).toExponential()" -> "1e+2",
+      "(1).toExponential(2)" -> "1.00e+0",
+      "(99.9).toExponential(1)" -> "1.0e+2",    // carry into the exponent
+      "(0.000001234).toExponential()" -> "1.234e-6",
+      "(-8.5).toExponential(0)" -> "-9e+0",
+    )
+  }
+
+  test("findLast / findLastIndex / copyWithin") {
+    expect(
+      "[1,2,3].findLast(x => x < 3)" -> "2",
+      "[1,2,3].findLastIndex(x => x < 3)" -> "1",
+      "[1,2,3].findLast(x => x > 9) === undefined" -> "true",
+      "[1,2,3,4,5].copyWithin(0, 3).join(',')" -> "4,5,3,4,5",
+      "[1,2,3,4,5].copyWithin(1, 2, 4).join(',')" -> "1,3,4,4,5",
+    )
+  }
+
+  test("named capture groups: .groups, $<name> replacement, callback arg") {
+    expect(
+      "'abc'.match(/(?<first>a)/).groups.first" -> "a",
+      "'abc'.match(/(?<first>a)/).groups.missing === undefined" -> "true",
+      "'' + /(?<d>\\d+)/.exec('id 42').groups.d" -> "42",
+      "'abc'.replace(/(?<x>b)/, '[$<x>]')" -> "a[b]c",
+      "'abc'.replace(/(?<x>b)/, '[$<nope>]')" -> "a[]c",   // unknown name → ''
+      "'abc'.replace(/b/, '[$<x>]')" -> "a[$<x>]c",        // no named groups → literal
+      "'ab'.replace(/(?<c>a)/, (m, g1, i, s, groups) => groups.c + '!')" -> "a!b",
+      "'a1b2'.matchAll ? [...'a1b2'.matchAll(/\\d/g)].length : 'missing'" -> "2",
+      "[...'xaxa'.matchAll(/a/g)].map(m => m.index).join(',')" -> "1,3",
+    )
+  }
+
+  test("Object.is, constructor identity, fractional radix toString") {
+    expect(
+      "Object.is(NaN, NaN)" -> "true",
+      "Object.is(0, -0)" -> "false",
+      "Object.is('a', 'a')" -> "true",
+      "(()=>{ try { null.x } catch (e) { return e.constructor === TypeError } })()" -> "true",
+      "({}).constructor === Object" -> "true",
+      "(0.5).toString(2)" -> "0.1",
+      "(0.25).toString(16)" -> "0.4",
+      "(10.5).toString(16)" -> "a.8",
+      "(-2.5).toString(2)" -> "-10.1",
+    )
   }}
