@@ -838,4 +838,56 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
       "(10.5).toString(16)" -> "a.8",
       "(-2.5).toString(2)" -> "-10.1",
     )
+  }
+
+  test("wave-3 probe pins: coercion, JSON, number layout, regex anchors") {
+    expect(
+      // ToPrimitive / ToNumber chains
+      "+[]" -> "0",
+      "+[7]" -> "7",
+      "'' + +[1,2]" -> "NaN",
+      "'' + +{}" -> "NaN",
+      "1 + null" -> "1",
+      "'' + (1 + undefined)" -> "NaN",
+      "'' + [null, undefined]" -> ",",
+      "[null] == 0" -> "true",
+      "[] == ![]" -> "true",
+      "null >= 0" -> "true", // relational coerces null→0...
+      "null > 0" -> "false", // ...but == does not
+      // JSON corners
+      "JSON.stringify({a: undefined, b: 1})" -> "{\"b\":1}",
+      "JSON.stringify([undefined])" -> "[null]",
+      "JSON.stringify(1e21)" -> "1e+21",
+      "JSON.stringify(-0)" -> "0",
+      "'' + JSON.stringify(NaN)" -> "null",
+      // number → string thresholds (ES 6.1.6.1.20)
+      "String(1e21)" -> "1e+21",
+      "String(1e-7)" -> "1e-7",
+      "String(0.000001)" -> "0.000001",
+      "String(-0)" -> "0",
+      "(0.1 + 0.2).toString()" -> "0.30000000000000004",
+      "(4.35).toFixed(1)" -> "4.3", // binary 4.349999… — NOT school rounding
+      // regex anchors + classes through the java.util.regex translation
+      "/a$/.test('a\\n')" -> "false",   // JS $ is true-end without m
+      "/a$/m.test('a\\nb')" -> "true",
+      "/[^]/.test('\\n')" -> "true",
+      "'aaa'.replace(/(?=a)/g, '-')" -> "-a-a-a",
+      "/\\s/.test('\\u00a0')" -> "true",  // JS \\s includes NBSP, Java's doesn't
+      "/\\d/.test('٣')" -> "false",       // JS \\d is ASCII-only
+      "'' + (/(a)|(b)/.exec('b')[1] === undefined)" -> "true",
+      // scoping
+      "(()=>{ var x = 1; { var x = 2; } return x })()" -> "2",
+      "(()=>{ let x = 1; { let x = 2; } return x })()" -> "1",
+    )
+  }
+
+  test("detached-method `this`: LOUD TypeError, not sloppy-mode globalThis") {
+    // V8 in sloppy mode silently binds `this` to globalThis, so
+    // `const f = o.m; f()` reads this.x as undefined. Binding the
+    // sandbox's global object would let lens code mutate shared global
+    // state through `this.x = …`; the engine keeps `this` undefined and
+    // THROWS on the read — a deliberate, documented, loud divergence
+    // (the same policy as Math.random/Date: never silent).
+    val res = run("const o = { x: 5, m() { return this.x } }; const f = o.m; output('r', f())")
+    assert(res.error.exists(_.errType == "TypeError"), s"got ${res.error}")
   }}
