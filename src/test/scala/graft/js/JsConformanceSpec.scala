@@ -881,6 +881,21 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
     )
   }
 
+  test("out-of-subset constructs are LOUD — startup or runtime error, never silent") {
+    // parse-time rejections (the accessor-property policy, generalized):
+    Seq("class A {}", "function* g(){}", "async function f(){}",
+        "const x = async () => 1", "const s = String.raw`a${1}b`",
+        "with({a:1}) output('r', a)").foreach { code =>
+      assert(JsMapFn.compile(code).isLeft, s"must reject at startup: $code")
+    }
+    // runtime rejections (dynamic code loading is blocked for the
+    // sandbox — both identifiers are simply absent):
+    Seq("eval('1+1')", "new Function('return 1')()").foreach { expr =>
+      val res = run(s"output('r', $expr)")
+      assert(res.error.exists(_.errType == "ReferenceError"), s"$expr → ${res.error}")
+    }
+  }
+
   test("detached-method `this`: LOUD TypeError, not sloppy-mode globalThis") {
     // V8 in sloppy mode silently binds `this` to globalThis, so
     // `const f = o.m; f()` reads this.x as undefined. Binding the

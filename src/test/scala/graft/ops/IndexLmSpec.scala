@@ -51,6 +51,14 @@ class IndexLmSpec extends AnyFunSuite {
     assert(got("tok")._3 == (1L to 20L).mkString(","))
   }
 
+  test("posting cap compiles to WindowGroupLimit (token-skew bound)") {
+    import spark.implicits._
+    val docs = (1L to 5L).map(i => (i, "tok")).toDF("doc_id", "text")
+    val plan = TextOps.invertedIndex(docs, minDf = 2, maxDf = 50, maxPostings = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
+
   // ---- lmHitRate ----
 
   private def gate(docs: Seq[(Long, String)], ref: Seq[(Long, String)],

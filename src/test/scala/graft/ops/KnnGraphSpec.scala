@@ -84,6 +84,12 @@ class KnnGraphSpec extends AnyFunSuite {
     assert(run() == run())
   }
 
+  test("per-node top-k compiles to WindowGroupLimit (map-side bound)") {
+    val plan = Ann.knnGraph(fixture(), k = 3, dim = dim)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
+
   // ---- hardNegatives ----
 
   /** seven near-identical vectors (they collide in every table) with
