@@ -1619,7 +1619,7 @@ object Builtins {
   // ---- parseInt / parseFloat ----
 
   def parseIntJs(s0: String, radixV: JsValue): Double = {
-    var s = s0.trim
+    var s = Values.jsTrim(s0) // JS whitespace set, not String.trim
     var sign = 1
     if (s.startsWith("-")) { sign = -1; s = s.substring(1) }
     else if (s.startsWith("+")) s = s.substring(1)
@@ -1644,7 +1644,7 @@ object Builtins {
   }
 
   def parseFloatJs(s0: String): Double = {
-    val s = s0.trim
+    val s = Values.jsTrim(s0) // JS whitespace set, not String.trim
     val m = java.util.regex.Pattern
       .compile("^[+-]?(Infinity|\\d+\\.?\\d*(?:[eE][+-]?\\d+)?|\\.\\d+(?:[eE][+-]?\\d+)?)")
       .matcher(s)

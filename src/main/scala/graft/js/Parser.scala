@@ -513,8 +513,21 @@ final class Parser(tokens: Vector[Token]) {
 
   private def parseExponent(): Expr = {
     val p0 = pos
+    // ES 13.6: an (unparenthesized) UnaryExpression may not be the base
+    // of ** — V8 rejects `-2 ** 2` at parse; silently reading it as
+    // -(2**2) or (-2)**2 would be a wrong-answer bug. The check is on
+    // the LEADING TOKEN (not the parsed node): this AST drops parens,
+    // and `(-2) ** 2` is legal. ++/-- prefixes stay legal (an
+    // UpdateExpression IS a valid base per the grammar).
+    val startsWithUnaryOp =
+      (peek.kind == "punct" && Seq("!", "-", "+", "~").contains(peek.text)) ||
+        atKw("typeof") || atKw("void") || atKw("delete")
     val base = parseUnary()
-    if (atPunct("**")) { advance(); Binary("**", base, parseExponent(), p0) } // right-assoc
+    if (atPunct("**")) {
+      if (startsWithUnaryOp)
+        err("unary operator cannot be the base of '**' — parenthesize the base")
+      advance(); Binary("**", base, parseExponent(), p0) // right-assoc
+    }
     else base
   }
 

@@ -248,8 +248,29 @@ object Values {
     case _ => Double.NaN
   }
 
+  /** ECMA StrWhiteSpaceChar = WhiteSpace ∪ LineTerminator: the JS set
+    * includes NBSP, ZWNBSP/BOM, and every Zs char — Java's
+    * `String.trim` (≤ U+0020) and `Character.isWhitespace` (excludes
+    * NBSP/FEFF) both differ, which made `Number(' ')` NaN
+    * instead of 0 (found by V8-differential fuzzing). */
+  def isJsWhitespace(c: Char): Boolean = c match {
+    case '\t' | '\n' | '\u000B' | '\f' | '\r' | ' ' | '\u00A0' |
+         '\uFEFF' | '\u2028' | '\u2029' => true
+    case _ => Character.getType(c) == Character.SPACE_SEPARATOR
+  }
+
+  /** trim with the JS whitespace set — the ToNumber/parseInt/parseFloat
+    * leading/trailing strip */
+  def jsTrim(s: String): String = {
+    var i = 0
+    var j = s.length
+    while (i < j && isJsWhitespace(s.charAt(i))) i += 1
+    while (j > i && isJsWhitespace(s.charAt(j - 1))) j -= 1
+    s.substring(i, j)
+  }
+
   def stringToNumber(s0: String): Double = {
-    val s = s0.trim
+    val s = jsTrim(s0)
     if (s.isEmpty) return 0.0
     // BigInteger accepts a leading '+'/'-' in the digits, but JS radix
     // strings admit none: Number("0x-5") is NaN, not -5

@@ -881,6 +881,31 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
     )
   }
 
+  test("ToNumber trims the JS whitespace set (NBSP et al), not Java's") {
+    expect(
+      "Number('\\u00a0')" -> "0",          // NBSP is StrWhiteSpaceChar
+      "Number('\\u00a0 42 \\u00a0')" -> "42",
+      "Number('\\ufeff')" -> "0",          // ZWNBSP/BOM too
+      "Number('\\u2028')" -> "0",          // LineTerminator
+      "isNaN('\\u00a0')" -> "false",
+      "'\\u00a0' >= 0" -> "true",
+      "parseInt('\\u00a07')" -> "7",
+      "'' + parseFloat('\\u00a0')" -> "NaN", // parseFloat: empty after trim → NaN
+      "Math.floor('\\u00a0')" -> "0",
+    )
+  }
+
+  test("unary base of ** is a startup error, exactly V8's parse rule") {
+    // -(2**2) or (-2)**2 would both be silently-wrong readings
+    Seq("const x = -2 ** 2", "const x = !1 ** 2", "const x = typeof 1 ** 2")
+      .foreach(code => assert(JsMapFn.compile(code).isLeft, s"must reject: $code"))
+    expect(
+      "(-2) ** 2" -> "4",      // parenthesized base is legal
+      "2 ** -2" -> "0.25",     // unary on the EXPONENT is legal
+      "(()=>{ let x = 2; return --x ** 2 })()" -> "1", // UpdateExpression base is legal
+    )
+  }
+
   test("out-of-subset constructs are LOUD — startup or runtime error, never silent") {
     // parse-time rejections (the accessor-property policy, generalized):
     Seq("class A {}", "function* g(){}", "async function f(){}",
