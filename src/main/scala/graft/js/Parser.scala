@@ -69,6 +69,7 @@ final class Parser(tokens: Vector[Token]) {
   def parseProgram(): Program = {
     val stmts = ArrayBuffer.empty[Stmt]
     while (peek.kind != "eof") stmts += parseStatement()
+    checkLexicalDups(stmts.toSeq)
     Program(stmts.toVector)
   }
 
@@ -133,7 +134,44 @@ final class Parser(tokens: Vector[Token]) {
       stmts += parseStatement()
     }
     eatPunct("}")
+    checkLexicalDups(stmts.toSeq)
     Block(stmts.toVector, p0)
+  }
+
+  /** ES early error (13.2.1): duplicate lexical declarations in one
+    * block scope are a SyntaxError — V8 rejects at parse; a silent
+    * re-declare would quietly change which binding later code reads
+    * (found by statement-level differential fuzzing). Checked per
+    * block level: let/const duplicated, let/const vs same-level `var`,
+    * let/const vs a same-level function declaration, and (via
+    * `extraNames`) vs the enclosing function's parameters or catch
+    * binding. Duplicate `var`s and sloppy-mode duplicate function
+    * declarations stay legal, like V8. Out-of-subset limit (documented,
+    * not checked): a `var` HOISTING out of a nested block onto an outer
+    * `let` (`let x; { var x; }`) still shadows silently. */
+  private def patNames(pat: Pattern): Seq[String] = pat match {
+    case IdPattern(n, _) => Seq(n)
+    case ArrayPattern(elems, rest, _) => elems.flatten.flatMap(patNames) ++ rest
+    case ObjectPattern(entries, rest, _) => entries.map(_._2).flatMap(patNames) ++ rest
+    case DefaultPattern(inner, _, _) => patNames(inner)
+  }
+
+  private def checkLexicalDups(stmts: Seq[Stmt], extraNames: Seq[String] = Nil): Unit = {
+    def names(pat: Pattern): Seq[String] = patNames(pat)
+    val lexical = ArrayBuffer.empty[String]
+    val varsAndFns = scala.collection.mutable.HashSet.empty[String]
+    stmts.foreach {
+      case VarDecl(kind, decls, _) =>
+        val ns = decls.flatMap { case (pat, _) => names(pat) }
+        if (kind == "var") varsAndFns ++= ns else lexical ++= ns
+      case FnDecl(name, _, _) => varsAndFns += name
+      case _ => ()
+    }
+    val seen = scala.collection.mutable.HashSet.empty[String] ++ extraNames
+    lexical.foreach { n =>
+      if (!seen.add(n) || varsAndFns.contains(n))
+        err(s"identifier '$n' has already been declared")
+    }
   }
 
   private def parseVarDecl(): VarDecl = {
@@ -238,6 +276,9 @@ final class Parser(tokens: Vector[Token]) {
     }
     eatPunct(")")
     val body = parseBlock().stmts
+    // params-vs-body lexical conflict: `function f(a) { let a }` is a
+    // V8 SyntaxError (sloppy duplicate PARAMS stay legal)
+    checkLexicalDups(body, params.toSeq.flatMap(patNames) ++ rest)
     (params.toVector, rest, body)
   }
 
@@ -347,6 +388,9 @@ final class Parser(tokens: Vector[Token]) {
       advance()
       if (atPunct("(")) { advance(); catchParam = Some(parseBindingPattern()); eatPunct(")") }
       catchBlock = Some(parseBlock())
+      // `catch (e) { let e }` is a V8 SyntaxError
+      catchBlock.foreach(b =>
+        checkLexicalDups(b.stmts, catchParam.toSeq.flatMap(patNames)))
     }
     val finallyBlock = if (atKw("finally")) { advance(); Some(parseBlock()) } else None
     if (catchBlock.isEmpty && finallyBlock.isEmpty) err("try needs catch or finally")
@@ -373,6 +417,9 @@ final class Parser(tokens: Vector[Token]) {
       cases += ((test, stmts.toVector))
     }
     eatPunct("}")
+    // every case shares ONE switch-block scope, so lexical dups are
+    // checked across the flattened case bodies (the V8 rule)
+    checkLexicalDups(cases.toSeq.flatMap(_._2))
     Switch(disc, cases.toVector, p0)
   }
 

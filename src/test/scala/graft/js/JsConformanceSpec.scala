@@ -895,6 +895,28 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
     )
   }
 
+  test("lexical redeclaration is a startup error (ES early error 13.2.1)") {
+    // silent redeclare would quietly change which binding later code
+    // reads — V8 rejects all of these at parse
+    Seq(
+      "let a = 1; let a = 2",
+      "const a = 1; const { a } = {}",
+      "let a = 1; var a = 2",
+      "let f = 1; function f() {}",
+      "function g(a) { let a = 2 }",
+      "try { } catch (e) { let e = 1 }",
+      "switch (1) { case 0: let x = 1; break; case 1: let x = 2 }",
+    ).foreach(code => assert(JsMapFn.compile(code).isLeft, s"must reject: $code"))
+    expect(
+      // still legal, like V8: var+var, sloppy duplicate functions,
+      // shadowing in a NESTED scope, sibling for-loop heads
+      "(()=>{ var a = 1; var a = 2; return a })()" -> "2",
+      "(()=>{ let a = 1; { let a = 2; } return a })()" -> "1",
+      "(()=>{ let s = ''; for (let i = 0; i < 2; i++) s += i; for (let i = 0; i < 2; i++) s += i; return s })()" -> "0101",
+      "(()=>{ function f() { return 1 }; function f() { return 2 }; return f() })()" -> "2",
+    )
+  }
+
   test("unary base of ** is a startup error, exactly V8's parse rule") {
     // -(2**2) or (-2)**2 would both be silently-wrong readings
     Seq("const x = -2 ** 2", "const x = !1 ** 2", "const x = typeof 1 ** 2")
