@@ -670,11 +670,78 @@ object Builtins {
       case 'y' => throw new JsSyntaxError("sticky regex flag 'y' is not supported in lens code", pos.line)
       case other => throw new JsSyntaxError(s"unsupported regex flag '$other'", pos.line)
     }
+    validateJsQuantifiers(source)
+    val (negG, negN) = negativeLookaroundCaptures(source)
     val javaPattern = translateRegex(source, multiline = flags.contains('m'))
-    try new JsRegExpV(source, flags, java.util.regex.Pattern.compile(javaPattern, f))
+    try new JsRegExpV(source, flags,
+      java.util.regex.Pattern.compile(javaPattern, f), negG, negN)
     catch {
       case e: java.util.regex.PatternSyntaxException =>
         throw JsThrown(makeError("SyntaxError", s"Invalid regular expression: ${e.getDescription}"))
+    }
+  }
+
+  /** JS quantifier grammar check — java.util.regex ACCEPTS forms JS
+    * rejects, with DIFFERENT semantics: `a++` is a Java possessive
+    * quantifier, `$*`/`\b{2}` quantify anchors, `x?{2}` stacks
+    * quantifiers. Passing them through would silently run Java
+    * semantics where V8 throws SyntaxError (found by regex-differential
+    * fuzzing). Rule (ES 22.2.1 Quantifier): after a quantifier only ONE
+    * lazy `?` may follow; `^ $ \b \B` cannot be quantified at all.
+    * Quantified lookaheads stay legal (Annex B B.1.4, what V8 ships). */
+  private def validateJsQuantifiers(src: String): Unit = {
+    def bad(what: String): Nothing =
+      throw JsThrown(makeError("SyntaxError",
+        s"Invalid regular expression: $what (java.util.regex would accept it with different semantics)"))
+    // classify the position BEFORE each char: what the previous token was
+    val ANCHOR = 1; val QUANT = 2; val QUANT_LAZY = 3; val OTHER = 0
+    var prev = OTHER
+    var i = 0
+    var inClass = false
+    val n = src.length
+    /** is src(i) == '{' a quantifier opener ({n} / {n,} / {n,m})? */
+    def braceQuant(at: Int): Int = { // returns end index AFTER '}', or -1
+      var j = at + 1
+      val d0 = j
+      while (j < n && src.charAt(j).isDigit) j += 1
+      if (j == d0) return -1
+      if (j < n && src.charAt(j) == ',') { j += 1; while (j < n && src.charAt(j).isDigit) j += 1 }
+      if (j < n && src.charAt(j) == '}') j + 1 else -1
+    }
+    while (i < n) {
+      val c = src.charAt(i)
+      if (inClass) {
+        if (c == '\\') i += 2
+        else { if (c == ']') { inClass = false; prev = OTHER }; i += 1 }
+      } else c match {
+        case '\\' =>
+          val d = if (i + 1 < n) src.charAt(i + 1) else ' '
+          prev = if (d == 'b' || d == 'B') ANCHOR else OTHER
+          i += 2
+        case '[' => inClass = true; i += 1
+        case '^' | '$' => prev = ANCHOR; i += 1
+        case '*' | '+' | '?' =>
+          prev match {
+            case ANCHOR => bad(s"nothing to repeat: quantifier '$c' after an anchor")
+            case QUANT => if (c == '?') prev = QUANT_LAZY
+              else bad(s"quantifier '$c' after a quantifier")
+            case QUANT_LAZY => bad(s"quantifier '$c' after a lazy quantifier")
+            case _ => prev = QUANT
+          }
+          i += 1
+        case '{' =>
+          val end = braceQuant(i)
+          if (end < 0) { prev = OTHER; i += 1 } // literal brace, like JS sloppy
+          else {
+            prev match {
+              case ANCHOR => bad("nothing to repeat: '{n}' after an anchor")
+              case QUANT | QUANT_LAZY => bad("'{n}' after a quantifier")
+              case _ => prev = QUANT
+            }
+            i = end
+          }
+        case _ => prev = OTHER; i += 1
+      }
     }
   }
 
@@ -690,7 +757,13 @@ object Builtins {
     "\\t-\\r \u00A0\u1680\u2000-\u200A\u2028\u2029\u202F\u205F\u3000\uFEFF"
 
   /** ECMA regex source → java.util.regex source. Same syntax for the
-    * most part; the silent divergences translated here:
+    * most part. KNOWN residual limit (V8-differential fuzz, one hit in
+    * 4800 random patterns): a capture inside a NESTED quantified group
+    * whose body can match empty — `(([ab]*)…)*` — may report Java's
+    * last (empty) iteration where V8 keeps the last non-empty one;
+    * that is engine-internal repetition-capture state, not a
+    * translatable syntax difference. The silent divergences translated
+    * here:
     *  - `\s`/`\S` → explicit JS whitespace class (Java's is ASCII-only);
     *    emitted as a nested class, legal both inside and outside `[...]`
     *  - bare `$` without the m flag → `\z` (Java's `$` matches BEFORE a
@@ -719,6 +792,11 @@ object Builtins {
       } else if (inClass && c == '[') { sb.append("\\["); i += 1 }
       else if (inClass && c == ']') { inClass = false; sb.append(c); i += 1 }
       else if (!inClass && c == '$' && !multiline) { sb.append("\\z"); i += 1 }
+      else if (!inClass && c == '^' && multiline) {
+        // Java quirk: MULTILINE `^` does NOT match the empty input
+        // (find on "" is false) while JS `^` does — `\A` fills the gap
+        sb.append("(?:\\A|^)"); i += 1
+      }
       else { sb.append(c); i += 1 }
     }
     sb.toString
@@ -744,7 +822,7 @@ object Builtins {
       val start = if (r.global) math.min(r.lastIndex, s.length) else 0
       if (m.find(start)) {
         if (r.global) r.lastIndex = m.end
-        Some(execResult(m, s)).get
+        Some(execResult(m, s, r.negGroups, r.negNames)).get
       } else {
         if (r.global) r.lastIndex = 0
         JsNull
@@ -754,10 +832,15 @@ object Builtins {
     case _ => None
   }
 
-  def execResult(m: java.util.regex.Matcher, input: String): JsArray = {
+  def execResult(m: java.util.regex.Matcher, input: String,
+                 negGroups: Set[Int] = Set.empty,
+                 negNames: Set[String] = Set.empty): JsArray = {
     val out = JsArray.empty
     (0 to m.groupCount).foreach { g =>
-      out.items += (if (m.group(g) == null) JsUndefined else JsStr(m.group(g)))
+      // a capture inside a NEGATIVE lookaround never participates in a
+      // successful JS match; Java retains the failed attempt's value
+      val v = if (g > 0 && negGroups(g)) null else m.group(g)
+      out.items += (if (v == null) JsUndefined else JsStr(v))
     }
     // V8 match/exec results are arrays with own props (ES 22.2.7.2)
     out.extraPut("index", JsNum(m.start.toDouble))
@@ -772,12 +855,53 @@ object Builtins {
     if (names.nonEmpty) {
       val g = JsObject.empty()
       names.foreach { nm =>
-        g.props.put(nm,
-          Option(m.group(nm)).map(s => JsStr(s): JsValue).getOrElse(JsUndefined))
+        val v = if (negNames(nm)) None else Option(m.group(nm))
+        g.props.put(nm, v.map(s => JsStr(s): JsValue).getOrElse(JsUndefined))
       }
       out.extraPut("groups", g)
     }
     out
+  }
+
+  /** capture groups (by index and by declared name) lexically inside a
+    * NEGATIVE lookaround (`(?!…)` / `(?<!…)`, any nesting depth): when
+    * the assertion succeeds by FAILING, JS resets these captures while
+    * java.util.regex keeps the attempt's partial values. */
+  private def negativeLookaroundCaptures(src: String): (Set[Int], Set[String]) = {
+    val idxs = scala.collection.mutable.Set.empty[Int]
+    val nms = scala.collection.mutable.Set.empty[String]
+    val stack = scala.collection.mutable.Stack.empty[Boolean] // isNeg per '('
+    var i = 0
+    var g = 0
+    var negDepth = 0
+    var inClass = false
+    val n = src.length
+    while (i < n) {
+      val c = src.charAt(i)
+      if (c == '\\') i += 2
+      else if (inClass) { if (c == ']') inClass = false; i += 1 }
+      else if (c == '[') { inClass = true; i += 1 }
+      else if (c == '(') {
+        val isNeg = src.startsWith("(?!", i) || src.startsWith("(?<!", i)
+        val named = src.startsWith("(?<", i) && i + 3 < n &&
+          src.charAt(i + 3) != '=' && src.charAt(i + 3) != '!'
+        val capturing = named || !(i + 1 < n && src.charAt(i + 1) == '?')
+        if (capturing) {
+          g += 1
+          if (negDepth > 0) idxs += g
+          if (named && negDepth > 0) {
+            val end = src.indexOf('>', i + 3)
+            if (end > 0) nms += src.substring(i + 3, end)
+          }
+        }
+        if (isNeg) negDepth += 1
+        stack.push(isNeg)
+        i += 1
+      }
+      else if (c == ')') { if (stack.nonEmpty && stack.pop()) negDepth -= 1; i += 1 }
+      else i += 1
+    }
+    (idxs.toSet, nms.toSet)
   }
 
   /** declared named-capture groups of a compiled pattern source, in
@@ -1103,15 +1227,15 @@ object Builtins {
       case "trimEnd" => withStr(name)(_ => JsStr(s.replaceAll("\\s+$", "")))
       case "split" => withStr(name) { as =>
         val limit = arg(as, 1) match { case JsUndefined => Int.MaxValue; case v => toNumber(v).toInt }
-        val parts: Vector[String] = arg(as, 0) match {
-          case JsUndefined => Vector(s)
-          case r: JsRegExpV => splitByRegex(s, r.pattern)
+        val parts: Vector[JsValue] = arg(as, 0) match {
+          case JsUndefined => Vector(JsStr(s))
+          case r: JsRegExpV => splitByRegex(s, r.pattern, r.negGroups)
           case sep =>
             val sepS = toStr(sep)
-            if (sepS.isEmpty) s.map(_.toString).toVector
-            else splitByLiteral(s, sepS)
+            if (sepS.isEmpty) s.map(c => JsStr(c.toString): JsValue).toVector
+            else splitByLiteral(s, sepS).map(JsStr(_): JsValue)
         }
-        JsArray.of(parts.take(math.max(0, limit)).map(JsStr(_)): _*)
+        JsArray.of(parts.take(math.max(0, limit)): _*)
       }
       case "replace" => withStr(name)(as => JsStr(replaceImpl(s, arg(as, 0), arg(as, 1), all = false, interp)))
       case "replaceAll" => withStr(name)(as => JsStr(replaceImpl(s, arg(as, 0), arg(as, 1), all = true, interp)))
@@ -1125,7 +1249,7 @@ object Builtins {
               if (out.items.isEmpty) JsNull else out
             } else {
               val m = r.pattern.matcher(s)
-              if (m.find()) execResult(m, s) else JsNull
+              if (m.find()) execResult(m, s, r.negGroups, r.negNames) else JsNull
             }
           case other =>
             // a string argument is coerced to a PATTERN (new RegExp(s)),
@@ -1134,7 +1258,7 @@ object Builtins {
             // not the literal string "undefined"
             val r = compileRegex(if (other == JsUndefined) "" else toStr(other), "", Pos(0))
             val m = r.pattern.matcher(s)
-            if (m.find()) execResult(m, s) else JsNull
+            if (m.find()) execResult(m, s, r.negGroups, r.negNames) else JsNull
         }
       }
       case "search" => withStr(name) { as =>
@@ -1163,7 +1287,7 @@ object Builtins {
         var q = 0
         while (q <= s.length && m.find(q)) {
           interp.budget.allocate(4)
-          out.items += execResult(m, s)
+          out.items += execResult(m, s, r.negGroups, r.negNames)
           q = if (m.end == m.start) m.end + 1 else m.end // zero-width: advance
         }
         out
@@ -1228,11 +1352,12 @@ object Builtins {
     * (unlike Java's default), includes capture groups in the output, and
     * advances one position past zero-width matches. Mirrors the spec's
     * SplitMatch loop with a find(q)-based scan. */
-  private def splitByRegex(s: String, p: java.util.regex.Pattern): Vector[String] = {
+  private def splitByRegex(s: String, p: java.util.regex.Pattern,
+                           negGroups: Set[Int] = Set.empty): Vector[JsValue] = {
     if (s.isEmpty) {
-      return if (p.matcher(s).find()) Vector.empty else Vector(s)
+      return if (p.matcher(s).find()) Vector.empty else Vector(JsStr(s))
     }
-    val out = Vector.newBuilder[String]
+    val out = Vector.newBuilder[JsValue]
     val m = p.matcher(s)
     var last = 0 // start of the current un-emitted segment
     var q = 0    // scan position
@@ -1241,16 +1366,20 @@ object Builtins {
         if (m.end == last && m.start == last) q += 1 // zero-width at segment start: skip
         else if (m.start >= s.length) q = s.length
         else {
-          out += s.substring(last, m.start)
+          out += JsStr(s.substring(last, m.start))
           // capture groups are part of the split result per spec;
-          // an unmatched group surfaces as "" (subset: JS uses undefined)
-          (1 to m.groupCount).foreach(g => out += Option(m.group(g)).getOrElse(""))
+          // an UNMATCHED group is undefined (V8), never "" — the two
+          // are distinguishable in the output array
+          (1 to m.groupCount).foreach { g =>
+            val v = if (negGroups(g)) None else Option(m.group(g))
+            out += v.map(x => JsStr(x): JsValue).getOrElse(JsUndefined)
+          }
           last = m.end
           q = if (m.end == m.start) m.end + 1 else m.end
         }
       } else q = s.length
     }
-    out += s.substring(last)
+    out += JsStr(s.substring(last))
     out.result()
   }
 
@@ -1328,8 +1457,10 @@ object Builtins {
         while (!done && q <= s.length) {
           if (m.find(q)) {
             sb.append(s, last, m.start)
-            val groups = (1 to m.groupCount).map(g => Option(m.group(g))).toVector
-            val named = names.map(nm => nm -> Option(m.group(nm)))
+            val groups = (1 to m.groupCount).map(g =>
+              if (r.negGroups(g)) None else Option(m.group(g))).toVector
+            val named = names.map(nm =>
+              nm -> (if (r.negNames(nm)) None else Option(m.group(nm))))
             sb.append(replacementFor(m.group(), groups, m.start, named))
             last = m.end
             q = if (m.end == m.start) m.end + 1 else m.end // zero-width: advance

@@ -107,7 +107,15 @@ final class JsBytes(val bytes: Array[Byte]) extends JsValue
 final case class JsDate(epochMillis: Double) extends JsValue
 
 final class JsRegExpV(val source: String, val flags: String,
-                      val pattern: java.util.regex.Pattern) extends JsValue {
+                      val pattern: java.util.regex.Pattern,
+                      /** capture indices lexically inside a NEGATIVE
+                        * lookaround: JS resets them when the assertion
+                        * succeeds-by-failing, Java retains the attempt's
+                        * partial captures — result builders force these
+                        * to undefined (V8-differential fuzz finding) */
+                      val negGroups: Set[Int] = Set.empty,
+                      /** same, by declared capture NAME */
+                      val negNames: Set[String] = Set.empty) extends JsValue {
   var lastIndex: Int = 0
   def global: Boolean = flags.contains('g')
 }

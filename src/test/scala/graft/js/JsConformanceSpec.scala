@@ -895,6 +895,37 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
     )
   }
 
+  test("regex: JS-only quantifier errors, empty-input m-flag ^, split undefineds") {
+    // java.util.regex ACCEPTS all of these with different semantics
+    // (possessive +, quantified anchors, stacked quantifiers) — they
+    // must throw like V8, never silently run Java semantics
+    Seq("'aa'.match(/a++/)", "'a'.match(/$*/)", "'ab'.match(/\\b{2}/)",
+        "'a'.match(/a?{2}/)", "'a'.match(/a*+/)").foreach { expr =>
+      val res = run(s"output('r', $expr)")
+      assert(res.error.exists(_.errType == "SyntaxError"), s"$expr → ${res.error}")
+    }
+    expect(
+      "/a*?/.test('')" -> "true",           // lazy ? after * stays legal
+      "'aab'.match(/a{1,2}?/)[0]" -> "a",   // lazy {n,m}? too
+      "''.replace(/^x*/gm, '<$&>')" -> "<>", // Java m-flag ^ misses empty input
+      "'a\\nb'.replace(/^/gm, '>')" -> ">a\n>b",
+      // split: unmatched capture is undefined, never ''
+      "JSON.stringify('aA bB'.split(/(a)*/))" -> "[\"\",\"a\",\"A\",null,\" \",null,\"b\",null,\"B\"]",
+      "JSON.stringify('ab'.split(/(?!(x))b/))" -> "[\"a\",null,\"\"]",
+    )
+  }
+
+  test("negative-lookaround captures never participate, like V8") {
+    expect(
+      "JSON.stringify('ab'.match(/(?!(x))(a)(b)/))" -> "[\"ab\",null,\"a\",\"b\"]",
+      "JSON.stringify('a'.match(/(?!(?!(a)))a/))" -> "[\"a\",null]", // any nesting depth
+      "JSON.stringify('ab'.match(/(?=(a))(a)b/))" -> "[\"ab\",\"a\",\"a\"]", // positive DOES
+      "'ab'.replace(/(?!(x))a/, '[$1]')" -> "[]b",
+      "'' + 'ab'.match(/(?!(?<no>x))(?<yes>a)/).groups.no" -> "undefined",
+      "'ab'.match(/(?!(?<no>x))(?<yes>a)/).groups.yes" -> "a",
+    )
+  }
+
   test("lexical redeclaration is a startup error (ES early error 13.2.1)") {
     // silent redeclare would quietly change which binding later code
     // reads — V8 rejects all of these at parse
