@@ -230,7 +230,7 @@ object Builtins {
         if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) Some("null")
         else Some(numToString(d))
       case JsStr(s) => Some(quote(s))
-      case JsDate(ms) => Some(quote(java.time.Instant.ofEpochMilli(ms.toLong).toString))
+      case JsDate(ms) => Some(quote(jsIsoString(ms))) // toJSON layout, .SSS always
       case _: JsSetV | _: JsMapV | _: JsRegExpV => Some("{}") // JS stringifies these as {}
       case _: JsBytes => Some("{}")
       case a: JsArray =>
@@ -644,8 +644,8 @@ object Builtins {
     lazy val utc = java.time.Instant.ofEpochMilli(d.epochMillis.toLong).atZone(java.time.ZoneOffset.UTC)
     name match {
       case "getTime" | "valueOf" => Some(native(name)((_, _) => JsNum(d.epochMillis)))
-      case "toISOString" => Some(native(name)((_, _) => JsStr(java.time.Instant.ofEpochMilli(d.epochMillis.toLong).toString)))
-      case "toJSON" => Some(native(name)((_, _) => JsStr(java.time.Instant.ofEpochMilli(d.epochMillis.toLong).toString)))
+      case "toISOString" | "toJSON" =>
+        Some(native(name)((_, _) => JsStr(jsIsoString(d.epochMillis))))
       case "getUTCFullYear" => Some(native(name)((_, _) => JsNum(utc.getYear.toDouble)))
       case "getUTCMonth" => Some(native(name)((_, _) => JsNum((utc.getMonthValue - 1).toDouble)))
       case "getUTCDate" => Some(native(name)((_, _) => JsNum(utc.getDayOfMonth.toDouble)))
@@ -656,6 +656,23 @@ object Builtins {
       case "getUTCMilliseconds" => Some(native(name)((_, _) => JsNum((d.epochMillis.toLong % 1000).toDouble)))
       case _ => None
     }
+  }
+
+  /** ES 21.4.4.36 Date.prototype.toISOString layout: milliseconds are
+    * ALWAYS printed (`.000`), unlike java.time.Instant.toString which
+    * drops a zero fraction; years outside [0, 9999] use the expanded
+    * ±YYYYYY form. */
+  private def jsIsoString(epochMillis: Double): String = {
+    val z = java.time.Instant.ofEpochMilli(epochMillis.toLong)
+      .atZone(java.time.ZoneOffset.UTC)
+    val y = z.getYear
+    val yearStr =
+      if (y >= 0 && y <= 9999) f"$y%04d"
+      else if (y > 0) f"+$y%06d"
+      else f"-${-y}%06d"
+    f"$yearStr-${z.getMonthValue}%02d-${z.getDayOfMonth}%02dT" +
+      f"${z.getHour}%02d:${z.getMinute}%02d:${z.getSecond}%02d." +
+      f"${z.getNano / 1000000}%03dZ"
   }
 
   // ---- regex ----

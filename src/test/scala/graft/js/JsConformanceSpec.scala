@@ -926,6 +926,16 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
     )
   }
 
+  test("toISOString always prints milliseconds (ES 21.4.4.36)") {
+    expect(
+      "new Date(0).toISOString()" -> "1970-01-01T00:00:00.000Z", // never bare :00Z
+      "new Date(1700000000000).toISOString()" -> "2023-11-14T22:13:20.000Z",
+      "JSON.stringify({d: new Date(0)})" -> "{\"d\":\"1970-01-01T00:00:00.000Z\"}",
+      "new Date(-1).toISOString()" -> "1969-12-31T23:59:59.999Z",
+      "new Date(253402300799999).toISOString()" -> "9999-12-31T23:59:59.999Z",
+    )
+  }
+
   test("lexical redeclaration is a startup error (ES early error 13.2.1)") {
     // silent redeclare would quietly change which binding later code
     // reads — V8 rejects all of these at parse
