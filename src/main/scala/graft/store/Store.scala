@@ -74,8 +74,18 @@ object Store {
     while (out == null) {
       val e = writerLocks.computeIfAbsent(key, _ => new WriterEntry)
       val r = e.refs.get()
-      if (r >= 0 && e.refs.compareAndSet(r, r + 1)) out = e
-      else writerLocks.remove(key, e) // being retired: help and retry
+      if (r < 0) writerLocks.remove(key, e) // being retired: help and retry
+      else if (e.refs.compareAndSet(r, r + 1)) out = e
+      // else: lost the increment CAS to a CONCURRENT ACQUIRER — retry on
+      // the SAME entry. The pre-round-7 code fell into the remove arm
+      // here, evicting a LIVE entry whose holder was inside its critical
+      // section; the next acquirer then minted a fresh entry (fresh
+      // monitor) for the same key and met the holder at FileChannel.lock,
+      // which throws OverlappingFileLockException for same-JVM overlap
+      // instead of queueing. That was the once-in-many-runs concurrent-
+      // write flake (needs ≥3 threads hitting one key with a CAS
+      // collision mid-commit); RecoverySpec now pins the invariant with
+      // a dedicated contention hammer.
     }
     out
   }

@@ -46,14 +46,17 @@ class RecoverySpec extends AnyFunSuite {
   test("concurrent single-record writes serialize under the collection lock") {
     val s = freshStore()
     val c = s.dataset("a", "conc").create()
-    // Flake log (round 7): after the exception-chain surfacing below
-    // landed, 25 CONSECUTIVE isolated runs of this suite (one sbt
-    // session, shared Spark context) were green with zero failures,
-    // plus two full-suite runs — the once-in-~7-full-suite failure
-    // seen in round 6 has not reproduced since. If it ever fires
-    // again, the failure message now carries the first cause's full
-    // class/message chain and top frames, which is what was missing
-    // from the round-6 reports.
+    // Flake log (round 7): ROOT-CAUSED AND FIXED. After 25 green
+    // isolated runs, run 6 of a second 15-run loop finally fired with
+    // the exception-chain surfacing in place:
+    // OverlappingFileLockException out of Store.withLock — the
+    // acquireWriterEntry CAS-contention arm evicted a LIVE writer
+    // entry, minting a second monitor for the same key, so two threads
+    // met at FileChannel.lock (same-JVM overlap throws, it never
+    // queues). Needs ≥3 threads colliding on one key mid-commit, which
+    // is why isolated runs stayed green for dozens of repeats. The
+    // acquire loop now retries on the same entry after a lost CAS, and
+    // the two hammer tests below pin the invariant directly.
     //
     // a thread whose write throws must FAIL the test with that error,
     // not die silently and surface as an inscrutable version-count
@@ -77,5 +80,63 @@ class RecoverySpec extends AnyFunSuite {
     }
     assert(c.meta.version == 12) // every commit counted exactly once
     assert(c.list().size == 12)
+  }
+
+  test("acquireWriterEntry never evicts a live entry under CAS contention") {
+    // the round-7 flake's mechanism, distilled: concurrent holders of
+    // ONE key must always share one entry object — a second live entry
+    // means a second monitor and an OverlappingFileLockException at the
+    // file lock. Detection is interval overlap on a LINEARIZED
+    // timestamp (AtomicLong.getAndIncrement): the enter stamp is taken
+    // AFTER acquire returns and the exit stamp BEFORE release, so each
+    // recorded interval is contained in the true hold interval —
+    // overlapping recorded intervals with distinct entries is a real
+    // violation, never a bookkeeping race. (A ConcurrentHashMap.size
+    // probe is NOT sound here: size() is an estimate under concurrent
+    // update and transiently over-reports.)
+    val key = "race-invariant-key"
+    val seq = new java.util.concurrent.atomic.AtomicLong()
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Boolean, AnyRef)]()
+    val threads = (0 until 8).map { _ =>
+      new Thread(() => {
+        (0 until 5000).foreach { _ =>
+          val e = Store.acquireWriterEntry(key)
+          events.add((seq.getAndIncrement(), true, e))
+          events.add((seq.getAndIncrement(), false, e))
+          Store.releaseWriterEntry(key, e)
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val open = new java.util.IdentityHashMap[AnyRef, Integer]()
+    events.asScala.toSeq.sortBy(_._1).foreach { case (_, isEnter, e) =>
+      if (isEnter) {
+        open.put(e, Integer.valueOf(Option(open.get(e)).map(_.intValue).getOrElse(0) + 1))
+        assert(open.size == 1,
+          s"two distinct writer entries held concurrently for one key")
+      } else {
+        val n = open.get(e).intValue - 1
+        if (n == 0) open.remove(e) else open.put(e, Integer.valueOf(n))
+      }
+    }
+  }
+
+  test("withLock hammer: 8 threads × 200 cycles, no same-JVM lock overlap") {
+    val s = freshStore()
+    val c = s.dataset("a", "hammer").create()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (0 until 8).map { _ =>
+      new Thread(() =>
+        try (0 until 200).foreach { _ =>
+          // private[graft] withLock straight through the flake's path —
+          // open, FileChannel.lock, critical section, release
+          s.withLock(c.path) { counter.incrementAndGet() }
+        } catch { case e: Throwable => errors.add(e) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errors.isEmpty, s"lock cycle threw: ${errors.peek()}")
+    assert(counter.get() == 1600)
   }
 }
