@@ -70,7 +70,17 @@ object Bench {
     val errs = results.collect { case (k, _, Some(m)) => "\"" + k + "\":" + jstr(m) }
       .mkString("{", ",", "}")
     val total = f(ok.map(_._2.min).sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"runs":$runs,"errors":$errs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"runs":$runs,"errors":$errs,"sf":"$sfDir"}"""
+    // The artifact of record goes to its OWN file (VERDICT r7 #4: the
+    // r7 log-tail capture started mid-line and lost q1/q10-q29 from the
+    // checked-in BENCH json). stdout keeps the line for humans; the
+    // driver (or anyone) can pick up target/bench.json whole.
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+    Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(outPath,
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
     spark.stop()
   }
 }

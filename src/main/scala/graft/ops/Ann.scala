@@ -339,7 +339,9 @@ object Ann {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cellSizes = sig.groupBy(col("tbl"), col("bucket"))
       .agg(count(lit(1)).as("bsz"))
-    val watched = stats.fold(cellSizes)(obs => cellSizes.observe(obs,
+    val warned = graft.ops.CapStats.watch(cellSizes, "cappedSelfCandidates",
+      sum(when(col("bsz") > maxBucketSize, 1L).otherwise(0L)), max(col("bsz")))
+    val watched = stats.fold(warned)(obs => warned.observe(obs,
       sum(when(col("bsz") > maxBucketSize, 1L).otherwise(0L)).as("dropped_buckets"),
       max(col("bsz")).as("max_bucket")))
     val okCells = watched

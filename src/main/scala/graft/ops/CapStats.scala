@@ -1,0 +1,94 @@
+package graft.ops
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Default-on observability for the LSH bucket-size caps (VERDICT r7
+  * "What's wrong" #3): the caps in [[Dedup.lshCandidatePairs]],
+  * [[Dedup.cosineNearDupPairs]] and [[Ann]]'s shared candidate stage
+  * are correct and oracle-pinned, but a cap that fires SILENTLY unless
+  * the caller threads an `Observation` violates the no-silent-caps
+  * discipline — at 100 TB the production caller is exactly the one who
+  * forgot to ask. So every capped candidate generator now attaches a
+  * uniquely-named `observe` (CollectMetrics — computed inside the
+  * existing aggregation, zero extra passes) and this object registers
+  * ONE `QueryExecutionListener` per session that WARNs with
+  * `dropped_buckets` / `max_bucket` on the first action where a drop
+  * count > 0 surfaces. Callers who want the numbers programmatically
+  * still pass the `stats: Option[Observation]` hook — the two stack
+  * (two differently-named metric nodes on the same frame).
+  *
+  * Known caveat (verified empirically on 4.1.2): if the query's FINAL
+  * result is empty, AQE's empty-relation propagation can elide the
+  * CollectMetrics subtree, so no metrics reach the listener. That is
+  * the every-bucket-dropped corner — which announces itself anyway
+  * (zero candidate pairs out of a near-dup stage is not a subtle
+  * signal). The production case this WARN exists for — a few hot
+  * template families among billions of under-cap buckets — always has
+  * surviving rows, and the metric rides them.
+  *
+  * Self-join safety: the observed frame feeds both sides of the
+  * candidate self-joins; Spark's duplicate-metric check permits the
+  * same name when the plans are `sameResult`, which a self-join of one
+  * observed frame satisfies — and every call here gets a fresh name
+  * anyway, so cross-call collisions cannot happen either.
+  */
+object CapStats {
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  private val seq = new AtomicLong()
+  private val Prefix = "graft.capdrop."
+  private val installed =
+    java.util.Collections.newSetFromMap(new ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+  /** op → (dropped_buckets, max_bucket) for caps that fired; the
+    * warn-once dedupe AND the spec-visible record (log lines are not
+    * assertable; this map is). Keyed by the unique per-call metric
+    * name. */
+  private val fired = new ConcurrentHashMap[String, (String, Long, Long)]()
+
+  /** Attach a fresh named drop-metric to `df` and ensure the session's
+    * warn-listener is installed. `dropped` / `maxBucket` are aggregate
+    * columns over `df` (they ride the same CollectMetrics pass — no
+    * extra job). */
+  private[graft] def watch(df: DataFrame, op: String,
+                           dropped: Column, maxBucket: Column): DataFrame = {
+    install(df.sparkSession)
+    df.observe(s"$Prefix$op.${seq.incrementAndGet()}",
+      dropped.as("dropped_buckets"), maxBucket.as("max_bucket"))
+  }
+
+  private def install(spark: SparkSession): Unit =
+    if (installed.add(spark)) spark.listenerManager.register(new QueryExecutionListener {
+      private def scan(qe: QueryExecution): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith(Prefix)) {
+            // sum() over an empty frame is NULL — treat as no drops
+            def l(c: String): Long = row.getAs[Any](c) match {
+              case null => 0L
+              case n: Number => n.longValue()
+            }
+            val (d, m) = (l("dropped_buckets"), l("max_bucket"))
+            val op = name.stripPrefix(Prefix).reverse.dropWhile(_ != '.').drop(1).reverse
+            if (d > 0 && fired.putIfAbsent(name, (op, d, m)) == null)
+              log.warn(s"graft $op: bucket cap dropped $d over-cap bucket(s) " +
+                s"from candidate generation (largest bucket seen: $m rows). " +
+                "Recall is covered by other (band,table) buckets + cluster " +
+                "transitivity; raise maxBucketSize to trade memory for direct pairs.")
+          }
+        }
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = scan(qe)
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = scan(qe)
+    })
+
+  /** Test hook: drain the fired-cap record (op, dropped, max) and
+    * clear it. Listener delivery is async (listener-bus), so specs
+    * poll this after the action. */
+  private[graft] def drainFired(): Seq[(String, Long, Long)] = {
+    val out = scala.jdk.CollectionConverters.MapHasAsScala(fired).asScala.values.toSeq
+    fired.clear()
+    out
+  }
+}

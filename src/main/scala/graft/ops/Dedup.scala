@@ -139,7 +139,12 @@ object Dedup {
     val sized = banded
       .withColumn("bsz", count(lit(1)).over(w))
       .withColumn("rn", row_number().over(w.orderBy(col(idCol))))
-    val watched = stats.fold(sized)(obs => sized.observe(obs,
+    // Default-on drop visibility (CapStats WARNs if the cap fires);
+    // the caller's Observation stacks on top when provided.
+    val warned = CapStats.watch(sized, "lshCandidatePairs",
+      sum(when(col("bsz") > maxBucketSize && col("rn") === 1, 1L).otherwise(0L)),
+      max(col("bsz")))
+    val watched = stats.fold(warned)(obs => warned.observe(obs,
       sum(when(col("bsz") > maxBucketSize && col("rn") === 1, 1L)
         .otherwise(0L)).as("dropped_buckets"),
       max(col("bsz")).as("max_bucket")))
@@ -245,13 +250,22 @@ object Dedup {
   /** Connected-component clustering of near-duplicate pairs — the
     * survivor-selection step of a dedup pipeline: pair lists say WHO
     * matches whom; a pipeline needs CLUSTERS (keep one id per
-    * component, drop the rest). Iterative min-label propagation:
-    * label(v) ← min(label(v), labels of v's neighbors) until fixpoint —
-    * each round is one shuffle join + one aggregation, and the number
-    * of rounds is O(component diameter), which for similarity-threshold
-    * pair sets is a few hops (clusters are dense blobs, not paths).
-    * Lineage is truncated between rounds so the plan never grows with
-    * iterations. Two checkpoint modes:
+    * component, drop the rest). Alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14 — the algorithm behind GraphFrames'
+    * connectedComponents): each round rewires edges toward local
+    * minima (large-star points every larger neighbor at the
+    * neighborhood min; small-star stars each node's smaller neighbors
+    * onto their min), which contracts path distance geometrically —
+    * convergence in O(log d) rounds rather than the O(d) of plain
+    * min-label propagation. That distinction is the 100 TB story:
+    * dense near-dup blobs converge in 2-3 rounds either way, but
+    * template-DRIFT chains (A~B~C~… — exactly what paragraph/span
+    * dedup emits on evolving boilerplate) have diameter in the
+    * thousands, and one-Spark-job-per-hop is a non-starter; log₂ of a
+    * 10k chain is 14. Each round is two (join + min-agg) stages over
+    * the edge frame, lineage truncated between rounds so the plan
+    * never grows with iterations. Two checkpoint modes:
     *  - `checkpointDir = None` (default): `localCheckpoint` — round
     *    blocks live on executors; fastest, right for single-JVM runs,
     *    but an executor loss mid-convergence is NOT recoverable (the
@@ -266,9 +280,6 @@ object Dedup {
     *    Spark keeps one checkpoint directory per context and the
     *    application owns that setting (the MLlib convention); a
     *    context that already has one keeps it and is checkpointed to.
-    * This is the same loop GraphX's connectedComponents runs;
-    * star-contraction variants halve rounds if diameter ever bites.
-    *
     * Output: one row per node appearing in any pair — (idCol,
     * cluster_id = min id in its component). Deterministic, and
     * identical in both checkpoint modes (the mode changes only WHERE
@@ -287,47 +298,98 @@ object Dedup {
     // "restore" would nest a fresh level on every call.
     if (checkpointDir.isDefined && sc.getCheckpointDir.isEmpty)
       sc.setCheckpointDir(checkpointDir.get)
-    dupClustersLoop(pairs, aCol, bCol, idCol, checkpointDir.isDefined)
+    dupClustersWithRounds(pairs, aCol, bCol, idCol, checkpointDir.isDefined)._1
   }
 
-  private def dupClustersLoop(pairs: DataFrame, aCol: String, bCol: String,
-                              idCol: String, reliable: Boolean): DataFrame = {
+  /** [[dupClusters]] plus the number of contraction rounds the loop
+    * ran (convergence-detection round included) — the observable the
+    * O(log d) claim is pinned on in OpsSpec's planted-chain fixture. */
+  private[graft] def dupClustersWithRounds(
+      pairs: DataFrame, aCol: String, bCol: String,
+      idCol: String, reliable: Boolean): (DataFrame, Int) = {
     // one knob for every round materialization below
     def ckpt(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
-    val edges = ckpt(pairs
-      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .unionByName(pairs
-        .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+    // Node set from the ORIGINAL pairs (keeps self-pair nodes, which
+    // the canonical edge set below drops as loops).
+    val nodes = ckpt(pairs.select(col(aCol).cast("long").as("node"))
+      .unionByName(pairs.select(col(bCol).cast("long").as("node")))
       .distinct())
-    var labels = ckpt(edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")))
-    var converged = false
+    // Canonical undirected edge set: (u, v) with u > v, loops dropped.
+    // Both star steps below emit canonical edges, so orientation is an
+    // invariant of the loop, never re-normalized.
+    var edges = ckpt(pairs
+      .select(greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("u"),
+        least(col(aCol).cast("long"), col(bCol).cast("long")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct())
+
+    // Large-star: for each node s, m = min(Γ(s) ∪ {s}); rewire every
+    // STRICTLY LARGER neighbor d onto m. Output (d, m) is canonical by
+    // construction (d > s ≥ m). Connectivity-preserving (Kiveris
+    // Lemma 1); path distance to the minimum contracts geometrically.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u").as("s"), col("v").as("d"))
+        .unionByName(e.select(col("v").as("s"), col("u").as("d")))
+      val mn = sym.groupBy("s").agg(min(col("d")).as("mn"))
+      sym.join(mn, "s")
+        .filter(col("d") > col("s"))
+        .select(col("d").as("u"), least(col("mn"), col("s")).as("v"))
+        .distinct()
+    }
+    // Small-star: for each node u, star its SMALLER neighbors (and u
+    // itself) onto their min m. Emits (x, m) for every smaller
+    // neighbor x ≠ m plus the root edge (u, m); all canonical (x > m,
+    // u > m). Works on the canonical orientation directly — "smaller
+    // neighbors of u" is exactly the v-side of u's canonical edges.
+    def smallStar(e: DataFrame): DataFrame = {
+      val mn = e.groupBy("u").agg(min(col("v")).as("m"))
+      val moved = e.join(mn, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      moved.unionByName(mn.select(col("u"), col("m").as("v"))).distinct()
+    }
+    // Fixpoint = the edge SET is unchanged by a large+small round
+    // (then it is a star forest: every edge points node → component
+    // min). Set equality is checked by (count, XOR of row hashes) over
+    // the distinct edge frame — the GraphFrames convergence check; XOR
+    // (not sum) so ANSI overflow can't bite, order-independent, and a
+    // false fixpoint needs a 64-bit hash-XOR collision on a distinct
+    // set (~2⁻⁶⁴/round). One extra single-stage agg per round, scanning
+    // the just-checkpointed frame.
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("x")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = checksum(edges)
+    var rounds = 0
+    var converged = prev._1 == 0L
     while (!converged) {
-      val viaNeighbor = edges
-        .join(labels.select(col("node").as("dst"), col("label").as("nl")), "dst")
-        .select(col("src").as("node"), col("nl").as("label"))
-      // carry each node's OWN label through the same aggregation
-      // (Long.MaxValue on neighbor rows never wins the min), so
-      // convergence is a filter on the materialized round — no extra
-      // join-the-previous-round job per iteration
-      val round = ckpt(labels.withColumn("own", col("label"))
-        .unionByName(viaNeighbor.withColumn("own", lit(Long.MaxValue)))
-        .groupBy("node").agg(min(col("label")).as("label"), min(col("own")).as("own")))
-      // labels only ever decrease, so fixpoint = no row got smaller
-      converged = round.filter(col("label") < col("own")).isEmpty
       // NOTE on state lifetime: localCheckpoint blocks are NOT freed by
       // Dataset.unpersist (that only uncaches CacheManager entries);
       // they are reclaimed by the ContextCleaner once the previous
       // round's Dataset reference is dropped — which reassigning
-      // `labels` here does. Peak retention is therefore a couple of
+      // `edges` here does. Peak retention is therefore a couple of
       // rounds, not the whole history. Reliable-checkpoint files are
       // likewise reaped by the ContextCleaner as round references drop
       // (spark.cleaner.referenceTracking.cleanCheckpoints to reap
       // eagerly; otherwise at context stop).
-      labels = round.select(col("node"), col("label"))
+      edges = ckpt(smallStar(largeStar(edges)))
+      val cur = checksum(edges)
+      converged = cur == prev
+      prev = cur
+      rounds += 1
     }
-    labels.select(col("node").as(idCol), col("label").as("cluster_id"))
+    // At fixpoint each non-min node u carries exactly the edge
+    // (u, componentMin); min over v is belt-and-braces, not load-
+    // bearing. Component minima and self-pair-only nodes have no
+    // u-side edge → label themselves via the left join.
+    val mapping = edges.groupBy(col("u").as("node")).agg(min(col("v")).as("label"))
+    val labels = nodes.join(mapping, Seq("node"), "left")
+      .select(col("node").as(idCol),
+        coalesce(col("label"), col("node")).as("cluster_id"))
+    (labels, rounds)
   }
 
   /** Quality-based SURVIVOR SELECTION over near-dup clusters — the
@@ -392,7 +454,9 @@ object Dedup {
     // forms. `stats` observes dropped_buckets / max_bucket.
     val cellSizes = sig.groupBy(col("tbl"), col("bucket"))
       .agg(count(lit(1)).as("bsz"))
-    val watchedSizes = stats.fold(cellSizes)(obs => cellSizes.observe(obs,
+    val warnedSizes = CapStats.watch(cellSizes, "cosineNearDupPairs",
+      sum(when(col("bsz") > maxBucketSize, 1L).otherwise(0L)), max(col("bsz")))
+    val watchedSizes = stats.fold(warnedSizes)(obs => warnedSizes.observe(obs,
       sum(when(col("bsz") > maxBucketSize, 1L).otherwise(0L)).as("dropped_buckets"),
       max(col("bsz")).as("max_bucket")))
     val okCells = watchedSizes

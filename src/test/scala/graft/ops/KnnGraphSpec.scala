@@ -77,6 +77,26 @@ class KnnGraphSpec extends AnyFunSuite {
     assert(m("max_bucket").asInstanceOf[Long] >= 6L, s"metrics: $m")
   }
 
+  test("mega-bucket drop WARNs by default on the knnGraph path too") {
+    import spark.implicits._
+    graft.ops.CapStats.drainFired()
+    // keep a surviving under-cap pair so the result is non-empty (AQE
+    // empty-propagation would elide the metrics node otherwise)
+    val hot = (0 until dim).map(i => if (i == 0) 1.0 else 0.0)
+    val pair = (0 until dim).map(i => if (i == 5) 1.0 else 0.0)
+    val df = ((1L to 6L).map(i => (i, hot)) ++
+      Seq((91L, pair), (92L, pair))).toDF("vec_id", "embedding")
+    Ann.knnGraph(df, k = 3, dim = dim, maxBucketSize = 4).count()
+    val deadline = System.nanoTime() + 10e9.toLong
+    var fired = Seq.empty[(String, Long, Long)]
+    while (fired.isEmpty && System.nanoTime() < deadline) {
+      fired = graft.ops.CapStats.drainFired().filter(_._1 == "cappedSelfCandidates")
+      if (fired.isEmpty) Thread.sleep(50)
+    }
+    assert(fired.exists { case (_, d, m) => d >= 8L && m >= 6L },
+      s"expected default-on drop record: $fired")
+  }
+
   test("reruns are deterministic") {
     import spark.implicits._
     def run() = Ann.knnGraph(fixture(), k = 3, dim = dim)

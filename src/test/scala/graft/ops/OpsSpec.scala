@@ -56,6 +56,43 @@ class OpsSpec extends AnyFunSuite {
     assert(m("max_bucket").asInstanceOf[Long] == 600L, s"metrics: $m")
   }
 
+  test("bucket-cap drops WARN by default (no Observation threaded); silent when under cap") {
+    import spark.implicits._
+    // Same planted mega-bucket as above, but the production shape: the
+    // caller passes NO stats. The default-on CapStats metric must still
+    // record the drop (the WARN's assertable side). Listener delivery
+    // rides the async listener bus — poll.
+    def awaitFired(op: String): Seq[(String, Long, Long)] = {
+      val deadline = System.nanoTime() + 10e9.toLong
+      var got = Seq.empty[(String, Long, Long)]
+      while (got.isEmpty && System.nanoTime() < deadline) {
+        got = graft.ops.CapStats.drainFired().filter(_._1 == op)
+        if (got.isEmpty) Thread.sleep(50)
+      }
+      got
+    }
+    graft.ops.CapStats.drainFired() // isolate from earlier tests
+    // The surviving 2-doc family matters: an ALL-empty result lets AQE
+    // empty-propagation elide the metrics node (documented CapStats
+    // caveat) — the WARN contract is for partial drops.
+    val hotSig = (0 until 64).map(i => 1000L + i)
+    val okSig = (0 until 64).map(i => 2000L + i)
+    val sigDf = ((0L until 600L).map(i => (i, hotSig)) ++
+      Seq((9001L, okSig), (9002L, okSig))).toDF("doc_id", "sig")
+    Dedup.lshCandidatePairs(sigDf).count()
+    val fired = awaitFired("lshCandidatePairs")
+    assert(fired.nonEmpty, "cap fired but no default WARN was recorded")
+    assert(fired.exists { case (_, d, m) => d == 32L && m == 600L },
+      s"expected (32 dropped, 600 max): $fired")
+    // Under-cap corpus: two 2-doc buckets — no drop, no WARN.
+    val pairSig = (0 until 64).map(i => 2000L + i)
+    val small = Seq((1L, pairSig), (2L, pairSig)).toDF("doc_id", "sig")
+    Dedup.lshCandidatePairs(small).count()
+    Thread.sleep(500) // give a spurious event time to surface
+    assert(graft.ops.CapStats.drainFired().filter(_._1 == "lshCandidatePairs").isEmpty,
+      "no WARN may fire when every bucket is under the cap")
+  }
+
   test("ANN/IVF sizing rules: recommendedBits / recommendedK and soft guards") {
     // bits = ceil(log2(n / target)), clamped [4, 30]
     assert(Ann.recommendedBits(64L * 256, targetBucketSize = 64L) == 8)
@@ -377,6 +414,32 @@ class OpsSpec extends AnyFunSuite {
       assert(graft.core.Fs.list(java.nio.file.Paths.get(ckptDir)).nonEmpty,
         "reliable mode must write checkpoint state under checkpointDir")
     } finally graft.core.Fs.rmTree(java.nio.file.Paths.get(ckptDir))
+  }
+
+  test("dupClusters: 1000-node chain converges in O(log d) rounds, not O(d)") {
+    import spark.implicits._
+    // A template-drift chain 1-2-3-…-1000: diameter 999. Plain
+    // min-label propagation needs one Spark round PER HOP (999 rounds —
+    // a non-starter at crawl scale); alternating large-star/small-star
+    // contracts geometrically. Pin the observable round counter well
+    // under log-budget: log₂(999) ≈ 10, +1 convergence-detection round.
+    val chain = (1L until 1000L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val (labels, rounds) =
+      Dedup.dupClustersWithRounds(chain, "a_id", "b_id", "doc_id", reliable = false)
+    val got = labels.as[(Long, Long)].collect()
+    assert(got.length == 1000)
+    assert(got.forall(_._2 == 1L), "whole chain is one component labeled by its min")
+    assert(rounds <= 12, s"expected O(log d) contraction rounds, got $rounds")
+  }
+
+  test("dupClusters: self-pairs keep their node, singleton label") {
+    import spark.implicits._
+    // (7,7) is a degenerate pair some upstreams emit (a doc matched
+    // itself across tables); the node must survive with its own label,
+    // alongside a normal component.
+    val pairs = Seq((7L, 7L), (2L, 1L)).toDF("a_id", "b_id")
+    val got = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(7L -> 7L, 1L -> 1L, 2L -> 1L))
   }
 
   test("brute-force ANN rejects query sets above the broadcast guard") {
