@@ -230,7 +230,11 @@ object Builtins {
         if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) Some("null")
         else Some(numToString(d))
       case JsStr(s) => Some(quote(s))
-      case JsDate(ms) => Some(quote(jsIsoString(ms))) // toJSON layout, .SSS always
+      case JsDate(ms) =>
+        // invalid date (new Date('garbage')): toJSON returns null, so
+        // JSON.stringify emits null — V8 behavior; jsIsoString THROWS
+        if (ms.isNaN) Some("null")
+        else Some(quote(jsIsoString(ms))) // toJSON layout, .SSS always
       case _: JsSetV | _: JsMapV | _: JsRegExpV => Some("{}") // JS stringifies these as {}
       case _: JsBytes => Some("{}")
       case a: JsArray =>
@@ -644,8 +648,14 @@ object Builtins {
     lazy val utc = java.time.Instant.ofEpochMilli(d.epochMillis.toLong).atZone(java.time.ZoneOffset.UTC)
     name match {
       case "getTime" | "valueOf" => Some(native(name)((_, _) => JsNum(d.epochMillis)))
-      case "toISOString" | "toJSON" =>
+      case "toISOString" =>
         Some(native(name)((_, _) => JsStr(jsIsoString(d.epochMillis))))
+      case "toJSON" =>
+        // ES 21.4.4.37: toJSON returns NULL for a non-finite time value
+        // (V8: new Date(NaN).toJSON() === null), unlike toISOString
+        // which throws RangeError.
+        Some(native(name)((_, _) =>
+          if (d.epochMillis.isNaN) JsNull else JsStr(jsIsoString(d.epochMillis))))
       case "getUTCFullYear" => Some(native(name)((_, _) => JsNum(utc.getYear.toDouble)))
       case "getUTCMonth" => Some(native(name)((_, _) => JsNum((utc.getMonthValue - 1).toDouble)))
       case "getUTCDate" => Some(native(name)((_, _) => JsNum(utc.getDayOfMonth.toDouble)))
@@ -661,8 +671,12 @@ object Builtins {
   /** ES 21.4.4.36 Date.prototype.toISOString layout: milliseconds are
     * ALWAYS printed (`.000`), unlike java.time.Instant.toString which
     * drops a zero fraction; years outside [0, 9999] use the expanded
-    * ±YYYYYY form. */
+    * ±YYYYYY form. An invalid date (NaN time value, e.g. from
+    * `new Date('unparseable')`) throws RangeError like V8 — NaN.toLong
+    * is 0, which would otherwise SILENTLY print the epoch. */
   private def jsIsoString(epochMillis: Double): String = {
+    if (epochMillis.isNaN)
+      throw JsThrown(makeError("RangeError", "Invalid time value"))
     val z = java.time.Instant.ofEpochMilli(epochMillis.toLong)
       .atZone(java.time.ZoneOffset.UTC)
     val y = z.getYear
@@ -716,6 +730,12 @@ object Builtins {
     var i = 0
     var inClass = false
     val n = src.length
+    // group-kind stack: is the group opened at this depth a LOOKBEHIND?
+    // Per Annex B only lookAHEADS are QuantifiableAssertions — a
+    // quantified lookbehind /(?<=a)*/ is a V8 SyntaxError but legal in
+    // java.util.regex, so ')' closing a lookbehind must count as an
+    // anchor for the quantifier check (found by the r7 ADVICE review).
+    var groupKinds = List.empty[Boolean]
     /** is src(i) == '{' a quantifier opener ({n} / {n,} / {n,m})? */
     def braceQuant(at: Int): Int = { // returns end index AFTER '}', or -1
       var j = at + 1
@@ -736,6 +756,18 @@ object Builtins {
           prev = if (d == 'b' || d == 'B') ANCHOR else OTHER
           i += 2
         case '[' => inClass = true; i += 1
+        case '(' =>
+          // lookbehind opener: "(?<=" or "(?<!" (NOT "(?<name>")
+          val lb = i + 3 < n && src.charAt(i + 1) == '?' &&
+            src.charAt(i + 2) == '<' &&
+            (src.charAt(i + 3) == '=' || src.charAt(i + 3) == '!')
+          groupKinds = lb :: groupKinds
+          prev = OTHER; i += 1
+        case ')' =>
+          val wasLookbehind = groupKinds.headOption.getOrElse(false)
+          if (groupKinds.nonEmpty) groupKinds = groupKinds.tail
+          prev = if (wasLookbehind) ANCHOR else OTHER
+          i += 1
         case '^' | '$' => prev = ANCHOR; i += 1
         case '*' | '+' | '?' =>
           prev match {
@@ -1301,7 +1333,11 @@ object Builtins {
         }
         val m = r.pattern.matcher(s)
         val out = JsArray.empty
-        var q = 0
+        // V8 clones the regex PRESERVING lastIndex: a global regex with
+        // lastIndex > 0 (e.g. after a prior exec) matchAlls from there,
+        // and the ORIGINAL's lastIndex is never mutated (the clone's
+        // advances). Non-regex args compile fresh (lastIndex 0).
+        var q = math.min(r.lastIndex, s.length)
         while (q <= s.length && m.find(q)) {
           interp.budget.allocate(4)
           out.items += execResult(m, s, r.negGroups, r.negNames)

@@ -74,7 +74,12 @@ object TextOps {
     docs.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
-        val toks = Option(text).getOrElse("").toLowerCase
+        // Locale.ROOT: a locale-default toLowerCase diverges from
+        // Spark's lower() / the DuckDB oracle under e.g. a Turkish
+        // default JVM locale ('I' → U+0131, which the [a-z0-9] split
+        // then deletes)
+        val toks = Option(text).getOrElse("")
+          .toLowerCase(java.util.Locale.ROOT)
           .split("[^a-z0-9]+").filter(_.nonEmpty)
         if (toks.length < n) Iterator.empty
         else toks.sliding(n).map(g => (id, g.mkString(" ")))
@@ -90,7 +95,12 @@ object TextOps {
     docs.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .map { case (id, text) =>
-        val toks = Option(text).getOrElse("").toLowerCase
+        // Locale.ROOT: a locale-default toLowerCase diverges from
+        // Spark's lower() / the DuckDB oracle under e.g. a Turkish
+        // default JVM locale ('I' → U+0131, which the [a-z0-9] split
+        // then deletes)
+        val toks = Option(text).getOrElse("")
+          .toLowerCase(java.util.Locale.ROOT)
           .split("[^a-z0-9]+").filter(_.nonEmpty)
         val sh =
           if (toks.length < n) Array.empty[String]

@@ -53,7 +53,7 @@ object IncrementalLensQuery {
         case _ => return
       }
       val docId = PoInt(ctx.path.recordID.toLong)
-      text.toLowerCase.split("[^a-z0-9]+").iterator
+      text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").iterator
         .filter(_.nonEmpty).toArray.distinct
         .foreach(tok => ctx.output(tok, PoSet(docId)))
     }

@@ -33,7 +33,7 @@ object LensTokenIndex {
       val docId = PoInt(ctx.path.recordID.toLong)
       // distinct per doc: the Set union dedups anyway, but emitting each
       // token once per document keeps the shuffle payload minimal
-      text.toLowerCase.split("[^a-z0-9]+").iterator
+      text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").iterator
         .filter(_.nonEmpty).toArray.distinct
         .foreach(tok => ctx.output(tok, PoSet(docId)))
     }
