@@ -40,9 +40,11 @@ object Ast {
   final case class Ident(name: String, pos: Pos) extends Expr
   final case class ThisExpr(pos: Pos) extends Expr
   final case class ArrayLit(items: Vector[Expr], spreads: Set[Int], pos: Pos) extends Expr
-  /** key is the literal/computed property name; shorthand `{a}` arrives as (StrLit("a"), Ident("a")) */
+  /** key is the literal/computed property name; shorthand `{a}` arrives as (StrLit("a"), Ident("a"));
+    * `getters`/`setters` mark entry indices whose value FnExpr is an accessor body */
   final case class ObjectLit(entries: Vector[(Expr, Expr)], computed: Set[Int],
-                             spreads: Set[Int], pos: Pos) extends Expr
+                             spreads: Set[Int], getters: Set[Int],
+                             setters: Set[Int], pos: Pos) extends Expr
   final case class FnExpr(name: Option[String], params: Vector[Pattern], restParam: Option[String],
                           body: Vector[Stmt], isArrow: Boolean,
                           /** arrow with expression body: `x => x + 1` */

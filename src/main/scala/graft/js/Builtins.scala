@@ -189,7 +189,7 @@ object Builtins {
         case JsStr(s) => s.take(10)
         case _ => ""
       }
-      jsonStringify(arg(as, 0), indent) match {
+      jsonStringify(arg(as, 0), indent, interp()) match {
         case Some(s) => JsStr(s)
         case None => JsUndefined
       }
@@ -201,7 +201,7 @@ object Builtins {
     j
   }
 
-  def jsonStringify(v: JsValue, indent: String): Option[String] = {
+  def jsonStringify(v: JsValue, indent: String, interp: Interp = null): Option[String] = {
     // open containers by REFERENCE (cycle guard): an identityHashCode-keyed
     // Set[Int] here would false-positive on hash collisions, which are
     // expected across the millions of per-record allocations of a long build
@@ -223,6 +223,9 @@ object Builtins {
       sb.append('"').toString
     }
     def go(v: JsValue, depth: Int): Option[String] = v match {
+      case _: JsAccessorProp => // loud invariant guard (see JsAccessorProp)
+        throw new IllegalStateException(
+          "internal: accessor property record leaked into JSON.stringify")
       case _: JsUndefinedKind | _: JsFunc => None
       case JsNull => Some("null")
       case JsBool(b) => Some(b.toString)
@@ -251,7 +254,10 @@ object Builtins {
       case o: JsObject =>
         if (seen.contains(o)) throw JsThrown(makeError("TypeError", "Converting circular structure to JSON"))
         seen.add(o)
-        val parts = ownEntries(o).flatMap { case (k, pv) =>
+        // accessor getters evaluate during stringify (V8); without an
+        // Interp in hand a record falls through to the loud guard above
+        val entries = if (interp != null) interp.ownEvalEntries(o) else ownEntries(o)
+        val parts = entries.flatMap { case (k, pv) =>
           go(pv, depth + 1).map(s => (quote(k), s))
         }
         seen.remove(o)
@@ -359,14 +365,21 @@ object Builtins {
   private def objectConstructor(interp: () => Interp): JsValue = {
     val o = JsObject.empty("Function")
     val _ = interp
+    // value-observing enumeration EVALUATES accessor getters (Object.
+    // values/entries — V8 invokes getters there); key-only enumeration
+    // (keys, getOwnPropertyNames) must NOT, so it reads names raw
     def entriesOf(v: JsValue): Vector[(String, JsValue)] = v match {
-      case obj: JsObject => ownEntries(obj)
+      case obj: JsObject => interp().ownEvalEntries(obj)
       case a: JsArray => a.items.zipWithIndex.collect {
         case (x, ix) if !(x eq JsHole) => (ix.toString, x) }.toVector
       case JsStr(s) => s.zipWithIndex.map { case (c, ix) => (ix.toString, JsStr(c.toString)) }.toVector
       case _ => Vector.empty
     }
-    o.props.put("keys", native("keys")((_, as) => JsArray.of(entriesOf(arg(as, 0)).map(e => JsStr(e._1)): _*)))
+    def keysOf(v: JsValue): Vector[String] = v match {
+      case obj: JsObject => ownEntries(obj).map(_._1)
+      case other => entriesOf(other).map(_._1)
+    }
+    o.props.put("keys", native("keys")((_, as) => JsArray.of(keysOf(arg(as, 0)).map(JsStr(_)): _*)))
     o.props.put("values", native("values")((_, as) => JsArray.of(entriesOf(arg(as, 0)).map(_._2): _*)))
     o.props.put("entries", native("entries")((_, as) =>
       JsArray.of(entriesOf(arg(as, 0)).map { case (k, v) => JsArray.of(JsStr(k), v) }: _*)))
@@ -374,7 +387,12 @@ object Builtins {
       as.headOption match {
         case Some(target: JsObject) =>
           as.drop(1).foreach {
-            case src: JsObject => src.props.foreach { case (k, v) => if (!target.frozen) target.props.put(k, v) }
+            case src: JsObject =>
+              // source getters evaluate; target writes go through
+              // setMember so a target SETTER receives the value (V8's
+              // [[Set]] semantics) and frozen targets no-op
+              interp().ownEvalEntries(src).foreach { case (k, v) =>
+                interp().setMember(target, JsStr(k), v, Pos(0)) }
             case _ => ()
           }
           target
@@ -421,7 +439,7 @@ object Builtins {
       }
     })
     o.props.put("getOwnPropertyNames", native("getOwnPropertyNames")((_, as) =>
-      JsArray.of(entriesOf(arg(as, 0)).map(e => JsStr(e._1)): _*)))
+      JsArray.of(keysOf(arg(as, 0)).map(JsStr(_)): _*)))
     o.props.put("hasOwn", native("hasOwn") { (_, as) =>
       arg(as, 0) match {
         case obj: JsObject => JsBool(obj.props.contains(toStr(arg(as, 1))))
@@ -452,9 +470,9 @@ object Builtins {
         case o: JsObject =>
           // array-like: {length: n, 0: ..., 1: ...} — length is
           // user-controlled, so charge it before materializing
-          val len = o.props.get("length").map(v => math.max(0, toNumber(v).toInt)).getOrElse(0)
+          val len = interp().getOwnEval(o, "length").map(v => math.max(0, toNumber(v).toInt)).getOrElse(0)
           interp().budget.allocate(len.toLong + 1)
-          (0 until len).toVector.map(ix => o.props.getOrElse(ix.toString, JsUndefined))
+          (0 until len).toVector.map(ix => interp().getOwnEval(o, ix.toString).getOrElse(JsUndefined))
         case JsUndefined | JsNull => throwType("Array.from needs an iterable")
         case _ => Vector.empty
       }

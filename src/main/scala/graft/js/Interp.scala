@@ -290,7 +290,8 @@ final class Interp(globalScope: Scope, val budget: Budget) {
       rest.foreach { r =>
         val o = JsObject.empty()
         v match {
-          case src: JsObject => src.props.foreach { case (k, pv) => if (!taken(k)) o.props.put(k, pv) }
+          // rest is CopyDataProperties like spread: getters evaluate
+          case src: JsObject => ownEvalEntries(src).foreach { case (k, pv) => if (!taken(k)) o.props.put(k, pv) }
           case _ => ()
         }
         budget.allocate(o.props.size.toLong)
@@ -329,12 +330,15 @@ final class Interp(globalScope: Scope, val budget: Budget) {
         }
         budget.allocate(buf.length.toLong + 1)
         new JsArray(buf)
-      case ObjectLit(entries, computed, spreads, _) =>
+      case ObjectLit(entries, computed, spreads, getters, setters, _) =>
         val o = JsObject.empty()
         entries.zipWithIndex.foreach { case ((k, v), i) =>
           if (spreads.contains(i)) {
             eval(v, scope) match {
-              case src: JsObject => src.props.foreach { case (pk, pv) => o.props.put(pk, pv) }
+              case src: JsObject =>
+                // spread is CopyDataProperties: source GETTERS evaluate
+                // into plain data props (V8); accessor-ness never copies
+                ownEvalEntries(src).foreach { case (pk, pv) => o.props.put(pk, pv) }
               case src: JsArray => src.items.zipWithIndex.foreach { case (pv, pi) => o.props.put(pi.toString, pv) }
               case JsNull | JsUndefined => ()
               case _ => ()
@@ -342,7 +346,19 @@ final class Interp(globalScope: Scope, val budget: Budget) {
           } else {
             val key = if (computed.contains(i)) toStr(eval(k, scope))
                       else k.asInstanceOf[StrLit].v
-            o.props.put(key, eval(v, scope))
+            if (getters.contains(i) || setters.contains(i)) {
+              val fn = eval(v, scope).asInstanceOf[JsFunc]
+              // get+set for one key merge into a single slot; a later
+              // accessor over a data prop (or vice versa) replaces it,
+              // and LinkedHashMap re-put keeps the original position —
+              // both exactly the V8 object-literal rules
+              val acc = o.props.get(key) match {
+                case Some(a: JsAccessorProp) => a
+                case _ => new JsAccessorProp(None, None)
+              }
+              if (getters.contains(i)) acc.getter = Some(fn) else acc.setter = Some(fn)
+              o.props.put(key, acc)
+            } else o.props.put(key, eval(v, scope))
           }
         }
         budget.allocate(o.props.size.toLong + 1)
@@ -508,7 +524,11 @@ final class Interp(globalScope: Scope, val budget: Budget) {
         throwType(s"Cannot read properties of ${toStr(obj)} (reading '${toStr(key)}')")
       case o: JsObject =>
         val k = toStr(key)
-        o.props.getOrElse(k,
+        o.props.get(k).map {
+          case acc: JsAccessorProp => // getter-less accessor reads undefined
+            acc.getter.map(g => callFunction(g, o, Vector.empty, pos, k)).getOrElse(JsUndefined)
+          case v => v
+        }.getOrElse(
           Builtins.objectMethod(o, k).getOrElse {
             // `.constructor` resolves to the GLOBAL builtin of the
             // object's class by identity (`e.constructor === TypeError`
@@ -567,7 +587,15 @@ final class Interp(globalScope: Scope, val budget: Budget) {
     case JsNull | JsUndefined =>
       throwType(s"Cannot set properties of ${toStr(obj)} (setting '${toStr(key)}')")
     case o: JsObject =>
-      if (!o.frozen) { budget.allocate(4); o.props.put(toStr(key), v) }
+      val k = toStr(key)
+      o.props.get(k) match {
+        case Some(acc: JsAccessorProp) =>
+          // setter runs even on a frozen object (freeze makes the slot
+          // non-configurable; the accessor call itself is legal);
+          // getter-only assignment is a sloppy-mode silent no-op — V8
+          acc.setter.foreach(s => callFunction(s, o, Vector(v), pos, k))
+        case _ => if (!o.frozen) { budget.allocate(4); o.props.put(k, v) }
+      }
     case a: JsArray =>
       val k = toStr(key)
       if (k == "length") {
@@ -651,6 +679,29 @@ final class Interp(globalScope: Scope, val budget: Budget) {
     }
     buf.toVector
   }
+
+  /** Own entries with accessor slots EVALUATED (getter invoked with
+    * `this` = the object; getter-less accessors read undefined) — the
+    * value-observing enumeration Object.values/entries, spread,
+    * JSON.stringify and output conversion share. Key-only enumeration
+    * (Object.keys, for-in) uses Values.ownEntries directly and never
+    * invokes getters, like V8. */
+  def ownEvalEntries(o: JsObject): Vector[(String, JsValue)] =
+    Values.ownEntries(o).map {
+      case (k, acc: JsAccessorProp) =>
+        (k, acc.getter.map(g => callFunction(g, o, Vector.empty, Pos(0), k))
+          .getOrElse(JsUndefined))
+      case kv => kv
+    }
+
+  /** One own property with an accessor slot evaluated; None if absent. */
+  def getOwnEval(o: JsObject, k: String): Option[JsValue] =
+    o.props.get(k).map {
+      case acc: JsAccessorProp =>
+        acc.getter.map(g => callFunction(g, o, Vector.empty, Pos(0), k))
+          .getOrElse(JsUndefined)
+      case v => v
+    }
 
   def callFunction(fnV: JsValue, thisV: JsValue, args: Vector[JsValue], pos: Pos,
                    name: String = ""): JsValue = {

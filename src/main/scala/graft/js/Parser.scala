@@ -13,26 +13,27 @@ import scala.collection.mutable.ArrayBuffer
   * honor the restricted-production rule (no line break allowed before the
   * operand/operator).
   *
-  * Unsupported ES features (classes, generators, async, getters/setters,
-  * labels on everything we don't loop, `with`) fail here with a
-  * [[JsSyntaxError]] — surfaced by the lens worker as a STARTUP error, the
-  * same contract as the reference isolate compile step
+  * Unsupported ES features (classes, generators, async, labels on
+  * everything we don't loop, `with`) fail here with a [[JsSyntaxError]]
+  * — surfaced by the lens worker as a STARTUP error, the same contract
+  * as the reference isolate compile step
   * (reference: library/workers/javascript-lens-worker.js:102-111,
   * test/test-workers-javascript-lens.js:21-30).
   *
-  * Accessor properties (get/set), revisited round 7 and deliberately
-  * kept OUT: an accessor slot would thread through every own-property
-  * VALUE read in the engine — JSON.stringify, Object.values/entries/
-  * assign, spread copies, for-in bodies, toPrimitive, and the PoBridge
-  * conversion that produces lens OUTPUT — and any missed site silently
-  * leaks a raw accessor record into a lens result (a data-corruption
-  * class of bug, not a crash). No lens in the reference's corpus uses
-  * accessors (test/test-workers-javascript-lens.js, test-models-lens.js),
-  * so the trade is: zero observed need vs a regression surface spanning
-  * the whole builtin layer. The startup-rejection contract is pinned by
-  * JsConformanceSpec ("accessor properties are a startup syntax error"),
-  * so a wild lens that does use them gets an explicit compile error at
-  * configuration time — never wrong output. */
+  * Accessor properties (`{ get x() {...}, set x(v) {...} }`) landed in
+  * round 8 after being deliberately deferred in r6/r7: the r7 concern —
+  * a raw accessor slot silently leaking through a missed value-read
+  * site into lens output — is inverted by design: the slot type
+  * ([[Values.JsAccessorProp]]) is stored in the ordered props table
+  * (preserving V8 enumeration order) but throws LOUDLY from ToString /
+  * JSON / output conversion if it ever escapes getter evaluation, so a
+  * missed site is a crash with a named invariant, never corrupt output.
+  * Value reads evaluate getters via Interp.getMember/ownEvalEntries
+  * (member access, destructuring, spread/rest, Object.values/entries/
+  * assign, JSON.stringify, Array.from array-likes, output conversion);
+  * key-only operations (Object.keys, for-in, `in`, delete, hasOwn*)
+  * see the property without invoking it, like V8. `class` accessors
+  * remain out with `class` itself. */
 final class Parser(tokens: Vector[Token]) {
   private var p = 0
   // Recursion guard: code arrives over the wire, and a pathological
@@ -748,6 +749,8 @@ final class Parser(tokens: Vector[Token]) {
     val entries = ArrayBuffer.empty[(Expr, Expr)]
     val computed = scala.collection.mutable.Set.empty[Int]
     val spreads = scala.collection.mutable.Set.empty[Int]
+    val getters = scala.collection.mutable.Set.empty[Int]
+    val setters = scala.collection.mutable.Set.empty[Int]
     while (!atPunct("}")) {
       val entryPos = pos
       if (atPunct("...")) {
@@ -755,32 +758,56 @@ final class Parser(tokens: Vector[Token]) {
         spreads += entries.length
         entries += ((StrLit("", entryPos), parseAssignExpr()))
       } else {
+        // accessor declaration: `get`/`set` followed by a property name
+        // (NOT `get:`/`get(`/`get,`/`get}` — those are ordinary props
+        // named "get"). Arity is an early error like V8: a getter takes
+        // no parameters, a setter exactly one.
+        val accessorKind: Option[String] =
+          if (peek.kind == "ident" && (peek.text == "get" || peek.text == "set") &&
+              (peekAt(1).kind == "ident" || peekAt(1).kind == "keyword" ||
+               peekAt(1).kind == "str" || peekAt(1).kind == "num" ||
+               (peekAt(1).kind == "punct" && peekAt(1).text == "[")))
+            Some(advance().text)
+          else None
         val keyExpr: Expr =
           if (atPunct("[")) { advance(); val k = parseAssignExpr(); eatPunct("]"); computed += entries.length; k }
           else if (peek.kind == "ident" || peek.kind == "keyword") StrLit(advance().text, entryPos)
           else if (peek.kind == "str") StrLit(advance().text, entryPos)
           else if (peek.kind == "num") StrLit(Values.numToString(advance().num), entryPos)
           else err("expected property name in object literal")
-        if (atPunct("(")) {
-          // method shorthand {m() {...}}
-          val (params, rest, body) = parseFnRest()
-          entries += ((keyExpr, FnExpr(None, params, rest, body, isArrow = false, None, entryPos)))
-        } else if (atPunct(":")) {
-          advance()
-          entries += ((keyExpr, parseAssignExpr()))
-        } else {
-          // shorthand {a}
-          keyExpr match {
-            case StrLit(nm, kp) => entries += ((keyExpr, Ident(nm, kp)))
-            case _ => err("expected ':' after computed property name")
-          }
+        accessorKind match {
+          case Some(kind) =>
+            if (!atPunct("(")) err(s"expected '(' after $kind accessor name")
+            val (params, rest, body) = parseFnRest()
+            if (kind == "get" && (params.nonEmpty || rest.nonEmpty))
+              err("getter must not have any formal parameters")
+            if (kind == "set" && (params.length != 1 || rest.nonEmpty))
+              err("setter must have exactly one formal parameter")
+            (if (kind == "get") getters else setters) += entries.length
+            entries += ((keyExpr, FnExpr(None, params, rest, body, isArrow = false, None, entryPos)))
+          case None =>
+            if (atPunct("(")) {
+              // method shorthand {m() {...}}
+              val (params, rest, body) = parseFnRest()
+              entries += ((keyExpr, FnExpr(None, params, rest, body, isArrow = false, None, entryPos)))
+            } else if (atPunct(":")) {
+              advance()
+              entries += ((keyExpr, parseAssignExpr()))
+            } else {
+              // shorthand {a}
+              keyExpr match {
+                case StrLit(nm, kp) => entries += ((keyExpr, Ident(nm, kp)))
+                case _ => err("expected ':' after computed property name")
+              }
+            }
         }
       }
       if (atPunct(",")) advance()
       else if (!atPunct("}")) err("expected ',' or '}' in object literal")
     }
     eatPunct("}")
-    ObjectLit(entries.toVector, computed.toSet, spreads.toSet, p0)
+    ObjectLit(entries.toVector, computed.toSet, spreads.toSet,
+      getters.toSet, setters.toSet, p0)
   }
 
   /** re-lex a raw template token (`...${e}...`) into parts + hole exprs */

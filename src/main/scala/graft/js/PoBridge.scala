@@ -51,10 +51,13 @@ object PoBridge {
     * rejected (unlike structured clone — PoValue is a tree), Set/Map
     * round-trip to PoSet/PoMap (CBOR tags 258/259, same as the
     * reference's codec). */
-  def toPo(v: JsValue): PoValue = {
+  def toPo(v: JsValue, interp: Interp = null): PoValue = {
     val inFlight = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
     def go(v: JsValue): PoValue = v match {
+      case _: JsAccessorProp => // loud invariant guard (see JsAccessorProp)
+        throw new IllegalStateException(
+          "internal: accessor property record leaked into output conversion")
       case JsUndefined => PoUndefined
       case JsNull => PoNull
       case JsBool(b) => PoBool(b)
@@ -73,9 +76,13 @@ object PoBridge {
         // must serialize the same key order the lens observes via
         // Object.keys/JSON.stringify, and the same order the
         // reference's V8 isolate would emit
-        PoObj(Values.ownEntries(o).foldLeft(VectorMap.empty[String, PoValue]) {
-          case (acc, (k, pv)) => acc.updated(k, go(pv))
-        })
+        // accessor getters evaluate at output time (the reference's V8
+        // serialization of lens output does the same); without an
+        // Interp a record falls through to the loud guard above
+        PoObj((if (interp != null) interp.ownEvalEntries(o) else Values.ownEntries(o))
+          .foldLeft(VectorMap.empty[String, PoValue]) {
+            case (acc, (k, pv)) => acc.updated(k, go(pv))
+          })
       }
       case s: JsSetV => cycleGuard(s) {
         PoSet.fromSeq(s.entries.values.toVector.map(go))

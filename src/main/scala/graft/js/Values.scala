@@ -40,6 +40,24 @@ final class JsObject(val props: mutable.LinkedHashMap[String, JsValue],
                      val className: String = "Object") extends JsValue {
   var frozen: Boolean = false
 }
+
+/** ACCESSOR property record (`{ get x() {...}, set x(v) {...} }`),
+  * stored directly in a [[JsObject]]'s `props` table so V8's single
+  * ordered property table — and with it Object.keys / JSON / for-in
+  * enumeration order — is preserved without a parallel map.
+  *
+  * INVARIANT (the round-7 leak concern, inverted): this record is an
+  * engine-internal slot, NEVER a user-visible value. Every legitimate
+  * read path evaluates it through the interpreter (getMember,
+  * Object.values/entries/assign, spread, JSON.stringify, PoBridge
+  * output with an Interp in hand); any path that would hand the raw
+  * record to user code or serialization throws an internal error
+  * LOUDLY ([[Values.toStr]], PoBridge without an Interp) instead of
+  * silently emitting a corrupt value. Key-only operations (keys,
+  * for-in, `in`, delete, hasOwnProperty) see the entry like V8 does —
+  * without invoking the getter. */
+final class JsAccessorProp(var getter: Option[JsFunc],
+                           var setter: Option[JsFunc]) extends JsValue
 object JsObject {
   def empty(className: String = "Object"): JsObject =
     new JsObject(mutable.LinkedHashMap.empty, className)
@@ -336,6 +354,11 @@ object Values {
 
   /** ToString */
   def toStr(v: JsValue): String = v match {
+    // loud invariant guard (see JsAccessorProp): a raw accessor record
+    // reaching ToString means a read path skipped getter evaluation
+    case _: JsAccessorProp =>
+      throw new IllegalStateException(
+        "internal: accessor property record leaked past getter evaluation")
     case _: JsUndefinedKind => "undefined"
     case JsNull => "null"
     case JsBool(b) => b.toString

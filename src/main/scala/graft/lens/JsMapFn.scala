@@ -63,7 +63,8 @@ final class JsMapFn(val code: String) extends MapFn {
     }
     val outputFn = new JsNative("output", (_, args) => {
       val id = Values.toStr(args.headOption.getOrElse(JsUndefined))
-      val value = PoBridge.toPo(args.lift(1).getOrElse(JsUndefined))
+      // interpRef: output-value conversion evaluates accessor getters
+      val value = PoBridge.toPo(args.lift(1).getOrElse(JsUndefined), interpRef)
       ctx.output(id, value)
       JsUndefined
     })

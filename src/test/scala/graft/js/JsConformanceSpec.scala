@@ -273,19 +273,74 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
     )
   }
 
-  test("accessor properties are a startup syntax error, never silent misbehavior") {
-    // The documented subset boundary (Parser scaladoc, round 7): a lens
-    // using get/set must fail at CONFIGURATION time with a syntax error
-    // — the reference worker's compile-step contract — because a
-    // half-supported accessor would corrupt lens output silently.
+  test("accessor properties: get/set evaluate with V8 semantics") {
+    expect(
+      // basic get, `this` binding, set through this
+      "({ get x() { return 1 } }).x" -> "1",
+      "({ a: 2, get x() { return this.a * 3 } }).x" -> "6",
+      "(() => { const o = { v: 0, set x(n) { this.v = n + 1 } }; o.x = 4; return o.v })()" -> "5",
+      // paired accessors share one slot
+      "(() => { const o = { _x: 1, get x() { return this._x }, set x(v) { this._x = v * 2 } }; o.x = 10; return o.x })()" -> "20",
+      // sloppy-mode silent no-op on getter-only write; setter-only read
+      "(() => { const o = { get x() { return 7 } }; o.x = 99; return o.x })()" -> "7",
+      "'' + ({ set x(v) {} }).x" -> "undefined",
+      // computed accessor key
+      "({ get ['k' + 1]() { return 3 } }).k1" -> "3",
+      // non-accessor uses of the words get/set are untouched
+      "({ get: 1 }).get" -> "1",
+      "({ get() { return 2 } }).get()" -> "2",
+      // destructuring reads through the getter
+      "(() => { const { x } = { get x() { return 9 } }; return x })()" -> "9",
+      // getter throw is catchable
+      "(() => { try { return ({ get x() { throw new TypeError('boom') } }).x } catch (e) { return e.name } })()" -> "TypeError",
+    )
+  }
+
+  test("accessor properties: enumeration order kept, getters only invoke on value reads") {
+    expect(
+      // keys/for-in/in/delete see the property WITHOUT invoking it
+      "Object.keys({ get x() { throw 1 }, y: 1 }).join(',')" -> "x,y",
+      "(() => { let k = ''; for (const p in { get x() { throw 1 } }) k += p; return k })()" -> "x",
+      "'x' in { get x() { throw 1 } }" -> "true",
+      "(() => { const o = { get x() { return 1 } }; delete o.x; return 'x' in o })()" -> "false",
+      // single ordered table: accessors keep literal position, and a
+      // late get over an early set merges INTO the early slot
+      "Object.keys({ a: 1, get b() { return 2 }, c: 3 }).join(',')" -> "a,b,c",
+      "Object.keys({ a: 1, set b(v) {}, c: 2, get b() { return 5 } }).join(',')" -> "a,b,c",
+      // value-observing enumeration evaluates
+      "Object.values({ get x() { return 5 }, y: 6 }).join(',')" -> "5,6",
+      "Object.entries({ get x() { return 5 } })[0].join(':')" -> "x:5",
+      // JSON.stringify invokes getters
+      "JSON.stringify({ get x() { return 3 }, y: 4 })" -> "{\"x\":3,\"y\":4}",
+      // spread / rest copy DATA (getter evaluated once, accessor-ness gone)
+      "JSON.stringify({ ...{ get x() { return 4 } } })" -> "{\"x\":4}",
+      "(() => { const s = { ...{ get x() { return 4 } } }; s.x = 5; return s.x })()" -> "5",
+      "(() => { const { a, ...r } = { a: 1, get b() { return 2 } }; return r.b })()" -> "2",
+      // Object.assign: src getter evaluates, TARGET setter receives it
+      "(() => { const t = { v: 0, set x(n) { this.v = n } }; Object.assign(t, { get x() { return 8 } }); return t.v })()" -> "8",
+    )
+    // accessor values reach lens output through getter evaluation
+    val res = run("output('r', { get x() { return 42 }, y: 1 })")
+    res.error shouldBe None
+    res.outputs.head._2 match {
+      case PoObj(fields) =>
+        fields.get("x") shouldBe Some(PoInt(42L))
+        fields.get("y") shouldBe Some(PoInt(1L))
+      case other => fail(s"expected PoObj, got $other")
+    }
+  }
+
+  test("accessor arity and class accessors are startup syntax errors") {
+    // V8 early errors: getter with params, setter without exactly one
     for (src <- Seq(
-      "const o = { get x() { return 1 } }; output('r', '' + o.x)",
-      "const o = { set x(v) { } }; o.x = 1; output('r', 'no')",
-      "class A { get x() { return 1 } }; output('r', 'no')",
+      "const o = { get x(a) { return 1 } }; output('r', 'no')",
+      "const o = { set x() {} }; output('r', 'no')",
+      "const o = { set x(a, b) {} }; output('r', 'no')",
+      "class A { get x() { return 1 } }; output('r', 'no')", // class stays out
     )) {
       JsMapFn.compile(src) match {
         case Left(err) => err.errType shouldBe "SyntaxError"
-        case Right(_) => fail(s"accessor source must be rejected at startup: $src")
+        case Right(_) => fail(s"source must be rejected at startup: $src")
       }
     }
   }
