@@ -250,21 +250,26 @@ object Dedup {
   /** Connected-component clustering of near-duplicate pairs — the
     * survivor-selection step of a dedup pipeline: pair lists say WHO
     * matches whom; a pipeline needs CLUSTERS (keep one id per
-    * component, drop the rest). Alternating large-star/small-star
-    * contraction (Kiveris et al., "Connected Components in MapReduce
-    * and Beyond", SoCC'14 — the algorithm behind GraphFrames'
-    * connectedComponents): each round rewires edges toward local
-    * minima (large-star points every larger neighbor at the
-    * neighborhood min; small-star stars each node's smaller neighbors
-    * onto their min), which contracts path distance geometrically —
-    * convergence in O(log d) rounds rather than the O(d) of plain
-    * min-label propagation. That distinction is the 100 TB story:
-    * dense near-dup blobs converge in 2-3 rounds either way, but
-    * template-DRIFT chains (A~B~C~… — exactly what paragraph/span
-    * dedup emits on evolving boilerplate) have diameter in the
-    * thousands, and one-Spark-job-per-hop is a non-starter; log₂ of a
-    * 10k chain is 14. Each round is two (join + min-agg) stages over
-    * the edge frame, lineage truncated between rounds so the plan
+    * component, drop the rest). HYBRID loop, adaptive to component
+    * shape:
+    *  - Phase 1 — bounded min-label propagation (label(v) ← min over
+    *    neighbors; one shuffle join + one agg per round): the cheap
+    *    loop, converging in rounds = component diameter. Near-dup
+    *    families are dense blobs (diameter 2-4), so virtually every
+    *    real corpus finishes here, at the cheapest possible per-round
+    *    shape (measured: an unconditional star loop costs ~2× at
+    *    sf0.1 for zero benefit on blob inputs).
+    *  - Phase 2 — if still moving after [[MinLabelMaxRounds]], the
+    *    components are chain-shaped and O(diameter) is the 100 TB
+    *    failure mode (template-DRIFT chains A~B~C~… from paragraph/
+    *    span dedup on evolving boilerplate: a 10k chain = 10k
+    *    sequential Spark jobs). Escalate to alternating large-star/
+    *    small-star contraction (Kiveris et al., "Connected Components
+    *    in MapReduce and Beyond", SoCC'14 — the GraphFrames
+    *    algorithm): each round rewires edges toward local minima,
+    *    contracting path distance geometrically → O(log d) rounds;
+    *    log₂ of a 10k chain is 14.
+    * Lineage is truncated between rounds in both phases so the plan
     * never grows with iterations. Two checkpoint modes:
     *  - `checkpointDir = None` (default): `localCheckpoint` — round
     *    blocks live on executors; fastest, right for single-JVM runs,
@@ -301,28 +306,82 @@ object Dedup {
     dupClustersWithRounds(pairs, aCol, bCol, idCol, checkpointDir.isDefined)._1
   }
 
-  /** [[dupClusters]] plus the number of contraction rounds the loop
-    * ran (convergence-detection round included) — the observable the
-    * O(log d) claim is pinned on in OpsSpec's planted-chain fixture. */
+  /** Escalation bound for the cheap phase: near-dup families are dense
+    * blobs (diameter 2-4), so virtually every real component converges
+    * within these min-label rounds; anything still moving after them is
+    * chain-shaped and switches to the O(log d) star contraction.
+    * Measured at sf0.1: the hybrid keeps q38 at the min-label loop's
+    * cost (~2.4 s) where an unconditional star loop paid ~4.5 s, while
+    * the planted 1000-chain still converges in ≤ 9 star rounds. */
+  private val MinLabelMaxRounds = 5
+
+  /** [[dupClusters]] plus the number of rounds the loop ran
+    * (convergence-detection round included; min-label + star rounds
+    * combined) — the observable the O(log d) claim is pinned on in
+    * OpsSpec's planted-chain fixture. */
   private[graft] def dupClustersWithRounds(
       pairs: DataFrame, aCol: String, bCol: String,
       idCol: String, reliable: Boolean): (DataFrame, Int) = {
     // one knob for every round materialization below
     def ckpt(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
-    // Node set from the ORIGINAL pairs (keeps self-pair nodes, which
-    // the canonical edge set below drops as loops).
-    val nodes = ckpt(pairs.select(col(aCol).cast("long").as("node"))
-      .unionByName(pairs.select(col(bCol).cast("long").as("node")))
+
+    // ---- phase 1: bounded min-label propagation ----
+    // label(v) ← min(label(v), labels of v's neighbors); one shuffle
+    // join + one aggregation per round, rounds = component diameter.
+    // The CHEAP loop — right for the dense-blob components similarity
+    // thresholds actually produce — but a non-starter for long chains,
+    // so it is BOUNDED: converge within MinLabelMaxRounds or hand the
+    // edge set to the star phase below.
+    val edgesSym = ckpt(pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .unionByName(pairs
+        .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .distinct())
-    // Canonical undirected edge set: (u, v) with u > v, loops dropped.
-    // Both star steps below emit canonical edges, so orientation is an
-    // invariant of the loop, never re-normalized.
-    var edges = ckpt(pairs
-      .select(greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("u"),
-        least(col(aCol).cast("long"), col(bCol).cast("long")).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct())
+    var labels = ckpt(edgesSym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")))
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < MinLabelMaxRounds) {
+      val viaNeighbor = edgesSym
+        .join(labels.select(col("node").as("dst"), col("label").as("nl")), "dst")
+        .select(col("src").as("node"), col("nl").as("label"))
+      // carry each node's OWN label through the same aggregation
+      // (Long.MaxValue on neighbor rows never wins the min), so
+      // convergence is a filter on the materialized round — no extra
+      // join-the-previous-round job per iteration
+      val round = ckpt(labels.withColumn("own", col("label"))
+        .unionByName(viaNeighbor.withColumn("own", lit(Long.MaxValue)))
+        .groupBy("node").agg(min(col("label")).as("label"), min(col("own")).as("own")))
+      // labels only ever decrease, so fixpoint = no row got smaller.
+      // NOTE on state lifetime: localCheckpoint blocks are reclaimed by
+      // the ContextCleaner once the previous round's Dataset reference
+      // drops (the `labels` reassignment) — peak retention is a couple
+      // of rounds, not the whole history; reliable-checkpoint files are
+      // reaped the same way (cleanCheckpoints to reap eagerly).
+      converged = round.filter(col("label") < col("own")).isEmpty
+      labels = round.select(col("node"), col("label"))
+      rounds += 1
+    }
+    if (converged) {
+      // edgesSym keeps self-loop rows, so `labels` already covers every
+      // node of the original pairs — no node-set join needed here
+      return (labels.select(col("node").as(idCol),
+        col("label").as("cluster_id")), rounds)
+    }
+
+    // ---- phase 2: alternating large-star/small-star contraction ----
+    // Still moving after the bound → chain-shaped components (template
+    // drift). Restart from the edge set with the O(log d) loop; the
+    // phase-1 rounds are sunk cost, bounded by the constant above.
+    // Node set (from the checkpointed symmetric edges — keeps self-pair
+    // nodes, which the canonical orientation below drops as loops) for
+    // the final label join; canonical edge set: (u, v) with u > v. Both
+    // star steps emit canonical edges, so orientation is an invariant
+    // of the loop, never re-normalized.
+    val nodes = edgesSym.select(col("src").as("node")).distinct()
+    var edges = ckpt(edgesSym.filter(col("src") > col("dst"))
+      .select(col("src").as("u"), col("dst").as("v")))
 
     // Large-star: for each node s, m = min(Γ(s) ∪ {s}); rewire every
     // STRICTLY LARGER neighbor d onto m. Output (d, m) is canonical by
@@ -363,18 +422,8 @@ object Dedup {
       (r.getLong(0), r.getLong(1))
     }
     var prev = checksum(edges)
-    var rounds = 0
-    var converged = prev._1 == 0L
+    converged = prev._1 == 0L
     while (!converged) {
-      // NOTE on state lifetime: localCheckpoint blocks are NOT freed by
-      // Dataset.unpersist (that only uncaches CacheManager entries);
-      // they are reclaimed by the ContextCleaner once the previous
-      // round's Dataset reference is dropped — which reassigning
-      // `edges` here does. Peak retention is therefore a couple of
-      // rounds, not the whole history. Reliable-checkpoint files are
-      // likewise reaped by the ContextCleaner as round references drop
-      // (spark.cleaner.referenceTracking.cleanCheckpoints to reap
-      // eagerly; otherwise at context stop).
       edges = ckpt(smallStar(largeStar(edges)))
       val cur = checksum(edges)
       converged = cur == prev
@@ -386,10 +435,10 @@ object Dedup {
     // bearing. Component minima and self-pair-only nodes have no
     // u-side edge → label themselves via the left join.
     val mapping = edges.groupBy(col("u").as("node")).agg(min(col("v")).as("label"))
-    val labels = nodes.join(mapping, Seq("node"), "left")
+    val starLabels = nodes.join(mapping, Seq("node"), "left")
       .select(col("node").as(idCol),
         coalesce(col("label"), col("node")).as("cluster_id"))
-    (labels, rounds)
+    (starLabels, rounds)
   }
 
   /** Quality-based SURVIVOR SELECTION over near-dup clusters — the

@@ -420,16 +420,33 @@ class OpsSpec extends AnyFunSuite {
     import spark.implicits._
     // A template-drift chain 1-2-3-…-1000: diameter 999. Plain
     // min-label propagation needs one Spark round PER HOP (999 rounds —
-    // a non-starter at crawl scale); alternating large-star/small-star
-    // contracts geometrically. Pin the observable round counter well
-    // under log-budget: log₂(999) ≈ 10, +1 convergence-detection round.
+    // a non-starter at crawl scale). The hybrid burns its bounded
+    // min-label budget (5 rounds), detects non-convergence, and
+    // escalates to large-star/small-star which contracts geometrically:
+    // log₂(999) ≈ 10 star rounds + 1 detection round. Pin the total.
     val chain = (1L until 1000L).map(i => (i, i + 1)).toDF("a_id", "b_id")
     val (labels, rounds) =
       Dedup.dupClustersWithRounds(chain, "a_id", "b_id", "doc_id", reliable = false)
     val got = labels.as[(Long, Long)].collect()
     assert(got.length == 1000)
     assert(got.forall(_._2 == 1L), "whole chain is one component labeled by its min")
-    assert(rounds <= 12, s"expected O(log d) contraction rounds, got $rounds")
+    assert(rounds <= 17, s"expected bounded min-label + O(log d) star rounds, got $rounds")
+  }
+
+  test("dupClusters: dense blobs converge inside the cheap min-label phase") {
+    import spark.implicits._
+    // Star-shaped families (the real near-dup shape): must converge
+    // within the phase-1 budget — the observable that the hybrid keeps
+    // the cheap loop for the common case.
+    val pairs = (0 until 50).flatMap { c =>
+      val base = c * 100L
+      (1 to 8).map(i => (base, base + i))
+    }.toDF("a_id", "b_id")
+    val (labels, rounds) =
+      Dedup.dupClustersWithRounds(pairs, "a_id", "b_id", "doc_id", reliable = false)
+    assert(rounds <= 3, s"blobs must converge in the min-label phase, got $rounds rounds")
+    val byCluster = labels.as[(Long, Long)].collect().groupBy(_._2)
+    assert(byCluster.size == 50 && byCluster.values.forall(_.length == 9))
   }
 
   test("dupClusters: self-pairs keep their node, singleton label") {
