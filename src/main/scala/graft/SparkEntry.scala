@@ -511,6 +511,42 @@ object SparkEntry {
         .orderBy(col("canonical_url"))
     }),
 
+    // Quality-quantile gate: keep the top 3/10 of each source by doc
+    // length — rank-based (exact kept-count per group), one
+    // partition-by-source exchange, rank + group count in a single
+    // WindowExec pass. All-integer.
+    "q68_quality_quantile" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ops.TextOps.keepTopFraction(d, length(col("text")),
+          keepNum = 3, keepDen = 10)
+        .orderBy(col("source"), col("rank"))
+    }),
+
+    // Count-based LM prep (the canonical MapReduce workload): corpus
+    // bigram counts, minCount-pruned, top-3 continuations per prefix
+    // token by (count DESC, gram ASC). Map-side-combined gram counts;
+    // the per-prefix top-k compiles to WindowGroupLimit.
+    "q69_ngram_lm" -> ((s, dir) =>
+      graft.ops.TextOps.ngramLm(t(s, dir, "documents"),
+          n = 2, minCount = 2, k = 3)
+        .orderBy(col("prefix"), col("rank"))),
+
+    // Encoding-anomaly (mojibake) detection: markers planted as integer
+    // functions of doc_id (the q45/q66 fixture pattern) — U+FFFD
+    // replacement chars, UTF-8-as-Latin-1 lead chars (Ã©, â€™), a C0
+    // control byte — then counted by the production codegen'd
+    // projection; the oracle re-counts the same constructed strings
+    // with RE2. A wrong char class or miscount breaks the hash.
+    "q70_encoding_anomalies" -> ((s, dir) => {
+      val id = col("doc_id")
+      val marked = t(s, dir, "documents").withColumn("text",
+        concat(col("text"),
+          when(id % 11 === 0, lit(" cafÃ© itâ€™s")).otherwise(lit("")),
+          when(id % 13 === 0, lit(" ��")).otherwise(lit("")),
+          when(id % 17 === 0, lit(" \u0001end")).otherwise(lit(""))))
+      graft.ops.TextOps.encodingAnomalies(marked).orderBy(col("doc_id"))
+    }),
+
     // Quality-score features aggregated per source (LLM text analysis):
     // per-row double features are bit-identical across engines (same op
     // order), then decimal-cast before the sum so aggregation order
@@ -2152,5 +2188,66 @@ object SparkEntry {
         |SELECT canonical_url, count(*)::BIGINT AS n_docs,
         |  CAST(min(doc_id) AS BIGINT) AS keeper_id
         |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q68: rank-based per-group quantile — keep rank ≤ ⌈n·3/10⌉ under
+    // (score DESC, id ASC); the ceil compares as rank·10 ≤ n·3 + 9.
+    "q68_quality_quantile" ->
+      """WITH s AS (
+        |  SELECT doc_id, source, length(text)::BIGINT AS score FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, score,
+        |    row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id)::BIGINT AS rank,
+        |    count(*) OVER (PARTITION BY source)::BIGINT AS n_group
+        |  FROM s)
+        |SELECT doc_id, source, score, rank, n_group
+        |FROM r WHERE rank * 10 <= n_group * 3 + 9
+        |ORDER BY source, rank""".stripMargin,
+
+    // q69: the q63 bigram CTE feeding corpus-wide counts, the minCount
+    // prune, and a per-prefix (count DESC, gram ASC) top-3.
+    "q69_ngram_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, greatest(len(toks)-1, 0)),
+        |      i -> toks[i] || ' ' || toks[i+1]) AS grams
+        |  FROM t),
+        |c AS (
+        |  SELECT g2 AS g, count(*)::BIGINT AS cnt
+        |  FROM (SELECT unnest(grams) AS g2 FROM g)
+        |  GROUP BY g2 HAVING count(*) >= 2),
+        |p AS (SELECT g, cnt, string_split(g, ' ')[1] AS prefix FROM c),
+        |r AS (
+        |  SELECT prefix, g, cnt,
+        |    row_number() OVER (PARTITION BY prefix ORDER BY cnt DESC, g)::BIGINT AS rank
+        |  FROM p)
+        |SELECT prefix, rank, g, cnt FROM r WHERE rank <= 3
+        |ORDER BY prefix, rank""".stripMargin,
+
+    // q70: the oracle constructs the SAME marked strings (chr() for the
+    // non-ASCII markers — U+FFFD=65533, Ã=195, ©=169, â=226, €=8364,
+    // ™=8482, C0 control=1) and re-counts them with RE2 — no arithmetic
+    // shortcut, so a miscount on EITHER engine breaks the hash.
+    "q70_encoding_anomalies" ->
+      """WITH marked AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 11 = 0
+        |            THEN ' caf' || chr(195) || chr(169) || ' it' || chr(226) || chr(8364) || chr(8482) || 's'
+        |            ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0 THEN ' ' || chr(65533) || chr(65533) ELSE '' END
+        |    || CASE WHEN doc_id % 17 = 0 THEN ' ' || chr(1) || 'end' ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, chr(65533)))::BIGINT AS n_replacement,
+        |  len(regexp_extract_all(text, '[' || chr(194) || chr(195) || chr(226) || ']'))::BIGINT AS n_mojibake_lead,
+        |  len(regexp_extract_all(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]'))::BIGINT AS n_ctrl,
+        |  CAST(CASE WHEN len(regexp_extract_all(text, chr(65533)))
+        |            + len(regexp_extract_all(text, '[' || chr(194) || chr(195) || chr(226) || ']'))
+        |            + len(regexp_extract_all(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]')) > 0
+        |       THEN 1 ELSE 0 END AS BIGINT) AS suspect
+        |FROM marked ORDER BY doc_id""".stripMargin,
   )
 }

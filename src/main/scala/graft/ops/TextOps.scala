@@ -348,4 +348,89 @@ object TextOps {
         when(col("n_hits") * keepDen >= col("n_bigrams") * keepNum, 1L)
           .otherwise(0L))
   }
+
+  /** QUALITY-QUANTILE GATE: keep the top `keepNum/keepDen` fraction of
+    * each group by an integer quality score — the per-source curation
+    * step real pipelines run after scoring ("keep the best 30% of each
+    * crawl source"), where an absolute threshold would over-prune weak
+    * sources and under-prune strong ones. Rank-based, not
+    * threshold-based, so the kept count per group is exact:
+    * rank ≤ ⌈n·keepNum/keepDen⌉ under the total order (score DESC,
+    * id ASC) — all-integer, engine-independent.
+    *
+    * Scale shape: ONE hash-partition-by-group exchange feeding two
+    * window functions over the same (group, ordering) spec — Spark
+    * computes rank and the group count in a single WindowExec pass
+    * (one sort, spill-aware). No driver collect, no second scan. A
+    * group's cost is its own sort: skew bounds are the largest single
+    * source, same as any per-group operator.
+    *
+    * Output: (idCol, groupCol, score, rank, n_group) for kept rows. */
+  def keepTopFraction(docs: DataFrame, score: Column,
+                      groupCol: String = "source", idCol: String = "doc_id",
+                      keepNum: Int = 3, keepDen: Int = 10): DataFrame = {
+    require(keepNum > 0 && keepDen >= keepNum, "fraction must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+    val ordered = w.orderBy(col("score").desc, col(idCol).asc)
+    docs.select(col(idCol), col(groupCol), score.cast("long").as("score"))
+      .withColumn("rank", row_number().over(ordered).cast("long"))
+      .withColumn("n_group", count(lit(1)).over(w))
+      // ceil division in integers: (n·num + den - 1) div den
+      .filter(col("rank") * keepDen <= col("n_group") * keepNum + keepDen - 1)
+  }
+
+  /** N-GRAM LANGUAGE-MODEL COUNTS with pruning and per-prefix top-k —
+    * the classic count-based LM data prep (and the canonical MapReduce
+    * workload): corpus-wide n-gram occurrence counts, hapax/noise
+    * pruned at `minCount`, then for every (n-1)-gram prefix the top-k
+    * continuations by (count DESC, gram ASC) — the backoff table a
+    * count-based LM actually stores.
+    *
+    * Scale shape: [[ngramOccurrences]] streams grams in one executor
+    * pass; the count is a map-side-combined hash aggregation keyed on
+    * the gram string (shuffle carries one row per DISTINCT gram, not
+    * per occurrence); the prune filter runs before the window, and the
+    * per-prefix top-k compiles to WindowGroupLimit (map-side bound), so
+    * a stopword prefix with millions of continuations ships k rows per
+    * partition, never its tail. */
+  def ngramLm(docs: DataFrame, n: Int = 2, minCount: Long = 2, k: Int = 3,
+              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = ngramOccurrences(docs, idCol, textCol, n)
+      .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      // prefix = the first n-1 tokens (a gram is space-joined)
+      .withColumn("prefix",
+        concat_ws(" ", slice(split(col("g"), " "), 1, n - 1)))
+    val w = Window.partitionBy(col("prefix"))
+      .orderBy(col("cnt").desc, col("g").asc)
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("prefix"), col("rank"), col("g"), col("cnt"))
+  }
+
+  /** ENCODING-ANOMALY (mojibake) DETECTION — flag documents whose text
+    * carries the signatures of a broken decode pipeline, the curation
+    * gate every crawl corpus needs before tokenization:
+    *  - U+FFFD replacement characters (a decoder already gave up),
+    *  - the UTF-8-as-Latin-1 lead bytes Ã/Â/â (0xC3/0xC2/0xE2 read as
+    *    Latin-1 — "Ã©" for "é", "â€™" for "'", the classic double-decode),
+    *  - C0 control characters other than \t \n \r (binary bleed).
+    * Counting uses single-codepoint character classes only, so Java
+    * regex (Spark) and RE2 (DuckDB) agree exactly; output is
+    * all-integer. `suspect` = any signature present.
+    *
+    * Scale shape: a pure per-row projection — no shuffle, no UDF;
+    * `regexp_count` is a codegen'd expression, the filter/flag never
+    * leaves the scan stage. */
+  def encodingAnomalies(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      regexp_count(col(textCol), lit("�")).cast("long").as("n_replacement"),
+      regexp_count(col(textCol), lit("[ÂÃâ]")).cast("long").as("n_mojibake_lead"),
+      regexp_count(col(textCol), lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")).cast("long").as("n_ctrl"))
+      .withColumn("suspect",
+        when(col("n_replacement") + col("n_mojibake_lead") + col("n_ctrl") > 0, 1L)
+          .otherwise(0L))
 }

@@ -324,6 +324,65 @@ class OpsSpec extends AnyFunSuite {
       ("s1", 4L, 1L), ("s1", 5L, 5L), ("s2", 1L, 0L)))
   }
 
+  test("keepTopFraction: exact ceil-rank kept count per group, total order") {
+    import spark.implicits._
+    // group a: 5 docs, keep 3/10 → ceil(1.5) = 2 kept (the two longest,
+    // id-ascending tie-break); group b: 1 doc → ceil(0.3) = 1 kept
+    val docs = Seq(
+      (1L, "a", "xxxxx"), (2L, "a", "xxxxx"), (3L, "a", "xxx"),
+      (4L, "a", "x"), (5L, "a", "xx"), (9L, "b", "y"))
+      .toDF("doc_id", "source", "text")
+    val kept = graft.ops.TextOps.keepTopFraction(
+        docs, length(col("text")), keepNum = 3, keepDen = 10)
+      .select(col("doc_id"), col("rank"), col("n_group"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(kept.map(_._1).toSeq == Seq(1L, 2L, 9L),
+      s"ties break id-ascending, ceil keeps 2 of 5 and 1 of 1: ${kept.toSeq}")
+    assert(kept.find(_._1 == 2L).get._2 == 2L)
+    assert(kept.find(_._1 == 9L).get._3 == 1L)
+    intercept[IllegalArgumentException] {
+      graft.ops.TextOps.keepTopFraction(docs, length(col("text")), keepNum = 11, keepDen = 10)
+    }
+  }
+
+  test("ngramLm equals brute-force bigram counting with prune and per-prefix top-k") {
+    import spark.implicits._
+    val texts = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ran and the dog sat"),
+      (3L, "a dog sat on a mat"))
+    val got = graft.ops.TextOps.ngramLm(texts.toDF("doc_id", "text"),
+        n = 2, minCount = 2, k = 2)
+      .as[(String, Long, String, Long)].collect().toSet
+    // brute force
+    val grams = texts.flatMap { case (_, t) =>
+      t.split(" ").sliding(2).map(_.mkString(" ")) }
+    val counts = grams.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 2).toMap
+    val expected = counts.groupBy(_._1.split(" ").head).flatMap { case (p, gs) =>
+      gs.toSeq.sortBy { case (g, c) => (-c, g) }.take(2).zipWithIndex
+        .map { case ((g, c), i) => (p, (i + 1).toLong, g, c) }
+    }.toSet
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+    assert(got.exists(_._1 == "the"), "shared bigrams must survive the prune")
+  }
+
+  test("encodingAnomalies counts planted signatures, clean text is silent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "plain ascii text, nothing wrong"),
+      (2L, "cafÃ© double-decoded and itâ€™s bad"),
+      (3L, "lost �� bytes"),
+      (4L, "ctl and tab\t newline\n are fine except \u0001\u0002"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextOps.encodingAnomalies(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 0L, 0L, 0L, 0L)))
+    assert(got(1) == ((2L, 0L, 2L, 0L, 1L)), s"two lead chars: ${got(1)}")
+    assert(got(2) == ((3L, 2L, 0L, 0L, 1L)))
+    assert(got(3) == ((4L, 0L, 0L, 2L, 1L)), s"tab/newline excluded: ${got(3)}")
+  }
+
   test("dupClusters equals brute-force components on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(4242)
