@@ -1007,6 +1007,33 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_idx"))
     }),
 
+    // Session transcript assembly (dialog-sequence prep): q39's session
+    // derivation + per-session ordered event-type concatenation —
+    // array_sort inside the agg pins the order, collect_list arrival
+    // order never escapes.
+    "q71_session_transcripts" -> ((s, dir) => {
+      val ev = t(s, dir, "events").withColumn("us", unix_micros(col("ts")))
+        .select(col("user_id"), col("us"), col("event_id"), col("event_type"))
+      graft.streaming.EventAnalytics.sessionTranscripts(ev, gapUs = 1800000000L)
+        .orderBy(col("user_id"), col("session_idx"))
+    }),
+
+    // Semi-structured extraction at scale (schema-on-read): the props
+    // JSON column's integer field pulled with get_json_object (codegen,
+    // no UDF), aggregated per event type — all-integer outputs.
+    "q72_json_props" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count(col("k")).as("n_with_k"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          countDistinct(col("k")).as("distinct_k"))
+        .orderBy(col("event_type"))),
+
     // Banded range join (RangeJoin.followingPairs): events following a
     // signup within 1h by the same user. Two-bucket bin probe + exact
     // range filter — never the per-key cartesian Spark would plan for a
@@ -1866,6 +1893,43 @@ object SparkEntry {
         |  CAST(max(us) - min(us) AS BIGINT) AS duration_us
         |FROM g GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+
+    // q71: q39's session CTE + ordered string_agg — DuckDB's ORDER BY
+    // inside the aggregate mirrors the array_sort-inside-agg pinning.
+    "q71_session_transcripts" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+        |           OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM ev),
+        |g AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id) AS session_idx
+        |  FROM f)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(min(us) AS BIGINT) AS start_us,
+        |  string_agg(event_type, '>' ORDER BY us, event_id) AS transcript
+        |FROM g GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+
+    // q72: json_extract_string on the same path expression; integer
+    // casts on both engines.
+    "q72_json_props" ->
+      """SELECT event_type,
+        |  count(*)::BIGINT AS n_events,
+        |  count(k)::BIGINT AS n_with_k,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(min(k) AS BIGINT) AS min_k,
+        |  CAST(max(k) AS BIGINT) AS max_k,
+        |  count(DISTINCT k)::BIGINT AS distinct_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q30_asof_attribution" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us, event_type FROM events),

@@ -70,6 +70,42 @@ object EventAnalytics {
         (max(col(tsUsCol)) - min(col(tsUsCol))).as("duration_us"))
   }
 
+  /** SESSION TRANSCRIPT ASSEMBLY — the dialog/interaction-sequence prep
+    * step of a behavioral-training pipeline: per (user, session), the
+    * event types concatenated in (ts, tie) order into one transcript
+    * string ("view>click>purchase"), plus count and start time. The
+    * session derivation is [[sessionizeBatch]]'s lag/sum window
+    * verbatim.
+    *
+    * Scale shape: the same single partition-by-user exchange as
+    * sessionizeBatch (the window and the group-by share it), then one
+    * aggregation whose only wide value is the per-session event list —
+    * bounded by the session gap semantics (a session is as long as its
+    * user kept acting within `gapUs`), not by the corpus. Ordering is
+    * pinned inside the aggregation: `array_sort` over (ts, tie, type)
+    * structs, so collect_list's arrival order never escapes —
+    * deterministic on any partitioning, same discipline as the q62
+    * posting lists. */
+  def sessionTranscripts(events: DataFrame, gapUs: Long,
+                         userCol: String = "user_id", tsUsCol: String = "us",
+                         tieCol: String = "event_id",
+                         typeCol: String = "event_type"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsUsCol), col(tieCol))
+    events
+      .withColumn("__prev", lag(col(tsUsCol), 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+        col(tsUsCol) - col("__prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("__new")).over(w))
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsUsCol)).as("start_us"),
+        concat_ws(">", transform(
+          array_sort(collect_list(struct(
+            col(tsUsCol).as("t"), col(tieCol).as("e"), col(typeCol).as("ty")))),
+          s => s.getField("ty"))).as("transcript"))
+  }
+
   /** One user's running session state (driver-defined gap semantics). */
   final case class SessionState(count: Long, firstTs: Long, lastTs: Long)
   final case class SessionUpdate(user_id: Long, n_events: Long,

@@ -217,4 +217,25 @@ class EventAnalyticsSpec extends AnyFunSuite {
       (1L, 2L, 1L, 0L),   // event 12: 101 > gap → new session
       (2L, 1L, 1L, 0L)))
   }
+
+  test("sessionTranscripts: ts-ordered concatenation, tie broken by event_id") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    // user 1 session 1: three events with a same-microsecond tie (ids 11
+    // vs 12 decide the order); then a gap opens session 2. The rows
+    // arrive SHUFFLED — the transcript order must come from the sort
+    // inside the agg, never from arrival order.
+    val ev = Seq(
+      (1L, 1100L, 12L, "click"), (1L, 1000L, 10L, "view"),
+      (1L, 1100L, 11L, "scroll"), (1L, 5000L, 13L, "purchase"),
+      (2L, 9000L, 20L, "view"))
+      .toDF("user_id", "us", "event_id", "event_type")
+      .repartition(7)
+    val got = EventAnalytics.sessionTranscripts(ev, gapUs = 1000L)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 3L, 1000L, "view>scroll>click"),
+      (1L, 2L, 1L, 5000L, "purchase"),
+      (2L, 1L, 1L, 9000L, "view")), got.toString)
+  }
 }
