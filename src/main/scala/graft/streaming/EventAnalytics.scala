@@ -106,6 +106,35 @@ object EventAnalytics {
           s => s.getField("ty"))).as("transcript"))
   }
 
+  /** STREAM-STREAM INTERVAL JOIN (conversion attribution, live): clicks
+    * joined to purchases by the same user where the purchase lands in
+    * (click_ts, click_ts + `horizon`] — the streaming counterpart of
+    * the batch as-of/range joins (q30/q31). Both sides are watermarked,
+    * and the join condition carries the explicit event-time interval,
+    * which is what lets Spark BOUND the join state: a buffered click
+    * can be evicted once the purchase-side watermark passes
+    * click_ts + horizon (and vice versa), so state is O(events within
+    * horizon + lateness), not O(stream history). An equi-join without
+    * the time bounds would be rejected for exactly that reason in
+    * append mode. Inner join → append-mode output, safe for exactly-
+    * once file sinks. */
+  def conversionJoin(clicks: DataFrame, purchases: DataFrame,
+                     horizon: String = "1 hour",
+                     lateness: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", lateness)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", lateness)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value").as("amount"))
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") > col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("click_ts"), col("purchase_ts"), col("amount"))
+  }
+
   /** One user's running session state (driver-defined gap semantics). */
   final case class SessionState(count: Long, firstTs: Long, lastTs: Long)
   final case class SessionUpdate(user_id: Long, n_events: Long,

@@ -218,6 +218,37 @@ class EventAnalyticsSpec extends AnyFunSuite {
       (2L, 1L, 1L, 0L)))
   }
 
+  test("conversionJoin: stream-stream interval join matches within horizon only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long, Double)]
+    val buys = MemoryStream[(Long, Timestamp, Long, Double)]
+    def df(m: MemoryStream[(Long, Timestamp, Long, Double)]) =
+      m.toDF().toDF("event_id", "ts", "user_id", "value")
+    val q = EventAnalytics.conversionJoin(df(clicks), df(buys),
+        horizon = "30 minutes", lateness = "5 minutes")
+      .writeStream.format("memory").queryName("conv").outputMode("append").start()
+    try {
+      // user 7: click at 10:01, purchases at 10:20 (in horizon) and
+      // 10:45 (past 30 min — must NOT join); user 8 purchase with no
+      // click; user 7 purchase BEFORE the click (must not join)
+      clicks.addData((100L, ts(1), 7L, 0.0))
+      buys.addData((200L, ts(0), 7L, 9.0), (201L, ts(20), 7L, 42.0),
+        (202L, ts(45), 7L, 5.0), (203L, ts(20), 8L, 1.0))
+      q.processAllAvailable()
+      // append-mode stream-stream inner join emits once watermarks
+      // allow; push both watermarks far forward to flush
+      clicks.addData((101L, ts(59), 99L, 0.0))
+      buys.addData((204L, ts(59), 99L, 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("conv").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("click_id"),
+          r.getAs[Long]("purchase_id"), r.getAs[Double]("amount"))).toSet
+      assert(rows == Set((7L, 100L, 201L, 42.0)),
+        s"only the in-horizon purchase after the click joins: $rows")
+    } finally q.stop()
+  }
+
   test("sessionTranscripts: ts-ordered concatenation, tie broken by event_id") {
     val spark = SparkTestBase.spark
     import spark.implicits._
