@@ -873,6 +873,24 @@ object SparkEntry {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // SemDeDup end-to-end (the composition the pieces exist for):
+    // embedding-cosine near-dup pairs (q24's capped LSH machinery) →
+    // connected components (q38's hybrid loop) → quality survivors
+    // (q61's partial-agg pick, quality = token count of the id-aligned
+    // document). One query proving the semantic-dedup pipeline
+    // composes declaratively; the oracle chains the q24 signature CTE,
+    // the component CTE, and the survivor window stage for stage.
+    "q73_semdedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val pairs = graft.ops.Dedup.cosineNearDupPairs(e, threshold = 0.3, dim = 64)
+      val clusters = graft.ops.Dedup.dupClusters(pairs, idCol = "vec_id")
+      val quality = t(s, dir, "documents").select(
+        col("doc_id").cast("long").as("vec_id"),
+        graft.ops.TextOps.tokenCount(col("text")).cast("long").as("score"))
+      graft.ops.Dedup.clusterSurvivors(clusters, quality, idCol = "vec_id")
+        .orderBy(col("cluster_id"))
+    }),
+
     // Semantic decontamination: eval set = vec_id % 97 == 0, corpus =
     // the rest; corpus rows embedding-close (any-table signature
     // collision + exact cosine >= 0.3) to any eval row are flagged.
@@ -2092,6 +2110,45 @@ object SparkEntry {
         |  JOIN e eb ON eb.vec_id = c.b_id)
         |SELECT a_id, b_id, cos FROM pairs WHERE cos >= 0.3
         |ORDER BY a_id, b_id""".stripMargin,
+    // q73: the q24 pair CTE feeding q38's recursive component CTE and
+    // q61's survivor window, with quality = token count of the
+    // id-aligned document.
+    "q73_semdedup" ->
+      s"""WITH RECURSIVE $planes64Cte,
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM sig64 a JOIN sig64 b
+        |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |cpairs AS (
+        |  SELECT c.a_id, c.b_id
+        |  FROM cand c
+        |  JOIN e ea ON ea.vec_id = c.a_id
+        |  JOIN e eb ON eb.vec_id = c.b_id
+        |  WHERE ${duckCosine("ea.emb", "eb.emb")} >= 0.3),
+        |edges AS (
+        |  SELECT a_id AS a, b_id AS b FROM cpairs
+        |  UNION SELECT b_id, a_id FROM cpairs),
+        |reach(node, label) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT ed.a, r.label FROM reach r JOIN edges ed ON ed.b = r.node),
+        |clusters AS (
+        |  SELECT node AS vec_id, CAST(min(label) AS BIGINT) AS cluster_id
+        |  FROM reach GROUP BY node),
+        |q AS (
+        |  SELECT doc_id AS vec_id, CAST(len(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS score
+        |  FROM documents),
+        |r AS (
+        |  SELECT c.cluster_id, c.vec_id, q.score,
+        |    row_number() OVER (PARTITION BY c.cluster_id
+        |                       ORDER BY q.score DESC, c.vec_id) AS rn,
+        |    count(*) OVER (PARTITION BY c.cluster_id) AS nm
+        |  FROM clusters c JOIN q USING (vec_id))
+        |SELECT cluster_id, CAST(vec_id AS BIGINT) AS survivor_id,
+        |  score AS survivor_score, CAST(nm AS BIGINT) AS n_members
+        |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+
     // q58: same 64-plane multi-table signature CTE as q24, restricted
     // to the corpus/eval split; collision in ANY table is a candidate,
     // exact cosine confirms.
