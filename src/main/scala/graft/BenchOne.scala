@@ -18,7 +18,12 @@ object BenchOne {
     }
     run() // warmup
     val joblog = sys.env.get("SPARK_GRAFT_JOBLOG").contains("1")
-    val times = (1 to (if (joblog) 2 else 3)).map(_ => run())
+    // SPARK_GRAFT_BENCH_REPS: same knob as Bench — deeper reps reach
+    // JIT steady state (the q40 lesson: ~10 executions for the
+    // percentile path; min-of-3 lands wherever warm-up left it)
+    val reps = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .flatMap(_.toIntOption).getOrElse(if (joblog) 2 else 3))
+    val times = (1 to reps).map(_ => run())
     val profiled = if (joblog) {
       val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {

@@ -20,8 +20,9 @@ function member(){
   if (r < 0.72) return `set s${i}(x) { this.w${i} = x + 1 }`;
   if (r < 0.78) return `get t${i}() { throw new RangeError('t${i}') }`;
   if (r < 0.84) return `get ['c' + ${int(3)}]() { return ${int(30)} }`;
-  if (r < 0.92) return `d${i}: ${int(9)}, get d${i}() { return ${int(9)} + 100 }`; // accessor replaces data, keeps slot
-  return `get e${i}() { return ${int(9)} }, e${i}: ${int(9)}`;                     // data replaces accessor
+  if (r < 0.88) return `d${i}: ${int(9)}, get d${i}() { return ${int(9)} + 100 }`; // accessor replaces data, keeps slot
+  if (r < 0.94) return `get e${i}() { return ${int(9)} }, e${i}: ${int(9)}`;       // data replaces accessor
+  return `get a${i}() { return [${int(5)}, ${int(5)}].map(x => x + (this.k0 || 0)).join('-') }`;
 }
 
 function op(){
@@ -38,7 +39,9 @@ function op(){
   if (r < 0.69) return `for (const k in o) log.push(k);`;
   if (r < 0.76) return `delete o.g${i}; delete o.p${i}; log.push('g${i}' in o, 'p${i}' in o);`;
   if (r < 0.83) return `o.s${i} = ${int(25)}; log.push('' + o.w${i});`;
-  if (r < 0.90) return `try { const t2 = { seen: 0, set z(v) { this.seen = v } }; Object.assign(t2, o); log.push(Object.keys(t2).join('.')) } catch (e) { log.push('E:' + e.name) }`;
+  if (r < 0.87) return `try { const t2 = { seen: 0, set z(v) { this.seen = v } }; Object.assign(t2, o); log.push(Object.keys(t2).join('.')) } catch (e) { log.push('E:' + e.name) }`;
+  if (r < 0.93) return `try { const { g${i}: gx = -7, p${i}: px = -8 } = o; log.push('' + gx, '' + px) } catch (e) { log.push('E:' + e.name) }`;
+  if (r < 0.97) return `o.k0 = ${int(40)}; log.push('' + o.g${i}, '' + o.a${i});`;
   return `log.push(c);`;
 }
 
