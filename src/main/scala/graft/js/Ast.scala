@@ -72,9 +72,21 @@ object Ast {
   /** binding with default value: `(a = 1) =>` or `const {a = 1} = o` */
   final case class DefaultPattern(inner: Pattern, default: Expr, pos: Pos) extends Pattern
 
+  // ---- classes ----
+  /** one class member; kind: method | get | set | ctor. `name` is a
+    * StrLit unless `computed`. */
+  final case class MethodDef(name: Expr, fn: FnExpr, isStatic: Boolean,
+                             kind: String, computed: Boolean)
+  final case class ClassExpr(name: Option[String], parent: Option[Expr],
+                             members: Vector[MethodDef], pos: Pos) extends Expr
+  /** `super` — legal only as `super(...)` / `super.x` / `super[x]`
+    * inside class bodies (parser-enforced); evalChain resolves it. */
+  final case class SuperRef(pos: Pos) extends Expr
+
   // ---- statements ----
   sealed trait Stmt extends Node
   final case class ExprStmt(e: Expr, pos: Pos) extends Stmt
+  final case class ClassDecl(name: String, cls: ClassExpr, pos: Pos) extends Stmt
   /** kind: var | let | const */
   final case class VarDecl(kind: String, decls: Vector[(Pattern, Option[Expr])], pos: Pos) extends Stmt
   final case class FnDecl(name: String, fn: FnExpr, pos: Pos) extends Stmt

@@ -111,6 +111,19 @@ object Builtins {
         case a: JsArray => a
         case _ => self
       }
+    case cls: JsClassV =>
+      // class instantiation: fresh instance linked to the class's
+      // prototype chain; a constructor returning an object overrides
+      // (the base-class override rule, applied uniformly)
+      val self = JsObject.empty()
+      self.protoV = cls.protoObj
+      self.klass = cls
+      interp.budget.allocate(4)
+      interp.runConstructor(cls, self, args) match {
+        case o: JsObject => o
+        case a: JsArray => a
+        case _ => self
+      }
     case other => throwType(s"${typeOf(other)} is not a constructor")
   }
 
@@ -135,7 +148,17 @@ object Builtins {
       }
       case _ => false
     }
-    case _: JsClosure => false // user classes unsupported; instanceof user-fn is always false here
+    case cls: JsClassV => v match {
+      case o: JsObject =>
+        var k = o.klass
+        while (k != null) {
+          if (k eq cls) return true
+          k = k.parent.orNull
+        }
+        false
+      case _ => false
+    }
+    case _: JsClosure => false // ctor-fn prototypes unsupported; instanceof user-fn is always false here
     case _ => throwType("right-hand side of 'instanceof' is not callable")
   }
 
@@ -222,7 +245,10 @@ object Builtins {
       }
       sb.append('"').toString
     }
-    def go(v: JsValue, depth: Int): Option[String] = v match {
+    // `skipToJson`: per ES 25.5.2.3 a value's toJSON is invoked ONCE;
+    // the RESULT is serialized structurally without re-invoking at the
+    // same level (members still get theirs)
+    def go(v: JsValue, depth: Int, skipToJson: Boolean = false): Option[String] = v match {
       case _: JsAccessorProp => // loud invariant guard (see JsAccessorProp)
         throw new IllegalStateException(
           "internal: accessor property record leaked into JSON.stringify")
@@ -251,6 +277,11 @@ object Builtins {
           val pad = indent * (depth + 1)
           Some("[\n" + parts.map(pad + _).mkString(",\n") + "\n" + indent * depth + "]")
         }
+      case o: JsObject if !skipToJson && interp != null &&
+          interp.toJsonMethod(o).isDefined =>
+        val f = interp.toJsonMethod(o).get
+        go(interp.callFunction(f, o, Vector.empty, Pos(0), "toJSON"),
+          depth, skipToJson = true)
       case o: JsObject =>
         if (seen.contains(o)) throw JsThrown(makeError("TypeError", "Converting circular structure to JSON"))
         seen.add(o)

@@ -110,6 +110,8 @@ final class Interp(globalScope: Scope, val budget: Budget) {
           }
         }
       case _: FnDecl => () // bound during hoisting
+      case ClassDecl(name, ce, _) => // classes are NOT hoisted (TDZ)
+        scope.declare(name, buildClass(ce, scope))
       case Block(stmts, _) =>
         val inner = new Scope(scope)
         hoistFnDeclsOnly(stmts, inner)
@@ -366,6 +368,11 @@ final class Interp(globalScope: Scope, val budget: Budget) {
       case fn: FnExpr =>
         val thisV = if (fn.isArrow) scope.lookup("this").getOrElse(JsUndefined) else JsUndefined
         makeClosure(fn, scope, thisV)
+      case ce: ClassExpr => buildClass(ce, scope)
+      case SuperRef(_) =>
+        // only reachable as a base of write/delete/update targets (reads
+        // route through evalChain) — a loud subset boundary, never silent
+        throwType("assignment or delete through 'super' is not supported in lens code")
       case Unary(op, operand, _) => evalUnary(op, operand, scope)
       case u: Update => evalUpdate(u, scope)
       case Binary(op, l, r, pos) => evalBinary(op, eval(l, scope), eval(r, scope), pos)
@@ -506,7 +513,8 @@ final class Interp(globalScope: Scope, val budget: Budget) {
     case "instanceof" => JsBool(Builtins.instanceOf(l, r))
     case "in" =>
       r match {
-        case o: JsObject => JsBool(o.props.contains(toStr(l)))
+        // chain-aware: 'm' in instance is true for class methods (V8)
+        case o: JsObject => JsBool(hasChainProp(o, toStr(l)))
         case a: JsArray =>
           val i = toStr(l).toIntOption
           // a hole is an ABSENT property: `1 in [1,,3]` is false in V8
@@ -524,20 +532,22 @@ final class Interp(globalScope: Scope, val budget: Budget) {
         throwType(s"Cannot read properties of ${toStr(obj)} (reading '${toStr(key)}')")
       case o: JsObject =>
         val k = toStr(key)
-        o.props.get(k).map {
+        chainSlot(o, k).map {
           case acc: JsAccessorProp => // getter-less accessor reads undefined
             acc.getter.map(g => callFunction(g, o, Vector.empty, pos, k)).getOrElse(JsUndefined)
           case v => v
         }.getOrElse(
           Builtins.objectMethod(o, k).getOrElse {
-            // `.constructor` resolves to the GLOBAL builtin of the
-            // object's class by identity (`e.constructor === TypeError`
-            // must hold — V8's prototype-chain answer); plain objects
-            // answer Object. Own props above shadow it, like V8.
-            if (k == "constructor")
-              globalScope.lookup(o.className)
+            // `.constructor` resolves to the defining CLASS for class
+            // instances, else to the GLOBAL builtin of the object's
+            // class by identity (`e.constructor === TypeError` must
+            // hold — V8's prototype-chain answer); plain objects
+            // answer Object. Own/proto props above shadow it, like V8.
+            if (k == "constructor") {
+              if (o.klass != null) o.klass
+              else globalScope.lookup(o.className)
                 .orElse(globalScope.lookup("Object")).getOrElse(JsUndefined)
-            else JsUndefined
+            } else JsUndefined
           })
       case a: JsArray =>
         key match {
@@ -579,6 +589,17 @@ final class Interp(globalScope: Scope, val budget: Budget) {
         }
       case d: JsDate => Builtins.dateMethod(d, toStr(key)).getOrElse(JsUndefined)
       case r: JsRegExpV => Builtins.regexMethod(r, toStr(key), this).getOrElse(JsUndefined)
+      case cls: JsClassV => // before the JsFunc catch-all: statics first
+        val k = toStr(key)
+        if (k == "prototype") cls.protoObj
+        else if (k == "name") JsStr(cls.clsName)
+        else chainSlot(cls.statics, k) match { // parent statics inherit (V8)
+          case Some(acc: JsAccessorProp) => // static accessor: this = the class
+            acc.getter.map(g => callFunction(g, cls, Vector.empty, pos, k))
+              .getOrElse(JsUndefined)
+          case Some(v) => v
+          case None => Builtins.functionMethod(cls, k, this).getOrElse(JsUndefined)
+        }
       case f: JsFunc => Builtins.functionMethod(f, toStr(key), this).getOrElse(JsUndefined)
     }
   }
@@ -588,7 +609,10 @@ final class Interp(globalScope: Scope, val budget: Budget) {
       throwType(s"Cannot set properties of ${toStr(obj)} (setting '${toStr(key)}')")
     case o: JsObject =>
       val k = toStr(key)
-      o.props.get(k) match {
+      // chain walk: an accessor ANYWHERE on the proto chain receives
+      // the write (class setters); a chain DATA slot shadows into an
+      // own prop, like V8's [[Set]]
+      chainSlot(o, k) match {
         case Some(acc: JsAccessorProp) =>
           // setter runs even on a frozen object (freeze makes the slot
           // non-configurable; the accessor call itself is legal);
@@ -627,6 +651,21 @@ final class Interp(globalScope: Scope, val budget: Budget) {
     * our parser discards parentheses, so `(a?.b).c` short-circuits
     * like `a?.b.c` instead of throwing. */
   private def evalChain(e: Expr, scope: Scope): Option[JsValue] = e match {
+    // ---- super forms (parser guarantees these shapes) ----
+    case Call(SuperRef(p), args, spreads, _, _) =>
+      budget.tick()
+      superConstruct(scope, spreadArgs(args, spreads, scope, p), p)
+      Some(JsUndefined)
+    case Call(m @ Member(SuperRef(p), _, _, _, _), args, spreads, _, cp) =>
+      budget.tick()
+      // super.m(...) runs the PARENT's method with the CURRENT `this`
+      val fn = superMember(scope, toStr(evalPropKey(m, scope)), p)
+      val thisV = scope.lookup("this").getOrElse(JsUndefined)
+      Some(callFunction(fn, thisV, spreadArgs(args, spreads, scope, cp), cp,
+        name = if (!m.computed) m.prop.asInstanceOf[StrLit].v else "computed"))
+    case m @ Member(SuperRef(p), _, _, _, _) =>
+      budget.tick()
+      Some(superMember(scope, toStr(evalPropKey(m, scope)), p))
     case m: Member =>
       budget.tick()
       evalChain(m.obj, scope) match {
@@ -680,6 +719,126 @@ final class Interp(globalScope: Scope, val budget: Budget) {
     buf.toVector
   }
 
+  // ---------------- classes ----------------
+
+  /** First slot for `k` along the prototype chain (own first); raw —
+    * accessor slots come back unevaluated for the caller to invoke
+    * with the correct receiver. Plain objects have a null protoV, so
+    * this is one map probe for them — the pre-class fast path. */
+  private def chainSlot(o: JsObject, k: String): Option[JsValue] = {
+    var cur = o
+    while (cur != null) {
+      val v = cur.props.getOrElse(k, null)
+      if (v != null) return Some(v)
+      cur = cur.protoV
+    }
+    None
+  }
+
+  /** `k` exists anywhere on the chain — the `in` operator's read. */
+  private[js] def hasChainProp(o: JsObject, k: String): Boolean =
+    chainSlot(o, k).nonEmpty
+
+  private def buildClass(ce: ClassExpr, scope: Scope): JsClassV = {
+    val parentV = ce.parent.map { pe =>
+      eval(pe, scope) match {
+        case c: JsClassV => c
+        case other => throwType(
+          s"Class extends value of type ${typeOf(other)} is not a lens-code class")
+      }
+    }
+    val proto = JsObject.empty("Prototype")
+    val statics = JsObject.empty("Function")
+    parentV.foreach { p => proto.protoV = p.protoObj; statics.protoV = p.statics }
+    val cls = new JsClassV(ce.name.getOrElse(""), None, proto, statics, parentV)
+    // methods close over an inner scope carrying the class-name
+    // self-reference (named-class-expression semantics) and the super
+    // bindings the SuperRef evaluator reads
+    val classScope = new Scope(scope)
+    ce.name.foreach(n => classScope.declare(n, cls))
+    classScope.declare("__super_class__", parentV.getOrElse(JsUndefined))
+    classScope.declare("__super_proto__",
+      parentV.map(_.protoObj: JsValue).getOrElse(JsUndefined))
+    ce.members.foreach { m =>
+      val key = if (m.computed) toStr(eval(m.name, scope))
+                else m.name.asInstanceOf[StrLit].v
+      val closure = makeClosure(m.fn, classScope, JsUndefined)
+      m.kind match {
+        case "ctor" => cls.ctor = Some(closure)
+        case "method" =>
+          (if (m.isStatic) statics else proto).props.put(key, closure)
+        case _ => // get | set share one slot, like object literals
+          val target = if (m.isStatic) statics else proto
+          val acc = target.props.get(key) match {
+            case Some(a: JsAccessorProp) => a
+            case _ => new JsAccessorProp(None, None)
+          }
+          if (m.kind == "get") acc.getter = Some(closure) else acc.setter = Some(closure)
+          target.props.put(key, acc)
+      }
+    }
+    budget.allocate(8L + ce.members.length)
+    cls
+  }
+
+  /** Run `cls`'s constructor on `self`; an undeclared constructor
+    * forwards all args to the parent (the implicit derived ctor).
+    * Returns the ctor body's return value for the base-class
+    * return-object override. */
+  private[js] def runConstructor(cls: JsClassV, self: JsObject,
+                                 args: Vector[JsValue]): JsValue =
+    cls.ctor match {
+      case Some(c) => invokeClosure(c, self, args)
+      case None =>
+        cls.parent.foreach(p => runConstructor(p, self, args))
+        JsUndefined
+    }
+
+  private def superClassOf(scope: Scope, pos: Pos): JsClassV =
+    scope.lookup("__super_class__") match {
+      case Some(c: JsClassV) => c
+      case _ => throwType("'super' requires a class with 'extends'")
+    }
+
+  private def superConstruct(scope: Scope, args: Vector[JsValue], pos: Pos): Unit = {
+    val parent = superClassOf(scope, pos)
+    scope.lookup("this") match {
+      case Some(self: JsObject) => runConstructor(parent, self, args); ()
+      case _ => throwType("'super' called outside of an instance context")
+    }
+  }
+
+  /** `super.k` — lookup starts at the PARENT's prototype, but accessor
+    * receivers and method `this` stay the current instance (V8's
+    * HomeObject semantics for this subset). */
+  private def superMember(scope: Scope, k: String, pos: Pos): JsValue = {
+    val proto = scope.lookup("__super_proto__") match {
+      case Some(o: JsObject) => o
+      case _ => throwType("'super' requires a class with 'extends'")
+    }
+    val thisV = scope.lookup("this").getOrElse(JsUndefined)
+    chainSlot(proto, k) match {
+      case Some(acc: JsAccessorProp) =>
+        acc.getter.map(g => callFunction(g, thisV, Vector.empty, pos, k))
+          .getOrElse(JsUndefined)
+      case Some(v) => v
+      case None => JsUndefined
+    }
+  }
+
+  /** The callable `toJSON` of an object, own or inherited (class
+    * method), through an accessor if that's how it's stored —
+    * JSON.stringify's ES 25.5.2.3 step. None when absent or not
+    * callable. */
+  private[js] def toJsonMethod(o: JsObject): Option[JsFunc] =
+    chainSlot(o, "toJSON").flatMap {
+      case f: JsFunc => Some(f)
+      case acc: JsAccessorProp =>
+        acc.getter.map(g => callFunction(g, o, Vector.empty, Pos(0), "toJSON"))
+          .collect { case f: JsFunc => f }
+      case _ => None
+    }
+
   /** Own entries with accessor slots EVALUATED (getter invoked with
     * `this` = the object; getter-less accessors read undefined) — the
     * value-observing enumeration Object.values/entries, spread,
@@ -709,6 +868,8 @@ final class Interp(globalScope: Scope, val budget: Budget) {
     fnV match {
       case native: JsNative => native.fn(thisV, args)
       case closure: JsClosure => invokeClosure(closure, thisV, args)
+      case cls: JsClassV => // V8: classes only construct
+        throwType(s"Class constructor ${cls.clsName} cannot be invoked without 'new'")
       case other => throwType(s"$name is not a function (got ${typeOf(other)})")
     }
   }

@@ -24,11 +24,12 @@ object Lexer {
     "var", "let", "const", "function", "return", "if", "else", "for", "while",
     "do", "break", "continue", "throw", "try", "catch", "finally", "new",
     "delete", "typeof", "instanceof", "in", "of", "this", "null", "true",
-    "false", "undefined", "switch", "case", "default", "void")
+    "false", "undefined", "switch", "case", "default", "void",
+    "class", "extends", "super")
 
   /** syntax we refuse (startup error), per the reference contract */
-  val Rejected: Set[String] = Set("class", "yield", "async", "await", "with",
-    "import", "export", "super", "extends")
+  val Rejected: Set[String] = Set("yield", "async", "await", "with",
+    "import", "export")
 
   private val Puncts: Array[String] = Array(
     // longest first so greedy matching is correct

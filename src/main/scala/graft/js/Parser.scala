@@ -13,12 +13,21 @@ import scala.collection.mutable.ArrayBuffer
   * honor the restricted-production rule (no line break allowed before the
   * operand/operator).
   *
-  * Unsupported ES features (classes, generators, async, labels on
-  * everything we don't loop, `with`) fail here with a [[JsSyntaxError]]
-  * — surfaced by the lens worker as a STARTUP error, the same contract
-  * as the reference isolate compile step
-  * (reference: library/workers/javascript-lens-worker.js:102-111,
+  * Unsupported ES features (generators, async, class FIELDS and
+  * private members, labels on everything we don't loop, `with`) fail
+  * here with a [[JsSyntaxError]] — surfaced by the lens worker as a
+  * STARTUP error, the same contract as the reference isolate compile
+  * step (reference: library/workers/javascript-lens-worker.js:102-111,
   * test/test-workers-javascript-lens.js:21-30).
+  *
+  * Classes landed in round 8 (constructor, instance/static methods,
+  * get/set accessors incl. computed names, `extends`/`super`,
+  * instanceof, method shadowing): instances carry a real prototype
+  * link (JsObject.protoV) so methods are NON-enumerable exactly like
+  * V8 — Object.keys/JSON/spread see own props only while `in` and
+  * member reads walk the chain. `super()` outside a derived-class
+  * constructor is the V8 early error; super-member WRITES and
+  * non-derived `super.x` reads are loud runtime boundaries.
   *
   * Accessor properties (`{ get x() {...}, set x(v) {...} }`) landed in
   * round 8 after being deliberately deferred in r6/r7: the r7 concern —
@@ -84,6 +93,12 @@ final class Parser(tokens: Vector[Token]) {
       case "keyword" => peek.text match {
         case "var" | "let" | "const" => val d = parseVarDecl(); expectSemi(); d
         case "function" => parseFnDecl()
+        case "class" =>
+          val cp = pos
+          parseClassExpr() match {
+            case ce @ ClassExpr(Some(n), _, _, _) => ClassDecl(n, ce, cp)
+            case _ => err("class declarations need a name")
+          }
         case "if" => parseIf()
         case "for" => parseFor()
         case "while" => parseWhile()
@@ -166,6 +181,7 @@ final class Parser(tokens: Vector[Token]) {
         val ns = decls.flatMap { case (pat, _) => names(pat) }
         if (kind == "var") varsAndFns ++= ns else lexical ++= ns
       case FnDecl(name, _, _) => varsAndFns += name
+      case ClassDecl(name, _, _) => lexical += name // class bindings are lexical
       case _ => ()
     }
     val seen = scala.collection.mutable.HashSet.empty[String] ++ extraNames
@@ -259,7 +275,14 @@ final class Parser(tokens: Vector[Token]) {
     FnDecl(name, FnExpr(Some(name), params, rest, body, isArrow = false, None, p0), p0)
   }
 
-  private def parseFnRest(): (Vector[Pattern], Option[String], Vector[Stmt]) = {
+  /** super-context of the code being parsed: 0 = `super` illegal,
+    * 1 = class method (`super.x` legal), 2 = constructor (`super()`
+    * too). Regular function bodies RESET it (a nested `function` has
+    * no super binding); arrow bodies inherit — both exactly V8. */
+  private var superCtx = 0
+
+  private def parseFnRest(superCtxBody: Int = 0)
+      : (Vector[Pattern], Option[String], Vector[Stmt]) = {
     eatPunct("(")
     val params = ArrayBuffer.empty[Pattern]
     var rest: Option[String] = None
@@ -276,11 +299,90 @@ final class Parser(tokens: Vector[Token]) {
       }
     }
     eatPunct(")")
-    val body = parseBlock().stmts
+    val savedSuper = superCtx
+    superCtx = superCtxBody
+    val body = try parseBlock().stmts finally superCtx = savedSuper
     // params-vs-body lexical conflict: `function f(a) { let a }` is a
     // V8 SyntaxError (sloppy duplicate PARAMS stay legal)
     checkLexicalDups(body, params.toSeq.flatMap(patNames) ++ rest)
     (params.toVector, rest, body)
+  }
+
+  /** Class SUBSET (round 8): constructor, instance/static methods,
+    * get/set accessors (incl. computed names), `extends` + `super`.
+    * Deliberately OUT, all as loud startup errors: class FIELDS
+    * (`x = 1` / bare `x;` — instance-field initialization order and
+    * [[Define]] vs [[Set]] semantics are a separate project), private
+    * members (`#x` — the lexer rejects '#'), generators, async
+    * methods, and static blocks. */
+  private def parseClassExpr(): ClassExpr = {
+    val p0 = pos
+    advance() // class
+    val name = if (peek.kind == "ident") Some(advance().text) else None
+    val parent =
+      if (atKw("extends")) { advance(); Some(parseMemberOnly(parsePrimary())) }
+      else None
+    eatPunct("{")
+    val members = ArrayBuffer.empty[MethodDef]
+    var sawCtor = false
+    while (!atPunct("}")) {
+      if (atPunct(";")) { advance() }
+      else {
+        if (atPunct("*")) err("generator methods are not supported in lens code")
+        // `static` is a modifier only when a member NAME follows; a
+        // method literally named "static" ( `static() {}` ) stays one
+        val isStatic = peek.kind == "ident" && peek.text == "static" &&
+          !(peekAt(1).kind == "punct" && (peekAt(1).text == "(" || peekAt(1).text == "="))
+        if (isStatic) {
+          advance()
+          if (atPunct("{")) err("static initialization blocks are not supported in lens code")
+          if (atPunct("*")) err("generator methods are not supported in lens code")
+        }
+        if (peek.kind == "ident" && peek.text == "async" &&
+            !(peekAt(1).kind == "punct" && peekAt(1).text == "("))
+          err("async methods are not supported in lens code")
+        val accessorKind: Option[String] =
+          if (peek.kind == "ident" && (peek.text == "get" || peek.text == "set") &&
+              (peekAt(1).kind == "ident" || peekAt(1).kind == "keyword" ||
+               peekAt(1).kind == "str" || peekAt(1).kind == "num" ||
+               (peekAt(1).kind == "punct" && peekAt(1).text == "[")))
+            Some(advance().text)
+          else None
+        var computed = false
+        val namePos = pos
+        val keyExpr: Expr =
+          if (atPunct("[")) { advance(); val k = parseAssignExpr(); eatPunct("]"); computed = true; k }
+          else if (peek.kind == "ident" || peek.kind == "keyword") StrLit(advance().text, namePos)
+          else if (peek.kind == "str") StrLit(advance().text, namePos)
+          else if (peek.kind == "num") StrLit(Values.numToString(advance().num), namePos)
+          else err("expected member name in class body")
+        if (!atPunct("("))
+          err("class fields are not supported in lens code (methods and accessors only)")
+        val isCtor = !isStatic && accessorKind.isEmpty && !computed &&
+          keyExpr.asInstanceOf[StrLit].v == "constructor"
+        if (isCtor) {
+          if (sawCtor) err("a class may only have one constructor")
+          sawCtor = true
+        }
+        // super() is an early error outside a DERIVED-class ctor (V8);
+        // super.x parses in any method (non-derived resolution is a
+        // loud runtime boundary)
+        val (params, rest, body) =
+          parseFnRest(superCtxBody = if (isCtor && parent.isDefined) 2 else 1)
+        accessorKind.foreach { kind =>
+          if (kind == "get" && (params.nonEmpty || rest.nonEmpty))
+            err("getter must not have any formal parameters")
+          if (kind == "set" && (params.length != 1 || rest.nonEmpty))
+            err("setter must have exactly one formal parameter")
+        }
+        val kind = if (isCtor) "ctor" else accessorKind.getOrElse("method")
+        members += MethodDef(keyExpr,
+          FnExpr(None, params, rest, body, isArrow = false, None, namePos),
+          isStatic, kind, computed)
+      }
+    }
+    eatPunct("}")
+    ClassExpr(name, parent, members.toVector, p0)
   }
 
   private def parseIf(): Stmt = {
@@ -712,6 +814,16 @@ final class Parser(tokens: Vector[Token]) {
           val (params, rest, body) = parseFnRest()
           FnExpr(name, params, rest, body, isArrow = false, None, p0)
         case "new" => parseCallMember() // handled there
+        case "class" => parseClassExpr()
+        case "super" =>
+          advance()
+          if (superCtx == 0) err("'super' keyword unexpected here")
+          if (atPunct("(")) {
+            if (superCtx != 2)
+              err("'super' call is only allowed in a derived-class constructor")
+          } else if (!atPunct(".") && !atPunct("["))
+            err("'super' must be followed by a call or member access")
+          SuperRef(p0)
         case other => err(s"unexpected keyword '$other'")
       }
       case "punct" => peek.text match {

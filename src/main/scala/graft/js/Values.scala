@@ -39,6 +39,15 @@ final case class JsStr(s: String) extends JsValue
 final class JsObject(val props: mutable.LinkedHashMap[String, JsValue],
                      val className: String = "Object") extends JsValue {
   var frozen: Boolean = false
+  /** prototype link for CLASS instances and class prototype objects —
+    * null for plain objects (the overwhelmingly common case; object
+    * literals stay proto-free, Object.create still flattens). Property
+    * READS walk this chain (Interp.chainLookup); enumeration,
+    * spread, JSON and output conversion stay OWN-ONLY, which matches
+    * V8 because class methods are non-enumerable there. */
+  var protoV: JsObject = null
+  /** defining class of an instance (instanceof + `.constructor`). */
+  var klass: JsClassV = null
 }
 
 /** ACCESSOR property record (`{ get x() {...}, set x(v) {...} }`),
@@ -146,6 +155,22 @@ final class JsClosure(val fnName: Option[String], val params: Vector[Ast.Pattern
                       val env: Scope, val capturedThis: JsValue) extends JsFunc {
   def name: String = fnName.getOrElse("")
 }
+/** user-defined CLASS. typeof → "function" (via JsFunc), but CALLING
+  * it without `new` is a TypeError like V8 (Interp.callFunction).
+  * `protoObj` holds instance methods and accessor slots; instances
+  * link to it via JsObject.protoV, and it chains to the parent's
+  * protoObj for `extends`. `statics` likewise chains for static
+  * inheritance. `ctor` is the constructor body if declared; an
+  * undeclared constructor forwards all args to the parent (the
+  * implicit `constructor(...args){ super(...args) }`). */
+final class JsClassV(val clsName: String,
+                     var ctor: Option[JsClosure],
+                     val protoObj: JsObject,
+                     val statics: JsObject,
+                     val parent: Option[JsClassV]) extends JsFunc {
+  def name: String = clsName
+}
+
 /** host-provided function; `statics` (nullable) carries constructor
   * properties (Array.isArray, Object.keys, …) on the instance itself —
   * NOT in a shared registry, so per-call environments cannot leak or
@@ -373,6 +398,7 @@ object Values {
       val msg = o.props.get("message").map(toStr).getOrElse("")
       if (msg.isEmpty) name else s"$name: $msg"
     case _: JsObject => "[object Object]"
+    case c: JsClassV => s"class ${c.clsName} { [code] }"
     case f: JsFunc => s"function ${f.name}() { [code] }"
     case _: JsSetV => "[object Set]"
     case _: JsMapV => "[object Map]"

@@ -330,13 +330,14 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
     }
   }
 
-  test("accessor arity and class accessors are startup syntax errors") {
+  test("accessor arity violations are startup syntax errors (literals AND classes)") {
     // V8 early errors: getter with params, setter without exactly one
     for (src <- Seq(
       "const o = { get x(a) { return 1 } }; output('r', 'no')",
       "const o = { set x() {} }; output('r', 'no')",
       "const o = { set x(a, b) {} }; output('r', 'no')",
-      "class A { get x() { return 1 } }; output('r', 'no')", // class stays out
+      "class A { get x(a) { return 1 } }; output('r', 'no')",
+      "class A { set x() {} }; output('r', 'no')",
     )) {
       JsMapFn.compile(src) match {
         case Left(err) => err.errType shouldBe "SyntaxError"
@@ -416,6 +417,58 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
       "/(?:(a)|b)+/.exec('ab')[0]" -> "ab",
       "/(a)(b)/.exec('ab').slice(1).join(',')" -> "a,b",
     )
+  }
+
+  test("classes: construction, methods, this, chaining") {
+    expect(
+      "new (class { constructor(x) { this.x = x } getX() { return this.x } })(5).getX()" -> "5",
+      "(() => { class C { constructor() { this.n = 1 } inc() { this.n++; return this } } return new C().inc().inc().n })()" -> "3",
+      // class binding is lexical and the class value is a function
+      "(() => { class A {} return typeof A })()" -> "function",
+      // methods live on the prototype: not own-enumerable, but reachable
+      // via `in` and shadowable per-instance
+      "(() => { class A { m() { return 1 } } const a = new A(); return Object.keys(a).length + '|' + ('m' in a) + '|' + a.hasOwnProperty('m') })()" -> "0|true|false",
+      "(() => { class A { m() { return 1 } } const a = new A(); a.m = () => 9; return a.m() + ',' + new A().m() })()" -> "9,1",
+      // JSON/spread see own props only (methods are non-enumerable in V8)
+      "JSON.stringify(new (class { constructor() { this.k = 1 } m() {} })())" -> "{\"k\":1}",
+      // constructor returning an object overrides the instance
+      "JSON.stringify(new (class { constructor() { return { custom: 1 } } })())" -> "{\"custom\":1}",
+      // named class expression: inner binding sees the class
+      "(() => { const f = class Named { who() { return Named.name } }; return new f().who() })()" -> "Named",
+      // calling a class without new is a TypeError
+      "(() => { class A {} try { A(); return 'no-throw' } catch (e) { return e.name } })()" -> "TypeError",
+      // class accessors ride the instance chain with instance `this`
+      "(() => { class A { get v() { return this.b * 2 } set v(n) { this.b = n + 1 } } const a = new A(); a.v = 4; return a.v })()" -> "10",
+      "'' + (class A {})" -> "class A { [code] }",
+    )
+  }
+
+  test("classes: extends, super, instanceof, statics") {
+    expect(
+      "(() => { class A { m() { return 1 } } class B extends A { m() { return super.m() + 10 } } return new B().m() })()" -> "11",
+      // implicit derived constructor forwards args; explicit super()
+      "(() => { class A { constructor(x) { this.x = x } } class B extends A {} return new B(3).x })()" -> "3",
+      "(() => { class A { constructor(x) { this.x = x } } class B extends A { constructor() { super(4); this.y = 9 } } const b = new B(); return b.x + ',' + b.y })()" -> "4,9",
+      // inherited methods resolve through the chain
+      "(() => { class A { hello() { return 'hi' } } class B extends A {} return new B().hello() })()" -> "hi",
+      // super through an accessor, receiver stays the instance
+      "(() => { class A { get v() { return this.base * 2 } } class B extends A { get v() { return super.v + 1 } } const b = new B(); b.base = 10; return b.v })()" -> "21",
+      // instanceof walks the class chain; constructor identity
+      "(() => { class A {} class B extends A {} const b = new B(); return [b instanceof B, b instanceof A, ({}) instanceof A, b.constructor === B].join(',') })()" -> "true,true,false,true",
+      // statics incl. inheritance; static accessor `this` is the class
+      "(() => { class A { static make() { return new A() } } return A.make() instanceof A })()" -> "true",
+      "(() => { class A { static greet() { return 'hi ' + this.name } } class B extends A {} return B.greet() })()" -> "hi B",
+      "(() => { class A { static get tag() { return this.name + '!' } } return A.tag })()" -> "A!",
+      // toJSON (incl. inherited) is honored by JSON.stringify
+      "(() => { class A { toJSON() { return { t: 1 } } } class B extends A {} return JSON.stringify({ a: new B() }) })()" -> "{\"a\":{\"t\":1}}",
+      // arrow inside a method keeps the method's this and super binding
+      "(() => { class A { m() { return 1 } } class B extends A { m() { const f = () => super.m() + this.k; return f() } } const b = new B(); b.k = 5; return b.m() })()" -> "6",
+      // super() in a class without extends is a startup error
+    )
+    JsMapFn.compile("class A { constructor() { super() } }") match {
+      case Left(err) => err.errType shouldBe "SyntaxError"
+      case Right(_) => fail("super() without extends must be a startup error")
+    }
   }
 
   test("[].reduce with no seed throws a catchable TypeError") {
@@ -1098,8 +1151,10 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
   }
 
   test("out-of-subset constructs are LOUD — startup or runtime error, never silent") {
-    // parse-time rejections (the accessor-property policy, generalized):
-    Seq("class A {}", "function* g(){}", "async function f(){}",
+    // parse-time rejections (classes landed in r8; their residual
+    // out-of-subset corners stay loud):
+    Seq("class A { x = 1 }", "class A { static { } }", "class A { *g(){} }",
+        "function* g(){}", "async function f(){}",
         "const x = async () => 1", "const s = String.raw`a${1}b`",
         "with({a:1}) output('r', a)").foreach { code =>
       assert(JsMapFn.compile(code).isLeft, s"must reject at startup: $code")
