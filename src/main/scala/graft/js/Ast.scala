@@ -73,8 +73,10 @@ object Ast {
   final case class DefaultPattern(inner: Pattern, default: Expr, pos: Pos) extends Pattern
 
   // ---- classes ----
-  /** one class member; kind: method | get | set | ctor. `name` is a
-    * StrLit unless `computed`. */
+  /** one class member; kind: method | get | set | ctor | field. For
+    * fields, `fn` is a zero-param function whose exprBody is the
+    * initializer (absent → undefined). `name` is a StrLit unless
+    * `computed`. */
   final case class MethodDef(name: Expr, fn: FnExpr, isStatic: Boolean,
                              kind: String, computed: Boolean)
   final case class ClassExpr(name: Option[String], parent: Option[Expr],

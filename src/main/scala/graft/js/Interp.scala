@@ -759,6 +759,8 @@ final class Interp(globalScope: Scope, val budget: Budget) {
     classScope.declare("__super_class__", parentV.getOrElse(JsUndefined))
     classScope.declare("__super_proto__",
       parentV.map(_.protoObj: JsValue).getOrElse(JsUndefined))
+    classScope.declare("__own_class__", cls)
+    val staticFields = mutable.ArrayBuffer.empty[(String, JsClosure)]
     ce.members.foreach { m =>
       val key = if (m.computed) toStr(eval(m.name, scope))
                 else m.name.asInstanceOf[StrLit].v
@@ -767,6 +769,11 @@ final class Interp(globalScope: Scope, val budget: Budget) {
         case "ctor" => cls.ctor = Some(closure)
         case "method" =>
           (if (m.isStatic) statics else proto).props.put(key, closure)
+        case "field" =>
+          // instance fields run per construction; static fields run
+          // once, AFTER all methods exist (V8's class-evaluation order)
+          if (m.isStatic) staticFields += ((key, closure))
+          else cls.fields :+= ((key, closure))
         case _ => // get | set share one slot, like object literals
           val target = if (m.isStatic) statics else proto
           val acc = target.props.get(key) match {
@@ -777,9 +784,21 @@ final class Interp(globalScope: Scope, val budget: Budget) {
           target.props.put(key, acc)
       }
     }
+    staticFields.foreach { case (k, c) =>
+      statics.props.put(k, invokeClosure(c, cls, Vector.empty))
+    }
     budget.allocate(8L + ce.members.length)
     cls
   }
+
+  /** [[Define]] the instance fields of exactly `cls` (not its chain)
+    * on `self`, initializers run with `this` = self — no setter
+    * consultation, own props always (ES 7.3.33 DefineField). */
+  private def initFields(cls: JsClassV, self: JsObject): Unit =
+    cls.fields.foreach { case (k, c) =>
+      budget.allocate(4)
+      self.props.put(k, invokeClosure(c, self, Vector.empty))
+    }
 
   /** Run `cls`'s constructor on `self`; an undeclared constructor
     * forwards all args to the parent (the implicit derived ctor).
@@ -788,9 +807,14 @@ final class Interp(globalScope: Scope, val budget: Budget) {
   private[js] def runConstructor(cls: JsClassV, self: JsObject,
                                  args: Vector[JsValue]): JsValue =
     cls.ctor match {
-      case Some(c) => invokeClosure(c, self, args)
+      case Some(c) =>
+        // base-class fields initialize BEFORE the ctor body; a derived
+        // class's initialize when its super() returns (superConstruct)
+        if (cls.parent.isEmpty) initFields(cls, self)
+        invokeClosure(c, self, args)
       case None =>
         cls.parent.foreach(p => runConstructor(p, self, args))
+        initFields(cls, self)
         JsUndefined
     }
 
@@ -803,7 +827,13 @@ final class Interp(globalScope: Scope, val budget: Budget) {
   private def superConstruct(scope: Scope, args: Vector[JsValue], pos: Pos): Unit = {
     val parent = superClassOf(scope, pos)
     scope.lookup("this") match {
-      case Some(self: JsObject) => runConstructor(parent, self, args); ()
+      case Some(self: JsObject) =>
+        runConstructor(parent, self, args)
+        // super() return is where THIS class's fields initialize (V8)
+        scope.lookup("__own_class__") match {
+          case Some(own: JsClassV) => initFields(own, self)
+          case _ => ()
+        }
       case _ => throwType("'super' called outside of an instance context")
     }
   }

@@ -309,12 +309,13 @@ final class Parser(tokens: Vector[Token]) {
   }
 
   /** Class SUBSET (round 8): constructor, instance/static methods,
-    * get/set accessors (incl. computed names), `extends` + `super`.
-    * Deliberately OUT, all as loud startup errors: class FIELDS
-    * (`x = 1` / bare `x;` — instance-field initialization order and
-    * [[Define]] vs [[Set]] semantics are a separate project), private
-    * members (`#x` — the lexer rejects '#'), generators, async
-    * methods, and static blocks. */
+    * get/set accessors (incl. computed names), `extends` + `super`,
+    * and public FIELDS (`x = 1`, `static x = 1`, bare `x;`) with V8's
+    * initialization points — base-class fields before the ctor body,
+    * derived-class fields when super() returns, [[Define]] semantics
+    * (no setter consultation). Deliberately OUT, all as loud startup
+    * errors: private members (`#x` — the lexer rejects '#'),
+    * generators, async methods, and static blocks. */
   private def parseClassExpr(): ClassExpr = {
     val p0 = pos
     advance() // class
@@ -356,8 +357,27 @@ final class Parser(tokens: Vector[Token]) {
           else if (peek.kind == "str") StrLit(advance().text, namePos)
           else if (peek.kind == "num") StrLit(Values.numToString(advance().num), namePos)
           else err("expected member name in class body")
-        if (!atPunct("("))
-          err("class fields are not supported in lens code (methods and accessors only)")
+        if (!atPunct("(")) {
+          // FIELD: `name = expr` or bare `name` (undefined). The
+          // initializer parses in method super-context (super.x legal,
+          // super() not — V8), and terminates like a statement.
+          if (accessorKind.isDefined)
+            err(s"expected '(' after ${accessorKind.get} accessor name")
+          val init: Option[Expr] =
+            if (atPunct("=")) {
+              advance()
+              val savedSuper = superCtx
+              superCtx = 1
+              try Some(parseAssignExpr()) finally superCtx = savedSuper
+            } else None
+          if (atPunct(";")) advance()
+          else if (!atPunct("}") && !peek.nlBefore)
+            err("expected ';' or newline after class field")
+          members += MethodDef(keyExpr,
+            FnExpr(None, Vector.empty, None, Vector.empty, isArrow = false,
+              init, namePos),
+            isStatic, "field", computed)
+        } else {
         val isCtor = !isStatic && accessorKind.isEmpty && !computed &&
           keyExpr.asInstanceOf[StrLit].v == "constructor"
         if (isCtor) {
@@ -379,6 +399,7 @@ final class Parser(tokens: Vector[Token]) {
         members += MethodDef(keyExpr,
           FnExpr(None, params, rest, body, isArrow = false, None, namePos),
           isStatic, kind, computed)
+        }
       }
     }
     eatPunct("}")

@@ -169,6 +169,11 @@ final class JsClassV(val clsName: String,
                      val statics: JsObject,
                      val parent: Option[JsClassV]) extends JsFunc {
   def name: String = clsName
+  /** instance FIELD initializers in declaration order — zero-param
+    * closures run with `this` = the new instance at V8's
+    * initialization points (Interp.runConstructor/superConstruct);
+    * results land as OWN props with [[Define]] semantics. */
+  var fields: Vector[(String, JsClosure)] = Vector.empty
 }
 
 /** host-provided function; `statics` (nullable) carries constructor

@@ -471,6 +471,28 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("classes: public fields — V8 initialization points and [[Define]] semantics") {
+    expect(
+      // fields are own, enumerable, in declaration order
+      "(() => { class A { x = 1; y = 2; m() {} } return JSON.stringify(new A()) })()" -> "{\"x\":1,\"y\":2}",
+      "(() => { class A { bare; x = 3 } const a = new A(); return Object.keys(a).join(',') + '|' + ('' + a.bare) })()" -> "bare,x|undefined",
+      // later initializers see earlier fields via this
+      "(() => { class A { x = 4; y = this.x * 10 } return new A().y })()" -> "40",
+      // base-class fields exist BEFORE the ctor body runs
+      "(() => { class A { x = 7; constructor() { this.seen = this.x } } return new A().seen })()" -> "7",
+      // derived fields initialize when super() returns — after the
+      // parent ctor assigned, before the rest of the derived ctor
+      "(() => { class A { constructor() { this.base = 1 } } class B extends A { d = this.base + 10; constructor() { super(); this.after = this.d * 2 } } const b = new B(); return b.d + ',' + b.after })()" -> "11,22",
+      // [[Define]]: a field named like a base SETTER does not invoke it
+      "(() => { class A { set v(n) { this.hit = n } } class B extends A { v = 5 } const b = new B(); return b.v + ',' + ('' + b.hit) })()" -> "5,undefined",
+      // arrow field captures the instance `this`
+      "(() => { class A { x = 9; get = () => this.x } const a = new A(); const f = a.get; return f() })()" -> "9",
+      // static fields evaluate once, after methods, with this = class
+      "(() => { class A { static tag = 'T' + A.mk(); static mk() { return 1 } } return A.tag })()" -> "T1",
+      "(() => { class A { static n = 5 } class B extends A {} return B.n })()" -> "5", // static inheritance
+    )
+  }
+
   test("[].reduce with no seed throws a catchable TypeError") {
     run("output('r', [].reduce((a,b) => a+b))").error.get.errType shouldBe "TypeError"
     str("(() => { try { return [].reduce((a,b) => a+b) } catch (e) { return e.name } })()") shouldBe "TypeError"
@@ -1153,7 +1175,7 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
   test("out-of-subset constructs are LOUD — startup or runtime error, never silent") {
     // parse-time rejections (classes landed in r8; their residual
     // out-of-subset corners stay loud):
-    Seq("class A { x = 1 }", "class A { static { } }", "class A { *g(){} }",
+    Seq("class A { #x = 1 }", "class A { static { } }", "class A { *g(){} }",
         "function* g(){}", "async function f(){}",
         "const x = async () => 1", "const s = String.raw`a${1}b`",
         "with({a:1}) output('r', a)").foreach { code =>

@@ -379,7 +379,7 @@ class JsInterpSpec extends AnyFunSuite with Matchers {
       case Left(err) => err.errType shouldBe "SyntaxError"
       case Right(_) => fail("expected syntax error")
     }
-    JsMapFn.compile("class X { x = 1 }").isLeft shouldBe true // fields stay out (classes landed r8)
+    JsMapFn.compile("class X { #x = 1 }").isLeft shouldBe true // private members stay out (classes+fields landed r8)
     JsMapFn.compile("async function f() {}").isLeft shouldBe true
   }
 

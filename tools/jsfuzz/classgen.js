@@ -11,7 +11,12 @@ function int(n){ return Math.floor(rnd()*n) }
 
 function baseMember(){
   const r = rnd(), i = int(3);
-  if (r < 0.25) return `m${i}() { return ${int(9)} + (this.f${i} || 0) }`;
+  if (r < 0.10) return `p${i} = ${int(9)}`;                                    // public field
+  if (r < 0.16) return `q${i} = (this.p0 === undefined ? -1 : this.p0) + ${int(5)}`; // field reading earlier field
+  if (r < 0.20) return `h${i} = () => 'arrow' + (this.p0 === undefined ? '?' : this.p0)`; // arrow field captures instance
+  if (r < 0.24) return `static S${i} = '${pick(["u","v"])}' + ${int(9)}`;       // static field
+  if (r < 0.27) return `bare${i};`;                                            // bare field → undefined
+  if (r < 0.35) return `m${i}() { return ${int(9)} + (this.f${i} || 0) }`;
   if (r < 0.40) return `get g${i}() { return (this.f0 || 0) * ${1+int(4)} }`;
   if (r < 0.55) return `set s${i}(v) { this.w${i} = v + ${int(5)} }`;
   if (r < 0.70) return `static t${i}() { return '${pick(["x","y"])}' + this.name }`;
@@ -21,7 +26,9 @@ function baseMember(){
 }
 function derivedMember(){
   const r = rnd(), i = int(3);
-  if (r < 0.30) return `m${i}() { return (super.m${i} ? super.m${i}() : -1) + 100 }`;
+  if (r < 0.10) return `p${i} = ${100+int(9)}`; // derived field shadows base's
+  if (r < 0.15) return `d${i} = (this.f0 === undefined ? -5 : this.f0) * 2`; // sees ctor-set state post-super
+  if (r < 0.35) return `m${i}() { return (super.m${i} ? super.m${i}() : -1) + 100 }`;
   if (r < 0.45) return `get g${i}() { return (super.g${i} === undefined ? -2 : super.g${i}) + 1000 }`;
   if (r < 0.60) return `m${i}() { return ${int(9)} }`;
   if (r < 0.75) return `peek${i}() { const f = () => (super.m${i} ? super.m${i}() : -3); return f() }`;
@@ -35,8 +42,9 @@ function op(){
   if (r < 0.52) return `try { log.push(JSON.stringify(o)) } catch (e) { log.push('E:' + e.name) }`;
   if (r < 0.62) return `log.push(o instanceof B, o instanceof A, o.constructor === B);`;
   if (r < 0.72) return `try { log.push('' + B.t${i}()) } catch (e) { log.push('E:' + e.name) } log.push('' + B.u${i});`;
-  if (r < 0.82) return `o.m${i} = () => 'own${i}'; log.push('' + o.m${i}());`;
-  if (r < 0.92) return `try { log.push('' + o.peek${i}()) } catch (e) { log.push('E:' + e.name) }`;
+  if (r < 0.80) return `o.m${i} = () => 'own${i}'; log.push('' + o.m${i}());`;
+  if (r < 0.88) return `try { log.push('' + o.peek${i}()) } catch (e) { log.push('E:' + e.name) }`;
+  if (r < 0.94) return `log.push('' + o.p${i}, '' + o.q${i}, '' + (o.h${i} ? o.h${i}() : 'nf'), '' + B.S${i}, 'bare${i}' in o);`;
   return `o.f${i} = ${int(30)}; log.push('' + o.g${i});`;
 }
 
