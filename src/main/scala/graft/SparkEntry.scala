@@ -309,6 +309,18 @@ object SparkEntry {
     "q10_dedup_exact" -> ((s, dir) =>
       graft.ops.Dedup.exactGroups(t(s, dir, "documents")).orderBy(col("fp"))),
 
+    // Incremental (recrawl) dedup: docs with doc_id % 3 == 0 play the
+    // prior snapshot, the rest the fresh batch. The prior side reduces
+    // to distinct fingerprints before the anti-join; batch-internal
+    // dups collapse to their min-id representative in the same pass.
+    "q74_incremental_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ops.Dedup.dedupAgainstSnapshot(
+          d.filter(col("doc_id") % 3 =!= 0),
+          d.filter(col("doc_id") % 3 === 0))
+        .orderBy(col("doc_id"))
+    }),
+
     // Text analysis: per-language token/char statistics, all codegen'd
     // built-ins, tokenization chosen to be DuckDB-expressible.
     "q11_text_stats" -> ((s, dir) => {
@@ -1265,6 +1277,20 @@ object SparkEntry {
       """SELECT sha256(substring(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), 1, 100)) AS fp,
         |  count(*) AS n_docs, min(doc_id) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q74_incremental_dedup" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    sha256(substring(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), 1, 100)) AS fp
+        |  FROM documents),
+        |fresh AS (
+        |  SELECT fp, CAST(min(doc_id) AS BIGINT) AS doc_id,
+        |    count(*)::BIGINT AS n_batch_dups
+        |  FROM fp WHERE doc_id % 3 <> 0 GROUP BY fp),
+        |prior AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 3 = 0)
+        |SELECT doc_id, fp, n_batch_dups
+        |FROM fresh WHERE fp NOT IN (SELECT fp FROM prior)
+        |ORDER BY doc_id""".stripMargin,
+
     "q11_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS BIGINT) AS sum_tokens,

@@ -24,6 +24,38 @@ object Dedup {
     docs.groupBy(TextOps.fingerprint(col(textCol), prefixLen).as("fp"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
 
+  /** INCREMENTAL dedup against a prior corpus snapshot — the recrawl
+    * shape: a fresh batch keeps only documents that are (a) the min-id
+    * representative of their fingerprint within the batch AND (b)
+    * absent from the prior snapshot's fingerprint set. Real pipelines
+    * run this every crawl increment; without it each batch re-admits
+    * everything the corpus already holds.
+    *
+    * Scale shape: the prior side reduces to DISTINCT fingerprints
+    * before anything joins (one partial-agg shuffle over the snapshot,
+    * carrying 32-byte keys only — never documents); the batch
+    * aggregates per fingerprint (min id, count) in the same pass that
+    * computes novelty, then a LEFT ANTI join keyed on the fingerprint
+    * drops known content. Both shuffles are hash-partitioned on the
+    * fingerprint — at 100 TB the anti-join is the standard sorted/
+    * shuffled hash anti-join, and nothing document-sized crosses the
+    * wire twice. Output: (doc_id, fp, n_batch_dups) — the survivor,
+    * its key, and how many batch copies it represents. */
+  def dedupAgainstSnapshot(fresh: DataFrame, prior: DataFrame,
+                           idCol: String = "doc_id", textCol: String = "text",
+                           prefixLen: Int = 100): DataFrame = {
+    val freshFp = fresh.select(col(idCol),
+      TextOps.fingerprint(col(textCol), prefixLen).as("fp"))
+    val priorFp = prior
+      .select(TextOps.fingerprint(col(textCol), prefixLen).as("fp"))
+      .distinct()
+    freshFp
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_batch_dups"))
+      .join(priorFp, Seq("fp"), "left_anti")
+      .select(col(idCol), col("fp"), col("n_batch_dups"))
+  }
+
   // ------------------------------------------------------------ minhash
 
   /** 2^61-1 (Mersenne prime) — modulus for the affine permutations. */

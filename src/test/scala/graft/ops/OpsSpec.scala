@@ -324,6 +324,29 @@ class OpsSpec extends AnyFunSuite {
       ("s1", 4L, 1L), ("s1", 5L, 5L), ("s2", 1L, 0L)))
   }
 
+  test("dedupAgainstSnapshot: prior fingerprints drop, batch dups collapse to min id") {
+    import spark.implicits._
+    val fresh = Seq(
+      (10L, "brand new content here"),
+      (11L, "seen before in the snapshot"),
+      (12L, "batch duplicate text"),
+      (13L, "batch duplicate text"),    // same fp as 12 → collapse
+      (14L, "Batch   DUPLICATE\ttext")). // case/whitespace-normalizes to the same fp
+      toDF("doc_id", "text")
+    val prior = Seq(
+      (1L, "seen before in the snapshot"),
+      (2L, "other old content")).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.dedupAgainstSnapshot(fresh, prior)
+      .select(col("doc_id"), col("n_batch_dups"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 1L), (12L, 3L)),
+      s"known content drops, batch dups collapse: $got")
+    // plan shape: the snapshot side must anti-join, never materialize
+    val plan = graft.ops.Dedup.dedupAgainstSnapshot(fresh, prior)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"expected an anti join:\n$plan")
+  }
+
   test("keepTopFraction: exact ceil-rank kept count per group, total order") {
     import spark.implicits._
     // group a: 5 docs, keep 3/10 → ceil(1.5) = 2 kept (the two longest,
