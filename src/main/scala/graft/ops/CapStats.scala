@@ -46,7 +46,12 @@ object CapStats {
   /** op → (dropped_buckets, max_bucket) for caps that fired; the
     * warn-once dedupe AND the spec-visible record (log lines are not
     * assertable; this map is). Keyed by the unique per-call metric
-    * name. */
+    * name. Bounded: a long-lived driver session (a lens-maintainer
+    * service calling capped operators for weeks) must not accumulate
+    * one entry per historical call — past the cap the record resets
+    * (the WARN for a then-live name may fire once more; dedupe is a
+    * log-noise nicety, not a correctness surface). */
+  private val MaxFiredRecords = 4096
   private val fired = new ConcurrentHashMap[String, (String, Long, Long)]()
 
   /** Attach a fresh named drop-metric to `df` and ensure the session's
@@ -72,6 +77,7 @@ object CapStats {
             }
             val (d, m) = (l("dropped_buckets"), l("max_bucket"))
             val op = name.stripPrefix(Prefix).reverse.dropWhile(_ != '.').drop(1).reverse
+            if (fired.size > MaxFiredRecords) fired.clear()
             if (d > 0 && fired.putIfAbsent(name, (op, d, m)) == null)
               log.warn(s"graft $op: bucket cap dropped $d over-cap bucket(s) " +
                 s"from candidate generation (largest bucket seen: $m rows). " +
