@@ -309,6 +309,19 @@ object SparkEntry {
     "q10_dedup_exact" -> ((s, dir) =>
       graft.ops.Dedup.exactGroups(t(s, dir, "documents")).orderBy(col("fp"))),
 
+    // Winnowing (MOSS) fingerprints aggregated per document: the
+    // span-matching scheme with the ≥ w+k-1 shared-substring coverage
+    // guarantee. Aggregated (count + xor + min-pos fp) so the oracle
+    // pins every selected fingerprint without a million-row result.
+    "q75_winnowing" -> ((s, dir) => {
+      graft.ops.TextOps.winnowingFingerprints(t(s, dir, "documents"), k = 5, w = 4)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_fps"),
+          expr("bit_xor(fp)").as("xor_fps"),
+          min(col("pos")).cast("long").as("first_pos"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Incremental (recrawl) dedup: docs with doc_id % 3 == 0 play the
     // prior snapshot, the rest the fresh batch. The prior side reduces
     // to distinct fingerprints before the anti-join; batch-internal
@@ -1277,6 +1290,30 @@ object SparkEntry {
       """SELECT sha256(substring(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), 1, 100)) AS fp,
         |  count(*) AS n_docs, min(doc_id) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q75: the same gram-hash → rightmost-min window → full-window
+    // filter → distinct pipeline in DuckDB; struct min gives the same
+    // (hash, -pos) tie-break.
+    "q75_winnowing" ->
+      """WITH g AS (
+        |  SELECT doc_id, i AS pos,
+        |    ('0x' || substr(sha256(substring(text, i, 5)), 1, 15))::BIGINT AS h
+        |  FROM documents,
+        |       LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 4, 0))) AS i)),
+        |sel AS (
+        |  SELECT doc_id, pos,
+        |    min({'h': h, 'np': -pos})
+        |      OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+        |    count(*) OVER (PARTITION BY doc_id) AS ng
+        |  FROM g),
+        |fps AS (
+        |  SELECT DISTINCT doc_id, m.h AS fp, -m.np AS pos
+        |  FROM sel WHERE pos <= ng - 3)
+        |SELECT doc_id, count(*)::BIGINT AS n_fps,
+        |  bit_xor(fp)::BIGINT AS xor_fps,
+        |  CAST(min(pos) AS BIGINT) AS first_pos
+        |FROM fps GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q74_incremental_dedup" ->
       """WITH fp AS (
         |  SELECT doc_id,

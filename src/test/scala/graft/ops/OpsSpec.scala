@@ -324,6 +324,41 @@ class OpsSpec extends AnyFunSuite {
       ("s1", 4L, 1L), ("s1", 5L, 5L), ("s2", 1L, 0L)))
   }
 
+  test("winnowing: brute-force parity and the shared-substring guarantee") {
+    import spark.implicits._
+    val k = 5; val w = 4
+    val rnd = new scala.util.Random(1234)
+    def randText(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    // a shared span of exactly w + k - 1 = 8 chars planted in noise
+    val shared = "xqzwvyjk"
+    val docs = Seq(
+      (1L, randText(40) + shared + randText(40)),
+      (2L, randText(60) + shared + randText(20)),
+      (3L, randText(90))).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.winnowingFingerprints(docs, k, w)
+      .as[(Long, Long, Long)].collect()
+    // brute force the algorithm in plain Scala
+    def hash60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val raw = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    val expected = raw.flatMap { case (id, t) =>
+      val hs = (0 to t.length - k).map(i => (i + 1, hash60(t.substring(i, i + k))))
+      (0 to hs.length - w).map { s =>
+        val win = hs.slice(s, s + w)
+        win.minBy { case (p, h) => (h, -p) } // rightmost minimal
+      }.distinct.map { case (p, h) => (id, h, p.toLong) }
+    }.toSet
+    assert(got.toSet == expected,
+      s"missing=${expected -- got.toSet} extra=${got.toSet -- expected}")
+    // the guarantee: docs 1 and 2 share a ≥ w+k-1 span → ≥ 1 common fp
+    val fp1 = got.filter(_._1 == 1L).map(_._2).toSet
+    val fp2 = got.filter(_._1 == 2L).map(_._2).toSet
+    assert(fp1.intersect(fp2).nonEmpty, "shared span must share a fingerprint")
+  }
+
   test("dedupAgainstSnapshot: prior fingerprints drop, batch dups collapse to min id") {
     import spark.implicits._
     val fresh = Seq(
