@@ -322,6 +322,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Winnowing MATCH PAIRS (full MOSS copy detection): pairs sharing
+    // ≥ 50 selected fingerprints — the synthetic corpus shares phrase
+    // vocabulary heavily, so low thresholds match template noise (95k
+    // pairs at ≥3); 50 isolates the genuinely copied documents (13
+    // pairs at sf0.01). Postings over 200 drop before any pair forms
+    // (the lshCandidatePairs cap discipline, default-on WARN).
+    "q76_span_matches" -> ((s, dir) =>
+      graft.ops.TextOps.winnowingMatchPairs(t(s, dir, "documents"),
+          k = 5, w = 4, minShared = 50, maxPostings = 200)
+        .orderBy(col("a_id"), col("b_id"))),
+
     // Incremental (recrawl) dedup: docs with doc_id % 3 == 0 play the
     // prior snapshot, the rest the fresh batch. The prior side reduces
     // to distinct fingerprints before the anti-join; batch-internal
@@ -1313,6 +1324,32 @@ object SparkEntry {
         |  bit_xor(fp)::BIGINT AS xor_fps,
         |  CAST(min(pos) AS BIGINT) AS first_pos
         |FROM fps GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q76: q75's fps CTE + the posting cap + the pair join — shared
+    // counts pinned exactly.
+    "q76_span_matches" ->
+      """WITH g AS (
+        |  SELECT doc_id, i AS pos,
+        |    ('0x' || substr(sha256(substring(text, i, 5)), 1, 15))::BIGINT AS h
+        |  FROM documents,
+        |       LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 4, 0))) AS i)),
+        |sel AS (
+        |  SELECT doc_id, pos,
+        |    min({'h': h, 'np': -pos})
+        |      OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+        |    count(*) OVER (PARTITION BY doc_id) AS ng
+        |  FROM g),
+        |fps AS (
+        |  SELECT DISTINCT doc_id, m.h AS fp FROM sel WHERE pos <= ng - 3),
+        |ok AS (
+        |  SELECT doc_id, fp FROM (
+        |    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS psz FROM fps)
+        |  WHERE psz <= 200)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*)::BIGINT AS n_shared
+        |FROM ok a JOIN ok b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 50
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "q74_incremental_dedup" ->
       """WITH fp AS (

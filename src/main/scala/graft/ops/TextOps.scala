@@ -456,6 +456,41 @@ object TextOps {
       .distinct()
   }
 
+  /** WINNOWING MATCH PAIRS — the copy-detection join over
+    * [[winnowingFingerprints]] (what MOSS actually reports): document
+    * pairs sharing ≥ `minShared` selected fingerprints, with the
+    * shared count. Pairs only form INSIDE a fingerprint's posting
+    * list, never all-pairs; postings longer than `maxPostings`
+    * (boilerplate grams every document carries) are dropped before any
+    * pair forms — the lshCandidatePairs cap discipline, with the same
+    * default-on [[CapStats]] WARN and the same recall argument: a
+    * genuinely copied span selects several fingerprints, and the
+    * non-boilerplate ones keep the pair. Output: (a_id, b_id,
+    * n_shared) with a_id < b_id. */
+  def winnowingMatchPairs(docs: DataFrame, k: Int = 5, w: Int = 4,
+                          minShared: Int = 2, maxPostings: Int = 200,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fps = winnowingFingerprints(docs, k, w, idCol, textCol)
+      .select(col(idCol), col("fp")).distinct()
+    val byFp = Window.partitionBy(col("fp"))
+    val sized = fps
+      .withColumn("psz", count(lit(1)).over(byFp))
+      .withColumn("rn", row_number().over(byFp.orderBy(col(idCol))))
+    val warned = CapStats.watch(sized, "winnowingMatchPairs",
+      sum(when(col("psz") > maxPostings && col("rn") === 1, 1L).otherwise(0L)),
+      max(col("psz")))
+    val ok = warned.filter(col("psz") <= maxPostings)
+    val a = ok.select(col(idCol).as("a_id"), col("fp"))
+    val b = ok.select(col(idCol).as("b_id"), col("fp"))
+    a.join(b, Seq("fp"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** ENCODING-ANOMALY (mojibake) DETECTION — flag documents whose text
     * carries the signatures of a broken decode pipeline, the curation
     * gate every crawl corpus needs before tokenization:
