@@ -251,31 +251,48 @@ object Values {
   /** ECMA-262 Number::toString(10) — JS formatting, not Java's
     * (integral values print without ".0"; scientific only outside
     * [1e-6, 1e21)). */
+  /** Shortest decimal digits that round-trip to `abs` exactly, as
+    * (digits, n) with value = 0.digits × 10^n. JDK 17's
+    * Double.toString is NOT always shortest (JDK-4511638, fixed only
+    * in JDK 19's Ryū rewrite): e.g. 3.1e22 prints
+    * "3.1000000000000002E22" where V8's shortest form is "3.1e+22" —
+    * found by the round-8 differential sweep. So: round the double's
+    * EXACT decimal expansion to L significant digits for growing L
+    * until a candidate parses back bit-identically; nearest-ties try
+    * both directions. */
+  private def shortestDigits(abs: Double): (String, Int) = {
+    val exact = new java.math.BigDecimal(abs)
+    var L = 1
+    while (L <= 17) {
+      var rmIdx = 0
+      while (rmIdx < 2) {
+        val rm = if (rmIdx == 0) java.math.RoundingMode.HALF_EVEN
+                 else java.math.RoundingMode.HALF_UP
+        val r = exact.round(new java.math.MathContext(L, rm))
+        if (r.doubleValue() == abs) {
+          val unscaled = r.unscaledValue.toString
+          val n = unscaled.length - r.scale
+          var end = unscaled.length
+          while (end > 1 && unscaled.charAt(end - 1) == '0') end -= 1
+          return (unscaled.substring(0, end), n)
+        }
+        rmIdx += 1
+      }
+      L += 1
+    }
+    // unreachable (17 significant digits always round-trip), but keep
+    // a defensive exact fallback
+    val unscaled = exact.unscaledValue.toString
+    (unscaled, unscaled.length - exact.scale)
+  }
+
   def numToString(d: Double): String = {
     if (java.lang.Double.isNaN(d)) return "NaN"
     if (d == 0.0) return "0"
     if (java.lang.Double.isInfinite(d)) return if (d > 0) "Infinity" else "-Infinity"
     val neg = d < 0
     val abs = math.abs(d)
-    // shortest-roundtrip digits from Java, then re-layout per JS rules
-    val java_ = java.lang.Double.toString(abs) // e.g. "1.23E8", "0.001", "42.0"
-    val (digitsRaw, expRaw) = java_.indexOf('E') match {
-      case -1 => (java_, 0)
-      case e => (java_.substring(0, e), java_.substring(e + 1).toInt)
-    }
-    val dot = digitsRaw.indexOf('.')
-    val digitsAll = (digitsRaw.substring(0, dot) + digitsRaw.substring(dot + 1))
-    val intLen = dot
-    // strip leading zeros (e.g. "0.001" → digits "0001", intLen 1)
-    var lead = 0
-    while (lead < digitsAll.length - 1 && digitsAll.charAt(lead) == '0') lead += 1
-    var digits = digitsAll.substring(lead)
-    // n: decimal point position relative to digit string (value = 0.digits × 10^n)
-    var n = intLen - lead + expRaw
-    // strip trailing zeros
-    var end = digits.length
-    while (end > 1 && digits.charAt(end - 1) == '0') end -= 1
-    digits = digits.substring(0, end)
+    val (digits, n) = shortestDigits(abs)
     val k = digits.length
     val s =
       if (k <= n && n <= 21) digits + "0" * (n - k)
