@@ -129,6 +129,12 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
       "123.125" -> "123.125",
       "-0.5" -> "-0.5",
       "1e300 * 1e300" -> "Infinity",
+      // JDK-17 Double.toString is not shortest-roundtrip; V8 is. The
+      // shortest-digits search must find 2 digits here, not Java's 17
+      // (round-8 differential find)
+      "1e21 * 31" -> "3.1e+22",
+      "4.35" -> "4.35",
+      "0.3000000000000004" -> "0.3000000000000004", // needs all 16 digits
     )
   }
 
