@@ -365,10 +365,16 @@ object Dedup {
     // thresholds actually produce — but a non-starter for long chains,
     // so it is BOUNDED: converge within MinLabelMaxRounds or hand the
     // edge set to the star phase below.
-    val edgesSym = ckpt(pairs
-      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .unionByName(pairs
-        .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+    // materialize the PAIR INPUT once before symmetrizing: both union
+    // branches read `pairs`, and without this the candidate GENERATOR
+    // upstream (LSH bucket join + exact verify — the expensive part of
+    // q38/q61/q73) would execute twice (measured ~1.5 s at sf0.1 on
+    // the semdedup composition)
+    val p0 = ckpt(pairs
+      .select(col(aCol).cast("long").as("pa"), col(bCol).cast("long").as("pb")))
+    val edgesSym = ckpt(p0
+      .select(col("pa").as("src"), col("pb").as("dst"))
+      .unionByName(p0.select(col("pb").as("src"), col("pa").as("dst")))
       .distinct())
     var labels = ckpt(edgesSym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")))
