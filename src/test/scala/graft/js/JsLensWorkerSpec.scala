@@ -49,6 +49,40 @@ class JsLensWorkerSpec extends AnyFunSuite with Matchers {
     result.error shouldBe None
   }
 
+  test("a modern class-based lens runs through the worker contract (r8)") {
+    // classes + fields + accessors + toJSON through the REAL lens
+    // surface: compile → map(path, data) → captured outputs
+    val code =
+      """class TokenStats {
+        |  counts = {}
+        |  total = 0
+        |  add(tok) {
+        |    this.counts[tok] = (this.counts[tok] || 0) + 1
+        |    this.total += 1
+        |  }
+        |  get distinct() { return Object.keys(this.counts).length }
+        |  toJSON() { return { total: this.total, distinct: this.distinct } }
+        |}
+        |class WeightedStats extends TokenStats {
+        |  add(tok) { super.add(tok); if (tok.length > 3) super.add(tok) }
+        |}
+        |const s = new WeightedStats()
+        |for (const t of data.text.toLowerCase().split(/[^a-z0-9]+/)) {
+        |  if (t) s.add(t)
+        |}
+        |output(path.recordID, JSON.parse(JSON.stringify(s)))""".stripMargin
+    val fn = JsMapFn.compile(code).toOption.get
+    val result = mapWith(fn, PoObj("text" -> PoStr("the cat saw the kitten")))
+    // the>3? no (len 3): counted once ×2; cat once; saw once; kitten ×2
+    result.error shouldBe None
+    result.outputs match {
+      case Vector((_, PoObj(fields))) =>
+        fields.get("total") shouldBe Some(PoInt(6L))
+        fields.get("distinct") shouldBe Some(PoInt(4L))
+      case other => fail(s"unexpected outputs: $other")
+    }
+  }
+
   test("logs from maps and catches throws (outputs before the throw are kept)") {
     val fn = JsMapFn.compile(testCode).toOption.get
     val result = mapWith(fn, PoObj(
