@@ -13,11 +13,11 @@ import scala.collection.mutable.ArrayBuffer
   * honor the restricted-production rule (no line break allowed before the
   * operand/operator).
   *
-  * Unsupported ES features (generators, async, class FIELDS and
-  * private members, labels on everything we don't loop, `with`) fail
-  * here with a [[JsSyntaxError]] — surfaced by the lens worker as a
-  * STARTUP error, the same contract as the reference isolate compile
-  * step (reference: library/workers/javascript-lens-worker.js:102-111,
+  * Unsupported ES features (generators, async, private class members,
+  * `with`, tagged templates, dynamic code loading) fail here with a
+  * [[JsSyntaxError]] — surfaced by the lens worker as a STARTUP
+  * error, the same contract as the reference isolate compile step
+  * (reference: library/workers/javascript-lens-worker.js:102-111,
   * test/test-workers-javascript-lens.js:21-30).
   *
   * Classes landed in round 8 (constructor, instance/static methods,

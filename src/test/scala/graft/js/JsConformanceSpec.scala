@@ -542,6 +542,13 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
     )
   }
 
+  test("labeled non-loop statements: break exits the labeled block") {
+    expect(
+      "(() => { let s = ''; foo: { s += 'a'; if (s) break foo; s += 'b' } s += 'c'; return s })()" -> "ac",
+      "(() => { let s = ''; out: for (let i = 0; i < 3; i++) { bar: { s += i; if (i === 1) break out; if (i === 0) break bar; s += 'x' } s += '.' } return s })()" -> "0.1",
+    )
+  }
+
   test("control-flow corners: finally override, hoisting, switch") {
     expect(
       "(() => { try { return 1 } finally { return 2 } })()" -> "2",
