@@ -1793,6 +1793,45 @@ object Builtins {
         a.items ++= holes
         a
       }
+      // ---- ES2023 change-by-copy (never mutate, always DENSE: holes
+      // read as undefined in the copy, per 23.1.3.30-34) ----
+      case "toSorted" => nat(name) { as =>
+        val cmp = arg(as, 0)
+        val dense = a.items.toVector.map(Values.deHole)
+        val (defined, undef) = dense.partition(_ != JsUndefined)
+        val sorted = cmp match {
+          case JsUndefined => defined.sortBy(toStr)
+          case fn =>
+            try defined.sortWith { (x, y) =>
+              toNumber(interp.callCallback(fn, Vector(x, y))) < 0
+            } catch { case _: IllegalArgumentException => defined }
+        }
+        interp.budget.allocate(dense.length.toLong + 1)
+        JsArray.of(sorted ++ undef: _*)
+      }
+      case "toReversed" => nat(name) { _ =>
+        interp.budget.allocate(a.items.length.toLong + 1)
+        JsArray.of(a.items.toVector.reverse.map(Values.deHole): _*)
+      }
+      case "toSpliced" => nat(name) { as =>
+        val len = a.items.length
+        val start = arg(as, 0) match { case JsUndefined => 0; case v => normIndex(toNumber(v), len) }
+        val deleteCount = arg(as, 1) match {
+          case JsUndefined => len - start
+          case v => math.max(0, math.min(len - start, toNumber(v).toInt))
+        }
+        val dense = a.items.toVector.map(Values.deHole)
+        interp.budget.allocate(len.toLong + as.length + 1)
+        JsArray.of(dense.take(start) ++ as.drop(2) ++ dense.drop(start + deleteCount): _*)
+      }
+      case "with" => nat(name) { as =>
+        val len = a.items.length
+        val raw = toNumber(arg(as, 0)).toInt
+        val idx = if (raw < 0) len + raw else raw
+        if (idx < 0 || idx >= len) throwRange(s"Invalid index : $raw")
+        interp.budget.allocate(len.toLong + 1)
+        JsArray.of(a.items.toVector.map(Values.deHole).updated(idx, arg(as, 1)): _*)
+      }
       case "flat" => nat(name) { as =>
         val depth = arg(as, 0) match { case JsUndefined => 1; case v => toNumber(v).toInt }
         def fl(items: Vector[JsValue], d: Int): Vector[JsValue] =

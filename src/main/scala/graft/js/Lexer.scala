@@ -159,9 +159,13 @@ object Lexer {
         val start = i
         while (i < n && (Character.isJavaIdentifierPart(src.charAt(i)) || src.charAt(i) == '$')) i += 1
         val text = src.substring(start, i)
-        if (Rejected.contains(text))
-          err(s"'$text' is not supported in lens code")
-        val kind = if (Keywords.contains(text)) "keyword" else "ident"
+        // Rejected words lex as KEYWORD tokens and fail in the PARSER
+        // at expression/statement positions — so `.with`, `obj.await`,
+        // `{ import: 1 }` (legal property names in JS) keep working
+        // while `with (...)`, `yield x`, `async fn` stay loud startup
+        // errors (round-8 fix: the lexer-level throw rejected 'with'
+        // even as the ES2023 Array.prototype.with method name)
+        val kind = if (Keywords.contains(text) || Rejected.contains(text)) "keyword" else "ident"
         out += Token(kind, text, 0, line, nl); nl = false
       } else {
         var matched: String = null

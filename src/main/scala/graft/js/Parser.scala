@@ -845,6 +845,8 @@ final class Parser(tokens: Vector[Token]) {
           } else if (!atPunct(".") && !atPunct("["))
             err("'super' must be followed by a call or member access")
           SuperRef(p0)
+        case other if Lexer.Rejected.contains(other) =>
+          err(s"'$other' is not supported in lens code")
         case other => err(s"unexpected keyword '$other'")
       }
       case "punct" => peek.text match {

@@ -542,6 +542,33 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
     )
   }
 
+  test("ES2023 change-by-copy array methods: dense copies, never mutation") {
+    expect(
+      "[3,1].toSorted().join(',')" -> "1,3",
+      "(() => { const a = [3,1]; a.toSorted(); return a.join(',') })()" -> "3,1", // original untouched
+      "[3,1,2].toSorted((a,b) => b - a).join(',')" -> "3,2,1",
+      "[1,,3].toReversed().map(x => '' + x).join(',')" -> "3,undefined,1", // holes densify
+      "[3,1,2].toSpliced(1, 1, 'x', 'y').join(',')" -> "3,x,y,2",
+      "[1,2,3].with(1, 9).join(',')" -> "1,9,3",
+      "[1,2,3].with(-1, 9).join(',')" -> "1,2,9",
+      "[1,,3].with(0, 9).map(x => '' + x).join(',')" -> "9,undefined,3",
+      "(() => { try { return [1,2].with(-3, 0).join(',') } catch (e) { return e.name } })()" -> "RangeError",
+    )
+  }
+
+  test("rejected words are legal as PROPERTY names, loud elsewhere") {
+    expect(
+      // `.with` the method vs `with` the statement; reserved words as keys
+      "typeof [1].with" -> "function",
+      "({ import: 1, yield: 2 }).import + ({ async: 3 }).async" -> "4",
+      "(() => { const o = {}; o.await = 7; return o.await })()" -> "7",
+    )
+    for (bad <- Seq("with({a:1}) output('r', a)", "yield 5", "async function f(){}",
+                    "const x = import('m')")) {
+      assert(JsMapFn.compile(bad).isLeft, s"must stay a startup error: $bad")
+    }
+  }
+
   test("labeled non-loop statements: break exits the labeled block") {
     expect(
       "(() => { let s = ''; foo: { s += 'a'; if (s) break foo; s += 'b' } s += 'c'; return s })()" -> "ac",
