@@ -42,6 +42,71 @@ object Builtins {
     put("globalThis", globalObj)
     put("global", globalObj)
 
+    // HTML structured clone, the node-verified subset semantics: deep
+    // copy with cycle identity preserved; sparse holes preserved;
+    // getters evaluated into data; class instances flatten to plain
+    // objects (own props only); RegExp clones with lastIndex reset;
+    // functions throw DataCloneError. Dates are immutable here, so the
+    // instance is shared.
+    put("structuredClone", native("structuredClone") { (_, as) =>
+      val memo = new java.util.IdentityHashMap[AnyRef, JsValue]()
+      def clone1(v: JsValue): JsValue = v match {
+        case f: JsFunc =>
+          throw JsThrown(makeError("DataCloneError",
+            s"${if (f.name.isEmpty) "function" else f.name} could not be cloned"))
+        case a: JsArray =>
+          val seen = memo.get(a)
+          if (seen != null) seen
+          else {
+            val out = JsArray.empty
+            memo.put(a, out)
+            interp().budget.allocate(a.items.length.toLong + 1)
+            a.items.foreach(it =>
+              out.items += (if (it eq JsHole) JsHole else clone1(it)))
+            out
+          }
+        case o: JsObject =>
+          val seen = memo.get(o)
+          if (seen != null) seen
+          else {
+            val out = JsObject.empty()
+            memo.put(o, out)
+            val entries = interp().ownEvalEntries(o)
+            interp().budget.allocate(entries.length.toLong + 1)
+            entries.foreach { case (k, pv) => out.props.put(k, clone1(pv)) }
+            out
+          }
+        case s: JsSetV =>
+          val seen = memo.get(s)
+          if (seen != null) seen
+          else {
+            val out = JsSetV.empty
+            memo.put(s, out)
+            interp().budget.allocate(s.entries.size.toLong + 1)
+            s.entries.values.foreach { v0 =>
+              val c = clone1(v0); out.entries.put(new JsKey(c), c)
+            }
+            out
+          }
+        case m: JsMapV =>
+          val seen = memo.get(m)
+          if (seen != null) seen
+          else {
+            val out = JsMapV.empty
+            memo.put(m, out)
+            interp().budget.allocate(m.entries.size.toLong + 1)
+            m.entries.values.foreach { case (k0, v0) =>
+              val ck = clone1(k0); out.entries.put(new JsKey(ck), (ck, clone1(v0)))
+            }
+            out
+          }
+        case r: JsRegExpV => // fresh lastIndex = 0, like V8
+          new JsRegExpV(r.source, r.flags, r.pattern, r.negGroups, r.negNames)
+        case b: JsBytes => new JsBytes(b.bytes.clone())
+        case prim => prim // numbers/strings/bools/null/undefined/dates
+      }
+      clone1(arg(as, 0))
+    })
     put("Math", mathObject)
     put("JSON", jsonObject(interp))
     put("Object", objectConstructor(interp))

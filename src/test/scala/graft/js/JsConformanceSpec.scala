@@ -569,6 +569,27 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("structuredClone: deep copy, cycles, holes, getters, clone errors — node-verified") {
+    expect(
+      // deep, independent copy
+      "(() => { const o = { a: [1, { b: 2 }] }; const c = structuredClone(o); c.a[1].b = 9; return o.a[1].b + ',' + c.a[1].b })()" -> "2,9",
+      // cycle identity preserved
+      "(() => { const o = {}; o.self = o; const c = structuredClone(o); return c.self === c })()" -> "true",
+      // sparse holes preserved
+      "(() => { const c = structuredClone([1,,3]); return (1 in c) + ',' + c.length })()" -> "false,3",
+      // getters evaluate into data; class instances flatten to plain objects
+      "JSON.stringify(structuredClone({ get x() { return 42 } }))" -> "{\"x\":42}",
+      "(() => { class K { f = 1; m() {} } const c = structuredClone(new K()); return JSON.stringify(c) + ',' + (c.constructor === Object) })()" -> "{\"f\":1},true",
+      // RegExp clones with lastIndex reset; Map/Set deep
+      "(() => { const r = /ab/g; r.lastIndex = 1; const c = structuredClone(r); return c.source + c.flags + c.lastIndex })()" -> "abg0",
+      "structuredClone(new Map([[1, 'a']])).get(1)" -> "a",
+      "[...structuredClone(new Set([1, 2]))].join(',')" -> "1,2",
+      "structuredClone(new Date(5)).getTime()" -> "5",
+      // functions are not cloneable — the DataCloneError contract
+      "(() => { try { structuredClone(() => 1); return 'no-throw' } catch (e) { return e.name } })()" -> "DataCloneError",
+    )
+  }
+
   test("labeled non-loop statements: break exits the labeled block") {
     expect(
       "(() => { let s = ''; foo: { s += 'a'; if (s) break foo; s += 'b' } s += 'c'; return s })()" -> "ac",

@@ -23,8 +23,11 @@ function stmt(v){
   if (r < 0.76) return `o['d' + ${int(3)}] = Object.keys(o).length;`;
   if (r < 0.80) return `delete o.k${int(4)};`;
   if (r < 0.85) return `try { ${v}.reduce((a, b) => a + b) } catch (e) { o.err = e.name; }`;
-  if (r < 0.90) return `s += ${v}.join('') + Object.keys(o).join('');`;
-  if (r < 0.95) return `${v}.reverse();`;
+  if (r < 0.88) return `s += ${v}.join('') + Object.keys(o).join('');`;
+  if (r < 0.91) return `${v}.reverse();`;
+  if (r < 0.94) return `${v} = ${v}.toSorted((a, b) => ('' + a).length - ('' + b).length);`;
+  if (r < 0.96) return `o.cc = ${v}.toReversed().join('') + ${v}.toSpliced(${int(3)}, ${int(2)}, 7).length;`;
+  if (r < 0.98) return `try { ${v} = ${v}.with(${int(6)}, 'w') } catch (e) { o.werr = e.name }`;
   return `${v}.length = ${int(9)};`;
 }
 
