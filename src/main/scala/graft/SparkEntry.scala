@@ -1362,7 +1362,7 @@ object SparkEntry {
         |  FROM fp WHERE doc_id % 3 <> 0 GROUP BY fp),
         |prior AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 3 = 0)
         |SELECT doc_id, fp, n_batch_dups
-        |FROM fresh WHERE fp NOT IN (SELECT fp FROM prior)
+        |FROM fresh WHERE NOT EXISTS (SELECT 1 FROM prior WHERE prior.fp = fresh.fp)
         |ORDER BY doc_id""".stripMargin,
 
     "q11_text_stats" ->

@@ -342,12 +342,18 @@ object Builtins {
           val pad = indent * (depth + 1)
           Some("[\n" + parts.map(pad + _).mkString(",\n") + "\n" + indent * depth + "]")
         }
-      case o: JsObject if !skipToJson && interp != null &&
-          interp.toJsonMethod(o).isDefined =>
-        val f = interp.toJsonMethod(o).get
-        go(interp.callFunction(f, o, Vector.empty, Pos(0), "toJSON"),
-          depth, skipToJson = true)
       case o: JsObject =>
+        // evaluate toJSON lookup ONCE (an accessor-stored toJSON's
+        // getter must run a single time, V8's single Get)
+        val toJson = if (!skipToJson && interp != null) interp.toJsonMethod(o) else None
+        toJson match {
+          case Some(f) =>
+            go(interp.callFunction(f, o, Vector.empty, Pos(0), "toJSON"),
+              depth, skipToJson = true)
+          case None => stringifyPlainObject(o, depth)
+        }
+    }
+    def stringifyPlainObject(o: JsObject, depth: Int): Option[String] = {
         if (seen.contains(o)) throw JsThrown(makeError("TypeError", "Converting circular structure to JSON"))
         seen.add(o)
         // accessor getters evaluate during stringify (V8); without an
@@ -1667,6 +1673,15 @@ object Builtins {
       val i = if (v < 0) len + v.toInt else v.toInt
       math.max(0, math.min(len, i))
     }
+    // splice/toSpliced deleteCount: ES distinguishes ABSENT (arity)
+    // from present-but-undefined (ToIntegerOrInfinity -> 0)
+    def spliceDeleteCount(as: Vector[JsValue], len: Int, start: Int): Int =
+      if (as.isEmpty) 0
+      else if (as.length == 1) len - start
+      else {
+        val n = toNumber(arg(as, 1))
+        math.max(0, math.min(len - start, if (n.isNaN) 0 else n.toInt))
+      }
     name match {
       case "push" => nat(name) { as => a.items ++= as; JsNum(a.items.length.toDouble) }
       case "pop" => nat(name) { _ =>
@@ -1685,10 +1700,10 @@ object Builtins {
       case "splice" => nat(name) { as =>
         val len = a.items.length
         val start = arg(as, 0) match { case JsUndefined => 0; case v => normIndex(toNumber(v), len) }
-        val deleteCount = arg(as, 1) match {
-          case JsUndefined => len - start
-          case v => math.max(0, math.min(len - start, toNumber(v).toInt))
-        }
+        // 23.1.3.31: deleteCount ABSENT -> "remove nothing" only when
+        // start is also absent; present-but-undefined is
+        // ToIntegerOrInfinity(undefined)=0 — arity, not value
+        val deleteCount = spliceDeleteCount(as, len, start)
         val removed = JsArray.of(a.items.slice(start, start + deleteCount).toSeq: _*)
         a.items.remove(start, deleteCount)
         a.items.insertAll(start, as.drop(2))
@@ -1881,10 +1896,8 @@ object Builtins {
       case "toSpliced" => nat(name) { as =>
         val len = a.items.length
         val start = arg(as, 0) match { case JsUndefined => 0; case v => normIndex(toNumber(v), len) }
-        val deleteCount = arg(as, 1) match {
-          case JsUndefined => len - start
-          case v => math.max(0, math.min(len - start, toNumber(v).toInt))
-        }
+        // same arity rule as splice (23.1.3.35 mirrors 23.1.3.31)
+        val deleteCount = spliceDeleteCount(as, len, start)
         val dense = a.items.toVector.map(Values.deHole)
         interp.budget.allocate(len.toLong + as.length + 1)
         JsArray.of(dense.take(start) ++ as.drop(2) ++ dense.drop(start + deleteCount): _*)

@@ -323,7 +323,10 @@ final class Interp(globalScope: Scope, val budget: Budget) {
         JsStr(sb.toString)
       case Ident(name, _) =>
         scope.lookup(name).getOrElse(throwRef(s"$name is not defined"))
-      case ThisExpr(_) => scope.lookup("this").getOrElse(JsUndefined)
+      case ThisExpr(_) =>
+        val v = scope.lookup("this").getOrElse(JsUndefined)
+        checkThisTdz(v) // pre-super() `this` in a derived ctor (ES TDZ)
+        v
       case ArrayLit(items, spreads, pos) =>
         val buf = mutable.ArrayBuffer.empty[JsValue]
         items.zipWithIndex.foreach { case (item, i) =>
@@ -804,14 +807,48 @@ final class Interp(globalScope: Scope, val budget: Budget) {
     * forwards all args to the parent (the implicit derived ctor).
     * Returns the ctor body's return value for the base-class
     * return-object override. */
+  // One frame per ACTIVE explicit derived-class constructor: ES 9.2
+  // [[ConstructorKind]] "derived" gives `this` a TDZ until exactly one
+  // super() call; V8 throws ReferenceError on zero calls (checked at
+  // return), on a second call, and on any `this` access before the
+  // first. A stack (not a single flag) because a derived ctor may
+  // construct another derived instance before its own super() call;
+  // frames carry the instance so `this`-TDZ only fires for the ctor's
+  // OWN binding (a nested plain function's `this` is a different
+  // binding and must not trip it).
+  private final class CtorFrame(val self: JsObject) { var superDone = false }
+  private val ctorFrames = mutable.ArrayBuffer.empty[CtorFrame]
+
+  /** ReferenceError iff `v` is an instance whose derived ctor is still
+    * pre-super() — the ES "this TDZ" (cheap: stack is empty outside
+    * class construction). */
+  private def checkThisTdz(v: JsValue): Unit = v match {
+    case o: JsObject if ctorFrames.nonEmpty &&
+        ctorFrames.exists(f => (f.self eq o) && !f.superDone) =>
+      throwRef("Must call super constructor in derived class before " +
+        "accessing 'this' or returning from derived constructor")
+    case _ => ()
+  }
+
   private[js] def runConstructor(cls: JsClassV, self: JsObject,
                                  args: Vector[JsValue]): JsValue =
     cls.ctor match {
       case Some(c) =>
         // base-class fields initialize BEFORE the ctor body; a derived
         // class's initialize when its super() returns (superConstruct)
-        if (cls.parent.isEmpty) initFields(cls, self)
-        invokeClosure(c, self, args)
+        if (cls.parent.isEmpty) { initFields(cls, self); invokeClosure(c, self, args) }
+        else {
+          val frame = new CtorFrame(self)
+          ctorFrames += frame
+          val r = try invokeClosure(c, self, args)
+                  finally ctorFrames.remove(ctorFrames.length - 1)
+          // V8: an explicit object return from a derived ctor skips
+          // the this-initialized check; anything else needs super()
+          if (!frame.superDone && !r.isInstanceOf[JsObject] && !r.isInstanceOf[JsArray])
+            throwRef("Must call super constructor in derived class before " +
+              "returning from derived constructor")
+          r
+        }
       case None =>
         cls.parent.foreach(p => runConstructor(p, self, args))
         initFields(cls, self)
@@ -828,6 +865,13 @@ final class Interp(globalScope: Scope, val budget: Budget) {
     val parent = superClassOf(scope, pos)
     scope.lookup("this") match {
       case Some(self: JsObject) =>
+        // end this instance's TDZ; V8 throws on a second call BEFORE
+        // re-running the parent ctor
+        ctorFrames.reverseIterator.find(_.self eq self).foreach { frame =>
+          if (frame.superDone)
+            throwRef("Super constructor may only be called once")
+          frame.superDone = true
+        }
         runConstructor(parent, self, args)
         // super() return is where THIS class's fields initialize (V8)
         scope.lookup("__own_class__") match {

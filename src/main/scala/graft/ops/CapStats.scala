@@ -41,8 +41,16 @@ object CapStats {
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
   private val seq = new AtomicLong()
   private val Prefix = "graft.capdrop."
-  private val installed =
-    java.util.Collections.newSetFromMap(new ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+  // WEAK keys: a strong SparkSession set would pin every stopped
+  // session's listener graph for the driver's lifetime (a lens
+  // maintainer cycling sessions for weeks). The registered listener
+  // itself dies with the session's listenerManager, so dropping our
+  // key is safe; worst case after a GC'd-but-live-session anomaly is a
+  // duplicate listener (duplicate WARN, not wrong data) — impossible
+  // in practice since `installed` holds the only weak ref, not Spark.
+  private val installed = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
   /** op → (dropped_buckets, max_bucket) for caps that fired; the
     * warn-once dedupe AND the spec-visible record (log lines are not
     * assertable; this map is). Keyed by the unique per-call metric

@@ -467,8 +467,24 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
       "(() => { class A { static get tag() { return this.name + '!' } } return A.tag })()" -> "A!",
       // toJSON (incl. inherited) is honored by JSON.stringify
       "(() => { class A { toJSON() { return { t: 1 } } } class B extends A {} return JSON.stringify({ a: new B() }) })()" -> "{\"a\":{\"t\":1}}",
+      // a toJSON stored behind a GETTER is read exactly once (V8's
+      // single Get) — even if later reads would not return a function
+      "(() => { let n = 0; const o = { get toJSON() { n++; return () => ({ v: 1 }) } }; return JSON.stringify(o) + '|' + n })()" -> "{\"v\":1}|1",
+      "(() => { let n = 0; const o = { get toJSON() { n++; return n === 1 ? (() => ({ v: 1 })) : undefined } }; return JSON.stringify(o) + '|' + n })()" -> "{\"v\":1}|1",
       // arrow inside a method keeps the method's this and super binding
       "(() => { class A { m() { return 1 } } class B extends A { m() { const f = () => super.m() + this.k; return f() } } const b = new B(); b.k = 5; return b.m() })()" -> "6",
+      // --- derived-ctor super() discipline (V8 ReferenceErrors) ---
+      // returning without calling super()
+      "(() => { class A { constructor() { this.x = 1 } } class B extends A { constructor() {} } try { new B(); return 'no-throw' } catch (e) { return e.name } })()" -> "ReferenceError",
+      // even when the skipped super() is syntactically present
+      "(() => { class A { constructor() { this.x = 1 } } class B extends A { constructor() { if (false) super(); this.y = 2 } } try { new B(); return 'no-throw' } catch (e) { return e.name } })()" -> "ReferenceError",
+      // calling super() twice
+      "(() => { class A {} class B extends A { constructor() { super(); try { super(); return } catch (e) { this.err = e.name } } } return new B().err })()" -> "ReferenceError",
+      // `this` access BEFORE super() (the ES this-TDZ) — via an arrow,
+      // so the binding is the ctor's own
+      "(() => { class A {} class B extends A { constructor() { const peek = () => this; try { peek(); var saw = 'no-throw' } catch (e) { saw = e.name } super(); this.saw = saw } } return new B().saw })()" -> "ReferenceError",
+      // an explicit object return skips the this-initialized check
+      "(() => { class A {} class B extends A { constructor() { return { ok: 1 } } } return JSON.stringify(new B()) })()" -> "{\"ok\":1}",
       // super() in a class without extends is a startup error
     )
     JsMapFn.compile("class A { constructor() { super() } }") match {
@@ -549,6 +565,15 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
       "[3,1,2].toSorted((a,b) => b - a).join(',')" -> "3,2,1",
       "[1,,3].toReversed().map(x => '' + x).join(',')" -> "3,undefined,1", // holes densify
       "[3,1,2].toSpliced(1, 1, 'x', 'y').join(',')" -> "3,x,y,2",
+      // skipCount arity: ABSENT -> full copy; present-but-undefined ->
+      // ToIntegerOrInfinity(undefined)=0; one arg -> skip to end
+      "[1,2,3].toSpliced().join(',')" -> "1,2,3",
+      "[1,2,3].toSpliced(0, undefined).join(',')" -> "1,2,3",
+      "[1,2,3].toSpliced(1).join(',')" -> "1",
+      // splice shares the arity rule (23.1.3.31)
+      "(() => { const a = [1,2,3]; const r = a.splice(0, undefined); return r.length + '|' + a.join(',') })()" -> "0|1,2,3",
+      "(() => { const a = [1,2,3]; const r = a.splice(); return r.length + '|' + a.join(',') })()" -> "0|1,2,3",
+      "(() => { const a = [1,2,3]; const r = a.splice(1); return r.join(',') + '|' + a.join(',') })()" -> "2,3|1",
       "[1,2,3].with(1, 9).join(',')" -> "1,9,3",
       "[1,2,3].with(-1, 9).join(',')" -> "1,2,9",
       "[1,,3].with(0, 9).map(x => '' + x).join(',')" -> "9,undefined,3",
