@@ -80,7 +80,19 @@ object Bench {
     Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(outPath,
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(json)
+    // stdout gets ONLY the compact line (VERDICT r8 #3: the driver's
+    // log-tail capture clipped the full line two rounds running — the
+    // per-rep "runs" arrays triple its length, pushing the line start
+    // past the tail window). The compact line carries everything the
+    // round artifact needs (per-query mins + errors); raw reps live in
+    // target/bench.json. Printed twice, flushed, with the second copy
+    // as the very last stdout of the JVM: a tail of any length ≥ one
+    // line always contains one whole parseable copy.
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(compact)
+    Console.out.flush()
     spark.stop()
+    println(compact)
+    Console.out.flush()
   }
 }

@@ -333,6 +333,25 @@ object SparkEntry {
           k = 5, w = 4, minShared = 50, maxPostings = 200)
         .orderBy(col("a_id"), col("b_id"))),
 
+    // Stream-stream interval join, batch-equivalence pin (VERDICT r8
+    // #8): the EXACT conversionJoin operator run on batch inputs —
+    // Catalyst's EliminateEventTimeWatermark strips the watermark when
+    // the child is non-streaming, so the join predicate under the hard
+    // signal is the very one the streaming plan executes. Timestamps
+    // emitted as epoch micros (the parquet precision) so the interval
+    // boundary cannot be flipped by ns-vs-us truncation in the oracle.
+    "q77_conversion_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.streaming.EventAnalytics.conversionJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"))
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          unix_micros(col("click_ts")).as("click_us"),
+          unix_micros(col("purchase_ts")).as("purchase_us"),
+          col("amount").cast("double").as("amount"))
+        .orderBy(col("click_id"), col("purchase_id"))
+    }),
+
     // Incremental (recrawl) dedup: docs with doc_id % 3 == 0 play the
     // prior snapshot, the rest the fresh batch. The prior side reduces
     // to distinct fingerprints before the anti-join; batch-internal
@@ -1350,6 +1369,21 @@ object SparkEntry {
         |FROM ok a JOIN ok b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 50
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // q77: the same per-user (0, 1h] interval predicate in micros; the
+    // equi-key (user_id) carries the join, the interval is the filter —
+    // identical shape to the streaming state-bounding condition.
+    "q77_conversion_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |  epoch_ns(c.ts) // 1000 AS click_us,
+        |  epoch_ns(p.ts) // 1000 AS purchase_us,
+        |  CAST(p.value AS DOUBLE) AS amount
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND epoch_ns(p.ts) // 1000 > epoch_ns(c.ts) // 1000
+        | AND epoch_ns(p.ts) // 1000 <= epoch_ns(c.ts) // 1000 + 3600000000
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |ORDER BY click_id, purchase_id""".stripMargin,
 
     "q74_incremental_dedup" ->
       """WITH fp AS (
