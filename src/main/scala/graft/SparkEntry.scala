@@ -333,6 +333,24 @@ object SparkEntry {
           k = 5, w = 4, minShared = 50, maxPostings = 200)
         .orderBy(col("a_id"), col("b_id"))),
 
+    // Winnowing with the PRODUCTION gram hash (VERDICT r8 #1/#4): the
+    // identical selection pipeline as q75 but hashing grams with
+    // Spark's XXH64 instead of a per-position SHA-256 digest — the
+    // 100 TB default. XXH64 has no SQL-oracle twin, so this entry is
+    // deliberately rows-only (no oracleSql): its algorithmic
+    // correctness rides on q75 (same selection code, monotone-pinned)
+    // and OpsSpec's xx64 guarantee tests; its job here is the BENCH
+    // line that documents the sha→xx throughput gap.
+    "q78_winnowing_fast" -> ((s, dir) => {
+      graft.ops.TextOps.winnowingFingerprints(t(s, dir, "documents"),
+          k = 5, w = 4, gramHash = "xx64")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_fps"),
+          expr("bit_xor(fp)").as("xor_fps"),
+          min(col("pos")).cast("long").as("first_pos"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Stream-stream interval join, batch-equivalence pin (VERDICT r8
     // #8): the EXACT conversionJoin operator run on batch inputs —
     // Catalyst's EliminateEventTimeWatermark strips the watermark when

@@ -359,6 +359,67 @@ class OpsSpec extends AnyFunSuite {
     assert(fp1.intersect(fp2).nonEmpty, "shared span must share a fingerprint")
   }
 
+  test("winnowing: selection is an order statistic — a monotone hash transform selects identical positions") {
+    // the property that justifies swapping SHA-256 for XXH64 in the
+    // production path: selectWinnowed reads only comparisons between
+    // hash values, so ANY strictly order-preserving remap of the
+    // hashes (here: rank in the sorted distinct values) selects the
+    // exact same positions, ties included
+    val rnd = new scala.util.Random(99)
+    (1 to 25).foreach { trial =>
+      val n = 20 + rnd.nextInt(300)
+      val w = 2 + rnd.nextInt(7)
+      // nextInt(40) forces plenty of equal-hash collisions so the
+      // rightmost-tie rule is exercised, not just strict minima
+      val hs = Array.fill(n)(rnd.nextInt(40).toLong)
+      val rank = hs.distinct.sorted.zipWithIndex.toMap
+      val remapped = hs.map(h => 1000000L + rank(h) * 7L)
+      val basePos = TextOps.selectWinnowed(hs, w).map(_._2).toSeq
+      val monoPos = TextOps.selectWinnowed(remapped, w).map(_._2).toSeq
+      assert(basePos == monoPos,
+        s"trial $trial (n=$n w=$w): positions must be invariant under monotone remap")
+    }
+  }
+
+  test("winnowing xx64: coverage + shared-span guarantees and determinism") {
+    import spark.implicits._
+    val k = 5; val w = 4
+    val rnd = new scala.util.Random(4321)
+    def randText(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    val shared = "xqzwvyjk" // exactly w + k - 1 = 8 chars
+    val texts = Map(
+      1L -> (randText(40) + shared + randText(40)),
+      2L -> (randText(60) + shared + randText(20)),
+      3L -> randText(90))
+    val docs = texts.toSeq.toDF("doc_id", "text")
+    def run() = graft.ops.TextOps
+      .winnowingFingerprints(docs, k, w, gramHash = "xx64")
+      .as[(Long, Long, Long)].collect().toSet
+    val got = run()
+    assert(got == run(), "xx64 selection must be deterministic")
+    // coverage guarantee: every full window of w gram positions holds
+    // at least one selected position (this is winnowing's whole point)
+    texts.foreach { case (id, t) =>
+      val n = t.length - k + 1
+      val pos = got.filter(_._1 == id).map(_._3).toSet
+      (1 to n - w + 1).foreach { s =>
+        assert((s until s + w).exists(p => pos(p.toLong)),
+          s"doc $id: window starting at gram $s has no selected fingerprint")
+      }
+    }
+    // shared-span guarantee survives the hash swap: ≥ w+k-1 common
+    // chars ⇒ ≥ 1 common fingerprint
+    val fp1 = got.filter(_._1 == 1L).map(_._2)
+    val fp2 = got.filter(_._1 == 2L).map(_._2)
+    assert(fp1.intersect(fp2).nonEmpty, "shared span must share a fingerprint under xx64")
+    // and the selections really are different hashes than sha256 mode
+    // (guards against the mode flag silently not reaching the worker)
+    val sha = graft.ops.TextOps.winnowingFingerprints(docs, k, w)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(sha.map(_._2).intersect(got.map(_._2)).isEmpty,
+      "xx64 and sha256 fingerprint spaces should not overlap on random text")
+  }
+
   test("dedupAgainstSnapshot: prior fingerprints drop, batch dups collapse to min id") {
     import spark.implicits._
     val fresh = Seq(
