@@ -15,7 +15,12 @@ object GraftSession {
       String.valueOf(Runtime.getRuntime.availableProcessors()))): SparkSession = {
     val spark = SparkSession.builder()
       .withExtensions(GraftExtensions.inject)
-      .master(s"local[$cpus]")
+      // SPARK_GRAFT_MASTER lets the CI-style multi-JVM check (VERDICT
+      // r8 #2, tools/local_cluster_check.sh) run the same entry points
+      // on local-cluster[n,c,mem] — separate executor JVMs, real
+      // closure serialization — without touching the driver contract's
+      // local[cpus] default.
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       // Honor the advisory post-shuffle partition size instead of
       // refusing to coalesce below default parallelism (Spark's own

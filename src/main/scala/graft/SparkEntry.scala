@@ -475,9 +475,14 @@ object SparkEntry {
     // propagation; cluster_id = min doc_id per component. The oracle
     // re-derives the exact pairs (q13's all-pairs Jaccard) and the
     // components with a recursive CTE.
+    // SPARK_GRAFT_CHECKPOINT_DIR switches the convergence loop to
+    // reliable Dataset.checkpoint() — unset (the default) it stays on
+    // localCheckpoint. The multi-JVM CI check sets it so the
+    // 1000-executor recovery path runs end-to-end, not just in spec.
     "q38_dup_clusters" -> ((s, dir) =>
       graft.ops.Dedup.dupClusters(
-          graft.ops.Dedup.nearDupPairs(t(s, dir, "documents")))
+          graft.ops.Dedup.nearDupPairs(t(s, dir, "documents")),
+          checkpointDir = sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR"))
         .orderBy(col("doc_id"))),
 
     // Survivor selection over near-dup clusters (the policy step after

@@ -20,6 +20,22 @@ import scala.collection.mutable.ArrayBuffer
   * (reference: library/workers/javascript-lens-worker.js:102-111,
   * test/test-workers-javascript-lens.js:21-30).
   *
+  * GENERATORS — decided OUT of the subset, with corpus data (round
+  * 10, VERDICT r8 #7): the only `yield` anywhere in the reference's
+  * lens corpus is its NEGATIVE test — `code: testCode + '\nyield 5'`
+  * under "catches code syntax errors"
+  * (test/test-workers-javascript-lens.js:24) — i.e. the reference's
+  * own contract is that yield in lens code is a startup error, which
+  * is exactly what this parser produces. `for...of` in the corpus
+  * iterates plain arrays only (test/test-models-lens.js:31), which
+  * this interpreter supports; no lens iterates a custom iterable.
+  * The generator-dense code that DOES ship with the reference is its
+  * bundled pigeonmark HTML/XML encoder environment
+  * (library/workers/environment.js/bundle.min.js) — environment
+  * code, not user code, and this engine replaces it with the native
+  * Scala markup functions (graft.markup.Markup), so no interpreter
+  * support is needed there either.
+  *
   * Classes landed in round 8 (constructor, instance/static methods,
   * get/set accessors incl. computed names, `extends`/`super`,
   * instanceof, method shadowing): instances carry a real prototype
