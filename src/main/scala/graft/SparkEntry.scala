@@ -351,6 +351,59 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Snapshot diff (CDC between corpus versions): prior is derived
+    // deterministically from the current snapshot so all three change
+    // classes exist — doc_id%7==0 rows are absent from prior (added),
+    // %5==0 of the rest carry a text mutation (changed), and a shifted
+    // +1e6 key block exists only in prior (removed). Only (key, hash)
+    // cross the full-outer shuffle; md5 here for the oracle, xxhash64
+    // in production.
+    "q79_snapshot_diff" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val hash = md5(concat_ws("\u0001",
+        col("text"), col("lang"), col("source")).cast("binary"))
+      val prior = d.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(d.filter(col("doc_id") % 11 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000))
+      graft.ops.Diff.snapshotDiff(d, prior, "doc_id", hash)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Z-order layout audit: Morton-interleave (user bucket × hour
+    // bucket) at 8 bits each, then aggregate per zkey range — the
+    // per-bucket min/max tightness in BOTH dims at once is the
+    // data-skipping property the layout exists for (a single-column
+    // sort only bounds its leading column). The interleave is a sum of
+    // codegen'd shift/mask terms; the oracle carries the identical
+    // term list via Layout.zOrderSql.
+    "q80_zorder_layout" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("x", pmod(col("user_id"), lit(256L)).cast("long"))
+        .withColumn("y",
+          pmod(floor(unix_micros(col("ts")).cast("double") / 3.6e9).cast("long"),
+            lit(256L)).cast("long"))
+      ev.withColumn("zkey",
+          graft.ops.Layout.zOrderKey(Seq(col("x"), col("y")), bits = 8))
+        .withColumn("bucket", shiftright(col("zkey"), 10))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"),
+          min(col("zkey")).as("min_zkey"), max(col("zkey")).as("max_zkey"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Sliding-window doc chunking (long-doc training prep): 200-char
+    // chunks at 150-char stride, every char covered, partial tail
+    // kept. Pure codegen'd map fan-out — sequence/explode/substring —
+    // zero shuffles before the final sort; chunk_md5 pins content.
+    "q81_doc_chunks" -> ((s, dir) =>
+      graft.ops.TextOps.chunkDocs(t(s, dir, "documents"),
+          chunkChars = 200, strideChars = 150)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // Stream-stream interval join, batch-equivalence pin (VERDICT r8
     // #8): the EXACT conversionJoin operator run on batch inputs —
     // Catalyst's EliminateEventTimeWatermark strips the watermark when
@@ -1392,6 +1445,62 @@ object SparkEntry {
         |FROM ok a JOIN ok b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 50
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // q79: the same derived prior (drop %7, mutate %5, shift %11 keys)
+    // and the same chr(1)-joined md5; USING(doc_id) coalesces the key
+    // across the full outer join exactly like the Spark side's Seq key.
+    "q79_snapshot_diff" ->
+      """WITH cur AS (
+        |  SELECT doc_id, md5(concat_ws(chr(1), text, lang, source)) AS h
+        |  FROM documents),
+        |pri AS (
+        |  SELECT doc_id,
+        |    md5(concat_ws(chr(1),
+        |      CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END,
+        |      lang, source)) AS h
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, md5(concat_ws(chr(1), text, lang, source))
+        |  FROM documents WHERE doc_id % 11 = 0)
+        |SELECT doc_id,
+        |  CASE WHEN p.h IS NULL THEN 'added'
+        |       WHEN c.h IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS status,
+        |  c.h AS cur_hash, p.h AS prior_hash
+        |FROM cur c FULL OUTER JOIN pri p USING (doc_id)
+        |WHERE c.h IS NULL OR p.h IS NULL OR c.h <> p.h
+        |ORDER BY doc_id""".stripMargin,
+
+    // q80: identical quantization and the IDENTICAL interleave term
+    // list (generated by the same Layout.zOrderSql the scaladoc pins).
+    "q80_zorder_layout" ->
+      s"""WITH e AS (
+         |  SELECT user_id % 256 AS x,
+         |    ((epoch_ns(ts) // 1000) // 3600000000) % 256 AS y
+         |  FROM events),
+         |z AS (
+         |  SELECT x, y, ${graft.ops.Layout.zOrderSql(Seq("x", "y"), 8)} AS zkey
+         |  FROM e)
+         |SELECT zkey >> 10 AS bucket, count(*) AS n_events,
+         |  min(x) AS min_x, max(x) AS max_x,
+         |  min(y) AS min_y, max(y) AS max_y,
+         |  min(zkey) AS min_zkey, max(zkey) AS max_zkey
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q81: generate_series over the same closed-form chunk count, same
+    // 1-based substring windows, md5 pins every chunk's content.
+    "q81_doc_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS n FROM documents
+        |  WHERE text IS NOT NULL AND length(text) > 0),
+        |c AS (
+        |  SELECT doc_id, i AS chunk_idx, i * 150 + 1 AS start_pos,
+        |    substring(text, CAST(i * 150 + 1 AS INTEGER), 200) AS chunk
+        |  FROM d, LATERAL (SELECT unnest(generate_series(0,
+        |    CAST(floor((greatest(n - 200, 0) + 149) / 150) AS BIGINT))) AS i))
+        |SELECT doc_id, chunk_idx, CAST(start_pos AS BIGINT) AS start_pos,
+        |  CAST(length(chunk) AS BIGINT) AS chunk_chars, md5(chunk) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // q77: the same per-user (0, 1h] interval predicate in micros; the
     // equi-key (user_id) carries the join, the interval is the filter —

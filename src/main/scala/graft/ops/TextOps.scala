@@ -617,4 +617,43 @@ object TextOps {
       .withColumn("suspect",
         when(col("n_replacement") + col("n_mojibake_lead") + col("n_ctrl") > 0, 1L)
           .otherwise(0L))
+
+  /** SLIDING-WINDOW DOCUMENT CHUNKING — long-doc training prep: split
+    * each document into overlapping fixed-size chunks (`chunkChars`
+    * wide, advancing `strideChars`, so consecutive chunks overlap by
+    * chunkChars − strideChars characters — the standard way context
+    * that straddles a cut survives into training). Char-based here so
+    * the oracle replicates exactly; token-budget packing of the
+    * resulting chunks is [[graft.ops.Packing.packByBudget]]'s job.
+    *
+    * Chunk count per doc is the closed form
+    * `1 + ceil(max(0, n − chunkChars) / strideChars)` — the last chunk
+    * always starts at ≤ n so every character lands in ≥ 1 chunk, and a
+    * doc shorter than one chunk still yields its single partial chunk.
+    * Empty/null docs yield none.
+    *
+    * Scale shape: sequence + explode + substring, all codegen'd inside
+    * the scan stage — zero shuffles, no UDF; output fan-out per row is
+    * ~n/stride (bounded, data-proportional). At 100 TB this is a pure
+    * map stage that partitions perfectly. */
+  def chunkDocs(docs: DataFrame, chunkChars: Int, strideChars: Int,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkChars >= 1, "chunkChars must be >= 1")
+    require(strideChars >= 1 && strideChars <= chunkChars,
+      "strideChars must be in [1, chunkChars]")
+    val n = length(col(textCol))
+    val nChunks = (lit(1) +
+      floor((greatest(n - chunkChars, lit(0)) + lit(strideChars - 1))
+        / lit(strideChars))).cast("int")
+    docs.select(col(idCol).cast("long").as(idCol), col(textCol))
+      .filter(col(textCol).isNotNull && n > 0)
+      .withColumn("chunk_idx", explode(sequence(lit(0), nChunks - 1)))
+      .withColumn("start_pos", col("chunk_idx") * strideChars + 1)
+      .withColumn("chunk",
+        expr(s"substring($textCol, start_pos, $chunkChars)"))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start_pos").cast("long").as("start_pos"),
+        length(col("chunk")).cast("long").as("chunk_chars"),
+        md5(col("chunk").cast("binary")).as("chunk_md5"))
+  }
 }

@@ -420,6 +420,83 @@ class OpsSpec extends AnyFunSuite {
       "xx64 and sha256 fingerprint spaces should not overlap on random text")
   }
 
+  test("snapshotDiff: all four classes, narrow shuffle, full-outer plan") {
+    import spark.implicits._
+    val cur = Seq(
+      (1L, "same"), (2L, "was-old-now-new"), (3L, "brand new")).toDF("k", "payload")
+    val pri = Seq(
+      (1L, "same"), (2L, "old"), (9L, "gone")).toDF("k", "payload")
+    val h = md5(col("payload").cast("binary"))
+    val got = Diff.snapshotDiff(cur, pri, "k", h)
+      .select(col("k"), col("status")).as[(Long, String)].collect().toSet
+    assert(got == Set((2L, "changed"), (3L, "added"), (9L, "removed")))
+    val all = Diff.snapshotDiff(cur, pri, "k", h, includeUnchanged = true)
+      .select(col("k"), col("status")).as[(Long, String)].collect().toSet
+    assert(all == got + ((1L, "unchanged")))
+    // scale contract: the payload must NOT cross the shuffle — every
+    // Exchange in the plan partitions on the key and carries only
+    // (key, hash); the payload column dies in the pre-join projection
+    val plan = Diff.snapshotDiff(cur, pri, "k", h)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"), s"expected a full outer join:\n$plan")
+    plan.linesIterator.filter(_.contains("Exchange")).foreach { ln =>
+      assert(!ln.contains("payload"), s"payload crossed a shuffle: $ln")
+    }
+  }
+
+  test("zOrderKey: matches brute-force bit interleave; quantize clamps") {
+    val rnd = new scala.util.Random(7)
+    val bits = 8
+    def brute(x: Long, y: Long): Long =
+      (0 until bits).map { j =>
+        (((x >> j) & 1L) << (j * 2)) | (((y >> j) & 1L) << (j * 2 + 1))
+      }.reduce(_ | _)
+    import spark.implicits._
+    val pts = Seq.fill(200)((rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+    val got = pts.toDF("x", "y")
+      .withColumn("zkey", Layout.zOrderKey(Seq(col("x"), col("y")), bits))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) =>
+      assert(z == brute(x, y), s"($x,$y): got $z want ${brute(x, y)}")
+    }
+    // locality smoke: equal points share a key; the max key uses all 16 bits
+    assert(brute(255, 255) == (1 << 16) - 1)
+    val q = Seq(( -5.0, 0.5, 99.0)).toDF("lo", "mid", "hi")
+      .select(
+        Layout.quantize(col("lo"), 0.0, 64.0, 6).as("a"),
+        Layout.quantize(col("mid"), 0.0, 1.0, 6).as("b"),
+        Layout.quantize(col("hi"), 0.0, 64.0, 6).as("c"))
+      .as[(Long, Long, Long)].head()
+    assert(q == ((0L, 32L, 63L)), s"clamp low / midpoint / clamp high: $q")
+  }
+
+  test("chunkDocs: full coverage, overlap, closed-form count, short docs") {
+    import spark.implicits._
+    val c = 10; val s = 7
+    val data = Seq(
+      (1L, "abcdefghijklmnopqrstuvwxyz"), // 26 chars → 1+ceil(16/7)=4 chunks
+      (2L, "short"),                      // < chunk → single partial chunk
+      (3L, ""),                           // empty → no chunks
+      (4L, null.asInstanceOf[String]))    // null → no chunks
+      .toDF("doc_id", "text")
+    val got = TextOps.chunkDocs(data, c, s)
+      .select(col("doc_id"), col("chunk_idx"), col("start_pos"), col("chunk_chars"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val byDoc = got.groupBy(_._1)
+    assert(!byDoc.contains(3L) && !byDoc.contains(4L), "empty/null yield no chunks")
+    assert(byDoc(2L).toSeq == Seq((2L, 0L, 1L, 5L)), "short doc = one partial chunk")
+    val d1 = byDoc(1L).toSeq
+    assert(d1.length == 1 + math.ceil((26 - c).toDouble / s).toInt, s"closed form: $d1")
+    // coverage: every char position 1..26 inside some [start, start+len)
+    val covered = d1.flatMap { case (_, _, st, len) => st until (st + len) }.toSet
+    assert((1L to 26L).forall(covered), s"every char covered: $d1")
+    // stride: consecutive starts differ by s, overlap c - s chars
+    d1.sliding(2).foreach {
+      case Seq(a, b) => assert(b._3 - a._3 == s)
+      case _ =>
+    }
+  }
+
   test("dedupAgainstSnapshot: prior fingerprints drop, batch dups collapse to min id") {
     import spark.implicits._
     val fresh = Seq(
