@@ -240,16 +240,23 @@ object Builtins {
     put1("abs")(math.abs); put1("floor")(math.floor); put1("ceil")(math.ceil)
     put1("round")(d => math.floor(d + 0.5)) // JS round: half-up, not half-even
     put1("trunc")(d => if (d < 0) math.ceil(d) else math.floor(d))
-    put1("sign")(math.signum); put1("sqrt")(math.sqrt); put1("cbrt")(math.cbrt)
-    put1("exp")(math.exp); put1("expm1")(math.expm1)
-    put1("log")(math.log); put1("log2")(d => math.log(d) / math.log(2)); put1("log10")(math.log10)
-    put1("log1p")(math.log1p)
-    put1("sin")(math.sin); put1("cos")(math.cos); put1("tan")(math.tan)
-    put1("asin")(math.asin); put1("acos")(math.acos); put1("atan")(math.atan)
-    put1("sinh")(math.sinh); put1("cosh")(math.cosh); put1("tanh")(math.tanh)
+    // Transcendentals go through StrictMath (JDK's fdlibm), NOT Math:
+    // V8's Math.* are its base::ieee754 fdlibm ports, and a measured
+    // 20k-sample V8-differential sweep (round 10) shows StrictMath
+    // matches V8 BIT-FOR-BIT on exp/log/log10/sin/cos/tan where
+    // java.lang.Math diverges by 1 ulp on 2-15% of inputs (Math.pow:
+    // 312/6000 off vs StrictMath's 124/6000 — pow/cbrt/log2 keep a
+    // documented 1-ulp tail where V8's port differs from JDK fdlibm).
+    put1("sign")(math.signum); put1("sqrt")(math.sqrt); put1("cbrt")(StrictMath.cbrt)
+    put1("exp")(StrictMath.exp); put1("expm1")(StrictMath.expm1)
+    put1("log")(StrictMath.log); put1("log2")(d => StrictMath.log(d) / StrictMath.log(2.0)); put1("log10")(StrictMath.log10)
+    put1("log1p")(StrictMath.log1p)
+    put1("sin")(StrictMath.sin); put1("cos")(StrictMath.cos); put1("tan")(StrictMath.tan)
+    put1("asin")(StrictMath.asin); put1("acos")(StrictMath.acos); put1("atan")(StrictMath.atan)
+    put1("sinh")(StrictMath.sinh); put1("cosh")(StrictMath.cosh); put1("tanh")(StrictMath.tanh)
     put1("fround")(d => d.toFloat.toDouble)
-    m.props.put("atan2", native("atan2")((_, as) => JsNum(math.atan2(toNumber(arg(as, 0)), toNumber(arg(as, 1))))))
-    m.props.put("pow", native("pow")((_, as) => JsNum(math.pow(toNumber(arg(as, 0)), toNumber(arg(as, 1))))))
+    m.props.put("atan2", native("atan2")((_, as) => JsNum(StrictMath.atan2(toNumber(arg(as, 0)), toNumber(arg(as, 1))))))
+    m.props.put("pow", native("pow")((_, as) => JsNum(StrictMath.pow(toNumber(arg(as, 0)), toNumber(arg(as, 1))))))
     m.props.put("hypot", native("hypot")((_, as) => JsNum(math.sqrt(as.map(a => { val d = toNumber(a); d * d }).sum))))
     m.props.put("min", native("min") { (_, as) =>
       if (as.isEmpty) JsNum(Double.PositiveInfinity)
@@ -1391,9 +1398,21 @@ object Builtins {
       }
       case "toLowerCase" | "toLocaleLowerCase" => withStr(name)(_ => JsStr(s.toLowerCase(java.util.Locale.ROOT)))
       case "toUpperCase" | "toLocaleUpperCase" => withStr(name)(_ => JsStr(s.toUpperCase(java.util.Locale.ROOT)))
-      case "trim" => withStr(name)(_ => JsStr(s.trim))
-      case "trimStart" => withStr(name)(_ => JsStr(s.replaceAll("^\\s+", "")))
-      case "trimEnd" => withStr(name)(_ => JsStr(s.replaceAll("\\s+$", "")))
+      // the JS WhiteSpace∪LineTerminator set (NBSP, ZWNBSP, Zs, LS, PS)
+      // — Java's String.trim (≤ U+0020) and regex \s ([ \t\n\x0B\f\r])
+      // both under-strip; `'  '.trim()` must be '' (found by
+      // V8-differential fuzzing, round 10)
+      case "trim" => withStr(name)(_ => JsStr(Values.jsTrim(s)))
+      case "trimStart" => withStr(name) { _ =>
+        var i = 0
+        while (i < s.length && Values.isJsWhitespace(s.charAt(i))) i += 1
+        JsStr(s.substring(i))
+      }
+      case "trimEnd" => withStr(name) { _ =>
+        var j = s.length
+        while (j > 0 && Values.isJsWhitespace(s.charAt(j - 1))) j -= 1
+        JsStr(s.substring(0, j))
+      }
       case "split" => withStr(name) { as =>
         val limit = arg(as, 1) match { case JsUndefined => Int.MaxValue; case v => toNumber(v).toInt }
         val parts: Vector[JsValue] = arg(as, 0) match {

@@ -491,7 +491,10 @@ final class Interp(globalScope: Scope, val budget: Budget) {
     case "*" => JsNum(toNumber(l) * toNumber(r))
     case "/" => JsNum(toNumber(l) / toNumber(r))
     case "%" => JsNum(toNumber(l) % toNumber(r))
-    case "**" => JsNum(math.pow(toNumber(l), toNumber(r)))
+    // StrictMath, not Math: V8's ** is its fdlibm pow port — JDK
+    // fdlibm halves the 1-ulp divergence rate vs java.lang.Math.pow
+    // (see the Math builtins note in Builtins.scala)
+    case "**" => JsNum(StrictMath.pow(toNumber(l), toNumber(r)))
     case "==" => JsBool(looseEquals(l, r))
     case "!=" => JsBool(!looseEquals(l, r))
     case "===" => JsBool(strictEquals(l, r))

@@ -1275,6 +1275,33 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("trim family strips the JS whitespace set, not Java's (r10 fuzz find)") {
+    // V8: trim removes WhiteSpace ∪ LineTerminator — NBSP, ZWNBSP, Zs,
+    // LS, PS included. Java String.trim stops at U+0020 and regex \s
+    // is [ \t\n\x0B\f\r]; both leave ' ' behind.
+    expect(
+      "'\\u00a0'.trim()" -> "",
+      "'\\ufeff x \\u2028'.trim()" -> "x",
+      "'\\u00a0a\\u00a0'.trimStart()" -> "a ",
+      "'\\u00a0a\\u00a0'.trimEnd()" -> " a",
+      "'\\u3000\\u2000tight\\u205f'.trim()" -> "tight",
+    )
+  }
+
+  test("transcendentals match V8 bit-for-bit via StrictMath (r10 fuzz find)") {
+    // java.lang.Math.pow(2, -2.5) is 1 ulp off V8's fdlibm-derived
+    // pow; StrictMath (JDK fdlibm) reproduces V8 exactly here and on
+    // every exp/log/log10/sin/cos/tan sample of a 20k-point sweep.
+    expect(
+      "2 ** -2.5" -> "0.17677669529663687",
+      "Math.pow(2, -2.5)" -> "0.17677669529663687",
+      "Math.exp(0.1)" -> "1.1051709180756477",
+      "Math.log(7.389056098930651)" -> "2",
+      "Math.sin(1e10)" -> "-0.4875060250875107",
+      "Math.tan(100)" -> "-0.5872139151569291",
+    )
+  }
+
   test("detached-method `this`: LOUD TypeError, not sloppy-mode globalThis") {
     // V8 in sloppy mode silently binds `this` to globalThis, so
     // `const f = o.m; f()` reads this.x as undefined. Binding the
