@@ -351,6 +351,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Full Gopher repetition-signal family (Rae et al. table A1):
+    // per-doc integer numerators/denominator for the top-{2,3,4}-gram
+    // and dup-{5,10}-gram character-fraction rules — one zero-shuffle
+    // typed pass; every doc's exact signals under the hash gate.
+    "q82_gopher_repetition" -> ((s, dir) =>
+      graft.ops.TextOps.gopherRepetitionSignals(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
     // Snapshot diff (CDC between corpus versions): prior is derived
     // deterministically from the current snapshot so all three change
     // classes exist — doc_id%7==0 rows are absent from prior (added),
@@ -1445,6 +1453,60 @@ object SparkEntry {
         |FROM ok a JOIN ok b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 50
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // q82: the same tokenizer, the same (count, char-contrib, gram)
+    // tie-break via row_number, the same ≥2-count dup sum — five gram
+    // sizes, each a count-group + window block.
+    "q82_gopher_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) = 0 THEN 0
+        |         ELSE CAST(list_sum(list_transform(toks, t -> len(t))) AS BIGINT)
+        |              + len(toks) - 1 END AS den,
+        |    toks FROM tok),
+        |g2 AS (SELECT doc_id, g, count(*) AS c FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS g FROM base) GROUP BY 1, 2),
+        |g3 AS (SELECT doc_id, g, count(*) AS c FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g FROM base) GROUP BY 1, 2),
+        |g4 AS (SELECT doc_id, g, count(*) AS c FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 3),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS g FROM base) GROUP BY 1, 2),
+        |g5 AS (SELECT doc_id, g, count(*) AS c FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 4),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS g FROM base) GROUP BY 1, 2),
+        |g10 AS (SELECT doc_id, g, count(*) AS c FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 9),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7] || ' ' || toks[i+8] || ' ' || toks[i+9])) AS g FROM base) GROUP BY 1, 2),
+        |top2 AS (SELECT doc_id, c * len(g) AS num FROM (
+        |  SELECT doc_id, c, g, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY c DESC, c * len(g) DESC, g DESC) AS rn FROM g2) WHERE rn = 1),
+        |top3 AS (SELECT doc_id, c * len(g) AS num FROM (
+        |  SELECT doc_id, c, g, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY c DESC, c * len(g) DESC, g DESC) AS rn FROM g3) WHERE rn = 1),
+        |top4 AS (SELECT doc_id, c * len(g) AS num FROM (
+        |  SELECT doc_id, c, g, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY c DESC, c * len(g) DESC, g DESC) AS rn FROM g4) WHERE rn = 1),
+        |dup5 AS (SELECT doc_id, CAST(sum(c * len(g)) AS BIGINT) AS num
+        |  FROM g5 WHERE c >= 2 GROUP BY 1),
+        |dup10 AS (SELECT doc_id, CAST(sum(c * len(g)) AS BIGINT) AS num
+        |  FROM g10 WHERE c >= 2 GROUP BY 1)
+        |SELECT b.doc_id, CAST(b.den AS BIGINT) AS den,
+        |  CAST(COALESCE(top2.num, 0) AS BIGINT) AS top2_num,
+        |  CAST(COALESCE(top3.num, 0) AS BIGINT) AS top3_num,
+        |  CAST(COALESCE(top4.num, 0) AS BIGINT) AS top4_num,
+        |  CAST(COALESCE(dup5.num, 0) AS BIGINT) AS dup5_num,
+        |  CAST(COALESCE(dup10.num, 0) AS BIGINT) AS dup10_num
+        |FROM base b
+        |LEFT JOIN top2 USING (doc_id) LEFT JOIN top3 USING (doc_id)
+        |LEFT JOIN top4 USING (doc_id) LEFT JOIN dup5 USING (doc_id)
+        |LEFT JOIN dup10 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // q79: the same derived prior (drop %7, mutate %5, shift %11 keys)
     // and the same chr(1)-joined md5; USING(doc_id) coalesces the key

@@ -618,6 +618,78 @@ object TextOps {
         when(col("n_replacement") + col("n_mojibake_lead") + col("n_ctrl") > 0, 1L)
           .otherwise(0L))
 
+  /** FULL GOPHER REPETITION SIGNALS (Rae et al. 2021, table A1) — the
+    * complete repeated-n-gram family per document, all-integer so any
+    * threshold compares exactly on any engine:
+    *  - `top{2,3,4}_num`: characters covered by the MOST FREQUENT word
+    *    n-gram = top count × n-gram char length (most-frequent wins;
+    *    ties break by larger char contribution then lexicographically
+    *    largest gram — pinned so the oracle can reproduce the exact
+    *    winner);
+    *  - `dup{5,10}_num`: characters covered by ALL occurrences of
+    *    n-grams appearing ≥ 2 times = Σ count × length over duplicated
+    *    grams (this engine's pinned reading of the paper's "fraction
+    *    of characters inside duplicate n-grams");
+    *  - `den`: char length of the space-joined token stream.
+    * The paper's thresholds (0.20/0.18/0.16 top, 0.15/0.10 dup) then
+    * filter as `num * 100 > den * pct` — integer-exact.
+    *
+    * Scale shape: ONE typed mapPartitions pass, zero shuffles — a
+    * HashMap of gram counts per (doc, n), O(tokens × 5) per doc; the
+    * column-expression alternative is O(distinct²) per doc per n
+    * (aggregate-over-filter), hopeless on 10k-token docs. Tokenizer is
+    * byte-identical to [[tokens]]/[[ngramOccurrences]] (Locale.ROOT). */
+  def gopherRepetitionSignals(docs: DataFrame, idCol: String = "doc_id",
+                              textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val toks = Option(text).getOrElse("")
+            .toLowerCase(java.util.Locale.ROOT)
+            .split("[^a-z0-9]+").filter(_.nonEmpty)
+          val den =
+            if (toks.isEmpty) 0L
+            else toks.map(_.length.toLong).sum + (toks.length - 1)
+          def gramStats(n: Int): (Long, Long) = {
+            if (toks.length < n) (0L, 0L)
+            else {
+              val counts = scala.collection.mutable.HashMap.empty[String, Int]
+              var i = 0
+              while (i + n <= toks.length) {
+                val g = toks.slice(i, i + n).mkString(" ")
+                counts.update(g, counts.getOrElse(g, 0) + 1)
+                i += 1
+              }
+              var topCnt = 0
+              var topContrib = 0L
+              var topGram = ""
+              var dup = 0L
+              counts.foreach { case (g, c) =>
+                val contrib = c.toLong * g.length
+                if (c >= 2) dup += contrib
+                if (c > topCnt || (c == topCnt && (contrib > topContrib ||
+                    (contrib == topContrib && g > topGram)))) {
+                  topCnt = c; topContrib = contrib; topGram = g
+                }
+              }
+              (topContrib, dup)
+            }
+          }
+          val (t2, _) = gramStats(2)
+          val (t3, _) = gramStats(3)
+          val (t4, _) = gramStats(4)
+          val (_, d5) = gramStats(5)
+          val (_, d10) = gramStats(10)
+          (id, den, t2, t3, t4, d5, d10)
+        }
+      }
+      .toDF(idCol, "den", "top2_num", "top3_num", "top4_num",
+        "dup5_num", "dup10_num")
+  }
+
   /** SLIDING-WINDOW DOCUMENT CHUNKING — long-doc training prep: split
     * each document into overlapping fixed-size chunks (`chunkChars`
     * wide, advancing `strideChars`, so consecutive chunks overlap by

@@ -420,6 +420,28 @@ class OpsSpec extends AnyFunSuite {
       "xx64 and sha256 fingerprint spaces should not overlap on random text")
   }
 
+  test("gopherRepetitionSignals: hand-computed integers incl. tie-breaks") {
+    import spark.implicits._
+    val data = Seq(
+      (1L, "a a a b. a a"),          // toks [a a a b a a], den 11
+      (2L, "x y z w v x y z w v"),   // repeated 5-gram
+      (3L, ""), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextOps.gopherRepetitionSignals(data)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1: 2-grams {a a:3, a b:1, b a:1} → top2 = 3×3 = 9; 3- and
+    // 4-grams all count-1 → top = gram length (5, 7) via the
+    // lex-largest tie-break; no duplicated 5/10-grams
+    assert(got(1L) == ((1L, 11L, 9L, 5L, 7L, 0L, 0L)), s"${got(1L)}")
+    // doc 2: den 19; top2 tie c=2 contrib 6 → "z w"; dup5 = 2×9 = 18
+    assert(got(2L)._2 == 19L && got(2L)._3 == 6L && got(2L)._6 == 18L
+      && got(2L)._7 == 0L, s"${got(2L)}")
+    // empty → all zero; single token → den only
+    assert(got(3L) == ((3L, 0L, 0L, 0L, 0L, 0L, 0L)))
+    assert(got(4L) == ((4L, 4L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
   test("snapshotDiff: all four classes, narrow shuffle, full-outer plan") {
     import spark.implicits._
     val cur = Seq(
