@@ -351,6 +351,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Bitext-style margin scoring (Artetxe & Schwenk ratio margin):
+    // edges of the capped kNN graph scored by 2·cos/(avgK(a)+avgK(b))
+    // — the hubness-robust parallel-pair criterion. avgK folds the k
+    // cosines in rank order with explicit zero-padded additions so the
+    // oracle's double arithmetic is bit-identical.
+    "q83_margin_pairs" -> ((s, dir) =>
+      graft.ops.Ann.marginScores(t(s, dir, "embeddings"), k = 5, dim = 64)
+        .orderBy(col("a_id"), col("b_id"))),
+
     // Full Gopher repetition-signal family (Rae et al. table A1):
     // per-doc integer numerators/denominator for the top-{2,3,4}-gram
     // and dup-{5,10}-gram character-fraction rules — one zero-shuffle
@@ -2591,6 +2600,44 @@ object SparkEntry {
         |  FROM pairs)
         |SELECT src AS vec_id, CAST(rn AS BIGINT) AS rank, dst AS neighbor_id, cos
         |FROM ranked WHERE rn <= 5 ORDER BY vec_id, rank""".stripMargin,
+    // q83: q65's entire ranked-knn CTE, then the identical
+    // left-associated zero-padded average fold and the same margin
+    // expression — raw doubles hash-compared.
+    "q83_margin_pairs" ->
+      s"""WITH $planes64Cte,
+        |sizes AS (SELECT tbl, bucket, count(*) AS bsz FROM sig64 GROUP BY 1, 2),
+        |ok AS (SELECT tbl, bucket FROM sizes WHERE bsz > 1 AND bsz <= 500),
+        |sok AS (SELECT s.vec_id, s.tbl, s.bucket FROM sig64 s JOIN ok USING (tbl, bucket)),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+        |  FROM sok a JOIN sok b
+        |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        |pairs AS (
+        |  SELECT c.src, c.dst, ${duckCosine("es.emb", "ed.emb")} AS cos
+        |  FROM cand c
+        |  JOIN e es ON es.vec_id = c.src
+        |  JOIN e ed ON ed.vec_id = c.dst),
+        |knn AS (
+        |  SELECT src, dst, cos, rn FROM (
+        |    SELECT src, dst, cos,
+        |      row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+        |    FROM pairs) WHERE rn <= 5),
+        |avgs AS (
+        |  SELECT vec_id,
+    |    ((((COALESCE(l[1], 0.0) + COALESCE(l[2], 0.0)) + COALESCE(l[3], 0.0))
+        |       + COALESCE(l[4], 0.0)) + COALESCE(l[5], 0.0)) / len(l) AS avg_knn
+        |  FROM (SELECT src AS vec_id, list(cos ORDER BY rn) AS l FROM knn GROUP BY 1)),
+        |edges AS (
+        |  SELECT DISTINCT least(src, dst) AS a_id, greatest(src, dst) AS b_id, cos
+        |  FROM knn)
+        |SELECT e.a_id, e.b_id, e.cos,
+        |  2.0 * e.cos / (aa.avg_knn + ab.avg_knn) AS margin
+        |FROM edges e
+        |JOIN avgs aa ON aa.vec_id = e.a_id
+        |JOIN avgs ab ON ab.vec_id = e.b_id
+        |WHERE 2.0 * e.cos / (aa.avg_knn + ab.avg_knn) >= 1.05
+        |ORDER BY a_id, b_id""".stripMargin,
+
     // q67: q65's candidate machinery + the cluster filter — cluster =
     // table-0 signature bucket, replicated from the same planes CTE.
     "q67_hard_negatives" ->

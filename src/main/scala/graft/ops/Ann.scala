@@ -298,6 +298,59 @@ object Ann {
     scoreTopK(cand, embeddings, k, idCol, embCol)
   }
 
+  /** BITEXT-STYLE MARGIN SCORING (Artetxe & Schwenk 2019's ratio
+    * margin) — the parallel-corpus mining criterion: an edge (x, y)
+    * scores `margin = 2·cos(x,y) / (avgK(x) + avgK(y))` where avgK is
+    * the mean cosine of a node's k nearest neighbors. Margin > 1 means
+    * the pair is closer than each side's typical neighborhood — the
+    * signal that separates true translations/paraphrases from
+    * hubness-inflated cosines that plain thresholds can't.
+    *
+    * Determinism across engines (this query family hash-compares raw
+    * doubles): avgK folds the k cosines in RANK order with explicit
+    * left-associated additions zero-padded to k — the oracle writes
+    * the same `(((c1+c2)+c3)+…)` chain, so both engines execute the
+    * identical double-op sequence (adding literal 0.0 for missing
+    * ranks is exact). cos(x,y) is bit-equal to cos(y,x) (elementwise
+    * products and the norm multiply commute exactly), so undirected
+    * canonicalization via least/greatest + distinct is safe.
+    *
+    * Scale shape: one [[knnGraph]] pass (capped-bucket candidates,
+    * per-node WindowGroupLimit) persisted once and consumed twice
+    * (edges + averages); the margin join is two id-keyed shuffle joins
+    * against the k·n edge set — never touches raw embeddings again.
+    * Output: (a_id, b_id, cos, margin), margin ≥ `minMargin`. */
+  def marginScores(embeddings: DataFrame, k: Int, dim: Int,
+                   minMargin: Double = 1.05,
+                   tables: Int = 8, bitsPerTable: Int = 8,
+                   idCol: String = "vec_id", embCol: String = "embedding",
+                   maxBucketSize: Int = graft.ops.Dedup.DefaultMaxBucketSize,
+                   stats: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    val knn = knnGraph(embeddings, k, dim, tables, bitsPerTable, idCol,
+        embCol, maxBucketSize, stats)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sorted = array_sort(col("ns")) // struct(rank, cos): rank is unique per node
+    def el(i: Int): Column = // try_: ANSI element_at throws past the end
+      coalesce(try_element_at(sorted, lit(i)).getField("c"), lit(0.0))
+    val avgs = knn.groupBy(col(idCol))
+      .agg(collect_list(struct(col("rank").cast("long").as("r"),
+        col("cos").as("c"))).as("ns"))
+      .select(col(idCol),
+        ((1 to k).map(el).reduce(_ + _) /
+          size(col("ns")).cast("double")).as("avg_knn"))
+    val edges = knn.select(
+        least(col(idCol), col("neighbor_id")).as("a_id"),
+        greatest(col(idCol), col("neighbor_id")).as("b_id"),
+        col("cos"))
+      .distinct()
+    edges
+      .join(avgs.select(col(idCol).as("a_id"), col("avg_knn").as("avg_a")), "a_id")
+      .join(avgs.select(col(idCol).as("b_id"), col("avg_knn").as("avg_b")), "b_id")
+      .withColumn("margin", lit(2.0) * col("cos") / (col("avg_a") + col("avg_b")))
+      .filter(col("margin") >= minMargin)
+      .select(col("a_id"), col("b_id"), col("cos"), col("margin"))
+  }
+
   /** HARD-NEGATIVE MINING for contrastive training — for every vector,
     * its top-k most-similar neighbors in a DIFFERENT cluster: close
     * enough to be informative, labeled different so they are negatives.

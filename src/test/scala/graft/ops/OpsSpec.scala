@@ -420,6 +420,31 @@ class OpsSpec extends AnyFunSuite {
       "xx64 and sha256 fingerprint spaces should not overlap on random text")
   }
 
+  test("marginScores: margin recomputed independently from the knn graph") {
+    import spark.implicits._
+    val knn = Ann.knnGraph(embs, k = 5, dim = 64)
+      .as[(Long, Long, Long, Double)].collect() // (vec_id, rank, neighbor, cos)
+    // replicate the operator's exact fold: rank-ordered, zero-padded,
+    // left-associated — then check every emitted pair byte-for-byte
+    val avg: Map[Long, Double] = knn.groupBy(_._1).map { case (id, rows) =>
+      val byRank = rows.sortBy(_._2).map(_._4).padTo(5, 0.0)
+      id -> byRank.reduceLeft(_ + _) / rows.length
+    }
+    val got = Ann.marginScores(embs, k = 5, dim = 64)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.nonEmpty, "sf0.001 corpus should yield some margin pairs")
+    got.foreach { case (a, b, cos, m) =>
+      assert(a < b, s"canonical order: ($a,$b)")
+      val want = 2.0 * cos / (avg(a) + avg(b))
+      assert(java.lang.Double.doubleToLongBits(m) ==
+        java.lang.Double.doubleToLongBits(want), s"($a,$b): $m != $want")
+      assert(m >= 1.05, s"threshold: ($a,$b) margin $m")
+    }
+    // every emitted pair must be a knn edge in at least one direction
+    val edgeSet = knn.map(r => (math.min(r._1, r._3), math.max(r._1, r._3))).toSet
+    got.foreach { case (a, b, _, _) => assert(edgeSet((a, b))) }
+  }
+
   test("gopherRepetitionSignals: hand-computed integers incl. tie-breaks") {
     import spark.implicits._
     val data = Seq(
