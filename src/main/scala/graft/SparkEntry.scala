@@ -351,6 +351,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Chunk-level dedup (the composition chunkDocs exists for):
+    // boilerplate chunks shared ACROSS documents — per doc, how many
+    // of its chunks also appear in another doc, and the total
+    // cross-doc family count. Chunk-granular dedup catches repeated
+    // headers/footers/templates that doc-level fingerprints miss. One
+    // chunk fan-out + one md5-keyed window + one per-doc agg.
+    "q84_chunk_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val chunks = graft.ops.TextOps.chunkDocs(t(s, dir, "documents"),
+        chunkChars = 100, strideChars = 100)
+      val fam = chunks.withColumn("n_docs_sharing",
+        size(collect_set(col("doc_id")).over(Window.partitionBy(col("chunk_md5")))))
+      fam.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("n_docs_sharing") > 1, 1L).otherwise(0L)).as("n_shared_chunks"))
+        .filter(col("n_shared_chunks") > 0)
+        .orderBy(col("doc_id"))
+    }),
+
     // Bitext-style margin scoring (Artetxe & Schwenk ratio margin):
     // edges of the capped kNN graph scored by 2·cos/(avgK(a)+avgK(b))
     // — the hubness-robust parallel-pair criterion. avgK folds the k
@@ -2600,6 +2619,26 @@ object SparkEntry {
         |  FROM pairs)
         |SELECT src AS vec_id, CAST(rn AS BIGINT) AS rank, dst AS neighbor_id, cos
         |FROM ranked WHERE rn <= 5 ORDER BY vec_id, rank""".stripMargin,
+    // q84: q81's chunk CTE at (100,100) + a per-md5 distinct-doc count
+    // + the per-doc shared-chunk aggregation.
+    "q84_chunk_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS n FROM documents
+        |  WHERE text IS NOT NULL AND length(text) > 0),
+        |c AS (
+        |  SELECT doc_id, md5(substring(text, CAST(i * 100 + 1 AS INTEGER), 100)) AS chunk_md5
+        |  FROM d, LATERAL (SELECT unnest(generate_series(0,
+        |    CAST(floor((greatest(n - 100, 0) + 99) / 100) AS BIGINT))) AS i)),
+        |fam AS (
+        |  SELECT doc_id, chunk_md5,
+        |    count(DISTINCT doc_id) OVER (PARTITION BY chunk_md5) AS n_docs_sharing
+        |  FROM c)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN n_docs_sharing > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks
+        |FROM fam GROUP BY doc_id
+        |HAVING n_shared_chunks > 0
+        |ORDER BY doc_id""".stripMargin,
+
     // q83: q65's entire ranked-knn CTE, then the identical
     // left-associated zero-padded average fold and the same margin
     // expression — raw doubles hash-compared.
