@@ -968,6 +968,15 @@ object SparkEntry {
     "q37_image_decode" -> ((s, dir) =>
       graft.queries.MultimodalQueries.imageDecode(s, dir)),
 
+    // Perceptual-hash (aHash) image near-dup pairs over REAL decoded
+    // pixels: planted near-duplicate families (pattern keyed by
+    // doc_id % 29, one perturbed column), 16-bit band candidates —
+    // never all-pairs — exact Hamming verify. Every hash bit is
+    // integer arithmetic, so the oracle re-derives the full pipeline
+    // from the fixture formula.
+    "q85_image_phash" -> ((s, dir) =>
+      graft.queries.MultimodalQueries.imagePHashPairs(s, dir)),
+
     // Distributed attachment GC (W8): content-addressed blob fixture +
     // one real commit, then gc() — executor-listed inventory, left-anti
     // join against exploded links, executor-side deletes. Emits the
@@ -2143,6 +2152,41 @@ object SparkEntry {
         |  cell, CAST(sum(s) / (64 * 765.0) AS FLOAT) AS lum
         |FROM px GROUP BY doc_id, cell
         |ORDER BY doc_id, cell""".stripMargin,
+    // q85: every aHash bit re-derived from the fixture pixel formula
+    // (integer cell sums, cellSum·64 > totalSum on equal 4×2 cells),
+    // then the same 16-bit band join and bit_count-XOR Hamming.
+    "q85_image_phash" ->
+      """WITH ids AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 4 = 0),
+        |px AS (
+        |  SELECT ids.doc_id, (y.y // 2) * 8 + (x.x // 4) AS cell,
+        |    CASE WHEN x.x = (ids.doc_id // 29) % 32
+        |         THEN (((ids.doc_id % 29) * 31 + x.x * 7 + y.y * 13) % 256 + 128) % 256
+        |         ELSE ((ids.doc_id % 29) * 31 + x.x * 7 + y.y * 13) % 256 END
+        |    + ((ids.doc_id % 29) * 17 + x.x * 11 + y.y * 3) % 256
+        |    + ((ids.doc_id % 29) * 23 + x.x * 5 + y.y * 19) % 256 AS s
+        |  FROM ids, generate_series(0, 31) x(x), generate_series(0, 15) y(y)),
+        |cells AS (SELECT doc_id, cell, sum(s) AS cs FROM px GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(cs) AS ts FROM cells GROUP BY 1),
+        |bits AS (SELECT c.doc_id, c.cell,
+        |  CASE WHEN c.cs * 64 > t.ts THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS b
+        |  FROM cells c JOIN tot t USING (doc_id)),
+        |hashes AS (SELECT doc_id,
+        |  CAST(sum(CASE WHEN cell >= 32 THEN b << (cell - 32) ELSE 0 END) AS BIGINT) AS hi,
+        |  CAST(sum(CASE WHEN cell < 32 THEN b << cell ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY 1),
+        |bands AS (
+        |  SELECT doc_id, hi, lo, g.bi,
+        |    CASE g.bi WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+        |              WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS bv
+        |  FROM hashes, generate_series(0, 3) g(bi)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+        |  FROM bands a JOIN bands b
+        |    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, hamming FROM cand
+        |WHERE hamming <= 12 ORDER BY a_id, b_id""".stripMargin,
+
     // q35: the oracle re-derives both GC sets relationally — DuckDB
     // sha256 over the same deterministic blob contents; survivors are
     // exactly the linked hashes, the deleted count is the orphan count.

@@ -40,6 +40,16 @@ object Multimodal {
     def decodeImage(bytes: Array[Byte], mime: String): DecodedImage
     def frames(bytes: Array[Byte], mime: String, everyNth: Int): Iterator[Array[Byte]]
     def resize(bytes: Array[Byte], mime: String, w: Int, h: Int): Array[Byte]
+
+    /** 64-bit perceptual AVERAGE HASH (aHash) as (hi32, lo32) BIGINT
+      * halves: an 8×8 grid of integer luminance-sum cells over the
+      * decoded pixels, bit i = 1 iff `cellSum_i × 64 > totalSum` (cell
+      * mean above global mean, compared in INTEGERS so any engine
+      * reproduces every bit exactly). Split halves keep the arithmetic
+      * inside non-negative 32-bit range — no 1<<63 sign/overflow
+      * divergence between engines. Robust to re-encode; Hamming
+      * distance between hashes ranks near-duplicate images. */
+    def aHash(bytes: Array[Byte], mime: String): (Long, Long)
   }
 
   /** Real image decode over `javax.imageio` (PNG/JPEG/BMP/GIF — the
@@ -141,6 +151,58 @@ object Multimodal {
       val buf = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(dst, "png", buf)
       buf.toByteArray
+    }
+
+    /** Real aHash over decoded pixels. Cell rectangles use the same
+      * floor-division grid as [[fingerprint]] (cell (cx,cy) spans
+      * [w·cx/8, w·(cx+1)/8) × [h·cy/8, h·(cy+1)/8), min 1 px), sums
+      * are (r+g+b) integers, and the bit threshold cross-multiplies:
+      * `cellSum · 64 · totalPx > totalSum · cellPx · 64` reduces to
+      * comparing MEANS exactly without division — all-integer, so the
+      * q85 oracle reproduces every bit from the fixture formula. */
+    def aHash(bytes: Array[Byte], mime: String): (Long, Long) = {
+      val img = read(bytes)
+      val (gw, gh) = (8, 8)
+      val sums = new Array[Long](gw * gh)
+      val counts = new Array[Long](gw * gh)
+      var total = 0L
+      var totalPx = 0L
+      var cy = 0
+      while (cy < gh) {
+        var cx = 0
+        while (cx < gw) {
+          val x0 = img.getWidth * cx / gw
+          val x1 = math.max(x0 + 1, img.getWidth * (cx + 1) / gw)
+          val y0 = img.getHeight * cy / gh
+          val y1 = math.max(y0 + 1, img.getHeight * (cy + 1) / gh)
+          var s = 0L; var n = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              n += 1; x += 1
+            }
+            y += 1
+          }
+          val i = cy * gw + cx
+          sums(i) = s; counts(i) = n
+          total += s; totalPx += n
+          cx += 1
+        }
+        cy += 1
+      }
+      var hi = 0L; var lo = 0L
+      var i = 0
+      while (i < 64) {
+        // cell mean > global mean, cross-multiplied to integers
+        if (sums(i) * totalPx > total * counts(i)) {
+          if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+        }
+        i += 1
+      }
+      (hi, lo)
     }
   }
   object ImageIODecoder {
@@ -251,6 +313,10 @@ object Multimodal {
     }
     def resize(bytes: Array[Byte], mime: String, w: Int, h: Int): Array[Byte] =
       (s"resized:${w}x$h:" + h32(bytes, 4)).getBytes
+    def aHash(bytes: Array[Byte], mime: String): (Long, Long) =
+      // fake but deterministic: two murmur words, masked to the same
+      // non-negative 32-bit halves the real hash produces
+      (h32(bytes, 5).toLong & 0xffffffffL, h32(bytes, 6).toLong & 0xffffffffL)
   }
   object StubDecoder {
     /** per-partition init counter, observable from local-mode specs */
@@ -275,6 +341,29 @@ object Multimodal {
         }
       }
       .toDF(idCol, "width", "height", "channels", "features")
+  }
+
+  /** Perceptual hashes: (id, media, mime) → (id, ahash_hi, ahash_lo) —
+    * the [[Decoder.aHash]] 64-bit average hash as two non-negative
+    * 32-bit halves. One decoder per partition, rows streamed. Compose
+    * with a band join (split each half into 16-bit bands, join on
+    * (band, value), Hamming-filter candidates) for image near-dup at
+    * corpus scale — the q85 shape. */
+  def imageAHashes(df: DataFrame, idCol: String = "id",
+                   bytesCol: String = "media", mimeCol: String = "mime",
+                   decoder: Decoder = new StubDecoder): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol), col(mimeCol))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        decoder.init()
+        rows.map { case (id, bytes, mime) =>
+          val (hi, lo) = decoder.aHash(bytes, mime)
+          (id, hi, lo)
+        }
+      }
+      .toDF(idCol, "ahash_hi", "ahash_lo")
   }
 
   /** Audio feature extraction: (id, media, mime) → (id, sample_rate,

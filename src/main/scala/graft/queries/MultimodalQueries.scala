@@ -283,4 +283,72 @@ object MultimodalQueries {
         col("cell").cast("long").as("cell"), col("lum"))
       .orderBy(col("doc_id"), col("cell"))
   }
+
+  /** q85: perceptual-hash (aHash) image near-dup pairs over REAL
+    * decoded pixels. The fixture plants near-duplicate families: the
+    * pixel pattern is keyed by `doc_id % 29` (same base ⇒ same image)
+    * with one `(doc_id / 29)`-dependent column brightness-shifted — so
+    * family members are near- but not exact duplicates and Hamming
+    * distance does real work. Candidates form ONLY inside 16-bit hash
+    * bands (never all-pairs — the LSH cap discipline applied to
+    * perceptual hashes); exact Hamming over the (hi, lo) halves
+    * verifies. The oracle re-derives every hash bit from the fixture
+    * formula (integer cell sums, cellSum·64 > totalSum), the same band
+    * join, and bit_count-XOR Hamming. */
+  def imagePHashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (w, h) = (32, 16) // 8×8 grid of equal 4×2 cells
+    val pngs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").cast("long")).distinct()
+      .filter(col("doc_id") % 4 === 0)
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val base = id % 29
+          val pcol = ((id / 29) % 32).toInt
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              var r = ((base * 31 + x * 7 + y * 13) % 256).toInt
+              val g = ((base * 17 + x * 11 + y * 3) % 256).toInt
+              val b = ((base * 23 + x * 5 + y * 19) % 256).toInt
+              if (x == pcol) r = (r + 128) % 256
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", buf)
+          (id, buf.toByteArray, "image/png")
+        }
+      }.toDF("id", "media", "mime")
+    val hashes = Multimodal.imageAHashes(pngs,
+        decoder = new Multimodal.ImageIODecoder)
+      .select(col("id").as("doc_id"), col("ahash_hi"), col("ahash_lo"))
+    val bands = hashes.select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
+        explode(array(
+          struct(lit(0).as("bi"), (col("ahash_lo").bitwiseAND(lit(65535L))).as("bv")),
+          struct(lit(1).as("bi"), shiftright(col("ahash_lo"), 16).bitwiseAND(lit(65535L)).as("bv")),
+          struct(lit(2).as("bi"), (col("ahash_hi").bitwiseAND(lit(65535L))).as("bv")),
+          struct(lit(3).as("bi"), shiftright(col("ahash_hi"), 16).bitwiseAND(lit(65535L)).as("bv"))
+        )).as("band"))
+      .select(col("doc_id"), col("ahash_hi"), col("ahash_lo"),
+        col("band.bi").as("bi"), col("band.bv").as("bv"))
+    val a = bands.select(col("doc_id").as("a_id"), col("ahash_hi").as("hi_a"),
+      col("ahash_lo").as("lo_a"), col("bi"), col("bv"))
+    val b = bands.select(col("doc_id").as("b_id"), col("ahash_hi").as("hi_b"),
+      col("ahash_lo").as("lo_b"), col("bi"), col("bv"))
+    a.join(b, Seq("bi", "bv"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 12)
+      .orderBy(col("a_id"), col("b_id"))
+  }
 }

@@ -382,6 +382,38 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("aHash: known half-black/half-white bit pattern; re-encode stable; stub deterministic") {
+    // left half black, right half white → exactly the white cells
+    // (grid columns 4-7 of every row) cross the global mean: each
+    // 32-bit half must be 0xF0F0F0F0
+    val img = new java.awt.image.BufferedImage(32, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 32)
+      img.setRGB(x, y, if (x < 16) 0x000000 else 0xFFFFFF)
+    def png(i: java.awt.image.BufferedImage): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(i, "png", b)
+      b.toByteArray
+    }
+    val real = new Multimodal.ImageIODecoder
+    val (hi, lo) = real.aHash(png(img), "image/png")
+    assert(hi == 0xF0F0F0F0L && lo == 0xF0F0F0F0L,
+      f"expected F0F0F0F0/F0F0F0F0, got $hi%x/$lo%x")
+    // halves stay in non-negative 32-bit range by construction
+    assert(hi >= 0 && hi <= 0xFFFFFFFFL && lo >= 0 && lo <= 0xFFFFFFFFL)
+    // BMP re-encode of the same pixels hashes identically (the whole
+    // point of a perceptual hash)
+    val bmp = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bmp)
+    assert(real.aHash(bmp.toByteArray, "image/bmp") == ((hi, lo)))
+    // stub: pure function of bytes, same masking contract
+    val stub = new Multimodal.StubDecoder
+    val b1 = "fake-bytes".getBytes
+    assert(stub.aHash(b1, "video/mp4") == stub.aHash(b1.clone(), "video/mp4"))
+    val (sh, sl) = stub.aHash(b1, "video/mp4")
+    assert(sh >= 0 && sh <= 0xFFFFFFFFL && sl >= 0 && sl <= 0xFFFFFFFFL)
+  }
+
   test("balanceBySize: partition count tracks byte volume, not row count") {
     val total = mediaDf.select(sum(length(col("media")))).collect()(0).getLong(0)
     val target = total / 7
