@@ -370,6 +370,66 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // BM25 retrieval top-k — the query side of q62's inverted index:
+    // a fixed 4-term query ranked over the corpus with rational-idf
+    // BM25 (k1=1.2, b=0.75). Every double op is IEEE +,*,/ and the
+    // per-doc sum folds term weights in token order (the q83 fold
+    // discipline), so the oracle reproduces scores bit-for-bit.
+    "q86_bm25_topk" -> ((s, dir) =>
+      graft.ops.Retrieval.bm25TopK(t(s, dir, "documents"),
+          Seq("filter", "join", "spark", "vector"), topK = 20)
+        .orderBy(col("score").desc, col("doc_id"))),
+
+    // Crawl-frontier politeness scheduling (Mercator-style per-host
+    // queues): each doc contributes one deterministic URL (the q51
+    // fixture's example{0..6}.com family) with priority doc_id%13;
+    // slot = rank within the URL's registered domain, so fetching in
+    // (slot, domain) order interleaves domains instead of hammering
+    // the currently-best one. The oracle derives the domain from the
+    // fixture arithmetic (the q66 style) and replays the window.
+    "q87_frontier" -> ((s, dir) => {
+      val url = concat(lit("https://sub"), (col("doc_id") % 5).cast("string"),
+        lit(".example"), (col("doc_id") % 7).cast("string"),
+        lit(".com/p"), col("doc_id").cast("string"))
+      graft.ops.UrlOps.frontierSchedule(
+          t(s, dir, "documents").select(col("doc_id"), url.as("url"),
+            (col("doc_id") % 13).cast("long").as("priority")),
+          col("url"), col("priority"))
+        .orderBy(col("slot"), col("domain"), col("url"))
+    }),
+
+    // BPE tokenizer-training pair statistics: corpus → word-frequency
+    // table → adjacent character pairs weighted by word count → top
+    // 50 merge candidates. The whole computation after one corpus
+    // scan is vocabulary-bounded (see TextOps.bpePairCounts).
+    "q88_bpe_pairs" -> ((s, dir) =>
+      graft.ops.TextOps.bpePairCounts(t(s, dir, "documents"), topK = 50)
+        .orderBy(col("rank"))),
+
+    // KMV distinct-cardinality sketch over document texts: k=64
+    // smallest 60-bit portable hashes → (k-1)·2^60/h_k estimate, one
+    // TakeOrdered and no corpus shuffle. withExact appends the true
+    // distinct count so the estimate's error is visible in the output
+    // (sf0.01: 500 distinct texts exercises the estimate branch;
+    // sf0.001's 50 < k exercises the exact branch).
+    "q89_kmv_distinct" -> ((s, dir) =>
+      graft.ops.Sketch.kmvDistinct(t(s, dir, "documents"), col("text"),
+        k = 64, withExact = true)),
+
+    // k-anonymity gate on quasi-identifiers (lang, source, 100-char
+    // size band): keep rows whose QI tuple is shared by >= 3 docs —
+    // one count-only window exchange (at sf0.01 the gate genuinely
+    // bites: 172 kept / 328 suppressed).
+    "q90_k_anonymity" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          floor(col("n_chars") / lit(100)).cast("long").as("len_band"))
+      graft.ops.Pii.kAnonymityGate(d, Seq("lang", "source", "len_band"), k = 3)
+        .select(col("doc_id"), col("lang"), col("source"), col("len_band"),
+          col("group_size").cast("long").as("group_size"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Bitext-style margin scoring (Artetxe & Schwenk ratio margin):
     // edges of the capped kNN graph scored by 2·cos/(avgK(a)+avgK(b))
     // — the hubness-robust parallel-pair criterion. avgK folds the k
@@ -2682,6 +2742,114 @@ object SparkEntry {
         |FROM fam GROUP BY doc_id
         |HAVING n_shared_chunks > 0
         |ORDER BY doc_id""".stripMargin,
+
+    // q86: the full BM25 computation replayed — same tokenizer, same
+    // rational idf, same parenthesization on every double op, same
+    // left-associated zero-padded fold in token order. Raw double
+    // scores hash-compared.
+    "q86_bm25_topk" ->
+      """WITH dl AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS dl
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n_docs,
+        |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+        |  FROM dl),
+        |tf AS (
+        |  SELECT doc_id, tok AS token, count(*) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+        |        FROM documents)
+        |  WHERE tok IN ('filter', 'join', 'spark', 'vector')
+        |  GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |wts AS (
+        |  SELECT t.doc_id, t.token,
+        |    (((CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE)) + 0.5)
+        |       / (CAST(f.df AS DOUBLE) + 0.5)) *
+        |    ((CAST(t.tf AS DOUBLE) * 2.2)
+        |       / (CAST(t.tf AS DOUBLE)
+        |          + (1.2 * (0.25 + (0.75 * (CAST(d.dl AS DOUBLE) / s.avgdl)))))) AS w
+        |  FROM tf t
+        |  JOIN dfreq f USING (token)
+        |  JOIN dl d USING (doc_id)
+        |  CROSS JOIN stats s),
+        |folded AS (
+        |  SELECT doc_id, CAST(cnt AS BIGINT) AS n_terms,
+        |    ((((0.0 + COALESCE(l[1], 0.0)) + COALESCE(l[2], 0.0))
+        |       + COALESCE(l[3], 0.0)) + COALESCE(l[4], 0.0)) AS score
+        |  FROM (SELECT doc_id, count(*) AS cnt, list(w ORDER BY token) AS l
+        |        FROM wts GROUP BY doc_id))
+        |SELECT doc_id, n_terms, score FROM folded
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // q87: domain derived from the fixture arithmetic (the q66 style
+    // — the oracle does not run the PSL parser), identical window.
+    "q87_frontier" ->
+      """WITH u AS (
+        |  SELECT doc_id AS id,
+        |    'https://sub' || CAST(doc_id % 5 AS VARCHAR)
+        |      || '.example' || CAST(doc_id % 7 AS VARCHAR)
+        |      || '.com/p' || CAST(doc_id AS VARCHAR) AS url,
+        |    'example' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS domain,
+        |    CAST(doc_id % 13 AS BIGINT) AS priority
+        |  FROM documents)
+        |SELECT id, url, domain, priority,
+        |  CAST(row_number() OVER (PARTITION BY domain
+        |    ORDER BY priority DESC, url) AS BIGINT) AS slot
+        |FROM u ORDER BY slot, domain, url""".stripMargin,
+
+    // q88: word-frequency table, lateral char-pair fan-out, weighted
+    // pair agg, (count DESC, pair) top-50 — all integers.
+    "q88_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT tok AS word, count(*) AS cnt
+        |  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1),
+        |w2 AS (SELECT word, cnt FROM words WHERE length(word) >= 2),
+        |pairs AS (
+        |  SELECT substr(word, CAST(i AS INTEGER), 2) AS pair, word, cnt
+        |  FROM w2, LATERAL (SELECT unnest(generate_series(1, length(word) - 1)) AS i)),
+        |agg AS (
+        |  SELECT pair, CAST(count(DISTINCT word) AS BIGINT) AS n_words,
+        |    CAST(sum(cnt) AS BIGINT) AS n_occurrences
+        |  FROM pairs GROUP BY 1),
+        |top AS (SELECT * FROM agg ORDER BY n_occurrences DESC, pair LIMIT 50)
+        |SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair) AS BIGINT) AS rank,
+        |  pair, n_words, n_occurrences
+        |FROM top ORDER BY rank""".stripMargin,
+
+    // q89: same 60-bit md5-prefix hash as the winnowing oracles, same
+    // k-smallest-distinct order statistic, same IEEE-double estimate
+    // arithmetic ((k-1)·2^60/h_k, floor, cast).
+    "q89_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |mins AS (SELECT h FROM h ORDER BY h LIMIT 64),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS k_used, max(h) AS kth_hash FROM mins),
+        |ex AS (SELECT CAST(count(DISTINCT text) AS BIGINT) AS n_exact FROM documents)
+        |SELECT k_used, kth_hash,
+        |  CASE WHEN k_used < 64 THEN k_used
+        |       ELSE CAST(floor(((CAST(k_used AS DOUBLE) - 1.0) * 1152921504606846976.0)
+        |         / CAST(kth_hash AS DOUBLE)) AS BIGINT) END AS est_distinct,
+        |  n_exact
+        |FROM agg CROSS JOIN ex""".stripMargin,
+
+    // q90: the QI window count and the >= k filter, verbatim.
+    "q90_k_anonymity" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(floor(n_chars / 100) AS BIGINT) AS len_band
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang, source, len_band,
+        |    CAST(count(*) OVER (PARTITION BY lang, source, len_band) AS BIGINT) AS group_size
+        |  FROM d)
+        |SELECT doc_id, lang, source, len_band, group_size
+        |FROM g WHERE group_size >= 3 ORDER BY doc_id""".stripMargin,
 
     // q83: q65's entire ranked-knn CTE, then the identical
     // left-associated zero-padded average fold and the same margin

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** PII detection and redaction — the standard pre-training scrub stage
@@ -68,4 +68,31 @@ object Pii {
     rules.foldLeft(text) { case (c, (_, pat, repl)) =>
       regexp_replace(c, lit(pat), lit(repl))
     }
+
+  /** k-anonymity gate over quasi-identifier columns (Sweeney 2002) —
+    * the release-side counterpart of [[redact]]: scrubbing direct
+    * identifiers is not enough when a COMBINATION of innocuous
+    * attributes (language × source × size band × …) is rare enough to
+    * fingerprint a record. The gate keeps only rows whose
+    * quasi-identifier tuple is shared by at least `k` rows, the
+    * standard minimum-cell-size rule for data releases, and a real
+    * curation step when a training corpus carries provenance columns.
+    *
+    * Plan shape: ONE window exchange on the QI tuple (a count-only
+    * window frame — streaming, no partition buffering), then a
+    * codegen'd filter. Deliberately a window and not a groupBy+join:
+    * the join would shuffle the corpus TWICE on the same key. A hot
+    * QI cell is just a count, and rows that share a cell had to meet
+    * anyway for the cell to be countable.
+    *
+    * Output: the kept rows plus their `group_size`, so downstream can
+    * audit how close each survivor sits to the threshold. */
+  def kAnonymityGate(df: DataFrame, qiCols: Seq[String], k: Long): DataFrame = {
+    require(qiCols.nonEmpty, "k-anonymity needs at least one quasi-identifier")
+    require(k >= 2, s"k must be >= 2 (k=$k is no gate)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qiCols.map(col): _*)
+    df.withColumn("group_size", count(lit(1)).over(w))
+      .filter(col("group_size") >= k)
+  }
 }

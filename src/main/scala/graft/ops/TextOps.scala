@@ -728,4 +728,53 @@ object TextOps {
         length(col("chunk")).cast("long").as("chunk_chars"),
         md5(col("chunk").cast("binary")).as("chunk_md5"))
   }
+
+  /** BPE tokenizer-training pair statistics — the inner loop of
+    * byte-pair-encoding training (Sennrich et al. 2016): count every
+    * adjacent symbol pair across the corpus, weighted by word
+    * frequency; the argmax pair is the next merge rule. Training a
+    * tokenizer ON the corpus being curated is a standard pipeline
+    * step, and this statistic is its entire per-iteration cost.
+    *
+    * The classic implementation reduces the corpus to its WORD
+    * FREQUENCY TABLE first (BPE sees "the"×10⁹ as one row, not 10⁹
+    * rows) — so does this: one tokenize+explode pass to (word, cnt)
+    * — vocabulary-sized, the partial agg absorbs the corpus-scale
+    * stream map-side — then the character-pair fan-out runs on the
+    * VOCABULARY (Σ|word| rows, ~10⁶ regardless of corpus size), one
+    * pair-keyed partial agg sums the weighted counts, and the top-k
+    * compiles to TakeOrderedAndProject. Corpus-proportional work is
+    * exactly one scan; everything after is vocabulary-bounded.
+    *
+    * First-iteration pairs are CHARACTER pairs (`substring(word,i,2)`
+    * — expressible identically in any SQL engine, so the oracle
+    * replays the whole computation). Later iterations would operate
+    * on merged symbol arrays; the statistic and plan shape are
+    * identical.
+    *
+    * Output: top `topK` rows (rank, pair, n_words, n_occurrences) by
+    * (weighted occurrences DESC, pair ASC) — a total order. */
+  def bpePairCounts(docs: DataFrame, topK: Int = 50,
+                    textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs
+      .select(explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .filter(length(col("word")) >= 2)
+    val pairs = words
+      .withColumn("i", explode(sequence(lit(1), length(col("word")) - 1)))
+      .select(expr("substring(word, i, 2)").as("pair"),
+        col("cnt"), col("word"))
+      .groupBy(col("pair"))
+      .agg(countDistinct(col("word")).as("n_words"),
+        sum(col("cnt")).cast("long").as("n_occurrences"))
+    val top = pairs
+      .orderBy(col("n_occurrences").desc, col("pair").asc)
+      .limit(topK)
+    // rank window over the topK-row TakeOrdered result — bounded by
+    // topK, not the pair vocabulary (the single-partition exception)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("n_occurrences").desc, col("pair").asc)).cast("long"))
+      .select(col("rank"), col("pair"), col("n_words"), col("n_occurrences"))
+  }
 }
