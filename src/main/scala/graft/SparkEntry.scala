@@ -430,6 +430,72 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-group KMV cardinality (distinct texts per language) through
+    // the custom KMinDistinct TypedImperativeAggregate — k-bounded
+    // buffers map-side, ONE shuffle of <= k longs per group. k=128
+    // exercises both branches at sf0.01: en has 218 distinct texts
+    // (estimate), the other four languages < 128 (exact).
+    "q91_kmv_by_lang" -> ((s, dir) =>
+      graft.ops.Sketch.kmvDistinctBy(t(s, dir, "documents"), Seq("lang"),
+          col("text"), k = 128)
+        .orderBy(col("lang"))),
+
+    // Robots-exclusion gate over the q87 URL fixture: per-domain rule
+    // sets with nested prefixes (longest match decides), an
+    // equal-length allow/disallow tie on example3.com (allow wins),
+    // a blanket '/' disallow on example4.com, and rule-less domains
+    // (example5/6.com -> allowed, NULL matched_prefix).
+    "q92_robots_gate" -> ((s, dir) => {
+      val url = concat(lit("https://sub"), (col("doc_id") % 5).cast("string"),
+        lit(".example"), (col("doc_id") % 7).cast("string"),
+        lit(".com/p"), col("doc_id").cast("string"))
+      val rules = s.createDataFrame(Seq(
+        ("example0.com", "/p", false), ("example0.com", "/p1", true),
+        ("example0.com", "/p12", false),
+        ("example1.com", "/p", true), ("example1.com", "/p2", false),
+        ("example2.com", "/p", false), ("example2.com", "/p4", true),
+        ("example2.com", "/p44", false),
+        ("example3.com", "/p7", true), ("example3.com", "/p7", false),
+        ("example4.com", "/", false)))
+        .toDF("domain", "prefix", "allow")
+      graft.ops.UrlOps.robotsGate(
+          t(s, dir, "documents").select(col("doc_id"), url.as("url")),
+          rules, col("url"))
+        .orderBy(col("id"))
+    }),
+
+    // l-diversity gate: same QI banding as q90 but coarser (lang x
+    // size band), sensitive attribute = source; keep rows whose QI
+    // group spans >= 3 distinct sources. Exercises the homogeneity
+    // case k-anonymity misses.
+    "q93_l_diversity" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          floor(col("n_chars") / lit(100)).cast("long").as("len_band"))
+      graft.ops.Pii.lDiversityGate(d, Seq("lang", "len_band"), "source", l = 3)
+        .select(col("doc_id"), col("lang"), col("source"), col("len_band"),
+          col("distinct_sensitive").cast("long").as("distinct_sensitive"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PageRank (4 iterations, d=0.85) over a deterministic doc-link
+    // graph (each doc i links to (2i+1)%N and (3i+7)%N — includes one
+    // self-loop and in-degrees 0..3, so the teleport-only branch and
+    // the variable-length fold both execute). exactFold pins the
+    // per-node contribution sum to src order for the oracle.
+    "q94_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cnt = docs.agg(count(lit(1)).as("cnt"))
+      val withCnt = docs.select(col("doc_id")).crossJoin(broadcast(cnt))
+      val edges = withCnt.select(col("doc_id").as("src"),
+          ((col("doc_id") * 2 + 1) % col("cnt")).as("dst"))
+        .unionByName(withCnt.select(col("doc_id").as("src"),
+          ((col("doc_id") * 3 + 7) % col("cnt")).as("dst")))
+      graft.ops.Graph.pageRank(docs.select(col("doc_id").as("id")), edges,
+          iterations = 4, damping = 0.85, exactFold = true)
+        .orderBy(col("id"))
+    }),
+
     // Bitext-style margin scoring (Artetxe & Schwenk ratio margin):
     // edges of the capped kNN graph scored by 2·cos/(avgK(a)+avgK(b))
     // — the hubness-robust parallel-pair criterion. avgK folds the k

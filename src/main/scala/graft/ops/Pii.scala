@@ -95,4 +95,33 @@ object Pii {
     df.withColumn("group_size", count(lit(1)).over(w))
       .filter(col("group_size") >= k)
   }
+
+  /** l-diversity gate (Machanavajjhala et al. 2007) — the refinement
+    * k-anonymity needs when a QI group is large but UNIFORM: 50 rows
+    * sharing a quasi-identifier tuple pass k=3, yet if all 50 carry
+    * the same sensitive value the attacker learns it without singling
+    * anyone out (the homogeneity attack). Keep only rows whose QI
+    * group contains at least `l` DISTINCT sensitive values.
+    *
+    * Plan shape: Spark windows don't support COUNT(DISTINCT), and a
+    * groupBy+join-back would shuffle the corpus twice on the QI key —
+    * instead the classic two-window identity on ONE exchange:
+    * `dense_rank` over (QI, ORDER BY sensitive) numbers the distinct
+    * sensitive values 1..d in place, and an unordered `max` over the
+    * same partition broadcasts d to every row. Both window specs
+    * share the QI partitioning, so Catalyst plans a single exchange
+    * (one extra in-partition sort for the ranked spec).
+    *
+    * Output: kept rows + `distinct_sensitive` for threshold audit. */
+  def lDiversityGate(df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+                     l: Long): DataFrame = {
+    require(qiCols.nonEmpty, "l-diversity needs at least one quasi-identifier")
+    require(l >= 2, s"l must be >= 2 (l=$l is no gate)")
+    val part = org.apache.spark.sql.expressions.Window
+      .partitionBy(qiCols.map(col): _*)
+    df.withColumn("__dr", dense_rank().over(part.orderBy(col(sensitiveCol))))
+      .withColumn("distinct_sensitive", max(col("__dr")).over(part))
+      .filter(col("distinct_sensitive") >= l)
+      .drop("__dr")
+  }
 }

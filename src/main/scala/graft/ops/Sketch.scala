@@ -37,6 +37,15 @@ object Sketch {
   def hash60(c: Column): Column =
     conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10).cast("long")
 
+  /** (k_used, kth_hash) -> estimated distinct count, shared by the
+    * global and per-group variants. Exact when the sketch saw fewer
+    * than k distinct hashes (it then holds ALL of them). */
+  private def estimate(kUsed: Column, kthHash: Column, k: Int): Column =
+    when(kUsed < lit(k.toLong), kUsed)
+      .otherwise(floor((kUsed.cast("double") - lit(1.0))
+        * lit(1.152921504606846976e18)
+        / kthHash.cast("double")).cast("long"))
+
   def kmvDistinct(df: DataFrame, key: Column, k: Int = 256,
                   withExact: Boolean = false): DataFrame = {
     require(k >= 16, "KMV needs k >= 16 for a usable error bound")
@@ -46,18 +55,48 @@ object Sketch {
       .limit(k)                         // TakeOrderedAndProject: k rows/partition max
     val est = mins
       .agg(count(lit(1)).cast("long").as("k_used"), max(col("h")).as("kth_hash"))
+      // fewer than k distinct hashes survive ⇒ the sketch SAW every
+      // distinct value and the count is exact, not estimated
       .select(col("k_used"), col("kth_hash"),
-        // fewer than k distinct hashes survive ⇒ the sketch SAW every
-        // distinct value and the count is exact, not estimated
-        when(col("k_used") < lit(k.toLong), col("k_used"))
-          .otherwise(floor((col("k_used").cast("double") - lit(1.0))
-            * lit(1.152921504606846976e18)
-            / col("kth_hash").cast("double")).cast("long"))
-          .as("est_distinct"))
+        estimate(col("k_used"), col("kth_hash"), k).as("est_distinct"))
     if (!withExact) est
     else {
       val exact = df.select(key.as("x")).agg(countDistinct(col("x")).as("n_exact"))
       est.crossJoin(broadcast(exact))
     }
+  }
+
+  /** Per-group KMV distinct-cardinality estimates — "distinct texts
+    * per source", "distinct URLs per domain": the GROUP BY form of
+    * [[kmvDistinct]], and at 100 TB the form that actually gets asked.
+    *
+    * The single-group variant leans on TakeOrderedAndProject for its
+    * "only k rows per partition move" guarantee; no composition of
+    * built-ins gives that guarantee under a GROUP BY (`collect_set`
+    * buffers whole groups, a `row_number` window sorts whole groups),
+    * so the k-bound lives in a custom `TypedImperativeAggregate`,
+    * [[graft.expressions.KMinDistinct]]: partial aggregation trims to
+    * the k smallest distinct hashes map-side, so the exchange carries
+    * at most k longs per (partition, group) — ONE shuffle, k-bounded
+    * rows, no distinct() pre-pass, no window sort anywhere.
+    *
+    * Output: one row per group — (groupCols*, k_used, kth_hash,
+    * est_distinct); exact below k, ~1/sqrt(k-2) relative error above.
+    */
+  def kmvDistinctBy(df: DataFrame, groupCols: Seq[String], key: Column,
+                    k: Int = 256): DataFrame = {
+    require(k >= 16, "KMV needs k >= 16 for a usable error bound")
+    require(groupCols.nonEmpty, "kmvDistinctBy needs at least one group column")
+    import org.apache.spark.sql.GraftSqlShim
+    val kmins = GraftSqlShim.column(
+      graft.expressions.KMinDistinct(GraftSqlShim.expression(hash60(key)), k)
+        .toAggregateExpression())
+    df.groupBy(groupCols.map(col): _*)
+      .agg(kmins.as("mins"))
+      .select(groupCols.map(col) ++ Seq(
+        size(col("mins")).cast("long").as("k_used"),
+        element_at(col("mins"), -1).as("kth_hash")): _*)
+      .withColumn("est_distinct",
+        estimate(col("k_used"), col("kth_hash"), k))
   }
 }

@@ -253,6 +253,48 @@ object UrlOps {
     *
     * Output: (id, url, domain, priority, slot). URLs with no
     * registered domain are dropped — no politeness key, no fetch. */
+  /** Robots-exclusion evaluation (RFC 9309 / Google longest-match):
+    * for each URL, the governing rule is the matching path prefix of
+    * GREATEST LENGTH; on a length tie, allow beats disallow (the
+    * "least restrictive" tie-break); a URL whose domain has no
+    * matching rule is allowed. The companion of [[frontierSchedule]]
+    * — a crawl frontier filters through this before scheduling.
+    *
+    * `rules` is (domain, prefix, allow) — a rule SET, small by nature
+    * (robots.txt files, not the crawl), so the join is a BROADCAST
+    * prefix-match on the domain key: zero shuffle of the URL side.
+    * The per-URL winner is then `max(struct(len, allow, prefix))` —
+    * a partial aggregate (map-side combine over the handful of
+    * matched rules per URL), never a window sort. The struct's field
+    * order IS the tie-break order: longest prefix, then allow=true,
+    * then lexicographically-last prefix so equal-length distinct
+    * prefixes (same verdict either way) still pick deterministically.
+    * Unmatched left-join rows must surface as a NULL struct — not a
+    * struct of nulls, which `max` would happily order — hence the
+    * `when(isNotNull)` guard.
+    *
+    * Output: (idCol, url, domain, allowed, matched_prefix,
+    * matched_len) — matched_* NULL for rule-less URLs. */
+  def robotsGate(urls: DataFrame, rules: DataFrame, urlCol: Column,
+                 idCol: String = "doc_id"): DataFrame = {
+    val path = regexp_replace(urlCol, lit("^[a-z]+://[^/]*"), lit(""))
+    val u = urls.select(col(idCol).cast("long").as("id"), urlCol.as("url"),
+      registeredDomain(urlCol).as("domain"), path.as("__path"))
+    val r = rules.select(col("domain").as("__rdom"), col("prefix"),
+      col("allow").cast("boolean").as("allow"))
+    u.join(broadcast(r),
+        col("domain") === col("__rdom") && startswith(col("__path"), col("prefix")),
+        "left")
+      .groupBy(col("id"), col("url"), col("domain"))
+      .agg(max(when(col("prefix").isNotNull,
+        struct(length(col("prefix")).cast("long").as("len"),
+          col("allow").as("allow"), col("prefix").as("prefix")))).as("m"))
+      .select(col("id"), col("url"), col("domain"),
+        coalesce(col("m.allow"), lit(true)).as("allowed"),
+        col("m.prefix").as("matched_prefix"),
+        col("m.len").as("matched_len"))
+  }
+
   def frontierSchedule(urls: DataFrame, urlCol: Column, priorityCol: Column,
                        idCol: String = "doc_id"): DataFrame =
     urls
