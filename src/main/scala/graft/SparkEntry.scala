@@ -3062,5 +3062,145 @@ object SparkEntry {
         |            + len(regexp_extract_all(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]')) > 0
         |       THEN 1 ELSE 0 END AS BIGINT) AS suspect
         |FROM marked ORDER BY doc_id""".stripMargin,
+
+    // q91: the q89 KMV CTE partitioned by lang — distinct 60-bit hashes,
+    // row_number ≤ k per lang, then the identical IEEE-double estimate
+    // ((k_used-1)·2^60/kth_hash, floor, cast); exact branch below k.
+    "q91_kmv_by_lang" ->
+      """WITH h AS (
+        |  SELECT DISTINCT lang, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |rk AS (
+        |  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+        |  FROM h),
+        |agg AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS k_used, max(h) AS kth_hash
+        |  FROM rk WHERE rn <= 128 GROUP BY lang)
+        |SELECT lang, k_used, kth_hash,
+        |  CASE WHEN k_used < 128 THEN k_used
+        |       ELSE CAST(floor(((CAST(k_used AS DOUBLE) - 1.0) * 1152921504606846976.0)
+        |         / CAST(kth_hash AS DOUBLE)) AS BIGINT) END AS est_distinct
+        |FROM agg ORDER BY lang""".stripMargin,
+
+    // q92: the q87 fixture arithmetic for domain/path (the oracle does
+    // not run the PSL parser), the rule VALUES verbatim, and the
+    // longest-match tie-break replayed as a row_number over
+    // (len DESC, allow DESC, prefix DESC) — the same total order the
+    // Spark side's max(struct(len, allow, prefix)) induces. Unmatched
+    // URLs keep their single left-join NULL row (rn=1 trivially) and
+    // surface as allowed=true with NULL matched_*.
+    "q92_robots_gate" ->
+      """WITH u AS (
+        |  SELECT doc_id AS id,
+        |    'https://sub' || CAST(doc_id % 5 AS VARCHAR)
+        |      || '.example' || CAST(doc_id % 7 AS VARCHAR)
+        |      || '.com/p' || CAST(doc_id AS VARCHAR) AS url,
+        |    'example' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS domain,
+        |    '/p' || CAST(doc_id AS VARCHAR) AS path
+        |  FROM documents),
+        |r AS (SELECT * FROM (VALUES
+        |  ('example0.com', '/p', false), ('example0.com', '/p1', true),
+        |  ('example0.com', '/p12', false),
+        |  ('example1.com', '/p', true), ('example1.com', '/p2', false),
+        |  ('example2.com', '/p', false), ('example2.com', '/p4', true),
+        |  ('example2.com', '/p44', false),
+        |  ('example3.com', '/p7', true), ('example3.com', '/p7', false),
+        |  ('example4.com', '/', false)) AS t(domain, prefix, allow)),
+        |m AS (
+        |  SELECT u.id, u.url, u.domain, r.prefix, r.allow,
+        |    row_number() OVER (PARTITION BY u.id
+        |      ORDER BY length(r.prefix) DESC, r.allow DESC, r.prefix DESC) AS rn
+        |  FROM u LEFT JOIN r
+        |    ON u.domain = r.domain AND starts_with(u.path, r.prefix))
+        |SELECT id, url, domain, COALESCE(allow, true) AS allowed,
+        |  prefix AS matched_prefix, CAST(length(prefix) AS BIGINT) AS matched_len
+        |FROM m WHERE rn = 1 ORDER BY id""".stripMargin,
+
+    // q93: the q90 banding, then the SAME two-window identity the Spark
+    // side uses (windows lack COUNT DISTINCT on both engines):
+    // dense_rank over (QI, ORDER BY sensitive) numbers the distinct
+    // sensitive values, max over the QI partition broadcasts the count.
+    "q93_l_diversity" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(floor(n_chars / 100) AS BIGINT) AS len_band
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang, source, len_band,
+        |    dense_rank() OVER (PARTITION BY lang, len_band ORDER BY source) AS dr
+        |  FROM d),
+        |g2 AS (
+        |  SELECT doc_id, lang, source, len_band,
+        |    CAST(max(dr) OVER (PARTITION BY lang, len_band) AS BIGINT) AS distinct_sensitive
+        |  FROM g)
+        |SELECT doc_id, lang, source, len_band, distinct_sensitive
+        |FROM g2 WHERE distinct_sensitive >= 3 ORDER BY doc_id""".stripMargin,
+
+    // q94: 4 unrolled PageRank iterations with the exactFold src-ordered
+    // list fold (the q83/q86 zero-padded left-association — in-degree is
+    // ≤ 3 on this fixture, the 4th COALESCE adds an exact 0.0). Literals
+    // that are not exactly representable are forced through DOUBLE casts
+    // BEFORE arithmetic: DuckDB parses 1.0 - 0.85 as exact DECIMAL (=
+    // 0.15, a DIFFERENT double than Scala's 1.0 - 0.85), so the oracle
+    // spells CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE) to reproduce the
+    // Spark driver's IEEE subtraction bit-for-bit.
+    "q94_pagerank" ->
+      """WITH nn AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS cnt, CAST(count(*) AS DOUBLE) AS n
+        |  FROM documents),
+        |nodes AS (SELECT doc_id AS id FROM documents),
+        |e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT doc_id AS src, (doc_id * 2 + 1) % (SELECT cnt FROM nn) AS dst
+        |    FROM documents
+        |    UNION ALL
+        |    SELECT doc_id, (doc_id * 3 + 7) % (SELECT cnt FROM nn)
+        |    FROM documents)),
+        |ew AS (
+        |  SELECT e.src, e.dst, o.outdeg
+        |  FROM e JOIN (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg
+        |               FROM e GROUP BY src) o USING (src)),
+        |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS pr FROM nodes),
+        |c1 AS (SELECT ew.dst, ew.src, r.pr / ew.outdeg AS c
+        |       FROM ew JOIN r0 r ON r.id = ew.src),
+        |s1 AS (SELECT dst,
+        |         ((((0.0 + COALESCE(l[1], 0.0)) + COALESCE(l[2], 0.0))
+        |            + COALESCE(l[3], 0.0)) + COALESCE(l[4], 0.0)) AS s
+        |       FROM (SELECT dst, list(c ORDER BY src) AS l FROM c1 GROUP BY dst)),
+        |r1 AS (SELECT n.id,
+        |         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+        |           + CAST(0.85 AS DOUBLE) * COALESCE(s.s, CAST(0.0 AS DOUBLE)) AS pr
+        |       FROM nodes n LEFT JOIN s1 s ON s.dst = n.id),
+        |c2 AS (SELECT ew.dst, ew.src, r.pr / ew.outdeg AS c
+        |       FROM ew JOIN r1 r ON r.id = ew.src),
+        |s2 AS (SELECT dst,
+        |         ((((0.0 + COALESCE(l[1], 0.0)) + COALESCE(l[2], 0.0))
+        |            + COALESCE(l[3], 0.0)) + COALESCE(l[4], 0.0)) AS s
+        |       FROM (SELECT dst, list(c ORDER BY src) AS l FROM c2 GROUP BY dst)),
+        |r2 AS (SELECT n.id,
+        |         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+        |           + CAST(0.85 AS DOUBLE) * COALESCE(s.s, CAST(0.0 AS DOUBLE)) AS pr
+        |       FROM nodes n LEFT JOIN s2 s ON s.dst = n.id),
+        |c3 AS (SELECT ew.dst, ew.src, r.pr / ew.outdeg AS c
+        |       FROM ew JOIN r2 r ON r.id = ew.src),
+        |s3 AS (SELECT dst,
+        |         ((((0.0 + COALESCE(l[1], 0.0)) + COALESCE(l[2], 0.0))
+        |            + COALESCE(l[3], 0.0)) + COALESCE(l[4], 0.0)) AS s
+        |       FROM (SELECT dst, list(c ORDER BY src) AS l FROM c3 GROUP BY dst)),
+        |r3 AS (SELECT n.id,
+        |         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+        |           + CAST(0.85 AS DOUBLE) * COALESCE(s.s, CAST(0.0 AS DOUBLE)) AS pr
+        |       FROM nodes n LEFT JOIN s3 s ON s.dst = n.id),
+        |c4 AS (SELECT ew.dst, ew.src, r.pr / ew.outdeg AS c
+        |       FROM ew JOIN r3 r ON r.id = ew.src),
+        |s4 AS (SELECT dst,
+        |         ((((0.0 + COALESCE(l[1], 0.0)) + COALESCE(l[2], 0.0))
+        |            + COALESCE(l[3], 0.0)) + COALESCE(l[4], 0.0)) AS s
+        |       FROM (SELECT dst, list(c ORDER BY src) AS l FROM c4 GROUP BY dst)),
+        |r4 AS (SELECT n.id,
+        |         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+        |           + CAST(0.85 AS DOUBLE) * COALESCE(s.s, CAST(0.0 AS DOUBLE)) AS pr
+        |       FROM nodes n LEFT JOIN s4 s ON s.dst = n.id)
+        |SELECT id, pr FROM r4 ORDER BY id""".stripMargin,
   )
 }
