@@ -8,11 +8,11 @@ import org.apache.spark.sql.functions._
   * budgets) long before it is a report number, and the exact answer
   * costs a corpus-wide distinct shuffle. The KMV (k-minimum-values)
   * estimator gets within ~1/sqrt(k-2) relative error for the price of
-  * a per-partition top-k: `orderBy(hash).limit(k)` compiles to
-  * TakeOrderedAndProject — every partition keeps its k smallest
-  * hashes in a heap and only k rows per partition ever move. NO
-  * shuffle of the data, no hash table proportional to the
-  * cardinality (the HyperLogLog alternative, approx_count_distinct,
+  * a per-partition k-bounded buffer: each partition's partial
+  * aggregate keeps its k smallest distinct hashes and only those ≤ k
+  * longs per partition ever move. No shuffle of the data, no hash
+  * table proportional to the cardinality (the HyperLogLog
+  * alternative, approx_count_distinct,
   * is engine-specific in its register layout and therefore can't be
   * oracle-checked across engines; KMV's k-th order statistic is
   * exactly reproducible anywhere that can hash and sort).
@@ -25,6 +25,15 @@ import org.apache.spark.sql.functions._
   * to the estimate is IEEE double ((k-1) and 2^60 are exactly
   * representable; one multiply, one divide, one floor) so an oracle
   * reproduces it bit-for-bit.
+  *
+  * Both variants run through [[graft.expressions.KMinDistinct]], the
+  * k-bounded TypedImperativeAggregate: distinctness lives INSIDE the
+  * k-sized buffer, partial aggregation trims map-side, and only ≤ k
+  * longs per partition (per group) ever reach the exchange. The
+  * earlier global spelling (`distinct().orderBy(h).limit(k)`) was
+  * k-bounded at the TakeOrdered step but paid a corpus-cardinality
+  * distinct exchange first — ~10^12 hash rows at 100 TB; the
+  * aggregate form moves ~k·partitions rows total.
   *
   * Output: ONE row (k, kth_hash, est_distinct). Pass
   * `withExact = true` in tests/small runs to append the true
@@ -49,14 +58,17 @@ object Sketch {
   def kmvDistinct(df: DataFrame, key: Column, k: Int = 256,
                   withExact: Boolean = false): DataFrame = {
     require(k >= 16, "KMV needs k >= 16 for a usable error bound")
-    val mins = df.select(hash60(key).as("h"))
-      .distinct()                       // KMV is over distinct hash values
-      .orderBy(col("h"))
-      .limit(k)                         // TakeOrderedAndProject: k rows/partition max
-    val est = mins
-      .agg(count(lit(1)).cast("long").as("k_used"), max(col("h")).as("kth_hash"))
-      // fewer than k distinct hashes survive ⇒ the sketch SAW every
-      // distinct value and the count is exact, not estimated
+    // Global (no-key) KMinDistinct: one partial-agg pass, ≤ k longs per
+    // partition cross the exchange, single k-bounded final merge. No
+    // distinct() pre-pass — the buffer IS the distinct set.
+    val est = df.agg(kMins(key, k).as("mins"))
+      .select(
+        size(col("mins")).cast("long").as("k_used"),
+        // empty input ⇒ empty array; guard element_at for ANSI mode
+        when(size(col("mins")) > 0, element_at(col("mins"), -1))
+          .as("kth_hash"))
+      // fewer than k distinct hashes in the buffer ⇒ the sketch SAW
+      // every distinct value and the count is exact, not estimated
       .select(col("k_used"), col("kth_hash"),
         estimate(col("k_used"), col("kth_hash"), k).as("est_distinct"))
     if (!withExact) est
@@ -64,6 +76,15 @@ object Sketch {
       val exact = df.select(key.as("x")).agg(countDistinct(col("x")).as("n_exact"))
       est.crossJoin(broadcast(exact))
     }
+  }
+
+  /** The k-smallest-distinct-hashes aggregate column shared by both
+    * variants. */
+  private def kMins(key: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftSqlShim
+    GraftSqlShim.column(
+      graft.expressions.KMinDistinct(GraftSqlShim.expression(hash60(key)), k)
+        .toAggregateExpression())
   }
 
   /** Per-group KMV distinct-cardinality estimates — "distinct texts
@@ -87,12 +108,8 @@ object Sketch {
                     k: Int = 256): DataFrame = {
     require(k >= 16, "KMV needs k >= 16 for a usable error bound")
     require(groupCols.nonEmpty, "kmvDistinctBy needs at least one group column")
-    import org.apache.spark.sql.GraftSqlShim
-    val kmins = GraftSqlShim.column(
-      graft.expressions.KMinDistinct(GraftSqlShim.expression(hash60(key)), k)
-        .toAggregateExpression())
     df.groupBy(groupCols.map(col): _*)
-      .agg(kmins.as("mins"))
+      .agg(kMins(key, k).as("mins"))
       .select(groupCols.map(col) ++ Seq(
         size(col("mins")).cast("long").as("k_used"),
         element_at(col("mins"), -1).as("kth_hash")): _*)

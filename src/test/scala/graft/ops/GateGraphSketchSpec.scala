@@ -1,0 +1,231 @@
+package graft.ops
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.BoundReference
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.expressions.KMinDistinct
+
+/** Round-10 tail landings (q91-q94): the per-group KMV aggregate,
+  * robots-exclusion gate, l-diversity gate, and PageRank — the four
+  * components VERDICT r10 flagged as spec-less. */
+class GateGraphSketchSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // ---- KMinDistinct: the aggregate object itself ----
+
+  private def agg(k: Int) = KMinDistinct(BoundReference(0, LongType, nullable = true), k)
+
+  private def drain(b: java.util.TreeSet[java.lang.Long]): Seq[Long] = {
+    val it = b.iterator(); val out = Seq.newBuilder[Long]
+    while (it.hasNext) out += it.next().longValue()
+    out.result()
+  }
+
+  test("KMinDistinct update keeps the k smallest distinct values, skips nulls") {
+    val a = agg(4)
+    val b = a.createAggregationBuffer()
+    // duplicates, out of order, one null
+    Seq[Any](9L, 3L, 9L, 7L, null, 1L, 5L, 3L, 8L)
+      .foreach(v => a.update(b, InternalRow(v)))
+    assert(drain(b) == Seq(1L, 3L, 5L, 7L))
+    assert(b.size <= 4)
+    // a new minimum displaces the current 4th-smallest
+    a.update(b, InternalRow(2L))
+    assert(drain(b) == Seq(1L, 2L, 3L, 5L))
+    // equal to the current k-th min: already present, no change
+    a.update(b, InternalRow(5L))
+    assert(drain(b) == Seq(1L, 2L, 3L, 5L))
+  }
+
+  test("KMinDistinct merge equals the k smallest distinct of the union") {
+    val a = agg(3)
+    val x = a.createAggregationBuffer()
+    val y = a.createAggregationBuffer()
+    Seq(10L, 20L, 30L).foreach(v => a.update(x, InternalRow(v)))
+    Seq(5L, 20L, 40L).foreach(v => a.update(y, InternalRow(v)))
+    // union distinct = {5,10,20,30,40}; 3 smallest = 5,10,20
+    assert(drain(a.merge(x, y)) == Seq(5L, 10L, 20L))
+    // merge into an empty buffer (the ascending early-bail must not
+    // skip values when the target is under-filled)
+    val z = a.createAggregationBuffer()
+    assert(drain(a.merge(z, y)) == Seq(5L, 20L, 40L))
+  }
+
+  test("KMinDistinct serde round-trips and empty buffers survive") {
+    val a = agg(5)
+    val b = a.createAggregationBuffer()
+    Seq(42L, -7L, 0L).foreach(v => a.update(b, InternalRow(v)))
+    assert(drain(a.deserialize(a.serialize(b))) == Seq(-7L, 0L, 42L))
+    val e = a.createAggregationBuffer()
+    assert(drain(a.deserialize(a.serialize(e))).isEmpty)
+  }
+
+  test("KMinDistinct k-bound invariant holds through bulk update + merge") {
+    val a = agg(8)
+    val bufs = (0 until 4).map { p =>
+      val b = a.createAggregationBuffer()
+      (0 until 1000).foreach(i => a.update(b, InternalRow((i * 37 + p).toLong % 501L)))
+      assert(b.size <= 8, s"partition buffer exceeded k: ${b.size}")
+      b
+    }
+    val merged = bufs.reduce(a.merge)
+    assert(merged.size == 8)
+    assert(drain(merged) == drain(merged).sorted)
+  }
+
+  // ---- kmvDistinctBy: end-to-end + plan shape ----
+
+  test("kmvDistinctBy is exact below k and matches countDistinct per group") {
+    val df = (1 to 200).map(i => (s"g${i % 3}", s"v${i % (20 + (i % 3) * 5)}"))
+      .toDF("g", "x")
+    val got = Sketch.kmvDistinctBy(df, Seq("g"), col("x"), k = 64)
+      .select(col("g"), col("est_distinct")).as[(String, Long)].collect().toMap
+    val want = df.groupBy("g").agg(countDistinct(col("x")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("kmvDistinctBy exchange carries partial k-bounded buffers, not raw rows") {
+    val df = (1 to 100).map(i => (s"g${i % 2}", s"v$i")).toDF("g", "x")
+    val plan = Sketch.kmvDistinctBy(df, Seq("g"), col("x"), k = 16)
+      .queryExecution.executedPlan.toString
+    // TypedImperativeAggregate compiles to ObjectHashAggregate with a
+    // partial mode BELOW the exchange — the k-bound applies map-side
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_k_min_distinct"), plan)
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    val partialIdx = plan.indexOf("partial_k_min_distinct")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"partial aggregate must sit below the exchange:\n$plan")
+  }
+
+  test("kmvDistinct (global) has no corpus-cardinality hash exchange") {
+    val df = (1 to 5000).map(i => s"v${i % 999}").toDF("x")
+    val q = Sketch.kmvDistinct(df, col("x"), k = 64)
+    // the old spelling paid `Exchange hashpartitioning` for distinct();
+    // the aggregate form moves only partial buffers to one reducer
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"global KMV must not shuffle corpus-cardinality rows:\n$plan")
+    assert(plan.contains("partial_k_min_distinct"), plan)
+    assert(q.head().getAs[Long]("est_distinct") > 0L)
+  }
+
+  // ---- robotsGate ----
+
+  private val robotsRules = Seq(
+    ("a.com", "/p", false), ("a.com", "/p1", true), ("a.com", "/p12", false),
+    ("t.com", "/x", true), ("t.com", "/x", false), // equal-length tie
+    ("all.com", "/", false))
+    .toDF("domain", "prefix", "allow")
+
+  private def gate(urls: Seq[(Long, String)]) =
+    UrlOps.robotsGate(urls.toDF("doc_id", "url"), robotsRules, col("url"))
+      .select(col("id"), col("allowed"), col("matched_prefix"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), Option(r.getString(2))))).toMap
+
+  test("robotsGate picks the longest matching prefix") {
+    val out = gate(Seq(
+      (1L, "https://www.a.com/p0"),    // only /p matches -> disallow
+      (2L, "https://www.a.com/p1"),    // /p1 beats /p -> allow
+      (3L, "https://www.a.com/p123"))) // /p12 beats /p1 -> disallow
+    assert(out(1L) == ((false, Some("/p"))))
+    assert(out(2L) == ((true, Some("/p1"))))
+    assert(out(3L) == ((false, Some("/p12"))))
+  }
+
+  test("robotsGate equal-length tie: allow beats disallow; blanket '/' disallows") {
+    val out = gate(Seq(
+      (1L, "https://t.com/x9"),
+      (2L, "https://sub.all.com/anything")))
+    assert(out(1L) == ((true, Some("/x"))))
+    assert(out(2L) == ((false, Some("/"))))
+  }
+
+  test("robotsGate rule-less domains surface allowed with NULL matched_*") {
+    val out = gate(Seq((1L, "https://nobody.org/whatever")))
+    assert(out(1L) == ((true, None)))
+  }
+
+  test("robotsGate joins broadcast — zero shuffle of the URL side") {
+    val plan = UrlOps.robotsGate(
+        Seq((1L, "https://a.com/p")).toDF("doc_id", "url"), robotsRules, col("url"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  // ---- lDiversityGate ----
+
+  test("lDiversityGate drops homogeneous groups k-anonymity would keep") {
+    // group A: 10 rows, ONE sensitive value (passes k=3, fails l=3)
+    // group B: 4 rows, 3 distinct sensitive values (passes both)
+    val df = ((1 to 10).map(i => (i.toLong, "A", "s1")) ++
+      Seq((11L, "B", "s1"), (12L, "B", "s2"), (13L, "B", "s3"), (14L, "B", "s1")))
+      .toDF("id", "qi", "sensitive")
+    val kept = Pii.lDiversityGate(df, Seq("qi"), "sensitive", l = 3)
+    assert(Pii.kAnonymityGate(df, Seq("qi"), k = 3).filter(col("qi") === "A").count() == 10)
+    assert(kept.filter(col("qi") === "A").count() == 0)
+    val b = kept.filter(col("qi") === "B")
+      .select(col("id"), col("distinct_sensitive")).as[(Long, Long)].collect()
+    assert(b.map(_._1).sorted.toSeq == Seq(11L, 12L, 13L, 14L))
+    assert(b.forall(_._2 == 3L))
+  }
+
+  test("lDiversityGate uses one QI exchange for both windows") {
+    val df = Seq((1L, "A", "s1"), (2L, "A", "s2")).toDF("id", "qi", "sensitive")
+    val plan = Pii.lDiversityGate(df, Seq("qi"), "sensitive", l = 2)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+  }
+
+  // ---- pageRank ----
+
+  test("pageRank on a 2-node cycle is the closed-form fixed point") {
+    val nodes = Seq(0L, 1L).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")
+    val pr = Graph.pageRank(nodes, edges, iterations = 3, damping = 0.85)
+      .as[(Long, Double)].collect().toMap
+    // symmetric cycle: 1/N is the exact fixed point at every iteration
+    assert(pr(0L) == 0.5 && pr(1L) == 0.5)
+  }
+
+  test("pageRank dangling node: teleport-only rank, mass leaks by design") {
+    // A -> B, C isolated. After 1 iteration, in the implementation's
+    // IEEE op order: teleport = (1.0-0.85)/3 (note 1.0-0.85 is NOT an
+    // exact 0.15); B = teleport + 0.85*(1/3); A = C = teleport
+    val nodes = Seq(0L, 1L, 2L).toDF("id")
+    val edges = Seq((0L, 1L)).toDF("src", "dst")
+    val pr = Graph.pageRank(nodes, edges, iterations = 1, damping = 0.85)
+      .as[(Long, Double)].collect().toMap
+    val teleport = (1.0 - 0.85) / 3.0
+    assert(pr(1L) == teleport + 0.85 * (1.0 / 3.0))
+    assert(pr(0L) == teleport && pr(2L) == teleport)
+    assert(pr.values.sum < 1.0) // dangling mass not redistributed
+  }
+
+  test("pageRank duplicate edges count once; exactFold agrees with sum within ulps") {
+    val n = 20L
+    val nodes = (0L until n).toDF("id")
+    val edges = (0L until n).flatMap(i =>
+        Seq((i, (2 * i + 1) % n), (i, (3 * i + 7) % n), (i, (2 * i + 1) % n)))
+      .toDF("src", "dst")
+    val fast = Graph.pageRank(nodes, edges, iterations = 4)
+      .as[(Long, Double)].collect().toMap
+    val exact = Graph.pageRank(nodes, edges, iterations = 4, exactFold = true)
+      .as[(Long, Double)].collect().toMap
+    assert(fast.keySet == exact.keySet)
+    fast.foreach { case (id, v) =>
+      assert(math.abs(v - exact(id)) <= 1e-12, s"node $id: $v vs ${exact(id)}")
+    }
+    // ranks are a probability-ish vector: positive, sum near 1 (self-loops
+    // and full out-degrees on this fixture -> no dangling leak)
+    assert(fast.values.forall(_ > 0))
+    assert(math.abs(fast.values.sum - 1.0) < 1e-9)
+  }
+}
