@@ -443,8 +443,10 @@ object SparkEntry {
     // Robots-exclusion gate over the q87 URL fixture: per-domain rule
     // sets with nested prefixes (longest match decides), an
     // equal-length allow/disallow tie on example3.com (allow wins),
-    // a blanket '/' disallow on example4.com, and rule-less domains
-    // (example5/6.com -> allowed, NULL matched_prefix).
+    // a blanket '/' disallow on example4.com, RFC 9309 wildcard rules
+    // on example5.com ('*' span + trailing-'$' anchor, longest raw
+    // pattern wins), and a rule-less domain (example6.com -> allowed,
+    // NULL matched_prefix).
     "q92_robots_gate" -> ((s, dir) => {
       val url = concat(lit("https://sub"), (col("doc_id") % 5).cast("string"),
         lit(".example"), (col("doc_id") % 7).cast("string"),
@@ -456,7 +458,9 @@ object SparkEntry {
         ("example2.com", "/p", false), ("example2.com", "/p4", true),
         ("example2.com", "/p44", false),
         ("example3.com", "/p7", true), ("example3.com", "/p7", false),
-        ("example4.com", "/", false)))
+        ("example4.com", "/", false),
+        ("example5.com", "/p*9$", false), ("example5.com", "/p1*2", false),
+        ("example5.com", "/p", true)))
         .toDF("domain", "prefix", "allow")
       graft.ops.UrlOps.robotsGate(
           t(s, dir, "documents").select(col("doc_id"), url.as("url")),
@@ -3083,12 +3087,15 @@ object SparkEntry {
         |FROM agg ORDER BY lang""".stripMargin,
 
     // q92: the q87 fixture arithmetic for domain/path (the oracle does
-    // not run the PSL parser), the rule VALUES verbatim, and the
+    // not run the PSL parser), the rule VALUES verbatim (wildcard
+    // rules carry their hand-compiled regex in an extra column; plain
+    // rules carry NULL and match by starts_with), and the
     // longest-match tie-break replayed as a row_number over
     // (len DESC, allow DESC, prefix DESC) — the same total order the
-    // Spark side's max(struct(len, allow, prefix)) induces. Unmatched
-    // URLs keep their single left-join NULL row (rn=1 trivially) and
-    // surface as allowed=true with NULL matched_*.
+    // Spark side's max(struct(len, allow, prefix)) induces, with len
+    // measured on the RAW pattern on both sides. Unmatched URLs keep
+    // their single left-join NULL row (rn=1 trivially) and surface as
+    // allowed=true with NULL matched_*.
     "q92_robots_gate" ->
       """WITH u AS (
         |  SELECT doc_id AS id,
@@ -3099,19 +3106,24 @@ object SparkEntry {
         |    '/p' || CAST(doc_id AS VARCHAR) AS path
         |  FROM documents),
         |r AS (SELECT * FROM (VALUES
-        |  ('example0.com', '/p', false), ('example0.com', '/p1', true),
-        |  ('example0.com', '/p12', false),
-        |  ('example1.com', '/p', true), ('example1.com', '/p2', false),
-        |  ('example2.com', '/p', false), ('example2.com', '/p4', true),
-        |  ('example2.com', '/p44', false),
-        |  ('example3.com', '/p7', true), ('example3.com', '/p7', false),
-        |  ('example4.com', '/', false)) AS t(domain, prefix, allow)),
+        |  ('example0.com', '/p', NULL, false), ('example0.com', '/p1', NULL, true),
+        |  ('example0.com', '/p12', NULL, false),
+        |  ('example1.com', '/p', NULL, true), ('example1.com', '/p2', NULL, false),
+        |  ('example2.com', '/p', NULL, false), ('example2.com', '/p4', NULL, true),
+        |  ('example2.com', '/p44', NULL, false),
+        |  ('example3.com', '/p7', NULL, true), ('example3.com', '/p7', NULL, false),
+        |  ('example4.com', '/', NULL, false),
+        |  ('example5.com', '/p*9$', '^/p.*9$', false),
+        |  ('example5.com', '/p1*2', '^/p1.*2', false),
+        |  ('example5.com', '/p', NULL, true)) AS t(domain, prefix, re, allow)),
         |m AS (
         |  SELECT u.id, u.url, u.domain, r.prefix, r.allow,
         |    row_number() OVER (PARTITION BY u.id
         |      ORDER BY length(r.prefix) DESC, r.allow DESC, r.prefix DESC) AS rn
         |  FROM u LEFT JOIN r
-        |    ON u.domain = r.domain AND starts_with(u.path, r.prefix))
+        |    ON u.domain = r.domain
+        |   AND CASE WHEN r.re IS NULL THEN starts_with(u.path, r.prefix)
+        |            ELSE regexp_matches(u.path, r.re) END)
         |SELECT id, url, domain, COALESCE(allow, true) AS allowed,
         |  prefix AS matched_prefix, CAST(length(prefix) AS BIGINT) AS matched_len
         |FROM m WHERE rn = 1 ORDER BY id""".stripMargin,

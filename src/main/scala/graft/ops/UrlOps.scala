@@ -254,36 +254,65 @@ object UrlOps {
     * Output: (id, url, domain, priority, slot). URLs with no
     * registered domain are dropped — no politeness key, no fetch. */
   /** Robots-exclusion evaluation (RFC 9309 / Google longest-match):
-    * for each URL, the governing rule is the matching path prefix of
-    * GREATEST LENGTH; on a length tie, allow beats disallow (the
+    * for each URL, the governing rule is the matching path pattern of
+    * GREATEST LENGTH (RFC 9309 §2.2.2 "most octets", measured on the
+    * raw pattern); on a length tie, allow beats disallow (the
     * "least restrictive" tie-break); a URL whose domain has no
     * matching rule is allowed. The companion of [[frontierSchedule]]
     * — a crawl frontier filters through this before scheduling.
     *
+    * Wildcards (RFC 9309 §2.2.3): `*` matches any character sequence
+    * and a TRAILING `$` anchors the pattern to the end of the path;
+    * a mid-pattern `$` is literal (the common-crawler reading — the
+    * RFC only gives `$` meaning at the end of the pattern). Wildcard
+    * rules are compiled — on the tiny rule-set side, with column
+    * functions only — to the regex-safe form `^<escaped>` (plus `$`
+    * when anchored): every non-[a-zA-Z0-9_/] octet is
+    * backslash-escaped, then `\*` rewrites to `.*`. Plain rules keep
+    * the codegen'd `startswith` fast path; `regexp_like` runs only on
+    * rows whose rule carries a wildcard.
+    *
     * `rules` is (domain, prefix, allow) — a rule SET, small by nature
     * (robots.txt files, not the crawl), so the join is a BROADCAST
-    * prefix-match on the domain key: zero shuffle of the URL side.
+    * match on the domain key: zero shuffle of the URL side.
     * The per-URL winner is then `max(struct(len, allow, prefix))` —
     * a partial aggregate (map-side combine over the handful of
     * matched rules per URL), never a window sort. The struct's field
-    * order IS the tie-break order: longest prefix, then allow=true,
-    * then lexicographically-last prefix so equal-length distinct
-    * prefixes (same verdict either way) still pick deterministically.
+    * order IS the tie-break order: longest pattern, then allow=true,
+    * then lexicographically-last pattern so equal-length distinct
+    * patterns (same verdict either way) still pick deterministically.
     * Unmatched left-join rows must surface as a NULL struct — not a
     * struct of nulls, which `max` would happily order — hence the
     * `when(isNotNull)` guard.
     *
     * Output: (idCol, url, domain, allowed, matched_prefix,
-    * matched_len) — matched_* NULL for rule-less URLs. */
+    * matched_len) — matched_* NULL for rule-less URLs;
+    * matched_prefix/matched_len are the raw winning pattern and its
+    * length. */
   def robotsGate(urls: DataFrame, rules: DataFrame, urlCol: Column,
                  idCol: String = "doc_id"): DataFrame = {
     val path = regexp_replace(urlCol, lit("^[a-z]+://[^/]*"), lit(""))
     val u = urls.select(col(idCol).cast("long").as("id"), urlCol.as("url"),
       registeredDomain(urlCol).as("domain"), path.as("__path"))
+    val endAnchor = endswith(col("prefix"), lit("$"))
+    val body = when(endAnchor,
+      col("prefix").substr(lit(1), length(col("prefix")) - 1))
+      .otherwise(col("prefix"))
+    // escape every octet that could be a regex metacharacter (a
+    // backslash before punctuation is always literal in Java regex),
+    // then turn the escaped star back into "any sequence"
+    val compiled = concat(lit("^"),
+      replace(regexp_replace(body, lit("([^a-zA-Z0-9_/])"), lit("\\\\$1")),
+        lit("\\*"), lit(".*")),
+      when(endAnchor, lit("$")).otherwise(lit("")))
     val r = rules.select(col("domain").as("__rdom"), col("prefix"),
-      col("allow").cast("boolean").as("allow"))
+      col("allow").cast("boolean").as("allow"),
+      (col("prefix").contains("*") || endAnchor).as("__wild"),
+      compiled.as("__re"))
     u.join(broadcast(r),
-        col("domain") === col("__rdom") && startswith(col("__path"), col("prefix")),
+        col("domain") === col("__rdom") && (
+          (!col("__wild") && startswith(col("__path"), col("prefix"))) ||
+          (col("__wild") && regexp_like(col("__path"), col("__re")))),
         "left")
       .groupBy(col("id"), col("url"), col("domain"))
       .agg(max(when(col("prefix").isNotNull,
@@ -295,10 +324,21 @@ object UrlOps {
         col("m.len").as("matched_len"))
   }
 
+  /** `byHost = true` keys the politeness queues on the full HOST
+    * instead of the registered domain — what a production crawler
+    * actually enforces delay on (all of `*.blogspot.com` is ONE
+    * registered domain but thousands of independently-hosted sites;
+    * domain-keyed slots would serialize them behind each other). The
+    * registered-domain default is kept because it is the conservative
+    * choice when one operator fronts many hosts (CDNs, vanity
+    * subdomains of one site) and is what the q87 oracle replays; the
+    * output column stays named `domain` either way so consumers don't
+    * fork on the flag. Same plan shape: ONE streaming row_number
+    * window exchange, keyed on whichever politeness key was chosen. */
   def frontierSchedule(urls: DataFrame, urlCol: Column, priorityCol: Column,
-                       idCol: String = "doc_id"): DataFrame =
+                       idCol: String = "doc_id", byHost: Boolean = false): DataFrame =
     urls
-      .withColumn("__domain", registeredDomain(urlCol))
+      .withColumn("__domain", if (byHost) host(urlCol) else registeredDomain(urlCol))
       .filter(col("__domain").isNotNull && col("__domain") =!= "")
       .select(col(idCol).cast("long").as("id"), urlCol.as("url"),
         col("__domain").as("domain"), priorityCol.as("priority"))

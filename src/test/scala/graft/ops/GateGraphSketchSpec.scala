@@ -153,11 +153,68 @@ class GateGraphSketchSpec extends AnyFunSuite {
     assert(out(1L) == ((true, None)))
   }
 
+  test("robotsGate RFC 9309 wildcards: * spans, trailing $ anchors, longest pattern wins") {
+    val rules = Seq(
+      ("w.com", "/a*z", false),      // any path /a...z...
+      ("w.com", "/a", true),
+      ("e.com", "/p*9$", false),     // ends in 9
+      ("e.com", "/p", true),
+      ("d.com", "/f.h*", false),     // '.' must be LITERAL, not regex any-char
+      ("m.com", "/x$y", true),       // mid-pattern $ is literal
+      ("m.com", "/x", false))
+      .toDF("domain", "prefix", "allow")
+    def run(urls: Seq[(Long, String)]) =
+      UrlOps.robotsGate(urls.toDF("doc_id", "url"), rules, col("url"))
+        .select(col("id"), col("allowed"), col("matched_prefix"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getBoolean(1), Option(r.getString(2))))).toMap
+    val out = run(Seq(
+      (1L, "https://w.com/abcz-tail"),  // /a*z (len 4) beats /a (len 2)
+      (2L, "https://w.com/abc"),        // only /a matches
+      (3L, "https://e.com/p19"),        // anchored disallow fires
+      (4L, "https://e.com/p190"),       // does NOT end in 9 -> /p allow
+      (5L, "https://d.com/fgh"),        // literal '.' must not match 'g'
+      (6L, "https://d.com/f.h"),        // literal '.' matches itself
+      (7L, "https://m.com/x$y1"),       // literal mid-$ matches, len 4 wins
+      (8L, "https://m.com/xzz")))       // mid-$ rule doesn't match -> /x
+    assert(out(1L) == ((false, Some("/a*z"))))
+    assert(out(2L) == ((true, Some("/a"))))
+    assert(out(3L) == ((false, Some("/p*9$"))))
+    assert(out(4L) == ((true, Some("/p"))))
+    assert(out(5L) == ((true, None)))
+    assert(out(6L) == ((false, Some("/f.h*"))))
+    assert(out(7L) == ((true, Some("/x$y"))))
+    assert(out(8L) == ((false, Some("/x"))))
+  }
+
   test("robotsGate joins broadcast — zero shuffle of the URL side") {
     val plan = UrlOps.robotsGate(
         Seq((1L, "https://a.com/p")).toDF("doc_id", "url"), robotsRules, col("url"))
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  // ---- frontierSchedule byHost ----
+
+  test("frontierSchedule byHost queues subdomains independently") {
+    // one registered domain (blog.com), three hosts: domain-keyed
+    // politeness serializes them into one queue; host-keyed gives each
+    // its own slot sequence
+    val urls = Seq(
+      (1L, "https://a.blog.com/1", 9L), (2L, "https://a.blog.com/2", 8L),
+      (3L, "https://b.blog.com/1", 7L), (4L, "https://c.blog.com/1", 6L))
+      .toDF("doc_id", "url", "priority")
+    val byDomain = UrlOps.frontierSchedule(urls, col("url"), col("priority"))
+      .select(col("id"), col("slot")).as[(Long, Long)].collect().toMap
+    assert(byDomain == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+    val byHost = UrlOps.frontierSchedule(urls, col("url"), col("priority"),
+        byHost = true)
+      .select(col("id"), col("domain"), col("slot"))
+      .as[(Long, String, Long)].collect()
+    assert(byHost.map(r => r._1 -> r._3).toMap ==
+      Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+    assert(byHost.map(_._2).toSet ==
+      Set("a.blog.com", "b.blog.com", "c.blog.com"))
   }
 
   // ---- lDiversityGate ----
