@@ -80,19 +80,29 @@ object Bench {
     Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(outPath,
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // stdout gets ONLY the compact line (VERDICT r8 #3: the driver's
-    // log-tail capture clipped the full line two rounds running — the
-    // per-rep "runs" arrays triple its length, pushing the line start
-    // past the tail window). The compact line carries everything the
-    // round artifact needs (per-query mins + errors); raw reps live in
-    // target/bench.json. Printed twice, flushed, with the second copy
-    // as the very last stdout of the JVM: a tail of any length ≥ one
-    // line always contains one whole parseable copy.
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    println(compact)
+    // stdout gets SHORT self-contained lines (VERDICT r10 #5: the
+    // round-10 single ~3.5 KB compact line still exceeded the driver's
+    // bounded capture — BENCH_r10's recorded tail starts AND ends
+    // mid-line, i.e. the window is ~2 KB and not line-aligned at
+    // either edge). Defense: split the per-query map alphabetically
+    // into two ~0.8 KB lines, each a complete JSON object carrying the
+    // headline total ("part" says which half of the map it holds), and
+    // abbreviate query names to their qNN prefix (full names + raw
+    // reps live in target/bench.json, the artifact of record). The
+    // A,B,A,B print order makes any 2000-byte window over the stream
+    // contain at least one WHOLE copy of each half, wherever a byte
+    // cap or tail boundary lands.
+    val shortQs = ok.map { case (k, ts, _) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + f(ts.min) }
+    val (qa, qb) = shortQs.splitAt((shortQs.size + 1) / 2)
+    def part(tag: String, entries: Seq[String]) =
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"part":"$tag","queries":${entries.mkString("{", ",", "}")},"errors":$errs,"sf":"$sfDir"}"""
+    val lineA = part("a/2", qa)
+    val lineB = part("b/2", qb)
+    println(lineA); println(lineB)
     Console.out.flush()
     spark.stop()
-    println(compact)
+    println(lineA); println(lineB)
     Console.out.flush()
   }
 }
