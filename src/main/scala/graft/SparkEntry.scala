@@ -58,6 +58,23 @@ object SparkEntry {
     graft.core.Fs.reapStalePidDirs(
       java.nio.file.Paths.get(ivfCentroidsPath).getParent, "ivf_centroids-")
 
+  /** q95's ranked merge fixture — hierarchical ((th,e) consumes rank
+    * 0's output) and free of same-token pairs: the oracle replays each
+    * merge as TWO global `replace`s (the second catches occurrences
+    * the first skipped via a shared boundary space), which is exact
+    * for a≠b pairs but under-merges long same-char runs; (a,a) merges
+    * are exercised in BpeBloomSpec instead. */
+  private val bpeFixtureMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("o", "u"))
+
+  /** The q95 oracle's merge replay: space-joined tokens, each merge
+    * unrolled to two nested replaces in rank order. */
+  private def bpeOracleReplay(col: String): String =
+    bpeFixtureMerges.foldLeft(col) { case (acc, (a, b)) =>
+      s"replace(replace($acc, ' $a $b ', ' $a$b '), ' $a $b ', ' $a$b ')"
+    }
+
   /** Exact same cosine as Ann.cosine, spelled in DuckDB: products and
     * the left-to-right sum are bit-identical across engines (q12 proved
     * list_dot_product matches the Spark fold), and sqrt/div are IEEE. */
@@ -498,6 +515,29 @@ object SparkEntry {
       graft.ops.Graph.pageRank(docs.select(col("doc_id").as("id")), edges,
           iterations = 4, damping = 0.85, exactFold = true)
         .orderBy(col("id"))
+    }),
+
+    // BPE tokenization under a learned merge table (the apply side of
+    // q88's training statistic): per-doc word/token counts with an
+    // 8-merge fixture exercising hierarchical merges (t,h)->(th,e).
+    // The expensive loop runs once per DISTINCT word; the oracle
+    // replays each merge as two global string replaces in rank order
+    // (see bpeEncodeWord's equivalence scaladoc).
+    "q95_bpe_encode" -> ((s, dir) =>
+      graft.ops.TextOps.bpeTokenCounts(t(s, dir, "documents"), bpeFixtureMerges)
+        .orderBy(col("doc_id"))),
+
+    // Bloom-prefiltered decontamination: drop every doc whose text
+    // appears in a reference set (texts of doc_id%10==3 — shared dup
+    // texts mean MORE than those 50 rows drop). Bloom negatives pass
+    // with zero exchange; positives verify through an exact anti-join,
+    // so the oracle is plain NOT EXISTS.
+    "q96_bloom_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ref = docs.filter(col("doc_id") % 10 === 3).select(col("text"))
+      graft.ops.BloomJoin.bloomAntiJoin(docs, ref, col("text"), col("text"))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
     }),
 
     // Bitext-style margin scoring (Artetxe & Schwenk ratio margin):
@@ -3214,5 +3254,45 @@ object SparkEntry {
         |           + CAST(0.85 AS DOUBLE) * COALESCE(s.s, CAST(0.0 AS DOUBLE)) AS pr
         |       FROM nodes n LEFT JOIN s4 s ON s.dst = n.id)
         |SELECT id, pr FROM r4 ORDER BY id""".stripMargin,
+
+    // q95: the q88 tokenizer spelling, distinct vocabulary, each word
+    // as ' '-joined chars, the fixture merges replayed as two global
+    // replaces each in rank order (exact for a≠b pairs — see
+    // bpeFixtureMerges), per-word token count = #spaces - 1, per-doc
+    // sums with a LEFT JOIN zero-fill for token-less docs.
+    "q95_bpe_encode" ->
+      s"""WITH docwords AS (
+        |  SELECT doc_id, tok AS word
+        |  FROM (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+        |        FROM documents)),
+        |vocab AS (SELECT DISTINCT word FROM docwords),
+        |chars AS (
+        |  SELECT word,
+        |    ' ' || string_agg(substr(word, CAST(i AS INTEGER), 1), ' ' ORDER BY i) || ' ' AS s
+        |  FROM vocab, LATERAL (SELECT unnest(generate_series(1, length(word))) AS i)
+        |  GROUP BY word),
+        |enc AS (SELECT word, ${bpeOracleReplay("s")} AS s FROM chars),
+        |cnt AS (
+        |  SELECT word,
+        |    CAST(length(s) - length(replace(s, ' ', '')) AS BIGINT) - 1 AS n_tok
+        |  FROM enc),
+        |perdoc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |  FROM docwords JOIN cnt USING (word) GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(p.n_words, 0) AS n_words,
+        |  COALESCE(p.n_tokens, 0) AS n_tokens
+        |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // q96: the bloom path is an optimization with an exact verify
+    // join, so the oracle is the plain anti-join it reproduces.
+    "q96_bloom_decontaminate" ->
+      """SELECT d.doc_id, d.lang, d.source
+        |FROM documents d
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM documents r
+        |  WHERE r.doc_id % 10 = 3 AND r.text = d.text)
+        |ORDER BY d.doc_id""".stripMargin,
   )
 }

@@ -777,4 +777,105 @@ object TextOps {
         Window.orderBy(col("n_occurrences").desc, col("pair").asc)).cast("long"))
       .select(col("rank"), col("pair"), col("n_words"), col("n_occurrences"))
   }
+
+  /** Apply a learned BPE merge table to one word (Sennrich et al.
+    * 2016 tokenization): start from characters, repeatedly find the
+    * LOWEST-RANK adjacent token pair present and merge all its
+    * occurrences left-to-right non-overlapping, until no ranked pair
+    * remains. O(|word|²) independent of merge-table size (the
+    * rank-map lookup replaces a scan of the 50k-merge table), which
+    * is why this is the per-word loop and not a fold over merges.
+    *
+    * Equivalence note (why the oracle can replay merges in RANK
+    * ORDER instead): a merge of rank k only ever creates tokens no
+    * earlier merge pair can contain (pair components of rank j are
+    * built by merges of rank < j, and merging never makes two
+    * existing tokens adjacent that weren't), so min-rank iteration ≡
+    * applying each merge to fixpoint in rank order. One left-to-right
+    * scan per selected pair IS that fixpoint: merging (a,b) into ab
+    * can't create a new (a,b) adjacency (b ≠ ab ≠ a). */
+  def bpeEncodeWord(word: String,
+                    rank: collection.Map[(String, String), Int],
+                    pairs: IndexedSeq[(String, String)]): Array[String] = {
+    var toks: Array[String] = word.map(_.toString).toArray
+    var done = toks.length < 2
+    while (!done) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < toks.length - 1) {
+        val r = rank.getOrElse((toks(i), toks(i + 1)), Int.MaxValue)
+        if (r < best) best = r
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val (a, b) = pairs(best)
+        val out = Array.newBuilder[String]
+        var j = 0
+        while (j < toks.length) {
+          if (j < toks.length - 1 && toks(j) == a && toks(j + 1) == b) {
+            out += (a + b); j += 2
+          } else { out += toks(j); j += 1 }
+        }
+        toks = out.result()
+        done = toks.length < 2
+      }
+    }
+    toks
+  }
+
+  /** BPE-encode a vocabulary: one typed mapPartitions pass over the
+    * DISTINCT words (the classic trick — the tokenizer sees "the"
+    * once, not 10⁹ times), merge table broadcast once per executor.
+    * Output: (word, bpe_tokens array, n_tok). */
+  def bpeEncodeVocab(words: DataFrame,
+                     merges: Seq[(String, String)]): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.toIndexedSeq)
+    words.select(col("word").cast("string")).as[String]
+      .mapPartitions { it =>
+        val pairs = bc.value
+        val rank = pairs.zipWithIndex.toMap
+        it.map { w =>
+          val t = bpeEncodeWord(w, rank, pairs)
+          (w, t.toSeq, t.length.toLong)
+        }
+      }
+      .toDF("word", "bpe_tokens", "n_tok")
+  }
+
+  /** Per-document token counts under a learned BPE tokenizer — the
+    * statistic every packing / budgeting / mixing stage downstream of
+    * tokenizer training actually consumes ([[bpePairCounts]] learns
+    * the merges; this applies them).
+    *
+    * Scale shape: one corpus scan explodes (doc, word) rows; the
+    * DISTINCT vocabulary (partial-agg absorbed, vocabulary-bounded)
+    * is encoded once via [[bpeEncodeVocab]]; the per-word costs join
+    * back onto the exploded stream (vocabulary side — Catalyst/AQE
+    * broadcasts it below the threshold, shuffles on the word key
+    * above; either way the expensive BPE loop ran |vocab| times, not
+    * |corpus tokens| times); ONE doc-keyed partial-agg exchange sums
+    * the counts. Token-less docs survive with zeros via the final
+    * left join from the doc spine.
+    *
+    * Output: (idCol, n_words, n_tokens), one row per input doc. */
+  def bpeTokenCounts(docs: DataFrame, merges: Seq[(String, String)],
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val docWords = docs.select(col(idCol).cast("long").as(idCol),
+      explode(tokens(col(textCol))).as("word"))
+    val vocab = docWords.select(col("word")).distinct()
+    val costs = bpeEncodeVocab(vocab, merges).select(col("word"), col("n_tok"))
+    val perDoc = docWords.join(costs, "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(col("n_tok")).cast("long").as("n_tokens"))
+    docs.select(col(idCol).cast("long").as(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+  }
 }
