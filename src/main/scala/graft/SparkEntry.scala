@@ -540,6 +540,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Content-defined chunking (FastCDC family): boundaries where the
+    // 60-bit md5-prefix hash of the 8-gram ≡ 0 mod 256 — edit-shift
+    // resilient chunk alignment for dedup-against-prior pipelines.
+    // Unbounded mode (the oracle-replayable rule); min/max guards are
+    // spec-pinned (stateful scan, not SQL-expressible).
+    "q97_cdc_chunks" -> ((s, dir) =>
+      graft.ops.TextOps.cdcChunks(t(s, dir, "documents"), k = 8, divisor = 256)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // Bitext-style margin scoring (Artetxe & Schwenk ratio margin):
     // edges of the capped kNN graph scored by 2·cos/(avgK(a)+avgK(b))
     // — the hubness-robust parallel-pair criterion. avgK folds the k
@@ -3294,5 +3303,33 @@ object SparkEntry {
         |  SELECT 1 FROM documents r
         |  WHERE r.doc_id % 10 = 3 AND r.text = d.text)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // q97: hash every 8-gram with the shared 60-bit md5 prefix, cut
+    // where h % 256 = 0 (cut ends at gram start + 7), close the final
+    // chunk at the doc end (UNION dedupes a cut landing exactly
+    // there), chunks via lag over the ordered cut ends.
+    "q97_cdc_chunks" ->
+      """WITH pos AS (
+        |  SELECT doc_id, i,
+        |    ('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 8)), 1, 15))::BIGINT AS h
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text) - 7)) AS i)
+        |  WHERE length(text) >= 8),
+        |ends AS (
+        |  SELECT doc_id, CAST(i + 7 AS BIGINT) AS end_pos
+        |  FROM pos WHERE h % 256 = 0
+        |  UNION
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) FROM documents WHERE length(text) > 0),
+        |chunks AS (
+        |  SELECT doc_id, end_pos,
+        |    COALESCE(lag(end_pos) OVER (PARTITION BY doc_id ORDER BY end_pos), 0) + 1 AS start_pos,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY end_pos) - 1 AS chunk_idx
+        |  FROM ends)
+        |SELECT c.doc_id, CAST(c.chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(c.start_pos AS BIGINT) AS start_pos,
+        |  CAST(c.end_pos - c.start_pos + 1 AS BIGINT) AS chunk_chars,
+        |  md5(substr(d.text, CAST(c.start_pos AS INTEGER),
+        |      CAST(c.end_pos - c.start_pos + 1 AS INTEGER))) AS chunk_md5
+        |FROM chunks c JOIN documents d USING (doc_id)
+        |ORDER BY c.doc_id, c.chunk_idx""".stripMargin,
   )
 }

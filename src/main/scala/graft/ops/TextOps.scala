@@ -729,6 +729,102 @@ object TextOps {
         md5(col("chunk").cast("binary")).as("chunk_md5"))
   }
 
+  /** Content-defined chunking (the FastCDC/LBFS family, Muthitacharoen
+    * et al. 2001): chunk boundaries fall where a rolling content hash
+    * hits a divisor condition, NOT at fixed offsets — so inserting one
+    * byte shifts only the chunk it lands in, and every later chunk
+    * re-aligns and re-deduplicates. The fixed-stride [[chunkDocs]]
+    * loses all alignment downstream of an edit; this is the chunker a
+    * dedup-against-prior-corpus pipeline wants.
+    *
+    * Boundary rule (oracle-replayable): a cut ends at char `i+k-1`
+    * whenever the 60-bit md5-prefix hash of the k-gram STARTING at
+    * 1-based char `i` is ≡ 0 (mod divisor) — expected chunk length ≈
+    * divisor chars. The doc end always closes the final chunk; docs
+    * shorter than k chars are one chunk. `minLen`/`maxLen` add the
+    * production FastCDC guards (skip cuts closer than minLen to the
+    * previous cut, force one at maxLen) — a STATEFUL scan no SQL
+    * window replays, so the oracle query runs unbounded and the
+    * bounded mode is spec-pinned instead.
+    *
+    * Scale shape: ONE typed mapPartitions pass, zero shuffles — per
+    * doc: hash each gram with a reused digest, emit (chunk_idx,
+    * start, len, md5). Same per-doc locality as the winnowing pass.
+    *
+    * Output: (idCol, chunk_idx, start_pos, chunk_chars, chunk_md5),
+    * 1-based start positions. Null/empty docs produce no rows. */
+  def cdcChunks(docs: DataFrame, k: Int = 8, divisor: Int = 256,
+                minLen: Int = 0, maxLen: Int = Int.MaxValue,
+                idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    require(k >= 2, "gram size k must be >= 2")
+    require(divisor >= 2, "divisor must be >= 2")
+    require(minLen >= 0 && maxLen >= math.max(minLen, 1),
+      "need 0 <= minLen <= maxLen")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { case (id, textOrNull) =>
+          val t = Option(textOrNull).getOrElse("")
+          val n = t.length
+          if (n == 0) Iterator.empty
+          else {
+            val ends = Array.newBuilder[Int]
+            var prevEnd = 0
+            var i = 0 // 0-based gram start; gram covers [i, i+k)
+            while (i + k <= n) {
+              // Long arithmetic: prevEnd + Int.MaxValue must not wrap
+              val forced = prevEnd.toLong + maxLen
+              if (forced <= i + k - 1) { // maxLen guard fires first
+                ends += forced.toInt; prevEnd = forced.toInt
+                // resume scanning after the forced boundary
+                if (forced > i) i = forced.toInt
+              } else {
+                md.reset()
+                val d = md.digest(t.substring(i, i + k).getBytes("UTF-8"))
+                var v = 0L
+                var b = 0
+                while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+                val h = (v << 4) | ((d(7) & 0xf0L) >>> 4)
+                val cutEnd = i + k // 1-based char index of the chunk end
+                if (h % divisor == 0 && cutEnd - prevEnd >= math.max(minLen, 1)
+                    && cutEnd < n) {
+                  ends += cutEnd; prevEnd = cutEnd
+                }
+                i += 1
+              }
+            }
+            // forced cuts between the last gram and the doc end
+            if (maxLen != Int.MaxValue) {
+              var forced = prevEnd.toLong + maxLen
+              while (forced < n) { ends += forced.toInt; forced += maxLen }
+            }
+            ends += n
+            val cuts = ends.result()
+            var prev = 0
+            var idx = 0
+            val out = Array.newBuilder[(Long, Long, Long, Long, String)]
+            while (idx < cuts.length) {
+              val e = cuts(idx)
+              val chunk = t.substring(prev, e)
+              md.reset()
+              val hex = md.digest(chunk.getBytes("UTF-8"))
+                .map(b => f"${b & 0xff}%02x").mkString
+              out += ((id, idx.toLong, (prev + 1).toLong,
+                (e - prev).toLong, hex))
+              prev = e
+              idx += 1
+            }
+            out.result().iterator
+          }
+        }
+      }
+      .toDF(idCol, "chunk_idx", "start_pos", "chunk_chars", "chunk_md5")
+  }
+
   /** BPE tokenizer-training pair statistics — the inner loop of
     * byte-pair-encoding training (Sennrich et al. 2016): count every
     * adjacent symbol pair across the corpus, weighted by word

@@ -71,6 +71,82 @@ class BpeBloomSpec extends AnyFunSuite {
     assert(out == 4000L) // hello -> [h,e,ll,o] = 4 per doc
   }
 
+  // ---- cdcChunks ----
+
+  /** Deterministic pseudo-random text (fixed LCG, no Math.random). */
+  private def lcgText(n: Int, seed: Long = 12345L): String = {
+    val sb = new StringBuilder
+    var s = seed
+    (0 until n).foreach { _ =>
+      s = s * 6364136223846793005L + 1442695040888963407L
+      sb += ('a' + math.floorMod(s >>> 33, 26L).toInt).toChar
+    }
+    sb.toString
+  }
+
+  test("cdcChunks partitions every doc exactly and deterministically") {
+    val txt = lcgText(4000)
+    val docs = Seq((1L, txt), (2L, "short"), (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextOps.cdcChunks(docs, k = 8, divisor = 64)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+      .as[(Long, Long, Long, Long, String)].collect()
+    // empty/null docs produce nothing; a doc shorter than k is 1 chunk
+    assert(!out.exists(r => r._1 == 3L || r._1 == 4L))
+    assert(out.filter(_._1 == 2L).toSeq ==
+      Seq((2L, 0L, 1L, 5L, java.security.MessageDigest.getInstance("MD5")
+        .digest("short".getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString)))
+    // chunks tile the doc: starts are contiguous, lengths sum to |doc|
+    val c1 = out.filter(_._1 == 1L)
+    assert(c1.length > 10, s"divisor 64 over 4000 chars should cut often: ${c1.length}")
+    assert(c1.map(_._4).sum == 4000L)
+    c1.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 == a._3 + a._4) // next start = prev start + prev len
+    case _ => ()
+    }
+  }
+
+  test("cdcChunks realigns after an edit (the content-defined property)") {
+    val txt = lcgText(4000)
+    val docs = Seq((1L, txt), (2L, "PREFIX-" + txt)).toDF("doc_id", "text")
+    val out = TextOps.cdcChunks(docs, k = 8, divisor = 64)
+      .as[(Long, Long, Long, Long, String)].collect()
+    val h1 = out.filter(_._1 == 1L).map(_._5).toSet
+    val h2 = out.filter(_._1 == 2L).map(_._5).toSet
+    // everything after the first boundary downstream of the edit
+    // re-aligns: the vast majority of chunk hashes are shared
+    val shared = (h1 intersect h2).size.toDouble / h1.size
+    assert(shared > 0.9, s"only ${(shared * 100).round}% of chunks realigned")
+    // a fixed-stride chunker shares (almost) nothing under the same edit
+    val fixedShared = {
+      val f = TextOps.chunkDocs(docs, chunkChars = 64, strideChars = 64)
+        .select(col("doc_id"), col("chunk_md5"))
+        .as[(Long, String)].collect()
+      val f1 = f.filter(_._1 == 1L).map(_._2).toSet
+      val f2 = f.filter(_._1 == 2L).map(_._2).toSet
+      (f1 intersect f2).size.toDouble / f1.size
+    }
+    assert(fixedShared < 0.1,
+      s"fixed-stride should lose alignment: ${(fixedShared * 100).round}%")
+  }
+
+  test("cdcChunks min/max guards bound every chunk; doc still tiles exactly") {
+    val txt = lcgText(5000, seed = 99L)
+    val docs = Seq((1L, txt)).toDF("doc_id", "text")
+    val out = TextOps.cdcChunks(docs, k = 8, divisor = 32,
+        minLen = 40, maxLen = 100)
+      .orderBy(col("chunk_idx"))
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(out.map(_._4).sum == 5000L)
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 == a._3 + a._4)
+    case _ => ()
+    }
+    // every chunk obeys maxLen; all but the final obey minLen
+    assert(out.forall(_._4 <= 100L))
+    assert(out.dropRight(1).forall(_._4 >= 40L))
+  }
+
   // ---- bloomAntiJoin ----
 
   test("bloomAntiJoin equals the plain left-anti join exactly") {
