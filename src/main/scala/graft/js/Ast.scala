@@ -37,6 +37,13 @@ object Ast {
   final case class RegexLit(pattern: String, flags: String, pos: Pos) extends Expr
   /** `cooked` parts interleaved with `exprs`: parts.size == exprs.size + 1 */
   final case class TemplateLit(parts: Vector[String], exprs: Vector[Expr], pos: Pos) extends Expr
+  /** Tagged template `tag`a${x}b``: `cooked` is None per chunk when the
+    * chunk carries an invalid escape (legal ONLY in tagged position —
+    * ES2018; the cooked element is undefined there), `raw` is the
+    * source text with escapes intact. */
+  final case class TaggedTemplate(tag: Expr, cooked: Vector[Option[String]],
+                                  raw: Vector[String], exprs: Vector[Expr],
+                                  pos: Pos) extends Expr
   final case class Ident(name: String, pos: Pos) extends Expr
   final case class ThisExpr(pos: Pos) extends Expr
   final case class ArrayLit(items: Vector[Expr], spreads: Set[Int], pos: Pos) extends Expr

@@ -633,10 +633,33 @@ object Builtins {
       as.foreach(a => sb.appendCodePoint(toNumber(a).toInt))
       JsStr(sb.toString)
     })
-    statics.props.put("raw", native("raw")((_, as) => arg(as, 0) match {
-      case o: JsObject => o.props.get("raw").map(toStr).map(JsStr(_)).getOrElse(JsStr(""))
-      case other => JsStr(toStr(other))
-    }))
+    // ES 22.1.2.4 String.raw(template, ...subs): interleave the raw
+    // chunks with the substitutions — THE canonical template tag,
+    // reachable now that tagged templates are in-subset. Accepts the
+    // engine's strings array (raw rides in the array's extra slot), a
+    // plain {raw: [...]} object, or {raw: 'chars'} (array-like).
+    statics.props.put("raw", native("raw") { (_, as) =>
+      val rawChunks: IndexedSeq[String] = arg(as, 0) match {
+        case a: JsArray => a.extraGet("raw") match {
+          case Some(r: JsArray) => r.items.toIndexedSeq.map(toStr)
+          case Some(JsStr(s)) => s.map(_.toString)
+          case _ => a.items.toIndexedSeq.map(toStr)
+        }
+        case o: JsObject => o.props.get("raw") match {
+          case Some(r: JsArray) => r.items.toIndexedSeq.map(toStr)
+          case Some(JsStr(s)) => s.map(_.toString)
+          case _ => IndexedSeq.empty
+        }
+        case _ => IndexedSeq.empty
+      }
+      val subs = as.drop(1)
+      val sb = new java.lang.StringBuilder
+      rawChunks.indices.foreach { i =>
+        sb.append(rawChunks(i))
+        if (i < rawChunks.length - 1 && i < subs.length) sb.append(toStr(subs(i)))
+      }
+      JsStr(sb.toString)
+    })
     hybridCallable(native("String")((_, as) => JsStr(as.headOption.map(toStr).getOrElse(""))), statics)
   }
 

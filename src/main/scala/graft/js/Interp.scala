@@ -321,6 +321,33 @@ final class Interp(globalScope: Scope, val budget: Budget) {
         }
         budget.allocate(sb.length.toLong)
         JsStr(sb.toString)
+      case tt: TaggedTemplate =>
+        // tag`a${x}b` — evaluation order per spec: tag (with method
+        // receiver binding, like a call), then the hole expressions.
+        // DIVERGENCE NOTE: V8 canonicalizes one FROZEN strings array
+        // per call site; this engine's arrays aren't freezable, so a
+        // cached site object would be cross-call MUTABLE state (a
+        // determinism hazard under partition-order nondeterminism) —
+        // a fresh array per evaluation is built instead. Tags that
+        // compare `strings` by identity across calls see fresh
+        // objects; everything else (cooked/raw contents, undefined
+        // cooked slots for invalid escapes) matches V8.
+        budget.tick()
+        val (fnV, thisV, nm) = tt.tag match {
+          case m: Member =>
+            val obj = eval(m.obj, scope)
+            (getMember(obj, evalPropKey(m, scope), m.pos), obj,
+              if (!m.computed) m.prop.asInstanceOf[StrLit].v else "computed")
+          case Ident(n, _) => (eval(tt.tag, scope), JsUndefined, n)
+          case other => (eval(other, scope), JsUndefined, "tag")
+        }
+        val rawArr = JsArray.of(tt.raw.map(JsStr(_): JsValue): _*)
+        val strings = JsArray.of(tt.cooked.map(c =>
+          c.fold(JsUndefined: JsValue)(JsStr(_))): _*)
+        strings.extraPut("raw", rawArr)
+        budget.allocate(tt.raw.map(_.length.toLong).sum * 2 + 32)
+        val vals = tt.exprs.map(e => eval(e, scope))
+        callFunction(fnV, thisV, strings +: vals, tt.pos, name = nm)
       case Ident(name, _) =>
         scope.lookup(name).getOrElse(throwRef(s"$name is not defined"))
       case ThisExpr(_) =>

@@ -14,7 +14,7 @@ import scala.collection.mutable.ArrayBuffer
   * operand/operator).
   *
   * Unsupported ES features (generators, async, private class members,
-  * `with`, tagged templates, dynamic code loading) fail here with a
+  * `with`, dynamic code loading) fail here with a
   * [[JsSyntaxError]] — surfaced by the lens worker as a STARTUP
   * error, the same contract as the reference isolate compile step
   * (reference: library/workers/javascript-lens-worker.js:102-111,
@@ -762,6 +762,7 @@ final class Parser(tokens: Vector[Token]) {
         NewExpr(callee, args, spreads, p0)
       } else parsePrimary()
     var more = true
+    var sawOptional = false
     while (more) {
       val p0 = pos
       if (atPunct(".")) {
@@ -770,6 +771,7 @@ final class Parser(tokens: Vector[Token]) {
         e = Member(e, StrLit(advance().text, p0), computed = false, optional = false, p0)
       } else if (atPunct("?.")) {
         advance()
+        sawOptional = true
         if (atPunct("(")) {
           val (args, spreads) = parseArgs()
           e = Call(e, args, spreads, optional = true, p0)
@@ -789,7 +791,15 @@ final class Parser(tokens: Vector[Token]) {
         val (args, spreads) = parseArgs()
         e = Call(e, args, spreads, optional = false, p0)
       } else if (peek.kind == "template") {
-        err("tagged template literals are not supported in lens code")
+        // V8: "Invalid tagged template on optional chain"
+        if (sawOptional) err("tagged template not allowed in an optional chain")
+        val t = advance()
+        val (raws, exprs) = scanTemplate(t)
+        val cooked = raws.map { r =>
+          try Some(Lexer.cookTemplateChunk(r, t.line))
+          catch { case _: JsSyntaxError => None } // ES2018: cooked = undefined
+        }
+        e = TaggedTemplate(e, cooked, raws, exprs, Pos(t.line))
       } else more = false
     }
     e
@@ -963,6 +973,14 @@ final class Parser(tokens: Vector[Token]) {
 
   /** re-lex a raw template token (`...${e}...`) into parts + hole exprs */
   private def parseTemplate(t: Token): Expr = {
+    val (raws, exprs) = scanTemplate(t)
+    // untagged: an invalid escape is a SyntaxError (cook throws)
+    TemplateLit(raws.map(Lexer.cookTemplateChunk(_, t.line)), exprs, Pos(t.line))
+  }
+
+  /** Shared template scan: RAW chunks (escapes intact, as tagged
+    * templates' `.raw` sees them) + parsed hole expressions. */
+  private def scanTemplate(t: Token): (Vector[String], Vector[Expr]) = {
     val raw = t.text
     val inner = raw.substring(1, raw.length - 1) // strip backticks
     val parts = ArrayBuffer.empty[String]
@@ -973,7 +991,7 @@ final class Parser(tokens: Vector[Token]) {
       val c = inner.charAt(i)
       if (c == '\\') { sb.append(c); if (i + 1 < inner.length) sb.append(inner.charAt(i + 1)); i += 2 }
       else if (c == '$' && i + 1 < inner.length && inner.charAt(i + 1) == '{') {
-        parts += Lexer.cookTemplateChunk(sb.toString, t.line); sb.setLength(0)
+        parts += sb.toString; sb.setLength(0)
         val start = i + 2
         // string/comment/nested-template-aware scan — shared with the
         // lexer, so both phases agree on where each hole ends
@@ -989,8 +1007,8 @@ final class Parser(tokens: Vector[Token]) {
         i = j + 1
       } else { sb.append(c); i += 1 }
     }
-    parts += Lexer.cookTemplateChunk(sb.toString, t.line)
-    TemplateLit(parts.toVector, exprs.toVector, Pos(t.line))
+    parts += sb.toString
+    (parts.toVector, exprs.toVector)
   }
 }
 

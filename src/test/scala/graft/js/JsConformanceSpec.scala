@@ -1263,7 +1263,7 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
     // out-of-subset corners stay loud):
     Seq("class A { #x = 1 }", "class A { static { } }", "class A { *g(){} }",
         "function* g(){}", "async function f(){}",
-        "const x = async () => 1", "const s = String.raw`a${1}b`",
+        "const x = async () => 1",
         "with({a:1}) output('r', a)").foreach { code =>
       assert(JsMapFn.compile(code).isLeft, s"must reject at startup: $code")
     }

@@ -190,6 +190,44 @@ class JsInterpSpec extends AnyFunSuite with Matchers {
     evalExpr("`nested ${`in${'ner'}`}`") shouldBe PoStr("nested inner")
   }
 
+  test("tagged templates: strings array, interleaved values, expression order") {
+    evalExpr("""(function tag(s, ...v) {
+      return s.join('|') + '#' + v.join(',')
+    })`a${1}b${2}c`""") shouldBe PoStr("a|b|c#1,2")
+    // tag receives N+1 string chunks for N holes, empty chunks included
+    evalExpr("((s, ...v) => s.length + ':' + v.length)`${1}${2}`") shouldBe PoStr("3:2")
+    // method tag binds its receiver like a call
+    evalExpr("""(function(){
+      const o = { sep: '-', tag(s, ...v) { return v.join(this.sep) } }
+      return o.tag`${'x'}${'y'}`
+    })()""") shouldBe PoStr("x-y")
+  }
+
+  test("tagged templates: raw vs cooked, invalid escape = undefined cooked slot") {
+    evalExpr("(s => s.raw[0])`a\\nb`") shouldBe PoStr("a\\nb") // raw keeps the backslash
+    evalExpr("(s => s[0])`a\\nb`") shouldBe PoStr("a\nb")      // cooked interprets it
+    // ES2018: invalid escape makes the COOKED slot undefined; raw survives
+    evalExpr("(s => '' + s[0])`\\unicode${0}ok`") shouldBe PoStr("undefined")
+    evalExpr("(s => s.raw[0])`\\unicode${0}ok`") shouldBe PoStr("\\unicode")
+    evalExpr("(s => s[1])`\\unicode${0}ok`") shouldBe PoStr("ok")
+  }
+
+  test("String.raw is the canonical tag (ES 22.1.2.4)") {
+    evalExpr("String.raw`a\\n${1 + 1}b\\t`") shouldBe PoStr("a\\n2b\\t")
+    evalExpr("String.raw`plain`") shouldBe PoStr("plain")
+    // the spec's array-like {raw} calling convention, without a literal
+    evalExpr("String.raw({raw: ['x', 'y', 'z']}, 1, 2)") shouldBe PoStr("x1y2z")
+    evalExpr("String.raw({raw: 'xy'}, 9)") shouldBe PoStr("x9y")
+    // extra substitutions beyond the chunks are dropped, missing = ''
+    evalExpr("String.raw({raw: ['a', 'b']}, 1, 2, 3)") shouldBe PoStr("a1b")
+    evalExpr("String.raw({raw: ['a', 'b', 'c']}, 1)") shouldBe PoStr("a1bc")
+  }
+
+  test("tagged templates: optional chain position is a syntax error; untagged invalid escape too") {
+    JsMapFn.compile("const f = null; f?.tag`x`").isLeft shouldBe true
+    JsMapFn.compile("output('r', `\\unicode`)").isLeft shouldBe true
+  }
+
   test("optional chaining and ternary") {
     evalExpr("({a: {b: 2}}).a?.b") shouldBe PoInt(2)
     evalExpr("({}).missing?.b") shouldBe PoUndefined
