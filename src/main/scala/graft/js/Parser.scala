@@ -36,6 +36,24 @@ import scala.collection.mutable.ArrayBuffer
   * Scala markup functions (graft.markup.Markup), so no interpreter
   * support is needed there either.
   *
+  * The REST of the tail — decided OUT with the same corpus check
+  * (round 11): every lens map SOURCE in the reference (the `code:`
+  * strings handed to the worker — test-workers-javascript-lens.js,
+  * test-models-lens.js, and the repo's shipped lens configs) contains
+  * ZERO private-member, static-block, or Proxy syntax; the
+  * '#'-looking hits in the tree are string data ('#document'
+  * node-type labels in the bundled encoder), and the `async` hits
+  * are the reference's own Node HOST code (controllers, mocha
+  * harness), never lens code. async additionally conflicts with the
+  * worker contract: `map` is called synchronously and its outputs
+  * collected on return (javascript-lens-worker.js:116-145), so an
+  * async map would return a pending promise and emit nothing —
+  * making the startup error STRICTLY more useful than V8's silent
+  * acceptance. Tagged template literals left the tail in round 11
+  * (they have legitimate lens use through String.raw and
+  * markup-building tags); what remains errors loudly at startup,
+  * per the reference's own compile-error contract.
+  *
   * Classes landed in round 8 (constructor, instance/static methods,
   * get/set accessors incl. computed names, `extends`/`super`,
   * instanceof, method shadowing): instances carry a real prototype
