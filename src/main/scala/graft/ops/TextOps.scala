@@ -883,13 +883,21 @@ object TextOps {
     * is why this is the per-word loop and not a fold over merges.
     *
     * Equivalence note (why the oracle can replay merges in RANK
-    * ORDER instead): a merge of rank k only ever creates tokens no
-    * earlier merge pair can contain (pair components of rank j are
-    * built by merges of rank < j, and merging never makes two
-    * existing tokens adjacent that weren't), so min-rank iteration ≡
-    * applying each merge to fixpoint in rank order. One left-to-right
-    * scan per selected pair IS that fixpoint: merging (a,b) into ab
-    * can't create a new (a,b) adjacency (b ≠ ab ≠ a). */
+    * ORDER instead): for a WELL-FORMED table — every multi-char pair
+    * component is the output of an EARLIER merge, the invariant BPE
+    * training produces by construction and [[validateMerges]]
+    * enforces at the API — a merge of rank k only ever creates tokens
+    * no earlier merge pair can contain, and merging never makes two
+    * existing tokens adjacent that weren't; so min-rank iteration ≡
+    * applying each merge to fixpoint in rank order
+    * (BpeCdcPropertySpec checks the equivalence differentially over
+    * random well-formed tables). On a NON-well-formed table the two
+    * orders genuinely diverge (merges=[(ab,c),(a,b)] on "abc":
+    * min-rank reaches [abc], rank-order stops at [ab, c]) — which is
+    * why the table is validated instead of documented away. One
+    * left-to-right scan per selected pair IS the per-merge fixpoint:
+    * merging (a,b) into ab can't create a new (a,b) adjacency
+    * (b ≠ ab ≠ a). */
   def bpeEncodeWord(word: String,
                     rank: collection.Map[(String, String), Int],
                     pairs: IndexedSeq[(String, String)]): Array[String] = {
@@ -920,12 +928,30 @@ object TextOps {
     toks
   }
 
+  /** Reject merge tables outside the proven-equivalence class (see
+    * [[bpeEncodeWord]]): every multi-char component must be the
+    * concatenation of some EARLIER merge. Real tokenizer merge files
+    * (HF merges.txt) satisfy this by construction; a hand-assembled
+    * table that doesn't would silently tokenize differently than any
+    * rank-order replayer (including the q95 oracle). */
+  def validateMerges(merges: Seq[(String, String)]): Unit = {
+    val built = scala.collection.mutable.Set.empty[String]
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      def ok(t: String) = t.length == 1 || built.contains(t)
+      require(ok(a) && ok(b),
+        s"merge #$i ($a, $b): component not producible by earlier merges " +
+          "(not a training-ordered BPE table)")
+      built += (a + b)
+    }
+  }
+
   /** BPE-encode a vocabulary: one typed mapPartitions pass over the
     * DISTINCT words (the classic trick — the tokenizer sees "the"
     * once, not 10⁹ times), merge table broadcast once per executor.
     * Output: (word, bpe_tokens array, n_tok). */
   def bpeEncodeVocab(words: DataFrame,
                      merges: Seq[(String, String)]): DataFrame = {
+    validateMerges(merges)
     val spark = words.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(merges.toIndexedSeq)
