@@ -116,6 +116,32 @@ class GateGraphSketchSpec extends AnyFunSuite {
     assert(q.head().getAs[Long]("est_distinct") > 0L)
   }
 
+  test("kmvDistinctBy maintains incrementally under Structured Streaming") {
+    // the per-group sketch is a TypedImperativeAggregate, so its
+    // k-bounded buffer must round-trip the streaming state store:
+    // feed two batches, assert the estimate converges on the exact
+    // distinct count like the batch path (k above cardinality)
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    val q = Sketch.kmvDistinctBy(in.toDF().toDF("g", "x"), Seq("g"), col("x"), k = 64)
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("complete").start()
+    try {
+      in.addData((1 to 30).map(i => ("a", s"v${i % 10}")): _*)
+      q.processAllAvailable()
+      val r1 = spark.table("kmv_stream")
+        .select(col("g"), col("est_distinct")).as[(String, Long)].collect().toMap
+      assert(r1 == Map("a" -> 10L))
+      // batch 2: new values for group a, a brand-new group b — state
+      // (the serialized k-min buffer) must merge, not reset
+      in.addData((1 to 20).map(i => ("a", s"w$i")) ++ Seq(("b", "z1"), ("b", "z2")): _*)
+      q.processAllAvailable()
+      val r2 = spark.table("kmv_stream")
+        .select(col("g"), col("est_distinct")).as[(String, Long)].collect().toMap
+      assert(r2 == Map("a" -> 30L, "b" -> 2L))
+    } finally q.stop()
+  }
+
   // ---- robotsGate ----
 
   private val robotsRules = Seq(
