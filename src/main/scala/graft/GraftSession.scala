@@ -33,6 +33,9 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // managed tables (Layout.writeBucketed) land under target/, never
+      // the repo root's default ./spark-warehouse
+      .config("spark.sql.warehouse.dir", "target/spark-warehouse")
       // events.ts is parquet TIMESTAMP(NANOS), which the vectorized
       // reader rejects; read nanos as long and convert in Tables.load.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

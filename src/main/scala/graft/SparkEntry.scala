@@ -549,6 +549,32 @@ object SparkEntry {
       graft.ops.TextOps.cdcChunks(t(s, dir, "documents"), k = 8, divisor = 256)
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // Bucketed-layout co-located join: lineitem and orders are written
+    // once bucketed on the order key (8 buckets, pid-scoped tables
+    // under target/spark-warehouse), then the revenue-per-priority
+    // join+agg runs WITHOUT shuffling either side — the persisted
+    // pre-shuffle that pays for itself on every later join at 100 TB.
+    // Values equal the plain join's (layout never changes results),
+    // which is what the oracle checks; LayoutBucketSpec pins the
+    // zero-Exchange plan property.
+    "q98_bucketed_join" -> ((s, dir) => {
+      val pid = ProcessHandle.current().pid()
+      val li = graft.ops.Layout.writeBucketed(
+        t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_extendedprice"), col("l_discount")),
+        s"q98_li_$pid", "l_orderkey", buckets = 8, sortCols = Seq("l_orderkey"))
+      val o = graft.ops.Layout.writeBucketed(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        s"q98_o_$pid", "o_orderkey", buckets = 8, sortCols = Seq("o_orderkey"))
+      li.hint("merge").join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          dsum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 28, 6))
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Bitext-style margin scoring (Artetxe & Schwenk ratio margin):
     // edges of the capped kNN graph scored by 2·cos/(avgK(a)+avgK(b))
     // — the hubness-robust parallel-pair criterion. avgK folds the k
@@ -3331,5 +3357,14 @@ object SparkEntry {
         |      CAST(c.end_pos - c.start_pos + 1 AS INTEGER))) AS chunk_md5
         |FROM chunks c JOIN documents d USING (doc_id)
         |ORDER BY c.doc_id, c.chunk_idx""".stripMargin,
+
+    // q98: layout never changes results — the oracle is the plain
+    // join+agg with the q3-family decimal discipline.
+    "q98_bucketed_join" ->
+      """SELECT o.o_orderpriority,
+        |  CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

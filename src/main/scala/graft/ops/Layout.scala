@@ -56,4 +56,39 @@ object Layout {
       j <- 0 until bits
     } yield s"((($c >> $j) & 1) << ${j * n + i})").mkString(" + ")
   }
+
+  /** Hash-bucketed (+ optionally bucket-sorted) table layout — the
+    * OTHER half of the 100 TB layout story next to [[zOrderKey]]:
+    * Z-order buys scan pruning, bucketing buys SHUFFLE-FREE joins and
+    * aggregations. Two tables bucketed on the same key with the same
+    * bucket count join without either side exchanging — at 100 TB
+    * that is the difference between "the fact table crosses the wire
+    * every nightly join" and "it never moves again after ingest";
+    * same for repeated `groupBy(key)` (bucketing IS a persisted
+    * pre-shuffle). The price is paid once at write time: the writer
+    * hash-partitions rows into `buckets` files per partition-dir and
+    * records the layout in the catalog, which is what lets the
+    * planner elide the Exchange (and the Sort too, with `sortCols`
+    * and one file per bucket).
+    *
+    * Spark's bucketed-scan join elision needs EQUAL bucket counts on
+    * both sides (or set `spark.sql.bucketing.coalesceBucketsInJoin
+    * .enabled` for multiples) — size `buckets` to the cluster once
+    * and reuse it corpus-wide. LayoutBucketSpec pins the elision on
+    * the plan text.
+    *
+    * Returns the re-read catalog table (the thing later queries should
+    * reference — the bucketing metadata lives on the TABLE, reading
+    * the parquet dir directly would forget it). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int, sortCols: Seq[String] = Nil): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val w = df.write.format("parquet").mode("overwrite")
+      .bucketBy(buckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+    spark.table(table)
+  }
 }
