@@ -9,7 +9,7 @@ package graft
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val name = args(0)
-    val sfDir = "/root/testdata/sf0.1"
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.build()
     def run(): Double = {
       val t0 = System.nanoTime()

@@ -272,8 +272,13 @@ object UrlOps {
     * the codegen'd `startswith` fast path; `regexp_like` runs only on
     * rows whose rule carries a wildcard.
     *
-    * `rules` is (domain, prefix, allow) — a rule SET, small by nature
-    * (robots.txt files, not the crawl), so the join is a BROADCAST
+    * `rules` is (domain, prefix, allow) — the rule group ALREADY
+    * SELECTED for one user-agent: RFC 9309 group selection (pick the
+    * most specific matching `User-agent:` line's group, fall back to
+    * `*`) happens when the robots.txt is PARSED, once per fetch
+    * identity, not per URL — so it stays upstream of this operator by
+    * design. The set is small by nature (robots.txt files, not the
+    * crawl), so the join is a BROADCAST
     * match on the domain key: zero shuffle of the URL side.
     * The per-URL winner is then `max(struct(len, allow, prefix))` —
     * a partial aggregate (map-side combine over the handful of

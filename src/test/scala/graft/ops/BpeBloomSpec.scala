@@ -171,6 +171,27 @@ class BpeBloomSpec extends AnyFunSuite {
     assert(got == Seq(2L, 4L)) // 1,3 are in ref; NULL row survives
   }
 
+  test("bloomAntiJoin gates a STREAMING corpus against a static reference") {
+    // the bloom probe is a plain predicate and the verify join is
+    // stream-static LEFT ANTI — both streaming-legal, so the same
+    // operator decontaminates an ingest stream with zero changes
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val ref = Seq("bad1", "bad2").toDF("rk")
+    val q = BloomJoin.bloomAntiJoin(in.toDF().toDF("id", "k"), ref, col("k"), col("rk"))
+      .writeStream.format("memory").queryName("bloom_stream")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "ok1"), (2L, "bad1"), (3L, "ok2"))
+      q.processAllAvailable()
+      in.addData((4L, "bad2"), (5L, "ok3"))
+      q.processAllAvailable()
+      val kept = spark.table("bloom_stream").select(col("id"))
+        .as[Long].collect().sorted.toSeq
+      assert(kept == Seq(1L, 3L, 5L))
+    } finally q.stop()
+  }
+
   test("bloomAntiJoin probes without shuffling the corpus side") {
     // spark.range leaf (a local Seq fixture gets constant-folded by
     // ConvertToLocalRelation, hiding the filter from the plan)
