@@ -94,6 +94,68 @@ class BpeCdcPropertySpec extends AnyFunSuite {
     })
   }
 
+  // ---- robotsGate wildcard compilation, differentially ----
+
+  /** Independent reference: per-URL nested loop over the rules with a
+    * hand-rolled matcher (char-walk with backtracking '*', trailing
+    * '$', everything else literal — no regex involved), RFC tie-break
+    * (len DESC, allow DESC, pattern DESC). */
+  private def refRobots(path: String,
+                        rules: Seq[(String, Boolean)]): Option[(String, Boolean)] = {
+    def matches(pat0: String, s: String): Boolean = {
+      val anchored = pat0.endsWith("$")
+      val pat = if (anchored) pat0.dropRight(1) else pat0
+      def go(pi: Int, si: Int): Boolean =
+        if (pi == pat.length) if (anchored) si == s.length else true
+        else if (pat.charAt(pi) == '*')
+          (si to s.length).exists(k => go(pi + 1, k))
+        else si < s.length && s.charAt(si) == pat.charAt(pi) && go(pi + 1, si + 1)
+      go(0, 0)
+    }
+    val hits = rules.filter { case (p, _) => matches(p, path) }
+    if (hits.isEmpty) None
+    else Some(hits.maxBy { case (p, allow) => (p.length, allow, p) })
+  }
+
+  test("robotsGate matches the char-walk reference on random wildcard rules") {
+    val spark = graft.SparkTestBase.spark
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // path/pattern alphabet stresses the escape class: regex
+    // metacharacters appear as LITERALS in rules
+    val pathChar = Gen.oneOf('a', 'b', '.', '+', '(', '9')
+    val pathGen = Gen.chooseNum(0, 8)
+      .flatMap(n => Gen.listOfN(n, pathChar)).map(cs => "/" + cs.mkString)
+    val patGen = for {
+      n <- Gen.chooseNum(0, 6)
+      cs <- Gen.listOfN(n, Gen.frequency(5 -> pathChar, 2 -> Gen.const('*')))
+      anchor <- Gen.oneOf("", "$")
+    } yield "/" + cs.mkString + anchor
+    val rulesGen = Gen.chooseNum(1, 6)
+      .flatMap(n => Gen.listOfN(n, Gen.zip(patGen, Gen.oneOf(true, false))))
+      .map(_.distinct)
+    val p = Prop.forAll(Gen.listOfN(12, pathGen), rulesGen) { (paths, rules) =>
+      val urls = paths.distinct.zipWithIndex
+        .map { case (pth, i) => (i.toLong, s"https://d.com$pth") }
+      val got = UrlOps.robotsGate(urls.toDF("doc_id", "url"),
+          rules.map { case (p2, a) => ("d.com", p2, a) }.toDF("domain", "prefix", "allow"),
+          col("url"))
+        .select(col("id"), col("allowed"), col("matched_prefix"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getBoolean(1), Option(r.getString(2))))).toMap
+      val want = urls.map { case (i, _) =>
+        val pth = paths.distinct(i.toInt)
+        i -> (refRobots(pth, rules) match {
+          case Some((pat, allow)) => (allow, Some(pat))
+          case None => (true, None)
+        })
+      }.toMap
+      Prop(got == want) :| s"paths=$paths rules=$rules got=$got want=$want"
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), p)
+    assert(r.passed, r.status.toString)
+  }
+
   // ---- CDC invariants on the pure boundary arithmetic, via Spark-free
   // round-trip checks over the already-spec'd operator are in
   // BpeBloomSpec; here the BOUNDED mode gets randomized guards ----
