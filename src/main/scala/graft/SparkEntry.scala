@@ -575,6 +575,22 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Exact corpus heavy hitters, two bounded passes: every token
+    // holding > 1/200 of all token occurrences, with its EXACT count.
+    // Pass 1 is the custom MisraGries TypedImperativeAggregate (k=400
+    // counters map-side, one 1-row result — never a vocabulary-sized
+    // exchange); pass 2 exact-counts only the <= k candidates behind a
+    // codegen'd InSet. The MG superset guarantee + the exact integer
+    // threshold make the output identical to the oracle's full
+    // GROUP BY / HAVING answer (30 tokens at sf0.01).
+    "q99_heavy_tokens" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(graft.ops.TextOps.tokens(col("text"))).as("token"))
+      graft.ops.Sketch.heavyHitters(toks, col("token"), denom = 200)
+        .select(col("item").as("token"), col("cnt"))
+        .orderBy(desc("cnt"), col("token"))
+    }),
+
     // Bitext-style margin scoring (Artetxe & Schwenk ratio margin):
     // edges of the capped kNN graph scored by 2·cos/(avgK(a)+avgK(b))
     // — the hubness-robust parallel-pair criterion. avgK folds the k
@@ -3366,5 +3382,20 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_items
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q99: exact heavy hitters — the oracle pays the full vocabulary
+    // GROUP BY the two-pass MG plan avoids; same tokenizer spelling as
+    // q9/q11, exact integer threshold (cnt * 200 > n, strict).
+    "q99_heavy_tokens" ->
+      """WITH toks AS (
+        |  SELECT u.tok AS token
+        |  FROM documents d,
+        |       unnest(string_split_regex(lower(d.text), '[^a-z0-9]+')) AS u(tok)
+        |  WHERE u.tok <> ''
+        |), tot AS (SELECT count(*) AS n FROM toks)
+        |SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |FROM toks, tot
+        |GROUP BY token, tot.n
+        |HAVING count(*) * 200 > tot.n
+        |ORDER BY cnt DESC, token""".stripMargin,
   )
 }

@@ -87,6 +87,60 @@ object Sketch {
         .toAggregateExpression())
   }
 
+  /** EXACT heavy hitters in two bounded passes — every `key` value
+    * whose occurrence count strictly exceeds n/`denom` (n = non-null
+    * rows), with its exact count. "Which tokens/domains/shingles
+    * dominate the corpus" is a routine 100 TB curation question, and
+    * the naive answer (`groupBy(key).count` then filter) shuffles one
+    * row per DISTINCT key — vocabulary-cardinality, the same unbounded
+    * exchange [[kmvDistinct]] exists to avoid.
+    *
+    * Pass 1 runs [[graft.expressions.MisraGries]] (capacity
+    * k = denom·`slack` ≥ denom) over the 60-bit key hashes as a global
+    * aggregate: ≤ k counters per partition map-side, one 1-row result.
+    * The MG bound guarantees every key with count > n/(k+1) ⊇
+    * count > n/denom still holds a counter after arbitrary merging, so
+    * the ≤ k candidate hashes are a SUPERSET of the true heavy
+    * hitters. Pass 2 re-scans, keeps only rows whose key hash is in
+    * the candidate set (an InSet of ≤ k literals — codegen'd, no
+    * join), and exact-counts just those: the groupBy touches ≤ k
+    * distinct keys, so its exchange is k-bounded too. The final
+    * `cnt·denom > n` filter is exact integer arithmetic — hash
+    * collisions can only ADD candidates (a colliding light key rides
+    * along, then fails the exact threshold), never lose one, so the
+    * output is exactly the true heavy-hitter set on any engine.
+    *
+    * Two scans of the corpus, zero unbounded state — the standard
+    * trade for exactness at scale. Output: (item, cnt), the caller
+    * orders.
+    */
+  def heavyHitters(df: DataFrame, key: Column, denom: Int,
+                   slack: Int = 2): DataFrame = {
+    require(denom >= 2, "heavyHitters needs denom >= 2")
+    require(slack >= 1, "heavyHitters needs slack >= 1")
+    val k = denom * slack
+    val keyed = df.select(key.as("item")).filter(col("item").isNotNull)
+    // 1-row aggregate collect (candidates + total), the allowed pattern
+    val row = keyed.agg(
+      mgCandidates(col("item"), k).as("cand"),
+      count(lit(1)).as("n")).head()
+    val cand: Seq[Any] = row.getSeq[Long](0)
+    val n = row.getLong(1)
+    keyed
+      .filter(hash60(col("item")).isin(cand: _*))
+      .groupBy(col("item"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(denom.toLong) > lit(n))
+  }
+
+  /** The Misra–Gries candidate-keys aggregate column. */
+  private def mgCandidates(key: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftSqlShim
+    GraftSqlShim.column(
+      graft.expressions.MisraGries(GraftSqlShim.expression(hash60(key)), k)
+        .toAggregateExpression())
+  }
+
   /** Per-group KMV distinct-cardinality estimates — "distinct texts
     * per source", "distinct URLs per domain": the GROUP BY form of
     * [[kmvDistinct]], and at 100 TB the form that actually gets asked.
