@@ -90,6 +90,69 @@ object SparkEntry {
     * signature CTE both LSH oracles share: bucket = sum of bit weights
     * where the plane·emb dot is >= 0 (bit order and op order match
     * Ann.signatures exactly). */
+  /** q100's oracle: the exact fixed-point DSIR pipeline. The 8-step
+    * integer log2-by-squaring recurrence (Importance.fixLog2) is
+    * generated once as a CTE chain and applied to all four weight
+    * terms via a sign column, so the SQL is the literal replay of the
+    * Spark integer arithmetic — bit-equal by construction. */
+  private lazy val dsirOracle: String = {
+    // it_{i+1}: m' = (m*m)>>17, minus one more shift when it crossed 2;
+    // f' = 2f + carry — identical to the fixLog2 foldLeft step
+    val steps = (1 to 8).map { i =>
+      s"""it$i AS (
+         |  SELECT bucket, s, e,
+         |    CASE WHEN ((m*m) >> 17) >= 262144 THEN ((m*m) >> 18)
+         |         ELSE ((m*m) >> 17) END AS m,
+         |    f*2 + CASE WHEN ((m*m) >> 17) >= 262144 THEN 1 ELSE 0 END AS f
+         |  FROM it${i - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t0 AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |g_raw AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    generate_series(1, greatest(len(toks)-1, 0)),
+       |    i -> toks[i] || ' ' || toks[i+1])) AS g
+       |  FROM t0),
+       |b_raw AS (
+       |  SELECT ('0x' || substr(md5(g), 1, 15))::BIGINT % 4096 AS bucket,
+       |    count(*)::BIGINT AS cr
+       |  FROM g_raw GROUP BY 1),
+       |b_tgt AS (
+       |  SELECT ('0x' || substr(md5(gr.g), 1, 15))::BIGINT % 4096 AS bucket,
+       |    count(*)::BIGINT AS ct
+       |  FROM g_raw gr JOIN documents d ON gr.doc_id = d.doc_id
+       |  WHERE d.lang = 'en' GROUP BY 1),
+       |spine AS (SELECT range::BIGINT AS bucket FROM range(4096)),
+       |counts AS (
+       |  SELECT sp.bucket, coalesce(t.ct, 0) AS ct, coalesce(r.cr, 0) AS cr
+       |  FROM spine sp LEFT JOIN b_tgt t USING (bucket)
+       |  LEFT JOIN b_raw r USING (bucket)),
+       |tot AS (SELECT sum(ct)::BIGINT AS nt, sum(cr)::BIGINT AS nr FROM counts),
+       |terms AS (
+       |  SELECT bucket, ct + 1 AS x, 1::BIGINT AS s FROM counts
+       |  UNION ALL SELECT bucket, (SELECT nt FROM tot) + 4096, -1 FROM counts
+       |  UNION ALL SELECT bucket, cr + 1, -1 FROM counts
+       |  UNION ALL SELECT bucket, (SELECT nr FROM tot) + 4096, 1 FROM counts),
+       |it0 AS (
+       |  SELECT bucket, s, (length(bin(x)) - 1)::BIGINT AS e,
+       |    (x * 131072) >> (length(bin(x)) - 1) AS m, 0::BIGINT AS f
+       |  FROM terms),
+       |$steps,
+       |w AS (SELECT bucket, sum(s * (e*256 + f))::BIGINT AS w FROM it8 GROUP BY bucket),
+       |db AS (
+       |  SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % 4096 AS bucket
+       |  FROM g_raw),
+       |sc AS (
+       |  SELECT db.doc_id, sum(w.w)::BIGINT AS score, count(*)::BIGINT AS n_bigrams
+       |  FROM db JOIN w USING (bucket) GROUP BY db.doc_id)
+       |SELECT d.doc_id, coalesce(sc.score, 0)::BIGINT AS score,
+       |  coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams
+       |FROM documents d LEFT JOIN sc USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   private lazy val planesCte: String = {
     val planes = graft.ops.Ann.hyperplanes(64, 8)
     val planeRows = planes.zipWithIndex
@@ -589,6 +652,21 @@ object SparkEntry {
       graft.ops.Sketch.heavyHitters(toks, col("token"), denom = 200)
         .select(col("item").as("token"), col("cnt"))
         .orderBy(desc("cnt"), col("token"))
+    }),
+
+    // DSIR importance scores (Xie et al. 2023) in exact fixed point:
+    // hashed-bigram bucket counts for target (lang='en') vs raw (all
+    // docs), per-bucket weight = difference of four fixLog2 integer
+    // terms (floor(2^8·log2) by squaring — no float log anywhere), doc
+    // score = Σ bucket weights over bigram occurrences. Weight table is
+    // 4096 rows broadcast; counts partial-aggregate to bucket-bounded
+    // rows; the oracle replays the identical integer recurrence.
+    "q100_dsir_scores" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Importance.importanceScores(
+          docs, docs.filter(col("lang") === "en"), "doc_id", "text",
+          buckets = 4096)
+        .orderBy(col("doc_id"))
     }),
 
     // Bitext-style margin scoring (Artetxe & Schwenk ratio margin):
@@ -3397,5 +3475,6 @@ object SparkEntry {
         |GROUP BY token, tot.n
         |HAVING count(*) * 200 > tot.n
         |ORDER BY cnt DESC, token""".stripMargin,
+    "q100_dsir_scores" -> dsirOracle,
   )
 }

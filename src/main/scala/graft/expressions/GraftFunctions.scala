@@ -67,7 +67,50 @@ case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** floor(2^8 · log2(x)) of a positive Long in exact integer arithmetic
+  * (binary logarithm by squaring, 8 fractional bits) — the fixed-point
+  * log the DSIR importance weights ([[graft.ops.Importance]]) sum, so
+  * scores are bit-equal on any engine with integer multiply and shift.
+  * A native expression rather than composed column arithmetic because
+  * the 8-step recurrence references its mantissa ~8× per step: as a
+  * column-expression fold the tree grows ~8^8 nodes and OOMs the
+  * driver during optimization; here it is ONE node generating a tight
+  * static call. Domain 1 ≤ x < 2^46 (the 2^17 normalizer must stay in
+  * Long) — enforced, since a silent wrap would desync from the oracle. */
+case class FixLog2Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "fix_log2"
+  override protected def nullSafeEval(input: Any): Any =
+    GraftFunctions.fixLog2(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.GraftFunctions.fixLog2($c)")
+  override protected def withNewChildInternal(newChild: Expression): FixLog2Expr =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
+
+  /** Static helper the codegen'd `fix_log2` calls: floor-truncated
+    * 8.8 fixed-point log2. e is the binary digit count minus one
+    * (identical to the oracle's `length(bin(x)) - 1`); the mantissa
+    * m ∈ [2^17, 2^18) is squared 8 times, each step emitting the next
+    * fractional bit and truncating — the same integer recurrence the
+    * DuckDB oracle unrolls as CTEs. */
+  def fixLog2(x: Long): Long = {
+    if (x < 1L || x >= (1L << 46))
+      throw new IllegalArgumentException(s"fix_log2 domain is [1, 2^46), got $x")
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    var m = (x << 17) >> e
+    var f = 0L
+    var i = 0
+    while (i < 8) {
+      val sq = (m * m) >> 17
+      if (sq >= 262144L) { f = f * 2 + 1; m = sq >> 1 }
+      else { f = f * 2; m = sq }
+      i += 1
+    }
+    (e.toLong << 8) + f
+  }
 
   /** Static helper the codegen'd `nfc_normalize` calls. */
   def nfc(s: String): String =
@@ -99,6 +142,10 @@ object GraftFunctions {
       FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "nfc_normalize"),
       (exprs: Seq[Expression]) => NfcNormalizeExpr(exprs.head))
+    reg.registerFunction(
+      FunctionIdentifier("fix_log2"),
+      new ExpressionInfo(classOf[FixLog2Expr].getName, "fix_log2"),
+      (exprs: Seq[Expression]) => FixLog2Expr(exprs.head))
   }
 
 }
