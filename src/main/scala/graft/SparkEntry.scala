@@ -669,6 +669,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // t-closeness gate: same privacy family as q90/q93, catching the
+    // skew leak both miss — keep rows whose QI group's source
+    // distribution sits within EMD 1/16 of the corpus baseline. The
+    // decision is pure integer cross-multiplication (DECIMAL(38,0)
+    // products of counts); only the audit emd column divides, once,
+    // as IEEE doubles. At sf0.01 the gate bites: 8/15 groups, 364/500
+    // rows survive.
+    "q101_t_closeness" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          floor(col("n_chars") / lit(200)).cast("long").as("len_band"))
+      graft.ops.Pii.tClosenessGate(d, Seq("lang", "len_band"), "source",
+          tNum = 1, tDen = 16)
+        .select(col("doc_id"), col("lang"), col("source"), col("len_band"),
+          col("group_n").cast("long").as("group_n"), col("emd"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Bitext-style margin scoring (Artetxe & Schwenk ratio margin):
     // edges of the capped kNN graph scored by 2·cos/(avgK(a)+avgK(b))
     // — the hubness-robust parallel-pair criterion. avgK folds the k
@@ -3476,5 +3494,49 @@ object SparkEntry {
         |HAVING count(*) * 200 > tot.n
         |ORDER BY cnt DESC, token""".stripMargin,
     "q100_dsir_scores" -> dsirOracle,
+    // q101: ordered-EMD t-closeness — integer cumulative differences
+    // over HUGEINT (the Spark side uses DECIMAL(38,0)), one final
+    // int->double division for the audit emd. gc/glc naming: both
+    // engines resolve identifiers case-insensitively, so c/C collide.
+    "q101_t_closeness" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, source, (n_chars // 200)::BIGINT AS len_band
+        |  FROM documents),
+        |gl AS (SELECT source AS s, count(*)::BIGINT AS glc FROM base GROUP BY 1),
+        |tot AS (SELECT sum(glc)::BIGINT AS n_all, count(*)::BIGINT AS m FROM gl),
+        |g AS (SELECT lang, len_band, source AS s, count(*)::BIGINT AS gc
+        |  FROM base GROUP BY 1, 2, 3),
+        |spine AS (SELECT DISTINCT lang, len_band FROM base),
+        |grid AS (SELECT sp.lang, sp.len_band, gl.s, gl.glc
+        |  FROM spine sp CROSS JOIN gl),
+        |filled AS (
+        |  SELECT grid.lang, grid.len_band, grid.s, grid.glc,
+        |    coalesce(g.gc, 0) AS gc
+        |  FROM grid LEFT JOIN g ON grid.lang = g.lang
+        |    AND grid.len_band = g.len_band AND grid.s = g.s),
+        |t1 AS (
+        |  SELECT *,
+        |    sum(gc) OVER (PARTITION BY lang, len_band ORDER BY s) AS cumc,
+        |    sum(glc) OVER (PARTITION BY lang, len_band ORDER BY s) AS cumg,
+        |    sum(gc) OVER (PARTITION BY lang, len_band) AS ng
+        |  FROM filled),
+        |gate AS (
+        |  SELECT lang, len_band,
+        |    sum(abs((SELECT n_all FROM tot)::HUGEINT * cumc::HUGEINT
+        |      - ng::HUGEINT * cumg::HUGEINT)) AS num,
+        |    max(ng) AS ng, max((SELECT n_all FROM tot)) AS n_all,
+        |    max((SELECT m FROM tot)) AS m
+        |  FROM t1 GROUP BY 1, 2),
+        |keep AS (
+        |  SELECT lang, len_band, ng::BIGINT AS group_n,
+        |    CASE WHEN ng::HUGEINT * n_all::HUGEINT * (m-1)::HUGEINT = 0 THEN 0.0
+        |         ELSE CAST(num AS DOUBLE)
+        |           / CAST(ng::HUGEINT * n_all::HUGEINT * (m-1)::HUGEINT AS DOUBLE)
+        |    END AS emd
+        |  FROM gate
+        |  WHERE num * 16 <= ng::HUGEINT * n_all::HUGEINT * (m-1)::HUGEINT * 1)
+        |SELECT b.doc_id, b.lang, b.source, b.len_band, k.group_n, k.emd
+        |FROM base b JOIN keep k ON b.lang = k.lang AND b.len_band = k.len_band
+        |ORDER BY b.doc_id""".stripMargin,
   )
 }

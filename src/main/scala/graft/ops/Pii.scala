@@ -96,6 +96,82 @@ object Pii {
       .filter(col("group_size") >= k)
   }
 
+  /** t-closeness gate (Li et al., ICDE 2007) — the refinement
+    * l-diversity needs when a QI group's sensitive values are diverse
+    * but SKEWED: a group can span l distinct values yet concentrate on
+    * one of them far beyond the corpus baseline, and the attacker's
+    * posterior shift is the leak. Keep only rows whose QI group's
+    * sensitive-value distribution sits within Earth Mover's Distance
+    * `tNum/tDen` of the GLOBAL distribution, under the ordered-attribute
+    * EMD of the paper: D(P,Q) = (1/(m-1))·Σ_i |Σ_{j≤i}(p_j − q_j)|.
+    *
+    * Exactness: every p_j, q_j is a ratio of counts, so each cumulative
+    * term is the integer N·cum_c − n_g·cum_C over the common denominator
+    * n_g·N, and the gate comparison cross-multiplies into pure integer
+    * arithmetic — DECIMAL(38,0) products (counts can exceed 2^31 at
+    * corpus scale, and products of two counts overflow Long), compared
+    * exactly. No float enters the decision; the audit `emd` column is
+    * one int→double division at the end (IEEE-exact on any engine).
+    *
+    * Plan shape: the corpus shuffles ONCE (the (QI, sensitive) count);
+    * everything after runs on group×m-bounded rows — the global
+    * distribution (m rows) broadcasts, the zero-filled grid gets its
+    * cumulative sums from windows over the SAME QI partitioning its
+    * groupBy then reuses (no second corpus exchange), and the verdict
+    * table joins back broadcast (QI-group cardinality is orders below
+    * row cardinality for any meaningful quasi-identifier).
+    *
+    * Sensitive values are ordered by their natural column ordering —
+    * the "ordered attribute" variant; for nominal attributes the paper's
+    * equal-distance EMD differs only by dropping the cumulation, and
+    * the ordered form is the stricter, more common gate.
+    *
+    * Output: kept rows + `group_n` and the audit `emd`. A single
+    * sensitive value corpus-wide (m = 1) keeps everything with emd 0.
+    */
+  def tClosenessGate(df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+                     tNum: Long, tDen: Long): DataFrame = {
+    require(qiCols.nonEmpty, "t-closeness needs at least one quasi-identifier")
+    require(tNum >= 0 && tDen > 0, s"threshold must be a ratio >= 0, got $tNum/$tDen")
+    val qc = qiCols.map(col)
+    // NOTE on names: Spark (and the oracle engine) resolve identifiers
+    // case-insensitively, so the group count and global count must not
+    // be spelled c / C — hence __gc / __glc.
+    val globalDist = df.groupBy(col(sensitiveCol).as("__s"))
+      .agg(count(lit(1)).as("__glc"))
+    val totals = globalDist.agg(sum(col("__glc")).as("__n_all"),
+      count(lit(1)).as("__m"))
+    val gDist = globalDist.crossJoin(broadcast(totals))
+    val gCounts = df.groupBy(qc :+ col(sensitiveCol).as("__s"): _*)
+      .agg(count(lit(1)).as("__gc"))
+    val spine = gCounts.select(qc: _*).distinct()
+    val filled = spine.crossJoin(broadcast(gDist))
+      .join(gCounts, qiCols :+ "__s", "left")
+      .na.fill(0L, Seq("__gc"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(qc: _*).orderBy(col("__s"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(qc: _*)
+    def big(c: Column): Column = c.cast("decimal(38,0)")
+    val terms = filled
+      .withColumn("__cumc", sum(col("__gc")).over(wOrd))
+      .withColumn("__cumg", sum(col("__glc")).over(wOrd))
+      .withColumn("__ng", sum(col("__gc")).over(wAll))
+    val gate = terms.groupBy(qc: _*)
+      .agg(
+        sum(abs(big(col("__n_all")) * big(col("__cumc"))
+          - big(col("__ng")) * big(col("__cumg")))).as("__num"),
+        first(col("__ng")).as("group_n"),
+        first(col("__n_all")).as("__nv"), first(col("__m")).as("__mv"))
+      .withColumn("__den",
+        big(col("group_n")) * big(col("__nv")) * big(col("__mv") - lit(1L)))
+      .filter(col("__num") * lit(tDen) <= col("__den") * lit(tNum))
+      .withColumn("emd",
+        when(col("__den") === 0, lit(0.0))
+          .otherwise(col("__num").cast("double") / col("__den").cast("double")))
+      .select(qc :+ col("group_n") :+ col("emd"): _*)
+    df.join(broadcast(gate), qiCols)
+  }
+
   /** l-diversity gate (Machanavajjhala et al. 2007) — the refinement
     * k-anonymity needs when a QI group is large but UNIFORM: 50 rows
     * sharing a quasi-identifier tuple pass k=3, yet if all 50 carry
