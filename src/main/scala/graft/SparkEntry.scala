@@ -687,6 +687,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Hybrid retrieval via Reciprocal Rank Fusion: the q86 BM25 list
+    // and a q12-style embedding top-20 (query = vec 0) fused by
+    // rrf = Σ 1/(60+rank) — rank positions only, so the incomparable
+    // score scales never need calibration. Every term is one IEEE
+    // division of small ints folded in list-name order: bit-exact on
+    // both engines. All post-retriever work is candidate-set sized.
+    "q102_rrf_hybrid" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val lex = graft.ops.Retrieval.bm25TopK(docs,
+          Seq("filter", "join", "spark", "vector"), topK = 20)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rank"))
+      val sem = graft.ops.Ann.topKByDot(emb, emb.filter(col("vec_id") === 0), 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      graft.ops.Retrieval.rrfFuse(Seq("ann" -> sem, "bm25" -> lex), "doc_id",
+          topK = 20)
+        .orderBy(col("rrf").desc, col("doc_id"))
+    }),
+
     // Bitext-style margin scoring (Artetxe & Schwenk ratio margin):
     // edges of the capped kNN graph scored by 2·cos/(avgK(a)+avgK(b))
     // — the hubness-robust parallel-pair criterion. avgK folds the k
@@ -3538,5 +3559,65 @@ object SparkEntry {
         |SELECT b.doc_id, b.lang, b.source, b.len_band, k.group_n, k.emd
         |FROM base b JOIN keep k ON b.lang = k.lang AND b.len_band = k.len_band
         |ORDER BY b.doc_id""".stripMargin,
+    // q102: the q86 BM25 CTE chain ranked 1..20, the q12-style ANN
+    // top-20 for query vec 0, RRF-fused with the same
+    // sorted-by-list-name fold the Spark side runs.
+    "q102_rrf_hybrid" ->
+      """WITH dl AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS dl
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n_docs,
+        |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+        |  FROM dl),
+        |tf AS (
+        |  SELECT doc_id, tok AS token, count(*) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+        |        FROM documents)
+        |  WHERE tok IN ('filter', 'join', 'spark', 'vector')
+        |  GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |wts AS (
+        |  SELECT t.doc_id, t.token,
+        |    (((CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE)) + 0.5)
+        |       / (CAST(f.df AS DOUBLE) + 0.5)) *
+        |    ((CAST(t.tf AS DOUBLE) * 2.2)
+        |       / (CAST(t.tf AS DOUBLE)
+        |          + (1.2 * (0.25 + (0.75 * (CAST(d.dl AS DOUBLE) / s.avgdl)))))) AS w
+        |  FROM tf t
+        |  JOIN dfreq f USING (token)
+        |  JOIN dl d USING (doc_id)
+        |  CROSS JOIN stats s),
+        |folded AS (
+        |  SELECT doc_id,
+        |    ((((0.0 + COALESCE(l[1], 0.0)) + COALESCE(l[2], 0.0))
+        |       + COALESCE(l[3], 0.0)) + COALESCE(l[4], 0.0)) AS score
+        |  FROM (SELECT doc_id, list(w ORDER BY token) AS l
+        |        FROM wts GROUP BY doc_id)),
+        |bm AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |  FROM (SELECT doc_id, score FROM folded
+        |        ORDER BY score DESC, doc_id LIMIT 20)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id = 0),
+        |ann AS (
+        |  SELECT vec_id AS doc_id, CAST(rn AS BIGINT) AS rank
+        |  FROM (SELECT e.vec_id,
+        |          row_number() OVER (ORDER BY list_dot_product(e.emb, q.qemb) DESC, e.vec_id) AS rn
+        |        FROM e JOIN q ON e.vec_id <> q.query_id) t
+        |  WHERE rn <= 20),
+        |u AS (
+        |  SELECT doc_id, 'bm25' AS src_list, rank FROM bm
+        |  UNION ALL SELECT doc_id, 'ann', rank FROM ann),
+        |f AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+        |    list(1.0 / (60.0 + CAST(rank AS DOUBLE)) ORDER BY src_list) AS l
+        |  FROM u GROUP BY doc_id)
+        |SELECT doc_id, n_lists,
+        |  ((0.0 + COALESCE(l[1], 0.0)) + COALESCE(l[2], 0.0)) AS rrf
+        |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
   )
 }

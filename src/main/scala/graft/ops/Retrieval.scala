@@ -93,4 +93,51 @@ object Retrieval {
       .limit(topK)
       .select(col(idCol), col("n_terms"), col("score"))
   }
+
+  /** Reciprocal Rank Fusion (Cormack et al., SIGIR 2009) — the
+    * standard way to combine a lexical ranking ([[bm25TopK]]) with a
+    * semantic one ([[Ann.topKByDot]]) into one hybrid retrieval list:
+    * rrf(d) = Σ_lists 1/(kRrf + rank_list(d)), kRrf = 60 per the
+    * paper. Rank positions are all that crosses between retrievers, so
+    * incomparable score scales (BM25 vs cosine) never need calibration.
+    *
+    * Exactness: each term is ONE IEEE division of small exact
+    * integers and the per-doc fold adds terms in `src_list`-name order
+    * via the sorted-fold discipline ([[bm25TopK]]'s scoring sum) —
+    * basic double arithmetic is correctly rounded on every engine, so
+    * fused scores are bit-equal without any rational trickery.
+    *
+    * Scale shape: inputs are already top-k lists (k·lists rows
+    * total) — the union, the k-bounded collect_list (≤ one struct per
+    * input list), and the final TakeOrdered all run on candidate-set
+    * cardinality, never corpus cardinality. The heavy lifting stays in
+    * the upstream retrievers.
+    *
+    * `rankings` maps a DISTINCT list name to a DataFrame bearing
+    * (idCol, rankCol); ranks are 1-based positions. Output:
+    * (idCol, n_lists, rrf), top `topK` by (rrf DESC, id).
+    */
+  def rrfFuse(rankings: Seq[(String, DataFrame)], idCol: String,
+              rankCol: String = "rank", kRrf: Int = 60,
+              topK: Int = 20): DataFrame = {
+    require(rankings.size >= 2, "rrfFuse needs at least two rankings")
+    require(rankings.map(_._1).distinct.size == rankings.size,
+      "rrfFuse list names must be distinct")
+    val tagged = rankings.map { case (name, df) =>
+      df.select(col(idCol), lit(name).as("src_list"),
+        col(rankCol).cast("long").as("rank"))
+    }
+    tagged.reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("long").as("n_lists"),
+        aggregate(
+          array_sort(collect_list(struct(col("src_list"), col("rank")))),
+          lit(0.0),
+          (acc, x) => acc + lit(1.0)
+            / (lit(kRrf.toDouble) + x.getField("rank").cast("double")))
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(topK)
+  }
 }
