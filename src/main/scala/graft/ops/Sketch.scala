@@ -133,6 +133,23 @@ object Sketch {
       .filter(col("cnt") * lit(denom.toLong) > lit(n))
   }
 
+  /** Per-group Misra–Gries candidate frequent-key hashes: for each
+    * group, the ≤ k candidate 60-bit key hashes guaranteed to include
+    * every key with in-group frequency > n_g/(k+1). The GROUP BY form
+    * of [[heavyHitters]]' pass 1 — and, because the buffer is a
+    * k-bounded `TypedImperativeAggregate` that round-trips the
+    * streaming state store, the shape for streaming trending-key
+    * candidates per window/group (an exact second pass can then run
+    * against any batch snapshot). Output: (groupCols*, candidates
+    * ARRAY<BIGINT> sorted ascending).
+    */
+  def frequentCandidatesBy(df: DataFrame, groupCols: Seq[String], key: Column,
+                           k: Int): DataFrame = {
+    require(groupCols.nonEmpty, "frequentCandidatesBy needs a group column")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(mgCandidates(key, k).as("candidates"))
+  }
+
   /** The Misra–Gries candidate-keys aggregate column. */
   private def mgCandidates(key: Column, k: Int): Column = {
     import org.apache.spark.sql.GraftSqlShim

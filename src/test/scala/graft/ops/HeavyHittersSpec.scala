@@ -100,6 +100,34 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("frequentCandidatesBy maintains MG state under Structured Streaming") {
+    // the k-bounded counter map must round-trip the streaming state
+    // store: a key made heavy in batch 1 must still be a candidate
+    // after a batch-2 flood of uniques (a reset buffer would lose it)
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    val q = Sketch.frequentCandidatesBy(in.toDF().toDF("g", "x"), Seq("g"),
+        col("x"), k = 4)
+      .writeStream.format("memory").queryName("mg_stream")
+      .outputMode("complete").start()
+    try {
+      val hotHash = spark.range(1)
+        .select(Sketch.hash60(lit("hot")).as("h")).as[Long].head()
+      in.addData(Seq.fill(30)(("a", "hot")) ++ (1 to 10).map(i => ("a", s"u$i")): _*)
+      q.processAllAvailable()
+      val r1 = spark.table("mg_stream").select(col("candidates"))
+        .as[Seq[Long]].collect().head
+      assert(r1.contains(hotHash) && r1.size <= 4)
+      // 30 more uniques: hot's total 30 of 70 stays > 70/(k+1)=14, so
+      // the merged (not reset) sketch must still hold it
+      in.addData((11 to 40).map(i => ("a", s"u$i")): _*)
+      q.processAllAvailable()
+      val r2 = spark.table("mg_stream").select(col("candidates"))
+        .as[Seq[Long]].collect().head
+      assert(r2.contains(hotHash) && r2.size <= 4)
+    } finally q.stop()
+  }
+
   test("heavyHitters pass-2 plan: InSet candidate filter, partial count below the exchange") {
     // spark.range (not a local Seq): ConvertToLocalRelation would fold
     // the candidate filter into a LocalTableScan and hide the plan shape
