@@ -708,6 +708,22 @@ object SparkEntry {
         .orderBy(col("rrf").desc, col("doc_id"))
     }),
 
+    // Per-group exact heavy hitters: tokens holding > 1% of each
+    // language's token occurrences, exact counts. Pass 1 aggregates
+    // k=200 MG counters per language; pass 2 probes the corpus against
+    // the exploded candidate hashes via a broadcast join (corpus never
+    // shuffles) and exact-counts the groups×k-bounded survivors.
+    "q103_heavy_by_lang" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("lang"),
+          explode(graft.ops.TextOps.tokens(col("text"))).as("token"))
+      graft.ops.Sketch.heavyHittersBy(toks, Seq("lang"), col("token"),
+          denom = 100)
+        .select(col("lang"), col("item").as("token"), col("cnt"),
+          col("group_n").cast("long").as("group_n"))
+        .orderBy(col("lang"), desc("cnt"), col("token"))
+    }),
+
     // Bitext-style margin scoring (Artetxe & Schwenk ratio margin):
     // edges of the capped kNN graph scored by 2·cos/(avgK(a)+avgK(b))
     // — the hubness-robust parallel-pair criterion. avgK folds the k
@@ -3619,5 +3635,20 @@ object SparkEntry {
         |SELECT doc_id, n_lists,
         |  ((0.0 + COALESCE(l[1], 0.0)) + COALESCE(l[2], 0.0)) AS rrf
         |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+    // q103: per-group exact heavy hitters — the oracle pays the full
+    // per-lang vocabulary GROUP BY the two-pass plan avoids.
+    "q103_heavy_by_lang" ->
+      """WITH toks AS (
+        |  SELECT d.lang, u.tok AS token
+        |  FROM documents d,
+        |       unnest(string_split_regex(lower(d.text), '[^a-z0-9]+')) AS u(tok)
+        |  WHERE u.tok <> ''),
+        |ng AS (SELECT lang, count(*)::BIGINT AS group_n FROM toks GROUP BY 1),
+        |c AS (SELECT lang, token, count(*)::BIGINT AS cnt
+        |  FROM toks GROUP BY 1, 2)
+        |SELECT c.lang, c.token, c.cnt, ng.group_n
+        |FROM c JOIN ng ON c.lang = ng.lang
+        |WHERE c.cnt * 100 > ng.group_n
+        |ORDER BY c.lang, c.cnt DESC, c.token""".stripMargin,
   )
 }

@@ -133,6 +133,47 @@ object Sketch {
       .filter(col("cnt") * lit(denom.toLong) > lit(n))
   }
 
+  /** EXACT heavy hitters PER GROUP — every key whose in-group count
+    * strictly exceeds n_g/`denom`, with exact counts: "which tokens
+    * dominate each language", "which URLs dominate each domain". The
+    * GROUP BY form of [[heavyHitters]], same two-pass discipline:
+    * pass 1 aggregates ≤ k = denom·slack MG counters per group
+    * (k-bounded map-side, one exchange of partial sketches), yielding
+    * the (group, candidates, n_g) table; pass 2 probes the corpus
+    * against the EXPLODED candidate hashes via a broadcast join on
+    * (group, hash) — the corpus never shuffles; only the
+    * groups×k-bounded exact counts do — then applies the exact integer
+    * threshold. The MG superset bound makes the result identical to
+    * the full per-group GROUP BY / HAVING answer.
+    *
+    * The candidate table must stay broadcast-sized (groups·k rows) —
+    * the same deliberate envelope as the t-closeness verdict table;
+    * with millions of groups, run [[heavyHitters]] per partition-pruned
+    * group subset instead. Output: (groupCols*, item, cnt, group_n).
+    */
+  def heavyHittersBy(df: DataFrame, groupCols: Seq[String], key: Column,
+                     denom: Int, slack: Int = 2): DataFrame = {
+    require(groupCols.nonEmpty, "heavyHittersBy needs a group column")
+    require(denom >= 2 && slack >= 1, "heavyHittersBy needs denom >= 2, slack >= 1")
+    val k = denom * slack
+    val gc = groupCols.map(col)
+    val keyed = df.select(gc :+ key.as("item"): _*).filter(col("item").isNotNull)
+    val cand = keyed.groupBy(gc: _*)
+      .agg(mgCandidates(col("item"), k).as("__cand"),
+        count(lit(1)).as("group_n"))
+    val candExploded = cand.select(
+      groupCols.map(n => col(n).as(s"__g_$n")) :+
+        explode(col("__cand")).as("__h") :+ col("group_n"): _*)
+    keyed
+      .join(broadcast(candExploded),
+        groupCols.map(n => col(n) === col(s"__g_$n"))
+          .reduce(_ && _) && hash60(col("item")) === col("__h"))
+      .groupBy(gc :+ col("item") :+ col("group_n"): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(denom.toLong) > col("group_n"))
+      .select(gc ++ Seq(col("item"), col("cnt"), col("group_n")): _*)
+  }
+
   /** Per-group Misra–Gries candidate frequent-key hashes: for each
     * group, the ≤ k candidate 60-bit key hashes guaranteed to include
     * every key with in-group frequency > n_g/(k+1). The GROUP BY form

@@ -100,6 +100,39 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("heavyHittersBy equals the per-group brute-force answer") {
+    // group g1: hot 40/100; g2: warm 15/100 (fails denom=5's 20%);
+    // g3: all unique (no heavy hitters at all)
+    val rows =
+      Seq.fill(40)(("g1", "hot")) ++ (1 to 60).map(i => ("g1", s"a$i")) ++
+      Seq.fill(15)(("g2", "warm")) ++ (1 to 85).map(i => ("g2", s"b$i")) ++
+      (1 to 50).map(i => ("g3", s"c$i"))
+    val df = new Random(11).shuffle(rows).toDF("g", "x")
+    val got = Sketch.heavyHittersBy(df, Seq("g"), col("x"), denom = 5)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == Set(("g1", "hot", 40L, 100L)))
+    val want = df.groupBy("g", "x").count()
+      .join(df.groupBy("g").agg(count(lit(1)).as("n")), "g")
+      .filter(col("count") * 5 > col("n"))
+      .select(col("g"), col("x"), col("count"), col("n"))
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("heavyHittersBy probes candidates via broadcast — corpus side never shuffles pre-count") {
+    val df = spark.range(0, 3000)
+      .select(concat(lit("g"), col("id") % 2).as("g"),
+        when(col("id") % 3 === 0, lit("hot"))
+          .otherwise(concat(lit("u"), col("id"))).as("x"))
+    val q = Sketch.heavyHittersBy(df, Seq("g"), col("x"), denom = 4)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"candidate probe must broadcast:\n$plan")
+    assert(plan.contains("partial_count"), plan)
+    assert(q.as[(String, String, Long, Long)].collect().toSet ==
+      Set(("g0", "hot", 500L, 1500L), ("g1", "hot", 500L, 1500L)))
+  }
+
   test("frequentCandidatesBy maintains MG state under Structured Streaming") {
     // the k-bounded counter map must round-trip the streaming state
     // store: a key made heavy in batch 1 must still be a candidate
