@@ -724,6 +724,15 @@ object SparkEntry {
         .orderBy(col("lang"), desc("cnt"), col("token"))
     }),
 
+    // Edit-distance near-dup pairs on the normalized 64-char document
+    // prefix (title-key shape): q-gram prefix filtering makes the
+    // candidate set lossless, levenshtein verifies. The oracle pays
+    // the length-banded all-pairs product the prefix filter avoids.
+    "q104_edit_near_dup" -> ((s, dir) =>
+      graft.ops.Dedup.editNearDupPairs(t(s, dir, "documents"),
+          lower(substring(col("text"), 1, 64)))
+        .orderBy(col("a_id"), col("b_id"))),
+
     // Bitext-style margin scoring (Artetxe & Schwenk ratio margin):
     // edges of the capped kNN graph scored by 2·cos/(avgK(a)+avgK(b))
     // — the hubness-robust parallel-pair criterion. avgK folds the k
@@ -3650,5 +3659,18 @@ object SparkEntry {
         |FROM c JOIN ng ON c.lang = ng.lang
         |WHERE c.cnt * 100 > ng.group_n
         |ORDER BY c.lang, c.cnt DESC, c.token""".stripMargin,
+    // q104: the oracle pays the length-banded all-pairs levenshtein the
+    // prefix filter avoids; the length >= 9 floor is the operator's
+    // documented domain (q·(maxDist+1) with q=3, d=2).
+    "q104_edit_near_dup" ->
+      """WITH s AS (
+        |  SELECT doc_id, lower(substr(text, 1, 64)) AS t FROM documents
+        |  WHERE text IS NOT NULL AND length(substr(text, 1, 64)) >= 9)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  levenshtein(a.t, b.t)::BIGINT AS dist
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE abs(length(a.t) - length(b.t)) <= 2
+        |  AND levenshtein(a.t, b.t) <= 2
+        |ORDER BY a_id, b_id""".stripMargin,
   )
 }

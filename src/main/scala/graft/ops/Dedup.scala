@@ -228,6 +228,84 @@ object Dedup {
       .select(col("a_id"), col("b_id"))
   }
 
+  /** Edit-distance near-duplicate pairs via q-gram prefix filtering —
+    * the string-similarity-join family (AllPairs / ED-Join): all pairs
+    * with levenshtein(a, b) <= `maxDist`, for SHORT keys (titles, URLs,
+    * normalized prefixes — levenshtein is O(len²) per verified pair, so
+    * the caller passes a bounded `strCol`, not whole documents).
+    *
+    * Never all-pairs. The count filter: an edit destroys at most `q`
+    * positional q-grams, so ed <= d pairs share >= |grams| - q·d
+    * DISTINCT grams; with len >= q·(d+1) every qualifying pair shares
+    * at least one. The prefix filter sharpens it: order every string's
+    * gram set by one GLOBAL total order (document frequency asc, gram
+    * asc — rare first) and keep only the first q·d+1 grams; the
+    * standard prefix-filtering theorem makes candidate generation on
+    * those prefixes LOSSLESS, and rare-first ordering keeps the gram
+    * buckets small. Strings shorter than q·(d+1) are outside the
+    * operator's domain and filtered (scaladoc'd envelope, mirrored by
+    * any oracle).
+    *
+    * Plan shape at 100 TB: gram document frequencies are
+    * vocabulary-bounded (<= charset^q rows) and broadcast; the per-doc
+    * prefix selection is one window over the exploded grams keyed by
+    * id (linear in corpus grams); candidate pairs form only inside a
+    * gram bucket, with the same over-cap-drop + CapStats/observe
+    * discipline as [[lshCandidatePairs]] (here a fired cap does lose
+    * recall — there is no band redundancy — which is why the WARN
+    * matters and the cap is a parameter); verification joins the two
+    * bounded string columns back by id and applies codegen'd
+    * `levenshtein`. Output: (a_id, b_id, dist), a_id < b_id. */
+  def editNearDupPairs(docs: DataFrame, strCol: org.apache.spark.sql.Column,
+                       idCol: String = "doc_id",
+                       maxDist: Int = 2, q: Int = 3,
+                       maxBucketSize: Int = DefaultMaxBucketSize,
+                       stats: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    require(maxDist >= 1 && q >= 2, "editNearDupPairs needs maxDist >= 1, q >= 2")
+    val p = q * maxDist + 1
+    val strs = docs
+      .select(col(idCol).cast("long").as("__id"), strCol.as("__s"))
+      .filter(col("__s").isNotNull && length(col("__s")) >= q * (maxDist + 1))
+      .select(col("__id"), col("__s"), length(col("__s")).as("__len"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gramRows = strs.select(col("__id"), col("__len"),
+      explode(array_distinct(transform(
+        sequence(lit(0), col("__len") - q),
+        i => col("__s").substr(i + 1, lit(q))))).as("g"))
+    val gramDf = gramRows.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+    import org.apache.spark.sql.expressions.Window
+    val wId = Window.partitionBy(col("__id")).orderBy(col("gdf"), col("g"))
+    val posts = gramRows.join(broadcast(gramDf), "g")
+      .withColumn("rn", row_number().over(wId)).filter(col("rn") <= p)
+      .select(col("g"), col("__id"), col("__len"))
+    val wG = Window.partitionBy(col("g"))
+    val sized = posts
+      .withColumn("bsz", count(lit(1)).over(wG))
+      .withColumn("prn", row_number().over(wG.orderBy(col("__id"))))
+    val warned = CapStats.watch(sized, "editNearDupPairs",
+      sum(when(col("bsz") > maxBucketSize && col("prn") === 1, 1L).otherwise(0L)),
+      max(col("bsz")))
+    val watched = stats.fold(warned)(obs => warned.observe(obs,
+      sum(when(col("bsz") > maxBucketSize && col("prn") === 1, 1L)
+        .otherwise(0L)).as("dropped_buckets"),
+      max(col("bsz")).as("max_bucket")))
+    val cand = watched
+      .filter(col("bsz") > 1 && col("bsz") <= maxBucketSize)
+      .groupBy(col("g"))
+      .agg(collect_list(struct(col("__id"), col("__len"))).as("xs"))
+      .select(explode(pairsOf(col("xs"))).as("pr"))
+      .select(col("pr._1.__id").as("a_id"), col("pr._1.__len").as("la"),
+        col("pr._2.__id").as("b_id"), col("pr._2.__len").as("lb"))
+      .filter(abs(col("la") - col("lb")) <= maxDist)
+      .select(col("a_id"), col("b_id")).distinct()
+    cand
+      .join(strs.select(col("__id").as("a_id"), col("__s").as("__sa")), "a_id")
+      .join(strs.select(col("__id").as("b_id"), col("__s").as("__sb")), "b_id")
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("dist"))
+  }
+
   /** Benchmark decontamination — the eval-set-overlap step of a
     * training-data pipeline: flag corpus documents sharing ANY word
     * n-gram with a benchmark/eval document, so test data never leaks
