@@ -733,6 +733,18 @@ object SparkEntry {
           lower(substring(col("text"), 1, 64)))
         .orderBy(col("a_id"), col("b_id"))),
 
+    // Source-pair vocabulary overlap matrix: per-source KMV sketches
+    // (k=256 — every pairwise union fits below k at this SF, so the
+    // whole matrix is in the operator's EXACT branch and the oracle is
+    // plain COUNT DISTINCT set algebra over the same hash60 values).
+    "q105_overlap_matrix" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("source"),
+          explode(graft.ops.TextOps.tokens(col("text"))).as("token"))
+      graft.ops.Sketch.overlapMatrix(toks, "source", col("token"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // Bitext-style margin scoring (Artetxe & Schwenk ratio margin):
     // edges of the capped kNN graph scored by 2·cos/(avgK(a)+avgK(b))
     // — the hubness-robust parallel-pair criterion. avgK folds the k
@@ -3659,6 +3671,28 @@ object SparkEntry {
         |FROM c JOIN ng ON c.lang = ng.lang
         |WHERE c.cnt * 100 > ng.group_n
         |ORDER BY c.lang, c.cnt DESC, c.token""".stripMargin,
+    // q105: exact set algebra over the same tokenization; every pair is
+    // in the operator's exact branch at this SF (union < k), so inter/
+    // uni/jaccard are plain COUNT DISTINCT arithmetic.
+    "q105_overlap_matrix" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT d.source, u.tok FROM documents d,
+        |    unnest(string_split_regex(lower(d.text), '[^a-z0-9]+')) AS u(tok)
+        |  WHERE u.tok <> ''),
+        |v AS (SELECT source, count(*)::BIGINT AS n FROM toks GROUP BY 1),
+        |i AS (SELECT a.source AS sa, b.source AS sb, count(*)::BIGINT AS inter
+        |      FROM toks a JOIN toks b ON a.tok = b.tok AND a.source < b.source
+        |      GROUP BY 1, 2),
+        |p AS (SELECT a.source AS sa, b.source AS sb, a.n AS n_a, b.n AS n_b
+        |      FROM v a JOIN v b ON a.source < b.source)
+        |SELECT p.sa AS src_a, p.sb AS src_b, p.n_a, p.n_b,
+        |  coalesce(i.inter, 0) AS inter,
+        |  p.n_a + p.n_b - coalesce(i.inter, 0) AS uni,
+        |  coalesce(i.inter, 0)::DOUBLE
+        |    / (p.n_a + p.n_b - coalesce(i.inter, 0))::DOUBLE AS jaccard,
+        |  TRUE AS exact
+        |FROM p LEFT JOIN i ON p.sa = i.sa AND p.sb = i.sb
+        |ORDER BY src_a, src_b""".stripMargin,
     // q104: the oracle pays the length-banded all-pairs levenshtein the
     // prefix filter avoids; the length >= 9 floor is the operator's
     // documented domain (q·(maxDist+1) with q=3, d=2).

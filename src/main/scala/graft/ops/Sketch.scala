@@ -228,4 +228,59 @@ object Sketch {
       .withColumn("est_distinct",
         estimate(col("k_used"), col("kth_hash"), k))
   }
+
+  /** Corpus overlap matrix — pairwise distinct-`key` Jaccard between
+    * every two groups ("how much vocabulary / content do two sources
+    * share"), the dataset-composition question behind mixture design
+    * and contamination triage. One corpus pass builds a k-bounded KMV
+    * sketch per group (the [[kmvDistinctBy]] aggregate — ≤ k longs per
+    * group cross the one exchange); the pairwise stage then works
+    * entirely on the groups²-bounded sketch table (a broadcast
+    * nested-loop self-pair of a tiny frame — deliberate, the envelope
+    * is groups ≪ corpus, same as the t-closeness verdict table).
+    *
+    * KMV set algebra: the k smallest of the union's distinct hashes
+    * are `merged = first k of sortedDistinct(ma ++ mb)`; the union
+    * cardinality estimator is the usual (k−1)/kth-hash on `merged`,
+    * and `inter` counts union-sample members present in BOTH sketches,
+    * so `jaccard = inter / |merged|` is the standard ratio estimator.
+    * When the two groups' distinct-key UNION fits strictly below k,
+    * the sketches ARE the distinct hash sets and every figure is EXACT
+    * (`exact` = true)
+    * — the oracle-pinned branch; above k the same expressions are the
+    * ~1/sqrt(k) estimators (modulo the negligible 60-bit hash
+    * collision caveat of [[hash60]]).
+    *
+    * Output: (src_a, src_b, n_a, n_b, inter, uni, jaccard, exact) with
+    * src_a < src_b.
+    */
+  def overlapMatrix(df: DataFrame, groupCol: String, key: Column,
+                    k: Int = 256): DataFrame = {
+    require(k >= 16, "KMV needs k >= 16 for a usable error bound")
+    val sk = df.groupBy(col(groupCol)).agg(kMins(key, k).as("mins"))
+    val a = sk.select(col(groupCol).as("src_a"), col("mins").as("ma"))
+    val b = sk.select(col(groupCol).as("src_b"), col("mins").as("mb"))
+    a.join(broadcast(b), col("src_a") < col("src_b"))
+      .withColumn("du", array_sort(array_distinct(concat(col("ma"), col("mb")))))
+      .withColumn("merged", slice(col("du"), 1, k))
+      .withColumn("inter",
+        size(filter(col("merged"), h =>
+          array_contains(col("ma"), h) && array_contains(col("mb"), h)))
+          .cast("long"))
+      .select(
+        col("src_a"), col("src_b"),
+        estimate(size(col("ma")).cast("long"), element_at(col("ma"), -1), k)
+          .as("n_a"),
+        estimate(size(col("mb")).cast("long"), element_at(col("mb"), -1), k)
+          .as("n_b"),
+        col("inter"),
+        estimate(size(col("merged")).cast("long"), element_at(col("merged"), -1), k)
+          .as("uni"),
+        when(size(col("merged")) === 0, lit(0.0))
+          .otherwise(col("inter").cast("double") / size(col("merged")).cast("double"))
+          .as("jaccard"),
+        // exact iff the union itself fits strictly below k: then both
+        // sketches held ALL their distinct hashes AND merged == union
+        (size(col("du")) < k).as("exact"))
+  }
 }
