@@ -745,6 +745,14 @@ object SparkEntry {
         .orderBy(col("src_a"), col("src_b"))
     }),
 
+    // Exact phrase search over positional postings: docs containing
+    // "table key" as CONSECUTIVE tokens, with match count and first
+    // 0-based token position. Postings prune to the phrase vocabulary
+    // inside the scan stage (the BM25 discipline, plus adjacency).
+    "q106_phrase_search" -> ((s, dir) =>
+      graft.ops.TextOps.phraseSearch(t(s, dir, "documents"), "table key")
+        .orderBy(col("doc_id"))),
+
     // Bitext-style margin scoring (Artetxe & Schwenk ratio margin):
     // edges of the capped kNN graph scored by 2·cos/(avgK(a)+avgK(b))
     // — the hubness-robust parallel-pair criterion. avgK folds the k
@@ -3693,6 +3701,25 @@ object SparkEntry {
         |  TRUE AS exact
         |FROM p LEFT JOIN i ON p.sa = i.sa AND p.sb = i.sb
         |ORDER BY src_a, src_b""".stripMargin,
+    // q106: the oracle materializes every positional bigram (two
+    // parallel unnests zip in DuckDB) and matches the literal phrase;
+    // positions are 0-based in the operator, 1-based in generate_series.
+    "q106_phrase_search" ->
+      """WITH t0 AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS ts
+        |  FROM documents),
+        |tg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(ts) - 1, 0)),
+        |      i -> ts[i] || ' ' || ts[i + 1])) AS g,
+        |    unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS i
+        |  FROM t0)
+        |SELECT doc_id, count(*)::BIGINT AS n_matches,
+        |  (min(i) - 1)::BIGINT AS first_pos
+        |FROM tg WHERE g = 'table key'
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // q104: the oracle pays the length-banded all-pairs levenshtein the
     // prefix filter avoids; the length >= 9 floor is the operator's
     // documented domain (q·(maxDist+1) with q=3, d=2).

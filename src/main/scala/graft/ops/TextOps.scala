@@ -306,6 +306,47 @@ object TextOps {
       .select(col("token"), col("df"), col("n_postings"), col("postings"))
   }
 
+  /** Exact phrase search over positional postings — the retrieval
+    * family's phrase/adjacency operator ([[invertedIndex]] gives
+    * membership, [[Retrieval]] gives ranking; this gives ORDER). Finds
+    * every document containing the phrase's tokens CONSECUTIVELY,
+    * with the match count and first match position.
+    *
+    * One scan builds positional postings, pruned to the phrase's
+    * tokens INSIDE the scan stage (an `isin` literal filter — at 100
+    * TB only |postings of phrase tokens| rows ever leave the scan,
+    * the same discipline as BM25's query-vocab filter). Each surviving
+    * posting (doc, pos, token) joins the broadcast (token, offset)
+    * phrase table and votes for start = pos − offset; a start that
+    * collects all m offsets is a match (rows are unique per (offset,
+    * pos), so a plain count equals the distinct-offset count — no
+    * all-pairs m-way self-join, repeated phrase tokens included).
+    * Overlapping matches count separately, by construction.
+    *
+    * Output: (idCol, n_matches, first_pos), matched docs only;
+    * positions are 0-based token offsets. */
+  def phraseSearch(docs: DataFrame, phrase: String, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val ts = phrase.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    require(ts.nonEmpty, "phraseSearch needs at least one token")
+    val m = ts.length
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val phraseDf = ts.zipWithIndex.map { case (t, i) => (t, i) }.toDF("token", "pi")
+    docs
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
+      .filter(col("token").isin(ts.distinct: _*))
+      .join(broadcast(phraseDf), "token")
+      .select(col(idCol), (col("pos") - col("pi")).as("start"))
+      .filter(col("start") >= 0)
+      .groupBy(col(idCol), col("start"))
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === m)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_matches"),
+        min(col("start")).cast("long").as("first_pos"))
+  }
+
   /** Reference-LM coverage gate — the shape of CCNet/KenLM perplexity
     * filtering with the float perplexity replaced by an integer
     * COVERAGE statistic (the oracle-parity rule: `log` is libm-
