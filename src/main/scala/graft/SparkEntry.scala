@@ -753,6 +753,14 @@ object SparkEntry {
       graft.ops.TextOps.phraseSearch(t(s, dir, "documents"), "table key")
         .orderBy(col("doc_id"))),
 
+    // Dataset profile (SUMMARIZE-shape audit) of the documents table,
+    // exact mode for the oracle; the 100 TB default swaps the exact
+    // multi-distinct Expand for HLL++ (see Profile scaladoc).
+    "q107_profile" -> ((s, dir) =>
+      graft.ops.Profile.profile(t(s, dir, "documents"),
+          Seq("doc_id", "text", "lang", "source", "n_chars"), exact = true)
+        .orderBy(col("column"))),
+
     // Bitext-style margin scoring (Artetxe & Schwenk ratio margin):
     // edges of the capped kNN graph scored by 2·cos/(avgK(a)+avgK(b))
     // — the hubness-robust parallel-pair criterion. avgK folds the k
@@ -3701,6 +3709,33 @@ object SparkEntry {
         |  TRUE AS exact
         |FROM p LEFT JOIN i ON p.sa = i.sa AND p.sb = i.sb
         |ORDER BY src_a, src_b""".stripMargin,
+    // q107: per-column stats, min/max rendered through VARCHAR and
+    // truncated to 32 chars exactly as the operator does.
+    "q107_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'doc_id' AS "column", count(*)::BIGINT AS n_rows,
+        |    (count(*) - count(doc_id))::BIGINT AS n_null,
+        |    count(DISTINCT doc_id)::BIGINT AS n_distinct,
+        |    substr(min(doc_id)::VARCHAR, 1, 32) AS min_32,
+        |    substr(max(doc_id)::VARCHAR, 1, 32) AS max_32 FROM documents
+        |  UNION ALL
+        |  SELECT 'text', count(*)::BIGINT, (count(*) - count(text))::BIGINT,
+        |    count(DISTINCT text)::BIGINT,
+        |    substr(min(text), 1, 32), substr(max(text), 1, 32) FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', count(*)::BIGINT, (count(*) - count(lang))::BIGINT,
+        |    count(DISTINCT lang)::BIGINT,
+        |    substr(min(lang), 1, 32), substr(max(lang), 1, 32) FROM documents
+        |  UNION ALL
+        |  SELECT 'source', count(*)::BIGINT, (count(*) - count(source))::BIGINT,
+        |    count(DISTINCT source)::BIGINT,
+        |    substr(min(source), 1, 32), substr(max(source), 1, 32) FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', count(*)::BIGINT, (count(*) - count(n_chars))::BIGINT,
+        |    count(DISTINCT n_chars)::BIGINT,
+        |    substr(min(n_chars)::VARCHAR, 1, 32),
+        |    substr(max(n_chars)::VARCHAR, 1, 32) FROM documents
+        |) ORDER BY "column"""".stripMargin,
     // q106: the oracle materializes every positional bigram (two
     // parallel unnests zip in DuckDB) and matches the literal phrase;
     // positions are 0-based in the operator, 1-based in generate_series.
