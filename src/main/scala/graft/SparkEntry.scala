@@ -761,6 +761,27 @@ object SparkEntry {
           Seq("doc_id", "text", "lang", "source", "n_chars"), exact = true)
         .orderBy(col("column"))),
 
+    // Hilbert-curve layout keys over the same (user, hour) dims as
+    // q80's Z-order: per 1024-key file bucket, the x/y bounding box —
+    // the data-skipping envelope a 2-D range scan would prune against.
+    // Native codegen'd hilbert_index; oracle = unrolled per-level CTEs.
+    "q108_hilbert_layout" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("x", pmod(col("user_id"), lit(256L)).cast("long"))
+        .withColumn("y",
+          pmod(floor(unix_micros(col("ts")).cast("double") / 3.6e9).cast("long"),
+            lit(256L)).cast("long"))
+      ev.withColumn("hkey",
+          graft.ops.Layout.hilbertKey(col("x"), col("y"), bits = 8))
+        .withColumn("bucket", shiftright(col("hkey"), 10))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"),
+          min(col("hkey")).as("min_hkey"), max(col("hkey")).as("max_hkey"))
+        .orderBy(col("bucket"))
+    }),
+
     // Bitext-style margin scoring (Artetxe & Schwenk ratio margin):
     // edges of the capped kNN graph scored by 2·cos/(avgK(a)+avgK(b))
     // — the hubness-robust parallel-pair criterion. avgK folds the k
@@ -3709,6 +3730,19 @@ object SparkEntry {
         |  TRUE AS exact
         |FROM p LEFT JOIN i ON p.sa = i.sa AND p.sb = i.sb
         |ORDER BY src_a, src_b""".stripMargin,
+    // q108: identical quantization; the curve walk is the unrolled
+    // per-level CTE chain emitted next to the implementation.
+    "q108_hilbert_layout" ->
+      s"""WITH e AS (
+         |  SELECT user_id % 256 AS x,
+         |    ((epoch_ns(ts) // 1000) // 3600000000) % 256 AS y
+         |  FROM events),
+         |${graft.ops.Layout.hilbertSql("e", 8)}
+         |SELECT hkey >> 10 AS bucket, count(*) AS n_events,
+         |  min(x) AS min_x, max(x) AS max_x,
+         |  min(y) AS min_y, max(y) AS max_y,
+         |  min(hkey) AS min_hkey, max(hkey) AS max_hkey
+         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
     // q107: per-column stats, min/max rendered through VARCHAR and
     // truncated to 32 chars exactly as the operator does.
     "q107_profile" ->

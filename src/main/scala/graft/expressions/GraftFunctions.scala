@@ -88,7 +88,54 @@ case class FixLog2Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** 2-D Hilbert-curve index of pre-quantized (x, y) ∈ [0, 2^bits)² —
+  * the locality-preserving layout key ([[graft.ops.Layout.hilbertKey]]).
+  * Like [[FixLog2Expr]], a native expression rather than composed
+  * column arithmetic: the per-level rotation rewrites x and y from
+  * BOTH previous values, so a column-expression unroll doubles the
+  * tree each of the `bits` levels; here it is ONE node generating a
+  * tight static loop. Out-of-domain inputs throw (a silent wrap would
+  * desync the layout from the oracle's unrolled-CTE twin). */
+case class HilbertIndexExpr(left: Expression, right: Expression, bits: Int)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "hilbert_index"
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    GraftFunctions.hilbertIndex(x.asInstanceOf[Long], y.asInstanceOf[Long], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.GraftFunctions.hilbertIndex($a, $b, $bits)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HilbertIndexExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object GraftFunctions {
+
+  /** Static helper the codegen'd `hilbert_index` calls: the standard
+    * iterative xy→d walk (level-by-level quadrant digit + rotation),
+    * top bit first. Domain: bits ∈ [1, 31], x and y ∈ [0, 2^bits). */
+  def hilbertIndex(x0: Long, y0: Long, bits: Int): Long = {
+    if (bits < 1 || bits > 31)
+      throw new IllegalArgumentException(s"hilbert_index bits domain is [1, 31], got $bits")
+    val n = 1L << bits
+    if (x0 < 0 || x0 >= n || y0 < 0 || y0 >= n)
+      throw new IllegalArgumentException(
+        s"hilbert_index inputs must be in [0, $n): ($x0, $y0)")
+    var x = x0; var y = y0; var d = 0L
+    var s = n >> 1
+    while (s > 0) {
+      val rx = if ((x & s) != 0L) 1L else 0L
+      val ry = if ((y & s) != 0L) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0L) {
+        if (rx == 1L) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
 
   /** Static helper the codegen'd `fix_log2` calls: floor-truncated
     * 8.8 fixed-point log2. e is the binary digit count minus one

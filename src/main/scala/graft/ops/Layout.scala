@@ -57,6 +57,54 @@ object Layout {
     } yield s"((($c >> $j) & 1) << ${j * n + i})").mkString(" + ")
   }
 
+  /** 2-D Hilbert key over pre-quantized dims — [[zOrderKey]]'s
+    * better-locality sibling: consecutive Hilbert indices are always
+    * 4-adjacent cells (Z-order takes a long diagonal jump every 2^k
+    * rows), so equal-width key ranges have smaller x/y bounding boxes
+    * → tighter file min/max → fewer files read per 2-D range scan.
+    * The per-level rotation makes it a native expression
+    * ([[graft.expressions.HilbertIndexExpr]], codegen'd static call);
+    * the curve walk is pure integer, and [[hilbertSql]] emits the
+    * bit-identical unrolled-CTE twin for oracle queries. Same
+    * pure-layout contract as [[zOrderKey]]: compose with
+    * `repartitionByRange` + `sortWithinPartitions` + any writer. */
+  def hilbertKey(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    import org.apache.spark.sql.GraftSqlShim
+    GraftSqlShim.column(graft.expressions.HilbertIndexExpr(
+      GraftSqlShim.expression(x.cast("long")),
+      GraftSqlShim.expression(y.cast("long")), bits))
+  }
+
+  /** The DuckDB twin of [[hilbertKey]]: unrolled per-level CTE chain
+    * (the [[graft.ops.Importance]] fix_log2 oracle discipline — state
+    * per level, constants inlined). Expects `base` to expose integer
+    * columns x, y in [0, 2^bits); emits CTEs `h0..h{bits}` where the
+    * final one carries (x, y, hkey). Splice as:
+    * `WITH base AS (...), ${hilbertSql("base", b)} SELECT ... FROM h{b}`. */
+  def hilbertSql(base: String, bits: Int): String = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    val init = s"h0 AS (SELECT x, y, x AS hx, y AS hy, 0::BIGINT AS hd FROM $base)"
+    val steps = (1 to bits).map { k =>
+      val s = 1L << (bits - k)
+      val sm1 = s - 1
+      val rx = s"(CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END)"
+      val ry = s"(CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END)"
+      s"""h$k AS (
+         |  SELECT x, y,
+         |    CASE WHEN (hy & $s) = 0 THEN
+         |      (CASE WHEN (hx & $s) > 0 THEN $sm1 - hy ELSE hy END)
+         |      ELSE hx END AS hx,
+         |    CASE WHEN (hy & $s) = 0 THEN
+         |      (CASE WHEN (hx & $s) > 0 THEN $sm1 - hx ELSE hx END)
+         |      ELSE hy END AS hy,
+         |    hd + ${s * s} * xor(3 * $rx, $ry) AS hd
+         |  FROM h${k - 1})""".stripMargin
+    }
+    (init +: steps).mkString(",\n") +
+      s",\nh AS (SELECT x, y, hd AS hkey FROM h$bits)"
+  }
+
   /** Hash-bucketed (+ optionally bucket-sorted) table layout — the
     * OTHER half of the 100 TB layout story next to [[zOrderKey]]:
     * Z-order buys scan pruning, bucketing buys SHUFFLE-FREE joins and
