@@ -782,6 +782,13 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // Collocation mining: top-50 bigrams by independence lift
+    // (n_ab·N/(n_a·n_b) — PMI ordering without the log, so the only
+    // float op is an engine-identical IEEE division), min count 3.
+    "q109_collocations" -> ((s, dir) =>
+      graft.ops.TextOps.collocations(t(s, dir, "documents"),
+        minCount = 3, topK = 50)),
+
     // Bitext-style margin scoring (Artetxe & Schwenk ratio margin):
     // edges of the capped kNN graph scored by 2·cos/(avgK(a)+avgK(b))
     // — the hubness-robust parallel-pair criterion. avgK folds the k
@@ -3730,6 +3737,30 @@ object SparkEntry {
         |  TRUE AS exact
         |FROM p LEFT JOIN i ON p.sa = i.sa AND p.sb = i.sb
         |ORDER BY src_a, src_b""".stripMargin,
+    // q109: same double-expression structure as the operator
+    // (cast-then-multiply-then-divide) so the lift is bit-identical.
+    "q109_collocations" ->
+      """WITH t0 AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    x -> x <> '') AS ts
+        |  FROM documents),
+        |bg AS (
+        |  SELECT unnest(list_transform(generate_series(1, greatest(len(ts) - 1, 0)),
+        |    i -> ts[i] || ' ' || ts[i + 1])) AS g
+        |  FROM t0),
+        |un AS (SELECT unnest(ts) AS w FROM t0),
+        |ba AS (SELECT g, count(*)::BIGINT AS n_ab FROM bg GROUP BY 1),
+        |uc AS (SELECT w, count(*)::BIGINT AS nw FROM un GROUP BY 1),
+        |tot AS (SELECT sum(n_ab)::BIGINT AS n FROM ba)
+        |SELECT ba.g AS bigram, ba.n_ab, a.nw AS n_a, b.nw AS n_b,
+        |  (ba.n_ab::DOUBLE * tot.n::DOUBLE)
+        |    / (a.nw::DOUBLE * b.nw::DOUBLE) AS lift
+        |FROM ba
+        |CROSS JOIN tot
+        |JOIN uc a ON a.w = split_part(ba.g, ' ', 1)
+        |JOIN uc b ON b.w = split_part(ba.g, ' ', 2)
+        |WHERE ba.n_ab >= 3
+        |ORDER BY lift DESC, bigram LIMIT 50""".stripMargin,
     // q108: identical quantization; the curve walk is the unrolled
     // per-level CTE chain emitted next to the implementation.
     "q108_hilbert_layout" ->

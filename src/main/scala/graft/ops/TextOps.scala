@@ -306,6 +306,50 @@ object TextOps {
       .select(col("token"), col("df"), col("n_postings"), col("postings"))
   }
 
+  /** Collocation mining — bigrams whose components co-occur far more
+    * than independence predicts (Mikolov-style phrase detection /
+    * classic PMI collocations), ranked by the lift ratio
+    * `n_ab·N / (n_a·n_b)` (= 2^PMI; same ordering, no log, and every
+    * factor is an exact integer so the only float op is one division
+    * sequence that is bit-identical on any IEEE engine — the
+    * fix_log2 oracle-parity rule applied by eliminating the log
+    * entirely). `minCount` prunes the noise tail that dominates raw
+    * PMI.
+    *
+    * Plan shape: one corpus pass builds bigram occurrences
+    * ([[ngramOccurrences]] — tight typed pass), partial-aggregated to
+    * the bigram-vocabulary frame and persisted (it feeds the total,
+    * the filtered candidates, and nothing else touches the corpus
+    * twice for bigrams); one more pass counts unigrams
+    * (word-vocabulary-bounded, broadcast onto the candidates twice);
+    * the 1-row total broadcasts; the final top-k compiles to
+    * TakeOrderedAndProject (k rows per partition move). Output:
+    * (bigram, n_ab, n_a, n_b, lift), lift desc, bigram asc. */
+  def collocations(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", minCount: Long = 2,
+                   topK: Int = 50): DataFrame = {
+    require(minCount >= 1 && topK >= 1, "collocations needs minCount, topK >= 1")
+    val biAll = ngramOccurrences(docs, idCol, textCol, 2)
+      .groupBy(col("g")).agg(count(lit(1)).as("n_ab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = biAll.agg(sum(col("n_ab")).as("n_total"))
+    val uni = ngramOccurrences(docs, idCol, textCol, 1)
+      .groupBy(col("g")).agg(count(lit(1)).as("nw"))
+    val ua = uni.select(col("g").as("__w1"), col("nw").as("n_a"))
+    val ub = uni.select(col("g").as("__w2"), col("nw").as("n_b"))
+    biAll.filter(col("n_ab") >= minCount)
+      .withColumn("__w1", split(col("g"), " ").getItem(0))
+      .withColumn("__w2", split(col("g"), " ").getItem(1))
+      .join(broadcast(ua), "__w1")
+      .join(broadcast(ub), "__w2")
+      .crossJoin(broadcast(tot))
+      .select(col("g").as("bigram"), col("n_ab"), col("n_a"), col("n_b"),
+        ((col("n_ab").cast("double") * col("n_total").cast("double"))
+          / (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(topK)
+  }
+
   /** Exact phrase search over positional postings — the retrieval
     * family's phrase/adjacency operator ([[invertedIndex]] gives
     * membership, [[Retrieval]] gives ranking; this gives ORDER). Finds
