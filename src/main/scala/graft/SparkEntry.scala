@@ -789,6 +789,17 @@ object SparkEntry {
       graft.ops.TextOps.collocations(t(s, dir, "documents"),
         minCount = 3, topK = 50)),
 
+    // Deterministic 90/5/5 split assignment: per (split, lang), count
+    // + id-sum (the q33 exact-membership trick). The assignment is a
+    // zero-shuffle projection; the aggregation is the checkable view.
+    "q110_split_assign" -> ((s, dir) =>
+      graft.ops.Sampling.splitAssign(t(s, dir, "documents"), "doc_id",
+          Seq(("train", 90), ("val", 5), ("test", 5)))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("sum_ids"))
+        .orderBy(col("split"), col("lang"))),
+
     // Bitext-style margin scoring (Artetxe & Schwenk ratio margin):
     // edges of the capped kNN graph scored by 2·cos/(avgK(a)+avgK(b))
     // — the hubness-robust parallel-pair criterion. avgK folds the k
@@ -3737,6 +3748,17 @@ object SparkEntry {
         |  TRUE AS exact
         |FROM p LEFT JOIN i ON p.sa = i.sa AND p.sb = i.sb
         |ORDER BY src_a, src_b""".stripMargin,
+    // q110: the q33 hash construction at 100 buckets; labels by the
+    // same cumulative cuts (train < 90, val < 95, else test).
+    "q110_split_assign" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS hb
+        |  FROM documents)
+        |SELECT CASE WHEN hb < 90 THEN 'train'
+        |            WHEN hb < 95 THEN 'val' ELSE 'test' END AS split,
+        |  lang, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q109: same double-expression structure as the operator
     // (cast-then-multiply-then-divide) so the lift is bit-identical.
     "q109_collocations" ->

@@ -47,6 +47,32 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Deterministic train/val/test split assignment: every row gets the
+    * label of the bucket range its id-hash falls in — `splits` is
+    * (label, weight) with weights summing to `buckets` (e.g.
+    * ("train",90),("val",5),("test",5)). Disjoint and covering by
+    * construction (null ids hash too — see [[hashBucket]]), stable
+    * across reruns/repartitions/engines, and membership of a row never
+    * changes when OTHER rows are added — the property a modulo-on-
+    * row_number split lacks and the reason eval sets stay closed as
+    * the corpus grows. Pure codegen'd projection: zero shuffle. */
+  def splitAssign(df: DataFrame, idCol: String, splits: Seq[(String, Int)],
+                  buckets: Int = 100): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "splitAssign needs positive split weights")
+    require(splits.map(_._2).sum == buckets,
+      s"split weights must sum to buckets=$buckets: $splits")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"split labels must be unique: $splits")
+    val b = hashBucket(col(idCol), buckets)
+    val cuts = splits.scanLeft(0)(_ + _._2).tail
+    val label = splits.zip(cuts).init
+      .foldRight(lit(splits.last._1): Column) {
+        case (((name, _), cut), acc) => when(b < cut, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", label)
+  }
+
   /** Deterministic global training-order shuffle: every row gets a
     * (shard, pos) address — shard by id-hash, position within the shard
     * by (finer id-hash, id). Training loaders read shards in parallel

@@ -74,4 +74,35 @@ class SamplingSpec extends AnyFunSuite {
       .select(col("lang"), col("doc_id")).as[(String, Long)].collect()
     assert(s1.toSet == s2.toSet)
   }
+
+  test("splitAssign: disjoint-and-covering labels, closed under corpus growth") {
+    import spark.implicits._
+    val splits = Seq(("train", 90), ("val", 5), ("test", 5))
+    val a = Sampling.splitAssign(docs, "doc_id", splits)
+      .select(col("doc_id"), col("split")).as[(Long, String)].collect().toMap
+    assert(a.size == docs.count(), "every row gets exactly one label")
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+    assert(a.values.toSet.size == 3, "all three splits must be populated")
+    // closure: assignment of existing rows is untouched by new rows
+    val grown = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 100000L))
+    val b = Sampling.splitAssign(grown, "doc_id", splits)
+      .select(col("doc_id"), col("split")).as[(Long, String)].collect().toMap
+    a.foreach { case (id, s) => assert(b(id) == s, s"row $id moved split") }
+    // agreement with deterministicSample's bucket arithmetic: the
+    // train set is exactly the < 90 pct sample
+    val train90 = Sampling.deterministicSample(docs, "doc_id", 90)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(a.filter(_._2 == "train").keySet == train90)
+    // zero shuffle in the assignment plan
+    val plan = Sampling.splitAssign(docs, "doc_id", splits)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"splitAssign must not shuffle:\n$plan")
+  }
+
+  test("splitAssign: weights validated") {
+    intercept[IllegalArgumentException](
+      Sampling.splitAssign(docs, "doc_id", Seq(("a", 50), ("b", 49))))
+    intercept[IllegalArgumentException](
+      Sampling.splitAssign(docs, "doc_id", Seq(("a", 100), ("a", 0))))
+  }
 }
