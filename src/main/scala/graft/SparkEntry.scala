@@ -800,6 +800,27 @@ object SparkEntry {
           sum(col("doc_id")).cast("long").as("sum_ids"))
         .orderBy(col("split"), col("lang"))),
 
+    // CDC apply (snapshotDiff's inverse): a three-batch change stream
+    // with overlapping keys (edit, delete, rewrite — seq-ordered)
+    // compacts to latest-per-key and merges into the snapshot. Text
+    // reported as md5 so the payload check is exact but narrow.
+    "q111_cdc_apply" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def ch(cond: Column, seq: Int, op: String, text: Column) =
+        docs.filter(cond).select(col("doc_id"), lit(seq).as("seq"),
+          lit(op).as("op"), text.as("text"), col("lang"), col("source"),
+          length(text).cast("long").as("n_chars"))
+      val changes =
+        ch(col("doc_id") % 7 === 1, 1, "upsert", concat(col("text"), lit(" v2-edit")))
+          .unionByName(ch(col("doc_id") % 11 === 3, 2, "delete", lit(null).cast("string")))
+          .unionByName(ch(col("doc_id") % 13 === 5, 3, "upsert",
+            concat(lit("rewritten "), col("lang"))))
+      graft.ops.Diff.applyChanges(docs, changes, "doc_id", seqCol = Some("seq"))
+        .select(col("doc_id"), md5(col("text")).as("text_md5"), col("lang"),
+          col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Bitext-style margin scoring (Artetxe & Schwenk ratio margin):
     // edges of the capped kNN graph scored by 2·cos/(avgK(a)+avgK(b))
     // — the hubness-robust parallel-pair criterion. avgK folds the k
@@ -3748,6 +3769,36 @@ object SparkEntry {
         |  TRUE AS exact
         |FROM p LEFT JOIN i ON p.sa = i.sa AND p.sb = i.sb
         |ORDER BY src_a, src_b""".stripMargin,
+    // q111: same change construction; compaction = row_number over
+    // (seq desc, op desc); apply = NOT IN touched + upsert union.
+    "q111_cdc_apply" ->
+      """WITH ch AS (
+        |  SELECT doc_id, 1 AS seq, 'upsert' AS op,
+        |    text || ' v2-edit' AS text, lang, source,
+        |    length(text || ' v2-edit')::BIGINT AS n_chars
+        |  FROM documents WHERE doc_id % 7 = 1
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'delete', NULL, lang, source, NULL
+        |  FROM documents WHERE doc_id % 11 = 3
+        |  UNION ALL
+        |  SELECT doc_id, 3, 'upsert', 'rewritten ' || lang, lang, source,
+        |    length('rewritten ' || lang)::BIGINT
+        |  FROM documents WHERE doc_id % 13 = 5),
+        |comp AS (
+        |  SELECT * FROM (
+        |    SELECT ch.*, row_number()
+        |      OVER (PARTITION BY doc_id ORDER BY seq DESC, op DESC) AS rn
+        |    FROM ch) WHERE rn = 1),
+        |kept AS (
+        |  SELECT doc_id, text, lang, source, n_chars FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM comp)),
+        |next AS (
+        |  SELECT * FROM kept
+        |  UNION ALL
+        |  SELECT doc_id, text, lang, source, n_chars FROM comp
+        |  WHERE op = 'upsert')
+        |SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
+        |FROM next ORDER BY doc_id""".stripMargin,
     // q110: the q33 hash construction at 100 buckets; labels by the
     // same cumulative cuts (train < 90, val < 95, else test).
     "q110_split_assign" ->

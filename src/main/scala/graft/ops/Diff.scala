@@ -48,4 +48,39 @@ object Diff {
     filtered.select(col("k").as(keyCol), col("status"),
       col("cur_hash"), col("prior_hash"))
   }
+
+  /** Apply a CDC change set to a snapshot — [[snapshotDiff]]'s inverse
+    * and the merge step of every periodically-rebuilt corpus: `changes`
+    * carries (key, `opCol` ∈ upsert|delete, payload columns matching
+    * the snapshot schema) and the result is the next snapshot version.
+    *
+    * With `seqCol` the change set is first COMPACTED to the
+    * highest-seq change per key (the log-to-table collapse of a
+    * multi-batch CDC stream; seq must totally order each key's
+    * changes — ties tie-break on op so the result is still
+    * deterministic, but a real stream should carry a strict sequence).
+    * Without it, keys must be unique in `changes`.
+    *
+    * Scale shape: compaction is one WindowGroupLimit-compiled window
+    * keyed by the change key (change-set-sized, not corpus-sized); the
+    * apply is ONE left-anti join of the snapshot against the touched
+    * keys (narrow key column — AQE broadcasts it when the change set
+    * is small, the overwhelmingly common case) plus a union with the
+    * upsert payloads. The snapshot payload never shuffles. */
+  def applyChanges(snapshot: DataFrame, changes: DataFrame, keyCol: String,
+                   opCol: String = "op",
+                   seqCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val compacted = seqCol match {
+      case Some(sc) =>
+        val w = Window.partitionBy(col(keyCol))
+          .orderBy(col(sc).desc, col(opCol).desc)
+        changes.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn", sc)
+      case None => changes
+    }
+    val touched = compacted.select(col(keyCol)).distinct()
+    snapshot.join(touched, Seq(keyCol), "left_anti")
+      .unionByName(compacted.filter(col(opCol) === "upsert").drop(opCol))
+  }
 }
