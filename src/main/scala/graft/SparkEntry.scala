@@ -821,6 +821,73 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // HITS hubs & authorities (2 iterations) over the same deterministic
+    // doc-link graph as q94 — max-normalized (order-independent, so
+    // bit-exact without a second fold), exactFold pins the neighborhood
+    // sums to neighbor order for the oracle.
+    "q112_hits" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cnt = docs.agg(count(lit(1)).as("cnt"))
+      val withCnt = docs.select(col("doc_id")).crossJoin(broadcast(cnt))
+      val edges = withCnt.select(col("doc_id").as("src"),
+          ((col("doc_id") * 2 + 1) % col("cnt")).as("dst"))
+        .unionByName(withCnt.select(col("doc_id").as("src"),
+          ((col("doc_id") * 3 + 7) % col("cnt")).as("dst")))
+      graft.ops.Graph.hits(docs.select(col("doc_id").as("id")), edges,
+          iterations = 2, exactFold = true)
+        .orderBy(col("id"))
+    }),
+
+    // C4-style line cleaning (Raffel et al. §2.2) on a deterministic
+    // lined fixture: every 5 words become a '.'-terminated line; docs
+    // %3==0 punctuate their ragged tail too (exercising the minWords
+    // rule independently of terminal punctuation); docs %13==0 carry a
+    // '{' marker and drop whole. 'slow' stands in for C4's
+    // 'javascript' banned line word on this vocabulary.
+    "q113_c4_line_clean" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lined = regexp_replace(col("text"),
+        "(\\w+ \\w+ \\w+ \\w+ \\w+) ", "$1.\n")
+      val tailDot = when(col("doc_id") % 3 === 0, concat(lined, lit(".")))
+        .otherwise(lined)
+      val marked = when(col("doc_id") % 13 === 0, concat(tailDot, lit(" {")))
+        .otherwise(tailDot)
+      graft.ops.TextOps.c4LineClean(
+          docs.withColumn("text", marked),
+          minWords = 3, bannedLineWords = Seq("slow"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Corpus-level duplicate-line removal (the C4 repeated-span rule at
+    // line granularity) on the same 5-word lined fixture — the corpus's
+    // shared dup texts guarantee cross-doc repeats; any line occurring
+    // more than once corpus-wide is removed from every doc.
+    "q114_dedup_lines" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lined = regexp_replace(col("text"),
+        "(\\w+ \\w+ \\w+ \\w+ \\w+) ", "$1.\n")
+      graft.ops.TextOps.dedupLines(docs.withColumn("text", lined))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Synchronous label propagation (3 iterations, min-label ties) on a
+    // blocky fixture: each doc links to its block-of-10 center, blocks
+    // chained weakly by one center-to-predecessor edge — LPA should
+    // collapse each star onto its center label while the weak chain
+    // exercises the tie-break.
+    "q115_label_prop" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ids = docs.select(col("doc_id"))
+      val stars = ids.select(col("doc_id").as("src"),
+        (col("doc_id") - col("doc_id") % 10).as("dst"))
+      val chain = ids.filter(col("doc_id") % 10 === 0 && col("doc_id") > 0)
+        .select(col("doc_id").as("src"), (col("doc_id") - 1).as("dst"))
+      graft.ops.Graph.labelPropagation(
+          docs.select(col("doc_id").as("id")),
+          stars.unionByName(chain), iterations = 3)
+        .orderBy(col("id"))
+    }),
+
     // Bitext-style margin scoring (Artetxe & Schwenk ratio margin):
     // edges of the capped kNN graph scored by 2·cos/(avgK(a)+avgK(b))
     // — the hubness-robust parallel-pair criterion. avgK folds the k
@@ -3770,6 +3837,161 @@ object SparkEntry {
         |FROM p LEFT JOIN i ON p.sa = i.sa AND p.sb = i.sb
         |ORDER BY src_a, src_b""".stripMargin,
     // q111: same change construction; compaction = row_number over
+    // q112: 2 unrolled HITS iterations on the q94 link fixture. The
+    // neighborhood sum is list_reduce over [0.0] || list(sc ORDER BY
+    // neighbor) — exactly Spark's aggregate(array_sort(...), 0.0, +)
+    // left-association. Max-normalization needs no fold (max is
+    // order-independent); score tables are always node-complete with
+    // COALESCE(s/mx, 0.0) so zero-score nodes contribute exact 0.0 adds
+    // in the next iteration, as in the engine.
+    "q112_hits" ->
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM documents),
+        |nodes AS (SELECT doc_id AS id FROM documents),
+        |e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT doc_id AS src, (doc_id * 2 + 1) % (SELECT cnt FROM nn) AS dst
+        |    FROM documents
+        |    UNION ALL
+        |    SELECT doc_id, (doc_id * 3 + 7) % (SELECT cnt FROM nn)
+        |    FROM documents)),
+        |h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS sc FROM nodes),
+        |a1s AS (SELECT dst AS id,
+        |          list_reduce([CAST(0.0 AS DOUBLE)] || list(sc ORDER BY src),
+        |                      (x, y) -> x + y) AS s
+        |        FROM e JOIN h0 ON h0.id = e.src GROUP BY dst),
+        |a1 AS (SELECT n.id,
+        |         COALESCE(s.s / (SELECT max(s) FROM a1s), CAST(0.0 AS DOUBLE)) AS sc
+        |       FROM nodes n LEFT JOIN a1s s ON s.id = n.id),
+        |h1s AS (SELECT src AS id,
+        |          list_reduce([CAST(0.0 AS DOUBLE)] || list(sc ORDER BY dst),
+        |                      (x, y) -> x + y) AS s
+        |        FROM e JOIN a1 ON a1.id = e.dst GROUP BY src),
+        |h1 AS (SELECT n.id,
+        |         COALESCE(s.s / (SELECT max(s) FROM h1s), CAST(0.0 AS DOUBLE)) AS sc
+        |       FROM nodes n LEFT JOIN h1s s ON s.id = n.id),
+        |a2s AS (SELECT dst AS id,
+        |          list_reduce([CAST(0.0 AS DOUBLE)] || list(sc ORDER BY src),
+        |                      (x, y) -> x + y) AS s
+        |        FROM e JOIN h1 ON h1.id = e.src GROUP BY dst),
+        |a2 AS (SELECT n.id,
+        |         COALESCE(s.s / (SELECT max(s) FROM a2s), CAST(0.0 AS DOUBLE)) AS sc
+        |       FROM nodes n LEFT JOIN a2s s ON s.id = n.id),
+        |h2s AS (SELECT src AS id,
+        |          list_reduce([CAST(0.0 AS DOUBLE)] || list(sc ORDER BY dst),
+        |                      (x, y) -> x + y) AS s
+        |        FROM e JOIN a2 ON a2.id = e.dst GROUP BY src),
+        |h2 AS (SELECT n.id,
+        |         COALESCE(s.s / (SELECT max(s) FROM h2s), CAST(0.0 AS DOUBLE)) AS sc
+        |       FROM nodes n LEFT JOIN h2s s ON s.id = n.id)
+        |SELECT n.id, h.sc AS hub, a.sc AS auth
+        |FROM nodes n JOIN h2 h ON h.id = n.id JOIN a2 a ON a.id = n.id
+        |ORDER BY n.id""".stripMargin,
+    // q113: the same lined fixture (RE2 'g'-flag replace, \1 backref),
+    // then the three line rules as list_filter lambdas and the
+    // doc-marker drops as plain contains. Word count is the
+    // engine-portable split-on-' ' non-empty form.
+    "q113_c4_line_clean" ->
+      """WITH lined AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, '(\w+ \w+ \w+ \w+ \w+) ',
+        |                   '\1.' || chr(10), 'g') AS t0
+        |  FROM documents),
+        |t1s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN t0 || '.' ELSE t0 END AS t1
+        |  FROM lined),
+        |mk AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN t1 || ' {' ELSE t1 END AS t
+        |  FROM t1s),
+        |survivors AS (
+        |  SELECT doc_id, t FROM mk
+        |  WHERE NOT contains(lower(t), 'lorem ipsum')
+        |    AND NOT contains(lower(t), '{')),
+        |ls AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split(t, chr(10)), l -> trim(l)) AS all_lines
+        |  FROM survivors),
+        |flt AS (
+        |  SELECT doc_id, all_lines,
+        |    list_filter(all_lines, l ->
+        |      regexp_matches(l, '[.!?"]$')
+        |      AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 3
+        |      AND NOT contains(lower(l), 'slow')) AS kept
+        |  FROM ls)
+        |SELECT doc_id, array_to_string(kept, chr(10)) AS text,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  CAST(len(all_lines) - len(kept) AS BIGINT) AS n_dropped
+        |FROM flt WHERE len(kept) > 0 ORDER BY doc_id""".stripMargin,
+    // q114: unnest lines with their subscript, count identities
+    // globally, reassemble with a pos-ordered string_agg that skips the
+    // over-occurring lines via CASE->NULL.
+    "q114_dedup_lines" ->
+      """WITH lined AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(text, '(\w+ \w+ \w+ \w+ \w+) ',
+        |                                '\1.' || chr(10), 'g'), chr(10)) AS ls
+        |  FROM documents),
+        |ex AS (
+        |  SELECT doc_id, i AS pos, trim(ls[i]) AS line
+        |  FROM lined, LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i)
+        |  WHERE trim(ls[i]) <> ''),
+        |cnt AS (SELECT lower(line) AS ident, count(*) AS n FROM ex GROUP BY 1),
+        |j AS (SELECT e.doc_id, e.pos, e.line, c.n
+        |      FROM ex e JOIN cnt c ON lower(e.line) = c.ident),
+        |agg AS (
+        |  SELECT doc_id,
+        |    string_agg(CASE WHEN n <= 1 THEN line END, chr(10) ORDER BY pos) AS text,
+        |    count(CASE WHEN n <= 1 THEN 1 END) AS n_kept,
+        |    count(*) - count(CASE WHEN n <= 1 THEN 1 END) AS n_removed
+        |  FROM j GROUP BY doc_id)
+        |SELECT doc_id, text, CAST(n_kept AS BIGINT) AS n_kept,
+        |  CAST(n_removed AS BIGINT) AS n_removed
+        |FROM agg WHERE n_kept > 0 ORDER BY doc_id""".stripMargin,
+    // q115: 3 unrolled LPA iterations; the most-frequent/min-label rule
+    // is a row_number over the per-(node,label) counts (the engine's
+    // max(struct(c, -lab)) spelled as a window), isolated nodes keep
+    // their previous label via LEFT JOIN + COALESCE.
+    "q115_label_prop" ->
+      """WITH nodes AS (SELECT doc_id AS id FROM documents),
+        |raw AS (
+        |  SELECT doc_id AS src, doc_id - doc_id % 10 AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, doc_id - 1 FROM documents
+        |  WHERE doc_id % 10 = 0 AND doc_id > 0),
+        |e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw)
+        |  WHERE src <> dst),
+        |l0 AS (SELECT id, id AS lab FROM nodes),
+        |b1 AS (
+        |  SELECT id, lab FROM (
+        |    SELECT e.dst AS id, l.lab,
+        |      row_number() OVER (PARTITION BY e.dst
+        |                         ORDER BY count(*) DESC, l.lab ASC) AS rn
+        |    FROM e JOIN l0 l ON l.id = e.src GROUP BY e.dst, l.lab)
+        |  WHERE rn = 1),
+        |l1 AS (SELECT l.id, COALESCE(b.lab, l.lab) AS lab
+        |       FROM l0 l LEFT JOIN b1 b ON b.id = l.id),
+        |b2 AS (
+        |  SELECT id, lab FROM (
+        |    SELECT e.dst AS id, l.lab,
+        |      row_number() OVER (PARTITION BY e.dst
+        |                         ORDER BY count(*) DESC, l.lab ASC) AS rn
+        |    FROM e JOIN l1 l ON l.id = e.src GROUP BY e.dst, l.lab)
+        |  WHERE rn = 1),
+        |l2 AS (SELECT l.id, COALESCE(b.lab, l.lab) AS lab
+        |       FROM l1 l LEFT JOIN b2 b ON b.id = l.id),
+        |b3 AS (
+        |  SELECT id, lab FROM (
+        |    SELECT e.dst AS id, l.lab,
+        |      row_number() OVER (PARTITION BY e.dst
+        |                         ORDER BY count(*) DESC, l.lab ASC) AS rn
+        |    FROM e JOIN l2 l ON l.id = e.src GROUP BY e.dst, l.lab)
+        |  WHERE rn = 1),
+        |l3 AS (SELECT l.id, COALESCE(b.lab, l.lab) AS lab
+        |       FROM l2 l LEFT JOIN b3 b ON b.id = l.id)
+        |SELECT id, lab AS label FROM l3 ORDER BY id""".stripMargin,
     // (seq desc, op desc); apply = NOT IN touched + upsert union.
     "q111_cdc_apply" ->
       """WITH ch AS (

@@ -79,4 +79,128 @@ object Graph {
     }
     ranks
   }
+
+  /** Fixed-iteration HITS (Kleinberg hubs & authorities).
+    *
+    * The natural complement to [[pageRank]] for crawl curation: a page
+    * can be a poor authority but a valuable hub (link directories,
+    * sitemaps, "awesome lists") — frontier schedulers seed from high-hub
+    * pages while quality gates keep high-authority ones.
+    *
+    * `nodes` is (id: long); `edges` is (src, dst), deduplicated. Per
+    * iteration: auth(v) = Σ_{u→v} hub(u), max-normalized, then
+    * hub(u) = Σ_{u→v} auth(v), max-normalized. Max-normalization (not
+    * the textbook L2) is chosen deliberately: `max` is order-independent
+    * and every IEEE division by it is exact-in-place, so the whole
+    * iteration is bit-reproducible across engines without a second
+    * non-associative fold (an L2 norm would need its own exactFold).
+    * Nodes with no in-links get auth 0.0, no out-links hub 0.0; at
+    * least one edge is required so the max is positive.
+    *
+    * Plan shape per iteration: two hash joins of score rows onto the
+    * persisted edge list (|V| rows shuffled, never |E| re-derived), two
+    * partial-aggregated groupBys, two broadcast 1-row maxima. Same
+    * lineage-truncation and `exactFold` contract as [[pageRank]]: the
+    * default partial-agg `sum` is the 100 TB path; `exactFold = true`
+    * buffers each neighborhood in a sorted array for oracle-bit-exact
+    * left-association (oracle mode only — hub pages have unbounded
+    * in-degree).
+    */
+  def hits(nodes: DataFrame, edges: DataFrame, iterations: Int = 2,
+           exactFold: Boolean = false, reliable: Boolean = false,
+           checkpointEvery: Int = 5): DataFrame = {
+    require(iterations >= 1, "hits needs at least one iteration")
+    val n = nodes.select(col("id").cast("long").as("id"))
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct().persist()
+
+    // Σ over the neighborhood with the pinned parenthesization
+    // (((0.0 + x1) + x2) + ...) in `ord` order when exactFold is on.
+    def foldSum(df: DataFrame, key: String, ord: String): DataFrame = {
+      val g = df.groupBy(col(key))
+      val s =
+        if (exactFold)
+          g.agg(aggregate(
+            array_sort(collect_list(struct(col(ord), col("c")))),
+            lit(0.0), (acc, x) => acc + x.getField("c")).as("s"))
+        else g.agg(sum(col("c")).as("s"))
+      s.withColumnRenamed(key, "id")
+    }
+    // score / max(score), 0.0-filled for nodes outside the group-by.
+    def normalized(sums: DataFrame, out: String): DataFrame = {
+      val mx = sums.agg(max(col("s")).as("mx"))
+      n.join(sums, Seq("id"), "left").crossJoin(broadcast(mx))
+        .select(col("id"),
+          coalesce(col("s") / col("mx"), lit(0.0)).as(out))
+    }
+
+    var hub = n.select(col("id"), lit(1.0).as("hub"))
+    var auth: DataFrame = null
+    for (i <- 1 to iterations) {
+      auth = normalized(foldSum(
+        e.join(hub.withColumnRenamed("id", "src"), "src")
+          .select(col("dst"), col("src"), col("hub").as("c")),
+        "dst", "src"), "auth")
+      hub = normalized(foldSum(
+        e.join(auth.withColumnRenamed("id", "dst"), "dst")
+          .select(col("src"), col("dst"), col("auth").as("c")),
+        "src", "dst"), "hub")
+      if (i % checkpointEvery == 0 && i < iterations) {
+        hub = if (reliable) hub.checkpoint() else hub.localCheckpoint()
+        auth = if (reliable) auth.checkpoint() else auth.localCheckpoint()
+      }
+    }
+    hub.join(auth, Seq("id")).select(col("id"), col("hub"), col("auth"))
+  }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) with a
+    * deterministic tie-break — community detection over crawl/link
+    * graphs (domain clustering, near-dup cluster refinement beyond
+    * connected components).
+    *
+    * Every node starts labeled with its own id. Per iteration, each
+    * node adopts the most frequent label among its neighbors, ties
+    * broken by SMALLEST label; nodes with no neighbors keep their
+    * current label. Synchronous (all updates from the previous round's
+    * labels) + min-label ties = fully deterministic, unlike the
+    * textbook's random asynchronous order — the property that makes it
+    * oracle-checkable and re-runnable.
+    *
+    * Plan shape per iteration: one join of label rows onto the
+    * persisted (symmetrized, deduplicated, self-loop-free) edge list,
+    * then TWO partial aggregations — count per (node, label), then
+    * `max(struct(count, -label))` per node, which encodes the
+    * most-frequent/min-label rule as a single associative max so no
+    * window or second shuffle of raw neighbor rows is needed. Only
+    * label rows (|V|) shuffle per iteration. Same checkpoint contract
+    * as [[pageRank]].
+    */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame,
+                       iterations: Int = 3, undirected: Boolean = true,
+                       reliable: Boolean = false,
+                       checkpointEvery: Int = 5): DataFrame = {
+    require(iterations >= 1, "labelPropagation needs at least one iteration")
+    val n = nodes.select(col("id").cast("long").as("id"))
+    val raw = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val sym = if (undirected)
+      raw.unionByName(raw.select(col("dst").as("src"), col("src").as("dst")))
+    else raw
+    val e = sym.filter(col("src") =!= col("dst")).distinct().persist()
+    var labels = n.select(col("id"), col("id").as("lab"))
+    for (i <- 1 to iterations) {
+      val neigh = e.join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("lab"))
+      val best = neigh.groupBy(col("id"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("id"))
+        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("id"), (-col("m.nl")).as("new_lab"))
+      labels = labels.join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("new_lab"), col("lab")).as("lab"))
+      if (i % checkpointEvery == 0 && i < iterations)
+        labels = if (reliable) labels.checkpoint() else labels.localCheckpoint()
+    }
+    labels.select(col("id"), col("lab").as("label"))
+  }
 }

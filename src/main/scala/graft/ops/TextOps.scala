@@ -1085,4 +1085,110 @@ object TextOps {
         coalesce(col("n_words"), lit(0L)).as("n_words"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
   }
+
+  /** C4-style line-level cleaning (Raffel et al. 2020 §2.2, the rules
+    * behind the C4 corpus; reference pipelines apply them verbatim).
+    * Per LINE (split on '\n', trimmed): keep only lines that
+    *   (1) end in a terminal-punctuation character (. ! ? or ")
+    *   (2) contain at least `minWords` whitespace-separated words
+    *   (3) contain none of `bannedLineWords` (case-insensitive) —
+    *       C4 uses "javascript" (cookie/JS boilerplate).
+    * Per DOCUMENT: drop the whole doc if it contains any of
+    * `bannedDocMarkers` (C4: "lorem ipsum" and the curly brace "{",
+    * which marks leaked code/templates), or if NO lines survive.
+    *
+    * Everything is codegen'd higher-order array functions inside the
+    * scan stage — zero shuffles, a pure map at 100 TB. Word counting is
+    * engine-portable on purpose: words = elements of split-on-' ' that
+    * are non-empty (no \s regex class, whose Unicode width differs
+    * across engines).
+    *
+    * Output: (idCol, text = kept lines re-joined with '\n',
+    * n_kept, n_dropped) for surviving docs only. */
+  def c4LineClean(docs: DataFrame,
+                  minWords: Int = 3,
+                  bannedLineWords: Seq[String] = Seq("javascript"),
+                  bannedDocMarkers: Seq[String] = Seq("lorem ipsum", "{"),
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(minWords >= 1, "minWords must be >= 1")
+    val lower = org.apache.spark.sql.functions.lower(col(textCol))
+    val docBanned = bannedDocMarkers
+      .map(m => lower.contains(lit(m.toLowerCase)))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val lines = transform(split(col(textCol), "\n"), l => trim(l))
+    def lineKeep(l: Column): Column = {
+      val terminal = l.rlike("[.!?\"]$")
+      val words = size(filter(split(l, " "), w => length(w) > 0))
+      val banned = bannedLineWords
+        .map(b => org.apache.spark.sql.functions.lower(l).contains(lit(b.toLowerCase)))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      terminal && words >= minWords && !banned
+    }
+    docs.select(col(idCol).cast("long").as(idCol), col(textCol))
+      .filter(col(textCol).isNotNull && !docBanned)
+      .select(col(idCol),
+        lines.as("all_lines"),
+        filter(lines, l => lineKeep(l)).as("kept_lines"))
+      .filter(size(col("kept_lines")) > 0)
+      .select(col(idCol),
+        array_join(col("kept_lines"), "\n").as(textCol),
+        size(col("kept_lines")).cast("long").as("n_kept"),
+        (size(col("all_lines")) - size(col("kept_lines")))
+          .cast("long").as("n_dropped"))
+  }
+
+  /** Corpus-level duplicate-line removal (the other half of C4 §2.2:
+    * "we discarded all but one of any three-sentence span occurring
+    * more than once", here at line granularity — the variant most
+    * production pipelines actually run, e.g. for boilerplate nav/footer
+    * lines that repeat across a crawl).
+    *
+    * A line's identity is its trimmed, lowercased form; empty lines are
+    * dropped outright. A line is removed from EVERY doc when its
+    * identity occurs more than `maxOccurrences` times corpus-wide
+    * (including within one doc) — the boilerplate-kill variant, unlike
+    * [[graft.ops.Dedup.paragraphDedup]]'s keep-first-occurrence rule
+    * (both appear in production pipelines; nav/footer boilerplate wants
+    * no survivor at all). Docs whose lines all disappear drop out of
+    * the result.
+    *
+    * Scale shape: posexplode (map) → one hash aggregation on the line
+    * identity (partial-agg'd: only (line, count) partials cross the
+    * exchange) → one shuffle join back on identity → one groupBy(doc)
+    * to reassemble in original position order. Two exchanges total,
+    * both on bounded rows (lines, not docs × lines²); the reassembly
+    * buffer per doc is the doc's own surviving lines — the same
+    * bounded-by-input shape as [[chunkDocs]]'s inverse.
+    *
+    * Output: (idCol, text = surviving lines joined with '\n',
+    * n_kept, n_removed). */
+  def dedupLines(docs: DataFrame, maxOccurrences: Long = 1,
+                 idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    require(maxOccurrences >= 1, "maxOccurrences must be >= 1")
+    val exploded = docs
+      .select(col(idCol).cast("long").as(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .select(col(idCol), col("pos"), trim(col("line")).as("line"))
+      .filter(length(col("line")) > 0)
+      .withColumn("ident", org.apache.spark.sql.functions.lower(col("line")))
+    val counts = exploded.groupBy(col("ident"))
+      .agg(count(lit(1)).as("n_occ"))
+    exploded.join(counts, "ident")
+      .groupBy(col(idCol))
+      .agg(
+        sort_array(collect_list(struct(col("pos"), col("line"))))
+          .as("all_sorted"),
+        sort_array(collect_list(
+          when(col("n_occ") <= maxOccurrences,
+            struct(col("pos"), col("line"))))).as("kept_sorted"))
+      .filter(size(col("kept_sorted")) > 0)
+      .select(col(idCol),
+        array_join(transform(col("kept_sorted"), x => x.getField("line")), "\n")
+          .as(textCol),
+        size(col("kept_sorted")).cast("long").as("n_kept"),
+        (size(col("all_sorted")) - size(col("kept_sorted")))
+          .cast("long").as("n_removed"))
+  }
 }

@@ -311,4 +311,112 @@ class GateGraphSketchSpec extends AnyFunSuite {
     assert(fast.values.forall(_ > 0))
     assert(math.abs(fast.values.sum - 1.0) < 1e-9)
   }
+
+  // ---- hits ----
+
+  test("hits on a star: center is the sole authority, leaves the hubs") {
+    // leaves 1,2,3 all point at 0. auth(0)=1 (only in-link target),
+    // hub(leaf)=1 (all tied at max), and the converse scores are 0.
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("id")
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("src", "dst")
+    val r = Graph.hits(nodes, edges, iterations = 3)
+      .as[(Long, Double, Double)].collect()
+      .map { case (id, h, a) => id -> ((h, a)) }.toMap
+    assert(r(0L) == ((0.0, 1.0)))
+    Seq(1L, 2L, 3L).foreach(l => assert(r(l) == ((1.0, 0.0))))
+  }
+
+  test("hits hand-computed: chain with a shared target") {
+    // 0->2, 1->2, 1->3. Expected scores replayed with the exact same
+    // IEEE op sequence as the implementation (fold seeded at 0.0 in
+    // neighbor order, then s / max(s), missing nodes 0.0).
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("id")
+    val edges = Seq((0L, 2L), (1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val r = Graph.hits(nodes, edges, iterations = 2)
+      .as[(Long, Double, Double)].collect()
+      .map { case (id, h, a) => id -> ((h, a)) }.toMap
+    // iter 1: a(2)=(0+1)+1=2, a(3)=0+1=1 -> auth1 = s/2
+    val auth1_2 = ((0.0 + 1.0) + 1.0) / 2.0; val auth1_3 = (0.0 + 1.0) / 2.0
+    // h(0)=0+auth1(2), h(1)=(0+auth1(2))+auth1(3); max is h(1)
+    val h1_0 = 0.0 + auth1_2; val h1_1 = (0.0 + auth1_2) + auth1_3
+    val hub1_0 = h1_0 / h1_1
+    // iter 2: a(2)=(0+hub1(0))+hub1(1), a(3)=0+hub1(1); max is a(2)
+    val a2_2 = (0.0 + hub1_0) + (h1_1 / h1_1)
+    val auth2_3 = (0.0 + (h1_1 / h1_1)) / a2_2
+    // h(0)=0+auth2(2)=1, h(1)=(0+1)+auth2(3); max is h(1)
+    val h2_1 = (0.0 + a2_2 / a2_2) + auth2_3
+    assert(r(2L)._2 == a2_2 / a2_2 && r(2L)._2 == 1.0)
+    assert(r(3L)._2 == auth2_3)
+    assert(r(1L)._1 == h2_1 / h2_1 && r(1L)._1 == 1.0)
+    assert(r(0L)._1 == (0.0 + a2_2 / a2_2) / h2_1)
+    assert(r(2L)._1 == 0.0 && r(3L)._1 == 0.0) // no out-links
+    assert(r(0L)._2 == 0.0 && r(1L)._2 == 0.0) // no in-links
+  }
+
+  test("hits duplicate edges count once; exactFold agrees with sum within ulps") {
+    val n = 20L
+    val nodes = (0L until n).toDF("id")
+    val edges = (0L until n).flatMap(i =>
+        Seq((i, (2 * i + 1) % n), (i, (3 * i + 7) % n), (i, (2 * i + 1) % n)))
+      .toDF("src", "dst")
+    val fast = Graph.hits(nodes, edges, iterations = 2)
+      .as[(Long, Double, Double)].collect()
+      .map { case (id, h, a) => id -> ((h, a)) }.toMap
+    val exact = Graph.hits(nodes, edges, iterations = 2, exactFold = true)
+      .as[(Long, Double, Double)].collect()
+      .map { case (id, h, a) => id -> ((h, a)) }.toMap
+    assert(fast.keySet == exact.keySet)
+    fast.foreach { case (id, (h, a)) =>
+      assert(math.abs(h - exact(id)._1) <= 1e-12, s"hub $id")
+      assert(math.abs(a - exact(id)._2) <= 1e-12, s"auth $id")
+    }
+    // max-normalized: every score in [0,1], at least one exact 1.0 each
+    assert(fast.values.forall { case (h, a) => h >= 0 && h <= 1 && a >= 0 && a <= 1 })
+    assert(fast.values.exists(_._1 == 1.0) && fast.values.exists(_._2 == 1.0))
+  }
+
+  // ---- labelPropagation ----
+
+  test("labelPropagation collapses a star onto the min label in one round") {
+    // center 0, leaves 1..4: every leaf's only neighbor is 0; 0's
+    // neighbors are all distinct labels -> tie -> min label 1.
+    val nodes = Seq(0L, 1L, 2L, 3L, 4L).toDF("id")
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L)).toDF("src", "dst")
+    val r1 = Graph.labelPropagation(nodes, edges, iterations = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(0L -> 1L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+    // round 2: leaves see center's label 1; center sees all-0 -> flips
+    val r2 = Graph.labelPropagation(nodes, edges, iterations = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("labelPropagation: two dense blocks keep separate communities") {
+    // blocks {0..3} and {10..13} as cliques, one weak bridge 3-10
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val nodes = ((0L to 3L) ++ (10L to 13L)).toDF("id")
+    val edges = (clique(0L to 3L) ++ clique(10L to 13L) :+ ((3L, 10L)))
+      .toDF("src", "dst")
+    val r = Graph.labelPropagation(nodes, edges, iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    val left = (0L to 3L).map(r)
+    val right = (10L to 13L).map(r)
+    assert(left.toSet.size == 1 && right.toSet.size == 1)
+    assert(left.head != right.head)
+  }
+
+  test("labelPropagation: isolated nodes and self-loops keep their own label") {
+    val nodes = Seq(0L, 1L, 2L).toDF("id")
+    val edges = Seq((0L, 0L), (1L, 2L)).toDF("src", "dst") // self-loop dropped
+    val odd = Graph.labelPropagation(nodes, edges, iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    val even = Graph.labelPropagation(nodes, edges, iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(odd(0L) == 0L && even(0L) == 0L) // self-loop ignored -> isolated
+    // synchronous LPA on a 2-cycle oscillates: swapped at odd rounds,
+    // home again at even rounds — the documented determinism contract
+    assert(odd(1L) == 2L && odd(2L) == 1L)
+    assert(even(1L) == 1L && even(2L) == 2L)
+  }
 }
