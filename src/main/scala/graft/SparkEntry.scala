@@ -888,6 +888,23 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // Containment pairs (Broder's other similarity): corpus plus
+    // synthetic 20-token "quote" docs (+1e6 ids) that embed verbatim in
+    // their %17==2 sources — containment 1.0 where Jaccard is ~0.35,
+    // exactly the case resemblance dedup misses. Integer 9/10 check on
+    // full shingle sets; candidates from capped gram posting lists.
+    "q116_containment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = filter(split(lower(col("text")), "[^a-z0-9]+"),
+        x => length(x) > 0)
+      val quotes = docs.filter(col("doc_id") % 17 === 2)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          array_join(slice(toks, 1, 20), " ").as("text"))
+      val corpus = docs.select(col("doc_id"), col("text")).unionByName(quotes)
+      graft.ops.Dedup.containmentPairs(corpus, threshNum = 9, threshDen = 10)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // Bitext-style margin scoring (Artetxe & Schwenk ratio margin):
     // edges of the capped kNN graph scored by 2·cos/(avgK(a)+avgK(b))
     // — the hubness-robust parallel-pair criterion. avgK folds the k
@@ -3992,6 +4009,32 @@ object SparkEntry {
         |l3 AS (SELECT l.id, COALESCE(b.lab, l.lab) AS lab
         |       FROM l2 l LEFT JOIN b3 b ON b.id = l.id)
         |SELECT id, lab AS label FROM l3 ORDER BY id""".stripMargin,
+    // q116: brute-force all-pairs containment at oracle scale (the
+    // engine's gram-bucket candidates + exact verify are lossless below
+    // the df cap, which this corpus never reaches); quote docs rebuilt
+    // by the same 20-token slice.
+    "q116_containment" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS toks
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, toks FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, toks[1:20] FROM base WHERE doc_id % 17 = 2),
+        |s AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks)-2, 0)),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM corpus)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_shared,
+        |  CAST(len(a.sh) AS BIGINT) AS n_a
+        |FROM s a JOIN s b ON a.doc_id <> b.doc_id
+        |WHERE len(a.sh) > 0
+        |  AND 10 * len(list_intersect(a.sh, b.sh)) >= 9 * len(a.sh)
+        |ORDER BY 1, 2""".stripMargin,
     // (seq desc, op desc); apply = NOT IN touched + upsert union.
     "q111_cdc_apply" ->
       """WITH ch AS (

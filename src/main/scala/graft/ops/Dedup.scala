@@ -228,6 +228,66 @@ object Dedup {
       .select(col("a_id"), col("b_id"))
   }
 
+  /** Directional n-gram CONTAINMENT pairs: emit (a, b) when
+    * |sh(a) ∩ sh(b)| / |sh(a)| >= threshNum/threshDen — i.e. document
+    * `a`'s shingle set is (nearly) a subset of `b`'s. The metric
+    * resemblance-dedup misses: a short doc quoted inside a long one has
+    * tiny Jaccard but containment ≈ 1 (Broder 1997 distinguishes the
+    * two on purpose). This is the quote/boilerplate/subset detector —
+    * keep the superset doc, drop the embedded copy.
+    *
+    * Candidates come from an exploded-gram self-join: a pair is formed
+    * only inside a single gram's posting list, with the same
+    * over-cap-drop + CapStats/observe discipline as
+    * [[lshCandidatePairs]] (`maxGramDf` bounds the posting list, so
+    * pair fan-out is <= Σ df² over sub-cap grams, never doc×doc). A
+    * contained pair shares ALL of a's grams, so candidate generation
+    * misses it only if EVERY shared gram is over-cap — the stop-gram
+    * case the WARN surfaces. Verification is exact integer arithmetic
+    * on the full shingle arrays (no float boundary), so a candidate
+    * never false-positives.
+    *
+    * Output: (a_id, b_id, n_shared, n_a) with a_id != b_id, both
+    * directions possible; callers threshold downstream joins on the
+    * integers. Shingle-less docs never pair. */
+  def containmentPairs(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", nGram: Int = 3,
+                       threshNum: Int = 9, threshDen: Int = 10,
+                       maxGramDf: Int = DefaultMaxBucketSize,
+                       stats: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    require(threshNum >= 1 && threshDen >= threshNum,
+      s"containment threshold must be in (0,1]: $threshNum/$threshDen")
+    val sh = TextOps.shingles(docs, idCol, textCol, nGram)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = sh.select(col(idCol).cast("long").as("id"), explode(col("sh")).as("g"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("g"))
+    val sized = ex.withColumn("dfq", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(w.orderBy(col("id"))))
+    val warned = CapStats.watch(sized, "containmentPairs",
+      sum(when(col("dfq") > maxGramDf && col("rn") === 1, 1L).otherwise(0L)),
+      max(col("dfq")))
+    val watched = stats.fold(warned)(obs => warned.observe(obs,
+      sum(when(col("dfq") > maxGramDf && col("rn") === 1, 1L)
+        .otherwise(0L)).as("dropped_grams"),
+      max(col("dfq")).as("max_gram_df")))
+    val kept = watched.filter(col("dfq") > 1 && col("dfq") <= maxGramDf)
+      .select(col("id"), col("g"))
+    val cand = kept.select(col("id").as("a_id"), col("g"))
+      .join(kept.select(col("id").as("b_id"), col("g")), "g")
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    val shA = sh.select(col(idCol).as("a_id"), col("sh").as("sh_a"))
+    val shB = sh.select(col(idCol).as("b_id"), col("sh").as("sh_b"))
+    cand.join(shA, "a_id").join(shB, "b_id")
+      .withColumn("n_shared", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("n_a", size(col("sh_a")).cast("long"))
+      .filter(col("n_a") > 0 &&
+        col("n_shared") * threshDen >= col("n_a") * threshNum)
+      .select(col("a_id"), col("b_id"), col("n_shared"), col("n_a"))
+  }
+
   /** Edit-distance near-duplicate pairs via q-gram prefix filtering —
     * the string-similarity-join family (AllPairs / ED-Join): all pairs
     * with levenshtein(a, b) <= `maxDist`, for SHORT keys (titles, URLs,
