@@ -905,6 +905,16 @@ object SparkEntry {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // Token-distribution drift between snapshot halves (even vs odd
+    // doc_ids): top-50 tokens by the exact integer imbalance
+    // |a·B − b·A| — the |a/A − b/B| ranking with no float anywhere.
+    "q117_token_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.TextOps.tokenDrift(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), k = 50)
+    }),
+
     // Bitext-style margin scoring (Artetxe & Schwenk ratio margin):
     // edges of the capped kNN graph scored by 2·cos/(avgK(a)+avgK(b))
     // — the hubness-robust parallel-pair criterion. avgK folds the k
@@ -4035,6 +4045,32 @@ object SparkEntry {
         |WHERE len(a.sh) > 0
         |  AND 10 * len(list_intersect(a.sh, b.sh)) >= 9 * len(a.sh)
         |ORDER BY 1, 2""".stripMargin,
+    // q117: same tokenizer, counts per half, full-outer vocabulary
+    // join; the cross-products go through HUGEINT (exact int128) and
+    // land in DECIMAL(38,0) to match Spark's decimal column.
+    "q117_token_drift" ->
+      """WITH ta AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '')) AS token
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |tb AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '')) AS token
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |ca AS (SELECT token, count(*)::BIGINT AS n_a FROM ta GROUP BY 1),
+        |cb AS (SELECT token, count(*)::BIGINT AS n_b FROM tb GROUP BY 1),
+        |tot AS (SELECT (SELECT count(*) FROM ta)::HUGEINT AS tot_a,
+        |               (SELECT count(*) FROM tb)::HUGEINT AS tot_b),
+        |j AS (
+        |  SELECT COALESCE(ca.token, cb.token) AS token,
+        |    COALESCE(n_a, 0)::BIGINT AS n_a, COALESCE(n_b, 0)::BIGINT AS n_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.token = cb.token)
+        |SELECT token, n_a, n_b,
+        |  CAST(abs(n_a::HUGEINT * (SELECT tot_b FROM tot)
+        |         - n_b::HUGEINT * (SELECT tot_a FROM tot)) AS DECIMAL(38,0))
+        |    AS imbalance
+        |FROM j
+        |ORDER BY imbalance DESC, token ASC LIMIT 50""".stripMargin,
     // (seq desc, op desc); apply = NOT IN touched + upsert union.
     "q111_cdc_apply" ->
       """WITH ch AS (

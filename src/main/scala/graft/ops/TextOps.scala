@@ -1086,6 +1086,49 @@ object TextOps {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
   }
 
+  /** Token-distribution drift between two corpus snapshots — the
+    * monitoring pass a recurring-crawl pipeline runs before retraining:
+    * which tokens moved most between snapshot A and snapshot B?
+    *
+    * The ranking statistic is EXACT integer arithmetic: for token t
+    * with occurrence counts a, b and corpus totals A, B, the imbalance
+    * |a·B − b·A| ranks tokens identically to |a/A − b/B| (same order,
+    * scaled by the constant A·B) with no float boundary anywhere — the
+    * q82/q59 integer-signal discipline applied to drift. DECIMAL(38,0)
+    * keeps the cross-products exact to ~1e38 (counts ~1e14 × totals
+    * ~1e15 at 100 TB stay inside).
+    *
+    * Scale shape: one scan + partial-agg'd token count per snapshot
+    * (shuffle carries distinct tokens, not occurrences), a full-outer
+    * join of the two vocabulary-bounded count tables, broadcast 1-row
+    * totals, and a (imbalance DESC, token ASC) top-k that compiles to
+    * TakeOrderedAndProject — never a global sort.
+    *
+    * Output: (token, n_a, n_b, imbalance) — top `k` drifted tokens. */
+  def tokenDrift(corpusA: DataFrame, corpusB: DataFrame, k: Int = 50,
+                 textCol: String = "text"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    def counts(df: DataFrame, out: String): DataFrame = df
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as(out))
+    val ca = counts(corpusA, "n_a")
+    val cb = counts(corpusB, "n_b")
+    val totals = ca.agg(coalesce(sum(col("n_a")), lit(0L)).as("tot_a"))
+      .crossJoin(cb.agg(coalesce(sum(col("n_b")), lit(0L)).as("tot_b")))
+    val dec = "decimal(18,0)"
+    ca.join(cb, Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .crossJoin(broadcast(totals))
+      .select(col("token"), col("n_a"), col("n_b"),
+        abs(col("n_a").cast(dec) * col("tot_b").cast(dec)
+          - col("n_b").cast(dec) * col("tot_a").cast(dec))
+          .cast("decimal(38,0)").as("imbalance"))
+      .orderBy(col("imbalance").desc, col("token").asc)
+      .limit(k)
+  }
+
   /** C4-style line-level cleaning (Raffel et al. 2020 §2.2, the rules
     * behind the C4 corpus; reference pipelines apply them verbatim).
     * Per LINE (split on '\n', trimmed): keep only lines that

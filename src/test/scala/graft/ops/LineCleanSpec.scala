@@ -87,4 +87,27 @@ class LineCleanSpec extends AnyFunSuite {
     val r = dedup(Seq((1L, "dup"), (2L, "dup")))
     assert(r.isEmpty)
   }
+
+  // ---- tokenDrift ----
+
+  test("tokenDrift ranks by exact |a*B - b*A|; vocab is the full outer union") {
+    import spark.implicits._
+    val a = Seq((1L, "x x x y")).toDF("doc_id", "text")   // A=4: x3 y1
+    val b = Seq((2L, "x y y z")).toDF("doc_id", "text")   // B=4: x1 y2 z1
+    val r = TextOps.tokenDrift(a, b, k = 10, textCol = "text")
+      .collect().map(row => (row.getString(0), row.getLong(1), row.getLong(2),
+        row.getDecimal(3).toBigInteger.longValueExact())).toSeq
+    // |a*4 - b*4|: x |12-4|=8, y |4-8|=4, z |0-4|=4 -> x first, then y,z by token
+    assert(r == Seq(("x", 3L, 1L, 8L), ("y", 1L, 2L, 4L), ("z", 0L, 1L, 4L)))
+  }
+
+  test("tokenDrift k truncates on the deterministic (imbalance, token) order") {
+    import spark.implicits._
+    val a = Seq((1L, "p q")).toDF("doc_id", "text")
+    val b = Seq((2L, "r s")).toDF("doc_id", "text")
+    val r = TextOps.tokenDrift(a, b, k = 2, textCol = "text")
+      .collect().map(_.getString(0)).toSeq
+    // all four tokens tie at |1*2 - 0*2| = 2 -> token asc breaks: p, q
+    assert(r == Seq("p", "q"))
+  }
 }
