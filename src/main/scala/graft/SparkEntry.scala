@@ -905,6 +905,22 @@ object SparkEntry {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // Multi-epoch mixture: budgets straddle the source sizes (800 /
+    // 3000 / 5200 against ~2k-token sources), so all three regimes
+    // execute — pure prefix, 1 epoch + fraction, 2 epochs + fraction.
+    // repeat_count is emitted, never exploded.
+    "q118_epoch_mixture" -> ((s, dir) => {
+      val budgets = (0 until 10).map(i => s"src$i" -> (800L + 2200L * (i % 3))).toMap
+      graft.ops.Mixing.epochMixture(
+          t(s, dir, "documents"), budgets,
+          tokensCol = graft.ops.TextOps.tokenCount(col("text")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("repeat_count")).cast("long").as("sum_repeats"),
+          sum(col("repeat_count") * col("__tok")).cast("long").as("planned_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // Token-distribution drift between snapshot halves (even vs odd
     // doc_ids): top-50 tokens by the exact integer imbalance
     // |a·B − b·A| — the |a/A − b/B| ranking with no float anywhere.
@@ -4071,6 +4087,41 @@ object SparkEntry {
         |    AS imbalance
         |FROM j
         |ORDER BY imbalance DESC, token ASC LIMIT 50""".stripMargin,
+    // q118: the q48 window idiom plus per-source size join; epochs =
+    // integer floor-div, remainder charged to the same hash-order
+    // prefix. DuckDB's // is floor division on integers.
+    "q118_epoch_mixture" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok,
+        |    ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1073741824 AS hb
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, source, tok, hb,
+        |    CASE WHEN CAST(substr(source, 4) AS INT) < 10
+        |         THEN 800 + 2200 * (CAST(substr(source, 4) AS INT) % 3) END AS budget
+        |  FROM d),
+        |sz AS (SELECT source, sum(tok) AS src_tokens FROM b
+        |       WHERE budget IS NOT NULL GROUP BY 1),
+        |c AS (
+        |  SELECT b.doc_id, b.source, b.tok, b.budget, sz.src_tokens,
+        |    CASE WHEN sz.src_tokens > 0 THEN b.budget // sz.src_tokens
+        |         ELSE 0 END AS epochs,
+        |    CASE WHEN sz.src_tokens > 0 THEN b.budget % sz.src_tokens
+        |         ELSE 0 END AS rem,
+        |    sum(b.tok) OVER (PARTITION BY b.source ORDER BY b.hb, b.doc_id
+        |                     ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM b JOIN sz USING (source)
+        |  WHERE b.budget IS NOT NULL),
+        |r AS (
+        |  SELECT *, epochs + CASE WHEN tok > 0 AND cum <= rem
+        |                          THEN 1 ELSE 0 END AS repeat_count
+        |  FROM c)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(repeat_count) AS BIGINT) AS sum_repeats,
+        |  CAST(sum(repeat_count * tok) AS BIGINT) AS planned_tokens
+        |FROM r WHERE repeat_count >= 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // (seq desc, op desc); apply = NOT IN touched + upsert union.
     "q111_cdc_apply" ->
       """WITH ch AS (

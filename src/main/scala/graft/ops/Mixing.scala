@@ -101,4 +101,53 @@ object Mixing {
       .filter(col("__cum") <= col("__budget"))
       .drop("__cum")
   }
+
+  /** MULTI-EPOCH mixture — the case [[tokenBudgetMixture]] cannot
+    * express: a source whose budget EXCEEDS its size ("1.4 epochs of
+    * Wikipedia" in the usual recipe language). Every doc of source `s`
+    * repeats `budget_s DIV tokens_s` times (full epochs), and the
+    * fractional epoch is the same deterministic hash-order prefix as
+    * the budget mixture, charged against `budget_s MOD tokens_s`
+    * remainder tokens. All-integer arithmetic; a budget smaller than
+    * the source degenerates to exactly [[tokenBudgetMixture]]'s
+    * selection (0 full epochs + prefix).
+    *
+    * Emits `repeat_count >= 1` rather than physically exploding rows —
+    * the downstream shard writer multiplies (exploding 3.7 epochs of a
+    * 10 TB source into 37 TB of shuffle is the anti-pattern; the count
+    * column is free). Docs with repeat_count 0 are dropped.
+    *
+    * Scale shape: one per-source token-sum aggregate broadcast back,
+    * then the same single per-source window as the other mixtures —
+    * the remainder prefix needs the cumulative sum anyway, so the
+    * full-epoch add rides the same exchange. Zero-token docs never
+    * enter the remainder prefix (they'd inflate repeat counts for
+    * free) but DO ride full epochs like any other doc. */
+  def epochMixture(docs: DataFrame, budgets: Map[String, Long],
+                   tokensCol: Column, sourceCol: String = "source",
+                   idCol: String = "doc_id"): DataFrame = {
+    require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
+    val d = docs
+      .withColumn("__tok", coalesce(tokensCol.cast("long"), lit(0L)))
+      .withColumn("__budget", element_at(typedlit(budgets), col(sourceCol)))
+      .filter(col("__budget").isNotNull)
+    val sizes = d.groupBy(col(sourceCol))
+      .agg(sum(col("__tok")).as("__src_tokens"))
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(Sampling.hashBucket(col(idCol), 1 << 30), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.join(broadcast(sizes), sourceCol)
+      .withColumn("__epochs",
+        when(col("__src_tokens") > 0,
+          expr("__budget DIV __src_tokens")).otherwise(lit(0L)))
+      .withColumn("__rem",
+        when(col("__src_tokens") > 0,
+          expr("__budget % __src_tokens")).otherwise(lit(0L)))
+      .withColumn("__cum", sum(col("__tok")).over(w))
+      .withColumn("repeat_count",
+        col("__epochs") + when(col("__tok") > 0 && col("__cum") <= col("__rem"),
+          lit(1L)).otherwise(lit(0L)))
+      .filter(col("repeat_count") >= 1)
+      .drop("__budget", "__src_tokens", "__epochs", "__rem", "__cum")
+  }
 }

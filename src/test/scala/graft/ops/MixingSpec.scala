@@ -78,6 +78,40 @@ class MixingSpec extends AnyFunSuite {
     assert(counts == Map("a" -> 10, "b" -> 20), s"got $counts")
   }
 
+  test("epoch mixture: full epochs ride free, fraction is the hash prefix") {
+    import spark.implicits._
+    // source 'a': 3 docs × 10 tokens = 30; budget 75 = 2 epochs + 15
+    // remainder -> the first doc(s) in hash order whose cumsum <= 15
+    // get +1. source 'b': budget 5 < size -> prefix only.
+    val rows = Seq((1L, "a", 10L), (2L, "a", 10L), (3L, "a", 10L),
+      (10L, "b", 10L), (11L, "b", 4L))
+    val out = Mixing.epochMixture(rows.toDF("doc_id", "source", "ntok"),
+        Map("a" -> 75L, "b" -> 5L), col("ntok"))
+      .select(col("doc_id"), col("repeat_count")).as[(Long, Long)]
+      .collect().toMap
+    // every 'a' doc appears with >= 2; exactly one gets the +1
+    assert(Set(1L, 2L, 3L).forall(id => out(id) >= 2L))
+    assert(Seq(1L, 2L, 3L).map(out).sum == 7L) // 2+2+2 + one remainder
+    // 'b': only a doc fitting in 5 tokens survives, with count 1; the
+    // hash order decides which — membership equals tokenBudgetMixture's
+    val prefix = Mixing.tokenBudgetMixture(
+        rows.toDF("doc_id", "source", "ntok"), Map("b" -> 5L), col("ntok"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.keySet.filter(_ >= 10L) == prefix)
+    assert(prefix.forall(out(_) == 1L))
+  }
+
+  test("epoch mixture: zero-token docs ride epochs but never the remainder") {
+    import spark.implicits._
+    val rows = Seq((1L, "a", 0L), (2L, "a", 10L))
+    val out = Mixing.epochMixture(rows.toDF("doc_id", "source", "ntok"),
+        Map("a" -> 25L), col("ntok"))
+      .select(col("doc_id"), col("repeat_count")).as[(Long, Long)]
+      .collect().toMap
+    // size 10, budget 25 -> 2 epochs + remainder 5 (no doc fits 5)
+    assert(out == Map(1L -> 2L, 2L -> 2L))
+  }
+
   test("temperature mixture keeps every source and is deterministic") {
     import spark.implicits._
     val rows = Seq((1L, "a", 4L), (2L, "a", 4L), (3L, "tiny", 1L))
