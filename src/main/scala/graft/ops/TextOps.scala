@@ -1199,10 +1199,10 @@ object TextOps {
     * Scale shape: posexplode (map) → one hash aggregation on the line
     * identity (partial-agg'd: only (line, count) partials cross the
     * exchange) → one shuffle join back on identity → one groupBy(doc)
-    * to reassemble in original position order. Two exchanges total,
-    * both on bounded rows (lines, not docs × lines²); the reassembly
-    * buffer per doc is the doc's own surviving lines — the same
-    * bounded-by-input shape as [[chunkDocs]]'s inverse.
+    * to reassemble in original position order. Three exchanges total,
+    * every one on line-proportional rows (never docs × lines²); the
+    * reassembly buffer per doc is the doc's own surviving lines — the
+    * same bounded-by-input shape as [[chunkDocs]]'s inverse.
     *
     * Output: (idCol, text = surviving lines joined with '\n',
     * n_kept, n_removed). */
