@@ -905,6 +905,25 @@ object SparkEntry {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // Personalized PageRank (TrustRank): teleport confined to the
+    // %23==5 seed set on the q94 link fixture — rank flows outward
+    // from seeds, non-seed sinks hold only propagated mass. 3
+    // iterations, exactFold for the oracle.
+    "q119_trustrank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cnt = docs.agg(count(lit(1)).as("cnt"))
+      val withCnt = docs.select(col("doc_id")).crossJoin(broadcast(cnt))
+      val edges = withCnt.select(col("doc_id").as("src"),
+          ((col("doc_id") * 2 + 1) % col("cnt")).as("dst"))
+        .unionByName(withCnt.select(col("doc_id").as("src"),
+          ((col("doc_id") * 3 + 7) % col("cnt")).as("dst")))
+      graft.ops.Graph.personalizedPageRank(
+          docs.select(col("doc_id").as("id")), edges,
+          docs.filter(col("doc_id") % 23 === 5).select(col("doc_id").as("id")),
+          iterations = 3, damping = 0.85, exactFold = true)
+        .orderBy(col("id"))
+    }),
+
     // Multi-epoch mixture: budgets straddle the source sizes (800 /
     // 3000 / 5200 against ~2k-token sources), so all three regimes
     // execute — pure prefix, 1 epoch + fraction, 2 epochs + fraction.
@@ -4087,6 +4106,62 @@ object SparkEntry {
         |    AS imbalance
         |FROM j
         |ORDER BY imbalance DESC, token ASC LIMIT 50""".stripMargin,
+    // q119: 3 unrolled seeded-teleport iterations; the q112
+    // list_reduce seeded fold (length-agnostic, unlike q94's COALESCE
+    // unroll) and the q94 DOUBLE-cast literal discipline.
+    "q119_trustrank" ->
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM documents),
+        |nodes AS (SELECT doc_id AS id, (doc_id % 23 = 5) AS is_seed FROM documents),
+        |ns AS (SELECT CAST(sum(CASE WHEN is_seed THEN 1 ELSE 0 END) AS DOUBLE) AS s
+        |       FROM nodes),
+        |e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT doc_id AS src, (doc_id * 2 + 1) % (SELECT cnt FROM nn) AS dst
+        |    FROM documents
+        |    UNION ALL
+        |    SELECT doc_id, (doc_id * 3 + 7) % (SELECT cnt FROM nn)
+        |    FROM documents)),
+        |ew AS (
+        |  SELECT e.src, e.dst, o.outdeg
+        |  FROM e JOIN (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg
+        |               FROM e GROUP BY src) o USING (src)),
+        |r0 AS (SELECT id, CASE WHEN is_seed
+        |         THEN CAST(1.0 AS DOUBLE) / (SELECT s FROM ns)
+        |         ELSE CAST(0.0 AS DOUBLE) END AS pr FROM nodes),
+        |c1 AS (SELECT ew.dst, ew.src, r.pr / ew.outdeg AS c
+        |       FROM ew JOIN r0 r ON r.id = ew.src),
+        |s1 AS (SELECT dst, list_reduce([CAST(0.0 AS DOUBLE)] || list(c ORDER BY src),
+        |                               (x, y) -> x + y) AS s
+        |       FROM c1 GROUP BY dst),
+        |r1 AS (SELECT n.id,
+        |         CASE WHEN n.is_seed
+        |           THEN (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT s FROM ns)
+        |           ELSE CAST(0.0 AS DOUBLE) END
+        |         + CAST(0.85 AS DOUBLE) * COALESCE(s.s, CAST(0.0 AS DOUBLE)) AS pr
+        |       FROM nodes n LEFT JOIN s1 s ON s.dst = n.id),
+        |c2 AS (SELECT ew.dst, ew.src, r.pr / ew.outdeg AS c
+        |       FROM ew JOIN r1 r ON r.id = ew.src),
+        |s2 AS (SELECT dst, list_reduce([CAST(0.0 AS DOUBLE)] || list(c ORDER BY src),
+        |                               (x, y) -> x + y) AS s
+        |       FROM c2 GROUP BY dst),
+        |r2 AS (SELECT n.id,
+        |         CASE WHEN n.is_seed
+        |           THEN (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT s FROM ns)
+        |           ELSE CAST(0.0 AS DOUBLE) END
+        |         + CAST(0.85 AS DOUBLE) * COALESCE(s.s, CAST(0.0 AS DOUBLE)) AS pr
+        |       FROM nodes n LEFT JOIN s2 s ON s.dst = n.id),
+        |c3 AS (SELECT ew.dst, ew.src, r.pr / ew.outdeg AS c
+        |       FROM ew JOIN r2 r ON r.id = ew.src),
+        |s3 AS (SELECT dst, list_reduce([CAST(0.0 AS DOUBLE)] || list(c ORDER BY src),
+        |                               (x, y) -> x + y) AS s
+        |       FROM c3 GROUP BY dst),
+        |r3 AS (SELECT n.id,
+        |         CASE WHEN n.is_seed
+        |           THEN (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT s FROM ns)
+        |           ELSE CAST(0.0 AS DOUBLE) END
+        |         + CAST(0.85 AS DOUBLE) * COALESCE(s.s, CAST(0.0 AS DOUBLE)) AS pr
+        |       FROM nodes n LEFT JOIN s3 s ON s.dst = n.id)
+        |SELECT id, pr FROM r3 ORDER BY id""".stripMargin,
     // q118: the q48 window idiom plus per-source size join; epochs =
     // integer floor-div, remainder charged to the same hash-order
     // prefix. DuckDB's // is floor division on integers.

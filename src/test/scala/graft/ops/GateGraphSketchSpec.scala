@@ -375,6 +375,58 @@ class GateGraphSketchSpec extends AnyFunSuite {
     assert(fast.values.exists(_._1 == 1.0) && fast.values.exists(_._2 == 1.0))
   }
 
+  // ---- personalizedPageRank ----
+
+  test("trustrank: teleport mass lands only on seeds; non-seeds hold propagated mass") {
+    // seed 0 -> 1 -> 2, plus isolated 3. After 1 iter: seed teleport +
+    // nothing inbound for 0; node 1 gets 0.85 * (1.0/1) from seed 0;
+    // 2 and 3 get exactly 0 (their in-neighbors had rank 0).
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("id")
+    val r = Graph.personalizedPageRank(nodes, edges, seeds, iterations = 1)
+      .as[(Long, Double)].collect().toMap
+    val teleport = (1.0 - 0.85) / 1.0
+    assert(r(0L) == teleport)
+    assert(r(1L) == 0.85 * (1.0 / 1.0))
+    assert(r(2L) == 0.0 && r(3L) == 0.0)
+    // iteration 2: rank reaches node 2 through 1
+    val r2 = Graph.personalizedPageRank(nodes, edges, seeds, iterations = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(r2(2L) == 0.85 * (0.85 * (1.0 / 1.0)) && r2(3L) == 0.0)
+  }
+
+  test("trustrank with ALL nodes seeded equals uniform pageRank") {
+    val n = 12L
+    val nodes = (0L until n).toDF("id")
+    val edges = (0L until n).flatMap(i =>
+      Seq((i, (2 * i + 1) % n), (i, (3 * i + 7) % n))).toDF("src", "dst")
+    val ppr = Graph.personalizedPageRank(nodes, edges, nodes, iterations = 3)
+      .as[(Long, Double)].collect().toMap
+    val pr = Graph.pageRank(nodes, edges, iterations = 3)
+      .as[(Long, Double)].collect().toMap
+    // identical op sequence when |S| = N -> bit-equal, not just close
+    assert(ppr == pr)
+  }
+
+  test("trustrank exactFold agrees with sum within ulps; seeds dominate near seeds") {
+    val n = 20L
+    val nodes = (0L until n).toDF("id")
+    val edges = (0L until n).flatMap(i =>
+      Seq((i, (2 * i + 1) % n), (i, (3 * i + 7) % n))).toDF("src", "dst")
+    val seeds = Seq(5L).toDF("id")
+    val fast = Graph.personalizedPageRank(nodes, edges, seeds, iterations = 4)
+      .as[(Long, Double)].collect().toMap
+    val exact = Graph.personalizedPageRank(nodes, edges, seeds,
+        iterations = 4, exactFold = true)
+      .as[(Long, Double)].collect().toMap
+    fast.foreach { case (id, v) =>
+      assert(math.abs(v - exact(id)) <= 1e-12, s"node $id") }
+    // seed 5's direct successors (11, 2) carry mass; total mass <= 1
+    assert(fast(11L) > 0 && fast(2L) > 0)
+    assert(fast.values.sum <= 1.0 + 1e-9)
+  }
+
   // ---- labelPropagation ----
 
   test("labelPropagation collapses a star onto the min label in one round") {
