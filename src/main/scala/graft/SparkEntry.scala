@@ -905,6 +905,14 @@ object SparkEntry {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // Proximity search (NEAR/12, unordered): docs where 'table',
+    // 'scan' and 'fast' co-occur within 12 tokens, ranked by the exact
+    // minimal span from the one-pass running-max sweep.
+    "q120_proximity" -> ((s, dir) =>
+      graft.ops.TextOps.proximitySearch(t(s, dir, "documents"),
+          Seq("table", "scan", "fast"), maxSpan = 12)
+        .orderBy(col("doc_id"))),
+
     // Personalized PageRank (TrustRank): teleport confined to the
     // %23==5 seed set on the q94 link fixture — rank flows outward
     // from seeds, non-seed sinks hold only propagated mass. 3
@@ -4106,6 +4114,37 @@ object SparkEntry {
         |    AS imbalance
         |FROM j
         |ORDER BY imbalance DESC, token ASC LIMIT 50""".stripMargin,
+    // q120: identical running-max sweep as three CASE windows over one
+    // WINDOW clause; span arithmetic cancels the 1-based-vs-0-based
+    // position offset by construction.
+    "q120_proximity" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS l
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, i AS pos, l[i] AS token
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l))) AS i)
+        |  WHERE l[i] IN ('table', 'scan', 'fast')),
+        |sw AS (
+        |  SELECT doc_id, pos,
+        |    max(CASE WHEN token = 'table' THEN pos END) OVER w AS l0,
+        |    max(CASE WHEN token = 'scan'  THEN pos END) OVER w AS l1,
+        |    max(CASE WHEN token = 'fast'  THEN pos END) OVER w AS l2
+        |  FROM p
+        |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+        |               ROWS UNBOUNDED PRECEDING)),
+        |agg AS (
+        |  SELECT doc_id,
+        |    min(CASE WHEN l0 IS NOT NULL AND l1 IS NOT NULL AND l2 IS NOT NULL
+        |             THEN pos - least(l0, l1, l2) + 1 END) AS min_span,
+        |    count(*) AS n_hits
+        |  FROM sw GROUP BY doc_id)
+        |SELECT doc_id, CAST(min_span AS BIGINT) AS min_span,
+        |  CAST(n_hits AS BIGINT) AS n_hits
+        |FROM agg WHERE min_span IS NOT NULL AND min_span <= 12
+        |ORDER BY doc_id""".stripMargin,
     // q119: 3 unrolled seeded-teleport iterations; the q112
     // list_reduce seeded fold (length-agnostic, unlike q94's COALESCE
     // unroll) and the q94 DOUBLE-cast literal discipline.

@@ -391,6 +391,55 @@ object TextOps {
         min(col("start")).cast("long").as("first_pos"))
   }
 
+  /** Proximity search (the NEAR/W operator): documents where ALL query
+    * terms co-occur within a window of `maxSpan` tokens, any order —
+    * with the MINIMAL span as the ranking feature (the standard
+    * proximity score; smaller span = tighter association). The ordered
+    * strict-adjacency case is [[phraseSearch]].
+    *
+    * Minimal span is the textbook one-pass sweep expressed relationally:
+    * over the doc's matched positions in order, track the latest
+    * position of EACH term (m running-max window columns over ONE
+    * window spec, m = #distinct terms, a query-time constant); wherever
+    * all m are non-null, `pos − min_i(last_i) + 1` is the tightest
+    * window ENDING here, and the per-doc minimum over rows is the
+    * global minimal span — no per-anchor re-scan, no quadratic pair
+    * join.
+    *
+    * Scale shape: the scan-stage `isin` filter keeps only query-term
+    * occurrences (corpus positions never shuffle), then one exchange on
+    * idCol for the window and the per-doc aggregate riding the same
+    * partitioning. Output: (idCol, min_span, n_hits) for docs with
+    * min_span <= maxSpan; n_hits counts matched-term occurrences. */
+  def proximitySearch(docs: DataFrame, terms: Seq[String], maxSpan: Int,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val ts = terms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+    require(ts.nonEmpty, "proximitySearch needs at least one term")
+    require(maxSpan >= ts.length,
+      s"maxSpan $maxSpan cannot hold ${ts.length} distinct terms")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lastCols = ts.zipWithIndex.map { case (t, i) =>
+      max(when(col("token") === t, col("pos"))).over(w).as(s"__last_$i")
+    }
+    val lasts = ts.indices.map(i => col(s"__last_$i"))
+    docs
+      .select(col(idCol).cast("long").as(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
+      .filter(col("token").isin(ts: _*))
+      .select(col(idCol) +: col("pos") +: lastCols: _*)
+      .withColumn("__span",
+        when(lasts.map(_.isNotNull).reduce(_ && _),
+          col("pos") - (if (lasts.length == 1) lasts.head
+                        else least(lasts: _*)) + 1))
+      .groupBy(col(idCol))
+      .agg(min(col("__span")).cast("long").as("min_span"),
+        count(lit(1)).cast("long").as("n_hits"))
+      .filter(col("min_span").isNotNull && col("min_span") <= maxSpan)
+  }
+
   /** Reference-LM coverage gate — the shape of CCNet/KenLM perplexity
     * filtering with the float perplexity replaced by an integer
     * COVERAGE statistic (the oracle-parity rule: `log` is libm-

@@ -64,4 +64,39 @@ class PhraseSearchSpec extends AnyFunSuite {
     assert(filterAt > firstExchange,
       s"vocabulary filter must be below (printed after) the exchange:\n$plan")
   }
+
+  // ---- proximitySearch ----
+
+  private def prox(docs: Seq[(Long, String)], terms: Seq[String], w: Int) =
+    TextOps.proximitySearch(docs.toDF("doc_id", "text"), terms, w)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+
+  test("proximity: minimal span is exact, any term order") {
+    val docs = Seq(
+      (1L, "a x x b x c"),          // positions a=0 b=3 c=5 -> span 6
+      (2L, "c b a"),                // reversed, tight -> span 3
+      (3L, "a x x x x x x x b x c"),// span 11 > 6 -> dropped at w=6
+      (4L, "a b only two of them"))
+    assert(prox(docs, Seq("a", "b", "c"), 6) ==
+      Seq((1L, 6L, 3L), (2L, 3L, 3L)))
+  }
+
+  test("proximity: repeats pick the tightest window, n_hits counts occurrences") {
+    // best window is the LAST a with the first b after it
+    val docs = Seq((1L, "a x x x x a b"))
+    assert(prox(docs, Seq("a", "b"), 3) == Seq((1L, 2L, 3L)))
+  }
+
+  test("proximity: single-term query degenerates to presence with span 1") {
+    val docs = Seq((1L, "x a y"), (2L, "none here"))
+    assert(prox(docs, Seq("a"), 1) == Seq((1L, 1L, 1L)))
+  }
+
+  test("proximity: window exchange is the only shuffle and sits on the id") {
+    val docs = Seq((1L, "a b c"))
+    val q = TextOps.proximitySearch(docs.toDF("doc_id", "text"),
+      Seq("a", "b"), 4)
+    val plan = q.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(plan).length == 1, plan)
+  }
 }
