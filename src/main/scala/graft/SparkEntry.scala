@@ -905,6 +905,26 @@ object SparkEntry {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // Luhn-validated card detection: every doc carries a synthetic
+    // 16-digit candidate (dashed 4x4 for %5 docs), check digit =
+    // doc_id%10 so ~10% validate; %7 docs add a 15-digit near-miss the
+    // \b-bounded pattern must NOT match. All-integer checksum.
+    "q121_card_luhn" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = lpad(((col("doc_id") * 37137137L + 11) % 1000000000000000L)
+        .cast("string"), 15, "0")
+      val card16 = concat(base, (col("doc_id") % 10).cast("string"))
+      val dashed = concat_ws("-", substring(card16, 1, 4),
+        substring(card16, 5, 4), substring(card16, 9, 4),
+        substring(card16, 13, 4))
+      val cardStr = when(col("doc_id") % 5 === 0, dashed).otherwise(card16)
+      val txt = concat(col("text"), lit(" card "), cardStr,
+        when(col("doc_id") % 7 === 0, lit(" id 123456789012345"))
+          .otherwise(lit("")), lit(" end"))
+      graft.ops.Pii.cardStats(docs.withColumn("text", txt))
+        .orderBy(col("doc_id"))
+    }),
+
     // Proximity search (NEAR/12, unordered): docs where 'table',
     // 'scan' and 'fast' co-occur within 12 tokens, ranked by the exact
     // minimal span from the one-pass running-max sweep.
@@ -4114,6 +4134,41 @@ object SparkEntry {
         |    AS imbalance
         |FROM j
         |ORDER BY imbalance DESC, token ASC LIMIT 50""".stripMargin,
+    // q121: same fixture arithmetic; the Luhn fold as a nested-lambda
+    // list_sum over generate_series(1,16), doubling from the right,
+    // fold-back by -9 — integer-exact on both engines.
+    "q121_card_luhn" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    lpad(CAST((doc_id * 37137137 + 11) % 1000000000000000 AS VARCHAR),
+        |         15, '0') || CAST(doc_id % 10 AS VARCHAR) AS card16
+        |  FROM documents),
+        |g AS (
+        |  SELECT d.doc_id, d.text || ' card ' ||
+        |    CASE WHEN d.doc_id % 5 = 0
+        |         THEN substr(f.card16,1,4) || '-' || substr(f.card16,5,4) || '-'
+        |              || substr(f.card16,9,4) || '-' || substr(f.card16,13,4)
+        |         ELSE f.card16 END ||
+        |    CASE WHEN d.doc_id % 7 = 0 THEN ' id 123456789012345' ELSE '' END
+        |    || ' end' AS text
+        |  FROM documents d JOIN f ON f.doc_id = d.doc_id),
+        |c AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      regexp_extract_all(text,
+        |        '\b(?:[0-9]{16}|[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4})\b'),
+        |      x -> regexp_replace(x, '[- ]', '', 'g')) AS cards
+        |  FROM g)
+        |SELECT doc_id, CAST(len(cards) AS BIGINT) AS n_candidates,
+        |  CAST(len(list_filter(cards, n ->
+        |    (list_sum(list_transform(generate_series(1, 16), i ->
+        |      CASE WHEN ((16 - i) % 2) = 1 THEN
+        |        CASE WHEN (ascii(substr(n, i::INTEGER, 1)) - 48) * 2 > 9
+        |             THEN (ascii(substr(n, i::INTEGER, 1)) - 48) * 2 - 9
+        |             ELSE (ascii(substr(n, i::INTEGER, 1)) - 48) * 2 END
+        |      ELSE ascii(substr(n, i::INTEGER, 1)) - 48 END)) % 10) = 0))
+        |    AS BIGINT) AS n_valid
+        |FROM c ORDER BY doc_id""".stripMargin,
     // q120: identical running-max sweep as three CASE windows over one
     // WINDOW clause; span arithmetic cancels the 1-based-vs-0-based
     // position offset by construction.

@@ -99,10 +99,16 @@ object Graph {
     *
     * Plan shape per iteration: two hash joins of score rows onto the
     * persisted edge list (|V| rows shuffled, never |E| re-derived), two
-    * partial-aggregated groupBys, two broadcast 1-row maxima. Same
-    * lineage-truncation and `exactFold` contract as [[pageRank]]: the
-    * default partial-agg `sum` is the 100 TB path; `exactFold = true`
-    * buffers each neighborhood in a sorted array for oracle-bit-exact
+    * partial-aggregated groupBys, two broadcast 1-row maxima. Unlike
+    * [[pageRank]] (whose rank frame is consumed ONCE per iteration, so
+    * lineage grows linearly), every HITS frame is consumed TWICE — the
+    * sums feed both the max and the join, each score frame feeds the
+    * next half-iteration and the output — so sums/hub/auth are
+    * PERSISTED every iteration: without that the un-reused subtree
+    * copies multiply 4× per iteration (recompute, not just plan text).
+    * Same `exactFold` contract as [[pageRank]]: the default
+    * partial-agg `sum` is the 100 TB path; `exactFold = true` buffers
+    * each neighborhood in a sorted array for oracle-bit-exact
     * left-association (oracle mode only — hub pages have unbounded
     * in-degree).
     */
@@ -127,11 +133,17 @@ object Graph {
       s.withColumnRenamed(key, "id")
     }
     // score / max(score), 0.0-filled for nodes outside the group-by.
-    def normalized(sums: DataFrame, out: String): DataFrame = {
+    // Both `sums` (max + join) and the result (next half-iteration +
+    // output) are double-consumed — persist both so each is computed
+    // once (see scaladoc: lineage here multiplies, unlike pageRank's).
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def normalized(sums0: DataFrame, out: String): DataFrame = {
+      val sums = sums0.persist(lvl)
       val mx = sums.agg(max(col("s")).as("mx"))
       n.join(sums, Seq("id"), "left").crossJoin(broadcast(mx))
         .select(col("id"),
           coalesce(col("s") / col("mx"), lit(0.0)).as(out))
+        .persist(lvl)
     }
 
     var hub = n.select(col("id"), lit(1.0).as("hub"))
@@ -233,8 +245,11 @@ object Graph {
     * `max(struct(count, -label))` per node, which encodes the
     * most-frequent/min-label rule as a single associative max so no
     * window or second shuffle of raw neighbor rows is needed. Only
-    * label rows (|V|) shuffle per iteration. Same checkpoint contract
-    * as [[pageRank]].
+    * label rows (|V|) shuffle per iteration. The label frame is
+    * consumed TWICE per iteration (neighbor join + the isolated-node
+    * left join), so it is PERSISTED each iteration — without that the
+    * un-reused subtree doubles per round (recompute, not just plan
+    * text). Same checkpoint contract as [[pageRank]].
     */
   def labelPropagation(nodes: DataFrame, edges: DataFrame,
                        iterations: Int = 3, undirected: Boolean = true,
@@ -248,7 +263,8 @@ object Graph {
       raw.unionByName(raw.select(col("dst").as("src"), col("src").as("dst")))
     else raw
     val e = sym.filter(col("src") =!= col("dst")).distinct().persist()
-    var labels = n.select(col("id"), col("id").as("lab"))
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var labels = n.select(col("id"), col("id").as("lab")).persist(lvl)
     for (i <- 1 to iterations) {
       val neigh = e.join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("lab"))
@@ -259,6 +275,7 @@ object Graph {
         .select(col("id"), (-col("m.nl")).as("new_lab"))
       labels = labels.join(best, Seq("id"), "left")
         .select(col("id"), coalesce(col("new_lab"), col("lab")).as("lab"))
+        .persist(lvl)
       if (i % checkpointEvery == 0 && i < iterations)
         labels = if (reliable) labels.checkpoint() else labels.localCheckpoint()
     }

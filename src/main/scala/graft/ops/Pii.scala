@@ -200,4 +200,45 @@ object Pii {
       .filter(col("distinct_sensitive") >= l)
       .drop("__dr")
   }
+
+  /** 16-digit payment-card candidates: contiguous `dddddddddddddddd` or
+    * the dashed/spaced 4×4 grouping. The checksum decides (see
+    * [[luhnValid]]) — a bare 16-digit regex false-positives on IDs and
+    * hashes constantly; Luhn rejects 90% of random digit runs, which is
+    * why every DLP scanner validates before redacting. */
+  val cardPattern: String =
+    "\\b(?:[0-9]{16}|[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4})\\b"
+
+  /** Luhn checksum (ISO/IEC 7812) over a 16-char digit string column:
+    * from the right, double every second digit, fold >9 back by −9,
+    * valid iff the sum ≡ 0 (mod 10). Pure integer higher-order array
+    * expressions — exact on any engine, zero shuffle, codegen'd. */
+  def luhnValid(digits16: Column): Column = {
+    val terms = (1 to 16).map { i =>
+      val d = ascii(substring(digits16, i, 1)) - 48
+      val dbl = if ((16 - i) % 2 == 1) d * 2 else d
+      when(dbl > 9, dbl - 9).otherwise(dbl)
+    }
+    terms.reduce(_ + _) % 10 === 0
+  }
+
+  /** Per-document card detection with checksum validation: extract all
+    * [[cardPattern]] candidates, strip separators, Luhn-validate each.
+    * Output: (idCol, n_candidates, n_valid) — one narrow projection,
+    * the same zero-shuffle shape as [[stats]]. Redaction of validated
+    * matches composes via [[redactCustom]] with `cardPattern` when a
+    * caller accepts sentinel-replacing UNVALIDATED candidates too (a
+    * per-match validated replace needs per-match function application;
+    * same deliberate absence as pseudonymization — see object doc). */
+  def cardStats(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val cands = regexp_extract_all(col(textCol), lit(cardPattern), lit(0))
+    val normed = transform(cands, c =>
+      regexp_replace(c, lit("[- ]"), lit("")))
+    docs.select(col(idCol).cast("long").as(idCol), normed.as("__cards"))
+      .select(col(idCol),
+        size(col("__cards")).cast("long").as("n_candidates"),
+        size(filter(col("__cards"), c => luhnValid(c)))
+          .cast("long").as("n_valid"))
+  }
 }

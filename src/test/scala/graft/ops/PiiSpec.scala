@@ -145,4 +145,42 @@ class DuplicateSpansSpec extends AnyFunSuite {
     assert(got == brute, s"missing=${brute -- got} extra=${got -- brute}")
     assert(got.nonEmpty, "seeded corpus must contain duplicated spans")
   }
+
+  // ---- cardStats / luhnValid ----
+
+  test("cardStats: known-valid numbers pass Luhn, off-by-one check digits fail") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "pay with 4532015112830366 today"),       // valid (test number)
+      (2L, "pay with 4532015112830367 today"),       // check digit +1 -> invalid
+      (3L, "grouped 4532-0151-1283-0366 form"),       // dashed, valid
+      (4L, "grouped 4532 0151 1283 0366 form"),       // spaced, valid
+      (5L, "short 453201511283036 run"),              // 15 digits -> no candidate
+      (6L, "long 45320151128303662 run"),             // 17 digits -> \b kills it
+      (7L, "none at all"))
+    val r = Pii.cardStats(docs.toDF("doc_id", "text"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(r == Seq((1L, 1L, 1L), (2L, 1L, 0L), (3L, 1L, 1L),
+      (4L, 1L, 1L), (5L, 0L, 0L), (6L, 0L, 0L), (7L, 0L, 0L)))
+  }
+
+  test("luhnValid brute-check against a Scala reference over random digits") {
+    import spark.implicits._
+    def ref(s: String): Boolean = {
+      val sum = s.zipWithIndex.map { case (ch, idx) =>
+        val d = ch - '0'
+        val dbl = if ((16 - (idx + 1)) % 2 == 1) d * 2 else d
+        if (dbl > 9) dbl - 9 else dbl
+      }.sum
+      sum % 10 == 0
+    }
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 200).map { i =>
+      (i.toLong, (1 to 16).map(_ => rnd.nextInt(10)).mkString) }
+    val got = rows.toDF("id", "s")
+      .select(col("id"), Pii.luhnValid(col("s")).as("v"))
+      .as[(Long, Boolean)].collect().toMap
+    rows.foreach { case (id, s) =>
+      assert(got(id) == ref(s), s"$s: engine ${got(id)} vs ref ${ref(s)}") }
+  }
 }
