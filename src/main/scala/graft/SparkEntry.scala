@@ -728,10 +728,31 @@ object SparkEntry {
     // prefix (title-key shape): q-gram prefix filtering makes the
     // candidate set lossless, levenshtein verifies. The oracle pays
     // the length-banded all-pairs product the prefix filter avoids.
-    "q104_edit_near_dup" -> ((s, dir) =>
-      graft.ops.Dedup.editNearDupPairs(t(s, dir, "documents"),
-          lower(substring(col("text"), 1, 64)))
-        .orderBy(col("a_id"), col("b_id"))),
+    // Keys are the operator's documented domain — HIGH-entropy short
+    // strings (titles/URLs/ids), here 32-hex md5 keys with planted
+    // near-dup triples: every 20th group of 3 consecutive docs shares
+    // a group key, each member substituting 'z' at a distinct position
+    // (pairwise dist exactly 2); everyone else gets a unique key. The
+    // earlier 64-char word-soup-prefix fixture measured the DEGENERATE
+    // regime (a ~15-char alphabet saturates any fixed q-gram space, so
+    // posting lists grow with the corpus and candidates go quadratic —
+    // 4.2x linear at the decade); the spec keeps that regime covered
+    // at unit scale, the decade measures the designed one. q=6 over
+    // hex: 16^6 gram space, dfs ~ cluster-sized.
+    "q104_edit_near_dup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val grp = expr("doc_id DIV 3")
+      val planted = grp % 20 === 0
+      val pos = (col("doc_id") % 3) * 7 + 1
+      val base = md5(concat(lit("g"), grp.cast("string")))
+      val key = when(planted,
+          concat(base.substr(lit(1), pos - 1), lit("z"),
+            base.substr(pos + 1, lit(32) - pos)))
+        .otherwise(md5(concat(lit("u"), col("doc_id").cast("string"))))
+      graft.ops.Dedup.editNearDupPairs(
+          docs.withColumn("key", key), col("key"), q = 6)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
 
     // Source-pair vocabulary overlap matrix: per-source KMV sketches
     // (k=256 — every pairwise union fits below k at this SF, so the
@@ -892,7 +913,11 @@ object SparkEntry {
     // synthetic 20-token "quote" docs (+1e6 ids) that embed verbatim in
     // their %17==2 sources — containment 1.0 where Jaccard is ~0.35,
     // exactly the case resemblance dedup misses. Integer 9/10 check on
-    // full shingle sets; candidates from capped gram posting lists.
+    // full shingle sets; candidates from the rare-prefix filter at
+    // n=5 word grams — the real-pipeline shingle width, and the
+    // blocking-entropy knob: this corpus's tiny vocabulary makes
+    // 3-gram dfs flat/correlated (prefix filtering degenerates), while
+    // 5-gram dfs collapse to dup-cluster size.
     "q116_containment" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val toks = filter(split(lower(col("text")), "[^a-z0-9]+"),
@@ -901,7 +926,8 @@ object SparkEntry {
         .select((col("doc_id") + 1000000).as("doc_id"),
           array_join(slice(toks, 1, 20), " ").as("text"))
       val corpus = docs.select(col("doc_id"), col("text")).unionByName(quotes)
-      graft.ops.Dedup.containmentPairs(corpus, threshNum = 9, threshDen = 10)
+      graft.ops.Dedup.containmentPairs(corpus, nGram = 5,
+          threshNum = 9, threshDen = 10)
         .orderBy(col("a_id"), col("b_id"))
     }),
 
@@ -4083,9 +4109,9 @@ object SparkEntry {
         |       FROM l2 l LEFT JOIN b3 b ON b.id = l.id)
         |SELECT id, lab AS label FROM l3 ORDER BY id""".stripMargin,
     // q116: brute-force all-pairs containment at oracle scale (the
-    // engine's gram-bucket candidates + exact verify are lossless below
-    // the df cap, which this corpus never reaches); quote docs rebuilt
-    // by the same 20-token slice.
+    // engine's prefix-filtered candidates + exact verify are lossless
+    // below the df cap, which this corpus never reaches); quote docs
+    // rebuilt by the same 20-token slice, 5-gram shingles.
     "q116_containment" ->
       """WITH base AS (
         |  SELECT doc_id,
@@ -4098,8 +4124,9 @@ object SparkEntry {
         |  SELECT doc_id + 1000000, toks[1:20] FROM base WHERE doc_id % 17 = 2),
         |s AS (
         |  SELECT doc_id, list_distinct(list_transform(
-        |    generate_series(1, greatest(len(toks)-2, 0)),
-        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |    generate_series(1, greatest(len(toks)-4, 0)),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+        |         || toks[i+3] || ' ' || toks[i+4])) AS sh
         |  FROM corpus)
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_shared,
@@ -4414,13 +4441,19 @@ object SparkEntry {
         |  (min(i) - 1)::BIGINT AS first_pos
         |FROM tg WHERE g = 'table key'
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    // q104: the oracle pays the length-banded all-pairs levenshtein the
-    // prefix filter avoids; the length >= 9 floor is the operator's
-    // documented domain (q·(maxDist+1) with q=3, d=2).
+    // q104: the oracle rebuilds the planted-key fixture and pays the
+    // length-banded all-pairs levenshtein the prefix filter avoids;
+    // 32-char keys sit inside the operator's q·(maxDist+1)=18 domain.
     "q104_edit_near_dup" ->
       """WITH s AS (
-        |  SELECT doc_id, lower(substr(text, 1, 64)) AS t FROM documents
-        |  WHERE text IS NOT NULL AND length(substr(text, 1, 64)) >= 9)
+        |  SELECT doc_id,
+        |    CASE WHEN (doc_id // 3) % 20 = 0 THEN
+        |      substr(md5('g' || CAST(doc_id // 3 AS VARCHAR)),
+        |             1, (doc_id % 3) * 7) || 'z' ||
+        |      substr(md5('g' || CAST(doc_id // 3 AS VARCHAR)),
+        |             (doc_id % 3) * 7 + 2, 32 - ((doc_id % 3) * 7 + 1))
+        |    ELSE md5('u' || CAST(doc_id AS VARCHAR)) END AS t
+        |  FROM documents)
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |  levenshtein(a.t, b.t)::BIGINT AS dist
         |FROM s a JOIN s b ON a.doc_id < b.doc_id

@@ -252,6 +252,16 @@ object Dedup {
     * Verification is exact integer arithmetic on the full shingle
     * arrays (no float boundary), so a candidate never false-positives.
     *
+    * `nGram` is the BLOCKING-ENTROPY knob, not just a similarity
+    * parameter: prefix filtering assumes rare grams exist and are
+    * weakly correlated across documents. On low-entropy text (tiny
+    * vocabulary, templated boilerplate) 3-gram dfs are flat and the
+    * "rarest" prefixes collide, inflating candidates ~df_prefix×df per
+    * gram even under the cap; at 5+ word grams (what production dedup
+    * shingles actually use) dfs collapse to near-duplicate-cluster
+    * size and candidates ≈ true pairs. Measured on the synthetic
+    * corpus at sf1.0: n=3 degenerate, n=5 healthy.
+    *
     * Output: (a_id, b_id, n_shared, n_a) with a_id != b_id, both
     * directions possible; callers threshold downstream joins on the
     * integers. Shingle-less docs never pair. */
