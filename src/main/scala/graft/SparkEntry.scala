@@ -90,6 +90,45 @@ object SparkEntry {
     * signature CTE both LSH oracles share: bucket = sum of bit weights
     * where the plane·emb dot is >= 0 (bit order and op order match
     * Ann.signatures exactly). */
+  /** q123's oracle: per-source entropy pieces with the same fixLog2
+    * CTE recurrence as [[dsirOracle]], applied twice — to every
+    * (source, token) count and to each source's total. */
+  private lazy val entropyOracle: String = {
+    def steps(tag: String, keys: String) = (1 to 8).map { i =>
+      s"""$tag$i AS (
+         |  SELECT $keys,
+         |    CASE WHEN ((m*m) >> 17) >= 262144 THEN ((m*m) >> 18)
+         |         ELSE ((m*m) >> 17) END AS m,
+         |    f*2 + CASE WHEN ((m*m) >> 17) >= 262144 THEN 1 ELSE 0 END AS f
+         |  FROM $tag${i - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT source,
+       |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |                       x -> x <> '')) AS token
+       |  FROM documents),
+       |c AS (SELECT source, token, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2),
+       |it0 AS (
+       |  SELECT source, token, c, (length(bin(c)) - 1)::BIGINT AS e,
+       |    (c * 131072) >> (length(bin(c)) - 1) AS m, 0::BIGINT AS f
+       |  FROM c),
+       |${steps("it", "source, token, c, e")},
+       |lg AS (SELECT source, c, e*256 + f AS l FROM it8),
+       |g AS (
+       |  SELECT source, sum(c)::BIGINT AS n_tokens,
+       |    count(*)::BIGINT AS n_distinct, sum(c*l)::BIGINT AS sum_c_log2c
+       |  FROM lg GROUP BY 1),
+       |jt0 AS (
+       |  SELECT source, n_tokens, n_distinct, sum_c_log2c,
+       |    (length(bin(n_tokens)) - 1)::BIGINT AS e,
+       |    (n_tokens * 131072) >> (length(bin(n_tokens)) - 1) AS m, 0::BIGINT AS f
+       |  FROM g),
+       |${steps("jt", "source, n_tokens, n_distinct, sum_c_log2c, e")}
+       |SELECT source, n_tokens, n_distinct, sum_c_log2c,
+       |  (n_tokens * (e*256 + f))::BIGINT AS n_log2n
+       |FROM jt8 ORDER BY source""".stripMargin
+  }
+
   /** q100's oracle: the exact fixed-point DSIR pipeline. The 8-step
     * integer log2-by-squaring recurrence (Importance.fixLog2) is
     * generated once as a CTE chain and applied to all four weight
@@ -930,6 +969,22 @@ object SparkEntry {
           threshNum = 9, threshDen = 10)
         .orderBy(col("a_id"), col("b_id"))
     }),
+
+    // Sorted-neighborhood blocking (Hernández & Stolfo): every doc
+    // paired with its 3 successors in (normalized-40-char-prefix, id)
+    // order — candidate volume exactly n·3 by construction, the
+    // hot-bucket-immune member of the blocking family.
+    "q122_snm_pairs" -> ((s, dir) =>
+      graft.ops.Dedup.sortedNeighborPairs(t(s, dir, "documents"),
+          graft.ops.TextOps.normalizedPrefix(col("text"), 40), window = 3)
+        .orderBy(col("a_id"), col("b_id"), col("gap"))),
+
+    // Per-source token entropy in exact fixed point: the corpus
+    // datasheet's vocabulary-concentration statistic, every column an
+    // exact integer under the native fix_log2 (floor(2^8 log2 x)).
+    "q123_source_entropy" -> ((s, dir) =>
+      graft.ops.TextOps.tokenEntropy(t(s, dir, "documents"))
+        .orderBy(col("source"))),
 
     // Luhn-validated card detection: every doc carries a synthetic
     // 16-digit candidate (dashed 4x4 for %5 docs), check digit =
@@ -4161,6 +4216,21 @@ object SparkEntry {
         |    AS imbalance
         |FROM j
         |ORDER BY imbalance DESC, token ASC LIMIT 50""".stripMargin,
+    // q122: row_number over the same (key, id) total order, neighbor
+    // join unrolled over gaps 1..3.
+    "q122_snm_pairs" ->
+      """WITH s AS (
+        |  SELECT doc_id AS id,
+        |    substr(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+        |           1, 40) AS k
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (SELECT id, row_number() OVER (ORDER BY k, id) - 1 AS rn FROM s),
+        |g AS (SELECT unnest(generate_series(1, 3)) AS gap)
+        |SELECT a.id AS a_id, b.id AS b_id, CAST(g.gap AS BIGINT) AS gap
+        |FROM r a CROSS JOIN g JOIN r b ON b.rn = a.rn + g.gap
+        |ORDER BY a_id, b_id, gap""".stripMargin,
+    // q123: generated fixLog2 CTE chain (see entropyOracle).
+    "q123_source_entropy" -> entropyOracle,
     // q121: same fixture arithmetic; the Luhn fold as a nested-lambda
     // list_sum over generate_series(1,16), doubling from the right,
     // fold-back by -9 — integer-exact on both engines.

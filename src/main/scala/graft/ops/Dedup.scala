@@ -315,6 +315,51 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("n_shared"), col("n_a"))
   }
 
+  /** Sorted-neighborhood (SNM, Hernández & Stolfo 1995) candidate
+    * pairs — the fourth blocking family in this file, complementing
+    * MinHash-LSH ([[nearDupPairs]]), rare-prefix ([[containmentPairs]])
+    * and positional q-gram ([[editNearDupPairs]]) blocking: sort the
+    * corpus by a domain key and pair every record with its `window`
+    * successors in sort order. The classic choice when the clustering
+    * signal lives in a sort-friendly key (normalized prefixes, names,
+    * addresses) — near-dups land adjacent and candidate volume is
+    * EXACTLY n·window, immune to hot-bucket blowup by construction.
+    *
+    * The total order is (key, id) — deterministic, so membership is
+    * reproducible and oracle-checkable. Distributed shape: ONE range
+    * repartition + in-partition sort (Spark's sort machinery, no
+    * single-partition window), a zipWithIndex rank pass (count-per-
+    * partition + offset, the standard distributed row-number), then
+    * the neighbor join as an EQUI-join on rank+k with k exploded from
+    * 1..window — never a range self-join. Emits candidates only;
+    * callers verify with their domain predicate (levenshtein, exact
+    * compare) — SNM is a blocker, not a matcher.
+    *
+    * Output: (a_id, b_id, gap) with gap ∈ [1, window] the sort-order
+    * distance; a precedes b in (key, id) order. Null keys drop. */
+  def sortedNeighborPairs(docs: DataFrame,
+                          keyCol: org.apache.spark.sql.Column,
+                          window: Int = 3,
+                          idCol: String = "doc_id"): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sorted = docs
+      .select(col(idCol).cast("long").as("id"), keyCol.cast("string").as("k"))
+      .filter(col("k").isNotNull)
+      .repartitionByRange(col("k"), col("id"))
+      .sortWithinPartitions(col("k"), col("id"))
+    val ranked = sorted.as[(Long, String)].rdd.zipWithIndex()
+      .map { case ((id, _), rn) => (id, rn) }
+      .toDF("id", "rn")
+    val a = ranked
+      .withColumn("gap", explode(lit((1 to window).toArray)))
+      .select(col("id").as("a_id"), (col("rn") + col("gap")).as("rn"),
+        col("gap").cast("long").as("gap"))
+    a.join(ranked.withColumnRenamed("id", "b_id"), "rn")
+      .select(col("a_id"), col("b_id"), col("gap"))
+  }
+
   /** Edit-distance near-duplicate pairs via q-gram prefix filtering —
     * the string-similarity-join family (AllPairs / ED-Join): all pairs
     * with levenshtein(a, b) <= `maxDist`, for SHORT keys (titles, URLs,

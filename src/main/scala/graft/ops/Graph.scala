@@ -113,8 +113,8 @@ object Graph {
     * in-degree).
     */
   def hits(nodes: DataFrame, edges: DataFrame, iterations: Int = 2,
-           exactFold: Boolean = false, reliable: Boolean = false,
-           checkpointEvery: Int = 5): DataFrame = {
+           exactFold: Boolean = false,
+           reliable: Boolean = false): DataFrame = {
     require(iterations >= 1, "hits needs at least one iteration")
     val n = nodes.select(col("id").cast("long").as("id"))
     val e = edges.select(col("src").cast("long").as("src"),
@@ -134,21 +134,31 @@ object Graph {
     }
     // score / max(score), 0.0-filled for nodes outside the group-by.
     // Both `sums` (max + join) and the result (next half-iteration +
-    // output) are double-consumed — persist both so each is computed
-    // once (see scaladoc: lineage here multiplies, unlike pageRank's).
+    // output) are double-consumed — the Pregel materialize-per-
+    // superstep shape: every carried score frame is EAGERLY
+    // checkpointed (localCheckpoint single-JVM, reliable on a
+    // cluster), which (a) computes each frame exactly once, (b)
+    // truncates the logical plan to a leaf so analysis cost stays O(1)
+    // per iteration instead of doubling with every double-reference,
+    // and (c) lets the sums temporary unpersist immediately; the
+    // superseded frames' storage is reclaimed by the ContextCleaner
+    // once unreferenced. An earlier persist-only form leaked every
+    // iteration's cache and plans into long-lived sessions.
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     def normalized(sums0: DataFrame, out: String): DataFrame = {
       val sums = sums0.persist(lvl)
       val mx = sums.agg(max(col("s")).as("mx"))
-      n.join(sums, Seq("id"), "left").crossJoin(broadcast(mx))
+      val r = n.join(sums, Seq("id"), "left").crossJoin(broadcast(mx))
         .select(col("id"),
           coalesce(col("s") / col("mx"), lit(0.0)).as(out))
-        .persist(lvl)
+      val m = if (reliable) r.checkpoint() else r.localCheckpoint()
+      sums.unpersist(false)
+      m
     }
 
     var hub = n.select(col("id"), lit(1.0).as("hub"))
     var auth: DataFrame = null
-    for (i <- 1 to iterations) {
+    for (_ <- 1 to iterations) {
       auth = normalized(foldSum(
         e.join(hub.withColumnRenamed("id", "src"), "src")
           .select(col("dst"), col("src"), col("hub").as("c")),
@@ -157,10 +167,6 @@ object Graph {
         e.join(auth.withColumnRenamed("id", "dst"), "dst")
           .select(col("src"), col("dst"), col("auth").as("c")),
         "src", "dst"), "hub")
-      if (i % checkpointEvery == 0 && i < iterations) {
-        hub = if (reliable) hub.checkpoint() else hub.localCheckpoint()
-        auth = if (reliable) auth.checkpoint() else auth.localCheckpoint()
-      }
     }
     hub.join(auth, Seq("id")).select(col("id"), col("hub"), col("auth"))
   }
@@ -247,14 +253,16 @@ object Graph {
     * window or second shuffle of raw neighbor rows is needed. Only
     * label rows (|V|) shuffle per iteration. The label frame is
     * consumed TWICE per iteration (neighbor join + the isolated-node
-    * left join), so it is PERSISTED each iteration — without that the
-    * un-reused subtree doubles per round (recompute, not just plan
-    * text). Same checkpoint contract as [[pageRank]].
+    * left join), so each round's labels are EAGERLY checkpointed
+    * (localCheckpoint single-JVM, reliable on a cluster) — computed
+    * once, plan truncated to a leaf (the double-reference would
+    * otherwise double the analyzed tree per round), superseded storage
+    * reclaimed by the ContextCleaner. The same Pregel
+    * materialize-per-superstep shape as [[hits]].
     */
   def labelPropagation(nodes: DataFrame, edges: DataFrame,
                        iterations: Int = 3, undirected: Boolean = true,
-                       reliable: Boolean = false,
-                       checkpointEvery: Int = 5): DataFrame = {
+                       reliable: Boolean = false): DataFrame = {
     require(iterations >= 1, "labelPropagation needs at least one iteration")
     val n = nodes.select(col("id").cast("long").as("id"))
     val raw = edges.select(col("src").cast("long").as("src"),
@@ -263,9 +271,8 @@ object Graph {
       raw.unionByName(raw.select(col("dst").as("src"), col("src").as("dst")))
     else raw
     val e = sym.filter(col("src") =!= col("dst")).distinct().persist()
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    var labels = n.select(col("id"), col("id").as("lab")).persist(lvl)
-    for (i <- 1 to iterations) {
+    var labels = n.select(col("id"), col("id").as("lab"))
+    for (_ <- 1 to iterations) {
       val neigh = e.join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("lab"))
       val best = neigh.groupBy(col("id"), col("lab"))
@@ -273,11 +280,9 @@ object Graph {
         .groupBy(col("id"))
         .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
         .select(col("id"), (-col("m.nl")).as("new_lab"))
-      labels = labels.join(best, Seq("id"), "left")
+      val next = labels.join(best, Seq("id"), "left")
         .select(col("id"), coalesce(col("new_lab"), col("lab")).as("lab"))
-        .persist(lvl)
-      if (i % checkpointEvery == 0 && i < iterations)
-        labels = if (reliable) labels.checkpoint() else labels.localCheckpoint()
+      labels = if (reliable) next.checkpoint() else next.localCheckpoint()
     }
     labels.select(col("id"), col("lab").as("label"))
   }

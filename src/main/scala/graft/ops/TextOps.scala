@@ -391,6 +391,39 @@ object TextOps {
         min(col("start")).cast("long").as("first_pos"))
   }
 
+  /** Per-group token-distribution ENTROPY in exact fixed point — the
+    * vocabulary-concentration statistic a corpus datasheet reports per
+    * source/language (a boilerplate-heavy source has low entropy; a
+    * diverse one approaches log2 of its vocabulary). Shannon entropy
+    * H = log2 N − (Σ c·log2 c)/N decomposes into integer-exact pieces
+    * under [[graft.ops.Importance.fixLog2]] (floor(2⁸·log2 x), the
+    * native codegen'd expression): the output carries the EXACT
+    * integers (n_tokens, n_distinct, sum_c_log2c, n_log2n) and leaves
+    * the one lossy division to the caller — the q100/q41 float-free
+    * discipline, so every emitted column hashes identically on any
+    * engine.
+    *
+    * Scale shape: one scan → partial-agg'd (group, token) count
+    * (distinct tokens cross the exchange, not occurrences) → one
+    * group-level aggregation; fixLog2 is applied to the counts inside
+    * the second partial agg. Groups are few; both exchanges bounded. */
+  def tokenEntropy(docs: DataFrame, groupCol: String = "source",
+                   textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .select(col(groupCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(groupCol), col("token"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col(groupCol))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        sum(col("c") * graft.ops.Importance.fixLog2(col("c")))
+          .cast("long").as("sum_c_log2c"))
+      .select(col(groupCol), col("n_tokens"), col("n_distinct"),
+        col("sum_c_log2c"),
+        (col("n_tokens") * graft.ops.Importance.fixLog2(col("n_tokens")))
+          .cast("long").as("n_log2n"))
+  }
+
   /** Proximity search (the NEAR/W operator): documents where ALL query
     * terms co-occur within a window of `maxSpan` tokens, any order —
     * with the MINIMAL span as the ranking feature (the standard
