@@ -970,6 +970,18 @@ object SparkEntry {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // Mixed-language detection: docs %3==0 get a 200-char German
+    // stopword tail appended, so their later 200-char windows flip the
+    // per-window LID — flagged with the sorted distinct guess set.
+    "q124_mixed_lang" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val mixed = when(col("doc_id") % 3 === 0,
+          concat(col("text"), repeat(lit(" der die das und ist"), 10)))
+        .otherwise(col("text"))
+      graft.ops.TextOps.mixedLanguageDocs(docs.withColumn("text", mixed))
+        .orderBy(col("doc_id"))
+    }),
+
     // Sorted-neighborhood blocking (Hernández & Stolfo): every doc
     // paired with its 3 successors in (normalized-40-char-prefix, id)
     // order — candidate volume exactly n·3 by construction, the
@@ -4216,6 +4228,48 @@ object SparkEntry {
         |    AS imbalance
         |FROM j
         |ORDER BY imbalance DESC, token ASC LIMIT 50""".stripMargin,
+    // q124: the q25 per-window LID replica over fixed 200-char
+    // substrings; langs as an ordered DISTINCT string_agg matching
+    // Spark's sorted collect_set join.
+    "q124_mixed_lang" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN text || repeat(' der die das und ist', 10)
+        |         ELSE text END AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |w AS (
+        |  SELECT doc_id, substr(t, (i - 1) * 200 + 1, 200) AS chunk
+        |  FROM f, LATERAL (SELECT unnest(generate_series(1,
+        |         ((length(t) - 1) // 200) + 1)) AS i)
+        |  WHERE length(t) > 0),
+        |tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(chunk), '[^a-z0-9]+'),
+        |                x -> x <> '') AS tk
+        |  FROM w),
+        |sc AS (
+        |  SELECT doc_id,
+        |    len(list_filter(tk, t -> t IN ('der','die','das','und','ist','ein','eine','zu','mit','nicht'))) AS s_de,
+        |    len(list_filter(tk, t -> t IN ('the','a','of','and','to','in','is','that','it','for'))) AS s_en,
+        |    len(list_filter(tk, t -> t IN ('el','la','de','y','es','un','una','que','en','los'))) AS s_es,
+        |    len(list_filter(tk, t -> t IN ('le','la','de','et','est','un','une','que','les','pour'))) AS s_fr
+        |  FROM tk),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+        |         WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
+        |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+        |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+        |         ELSE 'de' END AS guess
+        |  FROM sc),
+        |agg AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_windows,
+        |    count(DISTINCT guess)::BIGINT AS n_langs,
+        |    string_agg(DISTINCT guess, ',' ORDER BY guess) AS langs
+        |  FROM g GROUP BY doc_id)
+        |SELECT doc_id, n_windows, n_langs, langs
+        |FROM agg WHERE n_langs > 1 ORDER BY doc_id""".stripMargin,
     // q122: row_number over the same (key, id) total order, neighbor
     // join unrolled over gaps 1..3.
     "q122_snm_pairs" ->

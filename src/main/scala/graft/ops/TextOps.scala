@@ -391,6 +391,44 @@ object TextOps {
         min(col("start")).cast("long").as("first_pos"))
   }
 
+  /** Mixed-language document detection — the segmentation gate
+    * multilingual pipelines run before language-bucketed training:
+    * a doc whose fixed character windows disagree on language ID is
+    * code-switched, mis-merged, or boilerplate-wrapped, and either
+    * gets split per segment or dropped (CCNet and successors gate on
+    * per-segment LID agreement).
+    *
+    * Windows are fixed `windowChars` substrings (deterministic, no
+    * tokenizer drift at the boundary); each window runs the same
+    * [[languageGuess]] heuristic as whole-doc LID, so a window's
+    * verdict matches what the doc-level gate would have said about
+    * that slice. Output keeps ALL window verdicts compactly:
+    * (idCol, n_windows, n_langs, langs = sorted ','-joined distinct
+    * guesses), mixed docs only (n_langs > 1).
+    *
+    * Scale shape: substring windows explode inside the scan stage
+    * (fan-out len/windowChars, data-proportional), LID is codegen'd
+    * column arithmetic per window, and the one exchange is the per-doc
+    * aggregation. */
+  def mixedLanguageDocs(docs: DataFrame, windowChars: Int = 200,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(windowChars >= 1, "windowChars must be >= 1")
+    val n = length(col(textCol))
+    val nWin = (floor((n - lit(1)) / windowChars) + 1).cast("int")
+    docs.filter(col(textCol).isNotNull && n > 0)
+      .select(col(idCol).cast("long").as(idCol), col(textCol))
+      .withColumn("__w", explode(sequence(lit(0), nWin - 1)))
+      .withColumn("__chunk",
+        expr(s"substring($textCol, __w * $windowChars + 1, $windowChars)"))
+      .withColumn("__guess", guessFromScores(langScores(col("__chunk"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_windows"),
+        size(collect_set(col("__guess"))).cast("long").as("n_langs"),
+        array_join(array_sort(collect_set(col("__guess"))), ",").as("langs"))
+      .filter(col("n_langs") > 1)
+  }
+
   /** Per-group token-distribution ENTROPY in exact fixed point — the
     * vocabulary-concentration statistic a corpus datasheet reports per
     * source/language (a boilerplate-heavy source has low entropy; a

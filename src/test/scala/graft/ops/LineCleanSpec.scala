@@ -101,6 +101,21 @@ class LineCleanSpec extends AnyFunSuite {
     assert(r == Seq(("x", 3L, 1L, 8L), ("y", 1L, 2L, 4L), ("z", 0L, 1L, 4L)))
   }
 
+  test("mixedLanguageDocs flags only window-level disagreement") {
+    import spark.implicits._
+    val en = ("the of and to in is that it for a " * 10).trim // 20 windows? no: ~390 chars
+    val docs = Seq(
+      (1L, en),                                          // en everywhere -> not mixed
+      (2L, en + (" der die das und ist" * 10)),          // en then de windows
+      (3L, "zz yy xx ww vv"))                            // und only -> not mixed
+    val r = TextOps.mixedLanguageDocs(docs.toDF("doc_id", "text"),
+        windowChars = 200)
+      .orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(2), x.getString(3))).toSeq
+    assert(r.map(_._1) == Seq(2L))
+    assert(r.head._3.split(",").contains("de") && r.head._2 >= 2)
+  }
+
   test("tokenDrift k truncates on the deterministic (imbalance, token) order") {
     import spark.implicits._
     val a = Seq((1L, "p q")).toDF("doc_id", "text")
