@@ -970,6 +970,17 @@ object SparkEntry {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // Bounded-state quantile estimation: per-lang text-length
+    // quartiles from the deterministic bottom-64-by-hash row sample —
+    // WindowGroupLimit ships 64 rows per group per partition, and the
+    // sample membership (hence the estimate) is a pure function of the
+    // data, exactly replayable by the oracle.
+    "q125_sample_quantiles" -> ((s, dir) =>
+      graft.ops.Sketch.sampleQuantiles(
+          t(s, dir, "documents").withColumn("len", length(col("text"))),
+          "lang", col("len"), "doc_id", k = 64)
+        .orderBy(col("lang"))),
+
     // Mixed-language detection: docs %3==0 get a 200-char German
     // stopword tail appended, so their later 200-char windows flip the
     // per-window LID — flagged with the sorted distinct guess set.
@@ -4228,6 +4239,25 @@ object SparkEntry {
         |    AS imbalance
         |FROM j
         |ORDER BY imbalance DESC, token ASC LIMIT 50""".stripMargin,
+    // q125: the q48 hash-order idiom ranks rows per lang, quartiles
+    // via quantile_cont on the 64-row sample (the q40 percentile
+    // parity).
+    "q125_sample_quantiles" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id, length(text) AS v,
+        |    ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 1073741824 AS hb
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, v,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hb, doc_id) AS rn
+        |  FROM h)
+        |SELECT lang, count(*)::BIGINT AS n_sample,
+        |  CAST(quantile_cont(v, 0.25) AS DOUBLE) AS q_25,
+        |  CAST(quantile_cont(v, 0.5) AS DOUBLE) AS q_50,
+        |  CAST(quantile_cont(v, 0.75) AS DOUBLE) AS q_75
+        |FROM r WHERE rn <= 64
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // q124: the q25 per-window LID replica over fixed 200-char
     // substrings; langs as an ordered DISTINCT string_agg matching
     // Spark's sorted collect_set join.

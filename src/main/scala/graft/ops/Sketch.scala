@@ -283,4 +283,41 @@ object Sketch {
         // sketches held ALL their distinct hashes AND merged == union
         (size(col("du")) < k).as("exact"))
   }
+
+  /** Per-group QUANTILES from a deterministic bottom-k-by-hash row
+    * sample — the bounded-state quantile path this sketch family was
+    * missing (exact `percentile` buffers whole groups; GK/t-digest
+    * summaries are insertion-order-dependent, so two runs disagree in
+    * the last ulp and no SQL oracle can replay them). Ranking rows by
+    * the portable content hash of their id ([[Sampling.hashBucket]])
+    * gives a uniform sample whose MEMBERSHIP is a pure function of the
+    * data — order-independent, rerun-stable, engine-replayable — and
+    * the exact percentile of that sample is the estimate (±O(1/√k)
+    * quantile error, the standard sample bound). EXACT whenever the
+    * group has ≤ k rows, the same exact-below-capacity contract as
+    * [[kmvDistinctBy]] / the Misra–Gries pass.
+    *
+    * Scale shape: the rank filter compiles to WindowGroupLimit — k
+    * rows per group per partition cross the exchange, never the
+    * group's population; the percentile buffers only the k-row sample.
+    *
+    * Output: (groupCol, n_sample, q_<p> per requested prob). */
+  def sampleQuantiles(df: DataFrame, groupCol: String, valueCol: Column,
+                      idCol: String, k: Int,
+                      probs: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      s"probs must be in [0,1]: $probs")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(Sampling.hashBucket(col(idCol), 1 << 30), col(idCol))
+    val sampled = df
+      .select(col(groupCol), col(idCol), valueCol.as("__v"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+    val qCols = probs.map(p =>
+      expr(s"percentile(__v, $p)").as(s"q_${(p * 100).round}"))
+    sampled.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_sample"), qCols: _*)
+  }
 }

@@ -42,6 +42,35 @@ class SnmEntropySpec extends AnyFunSuite {
     assert(snm(docs, 2) == snm(docs, 2))
   }
 
+  // ---- sampleQuantiles ----
+
+  test("sampleQuantiles: exact when the group fits below k") {
+    val rows = (1L to 9L).map(i => (i, "g", i * 10L))
+    val r = Sketch.sampleQuantiles(rows.toDF("doc_id", "grp", "v"),
+        "grp", col("v"), "doc_id", k = 64)
+      .collect().head
+    assert(r.getLong(1) == 9L)                  // whole group sampled
+    assert(r.getDouble(2) == 30.0 && r.getDouble(3) == 50.0
+      && r.getDouble(4) == 70.0)                // exact quartiles of 10..90
+  }
+
+  test("sampleQuantiles: membership is data-determined — rerun and union stable") {
+    val rows = (1L to 500L).map(i => (i, s"g${i % 3}", i))
+    def run(data: Seq[(Long, String, Long)]) =
+      Sketch.sampleQuantiles(data.toDF("doc_id", "grp", "v"),
+          "grp", col("v"), "doc_id", k = 32)
+        .collect().map(r => (r.getString(0), r.getDouble(3))).toMap
+    assert(run(rows) == run(rows.reverse)) // input order is irrelevant
+  }
+
+  test("sampleQuantiles: rank filter compiles to WindowGroupLimit") {
+    val rows = (1L to 100L).map(i => (i, "g", i))
+    val plan = Sketch.sampleQuantiles(rows.toDF("doc_id", "grp", "v"),
+        "grp", col("v"), "doc_id", k = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   // ---- tokenEntropy ----
 
   test("tokenEntropy: exact integers against a Scala fixLog2 reference") {
