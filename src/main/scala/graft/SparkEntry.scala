@@ -1068,7 +1068,7 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("repeat_count")).cast("long").as("sum_repeats"),
-          sum(col("repeat_count") * col("__tok")).cast("long").as("planned_tokens"))
+          sum(col("repeat_count") * col("plan_tokens")).cast("long").as("planned_tokens"))
         .orderBy(col("source"))
     }),
 
@@ -1665,6 +1665,25 @@ object SparkEntry {
     // carried-forward buckets keep exact versions and data.
     "q22_at_export_bucketed" -> ((s, dir) =>
       graft.queries.StoreQueries.atExport(s, dir, buckets = Some(8))),
+
+    // S3 point lookup: the q15 two-commit fixture, then per-id readRow
+    // (pushed-predicate scan) for doc_id % 101 == 7 — versions AND
+    // current values re-derived relationally by the oracle.
+    "q126_point_lookup" -> ((s, dir) =>
+      graft.queries.StoreQueries.pointLookup(s, dir)),
+
+    // S6 meta-VFS: the /meta/system:system virtual collection read
+    // through ReadPath over a catalog built from the documents table
+    // (a dataset per lang, a lens per source), decoded and exploded —
+    // the oracle re-derives the expected catalog listing.
+    "q127_meta_vfs" -> ((s, dir) =>
+      graft.queries.StoreQueries.metaVfsListing(s, dir)),
+
+    // W9 cid:→hash:// rewrite at ingest: executor-side deep rewrite of
+    // cid: references through the uploaded-files map, committed, read
+    // back; the oracle recomputes the same sha256 URLs (q35 style).
+    "q128_cid_rewrite" -> ((s, dir) =>
+      graft.queries.StoreQueries.cidRewrite(s, dir)),
 
     // REAL PCM audio decode (multimodal) under the hard signal:
     // deterministic integer-arithmetic WAVs generated executor-side,
@@ -2835,6 +2854,33 @@ object SparkEntry {
         |       WHEN doc_id % 10 = 0 THEN 'MODIFIED: ' || text
         |       ELSE NULL END AS data
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q126: point lookups return the CURRENT value (no ?at= stubbing),
+    // so data is the post-commit-2 text; version arithmetic as q15.
+    "q126_point_lookup" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS id,
+        |  CAST(CASE WHEN doc_id % 2 = 1 OR doc_id % 10 = 0 THEN 2 ELSE 1 END AS BIGINT) AS version,
+        |  CASE WHEN doc_id % 10 = 0 THEN 'MODIFIED: ' || text ELSE text END AS data
+        |FROM documents WHERE doc_id % 101 = 7 ORDER BY doc_id""".stripMargin,
+    // q127: the catalog the meta-VFS must report — one dataset per
+    // distinct lang, one lens per distinct source, author 'bench'.
+    "q127_meta_vfs" ->
+      """WITH langs AS (SELECT DISTINCT lang FROM documents),
+        |srcs AS (SELECT DISTINCT source FROM documents)
+        |SELECT 'authors' AS kind, 'bench' AS author, CAST(NULL AS VARCHAR) AS name
+        |UNION ALL
+        |SELECT 'datasets', 'bench', 'docs-' || lang FROM langs
+        |UNION ALL
+        |SELECT 'lenses', 'bench', 'lens-' || source FROM srcs
+        |ORDER BY kind, author, name""".stripMargin,
+    // q128: the rewritten URL is hash://sha256/<hex-of-content>?type=
+    // url-encoded mime — DuckDB recomputes the sha256 over the same
+    // deterministic blob content (the q35 discipline).
+    "q128_cid_rewrite" ->
+      """WITH ids AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 7 = 0)
+        |SELECT CAST(doc_id AS VARCHAR) AS id,
+        |  'hash://sha256/' || sha256('att-' || CAST(doc_id AS VARCHAR))
+        |    || '?type=text%2Fplain' AS url
+        |FROM ids ORDER BY doc_id""".stripMargin,
     // q36: the oracle re-derives the PCM samples with the same integer
     // formula (no transcendentals anywhere), squares/sums them — exact
     // in double for these magnitudes in any order — and applies the
@@ -4214,8 +4260,11 @@ object SparkEntry {
         |  AND 10 * len(list_intersect(a.sh, b.sh)) >= 9 * len(a.sh)
         |ORDER BY 1, 2""".stripMargin,
     // q117: same tokenizer, counts per half, full-outer vocabulary
-    // join; the cross-products go through HUGEINT (exact int128) and
-    // land in DECIMAL(38,0) to match Spark's decimal column.
+    // join; the cross-products go through HUGEINT (exact int128) for
+    // the ORDER BY + tie-break, then the k survivors project imbalance
+    // as DOUBLE (round-to-nearest of the exact integer) per the
+    // final-cast-to-DOUBLE contract above — mirroring Spark, which
+    // sorts on DECIMAL(38,0) and casts after the limit.
     "q117_token_drift" ->
       """WITH ta AS (
         |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -4232,13 +4281,15 @@ object SparkEntry {
         |j AS (
         |  SELECT COALESCE(ca.token, cb.token) AS token,
         |    COALESCE(n_a, 0)::BIGINT AS n_a, COALESCE(n_b, 0)::BIGINT AS n_b
-        |  FROM ca FULL OUTER JOIN cb ON ca.token = cb.token)
-        |SELECT token, n_a, n_b,
-        |  CAST(abs(n_a::HUGEINT * (SELECT tot_b FROM tot)
-        |         - n_b::HUGEINT * (SELECT tot_a FROM tot)) AS DECIMAL(38,0))
-        |    AS imbalance
-        |FROM j
-        |ORDER BY imbalance DESC, token ASC LIMIT 50""".stripMargin,
+        |  FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+        |r AS (
+        |  SELECT token, n_a, n_b,
+        |    abs(n_a::HUGEINT * (SELECT tot_b FROM tot)
+        |      - n_b::HUGEINT * (SELECT tot_a FROM tot)) AS imb
+        |  FROM j
+        |  ORDER BY imb DESC, token ASC LIMIT 50)
+        |SELECT token, n_a, n_b, CAST(imb AS DOUBLE) AS imbalance
+        |FROM r""".stripMargin,
     // q125: the q48 hash-order idiom ranks rows per lang, quartiles
     // via quantile_cont on the 64-row sample (the q40 percentile
     // parity).

@@ -326,6 +326,9 @@ object Ann {
                    idCol: String = "vec_id", embCol: String = "embedding",
                    maxBucketSize: Int = graft.ops.Dedup.DefaultMaxBucketSize,
                    stats: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    // persist: consumed twice (edges + averages); the returned frame
+    // is lazy over it — CALLER CONTRACT as cosineNearDupPairs: no safe
+    // in-op unpersist point, LRU eviction reclaims the entry.
     val knn = knnGraph(embeddings, k, dim, tables, bitsPerTable, idCol,
         embCol, maxBucketSize, stats)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -212,8 +212,12 @@ object Dedup {
     // persist: the shingle frame feeds the signature derivation AND
     // both sides of the exact-verify join — three consumers, and
     // shingling (tokenize + n-gram assembly over every document) is
-    // the most expensive narrow stage in the operator. Same lifetime
-    // reasoning as cosineNearDupPairs' signature persist.
+    // the most expensive narrow stage in the operator. CALLER
+    // CONTRACT (same as cosineNearDupPairs): the returned frame is
+    // lazy over this persist, so there is no safe unpersist point
+    // inside the operator; the entry lives until LRU eviction — a
+    // long-lived session invoking this repeatedly should materialize
+    // (e.g. localCheckpoint) and drop the result between calls.
     val sh = TextOps.shingles(docs, idCol, textCol, nGram)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = minhashSignatures(sh, idCol)
@@ -307,12 +311,23 @@ object Dedup {
       .distinct()
     val shA = sh.select(col(idCol).as("a_id"), col("sh").as("sh_a"))
     val shB = sh.select(col(idCol).as("b_id"), col("sh").as("sh_b"))
-    cand.join(shA, "a_id").join(shB, "b_id")
+    val result = cand.join(shA, "a_id").join(shB, "b_id")
       .withColumn("n_shared", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("n_a", size(col("sh_a")).cast("long"))
       .filter(col("n_a") > 0 &&
         col("n_shared") * threshDen >= col("n_a") * threshNum)
       .select(col("a_id"), col("b_id"), col("n_shared"), col("n_a"))
+    // localCheckpoint-then-unpersist (the Graph.hits discipline, r11
+    // advice): the result is a small pairs frame, so materializing it
+    // eagerly lets BOTH working persists release before returning —
+    // without this a long-lived session accumulates a shingle + gram-
+    // index cache entry per call until LRU eviction. The checkpointed
+    // blocks themselves are reclaimed by the ContextCleaner once the
+    // caller drops the frame.
+    val out = result.localCheckpoint()
+    sh.unpersist(blocking = false)
+    kept.unpersist(blocking = false)
+    out
   }
 
   /** Sorted-neighborhood (SNM, Hernández & Stolfo 1995) candidate
@@ -400,6 +415,9 @@ object Dedup {
                        stats: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(maxDist >= 1 && q >= 2, "editNearDupPairs needs maxDist >= 1, q >= 2")
     val p = q * maxDist + 1
+    // persist: feeds the gram explode AND both verify-join sides.
+    // CALLER CONTRACT (as cosineNearDupPairs): the returned frame is
+    // lazy over this persist — no safe in-op unpersist; LRU reclaims.
     val strs = docs
       .select(col(idCol).cast("long").as("__id"), strCol.as("__s"))
       .filter(col("__s").isNotNull && length(col("__s")) >= q * (maxDist + 1))

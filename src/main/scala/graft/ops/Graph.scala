@@ -77,7 +77,13 @@ object Graph {
       if (i % checkpointEvery == 0 && i < iterations)
         ranks = if (reliable) ranks.checkpoint() else ranks.localCheckpoint()
     }
-    ranks
+    // Final eager checkpoint so the persisted edge frame can be
+    // RELEASED before returning — without it the lazy result pins `ew`
+    // in the cache forever in a long-lived session (r11 hygiene pass);
+    // callers always materialize anyway, so the work is the same.
+    val out = if (reliable) ranks.checkpoint() else ranks.localCheckpoint()
+    ew.unpersist(blocking = false)
+    out
   }
 
   /** Fixed-iteration HITS (Kleinberg hubs & authorities).
@@ -168,6 +174,9 @@ object Graph {
           .select(col("src"), col("dst"), col("auth").as("c")),
         "src", "dst"), "hub")
     }
+    // hub/auth are checkpointed leaves — the output no longer reads
+    // the edge frame, so its cache entry is released here (r11 hygiene)
+    e.unpersist(blocking = false)
     hub.join(auth, Seq("id")).select(col("id"), col("hub"), col("auth"))
   }
 
@@ -229,7 +238,12 @@ object Graph {
       if (i % checkpointEvery == 0 && i < iterations)
         ranks = if (reliable) ranks.checkpoint() else ranks.localCheckpoint()
     }
-    ranks
+    // same release discipline as [[pageRank]]: eager final checkpoint,
+    // then drop the persisted node-flag and edge frames
+    val out = if (reliable) ranks.checkpoint() else ranks.localCheckpoint()
+    n.unpersist(blocking = false)
+    ew.unpersist(blocking = false)
+    out
   }
 
   /** Synchronous label propagation (Raghavan et al. 2007) with a
@@ -284,6 +298,8 @@ object Graph {
         .select(col("id"), coalesce(col("new_lab"), col("lab")).as("lab"))
       labels = if (reliable) next.checkpoint() else next.localCheckpoint()
     }
+    // labels is a checkpointed leaf — the edge cache is releasable
+    e.unpersist(blocking = false)
     labels.select(col("id"), col("lab").as("label"))
   }
 }

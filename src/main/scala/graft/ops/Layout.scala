@@ -79,9 +79,11 @@ object Layout {
   /** The DuckDB twin of [[hilbertKey]]: unrolled per-level CTE chain
     * (the [[graft.ops.Importance]] fix_log2 oracle discipline — state
     * per level, constants inlined). Expects `base` to expose integer
-    * columns x, y in [0, 2^bits); emits CTEs `h0..h{bits}` where the
-    * final one carries (x, y, hkey). Splice as:
-    * `WITH base AS (...), ${hilbertSql("base", b)} SELECT ... FROM h{b}`. */
+    * columns x, y in [0, 2^bits); emits CTEs `h0..h{bits}` (each
+    * carrying the in-flight state (x, y, hx, hy, hd)) plus a final CTE
+    * `h` that projects the result as (x, y, hkey). Splice as:
+    * `WITH base AS (...), ${hilbertSql("base", b)} SELECT ... FROM h`
+    * — the q108 oracle does exactly this. */
   def hilbertSql(base: String, bits: Int): String = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
     val init = s"h0 AS (SELECT x, y, x AS hx, y AS hy, 0::BIGINT AS hd FROM $base)"

@@ -122,11 +122,20 @@ object Mixing {
     * the remainder prefix needs the cumulative sum anyway, so the
     * full-epoch add rides the same exchange. Zero-token docs never
     * enter the remainder prefix (they'd inflate repeat counts for
-    * free) but DO ride full epochs like any other doc. */
+    * free) but DO ride full epochs like any other doc.
+    *
+    * Output: the input columns plus `plan_tokens` (the long token count
+    * this doc is charged at per repeat — the evaluated `tokensCol`,
+    * surfaced so the shard writer can compute planned volume as
+    * `repeat_count * plan_tokens` without re-tokenizing) and
+    * `repeat_count >= 1`. */
   def epochMixture(docs: DataFrame, budgets: Map[String, Long],
                    tokensCol: Column, sourceCol: String = "source",
                    idCol: String = "doc_id"): DataFrame = {
     require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
+    require(!docs.columns.contains("plan_tokens") &&
+      !docs.columns.contains("repeat_count"),
+      "epochMixture emits plan_tokens/repeat_count; rename the input's")
     val d = docs
       .withColumn("__tok", coalesce(tokensCol.cast("long"), lit(0L)))
       .withColumn("__budget", element_at(typedlit(budgets), col(sourceCol)))
@@ -149,5 +158,6 @@ object Mixing {
           lit(1L)).otherwise(lit(0L)))
       .filter(col("repeat_count") >= 1)
       .drop("__budget", "__src_tokens", "__epochs", "__rem", "__cum")
+      .withColumnRenamed("__tok", "plan_tokens")
   }
 }

@@ -145,8 +145,17 @@ object Pii {
     val gCounts = df.groupBy(qc :+ col(sensitiveCol).as("__s"): _*)
       .agg(count(lit(1)).as("__gc"))
     val spine = gCounts.select(qc: _*).distinct()
+    // <=> on QI (and __s): GROUP BY treats NULL as a real group, so the
+    // grid fill and the verdict join-back must match NULL QI tuples too
+    // — plain === would zero-fill / drop them silently (r11 advice).
+    val gcR = gCounts.select(
+      qiCols.map(n => col(n).as(s"__r_$n")) :+
+        col("__s").as("__rs") :+ col("__gc"): _*)
     val filled = spine.crossJoin(broadcast(gDist))
-      .join(gCounts, qiCols :+ "__s", "left")
+      .join(gcR,
+        (qiCols.map(n => col(n) <=> col(s"__r_$n")) :+
+          (col("__s") <=> col("__rs"))).reduce(_ && _), "left")
+      .drop(qiCols.map(n => s"__r_$n") :+ "__rs": _*)
       .na.fill(0L, Seq("__gc"))
     val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy(qc: _*).orderBy(col("__s"))
@@ -169,7 +178,12 @@ object Pii {
         when(col("__den") === 0, lit(0.0))
           .otherwise(col("__num").cast("double") / col("__den").cast("double")))
       .select(qc :+ col("group_n") :+ col("emd"): _*)
-    df.join(broadcast(gate), qiCols)
+    val gateR = gate.select(
+      qiCols.map(n => col(n).as(s"__q_$n")) ++
+        Seq(col("group_n"), col("emd")): _*)
+    df.join(broadcast(gateR),
+        qiCols.map(n => col(n) <=> col(s"__q_$n")).reduce(_ && _))
+      .drop(qiCols.map(n => s"__q_$n"): _*)
   }
 
   /** l-diversity gate (Machanavajjhala et al. 2007) — the refinement

@@ -165,8 +165,11 @@ object Sketch {
       groupCols.map(n => col(n).as(s"__g_$n")) :+
         explode(col("__cand")).as("__h") :+ col("group_n"): _*)
     keyed
+      // <=> on the group columns: GROUP BY treats NULL as a real group
+      // in pass 1, so pass 2's probe join must match it too — plain ===
+      // would silently drop a NULL group's heavy hitters (r11 advice).
       .join(broadcast(candExploded),
-        groupCols.map(n => col(n) === col(s"__g_$n"))
+        groupCols.map(n => col(n) <=> col(s"__g_$n"))
           .reduce(_ && _) && hash60(col("item")) === col("__h"))
       .groupBy(gc :+ col("item") :+ col("group_n"): _*)
       .agg(count(lit(1)).as("cnt"))

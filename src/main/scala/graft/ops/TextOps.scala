@@ -329,6 +329,11 @@ object TextOps {
                    textCol: String = "text", minCount: Long = 2,
                    topK: Int = 50): DataFrame = {
     require(minCount >= 1 && topK >= 1, "collocations needs minCount, topK >= 1")
+    // persist: feeds the 1-row total AND the candidate filter. CALLER
+    // CONTRACT (as cosineNearDupPairs): the returned top-k is lazy over
+    // this bigram-vocabulary frame — no safe in-op unpersist; LRU
+    // eviction reclaims it (the frame is vocabulary-bounded, not
+    // corpus-sized).
     val biAll = ngramOccurrences(docs, idCol, textCol, 2)
       .groupBy(col("g")).agg(count(lit(1)).as("n_ab"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1216,7 +1221,11 @@ object TextOps {
     * scaled by the constant A·B) with no float boundary anywhere — the
     * q82/q59 integer-signal discipline applied to drift. DECIMAL(38,0)
     * keeps the cross-products exact to ~1e38 (counts ~1e14 × totals
-    * ~1e15 at 100 TB stay inside).
+    * ~1e15 at 100 TB stay inside). Per the output-type contract
+    * (SparkEntry.scala:13-21) the decimal is internal only: the sort
+    * and the tie-break run on the exact decimal, then the k surviving
+    * rows project `imbalance` as DOUBLE (round-to-nearest of the exact
+    * integer — bit-identical across engines).
     *
     * Scale shape: one scan + partial-agg'd token count per snapshot
     * (shuffle carries distinct tokens, not occurrences), a full-outer
@@ -1247,6 +1256,8 @@ object TextOps {
           .cast("decimal(38,0)").as("imbalance"))
       .orderBy(col("imbalance").desc, col("token").asc)
       .limit(k)
+      .select(col("token"), col("n_a"), col("n_b"),
+        col("imbalance").cast("double").as("imbalance"))
   }
 
   /** C4-style line-level cleaning (Raffel et al. 2020 §2.2, the rules

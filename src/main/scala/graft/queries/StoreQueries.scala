@@ -6,8 +6,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.core.{Cbor, NaturalOrder, PoObj, PoStr}
-import graft.store.{Store, WriteMode}
+import graft.core.{Cbor, NaturalOrder, PoArr, PoObj, PoStr}
+import graft.store.{AttachmentStore, DataPath, ReadPath, Store, WriteMode}
 
 /** Driver-verified queries over the store's commit/version machinery. */
 object StoreQueries {
@@ -104,6 +104,140 @@ object StoreQueries {
       .select(col("h").as("hash"))
       .withColumn("n_deleted", lit(nDeleted))
       .orderBy(col("hash"))
+  }
+
+  /** S3 point lookup under the hard signal (reference
+    * base-data-model.js:105-118 read): the q15 two-commit fixture
+    * (evens v1, odds new v2, %10 rewritten v2), then a per-id
+    * `readRow` for every doc_id % `lookupMod` == 7 — each lookup is
+    * the pushed-predicate scan path (`Store.readRow`: id equality
+    * pushes to the parquet scan, PLANS pins `PushedFilters`). The
+    * oracle re-derives the version arithmetic relationally for the
+    * same id subset, so a lookup returning a stale version, wrong
+    * value, or a miss breaks the hash.
+    *
+    * The driver-side loop IS the operator under test — point lookups
+    * are per-key requests by definition (the reference serves them one
+    * HTTP GET at a time); the corpus-scale path for bulk id sets is
+    * the `isin` filter this same scan machinery serves. */
+  def pointLookup(spark: SparkSession, sfDir: String,
+                  lookupMod: Long = 101): DataFrame = {
+    import spark.implicits._
+    val sfName = Paths.get(sfDir).getFileName.toString
+    val root = Paths.get(sys.props("java.io.tmpdir"), s"graft-ptq-$sfName").toString
+    val store = new Store(spark, root)
+    val ds = store.dataset("bench", "docs-pt")
+    if (ds.exists) ds.drop()
+    ds.create()
+
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    def entries(df: DataFrame, mod: Boolean): DataFrame =
+      df.as[(Long, String)].map { case (id, text) =>
+        val t = if (mod) s"MODIFIED: $text" else text
+        (id.toString, Cbor.encode(PoObj("text" -> PoStr(t))), false)
+      }.toDF("id", "value", "tombstone")
+    ds.writeEntriesDF(entries(docs.filter(col("doc_id") % 2 === 0), mod = false),
+      WriteMode.Overwrite)
+    ds.writeEntriesDF(
+      entries(docs.filter(col("doc_id") % 2 === 1), mod = false)
+        .unionByName(entries(docs.filter(col("doc_id") % 10 === 0), mod = true)),
+      WriteMode.Merge)
+
+    val ids = docs.select(col("doc_id"))
+      .filter(col("doc_id") % lookupMod === 7)
+      .as[Long].collect().sorted
+    val rows = ids.flatMap { id =>
+      ds.readRow(id.toString).map { r =>
+        val text = Cbor.decode(r.value).asInstanceOf[PoObj].fields("text") match {
+          case PoStr(t) => t
+          case _ => null
+        }
+        (r.id, r.version, text)
+      }
+    }
+    spark.createDataset(rows.toSeq).toDF("id", "version", "data")
+      .orderBy(col("id").cast("long"))
+  }
+
+  /** S6 meta-VFS catalog listing under the hard signal (reference
+    * meta-vfs.js:8-55): a fresh store populated with one dataset per
+    * distinct document lang and one lens per distinct source, then the
+    * `/meta/system:system` virtual collection is read through the SAME
+    * ReadPath machinery real collections use, its `authors`/`datasets`/
+    * `lenses` CBOR values decoded and exploded to relational rows. The
+    * oracle re-derives the expected catalog from the documents table,
+    * so a listing that misses a collection, invents one, or mangles a
+    * path breaks the hash.
+    *
+    * Catalog-sized by construction (rows = collections + authors), the
+    * admin-contract envelope — the 100 TB corpus never enters. */
+  def metaVfsListing(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-mvq").toString
+    val store = new Store(spark, root)
+    val docs = Tables.load(spark, sfDir, "documents")
+    val langs = docs.select(col("lang")).distinct().as[String].collect().sorted
+    val srcs = docs.select(col("source")).distinct().as[String].collect().sorted
+    langs.foreach(l => store.dataset("bench", s"docs-$l").create())
+    srcs.foreach(s => store.lens("bench", s"lens-$s").create())
+
+    val meta = ReadPath.read(store, DataPath("meta", "system", "system"))
+      .select(col("id"), col("value")).collect()
+      .map(r => r.getString(0) -> Cbor.decode(r.getAs[Array[Byte]]("value")))
+      .toMap
+    def listingRows(kind: String): Seq[(String, String, String)] =
+      meta(kind).asInstanceOf[PoArr].items.map { v =>
+        val o = v.asInstanceOf[PoObj].fields
+        def s(k: String): String = o(k).asInstanceOf[PoStr].s
+        (kind, s("author"), s("name"))
+      }
+    val authorRows = meta("authors").asInstanceOf[PoArr].items
+      .map(a => ("authors", a.asInstanceOf[PoStr].s, null: String))
+    spark.createDataset(
+        authorRows ++ listingRows("datasets") ++ listingRows("lenses"))
+      .toDF("kind", "author", "name")
+      .orderBy(col("kind"), col("author"), col("name"))
+  }
+
+  /** W9 cid:→hash:// rewrite under the hard signal (reference
+    * record-structure.js:44-72 resolveContentIDs): every doc_id % 7 == 0
+    * uploads a deterministic blob (`att-<doc_id>`), its record value
+    * references it as `cid:file-<doc_id>`, and ingest resolves the cid
+    * through the uploaded-files map into the canonical
+    * `hash://sha256/<hex>?type=...` URL — executor-side over the entry
+    * frame (the map is small by the upload-batch contract and travels
+    * in the task closure). The committed records are then read back and
+    * the resolved URL extracted. The oracle recomputes the same sha256
+    * over the same content (the q35 discipline), so a wrong hash, a
+    * missed rewrite, or a mangled mime encoding breaks the driver hash. */
+  def cidRewrite(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-cidq").toString
+    val store = new Store(spark, root)
+    val ds = store.dataset("bench", "docs-cid").create()
+    val ids = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").cast("long")).distinct()
+      .filter(col("doc_id") % 7 === 0).as[Long].collect().sorted
+    val files: Map[String, (String, String)] = ids.map { id =>
+      s"file-$id" -> (store.attachments.write(s"att-$id".getBytes), "text/plain")
+    }.toMap
+    val entries = spark.createDataset(ids.toSeq).toDF("doc_id")
+      .as[Long].map { id =>
+        val raw = PoObj(
+          "file" -> PoStr(s"cid:file-$id"),
+          "note" -> PoStr(s"doc $id"))
+        (id.toString,
+          Cbor.encode(AttachmentStore.resolveContentIDs(raw, files)), false)
+      }.toDF("id", "value", "tombstone")
+    ds.writeEntriesDF(entries, WriteMode.Overwrite)
+    ds.records.map { r =>
+      val url = Cbor.decode(r.value).asInstanceOf[PoObj].fields("file") match {
+        case PoStr(u) => u
+        case _ => null
+      }
+      (r.id, url)
+    }.toDF("id", "url")
+      .orderBy(col("id").cast("long"))
   }
 
   /** Natural-order sort (W7, reference base-data-model.js:46): ids with

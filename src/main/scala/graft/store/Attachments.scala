@@ -104,8 +104,7 @@ final class AttachmentStore(store: Store) {
   }
 
   /** The canonical URL form for a stored blob. */
-  def url(hex: String, mime: String): String =
-    s"hash://sha256/$hex?type=${URLEncoder.encode(mime, "UTF-8")}"
+  def url(hex: String, mime: String): String = AttachmentStore.url(hex, mime)
 
   def list(): Seq[String] =
     if (!Files.isDirectory(root)) Seq.empty
@@ -200,10 +199,32 @@ final class AttachmentStore(store: Store) {
   // handles duplicate keys and skipping the distinct saves a shuffle
   // aggregation over the full link set)
 
+  /** cid:→hash:// deep rewrite at ingest — instance convenience over
+    * [[AttachmentStore.resolveContentIDs]] (the static form is what an
+    * executor-side ingest map should capture: this class holds a Store
+    * reference and is deliberately NOT Serializable). */
+  def resolveContentIDs(v: PoValue, files: Map[String, (String, String)]): PoValue =
+    AttachmentStore.resolveContentIDs(v, files)
+}
+
+object AttachmentStore {
+  /** Default gc hold window for recently-written blobs: long enough for
+    * any realistic upload→commit gap, short enough that orphaned uploads
+    * reclaim on the next GC cycle. */
+  val DefaultGraceMs: Long = 10 * 60 * 1000L
+
+  /** The canonical content URL for a stored blob (pure — shared by the
+    * instance API and executor-side rewrites). */
+  def url(hex: String, mime: String): String =
+    s"hash://sha256/$hex?type=${URLEncoder.encode(mime, "UTF-8")}"
+
   /** cid:→hash:// deep rewrite at ingest (reference:
     * record-structure.js:44-72 resolveContentIDs): whole strings starting
     * `cid:` resolve through the uploaded-files map to their content URL;
-    * an unknown content id rejects the write. */
+    * an unknown content id rejects the write. Static and pure so an
+    * entry-building map over a corpus-sized DataFrame can run it
+    * executor-side with only the (small, upload-batch-bounded) files map
+    * in the task closure. */
   def resolveContentIDs(v: PoValue, files: Map[String, (String, String)]): PoValue = {
     def resolveStr(s: String): String =
       if (s.length >= 4 && s.substring(0, 4).equalsIgnoreCase("cid:")) {
@@ -226,11 +247,4 @@ final class AttachmentStore(store: Store) {
     }
     walk(v)
   }
-}
-
-object AttachmentStore {
-  /** Default gc hold window for recently-written blobs: long enough for
-    * any realistic upload→commit gap, short enough that orphaned uploads
-    * reclaim on the next GC cycle. */
-  val DefaultGraceMs: Long = 10 * 60 * 1000L
 }

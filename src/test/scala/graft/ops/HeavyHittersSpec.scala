@@ -119,6 +119,19 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("heavyHittersBy keeps a NULL group's heavy hitters (null-safe probe join)") {
+    // GROUP BY treats NULL as a real group; the pass-2 probe join must
+    // match it too (r11 advice: plain === dropped it silently)
+    val rows = Seq.fill(40)((null: String, "hot")) ++
+      (1 to 60).map(i => (null: String, s"a$i")) ++
+      Seq.fill(30)(("g1", "warm")) ++ (1 to 70).map(i => ("g1", s"b$i"))
+    val df = new Random(13).shuffle(rows).toDF("g", "x")
+    val got = Sketch.heavyHittersBy(df, Seq("g"), col("x"), denom = 5)
+      .collect().map(r => (Option(r.getString(0)), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((None, "hot", 40L, 100L), (Some("g1"), "warm", 30L, 100L)))
+  }
+
   test("heavyHittersBy probes candidates via broadcast — corpus side never shuffles pre-count") {
     val df = spark.range(0, 3000)
       .select(concat(lit("g"), col("id") % 2).as("g"),

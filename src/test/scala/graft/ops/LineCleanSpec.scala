@@ -94,9 +94,12 @@ class LineCleanSpec extends AnyFunSuite {
     import spark.implicits._
     val a = Seq((1L, "x x x y")).toDF("doc_id", "text")   // A=4: x3 y1
     val b = Seq((2L, "x y y z")).toDF("doc_id", "text")   // B=4: x1 y2 z1
-    val r = TextOps.tokenDrift(a, b, k = 10, textCol = "text")
-      .collect().map(row => (row.getString(0), row.getLong(1), row.getLong(2),
-        row.getDecimal(3).toBigInteger.longValueExact())).toSeq
+    val out = TextOps.tokenDrift(a, b, k = 10, textCol = "text")
+    // output-type contract: imbalance leaves as DOUBLE, never decimal
+    assert(out.schema("imbalance").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    val r = out.collect().map(row => (row.getString(0), row.getLong(1),
+        row.getLong(2), row.getDouble(3).toLong)).toSeq
     // |a*4 - b*4|: x |12-4|=8, y |4-8|=4, z |0-4|=4 -> x first, then y,z by token
     assert(r == Seq(("x", 3L, 1L, 8L), ("y", 1L, 2L, 4L), ("z", 0L, 1L, 4L)))
   }

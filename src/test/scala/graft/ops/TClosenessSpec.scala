@@ -53,6 +53,23 @@ class TClosenessSpec extends AnyFunSuite {
     assert(kept.select("emd").distinct().as[Double].collect().toSeq == Seq(0.0))
   }
 
+  test("NULL QI groups are gated like any other group (null-safe joins)") {
+    // GROUP BY treats a NULL quasi-identifier tuple as a real group —
+    // the grid fill and verdict join-back must match it (r11 advice:
+    // plain === zero-filled / dropped NULL groups silently).
+    val df = (
+      (1 to 5).map(i => (i.toLong, null: String, "a")) ++
+      (6 to 10).map(i => (i.toLong, null: String, "b")) ++
+      (11 to 19).map(i => (i.toLong, "g1", "a")) ++ Seq((20L, "g1", "b"))
+    ).toDF("id", "grp", "src")
+    val kept = Pii.tClosenessGate(df, Seq("grp"), "src", tNum = 1, tDen = 1)
+    // t=1 keeps everything — the point is the NULL group isn't dropped
+    assert(kept.select("id").as[Long].collect().toSet == (1L to 20L).toSet)
+    val nullEmd = kept.filter(col("grp").isNull).select("emd")
+      .distinct().as[Double].collect().toSeq
+    assert(nullEmd.nonEmpty && nullEmd.forall(e => e >= 0.0 && e <= 1.0))
+  }
+
   test("verdict joins back broadcast; corpus shuffles once for the QI counts") {
     val df = (1 to 200).map(i => (i.toLong, s"g${i % 4}", s"s${i % 5}")).toDF("id", "grp", "src")
     val q = Pii.tClosenessGate(df, Seq("grp"), "src", tNum = 1, tDen = 2)

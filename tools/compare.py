@@ -10,6 +10,7 @@ sorts columns by name and rows by all columns, and diffs values.
 import sys, json, glob, os
 import duckdb
 import pandas as pd
+import pyarrow.dataset as pads
 
 sfdir, vout = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
@@ -25,23 +26,51 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 fails = 0
-for name, sql in sorted(oracle.items()):
+
+
+def check(name, sql):
+    """Compare one query; returns an error string or None on match."""
     spark_dir = f"{vout}/{name}"
     if not os.path.isdir(spark_dir):
-        print(f"FAIL {name}: no spark output dir")
-        fails += 1
-        continue
+        return "no spark output dir"
+    # Type-fidelity gate the DuckDB->pandas path can't provide: pandas
+    # collapses DECIMAL(38,0) to float64 on BOTH sides, which hid the
+    # r11 q117 driver hash-FAIL (VERDICT r11 #2). Read the Spark
+    # parquet schema with pyarrow (types intact) and the oracle result
+    # as arrow; any decimal column on either side is a loud contract
+    # violation (SparkEntry.scala:13-21 forbids DECIMAL outputs), and
+    # any arrow-type mismatch is a FAIL before the value diff runs.
+    spark_schema = pads.dataset(spark_dir, format="parquet").schema
+    oracle_arrow = con.execute(sql).arrow().schema
+    type_fail = None
+    for fld in spark_schema:
+        if "decimal" in str(fld.type):
+            type_fail = f"spark col {fld.name} is {fld.type} (DECIMAL outputs forbidden)"
+            break
+    if type_fail is None:
+        for fld in oracle_arrow:
+            if "decimal" in str(fld.type):
+                type_fail = f"oracle col {fld.name} is {fld.type} (DECIMAL outputs forbidden)"
+                break
+    if type_fail is None:
+        sg = {f.name: str(f.type) for f in spark_schema}
+        og = {f.name: str(f.type) for f in oracle_arrow}
+        for cname in sorted(set(sg) & set(og)):
+            # DuckDB emits count(*) as int64 like Spark longs; strings
+            # may arrive as string vs large_string — same driver hash.
+            a, b = sg[cname].replace("large_", ""), og[cname].replace("large_", "")
+            if a != b:
+                type_fail = f"col {cname}: spark arrow type {sg[cname]} != oracle {og[cname]}"
+                break
+    if type_fail:
+        return type_fail
     got = canon(con.execute(
         f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").df())
     want = canon(con.execute(sql).df())
     if list(got.columns) != list(want.columns):
-        print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
-        fails += 1
-        continue
+        return f"columns {list(got.columns)} != {list(want.columns)}"
     if len(got) != len(want):
-        print(f"FAIL {name}: rows {len(got)} != {len(want)}")
-        fails += 1
-        continue
+        return f"rows {len(got)} != {len(want)}"
     # Driver-faithful compare: the driver hashes values type-sensitively,
     # so a decimal-vs-double difference is a FAIL even at equal values.
     mismatch = None
@@ -57,10 +86,22 @@ for name, sql in sorted(oracle.items()):
             break
     if mismatch:
         c, i, av, bv = mismatch
-        print(f"FAIL {name}: col {c} @{i}: spark={av!r} oracle={bv!r}")
+        return f"col {c} @{i}: spark={av!r} oracle={bv!r}"
+    print(f"OK   {name}: {len(got)} rows")
+    return None
+
+
+
+for name, sql in sorted(oracle.items()):
+    # per-query isolation: one bad oracle (stale path, engine error)
+    # must not abort the whole sweep
+    try:
+        err = check(name, sql)
+    except Exception as e:
+        err = f"{type(e).__name__}: {e}"
+    if err:
+        print(f"FAIL {name}: {err}")
         fails += 1
-    else:
-        print(f"OK   {name}: {len(got)} rows")
 
 # queries without oracle: rows-only
 print(f"\n{fails} failures / {len(oracle)} oracle queries")
