@@ -59,6 +59,20 @@ object IncrementalLensQuery {
     }
   }
 
+  /** Phase timer for the q44 cost-attribution audits (VERDICT r11 #3):
+    * `SPARK_GRAFT_PHASELOG=1` prints one stderr line per phase of the
+    * fixture+build pipeline — the per-stage complement of BenchOne's
+    * JOBLOG. Off (zero-cost) unless the env var is set. */
+  private val phaselog = sys.env.get("SPARK_GRAFT_PHASELOG").contains("1")
+  private def phase[A](name: String)(body: => A): A =
+    if (!phaselog) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(f"PHASELOG ${(System.nanoTime() - t0) / 1e6}%8.1f ms  $name")
+      r
+    }
+
   def run(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // scratch store keyed by (scale factor, pid) and REUSED across runs
@@ -93,9 +107,11 @@ object IncrementalLensQuery {
       (id.toString, Cbor.encode(PoObj("text" -> PoStr(text))), false)
 
     // ---- commit 1: the whole corpus
-    ds.writeEntriesDF(docs.as[(Long, String)]
-      .map { case (id, t) => enc(id, t) }.toDF("id", "value", "tombstone"),
-      WriteMode.Overwrite)
+    phase("commit1_overwrite") {
+      ds.writeEntriesDF(docs.as[(Long, String)]
+        .map { case (id, t) => enc(id, t) }.toDF("id", "value", "tombstone"),
+        WriteMode.Overwrite)
+    }
 
     val acc = spark.sparkContext.longAccumulator("graft.q44.mapCalls")
     val lens = new Lens(store, "bench", "token-index-inc",
@@ -103,7 +119,9 @@ object IncrementalLensQuery {
       new CountingTokenFn(acc))
     if (lens.output.exists) lens.output.drop() // removes cache + logs too
     lens.create()
-    lens.build() // full: empty cache maps everything → output version 1
+    phase("build1_full") {
+      lens.build() // full: empty cache maps everything → output version 1
+    }
 
     // ---- commit 2 (merge): disjoint touched subsets
     //   deleted:  doc_id % 13 == 2            (tombstones)
@@ -121,12 +139,16 @@ object IncrementalLensQuery {
     val news = spark.range(1, 6)
       .as[Long].map(i => enc(1000000L + i, s"brand new graft doc $i"))
       .toDF("id", "value", "tombstone")
-    ds.writeEntriesDF(updates.unionByName(deletes).unionByName(news),
-      WriteMode.Merge)
+    phase("commit2_merge") {
+      ds.writeEntriesDF(updates.unionByName(deletes).unionByName(news),
+        WriteMode.Merge)
+    }
 
     // ---- incremental build: only updated+new paths may re-map
     acc.reset()
-    lens.build()
+    phase("build2_incremental") {
+      lens.build()
+    }
     val nMapCalls = acc.value
 
     lens.output.records.map { r =>
