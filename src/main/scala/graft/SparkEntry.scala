@@ -1522,6 +1522,16 @@ object SparkEntry {
       graft.ops.Dedup.duplicateSpans(t(s, dir, "documents"), n = 8)
         .orderBy(col("doc_id"), col("start_pos"))),
 
+    // Exact-substring dedup, pairwise (Lee et al. 2021 class): maximal
+    // duplicated CHARACTER spans >= 50 between doc pairs — stride-1
+    // char-32-gram islands per (a, b, diagonal), char-exact verify,
+    // char-exact extension across cap holes. The oracle replicates the
+    // whole pipeline with string grams (the q47 hash-exactness
+    // argument) including the extension scans.
+    "q129_dup_substrings" -> ((s, dir) =>
+      graft.ops.Dedup.dupSubstringPairs(t(s, dir, "documents"))
+        .orderBy(col("a_id"), col("b_id"), col("a_start"), col("b_start"))),
+
     // Corpus mixture construction (data mixing): per-source TOKEN
     // budgets (src0..src9, budget 1500 + 500·(i mod 3); the other ten
     // sources are absent from the spec and dropped), docs admitted as a
@@ -2580,6 +2590,56 @@ object SparkEntry {
         |  CAST(count(*) + 7 AS BIGINT) AS span_tokens
         |FROM isl GROUP BY doc_id, island
         |ORDER BY doc_id, start_pos""".stripMargin,
+    // q129: the full char-gram pipeline with STRING grams (exact; the
+    // engine's xxhash64 key matches absent a 64-bit collision, the q47
+    // argument), same islands arithmetic, same char-exact verify and
+    // left/right extension scans (list_filter/list_min over range =
+    // first-mismatch LCP), same distinct-after-extension re-unification.
+    "q129_dup_substrings" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS n FROM documents
+        |  WHERE text IS NOT NULL AND length(text) >= 32),
+        |pos AS (
+        |  SELECT doc_id, i AS p, substr(text, i + 1, 32) AS g
+        |  FROM d, unnest(generate_series(0, n - 32)) u(i)),
+        |df AS (SELECT g FROM pos GROUP BY g HAVING count(*) BETWEEN 2 AND 500),
+        |kept AS (SELECT pos.doc_id, pos.p, pos.g FROM pos JOIN df USING (g)),
+        |cand AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.p AS pa,
+        |    a.p - b.p AS diag
+        |  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |isl AS (
+        |  SELECT a_id, b_id, diag, pa,
+        |    pa - row_number() OVER (PARTITION BY a_id, b_id, diag ORDER BY pa) AS grp
+        |  FROM cand),
+        |sp AS (
+        |  SELECT a_id, b_id, diag, min(pa) AS a0, count(*) + 31 AS ilen
+        |  FROM isl GROUP BY a_id, b_id, diag, grp),
+        |tx AS (
+        |  SELECT sp.a_id, sp.b_id, sp.a0, sp.a0 - sp.diag AS b0, sp.ilen,
+        |    da.text AS ta, db.text AS tb
+        |  FROM sp
+        |  JOIN d da ON da.doc_id = sp.a_id
+        |  JOIN d db ON db.doc_id = sp.b_id),
+        |ok AS (
+        |  SELECT * FROM tx
+        |  WHERE substr(ta, a0 + 1, ilen) = substr(tb, b0 + 1, ilen)),
+        |ext AS (
+        |  SELECT a_id, b_id, a0, b0, ilen,
+        |    coalesce(list_min(list_filter(range(1, least(a0, b0) + 1),
+        |      j -> substr(ta, a0 - j + 1, 1) <> substr(tb, b0 - j + 1, 1))),
+        |      least(a0, b0) + 1) - 1 AS el,
+        |    coalesce(list_min(list_filter(
+        |      range(1, least(length(ta) - a0, length(tb) - b0) - ilen + 1),
+        |      j -> substr(ta, a0 + ilen + j, 1) <> substr(tb, b0 + ilen + j, 1))),
+        |      least(length(ta) - a0, length(tb) - b0) - ilen + 1) - 1 AS er
+        |  FROM ok)
+        |SELECT DISTINCT a_id, b_id,
+        |  CAST(a0 - el AS BIGINT) AS a_start,
+        |  CAST(b0 - el AS BIGINT) AS b_start,
+        |  CAST(ilen + el + er AS BIGINT) AS span_len
+        |FROM ext WHERE ilen + el + er >= 50
+        |ORDER BY a_id, b_id, a_start, b_start""".stripMargin,
     // q48: same hash-order window arithmetic relationally — the budget
     // CASE replicates the Scala map, cum runs over ROWS (no ties: the
     // id tie-break makes the order total, but ROWS on both sides keeps

@@ -983,6 +983,131 @@ object Dedup {
       .select(col(idCol), col("n_paras"), col("n_kept"), col("kept_md5"))
   }
 
+  /** Maximal duplicated CHARACTER substrings between document pairs —
+    * the exact-substring dedup of Lee et al. 2021 ("Deduplicating
+    * Training Data", the published standard: drop/clip copied spans of
+    * >= `minLen` characters), distributed without the paper's corpus
+    * suffix array. [[duplicateSpans]] answers "which word-gram spans of
+    * each doc are copied SOMEWHERE"; this answers the stronger pairwise
+    * question — which exact character ranges does doc `a` share with
+    * doc `b` — the form span-clipping and provenance audits need.
+    *
+    * Shape (never all-pairs, suffix-array-free):
+    *  1. every char position contributes its `k`-gram hash (stride 1 —
+    *     a shared substring of length m >= k therefore tiles m−k+1
+    *     consecutive matching grams; codegen'd transform+explode, one
+    *     corpus scan);
+    *  2. gram occurrence counts gate the index: df in [2, maxGramDf]
+    *     (unique grams can't witness a duplicate; over-cap "stop
+    *     grams" — boilerplate, whitespace runs — would contribute
+    *     df² join rows; drops observable via CapStats/`stats`, same
+    *     discipline as [[lshCandidatePairs]]);
+    *  3. the (gram, a<b) equi-join keys candidate occurrence pairs by
+    *     DIAGONAL (pa − pb): consecutive positions on one diagonal are
+    *     one shared substring, so a pos−row_number window per
+    *     (a, b, diag) merges them into islands — the q47 gaps-and-
+    *     islands arithmetic, per PAIR instead of per doc. Window
+    *     partitions are bounded by min(|a|,|b|) positions.
+    *  4. CHARACTER-EXACT verify + extension on the candidate-bounded
+    *     island set: the island substring must compare equal (kills
+    *     xxhash64 collisions), then the span extends left/right by
+    *     direct char comparison — healing the holes the df cap punched
+    *     (a capped-out gram inside a real span splits its island; the
+    *     extension walks through the hole and `distinct` re-unifies
+    *     the pieces). Extension scans are O(extension length) per
+    *     island on the already-tiny verified set.
+    *
+    * With stride-1 tiling, a surviving island extended char-exact IS
+    * the maximal common substring around its anchor: any longer match
+    * would present another matching char, which the extension would
+    * have consumed. A true span escapes only if EVERY one of its grams
+    * is over-cap (the stop-gram case the WARN surfaces) or its pair
+    * was capped out — the same envelope as every blocker in this file.
+    *
+    * Output: (a_id, b_id, a_start, b_start, span_len), 0-based starts,
+    * spans >= minLen, a_id < b_id, one row per maximal span (pairs may
+    * share several distinct spans on different diagonals). */
+  def dupSubstringPairs(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", minLen: Int = 50,
+                        k: Int = 32, maxGramDf: Int = DefaultMaxBucketSize,
+                        stats: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    require(k >= 8, s"char gram width k must be >= 8: $k")
+    require(minLen >= k, s"minLen ($minLen) must be >= k ($k): shorter spans have no gram witness")
+    import org.apache.spark.sql.expressions.Window
+    val d0 = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .filter(col("t").isNotNull && length(col("t")) >= k)
+    // The stride-1 gram explode is the expensive narrow stage (|text|
+    // substr+hash per doc); a few-file corpus would run it on a few
+    // cores. Rebalance ONLY then (the Lens smallInput discipline —
+    // probing .rdd partitions is free on this exchange-less projection;
+    // a big corpus has >= cores file-partitions and skips the shuffle).
+    val dp = docs.sparkSession.sparkContext.defaultParallelism
+    val d = if (d0.rdd.getNumPartitions < dp) d0.repartition(dp) else d0
+    val grams = transform(sequence(lit(0), length(col("t")) - k),
+      i => struct(i.as("p"), xxhash64(col("t").substr(i + lit(1), lit(k))).as("gh")))
+    val pos = d.select(col("id"), explode(grams).as("pg"))
+      .select(col("id"), col("pg.p").as("p"), col("pg.gh").as("gh"))
+    // gram sizes via partial-aggregated groupBy, NOT a window: the
+    // window form would sort the full occurrence frame inside the
+    // exchange just to tag one row per gram for the drop count; the
+    // size table carries one row per DISTINCT gram (map-side combined)
+    // and the cap metrics live naturally on it (the cosineNearDupPairs
+    // cellSizes shape).
+    val sizes = pos.groupBy(col("gh")).agg(count(lit(1)).as("dfq"))
+    val warnedSizes = CapStats.watch(sizes, "dupSubstringPairs",
+      sum(when(col("dfq") > maxGramDf, 1L).otherwise(0L)), max(col("dfq")))
+    val watchedSizes = stats.fold(warnedSizes)(obs => warnedSizes.observe(obs,
+      sum(when(col("dfq") > maxGramDf, 1L).otherwise(0L)).as("dropped_grams"),
+      max(col("dfq")).as("max_gram_df")))
+    val okGrams = watchedSizes
+      .filter(col("dfq") >= 2 && col("dfq") <= maxGramDf)
+      .select(col("gh"))
+    val kept = pos.join(okGrams, Seq("gh"), "left_semi")
+      .select(col("id"), col("p"), col("gh"))
+    val cand = kept.select(col("id").as("a_id"), col("p").as("pa"), col("gh"))
+      .join(kept.select(col("id").as("b_id"), col("p").as("pb"), col("gh")), "gh")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("pa"), (col("pa") - col("pb")).as("diag"))
+    val wd = Window.partitionBy(col("a_id"), col("b_id"), col("diag"))
+      .orderBy(col("pa"))
+    val islands = cand
+      .withColumn("grp", col("pa") - row_number().over(wd))
+      .groupBy(col("a_id"), col("b_id"), col("diag"), col("grp"))
+      .agg(min(col("pa")).as("a0"), (count(lit(1)) + lit(k - 1)).as("ilen"))
+      .select(col("a_id"), col("b_id"), col("a0"),
+        (col("a0") - col("diag")).as("b0"), col("ilen"))
+    val withText = islands
+      .join(d.select(col("id").as("a_id"), col("t").as("ta")), "a_id")
+      .join(d.select(col("id").as("b_id"), col("t").as("tb")), "b_id")
+      // char-exact island verify: a hash collision may fabricate an
+      // island; the substring compare kills it before any extension
+      .filter(col("ta").substr(col("a0") + lit(1), col("ilen")) ===
+        col("tb").substr(col("b0") + lit(1), col("ilen")))
+    // first mismatch offset over [1, m], else m — the codegen'd LCP
+    // scan both extensions share (array_min of the mismatch set)
+    import org.apache.spark.sql.Column
+    def lcp(m: Column, chA: Column => Column, chB: Column => Column): Column =
+      when(m <= 0, lit(0)).otherwise(
+        coalesce(array_min(filter(sequence(lit(1), m),
+          j => chA(j) =!= chB(j))), m + lit(1)) - lit(1))
+    val extended = withText
+      .withColumn("el", lcp(least(col("a0"), col("b0")),
+        j => col("ta").substr(col("a0") - j + lit(1), lit(1)),
+        j => col("tb").substr(col("b0") - j + lit(1), lit(1))))
+      .withColumn("er", lcp(
+        least(length(col("ta")) - col("a0") - col("ilen"),
+          length(col("tb")) - col("b0") - col("ilen")),
+        j => col("ta").substr(col("a0") + col("ilen") + j, lit(1)),
+        j => col("tb").substr(col("b0") + col("ilen") + j, lit(1))))
+    extended
+      .select(col("a_id"), col("b_id"),
+        (col("a0") - col("el")).cast("long").as("a_start"),
+        (col("b0") - col("el")).cast("long").as("b_start"),
+        (col("ilen") + col("el") + col("er")).cast("long").as("span_len"))
+      .filter(col("span_len") >= minLen)
+      .distinct()
+  }
+
   def duplicateSpans(docs: DataFrame, n: Int = 8, idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
