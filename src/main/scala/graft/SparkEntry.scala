@@ -1532,6 +1532,39 @@ object SparkEntry {
       graft.ops.Dedup.dupSubstringPairs(t(s, dir, "documents"))
         .orderBy(col("a_id"), col("b_id"), col("a_start"), col("b_start"))),
 
+    // Count-min sketch frequency estimates: the CMS grid as a partial-
+    // aggregated groupBy (≤ depth·width rows cross any exchange), probe
+    // estimates as the min over depth cells. Portable sha-prefix row
+    // hashes → the oracle rebuilds the grid bit-for-bit; estimates are
+    // integers (est >= true count, over only by collisions — width
+    // 1024 against a ~20k vocabulary makes collisions REAL here, and
+    // both engines agree on every collided cell).
+    "q130_cms_freq" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(
+        explode(graft.ops.TextOps.tokens(col("text"))).as("token"))
+      val probes = docs.filter(col("doc_id") % 101 === 0)
+        .select(explode(graft.ops.TextOps.tokens(col("text"))).as("token"))
+        .distinct()
+      graft.ops.Sketch.cmsFrequency(toks, col("token"), probes, "token",
+          depth = 4, width = 1024)
+        .orderBy(col("key"))
+    }),
+
+    // Hashed-feature linear quality score (fastText/CCNet class):
+    // uni+bigram features, bucket-indexed integer milli-weights,
+    // integer fold in feature order, ONE final IEEE division — all
+    // inside the scan stage (zero shuffles in the op). The ingest
+    // rebalance below is the few-file-fixture spread (the sha256
+    // feature fold is the most CPU-dense map in the suite; one parquet
+    // file would run it on one core — the IncrementalLensQuery
+    // rationale); a real corpus has >= cores file-partitions.
+    "q131_quality_score" -> ((s, dir) =>
+      graft.ops.TextOps.hashedQualityScore(
+          t(s, dir, "documents")
+            .repartition(s.sparkContext.defaultParallelism))
+        .orderBy(col("doc_id"))),
+
     // Corpus mixture construction (data mixing): per-source TOKEN
     // budgets (src0..src9, budget 1500 + 500·(i mod 3); the other ten
     // sources are absent from the spec and dropped), docs admitted as a
@@ -2640,6 +2673,55 @@ object SparkEntry {
         |  CAST(ilen + el + er AS BIGINT) AS span_len
         |FROM ext WHERE ilen + el + er >= 50
         |ORDER BY a_id, b_id, a_start, b_start""".stripMargin,
+    // q130: the grid is rebuilt relationally — same i:token sha-prefix
+    // cell hash, same per-cell counts, min over depth cells per probe;
+    // a probe cell the corpus never touched counts 0.
+    "q130_cms_freq" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '')) AS k
+        |  FROM documents),
+        |cells AS (
+        |  SELECT i, ('0x' || substr(sha256(i || ':' || k), 1, 15))::BIGINT % 1024 AS b,
+        |    count(*) AS c
+        |  FROM toks, generate_series(0, 3) g(i)
+        |  GROUP BY 1, 2),
+        |probes AS (
+        |  SELECT DISTINCT k AS key FROM (
+        |    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                  x -> x <> '')) AS k
+        |    FROM documents WHERE doc_id % 101 = 0)),
+        |pc AS (
+        |  SELECT key, i,
+        |    ('0x' || substr(sha256(i || ':' || key), 1, 15))::BIGINT % 1024 AS b
+        |  FROM probes, generate_series(0, 3) g(i))
+        |SELECT key, CAST(min(coalesce(c, 0)) AS BIGINT) AS est_count
+        |FROM pc LEFT JOIN cells USING (i, b)
+        |GROUP BY key ORDER BY key""".stripMargin,
+    // q131: same feature list (tokens ++ adjacent bigrams), same
+    // bucket→milli-weight expression, integer sum, one double division.
+    "q131_quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, toks ||
+        |    CASE WHEN len(toks) >= 2
+        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |      ELSE []::VARCHAR[] END AS feats
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id, CAST(len(feats) AS BIGINT) AS n_feats,
+        |    CAST(coalesce(list_sum(list_transform(feats,
+        |      g -> (('0x' || substr(sha256(g), 1, 15))::BIGINT % 4096) % 2001 - 1000)),
+        |      0) AS BIGINT) AS score_num
+        |  FROM f)
+        |SELECT doc_id, n_feats, score_num,
+        |  CASE WHEN n_feats = 0 THEN 0.0
+        |       ELSE CAST(score_num AS DOUBLE) / CAST(n_feats * 1000 AS DOUBLE)
+        |  END AS score
+        |FROM s ORDER BY doc_id""".stripMargin,
     // q48: same hash-order window arithmetic relationally — the budget
     // CASE replicates the Scala map, cum runs over ROWS (no ties: the
     // id tie-break makes the order total, but ROWS on both sides keeps

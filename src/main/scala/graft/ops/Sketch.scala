@@ -323,4 +323,57 @@ object Sketch {
     sampled.groupBy(col(groupCol))
       .agg(count(lit(1)).cast("long").as("n_sample"), qCols: _*)
   }
+
+  /** Count-min sketch point-frequency estimates (Cormode &
+    * Muthukrishnan 2005) — "roughly how often does each of THESE keys
+    * occur" over a key space too large to count exactly: the one-pass
+    * bounded-state complement of [[heavyHitters]] (which finds the
+    * keys; this prices an externally-given probe list, e.g. a
+    * blocklist, a vocabulary candidate set, a join-key sample for
+    * skew planning).
+    *
+    * Spark-first observation: the CMS grid IS a partial-aggregated
+    * groupBy. Each occurrence contributes `depth` (row, bucket) cells;
+    * aggregating counts by cell is exactly the sketch build, and
+    * map-side combine bounds every exchange to ≤ depth·width rows per
+    * partition — the property a custom sketch buffer would buy,
+    * already free in the engine. The estimate for a probe key is the
+    * MIN over its depth cells (classic CMS upper bound: est >= true,
+    * over by collisions only).
+    *
+    * Hashes are the engine-portable sha256-prefix construction keyed
+    * by row index (`i:key`), so an external SQL engine reproduces the
+    * grid — and therefore every estimate — bit-for-bit (the q23/q48
+    * discipline; estimates are integers, no float anywhere).
+    *
+    * Scale shape: one corpus scan, one depth·width-bounded exchange;
+    * the grid (≤ depth·width rows total) broadcasts to the probe side;
+    * probes stay probe-sized. `depth` trades collision probability
+    * (P[over by > eps·N] <= exp(-depth) at width = e/eps), `width`
+    * trades memory for accuracy — size width ≈ e·N/acceptable_error.
+    *
+    * Output: one row per distinct probe key — (key, est_count),
+    * est_count = 0 iff no probe-cell was ever touched. */
+  def cmsFrequency(df: DataFrame, key: Column, probes: DataFrame,
+                   probeCol: String, depth: Int = 4,
+                   width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16]: $depth")
+    require(width >= 16, s"width must be >= 16: $width")
+    def cell(i: Column, k: Column): Column =
+      pmod(conv(substring(sha2(concat(i.cast("string"), lit(":"),
+        k.cast("string")), 256), 1, 15), 16, 10).cast("long"), lit(width.toLong))
+    val grid = df.select(key.cast("string").as("__k"))
+      .filter(col("__k").isNotNull)
+      .select(col("__k"), explode(sequence(lit(0), lit(depth - 1))).as("__i"))
+      .groupBy(col("__i"), cell(col("__i"), col("__k")).as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val probeCells = probes
+      .select(col(probeCol).cast("string").as("key")).distinct()
+      .select(col("key"), explode(sequence(lit(0), lit(depth - 1))).as("__i"))
+      .withColumn("__b", cell(col("__i"), col("key")))
+    probeCells
+      .join(broadcast(grid), Seq("__i", "__b"), "left")
+      .groupBy(col("key"))
+      .agg(min(coalesce(col("__c"), lit(0L))).cast("long").as("est_count"))
+  }
 }

@@ -1365,4 +1365,63 @@ object TextOps {
         (size(col("all_sorted")) - size(col("kept_sorted")))
           .cast("long").as("n_removed"))
   }
+
+  /** Hashed-feature linear quality score — the fastText/CCNet filter
+    * class (Joulin et al. 2017; CCNet and the LLaMA corpus both gate
+    * documents with exactly this model shape): features are hashed
+    * uni+bigrams, the classifier is a dot product with a bucket-indexed
+    * weight vector, the document score is the mean feature weight.
+    * This operator is the SERVING half (the model is an input): weights
+    * live per hash bucket, `weightFor` maps bucket → integer weight in
+    * [-1000, 1000] (milli-units — a trained model is quantized into
+    * this range once at export; the default derives a deterministic
+    * fixture vector from the bucket index so both engines can compute
+    * it without shipping a table).
+    *
+    * Exactness discipline: every feature weight is an INTEGER; the
+    * per-doc sum is an integer fold in feature order (no float until
+    * the end), and `score = score_num / (n_feats · 1000)` is one IEEE
+    * division — bit-identical on any engine (the q86/q102 rational
+    * pattern). The gate decision belongs downstream as an integer
+    * cross-multiply (`score_num · D >= n_feats · 1000 · N`).
+    *
+    * Scale shape: tokenize, feature-hash, weight-lookup and fold all
+    * run INSIDE the scan stage as codegen'd array expressions — zero
+    * shuffles, a pure map at 100 TB; no weight table crosses the wire
+    * because the bucket→weight map is an expression. (For a real
+    * exported model, replace `weightFor` with a broadcast
+    * `element_at(typedlit(weights), bucket + 1)` — still scan-stage.)
+    *
+    * Output: (idCol, n_feats, score_num, score); n_feats = 0 docs
+    * score 0.0. `portableHash = true` (default) buckets via the
+    * sha256-prefix hash an external SQL engine replicates (the q23
+    * discipline — and the dominant cost: sha256 per feature);
+    * production pipelines pass `false` for xxhash64 buckets, ~10×
+    * cheaper, same distribution (the winnowing gramHash trade). */
+  def hashedQualityScore(docs: DataFrame, buckets: Int = 4096,
+                         idCol: String = "doc_id",
+                         textCol: String = "text",
+                         portableHash: Boolean = true): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    def bucketOf(f: Column): Column =
+      if (portableHash)
+        pmod(conv(substring(sha2(f, 256), 1, 15), 16, 10).cast("long"),
+          lit(buckets.toLong))
+      else pmod(xxhash64(f), lit(buckets.toLong))
+    def weightFor(b: Column): Column = pmod(b, lit(2001L)) - lit(1000L)
+    val toks = tokens(col(textCol))
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val feats = concat(toks, bigrams)
+    docs.select(col(idCol),
+        size(feats).cast("long").as("n_feats"),
+        aggregate(feats, lit(0L),
+          (acc, f) => acc + weightFor(bucketOf(f))).as("score_num"))
+      .withColumn("score",
+        when(col("n_feats") === 0, lit(0.0))
+          .otherwise(col("score_num").cast("double")
+            / (col("n_feats") * lit(1000L)).cast("double")))
+  }
 }
