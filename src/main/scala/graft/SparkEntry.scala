@@ -1205,6 +1205,17 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ANN recall@k: the q14 LSH index evaluated against the exact
+    // cosine baseline on the same query set — per-query n_hits /
+    // n_exact, each recall one small-integer division. The oracle
+    // replays BOTH sides (the q14 plane CTE + an all-pairs exact rank)
+    // and intersects them relationally.
+    "q132_ann_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.ops.Ann.recallAtK(e, e.filter(col("vec_id") < 5), k = 10, dim = 64)
+        .orderBy(col("query_id"))
+    }),
+
     // Near-dedup: minhash → banded LSH candidates → EXACT shingle-Jaccard
     // verify (integer comparison, J >= 1/2) — never all-pairs. The oracle
     // computes all-pairs exact Jaccard; equality holds because the exact
@@ -3106,6 +3117,44 @@ object SparkEntry {
         |FROM documents ORDER BY rank""".stripMargin,
     "q14_ann_lsh" -> lshOracle,
     "q18_ann_ivf" -> ivfOracle,
+    // q132: the q14 probe/cand/scored chain as the approx side, an
+    // all-pairs exact cosine rank as the baseline, intersected; recall
+    // is one small-integer division per query.
+    "q132_ann_recall" -> {
+      val masks = (0 until 256).filter(m => Integer.bitCount(m) <= 2).mkString(",")
+      s"""WITH $planesCte,
+         |probes AS (
+         |  SELECT s.vec_id AS query_id, xor(s.bucket, m.m) AS bucket
+         |  FROM sig s CROSS JOIN (SELECT unnest([$masks]) AS m) m
+         |  WHERE s.vec_id < 5),
+         |cand AS (
+         |  SELECT p.query_id, s.vec_id FROM probes p JOIN sig s USING (bucket)
+         |  WHERE s.vec_id <> p.query_id),
+         |approx AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT c.query_id, c.vec_id,
+         |      row_number() OVER (PARTITION BY c.query_id ORDER BY
+         |        ${duckCosine("n.emb", "q.emb")} DESC, c.vec_id) AS rn
+         |    FROM cand c JOIN e n ON n.vec_id = c.vec_id
+         |    JOIN e q ON q.vec_id = c.query_id) WHERE rn <= 10),
+         |ex AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT q.vec_id AS query_id, n.vec_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${duckCosine("n.emb", "q.emb")} DESC, n.vec_id) AS rn
+         |    FROM e q JOIN e n ON n.vec_id <> q.vec_id
+         |    WHERE q.vec_id < 5) WHERE rn <= 10),
+         |base AS (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY 1),
+         |hits AS (
+         |  SELECT ex.query_id, count(*) AS n_hits
+         |  FROM ex JOIN approx a ON a.query_id = ex.query_id AND a.vec_id = ex.vec_id
+         |  GROUP BY 1)
+         |SELECT b.query_id, CAST(n_exact AS BIGINT) AS n_exact,
+         |  CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(coalesce(n_hits, 0) AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+         |FROM base b LEFT JOIN hits USING (query_id)
+         |ORDER BY query_id""".stripMargin
+    },
     // q23: same tokenization as q11; token hash = first 15 hex chars of
     // sha256 (= Dedup.portableTokenHash); per-bit sign votes over 60
     // bits, ties (vote sum 0) leave the bit clear — identical op for op.

@@ -65,6 +65,13 @@ object Ast {
   /** op is "=" or a compound like "+=" */
   final case class Assign(op: String, target: Expr, value: Expr, pos: Pos) extends Expr
   final case class Member(obj: Expr, prop: Expr, computed: Boolean, optional: Boolean, pos: Pos) extends Expr
+  /** private-name property in member position (`obj.#x`): only ever
+    * the `prop` of a non-computed [[Member]]; the name keeps its '#'.
+    * Resolution is lexical — the interpreter looks the name up in the
+    * class scope chain (innermost declaring class wins). */
+  final case class PrivName(name: String, pos: Pos) extends Expr
+  // (the ES2022 brand check `#x in e` parses as Binary("in",
+  //  PrivName, e) — no dedicated node)
   final case class Call(callee: Expr, args: Vector[Expr], spreads: Set[Int],
                         optional: Boolean, pos: Pos) extends Expr
   final case class NewExpr(callee: Expr, args: Vector[Expr], spreads: Set[Int], pos: Pos) extends Expr
@@ -80,12 +87,14 @@ object Ast {
   final case class DefaultPattern(inner: Pattern, default: Expr, pos: Pos) extends Pattern
 
   // ---- classes ----
-  /** one class member; kind: method | get | set | ctor | field. For
-    * fields, `fn` is a zero-param function whose exprBody is the
-    * initializer (absent → undefined). `name` is a StrLit unless
-    * `computed`. */
+  /** one class member; kind: method | get | set | ctor | field |
+    * staticblock. For fields, `fn` is a zero-param function whose
+    * exprBody is the initializer (absent → undefined). `name` is a
+    * StrLit unless `computed`; for PRIVATE members (`isPrivate`) it is
+    * a StrLit carrying the '#'-prefixed name, never computed. */
   final case class MethodDef(name: Expr, fn: FnExpr, isStatic: Boolean,
-                             kind: String, computed: Boolean)
+                             kind: String, computed: Boolean,
+                             isPrivate: Boolean = false)
   final case class ClassExpr(name: Option[String], parent: Option[Expr],
                              members: Vector[MethodDef], pos: Pos) extends Expr
   /** `super` — legal only as `super(...)` / `super.x` / `super[x]`

@@ -405,6 +405,15 @@ final class Interp(globalScope: Scope, val budget: Budget) {
         throwType("assignment or delete through 'super' is not supported in lens code")
       case Unary(op, operand, _) => evalUnary(op, operand, scope)
       case u: Update => evalUpdate(u, scope)
+      // ES2022 brand check `#x in obj` — the private name never
+      // evaluates to a value, so it is consumed before the operands
+      case Binary("in", PrivName(n, _), r, _) =>
+        JsBool(privateIn(n, eval(r, scope), scope))
+      case PrivName(n, _) =>
+        // only reachable through a precedence splice like `a + #x in b`
+        // (V8 rejects at parse; our guard admits the name only when
+        // followed by `in`) — a loud boundary, never a silent value
+        throwType(s"Unexpected private name $n")
       case Binary(op, l, r, pos) => evalBinary(op, eval(l, scope), eval(r, scope), pos)
       case Logical(op, l, r, _) =>
         val lv = eval(l, scope)
@@ -424,7 +433,15 @@ final class Interp(globalScope: Scope, val budget: Budget) {
   }
 
   private def evalPropKey(m: Member, scope: Scope): JsValue =
-    if (m.computed) eval(m.prop, scope) else m.prop.asInstanceOf[StrLit] match { case StrLit(s, _) => JsStr(s) }
+    if (m.computed) eval(m.prop, scope)
+    else m.prop match {
+      case StrLit(s, _) => JsStr(s)
+      case PrivName(n, _) => // destructuring/loop member targets — a
+        // loud subset boundary (assignments/reads/calls have their own
+        // private paths and never reach here)
+        throwType(s"private member $n is not supported as a destructuring or loop target in lens code")
+      case other => throwType(s"unsupported member key ${other.getClass.getSimpleName}")
+    }
 
   private def evalUnary(op: String, operand: Expr, scope: Scope): JsValue = op match {
     case "typeof" =>
@@ -464,6 +481,12 @@ final class Interp(globalScope: Scope, val budget: Budget) {
       def get: JsValue = scope.lookup(name).getOrElse(throwRef(s"$name is not defined"))
       def set(v: JsValue): Unit = if (!scope.assign(name, v)) throwRef(s"$name is not defined")
     }
+    case m @ Member(objE, PrivName(n, _), _, _, _) =>
+      val obj = eval(objE, scope)
+      new Ref {
+        def get: JsValue = getPrivate(obj, n, scope, m.pos)
+        def set(v: JsValue): Unit = setPrivate(obj, n, v, scope, m.pos)
+      }
     case m: Member =>
       val obj = eval(m.obj, scope)
       val key = evalPropKey(m, scope)
@@ -669,6 +692,19 @@ final class Interp(globalScope: Scope, val budget: Budget) {
           a.items(i) = v
         case _ => budget.allocate(4); a.extraPut(k, v) // named props, like V8
       }
+    case c: JsClassV =>
+      // writing a static: own property on the constructor (V8 [[Set]]
+      // on a class object); a static accessor anywhere on the parent
+      // chain receives the write with this = the class. Previously a
+      // silent no-op — `A.count = 0` did nothing (caught by the
+      // static-block work; static blocks assign through this = class).
+      val k = toStr(key)
+      chainSlot(c.statics, k) match {
+        case Some(acc: JsAccessorProp) =>
+          acc.setter.foreach(s => callFunction(s, c, Vector(v), pos, k))
+        case _ =>
+          if (!c.statics.frozen) { budget.allocate(4); c.statics.props.put(k, v) }
+      }
     case r: JsRegExpV if toStr(key) == "lastIndex" => r.lastIndex = toNumber(v).toInt
     case _ => () // silent no-op on primitives, like sloppy-mode JS
   }
@@ -699,6 +735,14 @@ final class Interp(globalScope: Scope, val budget: Budget) {
     case m @ Member(SuperRef(p), _, _, _, _) =>
       budget.tick()
       Some(superMember(scope, toStr(evalPropKey(m, scope)), p))
+    case m @ Member(objE, PrivName(pn, _), _, _, _) =>
+      budget.tick()
+      evalChain(objE, scope) match {
+        case None => None
+        case Some(base) =>
+          if (m.optional && nullish(base)) None
+          else Some(getPrivate(base, pn, scope, m.pos))
+      }
     case m: Member =>
       budget.tick()
       evalChain(m.obj, scope) match {
@@ -710,6 +754,21 @@ final class Interp(globalScope: Scope, val budget: Budget) {
     case c: Call =>
       budget.tick()
       c.callee match {
+        case m @ Member(_, PrivName(pn, _), _, _, _) =>
+          // private method call: receiver once, `this` = receiver
+          evalChain(m.obj, scope) match {
+            case None => None
+            case Some(obj) =>
+              if (m.optional && nullish(obj)) None
+              else {
+                val fnV = getPrivate(obj, pn, scope, m.pos)
+                if (c.optional && nullish(fnV)) None
+                else {
+                  val args = spreadArgs(c.args, c.spreads, scope, c.pos)
+                  Some(callFunction(fnV, obj, args, c.pos, name = pn))
+                }
+              }
+          }
         case m: Member =>
           // method call: evaluate receiver once
           evalChain(m.obj, scope) match {
@@ -793,7 +852,28 @@ final class Interp(globalScope: Scope, val budget: Budget) {
     classScope.declare("__super_proto__",
       parentV.map(_.protoObj: JsValue).getOrElse(JsUndefined))
     classScope.declare("__own_class__", cls)
-    val staticFields = mutable.ArrayBuffer.empty[(String, JsClosure)]
+    // every declared PRIVATE name binds '#name' → this class in the
+    // class scope: member bodies resolve obj.#x lexically through it
+    // (innermost declaring class wins — exactly JS's private
+    // environments). The parser guarantees every use has a declaring
+    // class, so eval-side lookups never miss.
+    ce.members.foreach { m =>
+      if (m.isPrivate) {
+        cls.hasPrivates = true
+        classScope.declare(m.name.asInstanceOf[StrLit].v, cls)
+      }
+    }
+    // static fields AND static blocks run once, AFTER all methods
+    // exist, interleaved in SOURCE ORDER with this = the class (ES2022
+    // ClassDefinitionEvaluation; blocks have no slot to assign).
+    // Private static fields write their class-side slot instead of a
+    // property (the Boolean flag).
+    val staticInits = mutable.ArrayBuffer.empty[(Option[(String, Boolean)], JsClosure)]
+    def privMap(select: JsClassV => mutable.HashMap[String, JsValue],
+                assign: mutable.HashMap[String, JsValue] => Unit): mutable.HashMap[String, JsValue] = {
+      if (select(cls) == null) assign(mutable.HashMap.empty)
+      select(cls)
+    }
     ce.members.foreach { m =>
       val key = if (m.computed) toStr(eval(m.name, scope))
                 else m.name.asInstanceOf[StrLit].v
@@ -801,24 +881,38 @@ final class Interp(globalScope: Scope, val budget: Budget) {
       m.kind match {
         case "ctor" => cls.ctor = Some(closure)
         case "method" =>
-          (if (m.isStatic) statics else proto).props.put(key, closure)
+          if (m.isPrivate)
+            privMap(_.pm(m.isStatic), h => cls.setPm(m.isStatic, h)).put(key, closure)
+          else (if (m.isStatic) statics else proto).props.put(key, closure)
         case "field" =>
-          // instance fields run per construction; static fields run
-          // once, AFTER all methods exist (V8's class-evaluation order)
-          if (m.isStatic) staticFields += ((key, closure))
-          else cls.fields :+= ((key, closure))
+          // instance fields run per construction
+          if (m.isStatic) {
+            if (m.isPrivate) cls.privStaticFieldNames += key
+            staticInits += ((Some((key, m.isPrivate)), closure))
+          } else cls.fields :+= ((key, closure, m.isPrivate))
+        case "staticblock" => staticInits += ((None, closure))
         case _ => // get | set share one slot, like object literals
-          val target = if (m.isStatic) statics else proto
-          val acc = target.props.get(key) match {
+          val slot: String => Option[JsValue] =
+            if (m.isPrivate) privMap(_.pm(m.isStatic), h => cls.setPm(m.isStatic, h)).get
+            else (if (m.isStatic) statics else proto).props.get
+          val acc = slot(key) match {
             case Some(a: JsAccessorProp) => a
             case _ => new JsAccessorProp(None, None)
           }
           if (m.kind == "get") acc.getter = Some(closure) else acc.setter = Some(closure)
-          target.props.put(key, acc)
+          if (m.isPrivate)
+            privMap(_.pm(m.isStatic), h => cls.setPm(m.isStatic, h)).put(key, acc)
+          else (if (m.isStatic) statics else proto).props.put(key, acc)
       }
     }
-    staticFields.foreach { case (k, c) =>
-      statics.props.put(k, invokeClosure(c, cls, Vector.empty))
+    staticInits.foreach {
+      case (Some((k, priv)), c) =>
+        val v = invokeClosure(c, cls, Vector.empty)
+        if (priv) {
+          if (cls.privStaticVals == null) cls.privStaticVals = mutable.HashMap.empty
+          cls.privStaticVals.put(k, v)
+        } else statics.props.put(k, v)
+      case (None, c) => invokeClosure(c, cls, Vector.empty)
     }
     budget.allocate(8L + ce.members.length)
     cls
@@ -826,12 +920,139 @@ final class Interp(globalScope: Scope, val budget: Budget) {
 
   /** [[Define]] the instance fields of exactly `cls` (not its chain)
     * on `self`, initializers run with `this` = self — no setter
-    * consultation, own props always (ES 7.3.33 DefineField). */
-  private def initFields(cls: JsClassV, self: JsObject): Unit =
-    cls.fields.foreach { case (k, c) =>
-      budget.allocate(4)
-      self.props.put(k, invokeClosure(c, self, Vector.empty))
+    * consultation, own props always (ES 7.3.33 DefineField). Private
+    * fields land in the instance's `privs` table keyed by the class;
+    * the class BRAND stamps here too (ES2022 PrivateBrandAdd at the
+    * same construction point), making this-class private METHODS
+    * accessible on self from here on. */
+  private def initFields(cls: JsClassV, self: JsObject): Unit = {
+    if (cls.hasPrivates) {
+      if (self.privBrands == null) self.privBrands = mutable.HashSet.empty
+      self.privBrands += cls
     }
+    cls.fields.foreach { case (k, c, priv) =>
+      budget.allocate(4)
+      val v = invokeClosure(c, self, Vector.empty)
+      if (priv) {
+        if (self.privs == null) self.privs = mutable.HashMap.empty
+        self.privs.put((cls, k), v)
+      } else self.props.put(k, v)
+    }
+  }
+
+  // -------- private member access (obj.#x) --------
+  // Resolution is LEXICAL: the parser guarantees '#x' appears only
+  // under a declaring class, and buildClass bound '#x' → that class in
+  // the class scope — so the owner lookup never misses.
+  private def privOwner(name: String, scope: Scope): JsClassV =
+    scope.lookup(name) match {
+      case Some(c: JsClassV) => c
+      case _ => throw new InternalError(s"unresolved private name $name")
+    }
+
+  private def privReadError(name: String): Nothing =
+    throwType(s"Cannot read private member $name from an object whose class did not declare it")
+
+  def getPrivate(target: JsValue, name: String, scope: Scope, pos: Pos): JsValue = {
+    val owner = privOwner(name, scope)
+    if (owner.privStaticFieldNames.contains(name) ||
+        (owner.privStaticMethods != null && owner.privStaticMethods.contains(name))) {
+      // STATIC private: only the class object itself carries it (a
+      // subclass does NOT — V8)
+      if (!(target match { case c: JsClassV => c eq owner; case _ => false }))
+        privReadError(name)
+      if (owner.privStaticMethods != null && owner.privStaticMethods.contains(name))
+        owner.privStaticMethods(name) match {
+          case a: JsAccessorProp =>
+            a.getter.map(g => callFunction(g, owner, Vector.empty, pos, name))
+              .getOrElse(throwType(s"'$name' was defined without a getter"))
+          case m => m
+        }
+      else owner.privStaticVals match {
+        case h if h != null && h.contains(name) => h(name)
+        case _ => privReadError(name) // before its initializer ran
+      }
+    } else target match {
+      case o: JsObject =>
+        if (owner.privMethods != null && owner.privMethods.contains(name)) {
+          if (o.privBrands == null || !o.privBrands.contains(owner))
+            privReadError(name)
+          owner.privMethods(name) match {
+            case a: JsAccessorProp =>
+              a.getter.map(g => callFunction(g, o, Vector.empty, pos, name))
+                .getOrElse(throwType(s"'$name' was defined without a getter"))
+            case m => m
+          }
+        } else o.privs match {
+          case p if p != null && p.contains((owner, name)) => p((owner, name))
+          case _ => privReadError(name)
+        }
+      case _ => privReadError(name)
+    }
+  }
+
+  def setPrivate(target: JsValue, name: String, v: JsValue, scope: Scope, pos: Pos): Unit = {
+    val owner = privOwner(name, scope)
+    def writeErr(): Nothing =
+      throwType(s"Cannot write private member $name to an object whose class did not declare it")
+    if (owner.privStaticFieldNames.contains(name) ||
+        (owner.privStaticMethods != null && owner.privStaticMethods.contains(name))) {
+      if (!(target match { case c: JsClassV => c eq owner; case _ => false }))
+        writeErr()
+      if (owner.privStaticMethods != null && owner.privStaticMethods.contains(name))
+        owner.privStaticMethods(name) match {
+          case a: JsAccessorProp =>
+            a.setter.map(s => callFunction(s, owner, Vector(v), pos, name))
+              .getOrElse(throwType(s"'$name' was defined without a setter"))
+          case _ => throwType(s"Private method '$name' is not writable")
+        }
+      else {
+        // a static private FIELD slot must exist (initializer ran)
+        if (owner.privStaticVals == null || !owner.privStaticVals.contains(name))
+          writeErr()
+        owner.privStaticVals.put(name, v)
+      }
+    } else target match {
+      case o: JsObject =>
+        if (owner.privMethods != null && owner.privMethods.contains(name)) {
+          if (o.privBrands == null || !o.privBrands.contains(owner)) writeErr()
+          owner.privMethods(name) match {
+            case a: JsAccessorProp =>
+              a.setter.map(s => callFunction(s, o, Vector(v), pos, name))
+                .getOrElse(throwType(s"'$name' was defined without a setter"))
+            case _ => throwType(s"Private method '$name' is not writable")
+          }
+        } else {
+          if (o.privs == null || !o.privs.contains((owner, name))) writeErr()
+          budget.allocate(4)
+          o.privs.put((owner, name), v)
+        }
+      case _ => writeErr()
+    }
+  }
+
+  /** ES2022 `#x in obj` brand check. A non-object rhs is the same
+    * TypeError as the ordinary `in` operator (V8-checked). */
+  private def privateIn(name: String, target: JsValue, scope: Scope): Boolean = {
+    target match {
+      case _: JsObject | _: JsArray | _: JsFunc | _: JsRegExpV => ()
+      case other => throwType(
+        s"Cannot use 'in' operator to search for '$name' in ${toStr(other)}")
+    }
+    val owner = privOwner(name, scope)
+    if (owner.privStaticFieldNames.contains(name) ||
+        (owner.privStaticMethods != null && owner.privStaticMethods.contains(name)))
+      (target match { case c: JsClassV => c eq owner; case _ => false }) &&
+        (owner.privStaticMethods != null && owner.privStaticMethods.contains(name) ||
+         owner.privStaticVals != null && owner.privStaticVals.contains(name))
+    else target match {
+      case o: JsObject =>
+        if (owner.privMethods != null && owner.privMethods.contains(name))
+          o.privBrands != null && o.privBrands.contains(owner)
+        else o.privs != null && o.privs.contains((owner, name))
+      case _ => false
+    }
+  }
 
   /** Run `cls`'s constructor on `self`; an undeclared constructor
     * forwards all args to the parent (the implicit derived ctor).

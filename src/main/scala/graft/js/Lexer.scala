@@ -17,7 +17,7 @@ object Lexer {
                          nlBefore: Boolean) {
     def is(k: String, t: String): Boolean = kind == k && text == t
   }
-  // kinds: num str template regex ident keyword punct eof
+  // kinds: num str template regex ident keyword punct privname eof
   //   template tokens carry raw text with `${`-splits re-lexed by the parser
 
   val Keywords: Set[String] = Set(
@@ -155,6 +155,17 @@ object Lexer {
         while (i < n && (src.charAt(i).isLetter)) i += 1
         out += Token("regex", src.substring(start, i), 0, line, nl); nl = false
         val _ = flagStart
+      } else if (c == '#') {
+        // private name (#x): one token carrying the leading '#'. A
+        // bare '#' not starting an identifier stays the loud
+        // unexpected-character error it always was.
+        if (i + 1 >= n ||
+            !(Character.isJavaIdentifierStart(src.charAt(i + 1)) || src.charAt(i + 1) == '$'))
+          err("unexpected character '#'")
+        val start = i
+        i += 1
+        while (i < n && (Character.isJavaIdentifierPart(src.charAt(i)) || src.charAt(i) == '$')) i += 1
+        out += Token("privname", src.substring(start, i), 0, line, nl); nl = false
       } else if (Character.isJavaIdentifierStart(c) || c == '$') {
         val start = i
         while (i < n && (Character.isJavaIdentifierPart(src.charAt(i)) || src.charAt(i) == '$')) i += 1

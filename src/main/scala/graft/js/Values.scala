@@ -48,6 +48,17 @@ final class JsObject(val props: mutable.LinkedHashMap[String, JsValue],
   var protoV: JsObject = null
   /** defining class of an instance (instanceof + `.constructor`). */
   var klass: JsClassV = null
+  /** private FIELDS, keyed by (declaring class identity, '#name') —
+    * separate from `props` by construction: a computed public key
+    * '#x' and the private name #x are different properties, privates
+    * never enumerate / JSON / spread, and each class's #x is distinct
+    * from every other class's #x. Lazily allocated (most objects have
+    * none). */
+  var privs: mutable.HashMap[(AnyRef, String), JsValue] = null
+  /** private-member BRANDS: the classes whose private METHODS this
+    * instance carries (stamped at that class's field-init point during
+    * construction — ES2022 PrivateBrandAdd). */
+  var privBrands: mutable.HashSet[AnyRef] = null
 }
 
 /** ACCESSOR property record (`{ get x() {...}, set x(v) {...} }`),
@@ -172,8 +183,28 @@ final class JsClassV(val clsName: String,
   /** instance FIELD initializers in declaration order — zero-param
     * closures run with `this` = the new instance at V8's
     * initialization points (Interp.runConstructor/superConstruct);
-    * results land as OWN props with [[Define]] semantics. */
-  var fields: Vector[(String, JsClosure)] = Vector.empty
+    * results land as OWN props with [[Define]] semantics. The flag
+    * marks PRIVATE fields ('#'-named), which land in the instance's
+    * `privs` table instead. */
+  var fields: Vector[(String, JsClosure, Boolean)] = Vector.empty
+  /** private instance methods/accessors ('#name' → JsClosure or
+    * JsAccessorProp) — resolved via brand check, never on the proto
+    * chain; null when the class declares none. */
+  var privMethods: mutable.HashMap[String, JsValue] = null
+  /** private STATIC methods/accessors — the brand is the class itself. */
+  var privStaticMethods: mutable.HashMap[String, JsValue] = null
+  /** private STATIC field slots ('#name' → value), written by the
+    * class-definition static initializers and by later assignment. */
+  var privStaticVals: mutable.HashMap[String, JsValue] = null
+  /** names declared `static #x` (fields) — placement check for
+    * reads/writes before consulting privStaticVals. */
+  var privStaticFieldNames: Set[String] = Set.empty
+  /** whether ANY private member is declared (brand stamping guard). */
+  var hasPrivates: Boolean = false
+  def pm(isStatic: Boolean): mutable.HashMap[String, JsValue] =
+    if (isStatic) privStaticMethods else privMethods
+  def setPm(isStatic: Boolean, h: mutable.HashMap[String, JsValue]): Unit =
+    if (isStatic) privStaticMethods = h else privMethods = h
 }
 
 /** host-provided function; `statics` (nullable) carries constructor

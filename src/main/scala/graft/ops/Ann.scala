@@ -260,6 +260,46 @@ object Ann {
       .select(col("query_id"), col("rank"), col(idCol).as("neighbor_id"), col("score"))
   }
 
+  /** ANN index-quality evaluation: recall@k of [[lshTopK]] against the
+    * exact [[topKByCosine]] baseline, per query — the "measure, don't
+    * guess" harness for sizing `nBits`/`probeRadius` before a corpus
+    * migration (recall is THE acceptance metric for an approximate
+    * index; shipping one unmeasured is how silent retrieval decay
+    * happens). Both sides share the query set, the metric, and the
+    * (score DESC, id) total order, so the comparison is exact — and
+    * every recall value is one small-integer division (n_hits /
+    * n_exact), bit-identical on any engine.
+    *
+    * Scale shape: the exact side is the broadcast-guarded baseline
+    * (deliberately bounded — recall evaluation runs on a query SAMPLE,
+    * not the corpus; the guard throws past `MaxBroadcastQueries`);
+    * the approximate side is the production bucket-probe path under
+    * test; the intersection is a (query, neighbor)-keyed semi-join of
+    * two k·|queries|-bounded frames.
+    *
+    * Output: (query_id, n_exact, n_hits, recall), one row per query
+    * with a non-empty exact top-k. */
+  def recallAtK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+                nBits: Int = 8, probeRadius: Int = 2,
+                idCol: String = "vec_id",
+                embCol: String = "embedding"): DataFrame = {
+    val exact = topKByCosine(corpus, queries, k, idCol, embCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = lshTopK(corpus, queries, k, dim, nBits, probeRadius,
+        idCol, embCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val base = exact.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    base.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        col("n_exact").cast("long").as("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).cast("long").as("n_hits"))
+      .withColumn("recall",
+        col("n_hits").cast("double") / col("n_exact").cast("double"))
+  }
+
   /** Corpus-wide k-NEAREST-NEIGHBOR GRAPH — every vector's top-k
     * most-similar neighbors among vectors it shares ANY signature-table
     * bucket with. The neighbor graph is the workhorse structure behind

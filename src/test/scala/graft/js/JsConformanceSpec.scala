@@ -515,6 +515,119 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
     )
   }
 
+  test("classes: static initialization blocks — this, source order, scoping") {
+    expect(
+      // block runs once at class definition with this = the class
+      "(() => { class A { static { this.x = 7 } } return A.x })()" -> "7",
+      // blocks and static fields interleave in SOURCE order
+      "(() => { class A { static log = 'f1'; static { this.log += ',b1' } static log2 = A.log + ',f2'; static { this.log2 += ',b2' } } return A.log2 })()" -> "f1,b1,f2,b2",
+      // a block sees methods (statics install before initializers run)
+      "(() => { class A { static { this.v = this.mk() } static mk() { return 41 + 1 } } return A.v })()" -> "42",
+      // class-name self-reference works inside the block
+      "(() => { class A { static { A.tag = A.name + '!' } } return A.tag })()" -> "A!",
+      // let inside the block stays block-scoped
+      "(() => { let t = 'outer'; class A { static { let t = 'inner'; this.seen = t } } return t + '|' + A.seen })()" -> "outer|inner",
+      // multiple blocks all run, in order
+      "(() => { class A { static acc = ''; static { this.acc += 'a' } static { this.acc += 'b' } } return A.acc })()" -> "ab",
+      // return is legal in a FUNCTION nested in the block
+      "(() => { class A { static { this.f = () => { return 5 } } } return A.f() })()" -> "5",
+      // static WRITES from outside (the setMember class path, V8-checked):
+      // plain own property on the constructor...
+      "(() => { class A {} A.count = 0; A.count++; return A.count })()" -> "1",
+      // ...a parent static SETTER receives the write with this = class...
+      "(() => { class A { static set v(n) { this.hit = n * 2 } } class B extends A {} B.v = 21; return B.hit })()" -> "42",
+      // ...getter-only assignment is the sloppy silent no-op...
+      "(() => { class A { static get g() { return 1 } } A.g = 9; return A.g })()" -> "1",
+      // ...and a parent DATA static shadows into an own slot
+      "(() => { class A { static n = 1 } class B extends A {} B.n = 5; return A.n + ',' + B.n })()" -> "1,5",
+    )
+  }
+
+  test("classes: private members — fields, methods, accessors (V8-checked)") {
+    expect(
+      // field read/write through this
+      "(() => { class A { #x = 5; getX() { return this.#x } } return new A().getX() })()" -> "5",
+      "(() => { class A { #x = 1; bump() { this.#x += 4; return this.#x } } return new A().bump() })()" -> "5",
+      // postfix update through the private ref
+      "(() => { class A { #n = 7; inc() { return this.#n++ } peek() { return this.#n } } const a = new A(); return a.inc() + ',' + a.peek() })()" -> "7,8",
+      // private methods: this binding, value extraction
+      "(() => { class A { #m() { return 10 } call() { return this.#m() } } return new A().call() })()" -> "10",
+      "(() => { class A { #v = 3; #m() { return this.#v * 2 } call() { return this.#m() } } return new A().call() })()" -> "6",
+      "(() => { class A { #v = 6; getm() { return this.#m } #m() { return this.#v } } const a = new A(); const f = a.getm(); return f.call(a) })()" -> "6",
+      // private accessors share a slot
+      "(() => { class A { #x = 1; get #v() { return this.#x * 100 } set #v(n) { this.#x = n } run() { this.#v = 7; return this.#v } } return new A().run() })()" -> "700",
+      // static private field + method, accessed via the class
+      "(() => { class A { static #c = 0; static next() { return ++A.#c } } A.next(); return A.next() })()" -> "2",
+      "(() => { class A { static #mk() { return 9 } static get() { return A.#mk() } } return A.get() })()" -> "9",
+      // inherited method reads the BASE class's private field
+      "(() => { class A { #x = 1; rd() { return this.#x } } class B extends A {} return new B().rd() })()" -> "1",
+      // lexical shadowing: inner class's #x wins inside it
+      "(() => { class A { #x = 'outer'; test() { class Inner { #x = 'inner'; rd() { return this.#x } } return new Inner().rd() + ',' + this.#x } } return new A().test() })()" -> "inner,outer",
+      // an inner class reaches the OUTER class's private through closure
+      "(() => { class A { #secret = 42; test() { const self = this; class Inner { rd() { return self.#secret } } return new Inner().rd() } } return new A().test() })()" -> "42",
+      // privates never enumerate / stringify; '#x' STRING key is distinct
+      "(() => { class A { #h = 1; pub = 2 } return JSON.stringify(new A()) })()" -> "{\"pub\":2}",
+      "(() => { class A { #h = 1; pub = 2 } return Object.keys(new A()).join(',') })()" -> "pub",
+      "(() => { class A { #x = 1; both() { this['#x'] = 'pub'; return this.#x + ',' + this['#x'] + ',' + Object.keys(this).join('') } } return new A().both() })()" -> "1,pub,#x",
+      // declaration-order interleaving with public fields
+      "(() => { class A { a = 1; #b = this.a + 1; c = this.rd() + 1; rd() { return this.#b } } const x = new A(); return x.a + ',' + x.c })()" -> "1,3",
+      // optional chain short-circuits
+      "(() => { class A { #x = 3; static rd(o) { return o?.#x } } return A.rd(new A()) + ',' + A.rd(null) })()" -> "3,undefined",
+    )
+  }
+
+  test("classes: private brand checks and TypeErrors (V8-checked)") {
+    expect(
+      // #x in obj: field brand, method brand, class object, plain object
+      "(() => { class A { #x = 1; static has(o) { return #x in o } } return A.has(new A()) + ',' + A.has({}) + ',' + A.has(A) })()" -> "true,false,false",
+      "(() => { class A { #m() {} static has(o) { return #m in o } } return A.has(new A()) + ',' + A.has({}) })()" -> "true,false",
+      // same NAME, different class: distinct private names → TypeError
+      "(() => { class A { #x = 1; static rd(o) { return o.#x } } class B { #x = 2 } try { return A.rd(new B()) } catch (e) { return e.name } })()" -> "TypeError",
+      // static privates do NOT flow to subclasses
+      "(() => { class A { static #s = 5; static rd(o) { return o.#s } } class B extends A {} try { return A.rd(B) } catch (e) { return e.name } })()" -> "TypeError",
+      // static private read through an INSTANCE → TypeError
+      "(() => { class A { static #f = 1; static rd(o) { return o.#f } } try { return A.rd(new A()) } catch (e) { return e.name } })()" -> "TypeError",
+      // private methods are not writable; getter-only not assignable
+      "(() => { class A { #m() {} w() { try { this.#m = 1 } catch (e) { return e.name } } } return new A().w() })()" -> "TypeError",
+      "(() => { class A { get #g() { return 1 } w() { try { this.#g = 2 } catch (e) { return e.name } } } return new A().w() })()" -> "TypeError",
+      // setter-only read → TypeError
+      "(() => { class A { set #s(v) {} r() { try { return this.#s } catch (e) { return e.name } } } return new A().r() })()" -> "TypeError",
+      // primitive receiver → TypeError
+      "(() => { class A { #x = 1; static rd(o) { try { return o.#x } catch (e) { return e.name } } } return A.rd(5) })()" -> "TypeError",
+      // `#x in primitive` is the ordinary in-operator TypeError
+      "(() => { class A { #x; static t(o) { try { return String(#x in o) } catch (e) { return e.name } } } return A.t(5) + '|' + A.t(null) })()" -> "TypeError|TypeError",
+    )
+  }
+
+  test("classes: private-name early errors (V8-checked SyntaxErrors)") {
+    Seq(
+      "class A {} const a = new A(); a.#x",          // never declared
+      "class A { #x; #x }",                          // duplicate
+      "class A { m() { return this.#y } }",          // undeclared use
+      "class A { #x; m() { delete this.#x } }",      // delete private
+      "class A { #constructor() {} }",               // reserved name
+      "class A { get #p() { return 1 } get #p() { return 2 } }", // dup getter
+      "class A { #x() {} static #x() {} }",          // static/instance mix
+    ).foreach { code =>
+      assert(JsMapFn.compile(s"function map(p, d) { $code }").isLeft,
+        s"must reject at startup: $code")
+    }
+    // legal: complementary get/set pair; brand check via `in`
+    assert(JsMapFn.compile(
+      "function map(p, d) { class A { get #p() { return 1 } set #p(v) {} } }").isRight)
+    assert(JsMapFn.compile(
+      "function map(p, d) { class A { #q; m() { return #q in this } } }").isRight)
+  }
+
+  test("classes: static block early errors stay loud") {
+    // top-level return in a static block is a V8 SyntaxError
+    assert(JsMapFn.compile(
+      "function map(path, data) { class A { static { return } } }").isLeft)
+    // super() stays illegal inside the block (method super-context)
+    assert(JsMapFn.compile(
+      "function map(path, data) { class B extends Object { static { super() } } }").isLeft)
+  }
+
   test("[].reduce with no seed throws a catchable TypeError") {
     run("output('r', [].reduce((a,b) => a+b))").error.get.errType shouldBe "TypeError"
     str("(() => { try { return [].reduce((a,b) => a+b) } catch (e) { return e.name } })()") shouldBe "TypeError"
@@ -1259,9 +1372,10 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
   }
 
   test("out-of-subset constructs are LOUD — startup or runtime error, never silent") {
-    // parse-time rejections (classes landed in r8; their residual
-    // out-of-subset corners stay loud):
-    Seq("class A { #x = 1 }", "class A { static { } }", "class A { *g(){} }",
+    // parse-time rejections (classes landed in r8, static blocks and
+    // private members in r12; the residual out-of-subset corners —
+    // generators, async, `with` — stay loud):
+    Seq("class A { *g(){} }",
         "function* g(){}", "async function f(){}",
         "const x = async () => 1",
         "with({a:1}) output('r', a)").foreach { code =>

@@ -417,7 +417,7 @@ class JsInterpSpec extends AnyFunSuite with Matchers {
       case Left(err) => err.errType shouldBe "SyntaxError"
       case Right(_) => fail("expected syntax error")
     }
-    JsMapFn.compile("class X { #x = 1 }").isLeft shouldBe true // private members stay out (classes+fields landed r8)
+    JsMapFn.compile("class X { #x = 1 }").isRight shouldBe true // private members landed r12
     JsMapFn.compile("async function f() {}").isLeft shouldBe true
   }
 
