@@ -2714,7 +2714,8 @@ object SparkEntry {
     "q131_quality_score" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |    list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
+        |                x -> x <> '') AS toks
         |  FROM documents),
         |f AS (
         |  SELECT doc_id, toks ||

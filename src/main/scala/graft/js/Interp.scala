@@ -334,6 +334,11 @@ final class Interp(globalScope: Scope, val budget: Budget) {
         // cooked slots for invalid escapes) matches V8.
         budget.tick()
         val (fnV, thisV, nm) = tt.tag match {
+          case m @ Member(objE, PrivName(pn, _), _, _, _) =>
+            // private-method tag: this.#tag`x` binds the receiver,
+            // exactly like a private method call
+            val obj = eval(objE, scope)
+            (getPrivate(obj, pn, scope, m.pos), obj, pn)
           case m: Member =>
             val obj = eval(m.obj, scope)
             (getMember(obj, evalPropKey(m, scope), m.pos), obj,

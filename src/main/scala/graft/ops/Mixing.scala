@@ -134,8 +134,9 @@ object Mixing {
                    idCol: String = "doc_id"): DataFrame = {
     require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
     require(!docs.columns.contains("plan_tokens") &&
-      !docs.columns.contains("repeat_count"),
-      "epochMixture emits plan_tokens/repeat_count; rename the input's")
+      !docs.columns.contains("repeat_count") &&
+      !docs.columns.contains("__tok"),
+      "epochMixture emits plan_tokens/repeat_count and uses __tok internally; rename the input's")
     val d = docs
       .withColumn("__tok", coalesce(tokensCol.cast("long"), lit(0L)))
       .withColumn("__budget", element_at(typedlit(budgets), col(sourceCol)))

@@ -1393,7 +1393,8 @@ object TextOps {
     * `element_at(typedlit(weights), bucket + 1)` — still scan-stage.)
     *
     * Output: (idCol, n_feats, score_num, score); n_feats = 0 docs
-    * score 0.0. `portableHash = true` (default) buckets via the
+    * (including NULL text, treated as empty) score 0.0.
+    * `portableHash = true` (default) buckets via the
     * sha256-prefix hash an external SQL engine replicates (the q23
     * discipline — and the dominant cost: sha256 per feature);
     * production pipelines pass `false` for xxhash64 buckets, ~10×
@@ -1409,7 +1410,10 @@ object TextOps {
           lit(buckets.toLong))
       else pmod(xxhash64(f), lit(buckets.toLong))
     def weightFor(b: Column): Column = pmod(b, lit(2001L)) - lit(1000L)
-    val toks = tokens(col(textCol))
+    // NULL text scores like an empty doc (n_feats 0, score 0.0) —
+    // without the coalesce, size(NULL) is -1 and the row would emit
+    // (-1, NULL, NULL), breaking the output contract
+    val toks = tokens(coalesce(col(textCol), lit("")))
     val bigrams = when(size(toks) >= 2,
       transform(sequence(lit(1), size(toks) - 1),
         i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))

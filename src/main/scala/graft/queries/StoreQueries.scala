@@ -12,6 +12,15 @@ import graft.store.{AttachmentStore, DataPath, ReadPath, Store, WriteMode}
 /** Driver-verified queries over the store's commit/version machinery. */
 object StoreQueries {
 
+  /** Pid-scoped scratch root under java.io.tmpdir: reaped when its
+    * process is gone, REUSED within one process (the ivf-centroids /
+    * IncrementalLensQuery hygiene — never one leaked dir per call). */
+  private def pidScratch(prefix: String): String = {
+    val tmpRoot = Paths.get(sys.props("java.io.tmpdir"))
+    graft.core.Fs.reapStalePidDirs(tmpRoot, s"$prefix-")
+    tmpRoot.resolve(s"$prefix-${ProcessHandle.current().pid()}").toString
+  }
+
   /** `?at=` incremental export (S9/F2, reference
     * export-controller.js:25-41): two real commits into a collection,
     * then an export where records older than `at` emit version stubs
@@ -173,13 +182,22 @@ object StoreQueries {
     * admin-contract envelope — the 100 TB corpus never enters. */
   def metaVfsListing(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val root = java.nio.file.Files.createTempDirectory("graft-mvq").toString
+    // pid-scoped scratch, reaped + REUSED across runs in one process
+    // (a fresh temp dir per invocation would leak one per bench rep);
+    // keyed by sf so another scale's catalog never leaks into this
+    // listing; collection creation below is idempotent on reuse
+    val sfName = Paths.get(sfDir).getFileName.toString
+    val root = pidScratch(s"graft-mvq-$sfName")
     val store = new Store(spark, root)
     val docs = Tables.load(spark, sfDir, "documents")
     val langs = docs.select(col("lang")).distinct().as[String].collect().sorted
     val srcs = docs.select(col("source")).distinct().as[String].collect().sorted
-    langs.foreach(l => store.dataset("bench", s"docs-$l").create())
-    srcs.foreach(s => store.lens("bench", s"lens-$s").create())
+    langs.foreach { l =>
+      val c = store.dataset("bench", s"docs-$l"); if (!c.exists) c.create()
+    }
+    srcs.foreach { s =>
+      val c = store.lens("bench", s"lens-$s"); if (!c.exists) c.create()
+    }
 
     val meta = ReadPath.read(store, DataPath("meta", "system", "system"))
       .select(col("id"), col("value")).collect()
@@ -212,9 +230,15 @@ object StoreQueries {
     * missed rewrite, or a mangled mime encoding breaks the driver hash. */
   def cidRewrite(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val root = java.nio.file.Files.createTempDirectory("graft-cidq").toString
+    // pid-scoped scratch, reaped + reused (see metaVfsListing): the
+    // blobs are sha-keyed and deterministic, so re-running writes the
+    // SAME files — no growth across bench reps
+    val sfName = Paths.get(sfDir).getFileName.toString
+    val root = pidScratch(s"graft-cidq-$sfName")
     val store = new Store(spark, root)
-    val ds = store.dataset("bench", "docs-cid").create()
+    val ds = store.dataset("bench", "docs-cid")
+    if (ds.exists) ds.drop()
+    ds.create()
     val ids = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id").cast("long")).distinct()
       .filter(col("doc_id") % 7 === 0).as[Long].collect().sorted

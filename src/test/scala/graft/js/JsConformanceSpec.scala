@@ -573,6 +573,8 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
       "(() => { class A { a = 1; #b = this.a + 1; c = this.rd() + 1; rd() { return this.#b } } const x = new A(); return x.a + ',' + x.c })()" -> "1,3",
       // optional chain short-circuits
       "(() => { class A { #x = 3; static rd(o) { return o?.#x } } return A.rd(new A()) + ',' + A.rd(null) })()" -> "3,undefined",
+      // private-method TAG on a tagged template binds the receiver
+      "(() => { class A { n = 9; #tag(s, ...v) { return s[0] + '|' + this.n + '|' + v.join(',') } m() { return this.#tag`hi${1}x${2}` } } return new A().m() })()" -> "hi|9|1,2",
     )
   }
 

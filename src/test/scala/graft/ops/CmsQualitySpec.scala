@@ -87,6 +87,16 @@ class CmsQualitySpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("NULL text scores as an empty doc, per the output contract") {
+    import spark.implicits._
+    val got = TextOps.hashedQualityScore(
+        Seq((1L, null: String), (2L, "real words here")).toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
+    assert((got(0).getLong(1), got(0).getLong(2), got(0).getDouble(3)) ==
+      ((0L, 0L, 0.0)))
+    assert(got(1).getLong(1) > 0L)
+  }
+
   test("production xx64 bucket hash: same features, same range, cheaper path") {
     import spark.implicits._
     val docs = Seq((1L, "The quick brown fox jumps over the lazy dog"),
