@@ -629,6 +629,24 @@ object SparkEntry {
       graft.ops.TextOps.bpeTokenCounts(t(s, dir, "documents"), bpeFixtureMerges)
         .orderBy(col("doc_id"))),
 
+    // Per-language BPE tokenizer fertility (tokens per word): the
+    // multilingual budget statistic, on the q95 merge fixture —
+    // integer sums, one IEEE division per group.
+    "q133_bpe_fertility" -> ((s, dir) =>
+      graft.ops.TextOps.bpeFertility(t(s, dir, "documents"), bpeFixtureMerges)
+        .orderBy(col("lang"))),
+
+    // Contamination provenance: which eval doc (doc_id % 7 == 3) does
+    // each remaining corpus doc overlap, and by how many distinct
+    // 8-grams — the attribution report behind q43's binary flag.
+    "q134_contamination_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Dedup.contaminationPairs(
+          docs.filter(col("doc_id") % 7 =!= 3),
+          docs.filter(col("doc_id") % 7 === 3))
+        .orderBy(col("corpus_id"), col("eval_id"))
+    }),
+
     // Bloom-prefiltered decontamination: drop every doc whose text
     // appears in a reference set (texts of doc_id%10==3 — shared dup
     // texts mean MORE than those 50 rows drop). Bloom negatives pass
@@ -4064,6 +4082,49 @@ object SparkEntry {
         |  COALESCE(p.n_tokens, 0) AS n_tokens
         |FROM documents d LEFT JOIN perdoc p USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // q133: the q95 merge-replay machinery grouped by lang; fertility
+    // is one double division of exact integer sums.
+    "q133_bpe_fertility" ->
+      s"""WITH docwords AS (
+        |  SELECT lang, tok AS word
+        |  FROM (SELECT lang, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+        |        FROM documents)),
+        |vocab AS (SELECT DISTINCT word FROM docwords),
+        |chars AS (
+        |  SELECT word,
+        |    ' ' || string_agg(substr(word, CAST(i AS INTEGER), 1), ' ' ORDER BY i) || ' ' AS s
+        |  FROM vocab, LATERAL (SELECT unnest(generate_series(1, length(word))) AS i)
+        |  GROUP BY word),
+        |enc AS (SELECT word, ${bpeOracleReplay("s")} AS s FROM chars),
+        |cnt AS (
+        |  SELECT word,
+        |    CAST(length(s) - length(replace(s, ' ', '')) AS BIGINT) - 1 AS n_tok
+        |  FROM enc)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_tok) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS fertility
+        |FROM docwords JOIN cnt USING (word)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // q134: q43's gram construction, pair-attributed — distinct grams
+    // per doc on both sides, gram-keyed join, per-pair count.
+    "q134_contamination_pairs" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(toks)-7, 0)),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+        |           || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7])) AS sh
+        |  FROM (
+        |    SELECT doc_id,
+        |      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |    FROM documents)),
+        |corp AS (SELECT doc_id AS corpus_id, unnest(sh) AS g FROM s WHERE doc_id % 7 <> 3),
+        |bench AS (SELECT doc_id AS eval_id, unnest(sh) AS g FROM s WHERE doc_id % 7 = 3)
+        |SELECT corpus_id, eval_id, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM corp JOIN bench USING (g)
+        |GROUP BY corpus_id, eval_id
+        |ORDER BY corpus_id, eval_id""".stripMargin,
 
     // q96: the bloom path is an optimization with an exact verify
     // join, so the oracle is the plain anti-join it reproduces.

@@ -492,6 +492,36 @@ object Dedup {
     c.join(b, Seq("g"), "left_semi").select(col(idCol)).distinct()
   }
 
+  /** Contamination PROVENANCE pairs — the attribution form of
+    * [[contaminatedIds]]/[[contaminationScores]]: WHICH eval document
+    * does each contaminated corpus document overlap, and by how many
+    * distinct word `n`-grams. The report a decontamination audit
+    * actually files ("doc X shares 14 8-grams with eval item Y"), and
+    * the input to per-benchmark leakage accounting — the binary flag
+    * and the per-doc score both erase the eval side.
+    *
+    * Scale shape: both sides explode to distinct (doc, gram) rows and
+    * join keyed on the gram — never doc×eval; the benchmark side is
+    * eval-sized, so per-gram fan-out is bounded by the eval set and
+    * AQE broadcasts it. One partial-agg count per surviving pair.
+    * All-integer output.
+    *
+    * Output: (corpus_id, eval_id, n_shared) for pairs sharing >= 1
+    * gram. A corpus that still CONTAINS the eval docs pairs them with
+    * themselves (n_shared = their gram count) — pass a disjoint
+    * corpus side when the audit doesn't want those rows. */
+  def contaminationPairs(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         n: Int = 8): DataFrame = {
+    val c = TextOps.shingles(corpus, idCol, textCol, n)
+      .select(col(idCol).cast("long").as("corpus_id"), explode(col("sh")).as("g"))
+    val b = TextOps.shingles(benchmark, idCol, textCol, n)
+      .select(col(idCol).cast("long").as("eval_id"), explode(col("sh")).as("g"))
+    c.join(b, "g")
+      .groupBy(col("corpus_id"), col("eval_id"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+  }
+
   /** Contamination OVERLAP SCORES — the ranked complement of the binary
     * [[contaminatedIds]] membership: per corpus document, how many of
     * its distinct word `n`-grams also appear in the benchmark. A

@@ -1211,6 +1211,36 @@ object TextOps {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
   }
 
+  /** Per-group tokenizer FERTILITY (BPE tokens per whitespace word) —
+    * the multilingual-budget statistic: a tokenizer trained mostly on
+    * one language fragments the others into more tokens per word, so
+    * per-language compute/token budgets (and per-language context
+    * capacity) must be priced by fertility, not word counts (the
+    * motivation behind per-language vocab allocations in multilingual
+    * tokenizer work). Same encode machinery as [[bpeTokenCounts]] —
+    * the merge loop runs once per DISTINCT word — aggregated per
+    * `groupCol` instead of per doc; the integer sums are exact and
+    * `fertility = n_tokens / n_words` is ONE IEEE division.
+    *
+    * Scale shape: vocabulary-bounded encode (broadcast-sized merge
+    * table in the closure), one (group, word)-keyed partial-agg
+    * shuffle of word occurrences, group-bounded output. Groups with
+    * zero words emit no row. */
+  def bpeFertility(docs: DataFrame, merges: Seq[(String, String)],
+                   groupCol: String = "lang",
+                   textCol: String = "text"): DataFrame = {
+    val words = docs.select(col(groupCol),
+      explode(tokens(col(textCol))).as("word"))
+    val vocab = words.select(col("word")).distinct()
+    val costs = bpeEncodeVocab(vocab, merges).select(col("word"), col("n_tok"))
+    words.join(costs, "word")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(col("n_tok")).cast("long").as("n_tokens"))
+      .withColumn("fertility",
+        col("n_tokens").cast("double") / col("n_words").cast("double"))
+  }
+
   /** Token-distribution drift between two corpus snapshots — the
     * monitoring pass a recurring-crawl pipeline runs before retraining:
     * which tokens moved most between snapshot A and snapshot B?

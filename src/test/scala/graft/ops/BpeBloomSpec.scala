@@ -59,6 +59,46 @@ class BpeBloomSpec extends AnyFunSuite {
       3L -> ((0L, 0L)), 4L -> ((0L, 0L))))
   }
 
+  test("bpeFertility: per-group integer sums agree with per-doc counts; one division") {
+    val docs = Seq(
+      (1L, "en", "the other the other"),
+      (2L, "en", "the in"),
+      (3L, "de", "in on er"),
+      (4L, "zz", "")).toDF("doc_id", "lang", "text")
+    val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("o", "n"), ("e", "r"))
+    val got = TextOps.bpeFertility(docs, merges, groupCol = "lang")
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // cross-check against the per-doc op summed per lang
+    val perDoc = TextOps.bpeTokenCounts(docs, merges)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang")
+      .agg(sum("n_words").as("w"), sum("n_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    got.foreach { case (lang, w, t, f) =>
+      assert((w, t) == perDoc(lang), s"$lang sums")
+      assert(f == t.toDouble / w.toDouble, s"$lang fertility division")
+    }
+    // the zero-word group emits no row
+    assert(!got.exists(_._1 == "zz"))
+  }
+
+  test("contaminationPairs attributes shared distinct grams per (corpus, eval) pair") {
+    val evalDoc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, evalDoc + " extra tail words here now"),  // shares 3 8-gram windows
+      (2L, "totally different content with no shared gram at all okay"),
+      (3L, evalDoc)) // identical to the eval doc
+    val pairs = Dedup.contaminationPairs(
+        docs.toDF("doc_id", "text").filter(col("doc_id") =!= 10L),
+        Seq((10L, evalDoc)).toDF("doc_id", "text"))
+      .orderBy("corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // eval doc has 10 tokens -> 3 distinct 8-grams; doc 1 contains all 3,
+    // doc 3 is identical (3), doc 2 shares none (no row)
+    assert(pairs == Seq((1L, 10L, 3L), (3L, 10L, 3L)))
+  }
+
   test("bpeTokenCounts encodes each distinct word once (vocab-bounded loop)") {
     // 1000 repetitions of one word: the mapPartitions stage sees ONE row
     val docs = (1L to 1000L).map(i => (i, "hello")).toDF("doc_id", "text")
