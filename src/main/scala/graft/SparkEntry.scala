@@ -1757,6 +1757,18 @@ object SparkEntry {
     "q128_cid_rewrite" -> ((s, dir) =>
       graft.queries.StoreQueries.cidRewrite(s, dir)),
 
+    // S10+S8 zip round trip: corpus → zip export (records/<id>.json) →
+    // unzip → per-extension codec import into a second collection →
+    // records. The oracle is the original table.
+    "q135_zip_roundtrip" -> ((s, dir) =>
+      graft.queries.StoreQueries.zipRoundTrip(s, dir)),
+
+    // F1 recordID-filtered lens: input path addresses ONE record; the
+    // map-invocation accumulator (= 1) rides every row as proof the
+    // freshness scan filtered before the map.
+    "q136_record_filter_lens" -> ((s, dir) =>
+      graft.queries.StoreQueries.recordFilteredLens(s, dir)),
+
     // REAL PCM audio decode (multimodal) under the hard signal:
     // deterministic integer-arithmetic WAVs generated executor-side,
     // decoded through javax.sound.sampled via Multimodal.audioFeatures,
@@ -3044,6 +3056,22 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'lenses', 'bench', 'lens-' || source FROM srcs
         |ORDER BY kind, author, name""".stripMargin,
+    // q135: the round trip must reproduce the source table exactly;
+    // a fresh overwrite commit makes every version 1.
+    "q135_zip_roundtrip" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS id,
+        |  CAST(1 AS BIGINT) AS version, text AS data
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // q136: the token index of the single addressed record; exactly
+    // one map invocation.
+    "q136_record_filter_lens" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS token
+        |  FROM documents WHERE doc_id = 17)
+        |SELECT token, CAST(1 AS BIGINT) AS n_docs, '17' AS doc_ids,
+        |  CAST(1 AS BIGINT) AS n_map_calls
+        |FROM toks ORDER BY token""".stripMargin,
     // q128: the rewritten URL is hash://sha256/<hex-of-content>?type=
     // url-encoded mime — DuckDB recomputes the sha256 over the same
     // deterministic blob content (the q35 discipline).

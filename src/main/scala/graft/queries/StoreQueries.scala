@@ -6,8 +6,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.core.{Cbor, NaturalOrder, PoArr, PoObj, PoStr}
-import graft.store.{AttachmentStore, DataPath, ReadPath, Store, WriteMode}
+import graft.core.{Cbor, NaturalOrder, PoArr, PoInt, PoObj, PoSet, PoStr}
+import graft.store.{AttachmentStore, DataPath, Export, Import, ReadPath, Store, WriteMode}
 
 /** Driver-verified queries over the store's commit/version machinery. */
 object StoreQueries {
@@ -262,6 +262,95 @@ object StoreQueries {
       (r.id, url)
     }.toDF("id", "url")
       .orderBy(col("id").cast("long"))
+  }
+
+  /** S10 + S8 zip ROUND TRIP under the hard signal (reference
+    * streamArchive export-controller.js:43-91 + dataset-controller.js
+    * :249-298 file import): the whole corpus commits into a source
+    * collection, exports as a zip of `records/<id>.json` entries, the
+    * archive is unzipped and re-imported through the per-extension
+    * codec path into a SECOND collection, and the destination's
+    * records are emitted. The oracle is the original documents table —
+    * any loss, duplication, id mangling, codec asymmetry, or version
+    * drift anywhere along export → zip → unzip → decode → commit
+    * breaks the hash.
+    *
+    * The zip stream is driver-side by design (the reference's HTTP
+    * download path; Export.zip's scaladoc documents the 100 TB
+    * alternative — distributed flat-file framings). */
+  def zipRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sfName = Paths.get(sfDir).getFileName.toString
+    val root = pidScratch(s"graft-zipq-$sfName")
+    val store = new Store(spark, root)
+    val src = store.dataset("bench", "docs-zipsrc")
+    if (src.exists) src.drop()
+    src.create()
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    src.writeEntriesDF(docs.as[(Long, String)].map { case (id, t) =>
+        (id.toString, Cbor.encode(PoObj("text" -> PoStr(t))), false)
+      }.toDF("id", "value", "tombstone"), WriteMode.Overwrite)
+
+    val baos = new java.io.ByteArrayOutputStream()
+    Export.zip(store, DataPath("datasets", "bench", "docs-zipsrc"), "json", baos)
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(baos.toByteArray))
+    val uploads = Iterator.continually(zin.getNextEntry)
+      .takeWhile(_ != null)
+      .filter(e => !e.isDirectory && e.getName.startsWith("records/"))
+      .map(e => (e.getName, zin.readAllBytes()))
+      .toVector
+
+    val dst = store.dataset("bench", "docs-ziprt")
+    if (dst.exists) dst.drop()
+    dst.create()
+    Import.files(dst, uploads, WriteMode.Overwrite)
+    dst.records.map { r =>
+      val text = Cbor.decode(r.value).asInstanceOf[PoObj].fields("text") match {
+        case PoStr(t) => t
+        case _ => null
+      }
+      (r.id, r.version, text)
+    }.toDF("id", "version", "data")
+      .orderBy(col("id").cast("long"))
+  }
+
+  /** F1 recordID filter under the hard signal (reference
+    * read-path.js:33-36): a lens whose INPUT path carries a recordID
+    * builds from exactly that one record — the freshness scan filters
+    * before the map stage, and the map-invocation accumulator proves
+    * it (n_map_calls = 1 rides every output row; a full-corpus map
+    * would put |docs| there and break the hash). Output: the token
+    * index of the single addressed document. */
+  def recordFilteredLens(spark: SparkSession, sfDir: String,
+                         recordId: String = "17"): DataFrame = {
+    import spark.implicits._
+    val sfName = Paths.get(sfDir).getFileName.toString
+    val root = pidScratch(s"graft-f1q-$sfName")
+    val store = new Store(spark, root)
+    val ds = store.dataset("bench", "docs-f1")
+    if (ds.exists) ds.drop()
+    ds.create()
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    ds.writeEntriesDF(docs.as[(Long, String)].map { case (id, t) =>
+        (id.toString, Cbor.encode(PoObj("text" -> PoStr(t))), false)
+      }.toDF("id", "value", "tombstone"), WriteMode.Overwrite)
+
+    val acc = spark.sparkContext.longAccumulator("graft.q136.mapCalls")
+    val lens = new graft.lens.Lens(store, "bench", "token-index-f1",
+      Seq(DataPath("datasets", "bench", "docs-f1", recordID = Some(recordId))),
+      new IncrementalLensQuery.CountingTokenFn(acc))
+    if (lens.output.exists) lens.output.drop()
+    lens.create()
+    lens.build()
+    val nMapCalls = acc.value
+    lens.output.records.map { r =>
+      val ids = Cbor.decode(r.value).asInstanceOf[PoSet].items
+        .collect { case PoInt(i) => i }.sorted
+      (r.id, ids.length.toLong, ids.mkString(","))
+    }.toDF("token", "n_docs", "doc_ids")
+      .withColumn("n_map_calls", lit(nMapCalls))
+      .orderBy(col("token"))
   }
 
   /** Natural-order sort (W7, reference base-data-model.js:46): ids with
