@@ -14,13 +14,40 @@ import org.apache.spark.sql.SparkSession
   * run can no longer poison the round's recorded number (BENCH_r05
   * recorded phantom 4-7x regressions on q36-q38 this way). All raw
   * runs are emitted under "runs" so drift is auditable.
-  */
+  *
+  * Job-time self-diagnosis (VERDICT r12 #3): alongside each wall time
+  * the artifact records the SUM OF SPARK JOB DURATIONS for the same rep
+  * ("job_s", scheduler-side timestamps via a job listener — the JOBLOG
+  * aggregate BenchOne computes, always-on here). Two drift disputes in
+  * two rounds were adjudicated by hand because wall time alone can't
+  * show box contention; now the artifact carries the split. Reading it:
+  * wall ≈ jobs = executor-bound; wall ≫ jobs on a query whose recorded
+  * baseline had wall ≈ jobs = the DRIVER/box was contended (sbt, GC,
+  * co-tenants), not a code regression; jobs themselves inflating with
+  * byte-identical code = executor-side contention (CPU steal), also
+  * environment. Fixture-heavy queries (per-request point lookups, zip
+  * streaming) legitimately run wall > jobs — compare against the same
+  * query's recorded split, not against zero. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(3))
     val spark = GraftSession.build() // SPARK_GRAFT_CPUS or all cores
+
+    // scheduler-timestamped job-duration accumulator (contention-immune
+    // at the measurement layer: j.time is stamped by the DAGScheduler,
+    // not by when the listener thread gets around to the event)
+    val jobMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobStarts.put(j.jobId, j.time)
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        Option(jobStarts.remove(j.jobId)).foreach(t0 => jobMs.addAndGet(j.time - t0))
+    })
+    def flush(): Unit = // drain queued events so counter reads are rep-aligned
+      org.apache.spark.GraftSparkShim.flushListenerBus(spark.sparkContext)
 
     def sink(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
@@ -34,12 +61,19 @@ object Bench {
     // too — the min still reports under "queries", but the error lands
     // in "errors" with a marker, so a flaky regression can never be
     // recorded as a silently healthy number.
-    // (name, successful run times asc, first error any rep hit)
-    val results: Seq[(String, Seq[Double], Option[String])] = names.map { name =>
+    // (name, successful (wall, job) pairs, first error any rep hit)
+    val results: Seq[(String, Seq[(Double, Double)], Option[String])] = names.map { name =>
       var firstErr: Option[String] = None
-      val times = (1 to reps).flatMap { _ =>
+      val runs = (1 to reps).flatMap { _ =>
+        flush()
+        val j0 = jobMs.get()
         val t0 = System.nanoTime()
-        try { sink(name); Some((System.nanoTime() - t0) / 1e9) } catch {
+        try {
+          sink(name)
+          val wall = (System.nanoTime() - t0) / 1e9
+          flush()
+          Some((wall, (jobMs.get() - j0) / 1e3))
+        } catch {
           case e: Throwable =>
             if (firstErr.isEmpty)
               firstErr = Some(Option(e.getMessage).getOrElse(e.getClass.getName))
@@ -47,8 +81,8 @@ object Bench {
         }
       }
       val err = firstErr.map(m =>
-        if (times.isEmpty) m else s"intermittent (${times.size}/$reps runs passed): $m")
-      (name, times.sorted, err)
+        if (runs.isEmpty) m else s"intermittent (${runs.size}/$reps runs passed): $m")
+      (name, runs.sortBy(_._1), err)
     }
     // truncate BEFORE escaping (truncating after can cut an escape
     // sequence in half → invalid JSON), then escape every control char
@@ -63,14 +97,23 @@ object Bench {
     // JSON line long enough to hit the driver's log cap, truncating the
     // recorded artifact. 0.001 s is far below box noise anyway.
     def f(t: Double): String = f"$t%.3f"
-    val qs = ok.map { case (k, ts, _) => "\"" + k + "\":" + f(ts.min) }
+    // min-wall rep carries the pair: its job sum is the one that
+    // explains (or indicts) that wall number
+    val qs = ok.map { case (k, ts, _) => "\"" + k + "\":" + f(ts.head._1) }
       .mkString("{", ",", "}")
-    val runs = ok.map { case (k, ts, _) => "\"" + k + "\":" + ts.map(f).mkString("[", ",", "]") }
+    val js = ok.map { case (k, ts, _) => "\"" + k + "\":" + f(ts.head._2) }
+      .mkString("{", ",", "}")
+    val runs = ok.map { case (k, ts, _) =>
+      "\"" + k + "\":" + ts.map(p => f(p._1)).mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val jruns = ok.map { case (k, ts, _) =>
+      "\"" + k + "\":" + ts.map(p => f(p._2)).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) => "\"" + k + "\":" + jstr(m) }
       .mkString("{", ",", "}")
-    val total = f(ok.map(_._2.min).sum)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"runs":$runs,"errors":$errs,"sf":"$sfDir"}"""
+    val total = f(ok.map(_._2.head._1).sum)
+    val jobTotal = f(ok.map(_._2.head._2).sum)
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","job_total":$jobTotal,"reps":$reps,"queries":$qs,"job_s":$js,"runs":$runs,"job_runs":$jruns,"errors":$errs,"sf":"$sfDir"}"""
     // The artifact of record goes to its OWN file (VERDICT r7 #4: the
     // r7 log-tail capture started mid-line and lost q1/q10-q29 from the
     // checked-in BENCH json). stdout keeps the line for humans; the
@@ -89,25 +132,40 @@ object Bench {
     // headline total ("part" says which half of the map it holds), and
     // abbreviate query names to their qNN prefix (full names + raw
     // reps live in target/bench.json, the artifact of record). The
-    // A,B,A,B print order makes any 2000-byte window over the stream
+    // print order makes any 2000-byte tail window over the stream
     // contain at least one WHOLE copy of each half, wherever a byte
     // cap or tail boundary lands.
     val shortQs = ok.map { case (k, ts, _) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + f(ts.min) }
+      "\"" + k.takeWhile(_ != '_') + "\":" + f(ts.head._1) }
     val (qa, qb) = shortQs.splitAt((shortQs.size + 1) / 2)
     def part(tag: String, entries: Seq[String]) =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"part":"$tag","queries":${entries.mkString("{", ",", "}")},"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","job_total":$jobTotal,"reps":$reps,"part":"$tag","queries":${entries.mkString("{", ",", "}")},"errors":$errs,"sf":"$sfDir"}"""
     val lineA = part("a/2", qa)
     val lineB = part("b/2", qb)
-    // A ~120-byte headline FIRST (VERDICT r11 #8: the split halves both
-    // survive in the captured tail yet the driver's parser still records
-    // parsed:null) — no per-query map at all, so even the smallest
-    // line-aligned capture window parses the total.
+    // Per-query JOB seconds as their own part lines (VERDICT r12 #3:
+    // the artifact must self-diagnose box contention). Printed FIRST
+    // within each set: the capture window is a ~2 KB TAIL, so the
+    // wall-time lines + headline — the primary numbers — stay inside
+    // it, and the job lines survive in the driver's full log / in
+    // target/bench.json when the window clips.
+    val shortJs = ok.map { case (k, ts, _) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + f(ts.head._2) }
+    val (ja, jb) = shortJs.splitAt((shortJs.size + 1) / 2)
+    def jpart(tag: String, entries: Seq[String]) =
+      s"""{"metric":"job_total","value":$jobTotal,"unit":"sec","wall_total":$total,"reps":$reps,"part":"$tag","job_s":${entries.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+    val lineJA = jpart("ja/2", ja)
+    val lineJB = jpart("jb/2", jb)
+    // A ~140-byte headline (VERDICT r11 #8) — no per-query map at all,
+    // so even the smallest line-aligned capture window parses the
+    // total; job_total rides it, making the global wall-vs-jobs
+    // contention check possible from the headline alone.
     val headline =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"n_queries":${ok.size},"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","job_total":$jobTotal,"reps":$reps,"n_queries":${ok.size},"errors":$errs,"sf":"$sfDir"}"""
+    println(lineJA); println(lineJB)
     println(headline); println(lineA); println(lineB)
     Console.out.flush()
     spark.stop()
+    println(lineJA); println(lineJB)
     println(headline); println(lineA); println(lineB)
     Console.out.flush()
   }

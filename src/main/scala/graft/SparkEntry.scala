@@ -1769,6 +1769,24 @@ object SparkEntry {
     "q136_record_filter_lens" -> ((s, dir) =>
       graft.queries.StoreQueries.recordFilteredLens(s, dir)),
 
+    // W5 tombstone delete: q15's fixture + a third merge commit
+    // tombstoning doc_id % 9 == 4 — deleted ids absent, survivor
+    // versions untouched, collection version bumped to 3.
+    "q137_tombstone_delete" -> ((s, dir) =>
+      graft.queries.StoreQueries.tombstoneExport(s, dir)),
+
+    // §2.6 lens-on-lens cascade: dataset → token-index lens → bucket
+    // lens; incremental rebuild after q44's merge, with exact map-
+    // invocation counts pinned at BOTH levels.
+    "q138_lens_cascade" -> ((s, dir) =>
+      graft.queries.CascadeLensQuery.run(s, dir)),
+
+    // §2.5 reduce-lattice breadth: date-max, bigint-sum, recursive
+    // map-merge and mixed-type last-wins branches through the full
+    // distributed ordered fold.
+    "q139_reduce_lattice" -> ((s, dir) =>
+      graft.queries.ReduceLatticeQuery.run(s, dir)),
+
     // REAL PCM audio decode (multimodal) under the hard signal:
     // deterministic integer-arithmetic WAVs generated executor-side,
     // decoded through javax.sound.sampled via Multimodal.audioFeatures,
@@ -3072,6 +3090,98 @@ object SparkEntry {
         |SELECT token, CAST(1 AS BIGINT) AS n_docs, '17' AS doc_ids,
         |  CAST(1 AS BIGINT) AS n_map_calls
         |FROM toks ORDER BY token""".stripMargin,
+    // q137: survivors of the %9==4 tombstone commit keep q15's version
+    // arithmetic; deleted ids are filtered out entirely; the collection
+    // version is the constant 3 (three commits).
+    "q137_tombstone_delete" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS id,
+        |  CAST(CASE WHEN doc_id % 2 = 1 OR doc_id % 10 = 0 THEN 2 ELSE 1 END AS BIGINT) AS version,
+        |  CASE WHEN doc_id % 10 = 0 THEN 'MODIFIED: ' || text ELSE text END AS data,
+        |  CAST(3 AS BIGINT) AS coll_version
+        |FROM documents WHERE doc_id % 9 <> 4 ORDER BY doc_id""".stripMargin,
+    // q138: lens B's final bucketed token sets over the post-commit-2
+    // corpus; version compares the two corpora's bucket sets; the two
+    // invocation counts re-derive both freshness gates — A's fresh docs
+    // (q44's formula) and A's version-bumped tokens (changed or new
+    // posting string).
+    "q138_lens_cascade" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' graftupdate' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 2
+        |  UNION ALL
+        |  SELECT 1000000 + i, 'brand new graft doc ' || CAST(i AS VARCHAR)
+        |  FROM generate_series(1, 5) AS t(i)
+        |),
+        |toks1 AS (
+        |  SELECT DISTINCT d.doc_id, u.tok
+        |  FROM documents d,
+        |       unnest(string_split_regex(lower(d.text), '[^a-z0-9]+')) AS u(tok)
+        |  WHERE u.tok <> ''),
+        |idx1 AS (
+        |  SELECT tok,
+        |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+        |  FROM toks1 GROUP BY 1),
+        |toks2 AS (
+        |  SELECT DISTINCT d.doc_id, u.tok
+        |  FROM docs2 d,
+        |       unnest(string_split_regex(lower(d.text), '[^a-z0-9]+')) AS u(tok)
+        |  WHERE u.tok <> ''),
+        |idx2 AS (
+        |  SELECT tok,
+        |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+        |  FROM toks2 GROUP BY 1),
+        |fresh_a AS (
+        |  SELECT count(*) AS n FROM docs2
+        |  WHERE doc_id % 7 = 0 OR doc_id > 1000000),
+        |fresh_b AS (
+        |  SELECT count(*) AS n FROM idx2 i2 LEFT JOIN idx1 i1 ON i1.tok = i2.tok
+        |  WHERE i1.doc_ids IS NULL OR i1.doc_ids <> i2.doc_ids),
+        |b1 AS (
+        |  SELECT substr(tok, 1, 1) AS bucket,
+        |    string_agg(tok, ',' ORDER BY tok) AS toks
+        |  FROM idx1 GROUP BY 1),
+        |b2 AS (
+        |  SELECT substr(tok, 1, 1) AS bucket, count(*) AS n_tokens,
+        |    string_agg(tok, ',' ORDER BY tok) AS toks
+        |  FROM idx2 GROUP BY 1)
+        |SELECT b2.bucket AS bucket, CAST(b2.n_tokens AS BIGINT) AS n_tokens,
+        |  b2.toks AS tokens,
+        |  CAST(CASE WHEN b1.toks = b2.toks THEN 1 ELSE 2 END AS BIGINT) AS version,
+        |  (SELECT n FROM fresh_a) AS n_map_calls_a,
+        |  (SELECT n FROM fresh_b) AS n_map_calls_b
+        |FROM b2 LEFT JOIN b1 ON b1.bucket = b2.bucket
+        |ORDER BY b2.bucket""".stripMargin,
+    // q139: each lattice branch re-derived relationally — date-max by
+    // max() over the same non-monotonic epoch formula, bigint-sum in
+    // HUGEINT, map-merge as a lang-count group-by rendered sorted, and
+    // mixed last-wins as the max-doc_id member's rendering.
+    "q139_reduce_lattice" ->
+      """WITH d AS (SELECT doc_id, lang, doc_id % 25 AS g FROM documents),
+        |date_o AS (
+        |  SELECT 'g' || CAST(g AS VARCHAR) || ':date' AS id,
+        |    CAST(max(((doc_id * 37) % 1000003) * 1000) AS VARCHAR) AS out
+        |  FROM d GROUP BY g),
+        |big_o AS (
+        |  SELECT 'g' || CAST(g AS VARCHAR) || ':big' AS id,
+        |    CAST(sum(CAST(doc_id AS HUGEINT) * 1000000000000000) AS VARCHAR) AS out
+        |  FROM d GROUP BY g),
+        |bag_o AS (
+        |  SELECT 'g' || CAST(g AS VARCHAR) || ':bag' AS id,
+        |    string_agg(lang || ':' || CAST(n AS VARCHAR), ',' ORDER BY lang) AS out
+        |  FROM (SELECT g, lang, count(*) AS n FROM d GROUP BY g, lang)
+        |  GROUP BY g),
+        |mix_o AS (
+        |  SELECT 'g' || CAST(g AS VARCHAR) || ':mixed' AS id,
+        |    CASE WHEN (m // 25) % 3 = 0 THEN 's' || CAST(m AS VARCHAR)
+        |         WHEN (m // 25) % 3 = 1 THEN
+        |           CASE WHEN m % 2 = 0 THEN 'true' ELSE 'false' END
+        |         ELSE 'u://' || CAST(m AS VARCHAR) END AS out
+        |  FROM (SELECT g, max(doc_id) AS m FROM d GROUP BY g))
+        |SELECT id, out FROM (
+        |  SELECT * FROM date_o UNION ALL SELECT * FROM big_o
+        |  UNION ALL SELECT * FROM bag_o UNION ALL SELECT * FROM mix_o)
+        |ORDER BY id""".stripMargin,
     // q128: the rewritten URL is hash://sha256/<hex-of-content>?type=
     // url-encoded mime — DuckDB recomputes the sha256 over the same
     // deterministic blob content (the q35 discipline).

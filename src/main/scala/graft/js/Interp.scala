@@ -880,7 +880,12 @@ final class Interp(globalScope: Scope, val budget: Budget) {
       select(cls)
     }
     ce.members.foreach { m =>
-      val key = if (m.computed) toStr(eval(m.name, scope))
+      // computed keys evaluate inside the class environment (V8's
+      // ClassDefinitionEvaluation): the class's own PRIVATE names are
+      // visible — `[(#x in {}) ? 'a' : 'b']` is legal and resolves —
+      // as is the named-class-expression self-binding. Evaluating in
+      // the OUTER scope made privOwner miss on exactly that shape.
+      val key = if (m.computed) toStr(eval(m.name, classScope))
                 else m.name.asInstanceOf[StrLit].v
       val closure = makeClosure(m.fn, classScope, JsUndefined)
       m.kind match {
@@ -949,10 +954,14 @@ final class Interp(globalScope: Scope, val budget: Budget) {
   // Resolution is LEXICAL: the parser guarantees '#x' appears only
   // under a declaring class, and buildClass bound '#x' → that class in
   // the class scope — so the owner lookup never misses.
+  // If the invariant ever breaks (it shouldn't — but a catchable error
+  // beats a JVM InternalError, which is a VirtualMachineError that
+  // escapes the lens's NonFatal guard and could kill the host), surface
+  // it as the contracted loud JS TypeError.
   private def privOwner(name: String, scope: Scope): JsClassV =
     scope.lookup(name) match {
       case Some(c: JsClassV) => c
-      case _ => throw new InternalError(s"unresolved private name $name")
+      case _ => throwType(s"Private member $name is not declared by an enclosing class")
     }
 
   private def privReadError(name: String): Nothing =

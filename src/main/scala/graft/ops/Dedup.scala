@@ -268,12 +268,19 @@ object Dedup {
     *
     * Output: (a_id, b_id, n_shared, n_a) with a_id != b_id, both
     * directions possible; callers threshold downstream joins on the
-    * integers. Shingle-less docs never pair. */
+    * integers. Shingle-less docs never pair.
+    *
+    * EAGER: the returned frame is checkpointed at call time (so the
+    * working persists can release before returning) — localCheckpoint
+    * by default (single-JVM-safe); pass `reliable = true` with a
+    * configured checkpoint dir on multi-executor clusters, where
+    * localCheckpoint blocks die with a decommissioned executor. */
   def containmentPairs(docs: DataFrame, idCol: String = "doc_id",
                        textCol: String = "text", nGram: Int = 3,
                        threshNum: Int = 9, threshDen: Int = 10,
                        maxGramDf: Int = DefaultMaxBucketSize,
-                       stats: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+                       stats: Option[org.apache.spark.sql.Observation] = None,
+                       reliable: Boolean = false): DataFrame = {
     require(threshNum >= 1 && threshDen >= threshNum,
       s"containment threshold must be in (0,1]: $threshNum/$threshDen")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -317,14 +324,18 @@ object Dedup {
       .filter(col("n_a") > 0 &&
         col("n_shared") * threshDen >= col("n_a") * threshNum)
       .select(col("a_id"), col("b_id"), col("n_shared"), col("n_a"))
-    // localCheckpoint-then-unpersist (the Graph.hits discipline, r11
+    // Checkpoint-then-unpersist (the Graph.hits discipline, r11
     // advice): the result is a small pairs frame, so materializing it
-    // eagerly lets BOTH working persists release before returning —
+    // EAGERLY — note this op therefore executes at call time, not
+    // lazily — lets BOTH working persists release before returning;
     // without this a long-lived session accumulates a shingle + gram-
-    // index cache entry per call until LRU eviction. The checkpointed
-    // blocks themselves are reclaimed by the ContextCleaner once the
-    // caller drops the frame.
-    val out = result.localCheckpoint()
+    // index cache entry per call until LRU eviction. localCheckpoint
+    // blocks are lost on executor decommission, so on a multi-executor
+    // cluster pass `reliable = true` (+ setCheckpointDir) for durable
+    // blocks, exactly as Graph.pageRank/hits. Either way the blocks
+    // are reclaimed by the ContextCleaner once the caller drops the
+    // frame.
+    val out = if (reliable) result.checkpoint() else result.localCheckpoint()
     sh.unpersist(blocking = false)
     kept.unpersist(blocking = false)
     out

@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.core._
+import graft.lens.{Lens, MapContext, MapFn}
+import graft.store.{DataPath, Store, WriteMode}
+
+/** Reduce-lattice BREADTH under the hard signal (SURVEY §2.5; reference:
+  * library/utility/reduce.js:27-49, behavior pinned by
+  * test/test-utility-reduce.js): the driver lens queries (q9/q49/q136)
+  * exercise only the Set-union branch, so this lens's map emits values
+  * that route through the lattice's exotic branches and the oracle
+  * re-derives every merged result relationally:
+  *  - `g<k>:date` — PoDate vs PoDate → most-future wins (date-max);
+  *    the epoch formula is non-monotonic in doc_id so max ≠ last;
+  *  - `g<k>:big`  — PoBigInt + PoBigInt → arbitrary-precision sum; the
+  *    1e15 multiplier pushes every group's sum past Long.MaxValue, so a
+  *    lattice that silently folded through Long would overflow and
+  *    break the hash (DuckDB sums in HUGEINT);
+  *  - `g<k>:bag`  — PoMap merged RECURSIVELY per key (lang → count),
+  *    PoInt leaves summing — the map-merge branch;
+  *  - `g<k>:mixed` — values whose TYPE rotates (string / bool / URL by
+  *    doc_id DIV nGroups mod 3): every adjacent pair is last-wins
+  *    (mismatched types, and the same-type cases string/bool/url are
+  *    last-wins too — never summing), so the merged result is exactly
+  *    the value of the group's MAX doc_id. That makes the fold ORDER
+  *    itself the thing under test: the distributed reduce must fold in
+  *    natural record order (lens.js:204-215) or a different survivor
+  *    (with a visibly different rendering) lands in the output.
+  *
+  * One commit, one full build — the breadth target is the ordered
+  * distributed fold (flatMapSortedGroups: this MapFn is deliberately
+  * NOT CommutativeMapFn), not incremental maintenance (q44/q138 own
+  * that). Output is (id, out) strings; rendering per branch is fixed
+  * (bag sorted by key so presentation order can't leak in). */
+object ReduceLatticeQuery {
+
+  val NGroups = 25
+
+  final class LatticeFn extends MapFn {
+    def map(ctx: MapContext): Unit = {
+      val o = ctx.data.asInstanceOf[PoObj]
+      val id = ctx.path.recordID.toLong
+      val lang = o.fields("lang") match {
+        case PoStr(l) => l
+        case _ => return
+      }
+      val g = id % NGroups
+      ctx.output(s"g$g:date", PoDate(((id * 37L) % 1000003L) * 1000L))
+      ctx.output(s"g$g:big", PoBigInt(BigInt(id) * BigInt("1000000000000000")))
+      ctx.output(s"g$g:bag", PoMap.of(PoStr(lang) -> PoInt(1L)))
+      ctx.output(s"g$g:mixed", ((id / NGroups) % 3) match {
+        case 0 => PoStr(s"s$id")
+        case 1 => PoBool(id % 2 == 0)
+        case _ => PoURL(s"u://$id")
+      })
+    }
+  }
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val tmpRoot = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    graft.core.Fs.reapStalePidDirs(tmpRoot, s"graft-latq-$sfName-")
+    val root = tmpRoot
+      .resolve(s"graft-latq-$sfName-${ProcessHandle.current().pid()}").toString
+    val store = new Store(spark, root)
+    val ds = store.dataset("bench", "docs-lat")
+    if (ds.exists) ds.drop()
+    ds.create()
+
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "lang")
+      .repartition(spark.sparkContext.defaultParallelism)
+    ds.writeEntriesDF(docs.as[(Long, String)].map { case (id, lang) =>
+        (id.toString, Cbor.encode(PoObj("lang" -> PoStr(lang))), false)
+      }.toDF("id", "value", "tombstone"), WriteMode.Overwrite)
+
+    val lens = new Lens(store, "bench", "lattice-lat",
+      Seq(DataPath("datasets", "bench", "docs-lat")), new LatticeFn)
+    if (lens.output.exists) lens.output.drop()
+    lens.create()
+    lens.build()
+
+    lens.output.records.map { r =>
+      val out = Cbor.decode(r.value) match {
+        case PoDate(ms) => ms.toString
+        case PoBigInt(v) => v.toString
+        case PoMap(entries) => entries.collect {
+            case (PoStr(k), PoInt(n)) => s"$k:$n"
+          }.sorted.mkString(",")
+        case PoStr(s) => s
+        case PoBool(b) => b.toString
+        case PoURL(u) => u
+        case other => other.toString
+      }
+      (r.id, out)
+    }.toDF("id", "out")
+      .orderBy(col("id"))
+  }
+}

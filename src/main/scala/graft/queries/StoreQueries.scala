@@ -37,7 +37,9 @@ object StoreQueries {
     import spark.implicits._
     val sfName = Paths.get(sfDir).getFileName.toString
     val tag = buckets.map(b => s"-b$b").getOrElse("")
-    val root = Paths.get(sys.props("java.io.tmpdir"), s"graft-atq-$sfName$tag").toString
+    // pid-scoped (same hazard the pointLookup fix closed): concurrent
+    // processes must not share a store root
+    val root = pidScratch(s"graft-atq-$sfName$tag")
     val store = new Store(spark, root, buckets)
     val ds = store.dataset("bench", "docs-at")
     if (ds.exists) ds.drop()
@@ -132,8 +134,11 @@ object StoreQueries {
   def pointLookup(spark: SparkSession, sfDir: String,
                   lookupMod: Long = 101): DataFrame = {
     import spark.implicits._
+    // pid-scoped like the other store queries: a fixed path would let
+    // two concurrent processes corrupt one store root, and dead
+    // processes' dirs would never be reaped
     val sfName = Paths.get(sfDir).getFileName.toString
-    val root = Paths.get(sys.props("java.io.tmpdir"), s"graft-ptq-$sfName").toString
+    val root = pidScratch(s"graft-ptq-$sfName")
     val store = new Store(spark, root)
     val ds = store.dataset("bench", "docs-pt")
     if (ds.exists) ds.drop()
@@ -351,6 +356,61 @@ object StoreQueries {
     }.toDF("token", "n_docs", "doc_ids")
       .withColumn("n_map_calls", lit(nMapCalls))
       .orderBy(col("token"))
+  }
+
+  /** W5 tombstone delete under the hard signal (reference
+    * base-data-model.js:243-252 record delete; docs/api/datasets.md:46
+    * `undefined`-as-value ⇒ delete; pinned by test/test-models-dataset
+    * .js): the q15 two-commit fixture (evens v1, odds new v2, %10
+    * rewritten v2) plus a THIRD merge commit that tombstones every
+    * doc_id % 9 == 4, then the collection is read back in full.
+    * Deleted ids must be ABSENT, survivors must keep their exact
+    * pre-delete versions (the tombstone batch must not perturb the
+    * carry-forward), and the collection version must have bumped to 3
+    * (`coll_version` rides every row, so an un-bumped — or
+    * over-bumped — meta breaks the hash). The oracle re-derives the
+    * post-delete version arithmetic relationally. */
+  def tombstoneExport(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sfName = Paths.get(sfDir).getFileName.toString
+    val root = pidScratch(s"graft-tombq-$sfName")
+    val store = new Store(spark, root)
+    val ds = store.dataset("bench", "docs-tomb")
+    if (ds.exists) ds.drop()
+    ds.create()
+
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    def entries(df: DataFrame, mod: Boolean): DataFrame =
+      df.as[(Long, String)].map { case (id, text) =>
+        val t = if (mod) s"MODIFIED: $text" else text
+        (id.toString, Cbor.encode(PoObj("text" -> PoStr(t))), false)
+      }.toDF("id", "value", "tombstone")
+    ds.writeEntriesDF(entries(docs.filter(col("doc_id") % 2 === 0), mod = false),
+      WriteMode.Overwrite)
+    ds.writeEntriesDF(
+      entries(docs.filter(col("doc_id") % 2 === 1), mod = false)
+        .unionByName(entries(docs.filter(col("doc_id") % 10 === 0), mod = true)),
+      WriteMode.Merge)
+
+    // commit 3: tombstones only — value bytes are empty, the flag does
+    // the deleting (the DF form of the reference's undefined-as-value)
+    ds.writeEntriesDF(
+      docs.filter(col("doc_id") % 9 === 4)
+        .select(col("doc_id").cast("string")).as[String]
+        .map(id => (id, Array.empty[Byte], true))
+        .toDF("id", "value", "tombstone"),
+      WriteMode.Merge)
+
+    val collVersion = ds.meta.version
+    ds.records.map { r =>
+      val data = Cbor.decode(r.value).asInstanceOf[PoObj].fields("text") match {
+        case PoStr(t) => t
+        case _ => null
+      }
+      (r.id, r.version, data)
+    }.toDF("id", "version", "data")
+      .withColumn("coll_version", lit(collVersion))
+      .orderBy(col("id").cast("long"))
   }
 
   /** Natural-order sort (W7, reference base-data-model.js:46): ids with

@@ -601,6 +601,21 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
     )
   }
 
+  test("classes: computed keys evaluate in the class environment (V8-checked)") {
+    // r13 advice fix: computed member keys used to evaluate in the
+    // OUTER scope, so a private name inside one — legal per V8's
+    // ClassDefinitionEvaluation, where the private environment is set
+    // up before element evaluation — escaped as a JVM InternalError.
+    expect(
+      // the exact advice shape: a brand check inside a method key
+      "(() => { class A { #x; [(#x in {}) ? 'a' : 'b']() { return 7 } } return new A().b() })()" -> "7",
+      // same for a STATIC method key
+      "(() => { class C { #p; static [(#p in {}) ? 'x' : 'y']() { return 3 } } return C.y() })()" -> "3",
+      // ordinary computed keys still work alongside private reads
+      "(() => { class D { #v = 1; ['m' + 1]() { return this.#v + 10 } } return new D().m1() })()" -> "11",
+    )
+  }
+
   test("classes: private-name early errors (V8-checked SyntaxErrors)") {
     Seq(
       "class A {} const a = new A(); a.#x",          // never declared
