@@ -647,6 +647,19 @@ object SparkEntry {
         .orderBy(col("corpus_id"), col("eval_id"))
     }),
 
+    // Fill-in-the-middle transform (Bavarian et al. 2022 PSM layout):
+    // deterministic integer pivots, pure scan-stage projection; the
+    // md5 over <PRE>prefix<SUF>suffix<MID>middle pins every boundary.
+    "q140_fim_split" -> ((s, dir) =>
+      graft.ops.TextOps.fimSplit(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+
+    // Vocabulary coverage curve: minimal most-frequent-first vocab
+    // size covering 50/90/95/99% of token occurrences — cumulative
+    // sum as a parallel prefix sum, never a single-reducer window.
+    "q141_vocab_coverage" -> ((s, dir) =>
+      graft.ops.TextOps.vocabCoverage(t(s, dir, "documents"))),
+
     // Bloom-prefiltered decontamination: drop every doc whose text
     // appears in a reference set (texts of doc_id%10==3 — shared dup
     // texts mean MORE than those 50 rows drop). Bloom negatives pass
@@ -3091,14 +3104,19 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS n_map_calls
         |FROM toks ORDER BY token""".stripMargin,
     // q137: survivors of the %9==4 tombstone commit keep q15's version
-    // arithmetic; deleted ids are filtered out entirely; the collection
-    // version is the constant 3 (three commits).
+    // arithmetic; re-inserted ids (%18==4) come back at v4 with their
+    // original text; still-deleted ids (%18==13) are absent; the
+    // collection version is the constant 4 (four commits).
     "q137_tombstone_delete" ->
       """SELECT CAST(doc_id AS VARCHAR) AS id,
-        |  CAST(CASE WHEN doc_id % 2 = 1 OR doc_id % 10 = 0 THEN 2 ELSE 1 END AS BIGINT) AS version,
-        |  CASE WHEN doc_id % 10 = 0 THEN 'MODIFIED: ' || text ELSE text END AS data,
-        |  CAST(3 AS BIGINT) AS coll_version
-        |FROM documents WHERE doc_id % 9 <> 4 ORDER BY doc_id""".stripMargin,
+        |  CAST(CASE WHEN doc_id % 18 = 4 THEN 4
+        |       WHEN doc_id % 2 = 1 OR doc_id % 10 = 0 THEN 2
+        |       ELSE 1 END AS BIGINT) AS version,
+        |  CASE WHEN doc_id % 18 = 4 THEN text
+        |       WHEN doc_id % 10 = 0 THEN 'MODIFIED: ' || text
+        |       ELSE text END AS data,
+        |  CAST(4 AS BIGINT) AS coll_version
+        |FROM documents WHERE doc_id % 18 <> 13 ORDER BY doc_id""".stripMargin,
     // q138: lens B's final bucketed token sets over the post-commit-2
     // corpus; version compares the two corpora's bucket sets; the two
     // invocation counts re-derive both freshness gates — A's fresh docs
@@ -3182,6 +3200,63 @@ object SparkEntry {
         |  SELECT * FROM date_o UNION ALL SELECT * FROM big_o
         |  UNION ALL SELECT * FROM bag_o UNION ALL SELECT * FROM mix_o)
         |ORDER BY id""".stripMargin,
+    // q140: same integer pivot arithmetic, same PSM layout, md5 over
+    // the transformed string; substr/len are codepoint-based in both
+    // engines.
+    "q140_fim_split" ->
+      """WITH d AS (
+        |  SELECT doc_id, coalesce(text, '') AS text,
+        |    len(coalesce(text, '')) AS l
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, text, l,
+        |    1 + (doc_id * 7919) % (l - 2) AS p1
+        |  FROM d WHERE l >= 16),
+        |m AS (
+        |  SELECT doc_id, text, l, p1,
+        |    1 + (doc_id * 104729) % (l - p1 - 1) AS mid
+        |  FROM p)
+        |SELECT doc_id, 'fim' AS mode,
+        |  CAST(p1 AS BIGINT) AS n_prefix,
+        |  CAST(mid AS BIGINT) AS n_middle,
+        |  CAST(l - p1 - mid AS BIGINT) AS n_suffix,
+        |  md5('<PRE>' || substr(text, 1, p1)
+        |    || '<SUF>' || substr(text, p1 + mid + 1, l - p1 - mid)
+        |    || '<MID>' || substr(text, p1 + 1, mid)) AS fim_md5
+        |FROM m
+        |UNION ALL
+        |SELECT doc_id, 'plain', CAST(l AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(0 AS BIGINT), md5(text)
+        |FROM d WHERE l < 16
+        |ORDER BY doc_id""".stripMargin,
+    // q141: the cumulative sum as a window over (n DESC, token) —
+    // single-node DuckDB can afford the serial window the engine
+    // replaces with a parallel prefix sum; integer crossing predicate
+    // cum*100 >= total*pct on both sides.
+    "q141_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(
+        |    string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
+        |    x -> x <> '')) AS token
+        |  FROM documents),
+        |freq AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+        |tot AS (SELECT sum(n) AS total FROM freq),
+        |c AS (
+        |  SELECT token, n,
+        |    sum(n) OVER (ORDER BY n DESC, token) AS cum,
+        |    row_number() OVER (ORDER BY n DESC, token) AS rnk
+        |  FROM freq),
+        |th AS (SELECT * FROM (VALUES (50), (90), (95), (99)) AS t(pct)),
+        |x AS (
+        |  SELECT th.pct, c.rnk, c.cum, tot.total,
+        |    row_number() OVER (PARTITION BY th.pct ORDER BY c.rnk) AS rr
+        |  FROM c, tot, th
+        |  WHERE c.cum * 100 >= tot.total * th.pct)
+        |SELECT CAST(pct AS BIGINT) AS threshold_pct,
+        |  CAST(rnk AS BIGINT) AS vocab_size,
+        |  CAST(cum AS BIGINT) AS covered_occurrences,
+        |  CAST(total AS BIGINT) AS total_occurrences
+        |FROM x WHERE rr = 1 ORDER BY threshold_pct""".stripMargin,
     // q128: the rewritten URL is hash://sha256/<hex-of-content>?type=
     // url-encoded mime — DuckDB recomputes the sha256 over the same
     // deterministic blob content (the q35 discipline).

@@ -1458,4 +1458,108 @@ object TextOps {
           .otherwise(col("score_num").cast("double")
             / (col("n_feats") * lit(1000L)).cast("double")))
   }
+
+  /** Fill-in-the-middle (FIM) transformation — the code-model training
+    * transform (Bavarian et al. 2022 "Efficient Training of Language
+    * Models to Fill in the Middle"): each document is split at two
+    * deterministic pivots into (prefix, middle, suffix) and re-laid-out
+    * PSM-style as `<PRE>prefix<SUF>suffix<MID>middle`, teaching the
+    * model to infill. Pivots derive from the doc id by pure integer
+    * arithmetic (no RNG state — any engine reproduces them):
+    * `p1 = 1 + (id·7919) mod (len−2)`, `mid = 1 + (id·104729) mod
+    * (len−p1−1)`, guaranteeing each part ≥ 1 char. Docs shorter than
+    * `minChars` (and NULL text, coalesced to empty) pass through
+    * unsplit as mode 'plain' — the standard FIM-rate split, here
+    * length-gated rather than sampled so the oracle can replay it.
+    *
+    * Plan shape: a pure scan-stage projection — zero shuffles, zero
+    * UDFs, everything inside whole-stage codegen; at 100 TB this is a
+    * map over the corpus, exactly what a rewrite transform must be.
+    * Output (one row per doc): (id, mode, n_prefix, n_middle,
+    * n_suffix, fim_md5) — the md5 is over the transformed layout, so a
+    * mis-sliced boundary anywhere breaks it. */
+  def fimSplit(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text", minChars: Int = 16): DataFrame = {
+    require(minChars >= 3, s"minChars must be >= 3 (need 1 char per part): $minChars")
+    val text = coalesce(col(textCol), lit(""))
+    val len = length(text).cast("long")
+    val id = col(idCol).cast("long")
+    val p1 = lit(1L) + (id * 7919L) % (len - 2L)
+    val mid = lit(1L) + (id * 104729L) % (len - p1 - 1L)
+    val prefix = text.substr(lit(1), p1.cast("int"))
+    val middle = text.substr((p1 + 1L).cast("int"), mid.cast("int"))
+    val suffix = text.substr((p1 + mid + 1L).cast("int"), (len - p1 - mid).cast("int"))
+    val isFim = len >= minChars.toLong
+    docs.select(
+      col(idCol),
+      when(isFim, lit("fim")).otherwise(lit("plain")).as("mode"),
+      when(isFim, p1).otherwise(len).as("n_prefix"),
+      when(isFim, mid).otherwise(lit(0L)).as("n_middle"),
+      when(isFim, len - p1 - mid).otherwise(lit(0L)).as("n_suffix"),
+      md5(when(isFim,
+          concat(lit("<PRE>"), prefix, lit("<SUF>"), suffix, lit("<MID>"), middle))
+        .otherwise(text)).as("fim_md5"))
+  }
+
+  /** Vocabulary coverage curve — for tokenizer/vocab sizing: the
+    * minimal vocabulary size (most-frequent-first) whose tokens cover
+    * ≥ p% of all corpus token occurrences, for each requested p. The
+    * classic Zipf head/tail diagnostic: how many types buy 50/90/95/99%
+    * of the mass.
+    *
+    * Scale shape: the frequency table is one partial-aggregated
+    * shuffle (vocabulary-sized, not corpus-sized); the cumulative sum
+    * over `(n DESC, token ASC)` is a PARALLEL PREFIX SUM — a range-
+    * partitioned sort, one tiny collect of per-partition (count, sum)
+    * partials, then per-partition running totals seeded by the
+    * exclusive offsets (the naturalOrder zipWithIndex discipline) — so
+    * no single-reducer window ever sees the vocabulary, which at
+    * 100 TB is billions of types (junk tokens included). Threshold
+    * crossings use pure integer arithmetic (`cum·100 ≥ total·p` ⟺
+    * `cum ≥ ⌈total·p/100⌉`) — no float boundary to disagree with an
+    * oracle over.
+    *
+    * Output: one row per threshold — (threshold_pct, vocab_size,
+    * covered_occurrences, total_occurrences). */
+  def vocabCoverage(docs: DataFrame,
+                    thresholdsPct: Seq[Int] = Seq(50, 90, 95, 99),
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(thresholdsPct.nonEmpty && thresholdsPct.forall(p => p >= 1 && p <= 100),
+      s"thresholds must be percentages in [1,100]: $thresholdsPct")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val freq = docs
+      .select(explode(tokens(coalesce(col(textCol), lit("")))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val sorted = freq.orderBy(col("n").desc, col("token").asc)
+      .select(col("token"), col("n")).as[(String, Long)].rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // pass 1: per-partition occurrence sums (P tiny rows to the driver)
+      val partials = sorted
+        .mapPartitionsWithIndex { (i, it) =>
+          var cnt = 0L; var sum = 0L
+          it.foreach { case (_, n) => cnt += 1; sum += n }
+          Iterator((i, cnt, sum))
+        }.collect().sortBy(_._1)
+      val total = partials.map(_._3).sum
+      val cntOffsets = partials.scanLeft(0L)(_ + _._2).init
+      val sumOffsets = partials.scanLeft(0L)(_ + _._3).init
+      val ths = thresholdsPct.distinct.sorted.map(_.toLong)
+      // pass 2: running totals from the exclusive offsets; emit only
+      // the rows where a threshold's crossing lands (≤ |ths| rows move)
+      val crossings = sorted.mapPartitionsWithIndex { (i, it) =>
+        var rank = cntOffsets(i); var cum = sumOffsets(i)
+        it.flatMap { case (_, n) =>
+          val before = cum
+          rank += 1; cum += n
+          ths.filter(p => before * 100L < total * p && cum * 100L >= total * p)
+            .map(p => (p, rank, cum, total))
+        }
+      }.collect()
+      spark.createDataset(crossings.toSeq.sortBy(_._1))
+        .toDF("threshold_pct", "vocab_size", "covered_occurrences", "total_occurrences")
+    } finally sorted.unpersist(blocking = false)
+  }
 }

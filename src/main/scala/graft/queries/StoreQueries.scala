@@ -358,18 +358,23 @@ object StoreQueries {
       .orderBy(col("token"))
   }
 
-  /** W5 tombstone delete under the hard signal (reference
+  /** W5 tombstone delete + reinsert under the hard signal (reference
     * base-data-model.js:243-252 record delete; docs/api/datasets.md:46
     * `undefined`-as-value ⇒ delete; pinned by test/test-models-dataset
     * .js): the q15 two-commit fixture (evens v1, odds new v2, %10
     * rewritten v2) plus a THIRD merge commit that tombstones every
-    * doc_id % 9 == 4, then the collection is read back in full.
-    * Deleted ids must be ABSENT, survivors must keep their exact
+    * doc_id % 9 == 4 and a FOURTH that re-inserts half of the deleted
+    * ids (doc_id % 18 == 4) with their ORIGINAL text, then the
+    * collection is read back in full. The still-deleted ids
+    * (% 18 == 13) must be ABSENT, survivors must keep their exact
     * pre-delete versions (the tombstone batch must not perturb the
-    * carry-forward), and the collection version must have bumped to 3
-    * (`coll_version` rides every row, so an un-bumped — or
+    * carry-forward), re-inserted ids must stamp the NEW commit version
+    * (4) — a delete leaves no hash for the gate to match, so a
+    * reinsert is a fresh write even when the content equals what was
+    * deleted — and the collection version must have bumped once per
+    * commit (`coll_version` rides every row, so an un-bumped — or
     * over-bumped — meta breaks the hash). The oracle re-derives the
-    * post-delete version arithmetic relationally. */
+    * whole lifecycle relationally. */
   def tombstoneExport(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val sfName = Paths.get(sfDir).getFileName.toString
@@ -399,6 +404,12 @@ object StoreQueries {
         .select(col("doc_id").cast("string")).as[String]
         .map(id => (id, Array.empty[Byte], true))
         .toDF("id", "value", "tombstone"),
+      WriteMode.Merge)
+
+    // commit 4: re-insert half of the deleted ids with their ORIGINAL
+    // text — the gate has no old hash for them, so they stamp v4
+    ds.writeEntriesDF(
+      entries(docs.filter(col("doc_id") % 18 === 4), mod = false),
       WriteMode.Merge)
 
     val collVersion = ds.meta.version
