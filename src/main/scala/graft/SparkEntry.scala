@@ -1782,6 +1782,29 @@ object SparkEntry {
     "q136_record_filter_lens" -> ((s, dir) =>
       graft.queries.StoreQueries.recordFilteredLens(s, dir)),
 
+    // §2.4/S13 lens log+error capture as data: console logs and thrown
+    // errors from the map are queryable per input after the build;
+    // message content (incl. the token count) oracle-derived.
+    "q142_lens_logs" -> ((s, dir) =>
+      graft.queries.IncrementalLensQuery.lensLogs(s, dir)),
+
+    // S12 change feed: one merge commit per lang, compaction, then the
+    // durable log's batch view — event set + version numbering derived
+    // from the corpus by the oracle.
+    "q143_change_feed" -> ((s, dir) =>
+      graft.queries.StoreQueries.changeFeedView(s, dir)),
+
+    // §3.3 ephemeral run-once lens: loan-pattern frame stream decodes
+    // to q9's index; `dropped` pins the finally-delete contract.
+    "q144_ephemeral_lens" -> ((s, dir) =>
+      graft.queries.StoreQueries.ephemeralLens(s, dir)),
+
+    // S4 readPath polymorphic LIST scan: dataset + explicit record
+    // path + lens in one call; the record path duplicates its row
+    // (readPath concatenates — dedup is the lens input rule).
+    "q145_readpath_union" -> ((s, dir) =>
+      graft.queries.StoreQueries.readPathUnion(s, dir)),
+
     // W5 tombstone delete: q15's fixture + a third merge commit
     // tombstoning doc_id % 9 == 4 — deleted ids absent, survivor
     // versions untouched, collection version bumped to 3.
@@ -3200,6 +3223,64 @@ object SparkEntry {
         |  SELECT * FROM date_o UNION ALL SELECT * FROM big_o
         |  UNION ALL SELECT * FROM bag_o UNION ALL SELECT * FROM mix_o)
         |ORDER BY id""".stripMargin,
+    // q142: the captured rows re-derived from the corpus — log rows
+    // carry the same tokenizer's count, err rows the host exception's
+    // class simple name + message; a doc hitting both gates yields
+    // both rows (logs before a throw survive).
+    "q142_lens_logs" ->
+      """WITH rows AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS id, 'log' AS kind,
+        |    'len ' || CAST(len(list_filter(
+        |      string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS VARCHAR) AS log_msg,
+        |    CAST(NULL AS VARCHAR) AS err_type,
+        |    CAST(NULL AS VARCHAR) AS err_msg
+        |  FROM documents WHERE doc_id % 17 = 3
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS VARCHAR), 'err', CAST(NULL AS VARCHAR),
+        |    'IllegalStateException', 'bad doc ' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 31 = 5)
+        |SELECT id, kind, log_msg, err_type, err_msg
+        |FROM rows ORDER BY CAST(id AS BIGINT), kind""".stripMargin,
+    // q143: one event per lang-commit; version numbers the commits in
+    // sorted-lang order.
+    "q143_change_feed" ->
+      """WITH l AS (SELECT DISTINCT lang FROM documents)
+        |SELECT 'datasets' AS source, 'bench' AS author,
+        |  'docs-cf' AS name,
+        |  CAST(row_number() OVER (ORDER BY lang) AS BIGINT) AS version
+        |FROM l ORDER BY version""".stripMargin,
+    // q144: the ephemeral lens's record frames ARE the q9 index (one
+    // full build over the whole corpus); dropped is constant true.
+    "q144_ephemeral_lens" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT d.doc_id, u.tok
+        |  FROM documents d,
+        |       unnest(string_split_regex(lower(d.text), '[^a-z0-9]+')) AS u(tok)
+        |  WHERE u.tok <> '')
+        |SELECT tok AS token, count(*) AS n_docs,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids,
+        |  TRUE AS dropped
+        |FROM toks GROUP BY tok ORDER BY token""".stripMargin,
+    // q145: dataset rows (once for the whole-collection path, once
+    // more for the explicit record path), then the lens's token rows;
+    // everything committed once → version 1 throughout.
+    "q145_readpath_union" ->
+      """WITH sub AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+        |toks AS (
+        |  SELECT DISTINCT u.tok
+        |  FROM sub, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(tok)
+        |  WHERE u.tok <> ''),
+        |rows AS (
+        |  SELECT '/datasets/bench:docs-rp/records/' || CAST(doc_id AS VARCHAR) AS path,
+        |    CAST(doc_id AS VARCHAR) AS id FROM sub
+        |  UNION ALL
+        |  SELECT '/datasets/bench:docs-rp/records/42', '42'
+        |  UNION ALL
+        |  SELECT '/lenses/bench:rp-lens/records/' || tok, tok FROM toks)
+        |SELECT path, id, CAST(1 AS BIGINT) AS version
+        |FROM rows ORDER BY path, id""".stripMargin,
     // q140: same integer pivot arithmetic, same PSM layout, md5 over
     // the transformed string; substr/len are codepoint-based in both
     // engines.

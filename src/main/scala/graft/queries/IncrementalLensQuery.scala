@@ -59,6 +59,73 @@ object IncrementalLensQuery {
     }
   }
 
+  /** q142's map: token-counts every doc, console-logs the count for
+    * doc_id % 17 == 3, throws (AFTER emitting — the outputs-kept
+    * contract) for doc_id % 31 == 5. Deterministic, so the captured
+    * log/error rows are oracle-derivable from the corpus. */
+  final class LoggingTokenFn extends MapFn {
+    def map(ctx: MapContext): Unit = {
+      val id = ctx.path.recordID.toLong
+      val text = ctx.data match {
+        case o: PoObj => o.fields.get("text") match {
+          case Some(PoStr(t)) => t
+          case _ => return
+        }
+        case _ => return
+      }
+      val n = text.toLowerCase(java.util.Locale.ROOT)
+        .split("[^a-z0-9]+").count(_.nonEmpty)
+      if (id % 17 == 3) ctx.log("len", n.toString)
+      ctx.output(s"n$n", PoSet(PoInt(id)))
+      if (id % 31 == 5) throw new IllegalStateException(s"bad doc $id")
+    }
+  }
+
+  /** Per-input log/error capture under the hard signal (§2.4/S13
+    * surface; reference: javascript-lens-worker.js:66-73 console
+    * capture, :27-49 error capture, served per input by lens.js:87-92
+    * — logs are DATA, queryable after the build). One full build of a
+    * [[LoggingTokenFn]] lens, then `Lens.logsOf` — the engine serves
+    * log rows from the compute-cache spool, so this also pins that the
+    * spool retains exactly the current inputs' log/err rows. The
+    * oracle re-derives every captured row (including the token count
+    * inside the log message and the error message text) from the
+    * documents table; a doc that hits BOTH gates (%17==3 and %31==5)
+    * must yield both rows — logs emitted before a throw survive. */
+  def lensLogs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val tmpRoot = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    graft.core.Fs.reapStalePidDirs(tmpRoot, s"graft-logq-$sfName-")
+    val root = tmpRoot
+      .resolve(s"graft-logq-$sfName-${ProcessHandle.current().pid()}").toString
+    val store = new Store(spark, root)
+    val ds = store.dataset("bench", "docs-log")
+    if (ds.exists) ds.drop()
+    ds.create()
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+      .repartition(spark.sparkContext.defaultParallelism)
+    ds.writeEntriesDF(docs.as[(Long, String)].map { case (id, t) =>
+        (id.toString, Cbor.encode(PoObj("text" -> PoStr(t))), false)
+      }.toDF("id", "value", "tombstone"), WriteMode.Overwrite)
+
+    val lens = new Lens(store, "bench", "log-lens",
+      Seq(DataPath("datasets", "bench", "docs-log")), new LoggingTokenFn)
+    if (lens.output.exists) lens.output.drop()
+    lens.create()
+    lens.build()
+
+    Lens.logsOf(store, "bench", "log-lens")
+      .select(
+        substring_index(col("path"), "/", -1).as("id"),
+        col("kind"),
+        when(col("kind") === "log", concat_ws(" ", col("logArgs")))
+          .otherwise(lit(null)).as("log_msg"),
+        col("errType").as("err_type"),
+        col("errMsg").as("err_msg"))
+      .orderBy(col("id").cast("long"), col("kind"))
+  }
+
   /** Phase timer for the q44 cost-attribution audits (VERDICT r11 #3):
     * `SPARK_GRAFT_PHASELOG=1` prints one stderr line per phase of the
     * fixture+build pipeline — the per-stage complement of BenchOne's

@@ -424,6 +424,136 @@ object StoreQueries {
       .orderBy(col("id").cast("long"))
   }
 
+  /** S12 change feed under the hard signal (reference
+    * update-events.js:7-14 — every commit emits (path, version);
+    * export-controller.js:153-176 serves the feed): one merge commit
+    * per distinct document lang into one collection, then `compact()`
+    * rolls the per-commit files into a segment, then the BATCH view of
+    * the durable log is read back. The oracle derives the expected
+    * event set from the corpus (one event per lang, versions numbering
+    * the commits in lang order), so a missed notify, a double event, a
+    * compaction that loses or duplicates a row, or wrong version
+    * stamping all break the hash. ts/seq are wall-clock and are
+    * deliberately NOT emitted — the (collection, version) sequence IS
+    * the deterministic content of the feed. */
+  def changeFeedView(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sfName = Paths.get(sfDir).getFileName.toString
+    val root = pidScratch(s"graft-cfq-$sfName")
+    // fresh LOG per invocation: the batch view is "all commits so
+    // far", so a reused scratch store must not leak a previous run's
+    // events into this one
+    graft.core.Fs.rmTree(Paths.get(root, "_commits"))
+    val store = new Store(spark, root)
+    val log = new graft.streaming.CommitLog(store).install()
+    val ds = store.dataset("bench", "docs-cf")
+    if (ds.exists) ds.drop()
+    ds.create()
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "lang", "text")
+    val langs = docs.select(col("lang")).distinct().as[String].collect().sorted
+    langs.foreach { l =>
+      ds.writeEntriesDF(
+        docs.filter(col("lang") === l).as[(Long, String, String)]
+          .map { case (id, _, t) =>
+            (id.toString, Cbor.encode(PoObj("text" -> PoStr(t))), false)
+          }.toDF("id", "value", "tombstone"),
+        WriteMode.Merge)
+    }
+    log.compact(minFiles = 2)
+    log.batch
+      .select(col("source"), col("author"), col("name"), col("version"))
+      .orderBy(col("version"))
+  }
+
+  /** §3.3 ephemeral (run-once) lens under the hard signal (reference
+    * lens-controller.js:205-217 — build, stream frames, `finally
+    * lens.delete`): the corpus commits once, an ephemeral token-index
+    * lens streams its record frames through the loan-pattern iterator
+    * (driver holds one partition at a time — the serving contract),
+    * and the frames decode to the same rows q9's persistent lens
+    * yields. `dropped` rides every row as the POST-RUN existence check
+    * of the throwaway collection — a leaked ephemeral output breaks
+    * the hash, pinning the run-once deletion semantics. */
+  def ephemeralLens(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sfName = Paths.get(sfDir).getFileName.toString
+    val root = pidScratch(s"graft-ephq-$sfName")
+    val store = new Store(spark, root)
+    val ds = store.dataset("bench", "docs-eph")
+    if (ds.exists) ds.drop()
+    ds.create()
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+      .repartition(spark.sparkContext.defaultParallelism)
+    ds.writeEntriesDF(docs.as[(Long, String)].map { case (id, t) =>
+        (id.toString, Cbor.encode(PoObj("text" -> PoStr(t))), false)
+      }.toDF("id", "value", "tombstone"), WriteMode.Overwrite)
+
+    // a crashed previous rep can leave the fixed-suffix throwaway
+    // behind; the ephemeral contract requires a fresh name
+    val leftover = store.collection(DataPath("lenses", "system", "ephemeral-q144"))
+    if (leftover.exists) leftover.drop()
+    val acc = spark.sparkContext.longAccumulator("graft.q144.mapCalls")
+    val rows = graft.lens.EphemeralLens.stream(store,
+        Seq(DataPath("datasets", "bench", "docs-eph")),
+        new IncrementalLensQuery.CountingTokenFn(acc), suffix = "q144") { frames =>
+      frames.collect {
+        case PoObj(fields) if fields.contains("record") =>
+          val rec = fields("record").asInstanceOf[PoObj].fields
+          val token = rec("id").asInstanceOf[PoStr].s
+          val ids = rec("data").asInstanceOf[PoSet].items
+            .collect { case PoInt(i) => i }.sorted
+          (token, ids.length.toLong, ids.mkString(","))
+      }.toVector
+    }
+    val dropped = !ReadPath.exists(store,
+      DataPath("lenses", "system", "ephemeral-q144"))
+    spark.createDataset(rows).toDF("token", "n_docs", "doc_ids")
+      .withColumn("dropped", lit(dropped))
+      .orderBy(col("token"))
+  }
+
+  /** S4 readPath polymorphic LIST scan under the hard signal
+    * (reference read-path.js:6-49 — one record, a whole collection, or
+    * a LIST of paths, across sources, concatenated): a dataset subset
+    * (doc_id % 3 == 0), a token-index lens over it, and a read of
+    * [whole dataset, one explicit record path, whole lens] through ONE
+    * ReadPath call — the union frame's (path, id, version) rows are
+    * re-derived relationally (the record path contributes its row a
+    * second time: the reference concatenates, it does not dedup across
+    * LIST entries — dedup is the LENS input rule, not readPath's). */
+  def readPathUnion(spark: SparkSession, sfDir: String,
+                    recordId: String = "42"): DataFrame = {
+    import spark.implicits._
+    val sfName = Paths.get(sfDir).getFileName.toString
+    val root = pidScratch(s"graft-rpq-$sfName")
+    val store = new Store(spark, root)
+    val ds = store.dataset("bench", "docs-rp")
+    if (ds.exists) ds.drop()
+    ds.create()
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+      .filter(col("doc_id") % 3 === 0)
+      .repartition(spark.sparkContext.defaultParallelism)
+    ds.writeEntriesDF(docs.as[(Long, String)].map { case (id, t) =>
+        (id.toString, Cbor.encode(PoObj("text" -> PoStr(t))), false)
+      }.toDF("id", "value", "tombstone"), WriteMode.Overwrite)
+
+    val lens = new graft.lens.Lens(store, "bench", "rp-lens",
+      Seq(DataPath("datasets", "bench", "docs-rp")),
+      new IncrementalLensQuery.CountingTokenFn(
+        spark.sparkContext.longAccumulator("graft.q145.mapCalls")))
+    if (lens.output.exists) lens.output.drop()
+    lens.create()
+    lens.build()
+
+    ReadPath.read(store, Seq(
+        DataPath("datasets", "bench", "docs-rp"),
+        DataPath("datasets", "bench", "docs-rp", recordID = Some(recordId)),
+        DataPath("lenses", "bench", "rp-lens")))
+      .select(col("path"), col("id"), col("version"))
+      .orderBy(col("path"), col("id"))
+  }
+
   /** Natural-order sort (W7, reference base-data-model.js:46): ids with
     * digit runs sort numerically via the lexicographic naturalKey
     * rewrite. The oracle re-derives the same order relationally
