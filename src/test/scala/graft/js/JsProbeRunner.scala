@@ -13,7 +13,11 @@ package graft.js
   * conformance rows with the V8 output inlined. */
 object JsProbeRunner {
   def main(args: Array[String]): Unit = {
-    val lines = scala.io.Source.fromFile("/tmp/probe_v8.jsonl", "UTF-8").getLines().toSeq
+    // probe file as arg (default kept for the documented workflow) —
+    // the runner used to ignore args entirely, silently re-running
+    // whatever /tmp/probe_v8.jsonl held
+    val path = args.headOption.getOrElse("/tmp/probe_v8.jsonl")
+    val lines = scala.io.Source.fromFile(path, "UTF-8").getLines().toSeq
     var same = 0
     lines.foreach { line =>
       // minimal 2-string JSON array parse
