@@ -1818,8 +1818,9 @@ object SparkEntry {
       graft.queries.CascadeLensQuery.run(s, dir)),
 
     // §2.5 reduce-lattice breadth: date-max, bigint-sum, recursive
-    // map-merge and mixed-type last-wins branches through the full
-    // distributed ordered fold.
+    // map-merge, array-concat, recursive object-merge and mixed-type
+    // last-wins — EVERY lattice branch — through the full distributed
+    // ordered fold.
     "q139_reduce_lattice" -> ((s, dir) =>
       graft.queries.ReduceLatticeQuery.run(s, dir)),
 
@@ -3195,8 +3196,11 @@ object SparkEntry {
         |ORDER BY b2.bucket""".stripMargin,
     // q139: each lattice branch re-derived relationally — date-max by
     // max() over the same non-monotonic epoch formula, bigint-sum in
-    // HUGEINT, map-merge as a lang-count group-by rendered sorted, and
-    // mixed last-wins as the max-doc_id member's rendering.
+    // HUGEINT, map-merge as a lang-count group-by rendered sorted,
+    // array-concat as a doc_id-ordered string_agg (fold order IS the
+    // content), object-merge as n=count;lang-counts through both
+    // depths, and mixed last-wins as the max-doc_id member's
+    // rendering.
     "q139_reduce_lattice" ->
       """WITH d AS (SELECT doc_id, lang, doc_id % 25 AS g FROM documents),
         |date_o AS (
@@ -3212,6 +3216,16 @@ object SparkEntry {
         |    string_agg(lang || ':' || CAST(n AS VARCHAR), ',' ORDER BY lang) AS out
         |  FROM (SELECT g, lang, count(*) AS n FROM d GROUP BY g, lang)
         |  GROUP BY g),
+        |arr_o AS (
+        |  SELECT 'g' || CAST(g AS VARCHAR) || ':arr' AS id,
+        |    string_agg(CAST(doc_id % 10 AS VARCHAR), ',' ORDER BY doc_id) AS out
+        |  FROM d GROUP BY g),
+        |obj_o AS (
+        |  SELECT 'g' || CAST(g AS VARCHAR) || ':obj' AS id,
+        |    'n=' || CAST(sum(n) AS VARCHAR) || ';' ||
+        |    string_agg(lang || ':' || CAST(n AS VARCHAR), ',' ORDER BY lang) AS out
+        |  FROM (SELECT g, lang, count(*) AS n FROM d GROUP BY g, lang)
+        |  GROUP BY g),
         |mix_o AS (
         |  SELECT 'g' || CAST(g AS VARCHAR) || ':mixed' AS id,
         |    CASE WHEN (m // 25) % 3 = 0 THEN 's' || CAST(m AS VARCHAR)
@@ -3221,7 +3235,8 @@ object SparkEntry {
         |  FROM (SELECT g, max(doc_id) AS m FROM d GROUP BY g))
         |SELECT id, out FROM (
         |  SELECT * FROM date_o UNION ALL SELECT * FROM big_o
-        |  UNION ALL SELECT * FROM bag_o UNION ALL SELECT * FROM mix_o)
+        |  UNION ALL SELECT * FROM bag_o UNION ALL SELECT * FROM arr_o
+        |  UNION ALL SELECT * FROM obj_o UNION ALL SELECT * FROM mix_o)
         |ORDER BY id""".stripMargin,
     // q142: the captured rows re-derived from the corpus — log rows
     // carry the same tokenizer's count, err rows the host exception's

@@ -22,6 +22,13 @@ import graft.store.{DataPath, Store, WriteMode}
   *    break the hash (DuckDB sums in HUGEINT);
   *  - `g<k>:bag`  — PoMap merged RECURSIVELY per key (lang → count),
   *    PoInt leaves summing — the map-merge branch;
+  *  - `g<k>:arr`  — PoArr ++ PoArr depth-1 CONCAT in fold order — the
+  *    array branch, order-sensitive like `mixed` (the concatenation
+  *    sequence must be natural record order or the rendered list
+  *    permutes);
+  *  - `g<k>:obj`  — PoObj merged recursively ({n: 1, langs: {lang:
+  *    1}}): the object branch through BOTH depths — int leaves sum at
+  *    the top, the nested object's per-lang leaves sum one level down;
   *  - `g<k>:mixed` — values whose TYPE rotates (string / bool / URL by
   *    doc_id DIV nGroups mod 3): every adjacent pair is last-wins
   *    (mismatched types, and the same-type cases string/bool/url are
@@ -52,6 +59,10 @@ object ReduceLatticeQuery {
       ctx.output(s"g$g:date", PoDate(((id * 37L) % 1000003L) * 1000L))
       ctx.output(s"g$g:big", PoBigInt(BigInt(id) * BigInt("1000000000000000")))
       ctx.output(s"g$g:bag", PoMap.of(PoStr(lang) -> PoInt(1L)))
+      ctx.output(s"g$g:arr", PoArr(Vector(PoInt(id % 10))))
+      ctx.output(s"g$g:obj", PoObj(
+        "n" -> PoInt(1L),
+        "langs" -> PoObj(lang -> PoInt(1L))))
       ctx.output(s"g$g:mixed", ((id / NGroups) % 3) match {
         case 0 => PoStr(s"s$id")
         case 1 => PoBool(id % 2 == 0)
@@ -91,6 +102,16 @@ object ReduceLatticeQuery {
         case PoMap(entries) => entries.collect {
             case (PoStr(k), PoInt(n)) => s"$k:$n"
           }.sorted.mkString(",")
+        case PoArr(items) => items.collect { case PoInt(i) => i.toString }
+          .mkString(",") // fold order preserved — NOT sorted
+        case o: PoObj =>
+          val n = o.fields("n") match { case PoInt(v) => v; case _ => -1L }
+          val langs = o.fields("langs") match {
+            case PoObj(fs) => fs.collect { case (k, PoInt(v)) => s"$k:$v" }
+              .toSeq.sorted.mkString(",")
+            case _ => ""
+          }
+          s"n=$n;$langs"
         case PoStr(s) => s
         case PoBool(b) => b.toString
         case PoURL(u) => u
