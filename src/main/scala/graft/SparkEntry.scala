@@ -1794,6 +1794,12 @@ object SparkEntry {
     "q143_change_feed" -> ((s, dir) =>
       graft.queries.StoreQueries.changeFeedView(s, dir)),
 
+    // S11 raw serving + W4 single writes over real HTTP: per-request
+    // PUTs of string-rooted records, raw GETs must return the text
+    // byte-for-byte with text/plain.
+    "q146_raw_serving" -> ((s, dir) =>
+      graft.queries.StoreQueries.rawServing(s, dir)),
+
     // §3.3 ephemeral run-once lens: loan-pattern frame stream decodes
     // to q9's index; `dropped` pins the finally-delete contract.
     "q144_ephemeral_lens" -> ((s, dir) =>
@@ -3265,6 +3271,17 @@ object SparkEntry {
         |  'docs-cf' AS name,
         |  CAST(row_number() OVER (ORDER BY lang) AS BIGINT) AS version
         |FROM l ORDER BY version""".stripMargin,
+    // q146: raw serving returns the stored string byte-for-byte with
+    // text/plain; each per-request PUT is its OWN commit, so the Nth
+    // write (doc_id ascending, first 12 matching ids) stamps record
+    // version N.
+    "q146_raw_serving" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS id,
+        |  CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS version,
+        |  text AS body, 'text/plain; charset=utf-8' AS ctype
+        |FROM (SELECT doc_id, text FROM documents
+        |      WHERE doc_id % 101 = 7 ORDER BY doc_id LIMIT 12)
+        |ORDER BY doc_id""".stripMargin,
     // q144: the ephemeral lens's record frames ARE the q9 index (one
     // full build over the whole corpus); dropped is constant true.
     "q144_ephemeral_lens" ->

@@ -24,6 +24,7 @@ import graft.store._
   *   DELETE /{datasets|lenses}/A:N/                    drop collection (dataset-controller:79, lens-controller:115)
   *   GET    /{datasets|lenses}/A:N/records/           record listing (dataset-controller:156)
   *   GET    /{datasets|lenses|meta}/A:N/records/R[.ext] read one (as ext codec)
+  *   GET    /{datasets|lenses|meta}/A:N/as/FMT/R        RAW serving: string/bytes as-is, else FMT codec (export-controller:178)
   *   PUT    /datasets/A:N/records/R                    write (body by Content-Type)
   *   DELETE /datasets/A:N/records/R                    delete record
   *   POST   /datasets/A:N/records/                     bulk merge of {id: value}
@@ -107,6 +108,7 @@ final class HttpApi(store: Store, port: Int = 0, authOpt: Option[Auth] = None,
 
   private val RecordsPat = "^/(datasets|lenses|meta)/([^:/]+):([^:/]+)/records/$".r
   private val RecordPat = "^/(datasets|lenses|meta)/([^:/]+):([^:/]+)/records/([^/]+?)(\\.([a-z]+))?$".r
+  private val AsPat = "^/(datasets|lenses|meta)/([^:/]+):([^:/]+)/as/([a-z]+)/([^/]+)$".r
   private val ExportPat = "^/(datasets|lenses)/([^:/]+):([^:/]+)/export/flat-file\\.([a-z]+)$".r
   private val ZipExportPat = "^/(datasets|lenses)/([^:/]+):([^:/]+)/export/archive\\.zip$".r
   private val ImportPat = "^/datasets/([^:/]+):([^:/]+)/import$".r
@@ -237,6 +239,29 @@ final class HttpApi(store: Store, port: Int = 0, authOpt: Option[Auth] = None,
         val v = ReadPath.readRecord(store, p)
           .getOrElse(return respond(ex, 404, "no such record"))
         respondValue(ex, 200, v, Option(ext).getOrElse("json"))
+      // RAW record serving (S11, reference export-controller.js:178-197
+      // `GET /:source/:author::name/as/:format/:recordID`): a record
+      // whose root is a string or bytes serves AS-IS (text/plain or
+      // octet-stream, CSP-sandboxed like the reference); anything else
+      // encodes through the named codec. Export.raw implements the
+      // dispatch; this route is its wire surface.
+      case ("GET", AsPat(source, author, name, format, rid)) =>
+        val p = DataPath(source, author, name, Some(rid))
+        try {
+          val (bytes, ext) = Export.raw(store, p, format)
+          val ctype = ext match {
+            case "txt" => "text/plain; charset=utf-8"
+            case "bin" => "application/octet-stream"
+            case other => mimeFor(other)
+          }
+          ex.getResponseHeaders.set("Content-Type", ctype)
+          ex.getResponseHeaders.set("Content-Security-Policy", "sandbox")
+          ex.sendResponseHeaders(200, bytes.length.toLong)
+          ex.getResponseBody.write(bytes)
+        } catch {
+          case _: NoSuchElementException => respond(ex, 404, "no such record")
+          case e: IllegalArgumentException => respond(ex, 400, e.getMessage)
+        }
       case ("PUT", RecordPat("datasets", author, name, rid, _, _)) =>
         if (!requireOwner(ex, identity, author, forbidden = false)) return
         val codec = codecFor(ex).getOrElse(JsonCodec)

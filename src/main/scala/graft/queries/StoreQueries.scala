@@ -554,6 +554,82 @@ object StoreQueries {
       .orderBy(col("path"), col("id"))
   }
 
+  /** S11 raw record serving + W4 single-record writes, END-TO-END OVER
+    * HTTP (reference: export-controller.js:178-197 the `/as/:format/
+    * :recordID` raw route — string/bytes roots serve AS-IS; dataset
+    * write route `PUT /datasets/A:N/records/R`): every doc_id %
+    * `mod` == 7 is written as a STRING-ROOTED record one PUT at a
+    * time (the reference's per-request write contract — this is W4,
+    * not bulk ingest), then read back through the raw route. Emitted
+    * per id: the PUT-returned version (each single write is its OWN
+    * commit, so the Nth PUT in doc_id order stamps version N — the
+    * oracle re-derives that as a row_number), the raw body (must be
+    * the text BYTE-FOR-BYTE — any codec framing, quoting, or charset
+    * mangling breaks the hash) and the content type.
+    *
+    * FIXED-SIZE fixture (`limit` PUTs, lowest matching ids): the
+    * per-request envelope is commit-per-write by contract — N single
+    * PUTs rewrite touched state N times, so an unbounded fixture
+    * would measure O(N) commit overhead (~0.5 s each), not the
+    * serving surface. The store is BUCKETED so each commit's COW
+    * merge rewrites one id-bucket and hardlink-carries the rest —
+    * the write path a single-record PUT takes at 100 TB. */
+  def rawServing(spark: SparkSession, sfDir: String,
+                 mod: Long = 101, limit: Int = 12): DataFrame = {
+    import spark.implicits._
+    val sfName = Paths.get(sfDir).getFileName.toString
+    val root = pidScratch(s"graft-rawq-$sfName")
+    val store = new Store(spark, root, buckets = Some(8))
+    val ds = store.dataset("bench", "docs-raw")
+    if (ds.exists) ds.drop()
+    ds.create()
+    val docs = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") % mod === 7)
+      .select(col("doc_id").cast("long"), col("text"))
+      .orderBy(col("doc_id")).limit(limit)
+      .as[(Long, String)].collect().sortBy(_._1)
+
+    val api = new graft.api.HttpApi(store).start()
+    try {
+      val c = java.net.http.HttpClient.newHttpClient()
+      val base = s"http://127.0.0.1:${api.boundPort}"
+      def put(id: Long, text: String): Long = {
+        val body = graft.codec.JsonCodec.encode(PoStr(text))
+        val resp = c.send(java.net.http.HttpRequest
+            .newBuilder(java.net.URI.create(
+              s"$base/datasets/bench:docs-raw/records/$id"))
+            .header("Content-Type", "application/json")
+            .PUT(java.net.http.HttpRequest.BodyPublishers.ofByteArray(body))
+            .build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode == 200, s"PUT $id -> ${resp.statusCode}")
+        graft.codec.JsonCodec.decode(resp.body.getBytes("UTF-8")) match {
+          case PoObj(fields) => fields("version") match {
+            case PoInt(v) => v
+            case _ => -1L
+          }
+          case _ => -1L
+        }
+      }
+      def getRaw(id: Long): (String, String) = {
+        val resp = c.send(java.net.http.HttpRequest
+            .newBuilder(java.net.URI.create(
+              s"$base/datasets/bench:docs-raw/as/json/$id"))
+            .GET.build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode == 200, s"GET raw $id -> ${resp.statusCode}")
+        (resp.body, resp.headers.firstValue("Content-Type").orElse(""))
+      }
+      val rows = docs.map { case (id, text) =>
+        val version = put(id, text)
+        val (body, ctype) = getRaw(id)
+        (id.toString, version, body, ctype)
+      }
+      spark.createDataset(rows.toSeq).toDF("id", "version", "body", "ctype")
+        .orderBy(col("id").cast("long"))
+    } finally api.stop()
+  }
+
   /** Natural-order sort (W7, reference base-data-model.js:46): ids with
     * digit runs sort numerically via the lexicographic naturalKey
     * rewrite. The oracle re-derives the same order relationally

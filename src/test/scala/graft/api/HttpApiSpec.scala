@@ -64,6 +64,48 @@ class HttpApiSpec extends AnyFunSuite {
     }
   }
 
+  test("raw /as/FMT/R serving: string as-is, bytes as-is, object via codec, 404") {
+    withApi() { (base, c) =>
+      def putJson(id: String, body: String): Unit = {
+        val r = c.send(HttpRequest.newBuilder(URI.create(s"$base/datasets/alice:d1/records/$id"))
+          .header("Content-Type", "application/json")
+          .PUT(HttpRequest.BodyPublishers.ofString(body))
+          .build(), HttpResponse.BodyHandlers.ofString())
+        assert(r.statusCode == 200)
+      }
+      // string root: served byte-for-byte, NOT JSON-quoted, text/plain,
+      // CSP sandboxed (reference export-controller.js:178-197)
+      putJson("s", "\"hello \\\"raw\\\" world\"")
+      val s = get(c, s"$base/datasets/alice:d1/as/json/s")
+      assert(s.statusCode == 200)
+      assert(s.body == "hello \"raw\" world")
+      assert(s.headers.firstValue("Content-Type").get.startsWith("text/plain"))
+      assert(s.headers.firstValue("Content-Security-Policy").get == "sandbox")
+
+      // object root: encoded through the named codec (yaml here)
+      putJson("o", """{"k": 7}""")
+      val o = get(c, s"$base/datasets/alice:d1/as/yaml/o")
+      assert(o.statusCode == 200)
+      assert(o.headers.firstValue("Content-Type").get.contains("yaml"))
+      assert(o.body.contains("k") && o.body.contains("7"))
+
+      // bytes root: as-is octet-stream (write CBOR so the root is bytes)
+      val cb = graft.core.Cbor.encode(graft.core.PoBytes(Array[Byte](1, 2, 250.toByte)))
+      val rb = c.send(HttpRequest.newBuilder(URI.create(s"$base/datasets/alice:d1/records/b"))
+        .header("Content-Type", "application/cbor")
+        .PUT(HttpRequest.BodyPublishers.ofByteArray(cb))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(rb.statusCode == 200)
+      val b = c.send(HttpRequest.newBuilder(URI.create(s"$base/datasets/alice:d1/as/json/b")).GET.build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(b.statusCode == 200)
+      assert(b.body.toSeq == Seq[Byte](1, 2, 250.toByte))
+      assert(b.headers.firstValue("Content-Type").get == "application/octet-stream")
+
+      assert(get(c, s"$base/datasets/alice:d1/as/json/missing").statusCode == 404)
+    }
+  }
+
   test("bulk merge POST, flat-file export with ?at=, change feed") {
     withApi() { (base, c) =>
       val post = c.send(HttpRequest.newBuilder(URI.create(s"$base/datasets/alice:d1/records/"))
