@@ -1800,6 +1800,12 @@ object SparkEntry {
     "q146_raw_serving" -> ((s, dir) =>
       graft.queries.StoreQueries.rawServing(s, dir)),
 
+    // S13 codec matrix: the q135 round trip for yaml/cbor/msgpack/xml,
+    // each over its quarter of the corpus — real-text round-trip
+    // fidelity per codec under the hash.
+    "q147_codec_matrix" -> ((s, dir) =>
+      graft.queries.StoreQueries.codecMatrix(s, dir)),
+
     // §3.3 ephemeral run-once lens: loan-pattern frame stream decodes
     // to q9's index; `dropped` pins the finally-delete contract.
     "q144_ephemeral_lens" -> ((s, dir) =>
@@ -3282,6 +3288,16 @@ object SparkEntry {
         |FROM (SELECT doc_id, text FROM documents
         |      WHERE doc_id % 101 = 7 ORDER BY doc_id LIMIT 12)
         |ORDER BY doc_id""".stripMargin,
+    // q147: each codec's quarter must reproduce its slice of the
+    // source table exactly; fresh overwrite commits → version 1.
+    "q147_codec_matrix" ->
+      """WITH f AS (
+        |  SELECT * FROM (VALUES ('yaml', 0), ('cbor', 1),
+        |                        ('msgpack', 2), ('xml', 3)) AS t(codec, k))
+        |SELECT f.codec, CAST(d.doc_id AS VARCHAR) AS id,
+        |  CAST(1 AS BIGINT) AS version, d.text AS data
+        |FROM documents d JOIN f ON d.doc_id % 4 = f.k
+        |ORDER BY f.codec, d.doc_id""".stripMargin,
     // q144: the ephemeral lens's record frames ARE the q9 index (one
     // full build over the whole corpus); dropped is constant true.
     "q144_ephemeral_lens" ->

@@ -630,6 +630,61 @@ object StoreQueries {
     } finally api.stop()
   }
 
+  /** S13 codec matrix under the hard signal (reference codec layer:
+    * the library/models/codec modules — every format must round-trip
+    * arbitrary documents; pinned at fixture scale by
+    * test/test-models-codec.js): the q135 zip round trip run for FOUR
+    * MORE codecs — yaml, cbor, msgpack, xml — each over its quarter
+    * of the corpus (doc_id % 4 partitions the docs, so the total
+    * volume equals one corpus pass). Real document text flows through
+    * encode → zip → unzip → per-extension decode → commit per codec;
+    * any escaping, framing, charset, or numeric-shape asymmetry on
+    * REAL data (not just the codec spec corpus) breaks the hash.
+    * JSON is q135's; this closes the remaining write+read codecs. */
+  def codecMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sfName = Paths.get(sfDir).getFileName.toString
+    val root = pidScratch(s"graft-cmq-$sfName")
+    val store = new Store(spark, root)
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    val formats = Seq("yaml", "cbor", "msgpack", "xml")
+    val parts = formats.zipWithIndex.map { case (fmt, k) =>
+      val src = store.dataset("bench", s"docs-cm-$fmt")
+      if (src.exists) src.drop()
+      src.create()
+      src.writeEntriesDF(
+        docs.filter(col("doc_id") % 4 === k).as[(Long, String)]
+          .map { case (id, t) =>
+            (id.toString, Cbor.encode(PoObj("text" -> PoStr(t))), false)
+          }.toDF("id", "value", "tombstone"),
+        WriteMode.Overwrite)
+
+      val baos = new java.io.ByteArrayOutputStream()
+      Export.zip(store, DataPath("datasets", "bench", s"docs-cm-$fmt"), fmt, baos)
+      val zin = new java.util.zip.ZipInputStream(
+        new java.io.ByteArrayInputStream(baos.toByteArray))
+      val uploads = Iterator.continually(zin.getNextEntry)
+        .takeWhile(_ != null)
+        .filter(e => !e.isDirectory && e.getName.startsWith("records/"))
+        .map(e => (e.getName, zin.readAllBytes()))
+        .toVector
+
+      val dst = store.dataset("bench", s"docs-cmrt-$fmt")
+      if (dst.exists) dst.drop()
+      dst.create()
+      Import.files(dst, uploads, WriteMode.Overwrite)
+      dst.records.map { r =>
+        val text = Cbor.decode(r.value).asInstanceOf[PoObj].fields("text") match {
+          case PoStr(t) => t
+          case _ => null
+        }
+        (fmt, r.id, r.version, text)
+      }.toDF("codec", "id", "version", "data")
+    }
+    parts.reduce(_ unionByName _)
+      .orderBy(col("codec"), col("id").cast("long"))
+  }
+
   /** Natural-order sort (W7, reference base-data-model.js:46): ids with
     * digit runs sort numerically via the lexicographic naturalKey
     * rewrite. The oracle re-derives the same order relationally
