@@ -63,4 +63,14 @@ object Fs {
         }
       }
     } catch { case _: Throwable => () }
+
+  /** Pid-scoped scratch root under java.io.tmpdir: reaped when its
+    * process is gone, REUSED within one process (never one leaked dir
+    * per call). The canonical fixture-scratch helper — previously
+    * re-inlined per query file (r13 review). */
+  def pidScratch(prefix: String): String = {
+    val tmpRoot = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    reapStalePidDirs(tmpRoot, s"$prefix-")
+    tmpRoot.resolve(s"$prefix-${ProcessHandle.current().pid()}").toString
+  }
 }

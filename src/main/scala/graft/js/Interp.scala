@@ -868,6 +868,21 @@ final class Interp(globalScope: Scope, val budget: Budget) {
         classScope.declare(m.name.asInstanceOf[StrLit].v, cls)
       }
     }
+    // COMPUTED KEYS evaluate in a scope carrying ONLY the private-name
+    // bindings over the outer scope — V8's PrivateEnvironment is in
+    // force during ClassDefinitionEvaluation, so `[(#x in {}) ? ...]`
+    // resolves, but classScope itself must NOT be used here: it also
+    // holds the interpreter-internal __super/__own bindings (valid JS
+    // identifiers a user key expression could accidentally read,
+    // shadowing outer variables) and an already-initialized class
+    // self-binding (V8 has it in TDZ during key evaluation; resolving
+    // OUTER — the pre-r13 behavior — is the closer approximation).
+    // '#names' can never collide with user identifiers, so this scope
+    // is observationally exactly "outer + private names".
+    val keyScope = new Scope(scope)
+    ce.members.foreach { m =>
+      if (m.isPrivate) keyScope.declare(m.name.asInstanceOf[StrLit].v, cls)
+    }
     // static fields AND static blocks run once, AFTER all methods
     // exist, interleaved in SOURCE ORDER with this = the class (ES2022
     // ClassDefinitionEvaluation; blocks have no slot to assign).
@@ -880,12 +895,7 @@ final class Interp(globalScope: Scope, val budget: Budget) {
       select(cls)
     }
     ce.members.foreach { m =>
-      // computed keys evaluate inside the class environment (V8's
-      // ClassDefinitionEvaluation): the class's own PRIVATE names are
-      // visible — `[(#x in {}) ? 'a' : 'b']` is legal and resolves —
-      // as is the named-class-expression self-binding. Evaluating in
-      // the OUTER scope made privOwner miss on exactly that shape.
-      val key = if (m.computed) toStr(eval(m.name, classScope))
+      val key = if (m.computed) toStr(eval(m.name, keyScope))
                 else m.name.asInstanceOf[StrLit].v
       val closure = makeClosure(m.fn, classScope, JsUndefined)
       m.kind match {

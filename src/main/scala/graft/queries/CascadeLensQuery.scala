@@ -62,10 +62,7 @@ object CascadeLensQuery {
     // everything is dropped up front so build 1 always starts cold and
     // the invocation counts never see a previous run's caches
     val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
-    val tmpRoot = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
-    graft.core.Fs.reapStalePidDirs(tmpRoot, s"graft-cascq-$sfName-")
-    val root = tmpRoot
-      .resolve(s"graft-cascq-$sfName-${ProcessHandle.current().pid()}").toString
+    val root = graft.core.Fs.pidScratch(s"graft-cascq-$sfName")
     val store = new Store(spark, root)
     val ds = store.dataset("bench", "docs-casc")
     if (ds.exists) ds.drop()

@@ -95,10 +95,7 @@ object IncrementalLensQuery {
   def lensLogs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
-    val tmpRoot = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
-    graft.core.Fs.reapStalePidDirs(tmpRoot, s"graft-logq-$sfName-")
-    val root = tmpRoot
-      .resolve(s"graft-logq-$sfName-${ProcessHandle.current().pid()}").toString
+    val root = graft.core.Fs.pidScratch(s"graft-logq-$sfName")
     val store = new Store(spark, root)
     val ds = store.dataset("bench", "docs-log")
     if (ds.exists) ds.drop()
@@ -154,10 +151,7 @@ object IncrementalLensQuery {
     // build 1 below always maps everything and the invocation count
     // never sees state from a previous run.
     val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
-    val tmpRoot = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
-    graft.core.Fs.reapStalePidDirs(tmpRoot, s"graft-incq-$sfName-")
-    val root = tmpRoot
-      .resolve(s"graft-incq-$sfName-${ProcessHandle.current().pid()}").toString
+    val root = graft.core.Fs.pidScratch(s"graft-incq-$sfName")
     val store = new Store(spark, root)
     val ds = store.dataset("bench", "documents-inc")
     if (ds.exists) ds.drop()

@@ -74,10 +74,7 @@ object ReduceLatticeQuery {
   def run(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
-    val tmpRoot = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
-    graft.core.Fs.reapStalePidDirs(tmpRoot, s"graft-latq-$sfName-")
-    val root = tmpRoot
-      .resolve(s"graft-latq-$sfName-${ProcessHandle.current().pid()}").toString
+    val root = graft.core.Fs.pidScratch(s"graft-latq-$sfName")
     val store = new Store(spark, root)
     val ds = store.dataset("bench", "docs-lat")
     if (ds.exists) ds.drop()
@@ -99,16 +96,20 @@ object ReduceLatticeQuery {
       val out = Cbor.decode(r.value) match {
         case PoDate(ms) => ms.toString
         case PoBigInt(v) => v.toString
+        // sort by the KEY, not the rendered "k:v" string: the oracle's
+        // string_agg ORDER BY lang compares keys, and the two orders
+        // diverge when one key is a proper prefix of another
+        // ("pt" vs "pt-br": ':' sorts between '-' and letters)
         case PoMap(entries) => entries.collect {
-            case (PoStr(k), PoInt(n)) => s"$k:$n"
-          }.sorted.mkString(",")
+            case (PoStr(k), PoInt(n)) => (k, n)
+          }.sortBy(_._1).map { case (k, n) => s"$k:$n" }.mkString(",")
         case PoArr(items) => items.collect { case PoInt(i) => i.toString }
           .mkString(",") // fold order preserved — NOT sorted
         case o: PoObj =>
           val n = o.fields("n") match { case PoInt(v) => v; case _ => -1L }
           val langs = o.fields("langs") match {
-            case PoObj(fs) => fs.collect { case (k, PoInt(v)) => s"$k:$v" }
-              .toSeq.sorted.mkString(",")
+            case PoObj(fs) => fs.collect { case (k, PoInt(v)) => (k, v) }
+              .toSeq.sortBy(_._1).map { case (k, v) => s"$k:$v" }.mkString(",")
             case _ => ""
           }
           s"n=$n;$langs"

@@ -12,14 +12,10 @@ import graft.store.{AttachmentStore, DataPath, Export, Import, ReadPath, Store, 
 /** Driver-verified queries over the store's commit/version machinery. */
 object StoreQueries {
 
-  /** Pid-scoped scratch root under java.io.tmpdir: reaped when its
-    * process is gone, REUSED within one process (the ivf-centroids /
-    * IncrementalLensQuery hygiene — never one leaked dir per call). */
-  private def pidScratch(prefix: String): String = {
-    val tmpRoot = Paths.get(sys.props("java.io.tmpdir"))
-    graft.core.Fs.reapStalePidDirs(tmpRoot, s"$prefix-")
-    tmpRoot.resolve(s"$prefix-${ProcessHandle.current().pid()}").toString
-  }
+  /** Pid-scoped scratch root (the ivf-centroids / IncrementalLensQuery
+    * hygiene) — the shared helper lives in [[graft.core.Fs.pidScratch]]. */
+  private def pidScratch(prefix: String): String =
+    graft.core.Fs.pidScratch(prefix)
 
   /** `?at=` incremental export (S9/F2, reference
     * export-controller.js:25-41): two real commits into a collection,
@@ -284,20 +280,30 @@ object StoreQueries {
     * download path; Export.zip's scaladoc documents the 100 TB
     * alternative — distributed flat-file framings). */
   def zipRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
     val sfName = Paths.get(sfDir).getFileName.toString
-    val root = pidScratch(s"graft-zipq-$sfName")
-    val store = new Store(spark, root)
-    val src = store.dataset("bench", "docs-zipsrc")
+    val store = new Store(spark, pidScratch(s"graft-zipq-$sfName"))
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    zipFormatRoundTrip(store, "docs-zipsrc", "docs-ziprt", "json", docs)
+      .orderBy(col("id").cast("long"))
+  }
+
+  /** One export→zip→unzip→decode→commit cycle for `fmt` — the shared
+    * body of q135 (json) and q147 (the other codecs). Returns the
+    * destination's records decoded back to (id, version, data). */
+  private def zipFormatRoundTrip(store: Store, srcName: String,
+                                 dstName: String, fmt: String,
+                                 docs: DataFrame): DataFrame = {
+    val spark = store.spark
+    import spark.implicits._
+    val src = store.dataset("bench", srcName)
     if (src.exists) src.drop()
     src.create()
-    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
     src.writeEntriesDF(docs.as[(Long, String)].map { case (id, t) =>
         (id.toString, Cbor.encode(PoObj("text" -> PoStr(t))), false)
       }.toDF("id", "value", "tombstone"), WriteMode.Overwrite)
 
     val baos = new java.io.ByteArrayOutputStream()
-    Export.zip(store, DataPath("datasets", "bench", "docs-zipsrc"), "json", baos)
+    Export.zip(store, DataPath("datasets", "bench", srcName), fmt, baos)
     val zin = new java.util.zip.ZipInputStream(
       new java.io.ByteArrayInputStream(baos.toByteArray))
     val uploads = Iterator.continually(zin.getNextEntry)
@@ -306,7 +312,7 @@ object StoreQueries {
       .map(e => (e.getName, zin.readAllBytes()))
       .toVector
 
-    val dst = store.dataset("bench", "docs-ziprt")
+    val dst = store.dataset("bench", dstName)
     if (dst.exists) dst.drop()
     dst.create()
     Import.files(dst, uploads, WriteMode.Overwrite)
@@ -317,7 +323,6 @@ object StoreQueries {
       }
       (r.id, r.version, text)
     }.toDF("id", "version", "data")
-      .orderBy(col("id").cast("long"))
   }
 
   /** F1 recordID filter under the hard signal (reference
@@ -642,46 +647,17 @@ object StoreQueries {
     * REAL data (not just the codec spec corpus) breaks the hash.
     * JSON is q135's; this closes the remaining write+read codecs. */
   def codecMatrix(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
     val sfName = Paths.get(sfDir).getFileName.toString
-    val root = pidScratch(s"graft-cmq-$sfName")
-    val store = new Store(spark, root)
+    val store = new Store(spark, pidScratch(s"graft-cmq-$sfName"))
     val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
-    val formats = Seq("yaml", "cbor", "msgpack", "xml")
-    val parts = formats.zipWithIndex.map { case (fmt, k) =>
-      val src = store.dataset("bench", s"docs-cm-$fmt")
-      if (src.exists) src.drop()
-      src.create()
-      src.writeEntriesDF(
-        docs.filter(col("doc_id") % 4 === k).as[(Long, String)]
-          .map { case (id, t) =>
-            (id.toString, Cbor.encode(PoObj("text" -> PoStr(t))), false)
-          }.toDF("id", "value", "tombstone"),
-        WriteMode.Overwrite)
-
-      val baos = new java.io.ByteArrayOutputStream()
-      Export.zip(store, DataPath("datasets", "bench", s"docs-cm-$fmt"), fmt, baos)
-      val zin = new java.util.zip.ZipInputStream(
-        new java.io.ByteArrayInputStream(baos.toByteArray))
-      val uploads = Iterator.continually(zin.getNextEntry)
-        .takeWhile(_ != null)
-        .filter(e => !e.isDirectory && e.getName.startsWith("records/"))
-        .map(e => (e.getName, zin.readAllBytes()))
-        .toVector
-
-      val dst = store.dataset("bench", s"docs-cmrt-$fmt")
-      if (dst.exists) dst.drop()
-      dst.create()
-      Import.files(dst, uploads, WriteMode.Overwrite)
-      dst.records.map { r =>
-        val text = Cbor.decode(r.value).asInstanceOf[PoObj].fields("text") match {
-          case PoStr(t) => t
-          case _ => null
-        }
-        (fmt, r.id, r.version, text)
-      }.toDF("codec", "id", "version", "data")
-    }
+    val parts = Seq("yaml", "cbor", "msgpack", "xml").zipWithIndex
+      .map { case (fmt, k) =>
+        zipFormatRoundTrip(store, s"docs-cm-$fmt", s"docs-cmrt-$fmt", fmt,
+            docs.filter(col("doc_id") % 4 === k))
+          .withColumn("codec", lit(fmt))
+      }
     parts.reduce(_ unionByName _)
+      .select(col("codec"), col("id"), col("version"), col("data"))
       .orderBy(col("codec"), col("id").cast("long"))
   }
 

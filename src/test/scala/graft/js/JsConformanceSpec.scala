@@ -613,6 +613,11 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
       "(() => { class C { #p; static [(#p in {}) ? 'x' : 'y']() { return 3 } } return C.y() })()" -> "3",
       // ordinary computed keys still work alongside private reads
       "(() => { class D { #v = 1; ['m' + 1]() { return this.#v + 10 } } return new D().m1() })()" -> "11",
+      // outer variables that happen to collide with the interpreter's
+      // internal class bindings must resolve to the USER binding — the
+      // key environment carries only the private names (V8-checked)
+      "(() => { const __own_class__ = 'm'; class A { [__own_class__]() { return 1 } } return new A().m() })()" -> "1",
+      "(() => { const __super_proto__ = 'p'; class B { #x; [(#x in {}) ? 'q' : __super_proto__]() { return 2 } } return new B().p() })()" -> "2",
     )
   }
 
