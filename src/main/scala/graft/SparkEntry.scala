@@ -1800,6 +1800,11 @@ object SparkEntry {
     "q146_raw_serving" -> ((s, dir) =>
       graft.queries.StoreQueries.rawServing(s, dir)),
 
+    // W6 drop collection: per-lang datasets with committed data, the
+    // first half dropped; liveness + catalog listing re-derived.
+    "q148_drop_collection" -> ((s, dir) =>
+      graft.queries.StoreQueries.dropCollections(s, dir)),
+
     // S13 codec matrix: the q135 round trip for yaml/cbor/msgpack/xml,
     // each over its quarter of the corpus — real-text round-trip
     // fidelity per codec under the hash.
@@ -3288,6 +3293,16 @@ object SparkEntry {
         |FROM (SELECT doc_id, text FROM documents
         |      WHERE doc_id % 101 = 7 ORDER BY doc_id LIMIT 12)
         |ORDER BY doc_id""".stripMargin,
+    // q148: the lexicographically first floor(n/2) langs' collections
+    // are dropped; the rest stay live.
+    "q148_drop_collection" ->
+      """WITH l AS (SELECT DISTINCT lang FROM documents),
+        |r AS (SELECT lang, row_number() OVER (ORDER BY lang) AS rn,
+        |             count(*) OVER () AS n
+        |      FROM l)
+        |SELECT lang, rn > n // 2 AS live,
+        |  CAST(n - n // 2 AS BIGINT) AS n_live
+        |FROM r ORDER BY lang""".stripMargin,
     // q147: each codec's quarter must reproduce its slice of the
     // source table exactly; fresh overwrite commits → version 1.
     "q147_codec_matrix" ->

@@ -661,6 +661,54 @@ object StoreQueries {
       .orderBy(col("codec"), col("id").cast("long"))
   }
 
+  /** W6 delete collection under the hard signal (reference
+    * base-data-model.js:276-294 delete + auth-controller drop routes;
+    * catalog surface meta-vfs.js:8-55): one dataset per distinct
+    * document lang is created WITH a committed record, the
+    * lexicographically FIRST HALF of them are dropped, and the
+    * meta-VFS datasets listing plus each collection's existence checks
+    * are read back. A drop that leaves catalog residue (the dir, the
+    * listing row) or that takes neighbors with it breaks the hash;
+    * `n_live` = the surviving collection count rides every row so an
+    * over- or under-drop is visible even if the listing happens to
+    * filter it. The oracle re-derives the survivor set from the
+    * corpus's lang values. */
+  def dropCollections(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sfName = Paths.get(sfDir).getFileName.toString
+    val root = pidScratch(s"graft-dropq-$sfName")
+    val store = new Store(spark, root)
+    val langs = Tables.load(spark, sfDir, "documents")
+      .select(col("lang")).distinct().as[String].collect().sorted
+    langs.foreach { l =>
+      val c = store.dataset("bench", s"docs-dr-$l")
+      if (c.exists) c.drop() // reused scratch: previous run's state
+      c.create()
+      // a real committed record, so drop removes DATA, not just meta
+      c.writeEntriesDF(
+        spark.createDataset(Seq((l, Cbor.encode(PoStr(s"doc of $l")), false)))
+          .toDF("id", "value", "tombstone"), WriteMode.Overwrite)
+    }
+    val (toDrop, toKeep) = langs.splitAt(langs.length / 2)
+    toDrop.foreach(l => store.dataset("bench", s"docs-dr-$l").drop())
+
+    val listed = ReadPath.read(store, DataPath("meta", "system", "system"))
+      .filter(col("id") === "datasets")
+      .select(col("value")).collect()
+      .flatMap(r => Cbor.decode(r.getAs[Array[Byte]]("value"))
+        .asInstanceOf[PoArr].items.map { v =>
+          v.asInstanceOf[PoObj].fields("name").asInstanceOf[PoStr].s
+        })
+      .filter(_.startsWith("docs-dr-")).sorted
+    require(listed.sameElements(toKeep.map(l => s"docs-dr-$l")),
+      s"catalog listing disagrees with drops: ${listed.mkString(",")}")
+    spark.createDataset(langs.toSeq.map(l =>
+        (l, store.dataset("bench", s"docs-dr-$l").exists)))
+      .toDF("lang", "live")
+      .withColumn("n_live", lit(toKeep.length.toLong))
+      .orderBy(col("lang"))
+  }
+
   /** Natural-order sort (W7, reference base-data-model.js:46): ids with
     * digit runs sort numerically via the lexicographic naturalKey
     * rewrite. The oracle re-derives the same order relationally
