@@ -1811,6 +1811,12 @@ object SparkEntry {
     "q147_codec_matrix" -> ((s, dir) =>
       graft.queries.StoreQueries.codecMatrix(s, dir)),
 
+    // §2.4 generator lens (r13): user-JS map built on function*/yield
+    // — nested generator composition + for-of early exit per record —
+    // through the full ingest → build → Set-union reduce path.
+    "q149_generator_lens" -> ((s, dir) =>
+      graft.queries.GeneratorLensQuery.run(s, dir)),
+
     // §3.3 ephemeral run-once lens: loan-pattern frame stream decodes
     // to q9's index; `dropped` pins the finally-delete contract.
     "q144_ephemeral_lens" -> ((s, dir) =>
@@ -3313,6 +3319,23 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS version, d.text AS data
         |FROM documents d JOIN f ON d.doc_id % 4 = f.k
         |ORDER BY f.codec, d.doc_id""".stripMargin,
+    // q149: bigrams over the q9/q49 tokenization, capped at the first
+    // 50 bigram POSITIONS per doc (the JS for-of break), then
+    // per-bigram distinct doc sets — UNNEST ordinality `i` mirrors the
+    // JS count exactly (cap before dedup on both sides).
+    "q149_generator_lens" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS ts
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, i, ts[i] || ' ' || ts[i+1] AS bigram
+        |  FROM toks, UNNEST(range(1, len(ts))) AS r(i)),
+        |dd AS (SELECT DISTINCT doc_id, bigram FROM bg WHERE i <= 50)
+        |SELECT bigram, count(*) AS n_docs,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+        |FROM dd GROUP BY bigram ORDER BY bigram""".stripMargin,
     // q144: the ephemeral lens's record frames ARE the q9 index (one
     // full build over the whole corpus); dropped is constant true.
     "q144_ephemeral_lens" ->

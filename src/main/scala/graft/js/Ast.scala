@@ -10,12 +10,12 @@ package graft.js
   * functions, `Array.prototype.reduce`, spread calls, `new Set`,
   * template-free strings and dynamic member access): ES5.1 statements
   * and expressions plus arrow functions, `for-of`, template literals,
-  * spread in calls/array literals, and shorthand object properties.
-  * Generators, classes, async/await, getters/setters and `with` are
-  * rejected at parse time — matching the reference contract that
-  * unsupported syntax surfaces as a startup error, not a runtime one
-  * (test-workers-javascript-lens.js:21-30 expects `yield 5` to fail
-  * startup).
+  * spread in calls/array literals, shorthand object properties,
+  * classes (round 8), private members/static blocks (round 12), and
+  * generator functions (`function*`/`yield`/`yield*`, round 13).
+  * async/await and `with` are rejected at parse time — matching the
+  * reference contract that unsupported syntax surfaces as a startup
+  * error, not a runtime one (test-workers-javascript-lens.js:21-30).
   */
 object Ast {
 
@@ -55,7 +55,13 @@ object Ast {
   final case class FnExpr(name: Option[String], params: Vector[Pattern], restParam: Option[String],
                           body: Vector[Stmt], isArrow: Boolean,
                           /** arrow with expression body: `x => x + 1` */
-                          exprBody: Option[Expr], pos: Pos) extends Expr
+                          exprBody: Option[Expr], pos: Pos,
+                          /** `function*` / `*method()` — calling one returns a
+                            * suspended [[JsGenerator]] instead of running the body */
+                          isGenerator: Boolean = false) extends Expr
+  /** `yield` / `yield*` — legal only inside a generator body (parser-
+    * enforced); `delegate` marks `yield*`. */
+  final case class Yield(arg: Option[Expr], delegate: Boolean, pos: Pos) extends Expr
   final case class Unary(op: String, operand: Expr, pos: Pos) extends Expr
   /** prefix/postfix ++/-- */
   final case class Update(op: String, target: Expr, prefix: Boolean, pos: Pos) extends Expr

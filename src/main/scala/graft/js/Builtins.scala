@@ -170,6 +170,8 @@ object Builtins {
     case c: JsClosure =>
       // user constructor functions: `this` is a fresh object; return
       // object-result override, else `this`
+      if (c.isGenerator) // V8: generator functions are not constructors
+        throwType(s"${if (c.name.isEmpty) "anonymous generator" else c.name} is not a constructor")
       val self = JsObject.empty()
       interp.invokeClosure(c, self, args) match {
         case o: JsObject => o
@@ -345,6 +347,7 @@ object Builtins {
         else Some(quote(jsIsoString(ms))) // toJSON layout, .SSS always
       case _: JsSetV | _: JsMapV | _: JsRegExpV => Some("{}") // JS stringifies these as {}
       case _: JsBytes => Some("{}")
+      case _: JsGenerator => Some("{}") // an ordinary object with no own enumerable props (V8)
       case a: JsArray =>
         if (seen.contains(a)) throw JsThrown(makeError("TypeError", "Converting circular structure to JSON"))
         seen.add(a)
@@ -583,6 +586,11 @@ object Builtins {
         case JsStr(s) => s.codePoints().toArray.toVector.map(cp => JsStr(new String(Character.toChars(cp))))
         case set: JsSetV => set.entries.values.toVector
         case m: JsMapV => m.entries.values.toVector.map { case (k, v) => JsArray.of(k, v) }
+        case g: JsGenerator =>
+          val buf = Vector.newBuilder[JsValue]
+          val it = Generators.iterator(g, interp())
+          while (it.hasNext) { interp().budget.allocate(1); buf += it.next() }
+          buf.result()
         case o: JsObject =>
           // array-like: {length: n, 0: ..., 1: ...} — length is
           // user-controlled, so charge it before materializing
@@ -1132,6 +1140,28 @@ object Builtins {
   }
 
   // ---- Set / Map methods ----
+
+  /** generator-object surface: the ES iteration protocol's `next`/
+    * `return`/`throw`, each returning a FRESH `{value, done}` result
+    * object (V8 allocates one per call too). */
+  def generatorMethod(g: JsGenerator, name: String, interp: Interp): Option[JsValue] = {
+    def result(pair: (JsValue, Boolean)): JsValue =
+      JsObject.of("value" -> pair._1, "done" -> JsBool(pair._2))
+    name match {
+      case "next" => Some(native("next") { (_, as) =>
+        result(Generators.next(g, arg(as, 0), interp))
+      })
+      case "return" => Some(native("return") { (_, as) =>
+        result(Generators.gret(g, arg(as, 0), interp))
+      })
+      case "throw" => Some(native("throw") { (_, as) =>
+        result(Generators.gthrow(g, arg(as, 0), interp))
+      })
+      case "constructor" => Some(JsUndefined)
+      case "toString" => Some(native("toString")((_, _) => JsStr(toStr(g))))
+      case _ => None
+    }
+  }
 
   def setMethod(s: JsSetV, name: String, interp: Interp): Option[JsValue] = name match {
     case "size" => Some(JsNum(s.entries.size.toDouble))

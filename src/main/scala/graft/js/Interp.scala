@@ -92,7 +92,8 @@ final class Interp(globalScope: Scope, val budget: Budget) {
   }
 
   private def makeClosure(fn: FnExpr, env: Scope, thisV: JsValue): JsClosure =
-    new JsClosure(fn.name, fn.params, fn.restParam, fn.body, fn.exprBody, fn.isArrow, env, thisV)
+    new JsClosure(fn.name, fn.params, fn.restParam, fn.body, fn.exprBody, fn.isArrow,
+      env, thisV, fn.isGenerator)
 
   // ---------------- statements ----------------
 
@@ -220,17 +221,34 @@ final class Interp(globalScope: Scope, val budget: Budget) {
               case a: JsArray => a.items.indices.iterator.map(i => JsStr(i.toString))
               case _ => Iterator.empty // incl. null/undefined: zero iterations
             }
-          while (it.hasNext) {
-            budget.tick()
-            val v = it.next()
-            val iterScope = new Scope(scope)
-            f.kind match {
-              case "" =>
-                val IdPattern(n, _) = f.target: @unchecked
-                if (!scope.assign(n, v)) throwRef(s"$n is not defined")
-              case kind => bindPattern(f.target, v, iterScope, kind)
+          // ES IteratorClose: a for-of left EARLY over a generator calls
+          // its return() so the body's finally blocks run at the exit
+          // point. break/continue/return propagate close-time throws;
+          // an in-flight exception wins over one (both V8).
+          def closeGen(swallow: Boolean): Unit = obj match {
+            case g: JsGenerator if f.isOf =>
+              try { Generators.gret(g, JsUndefined, Interp.this); () }
+              catch { case _: JsThrown if swallow => () }
+            case _ => ()
+          }
+          try {
+            while (it.hasNext) {
+              budget.tick()
+              val v = it.next()
+              val iterScope = new Scope(scope)
+              f.kind match {
+                case "" =>
+                  val IdPattern(n, _) = f.target: @unchecked
+                  if (!scope.assign(n, v)) throwRef(s"$n is not defined")
+                case kind => bindPattern(f.target, v, iterScope, kind)
+              }
+              body(f.body, iterScope)
             }
-            body(f.body, iterScope)
+          } catch {
+            case e @ (_: BreakSig | _: ContinueSig | _: ReturnSig) =>
+              closeGen(swallow = false); throw e
+            case e: Throwable =>
+              closeGen(swallow = true); throw e
           }
         case other => exec(other, scope)
       }
@@ -249,6 +267,7 @@ final class Interp(globalScope: Scope, val budget: Budget) {
       cps.iterator.map(cp => JsStr(new String(Character.toChars(cp))))
     case set: JsSetV => set.entries.values.toVector.iterator
     case m: JsMapV => m.entries.values.toVector.iterator.map { case (k, vv) => JsArray.of(k, vv) }
+    case g: JsGenerator => Generators.iterator(g, this)
     case o: JsObject => throwType("object is not iterable (cannot spread/for-of a plain object)")
     case other => throwType(s"${typeOf(other)} is not iterable")
   }
@@ -268,6 +287,13 @@ final class Interp(globalScope: Scope, val budget: Budget) {
     case ArrayPattern(elems, rest, p0) =>
       val items: Vector[JsValue] = v match {
         case a: JsArray => a.items.toVector.map(Values.deHole) // destructuring reads holes as undefined
+        case g: JsGenerator if rest.isEmpty =>
+          // pull EXACTLY the bound element count, then IteratorClose —
+          // `const [a] = infinite()` terminates, like V8 (the adapter's
+          // hasNext performs the pull, so take(n) resumes n times)
+          val taken = iterate(g, p0).take(elems.length).toVector
+          Generators.gret(g, JsUndefined, this)
+          taken
         case other => iterate(other, p0).toVector
       }
       elems.zipWithIndex.foreach {
@@ -433,6 +459,13 @@ final class Interp(globalScope: Scope, val budget: Budget) {
       case m: Member => evalChain(m, scope).getOrElse(JsUndefined)
       case c: Call => evalChain(c, scope).getOrElse(JsUndefined)
       case n: NewExpr => evalNew(n, scope)
+      case Yield(argE, delegate, yp) =>
+        // only reachable on a generator body's thread (parser-enforced)
+        if (!delegate) Generators.yieldValue(argE.map(eval(_, scope)).getOrElse(JsUndefined))
+        else eval(argE.get, scope) match {
+          case g: JsGenerator => Generators.delegate(g, this)
+          case other => Generators.delegateIterable(iterate(other, yp))
+        }
       case Sequence(exprs, _) => exprs.map(eval(_, scope)).last
     }
   }
@@ -641,6 +674,7 @@ final class Interp(globalScope: Scope, val budget: Budget) {
       case b: JsBool => Builtins.booleanMethod(b.b, toStr(key)).getOrElse(JsUndefined)
       case set: JsSetV => Builtins.setMethod(set, toStr(key), this).getOrElse(JsUndefined)
       case m: JsMapV => Builtins.mapMethod(m, toStr(key), this).getOrElse(JsUndefined)
+      case g: JsGenerator => Builtins.generatorMethod(g, toStr(key), this).getOrElse(JsUndefined)
       case bytes: JsBytes =>
         val k = toStr(key)
         if (k == "length" || k == "byteLength") JsNum(bytes.bytes.length.toDouble)
@@ -1231,6 +1265,48 @@ final class Interp(globalScope: Scope, val budget: Budget) {
   private var callDepth = 0
 
   def invokeClosure(c: JsClosure, thisV: JsValue, args: Vector[JsValue]): JsValue = {
+    if (c.isGenerator) return makeGenerator(c, thisV, args)
+    callDepth += 1
+    if (callDepth > Interp.MaxCallDepth) {
+      callDepth -= 1
+      throwRange("Maximum call stack size exceeded")
+    }
+    try invokeClosureBody(c, thisV, args)
+    finally callDepth -= 1
+  }
+
+  // ---------------- generators ----------------
+
+  /** every generator object this Interp created — reaped by
+    * [[closeGenerators]] at the end of the map call so abandoned
+    * suspended bodies never leak their threads across records */
+  private val liveGens = mutable.ArrayBuffer.empty[JsGenerator]
+
+  /** calling a `function*`: the body does NOT run; a suspended
+    * generator object comes back (ES 15.5.2). */
+  private def makeGenerator(c: JsClosure, thisV: JsValue, args: Vector[JsValue]): JsGenerator = {
+    budget.allocate(16) // a thread + two queues is well above a plain object
+    if (liveGens.length >= Interp.MaxLiveGenerators)
+      throwRange(s"lens code created more than ${Interp.MaxLiveGenerators} generators in one map call")
+    val g = new JsGenerator(c, thisV, args)
+    liveGens += g
+    g
+  }
+
+  /** Interrupt every non-finished generator body so its thread unwinds
+    * and exits. The lens worker calls this after EVERY map call
+    * (including error paths) — a suspended generator would otherwise
+    * park its daemon thread for the life of the executor. */
+  def closeGenerators(): Unit = {
+    liveGens.foreach(Generators.close)
+    liveGens.clear()
+  }
+
+  /** The generator BODY frame, run on the generator's own thread by
+    * [[Generators.runBody]] — the plain closure frame minus the
+    * isGenerator dispatch. The shared call-depth counter is
+    * intentionally charged: suspended frames hold real stacks. */
+  private[js] def runGeneratorFrame(c: JsClosure, thisV: JsValue, args: Vector[JsValue]): JsValue = {
     callDepth += 1
     if (callDepth > Interp.MaxCallDepth) {
       callDepth -= 1
@@ -1283,4 +1359,8 @@ object Interp {
     * closure frames ≈ a few thousand JVM frames — far under the JVM
     * stack, far over any sane lens recursion */
   val MaxCallDepth = 500
+  /** generator objects per map call: each holds a (lazy) daemon thread,
+    * so the cap bounds thread pressure the way MaxCallDepth bounds
+    * stacks. Catchable RangeError, like the call-depth cap. */
+  val MaxLiveGenerators = 2000
 }

@@ -25,10 +25,13 @@ object Lexer {
     "do", "break", "continue", "throw", "try", "catch", "finally", "new",
     "delete", "typeof", "instanceof", "in", "of", "this", "null", "true",
     "false", "undefined", "switch", "case", "default", "void",
-    "class", "extends", "super")
+    "class", "extends", "super",
+    // legal ONLY inside a generator body (r13); elsewhere the parser
+    // keeps the pre-r13 startup error
+    "yield")
 
   /** syntax we refuse (startup error), per the reference contract */
-  val Rejected: Set[String] = Set("yield", "async", "await", "with",
+  val Rejected: Set[String] = Set("async", "await", "with",
     "import", "export")
 
   private val Puncts: Array[String] = Array(

@@ -14,44 +14,44 @@ import scala.collection.mutable.ArrayBuffer
   * honor the restricted-production rule (no line break allowed before the
   * operand/operator).
   *
-  * Unsupported ES features (generators, async, `with`, dynamic code
-  * loading, Proxy) fail here with a [[JsSyntaxError]] — surfaced by
-  * the lens worker as a STARTUP error, the same contract as the
-  * reference isolate compile step (reference:
+  * Unsupported ES features (async, `with`, dynamic code loading,
+  * Proxy) fail here with a [[JsSyntaxError]] — surfaced by the lens
+  * worker as a STARTUP error, the same contract as the reference
+  * isolate compile step (reference:
   * library/workers/javascript-lens-worker.js:102-111,
   * test/test-workers-javascript-lens.js:21-30).
   *
-  * GENERATORS — decided OUT of the subset, with corpus data (round
-  * 10, VERDICT r8 #7): the only `yield` anywhere in the reference's
-  * lens corpus is its NEGATIVE test — `code: testCode + '\nyield 5'`
-  * under "catches code syntax errors"
-  * (test/test-workers-javascript-lens.js:24) — i.e. the reference's
-  * own contract is that yield in lens code is a startup error, which
-  * is exactly what this parser produces. `for...of` in the corpus
-  * iterates plain arrays only (test/test-models-lens.js:31), which
-  * this interpreter supports; no lens iterates a custom iterable.
-  * The generator-dense code that DOES ship with the reference is its
-  * bundled pigeonmark HTML/XML encoder environment
-  * (library/workers/environment.js/bundle.min.js) — environment
-  * code, not user code, and this engine replaces it with the native
-  * Scala markup functions (graft.markup.Markup), so no interpreter
-  * support is needed there either.
+  * GENERATORS landed in round 13: `function*` declarations and
+  * expressions, generator methods in classes (instance, static,
+  * private) and object literals, `yield`/`yield*` (incl. delegation
+  * resume/throw/return forwarding and the inner return value), the
+  * full iteration protocol (for-of with IteratorClose on break,
+  * spread, Array.from, new Set/Map, destructuring with the
+  * take-exactly-n + close rule so infinite generators terminate), and
+  * V8's early errors (yield outside a generator — the pre-r13 startup
+  * error, preserved; yield in arrows/param-defaults/field-inits
+  * inside a generator; generator accessors/constructors). Execution
+  * is thread-per-generator with strict synchronous handoff
+  * ([[Generators]]); V8-validated by `tools/jsfuzz/gengen.js` — 6k+
+  * random programs, zero divergences — and pinned in JsGeneratorSpec.
+  * (`yield 5` at top level STAYS the startup error the reference's
+  * own negative test expects: test-workers-javascript-lens.js:24.)
   *
-  * The REST of the tail — decided OUT with the same corpus check
-  * (round 11): every lens map SOURCE in the reference (the `code:`
-  * strings handed to the worker — test-workers-javascript-lens.js,
+  * The REST of the tail — decided OUT with a corpus check (round 11):
+  * every lens map SOURCE in the reference (the `code:` strings handed
+  * to the worker — test-workers-javascript-lens.js,
   * test-models-lens.js, and the repo's shipped lens configs) contains
-  * ZERO generator, async, or Proxy syntax; the `async` hits are the
-  * reference's own Node HOST code (controllers, mocha harness),
-  * never lens code. async additionally conflicts with the worker
-  * contract: `map` is called synchronously and its outputs collected
-  * on return (javascript-lens-worker.js:116-145), so an async map
-  * would return a pending promise and emit nothing — making the
-  * startup error STRICTLY more useful than V8's silent acceptance.
-  * Tagged template literals left the tail in round 11 (String.raw,
-  * markup-building tags); PRIVATE CLASS MEMBERS and STATIC
-  * INITIALIZATION BLOCKS left it in round 12 (below); what remains —
-  * generators, async, Proxy — errors loudly at startup, per the
+  * ZERO async or Proxy syntax; the `async` hits are the reference's
+  * own Node HOST code (controllers, mocha harness), never lens code.
+  * async additionally conflicts with the worker contract: `map` is
+  * called synchronously and its outputs collected on return
+  * (javascript-lens-worker.js:116-145), so an async map would return
+  * a pending promise and emit nothing — making the startup error
+  * STRICTLY more useful than V8's silent acceptance. Tagged template
+  * literals left the tail in round 11 (String.raw, markup-building
+  * tags); PRIVATE CLASS MEMBERS and STATIC INITIALIZATION BLOCKS left
+  * it in round 12 (below); GENERATORS left it in round 13 (above);
+  * what remains — async, Proxy — errors loudly at startup, per the
   * reference's own compile-error contract.
   *
   * Private class members landed in round 12: #fields, #methods,
@@ -314,11 +314,13 @@ final class Parser(tokens: Vector[Token]) {
   private def parseFnDecl(): Stmt = {
     val p0 = pos
     advance() // function
-    if (atPunct("*")) err("generator functions are not supported in lens code")
+    val isGen = atPunct("*")
+    if (isGen) advance()
     if (peek.kind != "ident") err("function declarations need a name")
     val name = advance().text
-    val (params, rest, body) = parseFnRest()
-    FnDecl(name, FnExpr(Some(name), params, rest, body, isArrow = false, None, p0), p0)
+    val (params, rest, body) = parseFnRest(isGen = isGen)
+    FnDecl(name, FnExpr(Some(name), params, rest, body, isArrow = false, None, p0,
+      isGenerator = isGen), p0)
   }
 
   /** super-context of the code being parsed: 0 = `super` illegal,
@@ -326,6 +328,14 @@ final class Parser(tokens: Vector[Token]) {
     * too). Regular function bodies RESET it (a nested `function` has
     * no super binding); arrow bodies inherit — both exactly V8. */
   private var superCtx = 0
+  /** yield-context: 0 = not inside a generator (`yield` stays the
+    * rejected-keyword startup error, the pre-round-13 contract);
+    * 1 = directly inside a generator body (`yield` is an expression);
+    * 2 = lexically inside a generator but in a position where yield is
+    * a V8 SyntaxError (an arrow body, or the generator's own parameter
+    * defaults). Plain `function` bodies reset to 0 (sloppy-mode V8
+    * allows a non-generator nested in a generator). */
+  private var genCtx = 0
   // > 0 while directly inside a `static {}` initialization block:
   // `return` there is a V8 SyntaxError; nested function bodies reset it
   private var staticBlockDepth = 0
@@ -365,30 +375,39 @@ final class Parser(tokens: Vector[Token]) {
     m.put(name, f)
   }
 
-  private def parseFnRest(superCtxBody: Int = 0)
+  private def parseFnRest(superCtxBody: Int = 0, isGen: Boolean = false)
       : (Vector[Pattern], Option[String], Vector[Stmt]) = {
+    val savedGenParams = genCtx
+    // a generator's own parameter defaults may not contain yield (V8
+    // SyntaxError); a plain function's params parse outside any
+    // generator context
+    genCtx = if (isGen) 2 else 0
     eatPunct("(")
     val params = ArrayBuffer.empty[Pattern]
     var rest: Option[String] = None
-    while (!atPunct(")")) {
-      if (atPunct("...")) {
-        advance()
-        if (peek.kind != "ident") err("rest parameter must be an identifier")
-        rest = Some(advance().text)
-        if (!atPunct(")")) err("rest parameter must be last")
-      } else {
-        params += parseBindingWithDefault()
-        if (atPunct(",")) advance()
-        else if (!atPunct(")")) err("expected ',' or ')' in parameter list")
+    try {
+      while (!atPunct(")")) {
+        if (atPunct("...")) {
+          advance()
+          if (peek.kind != "ident") err("rest parameter must be an identifier")
+          rest = Some(advance().text)
+          if (!atPunct(")")) err("rest parameter must be last")
+        } else {
+          params += parseBindingWithDefault()
+          if (atPunct(",")) advance()
+          else if (!atPunct(")")) err("expected ',' or ')' in parameter list")
+        }
       }
-    }
-    eatPunct(")")
+      eatPunct(")")
+    } finally genCtx = savedGenParams
     val savedSuper = superCtx
     val savedSbd = staticBlockDepth
+    val savedGen = genCtx
     superCtx = superCtxBody
     staticBlockDepth = 0
+    genCtx = if (isGen) 1 else 0
     val body = try parseBlock().stmts
-      finally { superCtx = savedSuper; staticBlockDepth = savedSbd }
+      finally { superCtx = savedSuper; staticBlockDepth = savedSbd; genCtx = savedGen }
     // params-vs-body lexical conflict: `function f(a) { let a }` is a
     // V8 SyntaxError (sloppy duplicate PARAMS stay legal)
     checkLexicalDups(body, params.toSeq.flatMap(patNames) ++ rest)
@@ -438,8 +457,7 @@ final class Parser(tokens: Vector[Token]) {
         isStatic = true, "staticblock", computed = false)
     }
 
-    def parseMember(isStatic: Boolean): Unit = {
-      if (atPunct("*")) err("generator methods are not supported in lens code")
+    def parseMember(isStatic: Boolean, isGen: Boolean = false): Unit = {
       if (peek.kind == "ident" && peek.text == "async" &&
           !(peekAt(1).kind == "punct" && peekAt(1).text == "("))
         err("async methods are not supported in lens code")
@@ -467,12 +485,16 @@ final class Parser(tokens: Vector[Token]) {
         // super() not — V8), and terminates like a statement.
         if (accessorKind.isDefined)
           err(s"expected '(' after ${accessorKind.get} accessor name")
+        if (isGen) err("expected '(' after generator method name")
         val init: Option[Expr] =
           if (atPunct("=")) {
             advance()
             val savedSuper = superCtx
+            val savedGen = genCtx
             superCtx = 1
-            try Some(parseAssignExpr()) finally superCtx = savedSuper
+            if (genCtx == 1) genCtx = 2 // class field inits may not yield (V8)
+            try Some(parseAssignExpr())
+            finally { superCtx = savedSuper; genCtx = savedGen }
           } else None
         if (atPunct(";")) advance()
         else if (!atPunct("}") && !peek.nlBefore)
@@ -487,14 +509,18 @@ final class Parser(tokens: Vector[Token]) {
         val isCtor = !isStatic && accessorKind.isEmpty && !computed && !isPrivate &&
           keyExpr.asInstanceOf[StrLit].v == "constructor"
         if (isCtor) {
+          if (isGen) err("Class constructor may not be a generator")
           if (sawCtor) err("a class may only have one constructor")
           sawCtor = true
         }
+        if (isGen && accessorKind.isDefined)
+          err(s"${accessorKind.get} accessor may not be a generator")
         // super() is an early error outside a DERIVED-class ctor (V8);
         // super.x parses in any method (non-derived resolution is a
         // loud runtime boundary)
         val (params, rest, body) =
-          parseFnRest(superCtxBody = if (isCtor && parent.isDefined) 2 else 1)
+          parseFnRest(superCtxBody = if (isCtor && parent.isDefined) 2 else 1,
+            isGen = isGen)
         accessorKind.foreach { kind =>
           if (kind == "get" && (params.nonEmpty || rest.nonEmpty))
             err("getter must not have any formal parameters")
@@ -505,7 +531,8 @@ final class Parser(tokens: Vector[Token]) {
         if (isPrivate)
           declarePriv(keyExpr.asInstanceOf[StrLit].v, kind, isStatic)
         members += MethodDef(keyExpr,
-          FnExpr(None, params, rest, body, isArrow = false, None, namePos),
+          FnExpr(None, params, rest, body, isArrow = false, None, namePos,
+            isGenerator = isGen),
           isStatic, kind, computed, isPrivate)
       }
     }
@@ -513,16 +540,19 @@ final class Parser(tokens: Vector[Token]) {
     while (!atPunct("}")) {
       if (atPunct(";")) { advance() }
       else {
-        if (atPunct("*")) err("generator methods are not supported in lens code")
-        // `static` is a modifier only when a member NAME follows; a
-        // method literally named "static" ( `static() {}` ) stays one
-        val isStatic = peek.kind == "ident" && peek.text == "static" &&
-          !(peekAt(1).kind == "punct" && (peekAt(1).text == "(" || peekAt(1).text == "="))
-        if (isStatic) {
-          advance()
-          if (atPunct("{")) parseStaticBlock()
-          else parseMember(isStatic = true)
-        } else parseMember(isStatic = false)
+        if (atPunct("*")) { advance(); parseMember(isStatic = false, isGen = true) }
+        else {
+          // `static` is a modifier only when a member NAME follows; a
+          // method literally named "static" ( `static() {}` ) stays one
+          val isStatic = peek.kind == "ident" && peek.text == "static" &&
+            !(peekAt(1).kind == "punct" && (peekAt(1).text == "(" || peekAt(1).text == "="))
+          if (isStatic) {
+            advance()
+            if (atPunct("{")) parseStaticBlock()
+            else if (atPunct("*")) { advance(); parseMember(isStatic = true, isGen = true) }
+            else parseMember(isStatic = true)
+          } else parseMember(isStatic = false)
+        }
       }
     }
     eatPunct("}")
@@ -695,6 +725,23 @@ final class Parser(tokens: Vector[Token]) {
   }
 
   private def parseAssignExpr(): Expr = guarded {
+    // `yield` — an AssignmentExpression-level production, legal only
+    // DIRECTLY inside a generator body (genCtx 1); V8's SyntaxError in
+    // arrows-within-generators and generator param defaults (genCtx 2)
+    if (atKw("yield") && genCtx >= 1) {
+      if (genCtx == 2)
+        err("'yield' is not allowed in an arrow function or parameter default inside a generator")
+      val p0 = pos
+      advance()
+      val delegate = atPunct("*")
+      if (delegate) advance()
+      val arg: Option[Expr] =
+        if (delegate) Some(parseAssignExpr()) // yield* requires an operand
+        else if (atPunct(";") || atPunct(")") || atPunct("]") || atPunct("}") ||
+                 atPunct(",") || atPunct(":") || peek.kind == "eof" || peek.nlBefore) None
+        else Some(parseAssignExpr())
+      return Yield(arg, delegate, p0)
+    }
     // arrow functions: lookahead for `ident =>` or `( ... ) =>`
     if (peek.kind == "ident" && peekAt(1).is("punct", "=>")) {
       val p0 = pos
@@ -704,7 +751,10 @@ final class Parser(tokens: Vector[Token]) {
     }
     if (atPunct("(") && isArrowParamList) {
       val p0 = pos
-      val (params, rest) = parseArrowParams()
+      // arrow param defaults share the arrow's yield ban (V8)
+      val savedGen = genCtx
+      if (genCtx == 1) genCtx = 2
+      val (params, rest) = try parseArrowParams() finally genCtx = savedGen
       eatPunct("=>")
       return parseArrowBody(params, rest, p0)
     }
@@ -760,15 +810,21 @@ final class Parser(tokens: Vector[Token]) {
   }
 
   private def parseArrowBody(params: Vector[Pattern], rest: Option[String], p0: Pos): Expr = {
-    if (atPunct("{")) {
-      val savedSbd = staticBlockDepth
-      staticBlockDepth = 0
-      val body = try parseBlock().stmts finally staticBlockDepth = savedSbd
-      FnExpr(None, params, rest, body, isArrow = true, None, p0)
-    } else {
-      val e = parseAssignExpr()
-      FnExpr(None, params, rest, Vector.empty, isArrow = true, Some(e), p0)
-    }
+    // an arrow is never a generator: inside one, `yield` is a V8
+    // SyntaxError (genCtx 2), not an expression and not an identifier
+    val savedGen = genCtx
+    if (genCtx == 1) genCtx = 2
+    try {
+      if (atPunct("{")) {
+        val savedSbd = staticBlockDepth
+        staticBlockDepth = 0
+        val body = try parseBlock().stmts finally staticBlockDepth = savedSbd
+        FnExpr(None, params, rest, body, isArrow = true, None, p0)
+      } else {
+        val e = parseAssignExpr()
+        FnExpr(None, params, rest, Vector.empty, isArrow = true, Some(e), p0)
+      }
+    } finally genCtx = savedGen
   }
 
   private def parseConditional(): Expr = {
@@ -1001,10 +1057,11 @@ final class Parser(tokens: Vector[Token]) {
         case "this" => advance(); ThisExpr(p0)
         case "function" =>
           advance()
-          if (atPunct("*")) err("generator functions are not supported in lens code")
+          val isGen = atPunct("*")
+          if (isGen) advance()
           val name = if (peek.kind == "ident") Some(advance().text) else None
-          val (params, rest, body) = parseFnRest()
-          FnExpr(name, params, rest, body, isArrow = false, None, p0)
+          val (params, rest, body) = parseFnRest(isGen = isGen)
+          FnExpr(name, params, rest, body, isArrow = false, None, p0, isGenerator = isGen)
         case "new" => parseCallMember() // handled there
         case "class" => parseClassExpr()
         case "super" =>
@@ -1016,6 +1073,11 @@ final class Parser(tokens: Vector[Token]) {
           } else if (!atPunct(".") && !atPunct("["))
             err("'super' must be followed by a call or member access")
           SuperRef(p0)
+        case "yield" =>
+          // reached only OUTSIDE a generator (parseAssignExpr consumes
+          // it inside one) or as a non-expression-start operand
+          err(if (genCtx == 0) "'yield' is only allowed inside a generator function"
+              else "'yield' cannot appear here — parenthesize the yield expression")
         case other if Lexer.Rejected.contains(other) =>
           err(s"'$other' is not supported in lens code")
         case other => err(s"unexpected keyword '$other'")
@@ -1064,12 +1126,16 @@ final class Parser(tokens: Vector[Token]) {
         spreads += entries.length
         entries += ((StrLit("", entryPos), parseAssignExpr()))
       } else {
+        // generator method shorthand: `*m() {...}`
+        val isGen = atPunct("*")
+        if (isGen) advance()
         // accessor declaration: `get`/`set` followed by a property name
         // (NOT `get:`/`get(`/`get,`/`get}` — those are ordinary props
         // named "get"). Arity is an early error like V8: a getter takes
         // no parameters, a setter exactly one.
         val accessorKind: Option[String] =
-          if (peek.kind == "ident" && (peek.text == "get" || peek.text == "set") &&
+          if (!isGen &&
+              peek.kind == "ident" && (peek.text == "get" || peek.text == "set") &&
               (peekAt(1).kind == "ident" || peekAt(1).kind == "keyword" ||
                peekAt(1).kind == "str" || peekAt(1).kind == "num" ||
                (peekAt(1).kind == "punct" && peekAt(1).text == "[")))
@@ -1093,9 +1159,12 @@ final class Parser(tokens: Vector[Token]) {
             entries += ((keyExpr, FnExpr(None, params, rest, body, isArrow = false, None, entryPos)))
           case None =>
             if (atPunct("(")) {
-              // method shorthand {m() {...}}
-              val (params, rest, body) = parseFnRest()
-              entries += ((keyExpr, FnExpr(None, params, rest, body, isArrow = false, None, entryPos)))
+              // method shorthand {m() {...}} / generator {*m() {...}}
+              val (params, rest, body) = parseFnRest(isGen = isGen)
+              entries += ((keyExpr, FnExpr(None, params, rest, body, isArrow = false,
+                None, entryPos, isGenerator = isGen)))
+            } else if (isGen) {
+              err("expected '(' after generator method name")
             } else if (atPunct(":")) {
               advance()
               entries += ((keyExpr, parseAssignExpr()))

@@ -94,6 +94,9 @@ object PoBridge {
       case r: JsRegExpV => PoStr(Values.toStr(r))
       case _: JsFunc =>
         Values.throwType("a function could not be cloned into a lens output")
+      case _: JsGenerator =>
+        Values.throwType("a generator could not be cloned into a lens output" +
+          " (spread it into an array first)")
     }
     def cycleGuard(ref: AnyRef)(body: => PoValue): PoValue = {
       if (!inFlight.add(ref))

@@ -163,8 +163,38 @@ sealed trait JsFunc extends JsValue { def name: String }
 final class JsClosure(val fnName: Option[String], val params: Vector[Ast.Pattern],
                       val restParam: Option[String], val body: Vector[Ast.Stmt],
                       val exprBody: Option[Ast.Expr], val isArrow: Boolean,
-                      val env: Scope, val capturedThis: JsValue) extends JsFunc {
+                      val env: Scope, val capturedThis: JsValue,
+                      /** `function*` — calling it returns a [[JsGenerator]] */
+                      val isGenerator: Boolean = false) extends JsFunc {
   def name: String = fnName.getOrElse("")
+}
+
+/** A generator OBJECT — the result of calling a `function*` closure.
+  * `typeof` → "object", iterable (for-of / spread / destructuring /
+  * Array.from / new Set / new Map), with `next`/`return`/`throw`
+  * methods per the ES iteration protocol.
+  *
+  * Execution model: the body runs on a dedicated daemon thread with
+  * STRICT synchronous handoff through two rendezvous queues — at any
+  * instant exactly one of (caller, generator body) runs, so the shared
+  * [[Budget]] and all user objects keep single-threaded semantics, and
+  * every resume/yield pair is a happens-before edge. Suspended-forever
+  * generators are reaped by [[Interp.closeGenerators]] at the end of
+  * each map call (the lens worker's contract); see
+  * [[Generators]] for the protocol. */
+final class JsGenerator(val closure: JsClosure, val genThis: JsValue,
+                        val genArgs: Vector[JsValue]) extends JsValue {
+  /** 0 = not started, 1 = suspended at a yield, 2 = running (re-entrant
+    * next() is a TypeError, like V8), 3 = done */
+  private[js] var state: Int = 0
+  private[js] var thread: Thread = null
+  private[js] val cmdQ = new java.util.concurrent.SynchronousQueue[Generators.GenCmd]
+  private[js] val outQ = new java.util.concurrent.SynchronousQueue[Generators.GenOut]
+  /** set by closeGenerators: the body must unwind WITHOUT blocking on
+    * the queues again (its finally blocks still run, but any yield
+    * inside them re-throws the kill signal) */
+  @volatile private[js] var closed: Boolean = false
+  def name: String = closure.name
 }
 /** user-defined CLASS. typeof → "function" (via JsFunc), but CALLING
   * it without `new` is a TypeError like V8 (Interp.callFunction).
@@ -455,6 +485,7 @@ object Values {
     case f: JsFunc => s"function ${f.name}() { [code] }"
     case _: JsSetV => "[object Set]"
     case _: JsMapV => "[object Map]"
+    case _: JsGenerator => "[object Generator]"
     case b: JsBytes => s"[bytes ${b.bytes.length}]"
     case JsDate(ms) => java.time.Instant.ofEpochMilli(ms.toLong).toString
     case r: JsRegExpV => s"/${r.source}/${r.flags}"
@@ -486,7 +517,8 @@ object Values {
 
   /** ToPrimitive with default hint (objects → toString for our subset) */
   def toPrimitive(v: JsValue): JsValue = v match {
-    case _: JsObject | _: JsArray | _: JsSetV | _: JsMapV | _: JsFunc | _: JsRegExpV | _: JsBytes => JsStr(toStr(v))
+    case _: JsObject | _: JsArray | _: JsSetV | _: JsMapV | _: JsFunc |
+         _: JsRegExpV | _: JsBytes | _: JsGenerator => JsStr(toStr(v))
     case JsDate(ms) => JsNum(ms)
     case prim => prim
   }

@@ -89,7 +89,11 @@ final class JsMapFn(val code: String) extends MapFn {
     fnScope.declare("this", JsUndefined)
     fnScope.declare("path", pathObj)
     fnScope.declare("data", PoBridge.toJs(ctx.data))
-    interpRef.runProgram(prog, fnScope)
+    // reap suspended generators on EVERY exit path: an abandoned one
+    // parks a daemon thread, and a long lens build maps millions of
+    // records through this method
+    try interpRef.runProgram(prog, fnScope)
+    finally interpRef.closeGenerators()
   }
 }
 
