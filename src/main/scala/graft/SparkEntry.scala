@@ -3464,17 +3464,23 @@ object SparkEntry {
         |ORDER BY doc_id, cell""".stripMargin,
     // q85: every aHash bit re-derived from the fixture pixel formula
     // (integer cell sums, cellSum·64 > totalSum on equal 4×2 cells),
-    // then the same 16-bit band join and bit_count-XOR Hamming.
+    // then the same 16-bit band join and bit_count-XOR Hamming. The
+    // image-family modulus mm scales with the id count (odd, floor 29
+    // — exactly 29 at sf ≤ 0.1) so family density is scale-invariant;
+    // see MultimodalQueries.imagePHashPairs.
     "q85_image_phash" ->
       """WITH ids AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 4 = 0),
+        |mm AS (SELECT greatest(29, CASE WHEN (count(*) // 43) % 2 = 0
+        |                               THEN count(*) // 43 + 1
+        |                               ELSE count(*) // 43 END) AS m FROM ids),
         |px AS (
         |  SELECT ids.doc_id, (y.y // 2) * 8 + (x.x // 4) AS cell,
-        |    CASE WHEN x.x = (ids.doc_id // 29) % 32
-        |         THEN (((ids.doc_id % 29) * 31 + x.x * 7 + y.y * 13) % 256 + 128) % 256
-        |         ELSE ((ids.doc_id % 29) * 31 + x.x * 7 + y.y * 13) % 256 END
-        |    + ((ids.doc_id % 29) * 17 + x.x * 11 + y.y * 3) % 256
-        |    + ((ids.doc_id % 29) * 23 + x.x * 5 + y.y * 19) % 256 AS s
-        |  FROM ids, generate_series(0, 31) x(x), generate_series(0, 15) y(y)),
+        |    CASE WHEN x.x = (ids.doc_id // mm.m) % 32
+        |         THEN (((ids.doc_id % mm.m) * 31 + x.x * 7 + y.y * 13) % 256 + 128) % 256
+        |         ELSE ((ids.doc_id % mm.m) * 31 + x.x * 7 + y.y * 13) % 256 END
+        |    + ((ids.doc_id % mm.m) * 17 + x.x * 11 + y.y * 3) % 256
+        |    + ((ids.doc_id % mm.m) * 23 + x.x * 5 + y.y * 19) % 256 AS s
+        |  FROM ids, mm, generate_series(0, 31) x(x), generate_series(0, 15) y(y)),
         |cells AS (SELECT doc_id, cell, sum(s) AS cs FROM px GROUP BY 1, 2),
         |tot AS (SELECT doc_id, sum(cs) AS ts FROM cells GROUP BY 1),
         |bits AS (SELECT c.doc_id, c.cell,

@@ -286,26 +286,43 @@ object MultimodalQueries {
 
   /** q85: perceptual-hash (aHash) image near-dup pairs over REAL
     * decoded pixels. The fixture plants near-duplicate families: the
-    * pixel pattern is keyed by `doc_id % 29` (same base ⇒ same image)
-    * with one `(doc_id / 29)`-dependent column brightness-shifted — so
+    * pixel pattern is keyed by `doc_id % M` (same base ⇒ same image)
+    * with one `(doc_id / M)`-dependent column brightness-shifted — so
     * family members are near- but not exact duplicates and Hamming
     * distance does real work. Candidates form ONLY inside 16-bit hash
     * bands (never all-pairs — the LSH cap discipline applied to
     * perceptual hashes); exact Hamming over the (hi, lo) halves
     * verifies. The oracle re-derives every hash bit from the fixture
     * formula (integer cell sums, cellSum·64 > totalSum), the same band
-    * join, and bit_count-XOR Hamming. */
+    * join, and bit_count-XOR Hamming.
+    *
+    * M SCALES WITH THE CORPUS (round 13 — the SCALING q85 FLAG's root
+    * cause): with the original fixed `% 29` the fixture admits only
+    * 232 distinct images, so ×10 ids densify each identical-image
+    * class ×10 and the matched-pair OUTPUT grows ~×119 (measured:
+    * 2,770 → 330,508 identical pairs sf0.1→sf1.0) — quadratic
+    * workload by fixture saturation, not engine super-linearity.
+    * `M = max(29, odd(n/43))` keeps members-per-class ≈ 5.4 at every
+    * scale (odd M keeps the doc_id%4 ingest filter from collapsing
+    * residue classes), and is EXACTLY 29 at the driver's sf ≤ 0.1 —
+    * correctness outputs are bit-identical to the fixed-modulus
+    * fixture there. The extra count() is one tiny job over the
+    * distinct-id frame (fixture sizing, not operator work). */
   def imagePHashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val (w, h) = (32, 16) // 8×8 grid of equal 4×2 cells
-    val pngs = Tables.load(spark, sfDir, "documents")
+    val idsDf = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id").cast("long")).distinct()
       .filter(col("doc_id") % 4 === 0)
       .as[Long]
+    val n = idsDf.count()
+    val m0 = n / 43
+    val m = math.max(29L, if (m0 % 2 == 0) m0 + 1 else m0)
+    val pngs = idsDf
       .mapPartitions { it =>
         it.map { id =>
-          val base = id % 29
-          val pcol = ((id / 29) % 32).toInt
+          val base = id % m
+          val pcol = ((id / m) % 32).toInt
           val img = new java.awt.image.BufferedImage(w, h,
             java.awt.image.BufferedImage.TYPE_INT_RGB)
           var y = 0
