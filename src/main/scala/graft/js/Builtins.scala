@@ -54,6 +54,12 @@ object Builtins {
         case f: JsFunc =>
           throw JsThrown(makeError("DataCloneError",
             s"${if (f.name.isEmpty) "function" else f.name} could not be cloned"))
+        case _: JsGenerator =>
+          throw JsThrown(makeError("DataCloneError",
+            "[object Generator] could not be cloned"))
+        case _: JsProxyV => // exotic object: V8 DataCloneError, never a silent unwrap
+          throw JsThrown(makeError("DataCloneError",
+            "#<Object> could not be cloned"))
         case a: JsArray =>
           val seen = memo.get(a)
           if (seen != null) seen
@@ -111,8 +117,8 @@ object Builtins {
     put("JSON", jsonObject(interp))
     put("Object", objectConstructor(interp))
     put("Array", arrayConstructor(interp))
-    put("String", stringConstructor)
-    put("Number", numberConstructor)
+    put("String", stringConstructor(interp))
+    put("Number", numberConstructor(interp))
     put("Boolean", native("Boolean")((_, as) => JsBool(truthy(arg(as, 0)))))
     put("Set", setConstructor(interp))
     put("Map", mapConstructor(interp))
@@ -134,6 +140,51 @@ object Builtins {
         case m => toStr(m)
       })))
     }
+    // Proxy (r13 subset — see JsProxyV): construct-only, + revocable
+    locally {
+      val statics = JsObject.empty("Function")
+      statics.props.put("revocable", native("revocable") { (_, as) =>
+        makeProxy(as, interp()) match {
+          case p: JsProxyV =>
+            JsObject.of(
+              "proxy" -> p,
+              "revoke" -> native("revoke") { (_, _) => p.revoked = true; JsUndefined })
+          case other => other // unreachable: makeProxy throws or returns a proxy
+        }
+      })
+      put("Proxy", hybridCallable(native("Proxy") { (_, _) =>
+        throwType("Constructor Proxy requires 'new'")
+      }, statics))
+    }
+    // Reflect (the trap-forwarding subset handlers actually use):
+    // thin wrappers over the interpreter's own member paths, so
+    // Reflect.get(new Proxy(...), k) recurses through traps like V8
+    put("Reflect", {
+      val r = JsObject.empty("Reflect")
+      r.props.put("get", native("get")((_, as) =>
+        interp().getMember(arg(as, 0), JsStr(toStr(arg(as, 1))), Pos(0))))
+      r.props.put("set", native("set") { (_, as) =>
+        interp().setMember(arg(as, 0), JsStr(toStr(arg(as, 1))), arg(as, 2), Pos(0))
+        JsBool(true)
+      })
+      r.props.put("has", native("has")((_, as) =>
+        interp().evalBinary("in", JsStr(toStr(arg(as, 1))), arg(as, 0), Pos(0))))
+      r.props.put("deleteProperty", native("deleteProperty") { (_, as) =>
+        interp().deleteKey(arg(as, 0), toStr(arg(as, 1)))
+        JsBool(true)
+      })
+      r.props.put("ownKeys", native("ownKeys") { (_, as) =>
+        arg(as, 0) match {
+          case o: JsObject => JsArray.of(ownEntries(o).map(e => JsStr(e._1): JsValue): _*)
+          case a: JsArray => // V8 includes hole indices AND 'length' here
+            JsArray.of((a.items.indices.map(i => JsStr(i.toString): JsValue) :+ JsStr("length")): _*)
+          case p: JsProxyV => JsArray.of(interp().proxyOwnKeys(p).map(JsStr(_): JsValue): _*)
+          case other => throwType(s"Reflect.ownKeys called on non-object (got ${typeOf(other)})")
+        }
+      })
+      r.frozen = true
+      r
+    })
     put("parseInt", native("parseInt")((_, as) => JsNum(parseIntJs(toStr(arg(as, 0)), arg(as, 1)))))
     put("parseFloat", native("parseFloat")((_, as) => JsNum(parseFloatJs(toStr(arg(as, 0))))))
     put("isNaN", native("isNaN")((_, as) => JsBool(java.lang.Double.isNaN(toNumber(arg(as, 0))))))
@@ -162,9 +213,10 @@ object Builtins {
       case "Set" | "Map" | "RegExp" | "Date" | "Error" | "TypeError" | "RangeError" |
            "SyntaxError" | "ReferenceError" | "EvalError" | "Array" | "Object" =>
         n.fn(JsUndefined, args) // these natives construct when called
-      case "String" => JsStr(args.headOption.map(toStr).getOrElse(""))
-      case "Number" => JsNum(args.headOption.map(toNumber).getOrElse(0.0))
+      case "String" => JsStr(args.headOption.map(interp.toStrI).getOrElse(""))
+      case "Number" => JsNum(args.headOption.map(interp.toNumberI).getOrElse(0.0))
       case "Boolean" => JsBool(args.headOption.exists(truthy))
+      case "Proxy" => makeProxy(args, interp)
       case other => throwType(s"$other is not a constructor in lens code")
     }
     case c: JsClosure =>
@@ -194,15 +246,42 @@ object Builtins {
     case other => throwType(s"${typeOf(other)} is not a constructor")
   }
 
+  /** `new Proxy(target, handler)` — targets restricted to objects,
+    * arrays, and nested proxies (no callable proxies: apply/construct
+    * traps are out of the subset, per JsProxyV's scaladoc). */
+  private def makeProxy(args: Vector[JsValue], interp: Interp): JsValue = {
+    val target = args.headOption.getOrElse(JsUndefined)
+    val handler = args.lift(1).getOrElse(JsUndefined)
+    target match {
+      // function targets are legal; CALLING such a proxy forwards to
+      // the target (V8's [[Call]] with no apply trap) — an apply/
+      // construct TRAP is the loud out-of-subset boundary, checked at
+      // call time in Interp.callFunction
+      case _: JsObject | _: JsArray | _: JsProxyV | _: JsFunc => ()
+      case _ => throwType("Cannot create proxy with a non-object as target")
+    }
+    handler match {
+      case h: JsObject =>
+        interp.budget.allocate(8)
+        new JsProxyV(target, h)
+      case _ => throwType("Cannot create proxy with a non-object as handler")
+    }
+  }
+
   def instanceOf(v: JsValue, ctor: JsValue): Boolean = ctor match {
     case n: JsNative => n.name match {
-      case "Array" => v.isInstanceOf[JsArray]
+      case "Array" => v match { // instanceof pierces proxies like isArray (V8 walks the target's chain)
+        case _: JsArray => true
+        case p: JsProxyV => instanceOf(p.target, ctor)
+        case _ => false
+      }
       case "Set" => v.isInstanceOf[JsSetV]
       case "Map" => v.isInstanceOf[JsMapV]
       case "RegExp" => v.isInstanceOf[JsRegExpV]
       case "Date" => v.isInstanceOf[JsDate]
       case "Object" => v match {
-        case _: JsObject | _: JsArray | _: JsSetV | _: JsMapV | _: JsFunc | _: JsRegExpV => true
+        case _: JsObject | _: JsArray | _: JsSetV | _: JsMapV | _: JsFunc |
+             _: JsRegExpV | _: JsProxyV => true
         case _ => false
       }
       case "Error" => v match {
@@ -348,6 +427,46 @@ object Builtins {
       case _: JsSetV | _: JsMapV | _: JsRegExpV => Some("{}") // JS stringifies these as {}
       case _: JsBytes => Some("{}")
       case _: JsGenerator => Some("{}") // an ordinary object with no own enumerable props (V8)
+      case p: JsProxyV =>
+        if (interp == null) throw new IllegalStateException(
+          "internal: proxy reached JSON.stringify without an interpreter (traps unrunnable)")
+        // toJSON resolves THROUGH the get trap (V8's GetV); a
+        // non-callable result is ignored like everywhere else
+        if (!skipToJson) interp.proxyGet(p, JsStr("toJSON"), Pos(0)) match {
+          case f: JsFunc =>
+            return go(interp.callFunction(f, p, Vector.empty, Pos(0), "toJSON"),
+              depth, skipToJson = true)
+          case _ => ()
+        }
+        if (interp.proxyIsArray(p)) {
+          // IsArray pierces: serialize AS AN ARRAY via length + index
+          // gets through the trap (V8 SerializeJSONArray)
+          if (seen.contains(p)) throw JsThrown(makeError("TypeError", "Converting circular structure to JSON"))
+          seen.add(p)
+          val len = toNumber(interp.proxyGet(p, JsStr("length"), Pos(0))).toInt
+          val parts = (0 until len).map(i =>
+            go(interp.proxyGet(p, JsStr(i.toString), Pos(0)), depth + 1).getOrElse("null"))
+          seen.remove(p)
+          if (indent.isEmpty) Some("[" + parts.mkString(",") + "]")
+          else if (parts.isEmpty) Some("[]")
+          else {
+            val pad = indent * (depth + 1)
+            Some("[\n" + parts.map(pad + _).mkString(",\n") + "\n" + indent * depth + "]")
+          }
+        } else {
+          if (seen.contains(p)) throw JsThrown(makeError("TypeError", "Converting circular structure to JSON"))
+          seen.add(p)
+          val parts = interp.proxyOwnEntries(p).flatMap { case (k, pv) =>
+            go(pv, depth + 1).map(s => (quote(k), s))
+          }
+          seen.remove(p)
+          if (indent.isEmpty) Some("{" + parts.map { case (k, s) => s"$k:$s" }.mkString(",") + "}")
+          else if (parts.isEmpty) Some("{}")
+          else {
+            val pad = indent * (depth + 1)
+            Some("{\n" + parts.map { case (k, s) => s"$pad$k: $s" }.mkString(",\n") + "\n" + indent * depth + "}")
+          }
+        }
       case a: JsArray =>
         if (seen.contains(a)) throw JsThrown(makeError("TypeError", "Converting circular structure to JSON"))
         seen.add(a)
@@ -492,10 +611,12 @@ object Builtins {
       case a: JsArray => a.items.zipWithIndex.collect {
         case (x, ix) if !(x eq JsHole) => (ix.toString, x) }.toVector
       case JsStr(s) => s.zipWithIndex.map { case (c, ix) => (ix.toString, JsStr(c.toString)) }.toVector
+      case p: JsProxyV => interp().proxyOwnEntries(p)
       case _ => Vector.empty
     }
     def keysOf(v: JsValue): Vector[String] = v match {
       case obj: JsObject => ownEntries(obj).map(_._1)
+      case p: JsProxyV => interp().proxyOwnKeys(p)
       case other => entriesOf(other).map(_._1)
     }
     o.props.put("keys", native("keys")((_, as) => JsArray.of(keysOf(arg(as, 0)).map(JsStr(_)): _*)))
@@ -504,13 +625,16 @@ object Builtins {
       JsArray.of(entriesOf(arg(as, 0)).map { case (k, v) => JsArray.of(JsStr(k), v) }: _*)))
     o.props.put("assign", native("assign") { (_, as) =>
       as.headOption match {
-        case Some(target: JsObject) =>
+        case Some(target @ (_: JsObject | _: JsProxyV)) =>
           as.drop(1).foreach {
             case src: JsObject =>
               // source getters evaluate; target writes go through
               // setMember so a target SETTER receives the value (V8's
               // [[Set]] semantics) and frozen targets no-op
               interp().ownEvalEntries(src).foreach { case (k, v) =>
+                interp().setMember(target, JsStr(k), v, Pos(0)) }
+            case src: JsProxyV =>
+              interp().proxyOwnEntries(src).foreach { case (k, v) =>
                 interp().setMember(target, JsStr(k), v, Pos(0)) }
             case _ => ()
           }
@@ -564,6 +688,9 @@ object Builtins {
         case obj: JsObject => JsBool(obj.props.contains(toStr(arg(as, 1))))
         case a: JsArray => JsBool(toStr(arg(as, 1)).toIntOption.exists(ix =>
           ix >= 0 && ix < a.items.length && !(a.items(ix) eq JsHole)))
+        // proxies answer from the ownKeys trap (V8 consults the
+        // getOwnPropertyDescriptor trap — descriptor-less subset)
+        case p: JsProxyV => JsBool(interp().proxyOwnKeys(p).contains(toStr(arg(as, 1))))
         case _ => JsBool(false)
       }
     })
@@ -577,7 +704,8 @@ object Builtins {
 
   private def arrayConstructor(interp: () => Interp): JsValue = {
     val a = JsObject.empty("Function")
-    a.props.put("isArray", native("isArray")((_, as) => JsBool(arg(as, 0).isInstanceOf[JsArray])))
+    a.props.put("isArray", native("isArray")((_, as) =>
+      JsBool(interp().proxyIsArray(arg(as, 0))))) // pierces proxies (V8 IsArray)
     a.props.put("of", native("of")((_, as) => JsArray.of(as: _*)))
     a.props.put("from", native("from") { (_, as) =>
       val src = arg(as, 0)
@@ -631,7 +759,7 @@ object Builtins {
   private def hybridCallable(fn: JsNative, statics: JsObject): JsNative =
     new JsNative(fn.name, fn.fn, statics)
 
-  private def stringConstructor: JsValue = {
+  private def stringConstructor(interp: () => Interp): JsValue = {
     val statics = JsObject.empty("Function")
     statics.props.put("fromCharCode", native("fromCharCode") { (_, as) =>
       JsStr(as.map(a => toNumber(a).toInt.toChar).mkString)
@@ -668,10 +796,12 @@ object Builtins {
       }
       JsStr(sb.toString)
     })
-    hybridCallable(native("String")((_, as) => JsStr(as.headOption.map(toStr).getOrElse(""))), statics)
+    // String(x) is ToString — user valueOf/toString and proxy get
+    // traps honored (interp-aware, round-13 coercion wave)
+    hybridCallable(native("String")((_, as) => JsStr(as.headOption.map(interp().toStrI).getOrElse(""))), statics)
   }
 
-  private def numberConstructor: JsValue = {
+  private def numberConstructor(interp: () => Interp): JsValue = {
     val statics = JsObject.empty("Function")
     statics.props.put("isInteger", native("isInteger")((_, as) => arg(as, 0) match {
       case JsNum(d) => JsBool(!java.lang.Double.isNaN(d) && !java.lang.Double.isInfinite(d) && d == math.floor(d))
@@ -699,7 +829,7 @@ object Builtins {
     statics.props.put("POSITIVE_INFINITY", JsNum(Double.PositiveInfinity))
     statics.props.put("NEGATIVE_INFINITY", JsNum(Double.NegativeInfinity))
     statics.props.put("NaN", JsNum(Double.NaN))
-    hybridCallable(native("Number")((_, as) => JsNum(as.headOption.map(toNumber).getOrElse(0.0))), statics)
+    hybridCallable(native("Number")((_, as) => JsNum(as.headOption.map(interp().toNumberI).getOrElse(0.0))), statics)
   }
 
   private def setConstructor(interp: () => Interp): JsValue =

@@ -219,6 +219,7 @@ final class Interp(globalScope: Scope, val budget: Budget) {
             else obj match { // for-in: enumerable own keys as strings
               case o: JsObject => ownEntries(o).iterator.map(e => JsStr(e._1))
               case a: JsArray => a.items.indices.iterator.map(i => JsStr(i.toString))
+              case p: JsProxyV => proxyOwnKeys(p).iterator.map(JsStr(_))
               case _ => Iterator.empty // incl. null/undefined: zero iterations
             }
           // ES IteratorClose: a for-of left EARLY over a generator calls
@@ -268,6 +269,14 @@ final class Interp(globalScope: Scope, val budget: Budget) {
     case set: JsSetV => set.entries.values.toVector.iterator
     case m: JsMapV => m.entries.values.toVector.iterator.map { case (k, vv) => JsArray.of(k, vv) }
     case g: JsGenerator => Generators.iterator(g, this)
+    case p: JsProxyV if proxyIsArray(p) =>
+      // the array iterator through the proxy: length once, then per-
+      // index gets (V8 re-reads length each step — subset divergence,
+      // length-mutating get traps excepted)
+      val len = toNumber(proxyGet(p, JsStr("length"), pos)).toInt
+      (0 until len).iterator.map(i => proxyGet(p, JsStr(i.toString), pos))
+    case _: JsProxyV =>
+      throwType("proxy of a non-array is not iterable (cannot spread/for-of it)")
     case o: JsObject => throwType("object is not iterable (cannot spread/for-of a plain object)")
     case other => throwType(s"${typeOf(other)} is not iterable")
   }
@@ -320,6 +329,7 @@ final class Interp(globalScope: Scope, val budget: Budget) {
         v match {
           // rest is CopyDataProperties like spread: getters evaluate
           case src: JsObject => ownEvalEntries(src).foreach { case (k, pv) => if (!taken(k)) o.props.put(k, pv) }
+          case src: JsProxyV => proxyOwnEntries(src).foreach { case (k, pv) => if (!taken(k)) o.props.put(k, pv) }
           case _ => ()
         }
         budget.allocate(o.props.size.toLong)
@@ -342,7 +352,7 @@ final class Interp(globalScope: Scope, val budget: Budget) {
       case TemplateLit(parts, exprs, _) =>
         val sb = new java.lang.StringBuilder(parts.head)
         exprs.indices.foreach { i =>
-          sb.append(toStr(eval(exprs(i), scope)))
+          sb.append(toStrI(eval(exprs(i), scope)))
           sb.append(parts(i + 1))
         }
         budget.allocate(sb.length.toLong)
@@ -402,6 +412,8 @@ final class Interp(globalScope: Scope, val budget: Budget) {
                 // spread is CopyDataProperties: source GETTERS evaluate
                 // into plain data props (V8); accessor-ness never copies
                 ownEvalEntries(src).foreach { case (pk, pv) => o.props.put(pk, pv) }
+              case src: JsProxyV =>
+                proxyOwnEntries(src).foreach { case (pk, pv) => o.props.put(pk, pv) }
               case src: JsArray => src.items.zipWithIndex.foreach { case (pv, pi) => o.props.put(pi.toString, pv) }
               case JsNull | JsUndefined => ()
               case _ => ()
@@ -488,22 +500,15 @@ final class Interp(globalScope: Scope, val budget: Budget) {
         case _ => JsStr(typeOf(eval(operand, scope)))
       }
     case "!" => JsBool(!truthy(eval(operand, scope)))
-    case "-" => JsNum(-toNumber(eval(operand, scope)))
-    case "+" => JsNum(toNumber(eval(operand, scope)))
-    case "~" => JsNum((~toInt32(toNumber(eval(operand, scope)))).toDouble)
+    case "-" => JsNum(-toNumberI(eval(operand, scope)))
+    case "+" => JsNum(toNumberI(eval(operand, scope)))
+    case "~" => JsNum((~toInt32(toNumberI(eval(operand, scope)))).toDouble)
     case "void" => eval(operand, scope); JsUndefined
     case "delete" => operand match {
       case m: Member =>
         val obj = eval(m.obj, scope)
-        val key = toStr(evalPropKey(m, scope))
-        obj match {
-          case o: JsObject => if (!o.frozen) o.props.remove(key); JsBool(true)
-          case a: JsArray =>
-            val i = key.toIntOption
-            if (i.exists(x => x >= 0 && x < a.items.length)) { a.items(i.get) = JsHole; JsBool(true) } // V8 leaves a hole
-            else JsBool(true)
-          case _ => JsBool(true)
-        }
+        deleteKey(obj, toStr(evalPropKey(m, scope)))
+        JsBool(true)
       case _ => JsBool(true)
     }
   }
@@ -537,7 +542,7 @@ final class Interp(globalScope: Scope, val budget: Budget) {
 
   private def evalUpdate(u: Update, scope: Scope): JsValue = {
     val ref = resolveRef(u.target, scope)
-    val old = toNumber(ref.get)
+    val old = toNumberI(ref.get)
     val neu = if (u.op == "++") old + 1 else old - 1
     ref.set(JsNum(neu))
     JsNum(if (u.prefix) neu else old)
@@ -567,28 +572,83 @@ final class Interp(globalScope: Scope, val budget: Budget) {
     value
   }
 
+  // ---------------- interp-aware coercion (ES ToPrimitive) ----------------
+
+  /** ES OrdinaryToPrimitive for values with USER-overridable conversion
+    * — plain objects, class instances (methods found on the prototype
+    * chain), and proxies (method lookup routes the `get` trap). V8
+    * honors a user `valueOf`/`toString` in `+`, relational, `==`, and
+    * template coercion (`'' + {toString(){return 'X'}}` is "X"), which
+    * the static [[Values.toPrimitive]] cannot do (no interpreter in
+    * hand) — a silent-divergence class found by the round-13 coercion
+    * probes. Everything else (arrays join, Dates stay epoch-number)
+    * keeps the established static behavior. */
+  def toPrimitiveI(v: JsValue, hint: String = "default"): JsValue = v match {
+    case o: JsObject => ordinaryToPrimitive(o, hint)
+    case p: JsProxyV => ordinaryToPrimitive(p, hint)
+    case other => toPrimitive(other)
+  }
+
+  private def ordinaryToPrimitive(recv: JsValue, hint: String): JsValue = {
+    val order = if (hint == "string") Seq("toString", "valueOf") else Seq("valueOf", "toString")
+    order.foreach { name =>
+      getMember(recv, JsStr(name), Pos(0)) match {
+        case f: JsFunc =>
+          callFunction(f, recv, Vector.empty, Pos(0), name) match {
+            case prim @ (JsNull | _: JsUndefinedKind | _: JsBool | _: JsNum | _: JsStr) =>
+              return prim
+            case _ => () // non-primitive result: try the next method (ES 7.1.1.1)
+          }
+        case _ => () // absent / not callable: try the next method
+      }
+    }
+    throwType("Cannot convert object to primitive value")
+  }
+
+  /** `==` with the object side run through interp-aware ToPrimitive
+    * (user valueOf/toString honored, proxy get traps routed). */
+  private def looseEqualsI(a: JsValue, b: JsValue): Boolean = (a, b) match {
+    case (JsNum(_) | JsStr(_) | JsBool(_), _: JsObject | _: JsProxyV) =>
+      looseEquals(a, toPrimitiveI(b))
+    case (_: JsObject | _: JsProxyV, JsNum(_) | JsStr(_) | JsBool(_)) =>
+      looseEquals(toPrimitiveI(a), b)
+    case _ => looseEquals(a, b)
+  }
+
+  /** ToString through user conversion methods (template literals, `+`). */
+  def toStrI(v: JsValue): String = v match {
+    case _: JsObject | _: JsProxyV => toStr(toPrimitiveI(v, "string"))
+    case other => toStr(other)
+  }
+
+  /** ToNumber through user conversion methods (arithmetic operands). */
+  def toNumberI(v: JsValue): Double = v match {
+    case _: JsObject | _: JsProxyV => toNumber(toPrimitiveI(v, "number"))
+    case other => toNumber(other)
+  }
+
   def evalBinary(op: String, l: JsValue, r: JsValue, pos: Pos): JsValue = op match {
     case "+" =>
-      val lp = toPrimitive(l); val rp = toPrimitive(r)
+      val lp = toPrimitiveI(l); val rp = toPrimitiveI(r)
       (lp, rp) match {
         case (JsStr(a), _) => budget.allocate(a.length.toLong + 8); JsStr(a + toStr(rp))
         case (_, JsStr(b)) => budget.allocate(b.length.toLong + 8); JsStr(toStr(lp) + b)
         case _ => JsNum(toNumber(lp) + toNumber(rp))
       }
-    case "-" => JsNum(toNumber(l) - toNumber(r))
-    case "*" => JsNum(toNumber(l) * toNumber(r))
-    case "/" => JsNum(toNumber(l) / toNumber(r))
-    case "%" => JsNum(toNumber(l) % toNumber(r))
+    case "-" => JsNum(toNumberI(l) - toNumberI(r))
+    case "*" => JsNum(toNumberI(l) * toNumberI(r))
+    case "/" => JsNum(toNumberI(l) / toNumberI(r))
+    case "%" => JsNum(toNumberI(l) % toNumberI(r))
     // StrictMath, not Math: V8's ** is its fdlibm pow port — JDK
     // fdlibm halves the 1-ulp divergence rate vs java.lang.Math.pow
     // (see the Math builtins note in Builtins.scala)
-    case "**" => JsNum(StrictMath.pow(toNumber(l), toNumber(r)))
-    case "==" => JsBool(looseEquals(l, r))
-    case "!=" => JsBool(!looseEquals(l, r))
+    case "**" => JsNum(StrictMath.pow(toNumberI(l), toNumberI(r)))
+    case "==" => JsBool(looseEqualsI(l, r))
+    case "!=" => JsBool(!looseEqualsI(l, r))
     case "===" => JsBool(strictEquals(l, r))
     case "!==" => JsBool(!strictEquals(l, r))
     case "<" | ">" | "<=" | ">=" =>
-      val lp = toPrimitive(l); val rp = toPrimitive(r)
+      val lp = toPrimitiveI(l, "number"); val rp = toPrimitiveI(r, "number")
       (lp, rp) match {
         case (JsStr(a), JsStr(b)) =>
           val c = a.compareTo(b)
@@ -598,15 +658,16 @@ final class Interp(globalScope: Scope, val budget: Budget) {
           if (java.lang.Double.isNaN(a) || java.lang.Double.isNaN(b)) JsBool(false)
           else JsBool(op match { case "<" => a < b; case ">" => a > b; case "<=" => a <= b; case _ => a >= b })
       }
-    case "&" => JsNum((toInt32(toNumber(l)) & toInt32(toNumber(r))).toDouble)
-    case "|" => JsNum((toInt32(toNumber(l)) | toInt32(toNumber(r))).toDouble)
-    case "^" => JsNum((toInt32(toNumber(l)) ^ toInt32(toNumber(r))).toDouble)
-    case "<<" => JsNum((toInt32(toNumber(l)) << (toInt32(toNumber(r)) & 31)).toDouble)
-    case ">>" => JsNum((toInt32(toNumber(l)) >> (toInt32(toNumber(r)) & 31)).toDouble)
-    case ">>>" => JsNum((toUint32(toNumber(l)) >>> (toInt32(toNumber(r)) & 31)).toDouble)
+    case "&" => JsNum((toInt32(toNumberI(l)) & toInt32(toNumberI(r))).toDouble)
+    case "|" => JsNum((toInt32(toNumberI(l)) | toInt32(toNumberI(r))).toDouble)
+    case "^" => JsNum((toInt32(toNumberI(l)) ^ toInt32(toNumberI(r))).toDouble)
+    case "<<" => JsNum((toInt32(toNumberI(l)) << (toInt32(toNumberI(r)) & 31)).toDouble)
+    case ">>" => JsNum((toInt32(toNumberI(l)) >> (toInt32(toNumberI(r)) & 31)).toDouble)
+    case ">>>" => JsNum((toUint32(toNumberI(l)) >>> (toInt32(toNumberI(r)) & 31)).toDouble)
     case "instanceof" => JsBool(Builtins.instanceOf(l, r))
     case "in" =>
       r match {
+        case p: JsProxyV => JsBool(proxyHas(p, toStr(l)))
         // chain-aware: 'm' in instance is true for class methods (V8)
         case o: JsObject => JsBool(hasChainProp(o, toStr(l)))
         case a: JsArray =>
@@ -624,6 +685,7 @@ final class Interp(globalScope: Scope, val budget: Budget) {
     obj match {
       case JsNull | (_: JsUndefinedKind) =>
         throwType(s"Cannot read properties of ${toStr(obj)} (reading '${toStr(key)}')")
+      case p: JsProxyV => proxyGet(p, key, pos)
       case o: JsObject =>
         val k = toStr(key)
         chainSlot(o, k).map {
@@ -702,6 +764,7 @@ final class Interp(globalScope: Scope, val budget: Budget) {
   def setMember(obj: JsValue, key: JsValue, v: JsValue, pos: Pos): Unit = obj match {
     case JsNull | JsUndefined =>
       throwType(s"Cannot set properties of ${toStr(obj)} (setting '${toStr(key)}')")
+    case p: JsProxyV => proxySet(p, key, v, pos)
     case o: JsObject =>
       val k = toStr(key)
       // chain walk: an accessor ANYWHERE on the proto chain receives
@@ -746,6 +809,104 @@ final class Interp(globalScope: Scope, val budget: Budget) {
       }
     case r: JsRegExpV if toStr(key) == "lastIndex" => r.lastIndex = toNumber(v).toInt
     case _ => () // silent no-op on primitives, like sloppy-mode JS
+  }
+
+  // ---------------- proxies (ES Proxy subset — see JsProxyV) ----------------
+
+  /** the handler's trap, looked up like V8's GetMethod (prototype chain
+    * + accessors — a class instance can be a handler); None when absent */
+  private def proxyTrap(p: JsProxyV, name: String): Option[JsValue] = {
+    if (p.revoked)
+      throwType(s"Cannot perform '$name' on a proxy that has been revoked")
+    getMember(p.handler, JsStr(name), Pos(0)) match {
+      case JsUndefined | JsNull => None
+      case f: JsFunc => Some(f)
+      case other =>
+        throwType(s"'$name' trap on proxy handler is not a function (got ${typeOf(other)})")
+    }
+  }
+
+  def proxyGet(p: JsProxyV, key: JsValue, pos: Pos): JsValue = proxyTrap(p, "get") match {
+    case Some(f) => callFunction(f, p.handler, Vector(p.target, JsStr(toStr(key)), p), pos, "get")
+    case None => getMember(p.target, key, pos)
+  }
+
+  def proxySet(p: JsProxyV, key: JsValue, v: JsValue, pos: Pos): Unit = proxyTrap(p, "set") match {
+    // a falsy trap return is a TypeError only in strict mode; lens code
+    // runs the reference worker's sloppy function-body contract
+    case Some(f) => callFunction(f, p.handler, Vector(p.target, JsStr(toStr(key)), v, p), pos, "set"); ()
+    case None => setMember(p.target, key, v, pos)
+  }
+
+  def proxyHas(p: JsProxyV, key: String): Boolean = proxyTrap(p, "has") match {
+    case Some(f) => truthy(callFunction(f, p.handler, Vector(p.target, JsStr(key)), Pos(0), "has"))
+    case None => truthy(evalBinary("in", JsStr(key), p.target, Pos(0)))
+  }
+
+  def proxyDelete(p: JsProxyV, key: String): Unit = proxyTrap(p, "deleteProperty") match {
+    case Some(f) => callFunction(f, p.handler, Vector(p.target, JsStr(key)), Pos(0), "deleteProperty"); ()
+    case None => deleteKey(p.target, key)
+  }
+
+  /** own ENUMERABLE keys through the ownKeys trap (no enumerability
+    * filtering — this engine's objects have no descriptors; documented
+    * subset divergence), else the target's own enumerable keys. */
+  def proxyOwnKeys(p: JsProxyV): Vector[String] = proxyTrap(p, "ownKeys") match {
+    case Some(f) =>
+      callFunction(f, p.handler, Vector(p.target), Pos(0), "ownKeys") match {
+        case a: JsArray =>
+          val keys = a.items.toVector.map(v => toStr(Values.deHole(v)))
+          if (keys.distinct.length != keys.length)
+            throwType("proxy ownKeys trap returned duplicate entries")
+          // V8 filters the trap's list through the target's (own)
+          // property descriptors — phantom keys the target lacks never
+          // reach Object.keys / for-in / spread / JSON (descriptor-less
+          // subset: existence IS the filter)
+          keys.filter(k => targetHasOwn(p.target, k))
+        case other => throwType(s"proxy ownKeys trap must return an array (got ${typeOf(other)})")
+      }
+    case None => p.target match {
+      case o: JsObject => ownEntries(o).map(_._1)
+      case a: JsArray => a.items.zipWithIndex.collect {
+        case (x, ix) if !(x eq JsHole) => ix.toString }.toVector
+      case inner: JsProxyV => proxyOwnKeys(inner)
+      case _ => Vector.empty
+    }
+  }
+
+  private def targetHasOwn(t: JsValue, k: String): Boolean = t match {
+    case o: JsObject => o.props.contains(k)
+    case a: JsArray =>
+      k == "length" ||
+        k.toIntOption.exists(i => i >= 0 && i < a.items.length && !(a.items(i) eq JsHole)) ||
+        (a.extra != null && a.extra.contains(k))
+    case inner: JsProxyV => proxyOwnKeys(inner).contains(k)
+    case f: JsFunc => k == "name" || k == "length"
+    case _ => false
+  }
+
+  /** ownKeys + per-key get — the value-observing enumeration proxies
+    * present to Object.values/entries, spread, rest and JSON. */
+  def proxyOwnEntries(p: JsProxyV): Vector[(String, JsValue)] =
+    proxyOwnKeys(p).map(k => (k, proxyGet(p, JsStr(k), Pos(0))))
+
+  /** IsArray pierces proxies (V8: Array.isArray(new Proxy([], {})) is
+    * true), and JSON serializes such a proxy as an ARRAY. */
+  def proxyIsArray(v: JsValue): Boolean = v match {
+    case _: JsArray => true
+    case p: JsProxyV => proxyIsArray(p.target)
+    case _ => false
+  }
+
+  /** the `delete` operator's per-type action, shared by the direct
+    * path and the proxy no-trap fallback */
+  private[js] def deleteKey(obj: JsValue, key: String): Unit = obj match {
+    case o: JsObject => if (!o.frozen) { o.props.remove(key); () }
+    case a: JsArray =>
+      val i = key.toIntOption
+      if (i.exists(x => x >= 0 && x < a.items.length)) a.items(i.get) = JsHole // V8 leaves a hole
+    case p: JsProxyV => proxyDelete(p, key)
+    case _ => ()
   }
 
   private def nullish(v: JsValue): Boolean = v == JsNull || v == JsUndefined
@@ -1253,6 +1414,13 @@ final class Interp(globalScope: Scope, val budget: Budget) {
       case closure: JsClosure => invokeClosure(closure, thisV, args)
       case cls: JsClassV => // V8: classes only construct
         throwType(s"Class constructor ${cls.clsName} cannot be invoked without 'new'")
+      case p: JsProxyV if p.target.isInstanceOf[JsFunc] || p.target.isInstanceOf[JsProxyV] =>
+        // [[Call]] with no apply trap forwards to the target (V8); an
+        // apply TRAP is the out-of-subset boundary — loud, never silent
+        if (p.revoked) throwType("Cannot perform 'apply' on a proxy that has been revoked")
+        if (getMember(p.handler, JsStr("apply"), pos) != JsUndefined)
+          throwType("proxy apply traps are not supported in lens code")
+        callFunction(p.target, thisV, args, pos, name)
       case other => throwType(s"$name is not a function (got ${typeOf(other)})")
     }
   }

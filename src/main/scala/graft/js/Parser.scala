@@ -14,12 +14,23 @@ import scala.collection.mutable.ArrayBuffer
   * honor the restricted-production rule (no line break allowed before the
   * operand/operator).
   *
-  * Unsupported ES features (async, `with`, dynamic code loading,
-  * Proxy) fail here with a [[JsSyntaxError]] — surfaced by the lens
-  * worker as a STARTUP error, the same contract as the reference
-  * isolate compile step (reference:
+  * Unsupported ES features (async, `with`, dynamic code loading)
+  * fail here with a [[JsSyntaxError]] — surfaced by the lens worker
+  * as a STARTUP error, the same contract as the reference isolate
+  * compile step (reference:
   * library/workers/javascript-lens-worker.js:102-111,
   * test/test-workers-javascript-lens.js:21-30).
+  *
+  * PROXIES landed in round 13 (runtime, not parser — `Proxy` is just
+  * a global): get/set/has/deleteProperty/ownKeys traps with V8's
+  * target-existence filter on ownKeys results, Proxy.revocable, a
+  * Reflect subset, Array.isArray/typeof piercing, call-forwarding
+  * through no-apply-trap function proxies; apply/construct traps and
+  * descriptor traps are loud runtime TypeErrors (JsProxyV scaladoc).
+  * The same wave made ToPrimitive interp-aware (Interp.toPrimitiveI):
+  * user valueOf/toString now run in +/relational/==/template/String()
+  * coercion — a silent-divergence class the earlier fuzz generators
+  * never produced, found and closed by tools/jsfuzz/proxygen.js.
   *
   * GENERATORS landed in round 13: `function*` declarations and
   * expressions, generator methods in classes (instance, static,
@@ -50,9 +61,9 @@ import scala.collection.mutable.ArrayBuffer
   * STRICTLY more useful than V8's silent acceptance. Tagged template
   * literals left the tail in round 11 (String.raw, markup-building
   * tags); PRIVATE CLASS MEMBERS and STATIC INITIALIZATION BLOCKS left
-  * it in round 12 (below); GENERATORS left it in round 13 (above);
-  * what remains — async, Proxy — errors loudly at startup, per the
-  * reference's own compile-error contract.
+  * it in round 12 (below); GENERATORS and the PROXY SUBSET left it in
+  * round 13 (above); what remains — async — errors loudly at
+  * startup, per the reference's own compile-error contract.
   *
   * Private class members landed in round 12: #fields, #methods,
   * #accessors (instance and static), the `#x in obj` brand check,

@@ -97,6 +97,11 @@ object PoBridge {
       case _: JsGenerator =>
         Values.throwType("a generator could not be cloned into a lens output" +
           " (spread it into an array first)")
+      case _: JsProxyV =>
+        // the reference's worker would hit V8's DataCloneError here —
+        // same loudness class (proxies are exotic, never serialized)
+        Values.throwType("a proxy could not be cloned into a lens output" +
+          " (copy it into a plain object first)")
     }
     def cycleGuard(ref: AnyRef)(body: => PoValue): PoValue = {
       if (!inFlight.add(ref))

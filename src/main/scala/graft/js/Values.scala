@@ -136,6 +136,19 @@ object JsSetV { def empty: JsSetV = new JsSetV(mutable.LinkedHashMap.empty) }
 final class JsMapV(val entries: mutable.LinkedHashMap[JsKey, (JsValue, JsValue)]) extends JsValue
 object JsMapV { def empty: JsMapV = new JsMapV(mutable.LinkedHashMap.empty) }
 
+/** ES Proxy (round 13 subset): traps get/set/has/deleteProperty/
+  * ownKeys over an OBJECT, ARRAY, or nested-proxy target, plus
+  * Proxy.revocable. Calling/constructing through a proxy (apply/
+  * construct traps — function targets), defineProperty/
+  * getOwnPropertyDescriptor traps, and the spec's invariant checks
+  * against non-configurable target slots are OUT (this engine's
+  * objects have no property descriptors) — all loud TypeErrors, never
+  * silent. Trap dispatch lives in [[Interp]] (proxyGet etc.); every
+  * member read/write/has/delete/enumeration path routes through it. */
+final class JsProxyV(val target: JsValue, val handler: JsObject) extends JsValue {
+  var revoked: Boolean = false
+}
+
 /** Raw bytes (attachments / binary record fields ride through untouched). */
 final class JsBytes(val bytes: Array[Byte]) extends JsValue
 
@@ -306,6 +319,7 @@ object Values {
     case _: JsNum => "number"
     case _: JsStr => "string"
     case _: JsFunc => "function"
+    case p: JsProxyV => typeOf(p.target) // typeof pierces: proxy of a function is "function" (V8)
     case _ => "object"
   }
 
@@ -486,6 +500,15 @@ object Values {
     case _: JsSetV => "[object Set]"
     case _: JsMapV => "[object Map]"
     case _: JsGenerator => "[object Generator]"
+    case p: JsProxyV =>
+      // the static path cannot run traps; Interp.toStrI handles the
+      // interpreter-reachable conversions (it runs OrdinaryToPrimitive
+      // through the get trap). A get-trapped proxy reaching THIS path
+      // (a builtin's raw coercion) errs loudly rather than silently
+      // bypassing the trap.
+      if (proxyHasGetTrap(p)) Values.throwType(
+        "cannot convert a proxy with a get trap to a string in this position")
+      else toStr(p.target)
     case b: JsBytes => s"[bytes ${b.bytes.length}]"
     case JsDate(ms) => java.time.Instant.ofEpochMilli(ms.toLong).toString
     case r: JsRegExpV => s"/${r.source}/${r.flags}"
@@ -515,10 +538,22 @@ object Values {
     case (x: AnyRef, y: AnyRef) => x eq y
   }
 
+  /** a `get` trap anywhere on the handler's chain — the guard for
+    * trap-blind static conversions (raw own-prop walk; accessor-stored
+    * traps are not visible here, which only widens the loud path) */
+  private[js] def proxyHasGetTrap(p: JsProxyV): Boolean = {
+    var cur = p.handler
+    while (cur != null) {
+      if (cur.props.contains("get")) return true
+      cur = cur.protoV
+    }
+    false
+  }
+
   /** ToPrimitive with default hint (objects → toString for our subset) */
   def toPrimitive(v: JsValue): JsValue = v match {
     case _: JsObject | _: JsArray | _: JsSetV | _: JsMapV | _: JsFunc |
-         _: JsRegExpV | _: JsBytes | _: JsGenerator => JsStr(toStr(v))
+         _: JsRegExpV | _: JsBytes | _: JsGenerator | _: JsProxyV => JsStr(toStr(v))
     case JsDate(ms) => JsNum(ms)
     case prim => prim
   }

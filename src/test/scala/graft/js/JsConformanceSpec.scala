@@ -1395,16 +1395,19 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
 
   test("out-of-subset constructs are LOUD — startup or runtime error, never silent") {
     // parse-time rejections (classes landed in r8, static blocks and
-    // private members in r12, generators in r13; the residual
-    // out-of-subset corners — async, `with`, Proxy — stay loud):
+    // private members in r12, generators AND a Proxy subset in r13;
+    // the residual out-of-subset corners — async, `with`, proxy
+    // apply/construct traps — stay loud):
     Seq("async function f(){}",
         "const x = async () => 1",
         "with({a:1}) output('r', a)").foreach { code =>
       assert(JsMapFn.compile(code).isLeft, s"must reject at startup: $code")
     }
-    Seq("const p = new Proxy({}, {})").foreach { code =>
-      val res = run(code)
-      assert(res.error.exists(_.errType == "ReferenceError"), s"$code → ${res.error}")
+    // proxy apply traps: runtime boundary (see JsProxySpec for the
+    // supported trap surface)
+    locally {
+      val res = run("const p = new Proxy(function(){}, { apply(){ return 1 } }); p()")
+      assert(res.error.exists(_.errType == "TypeError"), s"apply trap → ${res.error}")
     }
     // runtime rejections (dynamic code loading is blocked for the
     // sandbox — both identifiers are simply absent):
