@@ -113,7 +113,7 @@ object Builtins {
       }
       clone1(arg(as, 0))
     })
-    put("Math", mathObject)
+    put("Math", mathObject(interp))
     put("JSON", jsonObject(interp))
     put("Object", objectConstructor(interp))
     put("Array", arrayConstructor(interp))
@@ -185,11 +185,11 @@ object Builtins {
       r.frozen = true
       r
     })
-    put("parseInt", native("parseInt")((_, as) => JsNum(parseIntJs(toStr(arg(as, 0)), arg(as, 1)))))
-    put("parseFloat", native("parseFloat")((_, as) => JsNum(parseFloatJs(toStr(arg(as, 0))))))
-    put("isNaN", native("isNaN")((_, as) => JsBool(java.lang.Double.isNaN(toNumber(arg(as, 0))))))
+    put("parseInt", native("parseInt")((_, as) => JsNum(parseIntJs(interp().toStrI(arg(as, 0)), arg(as, 1)))))
+    put("parseFloat", native("parseFloat")((_, as) => JsNum(parseFloatJs(interp().toStrI(arg(as, 0))))))
+    put("isNaN", native("isNaN")((_, as) => JsBool(java.lang.Double.isNaN(interp().toNumberI(arg(as, 0))))))
     put("isFinite", native("isFinite") { (_, as) =>
-      val d = toNumber(arg(as, 0)); JsBool(!java.lang.Double.isNaN(d) && !java.lang.Double.isInfinite(d))
+      val d = interp().toNumberI(arg(as, 0)); JsBool(!java.lang.Double.isNaN(d) && !java.lang.Double.isInfinite(d))
     })
     put("encodeURIComponent", native("encodeURIComponent") { (_, as) =>
       JsStr(java.net.URLEncoder.encode(toStr(arg(as, 0)), "UTF-8")
@@ -310,10 +310,13 @@ object Builtins {
 
   // ---------------- Math ----------------
 
-  private def mathObject: JsObject = {
+  private def mathObject(interp: () => Interp): JsObject = {
     val m = JsObject.empty("Math")
+    // arguments coerce via interp-aware ToNumber (r13): user valueOf /
+    // proxy get traps are honored, like V8
+    def num(v: JsValue): Double = interp().toNumberI(v)
     def put1(name: String)(f: Double => Double): Unit =
-      m.props.put(name, native(name)((_, as) => JsNum(f(toNumber(arg(as, 0))))))
+      m.props.put(name, native(name)((_, as) => JsNum(f(num(arg(as, 0))))))
     m.props.put("PI", JsNum(math.Pi)); m.props.put("E", JsNum(math.E))
     m.props.put("LN2", JsNum(math.log(2))); m.props.put("LN10", JsNum(math.log(10)))
     m.props.put("LOG2E", JsNum(1 / math.log(2))); m.props.put("LOG10E", JsNum(1 / math.log(10)))
@@ -343,16 +346,16 @@ object Builtins {
     put1("asin")(StrictMath.asin); put1("acos")(StrictMath.acos); put1("atan")(StrictMath.atan)
     put1("sinh")(StrictMath.sinh); put1("cosh")(StrictMath.cosh); put1("tanh")(StrictMath.tanh)
     put1("fround")(d => d.toFloat.toDouble)
-    m.props.put("atan2", native("atan2")((_, as) => JsNum(StrictMath.atan2(toNumber(arg(as, 0)), toNumber(arg(as, 1))))))
-    m.props.put("pow", native("pow")((_, as) => JsNum(StrictMath.pow(toNumber(arg(as, 0)), toNumber(arg(as, 1))))))
-    m.props.put("hypot", native("hypot")((_, as) => JsNum(math.sqrt(as.map(a => { val d = toNumber(a); d * d }).sum))))
+    m.props.put("atan2", native("atan2")((_, as) => JsNum(StrictMath.atan2(num(arg(as, 0)), num(arg(as, 1))))))
+    m.props.put("pow", native("pow")((_, as) => JsNum(StrictMath.pow(num(arg(as, 0)), num(arg(as, 1))))))
+    m.props.put("hypot", native("hypot")((_, as) => JsNum(math.sqrt(as.map(a => { val d = num(a); d * d }).sum))))
     m.props.put("min", native("min") { (_, as) =>
       if (as.isEmpty) JsNum(Double.PositiveInfinity)
-      else JsNum(as.map(toNumber).reduce((a, b) => if (java.lang.Double.isNaN(a) || java.lang.Double.isNaN(b)) Double.NaN else math.min(a, b)))
+      else JsNum(as.map(num).reduce((a, b) => if (java.lang.Double.isNaN(a) || java.lang.Double.isNaN(b)) Double.NaN else math.min(a, b)))
     })
     m.props.put("max", native("max") { (_, as) =>
       if (as.isEmpty) JsNum(Double.NegativeInfinity)
-      else JsNum(as.map(toNumber).reduce((a, b) => if (java.lang.Double.isNaN(a) || java.lang.Double.isNaN(b)) Double.NaN else math.max(a, b)))
+      else JsNum(as.map(num).reduce((a, b) => if (java.lang.Double.isNaN(a) || java.lang.Double.isNaN(b)) Double.NaN else math.max(a, b)))
     })
     // the reference's determinism trap, message verbatim (environment.js/index.js:3-5)
     m.props.put("random", native("random") { (_, _) =>
@@ -372,19 +375,69 @@ object Builtins {
         case JsStr(s) => s.take(10)
         case _ => ""
       }
-      jsonStringify(arg(as, 0), indent, interp()) match {
+      // ES 25.5.2 replacer (r13 — it was silently IGNORED before):
+      // a function rides into the serializer; an array becomes the
+      // PropertyList filter (string/number entries, deduped, in list
+      // order; arrays are unaffected by the list, like V8)
+      val (replacerFn, propList) = arg(as, 1) match {
+        case f: JsFunc => (Some(f), None)
+        case a: JsArray =>
+          val keys = a.items.toVector.collect {
+            case JsStr(s) => s
+            case JsNum(d) => numToString(d)
+          }.distinct
+          (None, Some(keys))
+        case _ => (None, None)
+      }
+      jsonStringify(arg(as, 0), indent, interp(), replacerFn, propList) match {
         case Some(s) => JsStr(s)
         case None => JsUndefined
       }
     })
     j.props.put("parse", native("parse") { (_, as) =>
-      jsonParse(toStr(arg(as, 0)))
+      val parsed = jsonParse(toStr(arg(as, 0)))
+      arg(as, 1) match {
+        case f: JsFunc => jsonRevive(parsed, f, interp()) // ES 25.5.1 InternalizeJSONProperty
+        case _ => parsed
+      }
     })
     j.frozen = true
     j
   }
 
-  def jsonStringify(v: JsValue, indent: String, interp: Interp = null): Option[String] = {
+  /** ES 25.5.1 InternalizeJSONProperty: bottom-up reviver walk; an
+    * `undefined` result deletes the member (array slots become holes,
+    * like V8). */
+  private def jsonRevive(root: JsValue, fn: JsFunc, interp: Interp): JsValue = {
+    def walk(holder: JsValue, key: String, value: JsValue): JsValue = {
+      interp.budget.tick()
+      value match {
+        case a: JsArray =>
+          var i = 0
+          while (i < a.items.length) {
+            walk(a, i.toString, Values.deHole(a.items(i))) match {
+              case JsUndefined => a.items(i) = JsHole
+              case r => a.items(i) = r
+            }
+            i += 1
+          }
+        case o: JsObject =>
+          ownEntries(o).foreach { case (k, v) =>
+            walk(o, k, v) match {
+              case JsUndefined => o.props.remove(k)
+              case r => o.props.put(k, r)
+            }
+          }
+        case _ => ()
+      }
+      interp.callFunction(fn, holder, Vector(JsStr(key), value), Pos(0), "reviver")
+    }
+    walk(JsObject.of("" -> root), "", root)
+  }
+
+  def jsonStringify(v: JsValue, indent: String, interp: Interp = null,
+                    replacerFn: Option[JsFunc] = None,
+                    propList: Option[Vector[String]] = None): Option[String] = {
     // open containers by REFERENCE (cycle guard): an identityHashCode-keyed
     // Set[Int] here would false-positive on hash collisions, which are
     // expected across the millions of per-record allocations of a long build
@@ -506,7 +559,103 @@ object Builtins {
           Some("{\n" + parts.map { case (k, s) => s"$pad$k: $s" }.mkString(",\n") + "\n" + indent * depth + "}")
         }
     }
-    go(v, 0)
+    def fmtArr(parts: Seq[String], depth: Int): Option[String] =
+      if (indent.isEmpty) Some("[" + parts.mkString(",") + "]")
+      else if (parts.isEmpty) Some("[]")
+      else {
+        val pad = indent * (depth + 1)
+        Some("[\n" + parts.map(pad + _).mkString(",\n") + "\n" + indent * depth + "]")
+      }
+    def fmtObj(parts: Seq[(String, String)], depth: Int): Option[String] =
+      if (indent.isEmpty) Some("{" + parts.map { case (k, s) => s"$k:$s" }.mkString(",") + "}")
+      else if (parts.isEmpty) Some("{}")
+      else {
+        val pad = indent * (depth + 1)
+        Some("{\n" + parts.map { case (k, s) => s"$pad$k: $s" }.mkString(",\n") + "\n" + indent * depth + "}")
+      }
+    if (replacerFn.isEmpty && propList.isEmpty) return go(v, 0)
+
+    // ---- ES 25.5.2 SerializeJSONProperty with an active replacer /
+    // PropertyList (r13): toJSON applies FIRST (with the key argument),
+    // then the replacer sees its result with `this` = the holder; the
+    // PropertyList drives non-array member selection in list order.
+    def toJsonApplied(key: String, value: JsValue): JsValue = value match {
+      case o: JsObject => interp.toJsonMethod(o) match {
+        case Some(f) => interp.callFunction(f, o, Vector(JsStr(key)), Pos(0), "toJSON")
+        case None => o
+      }
+      case p: JsProxyV => interp.proxyGet(p, JsStr("toJSON"), Pos(0)) match {
+        case f: JsFunc => interp.callFunction(f, p, Vector(JsStr(key)), Pos(0), "toJSON")
+        case _ => p
+      }
+      case d: JsDate => // the replacer must observe what date.toJSON returns (V8)
+        if (d.epochMillis.isNaN) JsNull else JsStr(jsIsoString(d.epochMillis))
+      case other => other
+    }
+    def serProp(key: String, value0: JsValue, holder: JsValue, depth: Int): Option[String] = {
+      val v1 = toJsonApplied(key, value0)
+      val v2 = replacerFn match {
+        case Some(f) => interp.callFunction(f, holder, Vector(JsStr(key), v1), Pos(0), "replacer")
+        case None => v1
+      }
+      v2 match {
+        case _: JsAccessorProp =>
+          throw new IllegalStateException(
+            "internal: accessor property record leaked into JSON.stringify")
+        case _: JsUndefinedKind | _: JsFunc => None
+        case JsNull => Some("null")
+        case JsBool(b) => Some(b.toString)
+        case JsNum(d) =>
+          if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) Some("null")
+          else Some(numToString(d))
+        case JsStr(s) => Some(quote(s))
+        case JsDate(ms) => // replacer RETURNED a date: its toJSON applies
+          if (ms.isNaN) Some("null") else Some(quote(jsIsoString(ms)))
+        case _: JsSetV | _: JsMapV | _: JsRegExpV | _: JsBytes | _: JsGenerator => Some("{}")
+        case a: JsArray =>
+          if (seen.contains(a)) throw JsThrown(makeError("TypeError", "Converting circular structure to JSON"))
+          seen.add(a)
+          val parts = a.items.indices.map(i =>
+            serProp(i.toString, Values.deHole(a.items(i)), a, depth + 1).getOrElse("null"))
+          seen.remove(a)
+          fmtArr(parts, depth)
+        case o: JsObject =>
+          if (seen.contains(o)) throw JsThrown(makeError("TypeError", "Converting circular structure to JSON"))
+          seen.add(o)
+          val entries = propList match {
+            // Get(holder, key) per spec — absent keys read undefined
+            // and drop; builtin-method reads are functions and drop
+            case Some(list) => list.map(k => (k, interp.getMember(o, JsStr(k), Pos(0))))
+            case None => interp.ownEvalEntries(o)
+          }
+          val parts = entries.flatMap { case (k, pv) =>
+            serProp(k, pv, o, depth + 1).map(s => (quote(k), s))
+          }
+          seen.remove(o)
+          fmtObj(parts, depth)
+        case p: JsProxyV =>
+          if (seen.contains(p)) throw JsThrown(makeError("TypeError", "Converting circular structure to JSON"))
+          seen.add(p)
+          val out =
+            if (interp.proxyIsArray(p)) {
+              val len = toNumber(interp.proxyGet(p, JsStr("length"), Pos(0))).toInt
+              fmtArr((0 until len).map(i =>
+                serProp(i.toString, interp.proxyGet(p, JsStr(i.toString), Pos(0)), p, depth + 1)
+                  .getOrElse("null")), depth)
+            } else {
+              val entries = propList match {
+                case Some(list) => list.map(k => (k, interp.proxyGet(p, JsStr(k), Pos(0))))
+                case None => interp.proxyOwnEntries(p)
+              }
+              fmtObj(entries.flatMap { case (k, pv) =>
+                serProp(k, pv, p, depth + 1).map(s => (quote(k), s))
+              }, depth)
+            }
+          seen.remove(p)
+          out
+      }
+    }
+    serProp("", v, JsObject.of("" -> v), 0)
   }
 
   def jsonParse(s: String): JsValue = {
@@ -1949,10 +2098,12 @@ object Builtins {
         JsBool(a.items.indexWhere(v => new JsKey(v) == new JsKey(target), from) >= 0)
       }
       case "join" => nat(name) { as =>
-        val sep = arg(as, 0) match { case JsUndefined => ","; case v => toStr(v) }
+        // separator AND elements coerce via interp-aware ToString
+        // (user toString / proxy get traps honored — V8)
+        val sep = arg(as, 0) match { case JsUndefined => ","; case v => interp.toStrI(v) }
         JsStr(a.items.map {
           case JsUndefined | JsNull => ""
-          case v => toStr(v)
+          case v => interp.toStrI(v)
         }.mkString(sep))
       }
       case "concat" => nat(name) { as =>
@@ -2063,8 +2214,9 @@ object Builtins {
         val (defined, undef) = nonHole.partition(_ != JsUndefined)
         val sorted = cmp match {
           case JsUndefined =>
-            // default sort: by ToString, code-unit order (stable)
-            defined.sortBy(toStr)
+            // default sort: by ToString, code-unit order (stable) —
+            // interp-aware so user toString participates (V8)
+            defined.sortBy(interp.toStrI)
           case fn =>
             // an inconsistent comparator must not surface TimSort's
             // IllegalArgumentException as an uncatchable HOST error that
@@ -2073,7 +2225,7 @@ object Builtins {
             // original (deterministic) order. A comparator that itself
             // throws (JsThrown) still propagates, as in real JS.
             try defined.sortWith { (x, y) =>
-              toNumber(interp.callCallback(fn, Vector(x, y))) < 0
+              interp.toNumberI(interp.callCallback(fn, Vector(x, y))) < 0
             } catch { case _: IllegalArgumentException => defined }
         }
         a.items.clear()
@@ -2092,7 +2244,7 @@ object Builtins {
           case JsUndefined => defined.sortBy(toStr)
           case fn =>
             try defined.sortWith { (x, y) =>
-              toNumber(interp.callCallback(fn, Vector(x, y))) < 0
+              interp.toNumberI(interp.callCallback(fn, Vector(x, y))) < 0
             } catch { case _: IllegalArgumentException => defined }
         }
         interp.budget.allocate(dense.length.toLong + 1)

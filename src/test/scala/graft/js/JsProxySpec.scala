@@ -155,6 +155,45 @@ class JsProxySpec extends AnyFunSuite with Matchers {
     ) shouldBe """["421",84]|TypeError""" // '42' + 1 concatenates: the fallback toString result is a STRING
   }
 
+  test("JSON.stringify replacer function: holder-aware, root key '', undefined drops") {
+    str(
+      """const keys = [];
+        |const out = JSON.stringify({ a: 2, b: { c: 'x' }, drop: 1 },
+        |  function (k, v) { keys.push(k); return k === 'drop' ? undefined : (typeof v === 'number' ? v * 10 : v); });
+        |return out + '|' + keys.join(';');""".stripMargin
+    ) shouldBe """{"a":20,"b":{"c":"x"}}|;a;b;c;drop"""
+  }
+
+  test("JSON.stringify PropertyList: list order, dupes dropped, arrays unaffected") {
+    str(
+      """const o = { a: 1, b: 2, c: { a: 9, z: 8 }, arr: [{ a: 1, q: 2 }] };
+        |return JSON.stringify(o, ['c', 'a', 'a']) + '|' +
+        |  JSON.stringify(o, ['arr', 'a', 'q']);""".stripMargin
+    ) shouldBe """{"c":{"a":9},"a":1}|{"arr":[{"a":1,"q":2}],"a":1}"""
+  }
+
+  test("JSON.parse reviver: bottom-up, undefined deletes, numbers transformed") {
+    str(
+      """const seen = [];
+        |const v = JSON.parse('{"a":1,"b":[2,3],"c":{"d":4}}', function (k, val) {
+        |  seen.push(k);
+        |  if (k === 'd') return undefined;
+        |  return typeof val === 'number' ? val + 1 : val;
+        |});
+        |return JSON.stringify(v) + '|' + seen.join(';');""".stripMargin
+    ) shouldBe """{"a":2,"b":[3,4],"c":{}}|a;0;1;b;d;c;"""
+  }
+
+  test("builtin argument coercion honors valueOf/toString: Math, parseInt, join, sort") {
+    str(
+      """const n = { valueOf(){ return -7; } };
+        |const st = { toString(){ return '42'; } };
+        |const sep = { toString(){ return '-'; } };
+        |return JSON.stringify([Math.abs(n), Math.max(n, 1), parseInt(st), parseFloat(st),
+        |  isNaN(n), Number(st), ['b', { toString(){ return 'E'; } }, 'a'].join(sep)]);""".stripMargin
+    ) shouldBe """[7,1,42,42,false,42,"b-E-a"]"""
+  }
+
   test("ToPrimitive: class instances via the prototype chain, proxies via the get trap") {
     str(
       """class Money { constructor(v){ this.v = v; } valueOf(){ return this.v; } toString(){ return '$' + this.v; } }

@@ -158,6 +158,43 @@ const templates = [
     let x = { valueOf(){ return 10; } };
     x += 5;
     return s + '|' + x;`,
+
+  // JSON.stringify replacer FUNCTION (holder-aware, root key '')
+  () => `const keys = [];
+    const out = JSON.stringify({ a: ${int(9)}, b: { c: 'x${int(9)}', d: [1, ${int(9)}] } },
+      function (k, v) { keys.push(k); return typeof v === 'number' ? v * ${2+int(3)} : v; }${pick(["", ", 2"])});
+    return out + '|' + keys.join(';');`,
+
+  // JSON.stringify PropertyList array (order, dupes, numbers, arrays unaffected)
+  () => `const o = { a: 1, b: 2, c: { a: 9, z: 8 }, 3: 'n', arr: [{ a: 1, q: 2 }] };
+    return JSON.stringify(o, ${pick([
+      "['c', 'a', 'a']", "['a', 3]", "['arr', 'a', 'q']", "['z', 'b']",
+    ])});`,
+
+  // replacer returning undefined drops members; dates pass through toJSON first
+  () => `const o = { keep: 1, drop: 2, d: new Date(${int(1e6)}) };
+    return '' + JSON.stringify(o, (k, v) => k === 'drop' ? undefined : v);`,
+
+  // JSON.parse reviver (bottom-up, undefined deletes, holder binding)
+  () => `const seen = [];
+    const v = JSON.parse('{"a":1,"b":[2,3],"c":{"d":4}}', function (k, val) {
+      seen.push(k);
+      if (k === '${pick(["a","d"])}') return undefined;
+      return typeof val === 'number' ? val + ${1+int(5)} : val;
+    });
+    return JSON.stringify(v) + '|' + seen.join(';');`,
+
+  // builtin coercion: Math/parseInt/parseFloat/isNaN honor valueOf/toString
+  () => `const n = { valueOf(){ return ${pick(["-7", "2.5", "9"])}; } };
+    const st = { toString(){ return '${pick(["42", "3.5", "0x10"])}'; } };
+    return JSON.stringify([Math.abs(n), Math.max(n, 1), Math.min(n, 1),
+      Math.floor(n), Math.pow(n, 2), parseInt(st), parseFloat(st), isNaN(n), Number(st)]);`,
+
+  // join/sort coercion: elements and separators with user toString
+  () => `const e = { toString(){ return 'E${int(9)}'; } };
+    const sep = { toString(){ return '${pick(["-", "+"])}'; } };
+    const arr = ['b', e, 'a'];
+    return arr.join(sep) + '|' + [${int(9)}, e, 'c'].sort().join(',');`,
 ];
 
 const fixed = [
