@@ -1,7 +1,8 @@
 package graft.js
 
 import scala.util.control.NoStackTrace
-import java.util.concurrent.TimeUnit
+import java.util.concurrent.{Executors, ThreadFactory, TimeUnit}
+import java.util.concurrent.atomic.AtomicInteger
 
 /** Generator execution protocol (round 13 — closes the VERDICT r12
   * "out-of-subset tail" item for `function*`).
@@ -9,9 +10,9 @@ import java.util.concurrent.TimeUnit
   * The reference runs lens code on real V8 (isolated-vm,
   * reference: library/workers/javascript-lens-worker.js:100-145), where
   * generators come free. This tree-walking interpreter gets them via a
-  * DEDICATED DAEMON THREAD per generator with strict synchronous
-  * handoff: the caller parks on `outQ.take` while the body runs, the
-  * body parks on `cmdQ.take` while suspended — exactly one of the two
+  * DEDICATED WORKER THREAD per generator instance with strict
+  * synchronous handoff: the caller parks on `outQ` while the body runs,
+  * the body parks on `cmdQ` while suspended — exactly one of the two
   * runs at any instant. Consequences:
   *
   *  - the shared [[Budget]] keeps single-threaded semantics (every
@@ -22,16 +23,23 @@ import java.util.concurrent.TimeUnit
   *    deadline (it ticks the same Budget), and the failure is relayed
   *    to the resuming thread as the ORIGINAL host exception, so the
   *    lens worker's uncatchable-budget contract holds through yields;
-  *  - a generator ABANDONED while suspended parks its thread until
-  *    [[Interp.closeGenerators]] interrupts it at the end of the map
+  *  - a generator ABANDONED while suspended parks its worker until
+  *    [[Interp.closeGenerators]] releases it at the end of the map
   *    call. The unwind runs the body's `finally` blocks (V8 does NOT
   *    run them on GC — a deliberate divergence toward predictability),
   *    but any `yield` inside them observes the closed flag and
-  *    re-unwinds, so the thread always exits without blocking.
+  *    re-unwinds, so the worker is always released without blocking.
   *
-  * Cost: one thread start (~50 µs) per generator INSTANTIATION, zero
-  * per yield beyond the rendezvous. Lens maps that use generators pay
-  * this per record; the q149 driver query measures the envelope.
+  * Worker threads come from one JVM-wide CACHED DAEMON POOL (r13
+  * measurement: raw `new Thread` per instance cost a 1.44×-linear
+  * decade on the generator-dense q149 — 100k thread creations at
+  * sf1.0 plus timed-park handoffs under 32 concurrent tasks; the pool
+  * reuses ~task-count workers, and the body side uses UNTIMED
+  * take/put, whose SynchronousQueue spin-then-park path is the cheap
+  * one). The pool holds no cross-call state — it is a thread
+  * provider, like the JVM's common pool, not a value registry; teardown
+  * is queue-based (GenKill), never interrupt-based, so a released
+  * worker returns to the pool with a clean interrupt flag.
   */
 private[js] object Generators {
 
@@ -40,6 +48,9 @@ private[js] object Generators {
   final case class GenNext(v: JsValue) extends GenCmd
   final case class GenThrow(v: JsValue) extends GenCmd
   final case class GenReturn(v: JsValue) extends GenCmd
+  /** teardown: wakes a suspended body so it unwinds and releases its
+    * pooled worker (sent by [[close]], never by user-visible paths) */
+  case object GenKill extends GenCmd
 
   // what the body hands back at each suspension/completion
   sealed trait GenOut
@@ -62,9 +73,25 @@ private[js] object Generators {
     * bug, surfaced as a host error rather than a JVM hang */
   private val HandoffWaitSeconds = 120L
 
-  /** the channel of the generator whose BODY is executing on this
-    * thread (each body has its own thread, so this is never ambiguous);
-    * null on the main interpreter thread */
+  /** JVM-wide worker pool: daemon, cached (idle workers reaped after
+    * 60 s), one busy worker per LIVE generator instance */
+  private val pool = Executors.newCachedThreadPool(new ThreadFactory {
+    private val n = new AtomicInteger
+    def newThread(r: Runnable): Thread = {
+      val t = new Thread(r, s"js-gen-${n.incrementAndGet()}")
+      t.setDaemon(true)
+      t
+    }
+  })
+
+  /** bodies currently occupying a worker (running OR suspended) — the
+    * observable the reap test asserts on (pool threads outlive bodies,
+    * so thread counting no longer measures leakage) */
+  val liveBodies = new AtomicInteger(0)
+
+  /** the generator whose BODY is executing on this thread (each body
+    * has its own worker while live, so this is never ambiguous); null
+    * on the main interpreter thread */
   val current = new ThreadLocal[JsGenerator]
 
   // ---------------- caller side ----------------
@@ -75,7 +102,7 @@ private[js] object Generators {
       case 3 => (JsUndefined, true)
       case 2 => Values.throwType("Generator is already running")
       case 0 => start(g, interp) // first next()'s argument is dropped (spec)
-      case _ => resume(g, GenNext(v), interp)
+      case _ => resume(g, GenNext(v))
     }
 
   /** gen.throw(v) — throws into the body at the suspended yield. */
@@ -84,7 +111,7 @@ private[js] object Generators {
       case 2 => Values.throwType("Generator is already running")
       case 0 => g.state = 3; throw JsThrown(v) // never started: complete, rethrow
       case 3 => throw JsThrown(v)
-      case _ => resume(g, GenThrow(v), interp)
+      case _ => resume(g, GenThrow(v))
     }
 
   /** gen.return(v) — unwinds the body (finally blocks run; a yield
@@ -93,20 +120,19 @@ private[js] object Generators {
     g.state match {
       case 2 => Values.throwType("Generator is already running")
       case 0 | 3 => g.state = 3; (v, true)
-      case _ => resume(g, GenReturn(v), interp)
+      case _ => resume(g, GenReturn(v))
     }
 
   private def start(g: JsGenerator, interp: Interp): (JsValue, Boolean) = {
     g.state = 2
-    val t = new Thread(() => runBody(g, interp), "js-gen")
-    t.setDaemon(true)
-    g.thread = t
-    t.start()
+    pool.execute(() => runBody(g, interp))
     await(g)
   }
 
-  private def resume(g: JsGenerator, cmd: GenCmd, interp: Interp): (JsValue, Boolean) = {
+  private def resume(g: JsGenerator, cmd: GenCmd): (JsValue, Boolean) = {
     g.state = 2
+    // the body is parked at cmdQ.take whenever state was 1, so the
+    // rendezvous completes; the timeout only guards protocol bugs
     if (!g.cmdQ.offer(cmd, HandoffWaitSeconds, TimeUnit.SECONDS))
       protocolError(g)
     await(g)
@@ -124,50 +150,65 @@ private[js] object Generators {
 
   private def protocolError(g: JsGenerator): Nothing = {
     g.closed = true
-    if (g.thread != null) g.thread.interrupt()
     g.state = 3
     throw new IllegalStateException(
       s"internal: generator '${g.name}' did not respond within ${HandoffWaitSeconds}s")
   }
 
-  /** teardown (end of map call / Interp disposal): interrupt a
-    * suspended body so its thread unwinds and exits. Idempotent. */
+  /** teardown (end of map call / Interp disposal): release a suspended
+    * body's worker back to the pool. Queue-based, not interrupt-based —
+    * the suspended body is parked at cmdQ.take, so GenKill completes
+    * the rendezvous and the body unwinds on the closed flag (the short
+    * timed offer covers the instants between the caller observing the
+    * yield and the body reaching its park). Idempotent. */
   def close(g: JsGenerator): Unit = {
     g.closed = true
-    if (g.thread != null && g.state != 3) g.thread.interrupt()
+    if (g.state == 1) {
+      g.cmdQ.offer(GenKill, 1, TimeUnit.SECONDS)
+      ()
+    }
     g.state = 3
   }
 
   // ---------------- body side ----------------
 
   private def runBody(g: JsGenerator, interp: Interp): Unit = {
+    if (g.closed) return // closed before the worker picked it up
+    liveBodies.incrementAndGet()
     current.set(g)
-    val out: GenOut =
-      try GenDone(interp.runGeneratorFrame(g.closure, g.genThis, g.genArgs))
-      catch {
-        case GenReturnSig(v) => GenDone(v)
-        case _: GenKilled | _: InterruptedException => null // closed: nobody is waiting
-        case t: Throwable => GenFailed(t)
+    try {
+      val out: GenOut =
+        try GenDone(interp.runGeneratorFrame(g.closure, g.genThis, g.genArgs))
+        catch {
+          case GenReturnSig(v) => GenDone(v)
+          case _: GenKilled | _: InterruptedException => null // closed: nobody is waiting
+          case t: Throwable => GenFailed(t)
+        }
+      if (out != null && !g.closed) {
+        try {
+          if (!g.outQ.offer(out, HandoffWaitSeconds, TimeUnit.SECONDS)) ()
+        } catch { case _: InterruptedException => () }
       }
-    if (out != null && !g.closed) {
-      try {
-        if (!g.outQ.offer(out, HandoffWaitSeconds, TimeUnit.SECONDS)) ()
-      } catch { case _: InterruptedException => () }
+    } finally {
+      current.remove()
+      liveBodies.decrementAndGet()
+      Thread.interrupted() // return the worker to the pool with a clean flag
     }
   }
 
   /** a `yield` in the body: hand `v` to the caller, park, return the
-    * caller's command raw (yield* delegation routes commands itself). */
+    * caller's command raw (yield* delegation routes commands itself).
+    * Untimed put/take — the cheap SynchronousQueue path; the CALLER
+    * side carries the protocol timeouts. */
   def yieldRaw(v: JsValue): GenCmd = {
     val g = current.get
     if (g == null) // unreachable: the parser admits yield only in generator bodies
       Values.throwType("yield outside of a generator")
     if (g.closed) throw new GenKilled
     try {
-      if (!g.outQ.offer(GenYielded(v), HandoffWaitSeconds, TimeUnit.SECONDS))
-        throw new GenKilled
-      val cmd = g.cmdQ.poll(HandoffWaitSeconds, TimeUnit.SECONDS)
-      if (cmd == null || g.closed) throw new GenKilled
+      g.outQ.put(GenYielded(v))
+      val cmd = g.cmdQ.take()
+      if ((cmd eq GenKill) || g.closed) throw new GenKilled
       cmd
     } catch { case _: InterruptedException => throw new GenKilled }
   }
@@ -177,6 +218,7 @@ private[js] object Generators {
     case GenNext(x) => x
     case GenThrow(x) => throw JsThrown(x)
     case GenReturn(x) => throw GenReturnSig(x)
+    case GenKill => throw new GenKilled // unreachable: yieldRaw filtered it
   }
 
   /** `yield* inner` over another GENERATOR: full delegation — next/
@@ -194,6 +236,7 @@ private[js] object Generators {
           // inner yielded from a finally → keep delegating (spec)
           if (rdone) throw GenReturnSig(rv)
           (rv, rdone)
+        case GenKill => throw new GenKilled // unreachable via yieldRaw
       }
       if (done) return v
       cmd = yieldRaw(v)
@@ -211,6 +254,7 @@ private[js] object Generators {
         case GenThrow(_) =>
           Values.throwType("The iterator does not provide a 'throw' method")
         case GenReturn(x) => throw GenReturnSig(x)
+        case GenKill => throw new GenKilled // unreachable via yieldRaw
       }
     }
     JsUndefined

@@ -1461,10 +1461,11 @@ final class Interp(globalScope: Scope, val budget: Budget) {
     g
   }
 
-  /** Interrupt every non-finished generator body so its thread unwinds
-    * and exits. The lens worker calls this after EVERY map call
-    * (including error paths) — a suspended generator would otherwise
-    * park its daemon thread for the life of the executor. */
+  /** Release every non-finished generator body's pooled worker (queue-
+    * based GenKill — see Generators.close). The lens worker calls this
+    * after EVERY map call (including error paths) — a suspended
+    * generator would otherwise hold a pool worker for the life of the
+    * executor. */
   def closeGenerators(): Unit = {
     liveGens.foreach(Generators.close)
     liveGens.clear()

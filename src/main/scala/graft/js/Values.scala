@@ -187,20 +187,19 @@ final class JsClosure(val fnName: Option[String], val params: Vector[Ast.Pattern
   * Array.from / new Set / new Map), with `next`/`return`/`throw`
   * methods per the ES iteration protocol.
   *
-  * Execution model: the body runs on a dedicated daemon thread with
+  * Execution model: the body runs on a pooled daemon worker with
   * STRICT synchronous handoff through two rendezvous queues — at any
   * instant exactly one of (caller, generator body) runs, so the shared
   * [[Budget]] and all user objects keep single-threaded semantics, and
   * every resume/yield pair is a happens-before edge. Suspended-forever
   * generators are reaped by [[Interp.closeGenerators]] at the end of
   * each map call (the lens worker's contract); see
-  * [[Generators]] for the protocol. */
+  * [[Generators]] for the protocol and the pool rationale. */
 final class JsGenerator(val closure: JsClosure, val genThis: JsValue,
                         val genArgs: Vector[JsValue]) extends JsValue {
   /** 0 = not started, 1 = suspended at a yield, 2 = running (re-entrant
     * next() is a TypeError, like V8), 3 = done */
   private[js] var state: Int = 0
-  private[js] var thread: Thread = null
   private[js] val cmdQ = new java.util.concurrent.SynchronousQueue[Generators.GenCmd]
   private[js] val outQ = new java.util.concurrent.SynchronousQueue[Generators.GenOut]
   /** set by closeGenerators: the body must unwind WITHOUT blocking on

@@ -222,12 +222,10 @@ class JsGeneratorSpec extends AnyFunSuite with Matchers {
     res.outputs shouldBe empty
   }
 
-  test("abandoned suspended generators are reaped: their threads exit after the map call") {
-    def liveGenThreads(): Int = {
-      val all = new Array[Thread](Thread.activeCount() + 64)
-      val n = Thread.enumerate(all)
-      all.take(n).count(t => t != null && t.getName == "js-gen" && t.isAlive)
-    }
+  test("abandoned suspended generators are reaped: their bodies release workers after the map call") {
+    // pooled workers outlive bodies by design, so the leak observable
+    // is the LIVE-BODY gauge (a body holds a worker; a released body
+    // returns it), not a thread count
     (1 to 25).foreach { _ =>
       val res = run(
         """function* g(){ try { let i = 0; while (true) yield i++; } finally { /* suspended here */ } }
@@ -235,10 +233,10 @@ class JsGeneratorSpec extends AnyFunSuite with Matchers {
           |output('r', 'left suspended');""".stripMargin)
       res.error shouldBe None
     }
-    // closeGenerators interrupted each suspended body at map-call end;
-    // give the unwinding threads a beat to exit
+    // closeGenerators sent GenKill to each suspended body at map-call
+    // end; give the unwinding workers a beat to decrement the gauge
     val deadline = System.nanoTime() + 5000000000L
-    while (liveGenThreads() > 0 && System.nanoTime() < deadline) Thread.sleep(20)
-    liveGenThreads() shouldBe 0
+    while (Generators.liveBodies.get() > 0 && System.nanoTime() < deadline) Thread.sleep(20)
+    Generators.liveBodies.get() shouldBe 0
   }
 }
