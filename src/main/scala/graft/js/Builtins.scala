@@ -1676,37 +1676,37 @@ object Builtins {
     def withStr(nm: String)(f: Vector[JsValue] => JsValue): Option[JsValue] = Some(native(nm)((_, as) => f(as)))
     name match {
       case "charAt" => withStr(name) { as =>
-        val i = toNumber(arg(as, 0)).toInt
+        val i = interp.toNumberI(arg(as, 0)).toInt
         JsStr(if (i >= 0 && i < s.length) s.charAt(i).toString else "")
       }
       case "charCodeAt" => withStr(name) { as =>
-        val i = arg(as, 0) match { case JsUndefined => 0; case v => toNumber(v).toInt }
+        val i = arg(as, 0) match { case JsUndefined => 0; case v => interp.toNumberI(v).toInt }
         if (i >= 0 && i < s.length) JsNum(s.charAt(i).toDouble) else JsNum(Double.NaN)
       }
       case "codePointAt" => withStr(name) { as =>
-        val i = arg(as, 0) match { case JsUndefined => 0; case v => toNumber(v).toInt }
+        val i = arg(as, 0) match { case JsUndefined => 0; case v => interp.toNumberI(v).toInt }
         if (i >= 0 && i < s.length) JsNum(s.codePointAt(i).toDouble) else JsUndefined
       }
       case "at" => withStr(name) { as =>
-        val i0 = toNumber(arg(as, 0)).toInt
+        val i0 = interp.toNumberI(arg(as, 0)).toInt
         val i = if (i0 < 0) s.length + i0 else i0
         if (i >= 0 && i < s.length) JsStr(s.charAt(i).toString) else JsUndefined
       }
-      case "indexOf" => withStr(name)(as => JsNum(s.indexOf(toStr(arg(as, 0)),
-        arg(as, 1) match { case JsUndefined => 0; case v => toNumber(v).toInt }).toDouble))
-      case "lastIndexOf" => withStr(name)(as => JsNum(s.lastIndexOf(toStr(arg(as, 0)),
+      case "indexOf" => withStr(name)(as => JsNum(s.indexOf(interp.toStrI(arg(as, 0)),
+        arg(as, 1) match { case JsUndefined => 0; case v => interp.toNumberI(v).toInt }).toDouble))
+      case "lastIndexOf" => withStr(name)(as => JsNum(s.lastIndexOf(interp.toStrI(arg(as, 0)),
         arg(as, 1) match { case JsUndefined => s.length; case v =>
           // ES 22.1.3.9: NaN → +Inf, else clamp to [0, len] — a STRING's
           // negative position clamps to 0 (unlike Array#lastIndexOf,
           // which counts from the end)
-          val d = toNumber(v); if (d.isNaN) s.length else math.max(0, d.toInt) }).toDouble))
-      case "includes" => withStr(name)(as => JsBool(s.indexOf(toStr(arg(as, 0)),
-        arg(as, 1) match { case JsUndefined => 0; case v => math.max(0, toNumber(v).toInt) }) >= 0))
-      case "startsWith" => withStr(name)(as => JsBool(s.startsWith(toStr(arg(as, 0)),
-        arg(as, 1) match { case JsUndefined => 0; case v => toNumber(v).toInt })))
+          val d = interp.toNumberI(v); if (d.isNaN) s.length else math.max(0, d.toInt) }).toDouble))
+      case "includes" => withStr(name)(as => JsBool(s.indexOf(interp.toStrI(arg(as, 0)),
+        arg(as, 1) match { case JsUndefined => 0; case v => math.max(0, interp.toNumberI(v).toInt) }) >= 0))
+      case "startsWith" => withStr(name)(as => JsBool(s.startsWith(interp.toStrI(arg(as, 0)),
+        arg(as, 1) match { case JsUndefined => 0; case v => interp.toNumberI(v).toInt })))
       case "endsWith" => withStr(name) { as =>
-        val end = arg(as, 1) match { case JsUndefined => s.length; case v => toNumber(v).toInt }
-        JsBool(s.substring(0, math.min(math.max(end, 0), s.length)).endsWith(toStr(arg(as, 0))))
+        val end = arg(as, 1) match { case JsUndefined => s.length; case v => interp.toNumberI(v).toInt }
+        JsBool(s.substring(0, math.min(math.max(end, 0), s.length)).endsWith(interp.toStrI(arg(as, 0))))
       }
       case "slice" => withStr(name) { as =>
         val len = s.length
@@ -1714,24 +1714,24 @@ object Builtins {
           val i = if (v < 0) len + v.toInt else v.toInt
           math.max(0, math.min(len, i))
         }
-        val start = arg(as, 0) match { case JsUndefined => 0; case v => clamp(toNumber(v), true) }
-        val end = arg(as, 1) match { case JsUndefined => len; case v => clamp(toNumber(v), true) }
+        val start = arg(as, 0) match { case JsUndefined => 0; case v => clamp(interp.toNumberI(v), true) }
+        val end = arg(as, 1) match { case JsUndefined => len; case v => clamp(interp.toNumberI(v), true) }
         JsStr(if (start >= end) "" else s.substring(start, end))
       }
       case "substring" => withStr(name) { as =>
         val len = s.length
         def clamp(v: Double): Int = math.max(0, math.min(len, if (java.lang.Double.isNaN(v)) 0 else v.toInt))
-        val a = arg(as, 0) match { case JsUndefined => 0; case v => clamp(toNumber(v)) }
-        val b = arg(as, 1) match { case JsUndefined => len; case v => clamp(toNumber(v)) }
+        val a = arg(as, 0) match { case JsUndefined => 0; case v => clamp(interp.toNumberI(v)) }
+        val b = arg(as, 1) match { case JsUndefined => len; case v => clamp(interp.toNumberI(v)) }
         JsStr(s.substring(math.min(a, b), math.max(a, b)))
       }
       case "substr" => withStr(name) { as =>
         val len = s.length
-        var start = toNumber(arg(as, 0)).toInt
+        var start = interp.toNumberI(arg(as, 0)).toInt
         if (start < 0) start = math.max(0, len + start)
         if (start >= len) JsStr("")
         else {
-          val count = arg(as, 1) match { case JsUndefined => len - start; case v => toNumber(v).toInt }
+          val count = arg(as, 1) match { case JsUndefined => len - start; case v => interp.toNumberI(v).toInt }
           JsStr(s.substring(start, math.min(len, start + math.max(0, count))))
         }
       }
@@ -1753,12 +1753,12 @@ object Builtins {
         JsStr(s.substring(0, j))
       }
       case "split" => withStr(name) { as =>
-        val limit = arg(as, 1) match { case JsUndefined => Int.MaxValue; case v => toNumber(v).toInt }
+        val limit = arg(as, 1) match { case JsUndefined => Int.MaxValue; case v => interp.toNumberI(v).toInt }
         val parts: Vector[JsValue] = arg(as, 0) match {
           case JsUndefined => Vector(JsStr(s))
           case r: JsRegExpV => splitByRegex(s, r.pattern, r.negGroups)
           case sep =>
-            val sepS = toStr(sep)
+            val sepS = interp.toStrI(sep)
             if (sepS.isEmpty) s.map(c => JsStr(c.toString): JsValue).toVector
             else splitByLiteral(s, sepS).map(JsStr(_): JsValue)
         }
@@ -1783,7 +1783,7 @@ object Builtins {
             // not a literal — '.'/'\\d' etc stay metacharacters; a
             // MISSING argument is RegExp(undefined) = the empty pattern,
             // not the literal string "undefined"
-            val r = compileRegex(if (other == JsUndefined) "" else toStr(other), "", Pos(0))
+            val r = compileRegex(if (other == JsUndefined) "" else interp.toStrI(other), "", Pos(0))
             val m = r.pattern.matcher(s)
             if (m.find()) execResult(m, s, r.negGroups, r.negNames) else JsNull
         }
@@ -1792,7 +1792,7 @@ object Builtins {
         val r = arg(as, 0) match {
           case re: JsRegExpV => re
           case other => // same coercion as match, incl. the undefined case
-            compileRegex(if (other == JsUndefined) "" else toStr(other), "", Pos(0))
+            compileRegex(if (other == JsUndefined) "" else interp.toStrI(other), "", Pos(0))
         }
         val m = r.pattern.matcher(s)
         JsNum(if (m.find()) m.start.toDouble else -1.0)
@@ -1807,7 +1807,7 @@ object Builtins {
               throwType("String.prototype.matchAll called with a non-global RegExp argument")
             re
           case other =>
-            compileRegex(if (other == JsUndefined) "" else toStr(other), "g", Pos(0))
+            compileRegex(if (other == JsUndefined) "" else interp.toStrI(other), "g", Pos(0))
         }
         val m = r.pattern.matcher(s)
         val out = JsArray.empty
@@ -1824,28 +1824,28 @@ object Builtins {
         out
       }
       case "repeat" => withStr(name) { as =>
-        val n = toNumber(arg(as, 0)).toInt
+        val n = interp.toNumberI(arg(as, 0)).toInt
         if (n < 0) throwRange("repeat count must be non-negative")
         if (n.toLong * s.length > 50000000L) throwRange("repeat result too large for lens code")
         interp.budget.allocate(n.toLong * s.length + 1)
         JsStr(s * n)
       }
       case "padStart" => withStr(name) { as =>
-        val target = toNumber(arg(as, 0)).toInt
-        val pad = arg(as, 1) match { case JsUndefined => " "; case v => toStr(v) }
+        val target = interp.toNumberI(arg(as, 0)).toInt
+        val pad = arg(as, 1) match { case JsUndefined => " "; case v => interp.toStrI(v) }
         interp.budget.allocate(math.max(s.length, target).toLong + 1)
         JsStr(padTo(s, target, pad, start = true))
       }
       case "padEnd" => withStr(name) { as =>
-        val target = toNumber(arg(as, 0)).toInt
-        val pad = arg(as, 1) match { case JsUndefined => " "; case v => toStr(v) }
+        val target = interp.toNumberI(arg(as, 0)).toInt
+        val pad = arg(as, 1) match { case JsUndefined => " "; case v => interp.toStrI(v) }
         interp.budget.allocate(math.max(s.length, target).toLong + 1)
         JsStr(padTo(s, target, pad, start = false))
       }
       case "concat" => withStr(name)(as => JsStr(s + as.map(toStr).mkString))
-      case "localeCompare" => withStr(name)(as => JsNum(Integer.signum(s.compareTo(toStr(arg(as, 0)))).toDouble))
+      case "localeCompare" => withStr(name)(as => JsNum(Integer.signum(s.compareTo(interp.toStrI(arg(as, 0)))).toDouble))
       case "normalize" => withStr(name) { as =>
-        val form = arg(as, 0) match { case JsUndefined => "NFC"; case v => toStr(v) }
+        val form = arg(as, 0) match { case JsUndefined => "NFC"; case v => interp.toStrI(v) }
         JsStr(java.text.Normalizer.normalize(s, java.text.Normalizer.Form.valueOf(form)))
       }
       case "toString" | "valueOf" => withStr(name)(_ => JsStr(s))
@@ -1932,14 +1932,14 @@ object Builtins {
         val args = Vector(JsStr(matched)) ++
           groups.map(g => g.map(JsStr(_): JsValue).getOrElse(JsUndefined)) ++
           Vector(JsNum(index.toDouble), JsStr(s)) ++ groupsObj
-        toStr(interp.callFunction(f, JsUndefined, args, Pos(0), "replacer"))
+        interp.toStrI(interp.callFunction(f, JsUndefined, args, Pos(0), "replacer"))
       case other =>
         // $& = match, $` / $' = before/after context, $1..$99 groups
         // ($nn preferred over $n when both are valid groups, like V8),
         // $<name> named groups (literal when the pattern declares none,
         // "" for an unknown name — ES GetSubstitution), $$ literal;
         // anything else stays literal (ES 22.1.3.19.1)
-        val template = toStr(other)
+        val template = interp.toStrI(other)
         val sb = new java.lang.StringBuilder
         var i = 0
         while (i < template.length) {
@@ -2001,7 +2001,7 @@ object Builtins {
         sb.append(s.substring(math.min(last, s.length)))
         sb.toString
       case other =>
-        val lit = toStr(other)
+        val lit = interp.toStrI(other)
         if (!all) {
           val idx = s.indexOf(lit)
           if (idx < 0) s
@@ -2037,7 +2037,7 @@ object Builtins {
       if (as.isEmpty) 0
       else if (as.length == 1) len - start
       else {
-        val n = toNumber(arg(as, 1))
+        val n = interp.toNumberI(arg(as, 1))
         math.max(0, math.min(len - start, if (n.isNaN) 0 else n.toInt))
       }
     name match {
@@ -2051,13 +2051,13 @@ object Builtins {
       case "unshift" => nat(name) { as => a.items.prependAll(as); JsNum(a.items.length.toDouble) }
       case "slice" => nat(name) { as =>
         val len = a.items.length
-        val start = arg(as, 0) match { case JsUndefined => 0; case v => normIndex(toNumber(v), len) }
-        val end = arg(as, 1) match { case JsUndefined => len; case v => normIndex(toNumber(v), len) }
+        val start = arg(as, 0) match { case JsUndefined => 0; case v => normIndex(interp.toNumberI(v), len) }
+        val end = arg(as, 1) match { case JsUndefined => len; case v => normIndex(interp.toNumberI(v), len) }
         JsArray.of(a.items.slice(start, math.max(start, end)).toSeq: _*)
       }
       case "splice" => nat(name) { as =>
         val len = a.items.length
-        val start = arg(as, 0) match { case JsUndefined => 0; case v => normIndex(toNumber(v), len) }
+        val start = arg(as, 0) match { case JsUndefined => 0; case v => normIndex(interp.toNumberI(v), len) }
         // 23.1.3.31: deleteCount ABSENT -> "remove nothing" only when
         // start is also absent; present-but-undefined is
         // ToIntegerOrInfinity(undefined)=0 — arity, not value
@@ -2072,7 +2072,7 @@ object Builtins {
       case "indexOf" => nat(name) { as =>
         val from = arg(as, 1) match {
           case JsUndefined => 0
-          case v => val i = toNumber(v).toInt
+          case v => val i = interp.toNumberI(v).toInt
             math.max(0, if (i < 0) a.items.length + i else i)
         }
         // holes are skipped (indexOf never matches undefined in a hole)
@@ -2081,7 +2081,7 @@ object Builtins {
       case "lastIndexOf" => nat(name) { as =>
         val end = arg(as, 1) match {
           case JsUndefined => a.items.length - 1
-          case v => val i = toNumber(v).toInt
+          case v => val i = interp.toNumberI(v).toInt
             math.min(a.items.length - 1, if (i < 0) a.items.length + i else i)
         }
         JsNum((if (end < 0) -1
@@ -2091,7 +2091,7 @@ object Builtins {
         val target = arg(as, 0)
         val from = arg(as, 1) match {
           case JsUndefined => 0
-          case v => val i = toNumber(v).toInt
+          case v => val i = interp.toNumberI(v).toInt
             math.max(0, if (i < 0) a.items.length + i else i)
         }
         // includes uses SameValueZero (NaN found), unlike indexOf
@@ -2256,7 +2256,7 @@ object Builtins {
       }
       case "toSpliced" => nat(name) { as =>
         val len = a.items.length
-        val start = arg(as, 0) match { case JsUndefined => 0; case v => normIndex(toNumber(v), len) }
+        val start = arg(as, 0) match { case JsUndefined => 0; case v => normIndex(interp.toNumberI(v), len) }
         // same arity rule as splice (23.1.3.35 mirrors 23.1.3.31)
         val deleteCount = spliceDeleteCount(as, len, start)
         val dense = a.items.toVector.map(Values.deHole)
@@ -2265,14 +2265,14 @@ object Builtins {
       }
       case "with" => nat(name) { as =>
         val len = a.items.length
-        val raw = toNumber(arg(as, 0)).toInt
+        val raw = interp.toNumberI(arg(as, 0)).toInt
         val idx = if (raw < 0) len + raw else raw
         if (idx < 0 || idx >= len) throwRange(s"Invalid index : $raw")
         interp.budget.allocate(len.toLong + 1)
         JsArray.of(a.items.toVector.map(Values.deHole).updated(idx, arg(as, 1)): _*)
       }
       case "flat" => nat(name) { as =>
-        val depth = arg(as, 0) match { case JsUndefined => 1; case v => toNumber(v).toInt }
+        val depth = arg(as, 0) match { case JsUndefined => 1; case v => interp.toNumberI(v).toInt }
         def fl(items: Vector[JsValue], d: Int): Vector[JsValue] =
           items.flatMap {
             case h if h eq JsHole => Vector.empty // holes vanish at every depth
@@ -2294,16 +2294,16 @@ object Builtins {
       case "fill" => nat(name) { as =>
         val v = arg(as, 0)
         val len = a.items.length
-        val start = arg(as, 1) match { case JsUndefined => 0; case x => normIndex(toNumber(x), len) }
-        val end = arg(as, 2) match { case JsUndefined => len; case x => normIndex(toNumber(x), len) }
+        val start = arg(as, 1) match { case JsUndefined => 0; case x => normIndex(interp.toNumberI(x), len) }
+        val end = arg(as, 2) match { case JsUndefined => len; case x => normIndex(interp.toNumberI(x), len) }
         (start until end).foreach(a.items(_) = v)
         a
       }
       case "copyWithin" => nat(name) { as =>
         val len = a.items.length
-        val target = normIndex(toNumber(arg(as, 0)), len)
-        val start = arg(as, 1) match { case JsUndefined => 0; case x => normIndex(toNumber(x), len) }
-        val end = arg(as, 2) match { case JsUndefined => len; case x => normIndex(toNumber(x), len) }
+        val target = normIndex(interp.toNumberI(arg(as, 0)), len)
+        val start = arg(as, 1) match { case JsUndefined => 0; case x => normIndex(interp.toNumberI(x), len) }
+        val end = arg(as, 2) match { case JsUndefined => len; case x => normIndex(interp.toNumberI(x), len) }
         val count = math.min(end - start, len - target)
         if (count > 0) {
           // snapshot first: source and destination ranges may overlap
@@ -2314,7 +2314,7 @@ object Builtins {
         a
       }
       case "at" => nat(name) { as =>
-        val i0 = toNumber(arg(as, 0)).toInt
+        val i0 = interp.toNumberI(arg(as, 0)).toInt
         val i = if (i0 < 0) a.items.length + i0 else i0
         if (i >= 0 && i < a.items.length) Values.deHole(a.items(i)) else JsUndefined
       }
@@ -2322,7 +2322,7 @@ object Builtins {
       case "values" => nat(name)(_ => JsArray.of(a.items.toSeq.map(Values.deHole): _*))
       case "entries" => nat(name)(_ =>
         JsArray.of(a.items.toVector.zipWithIndex.map { case (v, i) => JsArray.of(JsNum(i.toDouble), Values.deHole(v)) }: _*))
-      case "toString" => nat(name)(_ => JsStr(toStr(a)))
+      case "toString" => nat(name)(_ => JsStr(interp.toStrI(a)))
       case _ => None
     }
   }

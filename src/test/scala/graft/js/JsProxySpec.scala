@@ -184,6 +184,16 @@ class JsProxySpec extends AnyFunSuite with Matchers {
     ) shouldBe """{"a":2,"b":[3,4],"c":{}}|a;0;1;b;d;c;"""
   }
 
+  test("string/array method ARGUMENTS coerce through valueOf/toString") {
+    str(
+      """const i = { valueOf(){ return 1; } };
+        |const pat = { toString(){ return 'll' } };
+        |return JSON.stringify(['abcdef'.slice(i, 4), 'hello'.indexOf(pat),
+        |  'abc'.repeat({ valueOf(){ return 2 } }), 'abc'.padStart(6, { toString(){ return '-' } }),
+        |  [1, 2, 3, 4].slice(i, 3).join(''), [5, 6, 7].at({ valueOf(){ return -1 } })]);""".stripMargin
+    ) shouldBe """["bcd",2,"abcabc","---abc","23",7]"""
+  }
+
   test("builtin argument coercion honors valueOf/toString: Math, parseInt, join, sort") {
     str(
       """const n = { valueOf(){ return -7; } };

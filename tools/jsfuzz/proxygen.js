@@ -195,6 +195,13 @@ const templates = [
     const sep = { toString(){ return '${pick(["-", "+"])}'; } };
     const arr = ['b', e, 'a'];
     return arr.join(sep) + '|' + [${int(9)}, e, 'c'].sort().join(',');`,
+
+  // string/array METHOD ARGUMENTS coerce through valueOf/toString
+  () => `const i = { valueOf(){ return ${1+int(3)}; } };
+    const pat = { toString(){ return '${pick(["b", "c", "l"])}'; } };
+    return JSON.stringify(['abcdefl'.slice(i, ${4+int(3)}), 'abcl'.indexOf(pat),
+      'abc'.repeat(i), 'ab'.padStart(${4+int(3)}, pat), [1, 2, 3, 4, 5].slice(i).join(''),
+      'xbyl'.replace(pat, '${pick(["Z", ""])}'), [7, 8, 9].at(i)]);`,
 ];
 
 const fixed = [
