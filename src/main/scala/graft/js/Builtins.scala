@@ -60,6 +60,9 @@ object Builtins {
         case _: JsProxyV => // exotic object: V8 DataCloneError, never a silent unwrap
           throw JsThrown(makeError("DataCloneError",
             "#<Object> could not be cloned"))
+        case sym: JsSymbolV =>
+          throw JsThrown(makeError("DataCloneError",
+            s"Symbol(${sym.description}) could not be cloned"))
         case a: JsArray =>
           val seen = memo.get(a)
           if (seen != null) seen
@@ -140,6 +143,17 @@ object Builtins {
         case m => toStr(m)
       })))
     }
+    // Symbol (r13): WELL-KNOWN symbols only — Symbol.iterator enables
+    // custom iterables (see JsSymbolV); calling/constructing Symbol()
+    // is a loud boundary (unique symbols need non-string keys)
+    locally {
+      val statics = JsObject.empty("Function")
+      statics.props.put("iterator", new JsSymbolV("@@iterator", "Symbol.iterator"))
+      statics.frozen = true
+      put("Symbol", hybridCallable(native("Symbol") { (_, _) =>
+        throwType("only well-known symbols (Symbol.iterator) are supported in lens code")
+      }, statics))
+    }
     // Proxy (r13 subset — see JsProxyV): construct-only, + revocable
     locally {
       val statics = JsObject.empty("Function")
@@ -217,6 +231,7 @@ object Builtins {
       case "Number" => JsNum(args.headOption.map(interp.toNumberI).getOrElse(0.0))
       case "Boolean" => JsBool(args.headOption.exists(truthy))
       case "Proxy" => makeProxy(args, interp)
+      case "Symbol" => throwType("Symbol is not a constructor")
       case other => throwType(s"$other is not a constructor in lens code")
     }
     case c: JsClosure =>
@@ -465,7 +480,7 @@ object Builtins {
       case _: JsAccessorProp => // loud invariant guard (see JsAccessorProp)
         throw new IllegalStateException(
           "internal: accessor property record leaked into JSON.stringify")
-      case _: JsUndefinedKind | _: JsFunc => None
+      case _: JsUndefinedKind | _: JsFunc | _: JsSymbolV => None
       case JsNull => Some("null")
       case JsBool(b) => Some(b.toString)
       case JsNum(d) =>
@@ -602,7 +617,7 @@ object Builtins {
         case _: JsAccessorProp =>
           throw new IllegalStateException(
             "internal: accessor property record leaked into JSON.stringify")
-        case _: JsUndefinedKind | _: JsFunc => None
+        case _: JsUndefinedKind | _: JsFunc | _: JsSymbolV => None
         case JsNull => Some("null")
         case JsBool(b) => Some(b.toString)
         case JsNum(d) =>
@@ -866,6 +881,12 @@ object Builtins {
         case g: JsGenerator =>
           val buf = Vector.newBuilder[JsValue]
           val it = Generators.iterator(g, interp())
+          while (it.hasNext) { interp().budget.allocate(1); buf += it.next() }
+          buf.result()
+        case o: JsObject if interp().hasCustomIterator(o) =>
+          // custom iterable beats array-like (ES: iterables first)
+          val buf = Vector.newBuilder[JsValue]
+          val it = interp().iterate(o, Pos(0))
           while (it.hasNext) { interp().budget.allocate(1); buf += it.next() }
           buf.result()
         case o: JsObject =>

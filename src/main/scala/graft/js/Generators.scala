@@ -264,23 +264,27 @@ private[js] object Generators {
     * new Set / new Map. `hasNext` performs the pull, so a `take(n)`
     * consumes exactly n elements — the destructuring path relies on
     * that to close infinite generators after the bound elements. */
-  def iterator(g: JsGenerator, interp: Interp): Iterator[JsValue] = new Iterator[JsValue] {
-    private var buf: JsValue = null
-    private var done = g.state == 3
-    def hasNext: Boolean = {
-      if (done) return false
-      if (buf == null) {
-        val (v, d) = Generators.next(g, JsUndefined, interp)
-        if (d) { done = true; return false }
-        buf = v
+  def iterator(g: JsGenerator, interp: Interp): Iterator[JsValue] =
+    new Iterator[JsValue] with JsIterClose {
+      private var buf: JsValue = null
+      private var done = g.state == 3
+      def hasNext: Boolean = {
+        if (done) return false
+        if (buf == null) {
+          val (v, d) = Generators.next(g, JsUndefined, interp)
+          if (d) { done = true; return false }
+          buf = v
+        }
+        true
       }
-      true
+      def next(): JsValue = {
+        if (!hasNext) throw new NoSuchElementException
+        val v = buf
+        buf = null
+        v
+      }
+      def closeIter(): Unit = {
+        if (!done) { done = true; gret(g, JsUndefined, interp); () }
+      }
     }
-    def next(): JsValue = {
-      if (!hasNext) throw new NoSuchElementException
-      val v = buf
-      buf = null
-      v
-    }
-  }
 }

@@ -42,6 +42,13 @@ object Budget {
 
 final class JsBudgetExceeded(msg: String) extends RuntimeException(msg)
 
+/** ES IteratorClose hook: iterate()'s adapters over generators and
+  * user iterator-protocol objects implement it so for-of break /
+  * early-bound destructuring can close the SOURCE (running its finally
+  * blocks / `return` method) no matter how many protocol layers sit in
+  * between. Builtin-backed iterators don't implement it (no-op). */
+private[js] trait JsIterClose { def closeIter(): Unit }
+
 // ---- control-flow signals (never escape a function boundary) ----
 private[js] final case class ReturnSig(v: JsValue) extends RuntimeException with NoStackTrace
 private[js] final case class BreakSig(label: Option[String]) extends RuntimeException with NoStackTrace
@@ -222,13 +229,15 @@ final class Interp(globalScope: Scope, val budget: Budget) {
               case p: JsProxyV => proxyOwnKeys(p).iterator.map(JsStr(_))
               case _ => Iterator.empty // incl. null/undefined: zero iterations
             }
-          // ES IteratorClose: a for-of left EARLY over a generator calls
-          // its return() so the body's finally blocks run at the exit
-          // point. break/continue/return propagate close-time throws;
-          // an in-flight exception wins over one (both V8).
-          def closeGen(swallow: Boolean): Unit = obj match {
-            case g: JsGenerator if f.isOf =>
-              try { Generators.gret(g, JsUndefined, Interp.this); () }
+          // ES IteratorClose: a for-of left EARLY over a generator or a
+          // custom iterable closes the SOURCE (finally blocks / the
+          // protocol's return method run at the exit point — the hook
+          // rides on the iterator, so every protocol layering works).
+          // break/continue/return propagate close-time throws; an
+          // in-flight exception wins over one (both V8).
+          def closeGen(swallow: Boolean): Unit = it match {
+            case c: JsIterClose =>
+              try c.closeIter()
               catch { case _: JsThrown if swallow => () }
             case _ => ()
           }
@@ -259,6 +268,66 @@ final class Interp(globalScope: Scope, val budget: Budget) {
     }
   }
 
+  /** Property-key conversion: a well-known symbol keys its reserved
+    * internal slot (hidden from enumeration — Values.symbolSlot);
+    * everything else is ToString. Every member read/write/has/delete
+    * and computed-key site routes through this, so `obj[Symbol.
+    * iterator]` works everywhere a string key does. */
+  @inline private def propKeyStr(key: JsValue): String = key match {
+    case s: JsSymbolV => s.slot
+    case other => toStr(other)
+  }
+
+  /** drive a user ITERATOR-PROTOCOL object (`{ next() {...} }` — what
+    * `[Symbol.iterator]()` returned when it isn't a generator): the
+    * `next` method is fetched once (V8's GetIterator), then called per
+    * pull, reading `{value, done}` from each result */
+  private def protocolIterator(it: JsValue, pos: Pos): Iterator[JsValue] = it match {
+    case g: JsGenerator => Generators.iterator(g, this)
+    case o: JsObject =>
+      val nextF = getMember(o, JsStr("next"), pos) match {
+        case f: JsFunc => f
+        case other => throwType(
+          s"result of the Symbol.iterator method has no callable 'next' (got ${typeOf(other)})")
+      }
+      new Iterator[JsValue] with JsIterClose {
+        private var buf: JsValue = null
+        private var done = false
+        def hasNext: Boolean = {
+          if (done) return false
+          if (buf == null) {
+            budget.tick()
+            callFunction(nextF, o, Vector.empty, pos, "next") match {
+              case r: JsObject =>
+                if (truthy(getOwnEval(r, "done").getOrElse(JsUndefined))) { done = true; return false }
+                buf = getOwnEval(r, "value").getOrElse(JsUndefined)
+              case other => throwType(
+                s"iterator result is not an object (got ${typeOf(other)})")
+            }
+          }
+          true
+        }
+        def next(): JsValue = {
+          if (!hasNext) throw new NoSuchElementException
+          val v = buf
+          buf = null
+          v
+        }
+        def closeIter(): Unit = {
+          // IteratorClose: the iterator's own `return` method, if any
+          if (!done) {
+            done = true
+            getMember(o, JsStr("return"), pos) match {
+              case f: JsFunc => callFunction(f, o, Vector.empty, pos, "return"); ()
+              case _ => ()
+            }
+          }
+        }
+      }
+    case other => throwType(
+      s"result of the Symbol.iterator method is not an iterator (got ${typeOf(other)})")
+  }
+
   /** the for-of / spread iteration protocol over our builtin iterables */
   def iterate(v: JsValue, pos: Pos): Iterator[JsValue] = v match {
     case a: JsArray => a.items.toVector.iterator.map(Values.deHole) // holes iterate as undefined
@@ -275,9 +344,29 @@ final class Interp(globalScope: Scope, val budget: Budget) {
       // length-mutating get traps excepted)
       val len = toNumber(proxyGet(p, JsStr("length"), pos)).toInt
       (0 until len).iterator.map(i => proxyGet(p, JsStr(i.toString), pos))
-    case _: JsProxyV =>
-      throwType("proxy of a non-array is not iterable (cannot spread/for-of it)")
-    case o: JsObject => throwType("object is not iterable (cannot spread/for-of a plain object)")
+    case p: JsProxyV =>
+      // a [Symbol.iterator] read through the proxy (get trap or target)
+      proxyGet(p, JsStr("@@iterator"), pos) match {
+        case f: JsFunc => protocolIterator(callFunction(f, p, Vector.empty, pos, "Symbol.iterator"), pos)
+        case _ => throwType("proxy of a non-array is not iterable (cannot spread/for-of it)")
+      }
+    case o: JsObject =>
+      // custom iterable: a [Symbol.iterator] method (own, prototype-
+      // chain, or accessor-stored) — typically a generator (r13)
+      chainSlot(o, "@@iterator") match {
+        case Some(slot) =>
+          val f = slot match {
+            case acc: JsAccessorProp =>
+              acc.getter.map(g => callFunction(g, o, Vector.empty, pos, "Symbol.iterator"))
+                .getOrElse(JsUndefined)
+            case other => other
+          }
+          f match {
+            case fn: JsFunc => protocolIterator(callFunction(fn, o, Vector.empty, pos, "Symbol.iterator"), pos)
+            case _ => throwType("object's Symbol.iterator property is not a function")
+          }
+        case None => throwType("object is not iterable (cannot spread/for-of a plain object)")
+      }
     case other => throwType(s"${typeOf(other)} is not iterable")
   }
 
@@ -296,14 +385,17 @@ final class Interp(globalScope: Scope, val budget: Budget) {
     case ArrayPattern(elems, rest, p0) =>
       val items: Vector[JsValue] = v match {
         case a: JsArray => a.items.toVector.map(Values.deHole) // destructuring reads holes as undefined
-        case g: JsGenerator if rest.isEmpty =>
-          // pull EXACTLY the bound element count, then IteratorClose —
-          // `const [a] = infinite()` terminates, like V8 (the adapter's
-          // hasNext performs the pull, so take(n) resumes n times)
-          val taken = iterate(g, p0).take(elems.length).toVector
-          Generators.gret(g, JsUndefined, this)
-          taken
-        case other => iterate(other, p0).toVector
+        case other =>
+          val it = iterate(other, p0)
+          if (rest.isEmpty) {
+            // pull EXACTLY the bound element count, then IteratorClose —
+            // `const [a] = infinite()` terminates, like V8 (the
+            // adapters' hasNext performs the pull, so take(n) resumes
+            // n times; works through custom-iterable layering too)
+            val taken = it.take(elems.length).toVector
+            it match { case c: JsIterClose => c.closeIter(); case _ => () }
+            taken
+          } else it.toVector
       }
       elems.zipWithIndex.foreach {
         case (Some(p), i) => bindPattern(p, items.lift(i).getOrElse(JsUndefined), scope, kind)
@@ -419,7 +511,7 @@ final class Interp(globalScope: Scope, val budget: Budget) {
               case _ => ()
             }
           } else {
-            val key = if (computed.contains(i)) toStr(eval(k, scope))
+            val key = if (computed.contains(i)) propKeyStr(eval(k, scope))
                       else k.asInstanceOf[StrLit].v
             if (getters.contains(i) || setters.contains(i)) {
               val fn = eval(v, scope).asInstanceOf[JsFunc]
@@ -507,7 +599,7 @@ final class Interp(globalScope: Scope, val budget: Budget) {
     case "delete" => operand match {
       case m: Member =>
         val obj = eval(m.obj, scope)
-        deleteKey(obj, toStr(evalPropKey(m, scope)))
+        deleteKey(obj, propKeyStr(evalPropKey(m, scope)))
         JsBool(true)
       case _ => JsBool(true)
     }
@@ -667,9 +759,9 @@ final class Interp(globalScope: Scope, val budget: Budget) {
     case "instanceof" => JsBool(Builtins.instanceOf(l, r))
     case "in" =>
       r match {
-        case p: JsProxyV => JsBool(proxyHas(p, toStr(l)))
+        case p: JsProxyV => JsBool(proxyHas(p, propKeyStr(l)))
         // chain-aware: 'm' in instance is true for class methods (V8)
-        case o: JsObject => JsBool(hasChainProp(o, toStr(l)))
+        case o: JsObject => JsBool(hasChainProp(o, propKeyStr(l)))
         case a: JsArray =>
           val i = toStr(l).toIntOption
           // a hole is an ABSENT property: `1 in [1,,3]` is false in V8
@@ -684,10 +776,10 @@ final class Interp(globalScope: Scope, val budget: Budget) {
   def getMember(obj: JsValue, key: JsValue, pos: Pos): JsValue = {
     obj match {
       case JsNull | (_: JsUndefinedKind) =>
-        throwType(s"Cannot read properties of ${toStr(obj)} (reading '${toStr(key)}')")
+        throwType(s"Cannot read properties of ${toStr(obj)} (reading '${propKeyStr(key)}')")
       case p: JsProxyV => proxyGet(p, key, pos)
       case o: JsObject =>
-        val k = toStr(key)
+        val k = propKeyStr(key)
         chainSlot(o, k).map {
           case acc: JsAccessorProp => // getter-less accessor reads undefined
             acc.getter.map(g => callFunction(g, o, Vector.empty, pos, k)).getOrElse(JsUndefined)
@@ -709,7 +801,7 @@ final class Interp(globalScope: Scope, val budget: Budget) {
         key match {
           case JsNum(d) if d >= 0 && d == math.floor(d) && d < a.items.length => Values.deHole(a.items(d.toInt))
           case _ =>
-            val k = toStr(key)
+            val k = propKeyStr(key)
             if (k == "length") JsNum(a.items.length.toDouble)
             else k.toIntOption match {
               case Some(i) if i >= 0 && i < a.items.length => Values.deHole(a.items(i))
@@ -725,29 +817,29 @@ final class Interp(globalScope: Scope, val budget: Budget) {
         key match {
           case JsNum(d) if d >= 0 && d == math.floor(d) && d < s.length => JsStr(s.charAt(d.toInt).toString)
           case _ =>
-            val k = toStr(key)
+            val k = propKeyStr(key)
             if (k == "length") JsNum(s.length.toDouble)
             else k.toIntOption match {
               case Some(i) => if (i >= 0 && i < s.length) JsStr(s.charAt(i).toString) else JsUndefined
               case None => Builtins.stringMethod(s, k, this).getOrElse(JsUndefined)
             }
         }
-      case n: JsNum => Builtins.numberMethod(n.v, toStr(key)).getOrElse(JsUndefined)
-      case b: JsBool => Builtins.booleanMethod(b.b, toStr(key)).getOrElse(JsUndefined)
-      case set: JsSetV => Builtins.setMethod(set, toStr(key), this).getOrElse(JsUndefined)
-      case m: JsMapV => Builtins.mapMethod(m, toStr(key), this).getOrElse(JsUndefined)
-      case g: JsGenerator => Builtins.generatorMethod(g, toStr(key), this).getOrElse(JsUndefined)
+      case n: JsNum => Builtins.numberMethod(n.v, propKeyStr(key)).getOrElse(JsUndefined)
+      case b: JsBool => Builtins.booleanMethod(b.b, propKeyStr(key)).getOrElse(JsUndefined)
+      case set: JsSetV => Builtins.setMethod(set, propKeyStr(key), this).getOrElse(JsUndefined)
+      case m: JsMapV => Builtins.mapMethod(m, propKeyStr(key), this).getOrElse(JsUndefined)
+      case g: JsGenerator => Builtins.generatorMethod(g, propKeyStr(key), this).getOrElse(JsUndefined)
       case bytes: JsBytes =>
-        val k = toStr(key)
+        val k = propKeyStr(key)
         if (k == "length" || k == "byteLength") JsNum(bytes.bytes.length.toDouble)
         else k.toIntOption match {
           case Some(i) if i >= 0 && i < bytes.bytes.length => JsNum((bytes.bytes(i) & 0xff).toDouble)
           case _ => JsUndefined
         }
-      case d: JsDate => Builtins.dateMethod(d, toStr(key)).getOrElse(JsUndefined)
-      case r: JsRegExpV => Builtins.regexMethod(r, toStr(key), this).getOrElse(JsUndefined)
+      case d: JsDate => Builtins.dateMethod(d, propKeyStr(key)).getOrElse(JsUndefined)
+      case r: JsRegExpV => Builtins.regexMethod(r, propKeyStr(key), this).getOrElse(JsUndefined)
       case cls: JsClassV => // before the JsFunc catch-all: statics first
-        val k = toStr(key)
+        val k = propKeyStr(key)
         if (k == "prototype") cls.protoObj
         else if (k == "name") JsStr(cls.clsName)
         else chainSlot(cls.statics, k) match { // parent statics inherit (V8)
@@ -757,16 +849,22 @@ final class Interp(globalScope: Scope, val budget: Budget) {
           case Some(v) => v
           case None => Builtins.functionMethod(cls, k, this).getOrElse(JsUndefined)
         }
-      case f: JsFunc => Builtins.functionMethod(f, toStr(key), this).getOrElse(JsUndefined)
+      case sym: JsSymbolV => // Symbol.iterator.description / .toString (V8 allows these reads)
+        propKeyStr(key) match {
+          case "description" => JsStr(sym.description)
+          case "toString" => new JsNative("toString", (_, _) => JsStr(s"Symbol(${sym.description})"))
+          case _ => JsUndefined
+        }
+      case f: JsFunc => Builtins.functionMethod(f, propKeyStr(key), this).getOrElse(JsUndefined)
     }
   }
 
   def setMember(obj: JsValue, key: JsValue, v: JsValue, pos: Pos): Unit = obj match {
     case JsNull | JsUndefined =>
-      throwType(s"Cannot set properties of ${toStr(obj)} (setting '${toStr(key)}')")
+      throwType(s"Cannot set properties of ${toStr(obj)} (setting '${propKeyStr(key)}')")
     case p: JsProxyV => proxySet(p, key, v, pos)
     case o: JsObject =>
-      val k = toStr(key)
+      val k = propKeyStr(key)
       // chain walk: an accessor ANYWHERE on the proto chain receives
       // the write (class setters); a chain DATA slot shadows into an
       // own prop, like V8's [[Set]]
@@ -779,7 +877,7 @@ final class Interp(globalScope: Scope, val budget: Budget) {
         case _ => if (!o.frozen) { budget.allocate(4); o.props.put(k, v) }
       }
     case a: JsArray =>
-      val k = toStr(key)
+      val k = propKeyStr(key)
       if (k == "length") {
         val n = toNumber(v)
         if (n < 0 || n != math.floor(n)) throwRange("invalid array length")
@@ -800,14 +898,14 @@ final class Interp(globalScope: Scope, val budget: Budget) {
       // chain receives the write with this = the class. Previously a
       // silent no-op — `A.count = 0` did nothing (caught by the
       // static-block work; static blocks assign through this = class).
-      val k = toStr(key)
+      val k = propKeyStr(key)
       chainSlot(c.statics, k) match {
         case Some(acc: JsAccessorProp) =>
           acc.setter.foreach(s => callFunction(s, c, Vector(v), pos, k))
         case _ =>
           if (!c.statics.frozen) { budget.allocate(4); c.statics.props.put(k, v) }
       }
-    case r: JsRegExpV if toStr(key) == "lastIndex" => r.lastIndex = toNumber(v).toInt
+    case r: JsRegExpV if propKeyStr(key) == "lastIndex" => r.lastIndex = toNumber(v).toInt
     case _ => () // silent no-op on primitives, like sloppy-mode JS
   }
 
@@ -827,14 +925,14 @@ final class Interp(globalScope: Scope, val budget: Budget) {
   }
 
   def proxyGet(p: JsProxyV, key: JsValue, pos: Pos): JsValue = proxyTrap(p, "get") match {
-    case Some(f) => callFunction(f, p.handler, Vector(p.target, JsStr(toStr(key)), p), pos, "get")
+    case Some(f) => callFunction(f, p.handler, Vector(p.target, JsStr(propKeyStr(key)), p), pos, "get")
     case None => getMember(p.target, key, pos)
   }
 
   def proxySet(p: JsProxyV, key: JsValue, v: JsValue, pos: Pos): Unit = proxyTrap(p, "set") match {
     // a falsy trap return is a TypeError only in strict mode; lens code
     // runs the reference worker's sloppy function-body contract
-    case Some(f) => callFunction(f, p.handler, Vector(p.target, JsStr(toStr(key)), v, p), pos, "set"); ()
+    case Some(f) => callFunction(f, p.handler, Vector(p.target, JsStr(propKeyStr(key)), v, p), pos, "set"); ()
     case None => setMember(p.target, key, v, pos)
   }
 
@@ -928,13 +1026,13 @@ final class Interp(globalScope: Scope, val budget: Budget) {
     case Call(m @ Member(SuperRef(p), _, _, _, _), args, spreads, _, cp) =>
       budget.tick()
       // super.m(...) runs the PARENT's method with the CURRENT `this`
-      val fn = superMember(scope, toStr(evalPropKey(m, scope)), p)
+      val fn = superMember(scope, propKeyStr(evalPropKey(m, scope)), p)
       val thisV = scope.lookup("this").getOrElse(JsUndefined)
       Some(callFunction(fn, thisV, spreadArgs(args, spreads, scope, cp), cp,
         name = if (!m.computed) m.prop.asInstanceOf[StrLit].v else "computed"))
     case m @ Member(SuperRef(p), _, _, _, _) =>
       budget.tick()
-      Some(superMember(scope, toStr(evalPropKey(m, scope)), p))
+      Some(superMember(scope, propKeyStr(evalPropKey(m, scope)), p))
     case m @ Member(objE, PrivName(pn, _), _, _, _) =>
       budget.tick()
       evalChain(objE, scope) match {
@@ -1031,6 +1129,12 @@ final class Interp(globalScope: Scope, val budget: Budget) {
   private[js] def hasChainProp(o: JsObject, k: String): Boolean =
     chainSlot(o, k).nonEmpty
 
+  /** the object declares a custom-iterable protocol (a
+    * `[Symbol.iterator]` slot) — Array.from's iterable-vs-array-like
+    * dispatch */
+  private[js] def hasCustomIterator(o: JsObject): Boolean =
+    chainSlot(o, "@@iterator").nonEmpty
+
   private def buildClass(ce: ClassExpr, scope: Scope): JsClassV = {
     val parentV = ce.parent.map { pe =>
       eval(pe, scope) match {
@@ -1090,7 +1194,7 @@ final class Interp(globalScope: Scope, val budget: Budget) {
       select(cls)
     }
     ce.members.foreach { m =>
-      val key = if (m.computed) toStr(eval(m.name, keyScope))
+      val key = if (m.computed) propKeyStr(eval(m.name, keyScope))
                 else m.name.asInstanceOf[StrLit].v
       val closure = makeClosure(m.fn, classScope, JsUndefined)
       m.kind match {

@@ -97,6 +97,8 @@ object PoBridge {
       case _: JsGenerator =>
         Values.throwType("a generator could not be cloned into a lens output" +
           " (spread it into an array first)")
+      case sym: JsSymbolV =>
+        Values.throwType(s"a symbol (${sym.description}) could not be cloned into a lens output")
       case _: JsProxyV =>
         // the reference's worker would hit V8's DataCloneError here —
         // same loudness class (proxies are exotic, never serialized)

@@ -149,6 +149,17 @@ final class JsProxyV(val target: JsValue, val handler: JsObject) extends JsValue
   var revoked: Boolean = false
 }
 
+/** WELL-KNOWN symbol (round 13 — `Symbol.iterator`, enabling custom
+  * iterables now that generators exist). Only the well-known instances
+  * exist (`Symbol(...)` construction is a loud TypeError: unique
+  * symbols would need non-string property keys); as a PROPERTY KEY a
+  * well-known symbol maps to the reserved internal slot name (V8's own
+  * `@@iterator` notation), which [[Values.ownEntries]] hides from
+  * every enumeration surface exactly like V8 hides symbol props.
+  * String conversion throws (V8: "Cannot convert a Symbol value to a
+  * string"); typeof → "symbol". */
+final class JsSymbolV(val slot: String, val description: String) extends JsValue
+
 /** Raw bytes (attachments / binary record fields ride through untouched). */
 final class JsBytes(val bytes: Array[Byte]) extends JsValue
 
@@ -318,6 +329,7 @@ object Values {
     case _: JsNum => "number"
     case _: JsStr => "string"
     case _: JsFunc => "function"
+    case _: JsSymbolV => "symbol"
     case p: JsProxyV => typeOf(p.target) // typeof pierces: proxy of a function is "function" (V8)
     case _ => "object"
   }
@@ -383,6 +395,8 @@ object Values {
   /** ToNumber */
   def toNumber(v: JsValue): Double = v match {
     case JsUndefined => Double.NaN
+    case _: JsSymbolV =>
+      throw JsThrown(makeError("TypeError", "Cannot convert a Symbol value to a number"))
     case JsNull => 0.0
     case JsBool(b) => if (b) 1.0 else 0.0
     case JsNum(d) => d
@@ -464,8 +478,15 @@ object Values {
     k.nonEmpty && k.length <= 10 && k.forall(c => c >= '0' && c <= '9') &&
       (k.length == 1 || k.charAt(0) != '0') && k.toLong < 4294967295L
 
+  /** reserved internal slot names for well-known symbol keys — hidden
+    * from EVERY enumeration surface (Object.keys / for-in / spread /
+    * JSON / output), exactly like V8 hides symbol-keyed props */
+  @inline def symbolSlot(k: String): Boolean =
+    k.length > 2 && k.charAt(0) == '@' && k.charAt(1) == '@'
+
   def ownEntries(o: JsObject): Vector[(String, JsValue)] = {
-    val all = o.props.toVector
+    var all = o.props.toVector
+    if (all.exists(e => symbolSlot(e._1))) all = all.filterNot(e => symbolSlot(e._1))
     if (!all.exists(e => arrayIndexKey(e._1))) all // common case: no re-sort
     else {
       val (idx, rest) = all.partition(e => arrayIndexKey(e._1))
@@ -499,6 +520,8 @@ object Values {
     case _: JsSetV => "[object Set]"
     case _: JsMapV => "[object Map]"
     case _: JsGenerator => "[object Generator]"
+    case _: JsSymbolV =>
+      throw JsThrown(makeError("TypeError", "Cannot convert a Symbol value to a string"))
     case p: JsProxyV =>
       // the static path cannot run traps; Interp.toStrI handles the
       // interpreter-reachable conversions (it runs OrdinaryToPrimitive

@@ -194,6 +194,42 @@ class JsGeneratorSpec extends AnyFunSuite with Matchers {
     ) shouldBe "1|RangeError:boom|undefinedtrue"
   }
 
+  test("custom iterables via Symbol.iterator: generator methods, classes, manual protocol") {
+    str(
+      """const o = { base: 3, *[Symbol.iterator](){ for (let i = 0; i < 3; i++) yield this.base + i; } };
+        |let s = JSON.stringify([[...o], Array.from(o), Object.keys(o)]);
+        |const m = { [Symbol.iterator](){ let i = 0; return { next(){ return i < 2 ? { value: i++, done: false } : { done: true }; } }; } };
+        |return s + '|' + JSON.stringify([...m]);""".stripMargin
+    ) shouldBe """[[3,4,5],[3,4,5],["base"]]|[0,1]"""
+  }
+
+  test("IteratorClose reaches THROUGH custom iterables: break and destructuring close the source") {
+    str(
+      """let s = '';
+        |class R { constructor(a, b){ this.a = a; this.b = b; }
+        |  *[Symbol.iterator](){ try { for (let i = this.a; i < this.b; i++) yield i; } finally { s += 'C'; } } }
+        |const r = new R(2, 9);
+        |for (const v of r) { s += v; if (v >= 4) break; }
+        |const [first] = r;
+        |return s + '|' + first;""".stripMargin
+    ) shouldBe "234CC|2"
+  }
+
+  // the last two asserts pin SUBSET boundaries, not V8: string
+  // conversion of a symbol is V8's own TypeError, but `Symbol('mine')`
+  // is legal V8 (unique symbols) and THIS engine's documented loud
+  // boundary (well-known symbols only — JsSymbolV scaladoc)
+  test("symbols: typeof, identity, enumeration hiding, JSON drop, loud conversions") {
+    str(
+      """const o = { a: 1, [Symbol.iterator]: function*(){ yield 9; } };
+        |let s = JSON.stringify([typeof Symbol.iterator, Symbol.iterator === Symbol.iterator,
+        |  Object.keys(o), JSON.stringify(o), JSON.stringify({ x: Symbol.iterator, n: 2 })]);
+        |try { '' + Symbol.iterator; s += 'NO'; } catch (e) { s += '|' + e.constructor.name; }
+        |try { Symbol('mine'); s += 'NO'; } catch (e) { s += '|' + e.constructor.name; }
+        |return s;""".stripMargin
+    ) shouldBe """["symbol",true,["a"],"{\"a\":1}","{\"n\":2}"]|TypeError|TypeError"""
+  }
+
   test("early errors: yield outside generators, in arrows, params, field inits; bad members") {
     startupError("function f(){ yield 1; }")
     startupError("function* g(){ const f = () => yield 1; }")

@@ -179,6 +179,33 @@ const templates = [
   () => `function* g(){ const a = yield; yield (yield a) + '!'; }
     const it = g(); const out = [it.next().value, it.next('A${int(9)}').value, it.next('B').value, it.next('C').value];
     return JSON.stringify(out);`,
+
+  // custom iterables via Symbol.iterator (generator method form)
+  () => `const o = { base: ${int(5)}, *[Symbol.iterator](){ for (let i = 0; i < ${2+int(3)}; i++) yield this.base + i; } };
+    return JSON.stringify([[...o], Array.from(o), [...new Set(o)].length, Object.keys(o)]);`,
+
+  // custom iterable CLASS; for-of with break still closes
+  () => `let s = '';
+    class R { constructor(a, b){ this.a = a; this.b = b; }
+      *[Symbol.iterator](){ try { for (let i = this.a; i < this.b; i++) yield i; } finally { s += 'C'; } } }
+    const r = new R(${int(3)}, ${5+int(4)});
+    for (const v of r) { s += v; if (v >= ${3+int(3)}) break; }
+    const [first] = r;
+    return s + '|' + first;`,
+
+  // manual iterator-protocol object (plain next(), no generator)
+  () => `const o = { [Symbol.iterator](){ let i = ${int(3)}; return { next(){ return i < ${4+int(3)} ? { value: i++, done: false } : { value: undefined, done: true }; } }; } };
+    return JSON.stringify([[...o], [...o].length]);`,
+
+  // Symbol surfaces: typeof, identity, enumeration hiding, JSON drop
+  () => `const o = { a: ${int(9)}, [Symbol.iterator]: function*(){ yield 1; } };
+    return JSON.stringify([typeof Symbol.iterator, Symbol.iterator === Symbol.iterator,
+      Object.keys(o), JSON.stringify(o), JSON.stringify({ s: Symbol.iterator, n: ${int(9)} })]);`,
+
+  // yield* over a custom iterable; spread into calls
+  () => `const src = { *[Symbol.iterator](){ yield* [${int(5)}, ${int(5)}]; yield 'x'; } };
+    function* g(){ yield* src; yield 'end'; }
+    return [...g()].join('|') + '/' + Math.max(...({ *[Symbol.iterator](){ yield ${int(9)}; yield ${int(9)}; } }));`,
 ];
 
 // fixed early-error probes (syntax: THROW:SyntaxError ≡ STARTUP_ERR)
