@@ -22,7 +22,9 @@ SF=${1:-/root/testdata/sf0.01}
 OUT=${2:-target/vcluster}
 
 sbt -batch package
-JAR=$(ls -t target/scala-2.13/pigeonopticsspark_2.13-*.jar | head -1)
+# exclude the -tests jar: when Test/ compiled more recently the bare
+# glob's newest match is the tests jar, which has no graft.Verify
+JAR=$(ls -t target/scala-2.13/pigeonopticsspark_2.13-*.jar | grep -v -- -tests | head -1)
 
 export SPARK_GRAFT_MASTER="local-cluster[2,8,4096]"
 # 2 executors x 8 cores: match shuffle partitions to total cores
