@@ -148,7 +148,7 @@ object Builtins {
     // is a loud boundary (unique symbols need non-string keys)
     locally {
       val statics = JsObject.empty("Function")
-      statics.props.put("iterator", new JsSymbolV("@@iterator", "Symbol.iterator"))
+      statics.props.put("iterator", JsSymbols.iterator) // THE canonical instance (identity matters for ===)
       statics.frozen = true
       put("Symbol", hybridCallable(native("Symbol") { (_, _) =>
         throwType("only well-known symbols (Symbol.iterator) are supported in lens code")
@@ -175,16 +175,19 @@ object Builtins {
     // Reflect.get(new Proxy(...), k) recurses through traps like V8
     put("Reflect", {
       val r = JsObject.empty("Reflect")
+      // keys pass RAW (symbols reach the symProps table / proxy traps
+      // as symbols, like V8 — and the member paths already accept any
+      // key value, so no pre-stringification is needed at all)
       r.props.put("get", native("get")((_, as) =>
-        interp().getMember(arg(as, 0), JsStr(toStr(arg(as, 1))), Pos(0))))
+        interp().getMember(arg(as, 0), arg(as, 1), Pos(0))))
       r.props.put("set", native("set") { (_, as) =>
-        interp().setMember(arg(as, 0), JsStr(toStr(arg(as, 1))), arg(as, 2), Pos(0))
+        interp().setMember(arg(as, 0), arg(as, 1), arg(as, 2), Pos(0))
         JsBool(true)
       })
       r.props.put("has", native("has")((_, as) =>
-        interp().evalBinary("in", JsStr(toStr(arg(as, 1))), arg(as, 0), Pos(0))))
+        interp().evalBinary("in", arg(as, 1), arg(as, 0), Pos(0))))
       r.props.put("deleteProperty", native("deleteProperty") { (_, as) =>
-        interp().deleteKey(arg(as, 0), toStr(arg(as, 1)))
+        interp().deleteMember(arg(as, 0), arg(as, 1))
         JsBool(true)
       })
       r.props.put("ownKeys", native("ownKeys") { (_, as) =>
@@ -506,35 +509,21 @@ object Builtins {
               depth, skipToJson = true)
           case _ => ()
         }
-        if (interp.proxyIsArray(p)) {
-          // IsArray pierces: serialize AS AN ARRAY via length + index
-          // gets through the trap (V8 SerializeJSONArray)
-          if (seen.contains(p)) throw JsThrown(makeError("TypeError", "Converting circular structure to JSON"))
-          seen.add(p)
-          val len = toNumber(interp.proxyGet(p, JsStr("length"), Pos(0))).toInt
-          val parts = (0 until len).map(i =>
-            go(interp.proxyGet(p, JsStr(i.toString), Pos(0)), depth + 1).getOrElse("null"))
-          seen.remove(p)
-          if (indent.isEmpty) Some("[" + parts.mkString(",") + "]")
-          else if (parts.isEmpty) Some("[]")
-          else {
-            val pad = indent * (depth + 1)
-            Some("[\n" + parts.map(pad + _).mkString(",\n") + "\n" + indent * depth + "]")
-          }
-        } else {
-          if (seen.contains(p)) throw JsThrown(makeError("TypeError", "Converting circular structure to JSON"))
-          seen.add(p)
-          val parts = interp.proxyOwnEntries(p).flatMap { case (k, pv) =>
-            go(pv, depth + 1).map(s => (quote(k), s))
-          }
-          seen.remove(p)
-          if (indent.isEmpty) Some("{" + parts.map { case (k, s) => s"$k:$s" }.mkString(",") + "}")
-          else if (parts.isEmpty) Some("{}")
-          else {
-            val pad = indent * (depth + 1)
-            Some("{\n" + parts.map { case (k, s) => s"$pad$k: $s" }.mkString(",\n") + "\n" + indent * depth + "}")
-          }
-        }
+        if (seen.contains(p)) throw JsThrown(makeError("TypeError", "Converting circular structure to JSON"))
+        seen.add(p)
+        val out =
+          if (interp.proxyIsArray(p)) {
+            // IsArray pierces: serialize AS AN ARRAY via length + index
+            // gets through the trap (V8 SerializeJSONArray)
+            val len = toNumber(interp.proxyGet(p, JsStr("length"), Pos(0))).toInt
+            fmtArr((0 until len).map(i =>
+              go(interp.proxyGet(p, JsStr(i.toString), Pos(0)), depth + 1).getOrElse("null")), depth)
+          } else
+            fmtObj(interp.proxyOwnEntries(p).flatMap { case (k, pv) =>
+              go(pv, depth + 1).map(s => (quote(k), s))
+            }, depth)
+        seen.remove(p)
+        out
       case a: JsArray =>
         if (seen.contains(a)) throw JsThrown(makeError("TypeError", "Converting circular structure to JSON"))
         seen.add(a)
@@ -794,9 +783,14 @@ object Builtins {
             case src: JsObject =>
               // source getters evaluate; target writes go through
               // setMember so a target SETTER receives the value (V8's
-              // [[Set]] semantics) and frozen targets no-op
+              // [[Set]] semantics) and frozen targets no-op; symbol
+              // props copy too (V8 assigns enumerable symbols)
               interp().ownEvalEntries(src).foreach { case (k, v) =>
                 interp().setMember(target, JsStr(k), v, Pos(0)) }
+              if (src.symProps != null) target match {
+                case t: JsObject => src.symProps.foreach { case (slot, v) => t.symPut(slot, v) }
+                case _ => ()
+              }
             case src: JsProxyV =>
               interp().proxyOwnEntries(src).foreach { case (k, v) =>
                 interp().setMember(target, JsStr(k), v, Pos(0)) }

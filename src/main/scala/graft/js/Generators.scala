@@ -125,6 +125,7 @@ private[js] object Generators {
 
   private def start(g: JsGenerator, interp: Interp): (JsValue, Boolean) = {
     g.state = 2
+    g.bodyStarted = true
     pool.execute(() => runBody(g, interp))
     await(g)
   }
@@ -168,12 +169,23 @@ private[js] object Generators {
       ()
     }
     g.state = 3
+    // WAIT for the body to finish unwinding: its finally blocks run
+    // user code (output(), generator creation, …) that must complete
+    // INSIDE the owning map call — fire-and-forget teardown would race
+    // that code against the caller collecting results. The body always
+    // reaches the latch: yields re-throw on the closed flag, queue ops
+    // never block after it, and a finally stuck in a loop dies on the
+    // shared step budget.
+    if (g.bodyStarted) {
+      try { g.finished.await(HandoffWaitSeconds, TimeUnit.SECONDS); () }
+      catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+    }
   }
 
   // ---------------- body side ----------------
 
   private def runBody(g: JsGenerator, interp: Interp): Unit = {
-    if (g.closed) return // closed before the worker picked it up
+    if (g.closed) { g.finished.countDown(); return } // closed before the worker picked it up
     liveBodies.incrementAndGet()
     current.set(g)
     try {
@@ -192,6 +204,7 @@ private[js] object Generators {
     } finally {
       current.remove()
       liveBodies.decrementAndGet()
+      g.finished.countDown() // close() waits on this
       Thread.interrupted() // return the worker to the pool with a clean flag
     }
   }
@@ -248,12 +261,17 @@ private[js] object Generators {
     * each element; `throw` has no inner to forward to (the V8
     * TypeError), `return` just unwinds. Completion value: undefined. */
   def delegateIterable(it: Iterator[JsValue]): JsValue = {
+    def closeInner(): Unit = it match {
+      case c: JsIterClose => c.closeIter() // a custom iterable's cleanup runs at the exit point
+      case _ => ()
+    }
     while (it.hasNext) {
       yieldRaw(it.next()) match {
         case GenNext(_) => ()
         case GenThrow(_) =>
+          closeInner()
           Values.throwType("The iterator does not provide a 'throw' method")
-        case GenReturn(x) => throw GenReturnSig(x)
+        case GenReturn(x) => closeInner(); throw GenReturnSig(x)
         case GenKill => throw new GenKilled // unreachable via yieldRaw
       }
     }

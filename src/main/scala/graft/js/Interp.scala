@@ -274,8 +274,45 @@ final class Interp(globalScope: Scope, val budget: Budget) {
     * and computed-key site routes through this, so `obj[Symbol.
     * iterator]` works everywhere a string key does. */
   @inline private def propKeyStr(key: JsValue): String = key match {
-    case s: JsSymbolV => s.slot
+    case s: JsSymbolV => s.slot // display/trap-name use only — STORAGE routes through symProps
     case other => toStr(other)
+  }
+
+  /** first symbol-keyed slot for `slot` along the prototype chain
+    * (own symProps first) — the symbol twin of chainSlot */
+  private def symChainSlot(o: JsObject, slot: String): Option[JsValue] = {
+    var cur = o
+    while (cur != null) {
+      if (cur.symProps != null) {
+        val v = cur.symProps.getOrElse(slot, null)
+        if (v != null) return Some(v)
+      }
+      cur = cur.protoV
+    }
+    None
+  }
+
+  /** symbol-keyed member READ: objects resolve their symProps chain,
+    * proxies trap (receiving the SYMBOL itself, like V8), the symbol
+    * RECEIVER answers description/toString, everything else reads
+    * undefined (builtins expose no symbol props in this subset). */
+  private def symbolGet(obj: JsValue, sym: JsSymbolV, pos: Pos): JsValue = obj match {
+    case JsNull | (_: JsUndefinedKind) =>
+      throwType(s"Cannot read properties of ${toStr(obj)} (reading 'Symbol(${sym.description})')")
+    case o: JsObject => symChainSlot(o, sym.slot).map {
+      case acc: JsAccessorProp =>
+        acc.getter.map(g => callFunction(g, o, Vector.empty, pos, sym.slot)).getOrElse(JsUndefined)
+      case v => v
+    }.getOrElse(JsUndefined)
+    case p: JsProxyV => proxyGet(p, sym, pos)
+    case _ => JsUndefined
+  }
+
+  /** symbol-keyed member WRITE (objects + proxies; no-op elsewhere) */
+  private def symbolSet(obj: JsValue, sym: JsSymbolV, v: JsValue, pos: Pos): Unit = obj match {
+    case o: JsObject => if (!o.frozen) { budget.allocate(4); o.symPut(sym.slot, v) }
+    case p: JsProxyV => proxySet(p, sym, v, pos)
+    case _ => ()
   }
 
   /** drive a user ITERATOR-PROTOCOL object (`{ next() {...} }` — what
@@ -299,8 +336,10 @@ final class Interp(globalScope: Scope, val budget: Budget) {
             budget.tick()
             callFunction(nextF, o, Vector.empty, pos, "next") match {
               case r: JsObject =>
-                if (truthy(getOwnEval(r, "done").getOrElse(JsUndefined))) { done = true; return false }
-                buf = getOwnEval(r, "value").getOrElse(JsUndefined)
+                // Get, not own-only: done/value may live on a prototype
+                // or behind accessors (V8 IteratorComplete/IteratorValue)
+                if (truthy(getMember(r, JsStr("done"), pos))) { done = true; return false }
+                buf = getMember(r, JsStr("value"), pos)
               case other => throwType(
                 s"iterator result is not an object (got ${typeOf(other)})")
             }
@@ -346,14 +385,14 @@ final class Interp(globalScope: Scope, val budget: Budget) {
       (0 until len).iterator.map(i => proxyGet(p, JsStr(i.toString), pos))
     case p: JsProxyV =>
       // a [Symbol.iterator] read through the proxy (get trap or target)
-      proxyGet(p, JsStr("@@iterator"), pos) match {
+      proxyGet(p, JsSymbols.iterator, pos) match {
         case f: JsFunc => protocolIterator(callFunction(f, p, Vector.empty, pos, "Symbol.iterator"), pos)
         case _ => throwType("proxy of a non-array is not iterable (cannot spread/for-of it)")
       }
     case o: JsObject =>
       // custom iterable: a [Symbol.iterator] method (own, prototype-
       // chain, or accessor-stored) — typically a generator (r13)
-      chainSlot(o, "@@iterator") match {
+      symChainSlot(o, "@@iterator") match {
         case Some(slot) =>
           val f = slot match {
             case acc: JsAccessorProp =>
@@ -419,8 +458,12 @@ final class Interp(globalScope: Scope, val budget: Budget) {
       rest.foreach { r =>
         val o = JsObject.empty()
         v match {
-          // rest is CopyDataProperties like spread: getters evaluate
-          case src: JsObject => ownEvalEntries(src).foreach { case (k, pv) => if (!taken(k)) o.props.put(k, pv) }
+          // rest is CopyDataProperties like spread: getters evaluate,
+          // symbol-keyed props come along (V8)
+          case src: JsObject =>
+            ownEvalEntries(src).foreach { case (k, pv) => if (!taken(k)) o.props.put(k, pv) }
+            if (src.symProps != null)
+              src.symProps.foreach { case (slot, pv) => o.symPut(slot, pv) }
           case src: JsProxyV => proxyOwnEntries(src).foreach { case (k, pv) => if (!taken(k)) o.props.put(k, pv) }
           case _ => ()
         }
@@ -502,8 +545,11 @@ final class Interp(globalScope: Scope, val budget: Budget) {
             eval(v, scope) match {
               case src: JsObject =>
                 // spread is CopyDataProperties: source GETTERS evaluate
-                // into plain data props (V8); accessor-ness never copies
+                // into plain data props (V8); accessor-ness never
+                // copies; SYMBOL-keyed props copy too (V8)
                 ownEvalEntries(src).foreach { case (pk, pv) => o.props.put(pk, pv) }
+                if (src.symProps != null)
+                  src.symProps.foreach { case (slot, pv) => o.symPut(slot, pv) }
               case src: JsProxyV =>
                 proxyOwnEntries(src).foreach { case (pk, pv) => o.props.put(pk, pv) }
               case src: JsArray => src.items.zipWithIndex.foreach { case (pv, pi) => o.props.put(pi.toString, pv) }
@@ -511,21 +557,29 @@ final class Interp(globalScope: Scope, val budget: Budget) {
               case _ => ()
             }
           } else {
-            val key = if (computed.contains(i)) propKeyStr(eval(k, scope))
-                      else k.asInstanceOf[StrLit].v
-            if (getters.contains(i) || setters.contains(i)) {
-              val fn = eval(v, scope).asInstanceOf[JsFunc]
-              // get+set for one key merge into a single slot; a later
-              // accessor over a data prop (or vice versa) replaces it,
-              // and LinkedHashMap re-put keeps the original position —
-              // both exactly the V8 object-literal rules
-              val acc = o.props.get(key) match {
-                case Some(a: JsAccessorProp) => a
-                case _ => new JsAccessorProp(None, None)
-              }
-              if (getters.contains(i)) acc.getter = Some(fn) else acc.setter = Some(fn)
-              o.props.put(key, acc)
-            } else o.props.put(key, eval(v, scope))
+            val keyV: JsValue = if (computed.contains(i)) eval(k, scope)
+                                else JsStr(k.asInstanceOf[StrLit].v)
+            keyV match {
+              case sym: JsSymbolV => // `{ [Symbol.iterator]: f }` / `*[Symbol.iterator](){}`
+                if (getters.contains(i) || setters.contains(i)) throwType(
+                  "symbol-keyed accessors are not supported in lens code")
+                o.symPut(sym.slot, eval(v, scope))
+              case _ =>
+                val key = toStr(keyV)
+                if (getters.contains(i) || setters.contains(i)) {
+                  val fn = eval(v, scope).asInstanceOf[JsFunc]
+                  // get+set for one key merge into a single slot; a later
+                  // accessor over a data prop (or vice versa) replaces it,
+                  // and LinkedHashMap re-put keeps the original position —
+                  // both exactly the V8 object-literal rules
+                  val acc = o.props.get(key) match {
+                    case Some(a: JsAccessorProp) => a
+                    case _ => new JsAccessorProp(None, None)
+                  }
+                  if (getters.contains(i)) acc.getter = Some(fn) else acc.setter = Some(fn)
+                  o.props.put(key, acc)
+                } else o.props.put(key, eval(v, scope))
+            }
           }
         }
         budget.allocate(o.props.size.toLong + 1)
@@ -599,7 +653,7 @@ final class Interp(globalScope: Scope, val budget: Budget) {
     case "delete" => operand match {
       case m: Member =>
         val obj = eval(m.obj, scope)
-        deleteKey(obj, propKeyStr(evalPropKey(m, scope)))
+        deleteMember(obj, evalPropKey(m, scope))
         JsBool(true)
       case _ => JsBool(true)
     }
@@ -758,8 +812,14 @@ final class Interp(globalScope: Scope, val budget: Budget) {
     case ">>>" => JsNum((toUint32(toNumberI(l)) >>> (toInt32(toNumberI(r)) & 31)).toDouble)
     case "instanceof" => JsBool(Builtins.instanceOf(l, r))
     case "in" =>
+      (l, r) match { // symbol keys probe the symProps chain
+        case (sym: JsSymbolV, o: JsObject) => return JsBool(symChainSlot(o, sym.slot).nonEmpty)
+        case (_: JsSymbolV, p: JsProxyV) => return JsBool(proxyHas(p, l))
+        case (_: JsSymbolV, _) => return JsBool(false)
+        case _ => ()
+      }
       r match {
-        case p: JsProxyV => JsBool(proxyHas(p, propKeyStr(l)))
+        case p: JsProxyV => JsBool(proxyHas(p, l))
         // chain-aware: 'm' in instance is true for class methods (V8)
         case o: JsObject => JsBool(hasChainProp(o, propKeyStr(l)))
         case a: JsArray =>
@@ -774,6 +834,10 @@ final class Interp(globalScope: Scope, val budget: Budget) {
   // ---------------- member access / calls ----------------
 
   def getMember(obj: JsValue, key: JsValue, pos: Pos): JsValue = {
+    key match { // symbol keys address the separate symProps table
+      case sym: JsSymbolV if !obj.isInstanceOf[JsSymbolV] => return symbolGet(obj, sym, pos)
+      case _ => ()
+    }
     obj match {
       case JsNull | (_: JsUndefinedKind) =>
         throwType(s"Cannot read properties of ${toStr(obj)} (reading '${propKeyStr(key)}')")
@@ -859,7 +923,9 @@ final class Interp(globalScope: Scope, val budget: Budget) {
     }
   }
 
-  def setMember(obj: JsValue, key: JsValue, v: JsValue, pos: Pos): Unit = obj match {
+  def setMember(obj: JsValue, key: JsValue, v: JsValue, pos: Pos): Unit = key match {
+    case sym: JsSymbolV => symbolSet(obj, sym, v, pos)
+    case _ => obj match {
     case JsNull | JsUndefined =>
       throwType(s"Cannot set properties of ${toStr(obj)} (setting '${propKeyStr(key)}')")
     case p: JsProxyV => proxySet(p, key, v, pos)
@@ -907,6 +973,7 @@ final class Interp(globalScope: Scope, val budget: Budget) {
       }
     case r: JsRegExpV if propKeyStr(key) == "lastIndex" => r.lastIndex = toNumber(v).toInt
     case _ => () // silent no-op on primitives, like sloppy-mode JS
+    }
   }
 
   // ---------------- proxies (ES Proxy subset — see JsProxyV) ----------------
@@ -924,26 +991,40 @@ final class Interp(globalScope: Scope, val budget: Budget) {
     }
   }
 
+  /** the key as a trap sees it: symbols pass through (V8 hands the
+    * handler the symbol itself), strings as JsStr */
+  @inline private def trapKey(key: JsValue): JsValue = key match {
+    case s: JsSymbolV => s
+    case other => JsStr(toStr(other))
+  }
+
   def proxyGet(p: JsProxyV, key: JsValue, pos: Pos): JsValue = proxyTrap(p, "get") match {
-    case Some(f) => callFunction(f, p.handler, Vector(p.target, JsStr(propKeyStr(key)), p), pos, "get")
+    case Some(f) => callFunction(f, p.handler, Vector(p.target, trapKey(key), p), pos, "get")
     case None => getMember(p.target, key, pos)
   }
 
   def proxySet(p: JsProxyV, key: JsValue, v: JsValue, pos: Pos): Unit = proxyTrap(p, "set") match {
     // a falsy trap return is a TypeError only in strict mode; lens code
     // runs the reference worker's sloppy function-body contract
-    case Some(f) => callFunction(f, p.handler, Vector(p.target, JsStr(propKeyStr(key)), v, p), pos, "set"); ()
+    case Some(f) => callFunction(f, p.handler, Vector(p.target, trapKey(key), v, p), pos, "set"); ()
     case None => setMember(p.target, key, v, pos)
   }
 
-  def proxyHas(p: JsProxyV, key: String): Boolean = proxyTrap(p, "has") match {
-    case Some(f) => truthy(callFunction(f, p.handler, Vector(p.target, JsStr(key)), Pos(0), "has"))
-    case None => truthy(evalBinary("in", JsStr(key), p.target, Pos(0)))
+  def proxyHas(p: JsProxyV, key: JsValue): Boolean = proxyTrap(p, "has") match {
+    case Some(f) => truthy(callFunction(f, p.handler, Vector(p.target, trapKey(key)), Pos(0), "has"))
+    case None => truthy(evalBinary("in", key, p.target, Pos(0)))
   }
 
-  def proxyDelete(p: JsProxyV, key: String): Unit = proxyTrap(p, "deleteProperty") match {
-    case Some(f) => callFunction(f, p.handler, Vector(p.target, JsStr(key)), Pos(0), "deleteProperty"); ()
-    case None => deleteKey(p.target, key)
+  def proxyDelete(p: JsProxyV, key: JsValue): Unit = proxyTrap(p, "deleteProperty") match {
+    case Some(f) => callFunction(f, p.handler, Vector(p.target, trapKey(key)), Pos(0), "deleteProperty"); ()
+    case None => key match {
+      case sym: JsSymbolV => p.target match {
+        case o: JsObject => if (!o.frozen && o.symProps != null) { o.symProps.remove(sym.slot); () }
+        case inner: JsProxyV => proxyDelete(inner, key)
+        case _ => ()
+      }
+      case other => deleteKey(p.target, toStr(other))
+    }
   }
 
   /** own ENUMERABLE keys through the ownKeys trap (no enumerability
@@ -996,6 +1077,18 @@ final class Interp(globalScope: Scope, val budget: Budget) {
     case _ => false
   }
 
+  /** the `delete` operator with a raw (possibly symbol) key — shared
+    * by the operator and Reflect.deleteProperty */
+  def deleteMember(obj: JsValue, keyV: JsValue): Unit = keyV match {
+    case sym: JsSymbolV => obj match {
+      case o: JsObject =>
+        if (!o.frozen && o.symProps != null) { o.symProps.remove(sym.slot); () }
+      case p: JsProxyV => proxyDelete(p, sym)
+      case _ => ()
+    }
+    case other => deleteKey(obj, toStr(other))
+  }
+
   /** the `delete` operator's per-type action, shared by the direct
     * path and the proxy no-trap fallback */
   private[js] def deleteKey(obj: JsValue, key: String): Unit = obj match {
@@ -1003,7 +1096,7 @@ final class Interp(globalScope: Scope, val budget: Budget) {
     case a: JsArray =>
       val i = key.toIntOption
       if (i.exists(x => x >= 0 && x < a.items.length)) a.items(i.get) = JsHole // V8 leaves a hole
-    case p: JsProxyV => proxyDelete(p, key)
+    case p: JsProxyV => proxyDelete(p, JsStr(key))
     case _ => ()
   }
 
@@ -1133,7 +1226,7 @@ final class Interp(globalScope: Scope, val budget: Budget) {
     * `[Symbol.iterator]` slot) — Array.from's iterable-vs-array-like
     * dispatch */
   private[js] def hasCustomIterator(o: JsObject): Boolean =
-    chainSlot(o, "@@iterator").nonEmpty
+    symChainSlot(o, "@@iterator").nonEmpty
 
   private def buildClass(ce: ClassExpr, scope: Scope): JsClassV = {
     val parentV = ce.parent.map { pe =>
@@ -1194,10 +1287,18 @@ final class Interp(globalScope: Scope, val budget: Budget) {
       select(cls)
     }
     ce.members.foreach { m =>
-      val key = if (m.computed) propKeyStr(eval(m.name, keyScope))
-                else m.name.asInstanceOf[StrLit].v
+      val keyV: JsValue =
+        if (m.computed) eval(m.name, keyScope)
+        else JsStr(m.name.asInstanceOf[StrLit].v)
       val closure = makeClosure(m.fn, classScope, JsUndefined)
-      m.kind match {
+      keyV match {
+        case sym: JsSymbolV => // `*[Symbol.iterator]() {}` — symProps slot
+          if (m.kind != "method") throwType(
+            s"symbol-keyed class ${m.kind}s are not supported in lens code")
+          (if (m.isStatic) statics else proto).symPut(sym.slot, closure)
+        case _ =>
+          val key = toStr(keyV)
+          m.kind match {
         case "ctor" => cls.ctor = Some(closure)
         case "method" =>
           if (m.isPrivate)
@@ -1222,6 +1323,7 @@ final class Interp(globalScope: Scope, val budget: Budget) {
           if (m.isPrivate)
             privMap(_.pm(m.isStatic), h => cls.setPm(m.isStatic, h)).put(key, acc)
           else (if (m.isStatic) statics else proto).props.put(key, acc)
+          }
       }
     }
     staticInits.foreach {
@@ -1533,18 +1635,24 @@ final class Interp(globalScope: Scope, val budget: Budget) {
   // would hit a JVM StackOverflowError long before the step budget
   // (thousands of frames vs 20M steps). Real engines throw a CATCHABLE
   // RangeError here — match that, so lens code may try/catch it, while
-  // the budget/timeout kills above stay uncatchable.
-  private var callDepth = 0
+  // the budget/timeout kills above stay uncatchable. PER-THREAD (r13):
+  // the counter guards a JVM STACK, and each generator body owns its
+  // worker's stack — a shared counter made 500 SUSPENDED generators
+  // (each holding +1 forever) break unrelated calls on the main
+  // thread, which V8 runs fine.
+  private val callDepthTL: ThreadLocal[Array[Int]] =
+    ThreadLocal.withInitial(() => new Array[Int](1))
 
   def invokeClosure(c: JsClosure, thisV: JsValue, args: Vector[JsValue]): JsValue = {
     if (c.isGenerator) return makeGenerator(c, thisV, args)
-    callDepth += 1
-    if (callDepth > Interp.MaxCallDepth) {
-      callDepth -= 1
+    val depth = callDepthTL.get
+    depth(0) += 1
+    if (depth(0) > Interp.MaxCallDepth) {
+      depth(0) -= 1
       throwRange("Maximum call stack size exceeded")
     }
     try invokeClosureBody(c, thisV, args)
-    finally callDepth -= 1
+    finally depth(0) -= 1
   }
 
   // ---------------- generators ----------------
@@ -1558,10 +1666,15 @@ final class Interp(globalScope: Scope, val budget: Budget) {
     * generator object comes back (ES 15.5.2). */
   private def makeGenerator(c: JsClosure, thisV: JsValue, args: Vector[JsValue]): JsGenerator = {
     budget.allocate(16) // a thread + two queues is well above a plain object
-    if (liveGens.length >= Interp.MaxLiveGenerators)
-      throwRange(s"lens code created more than ${Interp.MaxLiveGenerators} generators in one map call")
     val g = new JsGenerator(c, thisV, args)
-    liveGens += g
+    // synchronized: a generator body's code (incl. teardown-run finally
+    // blocks) can create generators from its worker thread while
+    // closeGenerators drains the registry on the task thread
+    liveGens.synchronized {
+      if (liveGens.length >= Interp.MaxLiveGenerators)
+        throwRange(s"lens code created more than ${Interp.MaxLiveGenerators} generators in one map call")
+      liveGens += g
+    }
     g
   }
 
@@ -1571,22 +1684,34 @@ final class Interp(globalScope: Scope, val budget: Budget) {
     * generator would otherwise hold a pool worker for the life of the
     * executor. */
   def closeGenerators(): Unit = {
-    liveGens.foreach(Generators.close)
-    liveGens.clear()
+    // drain in BATCHES until stable: close() waits for each body's
+    // unwind, and an unwinding finally may register NEW generators
+    var more = true
+    while (more) {
+      val batch = liveGens.synchronized {
+        val b = liveGens.toVector
+        liveGens.clear()
+        b
+      }
+      batch.foreach(Generators.close)
+      more = batch.nonEmpty
+    }
   }
 
-  /** The generator BODY frame, run on the generator's own thread by
+  /** The generator BODY frame, run on the generator's own worker by
     * [[Generators.runBody]] — the plain closure frame minus the
-    * isGenerator dispatch. The shared call-depth counter is
-    * intentionally charged: suspended frames hold real stacks. */
+    * isGenerator dispatch. Depth is per-thread, so the body charges its
+    * OWN worker's counter (its frames live on that stack), never the
+    * caller's. */
   private[js] def runGeneratorFrame(c: JsClosure, thisV: JsValue, args: Vector[JsValue]): JsValue = {
-    callDepth += 1
-    if (callDepth > Interp.MaxCallDepth) {
-      callDepth -= 1
+    val depth = callDepthTL.get
+    depth(0) += 1
+    if (depth(0) > Interp.MaxCallDepth) {
+      depth(0) -= 1
       throwRange("Maximum call stack size exceeded")
     }
     try invokeClosureBody(c, thisV, args)
-    finally callDepth -= 1
+    finally depth(0) -= 1
   }
 
   private def invokeClosureBody(c: JsClosure, thisV: JsValue, args: Vector[JsValue]): JsValue = {

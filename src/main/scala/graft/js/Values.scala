@@ -59,6 +59,16 @@ final class JsObject(val props: mutable.LinkedHashMap[String, JsValue],
     * instance carries (stamped at that class's field-init point during
     * construction — ES2022 PrivateBrandAdd). */
   var privBrands: mutable.HashSet[AnyRef] = null
+  /** SYMBOL-keyed properties (well-known slots like @@iterator),
+    * stored OUTSIDE `props` so they can never collide with a user
+    * string key ("@@iterator" as record data stays an ordinary
+    * property) and never enumerate — V8's symbol-vs-string key split.
+    * Lazily allocated; resolution walks protoV like string props. */
+  var symProps: mutable.HashMap[String, JsValue] = null
+  def symPut(slot: String, v: JsValue): Unit = {
+    if (symProps == null) symProps = mutable.HashMap.empty
+    symProps.put(slot, v)
+  }
 }
 
 /** ACCESSOR property record (`{ get x() {...}, set x(v) {...} }`),
@@ -152,13 +162,22 @@ final class JsProxyV(val target: JsValue, val handler: JsObject) extends JsValue
 /** WELL-KNOWN symbol (round 13 — `Symbol.iterator`, enabling custom
   * iterables now that generators exist). Only the well-known instances
   * exist (`Symbol(...)` construction is a loud TypeError: unique
-  * symbols would need non-string property keys); as a PROPERTY KEY a
-  * well-known symbol maps to the reserved internal slot name (V8's own
-  * `@@iterator` notation), which [[Values.ownEntries]] hides from
-  * every enumeration surface exactly like V8 hides symbol props.
+  * symbols would need per-instance identity); as a PROPERTY KEY a
+  * well-known symbol addresses the object's separate `symProps` table
+  * (slot name in V8's own `@@iterator` notation), so symbol props can
+  * never collide with user STRING keys and never enumerate — V8's
+  * symbol-vs-string split by construction.
   * String conversion throws (V8: "Cannot convert a Symbol value to a
   * string"); typeof → "symbol". */
 final class JsSymbolV(val slot: String, val description: String) extends JsValue
+
+/** the canonical well-known symbol instances — ONE each per JVM so
+  * `Symbol.iterator === Symbol.iterator` holds across every read path
+  * (globals, proxy trap arguments, engine-internal lookups); immutable,
+  * so the JVM-global sharing carries no cross-call state */
+object JsSymbols {
+  val iterator = new JsSymbolV("@@iterator", "Symbol.iterator")
+}
 
 /** Raw bytes (attachments / binary record fields ride through untouched). */
 final class JsBytes(val bytes: Array[Byte]) extends JsValue
@@ -217,6 +236,12 @@ final class JsGenerator(val closure: JsClosure, val genThis: JsValue,
     * the queues again (its finally blocks still run, but any yield
     * inside them re-throws the kill signal) */
   @volatile private[js] var closed: Boolean = false
+  /** whether a worker ever picked the body up (close() only awaits
+    * `finished` when one did) */
+  @volatile private[js] var bodyStarted: Boolean = false
+  /** counted down when the body's worker finishes unwinding — close()
+    * awaits it so teardown-run finally blocks stay INSIDE the map call */
+  private[js] val finished = new java.util.concurrent.CountDownLatch(1)
   def name: String = closure.name
 }
 /** user-defined CLASS. typeof → "function" (via JsFunc), but CALLING
@@ -478,15 +503,8 @@ object Values {
     k.nonEmpty && k.length <= 10 && k.forall(c => c >= '0' && c <= '9') &&
       (k.length == 1 || k.charAt(0) != '0') && k.toLong < 4294967295L
 
-  /** reserved internal slot names for well-known symbol keys — hidden
-    * from EVERY enumeration surface (Object.keys / for-in / spread /
-    * JSON / output), exactly like V8 hides symbol-keyed props */
-  @inline def symbolSlot(k: String): Boolean =
-    k.length > 2 && k.charAt(0) == '@' && k.charAt(1) == '@'
-
   def ownEntries(o: JsObject): Vector[(String, JsValue)] = {
-    var all = o.props.toVector
-    if (all.exists(e => symbolSlot(e._1))) all = all.filterNot(e => symbolSlot(e._1))
+    val all = o.props.toVector
     if (!all.exists(e => arrayIndexKey(e._1))) all // common case: no re-sort
     else {
       val (idx, rest) = all.partition(e => arrayIndexKey(e._1))

@@ -258,6 +258,51 @@ class JsGeneratorSpec extends AnyFunSuite with Matchers {
     res.outputs shouldBe empty
   }
 
+  test("teardown-run finally blocks complete INSIDE the map call — their outputs are deterministic") {
+    // close() waits for the unwinding body, so a finally that calls
+    // output() lands in the record's result every time, never racing
+    // the caller (V8 would skip the finally entirely on GC — the
+    // documented divergence toward predictability)
+    (1 to 10).foreach { _ =>
+      val res = run(
+        """function* g(){ try { yield 1; } finally { output('late', 'ran'); } }
+          |g().next();
+          |output('main', 'done');""".stripMargin)
+      res.error shouldBe None
+      res.outputs.map(_._1).sorted shouldBe Vector("late", "main")
+    }
+  }
+
+  test("suspended generators do not eat the caller's call-depth budget") {
+    // depth is per-thread: each suspended body holds frames on its OWN
+    // worker's stack, so 600 of them must not break an unrelated call
+    // on the main thread (a shared counter did, at 500)
+    str(
+      """const gs = [];
+        |for (let i = 0; i < 600; i++) { const g = (function*(){ yield 1; })(); g.next(); gs.push(g); }
+        |function f(){ return 'ok'; }
+        |return f() + gs.length;""".stripMargin
+    ) shouldBe "ok600"
+  }
+
+  test("user string keys that LOOK like symbol slots stay ordinary properties") {
+    str(
+      """const o = { '@@iterator': 1, '@@type': 'x', a: 2 };
+        |return JSON.stringify([Object.keys(o), JSON.stringify(o), o['@@iterator'], '@@iterator' in o]);""".stripMargin
+    ) shouldBe """[["@@iterator","@@type","a"],"{\"@@iterator\":1,\"@@type\":\"x\",\"a\":2}",1,true]"""
+  }
+
+  test("yield* over a custom iterable closes the inner generator at outer return") {
+    str(
+      """let s = '';
+        |function* inner(){ try { yield 1; yield 2; } finally { s += 'IF'; } }
+        |const it = { [Symbol.iterator](){ return inner(); } };
+        |function* outer(){ yield* it; }
+        |const o = outer(); s += o.next().value; o.return(5);
+        |return s;""".stripMargin
+    ) shouldBe "1IF"
+  }
+
   test("abandoned suspended generators are reaped: their bodies release workers after the map call") {
     // pooled workers outlive bodies by design, so the leak observable
     // is the LIVE-BODY gauge (a body holds a worker; a released body
