@@ -193,8 +193,13 @@ object Builtins {
       r.props.put("ownKeys", native("ownKeys") { (_, as) =>
         arg(as, 0) match {
           case o: JsObject => JsArray.of(ownEntries(o).map(e => JsStr(e._1): JsValue): _*)
-          case a: JsArray => // V8 includes hole indices AND 'length' here
-            JsArray.of((a.items.indices.map(i => JsStr(i.toString): JsValue) :+ JsStr("length")): _*)
+          case a: JsArray =>
+            // V8 EXCLUDES hole indices (holes are absent own properties:
+            // Reflect.ownKeys([1,,3]) is ["0","2","length"]) and appends
+            // 'length' — same hole filter as Interp.targetHasOwn
+            JsArray.of((a.items.zipWithIndex.collect {
+              case (x, ix) if !(x eq JsHole) => JsStr(ix.toString): JsValue
+            }.toSeq :+ JsStr("length")): _*)
           case p: JsProxyV => JsArray.of(interp().proxyOwnKeys(p).map(JsStr(_): JsValue): _*)
           case other => throwType(s"Reflect.ownKeys called on non-object (got ${typeOf(other)})")
         }
@@ -961,8 +966,15 @@ object Builtins {
       JsStr(sb.toString)
     })
     // String(x) is ToString — user valueOf/toString and proxy get
-    // traps honored (interp-aware, round-13 coercion wave)
-    hybridCallable(native("String")((_, as) => JsStr(as.headOption.map(interp().toStrI).getOrElse(""))), statics)
+    // traps honored (interp-aware, round-13 coercion wave). Symbols are
+    // the one exception: the EXPLICIT String() conversion returns the
+    // symbol's descriptive string ("Symbol(Symbol.iterator)") where
+    // implicit ToString throws (ES 22.1.1.1 step 1.a; ADVICE r13)
+    hybridCallable(native("String")((_, as) => as.headOption match {
+      case Some(sym: JsSymbolV) => JsStr(s"Symbol(${sym.description})")
+      case Some(v) => JsStr(interp().toStrI(v))
+      case None => JsStr("")
+    }), statics)
   }
 
   private def numberConstructor(interp: () => Interp): JsValue = {

@@ -211,16 +211,26 @@ private[js] object Generators {
 
   /** a `yield` in the body: hand `v` to the caller, park, return the
     * caller's command raw (yield* delegation routes commands itself).
-    * Untimed put/take — the cheap SynchronousQueue path; the CALLER
-    * side carries the protocol timeouts. */
+    * TIMED offer/poll re-checking the closed flag (ADVICE r13): if the
+    * caller's protocol poll times out in the instant before the body
+    * reaches this handoff, protocolError marks the generator closed
+    * with state 3, so close() never sends GenKill — an UNTIMED put
+    * would park the pooled worker forever. The 1 s re-check loop means
+    * a deserted body always unwinds within a second of desertion. */
   def yieldRaw(v: JsValue): GenCmd = {
     val g = current.get
     if (g == null) // unreachable: the parser admits yield only in generator bodies
       Values.throwType("yield outside of a generator")
     if (g.closed) throw new GenKilled
     try {
-      g.outQ.put(GenYielded(v))
-      val cmd = g.cmdQ.take()
+      while (!g.outQ.offer(GenYielded(v), 1, TimeUnit.SECONDS)) {
+        if (g.closed) throw new GenKilled
+      }
+      var cmd: GenCmd = null
+      while (cmd == null) {
+        cmd = g.cmdQ.poll(1, TimeUnit.SECONDS)
+        if (cmd == null && g.closed) throw new GenKilled
+      }
       if ((cmd eq GenKill) || g.closed) throw new GenKilled
       cmd
     } catch { case _: InterruptedException => throw new GenKilled }

@@ -732,8 +732,22 @@ final class Interp(globalScope: Scope, val budget: Budget) {
   def toPrimitiveI(v: JsValue, hint: String = "default"): JsValue = v match {
     case o: JsObject => ordinaryToPrimitive(o, hint)
     case p: JsProxyV => ordinaryToPrimitive(p, hint)
+    // arrays join through the INTERP-AWARE element conversion: V8's
+    // Array.prototype.toString → join runs ToString on each element,
+    // so `'' + [obj]` honors a user toString/valueOf ON THE ELEMENT —
+    // the static fallback stringified elements statically, diverging
+    // one nesting level below the round-13 coercion wave (ADVICE r13)
+    case a: JsArray => JsStr(arrayToStrI(a))
     case other => toPrimitive(other)
   }
+
+  /** Array join with interp-aware per-element ToString (nested arrays
+    * recurse here; holes/undefined/null join as empty, like V8). */
+  private def arrayToStrI(a: JsArray): String =
+    a.items.map {
+      case JsNull | _: JsUndefinedKind => ""
+      case x => toStrI(x)
+    }.mkString(",")
 
   private def ordinaryToPrimitive(recv: JsValue, hint: String): JsValue = {
     val order = if (hint == "string") Seq("toString", "valueOf") else Seq("valueOf", "toString")
@@ -754,9 +768,11 @@ final class Interp(globalScope: Scope, val budget: Budget) {
   /** `==` with the object side run through interp-aware ToPrimitive
     * (user valueOf/toString honored, proxy get traps routed). */
   private def looseEqualsI(a: JsValue, b: JsValue): Boolean = (a, b) match {
-    case (JsNum(_) | JsStr(_) | JsBool(_), _: JsObject | _: JsProxyV) =>
+    // arrays included: their ToPrimitive joins via interp-aware element
+    // ToString, so `[{toString(){return '2'}}] == 2` is true like V8
+    case (JsNum(_) | JsStr(_) | JsBool(_), _: JsObject | _: JsProxyV | _: JsArray) =>
       looseEquals(a, toPrimitiveI(b))
-    case (_: JsObject | _: JsProxyV, JsNum(_) | JsStr(_) | JsBool(_)) =>
+    case (_: JsObject | _: JsProxyV | _: JsArray, JsNum(_) | JsStr(_) | JsBool(_)) =>
       looseEquals(toPrimitiveI(a), b)
     case _ => looseEquals(a, b)
   }
@@ -764,6 +780,7 @@ final class Interp(globalScope: Scope, val budget: Budget) {
   /** ToString through user conversion methods (template literals, `+`). */
   def toStrI(v: JsValue): String = v match {
     case _: JsObject | _: JsProxyV => toStr(toPrimitiveI(v, "string"))
+    case a: JsArray => arrayToStrI(a)
     case other => toStr(other)
   }
 

@@ -525,7 +525,9 @@ object Values {
     case JsNum(d) => numToString(d)
     case JsStr(s) => s
     case a: JsArray => a.items.map {
-      case JsUndefined | JsNull => ""
+      // holes, undefined and null all join as empty ([1,,3] + '' is
+      // "1,,3" in V8 — JsHole must not fall through to "undefined")
+      case JsNull | _: JsUndefinedKind => ""
       case x => toStr(x)
     }.mkString(",")
     case o: JsObject if o.className.endsWith("Error") =>

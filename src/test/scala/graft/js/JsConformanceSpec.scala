@@ -1464,6 +1464,33 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
     )
   }
 
+  test("nested user conversion methods run through array join (ADVICE r13)") {
+    // V8's Array.prototype.toString → join runs ToString on EACH
+    // element, so a user toString/valueOf on an element (or one level
+    // deeper, inside a nested array) participates in `+`/template
+    // coercion of the array itself.
+    expect(
+      "'' + [{toString(){return 'X'}}]" -> "X",
+      "'' + [{valueOf(){return 7}}]" -> "[object Object]", // string hint: toString wins
+      "`${[[{toString(){return 'Y'}}]]}`" -> "Y",
+      "'' + [1, {toString(){return 'm'}}, 3]" -> "1,m,3",
+      "[{toString(){return '2'}}] == 2" -> "true",
+      "'' + [null, undefined, [,]]" -> ",,", // holes/null/undefined join empty at every level
+      "[1,,3] + ''" -> "1,,3",
+    )
+  }
+
+  test("Reflect.ownKeys on arrays excludes holes; String(symbol) descriptive (ADVICE r13)") {
+    expect(
+      "JSON.stringify(Reflect.ownKeys([1,,3]))" -> """["0","2","length"]""",
+      "JSON.stringify(Reflect.ownKeys([]))" -> """["length"]""",
+      "String(Symbol.iterator)" -> "Symbol(Symbol.iterator)",
+    )
+    // implicit ToString of a symbol still throws (only EXPLICIT String() converts)
+    val res = run("output('r', '' + Symbol.iterator)")
+    assert(res.error.exists(_.errType == "TypeError"), s"got ${res.error}")
+  }
+
   test("detached-method `this`: LOUD TypeError, not sloppy-mode globalThis") {
     // V8 in sloppy mode silently binds `this` to globalThis, so
     // `const f = o.m; f()` reads this.x as undefined. Binding the
