@@ -161,12 +161,40 @@ object Bench {
     // contention check possible from the headline alone.
     val headline =
       s"""{"metric":"total","value":$total,"unit":"sec","job_total":$jobTotal,"reps":$reps,"n_queries":${ok.size},"errors":$errs,"sf":"$sfDir"}"""
+    // One DENSE line carrying BOTH per-query wall AND job seconds
+    // inside the driver's 2000-byte tail capture (VERDICT r13 #1/#2:
+    // the ja/jb job lines print ahead of the wall lines and were
+    // clipped out of BENCH_r13's recorded tail, so per-query
+    // contention still couldn't be adjudicated from the artifact).
+    // Names are elided to fit: "w"/"j" are POSITIONAL over the
+    // passing queries sorted alphabetically by full name — the same
+    // order as every "queries"/"job_s" map in this file and in
+    // target/bench.json (qNN spellings in parts a/b). 2 dp keeps 149
+    // queries ≈ 1.7 KB; if growth pushes the line past the ~1.9 KB
+    // usable window, "j" degrades to integer PERCENT of wall
+    // ("jenc":"pct", job_s ≈ w * j / 100) before "w" loses precision.
+    def fd(t: Double): String = f"$t%.2f"
+    val wArr = ok.map { case (_, ts, _) => fd(ts.head._1) }.mkString("[", ",", "]")
+    def dense(jArr: String, jenc: String) =
+      s"""{"metric":"total","value":$total,"unit":"sec","job_total":$jobTotal,"reps":$reps,"part":"wj","n_queries":${ok.size},"order":"alpha","jenc":"$jenc","w":$wArr,"j":$jArr,"sf":"$sfDir"}"""
+    val dSec = dense(ok.map { case (_, ts, _) => fd(ts.head._2) }.mkString("[", ",", "]"), "sec")
+    val denseWJ =
+      if (dSec.length <= 1750) dSec
+      else dense(ok.map { case (_, ts, _) =>
+        val w = ts.head._1
+        (if (w <= 0) 0L else math.round(ts.head._2 / w * 100)).toString
+      }.mkString("[", ",", "]"), "pct")
+    // print order = reverse priority: the tail window keeps the END of
+    // stdout, so the dense wall+job line goes LAST, headline second to
+    // last; the verbose per-name lines clip first.
     println(lineJA); println(lineJB)
-    println(headline); println(lineA); println(lineB)
+    println(lineA); println(lineB)
+    println(headline); println(denseWJ)
     Console.out.flush()
     spark.stop()
     println(lineJA); println(lineJB)
-    println(headline); println(lineA); println(lineB)
+    println(lineA); println(lineB)
+    println(headline); println(denseWJ)
     Console.out.flush()
   }
 }
