@@ -192,6 +192,92 @@ object SparkEntry {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** q78's oracle: the q75 winnowing selection with the gram hash
+    * replaced by a bit-exact DuckDB replay of Spark's XXH64 — the
+    * production (100 TB-default) fingerprint path, previously the one
+    * `queries` entry the oracle never checked (VERDICT r13 #1).
+    *
+    * XXH64 on a 10-byte input (5 UTF-16BE chars, seed 42) is pure
+    * 64-bit lane arithmetic: one 8-byte round, two tail bytes, the
+    * avalanche. DuckDB BIGINT traps overflow, so every step runs in
+    * HUGEINT with an explicit mod-2^64 reduction; 64×64→64 multiplies
+    * split the CONSTANT multiplier into 32-bit halves so no
+    * intermediate exceeds ~2^65 (the fix_log2 generated-CTE
+    * discipline, one CTE per lane op). The signed BIGINT conversion
+    * happens BEFORE the sliding-window min, because the Scala
+    * selection (TextOps.selectWinnowed) compares Long values SIGNED —
+    * a full-range hash ordered unsigned would select different
+    * positions. Verified value-exact against
+    * XXH64.hashUnsafeBytes(utf16be, seed=42) on ASCII and non-ASCII
+    * grams (OpsSpec pins the same five values). */
+  private lazy val winnowingXxOracle: String = {
+    val M = BigInt(2).pow(64).toString
+    val P1 = BigInt("9E3779B185EBCA87", 16)
+    val P2 = BigInt("C2B2AE3D27D4EB4F", 16)
+    val P3 = BigInt("165667B19E3779F9", 16)
+    val P4 = BigInt("85EBCA77C2B2AE63", 16)
+    val P5 = BigInt("27D4EB2F165667C5", 16)
+    val h0 = (BigInt(42) + P5 + 10) % BigInt(2).pow(64) // seed + PRIME5 + length
+    // (a * b) mod 2^64 with a a column in [0, 2^64) and b a constant:
+    // split b into 32-bit halves; largest intermediate ≈ 2^65 « 2^127
+    def mul64(a: String, b: BigInt): String = {
+      val lo = b & BigInt("ffffffff", 16)
+      val hi = b >> 32
+      s"((($a) % 4294967296) * $lo + (((($a) % 4294967296) * $hi + (($a) // 4294967296) * $lo) % 4294967296) * 4294967296) % $M"
+    }
+    def rotl(a: String, r: Int): String =
+      s"((($a) * ${BigInt(2).pow(r)}) % $M + ($a) // ${BigInt(2).pow(64 - r)})"
+    s"""WITH g AS (
+       |  SELECT doc_id, i AS pos, substring(text, i, 5) AS gram
+       |  FROM documents,
+       |       LATERAL (SELECT unnest(generate_series(1, greatest(length(text) - 4, 0))) AS i)),
+       |cp AS (
+       |  SELECT doc_id, pos,
+       |    unicode(substring(gram,1,1))::HUGEINT AS c0, unicode(substring(gram,2,1))::HUGEINT AS c1,
+       |    unicode(substring(gram,3,1))::HUGEINT AS c2, unicode(substring(gram,4,1))::HUGEINT AS c3,
+       |    unicode(substring(gram,5,1))::HUGEINT AS c4
+       |  FROM g),
+       |w AS ( -- first 8 UTF-16BE bytes as a little-endian 64-bit word + 2 tail bytes
+       |  SELECT doc_id, pos,
+       |    (c0 // 256) + (c0 % 256)*256 + (c1 // 256)*65536 + (c1 % 256)*16777216
+       |    + (c2 // 256)*4294967296 + (c2 % 256)*1099511627776
+       |    + (c3 // 256)*281474976710656 + (c3 % 256)*72057594037927936 AS k1,
+       |    (c4 // 256) AS b8, (c4 % 256) AS b9
+       |  FROM cp),
+       |s1 AS (SELECT doc_id, pos, b8, b9, ${mul64("k1", P2)} AS k1 FROM w),
+       |s2 AS (SELECT doc_id, pos, b8, b9, ${rotl("k1", 31)} AS k1 FROM s1),
+       |s3 AS (SELECT doc_id, pos, b8, b9, ${mul64("k1", P1)} AS k1 FROM s2),
+       |s4 AS (SELECT doc_id, pos, b8, b9, xor($h0::HUGEINT, k1) AS h FROM s3),
+       |s5 AS (SELECT doc_id, pos, b8, b9, (${mul64(rotl("h", 27), P1)} + $P4) % $M AS h FROM s4),
+       |s6 AS (SELECT doc_id, pos, b9, xor(h, (b8 * $P5) % $M) AS h FROM s5),
+       |s7 AS (SELECT doc_id, pos, b9, ${mul64(rotl("h", 11), P1)} AS h FROM s6),
+       |s8 AS (SELECT doc_id, pos, xor(h, (b9 * $P5) % $M) AS h FROM s7),
+       |s9 AS (SELECT doc_id, pos, ${mul64(rotl("h", 11), P1)} AS h FROM s8),
+       |f1 AS (SELECT doc_id, pos, xor(h, h // 8589934592) AS h FROM s9),
+       |f2 AS (SELECT doc_id, pos, ${mul64("h", P2)} AS h FROM f1),
+       |f3 AS (SELECT doc_id, pos, xor(h, h // 536870912) AS h FROM f2),
+       |f4 AS (SELECT doc_id, pos, ${mul64("h", P3)} AS h FROM f3),
+       |f5 AS (SELECT doc_id, pos, xor(h, h // 4294967296) AS h FROM f4),
+       |xs AS ( -- SIGNED Long, matching the Scala selection's compare order
+       |  SELECT doc_id, pos,
+       |    (CASE WHEN h >= 9223372036854775808 THEN h - $M ELSE h END)::BIGINT AS h
+       |  FROM f5),
+       |sel AS (
+       |  SELECT doc_id, pos,
+       |    min({'h': h, 'np': -pos})
+       |      OVER (PARTITION BY doc_id ORDER BY pos
+       |            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+       |    count(*) OVER (PARTITION BY doc_id) AS ng
+       |  FROM xs),
+       |fps AS (
+       |  SELECT DISTINCT doc_id, m.h AS fp, -m.np AS pos
+       |  FROM sel WHERE pos <= ng - 3)
+       |SELECT doc_id, count(*)::BIGINT AS n_fps,
+       |  bit_xor(fp)::BIGINT AS xor_fps,
+       |  CAST(min(pos) AS BIGINT) AS first_pos
+       |FROM fps GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   private lazy val planesCte: String = {
     val planes = graft.ops.Ann.hyperplanes(64, 8)
     val planeRows = planes.zipWithIndex
@@ -455,11 +541,11 @@ object SparkEntry {
     // Winnowing with the PRODUCTION gram hash (VERDICT r8 #1/#4): the
     // identical selection pipeline as q75 but hashing grams with
     // Spark's XXH64 instead of a per-position SHA-256 digest — the
-    // 100 TB default. XXH64 has no SQL-oracle twin, so this entry is
-    // deliberately rows-only (no oracleSql): its algorithmic
-    // correctness rides on q75 (same selection code, monotone-pinned)
-    // and OpsSpec's xx64 guarantee tests; its job here is the BENCH
-    // line that documents the sha→xx throughput gap.
+    // 100 TB default. Oracled bit-exactly since r14: XXH64 on a
+    // 10-byte gram is pure 64-bit lane arithmetic, replayed in DuckDB
+    // as a generated HUGEINT CTE chain (winnowingXxOracle) — so the
+    // production-default path is hash-checked like its q75 twin, and
+    // its BENCH line still documents the sha→xx throughput gap.
     "q78_winnowing_fast" -> ((s, dir) => {
       graft.ops.TextOps.winnowingFingerprints(t(s, dir, "documents"),
           k = 5, w = 4, gramHash = "xx64")
@@ -2383,6 +2469,10 @@ object SparkEntry {
         |FROM ok a JOIN ok b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 50
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // q78: the q75 selection with the gram hash replaced by a
+    // generated bit-exact XXH64 replay (see winnowingXxOracle).
+    "q78_winnowing_fast" -> winnowingXxOracle,
 
     // q82: the same tokenizer, the same (count, char-contrib, gram)
     // tie-break via row_number, the same ≥2-count dup sum — five gram

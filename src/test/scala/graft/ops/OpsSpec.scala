@@ -420,6 +420,28 @@ class OpsSpec extends AnyFunSuite {
       "xx64 and sha256 fingerprint spaces should not overlap on random text")
   }
 
+  test("winnowing xx64 gram hash: pinned values (the q78 oracle's reference points)") {
+    // Exactly XXH64(seed=42) over the gram's UTF-16BE bytes — the same
+    // five values the DuckDB HUGEINT replay (SparkEntry
+    // winnowingXxOracle) was verified against, including a non-ASCII
+    // BMP gram. A drift in either engine breaks q78's hash match.
+    def h(s: String): Long = {
+      val bytes = new Array[Byte](s.length * 2)
+      var j = 0
+      while (j < s.length) {
+        val c = s.charAt(j)
+        bytes(2 * j) = (c >>> 8).toByte; bytes(2 * j + 1) = c.toByte; j += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, 2 * s.length, 42L)
+    }
+    assert(h("hello") == -2304676600257632462L)
+    assert(h("abcde") == 1366962806455976628L)
+    assert(h("aaaaa") == -7271178990198922855L)
+    assert(h("x y z") == 2214024048920814724L)
+    assert(h("é-ü12") == -2850282485955917799L)
+  }
+
   test("marginScores: margin recomputed independently from the knn graph") {
     import spark.implicits._
     val knn = Ann.knnGraph(embs, k = 5, dim = 64)
