@@ -1920,6 +1920,14 @@ object SparkEntry {
     "q137_tombstone_delete" -> ((s, dir) =>
       graft.queries.StoreQueries.tombstoneExport(s, dir)),
 
+    // W3 overwrite: three overwrite commits — full corpus, a third
+    // dropped + a tenth rewritten, full corpus reinstated. Pins
+    // drop-on-unmentioned, hash-gated version carry-over THROUGH a
+    // full-collection rewrite, and reinstate-after-drop stamping the
+    // new version (no old hash to match).
+    "q152_overwrite" -> ((s, dir) =>
+      graft.queries.StoreQueries.overwriteExport(s, dir)),
+
     // §2.6 lens-on-lens cascade: dataset → token-index lens → bucket
     // lens; incremental rebuild after q44's merge, with exact map-
     // invocation counts pinned at BOTH levels.
@@ -3254,6 +3262,18 @@ object SparkEntry {
         |       ELSE text END AS data,
         |  CAST(4 AS BIGINT) AS coll_version
         |FROM documents WHERE doc_id % 18 <> 13 ORDER BY doc_id""".stripMargin,
+    // q152: the overwrite lifecycle re-derived relationally — the
+    // dropped-then-reinstated third stamps v3, rewritten tenth v2,
+    // everything else carries v1 through two full rewrites.
+    "q152_overwrite" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS id,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 3
+        |       WHEN doc_id % 10 = 0 THEN 2
+        |       ELSE 1 END AS BIGINT) AS version,
+        |  CASE WHEN doc_id % 3 <> 1 AND doc_id % 10 = 0 THEN 'MODIFIED: ' || text
+        |       ELSE text END AS data,
+        |  CAST(3 AS BIGINT) AS coll_version
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // q138: lens B's final bucketed token sets over the post-commit-2
     // corpus; version compares the two corpora's bucket sets; the two
     // invocation counts re-derive both freshness gates — A's fresh docs

@@ -429,6 +429,64 @@ object StoreQueries {
       .orderBy(col("id").cast("long"))
   }
 
+  /** W3 overwrite semantics under the hard signal (reference
+    * base-data-model.js:166-225, the `overwrite` flag at :182; pinned
+    * by test/test-models-dataset.js version arithmetic): an overwrite
+    * commit REPLACES the collection — unmentioned ids are dropped —
+    * while the hash gate still carries versions for records whose
+    * content is unchanged. Three overwrite commits over the documents
+    * corpus:
+    *   1. all docs, original text                     → everything v1
+    *   2. only doc_id % 3 != 1 (a third DROPPED), with
+    *      doc_id % 10 == 0 rewritten                  → modified v2,
+    *      unchanged carry v1
+    *   3. ALL docs again: the dropped third reinstated with its
+    *      ORIGINAL text, the rest byte-identical to commit 2
+    * The reinstated ids must stamp v3 — an overwrite-drop leaves no
+    * hash for the gate to match, so "same bytes as before the drop"
+    * is still a fresh write (exactly the tombstone-reinsert rule,
+    * q137) — while every other id carries its commit-2 version
+    * through the full-collection rewrite. coll_version (3) rides
+    * every row, so an over- or under-bumped meta breaks the hash. */
+  def overwriteExport(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sfName = Paths.get(sfDir).getFileName.toString
+    val root = pidScratch(s"graft-ovwq-$sfName")
+    val store = new Store(spark, root)
+    val ds = store.dataset("bench", "docs-ovw")
+    if (ds.exists) ds.drop()
+    ds.create()
+
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    def entries(df: DataFrame, mod: Boolean): DataFrame =
+      df.as[(Long, String)].map { case (id, text) =>
+        val t = if (mod) s"MODIFIED: $text" else text
+        (id.toString, Cbor.encode(PoObj("text" -> PoStr(t))), false)
+      }.toDF("id", "value", "tombstone")
+
+    ds.writeEntriesDF(entries(docs, mod = false), WriteMode.Overwrite)
+    val keep = docs.filter(col("doc_id") % 3 =!= 1)
+    def commit2Shape(d: DataFrame): DataFrame =
+      entries(d.filter(col("doc_id") % 10 =!= 0), mod = false)
+        .unionByName(entries(d.filter(col("doc_id") % 10 === 0), mod = true))
+    ds.writeEntriesDF(commit2Shape(keep), WriteMode.Overwrite)
+    ds.writeEntriesDF(
+      commit2Shape(keep)
+        .unionByName(entries(docs.filter(col("doc_id") % 3 === 1), mod = false)),
+      WriteMode.Overwrite)
+
+    val collVersion = ds.meta.version
+    ds.records.map { r =>
+      val data = Cbor.decode(r.value).asInstanceOf[PoObj].fields("text") match {
+        case PoStr(t) => t
+        case _ => null
+      }
+      (r.id, r.version, data)
+    }.toDF("id", "version", "data")
+      .withColumn("coll_version", lit(collVersion))
+      .orderBy(col("id").cast("long"))
+  }
+
   /** S12 change feed under the hard signal (reference
     * update-events.js:7-14 — every commit emits (path, version);
     * export-controller.js:153-176 serves the feed): one merge commit
