@@ -1934,6 +1934,14 @@ object SparkEntry {
     "q138_lens_cascade" -> ((s, dir) =>
       graft.queries.CascadeLensQuery.run(s, dir)),
 
+    // §2.6 DIAMOND cascade through the LensHub's parallel waves:
+    // dataset → token lens → two mid bucket lenses → one sink reading
+    // both. Pins that racing mid-lens commits neither under-build
+    // (dropped event → stale sink) nor over-build (full re-map) the
+    // sink: exact map-invocation counts at all four lenses.
+    "q153_diamond_cascade" -> ((s, dir) =>
+      graft.queries.DiamondLensQuery.run(s, dir)),
+
     // §2.5 reduce-lattice breadth: date-max, bigint-sum, recursive
     // map-merge, array-concat, recursive object-merge and mixed-type
     // last-wins — EVERY lattice branch — through the full distributed
@@ -3327,6 +3335,78 @@ object SparkEntry {
         |  (SELECT n FROM fresh_b) AS n_map_calls_b
         |FROM b2 LEFT JOIN b1 ON b1.bucket = b2.bucket
         |ORDER BY b2.bucket""".stripMargin,
+    // q153: the diamond re-derived relationally — C's final counts
+    // over the post-merge corpus through BOTH mid-lens shapes,
+    // `changed` from count movement (the hash gate's observable), and
+    // all four invocation counts from the bumped sets at each level.
+    "q153_diamond_cascade" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' graftupdate' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 2
+        |  UNION ALL
+        |  SELECT 1000000 + i, 'brand new graft doc ' || CAST(i AS VARCHAR)
+        |  FROM generate_series(1, 5) AS t(i)
+        |),
+        |toks1 AS (
+        |  SELECT DISTINCT d.doc_id, u.tok
+        |  FROM documents d,
+        |       unnest(string_split_regex(lower(d.text), '[^a-z0-9]+')) AS u(tok)
+        |  WHERE u.tok <> ''),
+        |idx1 AS (
+        |  SELECT tok,
+        |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+        |  FROM toks1 GROUP BY 1),
+        |toks2 AS (
+        |  SELECT DISTINCT d.doc_id, u.tok
+        |  FROM docs2 d,
+        |       unnest(string_split_regex(lower(d.text), '[^a-z0-9]+')) AS u(tok)
+        |  WHERE u.tok <> ''),
+        |idx2 AS (
+        |  SELECT tok,
+        |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+        |  FROM toks2 GROUP BY 1),
+        |fresh_a AS (
+        |  SELECT count(*) AS n FROM docs2
+        |  WHERE doc_id % 7 = 0 OR doc_id > 1000000),
+        |fresh_mid AS ( -- A's version-bumped tokens: each mid lens re-maps exactly these
+        |  SELECT count(*) AS n FROM idx2 i2 LEFT JOIN idx1 i1 ON i1.tok = i2.tok
+        |  WHERE i1.doc_ids IS NULL OR i1.doc_ids <> i2.doc_ids),
+        |chr1 AS (
+        |  SELECT substr(tok, 1, 1) AS bucket,
+        |    string_agg(tok, ',' ORDER BY tok) AS toks, count(*) AS n
+        |  FROM idx1 GROUP BY 1),
+        |chr2 AS (
+        |  SELECT substr(tok, 1, 1) AS bucket,
+        |    string_agg(tok, ',' ORDER BY tok) AS toks, count(*) AS n
+        |  FROM idx2 GROUP BY 1),
+        |len1 AS (
+        |  SELECT CAST(len(tok) AS VARCHAR) AS bucket,
+        |    string_agg(tok, ',' ORDER BY tok) AS toks, count(*) AS n
+        |  FROM idx1 GROUP BY 1),
+        |len2 AS (
+        |  SELECT CAST(len(tok) AS VARCHAR) AS bucket,
+        |    string_agg(tok, ',' ORDER BY tok) AS toks, count(*) AS n
+        |  FROM idx2 GROUP BY 1),
+        |fresh_c AS ( -- version-bumped mid-lens buckets: C's exactly-once map set
+        |  SELECT (SELECT count(*) FROM chr2 c2 LEFT JOIN chr1 c1 ON c1.bucket = c2.bucket
+        |          WHERE c1.toks IS NULL OR c1.toks <> c2.toks)
+        |       + (SELECT count(*) FROM len2 l2 LEFT JOIN len1 l1 ON l1.bucket = l2.bucket
+        |          WHERE l1.toks IS NULL OR l1.toks <> l2.toks) AS n),
+        |c_rows AS (
+        |  SELECT 'chr-dia:' || c2.bucket AS ckey, c2.n AS n_tokens,
+        |    (c1.n IS NULL OR c1.n <> c2.n) AS changed
+        |  FROM chr2 c2 LEFT JOIN chr1 c1 ON c1.bucket = c2.bucket
+        |  UNION ALL
+        |  SELECT 'len-dia:' || l2.bucket AS ckey, l2.n AS n_tokens,
+        |    (l1.n IS NULL OR l1.n <> l2.n) AS changed
+        |  FROM len2 l2 LEFT JOIN len1 l1 ON l1.bucket = l2.bucket)
+        |SELECT ckey, CAST(n_tokens AS BIGINT) AS n_tokens, changed,
+        |  (SELECT n FROM fresh_a) AS n_map_calls_a,
+        |  (SELECT n FROM fresh_mid) AS n_map_calls_b1,
+        |  (SELECT n FROM fresh_mid) AS n_map_calls_b2,
+        |  (SELECT n FROM fresh_c) AS n_map_calls_c
+        |FROM c_rows ORDER BY ckey""".stripMargin,
     // q139: each lattice branch re-derived relationally — date-max by
     // max() over the same non-monotonic epoch formula, bigint-sum in
     // HUGEINT, map-merge as a lang-count group-by rendered sorted,

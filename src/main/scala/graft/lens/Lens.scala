@@ -248,6 +248,14 @@ object Lens {
 final class LensHub(store: Store, parallelCascade: Boolean = false) {
   private val lenses = scala.collection.mutable.LinkedHashMap[String, Lens]()
   private val building = scala.collection.mutable.Set[String]()
+  // lenses whose input committed WHILE they were building: on a
+  // DIAMOND (two mid lenses feeding one sink), the second mid lens's
+  // commit can land while the sink is already rebuilding for the
+  // first — dropping that event would leave the sink permanently
+  // stale on the second input (an under-build; q153 pins this). The
+  // claim holder re-runs the build until no commit arrived during it;
+  // the freshness gate makes a spurious extra pass a cheap no-op.
+  private val pending = scala.collection.mutable.Set[String]()
 
   store.onCommit((p, _) => onUpdate(p))
 
@@ -262,12 +270,30 @@ final class LensHub(store: Store, parallelCascade: Boolean = false) {
     val claimed = dependents.filter { l =>
       val key = l.path.collectionPath
       synchronized {
-        if (building(key)) false else { building += key; true }
+        if (building(key)) { pending += key; false }
+        else { building += key; true }
       }
     }
-    def run(l: Lens): Unit =
-      try l.build()
-      finally synchronized { building -= l.path.collectionPath }
+    def run(l: Lens): Unit = {
+      val key = l.path.collectionPath
+      try {
+        var more = true
+        while (more) {
+          l.build()
+          // pending-check and claim-release are ONE atomic step: a
+          // commit landing between "no pending" and the release would
+          // otherwise mark pending with nobody left to honor it
+          synchronized {
+            if (pending(key)) pending -= key // go again
+            else { building -= key; more = false }
+          }
+        }
+      } catch {
+        case e: Throwable =>
+          synchronized { pending -= key; building -= key }
+          throw e
+      }
+    }
     // every claimed lens MUST release its claim even if an earlier
     // build in the wave throws: run() releases its own key, and the
     // serial path's finally releases the keys of lenses the abort

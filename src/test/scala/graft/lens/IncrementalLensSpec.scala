@@ -181,6 +181,50 @@ class IncrementalLensSpec extends AnyFunSuite {
     assert(s1.output.read("n").get == PoInt(1))
   }
 
+  test("diamond: a commit landing while the sink builds re-runs it instead of dropping the event") {
+    // dataset → B1, B2 (parallel wave) → sink reading BOTH. The probe
+    // forces the exact window: the sink's first build starts after
+    // B1's commit and BLOCKS mid-map until B2 has committed — so B2's
+    // commit event arrives while the sink is claimed. Without the
+    // hub's pending re-run the event is dropped and the sink stays
+    // permanently stale on B2 (the diamond under-build); with it, the
+    // claim holder re-runs and maps exactly B2's record.
+    val store = freshStore()
+    DiamondProbe.reset()
+    // the commit counter registers BEFORE the hub: onCommit listeners
+    // run synchronously in registration order, and the hub's listener
+    // only returns after the whole downstream cascade settles — a
+    // counter registered after it would observe B1's commit only once
+    // the sink build it is supposed to unblock had already timed out
+    val midPaths = Set(
+      DataPath("lenses", "a", "dia-b1").collectionPath,
+      DataPath("lenses", "a", "dia-b2").collectionPath)
+    val midCommits = new AtomicInteger(0)
+    store.onCommit { (p, _) =>
+      if (midPaths(p.collectionPath) && midCommits.incrementAndGet() == 2)
+        DiamondProbe.secondCommitted.countDown()
+    }
+    val hub = new LensHub(store, parallelCascade = true)
+    val d = store.dataset("a", "diabase").create()
+    hub.register(new Lens(store, "a", "dia-b1",
+      Seq(DataPath("datasets", "a", "diabase")),
+      new DiamondMidFn("b1", gated = false)).create())
+    hub.register(new Lens(store, "a", "dia-b2",
+      Seq(DataPath("datasets", "a", "diabase")),
+      new DiamondMidFn("b2", gated = true)).create())
+    val sink = hub.register(new Lens(store, "a", "dia-sink",
+      Seq(DataPath("lenses", "a", "dia-b1"), DataPath("lenses", "a", "dia-b2")),
+      new DiamondSinkFn).create())
+    d.write("x", PoInt(1)) // settles the whole diamond before returning
+    assert(!DiamondProbe.timedOut.get,
+      "probe deadlocked — the forced interleaving did not occur")
+    assert(sink.output.read("dia-b1/m").contains(PoStr("b1:x")),
+      "sink must hold the first mid lens's record")
+    assert(sink.output.read("dia-b2/m").contains(PoStr("b2:x")),
+      "sink must hold the SECOND mid lens's record — its commit landed " +
+        "while the sink was building and must not be dropped")
+  }
+
   test("concurrent builds of ONE lens from two store instances: one maps, one no-ops") {
     // The two-maintainer topology: separate Store instances (in real
     // deployments, separate processes) race a build of the same lens.
@@ -241,5 +285,41 @@ final class CascadeProbeFn(key: String) extends MapFn {
     if (!CascadeProbe.latch.await(20, java.util.concurrent.TimeUnit.SECONDS))
       CascadeProbe.sawTimeout.set(true)
     ctx.output(key, PoInt(1))
+  }
+}
+
+/** Diamond-race rendezvous (see the diamond test): B2's map waits for
+  * the sink's FIRST map call (proof the sink build is in flight), and
+  * the sink's map waits for the second mid-lens commit (so that commit
+  * provably lands inside the sink's build window). Timeouts keep every
+  * failure a clean assertion. Static state: specs run local-mode. */
+object DiamondProbe {
+  @volatile var b2Gate = new java.util.concurrent.CountDownLatch(1)
+  @volatile var secondCommitted = new java.util.concurrent.CountDownLatch(1)
+  val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
+  def reset(): Unit = {
+    b2Gate = new java.util.concurrent.CountDownLatch(1)
+    secondCommitted = new java.util.concurrent.CountDownLatch(1)
+    timedOut.set(false)
+  }
+}
+
+final class DiamondMidFn(key: String, gated: Boolean) extends MapFn {
+  def map(ctx: MapContext): Unit = {
+    if (gated && !DiamondProbe.b2Gate.await(20, java.util.concurrent.TimeUnit.SECONDS))
+      DiamondProbe.timedOut.set(true)
+    ctx.output("m", PoStr(s"$key:${ctx.path.recordID}"))
+  }
+}
+
+final class DiamondSinkFn extends MapFn {
+  def map(ctx: MapContext): Unit = {
+    DiamondProbe.b2Gate.countDown()
+    if (!DiamondProbe.secondCommitted.await(20, java.util.concurrent.TimeUnit.SECONDS))
+      DiamondProbe.timedOut.set(true)
+    ctx.data match {
+      case s: PoStr => ctx.output(s"${ctx.path.name}/${ctx.path.recordID}", s)
+      case _ => ()
+    }
   }
 }
