@@ -1963,6 +1963,14 @@ object SparkEntry {
     "q37_image_decode" -> ((s, dir) =>
       graft.queries.MultimodalQueries.imageDecode(s, dir)),
 
+    // REAL MJPEG video-frame decode: keyframe byte-range planner (q56)
+    // selects sync samples, javax.imageio (q37) decodes each sliced
+    // JPEG, the q85 aHash fingerprints it — uniform 0/255 8×8 blocks
+    // make every decoded hash bit equal the pattern bit despite the
+    // lossy codec (DC-only blocks, 60+ units of threshold margin).
+    "q151_mjpeg_frames" -> ((s, dir) =>
+      graft.queries.MultimodalQueries.mjpegFrameHashes(s, dir)),
+
     // Perceptual-hash (aHash) image near-dup pairs over REAL decoded
     // pixels: planted near-duplicate families (pattern keyed by
     // doc_id % 29, one perturbed column), 16-bit band candidates —
@@ -3270,6 +3278,27 @@ object SparkEntry {
         |       ELSE text END AS data,
         |  CAST(4 AS BIGINT) AS coll_version
         |FROM documents WHERE doc_id % 18 <> 13 ORDER BY doc_id""".stripMargin,
+    // q151: keyframe samples and every aHash bit re-derived in integer
+    // arithmetic — sync samples at 1 + j·g for j in 0..⌊(s−1)/g⌋, bit k
+    // of frame n set iff (doc_id·31 + n·17 + k) % 3 == 0 (the planted
+    // block pattern; the JPEG round trip provably preserves it).
+    "q151_mjpeg_frames" ->
+      """WITH p AS (
+        |  SELECT doc_id, 4 + doc_id % 5 AS s, 1 + doc_id % 3 AS g
+        |  FROM (SELECT DISTINCT doc_id FROM documents)
+        |  WHERE doc_id % 3 = 0),
+        |kf AS (
+        |  SELECT doc_id, 1 + j * g AS sample
+        |  FROM p, LATERAL (SELECT unnest(generate_series(0, (s - 1) // g)) AS j)),
+        |bits AS (
+        |  SELECT doc_id, sample, k,
+        |    CASE WHEN (doc_id * 31 + sample * 17 + k) % 3 = 0 THEN 1 ELSE 0 END AS b
+        |  FROM kf, LATERAL (SELECT unnest(generate_series(0, 63)) AS k))
+        |SELECT doc_id, CAST(sample AS BIGINT) AS sample,
+        |  CAST(sum(CASE WHEN k >= 32 THEN b * (1::BIGINT << (k - 32)) ELSE 0 END) AS BIGINT) AS ahash_hi,
+        |  CAST(sum(CASE WHEN k < 32 THEN b * (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS ahash_lo
+        |FROM bits GROUP BY 1, 2 ORDER BY doc_id, sample""".stripMargin,
+
     // q152: the overwrite lifecycle re-derived relationally — the
     // dropped-then-reinstated third stamps v3, rewritten tenth v2,
     // everything else carries v1 through two full rewrites.

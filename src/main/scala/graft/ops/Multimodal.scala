@@ -19,9 +19,12 @@ import org.apache.spark.sql.functions._
   * including animated-GIF frame extraction. `JavaSoundDecoder` is REAL
   * PCM audio decode — `javax.sound.sampled` (same java.desktop module)
   * reads WAV/AU/AIFF natively: sample rate, channels, duration, and an
-  * RMS-per-window loudness fingerprint. `StubDecoder`/`StubAudioDecoder`
-  * remain for the genuinely absent codecs only (video; COMPRESSED audio
-  * — MP3/AAC have no JDK service provider): they derive deterministic
+  * RMS-per-window loudness fingerprint; MJPEG video frames decode for
+  * real through the keyframe planner + ImageIO ([[mjpegKeyframeHashes]]
+  * — every MJPEG sample is a baseline JPEG). `StubDecoder`/
+  * `StubAudioDecoder` remain for the genuinely absent codecs only
+  * (inter-frame video — H.264/VP9; COMPRESSED audio — MP3/AAC have no
+  * JDK service provider): they derive deterministic
   * fake output from the byte content so pipelines and specs can pin the
   * plumbing. Swap implementations to go real — every schema, partition
   * and batch contract stays identical.
@@ -478,6 +481,53 @@ object Multimodal {
       }
       .toDF(idCol, "n_samples", "n_keyframes", "first_kf_offset",
         "last_kf_offset", "kf_bytes")
+  }
+
+  /** REAL video-frame decode for the one codec family the bare JDK can
+    * read: MJPEG-in-ISO-BMFF, where every video sample IS a baseline
+    * JPEG and `javax.imageio` is the production decoder (the q37
+    * argument). Composes the two verified pieces end to end: the
+    * keyframe byte-range planner ([[ContainerMeta.keyframeIndex]] —
+    * stss/stsz/stsc/stco resolved to exact (offset, size) ranges)
+    * selects the sync samples, ONLY those byte ranges are sliced out
+    * of the blob (at 100 TB the slice is an object-store range GET —
+    * no other frame's bytes are fetched or decoded), and each frame
+    * hashes through the q85 [[Decoder.aHash]] (8×8 integer-mean grid,
+    * cross-multiplied threshold). Output: one row per keyframe —
+    * (id, sample, ahash_hi, ahash_lo). Blobs with no resolvable sample
+    * table and ranges falling outside the blob are skipped, never a
+    * failure; an undecodable frame INSIDE a declared range throws
+    * (loud, the q37/q85 contract — a corrupt keyframe is data worth
+    * failing on, not an absent feature). One decoder per partition,
+    * rows streamed, zero shuffles. H.264/H.265/VP9 sync samples remain
+    * out of reach (no JDK decoder); the planner + slice + hash
+    * plumbing here is exactly what a real codec would ride. */
+  def mjpegKeyframeHashes(df: DataFrame, idCol: String = "id",
+                          bytesCol: String = "media",
+                          decoder: Decoder = new ImageIODecoder): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        decoder.init()
+        rows.flatMap { case (id, bytes) =>
+          ContainerMeta.keyframeIndex(bytes) match {
+            case Some(t) => t.keyframes.iterator.flatMap { kf =>
+              if (kf.offset < 0 || kf.size <= 0 ||
+                  kf.offset + kf.size > bytes.length) None
+              else {
+                val frame = java.util.Arrays.copyOfRange(
+                  bytes, kf.offset.toInt, (kf.offset + kf.size).toInt)
+                val (hi, lo) = decoder.aHash(frame, "image/jpeg")
+                Some((id, kf.sampleNumber, hi, lo))
+              }
+            }
+            case None => Iterator.empty
+          }
+        }
+      }
+      .toDF(idCol, "sample", "ahash_hi", "ahash_lo")
   }
 
   /** Size-aware repartitioning for blob tables: media rows vary from KBs

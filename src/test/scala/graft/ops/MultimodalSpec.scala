@@ -414,6 +414,61 @@ class MultimodalSpec extends AnyFunSuite {
     assert(sh >= 0 && sh <= 0xFFFFFFFFL && sl >= 0 && sl <= 0xFFFFFFFFL)
   }
 
+  test("mjpegKeyframeHashes: decodes ONLY sync samples; real JPEG bits match the pattern") {
+    import SparkTestBase.spark.implicits._
+    // hand-rolled MJPEG: 5 frames, every 2nd sync (stss = 1, 3, 5).
+    // Frames via the SAME builders the q151 fixture uses is overkill
+    // here — a minimal inline container with real JPEGs suffices to
+    // pin the three contracts: keyframe-only rows, correct byte-range
+    // slicing against variable JPEG sizes, and hash == pattern.
+    def be32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def bx(t: String, p: Array[Byte]*) = {
+      val b = p.flatten.toArray; be32(8L + b.length) ++ t.getBytes("US-ASCII") ++ b
+    }
+    def jpeg(n: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (cy <- 0 until 8; cx <- 0 until 8) {
+        val v = if ((n * 17 + cy * 8 + cx) % 3 == 0) 255 else 0
+        for (y <- cy * 8 until cy * 8 + 8; x <- cx * 8 until cx * 8 + 8)
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", buf)
+      buf.toByteArray
+    }
+    val frames = (1 to 5).map(jpeg)
+    val sizes = frames.map(_.length.toLong)
+    val stss = bx("stss", be32(0), be32(3), be32(1), be32(3), be32(5))
+    val stsz = bx("stsz", be32(0), be32(0), be32(5), sizes.flatMap(be32).toArray)
+    val stsc = bx("stsc", be32(0), be32(1), be32(1), be32(2), be32(1)) // 2/chunk
+    def moov(offs: Seq[Long]) = bx("moov", bx("trak", bx("mdia", bx("minf",
+      bx("stbl", stss, stsz, stsc,
+        bx("stco", be32(0), be32(3), offs.flatMap(be32).toArray))))))
+    val ftyp = bx("ftyp", "isom".getBytes, be32(0x200), "isom".getBytes)
+    val base = ftyp.length + moov(Seq(0L, 0L, 0L)).length + 8
+    val cum = sizes.scanLeft(0L)(_ + _)
+    val blob = ftyp ++ moov(Seq(base, base + cum(2), base + cum(4))) ++
+      bx("mdat", frames.flatten.toArray)
+
+    val out = Multimodal.mjpegKeyframeHashes(
+      Seq((7L, blob)).toDF("id", "media"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(out.map(_._2).toSeq == Seq(1L, 3L, 5L),
+      "exactly the sync samples decode — non-key frames are never touched")
+    out.foreach { case (_, n, hi, lo) =>
+      var (ehi, elo) = (0L, 0L)
+      for (k <- 0 until 64 if (n * 17 + k) % 3 == 0)
+        if (k < 32) elo |= 1L << k else ehi |= 1L << (k - 32)
+      assert((hi, lo) == ((ehi, elo)),
+        s"sample $n: decoded aHash must equal the planted pattern through the JPEG round trip")
+    }
+    // a blob with no sample table yields no rows, never a throw
+    assert(Multimodal.mjpegKeyframeHashes(
+      Seq((1L, "junk".getBytes)).toDF("id", "media")).count() == 0)
+  }
+
   test("balanceBySize: partition count tracks byte volume, not row count") {
     val total = mediaDf.select(sum(length(col("media")))).collect()(0).getLong(0)
     val target = total / 7
