@@ -1903,6 +1903,14 @@ object SparkEntry {
     "q149_generator_lens" -> ((s, dir) =>
       graft.queries.GeneratorLensQuery.run(s, dir)),
 
+    // §2.4 async lens (r14): user-JS map built on async/await +
+    // Promise.allSettled, with the ENTIRE output emitted from a .then
+    // reaction after the body returns — pins drain-before-collect,
+    // budget sharing through suspensions and worker reaping at corpus
+    // scale (semantics pinned by JsAsyncSpec + the asyncgen.js sweep).
+    "q150_async_lens" -> ((s, dir) =>
+      graft.queries.AsyncLensQuery.run(s, dir)),
+
     // §3.3 ephemeral run-once lens: loan-pattern frame stream decodes
     // to q9's index; `dropped` pins the finally-delete contract.
     "q144_ephemeral_lens" -> ((s, dir) =>
@@ -3555,6 +3563,36 @@ object SparkEntry {
         |SELECT bigram, count(*) AS n_docs,
         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
         |FROM dd GROUP BY bigram ORDER BY bigram""".stripMargin,
+    // q150: the first 40 DISTINCT tokens per doc in first-occurrence
+    // order (min ordinality — the JS Set insertion order), length sums
+    // for ≤ 12-char tokens and a rejection count for longer ones (the
+    // map's Promise.allSettled outcome split), rendered as the same
+    // "n=..;sum=..;rej=.." string the .then reaction outputs.
+    "q150_async_lens" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS ts
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, ts[i] AS tok, min(i) AS ord
+        |  FROM toks, UNNEST(range(1, len(ts) + 1)) AS r(i)
+        |  GROUP BY doc_id, ts[i]),
+        |sel AS (
+        |  SELECT doc_id, tok,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS rn
+        |  FROM occ),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n,
+        |    sum(CASE WHEN len(tok) <= 12 THEN len(tok) ELSE 0 END) AS s,
+        |    sum(CASE WHEN len(tok) > 12 THEN 1 ELSE 0 END) AS rej
+        |  FROM sel WHERE rn <= 40 GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  'n=' || coalesce(a.n, 0) || ';sum=' || coalesce(a.s, 0)
+        |    || ';rej=' || coalesce(a.rej, 0) AS out
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // q144: the ephemeral lens's record frames ARE the q9 index (one
     // full build over the whole corpus); dropped is constant true.
     "q144_ephemeral_lens" ->

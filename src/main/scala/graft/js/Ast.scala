@@ -58,10 +58,16 @@ object Ast {
                           exprBody: Option[Expr], pos: Pos,
                           /** `function*` / `*method()` — calling one returns a
                             * suspended [[JsGenerator]] instead of running the body */
-                          isGenerator: Boolean = false) extends Expr
+                          isGenerator: Boolean = false,
+                          /** `async function` / async arrow / async method —
+                            * calling one returns a [[JsPromise]] (r14) */
+                          isAsync: Boolean = false) extends Expr
   /** `yield` / `yield*` — legal only inside a generator body (parser-
     * enforced); `delegate` marks `yield*`. */
   final case class Yield(arg: Option[Expr], delegate: Boolean, pos: Pos) extends Expr
+  /** `await` — legal only directly inside an async function body
+    * (parser-enforced, like [[Yield]] in generators). */
+  final case class Await(arg: Expr, pos: Pos) extends Expr
   final case class Unary(op: String, operand: Expr, pos: Pos) extends Expr
   /** prefix/postfix ++/-- */
   final case class Update(op: String, target: Expr, prefix: Boolean, pos: Pos) extends Expr

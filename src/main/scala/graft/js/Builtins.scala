@@ -207,6 +207,20 @@ object Builtins {
       r.frozen = true
       r
     })
+    // Promises + async (r14): the sandbox has no timers/IO, so job
+    // order is deterministic; the lens worker drains the queue to
+    // quiescence after each map body (JsMapFn)
+    put("Promise", promiseConstructor(interp))
+    put("queueMicrotask", native("queueMicrotask") { (_, as) =>
+      val fn = arg(as, 0)
+      if (!fn.isInstanceOf[JsFunc])
+        throwType("queueMicrotask argument is not a function")
+      val i = interp()
+      // a throwing microtask is the map call's error (V8 reports it as
+      // an uncaught exception on the host — same boundary)
+      i.enqueueJob(() => { i.callFunction(fn, JsUndefined, Vector.empty, Pos(0), "microtask"); () })
+      JsUndefined
+    })
     put("parseInt", native("parseInt")((_, as) => JsNum(parseIntJs(interp().toStrI(arg(as, 0)), arg(as, 1)))))
     put("parseFloat", native("parseFloat")((_, as) => JsNum(parseFloatJs(interp().toStrI(arg(as, 0))))))
     put("isNaN", native("isNaN")((_, as) => JsBool(java.lang.Double.isNaN(interp().toNumberI(arg(as, 0))))))
@@ -240,6 +254,23 @@ object Builtins {
       case "Boolean" => JsBool(args.headOption.exists(truthy))
       case "Proxy" => makeProxy(args, interp)
       case "Symbol" => throwType("Symbol is not a constructor")
+      case "Promise" =>
+        // new Promise(executor): executor runs SYNCHRONOUSLY with the
+        // shared-latch (resolve, reject) pair; an executor throw
+        // rejects unless already resolved (ES 27.2.3.1)
+        val executor = args.headOption.getOrElse(JsUndefined)
+        if (!executor.isInstanceOf[JsFunc])
+          throwType("Promise resolver is not a function")
+        val p = Promises.newPromise(interp)
+        val (res, rej) = Promises.resolvingFunctions(p, interp)
+        try { interp.callFunction(executor, JsUndefined, Vector(res, rej), pos, "executor"); () }
+        catch {
+          // reject THROUGH the pair (latch-guarded): a resolve the
+          // executor already performed wins over its later throw (spec)
+          case JsThrown(err) =>
+            interp.callFunction(rej, JsUndefined, Vector(err), pos, "reject"); ()
+        }
+        p
       case other => throwType(s"$other is not a constructor in lens code")
     }
     case c: JsClosure =>
@@ -247,6 +278,8 @@ object Builtins {
       // object-result override, else `this`
       if (c.isGenerator) // V8: generator functions are not constructors
         throwType(s"${if (c.name.isEmpty) "anonymous generator" else c.name} is not a constructor")
+      if (c.isAsync) // V8: async functions are not constructors
+        throwType(s"${if (c.name.isEmpty) "anonymous async function" else c.name} is not a constructor")
       val self = JsObject.empty()
       interp.invokeClosure(c, self, args) match {
         case o: JsObject => o
@@ -302,9 +335,10 @@ object Builtins {
       case "Map" => v.isInstanceOf[JsMapV]
       case "RegExp" => v.isInstanceOf[JsRegExpV]
       case "Date" => v.isInstanceOf[JsDate]
+      case "Promise" => v.isInstanceOf[JsPromise]
       case "Object" => v match {
         case _: JsObject | _: JsArray | _: JsSetV | _: JsMapV | _: JsFunc |
-             _: JsRegExpV | _: JsProxyV => true
+             _: JsRegExpV | _: JsProxyV | _: JsPromise => true
         case _ => false
       }
       case "Error" => v match {
@@ -503,6 +537,7 @@ object Builtins {
       case _: JsSetV | _: JsMapV | _: JsRegExpV => Some("{}") // JS stringifies these as {}
       case _: JsBytes => Some("{}")
       case _: JsGenerator => Some("{}") // an ordinary object with no own enumerable props (V8)
+      case _: JsPromise => Some("{}") // same: no own enumerable props (V8)
       case p: JsProxyV =>
         if (interp == null) throw new IllegalStateException(
           "internal: proxy reached JSON.stringify without an interpreter (traps unrunnable)")
@@ -620,7 +655,8 @@ object Builtins {
         case JsStr(s) => Some(quote(s))
         case JsDate(ms) => // replacer RETURNED a date: its toJSON applies
           if (ms.isNaN) Some("null") else Some(quote(jsIsoString(ms)))
-        case _: JsSetV | _: JsMapV | _: JsRegExpV | _: JsBytes | _: JsGenerator => Some("{}")
+        case _: JsSetV | _: JsMapV | _: JsRegExpV | _: JsBytes | _: JsGenerator |
+             _: JsPromise => Some("{}")
         case a: JsArray =>
           if (seen.contains(a)) throw JsThrown(makeError("TypeError", "Converting circular structure to JSON"))
           seen.add(a)
@@ -1467,6 +1503,127 @@ object Builtins {
       case "toString" => Some(native("toString")((_, _) => JsStr(toStr(g))))
       case _ => None
     }
+  }
+
+  /** Promise instance methods (r14): then/catch/finally per ES 27.2.5,
+    * derived promises chained through [[Promises]]. */
+  def promiseMethod(p: JsPromise, name: String, interp: Interp): Option[JsValue] = name match {
+    case "then" => Some(native("then") { (_, as) =>
+      Promises.thenMethod(p, arg(as, 0), arg(as, 1), interp)
+    })
+    case "catch" => Some(native("catch") { (_, as) =>
+      Promises.thenMethod(p, JsUndefined, arg(as, 0), interp)
+    })
+    case "finally" => Some(native("finally") { (_, as) =>
+      Promises.finallyMethod(p, arg(as, 0), interp)
+    })
+    case "constructor" => Some(JsUndefined)
+    case "toString" => Some(native("toString")((_, _) => JsStr(toStr(p))))
+    case _ => None
+  }
+
+  /** The `Promise` global: statics per ES 27.2.4 (resolve/reject/all/
+    * allSettled/race/any); construction with an executor lives in
+    * [[construct]]. Calling without `new` is V8's TypeError. */
+  private[js] def promiseConstructor(interp: () => Interp): JsValue = {
+    import Promises._
+    def it(v: JsValue, i: Interp): Vector[JsValue] = v match {
+      case _: JsArray | _: JsSetV | _: JsMapV | _: JsStr | _: JsGenerator =>
+        i.iterate(v, Pos(0)).toVector
+      case other => throwType(
+        s"${typeOf(other)} is not iterable (Promise combinators take an iterable)")
+    }
+    val statics = JsObject.empty("Function")
+    statics.props.put("resolve", native("resolve") { (_, as) =>
+      promiseResolve(arg(as, 0), interp())
+    })
+    statics.props.put("reject", native("reject") { (_, as) =>
+      val i = interp()
+      val p = newPromise(i)
+      rejectP(p, arg(as, 0), i) // no assimilation — reject is verbatim (spec)
+      p
+    })
+    statics.props.put("all", native("all") { (_, as) =>
+      val i = interp()
+      val items = it(arg(as, 0), i)
+      val result = newPromise(i)
+      val values = Array.fill[JsValue](items.length)(JsUndefined)
+      val remaining = Array(1)
+      items.zipWithIndex.foreach { case (x, idx) =>
+        remaining(0) += 1
+        performThen(promiseResolve(x, i), None, None, Resume(
+          v => {
+            values(idx) = v
+            remaining(0) -= 1
+            if (remaining(0) == 0)
+              fulfill(result, JsArray.of(values.toIndexedSeq: _*), i)
+          },
+          e => rejectP(result, e, i)), i)
+      }
+      remaining(0) -= 1
+      if (remaining(0) == 0) fulfill(result, JsArray.of(values.toIndexedSeq: _*), i)
+      result
+    })
+    statics.props.put("allSettled", native("allSettled") { (_, as) =>
+      val i = interp()
+      val items = it(arg(as, 0), i)
+      val result = newPromise(i)
+      val values = Array.fill[JsValue](items.length)(JsUndefined)
+      val remaining = Array(1)
+      def done(): Unit = {
+        remaining(0) -= 1
+        if (remaining(0) == 0)
+          fulfill(result, JsArray.of(values.toIndexedSeq: _*), i)
+      }
+      items.zipWithIndex.foreach { case (x, idx) =>
+        remaining(0) += 1
+        performThen(promiseResolve(x, i), None, None, Resume(
+          v => { values(idx) = JsObject.of("status" -> JsStr("fulfilled"), "value" -> v); done() },
+          e => { values(idx) = JsObject.of("status" -> JsStr("rejected"), "reason" -> e); done() }), i)
+      }
+      done()
+      result
+    })
+    statics.props.put("race", native("race") { (_, as) =>
+      val i = interp()
+      val items = it(arg(as, 0), i)
+      val result = newPromise(i)
+      items.foreach { x =>
+        performThen(promiseResolve(x, i), None, None, Resume(
+          v => resolveP(result, v, i),
+          e => rejectP(result, e, i)), i)
+      }
+      result // an empty iterable races forever — pending, like V8
+    })
+    statics.props.put("any", native("any") { (_, as) =>
+      val i = interp()
+      val items = it(arg(as, 0), i)
+      val result = newPromise(i)
+      val errors = Array.fill[JsValue](items.length)(JsUndefined)
+      val remaining = Array(1)
+      def aggregate(): Unit = {
+        val agg = Values.makeError("AggregateError", "All promises were rejected")
+        agg.props.put("errors", JsArray.of(errors.toIndexedSeq: _*))
+        rejectP(result, agg, i)
+      }
+      items.zipWithIndex.foreach { case (x, idx) =>
+        remaining(0) += 1
+        performThen(promiseResolve(x, i), None, None, Resume(
+          v => resolveP(result, v, i),
+          e => {
+            errors(idx) = e
+            remaining(0) -= 1
+            if (remaining(0) == 0) aggregate()
+          }), i)
+      }
+      remaining(0) -= 1
+      if (remaining(0) == 0) aggregate()
+      result
+    })
+    statics.frozen = true
+    hybridCallable(native("Promise") { (_, _) =>
+      throwType("Promise constructor cannot be invoked without 'new'")
+    }, statics)
   }
 
   def setMethod(s: JsSetV, name: String, interp: Interp): Option[JsValue] = name match {

@@ -100,7 +100,7 @@ final class Interp(globalScope: Scope, val budget: Budget) {
 
   private def makeClosure(fn: FnExpr, env: Scope, thisV: JsValue): JsClosure =
     new JsClosure(fn.name, fn.params, fn.restParam, fn.body, fn.exprBody, fn.isArrow,
-      env, thisV, fn.isGenerator)
+      env, thisV, fn.isGenerator, fn.isAsync)
 
   // ---------------- statements ----------------
 
@@ -624,6 +624,12 @@ final class Interp(globalScope: Scope, val budget: Budget) {
           case g: JsGenerator => Generators.delegate(g, this)
           case other => Generators.delegateIterable(iterate(other, yp))
         }
+      case Await(argE, _) =>
+        // only reachable on an async body's worker (parser-enforced):
+        // at the frame level `await` IS `yield` — the async driver
+        // (Promises.step) turns the suspension into the spec's Await
+        // (PromiseResolve + resume reactions on the microtask queue)
+        Generators.yieldValue(eval(argE, scope))
       case Sequence(exprs, _) => exprs.map(eval(_, scope)).last
     }
   }
@@ -910,6 +916,7 @@ final class Interp(globalScope: Scope, val budget: Budget) {
       case set: JsSetV => Builtins.setMethod(set, propKeyStr(key), this).getOrElse(JsUndefined)
       case m: JsMapV => Builtins.mapMethod(m, propKeyStr(key), this).getOrElse(JsUndefined)
       case g: JsGenerator => Builtins.generatorMethod(g, propKeyStr(key), this).getOrElse(JsUndefined)
+      case p: JsPromise => Builtins.promiseMethod(p, propKeyStr(key), this).getOrElse(JsUndefined)
       case bytes: JsBytes =>
         val k = propKeyStr(key)
         if (k == "length" || k == "byteLength") JsNum(bytes.bytes.length.toDouble)
@@ -1662,6 +1669,12 @@ final class Interp(globalScope: Scope, val budget: Budget) {
 
   def invokeClosure(c: JsClosure, thisV: JsValue, args: Vector[JsValue]): JsValue = {
     if (c.isGenerator) return makeGenerator(c, thisV, args)
+    // async call: the body is a suspendable frame on the generator
+    // machinery (registered in liveGens so an abandoned awaiting body
+    // is reaped at end-of-map like any suspended generator); it runs
+    // synchronously to the first await, and the call evaluates to the
+    // result promise (ES AsyncFunctionStart)
+    if (c.isAsync) return Promises.callAsync(makeGenerator(c, thisV, args), this)
     val depth = callDepthTL.get
     depth(0) += 1
     if (depth(0) > Interp.MaxCallDepth) {
@@ -1671,6 +1684,44 @@ final class Interp(globalScope: Scope, val budget: Budget) {
     try invokeClosureBody(c, thisV, args)
     finally depth(0) -= 1
   }
+
+  // ---------------- microtasks (promises / async, r14) ----------------
+
+  /** FIFO promise-job queue (ES HostEnqueuePromiseJob). Single queue,
+    * single drain thread (the map-call task thread) — job order is a
+    * pure function of the program because the sandbox has no timers or
+    * IO. Async-body resumptions are jobs too, so at any instant
+    * exactly one of (drain thread, one async body) runs. */
+  private val microtasks = new java.util.ArrayDeque[() => Unit]()
+  /** rejected promises nobody has handled (scanned at quiescence) */
+  private val rejections = mutable.ArrayBuffer.empty[JsPromise]
+
+  private[js] def enqueueJob(job: () => Unit): Unit = {
+    budget.allocate(4)
+    microtasks.addLast(job)
+  }
+
+  private[js] def trackRejection(p: JsPromise): Unit = rejections += p
+
+  /** Run the queue to quiescence. Each job ticks the budget, so a
+    * job-spawning loop (`function f(){ Promise.resolve().then(f) }`)
+    * dies on the step budget like any other runaway. The lens worker
+    * calls this after every map body (the reference worker `await`s
+    * its map apply — worker:131 — so V8's queue likewise drains before
+    * outputs return). */
+  def drainJobs(): Unit = {
+    while (!microtasks.isEmpty) {
+      budget.tick()
+      microtasks.pollFirst()()
+    }
+  }
+
+  /** First still-unhandled rejection at quiescence, if any — surfaced
+    * by the lens worker as the map call's error (DELIBERATE loud
+    * divergence: V8 only warns on stderr; a lens that rejects and
+    * never handles it almost certainly lost outputs silently). */
+  def unhandledRejection: Option[JsValue] =
+    rejections.find(p => !p.handled && p.state == 2).map(_.value)
 
   // ---------------- generators ----------------
 

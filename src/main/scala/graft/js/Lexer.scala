@@ -28,11 +28,15 @@ object Lexer {
     "class", "extends", "super",
     // legal ONLY inside a generator body (r13); elsewhere the parser
     // keeps the pre-r13 startup error
-    "yield")
+    "yield",
+    // r14: `async function` / async arrows / async methods and `await`
+    // directly inside them; `await` anywhere else stays the startup
+    // error (these were in Rejected before r14, so `async`/`await` as
+    // BINDING names were never legal lens code — no compat break)
+    "async", "await")
 
   /** syntax we refuse (startup error), per the reference contract */
-  val Rejected: Set[String] = Set("async", "await", "with",
-    "import", "export")
+  val Rejected: Set[String] = Set("with", "import", "export")
 
   private val Puncts: Array[String] = Array(
     // longest first so greedy matching is correct

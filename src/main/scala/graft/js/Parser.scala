@@ -14,10 +14,10 @@ import scala.collection.mutable.ArrayBuffer
   * honor the restricted-production rule (no line break allowed before the
   * operand/operator).
   *
-  * Unsupported ES features (async, `with`, dynamic code loading)
-  * fail here with a [[JsSyntaxError]] — surfaced by the lens worker
-  * as a STARTUP error, the same contract as the reference isolate
-  * compile step (reference:
+  * Unsupported ES features (`with`, dynamic code loading, async
+  * GENERATORS / `for await`) fail here with a [[JsSyntaxError]] —
+  * surfaced by the lens worker as a STARTUP error, the same contract
+  * as the reference isolate compile step (reference:
   * library/workers/javascript-lens-worker.js:102-111,
   * test/test-workers-javascript-lens.js:21-30).
   *
@@ -48,22 +48,39 @@ import scala.collection.mutable.ArrayBuffer
   * (`yield 5` at top level STAYS the startup error the reference's
   * own negative test expects: test-workers-javascript-lens.js:24.)
   *
+  * ASYNC/AWAIT + PROMISES landed in round 14 — the last
+  * language-level delta vs the reference's full-V8 worker: `async
+  * function` declarations/expressions, async arrows, async methods
+  * (object literals + classes, incl. static), `await` directly inside
+  * async bodies (V8's arrow/param-default placement SyntaxErrors
+  * enforced), the `Promise` global (executor construction, then/
+  * catch/finally, resolve/reject/all/allSettled/race/any) and
+  * `queueMicrotask`. Async bodies ride the generator suspension
+  * machinery (`await` IS `yield` at the frame level — [[Promises]]
+  * drives the spec's Await steps); reactions run on a deterministic
+  * per-Interp microtask queue the lens worker drains to quiescence
+  * before collecting outputs (the reference worker `await`s its map
+  * apply, worker:131 — this is that contract made explicit). Ordering
+  * is V8-differential-fuzzed (tools/jsfuzz/asyncgen.js, 10k+ probes,
+  * zero divergences) and pinned in JsAsyncSpec. One deliberate
+  * STRICTNESS divergence: `async`/`await` still lex as keywords, so
+  * they are never binding names (they were Rejected words before r14
+  * — no legal lens program regresses), and a rejection nobody handled
+  * at quiescence is the map call's error where V8 merely warns.
+  * Out-of-scope, still loud: async GENERATORS, `for await`.
+  *
   * The REST of the tail — decided OUT with a corpus check (round 11):
   * every lens map SOURCE in the reference (the `code:` strings handed
   * to the worker — test-workers-javascript-lens.js,
   * test-models-lens.js, and the repo's shipped lens configs) contains
   * ZERO async or Proxy syntax; the `async` hits are the reference's
   * own Node HOST code (controllers, mocha harness), never lens code.
-  * async additionally conflicts with the worker contract: `map` is
-  * called synchronously and its outputs collected on return
-  * (javascript-lens-worker.js:116-145), so an async map would return
-  * a pending promise and emit nothing — making the startup error
-  * STRICTLY more useful than V8's silent acceptance. Tagged template
-  * literals left the tail in round 11 (String.raw, markup-building
-  * tags); PRIVATE CLASS MEMBERS and STATIC INITIALIZATION BLOCKS left
-  * it in round 12 (below); GENERATORS and the PROXY SUBSET left it in
-  * round 13 (above); what remains — async — errors loudly at
-  * startup, per the reference's own compile-error contract.
+  * Tagged template literals left the tail in round 11 (String.raw,
+  * markup-building tags); PRIVATE CLASS MEMBERS and STATIC
+  * INITIALIZATION BLOCKS left it in round 12 (below); GENERATORS and
+  * the PROXY SUBSET left it in round 13 (above); ASYNC left it in
+  * round 14 (above) — the worker-contract objection was resolved by
+  * drain-to-quiescence, not ignored.
   *
   * Private class members landed in round 12: #fields, #methods,
   * #accessors (instance and static), the `#x in obj` brand check,
@@ -148,6 +165,9 @@ final class Parser(tokens: Vector[Token]) {
       case "keyword" => peek.text match {
         case "var" | "let" | "const" => val d = parseVarDecl(); expectSemi(); d
         case "function" => parseFnDecl()
+        case "async" if peekAt(1).is("keyword", "function") && !peekAt(1).nlBefore =>
+          advance() // async ('async \n function' is two statements, like V8's ASI)
+          parseFnDecl(isAsync = true)
         case "class" =>
           val cp = pos
           parseClassExpr() match {
@@ -322,16 +342,19 @@ final class Parser(tokens: Vector[Token]) {
     if (atPunct("=")) { advance(); DefaultPattern(base, parseAssignExpr(), p0) } else base
   }
 
-  private def parseFnDecl(): Stmt = {
+  private def parseFnDecl(isAsync: Boolean = false): Stmt = {
     val p0 = pos
     advance() // function
     val isGen = atPunct("*")
-    if (isGen) advance()
+    if (isGen) {
+      if (isAsync) err("async generators are not supported in lens code")
+      advance()
+    }
     if (peek.kind != "ident") err("function declarations need a name")
     val name = advance().text
-    val (params, rest, body) = parseFnRest(isGen = isGen)
+    val (params, rest, body) = parseFnRest(isGen = isGen, isAsync = isAsync)
     FnDecl(name, FnExpr(Some(name), params, rest, body, isArrow = false, None, p0,
-      isGenerator = isGen), p0)
+      isGenerator = isGen, isAsync = isAsync), p0)
   }
 
   /** super-context of the code being parsed: 0 = `super` illegal,
@@ -347,6 +370,14 @@ final class Parser(tokens: Vector[Token]) {
     * defaults). Plain `function` bodies reset to 0 (sloppy-mode V8
     * allows a non-generator nested in a generator). */
   private var genCtx = 0
+  /** await-context (r14), same discipline as genCtx: 0 = not inside an
+    * async function (`await` stays a startup error — it was a Rejected
+    * keyword before r14, so no legal program used it as a name);
+    * 1 = directly inside an async body (`await` is a unary expression);
+    * 2 = lexically inside an async function but where await is a V8
+    * SyntaxError (a plain arrow body, or any async params). Plain
+    * `function` bodies reset to 0. */
+  private var asyncCtx = 0
   // > 0 while directly inside a `static {}` initialization block:
   // `return` there is a V8 SyntaxError; nested function bodies reset it
   private var staticBlockDepth = 0
@@ -386,13 +417,16 @@ final class Parser(tokens: Vector[Token]) {
     m.put(name, f)
   }
 
-  private def parseFnRest(superCtxBody: Int = 0, isGen: Boolean = false)
+  private def parseFnRest(superCtxBody: Int = 0, isGen: Boolean = false,
+                          isAsync: Boolean = false)
       : (Vector[Pattern], Option[String], Vector[Stmt]) = {
     val savedGenParams = genCtx
+    val savedAsyncParams = asyncCtx
     // a generator's own parameter defaults may not contain yield (V8
-    // SyntaxError); a plain function's params parse outside any
-    // generator context
+    // SyntaxError), an async function's may not contain await (same
+    // rule); a plain function's params parse outside both contexts
     genCtx = if (isGen) 2 else 0
+    asyncCtx = if (isAsync) 2 else 0
     eatPunct("(")
     val params = ArrayBuffer.empty[Pattern]
     var rest: Option[String] = None
@@ -410,15 +444,18 @@ final class Parser(tokens: Vector[Token]) {
         }
       }
       eatPunct(")")
-    } finally genCtx = savedGenParams
+    } finally { genCtx = savedGenParams; asyncCtx = savedAsyncParams }
     val savedSuper = superCtx
     val savedSbd = staticBlockDepth
     val savedGen = genCtx
+    val savedAsync = asyncCtx
     superCtx = superCtxBody
     staticBlockDepth = 0
     genCtx = if (isGen) 1 else 0
+    asyncCtx = if (isAsync) 1 else 0
     val body = try parseBlock().stmts
-      finally { superCtx = savedSuper; staticBlockDepth = savedSbd; genCtx = savedGen }
+      finally { superCtx = savedSuper; staticBlockDepth = savedSbd
+        genCtx = savedGen; asyncCtx = savedAsync }
     // params-vs-body lexical conflict: `function f(a) { let a }` is a
     // V8 SyntaxError (sloppy duplicate PARAMS stay legal)
     checkLexicalDups(body, params.toSeq.flatMap(patNames) ++ rest)
@@ -469,11 +506,21 @@ final class Parser(tokens: Vector[Token]) {
     }
 
     def parseMember(isStatic: Boolean, isGen: Boolean = false): Unit = {
-      if (peek.kind == "ident" && peek.text == "async" &&
-          !(peekAt(1).kind == "punct" && peekAt(1).text == "("))
-        err("async methods are not supported in lens code")
+      // async method (r14): `async` + member name, no newline in
+      // between; `async() {}` stays a method NAMED async and
+      // `async = 1` a field named async, like V8's contextual rule
+      val isAsyncM = !isGen && atKw("async") && !peekAt(1).nlBefore &&
+        (peekAt(1).kind == "ident" || peekAt(1).kind == "keyword" ||
+         peekAt(1).kind == "str" || peekAt(1).kind == "num" ||
+         peekAt(1).kind == "privname" ||
+         peekAt(1).is("punct", "[") || peekAt(1).is("punct", "*"))
+      if (isAsyncM) {
+        advance()
+        if (atPunct("*")) err("async generators are not supported in lens code")
+      }
       val accessorKind: Option[String] =
-        if (peek.kind == "ident" && (peek.text == "get" || peek.text == "set") &&
+        if (!isAsyncM &&
+            peek.kind == "ident" && (peek.text == "get" || peek.text == "set") &&
             (peekAt(1).kind == "ident" || peekAt(1).kind == "keyword" ||
              peekAt(1).kind == "str" || peekAt(1).kind == "num" ||
              peekAt(1).kind == "privname" ||
@@ -497,6 +544,7 @@ final class Parser(tokens: Vector[Token]) {
         if (accessorKind.isDefined)
           err(s"expected '(' after ${accessorKind.get} accessor name")
         if (isGen) err("expected '(' after generator method name")
+        if (isAsyncM) err("expected '(' after async method name")
         val init: Option[Expr] =
           if (atPunct("=")) {
             advance()
@@ -521,6 +569,7 @@ final class Parser(tokens: Vector[Token]) {
           keyExpr.asInstanceOf[StrLit].v == "constructor"
         if (isCtor) {
           if (isGen) err("Class constructor may not be a generator")
+          if (isAsyncM) err("Class constructor may not be an async method")
           if (sawCtor) err("a class may only have one constructor")
           sawCtor = true
         }
@@ -531,7 +580,7 @@ final class Parser(tokens: Vector[Token]) {
         // loud runtime boundary)
         val (params, rest, body) =
           parseFnRest(superCtxBody = if (isCtor && parent.isDefined) 2 else 1,
-            isGen = isGen)
+            isGen = isGen, isAsync = isAsyncM)
         accessorKind.foreach { kind =>
           if (kind == "get" && (params.nonEmpty || rest.nonEmpty))
             err("getter must not have any formal parameters")
@@ -543,7 +592,7 @@ final class Parser(tokens: Vector[Token]) {
           declarePriv(keyExpr.asInstanceOf[StrLit].v, kind, isStatic)
         members += MethodDef(keyExpr,
           FnExpr(None, params, rest, body, isArrow = false, None, namePos,
-            isGenerator = isGen),
+            isGenerator = isGen, isAsync = isAsyncM),
           isStatic, kind, computed, isPrivate)
       }
     }
@@ -760,7 +809,7 @@ final class Parser(tokens: Vector[Token]) {
       advance() // =>
       return parseArrowBody(Vector(param), None, p0)
     }
-    if (atPunct("(") && isArrowParamList) {
+    if (atPunct("(") && isArrowParamList()) {
       val p0 = pos
       // arrow param defaults share the arrow's yield ban (V8)
       val savedGen = genCtx
@@ -768,6 +817,29 @@ final class Parser(tokens: Vector[Token]) {
       val (params, rest) = try parseArrowParams() finally genCtx = savedGen
       eatPunct("=>")
       return parseArrowBody(params, rest, p0)
+    }
+    // async arrows (r14): `async x => …` / `async (…) => …`; a newline
+    // after `async` breaks the production (V8's no-LineTerminator rule)
+    if (atKw("async") && !peekAt(1).nlBefore &&
+        ((peekAt(1).kind == "ident" && peekAt(2).is("punct", "=>")) ||
+         (peekAt(1).is("punct", "(") && isArrowParamList(p + 1)))) {
+      val p0 = pos
+      advance() // async
+      if (peek.kind == "ident") {
+        val param = IdPattern(advance().text, p0)
+        advance() // =>
+        return parseArrowBody(Vector(param), None, p0, isAsync = true)
+      }
+      // an async arrow's own param defaults may contain neither yield
+      // (if inside a generator) nor await (V8)
+      val savedGen = genCtx
+      val savedAsync = asyncCtx
+      if (genCtx == 1) genCtx = 2
+      asyncCtx = 2
+      val (params, rest) =
+        try parseArrowParams() finally { genCtx = savedGen; asyncCtx = savedAsync }
+      eatPunct("=>")
+      return parseArrowBody(params, rest, p0, isAsync = true)
     }
     val p0 = pos
     val left = parseConditional()
@@ -784,11 +856,12 @@ final class Parser(tokens: Vector[Token]) {
 
   private val AssignOps = Set("=", "+=", "-=", "*=", "/=", "%=", "**=", "&&=", "||=", "??=", "&=", "|=", "^=", "<<=", ">>=", ">>>=")
 
-  /** decide whether `(` opens an arrow parameter list by scanning to the
-    * matching `)` and checking for `=>` */
-  private def isArrowParamList: Boolean = {
+  /** decide whether `(` (at token index `from`, default the current
+    * token) opens an arrow parameter list by scanning to the matching
+    * `)` and checking for `=>` */
+  private def isArrowParamList(from: Int = p): Boolean = {
     var depth = 0
-    var k = p
+    var k = from
     while (k < tokens.length) {
       val t = tokens(k)
       if (t.kind == "punct" && (t.text == "(" || t.text == "[" || t.text == "{")) depth += 1
@@ -820,22 +893,27 @@ final class Parser(tokens: Vector[Token]) {
     (params.toVector, rest)
   }
 
-  private def parseArrowBody(params: Vector[Pattern], rest: Option[String], p0: Pos): Expr = {
+  private def parseArrowBody(params: Vector[Pattern], rest: Option[String], p0: Pos,
+                             isAsync: Boolean = false): Expr = {
     // an arrow is never a generator: inside one, `yield` is a V8
-    // SyntaxError (genCtx 2), not an expression and not an identifier
+    // SyntaxError (genCtx 2), not an expression and not an identifier.
+    // await follows the same rule: a PLAIN arrow inside an async body
+    // may not await (asyncCtx 2), an ASYNC arrow opens its own context
     val savedGen = genCtx
+    val savedAsync = asyncCtx
     if (genCtx == 1) genCtx = 2
+    asyncCtx = if (isAsync) 1 else if (asyncCtx == 1) 2 else asyncCtx
     try {
       if (atPunct("{")) {
         val savedSbd = staticBlockDepth
         staticBlockDepth = 0
         val body = try parseBlock().stmts finally staticBlockDepth = savedSbd
-        FnExpr(None, params, rest, body, isArrow = true, None, p0)
+        FnExpr(None, params, rest, body, isArrow = true, None, p0, isAsync = isAsync)
       } else {
         val e = parseAssignExpr()
-        FnExpr(None, params, rest, Vector.empty, isArrow = true, Some(e), p0)
+        FnExpr(None, params, rest, Vector.empty, isArrow = true, Some(e), p0, isAsync = isAsync)
       }
-    } finally genCtx = savedGen
+    } finally { genCtx = savedGen; asyncCtx = savedAsync }
   }
 
   private def parseConditional(): Expr = {
@@ -907,6 +985,20 @@ final class Parser(tokens: Vector[Token]) {
 
   private def parseUnary(): Expr = guarded {
     val p0 = pos
+    // `await UnaryExpression` (r14) — legal only DIRECTLY inside an
+    // async body; the arrow/param positions where V8 rejects it keep
+    // erroring, and everywhere else it stays the pre-r14 startup error
+    // (it lexes as a keyword, never an identifier — stricter than
+    // sloppy-mode V8, documented in the class scaladoc)
+    if (atKw("await")) {
+      if (asyncCtx == 1) {
+        advance()
+        return Await(parseUnary(), p0)
+      }
+      if (asyncCtx == 2)
+        err("'await' is not allowed in an arrow function or parameter default here")
+      err("'await' is only valid in async functions")
+    }
     if (peek.kind == "punct" && Seq("!", "-", "+", "~").contains(peek.text)) {
       val op = advance().text
       Unary(op, parseUnary(), p0)
@@ -1073,6 +1165,12 @@ final class Parser(tokens: Vector[Token]) {
           val name = if (peek.kind == "ident") Some(advance().text) else None
           val (params, rest, body) = parseFnRest(isGen = isGen)
           FnExpr(name, params, rest, body, isArrow = false, None, p0, isGenerator = isGen)
+        case "async" if peekAt(1).is("keyword", "function") && !peekAt(1).nlBefore =>
+          advance(); advance() // async function
+          if (atPunct("*")) err("async generators are not supported in lens code")
+          val name = if (peek.kind == "ident") Some(advance().text) else None
+          val (params, rest, body) = parseFnRest(isAsync = true)
+          FnExpr(name, params, rest, body, isArrow = false, None, p0, isAsync = true)
         case "new" => parseCallMember() // handled there
         case "class" => parseClassExpr()
         case "super" =>
@@ -1140,12 +1238,24 @@ final class Parser(tokens: Vector[Token]) {
         // generator method shorthand: `*m() {...}`
         val isGen = atPunct("*")
         if (isGen) advance()
+        // async method shorthand (r14): `async m() {...}` — `async`
+        // followed by a property NAME and no newline; `async: 1`,
+        // `async() {}` (a method literally named async) and shorthand
+        // `{async}` keep their pre-r14 meanings
+        val isAsyncM = !isGen && atKw("async") && !peekAt(1).nlBefore &&
+          (peekAt(1).kind == "ident" || peekAt(1).kind == "keyword" ||
+           peekAt(1).kind == "str" || peekAt(1).kind == "num" ||
+           peekAt(1).is("punct", "[") || peekAt(1).is("punct", "*"))
+        if (isAsyncM) {
+          advance()
+          if (atPunct("*")) err("async generators are not supported in lens code")
+        }
         // accessor declaration: `get`/`set` followed by a property name
         // (NOT `get:`/`get(`/`get,`/`get}` — those are ordinary props
         // named "get"). Arity is an early error like V8: a getter takes
         // no parameters, a setter exactly one.
         val accessorKind: Option[String] =
-          if (!isGen &&
+          if (!isGen && !isAsyncM &&
               peek.kind == "ident" && (peek.text == "get" || peek.text == "set") &&
               (peekAt(1).kind == "ident" || peekAt(1).kind == "keyword" ||
                peekAt(1).kind == "str" || peekAt(1).kind == "num" ||
@@ -1171,11 +1281,14 @@ final class Parser(tokens: Vector[Token]) {
           case None =>
             if (atPunct("(")) {
               // method shorthand {m() {...}} / generator {*m() {...}}
-              val (params, rest, body) = parseFnRest(isGen = isGen)
+              // / async {async m() {...}}
+              val (params, rest, body) = parseFnRest(isGen = isGen, isAsync = isAsyncM)
               entries += ((keyExpr, FnExpr(None, params, rest, body, isArrow = false,
-                None, entryPos, isGenerator = isGen)))
+                None, entryPos, isGenerator = isGen, isAsync = isAsyncM)))
             } else if (isGen) {
               err("expected '(' after generator method name")
+            } else if (isAsyncM) {
+              err("expected '(' after async method name")
             } else if (atPunct(":")) {
               advance()
               entries += ((keyExpr, parseAssignExpr()))

@@ -97,6 +97,9 @@ object PoBridge {
       case _: JsGenerator =>
         Values.throwType("a generator could not be cloned into a lens output" +
           " (spread it into an array first)")
+      case _: JsPromise =>
+        Values.throwType("a promise could not be cloned into a lens output" +
+          " (await it and output the settled value)")
       case sym: JsSymbolV =>
         Values.throwType(s"a symbol (${sym.description}) could not be cloned into a lens output")
       case _: JsProxyV =>

@@ -208,8 +208,31 @@ final class JsClosure(val fnName: Option[String], val params: Vector[Ast.Pattern
                       val exprBody: Option[Ast.Expr], val isArrow: Boolean,
                       val env: Scope, val capturedThis: JsValue,
                       /** `function*` — calling it returns a [[JsGenerator]] */
-                      val isGenerator: Boolean = false) extends JsFunc {
+                      val isGenerator: Boolean = false,
+                      /** `async function` — calling it returns a [[JsPromise]];
+                        * the body runs as a suspendable frame (r14) */
+                      val isAsync: Boolean = false) extends JsFunc {
   def name: String = fnName.getOrElse("")
+}
+
+/** A PROMISE (r14) — the result of calling an async function, `new
+  * Promise(executor)`, or a Promise static. States and reactions per
+  * ES 27.2; every reaction runs as a job on the owning [[Interp]]'s
+  * MICROTASK QUEUE, drained to quiescence by the host (the lens worker
+  * after each map body, the top of [[Interp.drainJobs]] callers) — the
+  * sandbox has no timers or IO, so job order is fully deterministic.
+  * `typeof` → "object"; implicit ToString → "[object Promise]". */
+final class JsPromise extends JsValue {
+  /** 0 = pending, 1 = fulfilled, 2 = rejected */
+  private[js] var state: Int = 0
+  private[js] var value: JsValue = JsUndefined
+  /** registered reactions, FIFO (null after settle — late `then`s
+    * enqueue their job immediately instead) */
+  private[js] var reactions: mutable.ArrayBuffer[Promises.Reaction] =
+    mutable.ArrayBuffer.empty
+  /** a rejection with at least one reaction registered (the unhandled-
+    * rejection scan skips these) */
+  private[js] var handled: Boolean = false
 }
 
 /** A generator OBJECT — the result of calling a `function*` closure.
@@ -540,6 +563,7 @@ object Values {
     case _: JsSetV => "[object Set]"
     case _: JsMapV => "[object Map]"
     case _: JsGenerator => "[object Generator]"
+    case _: JsPromise => "[object Promise]"
     case _: JsSymbolV =>
       throw JsThrown(makeError("TypeError", "Cannot convert a Symbol value to a string"))
     case p: JsProxyV =>
@@ -595,7 +619,8 @@ object Values {
   /** ToPrimitive with default hint (objects → toString for our subset) */
   def toPrimitive(v: JsValue): JsValue = v match {
     case _: JsObject | _: JsArray | _: JsSetV | _: JsMapV | _: JsFunc |
-         _: JsRegExpV | _: JsBytes | _: JsGenerator | _: JsProxyV => JsStr(toStr(v))
+         _: JsRegExpV | _: JsBytes | _: JsGenerator | _: JsProxyV |
+         _: JsPromise => JsStr(toStr(v))
     case JsDate(ms) => JsNum(ms)
     case prim => prim
   }

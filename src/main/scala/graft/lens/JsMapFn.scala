@@ -89,11 +89,27 @@ final class JsMapFn(val code: String) extends MapFn {
     fnScope.declare("this", JsUndefined)
     fnScope.declare("path", pathObj)
     fnScope.declare("data", PoBridge.toJs(ctx.data))
-    // reap suspended generators on EVERY exit path: an abandoned one
-    // parks a daemon thread, and a long lens build maps millions of
-    // records through this method
-    try interpRef.runProgram(prog, fnScope)
-    finally interpRef.closeGenerators()
+    // reap suspended generators AND parked async bodies on EVERY exit
+    // path: an abandoned one parks a daemon thread, and a long lens
+    // build maps millions of records through this method
+    try {
+      interpRef.runProgram(prog, fnScope)
+      // promises/async (r14): run the microtask queue to quiescence
+      // before outputs are collected — the reference worker `await`s
+      // its map apply (worker:131), so V8's queue likewise drains
+      // before the outputs return. A rejection nobody handled by
+      // quiescence is THE map call's error (deliberate loud divergence
+      // from V8's stderr warning: a lens that rejects unhandled almost
+      // certainly lost outputs silently).
+      interpRef.drainJobs()
+      interpRef.unhandledRejection.foreach { v =>
+        throw JsThrown(v match {
+          case o: JsObject if o.className.endsWith("Error") => o
+          case other => Values.makeError("Error",
+            s"Unhandled promise rejection: ${Values.toStr(Values.toPrimitive(other))}")
+        })
+      }
+    } finally interpRef.closeGenerators()
   }
 }
 

@@ -1,0 +1,94 @@
+package graft.queries
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.core._
+import graft.lens.Lens
+import graft.store.{DataPath, Store, WriteMode}
+
+/** q150: a USER-JAVASCRIPT lens whose map is built on ASYNC/AWAIT +
+  * PROMISES — the round-14 interpreter surface exercised end-to-end
+  * through the real engine path (ingest → lens build → materialized
+  * output) under the DuckDB oracle. The reference runs lens code on
+  * full V8 (library/workers/javascript-lens-worker.js:100-145) and
+  * AWAITS the map apply (worker:131), so a user lens may legally go
+  * async; this engine's contract is the deterministic version: the
+  * microtask queue drains to quiescence after the map body returns,
+  * THEN outputs are collected.
+  *
+  * What the map exercises at corpus scale (semantics pinned by
+  * JsAsyncSpec + the 10k-probe asyncgen.js V8 sweep; this query pins
+  * the ENGINE integration — budget sharing through suspensions,
+  * worker reaping, drain-before-collect, PoBridge from reactions):
+  *  - an async helper with a real `await` suspension per token;
+  *  - `Promise.allSettled` over a mapped array of in-flight promises
+  *    (fulfillments summed, rejections counted — tokens longer than
+  *    12 chars throw);
+  *  - the ENTIRE output emitted from a `.then` reaction AFTER the map
+  *    body has returned — an engine that collected outputs before
+  *    draining would emit zero rows and break the row count.
+  *
+  * Tokenization matches q9/q49/q149 (`lower` + split `[^a-z0-9]+`);
+  * the per-doc working set is the FIRST 40 DISTINCT tokens in
+  * first-occurrence order (`new Set` insertion order), which the
+  * oracle re-derives with a min-ordinality group-by. */
+object AsyncLensQuery {
+
+  val JsAsyncCode: String =
+    """async function score(tok) {
+      |  await null
+      |  if (tok.length > 12) throw tok
+      |  return tok.length
+      |}
+      |async function process() {
+      |  const toks = data.text.toLowerCase().split(/[^a-z0-9]+/).filter(t => t !== '')
+      |  const uniq = [...new Set(toks)].slice(0, 40)
+      |  const results = await Promise.allSettled(uniq.map(t => score(t)))
+      |  let sum = 0, rej = 0
+      |  for (const r of results) {
+      |    if (r.status === 'fulfilled') sum += r.value
+      |    else rej += 1
+      |  }
+      |  return 'n=' + uniq.length + ';sum=' + sum + ';rej=' + rej
+      |}
+      |if (typeof data.text === 'string') {
+      |  process().then(s => output(path.recordID, s))
+      |}""".stripMargin
+
+  def run(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sfName = Paths.get(sfDir).getFileName.toString
+    val store = new Store(spark, Fs.pidScratch(s"graft-asyncq-$sfName"))
+
+    val fn = graft.lens.JsMapFn.compile(JsAsyncCode).fold(
+      e => throw new IllegalStateException(s"${e.errType}: ${e.message}"),
+      identity)
+
+    val ds = store.dataset("bench", "documents")
+    if (ds.exists) ds.drop()
+    ds.create()
+    val entries = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        (id.toString, Cbor.encode(PoObj("text" -> PoStr(text))), false)
+      }.toDF("id", "value", "tombstone")
+    ds.writeEntriesDF(entries, WriteMode.Overwrite)
+
+    val lens = new Lens(store, "bench", "async-scores",
+      Seq(DataPath("datasets", "bench", "documents")), fn)
+    if (lens.output.exists) lens.output.drop()
+    lens.create()
+    lens.build()
+
+    lens.output.records.map { r =>
+      val out = Cbor.decode(r.value) match {
+        case PoStr(s) => s
+        case other => other.toString
+      }
+      (r.id.toLong, out)
+    }.toDF("doc_id", "out").orderBy("doc_id")
+  }
+}

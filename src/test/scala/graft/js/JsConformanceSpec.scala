@@ -723,7 +723,7 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
       "({ import: 1, yield: 2 }).import + ({ async: 3 }).async" -> "4",
       "(() => { const o = {}; o.await = 7; return o.await })()" -> "7",
     )
-    for (bad <- Seq("with({a:1}) output('r', a)", "yield 5", "async function f(){}",
+    for (bad <- Seq("with({a:1}) output('r', a)", "yield 5", "await 1",
                     "const x = import('m')")) {
       assert(JsMapFn.compile(bad).isLeft, s"must stay a startup error: $bad")
     }
@@ -1395,11 +1395,12 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
 
   test("out-of-subset constructs are LOUD — startup or runtime error, never silent") {
     // parse-time rejections (classes landed in r8, static blocks and
-    // private members in r12, generators AND a Proxy subset in r13;
-    // the residual out-of-subset corners — async, `with`, proxy
+    // private members in r12, generators AND a Proxy subset in r13,
+    // async/await + Promises in r14; the residual out-of-subset
+    // corners — async GENERATORS, `for await`, `with`, proxy
     // apply/construct traps — stay loud):
-    Seq("async function f(){}",
-        "const x = async () => 1",
+    Seq("async function* f(){}",
+        "async function f(){ for await (const x of []) {} }",
         "with({a:1}) output('r', a)").foreach { code =>
       assert(JsMapFn.compile(code).isLeft, s"must reject at startup: $code")
     }

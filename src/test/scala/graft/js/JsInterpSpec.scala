@@ -418,7 +418,8 @@ class JsInterpSpec extends AnyFunSuite with Matchers {
       case Right(_) => fail("expected syntax error")
     }
     JsMapFn.compile("class X { #x = 1 }").isRight shouldBe true // private members landed r12
-    JsMapFn.compile("async function f() {}").isLeft shouldBe true
+    JsMapFn.compile("async function f() {}").isRight shouldBe true // async landed r14
+    JsMapFn.compile("async function* f() {}").isLeft shouldBe true // async generators stay out
   }
 
   test("ASI: the golden-lens style of semicolon-free code parses") {

@@ -23,8 +23,15 @@ object JsProbeRunner {
       // minimal 2-string JSON array parse
       val arr = ujsonParse(line)
       val (expr, want) = (arr(0), arr(1))
+      // async probes (asyncgen.js): the program is an async IIFE —
+      // settle it through .then and let the worker's drain-to-quiescence
+      // deliver the output; rejections label like node's catch
+      val template =
+        if (expr.startsWith("(async"))
+          s"($expr).then(v => output('r', '' + v), e => output('r', 'THROW:' + ((e && e.name) || ('' + e))))"
+        else s"output('r', '' + ($expr))"
       val got = try {
-        val fn = graft.lens.JsMapFn.compile(s"output('r', '' + ($expr))") match {
+        val fn = graft.lens.JsMapFn.compile(template) match {
           case Right(f) => f
           case Left(err) => null
         }
