@@ -3294,7 +3294,7 @@ object SparkEntry {
       """WITH p AS (
         |  SELECT doc_id, 4 + doc_id % 5 AS s, 1 + doc_id % 3 AS g
         |  FROM (SELECT DISTINCT doc_id FROM documents)
-        |  WHERE doc_id % 3 = 0),
+        |  WHERE doc_id % 7 = 0),
         |kf AS (
         |  SELECT doc_id, 1 + j * g AS sample
         |  FROM p, LATERAL (SELECT unnest(generate_series(0, (s - 1) // g)) AS j)),

@@ -273,12 +273,14 @@ object MultimodalQueries {
     * row-count/hash. */
   def mjpegFrameHashes(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // every 3rd doc: JPEG encode of ~6 frames/doc dominates; a third of
-    // the corpus carries the same decode signal (subsample is in the
-    // oracle too — nothing silent)
+    // every 7th doc: the fixture's JPEG ENCODE of ~6 frames/doc
+    // dominates the query's cost (production blobs would already
+    // exist; decode-only is the real operator), and a seventh of the
+    // corpus carries the same per-image decode signal (the subsample
+    // is in the oracle too — nothing silent)
     val blobs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id").cast("long")).distinct()
-      .filter(col("doc_id") % 3 === 0)
+      .filter(col("doc_id") % 7 === 0)
       .as[Long]
       .mapPartitions(_.map(id => (id, mjpegFixture(id))))
       .toDF("id", "media")
