@@ -425,6 +425,27 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
     )
   }
 
+  test("documented corner: lookahead captures in an abandoned alternation branch") {
+    // Java treats a completed lookahead atomically: backtracking PAST
+    // it (the branch fails after the assertion succeeded) keeps its
+    // inner captures, where the spec's immutable match states discard
+    // them — V8 reports group 2 undefined here; the Java layer reports
+    // the assertion attempt's 'c'. Found by the round-14 capstone
+    // regexgen sweep (1 divergence in 16k fresh probes); same
+    // engine-internal class as the repetition-capture corner above —
+    // participation of a lookahead in the accepting path is not
+    // observable from java.util.regex, so this is pinned rather than
+    // papered over (negative lookarounds ARE reset — execResult's
+    // negGroups — because "never participates" is decidable there).
+    expect(
+      "JSON.stringify('abc'.split(/((?=([a-c]|b))x\\s|[a-c]$)/))" ->
+        """["ab","c","c",""]""", // V8: ["ab","c",null,""] — documented divergence
+      // the committed path through a SUCCESSFUL lookahead agrees with V8
+      "/(?=(a))a/.exec('a').slice(0).join(',')" -> "a,a",
+      "JSON.stringify('xa'.split(/((?=(a))a)/))" -> """["x","a","a",""]""",
+    )
+  }
+
   test("classes: construction, methods, this, chaining") {
     expect(
       "new (class { constructor(x) { this.x = x } getX() { return this.x } })(5).getX()" -> "5",
