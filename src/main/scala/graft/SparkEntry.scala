@@ -1911,6 +1911,12 @@ object SparkEntry {
     "q150_async_lens" -> ((s, dir) =>
       graft.queries.AsyncLensQuery.run(s, dir)),
 
+    // §2.4 async-GENERATOR lens (r14 wave 2): async function* +
+    // for await with an early break driving the awaited
+    // IteratorClose — the ran_to_end flag pins close-vs-completion.
+    "q154_async_gen_lens" -> ((s, dir) =>
+      graft.queries.AsyncLensQuery.runGen(s, dir)),
+
     // §3.3 ephemeral run-once lens: loan-pattern frame stream decodes
     // to q9's index; `dropped` pins the finally-delete contract.
     "q144_ephemeral_lens" -> ((s, dir) =>
@@ -3590,6 +3596,36 @@ object SparkEntry {
         |SELECT d.doc_id,
         |  'n=' || coalesce(a.n, 0) || ';sum=' || coalesce(a.s, 0)
         |    || ';rej=' || coalesce(a.rej, 0) AS out
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // q154: first-occurrence distinct tokens capped at 30, the
+    // for-await loop consumes at most 25 (break) — n, length sum over
+    // the consumed prefix, and ran_to_end = the generator's loop
+    // exhausted (strictly fewer than 25 yields consumed ⇒ no break).
+    "q154_async_gen_lens" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS ts
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, ts[i] AS tok, min(i) AS ord
+        |  FROM toks, UNNEST(range(1, len(ts) + 1)) AS r(i)
+        |  GROUP BY doc_id, ts[i]),
+        |sel AS (
+        |  SELECT doc_id, tok,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS rn
+        |  FROM occ),
+        |agg AS (
+        |  SELECT doc_id,
+        |    count(*) FILTER (rn <= 25) AS n,
+        |    sum(len(tok)) FILTER (rn <= 25) AS s,
+        |    count(*) FILTER (rn <= 30) AS n30
+        |  FROM sel GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  'n=' || coalesce(a.n, 0) || ';sum=' || coalesce(a.s, 0)
+        |    || ';ran_to_end=' || (CASE WHEN coalesce(a.n30, 0) < 25 THEN 'true' ELSE 'false' END) AS out
         |FROM (SELECT DISTINCT doc_id FROM documents) d
         |LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,

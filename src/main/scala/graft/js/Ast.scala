@@ -128,6 +128,9 @@ object Ast {
                        body: Stmt, pos: Pos) extends Stmt
   /** isOf=true → for-of, false → for-in; decl kind "" means bare target assignment */
   final case class ForInOf(kind: String, target: Pattern, obj: Expr, isOf: Boolean,
+                           /** `for await (… of …)` — legal only directly inside
+                             * an async body (r14); always false for for-in */
+                           isAwait: Boolean,
                            body: Stmt, pos: Pos) extends Stmt
   final case class Return(value: Option[Expr], pos: Pos) extends Stmt
   final case class Throw(value: Expr, pos: Pos) extends Stmt

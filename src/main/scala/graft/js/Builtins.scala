@@ -149,6 +149,7 @@ object Builtins {
     locally {
       val statics = JsObject.empty("Function")
       statics.props.put("iterator", JsSymbols.iterator) // THE canonical instance (identity matters for ===)
+      statics.props.put("asyncIterator", JsSymbols.asyncIterator)
       statics.frozen = true
       put("Symbol", hybridCallable(native("Symbol") { (_, _) =>
         throwType("only well-known symbols (Symbol.iterator) are supported in lens code")
@@ -537,7 +538,7 @@ object Builtins {
       case _: JsSetV | _: JsMapV | _: JsRegExpV => Some("{}") // JS stringifies these as {}
       case _: JsBytes => Some("{}")
       case _: JsGenerator => Some("{}") // an ordinary object with no own enumerable props (V8)
-      case _: JsPromise => Some("{}") // same: no own enumerable props (V8)
+      case _: JsPromise | _: JsAsyncGenerator => Some("{}") // same: no own enumerable props (V8)
       case p: JsProxyV =>
         if (interp == null) throw new IllegalStateException(
           "internal: proxy reached JSON.stringify without an interpreter (traps unrunnable)")
@@ -643,9 +644,9 @@ object Builtins {
         case None => v1
       }
       v2 match {
-        case _: JsAccessorProp =>
+        case _: JsAccessorProp | _: AwaitSignal =>
           throw new IllegalStateException(
-            "internal: accessor property record leaked into JSON.stringify")
+            "internal: engine-internal record leaked into JSON.stringify")
         case _: JsUndefinedKind | _: JsFunc | _: JsSymbolV => None
         case JsNull => Some("null")
         case JsBool(b) => Some(b.toString)
@@ -656,7 +657,7 @@ object Builtins {
         case JsDate(ms) => // replacer RETURNED a date: its toJSON applies
           if (ms.isNaN) Some("null") else Some(quote(jsIsoString(ms)))
         case _: JsSetV | _: JsMapV | _: JsRegExpV | _: JsBytes | _: JsGenerator |
-             _: JsPromise => Some("{}")
+             _: JsPromise | _: JsAsyncGenerator => Some("{}")
         case a: JsArray =>
           if (seen.contains(a)) throw JsThrown(makeError("TypeError", "Converting circular structure to JSON"))
           seen.add(a)
@@ -1503,6 +1504,21 @@ object Builtins {
       case "toString" => Some(native("toString")((_, _) => JsStr(toStr(g))))
       case _ => None
     }
+  }
+
+  /** Async-generator instance methods (r14): next/return/throw each
+    * return a promise; calls queue per the spec's request list
+    * ([[Promises.asyncGenRequest]]). */
+  def asyncGeneratorMethod(ag: JsAsyncGenerator, name: String, interp: Interp): Option[JsValue] = name match {
+    case "next" => Some(native("next")((_, as) =>
+      Promises.asyncGenRequest(ag, Generators.GenNext(arg(as, 0)), interp)))
+    case "return" => Some(native("return")((_, as) =>
+      Promises.asyncGenRequest(ag, Generators.GenReturn(arg(as, 0)), interp)))
+    case "throw" => Some(native("throw")((_, as) =>
+      Promises.asyncGenRequest(ag, Generators.GenThrow(arg(as, 0)), interp)))
+    case "constructor" => Some(JsUndefined)
+    case "toString" => Some(native("toString")((_, _) => JsStr(toStr(ag))))
+    case _ => None
   }
 
   /** Promise instance methods (r14): then/catch/finally per ES 27.2.5,

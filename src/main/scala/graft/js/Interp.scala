@@ -89,7 +89,7 @@ final class Interp(globalScope: Scope, val budget: Budget) {
       case While(_, b, _) => walk(b)
       case DoWhile(b, _, _) => walk(b)
       case For(i, _, _, b, _) => i.foreach(walk); walk(b)
-      case ForInOf(_, _, _, _, b, _) => walk(b)
+      case ForInOf(_, _, _, _, _, b, _) => walk(b)
       case Try(b, _, cb, fb, _) => walk(b); cb.foreach(walk); fb.foreach(walk)
       case Labeled(_, b, _) => walk(b)
       case Switch(_, cases, _) => cases.foreach(_._2.foreach(walk))
@@ -222,7 +222,8 @@ final class Interp(globalScope: Scope, val budget: Budget) {
         case f: ForInOf =>
           val obj = eval(f.obj, scope)
           val it: Iterator[JsValue] =
-            if (f.isOf) iterate(obj, f.pos)
+            if (f.isOf && f.isAwait) forAwaitIterator(obj, f.pos)
+            else if (f.isOf) iterate(obj, f.pos)
             else obj match { // for-in: enumerable own keys as strings
               case o: JsObject => ownEntries(o).iterator.map(e => JsStr(e._1))
               case a: JsArray => a.items.indices.iterator.map(i => JsStr(i.toString))
@@ -305,6 +306,9 @@ final class Interp(globalScope: Scope, val budget: Budget) {
       case v => v
     }.getOrElse(JsUndefined)
     case p: JsProxyV => proxyGet(p, sym, pos)
+    case ag: JsAsyncGenerator if sym.slot == "@@asyncIterator" =>
+      // asyncGen[Symbol.asyncIterator]() === the generator itself (V8)
+      new JsNative("[Symbol.asyncIterator]", (_, _) => ag)
     case _ => JsUndefined
   }
 
@@ -368,7 +372,62 @@ final class Interp(globalScope: Scope, val budget: Budget) {
   }
 
   /** the for-of / spread iteration protocol over our builtin iterables */
+  /** `for await` (r14) — runs ONLY on an async body's worker (parser-
+    * enforced), so each pull can SUSPEND the frame: over an async
+    * generator, every `next()` request is awaited (and early exit
+    * awaits `return()` — IteratorClose through the async protocol);
+    * over a sync iterable, each VALUE is awaited (the spec's
+    * AsyncFromSyncIterator value unwrap), with the sync source's own
+    * close hook preserved. Custom `[Symbol.asyncIterator]` objects
+    * are out of the v1 subset — loud TypeError via iterate()'s
+    * not-iterable paths rather than a silent sync fallback... except
+    * that V8's fallback TO Symbol.iterator for plain iterables is
+    * exactly the sync branch here. */
+  private def forAwaitIterator(obj: JsValue, pos: Pos): Iterator[JsValue] = {
+    def awaitHere(v: JsValue): JsValue =
+      Generators.yieldValue(new AwaitSignal(v))
+    obj match {
+      case ag: JsAsyncGenerator =>
+        new Iterator[JsValue] with JsIterClose {
+          private var buf: JsValue = null
+          private var fin = ag.finished
+          def hasNext: Boolean = {
+            if (fin) return false
+            if (buf != null) return true
+            awaitHere(Promises.asyncGenRequest(ag,
+              Generators.GenNext(JsUndefined), Interp.this)) match {
+              case o: JsObject =>
+                if (truthy(o.props.getOrElse("done", JsUndefined))) { fin = true; false }
+                else { buf = o.props.getOrElse("value", JsUndefined); true }
+              case _ => fin = true; false // unreachable: requests settle with iter-results
+            }
+          }
+          def next(): JsValue = { val v = buf; buf = null; v }
+          def closeIter(): Unit = if (!fin) {
+            fin = true // early exit: return() unwinds the body (finally runs), awaited
+            awaitHere(Promises.asyncGenRequest(ag,
+              Generators.GenReturn(JsUndefined), Interp.this))
+            ()
+          }
+        }
+      case other =>
+        val base = iterate(other, pos)
+        new Iterator[JsValue] with JsIterClose {
+          def hasNext: Boolean = base.hasNext
+          def next(): JsValue = awaitHere(base.next())
+          def closeIter(): Unit = base match {
+            case c: JsIterClose => c.closeIter()
+            case _ => ()
+          }
+        }
+    }
+  }
+
   def iterate(v: JsValue, pos: Pos): Iterator[JsValue] = v match {
+    case _: JsAsyncGenerator =>
+      // sync iteration of an async generator is V8's TypeError — the
+      // values are promises-in-flight, only `for await` can unwrap them
+      throwType("an async generator is not (synchronously) iterable — use 'for await'")
     case a: JsArray => a.items.toVector.iterator.map(Values.deHole) // holes iterate as undefined
     case JsStr(s) =>
       // iterate code points, as JS string iteration does
@@ -626,10 +685,12 @@ final class Interp(globalScope: Scope, val budget: Budget) {
         }
       case Await(argE, _) =>
         // only reachable on an async body's worker (parser-enforced):
-        // at the frame level `await` IS `yield` — the async driver
-        // (Promises.step) turns the suspension into the spec's Await
-        // (PromiseResolve + resume reactions on the microtask queue)
-        Generators.yieldValue(eval(argE, scope))
+        // at the frame level `await` IS `yield`, TAGGED so an async
+        // GENERATOR driver can tell awaits from yields — the driver
+        // (Promises.step / Promises.asyncGenRequest) turns the
+        // suspension into the spec's Await (PromiseResolve + resume
+        // reactions on the microtask queue)
+        Generators.yieldValue(new AwaitSignal(eval(argE, scope)))
       case Sequence(exprs, _) => exprs.map(eval(_, scope)).last
     }
   }
@@ -864,6 +925,8 @@ final class Interp(globalScope: Scope, val budget: Budget) {
     obj match {
       case JsNull | (_: JsUndefinedKind) =>
         throwType(s"Cannot read properties of ${toStr(obj)} (reading '${propKeyStr(key)}')")
+      case _: AwaitSignal => // loud invariant guard (see AwaitSignal)
+        throw new IllegalStateException("internal: await marker leaked into member access")
       case p: JsProxyV => proxyGet(p, key, pos)
       case o: JsObject =>
         val k = propKeyStr(key)
@@ -917,6 +980,7 @@ final class Interp(globalScope: Scope, val budget: Budget) {
       case m: JsMapV => Builtins.mapMethod(m, propKeyStr(key), this).getOrElse(JsUndefined)
       case g: JsGenerator => Builtins.generatorMethod(g, propKeyStr(key), this).getOrElse(JsUndefined)
       case p: JsPromise => Builtins.promiseMethod(p, propKeyStr(key), this).getOrElse(JsUndefined)
+      case ag: JsAsyncGenerator => Builtins.asyncGeneratorMethod(ag, propKeyStr(key), this).getOrElse(JsUndefined)
       case bytes: JsBytes =>
         val k = propKeyStr(key)
         if (k == "length" || k == "byteLength") JsNum(bytes.bytes.length.toDouble)
@@ -1668,12 +1732,20 @@ final class Interp(globalScope: Scope, val budget: Budget) {
     ThreadLocal.withInitial(() => new Array[Int](1))
 
   def invokeClosure(c: JsClosure, thisV: JsValue, args: Vector[JsValue]): JsValue = {
+    // async GENERATOR first: isGenerator alone would hand back a SYNC
+    // generator object and silently skip the await machinery
+    if (c.isGenerator && c.isAsync) {
+      budget.allocate(8)
+      return new JsAsyncGenerator(makeGenerator(c, thisV, args))
+    }
     if (c.isGenerator) return makeGenerator(c, thisV, args)
     // async call: the body is a suspendable frame on the generator
     // machinery (registered in liveGens so an abandoned awaiting body
     // is reaped at end-of-map like any suspended generator); it runs
     // synchronously to the first await, and the call evaluates to the
-    // result promise (ES AsyncFunctionStart)
+    // result promise (ES AsyncFunctionStart). An ASYNC GENERATOR call
+    // runs nothing — a suspended async-generator object comes back,
+    // its requests served in order by Promises.asyncGenRequest.
     if (c.isAsync) return Promises.callAsync(makeGenerator(c, thisV, args), this)
     val depth = callDepthTL.get
     depth(0) += 1

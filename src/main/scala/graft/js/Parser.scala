@@ -14,8 +14,8 @@ import scala.collection.mutable.ArrayBuffer
   * honor the restricted-production rule (no line break allowed before the
   * operand/operator).
   *
-  * Unsupported ES features (`with`, dynamic code loading, async
-  * GENERATORS / `for await`) fail here with a [[JsSyntaxError]] —
+  * Unsupported ES features (`with`, dynamic code loading, `yield*`
+  * inside async generators) fail here with a [[JsSyntaxError]] —
   * surfaced by the lens worker as a STARTUP error, the same contract
   * as the reference isolate compile step (reference:
   * library/workers/javascript-lens-worker.js:102-111,
@@ -67,7 +67,21 @@ import scala.collection.mutable.ArrayBuffer
   * they are never binding names (they were Rejected words before r14
   * — no legal lens program regresses), and a rejection nobody handled
   * at quiescence is the map call's error where V8 merely warns.
-  * Out-of-scope, still loud: async GENERATORS, `for await`.
+  * ASYNC GENERATORS + `for await` landed in the same round (wave 2):
+  * `async function*` declarations/expressions/methods, the
+  * next/return/throw request queue (each returning a promise, served
+  * strictly in order), awaited yields AND returns (a rejecting yield
+  * operand throws into the body at the yield), `for await` over
+  * async generators (early exit awaits `return()` — IteratorClose
+  * through the async protocol) and over sync iterables (per-value
+  * await), `Symbol.asyncIterator` identity. The driver is
+  * [[Promises.asyncGenRequest]]; suspension tagging
+  * ([[AwaitSignal]]) distinguishes awaits from yields on the shared
+  * frame machinery. V8-validated by the asyncgen.js async-generator
+  * templates (4k fresh probes, zero divergences), pinned in
+  * JsAsyncGenSpec, driven under the oracle by q154. Out-of-scope,
+  * still loud: `yield*` inside async generators (a different
+  * delegation protocol — write the for-await loop).
   *
   * The REST of the tail — decided OUT with a corpus check (round 11):
   * every lens map SOURCE in the reference (the `code:` strings handed
@@ -346,10 +360,7 @@ final class Parser(tokens: Vector[Token]) {
     val p0 = pos
     advance() // function
     val isGen = atPunct("*")
-    if (isGen) {
-      if (isAsync) err("async generators are not supported in lens code")
-      advance()
-    }
+    if (isGen) advance()
     if (peek.kind != "ident") err("function declarations need a name")
     val name = advance().text
     val (params, rest, body) = parseFnRest(isGen = isGen, isAsync = isAsync)
@@ -505,10 +516,12 @@ final class Parser(tokens: Vector[Token]) {
         isStatic = true, "staticblock", computed = false)
     }
 
-    def parseMember(isStatic: Boolean, isGen: Boolean = false): Unit = {
+    def parseMember(isStatic: Boolean, isGen0: Boolean = false): Unit = {
+      var isGen = isGen0
       // async method (r14): `async` + member name, no newline in
-      // between; `async() {}` stays a method NAMED async and
-      // `async = 1` a field named async, like V8's contextual rule
+      // between (`async *m()` is an async generator method);
+      // `async() {}` stays a method NAMED async and `async = 1` a
+      // field named async, like V8's contextual rule
       val isAsyncM = !isGen && atKw("async") && !peekAt(1).nlBefore &&
         (peekAt(1).kind == "ident" || peekAt(1).kind == "keyword" ||
          peekAt(1).kind == "str" || peekAt(1).kind == "num" ||
@@ -516,7 +529,7 @@ final class Parser(tokens: Vector[Token]) {
          peekAt(1).is("punct", "[") || peekAt(1).is("punct", "*"))
       if (isAsyncM) {
         advance()
-        if (atPunct("*")) err("async generators are not supported in lens code")
+        if (atPunct("*")) { advance(); isGen = true }
       }
       val accessorKind: Option[String] =
         if (!isAsyncM &&
@@ -600,7 +613,7 @@ final class Parser(tokens: Vector[Token]) {
     while (!atPunct("}")) {
       if (atPunct(";")) { advance() }
       else {
-        if (atPunct("*")) { advance(); parseMember(isStatic = false, isGen = true) }
+        if (atPunct("*")) { advance(); parseMember(isStatic = false, isGen0 = true) }
         else {
           // `static` is a modifier only when a member NAME follows; a
           // method literally named "static" ( `static() {}` ) stays one
@@ -609,7 +622,7 @@ final class Parser(tokens: Vector[Token]) {
           if (isStatic) {
             advance()
             if (atPunct("{")) parseStaticBlock()
-            else if (atPunct("*")) { advance(); parseMember(isStatic = true, isGen = true) }
+            else if (atPunct("*")) { advance(); parseMember(isStatic = true, isGen0 = true) }
             else parseMember(isStatic = true)
           } else parseMember(isStatic = false)
         }
@@ -662,9 +675,19 @@ final class Parser(tokens: Vector[Token]) {
 
   private def parseFor(): Stmt = {
     val p0 = pos
-    advance(); eatPunct("(")
+    advance()
+    // `for await (… of …)` (r14): legal only DIRECTLY inside an async
+    // body, and only in the of-form — V8's exact placement rules
+    val isAwait = atKw("await")
+    if (isAwait) {
+      if (asyncCtx != 1)
+        err("'for await' is only valid in async functions")
+      advance()
+    }
+    eatPunct("(")
     // distinguish for(;;) / for(init;test;upd) / for-of / for-in
     if (atPunct(";")) {
+      if (isAwait) err("'for await' requires an of-loop")
       advance()
       return parseForClassic(None, p0)
     }
@@ -675,10 +698,12 @@ final class Parser(tokens: Vector[Token]) {
       val pat = parseBindingPattern()
       if (atKw("of") || atKw("in")) {
         val isOf = advance().text == "of"
+        if (isAwait && !isOf) err("'for await' requires an of-loop")
         val obj = parseAssignExpr()
         eatPunct(")")
-        return ForInOf(declKind.get, pat, obj, isOf, parseStatement(), p0)
+        return ForInOf(declKind.get, pat, obj, isOf, isAwait, parseStatement(), p0)
       }
+      if (isAwait) err("'for await' requires an of-loop")
       // classic with declaration: rewind and parse as full VarDecl
       p = mark
       val d = parseVarDecl()
@@ -698,7 +723,8 @@ final class Parser(tokens: Vector[Token]) {
           case _ => err("for-in target must be a simple identifier (declare it with const/let)")
         }
         eatPunct(")")
-        return ForInOf("", pat, obj, isOf = false, parseStatement(), p0)
+        if (isAwait) err("'for await' requires an of-loop")
+        return ForInOf("", pat, obj, isOf = false, isAwait = false, parseStatement(), p0)
       case _ => ()
     }
     if (atKw("of") || atKw("in")) {
@@ -707,10 +733,12 @@ final class Parser(tokens: Vector[Token]) {
         case Ident(n, ip) => IdPattern(n, ip)
         case _ => err("for-" + (if (isOf) "of" else "in") + " target must be a simple identifier (declare it with const/let)")
       }
+      if (isAwait && !isOf) err("'for await' requires an of-loop")
       val obj = parseAssignExpr()
       eatPunct(")")
-      ForInOf("", pat, obj, isOf, parseStatement(), p0)
+      ForInOf("", pat, obj, isOf, isAwait, parseStatement(), p0)
     } else {
+      if (isAwait) err("'for await' requires an of-loop")
       p = exprMark
       val initE = parseExpression()
       eatPunct(";")
@@ -794,7 +822,15 @@ final class Parser(tokens: Vector[Token]) {
       val p0 = pos
       advance()
       val delegate = atPunct("*")
-      if (delegate) advance()
+      if (delegate) {
+        // async-generator yield* AWAITS every step of the inner
+        // iterator (AsyncGeneratorYield×AsyncFromSyncIterator) — a
+        // different protocol than sync delegation; out of the v1
+        // subset, LOUD (write the for-await loop instead)
+        if (asyncCtx == 1)
+          err("'yield*' inside an async generator is not supported in lens code (use 'for await' + 'yield')")
+        advance()
+      }
       val arg: Option[Expr] =
         if (delegate) Some(parseAssignExpr()) // yield* requires an operand
         else if (atPunct(";") || atPunct(")") || atPunct("]") || atPunct("}") ||
@@ -1167,10 +1203,12 @@ final class Parser(tokens: Vector[Token]) {
           FnExpr(name, params, rest, body, isArrow = false, None, p0, isGenerator = isGen)
         case "async" if peekAt(1).is("keyword", "function") && !peekAt(1).nlBefore =>
           advance(); advance() // async function
-          if (atPunct("*")) err("async generators are not supported in lens code")
+          val isGen = atPunct("*")
+          if (isGen) advance()
           val name = if (peek.kind == "ident") Some(advance().text) else None
-          val (params, rest, body) = parseFnRest(isAsync = true)
-          FnExpr(name, params, rest, body, isArrow = false, None, p0, isAsync = true)
+          val (params, rest, body) = parseFnRest(isGen = isGen, isAsync = true)
+          FnExpr(name, params, rest, body, isArrow = false, None, p0,
+            isGenerator = isGen, isAsync = true)
         case "new" => parseCallMember() // handled there
         case "class" => parseClassExpr()
         case "super" =>
@@ -1236,19 +1274,20 @@ final class Parser(tokens: Vector[Token]) {
         entries += ((StrLit("", entryPos), parseAssignExpr()))
       } else {
         // generator method shorthand: `*m() {...}`
-        val isGen = atPunct("*")
+        var isGen = atPunct("*")
         if (isGen) advance()
-        // async method shorthand (r14): `async m() {...}` — `async`
-        // followed by a property NAME and no newline; `async: 1`,
-        // `async() {}` (a method literally named async) and shorthand
-        // `{async}` keep their pre-r14 meanings
+        // async method shorthand (r14): `async m() {...}` / async
+        // generator `async *m() {...}` — `async` followed by a
+        // property NAME and no newline; `async: 1`, `async() {}` (a
+        // method literally named async) and shorthand `{async}` keep
+        // their pre-r14 meanings
         val isAsyncM = !isGen && atKw("async") && !peekAt(1).nlBefore &&
           (peekAt(1).kind == "ident" || peekAt(1).kind == "keyword" ||
            peekAt(1).kind == "str" || peekAt(1).kind == "num" ||
            peekAt(1).is("punct", "[") || peekAt(1).is("punct", "*"))
         if (isAsyncM) {
           advance()
-          if (atPunct("*")) err("async generators are not supported in lens code")
+          if (atPunct("*")) { advance(); isGen = true }
         }
         // accessor declaration: `get`/`set` followed by a property name
         // (NOT `get:`/`get(`/`get,`/`get}` — those are ordinary props

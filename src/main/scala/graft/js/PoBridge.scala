@@ -55,9 +55,9 @@ object PoBridge {
     val inFlight = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
     def go(v: JsValue): PoValue = v match {
-      case _: JsAccessorProp => // loud invariant guard (see JsAccessorProp)
+      case _: JsAccessorProp | _: AwaitSignal => // loud invariant guards
         throw new IllegalStateException(
-          "internal: accessor property record leaked into output conversion")
+          "internal: engine-internal record leaked into output conversion")
       case JsUndefined => PoUndefined
       case JsNull => PoNull
       case JsBool(b) => PoBool(b)
@@ -100,6 +100,9 @@ object PoBridge {
       case _: JsPromise =>
         Values.throwType("a promise could not be cloned into a lens output" +
           " (await it and output the settled value)")
+      case _: JsAsyncGenerator =>
+        Values.throwType("an async generator could not be cloned into a lens" +
+          " output (collect it with 'for await' first)")
       case sym: JsSymbolV =>
         Values.throwType(s"a symbol (${sym.description}) could not be cloned into a lens output")
       case _: JsProxyV =>

@@ -256,16 +256,114 @@ object Promises {
         // `return v` resolves (thenable assimilation — extra ticks for
         // returned promises, exactly V8)
         resolveP(result, v, interp)
-      case (awaited, false) =>
+      case (sig: AwaitSignal, false) =>
         // spec Await: PromiseResolve (native promises pass through),
         // then resume reactions
-        val pr = promiseResolve(awaited, interp)
+        val pr = promiseResolve(sig.v, interp)
         performThen(pr,
           None, None,
           Resume(
             v => step(frame, () => Generators.next(frame, v, interp), result, interp),
             e => step(frame, () => Generators.gthrow(frame, e, interp), result, interp)),
           interp)
+      case (_, false) =>
+        // a plain async function can only suspend via await (the parser
+        // bans yield outside generators) — anything else is a driver bug
+        throw new IllegalStateException(
+          "internal: untagged suspension reached the async-function driver")
     }
+  }
+
+  // ---------------- async generator driver (r14) ----------------
+
+  private def iterResult(v: JsValue, done: Boolean): JsValue =
+    JsObject.of("value" -> v, "done" -> JsBool(done))
+
+  /** One `next`/`return`/`throw` call on an async generator: enqueue
+    * an AsyncGeneratorRequest and return its promise. Requests are
+    * served strictly in order — a second `next()` issued before the
+    * first settles queues behind it (the spec's request list; V8's
+    * observable interleave is pinned in JsAsyncSpec). */
+  def asyncGenRequest(ag: JsAsyncGenerator, cmd: Generators.GenCmd,
+                      interp: Interp): JsPromise = {
+    val result = newPromise(interp)
+    interp.budget.allocate(8)
+    ag.requests.enqueue((cmd, result))
+    pumpAsyncGen(ag, interp)
+    result
+  }
+
+  /** Serve queued requests while the machine is idle. Each live step
+    * chain parks in the microtask machinery (every yield/return value
+    * is AWAITED first, so a request NEVER settles synchronously); its
+    * completion clears `running` and re-enters this pump. */
+  private def pumpAsyncGen(ag: JsAsyncGenerator, interp: Interp): Unit = {
+    while (!ag.running && ag.requests.nonEmpty) {
+      val (cmd, result) = ag.requests.dequeue()
+      if (ag.finished) {
+        // completed machine: next → {undefined, true}; return echoes
+        // its value; throw rejects (ES 27.6.3.x on a "completed" state)
+        cmd match {
+          case Generators.GenNext(_) => fulfill(result, iterResult(JsUndefined, done = true), interp)
+          case Generators.GenReturn(v) => fulfill(result, iterResult(v, done = true), interp)
+          case Generators.GenThrow(e) => rejectP(result, e, interp)
+          case Generators.GenKill => ()
+        }
+      } else {
+        ag.running = true
+        asyncGenStep(ag, cmd, result, interp)
+      }
+    }
+  }
+
+  private def asyncGenStep(ag: JsAsyncGenerator, cmd0: Generators.GenCmd,
+                           result: JsPromise, interp: Interp): Unit = {
+    val frame = ag.frame
+    def settleAndPump(f: () => Unit): Unit = {
+      f()
+      ag.running = false
+      pumpAsyncGen(ag, interp)
+    }
+    def advance(cmd: Generators.GenCmd): Unit = {
+      val out =
+        try cmd match {
+          case Generators.GenNext(v) => Generators.next(frame, v, interp)
+          case Generators.GenThrow(v) => Generators.gthrow(frame, v, interp)
+          case Generators.GenReturn(v) => Generators.gret(frame, v, interp)
+          case Generators.GenKill => return
+        }
+        catch {
+          case JsThrown(err) => // body threw (or throw() uncaught): the
+            // request rejects and the machine completes
+            ag.finished = true
+            settleAndPump(() => rejectP(result, err, interp))
+            return
+          // host errors (budget/deadline/protocol) propagate uncatchably
+        }
+      out match {
+        case (sig: AwaitSignal, false) =>
+          // an internal `await`: resume the body with the outcome —
+          // the request stays in flight
+          performThen(promiseResolve(sig.v, interp), None, None, Resume(
+            v => advance(Generators.GenNext(v)),
+            e => advance(Generators.GenThrow(e))), interp)
+        case (v, false) =>
+          // a `yield`: the yielded VALUE is awaited first
+          // (AsyncGeneratorYield step 5 — a rejecting yield operand
+          // throws INTO the body at the yield, V8-pinned g3 shape)
+          performThen(promiseResolve(v, interp), None, None, Resume(
+            rv => settleAndPump(() => fulfill(result, iterResult(rv, done = false), interp)),
+            er => advance(Generators.GenThrow(er))), interp)
+        case (v, true) =>
+          // completion: the return value is awaited too (V8 g2 shape);
+          // a rejecting return value rejects the request
+          performThen(promiseResolve(v, interp), None, None, Resume(
+            rv => { ag.finished = true
+              settleAndPump(() => fulfill(result, iterResult(rv, done = true), interp)) },
+            er => { ag.finished = true
+              settleAndPump(() => rejectP(result, er, interp)) }), interp)
+      }
+    }
+    advance(cmd0)
   }
 }

@@ -177,6 +177,7 @@ final class JsSymbolV(val slot: String, val description: String) extends JsValue
   * so the JVM-global sharing carries no cross-call state */
 object JsSymbols {
   val iterator = new JsSymbolV("@@iterator", "Symbol.iterator")
+  val asyncIterator = new JsSymbolV("@@asyncIterator", "Symbol.asyncIterator")
 }
 
 /** Raw bytes (attachments / binary record fields ride through untouched). */
@@ -213,6 +214,31 @@ final class JsClosure(val fnName: Option[String], val params: Vector[Ast.Pattern
                         * the body runs as a suspendable frame (r14) */
                       val isAsync: Boolean = false) extends JsFunc {
   def name: String = fnName.getOrElse("")
+}
+
+/** INTERNAL await marker (r14): the value an async body hands through
+  * its suspension rendezvous to say "this is an `await`, not a
+  * `yield`". Plain async functions suspend ONLY this way; async
+  * GENERATOR frames suspend both ways and the driver needs the tag to
+  * tell them apart. Never user-visible: the driver consumes it at the
+  * very next handoff — reaching any value-surface is an invariant
+  * break (toStr guards loudly). */
+private[js] final class AwaitSignal(val v: JsValue) extends JsValue
+
+/** An ASYNC GENERATOR object (r14) — the result of calling an
+  * `async function*`. `next`/`return`/`throw` each return a
+  * [[JsPromise]]; concurrent calls queue per the spec's
+  * AsyncGeneratorRequest list and are served strictly in order
+  * ([[Promises.asyncGenRequest]]). The body runs on the same pooled
+  * frame machinery as sync generators (reaped per map call); yielded
+  * and returned values are AWAITED before delivery, exactly V8. */
+final class JsAsyncGenerator(val frame: JsGenerator) extends JsValue {
+  private[js] val requests =
+    mutable.Queue.empty[(Generators.GenCmd, JsPromise)]
+  /** a request is mid-flight (its step chain has not settled yet) */
+  private[js] var running: Boolean = false
+  /** body completed (returned, threw, or was returned into) */
+  private[js] var finished: Boolean = false
 }
 
 /** A PROMISE (r14) — the result of calling an async function, `new
@@ -564,6 +590,10 @@ object Values {
     case _: JsMapV => "[object Map]"
     case _: JsGenerator => "[object Generator]"
     case _: JsPromise => "[object Promise]"
+    case _: JsAsyncGenerator => "[object AsyncGenerator]"
+    case _: AwaitSignal =>
+      throw new IllegalStateException(
+        "internal: await marker leaked past the async driver")
     case _: JsSymbolV =>
       throw JsThrown(makeError("TypeError", "Cannot convert a Symbol value to a string"))
     case p: JsProxyV =>
@@ -620,7 +650,7 @@ object Values {
   def toPrimitive(v: JsValue): JsValue = v match {
     case _: JsObject | _: JsArray | _: JsSetV | _: JsMapV | _: JsFunc |
          _: JsRegExpV | _: JsBytes | _: JsGenerator | _: JsProxyV |
-         _: JsPromise => JsStr(toStr(v))
+         _: JsPromise | _: JsAsyncGenerator => JsStr(toStr(v))
     case JsDate(ms) => JsNum(ms)
     case prim => prim
   }

@@ -58,12 +58,52 @@ object AsyncLensQuery {
       |  process().then(s => output(path.recordID, s))
       |}""".stripMargin
 
-  def run(spark: SparkSession, sfDir: String): DataFrame = {
+  /** q154: an ASYNC GENERATOR lens (r14 wave 2) — the map streams
+    * scored tokens through `async function*` + `for await`, with an
+    * EARLY BREAK that drives the async IteratorClose path (the body's
+    * `return()` is awaited, its state observable through the
+    * ran_to_end flag: natural completion sets it, a break never
+    * resumes past the last yield so it stays false). Covers awaited
+    * yields, the request protocol, for-await destructuring, and the
+    * close-on-break rule at corpus scale; JsAsyncGenSpec + the
+    * asyncgen.js sweep pin the semantics. */
+  val JsAsyncGenCode: String =
+    """let ranToEnd = false
+      |async function* scored(toks) {
+      |  for (const t of toks) {
+      |    const len = await Promise.resolve(t.length)
+      |    yield { t, len }
+      |  }
+      |  ranToEnd = true
+      |}
+      |async function process() {
+      |  const toks = data.text.toLowerCase().split(/[^a-z0-9]+/).filter(t => t !== '')
+      |  const uniq = [...new Set(toks)].slice(0, 30)
+      |  let n = 0, sum = 0
+      |  for await (const { len } of scored(uniq)) {
+      |    n += 1
+      |    sum += len
+      |    if (n >= 25) break
+      |  }
+      |  return 'n=' + n + ';sum=' + sum + ';ran_to_end=' + ranToEnd
+      |}
+      |if (typeof data.text === 'string') {
+      |  process().then(s => output(path.recordID, s))
+      |}""".stripMargin
+
+  def run(spark: SparkSession, sfDir: String): DataFrame =
+    runWith(spark, sfDir, JsAsyncCode, "async-scores", "asyncq")
+
+  def runGen(spark: SparkSession, sfDir: String): DataFrame =
+    runWith(spark, sfDir, JsAsyncGenCode, "asyncgen-scores", "agenq")
+
+  private def runWith(spark: SparkSession, sfDir: String, code: String,
+                      lensName: String, tag: String): DataFrame = {
     import spark.implicits._
     val sfName = Paths.get(sfDir).getFileName.toString
-    val store = new Store(spark, Fs.pidScratch(s"graft-asyncq-$sfName"))
+    val store = new Store(spark, Fs.pidScratch(s"graft-$tag-$sfName"))
 
-    val fn = graft.lens.JsMapFn.compile(JsAsyncCode).fold(
+    val fn = graft.lens.JsMapFn.compile(code).fold(
       e => throw new IllegalStateException(s"${e.errType}: ${e.message}"),
       identity)
 
@@ -77,7 +117,7 @@ object AsyncLensQuery {
       }.toDF("id", "value", "tombstone")
     ds.writeEntriesDF(entries, WriteMode.Overwrite)
 
-    val lens = new Lens(store, "bench", "async-scores",
+    val lens = new Lens(store, "bench", lensName,
       Seq(DataPath("datasets", "bench", "documents")), fn)
     if (lens.output.exists) lens.output.drop()
     lens.create()

@@ -167,6 +167,82 @@ const templates = [
     log.push('pre'); p.then(v => log.push('late' + v)); log.push('post');
     for (let i = 0; i < 4; i++) await null;
     return log.join(',');`,
+
+  // ---- async generators (r14 wave 2) ----
+
+  // basic drive: awaited yields of values/promises/thenables
+  () => `async function* g(){
+      yield ${pick(['1', 'Promise.resolve(2)', '{ then(res){ res(3) } }'])};
+      yield 'v${int(9)}';
+      return ${pick(["'R'", "Promise.resolve('RP')"])};
+    }
+    const it = g(); const out = [];
+    for (let k = 0; k < 4; k++) { const r = await it.next(); out.push(r.value, r.done); }
+    return JSON.stringify(out);`,
+
+  // ordering: queued nexts, body progress vs reaction drain
+  () => `const log = [];
+    async function* g(){ log.push('a'); yield ${int(9)}; log.push('b'); ${pick(['await null;', ''])} yield ${int(9)}; log.push('c'); }
+    const it = g();
+    it.next().then(r => log.push('r1:' + r.value));
+    it.next().then(r => log.push('r2:' + r.value));
+    it.next().then(r => log.push('r3:' + r.done));
+    for (let i = 0; i < 15; i++) await null;
+    return log.join(',');`,
+
+  // rejecting awaited yield → thrown into the body
+  () => `const log = [];
+    async function* g(){
+      try { yield Promise.reject('${pick(['e1','e2'])}'); log.push('NO'); }
+      catch (e) { log.push('c' + e); yield 'after'; }
+      finally { log.push('f'); }
+    }
+    const it = g();
+    log.push(JSON.stringify(await it.next().then(r => r.value, e => 'REJ' + e)));
+    log.push(JSON.stringify(await it.next()));
+    log.push(JSON.stringify(await it.next()));
+    return log.join('|');`,
+
+  // return()/throw() in every state
+  () => `let s = '';
+    async function* g(){ try { yield 1; yield 2; } ${pick(['finally { s += "F"; }', 'catch (e) { s += "C" + e; yield "ce"; }'])} }
+    const it = g();
+    ${pick([
+      `s += JSON.stringify(await it.return('pre'));`,
+      `s += (await it.next()).value; s += JSON.stringify(await it.return('mid')); s += JSON.stringify(await it.next());`,
+      `s += (await it.next()).value; s += JSON.stringify(await it.throw('T').then(r => r, e => 'up' + e));`,
+    ])}
+    return s;`,
+
+  // for await over async gens, incl. break closing the source
+  () => `let fin = '';
+    async function* g(){ try { for (let i = 0; i < ${3+int(4)}; i++) yield i * ${1+int(3)}; } finally { fin += 'X'; } }
+    const out = [];
+    for await (const v of g()) { out.push(v); ${pick(['', 'if (v >= 3) break;'])} }
+    return JSON.stringify(out) + fin;`,
+
+  // for await over sync sources (arrays of promises, sync gens, strings)
+  () => `const out = [];
+    function* sg(){ yield Promise.resolve('a'); yield 'b${int(9)}'; }
+    for await (const v of ${pick(['[Promise.resolve(1), 2, { then(res){ res(3) } }]', 'sg()', "'xy'"])}) out.push(v);
+    return JSON.stringify(out);`,
+
+  // async-gen methods on object literals and classes
+  () => `const o = { async *m(n){ for (let i = 0; i < n; i++) yield i + ${int(5)}; } };
+    class K { async *inst(){ yield 'i'; yield await Promise.resolve('j'); } static async *st(){ yield 'S'; } }
+    const out = [];
+    for await (const v of o.m(${1+int(3)})) out.push(v);
+    for await (const v of new K().inst()) out.push(v);
+    for await (const v of K.st()) out.push(v);
+    return out.join(',') + '/' + typeof o.m;`,
+
+  // composition: async gen pulling a sync gen; manual asyncIterator identity
+  () => `function* src(){ for (let i = 0; i < ${2+int(3)}; i++) yield i; }
+    async function* g(){ for (const v of src()) yield (await Promise.resolve(v)) * 2; }
+    const it = g();
+    const idok = it[Symbol.asyncIterator]() === it;
+    const out = []; for await (const v of it) out.push(v);
+    return JSON.stringify(out) + idok;`,
 ];
 
 // fixed early-error / boundary probes
