@@ -514,6 +514,24 @@ object SparkEntry {
     "q10_dedup_exact" -> ((s, dir) =>
       graft.ops.Dedup.exactGroups(t(s, dir, "documents")).orderBy(col("fp"))),
 
+    // Multi-pattern BLOCKLIST matching via Aho–Corasick (r14): the
+    // phrase list derives deterministically from the corpus (every
+    // 97th doc's chars 10..21), the automaton rides the closure, one
+    // scan-stage pass reports every occurrence INCLUDING overlaps —
+    // the oracle counts positions, so a missed suffix/overlap match
+    // breaks the hash. The collect is the phrase FIXTURE (blocklist-
+    // sized: ~5 at sf0.01), never corpus data.
+    "q155_blocklist" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val phrases = docs.filter(col("doc_id") % 97 === 3)
+        .select(substring(col("text"), 10, 12).as("p"))
+        .filter(length(col("p")) === 12)
+        .distinct().orderBy(col("p"))
+        .collect().map(_.getString(0)).toSeq
+      graft.ops.AhoCorasick.blocklistMatches(docs, phrases)
+        .orderBy(col("doc_id"), col("phrase"))
+    }),
+
     // Winnowing (MOSS) fingerprints aggregated per document: the
     // span-matching scheme with the ≥ w+k-1 shared-substring coverage
     // guarantee. Aggregated (count + xor + min-pos fp) so the oracle
@@ -2458,6 +2476,23 @@ object SparkEntry {
       """SELECT sha256(substring(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), 1, 100)) AS fp,
         |  count(*) AS n_docs, min(doc_id) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q155: the same corpus-derived phrase list, then every position i
+    // where a 12-char window equals a phrase — occurrence counts with
+    // overlaps and the first start position, per (doc, phrase).
+    "q155_blocklist" ->
+      """WITH ph AS (
+        |  SELECT DISTINCT substring(text, 10, 12) AS phrase
+        |  FROM documents
+        |  WHERE doc_id % 97 = 3 AND length(substring(text, 10, 12)) = 12),
+        |m AS (
+        |  SELECT d.doc_id, ph.phrase, i
+        |  FROM documents d,
+        |       LATERAL (SELECT unnest(generate_series(1, greatest(length(d.text) - 11, 0))) AS i),
+        |       ph
+        |  WHERE substring(d.text, i, 12) = ph.phrase)
+        |SELECT doc_id, phrase, count(*)::BIGINT AS n_matches,
+        |  CAST(min(i) AS BIGINT) AS first_pos
+        |FROM m GROUP BY 1, 2 ORDER BY doc_id, phrase""".stripMargin,
     // q75: the same gram-hash → rightmost-min window → full-window
     // filter → distinct pipeline in DuckDB; struct min gives the same
     // (hash, -pos) tie-break.
