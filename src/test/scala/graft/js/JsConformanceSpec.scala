@@ -419,6 +419,11 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
       // Java records the final EMPTY a* iteration; V8 keeps 'aa' (the
       // spec abandons the empty repetition) — the second documented shape
       "/((a*)b?)+/.exec('aab')[2]" -> "",
+      // the same mechanism through split's separator captures (r14
+      // capstone find, same class): a bounded quantifier whose last
+      // iteration matches empty overwrites the capture in Java where
+      // the spec abandons the empty iteration (V8: ["","?","a","?",""])
+      """JSON.stringify('?a?'.split(/((?!1)[^ab]|0?){1,2}/))""" -> """["","","a","",""]""",
       // the overall match and non-repeated captures agree with V8
       "/(?:(a)|b)+/.exec('ab')[0]" -> "ab",
       "/(a)(b)/.exec('ab').slice(1).join(',')" -> "a,b",
