@@ -1543,12 +1543,22 @@ object Builtins {
     * [[construct]]. Calling without `new` is V8's TypeError. */
   private[js] def promiseConstructor(interp: () => Interp): JsValue = {
     import Promises._
-    def it(v: JsValue, i: Interp): Vector[JsValue] = v match {
-      case _: JsArray | _: JsSetV | _: JsMapV | _: JsStr | _: JsGenerator =>
-        i.iterate(v, Pos(0)).toVector
-      case other => throwType(
-        s"${typeOf(other)} is not iterable (Promise combinators take an iterable)")
-    }
+    // the engine's full iteration protocol (arrays/sets/maps/strings/
+    // generators/custom [Symbol.iterator] objects/proxies — review find
+    // r14: the original whitelist falsely rejected custom iterables);
+    // iterate() throws the TypeError for genuine non-iterables
+    def it(v: JsValue, i: Interp): Vector[JsValue] = i.iterate(v, Pos(0)).toVector
+    // a combinator never throws synchronously: iteration errors
+    // (non-iterable argument, a throwing custom iterator) reject the
+    // RESULT promise, so `Promise.all(5).catch(h)` reaches h like V8
+    def combinator(name: String)(body: (Vector[JsValue], JsPromise, Interp) => Unit): JsNative =
+      native(name) { (_, as) =>
+        val i = interp()
+        val result = newPromise(i)
+        try body(it(arg(as, 0), i), result, i)
+        catch { case JsThrown(err) => rejectP(result, err, i) }
+        result
+      }
     val statics = JsObject.empty("Function")
     statics.props.put("resolve", native("resolve") { (_, as) =>
       promiseResolve(arg(as, 0), interp())
@@ -1559,10 +1569,7 @@ object Builtins {
       rejectP(p, arg(as, 0), i) // no assimilation — reject is verbatim (spec)
       p
     })
-    statics.props.put("all", native("all") { (_, as) =>
-      val i = interp()
-      val items = it(arg(as, 0), i)
-      val result = newPromise(i)
+    statics.props.put("all", combinator("all") { (items, result, i) =>
       val values = Array.fill[JsValue](items.length)(JsUndefined)
       val remaining = Array(1)
       items.zipWithIndex.foreach { case (x, idx) =>
@@ -1578,12 +1585,8 @@ object Builtins {
       }
       remaining(0) -= 1
       if (remaining(0) == 0) fulfill(result, JsArray.of(values.toIndexedSeq: _*), i)
-      result
     })
-    statics.props.put("allSettled", native("allSettled") { (_, as) =>
-      val i = interp()
-      val items = it(arg(as, 0), i)
-      val result = newPromise(i)
+    statics.props.put("allSettled", combinator("allSettled") { (items, result, i) =>
       val values = Array.fill[JsValue](items.length)(JsUndefined)
       val remaining = Array(1)
       def done(): Unit = {
@@ -1598,23 +1601,15 @@ object Builtins {
           e => { values(idx) = JsObject.of("status" -> JsStr("rejected"), "reason" -> e); done() }), i)
       }
       done()
-      result
     })
-    statics.props.put("race", native("race") { (_, as) =>
-      val i = interp()
-      val items = it(arg(as, 0), i)
-      val result = newPromise(i)
+    statics.props.put("race", combinator("race") { (items, result, i) =>
       items.foreach { x =>
         performThen(promiseResolve(x, i), None, None, Resume(
           v => resolveP(result, v, i),
           e => rejectP(result, e, i)), i)
-      }
-      result // an empty iterable races forever — pending, like V8
+      } // an empty iterable races forever — pending, like V8
     })
-    statics.props.put("any", native("any") { (_, as) =>
-      val i = interp()
-      val items = it(arg(as, 0), i)
-      val result = newPromise(i)
+    statics.props.put("any", combinator("any") { (items, result, i) =>
       val errors = Array.fill[JsValue](items.length)(JsUndefined)
       val remaining = Array(1)
       def aggregate(): Unit = {
@@ -1634,7 +1629,6 @@ object Builtins {
       }
       remaining(0) -= 1
       if (remaining(0) == 0) aggregate()
-      result
     })
     statics.frozen = true
     hybridCallable(native("Promise") { (_, _) =>

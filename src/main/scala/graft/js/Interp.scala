@@ -808,13 +808,25 @@ final class Interp(globalScope: Scope, val budget: Budget) {
     case other => toPrimitive(other)
   }
 
+  /** Arrays currently being joined (V8's JoinStack): a cyclic array —
+    * direct nesting OR re-entry through a user toString — contributes
+    * "" instead of recursing forever. Identity-keyed; single logical
+    * thread (strict handoff), so a plain set suffices. Review find r14:
+    * without it, `a.push(a); '' + a` escaped the catchable-error
+    * contract with a raw JVM StackOverflowError. */
+  private val joinStack = java.util.Collections.newSetFromMap(
+    new java.util.IdentityHashMap[JsArray, java.lang.Boolean]())
+
   /** Array join with interp-aware per-element ToString (nested arrays
     * recurse here; holes/undefined/null join as empty, like V8). */
-  private def arrayToStrI(a: JsArray): String =
-    a.items.map {
+  private def arrayToStrI(a: JsArray): String = {
+    if (!joinStack.add(a)) return "" // cycle: V8 joins the re-entry as empty
+    try a.items.map {
       case JsNull | _: JsUndefinedKind => ""
       case x => toStrI(x)
     }.mkString(",")
+    finally joinStack.remove(a)
+  }
 
   private def ordinaryToPrimitive(recv: JsValue, hint: String): JsValue = {
     val order = if (hint == "string") Seq("toString", "valueOf") else Seq("valueOf", "toString")
@@ -851,9 +863,13 @@ final class Interp(globalScope: Scope, val budget: Budget) {
     case other => toStr(other)
   }
 
-  /** ToNumber through user conversion methods (arithmetic operands). */
+  /** ToNumber through user conversion methods (arithmetic operands).
+    * Arrays route through the interp-aware join like every other
+    * coercion surface (review find r14: `[{toString(){return '2'}}]*1`
+    * was NaN here while `== 2` was true — and `[true] - 0` must be NaN
+    * via the "true" join, not 1 via an element shortcut). */
   def toNumberI(v: JsValue): Double = v match {
-    case _: JsObject | _: JsProxyV => toNumber(toPrimitiveI(v, "number"))
+    case _: JsObject | _: JsProxyV | _: JsArray => toNumber(toPrimitiveI(v, "number"))
     case other => toNumber(other)
   }
 

@@ -105,8 +105,14 @@ final class JsMapFn(val code: String) extends MapFn {
       interpRef.unhandledRejection.foreach { v =>
         throw JsThrown(v match {
           case o: JsObject if o.className.endsWith("Error") => o
-          case other => Values.makeError("Error",
-            s"Unhandled promise rejection: ${Values.toStr(Values.toPrimitive(other))}")
+          case other =>
+            // message rendering must not itself throw (a SYMBOL
+            // rejection value would turn the diagnosis into a
+            // misleading conversion TypeError — review find r14)
+            val rendered =
+              try Values.toStr(Values.toPrimitive(other))
+              catch { case _: JsThrown => s"[${Values.typeOf(other)}]" }
+            Values.makeError("Error", s"Unhandled promise rejection: $rendered")
         })
       }
     } finally interpRef.closeGenerators()

@@ -86,7 +86,11 @@ object AhoCorasick {
             trans.length - 1
           }
         }
-        if (!ownOut(s).contains(id)) ownOut(s) = ownOut(s) :+ id
+        // duplicates keep the FIRST id: distinct phrases never share a
+        // terminal node, so a non-empty slot here means this exact
+        // phrase was already registered (review find r14 — checking
+        // for the NEW id could never dedup)
+        if (ownOut(s).isEmpty) ownOut(s) = List(id)
       }
     }
     // BFS failure links + collapsed output sets

@@ -117,6 +117,15 @@ class JsAsyncSpec extends AnyFunSuite with Matchers {
       "s,exec,e,v")
   }
 
+  test("combinators over custom iterables; non-iterables reject, never throw (review r14)") {
+    expectSeq(
+      """Promise.all({ [Symbol.iterator]: function*(){ yield 1; yield Promise.resolve(2) } })
+        |  .then(v => log('all:' + v.join('|')));
+        |Promise.all(5).then(() => log('NO'), e => log('rej' + e.name));
+        |Promise.race({ [Symbol.iterator]: function*(){ yield 'w' } }).then(v => log('race:' + v));""".stripMargin,
+      "rejTypeError,all:1|2,race:w")
+  }
+
   test("Promise.any aggregate error carries name + errors in order (V8 p11)") {
     expectSeq(
       """Promise.any([Promise.reject('a'), Promise.reject('b')])

@@ -1506,6 +1506,17 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
       "[{toString(){return '2'}}] == 2" -> "true",
       "'' + [null, undefined, [,]]" -> ",,", // holes/null/undefined join empty at every level
       "[1,,3] + ''" -> "1,,3",
+      // NUMERIC coercion routes the same join (review find r14: these
+      // were inconsistent with the == / relational paths)
+      "[{toString(){return '2'}}] * 1" -> "2",
+      "[true] - 0" -> "NaN", // "true" join, never an element shortcut
+      "[2] - 0" -> "2",
+      "-[[3]]" -> "-3",
+      // cyclic arrays join the re-entry as empty (V8's JoinStack) —
+      // catchable-error contract, never a JVM stack overflow
+      "(() => { const a = []; a.push(a, 1); return '' + a })()" -> ",1",
+      "(() => { const b = []; b.push(0, [b, 2]); return '' + b })()" -> "0,,2",
+      "(() => { const a = []; a.push({toString(){ return '' + a }}); return '<' + a + '>' })()" -> "<>",
     )
   }
 

@@ -39,6 +39,12 @@ class BlocklistSpec extends AnyFunSuite {
     assert(m.count(_._1 == 2) == 1, s"ababa once: $m")
   }
 
+  test("duplicate phrases keep the first id: no doubled output rows") {
+    val ac = AhoCorasick.build(Seq("foo", "bar", "foo"))
+    val m = ac.matches("a foo b").toSeq
+    assert(m == Seq((0, 5)), s"one match under the first id only: $m")
+  }
+
   test("blocklistMatches: per-(doc, phrase) counts and first positions; exact case") {
     val spark = SparkTestBase.spark
     import spark.implicits._
