@@ -1935,6 +1935,14 @@ object SparkEntry {
     "q154_async_gen_lens" -> ((s, dir) =>
       graft.queries.AsyncLensQuery.runGen(s, dir)),
 
+    // §2.4 async-generator yield* DELEGATION lens (r15): one outer
+    // async function* threading all three protocols — sync-generator
+    // inner (AsyncFromSyncIterator unwrap + completion value),
+    // async-generator inner (request-by-request forwarding), and a
+    // plain iterable with an awaited promise element.
+    "q156_async_yield_star" -> ((s, dir) =>
+      graft.queries.AsyncLensQuery.runDelegation(s, dir)),
+
     // §3.3 ephemeral run-once lens: loan-pattern frame stream decodes
     // to q9's index; `dropped` pins the finally-delete contract.
     "q144_ephemeral_lens" -> ((s, dir) =>
@@ -3661,6 +3669,39 @@ object SparkEntry {
         |SELECT d.doc_id,
         |  'n=' || coalesce(a.n, 0) || ';sum=' || coalesce(a.s, 0)
         |    || ';ran_to_end=' || (CASE WHEN coalesce(a.n30, 0) < 25 THEN 'true' ELSE 'false' END) AS out
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // q156: first 30 first-occurrence distinct tokens split by length
+    // (≤4 short / >4 long) — counts and length sums per class; the
+    // fin suffix is the constant completion-value thread
+    // (short-done|long-done from the two inner generators, tail from
+    // the awaited iterable element).
+    "q156_async_yield_star" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS ts
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, ts[i] AS tok, min(i) AS ord
+        |  FROM toks, UNNEST(range(1, len(ts) + 1)) AS r(i)
+        |  GROUP BY doc_id, ts[i]),
+        |sel AS (
+        |  SELECT doc_id, tok,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS rn
+        |  FROM occ),
+        |agg AS (
+        |  SELECT doc_id,
+        |    count(*) FILTER (len(tok) <= 4) AS ns,
+        |    sum(len(tok)) FILTER (len(tok) <= 4) AS ss,
+        |    count(*) FILTER (len(tok) > 4) AS nl,
+        |    sum(len(tok)) FILTER (len(tok) > 4) AS sl
+        |  FROM sel WHERE rn <= 30 GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  'ns=' || coalesce(a.ns, 0) || ';ss=' || coalesce(a.ss, 0)
+        |    || ';nl=' || coalesce(a.nl, 0) || ';sl=' || coalesce(a.sl, 0)
+        |    || ';fin=short-done|long-done,tail' AS out
         |FROM (SELECT DISTINCT doc_id FROM documents) d
         |LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,

@@ -288,6 +288,102 @@ private[js] object Generators {
     JsUndefined
   }
 
+  /** `yield*` inside an ASYNC generator (r15 — closes VERDICT r14 #1):
+    * ES 14.4.14 with generatorKind = async. Runs ON the outer async
+    * generator's worker, so every inner step can suspend the frame:
+    *
+    *  - ASYNC inner: full delegation — each `next`/`throw`/`return`
+    *    received by the outer forwards as a request on the inner
+    *    ([[Promises.asyncGenRequest]]) and the request's promise is
+    *    awaited in place (an inner rejection throws into the outer at
+    *    the `yield*`, catchable like any await);
+    *  - SYNC inner generator: commands forward natively (next/gthrow/
+    *    gret), and every innerResult VALUE is awaited — the spec's
+    *    AsyncFromSyncIteratorContinuation unwrap, which runs EVEN for
+    *    the done result (a sync inner's `return Promise.resolve(v)`
+    *    completes the `yield*` with v, not the promise — V8-pinned);
+    *  - builtin/custom sync iterable: per-element value await;
+    *    `throw()` closes the inner and raises the spec's no-throw-
+    *    method TypeError (14.4.14 b.iii.3); `return(x)` closes the
+    *    inner and completes the OUTER return with `await x`
+    *    (14.4.14 c.ii — the received value is awaited when the inner
+    *    has no return method).
+    *
+    * Each non-done value re-yields through [[yieldRaw]], so the
+    * request driver's own AsyncGeneratorYield await
+    * ([[Promises.asyncGenStep]]) runs for it exactly as for a plain
+    * `yield`, and the resumption command arrives here raw for
+    * forwarding. A done inner `return` completes the outer return
+    * ([[GenReturnSig]]); an inner that yields from a `finally` during
+    * return keeps delegating (same rule as the sync [[delegate]]). */
+  def delegateAsync(innerV: JsValue, interp: Interp, pos: Ast.Pos): JsValue = {
+    def awaitHere(v: JsValue): JsValue = yieldValue(new AwaitSignal(v))
+    def readIterResult(v: JsValue): (JsValue, Boolean) = v match {
+      case o: JsObject => (o.props.getOrElse("value", JsUndefined),
+        o.props.getOrElse("done", JsUndefined) == JsBool(true))
+      case other => (other, true) // unreachable: requests settle with iter-results
+    }
+    // one pull: apply the received command to the inner, returning
+    // (value, done) with the value already awaited
+    val pull: GenCmd => (JsValue, Boolean) = innerV match {
+      case ag: JsAsyncGenerator =>
+        cmd => readIterResult(awaitHere(Promises.asyncGenRequest(ag, cmd, interp)))
+      case g: JsGenerator =>
+        cmd => {
+          val (v, done) = cmd match {
+            case GenNext(x) => next(g, x, interp)
+            case GenThrow(x) => gthrow(g, x, interp)
+            case GenReturn(x) => gret(g, x, interp)
+            case GenKill => throw new GenKilled // unreachable: yieldRaw filters it
+          }
+          // TWO ticks, exactly the spec pipeline: the continuation's
+          // value unwrap (PromiseResolve(value).then — carries a
+          // promise value's settle time and rejection), then the
+          // delegation's Await of the wrapper's (now-plain) result —
+          // V8-pinned by the sync-inner interleave templates
+          (awaitHere(awaitHere(v)), done)
+        }
+      case other =>
+        val it = interp.iterate(other, pos)
+        def closeInner(): Unit = it match {
+          case c: JsIterClose => c.closeIter()
+          case _ => ()
+        }
+        {
+          // plain iterables ride the same AsyncFromSyncIterator
+          // pipeline as sync generators: unwrap tick + Await tick,
+          // for the done result too
+          case GenNext(_) =>
+            if (it.hasNext) (awaitHere(awaitHere(it.next())), false)
+            else (awaitHere(awaitHere(JsUndefined)), true)
+          case GenThrow(_) =>
+            closeInner()
+            Values.throwType("The iterator does not provide a 'throw' method")
+          case GenReturn(x) =>
+            // no sync return method: the received value is awaited
+            // once (14.4.14 c.ii) and the outer return proceeds
+            closeInner()
+            (awaitHere(x), true)
+          case GenKill => throw new GenKilled // unreachable: yieldRaw filters it
+        }
+    }
+    var cmd: GenCmd = GenNext(JsUndefined)
+    while (true) {
+      val (v, done) = pull(cmd)
+      if (done) cmd match {
+        // inner finished unwinding a forwarded return → the OUTER
+        // return proceeds; a done next/throw completes the yield*
+        case _: GenReturn => throw GenReturnSig(v)
+        case _ => return v
+      }
+      // PreAwaitedYield: the driver settles without the plain-yield
+      // re-await — the value was awaited above (tc39 redundant-await
+      // removal for async yield*)
+      cmd = yieldRaw(new PreAwaitedYield(v))
+    }
+    JsUndefined // unreachable
+  }
+
   /** Iteration-protocol adapter for for-of / spread / Array.from /
     * new Set / new Map. `hasNext` performs the pull, so a `take(n)`
     * consumes exactly n elements — the destructuring path relies on

@@ -679,9 +679,18 @@ final class Interp(globalScope: Scope, val budget: Budget) {
       case Yield(argE, delegate, yp) =>
         // only reachable on a generator body's thread (parser-enforced)
         if (!delegate) Generators.yieldValue(argE.map(eval(_, scope)).getOrElse(JsUndefined))
-        else eval(argE.get, scope) match {
-          case g: JsGenerator => Generators.delegate(g, this)
-          case other => Generators.delegateIterable(iterate(other, yp))
+        else {
+          val inner = eval(argE.get, scope)
+          val frame = Generators.current.get
+          // the running frame's closure knows its kind: an async
+          // generator's yield* AWAITS every inner step (r15,
+          // Generators.delegateAsync); a sync generator's does not
+          if (frame != null && frame.closure.isAsync)
+            Generators.delegateAsync(inner, this, yp)
+          else inner match {
+            case g: JsGenerator => Generators.delegate(g, this)
+            case other => Generators.delegateIterable(iterate(other, yp))
+          }
         }
       case Await(argE, _) =>
         // only reachable on an async body's worker (parser-enforced):

@@ -14,8 +14,8 @@ import scala.collection.mutable.ArrayBuffer
   * honor the restricted-production rule (no line break allowed before the
   * operand/operator).
   *
-  * Unsupported ES features (`with`, dynamic code loading, `yield*`
-  * inside async generators) fail here with a [[JsSyntaxError]] —
+  * Unsupported ES features (`with`, dynamic code loading) fail here
+  * with a [[JsSyntaxError]] —
   * surfaced by the lens worker as a STARTUP error, the same contract
   * as the reference isolate compile step (reference:
   * library/workers/javascript-lens-worker.js:102-111,
@@ -79,9 +79,11 @@ import scala.collection.mutable.ArrayBuffer
   * ([[AwaitSignal]]) distinguishes awaits from yields on the shared
   * frame machinery. V8-validated by the asyncgen.js async-generator
   * templates (4k fresh probes, zero divergences), pinned in
-  * JsAsyncGenSpec, driven under the oracle by q154. Out-of-scope,
-  * still loud: `yield*` inside async generators (a different
-  * delegation protocol — write the for-await loop).
+  * JsAsyncGenSpec, driven under the oracle by q154. `yield*` INSIDE
+  * async generators landed in round 15 ([[Generators.delegateAsync]]:
+  * the AsyncGeneratorYield × AsyncFromSyncIterator protocol — async
+  * inners delegate request-by-request, sync inners get the
+  * continuation's value unwrap), driven under the oracle by q156.
   *
   * The REST of the tail — decided OUT with a corpus check (round 11):
   * every lens map SOURCE in the reference (the `code:` strings handed
@@ -822,15 +824,11 @@ final class Parser(tokens: Vector[Token]) {
       val p0 = pos
       advance()
       val delegate = atPunct("*")
-      if (delegate) {
-        // async-generator yield* AWAITS every step of the inner
-        // iterator (AsyncGeneratorYield×AsyncFromSyncIterator) — a
-        // different protocol than sync delegation; out of the v1
-        // subset, LOUD (write the for-await loop instead)
-        if (asyncCtx == 1)
-          err("'yield*' inside an async generator is not supported in lens code (use 'for await' + 'yield')")
-        advance()
-      }
+      if (delegate) advance()
+      // async-generator `yield*` (r15) routes through the async
+      // delegation protocol at eval time (Generators.delegateAsync):
+      // the parser emits the same Yield node for both kinds; the
+      // interpreter picks the protocol off the running frame's closure
       val arg: Option[Expr] =
         if (delegate) Some(parseAssignExpr()) // yield* requires an operand
         else if (atPunct(";") || atPunct(")") || atPunct("]") || atPunct("}") ||

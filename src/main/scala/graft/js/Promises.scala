@@ -330,7 +330,12 @@ object Promises {
           case Generators.GenNext(v) => Generators.next(frame, v, interp)
           case Generators.GenThrow(v) => Generators.gthrow(frame, v, interp)
           case Generators.GenReturn(v) => Generators.gret(frame, v, interp)
-          case Generators.GenKill => return
+          case Generators.GenKill =>
+            // no caller enqueues GenKill as a request; returning here
+            // would leave ag.running latched and wedge the queue — be
+            // loud like the untagged-suspension guard (ADVICE r14)
+            throw new IllegalStateException(
+              "internal: GenKill reached the async-generator request driver")
         }
         catch {
           case JsThrown(err) => // body threw (or throw() uncaught): the
@@ -347,6 +352,12 @@ object Promises {
           performThen(promiseResolve(sig.v, interp), None, None, Resume(
             v => advance(Generators.GenNext(v)),
             e => advance(Generators.GenThrow(e))), interp)
+        case (sig: PreAwaitedYield, false) =>
+          // a delegated `yield*` value (r15): already awaited by the
+          // delegation's inner-result await — settle the request
+          // directly, no re-await (the tc39 redundant-await removal;
+          // V8-observable one-tick-earlier delivery, fuzz-pinned)
+          settleAndPump(() => fulfill(result, iterResult(sig.v, done = false), interp))
         case (v, false) =>
           // a `yield`: the yielded VALUE is awaited first
           // (AsyncGeneratorYield step 5 — a rejecting yield operand

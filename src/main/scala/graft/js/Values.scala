@@ -225,6 +225,16 @@ final class JsClosure(val fnName: Option[String], val params: Vector[Ast.Pattern
   * break (toStr guards loudly). */
 private[js] final class AwaitSignal(val v: JsValue) extends JsValue
 
+/** INTERNAL pre-awaited-yield marker (r15): an async generator's
+  * `yield*` hands each delegated value through the suspension
+  * rendezvous under this tag so the request driver settles it
+  * WITHOUT the plain-yield re-await — the tc39 normative change
+  * removing the redundant await in async `yield*` (observable in V8
+  * as the delegated value arriving one tick earlier than a re-awaited
+  * one; pinned by the asyncgen.js interleave templates). Never
+  * user-visible, same invariant as [[AwaitSignal]]. */
+private[js] final class PreAwaitedYield(val v: JsValue) extends JsValue
+
 /** An ASYNC GENERATOR object (r14) — the result of calling an
   * `async function*`. `next`/`return`/`throw` each return a
   * [[JsPromise]]; concurrent calls queue per the spec's
@@ -591,7 +601,7 @@ object Values {
     case _: JsGenerator => "[object Generator]"
     case _: JsPromise => "[object Promise]"
     case _: JsAsyncGenerator => "[object AsyncGenerator]"
-    case _: AwaitSignal =>
+    case _: AwaitSignal | _: PreAwaitedYield =>
       throw new IllegalStateException(
         "internal: await marker leaked past the async driver")
     case _: JsSymbolV =>

@@ -39,7 +39,8 @@ import graft.markup.Markup
   * shared (it is immutable by construction — `frozen` blocks every
   * user-reachable mutation path).
   */
-final class JsMapFn(val code: String) extends MapFn {
+final class JsMapFn(val code: String,
+                    val strictRejections: Boolean = true) extends MapFn {
 
   @transient private lazy val program: Ast.Program = Parser.parse(code)
 
@@ -103,17 +104,23 @@ final class JsMapFn(val code: String) extends MapFn {
       // certainly lost outputs silently).
       interpRef.drainJobs()
       interpRef.unhandledRejection.foreach { v =>
-        throw JsThrown(v match {
-          case o: JsObject if o.className.endsWith("Error") => o
-          case other =>
-            // message rendering must not itself throw (a SYMBOL
-            // rejection value would turn the diagnosis into a
-            // misleading conversion TypeError — review find r14)
-            val rendered =
-              try Values.toStr(Values.toPrimitive(other))
-              catch { case _: JsThrown => s"[${Values.typeOf(other)}]" }
-            Values.makeError("Error", s"Unhandled promise rejection: $rendered")
-        })
+        // strictRejections (default): the map call fails. Lenient mode
+        // (ADVICE r14) restores reference-worker compatibility — V8
+        // only warns on stderr — by routing the diagnosis to the
+        // ctx.error log stream (errors-as-data) and keeping outputs.
+        def rendered(other: JsValue): String =
+          // message rendering must not itself throw (a SYMBOL
+          // rejection value would turn the diagnosis into a
+          // misleading conversion TypeError — review find r14)
+          try Values.toStr(Values.toPrimitive(other))
+          catch { case _: JsThrown => s"[${Values.typeOf(other)}]" }
+        if (strictRejections)
+          throw JsThrown(v match {
+            case o: JsObject if o.className.endsWith("Error") => o
+            case other =>
+              Values.makeError("Error", s"Unhandled promise rejection: ${rendered(other)}")
+          })
+        else ctx.error(s"Unhandled promise rejection: ${rendered(v)}")
       }
     } finally interpRef.closeGenerators()
   }

@@ -290,7 +290,12 @@ final class LensHub(store: Store, parallelCascade: Boolean = false) {
         }
       } catch {
         case e: Throwable =>
-          synchronized { pending -= key; building -= key }
+          // release ONLY the claim — a pending flag set by a commit
+          // that landed mid-build must survive the failure, so the
+          // next onUpdate's first pass re-covers the dropped event
+          // (ADVICE r14: clearing it here reintroduced the q153
+          // under-build class on the error path)
+          synchronized { building -= key }
           throw e
       }
     }
@@ -327,8 +332,13 @@ final class LensHub(store: Store, parallelCascade: Boolean = false) {
         while (i < claimed.size) { run(claimed(i)); i += 1 }
       } finally synchronized {
         // a throw at index i: run() already released key i; release the
-        // never-run remainder (no-op when the loop completed)
-        claimed.drop(i + 1).foreach(l => building -= l.path.collectionPath)
+        // never-run remainder (no-op when the loop completed) but KEEP
+        // their triggering event as pending — the abort dropped it, and
+        // the next claim's first pending-check re-runs for it
+        claimed.drop(i + 1).foreach { l =>
+          building -= l.path.collectionPath
+          pending += l.path.collectionPath
+        }
       }
     }
   }

@@ -40,13 +40,20 @@ object AhoCorasick {
       private[AhoCorasick] val out: Array[Array[Int]],
       val phrases: Array[String]) extends Serializable {
 
-    /** all matches in `text` as (phraseId, 1-based END position). */
+    /** all matches in `text` as (phraseId, 1-based END position).
+      * Positions count CODE POINTS, not UTF-16 units (ADVICE r14): the
+      * automaton still transitions per char — a surrogate PAIR walks as
+      * two edges, which preserves exactness — but the reported position
+      * only advances when the char is not the low half of a pair, so
+      * astral text (emoji, rare CJK) agrees with the DuckDB oracle's
+      * substring/length math. A phrase can never end between the halves
+      * of a pair: its own low-surrogate tail edge advanced past both. */
     def matches(text: String): Iterator[(Int, Int)] = new Iterator[(Int, Int)] {
       private var state = 0
       private var i = 0
       private var pending: Array[Int] = Array.emptyIntArray
       private var pi = 0
-      private var pos = 0
+      private var pos = 0 // code points consumed so far
       private def advance(): Unit = {
         while (pi >= pending.length && i < text.length) {
           val c = text.charAt(i)
@@ -54,10 +61,15 @@ object AhoCorasick {
           var n = trans(s).get(c)
           while (n == null && s != 0) { s = fail(s); n = trans(s).get(c) }
           state = if (n == null) 0 else n.intValue()
+          // a low surrogate PAIRED with the previous char is the same
+          // code point; an unpaired one is its own (lenient-WTF16, like
+          // codePointCount)
+          if (!(Character.isLowSurrogate(c) && i > 0 &&
+                Character.isHighSurrogate(text.charAt(i - 1))))
+            pos += 1
           i += 1
           pending = out(state)
           pi = 0
-          pos = i
         }
       }
       def hasNext: Boolean = { advance(); pi < pending.length }
@@ -128,13 +140,15 @@ object AhoCorasick {
     val spark = docs.sparkSession
     import spark.implicits._
     val ac = build(phrases) // closure-captured: phrase-sized, corpus-independent
+    // start arithmetic in CODE POINTS, matching matches()'s positions
+    val cpLen = ac.phrases.map(p => p.codePointCount(0, p.length))
     val hits: Dataset[(Long, Int, Int)] = docs
       .select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         val t = Option(text).getOrElse("")
         ac.matches(t).map { case (pid, end) =>
-          (id, pid, end - ac.phrases(pid).length + 1) // 1-based start
+          (id, pid, end - cpLen(pid) + 1) // 1-based start
         }
       }
     hits.toDF(idCol, "pid", "start")

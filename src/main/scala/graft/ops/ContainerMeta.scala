@@ -451,4 +451,198 @@ object ContainerMeta {
       // integer-valued durations real muxers write
       math.round(durationTicks * tsScale / 1e6), nTracks, width, height))
   }
+
+  // ------------------------------------------------- audio frame headers
+
+  /** One audio stream's header summary (r15 — extends the
+    * decide-what-to-decode pass to the compressed-audio family whose
+    * DECODE is environment-blocked: no pure-JDK MP3/AAC service
+    * provider, Multimodal.scala:65). Everything here comes from frame
+    * HEADERS — sync-word walk, version/layer/bitrate/sample-rate
+    * tables, CBR duration estimate — pure integer parsing like the MP4
+    * box walk, no codec anywhere.
+    *
+    * `codec` is "mp3" (MPEG audio Layer I–III) or "aac" (ADTS);
+    * `version` the MPEG version ("1"/"2"/"2.5" for MP3; "4"/"2" for
+    * ADTS by its version bit); `layer` 1–3 for MP3, 0 for AAC.
+    * `streamBytes` counts the walked complete frames (ID3v2 tag and
+    * leading junk excluded); `bitrateKbps` is the header value when
+    * the stream is CBR, else the stream-average (streamBytes×8×rate /
+    * totalSamples, integer floor); `durationMs` = totalSamples×1000 /
+    * sampleRate (integer floor). */
+  final case class AudioMeta(codec: String, version: String, layer: Long,
+                             sampleRate: Long, channels: Long, nFrames: Long,
+                             streamBytes: Long, bitrateKbps: Long,
+                             durationMs: Long)
+
+  /** kbps by [bitrate index 1..14]; index 0 = free, 15 = invalid */
+  private val Mp3BitrateV1L1 = Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)
+  private val Mp3BitrateV1L2 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+  private val Mp3BitrateV1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3BitrateV2L1 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256)
+  private val Mp3BitrateV2L23 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+  /** Hz by [version][sample-rate index 0..2]; index 3 = reserved */
+  private val Mp3Rates = Map(
+    "1" -> Array(44100, 48000, 32000),
+    "2" -> Array(22050, 24000, 16000),
+    "2.5" -> Array(11025, 12000, 8000))
+  /** Hz by ADTS sampling-frequency index 0..11; 12+ = reserved */
+  private val AdtsRates = Array(96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000)
+
+  /** Parse an MP3 or ADTS-AAC stream's frame headers. Leading ID3v2
+    * tag skipped (syncsafe size, footer flag honored); up to
+    * [[MaxSyncScan]] bytes of leading junk scanned past (a candidate
+    * sync must be CONFIRMED by a second valid header — or end-of-data
+    * — at the computed frame boundary before the walk starts, the
+    * classic false-sync guard). Truncated/foreign bytes → None, never
+    * a throw; a truncated FINAL frame stops the walk (only complete
+    * frames count). */
+  def parseAudio(bytes: Array[Byte]): Option[AudioMeta] =
+    try {
+      var p = skipId3v2(bytes, 0)
+      // sync scan with confirmation
+      var found = -1
+      val scanEnd = math.min(bytes.length - 4, p + MaxSyncScan)
+      while (found < 0 && p <= scanEnd) {
+        if ((bytes(p) & 0xff) == 0xff && (bytes(p + 1) & 0xe0) == 0xe0 &&
+            confirmSync(bytes, p)) found = p
+        else p += 1
+      }
+      if (found < 0) None
+      else if (isAdtsHeader(bytes, found)) walkAdts(bytes, found)
+      else walkMp3(bytes, found)
+    } catch { case _: Exception => None }
+
+  /** junk tolerance ahead of the first frame — headers live at the
+    * front of real files; an unbounded scan over a foreign blob would
+    * walk gigabytes to say None */
+  val MaxSyncScan: Int = 1 << 16
+
+  private def skipId3v2(b: Array[Byte], at: Int): Int = {
+    if (at + 10 > b.length || b(at) != 'I' || b(at + 1) != 'D' || b(at + 2) != '3')
+      return at
+    // 4 syncsafe bytes (7 bits each); flags bit 4 = 10-byte footer
+    val size = ((b(at + 6) & 0x7f) << 21) | ((b(at + 7) & 0x7f) << 14) |
+      ((b(at + 8) & 0x7f) << 7) | (b(at + 9) & 0x7f)
+    val footer = if ((b(at + 5) & 0x10) != 0) 10 else 0
+    math.min(b.length, at + 10 + size + footer)
+  }
+
+  private def isAdtsHeader(b: Array[Byte], p: Int): Boolean =
+    // 12 sync bits + layer bits 00 distinguish ADTS from MPEG audio
+    // (whose layer field is never 00 in a valid stream)
+    (b(p + 1) & 0xf6) == 0xf0
+
+  /** length of the frame starting at p, or -1 if the header is invalid */
+  private def frameLength(b: Array[Byte], p: Int): Int = {
+    if (p + 4 > b.length) return -1
+    if ((b(p) & 0xff) != 0xff || (b(p + 1) & 0xe0) != 0xe0) return -1
+    if (isAdtsHeader(b, p)) {
+      if (p + 6 > b.length) return -1
+      val sfi = (b(p + 2) >> 2) & 0xf
+      if (sfi >= AdtsRates.length) return -1
+      val len = ((b(p + 3) & 0x3) << 11) | ((b(p + 4) & 0xff) << 3) | ((b(p + 5) >> 5) & 0x7)
+      if (len < 7) -1 else len
+    } else {
+      val verBits = (b(p + 1) >> 3) & 0x3
+      val layerBits = (b(p + 1) >> 1) & 0x3
+      if (verBits == 1 || layerBits == 0) return -1 // reserved
+      val brIdx = (b(p + 2) >> 4) & 0xf
+      val srIdx = (b(p + 2) >> 2) & 0x3
+      if (brIdx == 0 || brIdx == 15 || srIdx == 3) return -1 // free/bad
+      val version = verBits match { case 3 => "1"; case 2 => "2"; case _ => "2.5" }
+      val layer = 4 - layerBits // bits 11=L1, 10=L2, 01=L3
+      val kbps = mp3Bitrate(version, layer, brIdx)
+      val rate = Mp3Rates(version)(srIdx)
+      val pad = (b(p + 2) >> 1) & 0x1
+      if (layer == 1) (12 * kbps * 1000 / rate + pad) * 4
+      else {
+        // samples/frame: L2 always 1152; L3 1152 (V1) / 576 (V2/2.5)
+        val spf = if (layer == 2 || version == "1") 1152 else 576
+        spf / 8 * kbps * 1000 / rate + pad
+      }
+    }
+  }
+
+  private def mp3Bitrate(version: String, layer: Int, idx: Int): Int =
+    (version, layer) match {
+      case ("1", 1) => Mp3BitrateV1L1(idx)
+      case ("1", 2) => Mp3BitrateV1L2(idx)
+      case ("1", 3) => Mp3BitrateV1L3(idx)
+      case (_, 1) => Mp3BitrateV2L1(idx)
+      case _ => Mp3BitrateV2L23(idx)
+    }
+
+  /** a candidate sync is real if the next frame boundary holds another
+    * valid header or exactly ends the data */
+  private def confirmSync(b: Array[Byte], p: Int): Boolean = {
+    val len = frameLength(b, p)
+    if (len <= 0) return false
+    val q = p + len
+    q == b.length || (q + 4 <= b.length && frameLength(b, q) > 0)
+  }
+
+  private def walkMp3(b: Array[Byte], start: Int): Option[AudioMeta] = {
+    val verBits = (b(start + 1) >> 3) & 0x3
+    val version = verBits match { case 3 => "1"; case 2 => "2"; case _ => "2.5" }
+    val layer = 4 - ((b(start + 1) >> 1) & 0x3)
+    val srIdx = (b(start + 2) >> 2) & 0x3
+    val rate = Mp3Rates(version)(srIdx)
+    val mode = (b(start + 3) >> 6) & 0x3
+    val channels = if (mode == 3) 1L else 2L
+    val spf: Long =
+      if (layer == 1) 384L
+      else if (layer == 2 || version == "1") 1152L
+      else 576L
+    var p = start
+    var nFrames = 0L
+    var streamBytes = 0L
+    var firstKbps = -1
+    var cbr = true
+    var done = false
+    while (!done) {
+      val len = frameLength(b, p)
+      if (len <= 0 || p + len > b.length) done = true
+      else {
+        val kbps = mp3Bitrate(version, layer, (b(p + 2) >> 4) & 0xf)
+        if (firstKbps < 0) firstKbps = kbps
+        else if (kbps != firstKbps) cbr = false
+        nFrames += 1
+        streamBytes += len
+        p += len
+      }
+    }
+    if (nFrames == 0) return None
+    val totalSamples = nFrames * spf
+    val durationMs = totalSamples * 1000 / rate
+    val kbps =
+      if (cbr) firstKbps.toLong
+      else streamBytes * 8 * rate / (totalSamples * 1000)
+    Some(AudioMeta("mp3", version, layer.toLong, rate.toLong, channels,
+      nFrames, streamBytes, kbps, durationMs))
+  }
+
+  private def walkAdts(b: Array[Byte], start: Int): Option[AudioMeta] = {
+    val version = if (((b(start + 1) >> 3) & 0x1) == 0) "4" else "2"
+    val sfi = (b(start + 2) >> 2) & 0xf
+    if (sfi >= AdtsRates.length) return None
+    val rate = AdtsRates(sfi).toLong
+    val channels = (((b(start + 2) & 0x1) << 2) | ((b(start + 3) >> 6) & 0x3)).toLong
+    var p = start
+    var nFrames = 0L
+    var streamBytes = 0L
+    var done = false
+    while (!done) {
+      val len = frameLength(b, p)
+      if (len <= 0 || p + len > b.length) done = true
+      else { nFrames += 1; streamBytes += len; p += len }
+    }
+    if (nFrames == 0) return None
+    val totalSamples = nFrames * 1024L // AAC-LC: 1024 PCM samples/frame
+    val durationMs = totalSamples * 1000 / rate
+    val kbps = streamBytes * 8 * rate / (totalSamples * 1000)
+    Some(AudioMeta("aac", version, 0L, rate, channels, nFrames,
+      streamBytes, kbps, durationMs))
+  }
 }

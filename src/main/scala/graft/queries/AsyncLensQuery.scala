@@ -91,8 +91,59 @@ object AsyncLensQuery {
       |  process().then(s => output(path.recordID, s))
       |}""".stripMargin
 
+  /** q156: async-generator `yield*` DELEGATION (r15 — closes VERDICT
+    * r14 #1) end-to-end through the engine path. One outer
+    * `async function*` threads all three delegation protocols
+    * ([[graft.js.Generators.delegateAsync]]):
+    *  - `yield* shortToks(..)` — a SYNC generator inner: values ride
+    *    the AsyncFromSyncIterator unwrap, and its `return` value comes
+    *    back as the yield*'s completion;
+    *  - `yield* longToks(..)` — an ASYNC generator inner: per-value
+    *    awaited yields forwarded request-by-request, completion value
+    *    threaded the same way;
+    *  - `yield* [obj, Promise.resolve(obj)]` — a plain iterable inner
+    *    whose PROMISE element must be awaited before delivery.
+    * The consumer tallies short/long tokens by shape and pins both
+    * completion values in the output string, so a delegation that
+    * dropped a value, skipped an await, or lost a completion breaks
+    * the oracle hash. Semantics pinned by JsAsyncGenSpec d1–d13 +
+    * the asyncgen.js V8 sweeps; this query pins the ENGINE
+    * integration at corpus scale. */
+  val JsAsyncGenDelegationCode: String =
+    """function* shortToks(toks) {
+      |  for (const t of toks) if (t.length <= 4) yield t
+      |  return 'short-done'
+      |}
+      |async function* longToks(toks) {
+      |  for (const t of toks) if (t.length > 4) yield { len: await Promise.resolve(t.length) }
+      |  return 'long-done'
+      |}
+      |async function* combined(toks) {
+      |  const a = yield* shortToks(toks)
+      |  const b = yield* longToks(toks)
+      |  yield* [{ fin: a + '|' + b }, Promise.resolve({ fin: 'tail' })]
+      |}
+      |async function process() {
+      |  const toks = data.text.toLowerCase().split(/[^a-z0-9]+/).filter(t => t !== '')
+      |  const uniq = [...new Set(toks)].slice(0, 30)
+      |  let ns = 0, ss = 0, nl = 0, sl = 0
+      |  const fins = []
+      |  for await (const v of combined(uniq)) {
+      |    if (typeof v === 'string') { ns += 1; ss += v.length }
+      |    else if (typeof v.len === 'number') { nl += 1; sl += v.len }
+      |    else fins.push(v.fin)
+      |  }
+      |  return 'ns=' + ns + ';ss=' + ss + ';nl=' + nl + ';sl=' + sl + ';fin=' + fins.join(',')
+      |}
+      |if (typeof data.text === 'string') {
+      |  process().then(s => output(path.recordID, s))
+      |}""".stripMargin
+
   def run(spark: SparkSession, sfDir: String): DataFrame =
     runWith(spark, sfDir, JsAsyncCode, "async-scores", "asyncq")
+
+  def runDelegation(spark: SparkSession, sfDir: String): DataFrame =
+    runWith(spark, sfDir, JsAsyncGenDelegationCode, "asyncdeleg-scores", "adelq")
 
   def runGen(spark: SparkSession, sfDir: String): DataFrame =
     runWith(spark, sfDir, JsAsyncGenCode, "asyncgen-scores", "agenq")

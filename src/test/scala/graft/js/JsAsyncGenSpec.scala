@@ -178,10 +178,156 @@ class JsAsyncGenSpec extends AnyFunSuite with Matchers {
     assert(startupErr("for await (const x of []) {}").contains("only valid in async"))
     assert(startupErr("async function f(){ for await (const x in {}) {} }")
       .contains("of-loop"))
-    assert(startupErr("async function* g(){ yield* [1, 2]; }").contains("yield*"))
     assert(startupErr("class C { async *constructor(){} }").contains("constructor"))
     // async-gen methods parse in object literals and classes
     assert(JsMapFn.compile("const o = { async *m(){ yield 1 } };").isRight)
     assert(JsMapFn.compile("class C { async *m(){ yield 1 } static async *s(){ yield 2 } }").isRight)
+    // yield* inside async generators parses since r15
+    assert(JsMapFn.compile("async function* g(){ yield* [1, 2]; }").isRight)
+  }
+
+  // ---- yield* inside async generators (r15, Generators.delegateAsync) ----
+  // every expectation below is node 20 output via the asyncgen.js
+  // yield*-template probe run (806/806 + 4016/4016 fresh-seed sweeps)
+
+  test("async-over-async delegation: values, awaits, completion threading (V8 d1)") {
+    expectSeq(
+      """async function* inner(){ yield 1; yield await Promise.resolve(2); return 'R'; }
+        |async function* outer(){ yield 's'; const r = yield* inner(); yield 'got' + r; }
+        |(async () => { for await (const v of outer()) log(v); })();""".stripMargin,
+      "s,1,2,gotR")
+  }
+
+  test("async-over-sync: AsyncFromSyncIterator unwraps values AND the promise return (V8 d2)") {
+    expectSeq(
+      """function* inner(){ yield 1; yield Promise.resolve('p'); return Promise.resolve('pr'); }
+        |async function* outer(){ const r = yield* inner(); yield 'r:' + r; }
+        |(async () => { for await (const v of outer()) log(v); })();""".stripMargin,
+      "1,p,r:pr")
+  }
+
+  test("async yield* over builtin iterables: promise elements awaited (V8 d3)") {
+    expectSeq(
+      """async function* outer(){ yield* [1, Promise.resolve(2), 3]; yield* 'ab'; yield* new Set(['x']); yield 'tail'; }
+        |(async () => { for await (const v of outer()) log(v); })();""".stripMargin,
+      "1,2,3,a,b,x,tail")
+  }
+
+  test("throw() forwards through yield* into the inner's catch (V8 d4)") {
+    expectSeq(
+      """async function* inner(){ try { yield 'a'; yield 'NO'; } catch (e) { yield 'c' + e; } }
+        |async function* outer(){ try { yield* inner(); } catch (e) { yield 'o' + e; } yield 'end'; }
+        |(async () => {
+        |  const it = outer();
+        |  log((await it.next()).value);
+        |  log((await it.throw('T')).value);
+        |  for await (const v of it) log(v);
+        |})();""".stripMargin,
+      "a,cT,end")
+  }
+
+  test("uncaught throw() propagates out of yield* to the outer's catch (V8 d5)") {
+    expectSeq(
+      """async function* inner(){ yield 'a'; }
+        |async function* outer(){ try { yield* inner(); } catch (e) { yield 'o' + e; } }
+        |(async () => {
+        |  const it = outer();
+        |  log((await it.next()).value);
+        |  log((await it.throw('T')).value);
+        |  log(JSON.stringify(await it.next()));
+        |})();""".stripMargin,
+      """a,oT,{"done":true}""")
+  }
+
+  test("return() unwinds BOTH layers' finally blocks, awaited (V8 d6)") {
+    expectSeq(
+      """let fin = '';
+        |async function* inner(){ try { yield 1; yield 2; } finally { fin += 'fi' + (await Promise.resolve('!')); } }
+        |async function* outer(){ try { yield* inner(); } finally { fin += 'fo'; } }
+        |(async () => {
+        |  const it = outer();
+        |  log((await it.next()).value);
+        |  const r = await it.return('RV');
+        |  log(r.value + '|' + r.done + '|' + fin);
+        |})();""".stripMargin,
+      "1,RV|true|fi!fo")
+  }
+
+  test("inner yielding from finally during return keeps delegating (V8 d7)") {
+    expectSeq(
+      """async function* inner(){ try { yield 1; } finally { yield 'fy'; } }
+        |async function* outer(){ yield* inner(); }
+        |(async () => {
+        |  const it = outer();
+        |  log((await it.next()).value);
+        |  const r1 = await it.return('RV');
+        |  log(r1.value + '|' + r1.done);
+        |  const r2 = await it.next();
+        |  log(r2.value + '|' + r2.done);
+        |})();""".stripMargin,
+      // the finally-yield DOWNGRADES the forwarded return to a normal
+      // completion of the yield*: the outer body continues past it and
+      // completes with undefined — RV is dropped (V8-verified)
+      "1,fy|false,undefined|true")
+  }
+
+  test("nested delegation: async outer → async mid → sync leaf (V8 d8)") {
+    expectSeq(
+      """function* leaf(){ yield 'L1'; yield 'L2'; return 'lr'; }
+        |async function* mid(){ const r = yield* leaf(); yield 'm' + r; return 'mr'; }
+        |async function* outer(){ const r = yield* mid(); yield 'o' + r; }
+        |(async () => { for await (const v of outer()) log(v); })();""".stripMargin,
+      "L1,L2,mlr,omr")
+  }
+
+  test("tick parity: delegated async value is NOT re-awaited (tc39 redundant-await removal; V8 d9)") {
+    expectSeq(
+      """const logs = [];
+        |async function* inner(){ yield 'i1'; yield 'i2'; }
+        |async function* outer(){ yield* inner(); }
+        |(async () => { for await (const v of outer()) logs.push(v); logs.push('done'); })();
+        |Promise.resolve().then(() => logs.push('t1')).then(() => logs.push('t2')).then(() => logs.push('t3')).then(() => logs.push('t4'));
+        |(async () => { for (let i = 0; i < 16; i++) await null; log(logs.join(',')); })();""".stripMargin,
+      "t1,t2,i1,t3,t4,i2,done")
+  }
+
+  test("tick parity: sync inner rides the two-tick AsyncFromSyncIterator pipeline (V8 d10)") {
+    expectSeq(
+      """const logs = [];
+        |function* inner(){ yield 'i1'; yield 'i2'; }
+        |async function* outer(){ yield* inner(); }
+        |(async () => { for await (const v of outer()) logs.push(v); logs.push('done'); })();
+        |Promise.resolve().then(() => logs.push('t1')).then(() => logs.push('t2')).then(() => logs.push('t3')).then(() => logs.push('t4')).then(() => logs.push('t5')).then(() => logs.push('t6'));
+        |(async () => { for (let i = 0; i < 20; i++) await null; log(logs.join(',')); })();""".stripMargin,
+      "t1,t2,i1,t3,t4,t5,i2,t6,done")
+  }
+
+  test("rejecting element inside a delegated iterable throws into the outer (V8 d11)") {
+    expectSeq(
+      """async function* outer(){ try { yield* [1, Promise.reject('bad'), 3]; } catch (e) { yield 'c' + e; } }
+        |(async () => { for await (const v of outer()) log(v); })();""".stripMargin,
+      "1,cbad")
+  }
+
+  test("yield* over a custom [Symbol.iterator] object (V8 d12)") {
+    expectSeq(
+      """async function* outer(){
+        |  yield* { [Symbol.iterator]() { let i = 0;
+        |    return { next: () => i < 3 ? { value: 'c' + (i++), done: false } : { value: undefined, done: true } }; } };
+        |}
+        |(async () => { for await (const v of outer()) log(v); })();""".stripMargin,
+      "c0,c1,c2")
+  }
+
+  test("yield* over a non-iterable / a sync-only async generator misuse is a loud TypeError (V8 d13)") {
+    expectSeq(
+      """async function* outer(){ yield* 5; }
+        |function* syncOuter(){ yield* asyncInner(); }
+        |async function* asyncInner(){ yield 1; }
+        |(async () => {
+        |  await outer().next().then(v => log('NO'), e => log(e.name));
+        |  try { for (const v of syncOuter()) {} log('NO2') } catch (e) { log('sync' + e.name) }
+        |})();""".stripMargin,
+      "TypeError,syncTypeError")
   }
 }

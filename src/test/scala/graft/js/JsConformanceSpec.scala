@@ -1423,11 +1423,10 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
     // parse-time rejections (classes landed in r8, static blocks and
     // private members in r12, generators AND a Proxy subset in r13,
     // async/await + Promises AND async generators + `for await` in
-    // r14; the residual out-of-subset corners — `yield*` inside async
-    // generators, `for await` outside async bodies, `with`, proxy
+    // r14, async-generator `yield*` in r15; the residual out-of-subset
+    // corners — `for await` outside async bodies, `with`, proxy
     // apply/construct traps — stay loud):
-    Seq("async function* f(){ yield* [1, 2] }",
-        "for await (const x of []) {}",
+    Seq("for await (const x of []) {}",
         "function f(){ for await (const x of []) {} }",
         "with({a:1}) output('r', a)").foreach { code =>
       assert(JsMapFn.compile(code).isLeft, s"must reject at startup: $code")

@@ -420,7 +420,7 @@ class JsInterpSpec extends AnyFunSuite with Matchers {
     JsMapFn.compile("class X { #x = 1 }").isRight shouldBe true // private members landed r12
     JsMapFn.compile("async function f() {}").isRight shouldBe true // async landed r14
     JsMapFn.compile("async function* f() {}").isRight shouldBe true // async generators landed r14 wave 2
-    JsMapFn.compile("async function* f() { yield* [1] }").isLeft shouldBe true // async yield* stays out
+    JsMapFn.compile("async function* f() { yield* [1] }").isRight shouldBe true // async yield* landed r15
   }
 
   test("ASI: the golden-lens style of semicolon-free code parses") {

@@ -243,6 +243,110 @@ const templates = [
     const idok = it[Symbol.asyncIterator]() === it;
     const out = []; for await (const v of it) out.push(v);
     return JSON.stringify(out) + idok;`,
+
+  // ---- yield* inside async generators (round 15) ----
+
+  // async-over-async delegation: values, awaits, completion threading
+  () => `async function* inner(){ yield ${int(5)}; yield await Promise.resolve(${int(5)}); return '${pick(['R','Q'])}'; }
+    async function* outer(){ yield 's'; const r = yield* inner(); yield 'got' + r; }
+    const out = []; for await (const v of outer()) out.push(v);
+    return out.join(',');`,
+
+  // async-over-sync: AsyncFromSyncIterator unwrap incl. a promise RETURN
+  () => `function* inner(){ yield ${int(5)}; yield Promise.resolve('p${int(5)}'); return ${pick(['Promise.resolve("pr")', "'plain'"])}; }
+    async function* outer(){ const r = yield* inner(); yield 'r:' + r; }
+    const out = []; for await (const v of outer()) out.push(v);
+    return out.join(',');`,
+
+  // async-over-iterable: arrays (promise elements awaited), strings, Sets
+  () => `async function* outer(){ yield* ${pick([
+      "[1, Promise.resolve(2), 3]",
+      "'abc'",
+      "new Set(['x', 'y'])",
+      "[Promise.resolve('only')]",
+    ])}; yield 'tail'; }
+    const out = []; for await (const v of outer()) out.push(v);
+    return out.join(',');`,
+
+  // throw() forwarding through yield* — inner catches (or doesn't)
+  () => `async function* inner(){ try { yield 'a'; yield 'NO'; } ${pick([
+      "catch (e) { yield 'c' + e; }",
+      "finally { /* propagates */ }",
+    ])} }
+    async function* outer(){ try { yield* inner(); } catch (e) { yield 'o' + e; } yield 'end'; }
+    const it = outer(); const out = [];
+    out.push((await it.next()).value);
+    try { out.push(JSON.stringify(await it.throw('T'))); } catch (e) { out.push('up' + e); }
+    for await (const v of it) out.push(v);
+    return out.join(',');`,
+
+  // return() through yield*: finally blocks in BOTH layers, awaited
+  () => `const log = [];
+    async function* inner(){ try { yield 1; yield 2; } finally { log.push('fi' + (await Promise.resolve('!'))); ${pick(['', "yield 'fy';"])} } }
+    async function* outer(){ try { yield* inner(); } finally { log.push('fo'); } }
+    const it = outer(); const out = [];
+    out.push((await it.next()).value);
+    out.push(JSON.stringify(await it.return('RV')));
+    ${pick(['', "out.push(JSON.stringify(await it.next()));"])}
+    return out.join(',') + '/' + log.join(',');`,
+
+  // for-await break over a delegating outer (early-exit unwind chain)
+  () => `const log = [];
+    async function* inner(){ try { for (let i = 0; i < 9; i++) yield i; } finally { log.push('fi'); } }
+    async function* outer(){ try { yield* inner(); } finally { log.push('fo'); } }
+    const out = [];
+    for await (const v of outer()) { out.push(v); if (v >= ${1+int(3)}) break; }
+    return out.join(',') + '/' + log.join(',');`,
+
+  // nested delegation: async outer -> async mid -> sync leaf
+  () => `function* leaf(){ yield 'L1'; yield 'L2'; return 'lr'; }
+    async function* mid(){ const r = yield* leaf(); yield 'm' + r; return 'mr'; }
+    async function* outer(){ const r = yield* mid(); yield 'o' + r; }
+    const out = []; for await (const v of outer()) out.push(v);
+    return out.join(',');`,
+
+  // ordering probe: yield* steps interleaved with a then-chain
+  () => `const log = [];
+    async function* inner(){ yield 'i1'; yield ${pick(["Promise.resolve('i2')", "'i2'"])}; }
+    async function* outer(){ yield* inner(); }
+    (async () => { for await (const v of outer()) log.push(v); log.push('done'); })();
+    Promise.resolve().then(() => log.push('t1')).then(() => log.push('t2')).then(() => log.push('t3')).then(() => log.push('t4'));
+    for (let i = 0; i < 16; i++) await null;
+    return log.join(',');`,
+
+  // ordering probe: SYNC-inner yield* interleaved with a then-chain
+  // (AsyncFromSyncIterator tick parity)
+  () => `const log = [];
+    ${pick([
+      "function* inner(){ yield 'i1'; yield 'i2'; }",
+      "const inner = () => ['i1', 'i2'];",
+      "const inner = () => ['i1', Promise.resolve('i2')];",
+    ])}
+    async function* outer(){ yield* inner(); }
+    (async () => { for await (const v of outer()) log.push(v); log.push('done'); })();
+    Promise.resolve().then(() => log.push('t1')).then(() => log.push('t2')).then(() => log.push('t3')).then(() => log.push('t4')).then(() => log.push('t5')).then(() => log.push('t6'));
+    for (let i = 0; i < 20; i++) await null;
+    return log.join(',');`,
+
+  // ordering probe: yield* COMPLETION (inner return) vs a then-chain
+  () => `const log = [];
+    ${pick([
+      "async function* inner(){ yield 'i1'; return 'R'; }",
+      "function* inner(){ yield 'i1'; return 'R'; }",
+    ])}
+    async function* outer(){ const r = yield* inner(); log.push('comp' + r); yield 'after'; }
+    (async () => { for await (const v of outer()) log.push(v); log.push('done'); })();
+    Promise.resolve().then(() => log.push('t1')).then(() => log.push('t2')).then(() => log.push('t3')).then(() => log.push('t4')).then(() => log.push('t5')).then(() => log.push('t6'));
+    for (let i = 0; i < 20; i++) await null;
+    return log.join(',');`,
+
+  // yield* over a custom [Symbol.iterator] object / a rejecting element
+  () => `${pick([
+      `async function* outer(){ yield* { [Symbol.iterator](){ let i = 0; return { next: () => i < 3 ? { value: 'c' + (i++), done: false } : { value: undefined, done: true } }; } }; }
+       const out = []; for await (const v of outer()) out.push(v); return out.join(',');`,
+      `async function* outer(){ try { yield* [1, Promise.reject('bad'), 3]; } catch (e) { yield 'c' + e; } }
+       const out = []; for await (const v of outer()) out.push(v); return out.join(',');`,
+    ])}`,
 ];
 
 // fixed early-error / boundary probes
