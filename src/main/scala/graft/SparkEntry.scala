@@ -1407,6 +1407,14 @@ object SparkEntry {
     "q56_keyframe_index" -> ((s, dir) =>
       graft.queries.MultimodalQueries.keyframeIndex(s, dir)),
 
+    // Compressed-audio frame-header triage (r15): MP3 / ADTS-AAC
+    // sync-word walk with version/layer/bitrate/sample-rate tables,
+    // ID3v2 syncsafe skip, junk-tolerant confirmed sync, CBR duration
+    // estimate — the decide-what-to-decode pass for the audio family
+    // with no pure-JDK decoder (q45's box/EBML walk, audio edition).
+    "q157_audio_headers" -> ((s, dir) =>
+      graft.queries.MultimodalQueries.audioHeaders(s, dir)),
+
     // Incremental lens maintenance under the hard signal (§2.6):
     // commit → full build → second commit updating/deleting/adding
     // subsets → INCREMENTAL build. Emits the final inverted index, the
@@ -2823,6 +2831,59 @@ object SparkEntry {
         |FROM p JOIN off ON p.doc_id = off.doc_id
         |GROUP BY p.doc_id, p.s, p.g
         |ORDER BY p.doc_id""".stripMargin,
+    // q157: the oracle re-derives every header field from the fixture
+    // formulas — the version/layer bitrate tables as list literals,
+    // the frame-length arithmetic ((spf//8)·kbps·1000//rate + pad),
+    // and the CBR duration floor; the engine must recover them by
+    // actually walking the frame headers (incl. ID3v2 skip + junk).
+    "q157_audio_headers" ->
+      """WITH ids AS (SELECT DISTINCT doc_id FROM documents),
+        |mp3 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN '1' ELSE '2' END AS version,
+        |    CASE WHEN doc_id % 4 = 1 THEN 2 ELSE 3 END AS layer,
+        |    CAST(doc_id % 14 AS INT) AS bi,
+        |    CAST(doc_id % 3 AS INT) AS si,
+        |    (doc_id % 5) % 2 AS pad,
+        |    CASE WHEN (doc_id % 7) % 2 = 1 THEN 1 ELSE 2 END AS channels,
+        |    4 + doc_id % 12 AS nf
+        |  FROM ids WHERE doc_id % 3 <> 0),
+        |mp3x AS (
+        |  SELECT doc_id, version, layer, pad, channels, nf,
+        |    CASE WHEN version = '1' AND layer = 2
+        |           THEN [32,48,56,64,80,96,112,128,160,192,224,256,320,384][bi + 1]
+        |         WHEN version = '1'
+        |           THEN [32,40,48,56,64,80,96,112,128,160,192,224,256,320][bi + 1]
+        |         ELSE [8,16,24,32,40,48,56,64,80,96,112,128,144,160][bi + 1] END AS kbps,
+        |    CASE WHEN version = '1' THEN [44100,48000,32000][si + 1]
+        |         ELSE [22050,24000,16000][si + 1] END AS rate,
+        |    CASE WHEN layer = 2 OR version = '1' THEN 1152 ELSE 576 END AS spf
+        |  FROM mp3),
+        |mp3r AS (
+        |  SELECT doc_id, 'mp3' AS codec, version, CAST(layer AS BIGINT) AS layer,
+        |    CAST(rate AS BIGINT) AS sample_rate, CAST(channels AS BIGINT) AS channels,
+        |    CAST(nf AS BIGINT) AS n_frames,
+        |    CAST(nf * ((spf // 8) * kbps * 1000 // rate + pad) AS BIGINT) AS stream_bytes,
+        |    CAST(kbps AS BIGINT) AS bitrate_kbps,
+        |    CAST(nf * spf * 1000 // rate AS BIGINT) AS duration_ms
+        |  FROM mp3x),
+        |aac AS (
+        |  SELECT doc_id,
+        |    [48000,44100,32000,24000,22050,16000][CAST(doc_id % 6 AS INT) + 1] AS rate,
+        |    1 + doc_id % 2 AS channels,
+        |    107 + doc_id % 200 AS flen,
+        |    3 + doc_id % 15 AS nf,
+        |    CASE WHEN doc_id % 2 = 0 THEN '4' ELSE '2' END AS version
+        |  FROM ids WHERE doc_id % 3 = 0),
+        |aacr AS (
+        |  SELECT doc_id, 'aac' AS codec, version, CAST(0 AS BIGINT) AS layer,
+        |    CAST(rate AS BIGINT) AS sample_rate, CAST(channels AS BIGINT) AS channels,
+        |    CAST(nf AS BIGINT) AS n_frames,
+        |    CAST(nf * flen AS BIGINT) AS stream_bytes,
+        |    CAST((nf * flen * 8 * rate) // (nf * 1024 * 1000) AS BIGINT) AS bitrate_kbps,
+        |    CAST(nf * 1024 * 1000 // rate AS BIGINT) AS duration_ms
+        |  FROM aac)
+        |SELECT * FROM mp3r UNION ALL SELECT * FROM aacr ORDER BY doc_id""".stripMargin,
     // q44: the oracle rebuilds BOTH corpus states from scratch — the
     // pre-commit-2 index (idx1) and the post-commit-2 index (idx2,
     // with the update/delete/new arithmetic replicated relationally) —

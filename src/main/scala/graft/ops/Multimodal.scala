@@ -454,6 +454,35 @@ object Multimodal {
       .toDF(idCol, "container", "brand", "duration_ms", "n_tracks", "width", "height")
   }
 
+  /** Compressed-audio frame-header triage over a blob table
+    * ([[ContainerMeta.parseAudio]], r15): MP3 / ADTS-AAC sync-word
+    * walk — version/layer/bitrate/sample-rate tables, ID3v2 skip, CBR
+    * duration estimate — the decide-what-to-decode pass for the audio
+    * family whose decode is environment-blocked (no pure-JDK MP3/AAC
+    * provider). Unparseable blobs yield nulls, never a failure. Same
+    * 100 TB shape as [[containerMeta]]: one narrow mapPartitions pass
+    * over header-sized byte prefixes, zero shuffles. */
+  def audioHeaderMeta(df: DataFrame, idCol: String = "id",
+                      bytesCol: String = "media"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        ContainerMeta.parseAudio(bytes) match {
+          case Some(m) => (id, Option(m.codec), Option(m.version), Option(m.layer),
+            Option(m.sampleRate), Option(m.channels), Option(m.nFrames),
+            Option(m.streamBytes), Option(m.bitrateKbps), Option(m.durationMs))
+          case None => (id, None: Option[String], None: Option[String],
+            None: Option[Long], None: Option[Long], None: Option[Long],
+            None: Option[Long], None: Option[Long], None: Option[Long],
+            None: Option[Long])
+        }
+      }
+      .toDF(idCol, "codec", "version", "layer", "sample_rate", "channels",
+        "n_frames", "stream_bytes", "bitrate_kbps", "duration_ms")
+  }
+
   /** Keyframe byte-range planning over a blob table
     * ([[ContainerMeta.keyframeIndex]]): per blob, the sync-sample count
     * and the byte-range envelope a fetch planner needs — n_samples,

@@ -173,6 +173,101 @@ object MultimodalQueries {
     header ++ el(id(0x18, 0x53, 0x80, 0x67), info, tracks) // Segment
   }
 
+  /** Compressed-audio frame-header triage under the hard signal (q157,
+    * r15): a deterministic MP3 (doc_id % 3 != 0) or ADTS-AAC
+    * (doc_id % 3 == 0) byte stream per document — version, layer,
+    * bitrate index, sample-rate index, padding, channel mode, frame
+    * count, an optional ID3v2 tag and optional leading junk are all
+    * integer functions of doc_id, written bit-by-bit by an independent
+    * header writer (not the parser's tables) — walked back through the
+    * production [[ContainerMeta.parseAudio]] sync-word pass. The oracle
+    * re-derives every field including the frame-length arithmetic
+    * (spf/8 × kbps×1000 / rate + pad) and the CBR duration estimate,
+    * so a wrong table entry, a mis-shifted header field, a botched
+    * ID3v2 syncsafe skip, or a false-sync acceptance breaks the hash.
+    * No decode anywhere — this is the decide-what-to-decode pass for
+    * the audio family with no pure-JDK decoder. */
+  def audioHeaders(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val blobs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").cast("long")).distinct()
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val stream =
+            if (id % 3 == 0)
+              adtsFixture(versionBit = (id % 2).toInt,
+                sfi = 3 + (id % 6).toInt, channels = 1 + (id % 2).toInt,
+                frameLen = 107 + (id % 200).toInt, nFrames = 3 + (id % 15).toInt)
+            else
+              mp3Fixture(mpeg1 = id % 2 == 0,
+                layer = if (id % 4 == 1) 2 else 3,
+                brIdx = 1 + (id % 14).toInt, srIdx = (id % 3).toInt,
+                pad = ((id % 5) % 2).toInt, mono = (id % 7) % 2 == 1,
+                nFrames = 4 + (id % 12).toInt)
+          val id3 = if (id % 4 == 0) id3v2Fixture(20 + (id % 100).toInt)
+            else Array.empty[Byte]
+          val junk = if (id % 7 == 0) Array[Byte]('A', 'A', 'A')
+            else Array.empty[Byte]
+          (id, id3 ++ junk ++ stream)
+        }
+      }.toDF("id", "media")
+    Multimodal.audioHeaderMeta(blobs)
+      .select(col("id").as("doc_id"), col("codec"), col("version"),
+        col("layer"), col("sample_rate"), col("channels"), col("n_frames"),
+        col("stream_bytes"), col("bitrate_kbps"), col("duration_ms"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** ID3v2.4 tag: header with syncsafe size + zero body (content is
+    * opaque to the triage pass — only the skip arithmetic matters). */
+  private def id3v2Fixture(size: Int): Array[Byte] =
+    Array[Byte]('I', 'D', '3', 4, 0, 0,
+      ((size >> 21) & 0x7f).toByte, ((size >> 14) & 0x7f).toByte,
+      ((size >> 7) & 0x7f).toByte, (size & 0x7f).toByte) ++
+      Array.fill[Byte](size)(0)
+
+  private val Mp3KbpsV1L2 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+  private val Mp3KbpsV1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3KbpsV2L23 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+
+  /** nFrames MPEG audio frames, headers written bit-field by bit-field
+    * (frame bodies zero — triage never reads them). */
+  private def mp3Fixture(mpeg1: Boolean, layer: Int, brIdx: Int, srIdx: Int,
+                         pad: Int, mono: Boolean, nFrames: Int): Array[Byte] = {
+    val kbps =
+      if (mpeg1 && layer == 2) Mp3KbpsV1L2(brIdx)
+      else if (mpeg1) Mp3KbpsV1L3(brIdx)
+      else Mp3KbpsV2L23(brIdx)
+    val rate = (if (mpeg1) Array(44100, 48000, 32000)
+      else Array(22050, 24000, 16000))(srIdx)
+    val spf = if (layer == 2 || mpeg1) 1152 else 576
+    val flen = spf / 8 * kbps * 1000 / rate + pad
+    val verBits = if (mpeg1) 3 else 2
+    val layerBits = 4 - layer // L2 → 10, L3 → 01
+    val frame = new Array[Byte](flen)
+    frame(0) = 0xff.toByte
+    frame(1) = (0xe0 | (verBits << 3) | (layerBits << 1) | 1).toByte // no CRC
+    frame(2) = ((brIdx << 4) | (srIdx << 2) | (pad << 1)).toByte
+    frame(3) = (((if (mono) 3 else 0) << 6) & 0xff).toByte
+    Array.fill(nFrames)(frame).flatten
+  }
+
+  /** nFrames ADTS frames (7-byte headers, protection absent, AAC-LC
+    * profile, buffer fullness 0x7ff). */
+  private def adtsFixture(versionBit: Int, sfi: Int, channels: Int,
+                          frameLen: Int, nFrames: Int): Array[Byte] = {
+    val frame = new Array[Byte](frameLen)
+    frame(0) = 0xff.toByte
+    frame(1) = (0xf0 | (versionBit << 3) | 1).toByte // layer 00, no CRC
+    frame(2) = ((1 << 6) | (sfi << 2) | ((channels >> 2) & 1)).toByte // AAC-LC
+    frame(3) = (((channels & 3) << 6) | ((frameLen >> 11) & 3)).toByte
+    frame(4) = ((frameLen >> 3) & 0xff).toByte
+    frame(5) = (((frameLen & 7) << 5) | 0x1f).toByte
+    frame(6) = 0xfc.toByte
+    Array.fill(nFrames)(frame).flatten
+  }
+
   /** Keyframe byte-range planning under the hard signal: a
     * deterministic MP4 per document whose `stbl` tables — stss sync
     * samples every g, per-sample stsz sizes, a single uniform-spc stsc

@@ -469,6 +469,83 @@ class MultimodalSpec extends AnyFunSuite {
       Seq((1L, "junk".getBytes)).toDF("id", "media")).count() == 0)
   }
 
+  test("parseAudio: MP3 tables, ID3v2 skip, junk tolerance, ADTS walk (r15)") {
+    // hand-assembled MPEG1 Layer III, 128 kbps (idx 9), 44100 Hz
+    // (idx 0), no padding, stereo: frame length 144*128000/44100 = 417
+    def mp3Frame(brIdx: Int, pad: Int): Array[Byte] = {
+      val kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)(brIdx)
+      val len = 144 * kbps * 1000 / 44100 + pad
+      val f = new Array[Byte](len)
+      f(0) = 0xff.toByte; f(1) = 0xfb.toByte // V1 L3 no-CRC
+      f(2) = ((brIdx << 4) | (0 << 2) | (pad << 1)).toByte
+      f
+    }
+    val cbr = Array.fill(5)(mp3Frame(9, 0)).flatten
+    val m = ContainerMeta.parseAudio(cbr).get
+    assert(m.codec == "mp3" && m.version == "1" && m.layer == 3)
+    assert(m.sampleRate == 44100 && m.channels == 2)
+    assert(m.nFrames == 5 && m.streamBytes == 5 * 417)
+    assert(m.bitrateKbps == 128)
+    assert(m.durationMs == 5L * 1152 * 1000 / 44100) // 130 ms
+    // VBR: mixed bitrates → stream-average, not the first header
+    val vbr = (mp3Frame(9, 0) ++ mp3Frame(14, 0) ++ mp3Frame(9, 0))
+    val mv = ContainerMeta.parseAudio(vbr).get
+    assert(mv.nFrames == 3)
+    assert(mv.bitrateKbps == mv.streamBytes * 8 * 44100 / (3L * 1152 * 1000))
+    // ID3v2 tag + leading junk are skipped; a truncated final frame
+    // stops the walk (only complete frames count)
+    val id3 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 40) ++ Array.fill[Byte](40)(0)
+    val withTag = id3 ++ Array[Byte]('x', 'x') ++ cbr ++ mp3Frame(9, 0).take(100)
+    val mt = ContainerMeta.parseAudio(withTag).get
+    assert(mt.nFrames == 5 && mt.streamBytes == 5 * 417)
+    // ADTS: 7-byte headers, 48000 Hz (sfi 3), 2 channels, 300-byte frames
+    def adts(n: Int, flen: Int): Array[Byte] = {
+      val f = new Array[Byte](flen)
+      f(0) = 0xff.toByte; f(1) = 0xf1.toByte // MPEG-4, layer 00, no CRC
+      f(2) = ((1 << 6) | (3 << 2)).toByte
+      f(3) = ((2 << 6) | ((flen >> 11) & 3)).toByte
+      f(4) = ((flen >> 3) & 0xff).toByte
+      f(5) = (((flen & 7) << 5) | 0x1f).toByte
+      f(6) = 0xfc.toByte
+      Array.fill(n)(f).flatten
+    }
+    val a = ContainerMeta.parseAudio(adts(4, 300)).get
+    assert(a.codec == "aac" && a.version == "4" && a.layer == 0)
+    assert(a.sampleRate == 48000 && a.channels == 2 && a.nFrames == 4)
+    assert(a.durationMs == 4L * 1024 * 1000 / 48000)
+    assert(a.bitrateKbps == 4L * 300 * 8 * 48000 / (4L * 1024 * 1000))
+    // a single 0xFF followed by garbage must not confirm (false-sync
+    // guard: the second frame boundary has to hold a valid header)
+    assert(ContainerMeta.parseAudio(Array[Byte](0xff.toByte, 0xfb.toByte, 0x92.toByte, 0, 1, 2, 3)).isEmpty)
+    assert(ContainerMeta.parseAudio("plain text, no audio here".getBytes).isEmpty)
+    assert(ContainerMeta.parseAudio(Array.empty[Byte]).isEmpty)
+  }
+
+  test("parseAudio fuzz: arbitrary, sync-prefixed, and truncated bytes never throw") {
+    val rnd = new scala.util.Random(20260816)
+    (0 until 400).foreach { i =>
+      val b = new Array[Byte](rnd.nextInt(300))
+      rnd.nextBytes(b)
+      if (b.length >= 2 && i % 3 == 0) { b(0) = 0xff.toByte; b(1) = 0xfb.toByte }
+      if (b.length >= 2 && i % 3 == 1) { b(0) = 0xff.toByte; b(1) = 0xf1.toByte }
+      if (b.length >= 3 && i % 4 == 0) { b(0) = 'I'; b(1) = 'D'; b(2) = '3' }
+      ContainerMeta.parseAudio(b) // classify or reject, never throw
+    }
+    // prefix truncations of a real stream parse or reject cleanly
+    val full = {
+      val f = new Array[Byte](104)
+      f(0) = 0xff.toByte; f(1) = 0xf1.toByte
+      f(2) = ((1 << 6) | (3 << 2)).toByte
+      f(3) = (2 << 6 | 0).toByte; f(4) = ((104 >> 3) & 0xff).toByte
+      f(5) = ((104 & 7) << 5 | 0x1f).toByte; f(6) = 0xfc.toByte
+      Array.fill(3)(f).flatten
+    }
+    (0 to full.length).foreach { k =>
+      ContainerMeta.parseAudio(full.take(k)) // never throws
+    }
+    assert(ContainerMeta.parseAudio(full).get.nFrames == 3)
+  }
+
   test("balanceBySize: partition count tracks byte volume, not row count") {
     val total = mediaDf.select(sum(length(col("media")))).collect()(0).getLong(0)
     val target = total / 7
