@@ -733,6 +733,14 @@ object SparkEntry {
       graft.ops.TextOps.bpeTokenCounts(t(s, dir, "documents"), bpeFixtureMerges)
         .orderBy(col("doc_id"))),
 
+    // BPE tokenizer TRAINING (r15): learn 8 merges from the corpus —
+    // driver-side loop, vocabulary-bounded executor counting, 1-row
+    // collect per selection; output = the learned table + the
+    // per-merge vocabulary-token trajectory (pins every intermediate
+    // segmentation). Oracle = the unrolled gaps-and-islands replay.
+    "q158_bpe_train" -> ((s, dir) =>
+      graft.queries.BpeTrainQuery.run(s, dir)),
+
     // Per-language BPE tokenizer fertility (tokens per word): the
     // multilingual budget statistic, on the q95 merge fixture —
     // integer sums, one IEEE division per group.
@@ -4868,6 +4876,12 @@ object SparkEntry {
         |           + CAST(0.85 AS DOUBLE) * COALESCE(s.s, CAST(0.0 AS DOUBLE)) AS pr
         |       FROM nodes n LEFT JOIN s4 s ON s.dst = n.id)
         |SELECT id, pr FROM r4 ORDER BY id""".stripMargin,
+
+    // q158: the full training replay — char rows, then each of the 8
+    // iterations unrolled as plain SQL (adjacent-pair counts, top-1
+    // by (count DESC, pair ASC), greedy non-overlapping merge via
+    // gaps-and-islands windows). Generated programmatically.
+    "q158_bpe_train" -> graft.queries.BpeTrainQuery.oracleSql,
 
     // q95: the q88 tokenizer spelling, distinct vocabulary, each word
     // as ' '-joined chars, the fixture merges replayed as two global
