@@ -1433,6 +1433,16 @@ object SparkEntry {
     "q44_incremental_lens" -> ((s, dir) =>
       graft.queries.IncrementalLensQuery.run(s, dir)),
 
+    // Multi-process lens maintenance over the durable commit log
+    // (r15): writer instance ingests, a maintainer instance drains
+    // the log (full build, |corpus| map calls), the writer touches
+    // doc_id % 13 == 2 (incremental drain, |subset| calls), then a
+    // FRESH maintainer re-consumes the whole log — the at-least-once
+    // storm — and the version gate absorbs it (0 calls, version
+    // unmoved). Exact counters + the final index under the oracle.
+    "q159_lens_maintainer" -> ((s, dir) =>
+      graft.queries.MaintainerQuery.run(s, dir)),
+
     // Near-dup CLUSTER formation (survivor selection): connected
     // components over the q13 pair set via iterative min-label
     // propagation; cluster_id = min doc_id per component. The oracle
@@ -2839,6 +2849,29 @@ object SparkEntry {
         |FROM p JOIN off ON p.doc_id = off.doc_id
         |GROUP BY p.doc_id, p.s, p.g
         |ORDER BY p.doc_id""".stripMargin,
+    // q159: the final inverted index over the post-update corpus
+    // (doc_id % 13 == 2 docs carry the appended marker token), the
+    // exact per-phase map-call counters, and the storm-absorbed flag
+    // as literals — an over-build, under-build, or a commit on
+    // re-delivery breaks the hash.
+    "q159_lens_maintainer" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 2 THEN text || ' graftdelta' ELSE text END AS text
+        |  FROM documents),
+        |toks AS (
+        |  SELECT DISTINCT d.doc_id, u.tok
+        |  FROM docs2 d,
+        |       unnest(string_split_regex(lower(d.text), '[^a-z0-9]+')) AS u(tok)
+        |  WHERE u.tok <> '')
+        |SELECT tok AS token, count(*) AS n_docs,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids,
+        |  (SELECT count(*) FROM documents) AS full_calls,
+        |  (SELECT count(*) FROM documents WHERE doc_id % 13 = 2) AS incr_calls,
+        |  CAST(0 AS BIGINT) AS storm_calls,
+        |  TRUE AS storm_absorbed
+        |FROM toks GROUP BY tok ORDER BY token""".stripMargin,
+
     // q157: the oracle re-derives every header field from the fixture
     // formulas — the version/layer bitrate tables as list literals,
     // the frame-length arithmetic ((spf//8)·kbps·1000//rate + pad),
