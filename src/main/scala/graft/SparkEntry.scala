@@ -1969,6 +1969,12 @@ object SparkEntry {
     "q156_async_yield_star" -> ((s, dir) =>
       graft.queries.AsyncLensQuery.runDelegation(s, dir)),
 
+    // §2.4 UNIQUE-SYMBOL lens (r15): symbol-keyed private annotation —
+    // JSON hiding, getOwnPropertySymbols, identity, enumeration split
+    // all pinned in the output string per document.
+    "q160_symbol_lens" -> ((s, dir) =>
+      graft.queries.AsyncLensQuery.runSymbols(s, dir)),
+
     // §3.3 ephemeral run-once lens: loan-pattern frame stream decodes
     // to q9's index; `dropped` pins the finally-delete contract.
     "q144_ephemeral_lens" -> ((s, dir) =>
@@ -3807,6 +3813,20 @@ object SparkEntry {
         |FROM (SELECT DISTINCT doc_id FROM documents) d
         |LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // q160: token counts + the constant symbol-surface suffix — the
+    // JSON prefix would gain a key (hash break) if a symbol prop ever
+    // leaked into serialization.
+    "q160_symbol_lens" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS ts
+        |  FROM documents)
+        |SELECT doc_id,
+        |  '{"doc":"' || doc_id || '","n":' || len(ts) || '}|' ||
+        |  len(list_filter(ts, t -> length(t) > 3)) ||
+        |  '|shadow|2|true|false|2|symbol' AS out
+        |FROM toks ORDER BY doc_id""".stripMargin,
     // q144: the ephemeral lens's record frames ARE the q9 index (one
     // full build over the whole corpus); dropped is constant true.
     "q144_ephemeral_lens" ->

@@ -143,16 +143,28 @@ object Builtins {
         case m => toStr(m)
       })))
     }
-    // Symbol (r13): WELL-KNOWN symbols only — Symbol.iterator enables
-    // custom iterables (see JsSymbolV); calling/constructing Symbol()
-    // is a loud boundary (unique symbols need non-string keys)
+    // Symbol: well-known instances (r13) + UNIQUE `Symbol(desc)`
+    // creation (r15 — closes the last named subset hole). Each call
+    // mints a fresh per-Interp @@u<n> slot, so identity and symProps
+    // keying come for free; the instance registers with the Interp so
+    // enumeration surfaces can hand the canonical object back. A
+    // SYMBOL argument throws (V8: ToString(sym) in the description
+    // step); `new Symbol()` stays the V8 not-a-constructor TypeError.
     locally {
       val statics = JsObject.empty("Function")
       statics.props.put("iterator", JsSymbols.iterator) // THE canonical instance (identity matters for ===)
       statics.props.put("asyncIterator", JsSymbols.asyncIterator)
       statics.frozen = true
-      put("Symbol", hybridCallable(native("Symbol") { (_, _) =>
-        throwType("only well-known symbols (Symbol.iterator) are supported in lens code")
+      put("Symbol", hybridCallable(native("Symbol") { (_, as) =>
+        val it = interp()
+        it.budget.allocate(8)
+        val (desc, undef) = as.headOption match {
+          case None | Some(JsUndefined) => ("", true)
+          case Some(v) => (it.toStrI(v), false) // symbol arg throws here, like V8
+        }
+        val sym = new JsSymbolV("@@u" + it.symbolSeq.incrementAndGet(), desc, undef)
+        it.registerSymbol(sym)
+        sym
       }, statics))
     }
     // Proxy (r13 subset — see JsProxyV): construct-only, + revocable
@@ -193,7 +205,12 @@ object Builtins {
       })
       r.props.put("ownKeys", native("ownKeys") { (_, as) =>
         arg(as, 0) match {
-          case o: JsObject => JsArray.of(ownEntries(o).map(e => JsStr(e._1): JsValue): _*)
+          case o: JsObject =>
+            // V8 order: string keys first, then own symbols (r15)
+            val syms = if (o.symProps == null) Nil
+              else o.symProps.keysIterator
+                .flatMap(interp().symbolForSlot).map(s => s: JsValue).toList
+            JsArray.of(ownEntries(o).map(e => JsStr(e._1): JsValue) ++ syms: _*)
           case a: JsArray =>
             // V8 EXCLUDES hole indices (holes are absent own properties:
             // Reflect.ownKeys([1,,3]) is ["0","2","length"]) and appends
@@ -860,13 +877,18 @@ object Builtins {
     })
     o.props.put("fromEntries", native("fromEntries") { (_, as) =>
       val out = JsObject.empty()
+      // symbol keys route to symProps (r15), exactly the computed-key rule
+      def putKey(k: JsValue, v: JsValue): Unit = k match {
+        case sym: JsSymbolV => out.symPut(sym.slot, v)
+        case other => out.props.put(toStr(other), v)
+      }
       arg(as, 0) match {
         case a: JsArray => a.items.foreach {
           case pair: JsArray if pair.items.length >= 1 =>
-            out.props.put(toStr(pair.items(0)), pair.items.lift(1).getOrElse(JsUndefined))
+            putKey(pair.items(0), pair.items.lift(1).getOrElse(JsUndefined))
           case _ => throwType("Object.fromEntries entries must be [key, value] pairs")
         }
-        case m: JsMapV => m.entries.values.foreach { case (k, v) => out.props.put(toStr(k), v) }
+        case m: JsMapV => m.entries.values.foreach { case (k, v) => putKey(k, v) }
         case _ => throwType("Object.fromEntries needs an iterable of entries")
       }
       out
@@ -883,8 +905,28 @@ object Builtins {
     })
     o.props.put("getOwnPropertyNames", native("getOwnPropertyNames")((_, as) =>
       JsArray.of(keysOf(arg(as, 0)).map(JsStr(_)): _*)))
-    o.props.put("hasOwn", native("hasOwn") { (_, as) =>
+    // own SYMBOL keys in insertion order (r15) — canonical instances
+    // via the Interp registry, so result[i] === the key that stored it
+    o.props.put("getOwnPropertySymbols", native("getOwnPropertySymbols")((_, as) =>
       arg(as, 0) match {
+        case obj: JsObject if obj.symProps != null =>
+          JsArray.of(obj.symProps.keysIterator
+            .flatMap(interp().symbolForSlot).map(s => s: JsValue).toSeq: _*)
+        case _: JsObject | _: JsArray | _: JsProxyV => JsArray.of()
+        case other => throwType(
+          s"Object.getOwnPropertySymbols called on non-object (got ${typeOf(other)})")
+      }))
+    o.props.put("hasOwn", native("hasOwn") { (_, as) =>
+      arg(as, 1) match { // symbol keys probe own symProps (r15)
+        case sym: JsSymbolV => arg(as, 0) match {
+          case obj: JsObject =>
+            JsBool(obj.symProps != null && obj.symProps.contains(sym.slot))
+          case _: JsArray => JsBool(false)
+          case other => throwType(
+            s"Object.hasOwn called on ${typeOf(other)} with a symbol key " +
+              "(descriptor-trap subset boundary for proxies)")
+        }
+        case _ => arg(as, 0) match {
         case obj: JsObject => JsBool(obj.props.contains(toStr(arg(as, 1))))
         case a: JsArray => JsBool(toStr(arg(as, 1)).toIntOption.exists(ix =>
           ix >= 0 && ix < a.items.length && !(a.items(ix) eq JsHole)))
@@ -892,6 +934,7 @@ object Builtins {
         // getOwnPropertyDescriptor trap — descriptor-less subset)
         case p: JsProxyV => JsBool(interp().proxyOwnKeys(p).contains(toStr(arg(as, 1))))
         case _ => JsBool(false)
+        }
       }
     })
     hybridCallable(native("Object") { (_, as) =>

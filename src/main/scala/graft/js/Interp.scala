@@ -279,6 +279,23 @@ final class Interp(globalScope: Scope, val budget: Budget) {
     case other => toStr(other)
   }
 
+  /** UNIQUE symbols (r15): per-Interp creation counter + slot→instance
+    * registry. The counter gives each `Symbol(desc)` a fresh `@@u<n>`
+    * slot (identity by construction); the registry lets enumeration
+    * surfaces (Object.getOwnPropertySymbols, Reflect.ownKeys) hand back
+    * the CANONICAL instance for a stored slot, so
+    * `getOwnPropertySymbols(o)[0] === s` holds like V8. Per-Interp —
+    * one Interp per map call, so no cross-record state; seeded with the
+    * well-known instances (JVM-global canonicals, immutable). */
+  private[js] val symbolSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val symbolRegistry = mutable.HashMap[String, JsSymbolV](
+    JsSymbols.iterator.slot -> JsSymbols.iterator,
+    JsSymbols.asyncIterator.slot -> JsSymbols.asyncIterator)
+  private[js] def registerSymbol(sym: JsSymbolV): Unit =
+    symbolRegistry.synchronized { symbolRegistry.put(sym.slot, sym); () }
+  private[js] def symbolForSlot(slot: String): Option[JsSymbolV] =
+    symbolRegistry.synchronized { symbolRegistry.get(slot) }
+
   /** first symbol-keyed slot for `slot` along the prototype chain
     * (own symProps first) — the symbol twin of chainSlot */
   private def symChainSlot(o: JsObject, slot: String): Option[JsValue] = {
@@ -306,16 +323,34 @@ final class Interp(globalScope: Scope, val budget: Budget) {
       case v => v
     }.getOrElse(JsUndefined)
     case p: JsProxyV => proxyGet(p, sym, pos)
+    case cls: JsClassV => // `static [s]() {}` reads off the statics chain (r15)
+      symChainSlot(cls.statics, sym.slot).map {
+        case acc: JsAccessorProp =>
+          acc.getter.map(g => callFunction(g, cls, Vector.empty, pos, sym.slot)).getOrElse(JsUndefined)
+        case v => v
+      }.getOrElse(JsUndefined)
     case ag: JsAsyncGenerator if sym.slot == "@@asyncIterator" =>
       // asyncGen[Symbol.asyncIterator]() === the generator itself (V8)
       new JsNative("[Symbol.asyncIterator]", (_, _) => ag)
     case _ => JsUndefined
   }
 
-  /** symbol-keyed member WRITE (objects + proxies; no-op elsewhere) */
+  /** symbol-keyed member WRITE (objects + proxies + class statics;
+    * no-op elsewhere). A chain ACCESSOR receives the write through its
+    * setter — getter-only assignment is the sloppy-mode silent no-op,
+    * same as the string path (r15). */
   private def symbolSet(obj: JsValue, sym: JsSymbolV, v: JsValue, pos: Pos): Unit = obj match {
-    case o: JsObject => if (!o.frozen) { budget.allocate(4); o.symPut(sym.slot, v) }
+    case o: JsObject => symChainSlot(o, sym.slot) match {
+      case Some(acc: JsAccessorProp) =>
+        acc.setter.foreach(s => callFunction(s, o, Vector(v), pos, sym.slot))
+      case _ => if (!o.frozen) { budget.allocate(4); o.symPut(sym.slot, v) }
+    }
     case p: JsProxyV => proxySet(p, sym, v, pos)
+    case cls: JsClassV => symChainSlot(cls.statics, sym.slot) match {
+      case Some(acc: JsAccessorProp) =>
+        acc.setter.foreach(s => callFunction(s, cls, Vector(v), pos, sym.slot))
+      case _ => budget.allocate(4); cls.statics.symPut(sym.slot, v)
+    }
     case _ => ()
   }
 
@@ -620,9 +655,18 @@ final class Interp(globalScope: Scope, val budget: Budget) {
                                 else JsStr(k.asInstanceOf[StrLit].v)
             keyV match {
               case sym: JsSymbolV => // `{ [Symbol.iterator]: f }` / `*[Symbol.iterator](){}`
-                if (getters.contains(i) || setters.contains(i)) throwType(
-                  "symbol-keyed accessors are not supported in lens code")
-                o.symPut(sym.slot, eval(v, scope))
+                if (getters.contains(i) || setters.contains(i)) {
+                  // symbol-keyed accessors (r15): same get+set slot
+                  // merge as string keys, stored in symProps
+                  val fn = eval(v, scope).asInstanceOf[JsFunc]
+                  val acc = (if (o.symProps != null) o.symProps.get(sym.slot)
+                    else None) match {
+                    case Some(a: JsAccessorProp) => a
+                    case _ => new JsAccessorProp(None, None)
+                  }
+                  if (getters.contains(i)) acc.getter = Some(fn) else acc.setter = Some(fn)
+                  o.symPut(sym.slot, acc)
+                } else o.symPut(sym.slot, eval(v, scope))
               case _ =>
                 val key = toStr(keyV)
                 if (getters.contains(i) || setters.contains(i)) {
@@ -1026,9 +1070,10 @@ final class Interp(globalScope: Scope, val budget: Budget) {
           case Some(v) => v
           case None => Builtins.functionMethod(cls, k, this).getOrElse(JsUndefined)
         }
-      case sym: JsSymbolV => // Symbol.iterator.description / .toString (V8 allows these reads)
+      case sym: JsSymbolV => // symbol.description / .toString (V8 allows these reads)
         propKeyStr(key) match {
-          case "description" => JsStr(sym.description)
+          case "description" =>
+            if (sym.descIsUndefined) JsUndefined else JsStr(sym.description)
           case "toString" => new JsNative("toString", (_, _) => JsStr(s"Symbol(${sym.description})"))
           case _ => JsUndefined
         }
@@ -1406,9 +1451,21 @@ final class Interp(globalScope: Scope, val budget: Budget) {
       val closure = makeClosure(m.fn, classScope, JsUndefined)
       keyV match {
         case sym: JsSymbolV => // `*[Symbol.iterator]() {}` — symProps slot
-          if (m.kind != "method") throwType(
-            s"symbol-keyed class ${m.kind}s are not supported in lens code")
-          (if (m.isStatic) statics else proto).symPut(sym.slot, closure)
+          m.kind match {
+            case "method" =>
+              (if (m.isStatic) statics else proto).symPut(sym.slot, closure)
+            case "get" | "set" => // symbol-keyed class accessors (r15)
+              val target = if (m.isStatic) statics else proto
+              val acc = (if (target.symProps != null) target.symProps.get(sym.slot)
+                else None) match {
+                case Some(a: JsAccessorProp) => a
+                case _ => new JsAccessorProp(None, None)
+              }
+              if (m.kind == "get") acc.getter = Some(closure) else acc.setter = Some(closure)
+              target.symPut(sym.slot, acc)
+            case other => throwType(
+              s"symbol-keyed class ${other}s are not supported in lens code")
+          }
         case _ =>
           val key = toStr(keyV)
           m.kind match {

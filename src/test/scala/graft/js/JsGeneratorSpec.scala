@@ -215,19 +215,17 @@ class JsGeneratorSpec extends AnyFunSuite with Matchers {
     ) shouldBe "234CC|2"
   }
 
-  // the last two asserts pin SUBSET boundaries, not V8: string
-  // conversion of a symbol is V8's own TypeError, but `Symbol('mine')`
-  // is legal V8 (unique symbols) and THIS engine's documented loud
-  // boundary (well-known symbols only — JsSymbolV scaladoc)
+  // implicit string conversion of a symbol is V8's own TypeError;
+  // `Symbol('mine')` creates a UNIQUE symbol since r15 (JsSymbolV)
   test("symbols: typeof, identity, enumeration hiding, JSON drop, loud conversions") {
     str(
       """const o = { a: 1, [Symbol.iterator]: function*(){ yield 9; } };
         |let s = JSON.stringify([typeof Symbol.iterator, Symbol.iterator === Symbol.iterator,
         |  Object.keys(o), JSON.stringify(o), JSON.stringify({ x: Symbol.iterator, n: 2 })]);
         |try { '' + Symbol.iterator; s += 'NO'; } catch (e) { s += '|' + e.constructor.name; }
-        |try { Symbol('mine'); s += 'NO'; } catch (e) { s += '|' + e.constructor.name; }
+        |s += '|' + typeof Symbol('mine') + '|' + (Symbol('mine') === Symbol('mine'));
         |return s;""".stripMargin
-    ) shouldBe """["symbol",true,["a"],"{\"a\":1}","{\"n\":2}"]|TypeError|TypeError"""
+    ) shouldBe """["symbol",true,["a"],"{\"a\":1}","{\"n\":2}"]|TypeError|symbol|false"""
   }
 
   test("early errors: yield outside generators, in arrows, params, field inits; bad members") {
