@@ -514,6 +514,14 @@ object SparkEntry {
     "q10_dedup_exact" -> ((s, dir) =>
       graft.ops.Dedup.exactGroups(t(s, dir, "documents")).orderBy(col("fp"))),
 
+    // Confusable-skeleton dedup (r15): Cyrillic/fullwidth/zero-width
+    // evasion variants injected deterministically; the skeleton must
+    // fold every variant back into its original's group (n_raw pins
+    // the absorbed byte-distinct variants). Scan-stage translates,
+    // one fingerprint shuffle — the exact-dedup shape.
+    "q161_confusable_dedup" -> ((s, dir) =>
+      graft.queries.ConfusableQuery.run(s, dir)),
+
     // Multi-pattern BLOCKLIST matching via Aho–Corasick (r14): the
     // phrase list derives deterministically from the corpus (every
     // 97th doc's chars 10..21), the automaton rides the closure, one
@@ -740,6 +748,14 @@ object SparkEntry {
     // segmentation). Oracle = the unrolled gaps-and-islands replay.
     "q158_bpe_train" -> ((s, dir) =>
       graft.queries.BpeTrainQuery.run(s, dir)),
+
+    // Kneser–Ney bigram low-probability gate (r15): properly-smoothed
+    // LM quality signal with the d=3/4, τ=1/100 test cross-multiplied
+    // into all-integer comparisons — exact on any engine. Model tables
+    // are bigram-vocab-bounded; scoring joins key on v/w.
+    "q162_kn_gate" -> ((s, dir) =>
+      graft.ops.TextOps.knLowProbGate(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
 
     // Per-language BPE tokenizer fertility (tokens per word): the
     // multilingual budget statistic, on the q95 merge fixture —
@@ -2516,6 +2532,10 @@ object SparkEntry {
       """SELECT sha256(substring(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), 1, 100)) AS fp,
         |  count(*) AS n_docs, min(doc_id) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q161: identical variant injection + identical skeleton translate
+    // chain (tables embedded verbatim, generated by ConfusableQuery).
+    "q161_confusable_dedup" -> graft.queries.ConfusableQuery.oracleSql,
+
     // q155: the same corpus-derived phrase list, then every position i
     // where a 12-char window equals a phrase — occurrence counts with
     // overlaps and the first start position, per (doc, phrase).
@@ -3813,6 +3833,40 @@ object SparkEntry {
         |FROM (SELECT DISTINCT doc_id FROM documents) d
         |LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // q162: the identical KN model replayed relationally — bigram/
+    // context/continuation count CTEs, the cross-multiplied integer
+    // low-probability test, Gopher-style integer flag.
+    "q162_kn_gate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS ts
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, ts[i] AS v, ts[i + 1] AS w
+        |  FROM toks, UNNEST(range(1, len(ts))) AS r(i)
+        |  WHERE len(ts) >= 2),
+        |cvw AS (SELECT v, w, CAST(count(*) AS BIGINT) AS cvw FROM bi GROUP BY v, w),
+        |cv AS (SELECT v, CAST(sum(cvw) AS BIGINT) AS cv,
+        |         CAST(count(*) AS BIGINT) AS n1v FROM cvw GROUP BY v),
+        |n1w AS (SELECT w, CAST(count(*) AS BIGINT) AS n1w FROM cvw GROUP BY w),
+        |nall AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cvw),
+        |sc AS (
+        |  SELECT b.doc_id,
+        |    CASE WHEN (greatest(c.cvw * 4 - 3, 0) * nall.n + x.n1v * y.n1w * 3) * 100
+        |              < 1 * 4 * x.cv * nall.n THEN 1 ELSE 0 END AS lowf
+        |  FROM bi b JOIN cvw c USING (v, w) JOIN cv x USING (v)
+        |       JOIN n1w y USING (w), nall),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |          CAST(sum(lowf) AS BIGINT) AS n_low FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(a.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(a.n_low, 0) AS n_low,
+        |  coalesce(a.n_low, 0) * 5 > coalesce(a.n_bigrams, 0) AS flagged
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
     // q160: token counts + the constant symbol-surface suffix — the
     // JSON prefix would gain a key (hash break) if a symbol prop ever
     // leaked into serialization.

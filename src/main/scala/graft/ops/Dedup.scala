@@ -24,6 +24,25 @@ object Dedup {
     docs.groupBy(TextOps.fingerprint(col(textCol), prefixLen).as("fp"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
 
+  /** CONFUSABLE-SKELETON dedup (r15): exact dedup over
+    * [[Normalize.confusableSkeleton]] — catches the classic evasion of
+    * swapping Latin letters for Cyrillic/Greek/fullwidth lookalikes or
+    * threading zero-width characters through words, which defeats
+    * byte-exact dedup while rendering pixel-identically. Same plan
+    * shape as [[exactGroups]] (skeletonization is scan-stage string
+    * expressions; ONE partial-agg shuffle on the 32-byte fingerprint);
+    * `n_raw` counts the distinct RAW fingerprints each skeleton group
+    * absorbed — >1 means the skeleton actually merged byte-distinct
+    * variants. */
+  def skeletonGroups(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", prefixLen: Int = 100): DataFrame = {
+    val skel = Normalize.confusableSkeleton(col(textCol))
+    val skFp = sha2(substring(regexp_replace(skel, "[^a-z0-9]+", " "), 1, prefixLen), 256)
+    docs.groupBy(skFp.as("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"),
+        countDistinct(TextOps.fingerprint(col(textCol), prefixLen)).as("n_raw"))
+  }
+
   /** INCREMENTAL dedup against a prior corpus snapshot — the recrawl
     * shape: a fresh batch keeps only documents that are (a) the min-id
     * representative of their fingerprint within the batch AND (b)

@@ -59,4 +59,52 @@ object Normalize {
     * whitespace, so the collapse result is final). */
   def clean(text: Column): Column =
     collapseWhitespace(nfc(stripControls(text)))
+
+  // ---------------- confusable skeleton (r15) ----------------
+
+  /** Confusable-character SKELETON (UTS #39 §4 "skeleton" in spirit,
+    * over a curated high-frequency subset of the public confusables
+    * table): map visually-indistinguishable code points to their Latin
+    * targets and strip invisible joiners, so exact dedup catches the
+    * classic evasion of swapping Latin letters for Cyrillic/Greek
+    * lookalikes or fullwidth forms — byte-distinct, pixel-identical
+    * documents. A full confusables.txt port is deliberately out: the
+    * table below is the curated attack surface (Cyrillic + Greek
+    * lowercase/uppercase lookalikes, fullwidth ASCII, curly quote /
+    * dash folding, zero-width characters), every entry 1:1 so BOTH
+    * engines express the map as one `translate` call — the oracle
+    * replays it verbatim.
+    *
+    * Scale shape: pure scan-stage string expressions (translate +
+    * lower), zero shuffles — skeletonization rides the same projection
+    * as [[clean]]. */
+  /** 1:1 confusable map — `ConfusableFrom(i)` renders as
+    * `ConfusableTo(i)`. Order: Cyrillic lower, Cyrillic upper, Greek
+    * lower, Greek upper, curly quotes/dashes. */
+  val ConfusableFrom: String =
+    "аеорсхуіѕј" + // а е о р с х у і ѕ ј
+    "АВЕКМНОРСТХ" + // А В Е К М Н О Р С Т Х
+    "ον" + // ο ν
+    "ΑΒΕΖΗΙΚΜΝΟΡΤΥΧ" + // ΑΒΕΖΗΙΚΜΝΟΡΤΥΧ
+    "‘’“”–—"
+  val ConfusableTo: String =
+    "aeopcxyisj" +
+    "ABEKMHOPCTX" +
+    "ov" +
+    "ABEZHIKMNOPTYX" +
+    "''\"\"--"
+  /** invisible characters removed outright (ZWSP, ZWNJ, ZWJ, BOM) */
+  val InvisibleChars: String = "​‌‍﻿"
+
+  /** skeleton = fold fullwidth ASCII to halfwidth, map the confusable
+    * table, drop invisibles, lowercase. Composable with [[clean]]. */
+  def confusableSkeleton(text: Column): Column = {
+    // fullwidth ！(U+FF01)..～(U+FF5E) ↔ ASCII !..~ : a contiguous
+    // 94-char block, generated rather than spelled out
+    val fwFrom = (0xff01 to 0xff5e).map(_.toChar).mkString
+    val fwTo = (0x21 to 0x7e).map(_.toChar).mkString
+    lower(translate(
+      translate(translate(text, fwFrom, fwTo), ConfusableFrom, ConfusableTo),
+      InvisibleChars, ""))
+  }
 }

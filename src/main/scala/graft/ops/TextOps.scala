@@ -1146,6 +1146,72 @@ object TextOps {
     out.result()
   }
 
+  /** KNESER–NEY bigram LOW-PROBABILITY gate (r15, beyond-parity): the
+    * CCNet/Gopher-family quality signal done with a properly-smoothed
+    * LM instead of raw coverage — per document, how many of its bigram
+    * transitions have interpolated-KN probability below τ under a
+    * model trained on the corpus itself (high counts of improbable
+    * transitions flag boilerplate mangling, OCR noise, word salad).
+    *
+    * EXACT ON ANY ENGINE by construction: with absolute discount
+    * d = 3/4 and τ = tauNum/tauDen, the test
+    *   p_KN(w|v) = (max(c(vw)−d, 0) + d·N1+(v·)·p_cont(w)) / c(v·) < τ
+    *   with p_cont(w) = N1+(·w) / N1+(··)
+    * cross-multiplies into the all-integer comparison
+    *   (max(4·c(vw)−3, 0)·N + 3·N1+(v·)·N1+(·w)) · tauDen
+    *     < 4·tauNum·c(v·)·N,     N = N1+(··)
+    * so the oracle replays it with BIGINT arithmetic — no float
+    * boundary anywhere (the one emitted boolean `flagged` is the
+    * Gopher-style integer compare n_low·5 > n_bigrams). Self-scoring
+    * means every scored bigram exists in the model (c(vw) ≥ 1):
+    * inner joins, no unseen-event branch.
+    *
+    * Scale shape: ONE corpus scan explodes the bigram stream
+    * (zip_with over adjacent slices — scan-stage, no positional
+    * join); all model tables are bigram-vocabulary-bounded partial
+    * aggs; scoring joins key on v / w (AQE broadcasts below
+    * threshold, hash-shuffles above); one doc-keyed agg exchange.
+    * N1+(··) is a single 1-row driver aggregate. */
+  def knLowProbGate(docs: DataFrame, tauNum: Long = 1L, tauDen: Long = 100L,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as(idCol),
+      tokens(col(textCol)).as("ts"))
+    // the bigram STREAM is corpus-sized and deliberately NOT persisted
+    // (at 100 TB it is re-derived from the scan for each of its two
+    // consumers); only the vocabulary-bounded MODEL tables persist
+    val bi = toks.filter(size(col("ts")) >= 2)
+      .select(col(idCol), expr(
+        "explode(zip_with(slice(ts, 1, size(ts) - 1), slice(ts, 2, size(ts) - 1)," +
+          " (a, b) -> struct(a AS v, b AS w))) AS p"))
+      .select(col(idCol), col("p.v").as("v"), col("p.w").as("w"))
+    val cvw = bi.groupBy(col("v"), col("w"))
+      .agg(count(lit(1)).cast("long").as("cvw"))
+      .persist()
+    val cv = cvw.groupBy(col("v"))
+      .agg(sum(col("cvw")).cast("long").as("cv"),
+        count(lit(1)).cast("long").as("n1v"))
+    val n1w = cvw.groupBy(col("w")).agg(count(lit(1)).cast("long").as("n1w"))
+    val nAll = cvw.count() // N1+(··): one driver-side 1-row aggregate
+    val nL = lit(nAll)
+    val low = (greatest(col("cvw") * 4 - 3, lit(0L)) * nL
+      + col("n1v") * col("n1w") * 3) * tauDen <
+      lit(tauNum) * 4 * col("cv") * nL
+    val perDoc = bi
+      .join(cvw, Seq("v", "w"))
+      .join(cv, Seq("v"))
+      .join(n1w, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum(when(low, 1L).otherwise(0L)).cast("long").as("n_low"))
+    val out = docs.select(col(idCol).cast("long").as(idCol)).distinct()
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_low"), lit(0L)).as("n_low"))
+      .withColumn("flagged", col("n_low") * 5 > col("n_bigrams"))
+    out
+  }
+
   /** BPE tokenizer TRAINING (r15 — the missing middle of the family:
     * [[bpePairCounts]] gives the first iteration's statistic and
     * [[bpeEncodeVocab]] applies a learned table; this LEARNS one).

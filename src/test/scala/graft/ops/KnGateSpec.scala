@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestBase
+
+/** Kneser–Ney bigram low-probability gate (r15, q162) — hand-checked
+  * model arithmetic on a corpus small enough to verify the counts and
+  * the cross-multiplied integer comparison by hand. */
+class KnGateSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("hand-checked model: counts, the integer test, and per-doc aggregation") {
+    // corpus: "a b a b" ×2  +  "a b c"  +  "z q"
+    // bigrams: doc1/doc2: (a,b)(b,a)(a,b); doc3: (a,b)(b,c); doc4: (z,q)
+    // c(a,b)=5  c(b,a)=2  c(b,c)=1  c(z,q)=1
+    // c(a·)=5 N1+(a·)=1 | c(b·)=3 N1+(b·)=2 | c(z·)=1 N1+(z·)=1
+    // N1+(·b)=1 N1+(·a)=1 N1+(·c)=1 N1+(·q)=1 | N = N1+(··) = 4
+    val docs = Seq(
+      (1L, "a b a b"), (2L, "a b a b"), (3L, "a b c"), (4L, "z q"))
+      .toDF("doc_id", "text")
+    val out = TextOps.knLowProbGate(docs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Boolean)].collect()
+
+    // τ = 1/100, d = 3/4: test (max(4c−3,0)·N + 3·n1v·n1w)·100 < 4·cv·N
+    // (a,b): (17·4 + 3·1·1)·100 = 7100 ≥ 4·5·4 = 80    → not low
+    // (b,a): (5·4 + 3·2·1)·100 = 2600 ≥ 4·3·4 = 48     → not low
+    // (b,c): (1·4 + 3·2·1)·100 = 1000 ≥ 48             → not low
+    // (z,q): (1·4 + 3·1·1)·100 = 700 ≥ 4·1·4 = 16      → not low
+    // nothing is low at τ=1/100 on this tiny corpus — the gate's zero
+    // baseline (flags appear only when a transition is genuinely rare
+    // relative to a rich model)
+    out shouldBe Array(
+      (1L, 3L, 0L, false), (2L, 3L, 0L, false),
+      (3L, 2L, 0L, false), (4L, 1L, 0L, false))
+  }
+
+  test("a rare transition inside a rich model flags; the integer compare is exact") {
+    // 60 docs of "x y" make (x,y) dominant; one "x q" doc has the rare
+    // transition. Model: c(x,y)=60 c(x,q)=1 → c(x·)=61, N1+(x·)=2,
+    // N1+(·y)=1, N1+(·q)=1, N=2.
+    // (x,q): (max(4−3,0)·2 + 3·2·1)·100 = 800 < 4·61·2 = 488? NO (800 ≥ 488).
+    // τ=1/100 is still too lax — verify via the op's tau parameters:
+    // with τ = 1/200: 1600·… test is (…)·200 < 4·cv·N·1 → 1600 ≥ 488,
+    // still not low; with τ = 3/100 → (…)·100 = 800 < 12·61·2 = 1464 → LOW.
+    val docs = ((1 to 60).map(i => (i.toLong, "x y")) :+ (61L, "x q")).toDF("doc_id", "text")
+    val strict = TextOps.knLowProbGate(docs, tauNum = 3, tauDen = 100)
+      .filter("doc_id = 61").as[(Long, Long, Long, Boolean)].collect()(0)
+    strict shouldBe ((61L, 1L, 1L, true))
+    val lax = TextOps.knLowProbGate(docs, tauNum = 1, tauDen = 100)
+      .filter("doc_id = 61").as[(Long, Long, Long, Boolean)].collect()(0)
+    strict._3 shouldBe 1L
+    lax._3 shouldBe 0L
+  }
+
+  test("token-less and single-token docs emit zero rows with flagged = false") {
+    val docs = Seq((1L, ""), (2L, "only"), (3L, "two words")).toDF("doc_id", "text")
+    val out = TextOps.knLowProbGate(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, Boolean)].collect()
+    out.map(r => (r._1, r._2)) shouldBe Array((1L, 0L), (2L, 0L), (3L, 1L))
+    out.forall(!_._4) shouldBe true
+  }
+}

@@ -63,4 +63,21 @@ class NormalizeSpec extends AnyFunSuite {
       .select(Normalize.nfc(col("t")).as("r")).collect()(0)
     assert(r.isNullAt(0))
   }
+  test("confusableSkeleton folds Cyrillic/Greek/fullwidth lookalikes and strips invisibles (r15)") {
+    val sk = Normalize.confusableSkeleton(col("t"))
+    // Cyrillic а/е/о/р/с/х/у render identically to Latin — the classic swap
+    assert(one(sk, "p\u0430yp\u0430l") == "paypal")     // а (U+0430)
+    assert(one(sk, "\u0441\u043e\u0440y") == "copy")   // с о (U+0441 U+043E)
+    // uppercase Cyrillic + Greek capitals fold THEN lowercase
+    assert(one(sk, "\u041d\u0415LLO") == "hello")       // Н Е (U+041D U+0415)
+    assert(one(sk, "\u0391\u0392C") == "abc")           // Α Β (Greek)
+    // fullwidth ASCII block folds to halfwidth before lowering
+    assert(one(sk, "\uff28\uff45\uff4c\uff4c\uff4f\uff01") == "hello!")
+    assert(one(sk, "\uff10\uff11\uff12") == "012")
+    // zero-width characters vanish; curly quotes/dashes normalize
+    assert(one(sk, "te\u200bst\u200d!") == "test!")
+    assert(one(sk, "\u2018a\u2019 \u201cb\u201d \u2013 \u2014") == "'a' \"b\" - -")
+    // plain ASCII is just lowercased — the skeleton is idempotent there
+    assert(one(sk, "Plain ASCII 123") == "plain ascii 123")
+  }
 }
