@@ -2121,6 +2121,14 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Product-quantization ANN (r15): 4×16 codebooks via the IVF Lloyd
+    // per subspace, corpus encoded to 4 integer codes/vector, ADC
+    // top-10 for the first five vectors — neighbor codes ride along as
+    // integer witnesses of the encode step. Codebooks persist for the
+    // oracle (the q18 contract).
+    "q163_pq_ann" -> ((s, dir) =>
+      graft.queries.PqQuery.run(s, dir)),
+
     // SimHash document fingerprints with the portable sha256-prefix
     // token hash (60 bits), so DuckDB reproduces every fingerprint
     // bit-for-bit — the hard-signal version of the SimHash operator.
@@ -4067,6 +4075,10 @@ object SparkEntry {
         |FROM documents ORDER BY rank""".stripMargin,
     "q14_ann_lsh" -> lshOracle,
     "q18_ann_ivf" -> ivfOracle,
+    // q163: codes re-derived from the persisted codebooks with the
+    // explicit left-associated sums (no aggregate fold-order reliance);
+    // ADC = the t0+t1+t2+t3 chain; ties by neighbor id.
+    "q163_pq_ann" -> graft.queries.PqQuery.oracleSql,
     // q132: the q14 probe/cand/scored chain as the approx side, an
     // all-pairs exact cosine rank as the baseline, intersected; recall
     // is one small-integer division per query.
