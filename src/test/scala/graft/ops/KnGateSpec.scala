@@ -63,4 +63,15 @@ class KnGateSpec extends AnyFunSuite with Matchers {
     out.map(r => (r._1, r._2)) shouldBe Array((1L, 0L), (2L, 0L), (3L, 1L))
     out.forall(!_._4) shouldBe true
   }
+
+  test("the bigram stream is scan-stage (zip_with explode, no positional self-join)") {
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val plan = TextOps.knLowProbGate(docs).queryExecution.optimizedPlan.toString
+    // a positional self-join would appear as a Join on a posexploded
+    // stream; the zip_with shape keeps bigram derivation inside the
+    // scan projection — the only joins are the vocab-bounded model
+    // lookups (three) plus the doc-spine zero-fill (one)
+    val joins = "(?m)^.*Join".r.findAllIn(plan).size
+    assert(joins <= 4, s"expected <= 4 joins (model lookups + spine), got $joins in:\n$plan")
+  }
 }

@@ -72,4 +72,12 @@ class PqSpec extends AnyFunSuite with Matchers {
       (for { s <- 0 until 4; c <- 0 until 4 } yield (s, c)).toSet
     df.foreach(_.getSeq[Double](2) should have length 2)
   }
+
+  test("ADC top-k compiles to WindowGroupLimit (map-side bound before the one exchange)") {
+    val c = corpus()
+    val cb = Pq.train(c, m = 2, k = 4, iters = 1)
+    val plan = Pq.searchAdc(c, c.filter($"vec_id" === 100L), cb, topK = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
 }
