@@ -154,6 +154,26 @@ object Builtins {
       val statics = JsObject.empty("Function")
       statics.props.put("iterator", JsSymbols.iterator) // THE canonical instance (identity matters for ===)
       statics.props.put("asyncIterator", JsSymbols.asyncIterator)
+      // the GlobalSymbolRegistry pair (ES 20.4.2.2/20.4.2.6) — see the
+      // Interp.symbolForRegistry scaladoc for the per-record scope note
+      statics.props.put("for", native("for") { (_, as) =>
+        val it = interp()
+        val key = it.toStrI(arg(as, 0)) // ToString(key) — a symbol arg throws, V8
+        it.symbolForRegistry.getOrElseUpdate(key, {
+          it.budget.allocate(8)
+          val sym = new JsSymbolV("@@u" + it.symbolSeq.incrementAndGet(), key)
+          it.registerSymbol(sym)
+          it.symbolForKeys.put(sym, key)
+          sym
+        })
+      })
+      statics.props.put("keyFor", native("keyFor") { (_, as) =>
+        arg(as, 0) match {
+          case sym: JsSymbolV =>
+            interp().symbolForKeys.get(sym).map(JsStr(_): JsValue).getOrElse(JsUndefined)
+          case other => throwType(s"${typeOf(other)} is not a symbol")
+        }
+      })
       statics.frozen = true
       put("Symbol", hybridCallable(native("Symbol") { (_, as) =>
         val it = interp()

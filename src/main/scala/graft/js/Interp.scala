@@ -295,6 +295,15 @@ final class Interp(globalScope: Scope, val budget: Budget) {
     symbolRegistry.synchronized { symbolRegistry.put(sym.slot, sym); () }
   private[js] def symbolForSlot(slot: String): Option[JsSymbolV] =
     symbolRegistry.synchronized { symbolRegistry.get(slot) }
+  /** `Symbol.for`'s GlobalSymbolRegistry (key → symbol) and its
+    * reverse for `Symbol.keyFor`. PER-INTERP like everything else the
+    * environment rebuilds per record (V8's registry is
+    * isolate-lifetime; cross-record `Symbol.for` identity is
+    * unobservable here — symbols cannot reach output() — so the
+    * per-record registry diverges only in unobservable state, the
+    * standing per-record-environment policy). */
+  private[js] val symbolForRegistry = mutable.HashMap[String, JsSymbolV]()
+  private[js] val symbolForKeys = mutable.HashMap[JsSymbolV, String]()
 
   /** first symbol-keyed slot for `slot` along the prototype chain
     * (own symProps first) — the symbol twin of chainSlot */

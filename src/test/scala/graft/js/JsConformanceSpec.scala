@@ -1583,6 +1583,20 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
     )
   }
 
+  test("Symbol.for registry: key identity, keyFor round-trip, boundaries (r15; V8-verified)") {
+    expect(
+      "String(Symbol.for('a') === Symbol.for('a'))" -> "true",
+      "String(Symbol.for('a') === Symbol('a'))" -> "false",
+      "String(Symbol.keyFor(Symbol.for('reg')))" -> "reg",
+      "String(Symbol.keyFor(Symbol('unreg')))" -> "undefined",
+      "String(Symbol.keyFor(Symbol.iterator))" -> "undefined",
+      "String(Symbol.for(42).description)" -> "42",
+      "(() => { const s = Symbol.for('k'); const o = { [s]: 'v' }; return o[Symbol.for('k')] })()" -> "v",
+      "(() => { try { Symbol.for(Symbol('x')); return 'NO' } catch (e) { return e.name } })()" -> "TypeError",
+      "(() => { try { Symbol.keyFor('str'); return 'NO' } catch (e) { return e.name } })()" -> "TypeError",
+    )
+  }
+
   test("detached-method `this`: LOUD TypeError, not sloppy-mode globalThis") {
     // V8 in sloppy mode silently binds `this` to globalThis, so
     // `const f = o.m; f()` reads this.x as undefined. Binding the

@@ -165,6 +165,28 @@ const templates = [
   })()`,
 ];
 
+const symForTemplates = [
+  // Symbol.for registry: identity by key, keyFor round-trip
+  () => `(() => {
+    const a = Symbol.for('k${int(3)}'), b = Symbol.for('k${int(3)}');
+    const u = Symbol('k0');
+    return (a === Symbol.for(Symbol.keyFor(a))) + '|' + (typeof a) + '|' +
+      String(Symbol.keyFor(u)) + '|' + String(Symbol.keyFor(Symbol.iterator)) + '|' +
+      (a === b) + '|' + String(a.description) + '|' + a.toString();
+  })()`,
+  // registry symbols as keys; ToString of the key argument
+  () => `(() => {
+    const s = Symbol.for(${pick(["42", "null", "undefined", "'x'", "true"])});
+    const o = { [s]: 'v' };
+    let r;
+    try { r = String(Symbol.for(Symbol('bad'))); } catch (e) { r = 'T' + e.name; }
+    let k;
+    try { k = String(Symbol.keyFor('not-a-symbol')); } catch (e) { k = 'K' + e.name; }
+    return o[s] + '|' + String(Symbol.keyFor(s)) + '|' + r + '|' + k;
+  })()`,
+];
+templates.push(...symForTemplates);
+
 const fixed = [
   `typeof Symbol()`,
   `String(Symbol().description)`,
