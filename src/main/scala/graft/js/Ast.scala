@@ -93,8 +93,11 @@ object Ast {
   sealed trait Pattern extends Node
   final case class IdPattern(name: String, pos: Pos) extends Pattern
   final case class ArrayPattern(elems: Vector[Option[Pattern]], rest: Option[String], pos: Pos) extends Pattern
-  /** entries: (propertyName, binding); shorthand `{a}` is ("a", IdPattern("a")) */
-  final case class ObjectPattern(entries: Vector[(String, Pattern)], rest: Option[String], pos: Pos) extends Pattern
+  /** entries: (propertyKey, binding); shorthand `{a}` is
+    * (Left("a"), IdPattern("a")); a COMPUTED key `{ [expr]: p }` (r15)
+    * is Right(expr) — evaluated at bind time, may be a symbol */
+  final case class ObjectPattern(entries: Vector[(Either[String, Expr], Pattern)],
+                                 rest: Option[String], pos: Pos) extends Pattern
   /** binding with default value: `(a = 1) =>` or `const {a = 1} = o` */
   final case class DefaultPattern(inner: Pattern, default: Expr, pos: Pos) extends Pattern
 

@@ -554,19 +554,35 @@ final class Interp(globalScope: Scope, val budget: Budget) {
         case _ => ()
       }
       val taken = mutable.HashSet.empty[String]
-      entries.foreach { case (propName, target) =>
-        taken += propName
-        bindPattern(target, getMember(v, JsStr(propName), p0), scope, kind)
+      val takenSyms = mutable.HashSet.empty[String]
+      entries.foreach { case (key, target) =>
+        // computed keys (r15) evaluate at bind time, in entry order,
+        // interleaved with the bindings (V8); a symbol key routes to
+        // symProps via getMember and excludes its slot from rest
+        val keyV: JsValue = key match {
+          case Left(name) => JsStr(name)
+          case Right(e) => eval(e, scope) match {
+            case sym: JsSymbolV => sym
+            case other => JsStr(toStrI(other))
+          }
+        }
+        keyV match {
+          case sym: JsSymbolV => takenSyms += sym.slot
+          case JsStr(s) => taken += s
+          case _ => ()
+        }
+        bindPattern(target, getMember(v, keyV, p0), scope, kind)
       }
       rest.foreach { r =>
         val o = JsObject.empty()
         v match {
           // rest is CopyDataProperties like spread: getters evaluate,
-          // symbol-keyed props come along (V8)
+          // symbol-keyed props come along (V8) minus destructured ones
           case src: JsObject =>
             ownEvalEntries(src).foreach { case (k, pv) => if (!taken(k)) o.props.put(k, pv) }
             if (src.symProps != null)
-              src.symProps.foreach { case (slot, pv) => o.symPut(slot, pv) }
+              src.symProps.foreach { case (slot, pv) =>
+                if (!takenSyms(slot)) o.symPut(slot, pv) }
           case src: JsProxyV => proxyOwnEntries(src).foreach { case (k, pv) => if (!taken(k)) o.props.put(k, pv) }
           case _ => ()
         }

@@ -323,7 +323,7 @@ final class Parser(tokens: Vector[Token]) {
       ArrayPattern(elems.toVector, rest, p0)
     } else if (atPunct("{")) {
       advance()
-      val entries = ArrayBuffer.empty[(String, Pattern)]
+      val entries = ArrayBuffer.empty[(Either[String, Expr], Pattern)]
       var rest: Option[String] = None
       while (!atPunct("}")) {
         if (atPunct("...")) {
@@ -331,10 +331,22 @@ final class Parser(tokens: Vector[Token]) {
           if (peek.kind != "ident") err("rest element must be an identifier")
           rest = Some(advance().text)
           if (!atPunct("}")) err("rest element must be last")
+        } else if (atPunct("[")) {
+          // computed key `{ [expr]: pattern }` (r15) — evaluated at
+          // bind time like the object-literal twin; target mandatory
+          advance()
+          val keyE = parseAssignExpr()
+          eatPunct("]")
+          if (!atPunct(":")) err("computed property in object pattern requires ': target'")
+          advance()
+          entries += ((Right(keyE), parseBindingWithDefault()))
+          if (atPunct(",")) advance()
+          else if (!atPunct("}")) err("expected ',' or '}' in object pattern")
         } else {
           val key =
             if (peek.kind == "ident" || peek.kind == "keyword") advance().text
             else if (peek.kind == "str") advance().text
+            else if (peek.kind == "num") Values.numToString(advance().num) // `{ 0: a }` — ToString key, like V8
             else err("expected property name in object pattern")
           val target: Pattern =
             if (atPunct(":")) { advance(); parseBindingWithDefault() }
@@ -342,7 +354,7 @@ final class Parser(tokens: Vector[Token]) {
               val base = IdPattern(key, p0)
               if (atPunct("=")) { advance(); DefaultPattern(base, parseAssignExpr(), p0) } else base
             }
-          entries += ((key, target))
+          entries += ((Left(key), target))
           if (atPunct(",")) advance()
           else if (!atPunct("}")) err("expected ',' or '}' in object pattern")
         }

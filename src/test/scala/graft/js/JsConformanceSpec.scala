@@ -1583,6 +1583,30 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
     )
   }
 
+  test("computed keys in object destructuring patterns (r15; V8-verified)") {
+    expect(
+      "(() => { const { ['k']: v } = { k: 'plain' }; return v })()" -> "plain",
+      "(() => { const key = 'a' + 'b'; const { [key]: v = 'dflt' } = { ab: 7 }; return v })()" -> "7",
+      "(() => { const { ['missing']: v = 'dflt' } = {}; return v })()" -> "dflt",
+      // symbol keys bind AND exclude their slot from rest (spec
+      // CopyDataProperties excludedItems)
+      """(() => { const s = Symbol('x'); const { [s]: v, ...r } = { [s]: 1, a: 2 };
+        | return v + '|' + JSON.stringify(r) + '|' + Object.getOwnPropertySymbols(r).length })()""".stripMargin
+        -> """1|{"a":2}|0""",
+      // number keys are ToString property names
+      "(() => { const { 0: first, 1: second } = ['A', 'B']; return first + second })()" -> "AB",
+      // key expressions evaluate in entry order, interleaved with reads
+      """(() => { const log = []; const o = { get a(){ log.push('ga'); return 1 } };
+        | const { [ (log.push('k1'), 'a') ]: x, [ (log.push('k2'), 'b') ]: y } = o;
+        | return log.join(',') + '|' + x + '|' + String(y) })()""".stripMargin
+        -> "k1,ga,k2|1|undefined",
+      // nested patterns, params and for-of targets
+      "(() => { const { ['nested']: { deep } } = { nested: { deep: 'D' } }; return deep })()" -> "D",
+      "(() => { function f({ ['p']: q }) { return q } return f({ p: 'param' }) })()" -> "param",
+      "(() => { let out = ''; for (const { ['v']: x } of [{ v: 1 }, { v: 2 }]) out += x; return out })()" -> "12",
+    )
+  }
+
   test("Symbol.for registry: key identity, keyFor round-trip, boundaries (r15; V8-verified)") {
     expect(
       "String(Symbol.for('a') === Symbol.for('a'))" -> "true",

@@ -166,6 +166,22 @@ const templates = [
 ];
 
 const symForTemplates = [
+  // computed keys in destructuring patterns (r15): strings, numbers,
+  // symbols, defaults, rest exclusion, nested, order
+  () => `(() => {
+    const s = Symbol('d');
+    const src = { [s]: 's${int(9)}', a: 1, b: 2, ['c' + ${int(3)}]: 9 };
+    const k = 'c' + ${int(3)};
+    const { [s]: sv, [k]: kv = 'dflt', ...rest } = src;
+    return sv + '|' + kv + '|' + JSON.stringify(rest) + '|' +
+      Object.getOwnPropertySymbols(rest).length;
+  })()`,
+  () => `(() => {
+    const { ${pick(["0: x, 1: y", "['0']: x, [1]: y", "[0]: x, ['1']: y"])} } = ['p', 'q', 'r'];
+    const { ['n' + 'est']: { inner = 'di' } = {} } = ${pick(["{ nest: { inner: 'I' } }", "{ nest: {} }", "{}"])};
+    return x + y + '|' + inner;
+  })()`,
+
   // Symbol.for registry: identity by key, keyFor round-trip
   () => `(() => {
     const a = Symbol.for('k${int(3)}'), b = Symbol.for('k${int(3)}');
