@@ -32,9 +32,17 @@ object SparkEntry {
     * Process-scoped path: the oracle SQL that references it is emitted
     * by the same Verify process, so both sides agree by construction
     * (and nothing outside /root/repo is written) — and concurrent
-    * Bench/BenchOne/Verify processes never race on one directory. */
-  private[graft] val ivfCentroidsPath =
-    s"/root/repo/target/verify-oracle/ivf_centroids-${ProcessHandle.current().pid()}"
+    * Bench/BenchOne/Verify processes never race on one directory.
+    * Sf-scoped too (ADVICE r15): the write election is per sf dir, so
+    * one process verifying several scale factors keeps each sf's
+    * persisted oracle input durable instead of last-write-wins. */
+  private[graft] def ivfCentroidsPath(sfDir: String) =
+    s"/root/repo/target/verify-oracle/ivf_centroids-${ProcessHandle.current().pid()}" +
+      s"-${java.nio.file.Paths.get(sfDir).getFileName}"
+
+  /** The sf dir q18 last trained on — the path the NEXT oracle dump
+    * reads (Verify's dump-follows-runs contract, same as PqQuery). */
+  @volatile private var ivfLastSfDir: String = ""
 
   /** sf dirs whose q18 centroids this process already persisted: the
     * write is a side job for the ORACLE, not part of the query — it runs
@@ -56,7 +64,7 @@ object SparkEntry {
     * pid-scoped-scratch hygiene (Fs.reapStalePidDirs scaladoc). */
   private def reapStaleCentroidDirs(): Unit =
     graft.core.Fs.reapStalePidDirs(
-      java.nio.file.Paths.get(ivfCentroidsPath).getParent, "ivf_centroids-")
+      java.nio.file.Paths.get(ivfCentroidsPath("x")).getParent, "ivf_centroids-")
 
   /** q95's ranked merge fixture — hierarchical ((th,e) consumes rank
     * 0's output) and free of same-token pairs: the oracle replays each
@@ -335,7 +343,7 @@ object SparkEntry {
   private lazy val ivfOracle: String =
     s"""WITH cent AS (
        |  SELECT cell, CAST(centroid AS DOUBLE[]) AS cen
-       |  FROM read_parquet('$ivfCentroidsPath/*.parquet')),
+       |  FROM read_parquet('${ivfCentroidsPath(ivfLastSfDir)}/*.parquet')),
        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |dist AS (
        |  SELECT vec_id, cell, list_dot_product(d, d) AS dsq
@@ -2094,6 +2102,7 @@ object SparkEntry {
     // relationally from the exact same model (hard hash check).
     "q18_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
+      ivfLastSfDir = dir
       val model = graft.ops.Ivf.train(e, k = 16, iters = 3)
       // one writer, everyone waits: putIfAbsent elects the writer (two
       // concurrent overwrite jobs would share the _temporary staging
@@ -2107,7 +2116,7 @@ object SparkEntry {
         try {
           reapStaleCentroidDirs()
           graft.ops.Ivf.centroidsDF(s, model).coalesce(1)
-            .write.mode("overwrite").parquet(ivfCentroidsPath)
+            .write.mode("overwrite").parquet(ivfCentroidsPath(dir))
           fut.complete(null)
         } catch {
           case e: Throwable =>

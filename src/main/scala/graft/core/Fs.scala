@@ -56,9 +56,15 @@ object Fs {
         list(parent).foreach { p =>
           val n = p.getFileName.toString
           if (n.startsWith(prefix)) {
-            n.stripPrefix(prefix).toLongOption.foreach { pid =>
-              if (pid != self && ProcessHandle.of(pid).isEmpty) rmTree(p)
-            }
+            // `<prefix><pid>` or `<prefix><pid>-<tag>` (sf-scoped
+            // oracle scratch appends the sf dir name after the pid)
+            val tail = n.stripPrefix(prefix)
+            val digits = tail.takeWhile(_.isDigit)
+            val rest = tail.drop(digits.length)
+            if (digits.nonEmpty && (rest.isEmpty || rest.startsWith("-")))
+              digits.toLongOption.foreach { pid =>
+                if (pid != self && ProcessHandle.of(pid).isEmpty) rmTree(p)
+              }
           }
         }
       }

@@ -866,10 +866,13 @@ object Builtins {
               // props copy too (V8 assigns enumerable symbols)
               interp().ownEvalEntries(src).foreach { case (k, v) =>
                 interp().setMember(target, JsStr(k), v, Pos(0)) }
-              if (src.symProps != null) target match {
-                case t: JsObject => src.symProps.foreach { case (slot, v) => t.symPut(slot, v) }
-                case _ => ()
-              }
+              // symbol half of CopyDataProperties: source symbol GETTERS
+              // evaluate (receiver = source), writes ride setMember so a
+              // target symbol SETTER / frozen target behaves like [[Set]]
+              interp().symEvalEntries(src).foreach { case (slot, v) =>
+                val sym = interp().symbolForSlot(slot)
+                  .getOrElse(new JsSymbolV(slot, slot))
+                interp().setMember(target, sym, v, Pos(0)) }
             case src: JsProxyV =>
               interp().proxyOwnEntries(src).foreach { case (k, v) =>
                 interp().setMember(target, JsStr(k), v, Pos(0)) }
@@ -933,8 +936,11 @@ object Builtins {
           JsArray.of(obj.symProps.keysIterator
             .flatMap(interp().symbolForSlot).map(s => s: JsValue).toSeq: _*)
         case _: JsObject | _: JsArray | _: JsProxyV => JsArray.of()
-        case other => throwType(
-          s"Object.getOwnPropertySymbols called on non-object (got ${typeOf(other)})")
+        // primitives go through ToObject (V8): the wrapper owns no
+        // symbol keys, so the answer is [] — only null/undefined throw
+        case JsNull | (_: JsUndefinedKind) => throwType(
+          "Cannot convert undefined or null to object")
+        case _ => JsArray.of()
       }))
     o.props.put("hasOwn", native("hasOwn") { (_, as) =>
       arg(as, 1) match { // symbol keys probe own symProps (r15)

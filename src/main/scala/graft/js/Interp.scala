@@ -580,9 +580,8 @@ final class Interp(globalScope: Scope, val budget: Budget) {
           // symbol-keyed props come along (V8) minus destructured ones
           case src: JsObject =>
             ownEvalEntries(src).foreach { case (k, pv) => if (!taken(k)) o.props.put(k, pv) }
-            if (src.symProps != null)
-              src.symProps.foreach { case (slot, pv) =>
-                if (!takenSyms(slot)) o.symPut(slot, pv) }
+            symEvalEntries(src).foreach { case (slot, pv) =>
+              if (!takenSyms(slot)) o.symPut(slot, pv) }
           case src: JsProxyV => proxyOwnEntries(src).foreach { case (k, pv) => if (!taken(k)) o.props.put(k, pv) }
           case _ => ()
         }
@@ -667,8 +666,7 @@ final class Interp(globalScope: Scope, val budget: Budget) {
                 // into plain data props (V8); accessor-ness never
                 // copies; SYMBOL-keyed props copy too (V8)
                 ownEvalEntries(src).foreach { case (pk, pv) => o.props.put(pk, pv) }
-                if (src.symProps != null)
-                  src.symProps.foreach { case (slot, pv) => o.symPut(slot, pv) }
+                symEvalEntries(src).foreach { case (slot, pv) => o.symPut(slot, pv) }
               case src: JsProxyV =>
                 proxyOwnEntries(src).foreach { case (pk, pv) => o.props.put(pk, pv) }
               case src: JsArray => src.items.zipWithIndex.foreach { case (pv, pi) => o.props.put(pi.toString, pv) }
@@ -1794,6 +1792,21 @@ final class Interp(globalScope: Scope, val budget: Budget) {
     Values.ownEntries(o).map {
       case (k, acc: JsAccessorProp) =>
         (k, acc.getter.map(g => callFunction(g, o, Vector.empty, Pos(0), k))
+          .getOrElse(JsUndefined))
+      case kv => kv
+    }
+
+  /** Symbol-keyed own entries with accessor slots EVALUATED (getter
+    * invoked with `this` = the SOURCE object) — the symbol half of
+    * CopyDataProperties. Spread and destructuring-rest copy the
+    * getter's current VALUE, never the accessor record (V8); a raw
+    * symPut of a JsAccessorProp onto the copy would re-invoke the
+    * getter later with the copy as receiver. */
+  def symEvalEntries(o: JsObject): Vector[(String, JsValue)] =
+    if (o.symProps == null) Vector.empty
+    else o.symProps.toVector.map {
+      case (slot, acc: JsAccessorProp) =>
+        (slot, acc.getter.map(g => callFunction(g, o, Vector.empty, Pos(0), slot))
           .getOrElse(JsUndefined))
       case kv => kv
     }

@@ -129,11 +129,16 @@ final class JsMapFn(val code: String,
 object JsMapFn {
 
   /** Validate + build. Syntax errors come back as data — the reference's
-    * startup `{ errors: [...] }` contract. */
-  def compile(code: String): Either[CapturedError, JsMapFn] =
+    * startup `{ errors: [...] }` contract. `strictRejections = false` is
+    * the reference-worker-compatible mode (V8 only warns on an unhandled
+    * rejection and keeps outputs) — reachable from a lens config via
+    * `rejections: "lenient"` ([[Lens.configured]]); default stays the
+    * deliberate loud divergence. */
+  def compile(code: String,
+              strictRejections: Boolean = true): Either[CapturedError, JsMapFn] =
     try {
       Parser.parse(code)
-      Right(new JsMapFn(code))
+      Right(new JsMapFn(code, strictRejections))
     } catch {
       case e: JsSyntaxError => Left(CapturedError("SyntaxError", e.getMessage))
     }

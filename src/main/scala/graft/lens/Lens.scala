@@ -171,7 +171,13 @@ object Lens {
               MapRunner.DefaultMemCapBytes, memo)
           (fields.get("mapType"), fields.get("code")) match {
             case (Some(graft.core.PoStr("javascript")), Some(graft.core.PoStr(code))) =>
-              JsMapFn.compile(code).toOption.map(wired)
+              // `rejections: "lenient"` = reference-worker compatibility:
+              // an unhandled promise rejection only logs to the lens
+              // error stream and outputs are kept (V8 warns on stderr);
+              // default is the strict loud mode (JsMapFn scaladoc)
+              val strict =
+                !fields.get("rejections").contains(graft.core.PoStr("lenient"))
+              JsMapFn.compile(code, strict).toOption.map(wired)
             case (Some(graft.core.PoStr("dsl")), Some(spec)) =>
               try Some(wired(MapDsl.compile(spec)))
               catch { case _: IllegalArgumentException => None }

@@ -1172,6 +1172,11 @@ object TextOps {
     * aggs; scoring joins key on v / w (AQE broadcasts below
     * threshold, hash-shuffles above); one doc-keyed agg exchange.
     * N1+(··) is a single 1-row driver aggregate. */
+  /** the one persisted model table of the LAST knLowProbGate call —
+    * see the unpersist note inside the op */
+  private val knCvwSlot =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   def knLowProbGate(docs: DataFrame, tauNum: Long = 1L, tauDen: Long = 100L,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol).cast("long").as(idCol),
@@ -1187,6 +1192,13 @@ object TextOps {
     val cvw = bi.groupBy(col("v"), col("w"))
       .agg(count(lit(1)).cast("long").as("cvw"))
       .persist()
+    // scope the persist to THIS invocation (ADVICE r15): the returned
+    // frame is lazy so there is no in-op unpersist point, but Bench
+    // re-invokes the op across reps and scale factors — a one-slot
+    // registry drops the PREVIOUS invocation's cache (sequential
+    // callers are already done with it; a stale concurrent reader
+    // would merely recompute, never misread)
+    Option(knCvwSlot.getAndSet(cvw)).foreach(_.unpersist(blocking = false))
     val cv = cvw.groupBy(col("v"))
       .agg(sum(col("cvw")).cast("long").as("cv"),
         count(lit(1)).cast("long").as("n1v"))

@@ -25,14 +25,24 @@ import graft.ops.Pq
   * neighbor id on both sides. */
 object PqQuery {
 
-  /** pid-scoped like SparkEntry.ivfCentroidsPath, same hygiene. */
-  private[graft] val codebooksPath =
-    s"/root/repo/target/verify-oracle/pq_codebooks-${ProcessHandle.current().pid()}"
+  /** pid-scoped like SparkEntry.ivfCentroidsPath, same hygiene — and
+    * sf-scoped (ADVICE r15): the write election is keyed per sfDir, so
+    * a single process verifying several scale factors must not let the
+    * later sf overwrite the earlier sf's persisted oracle input. */
+  private[graft] def codebooksPath(sfDir: String) =
+    s"/root/repo/target/verify-oracle/pq_codebooks-${ProcessHandle.current().pid()}" +
+      s"-${java.nio.file.Paths.get(sfDir).getFileName}"
+
+  /** The sf dir whose codebooks the NEXT oracle dump should read —
+    * set on every run(); Verify's contract (dump follows the runs)
+    * makes this the right path for the compare that follows. */
+  @volatile private var lastSfDir: String = ""
 
   private val writes =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.CompletableFuture[Void]]()
 
   def run(spark: SparkSession, sfDir: String): DataFrame = {
+    lastSfDir = sfDir
     val e = Tables.load(spark, sfDir, "embeddings")
     val cb = Pq.train(e, m = 4, k = 16, iters = 3)
     // one writer, everyone waits (the q18 election — two concurrent
@@ -42,9 +52,9 @@ object PqQuery {
     if (prior == null) {
       try {
         graft.core.Fs.reapStalePidDirs(
-          java.nio.file.Paths.get(codebooksPath).getParent, "pq_codebooks-")
+          java.nio.file.Paths.get(codebooksPath(sfDir)).getParent, "pq_codebooks-")
         Pq.codebooksDF(spark, cb).coalesce(1)
-          .write.mode("overwrite").parquet(codebooksPath)
+          .write.mode("overwrite").parquet(codebooksPath(sfDir))
         fut.complete(null)
       } catch {
         case t: Throwable =>
@@ -68,7 +78,7 @@ object PqQuery {
   def oracleSql: String =
     s"""WITH books AS (
        |  SELECT sub, cell, CAST(centroid AS DOUBLE[]) AS cen
-       |  FROM read_parquet('$codebooksPath/*.parquet')),
+       |  FROM read_parquet('${codebooksPath(lastSfDir)}/*.parquet')),
        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |cd AS ( -- nearest cell per (vector, subspace), lowest-cell ties
        |  SELECT vec_id, sub, cell FROM (

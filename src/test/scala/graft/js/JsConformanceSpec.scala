@@ -1621,6 +1621,47 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
     )
   }
 
+  test("CopyDataProperties evaluates symbol-keyed GETTERS on the source (ADVICE r15; V8-verified)") {
+    expect(
+      // spread: the getter runs ONCE at copy time; the copy holds a
+      // plain value, so re-reads never re-invoke it
+      """(() => { const s = Symbol('k'); let n = 0;
+        | const src = { get [s]() { n++; return n * 10 } };
+        | const c = { ...src };
+        | return [c[s], c[s], n].join(',') })()""".stripMargin -> "10,10,1",
+      // destructuring rest is the same CopyDataProperties step
+      """(() => { const s = Symbol('k'); let n = 0;
+        | const src = { a: 1, get [s]() { n++; return 7 } };
+        | const { a, ...rest } = src;
+        | return [rest[s], rest[s], n].join(',') })()""".stripMargin -> "7,7,1",
+      // the getter's receiver is the SOURCE, never the copy
+      """(() => { const s = Symbol('k');
+        | const src = { v: 5, get [s]() { return this.v } };
+        | const c = { ...src, v: 99 };
+        | return c[s] })()""".stripMargin -> "5",
+      // Object.assign: source symbol getter evaluates; a TARGET symbol
+      // SETTER receives the value through [[Set]]; the target keeps its
+      // accessor, so a read afterwards is getter-less undefined
+      """(() => { const s = Symbol('k');
+        | const src = { get [s]() { return 7 } };
+        | const seen = [];
+        | const tgt = { set [s](v) { seen.push(v) } };
+        | Object.assign(tgt, src);
+        | return [seen.join('|'), String(tgt[s])].join(',') })()""".stripMargin
+        -> "7,undefined",
+    )
+  }
+
+  test("Object.getOwnPropertySymbols applies ToObject to primitives (ADVICE r15; V8-verified)") {
+    expect(
+      "Object.getOwnPropertySymbols('xy').length" -> "0",
+      "Object.getOwnPropertySymbols(42).length" -> "0",
+      "Object.getOwnPropertySymbols(true).length" -> "0",
+      "(() => { try { Object.getOwnPropertySymbols(null); return 'NO' } catch (e) { return e.name } })()" -> "TypeError",
+      "(() => { try { Object.getOwnPropertySymbols(undefined); return 'NO' } catch (e) { return e.name } })()" -> "TypeError",
+    )
+  }
+
   test("detached-method `this`: LOUD TypeError, not sloppy-mode globalThis") {
     // V8 in sloppy mode silently binds `this` to globalThis, so
     // `const f = o.m; f()` reads this.x as undefined. Binding the

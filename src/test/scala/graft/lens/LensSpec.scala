@@ -93,6 +93,50 @@ class LensSpec extends AnyFunSuite {
     assert(ghiRows.map(r => (r._2, r._6)) == Seq(("err", "error test")))
   }
 
+  test("rejections: lenient config = reference-worker compatibility; strict default stays loud (ADVICE r15)") {
+    val store = freshStore()
+    val d = store.dataset("a", "docs").create()
+    d.write("r1", PoObj("x" -> PoStr("v")))
+    // unhandled rejection AFTER a successful output
+    val code = "output('got', path.recordID); Promise.reject(new Error('boom'))"
+    def configure(name: String, extra: Map[String, PoValue]): Lens = {
+      store.collection(DataPath("lenses", "a", name)).create()
+      Files.write(store.dir(DataPath("lenses", "a", name)).resolve("lens.json"),
+        graft.codec.JsonCodec.encode(PoObj(PoObj(
+          "memo" -> PoStr(""), "mapType" -> PoStr("javascript"),
+          "code" -> PoStr(code), "timeoutMs" -> PoInt(10000),
+          "inputs" -> PoArr(Vector(PoStr("/datasets/a:docs")))).fields ++ extra)))
+      Lens.fromConfig(store, "a", name).getOrElse(fail(s"fromConfig($name) failed"))
+    }
+
+    // STRICT (default): the unhandled rejection IS the map call's
+    // ERROR — an `err` row in the error stream (outputs emitted before
+    // the failure still count: the engine's errors-as-data contract,
+    // same as a mid-map throw)
+    val strict = configure("strict", Map.empty)
+    strict.build()
+    val strictRows = strict.logs.collect()
+      .map(r => (r.getAs[String]("kind"), r.getAs[String]("errMsg"))).toSeq
+    assert(strictRows.exists { case (k, m) => k == "err" && m == "boom" },
+      s"expected the rejection as the map error, got $strictRows")
+
+    // LENIENT: outputs kept, rejection diagnosed on the error LOG
+    // stream (the reference worker's V8 warn-only behavior)
+    val lenient = configure("lenient", Map("rejections" -> PoStr("lenient")))
+    lenient.build()
+    assert(lenient.output.read("got").contains(PoStr("r1")),
+      "lenient mode must keep outputs")
+    val lenientRows = lenient.logs.collect()
+      .map(r => (r.getAs[String]("kind"), r.getAs[String]("logKind"),
+        Option(r.getAs[scala.collection.Seq[String]]("logArgs"))
+          .getOrElse(scala.collection.Seq.empty[String]))).toSeq
+    assert(!lenientRows.exists(_._1 == "err"),
+      s"lenient mode must not record a map ERROR, got $lenientRows")
+    assert(lenientRows.exists { case (k, lk, args) =>
+      k == "log" && lk == "error" && args.exists(_.contains("boom")) },
+      s"expected the rejection on the error log stream, got $lenientRows")
+  }
+
   test("map emits duplicate ids pre-reduce; reduce folds them in emit order (F2 + lattice)") {
     val store = freshStore()
     val d = store.dataset("a", "nums").create()
