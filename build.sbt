@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// forked `run` output passes RAW to stdout — no `[info] ` logger
+// framing. The bench driver captures a ~2 KB log tail and parses the
+// headline JSON line from it; sbt's prefix (and its ragged interaction
+// with the byte-aligned tail window) kept the parse failing
+// (VERDICT r15 "what's wrong" #1). sbt's own [success]/[error] lines
+// are unaffected.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -110,7 +110,8 @@ object Builtins {
             out
           }
         case r: JsRegExpV => // fresh lastIndex = 0, like V8
-          new JsRegExpV(r.source, r.flags, r.pattern, r.negGroups, r.negNames)
+          new JsRegExpV(r.source, r.flags, r.pattern, r.negGroups, r.negNames,
+            r.jsToJava, r.jsGroups, r.laSentinels)
         case b: JsBytes => new JsBytes(b.bytes.clone())
         case prim => prim // numbers/strings/bools/null/undefined/dates
       }
@@ -1280,13 +1281,145 @@ object Builtins {
     }
     validateJsQuantifiers(source)
     val (negG, negN) = negativeLookaroundCaptures(source)
-    val javaPattern = translateRegex(source, multiline = flags.contains('m'))
+    val (src2, jsToJava, jsG, sentinels) = planLookaroundSentinels(source)
+    val javaPattern = translateRegex(src2, multiline = flags.contains('m'))
     try new JsRegExpV(source, flags,
-      java.util.regex.Pattern.compile(javaPattern, f), negG, negN)
+      java.util.regex.Pattern.compile(javaPattern, f), negG, negN,
+      jsToJava, jsG, sentinels)
     catch {
       case e: java.util.regex.PatternSyntaxException =>
         throw JsThrown(makeError("SyntaxError", s"Invalid regular expression: ${e.getDescription}"))
     }
+  }
+
+  /** SENTINEL plan for POSITIVE lookarounds that lexically contain
+    * capture groups (r16 — closes the last V8-differential residual).
+    * java.util.regex treats a COMPLETED lookaround atomically: when
+    * the alternation branch holding it is later abandoned, the inner
+    * captures survive, where ES's immutable match states discard them
+    * (V8: group undefined). NORMAL groups do unwind on backtracking
+    * (measured: `(?:(a)x|ab)` on "ab" → g1 null), so wrapping each
+    * such lookaround as `(?:LA())` plants an empty SENTINEL group
+    * whose participation (`m.start(idx) >= 0`) tells the result
+    * builders whether the assertion lies on the accepting path; when
+    * it does not, its contained captures read as undefined. The
+    * wrapper also keeps Annex-B quantified lookaheads intact — a
+    * trailing quantifier binds to the wrapper.
+    *
+    * Returns (java-ready source, 1-based jsGroup→javaGroup map (null =
+    * identity), JS capture count, sentinel records (javaIdx,
+    * containedJsGroups, containedNames)). Numeric backrefs `\N` are
+    * rewritten to java numbering; named backrefs need no rewrite.
+    * Zero-cost when no positive lookaround contains a capture: the
+    * source passes through untouched. */
+  private def planLookaroundSentinels(src: String)
+      : (String, Array[Int], Int, Vector[(Int, Set[Int], Set[String])]) = {
+    val n = src.length
+    final class Frame(val openIdx: Int, val isPosLook: Boolean) {
+      val groups = scala.collection.mutable.Set.empty[Int]
+      val names = scala.collection.mutable.Set.empty[String]
+    }
+    var stack = List.empty[Frame]
+    var inClass = false
+    var jsG = 0
+    val capOpens = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (offset, jsIdx)
+    // positive-lookaround spans holding captures: (openIdx, closeIdx, groups, names)
+    val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Set[Int], Set[String])]
+    val backrefs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)] // [start,end) -> jsRef
+    var i = 0
+    while (i < n) {
+      val c = src.charAt(i)
+      if (inClass) {
+        if (c == '\\') i += 2
+        else { if (c == ']') inClass = false; i += 1 }
+      } else c match {
+        case '\\' =>
+          val j = i + 1
+          if (j < n && src.charAt(j).isDigit && src.charAt(j) != '0') {
+            var k = j
+            while (k < n && src.charAt(k).isDigit) k += 1
+            backrefs += ((i, k, src.substring(j, k).toInt))
+            i = k
+          } else i += 2
+        case '[' => inClass = true; i += 1
+        case '(' =>
+          def at(o: Int): Char = if (i + o < n) src.charAt(i + o) else ' '
+          val (posLook, capturing, name) =
+            if (at(1) != '?') (false, true, None)
+            else if (at(2) == '=') (true, false, None)                      // (?=
+            else if (at(2) == '!') (false, false, None)                     // (?!
+            else if (at(2) == '<' && at(3) == '=') (true, false, None)      // (?<=
+            else if (at(2) == '<' && at(3) == '!') (false, false, None)     // (?<!
+            else if (at(2) == '<') {                                        // (?<name>
+              val close = src.indexOf('>', i + 3)
+              (false, true, if (close < 0) None else Some(src.substring(i + 3, close)))
+            } else (false, false, None)                                     // (?: …
+          if (capturing) {
+            jsG += 1
+            capOpens += ((i, jsG))
+            stack.foreach { fr => fr.groups += jsG; name.foreach(fr.names += _) }
+          }
+          stack = new Frame(i, posLook) :: stack
+          i += 1
+        case ')' =>
+          stack match {
+            case f :: rest =>
+              stack = rest
+              if (f.isPosLook && (f.groups.nonEmpty || f.names.nonEmpty))
+                spans += ((f.openIdx, i, f.groups.toSet, f.names.toSet))
+            case Nil => () // unbalanced: Pattern.compile will reject loudly
+          }
+          i += 1
+        case _ => i += 1
+      }
+    }
+    if (spans.isEmpty) return (src, null, jsG, Vector.empty)
+    // java numbering: every capturing '(' in the REBUILT source, in
+    // textual order — JS groups at their original offsets, each
+    // sentinel conceptually just past its lookaround's ')' (2·off /
+    // 2·close+1 keeps the interleaving exact)
+    val events: Seq[(Long, Either[Int, Int])] =
+      (capOpens.map { case (off, g) => (off.toLong * 2, Left(g): Either[Int, Int]) } ++
+        spans.zipWithIndex.map { case ((_, close, _, _), si) =>
+          (close.toLong * 2 + 1, Right(si): Either[Int, Int]) }).toSeq.sortBy(_._1)
+    val jsToJava = new Array[Int](jsG + 1)
+    val sentinelJava = new Array[Int](spans.length)
+    var javaIdx = 0
+    events.foreach { case (_, e) =>
+      javaIdx += 1
+      e match {
+        case Left(g) => jsToJava(g) = javaIdx
+        case Right(si) => sentinelJava(si) = javaIdx
+      }
+    }
+    // rebuild: "(?:" before each span, "())" after; numeric backrefs
+    // re-pointed at the java index of their JS group
+    sealed trait Edit { def pos: Int }
+    final case class Ins(pos: Int, text: String, order: Int) extends Edit
+    final case class Repl(pos: Int, end: Int, text: String) extends Edit
+    // at one offset a wrapper CLOSE ("())", order 0) must precede a
+    // wrapper OPEN ("(?:", order 1): `(?=(a))(?=(b))*` would otherwise
+    // fuse both lookarounds under the second one's quantifier
+    val edits: Seq[Edit] =
+      (spans.flatMap { case (open, close, _, _) =>
+        Seq(Ins(open, "(?:", 1), Ins(close + 1, "())", 0)) } ++
+        backrefs.collect { case (s0, e0, ref) if ref <= jsG =>
+          Repl(s0, e0, "\\" + jsToJava(ref)) }).toSeq.sortBy {
+        case Ins(p, _, o) => p.toLong * 4 + o
+        case Repl(p, _, _) => p.toLong * 4 + 2
+      }
+    val sb = new java.lang.StringBuilder
+    var cur = 0
+    edits.foreach {
+      case Ins(p, t, _) =>
+        sb.append(src, cur, p).append(t); cur = p
+      case Repl(p, e, t) =>
+        sb.append(src, cur, p).append(t); cur = e
+    }
+    sb.append(src, cur, n)
+    val sent = spans.zipWithIndex.map { case ((_, _, gs, ns), si) =>
+      (sentinelJava(si), gs, ns) }.toVector
+    (sb.toString, jsToJava, jsG, sent)
   }
 
   /** JS quantifier grammar check — java.util.regex ACCEPTS forms JS
@@ -1448,7 +1581,7 @@ object Builtins {
       val start = if (r.global) math.min(r.lastIndex, s.length) else 0
       if (m.find(start)) {
         if (r.global) r.lastIndex = m.end
-        Some(execResult(m, s, r.negGroups, r.negNames)).get
+        Some(execResult(m, s, r)).get
       } else {
         if (r.global) r.lastIndex = 0
         JsNull
@@ -1458,16 +1591,49 @@ object Builtins {
     case _ => None
   }
 
-  def execResult(m: java.util.regex.Matcher, input: String,
-                 negGroups: Set[Int] = Set.empty,
-                 negNames: Set[String] = Set.empty): JsArray = {
-    val out = JsArray.empty
-    (0 to m.groupCount).foreach { g =>
-      // a capture inside a NEGATIVE lookaround never participates in a
-      // successful JS match; Java retains the failed attempt's value
-      val v = if (g > 0 && negGroups(g)) null else m.group(g)
-      out.items += (if (v == null) JsUndefined else JsStr(v))
+  /** captures discarded by NON-PARTICIPATING positive-lookaround
+    * sentinels for this match (see [[JsRegExpV.laSentinels]]): the
+    * assertion's branch was abandoned, so ES treats its inner
+    * captures as never having matched. */
+  private def sentinelDropped(r: JsRegExpV, m: java.util.regex.Matcher)
+      : (Set[Int], Set[String]) =
+    if (r.laSentinels.isEmpty) (Set.empty, Set.empty)
+    else {
+      var gi = Set.empty[Int]; var gn = Set.empty[String]
+      r.laSentinels.foreach { case (sIdx, gs, ns) =>
+        if (m.start(sIdx) < 0) { gi ++= gs; gn ++= ns }
+      }
+      (gi, gn)
     }
+
+  /** JS-visible group values 1..jsGroupCount of one successful match:
+    * js→java index mapping applied, negative-lookaround captures and
+    * abandoned-lookaround captures read as undefined. The ONE shared
+    * read path for exec/match/matchAll/split/replace. */
+  private def jsGroupValues(r: JsRegExpV, m: java.util.regex.Matcher)
+      : Vector[Option[String]] = {
+    val (di, _) = sentinelDropped(r, m)
+    (1 to r.jsGroupCount).map { g =>
+      if (r.negGroups(g) || di(g)) None else Option(m.group(r.javaIdx(g)))
+    }.toVector
+  }
+
+  /** same for declared capture NAMES, in pattern order. */
+  private def jsNamedValues(r: JsRegExpV, m: java.util.regex.Matcher,
+                            names: Seq[String]): Vector[(String, Option[String])] = {
+    val (_, dn) = sentinelDropped(r, m)
+    names.map(nm =>
+      nm -> (if (r.negNames(nm) || dn(nm)) None else Option(m.group(nm)))).toVector
+  }
+
+  def execResult(m: java.util.regex.Matcher, input: String, r: JsRegExpV): JsArray = {
+    val out = JsArray.empty
+    out.items += JsStr(m.group(0))
+    // a capture inside a NEGATIVE lookaround never participates in a
+    // successful JS match (Java retains the failed attempt's value);
+    // same for captures inside an abandoned POSITIVE lookaround
+    jsGroupValues(r, m).foreach(v =>
+      out.items += v.map(s => JsStr(s): JsValue).getOrElse(JsUndefined))
     // V8 match/exec results are arrays with own props (ES 22.2.7.2)
     out.extraPut("index", JsNum(m.start.toDouble))
     out.extraPut("input", JsStr(input))
@@ -1480,8 +1646,7 @@ object Builtins {
     val names = namedGroups(m.pattern.pattern)
     if (names.nonEmpty) {
       val g = JsObject.empty()
-      names.foreach { nm =>
-        val v = if (negNames(nm)) None else Option(m.group(nm))
+      jsNamedValues(r, m, names).foreach { case (nm, v) =>
         g.props.put(nm, v.map(s => JsStr(s): JsValue).getOrElse(JsUndefined))
       }
       out.extraPut("groups", g)
@@ -2019,7 +2184,7 @@ object Builtins {
         val limit = arg(as, 1) match { case JsUndefined => Int.MaxValue; case v => interp.toNumberI(v).toInt }
         val parts: Vector[JsValue] = arg(as, 0) match {
           case JsUndefined => Vector(JsStr(s))
-          case r: JsRegExpV => splitByRegex(s, r.pattern, r.negGroups)
+          case r: JsRegExpV => splitByRegex(s, r)
           case sep =>
             val sepS = interp.toStrI(sep)
             if (sepS.isEmpty) s.map(c => JsStr(c.toString): JsValue).toVector
@@ -2039,7 +2204,7 @@ object Builtins {
               if (out.items.isEmpty) JsNull else out
             } else {
               val m = r.pattern.matcher(s)
-              if (m.find()) execResult(m, s, r.negGroups, r.negNames) else JsNull
+              if (m.find()) execResult(m, s, r) else JsNull
             }
           case other =>
             // a string argument is coerced to a PATTERN (new RegExp(s)),
@@ -2048,7 +2213,7 @@ object Builtins {
             // not the literal string "undefined"
             val r = compileRegex(if (other == JsUndefined) "" else interp.toStrI(other), "", Pos(0))
             val m = r.pattern.matcher(s)
-            if (m.find()) execResult(m, s, r.negGroups, r.negNames) else JsNull
+            if (m.find()) execResult(m, s, r) else JsNull
         }
       }
       case "search" => withStr(name) { as =>
@@ -2081,7 +2246,7 @@ object Builtins {
         var q = math.min(r.lastIndex, s.length)
         while (q <= s.length && m.find(q)) {
           interp.budget.allocate(4)
-          out.items += execResult(m, s, r.negGroups, r.negNames)
+          out.items += execResult(m, s, r)
           q = if (m.end == m.start) m.end + 1 else m.end // zero-width: advance
         }
         out
@@ -2146,8 +2311,8 @@ object Builtins {
     * (unlike Java's default), includes capture groups in the output, and
     * advances one position past zero-width matches. Mirrors the spec's
     * SplitMatch loop with a find(q)-based scan. */
-  private def splitByRegex(s: String, p: java.util.regex.Pattern,
-                           negGroups: Set[Int] = Set.empty): Vector[JsValue] = {
+  private def splitByRegex(s: String, r: JsRegExpV): Vector[JsValue] = {
+    val p = r.pattern
     if (s.isEmpty) {
       return if (p.matcher(s).find()) Vector.empty else Vector(JsStr(s))
     }
@@ -2164,10 +2329,8 @@ object Builtins {
           // capture groups are part of the split result per spec;
           // an UNMATCHED group is undefined (V8), never "" — the two
           // are distinguishable in the output array
-          (1 to m.groupCount).foreach { g =>
-            val v = if (negGroups(g)) None else Option(m.group(g))
-            out += v.map(x => JsStr(x): JsValue).getOrElse(JsUndefined)
-          }
+          jsGroupValues(r, m).foreach(v =>
+            out += v.map(x => JsStr(x): JsValue).getOrElse(JsUndefined))
           last = m.end
           q = if (m.end == m.start) m.end + 1 else m.end
         }
@@ -2251,10 +2414,8 @@ object Builtins {
         while (!done && q <= s.length) {
           if (m.find(q)) {
             sb.append(s, last, m.start)
-            val groups = (1 to m.groupCount).map(g =>
-              if (r.negGroups(g)) None else Option(m.group(g))).toVector
-            val named = names.map(nm =>
-              nm -> (if (r.negNames(nm)) None else Option(m.group(nm))))
+            val groups = jsGroupValues(r, m)
+            val named = jsNamedValues(r, m, names)
             sb.append(replacementFor(m.group(), groups, m.start, named))
             last = m.end
             q = if (m.end == m.start) m.end + 1 else m.end // zero-width: advance

@@ -204,9 +204,33 @@ final class JsRegExpV(val source: String, val flags: String,
                         * to undefined (V8-differential fuzz finding) */
                       val negGroups: Set[Int] = Set.empty,
                       /** same, by declared capture NAME */
-                      val negNames: Set[String] = Set.empty) extends JsValue {
+                      val negNames: Set[String] = Set.empty,
+                      /** 1-based JS group index → java group index in
+                        * `pattern` (null = identity). Differs only when
+                        * sentinel groups were injected — see
+                        * [[laSentinels]]. */
+                      val jsToJava: Array[Int] = null,
+                      /** JS-visible capture count (java count minus
+                        * injected sentinels); -1 = same as the pattern */
+                      val jsGroups: Int = -1,
+                      /** one (sentinelJavaIdx, containedJsGroups,
+                        * containedNames) per POSITIVE lookaround that
+                        * lexically contains captures: Java keeps a
+                        * completed lookaround's inner captures when its
+                        * branch is later abandoned, where ES's immutable
+                        * match states discard them — result builders
+                        * treat those captures as undefined whenever the
+                        * sentinel (an empty group planted right after
+                        * the assertion) did not participate (r16,
+                        * closes the r14 capstone-sweep divergence) */
+                      val laSentinels: Vector[(Int, Set[Int], Set[String])] = Vector.empty)
+    extends JsValue {
   var lastIndex: Int = 0
   def global: Boolean = flags.contains('g')
+  /** java group index of 1-based JS group `g` */
+  def javaIdx(g: Int): Int = if (jsToJava == null) g else jsToJava(g)
+  lazy val jsGroupCount: Int =
+    if (jsGroups >= 0) jsGroups else pattern.matcher("").groupCount()
 }
 
 sealed trait JsFunc extends JsValue { def name: String }

@@ -430,24 +430,41 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
     )
   }
 
-  test("documented corner: lookahead captures in an abandoned alternation branch") {
+  test("lookahead captures in an abandoned alternation branch are discarded (r16; V8-verified)") {
     // Java treats a completed lookahead atomically: backtracking PAST
     // it (the branch fails after the assertion succeeded) keeps its
     // inner captures, where the spec's immutable match states discard
-    // them — V8 reports group 2 undefined here; the Java layer reports
-    // the assertion attempt's 'c'. Found by the round-14 capstone
-    // regexgen sweep (1 divergence in 16k fresh probes); same
-    // engine-internal class as the repetition-capture corner above —
-    // participation of a lookahead in the accepting path is not
-    // observable from java.util.regex, so this is pinned rather than
-    // papered over (negative lookarounds ARE reset — execResult's
-    // negGroups — because "never participates" is decidable there).
+    // them. Found by the round-14 capstone regexgen sweep (1 divergence
+    // in 16k fresh probes), pinned as a documented corner through r15;
+    // CLOSED in r16 by sentinel injection: each positive lookaround
+    // containing captures compiles as `(?:LA())` — the empty group
+    // right after the assertion unwinds like any normal group when the
+    // branch is abandoned, making "did the lookaround participate"
+    // observable, and the result builders reset its captures when it
+    // did not (Builtins.planLookaroundSentinels).
     expect(
       "JSON.stringify('abc'.split(/((?=([a-c]|b))x\\s|[a-c]$)/))" ->
-        """["ab","c","c",""]""", // V8: ["ab","c",null,""] — documented divergence
+        """["ab","c",null,""]""", // the r14 capstone divergence, now V8-equal
       // the committed path through a SUCCESSFUL lookahead agrees with V8
       "/(?=(a))a/.exec('a').slice(0).join(',')" -> "a,a",
       "JSON.stringify('xa'.split(/((?=(a))a)/))" -> """["x","a","a",""]""",
+      // exec shape: abandoned-lookahead group undefined, match/g1 kept
+      "JSON.stringify(/((?=([a-c]|b))x|[a-c])/.exec('c'))" -> """["c","c",null]""",
+      // named capture inside the abandoned lookahead resets too
+      // (JSON hides an undefined prop — V8 prints {})
+      "JSON.stringify(/((?=(?<L>[a-c]))x|[a-c])/.exec('c').groups)" -> "{}",
+      "String(/((?=(?<L>[a-c]))x|[a-c])/.exec('c').groups.L)" -> "undefined",
+      // backrefs still point at the right group after sentinel injection
+      "/(?=(a))\\1x/.exec('ax')[0]" -> "ax",
+      // quantified lookahead (Annex B): the wrapper keeps the quantifier
+      // on the assertion, zero iterations leave the capture undefined
+      "String(/(?=(a))*b/.exec('b')[1])" -> "undefined",
+      // adjacent lookaheads with a trailing quantifier: the quantifier
+      // must bind the SECOND assertion only (edit-ordering regression)
+      "/(?=(a))(?=(ab))?a/.exec('a')[0]" -> "a",
+      // sentinel participation is per match attempt: a global scan
+      // resets between matches
+      "JSON.stringify('ca'.match(/(?=(a))a|c/g))" -> """["c","a"]""",
     )
   }
 
