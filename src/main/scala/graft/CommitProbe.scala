@@ -15,7 +15,13 @@ import graft.store.{DataPath, Store}
   *      map→spool→reduce→commit pipeline.
   *   C. dataset write commit (q146's per-request PUT path).
   * Run: `sbt "runMain graft.CommitProbe"`. Output: one line per job
-  * (id, duration ms, call site), then per-shape totals. */
+  * (id, duration ms, call site), then per-shape totals.
+  *
+  * FINDINGS (r16, the measurement behind the input-versions fast
+  * path — see PLANS.md "Per-commit fixed cost"): empty-delta builds
+  * went 5 jobs / ~0.4-0.9 s → 0 jobs / ~4-16 ms; small-delta builds
+  * keep their 11 jobs (gate query ~5 under AQE, spool write, commit
+  * chain — all load-bearing); dataset writes keep 3. */
 object CommitProbe {
   private object TagFn extends MapFn {
     def map(ctx: MapContext): Unit =
@@ -37,8 +43,7 @@ object CommitProbe {
     val done = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        val site = Option(j.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+        val site = j.stageInfos.map(_.name).distinct.mkString(" | ")
         jobs.put(j.jobId, (j.time, site))
       }
       override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =

@@ -373,6 +373,28 @@ object LensBuild {
     import spark.implicits._
     val emitEnc = org.apache.spark.sql.Encoders.product[BuildEmit]
 
+    // ---- 0. O(metadata) no-op fast path (VERDICT r15 Next #3): the
+    //         compute cache records the INPUT COLLECTION VERSIONS it
+    //         was built against; when none moved, the previous gate
+    //         outcome still holds — nothing can be fresh or deleted —
+    //         and the build returns without scheduling ANY Spark job.
+    //         The at-least-once redelivery storm (q159) and settled
+    //         cascade levels (q153/q138) cost manifest reads instead
+    //         of a ~5-job gate query per build. Versions are read
+    //         BEFORE the scan, so a commit racing the build records
+    //         the pre-commit version and merely causes one extra
+    //         (gate-absorbed) rebuild — never a missed one.
+    val cacheDirFp = lens.cacheDir
+    val inputVersionsNow: Option[Map[String, Long]] =
+      try Some(lens.inputs.map { p =>
+        val dp = DataPath(p.source, p.author, p.name)
+        dp.collectionPath -> store.collection(dp).meta.version
+      }.toMap)
+      catch { case _: Throwable => None } // missing input: the scan below throws, as before
+    if (incremental && Files.isDirectory(cacheDirFp) && inputVersionsNow.isDefined &&
+        readInputVersions(cacheDirFp).contains(inputVersionsNow.get))
+      return lens.output.meta.version
+
     // ---- 1. input scan: per-input ordinal, record filter (F1), then
     //         union-distinct by record path keeping the FIRST input's copy
     //         (reference: lens.js:119-132 inputRecordPaths dedup)
@@ -442,8 +464,13 @@ object LensBuild {
         val counts = gate.agg(
           count(when(col("isFresh"), 1)).as("nFresh"),
           count(when(!col("isCur"), 1)).as("nDeleted")).first()
-        if (counts.getLong(0) == 0 && counts.getLong(1) == 0)
+        if (counts.getLong(0) == 0 && counts.getLong(1) == 0) {
+          // record-versions unchanged though collection versions moved
+          // (identical rewrites bump only the latter): advance the
+          // manifest so the NEXT build takes the zero-job fast path
+          inputVersionsNow.foreach(writeInputVersions(cacheDirFp, _))
           return lens.output.meta.version // no-op
+        }
         val fresh = gate.filter(col("isFresh"))
           .drop("cachedV", "isCur", "isFresh")
         val retainPaths = gate.filter(col("isCur") && !col("isFresh")).select("path")
@@ -597,6 +624,8 @@ object LensBuild {
     }
     val v = out.commitPrepared(rows, changedIds)
 
+    // the fast-path manifest rides the cache swap (atomic with it)
+    inputVersionsNow.foreach(writeInputVersions(cacheNext, _))
     swapDir(cacheNext, cacheDir)
     v
     } finally {
@@ -609,4 +638,34 @@ object LensBuild {
     graft.core.Fs.rmTree(dst)
     Files.move(tmp, dst)
   }
+
+  /** input-collection versions the cache was built against — the
+    * zero-job no-op fast path's manifest (doBuild step 0). Lives inside
+    * the cache dir so the atomic swap keeps cache and manifest
+    * consistent; absent/corrupt reads fall back to the gate query. */
+  private def inputVersionsFile(cacheDir: Path): Path =
+    // underscore prefix: Spark/Hadoop file listings ignore `_*` files,
+    // so the parquet reads over the cache dir never see the manifest
+    cacheDir.resolve("_input_versions.json")
+
+  private def readInputVersions(cacheDir: Path): Option[Map[String, Long]] =
+    try {
+      val f = inputVersionsFile(cacheDir)
+      if (!Files.isRegularFile(f)) None
+      else {
+        val s = Files.readString(f)
+        val re = """"((?:[^"\\]|\\.)*)":(\d+)""".r
+        Some(re.findAllMatchIn(s).map { m =>
+          m.group(1).replace("\\\"", "\"").replace("\\\\", "\\") -> m.group(2).toLong
+        }.toMap)
+      }
+    } catch { case _: Throwable => None }
+
+  private def writeInputVersions(cacheDir: Path, vs: Map[String, Long]): Unit =
+    try {
+      val json = vs.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${graft.Verify.jsonString(k)}:$v" }
+        .mkString("{", ",", "}")
+      Files.writeString(inputVersionsFile(cacheDir), json)
+    } catch { case _: Throwable => () } // best-effort: absence = gate path
 }
