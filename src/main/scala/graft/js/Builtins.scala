@@ -23,6 +23,29 @@ object Builtins {
 
   private def arg(args: Vector[JsValue], i: Int): JsValue = args.lift(i).getOrElse(JsUndefined)
 
+  /** a BUILTIN LAZY ITERATOR (r16): the protocol object V8 returns from
+    * String.matchAll and Map/Set/Array keys·values·entries — `next`
+    * drains the underlying pull, `[Symbol.iterator]()` answers itself.
+    * Spread/for-of ride Interp.protocolIterator as before; manual
+    * `.next()` now follows the protocol instead of the pre-r16 loud
+    * array-subset boundary. Snapshot semantics where the backing
+    * collection mutates mid-iteration (V8 iterates live — documented
+    * subset divergence, same class as the prior array shape). */
+  private[js] def builtinIterator(name: String, it: Iterator[JsValue]): JsObject = {
+    val o = JsObject.empty(s"$name Iterator")
+    o.props.put("next", native("next") { (_, _) =>
+      val r = JsObject.empty()
+      if (it.hasNext) {
+        r.props.put("value", it.next()); r.props.put("done", JsBool(false))
+      } else {
+        r.props.put("value", JsUndefined); r.props.put("done", JsBool(true))
+      }
+      r
+    })
+    o.symPut("@@iterator", native("[Symbol.iterator]")((_, _) => o))
+    o
+  }
+
   // ---------------- global scope construction ----------------
 
   /** Build the global scope + the `global` self-referential object.
@@ -1883,9 +1906,11 @@ object Builtins {
       s.entries.values.toVector.foreach(v => interp.callCallback(fn, Vector(v, v, s)))
       JsUndefined
     })
-    case "values" | "keys" => Some(native(name)((_, _) => JsArray.of(s.entries.values.toVector: _*)))
+    case "values" | "keys" => Some(native(name)((_, _) =>
+      builtinIterator("Set", s.entries.values.toVector.iterator)))
     case "entries" => Some(native("entries")((_, _) =>
-      JsArray.of(s.entries.values.toVector.map(v => JsArray.of(v, v)): _*)))
+      builtinIterator("Set", s.entries.values.toVector.iterator
+        .map(v => JsArray.of(v, v): JsValue))))
     case _ => None
   }
 
@@ -1903,10 +1928,13 @@ object Builtins {
       m.entries.values.toVector.foreach { case (k, v) => interp.callCallback(fn, Vector(v, k, m)) }
       JsUndefined
     })
-    case "keys" => Some(native("keys")((_, _) => JsArray.of(m.entries.values.toVector.map(_._1): _*)))
-    case "values" => Some(native("values")((_, _) => JsArray.of(m.entries.values.toVector.map(_._2): _*)))
+    case "keys" => Some(native("keys")((_, _) =>
+      builtinIterator("Map", m.entries.values.toVector.iterator.map(_._1))))
+    case "values" => Some(native("values")((_, _) =>
+      builtinIterator("Map", m.entries.values.toVector.iterator.map(_._2))))
     case "entries" => Some(native("entries")((_, _) =>
-      JsArray.of(m.entries.values.toVector.map { case (k, v) => JsArray.of(k, v) }: _*)))
+      builtinIterator("Map", m.entries.values.toVector.iterator
+        .map { case (k, v) => JsArray.of(k, v): JsValue })))
     case _ => None
   }
 
@@ -2226,9 +2254,9 @@ object Builtins {
         JsNum(if (m.find()) m.start.toDouble else -1.0)
       }
       case "matchAll" => withStr(name) { as =>
-        // subset: returns an ARRAY of exec-results rather than a lazy
-        // iterator — spread/for-of/length behave identically, a manual
-        // .next() does not (documented; lens code spreads)
+        // a real LAZY protocol iterator since r16 (the previous ARRAY
+        // shape was a documented subset boundary — manual .next() was
+        // a loud TypeError): each pull runs one exec at .next() time
         val r = arg(as, 0) match {
           case re: JsRegExpV =>
             if (!re.global)
@@ -2238,18 +2266,26 @@ object Builtins {
             compileRegex(if (other == JsUndefined) "" else interp.toStrI(other), "g", Pos(0))
         }
         val m = r.pattern.matcher(s)
-        val out = JsArray.empty
         // V8 clones the regex PRESERVING lastIndex: a global regex with
         // lastIndex > 0 (e.g. after a prior exec) matchAlls from there,
         // and the ORIGINAL's lastIndex is never mutated (the clone's
         // advances). Non-regex args compile fresh (lastIndex 0).
-        var q = math.min(r.lastIndex, s.length)
-        while (q <= s.length && m.find(q)) {
-          interp.budget.allocate(4)
-          out.items += execResult(m, s, r)
-          q = if (m.end == m.start) m.end + 1 else m.end // zero-width: advance
-        }
-        out
+        builtinIterator("RegExp String", new Iterator[JsValue] {
+          private var q = math.min(r.lastIndex, s.length)
+          private var buf: JsValue = null
+          def hasNext: Boolean = {
+            if (buf != null) return true
+            if (q > s.length || !m.find(q)) return false
+            interp.budget.allocate(4)
+            buf = execResult(m, s, r)
+            q = if (m.end == m.start) m.end + 1 else m.end // zero-width: advance
+            true
+          }
+          def next(): JsValue = {
+            if (!hasNext) throw new NoSuchElementException
+            val v = buf; buf = null; v
+          }
+        })
       }
       case "repeat" => withStr(name) { as =>
         val n = interp.toNumberI(arg(as, 0)).toInt
@@ -2742,10 +2778,13 @@ object Builtins {
         val i = if (i0 < 0) a.items.length + i0 else i0
         if (i >= 0 && i < a.items.length) Values.deHole(a.items(i)) else JsUndefined
       }
-      case "keys" => nat(name)(_ => JsArray.of(a.items.indices.map(i => JsNum(i.toDouble)): _*))
-      case "values" => nat(name)(_ => JsArray.of(a.items.toSeq.map(Values.deHole): _*))
-      case "entries" => nat(name)(_ =>
-        JsArray.of(a.items.toVector.zipWithIndex.map { case (v, i) => JsArray.of(JsNum(i.toDouble), Values.deHole(v)) }: _*))
+      case "keys" => nat(name)(_ => builtinIterator("Array",
+        a.items.indices.iterator.map(i => JsNum(i.toDouble): JsValue)))
+      case "values" => nat(name)(_ => builtinIterator("Array",
+        a.items.toVector.iterator.map(Values.deHole)))
+      case "entries" => nat(name)(_ => builtinIterator("Array",
+        a.items.toVector.zipWithIndex.iterator.map { case (v, i) =>
+          JsArray.of(JsNum(i.toDouble), Values.deHole(v)): JsValue }))
       case "toString" => nat(name)(_ => JsStr(interp.toStrI(a)))
       case _ => None
     }

@@ -1197,8 +1197,16 @@ object TextOps {
     // re-invokes the op across reps and scale factors — a one-slot
     // registry drops the PREVIOUS invocation's cache (sequential
     // callers are already done with it; a stale concurrent reader
-    // would merely recompute, never misread)
-    Option(knCvwSlot.getAndSet(cvw)).foreach(_.unpersist(blocking = false))
+    // would merely recompute, never misread). sameResult guard: the
+    // cache manager keys entries by canonicalized PLAN, so a repeat
+    // invocation over the same input SHARES the previous entry —
+    // unpersisting it would evict this invocation's own cache too
+    // (and with it the cross-rep reuse Bench measures); only a
+    // different plan (another sf dir) holds a separate leakable entry.
+    Option(knCvwSlot.getAndSet(cvw)).foreach { prev =>
+      if (!prev.queryExecution.analyzed.sameResult(cvw.queryExecution.analyzed))
+        prev.unpersist(blocking = false)
+    }
     val cv = cvw.groupBy(col("v"))
       .agg(sum(col("cvw")).cast("long").as("cv"),
         count(lit(1)).cast("long").as("n1v"))

@@ -392,18 +392,40 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
     )
   }
 
-  test("documented corner: matchAll is array-shaped — manual .next() is LOUD") {
-    // Subset choice (Builtins matchAll comment): an ARRAY of
-    // exec-results, not a lazy iterator. Spread / for-of / .length are
-    // V8-identical; the one divergent surface — manual iterator
-    // protocol — throws rather than misbehaving. Pinned so the corner
-    // can't silently widen.
+  test("builtin lazy iterators: matchAll + Map/Set/Array keys·values·entries (r16; V8-verified)") {
+    expect(
+      // protocol shape: next is callable, results are {value, done},
+      // the iterator is its own Symbol.iterator, and it is NOT an array
+      "typeof 'aba'.matchAll(/a/g).next" -> "function",
+      """(() => { const it = 'aba'.matchAll(/a/g); const r = it.next();
+        | return [r.done, r.value[0], r.value.index].join(',') })()""".stripMargin
+        -> "false,a,0",
+      "(() => { const it = 'aba'.matchAll(/a/g); return it[Symbol.iterator]() === it })()" -> "true",
+      // half-drained: spread consumes only the remainder
+      """(() => { const it = 'aba'.matchAll(/a/g); it.next();
+        | return JSON.stringify([...it].map(m => m.index)) })()""".stripMargin -> "[2]",
+      // exhausted: {value: undefined, done: true}
+      "(() => { const r = 'x'.matchAll(/q/g).next(); return [r.done, String(r.value)].join(',') })()"
+        -> "true,undefined",
+      // Map/Set/Array iterator methods follow the same protocol
+      "typeof new Map([['a',1]]).entries().next" -> "function",
+      "JSON.stringify(new Map([['a',1],['b',2]]).entries().next().value)" -> """["a",1]""",
+      "String(new Map([['a',1]]).keys().length)" -> "undefined",
+      "String(Array.isArray(new Map([['a',1]]).values()))" -> "false",
+      "JSON.stringify([...new Map([['a',1],['b',2]]).values()])" -> "[1,2]",
+      "(() => { const si = new Set([3,4]).values(); si.next(); return JSON.stringify([...si]) })()" -> "[4]",
+      "JSON.stringify([1,9].entries().next().value)" -> "[0,1]",
+      "JSON.stringify([...[5,6].keys()])" -> "[0,1]",
+      // iterators JSON-stringify as plain objects (functions skipped)
+      "JSON.stringify(new Map([['a',1]]).entries())" -> "{}",
+    )
+  }
+
+  test("matchAll spread/for-of behavior (pre-r16 shape rows, still V8-equal)") {
     expect(
       "[...'aba'.matchAll(/a/g)].length" -> "2",
       "(() => { let n = 0; for (const m of 'aba'.matchAll(/a/g)) n++; return n })()" -> "2",
-      "typeof 'aba'.matchAll(/a/g).next" -> "undefined",
     )
-    str("(() => { try { 'aba'.matchAll(/a/g).next(); return 'no-throw' } catch (e) { return e.name } })()") shouldBe "TypeError"
   }
 
   test("documented corner: stale captures in emptily-re-iterated quantified groups") {
