@@ -1299,7 +1299,8 @@ object Builtins {
       case 'm' => f |= java.util.regex.Pattern.MULTILINE
       case 's' => f |= java.util.regex.Pattern.DOTALL
       case 'g' | 'u' => () // g handled by callers; u is the default in java.util.regex
-      case 'y' => throw new JsSyntaxError("sticky regex flag 'y' is not supported in lens code", pos.line)
+      case 'y' | 'd' => () // sticky / hasIndices (r16): no Java flag bit —
+      // exec-time semantics via JsRegExpV.sticky/hasIndices
       case other => throw new JsSyntaxError(s"unsupported regex flag '$other'", pos.line)
     }
     validateJsQuantifiers(source)
@@ -1584,33 +1585,60 @@ object Builtins {
     sb.toString
   }
 
+  /** one [[Exec]]-equivalent search step from `from` under the regex's
+    * sticky semantics (r16): sticky matches must start EXACTLY at
+    * `from` — a Java region + lookingAt, with TRANSPARENT bounds so a
+    * lookbehind sees text before lastIndex and NON-anchoring bounds so
+    * `^`/`$` keep their true-input meaning (both V8-verified). After a
+    * hit, m.start/m.end are absolute like a plain find. */
+  private def findFrom(r: JsRegExpV, m: java.util.regex.Matcher,
+                       s: String, from: Int): Boolean =
+    if (r.sticky) {
+      if (from > s.length) false
+      else {
+        m.region(from, s.length)
+        m.useTransparentBounds(true)
+        m.useAnchoringBounds(false)
+        m.lookingAt()
+      }
+    } else from <= s.length && m.find(from)
+
+  /** ES RegExpExec over this engine's exec semantics: anchored at
+    * lastIndex when global OR sticky; lastIndex advances on a hit and
+    * resets on a miss (for those two modes). The shared core of
+    * exec / test / non-global match / non-global replace. */
+  private def regExpExec(r: JsRegExpV, s: String): Option[java.util.regex.Matcher] = {
+    val m = r.pattern.matcher(s)
+    val tracked = r.global || r.sticky
+    val start = if (tracked) r.lastIndex else 0
+    if (findFrom(r, m, s, start)) {
+      if (tracked) r.lastIndex = m.end
+      Some(m)
+    } else {
+      if (tracked) r.lastIndex = 0
+      None
+    }
+  }
+
   def regexMethod(r: JsRegExpV, name: String, interp: Interp): Option[JsValue] = name match {
     case "source" => Some(JsStr(r.source))
-    case "flags" => Some(JsStr(r.flags))
+    case "flags" => Some(JsStr(r.canonicalFlags))
     case "global" => Some(JsBool(r.global))
+    case "sticky" => Some(JsBool(r.sticky))
+    case "hasIndices" => Some(JsBool(r.hasIndices))
     case "lastIndex" => Some(JsNum(r.lastIndex.toDouble))
     case "test" => Some(native("test") { (_, as) =>
-      val s = toStr(arg(as, 0))
-      if (r.global) {
-        val m = r.pattern.matcher(s)
-        val found = m.find(math.min(r.lastIndex, s.length))
-        r.lastIndex = if (found) m.end else 0
-        JsBool(found)
-      } else JsBool(r.pattern.matcher(s).find())
+      JsBool(regExpExec(r, toStr(arg(as, 0))).isDefined)
     })
     case "exec" => Some(native("exec") { (_, as) =>
       val s = toStr(arg(as, 0))
-      val m = r.pattern.matcher(s)
-      val start = if (r.global) math.min(r.lastIndex, s.length) else 0
-      if (m.find(start)) {
-        if (r.global) r.lastIndex = m.end
-        Some(execResult(m, s, r)).get
-      } else {
-        if (r.global) r.lastIndex = 0
-        JsNull
+      regExpExec(r, s) match {
+        case Some(m) => execResult(m, s, r)
+        case None => JsNull
       }
     })
-    case "toString" => Some(native("toString")((_, _) => JsStr(s"/${r.source}/${r.flags}")))
+    case "toString" => Some(native("toString")((_, _) =>
+      JsStr(s"/${r.source}/${r.canonicalFlags}")))
     case _ => None
   }
 
@@ -1673,6 +1701,32 @@ object Builtins {
         g.props.put(nm, v.map(s => JsStr(s): JsValue).getOrElse(JsUndefined))
       }
       out.extraPut("groups", g)
+    }
+    // the 'd' flag (r16): per-group [start, end] UTF-16 offsets —
+    // undefined exactly where the group value is undefined (negative
+    // lookarounds, abandoned lookaheads, plain non-participation), the
+    // same mapping + sentinel discipline as the values
+    if (r.hasIndices) {
+      def span(a: Int, b: Int): JsValue = JsArray.of(JsNum(a.toDouble), JsNum(b.toDouble))
+      val idx = JsArray.empty
+      idx.items += span(m.start, m.end)
+      val (di, dn) = sentinelDropped(r, m)
+      (1 to r.jsGroupCount).foreach { g =>
+        val j = r.javaIdx(g)
+        idx.items +=
+          (if (r.negGroups(g) || di(g) || m.start(j) < 0) JsUndefined
+           else span(m.start(j), m.end(j)))
+      }
+      if (names.nonEmpty) {
+        val gi = JsObject.empty()
+        names.foreach { nm =>
+          gi.props.put(nm,
+            if (r.negNames(nm) || dn(nm) || m.start(nm) < 0) JsUndefined
+            else span(m.start(nm), m.end(nm)))
+        }
+        idx.extraPut("groups", gi)
+      }
+      out.extraPut("indices", idx)
     }
     out
   }
@@ -2226,13 +2280,25 @@ object Builtins {
         arg(as, 0) match {
           case r: JsRegExpV =>
             if (r.global) {
+              // Symbol.match resets lastIndex to 0 up front and leaves
+              // it there (V8); a sticky+global regex collects the
+              // anchored RUN and stops at the first gap
+              r.lastIndex = 0
               val m = r.pattern.matcher(s)
               val out = JsArray.empty
-              while (m.find()) out.items += JsStr(m.group())
+              var q = 0
+              while (findFrom(r, m, s, q)) {
+                out.items += JsStr(m.group())
+                q = if (m.end == m.start) m.end + 1 else m.end
+              }
               if (out.items.isEmpty) JsNull else out
             } else {
-              val m = r.pattern.matcher(s)
-              if (m.find()) execResult(m, s, r) else JsNull
+              // non-global match IS RegExpExec — sticky anchors at
+              // lastIndex and mutates it like exec (V8)
+              regExpExec(r, s) match {
+                case Some(m) => execResult(m, s, r)
+                case None => JsNull
+              }
             }
           case other =>
             // a string argument is coerced to a PATTERN (new RegExp(s)),
@@ -2250,8 +2316,11 @@ object Builtins {
           case other => // same coercion as match, incl. the undefined case
             compileRegex(if (other == JsUndefined) "" else interp.toStrI(other), "", Pos(0))
         }
+        // Symbol.search runs exec with a saved-and-restored lastIndex
+        // of 0 (V8): a sticky regex therefore anchors at position 0
+        // and the caller's lastIndex is untouched
         val m = r.pattern.matcher(s)
-        JsNum(if (m.find()) m.start.toDouble else -1.0)
+        JsNum(if (findFrom(r, m, s, 0)) m.start.toDouble else -1.0)
       }
       case "matchAll" => withStr(name) { as =>
         // a real LAZY protocol iterator since r16 (the previous ARRAY
@@ -2275,7 +2344,7 @@ object Builtins {
           private var buf: JsValue = null
           def hasNext: Boolean = {
             if (buf != null) return true
-            if (q > s.length || !m.find(q)) return false
+            if (!findFrom(r, m, s, q)) return false // sticky: run stops at the first gap
             interp.budget.allocate(4)
             buf = execResult(m, s, r)
             q = if (m.end == m.start) m.end + 1 else m.end // zero-width: advance
@@ -2440,15 +2509,24 @@ object Builtins {
     }
     pat match {
       case r: JsRegExpV =>
+        // replaceAll demands a GLOBAL regex (V8 TypeError) — silently
+        // replacing once would drop occurrences
+        if (all && !r.global)
+          throwType("String.prototype.replaceAll called with a non-global RegExp argument")
         val doAll = all || r.global
+        if (doAll) r.lastIndex = 0 // Symbol.replace zeroes it up front (V8)
         val m = r.pattern.matcher(s)
         val names = namedGroups(r.pattern.pattern)
         val sb = new java.lang.StringBuilder
         var last = 0 // end of last appended region
-        var q = 0    // scan position
+        // non-global sticky replace is ONE RegExpExec: it starts at the
+        // regex's lastIndex and mutates it (hit → m.end, miss → 0), V8
+        var q = if (!doAll && r.sticky) r.lastIndex else 0
+        var matched = false
         var done = false
         while (!done && q <= s.length) {
-          if (m.find(q)) {
+          if (findFrom(r, m, s, q)) {
+            matched = true
             sb.append(s, last, m.start)
             val groups = jsGroupValues(r, m)
             val named = jsNamedValues(r, m, names)
@@ -2458,6 +2536,8 @@ object Builtins {
             if (!doAll) done = true
           } else done = true
         }
+        if (!doAll && r.sticky)
+          r.lastIndex = if (matched) last else 0
         sb.append(s.substring(math.min(last, s.length)))
         sb.toString
       case other =>

@@ -227,6 +227,13 @@ final class JsRegExpV(val source: String, val flags: String,
     extends JsValue {
   var lastIndex: Int = 0
   def global: Boolean = flags.contains('g')
+  /** sticky 'y' (r16): matches must start EXACTLY at lastIndex */
+  def sticky: Boolean = flags.contains('y')
+  /** 'd' (r16): exec results carry per-group [start, end] indices */
+  def hasIndices: Boolean = flags.contains('d')
+  /** the .flags GETTER recomputes canonical V8 order (d g i m s u y),
+    * independent of the literal's spelling */
+  def canonicalFlags: String = "dgimsuy".filter(flags.contains(_))
   /** java group index of 1-based JS group `g` */
   def javaIdx(g: Int): Int = if (jsToJava == null) g else jsToJava(g)
   lazy val jsGroupCount: Int =
@@ -648,7 +655,7 @@ object Values {
       else toStr(p.target)
     case b: JsBytes => s"[bytes ${b.bytes.length}]"
     case JsDate(ms) => java.time.Instant.ofEpochMilli(ms.toLong).toString
-    case r: JsRegExpV => s"/${r.source}/${r.flags}"
+    case r: JsRegExpV => s"/${r.source}/${r.canonicalFlags}"
   }
 
   /** === */

@@ -421,6 +421,59 @@ class JsConformanceSpec extends AnyFunSuite with Matchers {
     )
   }
 
+  test("sticky flag 'y': anchored exec/test/match/replace/search semantics (r16; V8-verified)") {
+    expect(
+      // exec anchors EXACTLY at lastIndex; a miss resets it to 0
+      "String(/b/y.exec('ab'))" -> "null",
+      "(() => { const r = /b/y; r.exec('ab'); return r.lastIndex })()" -> "0",
+      "(() => { const r = /b/y; r.lastIndex = 1; return [r.exec('ab')[0], r.lastIndex].join(',') })()" -> "b,2",
+      // test tracks lastIndex the same way (2nd anchored test misses)
+      "(() => { const r = /a/y; return [r.test('ab'), r.lastIndex, r.test('ab'), r.lastIndex].join(',') })()"
+        -> "true,1,false,0",
+      // ^ keeps its TRUE-INPUT anchor under sticky; lookbehind can see
+      // BEFORE lastIndex
+      "(() => { const r = /^b/y; r.lastIndex = 1; return String(r.exec('ab')) })()" -> "null",
+      "(() => { const r = /(?<=a)b/y; r.lastIndex = 1; return r.exec('ab')[0] })()" -> "b",
+      // match: non-global y = one exec; gy collects the anchored RUN
+      "JSON.stringify('aab'.match(/a/y))" -> """["a"]""",
+      "JSON.stringify('aab'.match(/a/gy))" -> """["a","a"]""",
+      "JSON.stringify('aba'.match(/a/gy))" -> """["a"]""",
+      // search: anchored at 0, lastIndex saved/untouched
+      "(() => { const r = /b/y; r.lastIndex = 1; return ['ab'.search(r), r.lastIndex].join(',') })()" -> "-1,1",
+      "'ba'.search(/b/y)" -> "0",
+      // replace: non-global sticky starts at lastIndex and mutates it;
+      // gy replaces the anchored run and stops at the gap
+      "(() => { const r = /a/y; r.lastIndex = 1; return ['aa'.replace(r, 'X'), r.lastIndex].join('|') })()" -> "aX|2",
+      "(() => { const r = /a/y; return ['ba'.replace(r, 'X'), r.lastIndex].join('|') })()" -> "ba|0",
+      "'aaba'.replace(/a/gy, 'X')" -> "XXba",
+      // split ignores stickiness (ES clones with an internal y anyway)
+      "JSON.stringify('a1b2'.split(/\\d/y))" -> """["a","b",""]""",
+      // matchAll with gy: anchored run from lastIndex, stops at the gap
+      "JSON.stringify([...'aab'.matchAll(/a/gy)].map(m => m.index))" -> "[0,1]",
+      "JSON.stringify([...'aba'.matchAll(/a/gy)].map(m => m.index))" -> "[0]",
+      // flags getter canonicalizes; sticky prop reads the flag
+      "/x/ydg.flags" -> "dgy",
+      "String(/x/y.sticky) + ',' + String(/x/g.sticky)" -> "true,false",
+      "'' + /x/ydg" -> "/x/dgy",
+    )
+  }
+
+  test("'d' flag: per-group match indices (r16; V8-verified)") {
+    expect(
+      "JSON.stringify(/(a)(?:(x)|b)/d.exec('ab').indices)" -> """[[0,2],[0,1],null]""",
+      // indices.groups mirrors result.groups: absent without named groups
+      "String(/(a)/d.exec('a').indices.groups)" -> "undefined",
+      "JSON.stringify(/(?<L>a)/d.exec('za').indices.groups)" -> """{"L":[1,2]}""",
+      "String(/x/d.hasIndices) + ',' + String(/x/.hasIndices)" -> "true,false",
+      // no 'd': no indices property at all
+      "String(/(a)/.exec('a').indices)" -> "undefined",
+      // abandoned-lookahead discipline applies to indices too
+      "JSON.stringify(/((?=([a-c]|b))x|[a-c])/d.exec('c').indices)" -> """[[0,1],[0,1],null]""",
+      // replaceAll with a non-global regex is a TypeError (V8)
+      "(() => { try { 'x'.replaceAll(/x/, 'y'); return 'NO' } catch (e) { return e.name } })()" -> "TypeError",
+    )
+  }
+
   test("matchAll spread/for-of behavior (pre-r16 shape rows, still V8-equal)") {
     expect(
       "[...'aba'.matchAll(/a/g)].length" -> "2",

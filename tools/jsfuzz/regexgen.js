@@ -29,14 +29,25 @@ let emitted = 0, tries = 0;
 while (emitted < count && tries < count * 20) {
   tries++;
   const p = re(2 + int(2));
-  const flags = pick(["", "g", "i", "m", "gi", "gm", "s"]);
+  // r16: sticky 'y' and indices 'd' join the pool (anchored exec/
+  // test/match/replace semantics + per-group index arrays)
+  const flags = pick(["", "g", "i", "m", "gi", "gm", "s",
+                      "y", "gy", "yi", "d", "gd", "gyd"]);
   const s = pick(SUBJECTS);
-  const kind = int(4);
+  const kind = int(6);
   let e;
   if (kind === 0) e = `/${p}/${flags}.test(${JSON.stringify(s)})`;
   else if (kind === 1) e = `JSON.stringify(${JSON.stringify(s)}.match(/${p}/${flags}))`;
   else if (kind === 2) e = `${JSON.stringify(s)}.replace(/${p}/${flags}, '<$&>')`;
-  else e = `JSON.stringify(${JSON.stringify(s)}.split(/${p}/${flags.replace("g","")}))`;
+  else if (kind === 3) e = `JSON.stringify(${JSON.stringify(s)}.split(/${p}/${flags.replace("g","")}))`;
+  else if (kind === 4) // exec at a random lastIndex: the sticky/global anchor paths
+    e = `(() => { const r = /${p}/${flags}; r.lastIndex = ${int(4)}; ` +
+        `const m = r.exec(${JSON.stringify(s)}); ` +
+        `return JSON.stringify([m && m[0], m && m.index, r.lastIndex, m && m.indices]) })()`;
+  else // two consecutive exec calls: lastIndex tracking across hits/misses
+    e = `(() => { const r = /${p}/${flags}; const a = r.exec(${JSON.stringify(s)}); ` +
+        `const b = r.exec(${JSON.stringify(s)}); ` +
+        `return JSON.stringify([a && a[0], b && b[0], r.lastIndex]) })()`;
   let out;
   try { out = "" + eval("(" + e + ")"); } catch (err) { out = "THROW:" + err.constructor.name; }
   console.log(JSON.stringify([e, out]));
