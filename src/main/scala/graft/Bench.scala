@@ -29,22 +29,81 @@ import org.apache.spark.sql.SparkSession
   * streaming) legitimately run wall > jobs — compare against the same
   * query's recorded split, not against zero. */
 /** Prior-round per-query walls for [[Bench]]'s self-healing re-measure
-  * (VERDICT r15 "what's wrong" #2). Source of truth: the sf-scoped
-  * `BENCH_LATEST_<sf>.json` the previous Bench run wrote at the repo
-  * root (committed with the round); bootstrap fallback is
-  * `target/bench.json` when its recorded "sf" matches. Extraction is a
-  * targeted scan of the machine-written `"queries":{...}` map — no
-  * JSON library exists in main scope, and the shape is fixed. */
+  * (VERDICT r15 "what's wrong" #2). Provenance order (VERDICT r16
+  * "what's wrong" #1 — the r16 prior was committed mid-session, so an
+  * 18% cross-round level shift sailed through unremeasured):
+  * explicit env override → the PREVIOUS ROUND's committed artifact
+  * (`BENCH_rNN.json`, highest N whose dense positional "wj" line
+  * matches this sf AND this exact query-name set via the nck CRC
+  * guard — i.e. a number measured by the DRIVER at round end, never
+  * by this session) → sf-scoped `BENCH_LATEST_<sf>.json` (may be
+  * same-session; fallback only) → `target/bench.json` bootstrap.
+  * Extraction is a targeted scan of machine-written shapes — no JSON
+  * library exists in main scope, and the shapes are fixed. */
 object BenchPrior {
   def latestPath(sfDir: String): String =
     s"BENCH_LATEST_${java.nio.file.Paths.get(sfDir).getFileName}.json"
 
-  def load(sfDir: String): Map[String, Double] = {
+  def load(sfDir: String, names: Seq[String]): Map[String, Double] = {
     val explicit = sys.env.get("SPARK_GRAFT_BENCH_PRIOR")
       .flatMap(p => parse(p, sfDir = None))
+    def round = latestRoundArtifact(sfDir, names)
     def latest = parse(latestPath(sfDir), sfDir = None)
     def bootstrap = parse("target/bench.json", sfDir = Some(sfDir))
-    explicit.orElse(latest).orElse(bootstrap).getOrElse(Map.empty)
+    explicit.orElse(round).orElse(latest).orElse(bootstrap).getOrElse(Map.empty)
+  }
+
+  /** Decode per-query walls out of the newest committed `BENCH_rNN.json`
+    * round artifact. The driver's artifact carries our own stdout tail
+    * (JSON-escaped), whose dense `"part":"wj"` line is positional over
+    * the alpha-sorted passing query names — the embedded "nck" CRC of
+    * the name list is the decode guard, so a renamed/added/dropped
+    * query makes this source reject itself rather than mis-attribute
+    * numbers (falls back to BENCH_LATEST). */
+  private[graft] def latestRoundArtifact(
+      sfDir: String, names: Seq[String]): Option[Map[String, Double]] =
+    try {
+      import scala.jdk.CollectionConverters._
+      val rs = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+        .iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.matches("BENCH_r\\d+\\.json"))
+        .toSeq.sortBy(f => f.replaceAll("\\D", "").toInt)
+      rs.reverseIterator
+        .flatMap(f => decodeWjLine(
+          java.nio.file.Files.readString(java.nio.file.Paths.get(f)), sfDir, names))
+        .nextOption()
+    } catch { case _: Throwable => None }
+
+  private[graft] def decodeWjLine(
+      raw: String, sfDir: String, names: Seq[String]): Option[Map[String, Double]] = {
+    // the wj line sits JSON-escaped inside the artifact's "tail"
+    // string; one unescape level exposes it (its own payload is
+    // names + integers — nothing that re-escapes)
+    val s = raw.replace("\\\"", "\"")
+    val want = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val alpha = names.sorted
+    val crc = new java.util.zip.CRC32
+    crc.update(alpha.mkString(",").getBytes("UTF-8"))
+    val wantNck = f"${crc.getValue & 0xffff}%04x"
+    val lineRe = """"part":"wj"[^\n]*?"sf":"([^"]*)"""".r
+    // any complete copy works (printFinal emits the line twice); scan
+    // all and keep the first that passes every guard
+    lineRe.findAllMatchIn(s).flatMap { m =>
+      val line = s.substring(math.max(0, s.lastIndexOf('{', m.start)), m.end)
+      def field(name: String): Option[String] =
+        (""""""" + name + """":"([^"]*)"""").r.findFirstMatchIn(line).map(_.group(1))
+      def arr(name: String): Option[Seq[Double]] =
+        (""""""" + name + """":\[([-0-9.,]*)\]""").r.findFirstMatchIn(line)
+          .map(_.group(1).split(',').toSeq.filter(_.nonEmpty).map(_.toDouble))
+      for {
+        sf <- field("sf") if sf.endsWith(want)
+        nck <- field("nck") if nck == wantNck
+        wenc <- field("wenc")
+        w <- arr("w") if w.size == alpha.size
+        scale = if (wenc == "cs") 0.01 else 1.0
+      } yield alpha.zip(w.map(_ * scale)).toMap
+    }.nextOption()
   }
 
   /** None unless the file exists, parses, and (when `sfDir` is given)
@@ -143,7 +202,7 @@ object Bench {
     // recorded per-query number becomes the min over ALL its timed
     // runs — a real measurement either way — so the round verdict can
     // adjudicate apparent regressions from the artifact alone.
-    val priorWalls: Map[String, Double] = BenchPrior.load(sfDir)
+    val priorWalls: Map[String, Double] = BenchPrior.load(sfDir, names)
     val suspects = sessionResults.collect {
       case (name, runs, _) if runs.nonEmpty && priorWalls.get(name).exists(p =>
         runs.head._1 > p * 1.3 && runs.head._1 - p > 0.2) => name
@@ -196,7 +255,17 @@ object Bench {
         s""""prior":${f(priorWalls(name))},"session":${f(session)},""" +
         s""""re":${re.mkString("[", ",", "]")}}"""
     }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","job_total":$jobTotal,"reps":$reps,"queries":$qs,"job_s":$js,"runs":$runs,"job_runs":$jruns,"remeasured":$remeas,"errors":$errs,"sf":"$sfDir"}"""
+    // cross-round movers that SURVIVED the remeasure (VERDICT r16 #1:
+    // flag, don't absorb): recorded min over ALL runs still >1.5× the
+    // previous round's committed number. These are the rows the next
+    // verdict must adjudicate (code regression vs box drift) — the
+    // artifact names them instead of burying them in the totals.
+    val movers = ok.collect {
+      case (name, ts, _) if priorWalls.get(name).exists(p =>
+        ts.head._1 > p * 1.5 && ts.head._1 - p > 0.2) =>
+        "\"" + name + s"""":{"prior":${f(priorWalls(name))},"final":${f(ts.head._1)}}"""
+    }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","job_total":$jobTotal,"reps":$reps,"queries":$qs,"job_s":$js,"runs":$runs,"job_runs":$jruns,"remeasured":$remeas,"cross_round_movers":$movers,"errors":$errs,"sf":"$sfDir"}"""
     // The artifact of record goes to its OWN file (VERDICT r7 #4: the
     // r7 log-tail capture started mid-line and lost q1/q10-q29 from the
     // checked-in BENCH json). stdout keeps the line for humans; the
@@ -317,6 +386,8 @@ object Bench {
     // print order = reverse priority: the verbose per-name lines clip
     // first; the pad + headline + dense + headline own the tail window.
     printFinal()
+    // release the kn-gate's last persisted model table (ADVICE r16)
+    graft.ops.TextOps.releaseKnCache()
     spark.stop()
     printFinal()
   }

@@ -339,8 +339,13 @@ object SparkEntry {
 
   /** q18's oracle reads the centroids q18 just persisted and re-derives
     * nearest-cell assignment (squared L2, ties → lowest cell, exactly
-    * Ivf.Model.nearestCell) + nprobe=4 probe set + cosine ranking. */
-  private lazy val ivfOracle: String =
+    * Ivf.Model.nearestCell) + nprobe=4 probe set + cosine ranking.
+    * A `def` (ADVICE r16): it interpolates the volatile ivfLastSfDir,
+    * and a lazy val would freeze the first sf dir evaluated for the
+    * JVM's lifetime — defeating the sf-scoping if oracleSql is ever
+    * consulted for a second sf in one process (PqQuery.oracleSql is
+    * likewise a def). */
+  private def ivfOracle: String =
     s"""WITH cent AS (
        |  SELECT cell, CAST(centroid AS DOUBLE[]) AS cen
        |  FROM read_parquet('${ivfCentroidsPath(ivfLastSfDir)}/*.parquet')),

@@ -19,6 +19,8 @@ object Verify {
       .map { case (k, v) => s"${jsonString(k)}: ${jsonString(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // release the kn-gate's last persisted model table (ADVICE r16)
+    graft.ops.TextOps.releaseKnCache()
     spark.stop()
   }
 

@@ -655,8 +655,31 @@ object LensBuild {
       else {
         val s = Files.readString(f)
         val re = """"((?:[^"\\]|\\.)*)":(\d+)""".r
+        // single left-to-right unescape pass (ADVICE r16): sequential
+        // replace() mis-decodes a literal backslash-then-quote key
+        // (\\\" would unescape the quote first, then fuse the escapes)
+        def unescape(k: String): String = {
+          val sb = new java.lang.StringBuilder(k.length)
+          var i = 0
+          while (i < k.length) {
+            val c = k.charAt(i)
+            if (c == '\\' && i + 1 < k.length) {
+              k.charAt(i + 1) match {
+                case 'n' => sb.append('\n'); case 't' => sb.append('\t')
+                case 'r' => sb.append('\r'); case 'b' => sb.append('\b')
+                case 'f' => sb.append('\f')
+                case 'u' if i + 5 < k.length =>
+                  sb.append(Integer.parseInt(k.substring(i + 2, i + 6), 16).toChar)
+                  i += 4
+                case other => sb.append(other)
+              }
+              i += 2
+            } else { sb.append(c); i += 1 }
+          }
+          sb.toString
+        }
         Some(re.findAllMatchIn(s).map { m =>
-          m.group(1).replace("\\\"", "\"").replace("\\\\", "\\") -> m.group(2).toLong
+          unescape(m.group(1)) -> m.group(2).toLong
         }.toMap)
       }
     } catch { case _: Throwable => None }

@@ -1177,6 +1177,14 @@ object TextOps {
   private val knCvwSlot =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
+  /** Drop the LAST invocation's persisted cvw model table (ADVICE r16:
+    * the one-slot registry only evicts the previous entry on the next
+    * call, so the final entry pins executor storage memory for the
+    * rest of the process). Call from Bench/Verify shutdown right
+    * before `spark.stop()`; safe to call with no prior invocation. */
+  def releaseKnCache(): Unit =
+    Option(knCvwSlot.getAndSet(null)).foreach(_.unpersist(blocking = false))
+
   def knLowProbGate(docs: DataFrame, tauNum: Long = 1L, tauDen: Long = 100L,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol).cast("long").as(idCol),
