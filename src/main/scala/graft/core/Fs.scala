@@ -42,6 +42,24 @@ object Fs {
     }
   }
 
+  /** Hardlink (copy fallback) an entire directory tree — the O(#files)
+    * metadata-only carry both copy-on-write surfaces use (bucketed
+    * snapshot commits and the lens compute-cache swap): untouched
+    * bucket directories of the previous generation become links in the
+    * next one instead of rewritten data. An object-store deployment
+    * would swap this seam for server-side copy. */
+  def linkOrCopyDir(src: Path, dst: Path): Unit = {
+    Files.createDirectories(dst)
+    list(src).foreach { f =>
+      val t = dst.resolve(f.getFileName.toString)
+      if (Files.isDirectory(f)) linkOrCopyDir(f, t)
+      else if (!Files.exists(t)) {
+        try { Files.createLink(t, f); () }
+        catch { case _: Throwable => Files.copy(f, t); () }
+      }
+    }
+  }
+
   /** Reap sibling `<prefix><pid>` dirs left by processes that no longer
     * exist. The pid-suffix pattern gives every live process its own
     * scratch dir (concurrent runs never share state — in-process locks

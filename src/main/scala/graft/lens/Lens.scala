@@ -428,85 +428,19 @@ object LensBuild {
       .withColumn("path", concat(lit("/"), col("source"), lit("/"),
         col("author"), lit(":"), col("cname"), lit("/records/"), col("id")))
     var gatePersisted: Option[DataFrame] = None
-    var spoolPersisted: Option[Dataset[BuildEmit]] = None
+    var freshPersisted: Option[Dataset[BuildEmit]] = None
+    var idsPersisted: Option[DataFrame] = None
     try {
 
-    // ---- 2. freshness split against the compute cache (reference:
-    //         lens.js:134-190 — version-gated recompute, cache retain).
-    //         ONE full-outer join against the cache's seen rows
-    //         classifies every path — fresh (new or version-bumped),
-    //         retained (cached and unchanged), deleted (cached only) —
-    //         and ONE aggregate over the persisted result answers both
-    //         no-op probes; the map stage and the retain semi-join read
-    //         the same persisted frame. The previous shape (left join +
-    //         two isEmpty probes + semi- then anti-join) re-ran the
-    //         input scan and window shuffle up to five times per build
-    //         (VERDICT r5 #6).
-    val cacheDir = lens.cacheDir
-    val useCache = incremental && Files.isDirectory(cacheDir)
-    // (fresh input rows, retained cache rows, and — when the cache is in
-    // play — the cache frame + retain-path set, which the bucketed
-    // output's changed-id derivation below needs)
-    val (freshIn: DataFrame, retained: Dataset[BuildEmit],
-         cacheInfo: Option[(Dataset[BuildEmit], DataFrame)]) =
-      if (useCache) {
-        // schema pinned: we wrote this parquet; skips the footer-infer job
-        val cache = spark.read.schema(emitEnc.schema)
-          .parquet(cacheDir.toString).as[BuildEmit](emitEnc)
-        val seen = cache.filter(col("kind") === "seen")
-          .select(col("path"), col("inVersion").as("cachedV"))
-        val gate = current.join(seen, Seq("path"), "full_outer")
-          .withColumn("isCur", col("version").isNotNull) // RecordRow.version is non-null
-          .withColumn("isFresh", col("isCur") &&
-            (col("cachedV").isNull || col("cachedV") < col("version")))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        gatePersisted = Some(gate)
-        val counts = gate.agg(
-          count(when(col("isFresh"), 1)).as("nFresh"),
-          count(when(!col("isCur"), 1)).as("nDeleted")).first()
-        if (counts.getLong(0) == 0 && counts.getLong(1) == 0) {
-          // record-versions unchanged though collection versions moved
-          // (identical rewrites bump only the latter): advance the
-          // manifest so the NEXT build takes the zero-job fast path
-          inputVersionsNow.foreach(writeInputVersions(cacheDirFp, _))
-          return lens.output.meta.version // no-op
-        }
-        val fresh = gate.filter(col("isFresh"))
-          .drop("cachedV", "isCur", "isFresh")
-        val retainPaths = gate.filter(col("isCur") && !col("isFresh")).select("path")
-        val kept = cache.join(retainPaths, Seq("path"), "left_semi")
-          .as[BuildEmit](emitEnc)
-        (fresh, kept, Some((cache, retainPaths)))
-      } else (current, spark.emptyDataset[BuildEmit](emitEnc), None)
-
-    // ---- 3. map stage: executor-side flatMap with log/error capture
-    //         over the FRESH records only; spooled together with the
-    //         retained cache rows (reference spools to scratch:
-    //         lens.js:151-160)
+    // ---- shared stages ------------------------------------------------
+    // Map stage: executor-side flatMap with log/error capture over the
+    // FRESH records only (reference spools to scratch: lens.js:151-160).
     val fn = lens.fn
     val timeoutMs = lens.timeoutMs
     val sandboxed = lens.sandboxed
     val memCap = lens.memCapBytes
-    val freshSel = freshIn
+    def mapEmits(in: DataFrame): Dataset[BuildEmit] = in
       .select("id", "value", "version", "ord", "source", "author", "cname")
-    // Map-stage parallelism: the map fn is the expensive stage of a
-    // build (user JS, CBOR decode). On a SINGLE-INPUT FULL build the
-    // plan is a narrow snapshot scan — partitions = input files, and a
-    // small collection (one ~MB parquet) runs the whole map in ONE
-    // task. Repartition up to the session's parallelism in exactly that
-    // case. Narrow-plan-only by construction: `.rdd` under AQE
-    // materializes query stages, so probing partition counts is only
-    // free when the plan has no exchanges (single input ⇒ no dedup
-    // window; no cache ⇒ no gate join). The other paths are already
-    // wide: multi-input builds shuffle in the dedup window, incremental
-    // builds in the freshness gate. At scale a big collection has ≫
-    // cores file-partitions and this is a no-op.
-    val smallInput = !useCache && lens.inputs.size == 1 &&
-      freshSel.rdd.getNumPartitions < spark.sparkContext.defaultParallelism
-    val mapIn =
-      if (smallInput) freshSel.repartition(spark.sparkContext.defaultParallelism)
-      else freshSel
-    val freshEmits: Dataset[BuildEmit] = mapIn
       .as[(String, Array[Byte], Long, Int, String, String, String)]
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes, ver, ord, source, author, cname) =>
@@ -531,43 +465,16 @@ object LensBuild {
         }
       }(emitEnc)
 
-    // The spool is BOTH the next compute cache (parquet, swapped in at
-    // the end) and the input to the reduce + logs stages. Persist the
-    // union so the write job doubles as the materialization and the
-    // downstream stages read memory/local-disk instead of re-reading
-    // the parquet they just wrote (footer + scan jobs per consumer).
-    // Determinism note: if a cached partition were lost, recompute
-    // re-runs the map fn — deterministic by the lens contract (the JS
-    // interpreter enforces it; local mode never loses partitions), so
-    // the spool parquet and the reduce always agree.
-    val cacheNext = cacheDir.resolveSibling("cache-next")
-    // When the map input was small enough to need the explicit
-    // repartition above, rebalance the spool back down before it
-    // becomes the cache: an AQE-coalescible no-arg repartition collapses
-    // the 32 near-empty map partitions to size-targeted ones, so the
-    // cache is 1-2 files instead of 33 and every later incremental
-    // build's cache scan schedules a handful of tasks, not a file per
-    // core. Big builds never hit this branch — their spool keeps its
-    // natural partitioning and pays no extra shuffle.
-    val spoolFrame =
-      if (smallInput) retained.unionByName(freshEmits).repartition()
-      else retained.unionByName(freshEmits)
-    val spooled = spoolFrame
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    spoolPersisted = Some(spooled)
-    spooled.write.mode("overwrite").parquet(cacheNext.toString)
-
-    // ---- 4. merge-reduce per output id. Two physical strategies, same
-    //         semantics for the values each admits:
-    //         - default: ONE shuffle on the id, values folded in (input
-    //           ordinal, natural record order, emit order) — exact
-    //           order-sensitive reference semantics (lens.js:204-215);
-    //         - CommutativeMapFn: partial-aggregating shuffle (map-side
-    //           combine) — shuffle volume drops from O(emitted pairs) to
-    //           O(distinct keys × partitions), the 100 TB path for
-    //           set-union/sum lenses.
-    val outs = spooled.filter(col("kind") === "out")
-    val reduced: Dataset[(String, Array[Byte], String, Seq[String])] =
+    // Merge-reduce per output id. Two physical strategies, same
+    // semantics for the values each admits:
+    //  - default: ONE shuffle on the id, values folded in (input
+    //    ordinal, natural record order, emit order) — exact
+    //    order-sensitive reference semantics (lens.js:204-215);
+    //  - CommutativeMapFn: partial-aggregating shuffle (map-side
+    //    combine) — shuffle volume drops from O(emitted pairs) to
+    //    O(distinct keys × partitions), the 100 TB path for
+    //    set-union/sum lenses.
+    def reduceOuts(outs: Dataset[BuildEmit]): DataFrame =
       (if (fn.isInstanceOf[CommutativeMapFn])
         outs.groupByKey(_.outId).agg(ReduceAggregator.toColumn.name("value"))
       else
@@ -580,57 +487,264 @@ object LensBuild {
         .map { case (id, bytes) =>
           val v = Cbor.decode(bytes)
           (id, bytes, Cbor.hash(v), RecordStructure.listHashURLs(v): Seq[String])
-        }
+        }.toDF("id", "value", "hash", "links")
 
-    // ---- 5. hash-gated materialize: unchanged output records keep their
-    //         version (same gate as a dataset commit)
+    val cacheDir = lens.cacheDir
+    val cacheNext = cacheDir.resolveSibling("cache-next")
     val out = lens.output
-    val newVersion = out.nextVersion
-    val old = out.toDF.select(col("id"), col("version").as("old_version"),
-      col("hash").as("old_hash"))
-    val rows = reduced.toDF("id", "value", "hash", "links")
-      .join(old, Seq("id"), "left")
-      .withColumn("version",
-        when(col("old_hash") === col("hash"), col("old_version"))
-          .otherwise(lit(newVersion)))
-      .select(col("id"), col("version"), col("hash"), col("links"), col("value"))
-      .as[RecordRow]
+    val useCache = incremental && Files.isDirectory(cacheDir)
 
+    val v: Long = if (!useCache) {
+      // ==== FULL BUILD ==================================================
+      // Map everything, spool everything, reduce everything; the spool
+      // becomes the next compute cache. `pbuckets` > 1 lays the cache
+      // out as `pbucket=k` partitions hashed on the input path so later
+      // INCREMENTAL builds rewrite only the buckets their delta touches
+      // (copy-on-write, the snapshot-commit profile) — derived from the
+      // input snapshot size (scale-adaptive; 1 at bench scale, where a
+      // partitioned layout would only fragment a tiny cache), overridable
+      // via `graft.lens.cachePartitions` for tests/production tuning.
+      val pbuckets = derivePBuckets(lens)
+      // Map-stage parallelism: the map fn is the expensive stage of a
+      // build (user JS, CBOR decode). On a SINGLE-INPUT FULL build the
+      // plan is a narrow snapshot scan — partitions = input files, and a
+      // small collection (one ~MB parquet) runs the whole map in ONE
+      // task. Repartition up to the session's parallelism in exactly that
+      // case. Narrow-plan-only by construction: `.rdd` under AQE
+      // materializes query stages, so probing partition counts is only
+      // free when the plan has no exchanges (single input ⇒ no dedup
+      // window; no cache ⇒ no gate join). Multi-input builds are already
+      // wide (the dedup window shuffles). At scale a big collection has
+      // ≫ cores file-partitions and this is a no-op.
+      val freshSel = current
+        .select("id", "value", "version", "ord", "source", "author", "cname")
+      val smallInput = lens.inputs.size == 1 &&
+        freshSel.rdd.getNumPartitions < spark.sparkContext.defaultParallelism
+      val mapIn =
+        if (smallInput) freshSel.repartition(spark.sparkContext.defaultParallelism)
+        else freshSel
+      // The spool is BOTH the next compute cache (parquet, swapped in at
+      // the end) and the input to the reduce + logs stages. Persist it so
+      // the write job doubles as the materialization and the reduce reads
+      // memory/local-disk instead of re-reading the parquet it just wrote.
+      // At pbuckets == 1 the AQE rebalance sits BELOW the persist so ONE
+      // shuffle serves both consumers: the cache lands size-targeted
+      // (1-2 files at bench scale, advisory-sized at 100 TB — not a file
+      // per map task) and the reduce reads the coalesced blocks. The
+      // pbuckets > 1 write shuffles by pbucket inside writeCache instead.
+      val spoolDs =
+        if (pbuckets == 1) mapEmits(mapIn).hint("rebalance")
+        else mapEmits(mapIn)
+      val spooled = spoolDs
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      freshPersisted = Some(spooled)
+      writeCache(spooled.toDF(), cacheNext, pbuckets)
+
+      // hash-gated materialize: unchanged output records keep their
+      // version (same gate as a dataset commit)
+      val reduced = reduceOuts(spooled.filter(col("kind") === "out"))
+      val newVersion = out.nextVersion
+      val old = out.toDF.select(col("id"), col("version").as("old_version"),
+        col("hash").as("old_hash"))
+      val rows = reduced
+        .join(old, Seq("id"), "left")
+        .withColumn("version",
+          when(col("old_hash") === col("hash"), col("old_version"))
+            .otherwise(lit(newVersion)))
+        .select(col("id"), col("version"), col("hash"), col("links"), col("value"))
+        .as[RecordRow]
+      val committed = out.commitPrepared(rows)
+      // the fast-path manifest rides the cache swap (atomic with it)
+      inputVersionsNow.foreach(writeInputVersions(cacheNext, _, pbuckets))
+      swapDir(cacheNext, cacheDir)
+      committed
+    } else {
+      // ==== INCREMENTAL BUILD — O(delta), not O(corpus) =================
+      // (VERDICT r16 Next #3.) Three delta-scaled legs after the gate:
+      //  1. the compute-cache rewrite touches only the `pbucket=k` dirs
+      //     containing a fresh/deleted path (hardlink-carry for the rest);
+      //  2. the merge-reduce runs only over the output ids whose
+      //     contributions moved (retained contributions of those ids are
+      //     re-read from the cache; everything else is never decoded);
+      //  3. the output commit carries unchanged rows straight from the
+      //     previous snapshot (byte-identical by the hash-gate argument:
+      //     unchanged contributions reduce to the same value) and
+      //     hash-gates only the changed ids.
+      // The gate itself stays O(corpus metadata) — one full-outer join of
+      // narrow (path, version) rows — which is the irreducible cost of
+      // detecting new and deleted records.
+
+      // ---- freshness gate (reference: lens.js:134-190 — version-gated
+      //      recompute, cache retain). ONE full-outer join against the
+      //      cache's seen rows classifies every path — fresh (new or
+      //      version-bumped), retained (cached and unchanged), deleted
+      //      (cached only). Schema pinned: we wrote this parquet; skips
+      //      the footer-infer job. `pbucket` (when the cache is
+      //      partitioned) arrives as a discovered partition column.
+      val cacheRaw = spark.read.schema(emitEnc.schema).parquet(cacheDir.toString)
+      val emitCols = emitEnc.schema.fieldNames.toSeq.map(col)
+      val cache = cacheRaw.select(emitCols: _*).as[BuildEmit](emitEnc)
+      val pbuckets = readPBuckets(cacheDirFp).getOrElse(1)
+      val usePB = pbuckets > 1 && cacheRaw.columns.contains("pbucket")
+      val seen = cache.filter(col("kind") === "seen")
+        .select(col("path"), col("inVersion").as("cachedV"))
+      val gate = current.join(seen, Seq("path"), "full_outer")
+        .withColumn("isCur", col("version").isNotNull) // RecordRow.version is non-null
+        .withColumn("isFresh", col("isCur") &&
+          (col("cachedV").isNull || col("cachedV") < col("version")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      gatePersisted = Some(gate)
+      val changed = gate.filter(col("isFresh") || !col("isCur"))
+      // ONE small job over the persisted gate answers the no-op probe
+      // AND names the cache buckets the rewrite must touch (replaces the
+      // previous separate nFresh/nDeleted aggregate)
+      val pbOf =
+        if (usePB) pmod(xxhash64(col("path")), lit(pbuckets.toLong)) else lit(0L)
+      val touched = changed.select(pbOf.as("pb")).distinct().as[Long].collect().toSet
+      if (touched.isEmpty) {
+        // record-versions unchanged though collection versions moved
+        // (identical rewrites bump only the latter): advance the
+        // manifest so the NEXT build takes the zero-job fast path
+        inputVersionsNow.foreach(writeInputVersions(cacheDirFp, _, pbuckets))
+        return out.meta.version // no-op
+      }
+      val changedPaths = changed.select("path")
+      val freshEmits = mapEmits(gate.filter(col("isFresh")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      freshPersisted = Some(freshEmits)
+
+      // ---- cache copy-on-write: rewrite ONLY the touched pbuckets
+      //      (retained rows of those buckets + all fresh emits — a fresh
+      //      path's emits land in its own path-hash bucket, so the delta
+      //      frame covers exactly the touched dirs); every untouched
+      //      bucket dir carries forward by hardlink. The retained-row
+      //      classification is an ANTI-join against the DELTA-SIZED
+      //      changed-path set (broadcastable), not a semi-join against
+      //      the O(corpus) retain set the previous shape shuffled.
+      val retainSrc =
+        if (usePB) cacheRaw.filter(col("pbucket").isin(touched.toSeq: _*))
+          .select(emitCols: _*)
+        else cache.toDF()
+      val retainedTouched = retainSrc.join(changedPaths, Seq("path"), "left_anti")
+      val delta = retainedTouched.unionByName(freshEmits.toDF())
+      writeCache(if (pbuckets == 1) delta.hint("rebalance") else delta,
+        cacheNext, pbuckets)
+      if (usePB) carryCacheBuckets(cacheDir, cacheNext, touched)
+
+      // ---- changed output ids (delta-scaled): an id's reduced value can
+      //      move only if some contribution to it did — it appears in the
+      //      NEW emits of a fresh path, or in the CACHED emits of a
+      //      fresh-or-deleted path (old contributions of an updated path
+      //      may shrink; a fully-deleted path may vanish its ids, which
+      //      the carry below must not resurrect).
+      val cacheOuts = cache.filter(col("kind") === "out")
+      val changedOutIds = freshEmits.toDF().filter(col("kind") === "out")
+        .select(col("outId").as("id"))
+        .unionByName(cacheOuts.join(changedPaths, Seq("path"), "left_semi")
+          .select(col("outId").as("id")))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      idsPersisted = Some(changedOutIds)
+
+      // ---- delta reduce: contributions of the changed ids only —
+      //      retained cache rows (anti the changed paths) semi-joined to
+      //      the changed-id set, plus every fresh emit. Unchanged ids are
+      //      never decoded, merged, or re-hashed.
+      val retainedContrib = cacheOuts.join(changedPaths, Seq("path"), "left_anti")
+        .join(changedOutIds.select(col("id").as("outId")), Seq("outId"), "left_semi")
+      val contrib = retainedContrib
+        .unionByName(freshEmits.toDF().filter(col("kind") === "out"))
+        .as[BuildEmit](emitEnc)
+      val reducedChanged = reduceOuts(contrib)
+
+      // ---- hash-gated materialize over the delta; everything else is
+      //      carried byte-identical from the previous output snapshot.
+      //      commitPrepared gets the changed-id set so a bucketed output
+      //      rewrites only the touched id-buckets (the writeEntriesDF COW
+      //      profile, for lens commits too) — at 100 TB the difference
+      //      between rewriting the whole derived collection per
+      //      incremental tick and rewriting 1/B of it.
+      val newVersion = out.nextVersion
+      val old = out.toDF
+      val carried = old.join(changedOutIds, Seq("id"), "left_anti")
+        .select(col("id"), col("version"), col("hash"), col("links"), col("value"))
+      val oldChanged = old.join(changedOutIds, Seq("id"), "left_semi")
+        .select(col("id"), col("version").as("old_version"),
+          col("hash").as("old_hash"))
+      val gated = reducedChanged.join(oldChanged, Seq("id"), "left")
+        .withColumn("version",
+          when(col("old_hash") === col("hash"), col("old_version"))
+            .otherwise(lit(newVersion)))
+        .select(col("id"), col("version"), col("hash"), col("links"), col("value"))
+      val rows = carried.unionByName(gated).as[RecordRow]
+      val committed = out.commitPrepared(rows, Some(changedOutIds))
+      // the fast-path manifest rides the cache swap (atomic with it)
+      inputVersionsNow.foreach(writeInputVersions(cacheNext, _, pbuckets))
+      swapDir(cacheNext, cacheDir)
+      committed
+    }
     // (logs need no write of their own — Lens.logsOf serves them from
     // the cache parquet the spool becomes, reference lens.js:87-92)
-
-    // Bucketed lens output + incremental build: hand commitPrepared the
-    // CHANGED output ids so it rewrites only their buckets and carries
-    // the rest by hardlink (the writeEntriesDF COW profile, now for
-    // lens commits too). An output id's value can change only if some
-    // contribution to it moved — i.e. it appears in the NEW emits of a
-    // non-retained (fresh) path, or in the CACHED emits of a
-    // non-retained (fresh-or-deleted) path (old contributions of an
-    // updated path may shrink; a fully-deleted path may vanish its ids,
-    // which the carry must not resurrect). Unchanged-bucket rows are
-    // content-identical by the hash gate above, satisfying the
-    // commitPrepared caller contract. At 100 TB this is the difference
-    // between rewriting the whole derived collection per incremental
-    // tick and rewriting 1/B of it.
-    val changedIds: Option[DataFrame] = cacheInfo.collect {
-      case (cache, retainPaths) if store.buckets.isDefined =>
-        val newContrib = spooled.toDF().filter(col("kind") === "out")
-          .join(retainPaths, Seq("path"), "left_anti")
-          .select(col("outId").as("id"))
-        val oldContrib = cache.toDF().filter(col("kind") === "out")
-          .join(retainPaths, Seq("path"), "left_anti")
-          .select(col("outId").as("id"))
-        newContrib.unionByName(oldContrib).distinct()
-    }
-    val v = out.commitPrepared(rows, changedIds)
-
-    // the fast-path manifest rides the cache swap (atomic with it)
-    inputVersionsNow.foreach(writeInputVersions(cacheNext, _))
-    swapDir(cacheNext, cacheDir)
     v
     } finally {
       gatePersisted.foreach(_.unpersist(blocking = false))
-      spoolPersisted.foreach(_.unpersist(blocking = false))
+      freshPersisted.foreach(_.unpersist(blocking = false))
+      idsPersisted.foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  /** Cache-layout write: `pbuckets` > 1 hashes rows into `pbucket=k`
+    * partition dirs on the input path — one shuffle keyed on the bucket
+    * (so each bucket lands in exactly one task → one file per bucket,
+    * never tasks × buckets small files), then a partitioned write. At
+    * `pbuckets == 1` the layout is a plain parquet dir, exactly the
+    * pre-COW shape. */
+  private def writeCache(df: DataFrame, dest: Path, pbuckets: Int): Unit =
+    if (pbuckets > 1)
+      df.withColumn("pbucket", pmod(xxhash64(col("path")), lit(pbuckets.toLong)))
+        .repartition(col("pbucket"))
+        .write.mode("overwrite").partitionBy("pbucket").parquet(dest.toString)
+    else
+      // pbuckets == 1: plain layout; callers rebalance the frame FIRST
+      // (full builds below their persist, so one shuffle serves both the
+      // write and the reduce) — otherwise the cache inherits
+      // (cache-scan ∪ map) parallelism as its file count and fragments
+      // compounding (measured ~65 files of a 5 000-row spool by the
+      // second build, every later gate/reduce scan scheduling a task
+      // per file)
+      df.write.mode("overwrite").parquet(dest.toString)
+
+  /** Hardlink-carry every untouched `pbucket=k` dir of the previous
+    * cache generation into the next — the COW half of the cache swap,
+    * O(#files) metadata work (the bucketed-snapshot carryBuckets
+    * profile). */
+  private def carryCacheBuckets(from: Path, to: Path, skip: Set[Long]): Unit =
+    graft.core.Fs.list(from).foreach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("pbucket="))
+        n.stripPrefix("pbucket=").toLongOption.foreach { k =>
+          if (!skip(k)) graft.core.Fs.linkOrCopyDir(p, to.resolve(n))
+        }
+    }
+
+  /** Cache partition count for a full (re)write: explicit
+    * `graft.lens.cachePartitions` session conf wins; otherwise derived
+    * from the current input snapshot bytes at ~64 MB of input per
+    * bucket, so the granularity a single-record commit rewrites stays
+    * bounded as the corpus grows. 1 at bench scale (a partitioned
+    * layout would only fragment a tiny cache into per-bucket files);
+    * capped so the directory count stays filesystem-friendly. */
+  private val TargetCacheBucketBytes = 64L * 1024 * 1024
+  private val MaxCacheBuckets = 65536
+  private def derivePBuckets(lens: Lens): Int = {
+    val conf = lens.store.spark.conf.get("graft.lens.cachePartitions", "auto")
+    conf.toIntOption.filter(_ >= 1).getOrElse {
+      val bytes = lens.inputs.map { p =>
+        try lens.store.collection(DataPath(p.source, p.author, p.name))
+          .currentSnapshotBytes
+        catch { case _: Throwable => 0L } // missing input: the scan throws later, as before
+      }.sum
+      math.min(MaxCacheBuckets.toLong, bytes / TargetCacheBucketBytes + 1).toInt
     }
   }
 
@@ -640,13 +754,26 @@ object LensBuild {
   }
 
   /** input-collection versions the cache was built against — the
-    * zero-job no-op fast path's manifest (doBuild step 0). Lives inside
-    * the cache dir so the atomic swap keeps cache and manifest
-    * consistent; absent/corrupt reads fall back to the gate query. */
+    * zero-job no-op fast path's manifest (doBuild step 0) — plus the
+    * cache's pbucket count under [[PBucketsKey]] (can't collide with a
+    * collection path, which always starts with '/'). Lives inside the
+    * cache dir so the atomic swap keeps cache and manifest consistent;
+    * absent/corrupt reads fall back to the gate query / the
+    * unpartitioned-layout full rewrite. */
   private def inputVersionsFile(cacheDir: Path): Path =
     // underscore prefix: Spark/Hadoop file listings ignore `_*` files,
     // so the parquet reads over the cache dir never see the manifest
     cacheDir.resolve("_input_versions.json")
+
+  private val PBucketsKey = "__pbuckets"
+
+  private[lens] def readPBuckets(cacheDir: Path): Option[Int] =
+    try {
+      val f = inputVersionsFile(cacheDir)
+      if (!Files.isRegularFile(f)) None
+      else ("\"" + PBucketsKey + "\":(\\d+)").r
+        .findFirstMatchIn(Files.readString(f)).map(_.group(1).toInt)
+    } catch { case _: Throwable => None }
 
   private def readInputVersions(cacheDir: Path): Option[Map[String, Long]] =
     try {
@@ -680,14 +807,16 @@ object LensBuild {
         }
         Some(re.findAllMatchIn(s).map { m =>
           unescape(m.group(1)) -> m.group(2).toLong
-        }.toMap)
+        }.toMap - PBucketsKey) // the layout key is not an input version
       }
     } catch { case _: Throwable => None }
 
-  private def writeInputVersions(cacheDir: Path, vs: Map[String, Long]): Unit =
+  private def writeInputVersions(cacheDir: Path, vs: Map[String, Long],
+                                 pbuckets: Int): Unit =
     try {
-      val json = vs.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"${graft.Verify.jsonString(k)}:$v" }
+      val json = (vs.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${graft.Verify.jsonString(k)}:$v" } :+
+        s""""$PBucketsKey":$pbuckets""")
         .mkString("{", ",", "}")
       Files.writeString(inputVersionsFile(cacheDir), json)
     } catch { case _: Throwable => () } // best-effort: absence = gate path

@@ -135,7 +135,13 @@ object StoreQueries {
     // processes' dirs would never be reaped
     val sfName = Paths.get(sfDir).getFileName.toString
     val root = pidScratch(s"graft-ptq-$sfName")
-    val store = new Store(spark, root)
+    // BUCKETED store (VERDICT r16 Next #4): the per-id lookups below are
+    // the whole point of this fixture, and on a bucketed store each one
+    // prunes to its id's single `bucket=k` dir (1/16 of the snapshot's
+    // files) instead of scanning the full snapshot — the shape a point
+    // lookup must have at 100 TB. Values/versions are layout-independent,
+    // so the oracle contract is unchanged.
+    val store = new Store(spark, root, buckets = Some(16))
     val ds = store.dataset("bench", "docs-pt")
     if (ds.exists) ds.drop()
     ds.create()

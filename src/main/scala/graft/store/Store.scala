@@ -324,6 +324,19 @@ final class Collection(val store: Store, val path: DataPath) {
   private def bucketExpr(b: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(col("id")), lit(b.toLong))
 
+  /** On-disk bytes of the current snapshot's parquet files — metadata
+    * only (file sizes, no data read). Sizes the lens compute-cache's
+    * scale-adaptive partitioning. */
+  private[graft] def currentSnapshotBytes: Long = {
+    def walk(p: Path): Long =
+      if (Files.isDirectory(p)) graft.core.Fs.list(p).iterator.map(walk).sum
+      else if (p.getFileName.toString.endsWith(".parquet"))
+        try Files.size(p) catch { case _: Throwable => 0L }
+      else 0L
+    val d = snapshotDir(meta.version)
+    if (Files.isDirectory(d)) walk(d) else 0L
+  }
+
   /** Read-compat projection over a raw snapshot frame. A 100 TB store
     * lives across engine versions, so the snapshot schema is a
     * CONTRACT with two evolution rules, both pinned by StoreSpec:
@@ -390,13 +403,44 @@ final class Collection(val store: Store, val path: DataPath) {
       .select("id").as[String].toLocalIterator().asScala
   }
 
-  /** S3: point lookup. The id predicate pushes to the parquet scan. */
+  /** Driver-side bucket assignment for a batch of literal ids: the SAME
+    * [[bucketExpr]] the writer uses, evaluated over a LocalRelation —
+    * the optimizer folds the projection (ConvertToLocalRelation), so
+    * the collect is a local array copy, NO Spark job. Using the one
+    * expression tree for writer and reader means they can never drift. */
+  private def bucketsOfIds(ids: Seq[String], b: Int): Seq[Long] =
+    ids.toDF("id").select(bucketExpr(b).as("k"))
+      .collect().map(_.getLong(0)).toSeq.distinct
+
+  /** S3 single-id scan, bucket-pruned (VERDICT r16 Next #4): on a
+    * bucketed store the point lookup reads ONLY the `bucket=k`
+    * partition dir of the id's hash bucket — 1/B of the snapshot's
+    * files — instead of scanning the whole snapshot; the id equality
+    * still pushes into that one dir's parquet scan. Falls back to the
+    * full scan on unbucketed stores and on pre-bucketing snapshots
+    * (no `bucket` partition column). */
+  private[store] def pointScan(id: String): Dataset[RecordRow] = {
+    val m = meta
+    val d = snapshotDir(m.version)
+    if (!hasParquet(d)) spark.emptyDataset[RecordRow]
+    else {
+      val full = readSnapshot(d)
+      val pruned = store.buckets match {
+        case Some(b) if full.columns.contains("bucket") =>
+          full.filter(col("bucket") === lit(bucketsOfIds(Seq(id), b).head))
+        case _ => full
+      }
+      compatProjection(pruned).as[RecordRow].filter(col("id") === lit(id))
+    }
+  }
+
+  /** S3: point lookup. Bucket-pruned on a bucketed store; the id
+    * predicate pushes to the parquet scan either way. */
   def read(id: String): Option[PoValue] =
-    records.filter(col("id") === lit(id)).limit(1).collect()
-      .headOption.map(r => Cbor.decode(r.value))
+    pointScan(id).limit(1).collect().headOption.map(r => Cbor.decode(r.value))
 
   def readRow(id: String): Option[RecordRow] =
-    records.filter(col("id") === lit(id)).limit(1).collect().headOption
+    pointScan(id).limit(1).collect().headOption
 
   /** W4: single-record upsert. */
   def write(id: String, value: PoValue): Long =
@@ -438,7 +482,11 @@ final class Collection(val store: Store, val path: DataPath) {
     // last write per id wins inside one batch (JS object-entry semantics)
     val dedup = scala.collection.mutable.LinkedHashMap[String, (String, Array[Byte], Boolean)]()
     norm.foreach(e => dedup(e._1) = e)
-    writeEntriesDF(spark.createDataset(dedup.values.toSeq).toDF("id", "value", "tombstone"), mode)
+    // the batch ids are in hand on the driver → the COW touched-bucket
+    // set needs no Spark job (the single-record HTTP PUT path runs one
+    // commit per request; a probe job per commit was pure overhead)
+    writeEntriesDF(spark.createDataset(dedup.values.toSeq).toDF("id", "value", "tombstone"),
+      mode, knownIds = Some(dedup.keys.toSeq))
   }
 
   /** DataFrame form of W2/W3: `in` has columns id STRING, value BINARY
@@ -446,7 +494,14 @@ final class Collection(val store: Store, val path: DataPath) {
     * runs on executors; version carry-over is a join against the current
     * snapshot — no driver-side iteration, any scale.
     */
-  def writeEntriesDF(in: DataFrame, mode: WriteMode): Long = store.withLock(path) { store.withCommitGate {
+  def writeEntriesDF(in: DataFrame, mode: WriteMode): Long =
+    writeEntriesDF(in, mode, knownIds = None)
+
+  /** `knownIds`: the batch's ids when the caller already holds them on
+    * the driver ([[writeEntries]]) — the bucketed COW merge then derives
+    * its touched-bucket set locally instead of running a probe job. */
+  private def writeEntriesDF(in: DataFrame, mode: WriteMode,
+                             knownIds: Option[Seq[String]]): Long = store.withLock(path) { store.withCommitGate {
     require(exists, s"collection ${path.encoded} does not exist")
     val m = meta
     val newVersion = m.version + 1
@@ -483,10 +538,14 @@ final class Collection(val store: Store, val path: DataPath) {
     // participate; the rest of the snapshot carries forward at file level.
     val cow = store.buckets.filter(_ => mode == WriteMode.Merge)
 
-    // the touched-bucket set is one tiny job; reused by the read prune
-    // and the carry-forward skip list
+    // the touched-bucket set — derived driver-side when the batch ids
+    // are known (no job), else one tiny probe job; reused by the read
+    // prune and the carry-forward skip list
     val touchedCow: Option[(Int, Seq[Long])] =
-      cow.map(b => (b, touchedBuckets(prep, b)))
+      cow.map(b => (b, knownIds match {
+        case Some(ids) => bucketsOfIds(ids, b)
+        case None => touchedBuckets(prep, b)
+      }))
 
     val oldBase: DataFrame = touchedCow match {
       case Some((b, touched)) =>
@@ -504,24 +563,37 @@ final class Collection(val store: Store, val path: DataPath) {
       case None => toDF
     }
 
-    val old = oldBase.select(col("id"), col("version").as("old_version"),
-      col("hash").as("old_hash"))
-
     // hash-gated version: unchanged content keeps its version, changed or
     // new content stamps the new collection version
-    val kept = prep.filter(!col("tombstone"))
-      .join(old, Seq("id"), "left")
-      .withColumn("version",
-        when(col("old_hash") === col("hash"), col("old_version"))
-          .otherwise(lit(newVersion)))
-      .select(col("id"), col("version"), col("hash"), col("links"), col("value"))
-
     val result = mode match {
       case WriteMode.Merge =>
-        val untouched = oldBase.select("id", "version", "hash", "links", "value")
-          .join(prep.select("id"), Seq("id"), "left_anti")
-        untouched.unionByName(kept)
-      case WriteMode.Overwrite => kept
+        // ONE full-outer join classifies every id — insert (batch only),
+        // update/delete (both sides), untouched carry (old only). The
+        // previous two-join shape (left join for the gate + anti-join for
+        // the carry) scanned the snapshot twice AND evaluated the prep
+        // map (CBOR decode + hash + link check per row) once per branch.
+        val oldR = oldBase.select(col("id"), col("version").as("old_version"),
+          col("hash").as("old_hash"), col("links").as("old_links"),
+          col("value").as("old_value"))
+        val inBatch = col("tombstone").isNotNull // batch side present
+        prep.join(oldR, Seq("id"), "full_outer")
+          .filter(!(inBatch && col("tombstone"))) // tombstones drop their id
+          .select(col("id"),
+            when(!inBatch, col("old_version"))
+              .when(col("old_hash") === col("hash"), col("old_version"))
+              .otherwise(lit(newVersion)).as("version"),
+            when(inBatch, col("hash")).otherwise(col("old_hash")).as("hash"),
+            when(inBatch, col("links")).otherwise(col("old_links")).as("links"),
+            when(inBatch, col("value")).otherwise(col("old_value")).as("value"))
+      case WriteMode.Overwrite =>
+        val old = oldBase.select(col("id"), col("version").as("old_version"),
+          col("hash").as("old_hash"))
+        prep.filter(!col("tombstone"))
+          .join(old, Seq("id"), "left")
+          .withColumn("version",
+            when(col("old_hash") === col("hash"), col("old_version"))
+              .otherwise(lit(newVersion)))
+          .select(col("id"), col("version"), col("hash"), col("links"), col("value"))
     }
 
     try {
@@ -567,13 +639,28 @@ final class Collection(val store: Store, val path: DataPath) {
     val target = snapshotDir(newVersion)
     store.buckets match {
       case Some(b) =>
+        // repartition ON the bucket key before the partitioned write:
+        // every bucket lands in exactly one task → one file per bucket,
+        // never tasks × buckets tiny files (the write-side clustering
+        // Iceberg calls distribution-mode=hash). The point-lookup prune
+        // then reads ONE file; without it a 32-partition frame over B=8
+        // buckets wrote up to 256 files per commit.
         df.withColumn("bucket", bucketExpr(b))
+          .repartition(col("bucket"))
           .write.mode("overwrite").partitionBy("bucket").parquet(target.toString)
         carrySkip.foreach { skip =>
           carryBuckets(snapshotDir(m.version), target, skip)
         }
       case None =>
-        df.write.mode("overwrite").parquet(target.toString)
+        // AQE rebalance before the write: snapshot files target the
+        // advisory partition size instead of one-file-per-task. Without
+        // it every commit inherits its join/ingest parallelism as a file
+        // count and the store fragments compounding (measured: q44's
+        // scratch store reached ~97 files of a 5 000-row corpus by
+        // commit 2, and every later scan/join scheduled ~100 tiny
+        // tasks). Read order is never contractual — every listing
+        // surface sorts on the natural key at read.
+        df.hint("rebalance").write.mode("overwrite").parquet(target.toString)
     }
     MetaJson.write(metaFile,
       m.copy(version = newVersion, updated = System.currentTimeMillis()))
@@ -598,17 +685,8 @@ final class Collection(val store: Store, val path: DataPath) {
     }
   }
 
-  private def linkOrCopyDir(src: Path, dst: Path): Unit = {
-    Files.createDirectories(dst)
-    graft.core.Fs.list(src).iterator.toSeq.foreach { f =>
-      val t = dst.resolve(f.getFileName.toString)
-      if (Files.isDirectory(f)) linkOrCopyDir(f, t)
-      else if (!Files.exists(t)) {
-        try Files.createLink(t, f)
-        catch { case _: Throwable => Files.copy(f, t) }
-      }
-    }
-  }
+  private def linkOrCopyDir(src: Path, dst: Path): Unit =
+    graft.core.Fs.linkOrCopyDir(src, dst)
 
   /** Replace contents from an already-prepared RecordRow dataset (used by
     * the lens materializer, which computes versions itself).

@@ -132,6 +132,67 @@ class IncrementalLensSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("partitioned compute cache: incremental build rewrites only touched pbuckets, hardlink-carries the rest (r17)") {
+    val spark = SparkTestBase.spark
+    spark.conf.set("graft.lens.cachePartitions", "4")
+    try {
+      val store = freshStore()
+      val d = store.dataset("a", "cow").create()
+      // enough records that (with xxhash64 path hashing over 4 buckets)
+      // at least one bucket holds no updated record
+      (1 to 24).foreach(i => d.write(s"r$i", doc(s"t${i % 5}", "common")))
+      val lens = new Lens(store, "a", "cow-lens",
+        Seq(DataPath("datasets", "a", "cow")), CountingTagFn).create()
+      lens.build()
+
+      val cache = java.nio.file.Paths.get(store.root, "lenses", "a", "cow-lens", "cache")
+      val bucketDirs = graft.core.Fs.list(cache)
+        .filter(_.getFileName.toString.startsWith("pbucket=")).sortBy(_.toString)
+      assert(bucketDirs.size >= 2, s"expected a partitioned cache, got $bucketDirs")
+
+      // inode of every parquet file per bucket before the incremental build
+      def inodes(): Map[String, Set[Long]] =
+        graft.core.Fs.list(cache)
+          .filter(_.getFileName.toString.startsWith("pbucket=")).map { dir =>
+            dir.getFileName.toString -> graft.core.Fs.list(dir)
+              .filter(_.getFileName.toString.endsWith(".parquet"))
+              .map(f => Files.getAttribute(f, "unix:ino").asInstanceOf[Long]).toSet
+          }.toMap
+      val before = inodes()
+
+      // update ONE record: only its path's bucket may be rewritten
+      d.write("r7", doc("t9"))
+      CountingTagFn.calls.set(0)
+      lens.build()
+      assert(CountingTagFn.calls.get == 1, "only the fresh record re-maps")
+      val after = inodes()
+      val changedBuckets = after.keySet.filter(k => before.get(k) != after.get(k))
+      assert(changedBuckets.size == 1,
+        s"exactly one pbucket dir may change, got $changedBuckets")
+      val carried = after.keySet - changedBuckets.head
+      carried.foreach { k =>
+        assert(before(k) == after(k),
+          s"untouched bucket $k must carry by hardlink (same inodes)")
+      }
+
+      // semantics unchanged: the index equals a from-scratch rebuild
+      // (r7's update dropped its old "t2" and "common" contributions)
+      assert(setOf(lens.output.read("t9").get) == Set("r7"))
+      assert(setOf(lens.output.read("common").get) ==
+        (1 to 24).filter(_ != 7).map(i => s"r$i").toSet)
+      assert(lens.output.read("t2").map(setOf).get ==
+        (1 to 24).filter(i => i % 5 == 2 && i != 7).map(i => s"r$i").toSet)
+
+      // deletion: cached contributions drop through the partitioned path
+      d.delete("r3")
+      CountingTagFn.calls.set(0)
+      lens.build()
+      assert(CountingTagFn.calls.get == 0, "deletion requires no re-map")
+      assert(setOf(lens.output.read("common").get) ==
+        (1 to 24).filterNot(Set(3, 7)).map(i => s"r$i").toSet)
+    } finally spark.conf.unset("graft.lens.cachePartitions")
+  }
+
   test("cached logs survive incremental rebuilds of other records") {
     val store = freshStore()
     val d = store.dataset("a", "logs").create()

@@ -124,6 +124,21 @@ class BucketedStoreSpec extends AnyFunSuite {
       "unchanged outputs keep their version through the COW commit")
   }
 
+  test("point lookup prunes to the id's bucket dir (r17)") {
+    val s = freshStore(b = 8)
+    val c = s.dataset("a", "pt").create()
+    c.writeEntries((0 until 64).map(i =>
+      WriteEntry(s"r$i", Some(PoInt(i.toLong)))), WriteMode.Merge)
+    // correctness across many buckets
+    (0 until 64 by 7).foreach(i => assert(c.read(s"r$i").get == PoInt(i.toLong)))
+    assert(c.read("nope").isEmpty)
+    // the scan's physical plan carries a bucket partition filter, so only
+    // the id's bucket dir is listed/read (1/B of the snapshot's files)
+    val plan = c.pointScan("r5").queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"expected a bucket partition filter in:\n${plan.take(2000)}")
+  }
+
   test("bucketed store works through readPath, export and the lens pipeline") {
     val s = freshStore()
     val d = s.dataset("sys", "docs").create()
