@@ -53,6 +53,45 @@ object BenchPrior {
     explicit.orElse(round).orElse(latest).orElse(bootstrap).getOrElse(Map.empty)
   }
 
+  /** Decode the r18+ plain per-query tail line: `"part":"queries"` with
+    * qNN-abbreviated names (the lineA/lineB spelling). Keys map back to
+    * full names by unique `qNN` prefix against the registry; ambiguity
+    * or an unknown key rejects the line (falls back to the wj decode /
+    * BENCH_LATEST) rather than mis-attributing numbers. */
+  private[graft] def decodeQueriesLine(
+      raw: String, sfDir: String, names: Seq[String]): Option[Map[String, Double]] = {
+    val s = raw.replace("\\\"", "\"")
+    val want = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val byPrefix: Map[String, Seq[String]] =
+      names.groupBy(_.takeWhile(_ != '_'))
+    val lineRe = """"part":"queries"[^\n]*""".r
+    lineRe.findAllMatchIn(s).flatMap { m =>
+      val line = s.substring(math.max(0, s.lastIndexOf('{', m.start)), m.end)
+      val sfOk = """"sf":"([^"]*)"""".r.findFirstMatchIn(line)
+        .forall(_.group(1).endsWith(want))
+      if (!sfOk) None
+      else {
+        val at = line.indexOf("\"queries\":{")
+        if (at < 0) None
+        else {
+          val start = at + "\"queries\":{".length
+          val end = line.indexOf('}', start)
+          if (end < 0) None
+          else {
+            val re = """"([A-Za-z0-9_]+)":([0-9][0-9.]*)""".r
+            val entries = re.findAllMatchIn(line.substring(start, end)).map { mm =>
+              byPrefix.get(mm.group(1)).collect { case Seq(full) =>
+                full -> mm.group(2).toDouble }
+            }.toSeq
+            if (entries.nonEmpty && entries.forall(_.isDefined))
+              Some(entries.flatten.toMap)
+            else None
+          }
+        }
+      }
+    }.nextOption()
+  }
+
   /** Decode per-query walls out of the newest committed `BENCH_rNN.json`
     * round artifact. The driver's artifact carries our own stdout tail
     * (JSON-escaped), whose dense `"part":"wj"` line is positional over
@@ -70,8 +109,11 @@ object BenchPrior {
         .filter(_.matches("BENCH_r\\d+\\.json"))
         .toSeq.sortBy(f => f.replaceAll("\\D", "").toInt)
       rs.reverseIterator
-        .flatMap(f => decodeWjLine(
-          java.nio.file.Files.readString(java.nio.file.Paths.get(f)), sfDir, names))
+        .flatMap { f =>
+          val raw = java.nio.file.Files.readString(java.nio.file.Paths.get(f))
+          decodeQueriesLine(raw, sfDir, names)
+            .orElse(decodeWjLine(raw, sfDir, names))
+        }
         .nextOption()
     } catch { case _: Throwable => None }
 
@@ -154,7 +196,22 @@ object Bench {
     def sink(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // SPARK_GRAFT_BENCH_ONLY (r18, probe tool): comma-separated name
+    // PREFIXES — run only matching queries, preserving suite order, for
+    // in-context regression bisection (a full 163-query run takes ~1 h;
+    // reproducing a context-dependent regression like r17's q131 needs
+    // the queries that precede it, not a fresh BenchOne JVM). The
+    // driver never sets it; when set, the artifact files are NOT
+    // written (a subset total must never become a prior or a committed
+    // BENCH_LATEST).
+    val onlyPrefixes = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+    val names = SparkEntry.queries.keys.toSeq.sorted match {
+      case all => onlyPrefixes match {
+        case Some(ps) => all.filter(n => ps.exists(n.startsWith))
+        case None => all
+      }
+    }
     names.foreach { n => try sink(n) catch { case _: Throwable => () } } // warmup
     // A failed query must be visible in the JSON (VERDICT r2 #9): its
     // time-to-exception is not a benchmark number, so it reports under
@@ -260,12 +317,28 @@ object Bench {
     // previous round's committed number. These are the rows the next
     // verdict must adjudicate (code regression vs box drift) — the
     // artifact names them instead of burying them in the totals.
-    val movers = ok.collect {
+    val moverEntries = ok.collect {
       case (name, ts, _) if priorWalls.get(name).exists(p =>
         ts.head._1 > p * 1.5 && ts.head._1 - p > 0.2) =>
         "\"" + name + s"""":{"prior":${f(priorWalls(name))},"final":${f(ts.head._1)}}"""
-    }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","job_total":$jobTotal,"reps":$reps,"queries":$qs,"job_s":$js,"runs":$runs,"job_runs":$jruns,"remeasured":$remeas,"cross_round_movers":$movers,"errors":$errs,"sf":"$sfDir"}"""
+    }
+    val movers = moverEntries.mkString("{", ",", "}")
+    // Median alongside min (VERDICT r17 Next #9): the recorded per-query
+    // number is a min over all runs (remeasure adds runs only to SLOW
+    // movers, so upward noise is debiased and downward kept); the median
+    // quantifies that one-sided bias. Full per-query medians ride the
+    // artifact of record; "med_total" (sum of medians) rides every
+    // headline so the verdict can see the min-taking effect from the
+    // tail alone.
+    def median(ts: Seq[(Double, Double)]): Double = {
+      val ws = ts.map(_._1).sorted
+      val n = ws.size
+      if (n % 2 == 1) ws(n / 2) else (ws(n / 2 - 1) + ws(n / 2)) / 2
+    }
+    val meds = ok.map { case (k, ts, _) => "\"" + k + "\":" + f(median(ts)) }
+      .mkString("{", ",", "}")
+    val medTotal = f(ok.map { case (_, ts, _) => median(ts) }.sum)
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","job_total":$jobTotal,"med_total":$medTotal,"reps":$reps,"queries":$qs,"queries_med":$meds,"job_s":$js,"runs":$runs,"job_runs":$jruns,"remeasured":$remeas,"cross_round_movers":$movers,"errors":$errs,"cpus":${spark.sparkContext.defaultParallelism},"sf":"$sfDir"}"""
     // The artifact of record goes to its OWN file (VERDICT r7 #4: the
     // r7 log-tail capture started mid-line and lost q1/q10-q29 from the
     // checked-in BENCH json). stdout keeps the line for humans; the
@@ -275,10 +348,21 @@ object Bench {
     Option(outPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(outPath,
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // the committed prior for next round's self-healing re-measure
-    // (sf-scoped: a sf1.0 SCALING run must not become sf0.1's prior)
-    java.nio.file.Files.write(java.nio.file.Paths.get(BenchPrior.latestPath(sfDir)),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (onlyPrefixes.isEmpty) {
+      // the committed prior for next round's self-healing re-measure
+      // (sf-scoped: a sf1.0 SCALING run must not become sf0.1's prior)
+      java.nio.file.Files.write(java.nio.file.Paths.get(BenchPrior.latestPath(sfDir)),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // ALSO a cpu-keyed copy (VERDICT r17 Next #2: the driver runs the
+      // bench twice per round — 32 then 8 cores — and the second run
+      // overwrote the first's BENCH_LATEST, destroying its
+      // cross_round_movers before the verdict could read them; keying by
+      // core count makes both runs' full artifacts survive the round)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(BenchPrior.latestPath(sfDir).stripSuffix(".json") +
+          s"_c${spark.sparkContext.defaultParallelism}.json"),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     // stdout gets SHORT self-contained lines (VERDICT r10 #5: the
     // round-10 single ~3.5 KB compact line still exceeded the driver's
     // bounded capture — BENCH_r10's recorded tail starts AND ends
@@ -316,7 +400,7 @@ object Bench {
     // total; job_total rides it, making the global wall-vs-jobs
     // contention check possible from the headline alone.
     val headline =
-      s"""{"metric":"total","value":$total,"unit":"sec","job_total":$jobTotal,"reps":$reps,"n_queries":${ok.size},"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","job_total":$jobTotal,"med_total":$medTotal,"reps":$reps,"n_queries":${ok.size},"errors":$errs,"sf":"$sfDir"}"""
     // One DENSE line carrying BOTH per-query wall AND job seconds
     // inside the driver's 2000-byte tail capture (VERDICT r13 #1/#2:
     // the ja/jb job lines print ahead of the wall lines and were
@@ -364,6 +448,42 @@ object Bench {
       dense(wSec, "sec", jPct, "pct"),
       dense(wCs, "cs", jPct, "pct")).find(_.length <= 1450)
       .getOrElse(dense(wCs, "cs", jPct, "pct"))
+    // PLAIN per-query line for the driver (VERDICT r17 Next #2: PERF_r17
+    // had per_query:{} — the driver does not decode the positional wj
+    // line, so per-query walls never reached it). One JSON object, qNN-
+    // abbreviated names (the established lineA/lineB spelling; unique-
+    // prefix-decodable against the registry), values in PLAIN SECONDS.
+    // Precision adapts to the window budget: the capture is the last
+    // 100 lines AND the last 2000 chars of stdout (measured across
+    // BENCH_r10..r17), so the guarded region — this line + a trailing
+    // headline + sbt's "[success]" line — must stay under ~1990 chars.
+    // The line carries every headline field, so a first-line parser
+    // reads it as the headline and a per-query extractor finds the map.
+    def qLine(dp: Int, slim: Boolean): String = {
+      def fq(t: Double): String = if (dp >= 2) f"$t%.2f" else f"$t%.1f"
+      val entries = ok.map { case (k, ts, _) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + fq(ts.head._1) }
+        .mkString("{", ",", "}")
+      val moverPart =
+        if (slim) s""""movers_n":${moverEntries.size}"""
+        else s""""cross_round_movers":$movers"""
+      val mid = if (slim) s""""reps":$reps""" else
+        s""""job_total":$jobTotal,"med_total":$medTotal,"reps":$reps,"n_queries":${ok.size}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$mid,"part":"queries","queries":$entries,$moverPart,"errors":$errs,"sf":"$sfDir"}"""
+    }
+    // guarded-region layout: best variant that fits the window with the
+    // sbt success line (~80 chars) and newlines accounted for. Prefer
+    // per-query precision, then a trailing headline copy (last-JSON-line
+    // parsers); degrade to the r17 region (headline+dense+headline) only
+    // if even the slim 1-dp line cannot fit (e.g. a long error map —
+    // a broken round, where the headline matters more than per-query).
+    val tailBudget = 1990 - 84
+    val qCands = Seq(qLine(2, slim = false), qLine(1, slim = false), qLine(1, slim = true))
+    val guardedLines: Seq[String] =
+      qCands.find(q => q.length + headline.length + 2 <= tailBudget)
+        .map(q => Seq(q, headline))
+        .orElse(qCands.find(_.length + 1 <= tailBudget).map(Seq(_)))
+        .getOrElse(Seq(headline, denseWJ, headline))
     // the pad is a RUN OF EMPTY LINES ahead of the guarded region: the
     // ~2 KB tail window starts mid-stream, and any non-empty pad line
     // (r15 used a ==== bar) leaves a first tail line that is a
@@ -376,11 +496,12 @@ object Bench {
     def printFinal(): Unit = {
       println(lineJA); println(lineJB)
       println(lineA); println(lineB)
+      // the dense wj line stays for cross-round positional decoding of
+      // OLD artifacts and full-log consumers; pre-pad, it clips out of
+      // the bounded tail in favor of the plain queries line
+      println(headline); println(denseWJ)
       print(pad)
-      // headline FIRST in the guarded region (first-line parsers) and
-      // AGAIN after the dense line (last-JSON-line parsers); the dense
-      // wall+job line rides between them
-      println(headline); println(denseWJ); println(headline)
+      guardedLines.foreach(println)
       Console.out.flush()
     }
     // print order = reverse priority: the verbose per-name lines clip

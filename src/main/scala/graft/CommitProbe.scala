@@ -73,6 +73,27 @@ object CommitProbe {
       r
     }
 
+    // SPARK_GRAFT_PLANLOG=1: dump the EXECUTED plan (AQE-final) of every
+    // write/commit query between PLAN-BEGIN/PLAN-END markers — the
+    // evidence surface for plans/r18 (VERDICT r17 Next #3: the
+    // interesting plan of a store commit is the snapshot-write job,
+    // which `df.explain` on the fixture's RESULT frame never shows).
+    val planlog = sys.env.get("SPARK_GRAFT_PLANLOG").contains("1")
+    if (planlog)
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit = {
+            println(s"PLAN-BEGIN $funcName")
+            println(qe.executedPlan.toString)
+            println("PLAN-END")
+          }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        })
+
     val root = Fs.pidScratch("graft-commitprobe")
     val store = new Store(spark, root)
     val d = store.dataset("a", "docs").create()
@@ -88,6 +109,20 @@ object CommitProbe {
     census("small_delta")(lens.build())
     census("dataset_write")(d.write("r2b",
       PoObj("tags" -> PoArr(Vector(PoStr("t2"))))))
+
+    // D. single-record merge into a LARGER unbucketed store — the
+    // VERDICT r17 "what's wrong" #3 shape: the snapshot side must reach
+    // the write through a filter, not a full-outer shuffle.
+    import spark.implicits._
+    val big = store.dataset("a", "bigdocs").create()
+    big.writeEntriesDF(
+      spark.range(0, 5000).as[Long]
+        .map(i => (i.toString, Cbor.encode(PoObj("text" -> PoStr(s"v$i"))), false))
+        .toDF("id", "value", "tombstone"),
+      graft.store.WriteMode.Overwrite)
+    census("merge_1_of_5000")(big.write("77",
+      PoObj("tags" -> PoArr(Vector(PoStr("t"))))))
+    census("delete_1_of_5000")(big.delete("78"))
 
     spark.stop()
   }

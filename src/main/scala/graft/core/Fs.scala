@@ -60,6 +60,21 @@ object Fs {
     }
   }
 
+  /** Parallel form of [[linkOrCopyDir]] over many independent directory
+    * pairs — the copy-on-write bucket carry (VERDICT r17 #8: with the
+    * 65 536-bucket cap, a sequential carry is ~65k serial link syscalls
+    * of driver time per incremental tick; the pairs are independent, so
+    * they fan out over the common pool and the carry's wall time stays
+    * roughly flat in bucket count). Exceptions propagate (first one),
+    * matching the sequential form's failure semantics. */
+  def linkOrCopyDirs(pairs: Seq[(Path, Path)]): Unit =
+    if (pairs.sizeIs <= 2) pairs.foreach { case (s, d) => linkOrCopyDir(s, d) }
+    else {
+      val list = new java.util.ArrayList[(Path, Path)](pairs.size)
+      pairs.foreach(list.add)
+      list.parallelStream().forEach { p => linkOrCopyDir(p._1, p._2) }
+    }
+
   /** Reap sibling `<prefix><pid>` dirs left by processes that no longer
     * exist. The pid-suffix pattern gives every live process its own
     * scratch dir (concurrent runs never share state — in-process locks

@@ -430,6 +430,7 @@ object LensBuild {
     var gatePersisted: Option[DataFrame] = None
     var freshPersisted: Option[Dataset[BuildEmit]] = None
     var idsPersisted: Option[DataFrame] = None
+    var deltaPersisted: Option[DataFrame] = None
     try {
 
     // ---- shared stages ------------------------------------------------
@@ -538,7 +539,17 @@ object LensBuild {
       val spooled = spoolDs
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       freshPersisted = Some(spooled)
-      writeCache(spooled.toDF(), cacheNext, pbuckets)
+      // Overlap the cache write with the reduce+commit (r18, guide §2.6
+      // "overlap independent jobs"): both consume the persisted spool
+      // and are independent until the manifest swap — running them
+      // sequentially left the cluster idle through each action's
+      // scheduling tail. Exactly-once map calls are preserved: the
+      // persist's per-partition block lock makes concurrent
+      // materializations compute each partition once (spec-pinned by
+      // IncrementalLensSpec's exact invocation counts).
+      val cacheWritten = scala.concurrent.Future {
+        writeCache(spooled.toDF(), cacheNext, pbuckets)
+      }(sideEc)
 
       // hash-gated materialize: unchanged output records keep their
       // version (same gate as a dataset commit)
@@ -554,6 +565,8 @@ object LensBuild {
         .select(col("id"), col("version"), col("hash"), col("links"), col("value"))
         .as[RecordRow]
       val committed = out.commitPrepared(rows)
+      scala.concurrent.Await.result(cacheWritten,
+        scala.concurrent.duration.Duration.Inf)
       // the fast-path manifest rides the cache swap (atomic with it)
       inputVersionsNow.foreach(writeInputVersions(cacheNext, _, pbuckets))
       swapDir(cacheNext, cacheDir)
@@ -626,21 +639,53 @@ object LensBuild {
           .select(emitCols: _*)
         else cache.toDF()
       val retainedTouched = retainSrc.join(changedPaths, Seq("path"), "left_anti")
-      val delta = retainedTouched.unionByName(freshEmits.toDF())
-      writeCache(if (pbuckets == 1) delta.hint("rebalance") else delta,
-        cacheNext, pbuckets)
-      if (usePB) carryCacheBuckets(cacheDir, cacheNext, touched)
+      // At pbuckets == 1 the delta IS the whole next cache (retained ∪
+      // fresh) — persist it so the cache write's materialization also
+      // serves the reduce below, which then never re-scans the previous
+      // cache parquet (r18: one fewer scan + anti-join leg per build).
+      val deltaRaw = retainedTouched.unionByName(freshEmits.toDF())
+      val delta =
+        if (pbuckets == 1) {
+          val d = deltaRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          deltaPersisted = Some(d)
+          d
+        } else deltaRaw
+      // Amortized rebalance (r18, VERDICT r17 Next #1): the delta frame
+      // is a no-shuffle cache scan (broadcast anti-join) plus the AQE-
+      // coalesced fresh emits — a handful of partitions — so paying a
+      // rebalance SHUFFLE on every incremental build only re-compacted
+      // an already-small file set. Compact only once the cache has
+      // actually accumulated files past the threshold (~+2 per build).
+      val cacheParquets = graft.core.Fs.list(cacheDir)
+        .count(_.getFileName.toString.endsWith(".parquet"))
+      // Overlap the cache write + hardlink carry with the reduce/commit
+      // below (r18, guide §2.6): independent until the manifest swap,
+      // exactly-once map calls via the persist's per-partition block
+      // locks (the full-build rationale above).
+      val cacheWritten = scala.concurrent.Future {
+        writeCache(
+          if (pbuckets == 1 && cacheParquets > graft.store.Store.RebalanceFileThreshold)
+            delta.hint("rebalance")
+          else delta,
+          cacheNext, pbuckets)
+        if (usePB) carryCacheBuckets(cacheDir, cacheNext, touched)
+      }(sideEc)
 
       // ---- changed output ids (delta-scaled): an id's reduced value can
       //      move only if some contribution to it did — it appears in the
       //      NEW emits of a fresh path, or in the CACHED emits of a
       //      fresh-or-deleted path (old contributions of an updated path
       //      may shrink; a fully-deleted path may vanish its ids, which
-      //      the carry below must not resurrect).
+      //      the carry below must not resurrect). The cached-emits leg
+      //      only needs the TOUCHED buckets' rows (a changed path hashes
+      //      to a touched bucket by definition), so it reads retainSrc —
+      //      on a partitioned cache that is a pbucket-pruned scan, not
+      //      the full cache (r18).
       val cacheOuts = cache.filter(col("kind") === "out")
       val changedOutIds = freshEmits.toDF().filter(col("kind") === "out")
         .select(col("outId").as("id"))
-        .unionByName(cacheOuts.join(changedPaths, Seq("path"), "left_semi")
+        .unionByName(retainSrc.filter(col("kind") === "out")
+          .join(changedPaths, Seq("path"), "left_semi")
           .select(col("outId").as("id")))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -649,12 +694,20 @@ object LensBuild {
       // ---- delta reduce: contributions of the changed ids only —
       //      retained cache rows (anti the changed paths) semi-joined to
       //      the changed-id set, plus every fresh emit. Unchanged ids are
-      //      never decoded, merged, or re-hashed.
-      val retainedContrib = cacheOuts.join(changedPaths, Seq("path"), "left_anti")
-        .join(changedOutIds.select(col("id").as("outId")), Seq("outId"), "left_semi")
-      val contrib = retainedContrib
-        .unionByName(freshEmits.toDF().filter(col("kind") === "out"))
-        .as[BuildEmit](emitEnc)
+      //      never decoded, merged, or re-hashed. At pbuckets == 1 the
+      //      persisted delta already holds exactly (retained ∪ fresh),
+      //      so the semi-join over it IS that set — the fresh emits must
+      //      not be unioned again (every fresh out's id is in
+      //      changedOutIds by construction).
+      val contrib =
+        (if (pbuckets == 1)
+          delta.filter(col("kind") === "out")
+            .join(changedOutIds.select(col("id").as("outId")), Seq("outId"), "left_semi")
+        else
+          cacheOuts.join(changedPaths, Seq("path"), "left_anti")
+            .join(changedOutIds.select(col("id").as("outId")), Seq("outId"), "left_semi")
+            .unionByName(freshEmits.toDF().filter(col("kind") === "out")))
+          .select(emitCols: _*).as[BuildEmit](emitEnc)
       val reducedChanged = reduceOuts(contrib)
 
       // ---- hash-gated materialize over the delta; everything else is
@@ -678,6 +731,8 @@ object LensBuild {
         .select(col("id"), col("version"), col("hash"), col("links"), col("value"))
       val rows = carried.unionByName(gated).as[RecordRow]
       val committed = out.commitPrepared(rows, Some(changedOutIds))
+      scala.concurrent.Await.result(cacheWritten,
+        scala.concurrent.duration.Duration.Inf)
       // the fast-path manifest rides the cache swap (atomic with it)
       inputVersionsNow.foreach(writeInputVersions(cacheNext, _, pbuckets))
       swapDir(cacheNext, cacheDir)
@@ -690,8 +745,21 @@ object LensBuild {
       gatePersisted.foreach(_.unpersist(blocking = false))
       freshPersisted.foreach(_.unpersist(blocking = false))
       idsPersisted.foreach(_.unpersist(blocking = false))
+      deltaPersisted.foreach(_.unpersist(blocking = false))
     }
   }
+
+  /** Executor for the cache-write leg that overlaps the reduce+commit
+    * inside one build (guide §2.6). Daemon cached pool: builds are
+    * serialized per lens by their callers, so at most one write per
+    * in-flight build; threads idle out after use. */
+  private val sideEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-lens-cache-write")
+        t.setDaemon(true)
+        t
+      }))
 
   /** Cache-layout write: `pbuckets` > 1 hashes rows into `pbucket=k`
     * partition dirs on the input path — one shuffle keyed on the bucket
@@ -719,13 +787,14 @@ object LensBuild {
     * O(#files) metadata work (the bucketed-snapshot carryBuckets
     * profile). */
   private def carryCacheBuckets(from: Path, to: Path, skip: Set[Long]): Unit =
-    graft.core.Fs.list(from).foreach { p =>
-      val n = p.getFileName.toString
-      if (n.startsWith("pbucket="))
-        n.stripPrefix("pbucket=").toLongOption.foreach { k =>
-          if (!skip(k)) graft.core.Fs.linkOrCopyDir(p, to.resolve(n))
+    graft.core.Fs.linkOrCopyDirs(
+      graft.core.Fs.list(from).flatMap { p =>
+        val n = p.getFileName.toString
+        if (!n.startsWith("pbucket=")) None
+        else n.stripPrefix("pbucket=").toLongOption.collect {
+          case k if !skip(k) => (p, to.resolve(n))
         }
-    }
+      })
 
   /** Cache partition count for a full (re)write: explicit
     * `graft.lens.cachePartitions` session conf wins; otherwise derived

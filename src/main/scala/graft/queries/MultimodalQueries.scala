@@ -33,6 +33,10 @@ object MultimodalQueries {
     val n = 800 // 8 windows × 100 samples at 8 kHz = 0.1 s per clip
     val wavs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id").cast("long")).distinct()
+      // spread before the heavy WAV encode+decode map: the distinct id
+      // frame AQE-coalesces to ~1 partition (KBs), which serialized the
+      // decode (r18, the q151 finding — VERDICT r17 Next #5)
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[Long]
       .mapPartitions { it =>
         it.map { id =>
@@ -373,9 +377,17 @@ object MultimodalQueries {
     // exist; decode-only is the real operator), and a seventh of the
     // corpus carries the same per-image decode signal (the subsample
     // is in the oracle too — nothing silent)
+    // Spread BEFORE the heavy per-id encode/decode map (r18, VERDICT
+    // r17 Next #5): distinct() emits a few KB of ids, which AQE
+    // coalesces to ~1 post-shuffle partition — and the MJPEG fixture
+    // encode plus the downstream keyframe decode then ran effectively
+    // single-threaded (measured c8/c32 ≈ 1.0 at sf0.1; 33 s at sf1.0).
+    // Repartitioning the ID frame costs a shuffle of a few KB and gives
+    // the decode map the session's full parallelism.
     val blobs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id").cast("long")).distinct()
       .filter(col("doc_id") % 7 === 0)
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[Long]
       .mapPartitions(_.map(id => (id, mjpegFixture(id))))
       .toDF("id", "media")
@@ -468,6 +480,8 @@ object MultimodalQueries {
     val pngs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id").cast("long")).distinct()
       .filter(col("doc_id") % 4 === 0)
+      // spread before the PNG encode+decode map (r18, the q151 finding)
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[Long]
       .mapPartitions { it =>
         it.map { id =>
@@ -533,6 +547,8 @@ object MultimodalQueries {
     val m0 = n / 43
     val m = math.max(29L, if (m0 % 2 == 0) m0 + 1 else m0)
     val pngs = idsDf
+      // spread before the PNG encode+decode map (r18, the q151 finding)
+      .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions { it =>
         it.map { id =>
           val base = id % m

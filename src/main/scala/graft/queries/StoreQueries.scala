@@ -123,10 +123,11 @@ object StoreQueries {
     * same id subset, so a lookup returning a stale version, wrong
     * value, or a miss breaks the hash.
     *
-    * The driver-side loop IS the operator under test — point lookups
-    * are per-key requests by definition (the reference serves them one
-    * HTTP GET at a time); the corpus-scale path for bulk id sets is
-    * the `isin` filter this same scan machinery serves. */
+    * The lookup set goes through [[graft.store.Store]]'s batched
+    * `readRows` — one bucket-pruned scan with the id IN-list pushed
+    * into the touched `bucket=k` dirs (r18; the per-id `read()` path
+    * still serves the one-HTTP-GET-per-key shape and stays covered by
+    * StoreSpec/BucketedStoreSpec). */
   def pointLookup(spark: SparkSession, sfDir: String,
                   lookupMod: Long = 101): DataFrame = {
     import spark.implicits._
@@ -162,14 +163,18 @@ object StoreQueries {
     val ids = docs.select(col("doc_id"))
       .filter(col("doc_id") % lookupMod === 7)
       .as[Long].collect().sorted
-    val rows = ids.flatMap { id =>
-      ds.readRow(id.toString).map { r =>
-        val text = Cbor.decode(r.value).asInstanceOf[PoObj].fields("text") match {
-          case PoStr(t) => t
-          case _ => null
-        }
-        (r.id, r.version, text)
+    // ONE bucket-pruned multi-id scan for the whole batch (VERDICT r17
+    // Next #4): the previous per-id readRow loop ran ~50 sequential
+    // driver round-trips whose per-job overhead dominated the wall
+    // (the single-id read() path still serves the per-request HTTP
+    // GET shape). Values/versions per id are identical either way, so
+    // the oracle contract is unchanged.
+    val rows = ds.readRows(ids.map(_.toString)).map { r =>
+      val text = Cbor.decode(r.value).asInstanceOf[PoObj].fields("text") match {
+        case PoStr(t) => t
+        case _ => null
       }
+      (r.id, r.version, text)
     }
     spark.createDataset(rows.toSeq).toDF("id", "version", "data")
       .orderBy(col("id").cast("long"))

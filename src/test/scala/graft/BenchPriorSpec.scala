@@ -59,6 +59,27 @@ class BenchPriorSpec extends AnyFunSuite {
     assert(BenchPrior.decodeWjLine(raw, "/root/testdata/sf0.1", names).isEmpty)
   }
 
+  test("decodes the r18+ plain queries line by unique qNN prefix") {
+    val line =
+      """{"metric":"total","value":16.09,"unit":"sec","job_total":15.0,""" +
+        """"med_total":16.5,"reps":3,"n_queries":3,"part":"queries",""" +
+        """"queries":{"q1":0.64,"q2":2.12,"q10":13.33},""" +
+        """"cross_round_movers":{},"errors":{},"sf":"/root/testdata/sf0.1"}"""
+    val esc = line.replace("\"", "\\\"")
+    val raw = s"""{"n": 18, "tail": "\\n$esc\\n"}"""
+    val got = BenchPrior.decodeQueriesLine(raw, "/root/testdata/sf0.1", names)
+    assert(got.contains(Map(
+      "q1_agg" -> 0.64, "q2_join" -> 2.12, "q10_dedup" -> 13.33)))
+    // sf mismatch rejects
+    assert(BenchPrior.decodeQueriesLine(raw, "/root/testdata/sf1.0", names).isEmpty)
+    // an unknown qNN key rejects the whole line (no mis-attribution)
+    assert(BenchPrior.decodeQueriesLine(
+      raw, "/root/testdata/sf0.1", Seq("q1_agg", "q2_join")).isEmpty)
+    // ambiguous prefix rejects
+    assert(BenchPrior.decodeQueriesLine(
+      raw, "/root/testdata/sf0.1", names :+ "q10_other").isEmpty)
+  }
+
   test("decodes the real committed BENCH_r16.json against the live registry") {
     val p = java.nio.file.Paths.get("BENCH_r16.json")
     assume(java.nio.file.Files.isRegularFile(p))

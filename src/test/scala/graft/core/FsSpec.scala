@@ -36,4 +36,32 @@ class FsSpec extends AnyFunSuite {
     assert(names == Set(s"x-$self", s"x-$self-sf0.1", s"x-$dead.bak",
       "x-notapid", "unrelated"), s"got $names")
   }
+
+  test("linkOrCopyDirs: parallel bucket carry links every pair, same inodes (r18)") {
+    val root = Files.createTempDirectory("graft-fs-carry")
+    val from = Files.createDirectory(root.resolve("from"))
+    val to = Files.createDirectory(root.resolve("to"))
+    val pairs = (0 until 64).map { k =>
+      val d = Files.createDirectory(from.resolve(s"bucket=$k"))
+      Files.write(d.resolve("part-0.parquet"), s"data$k".getBytes)
+      Files.write(d.resolve("_SUCCESS"), Array.empty[Byte])
+      (d, to.resolve(s"bucket=$k"))
+    }
+    Fs.linkOrCopyDirs(pairs)
+    def inode(p: java.nio.file.Path): Any =
+      Files.getAttribute(p, "unix:ino")
+    (0 until 64).foreach { k =>
+      val src = from.resolve(s"bucket=$k").resolve("part-0.parquet")
+      val dst = to.resolve(s"bucket=$k").resolve("part-0.parquet")
+      assert(Files.exists(dst), s"bucket $k missing")
+      assert(new String(Files.readAllBytes(dst)) == s"data$k")
+      assert(inode(src) == inode(dst), s"bucket $k not hardlinked")
+      assert(Files.exists(to.resolve(s"bucket=$k").resolve("_SUCCESS")))
+    }
+    // a failing pair propagates (sequential-form failure semantics)
+    intercept[Exception] {
+      Fs.linkOrCopyDirs((0 until 8).map(i =>
+        (root.resolve(s"missing-$i"), to.resolve(s"m$i"))))
+    }
+  }
 }

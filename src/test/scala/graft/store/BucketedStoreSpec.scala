@@ -139,6 +139,30 @@ class BucketedStoreSpec extends AnyFunSuite {
       s"expected a bucket partition filter in:\n${plan.take(2000)}")
   }
 
+  test("readRows: one batched scan returns exactly the present ids (r18)") {
+    val s = freshStore(b = 8)
+    val c = s.dataset("a", "ptb").create()
+    c.writeEntries((0 until 64).map(i =>
+      WriteEntry(s"r$i", Some(PoInt(i.toLong)))), WriteMode.Merge)
+    val want = (0 until 64 by 7).map(i => s"r$i")
+    val got = c.readRows(want :+ "nope" :+ "alsonope")
+    assert(got.map(_.id).sorted == want.sorted.map(identity))
+    got.foreach { r =>
+      assert(graft.core.Cbor.decode(r.value) ==
+        PoInt(r.id.stripPrefix("r").toLong))
+    }
+    // batched results match the per-id path row for row
+    want.foreach { id =>
+      val one = c.readRow(id).get
+      val batched = got.find(_.id == id).get
+      assert(one.version == batched.version && one.hash == batched.hash)
+    }
+    assert(c.readRows(Seq.empty).isEmpty)
+    // empty store
+    val e = s.dataset("a", "ptb-empty").create()
+    assert(e.readRows(Seq("x")).isEmpty)
+  }
+
   test("bucketed store works through readPath, export and the lens pipeline") {
     val s = freshStore()
     val d = s.dataset("sys", "docs").create()
