@@ -28,8 +28,8 @@ object BenchOne {
       val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-          val site = j.stageInfos.lastOption.map(s =>
-            s.name.takeWhile(_ != '\n').take(90)).getOrElse("?")
+          val site = j.stageInfos.map(s => s.name.takeWhile(_ != '\n').take(60))
+            .distinct.mkString(" | ").take(240)
           val ntasks = j.stageInfos.map(_.numTasks).sum
           starts.put(j.jobId, (System.nanoTime(), s"tasks=$ntasks  $site"))
         }
@@ -37,6 +37,12 @@ object BenchOne {
           Option(starts.remove(j.jobId)).foreach { case (t0, site) =>
             System.err.println(f"JOBLOG ${j.jobId}%4d ${(System.nanoTime() - t0) / 1e6}%8.1f ms  $site")
           }
+        }
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = s.stageInfo
+          val run = for {a <- i.submissionTime; b <- i.completionTime} yield b - a
+          System.err.println(f"STAGELOG ${i.stageId}%4d run=${run.getOrElse(-1L)}%6d ms tasks=${i.numTasks} exec=${i.taskMetrics.executorRunTime} ms  ${i.name.takeWhile(_ != '\n').take(80)}")
         }
       })
       Seq(run())

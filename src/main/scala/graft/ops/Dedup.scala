@@ -208,6 +208,23 @@ object Dedup {
       .distinct()
   }
 
+  /** Spread a small candidate frame across the session's cores before an
+    * expensive per-row VERIFY stage (r18). AQE's size-based partition
+    * coalescing sees the candidate rows (bare ids/offsets, tens of
+    * bytes) and packs them into ONE advisory-sized partition — blind to
+    * the verify that follows, which re-attaches payloads (shingle
+    * arrays, embeddings, full texts) and runs the expensive comparison
+    * effectively single-threaded (measured: q73's exact-cosine verify
+    * ran as one 1.6 s task on a 32-core session; the JOBLOG shows it as
+    * a 1-task localCheckpoint job). An explicit-numPartitions
+    * round-robin repartition is exempt from AQE coalescing, and the
+    * extra exchange moves only the narrow candidate rows. At real scale
+    * the verify joins stop broadcasting and re-shuffle on the id anyway
+    * (partitions then sized on payload bytes), so the spread's cost
+    * stays what it is here — one exchange of bare ids. */
+  private def spreadForVerify(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** all unordered pairs of an id array, as struct(_1 < _2) — column
     * expression so the bucket expansion stays in codegen */
   private def pairsOf(ids: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
@@ -240,7 +257,7 @@ object Dedup {
     val sh = TextOps.shingles(docs, idCol, textCol, nGram)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = minhashSignatures(sh, idCol)
-    val cand = lshCandidatePairs(sig, idCol, maxBucketSize, stats)
+    val cand = spreadForVerify(lshCandidatePairs(sig, idCol, maxBucketSize, stats))
     val shA = sh.select(col(idCol).as("a_id"), col("sh").as("sh_a"))
     val shB = sh.select(col(idCol).as("b_id"), col("sh").as("sh_b"))
     cand.join(shA, "a_id").join(shB, "b_id")
@@ -330,11 +347,11 @@ object Dedup {
       .filter(col("pr") <=
         expr(s"(n_a * ${threshDen - threshNum}) DIV $threshDen") + 1)
       .select(col("id").as("a_id"), col("gh"))
-    val cand = probe
+    val cand = spreadForVerify(probe
       .join(kept.select(col("id").as("b_id"), col("gh")), "gh")
       .filter(col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"))
-      .distinct()
+      .distinct())
     val shA = sh.select(col(idCol).as("a_id"), col("sh").as("sh_a"))
     val shB = sh.select(col(idCol).as("b_id"), col("sh").as("sh_b"))
     val result = cand.join(shA, "a_id").join(shB, "b_id")
@@ -491,11 +508,11 @@ object Dedup {
         explode(array(col("__band") - 1, col("__band"), col("__band") + 1))
           .as("__band"),
         col("__id").as("a_id"), col("__len").as("la"), col("__pos").as("pa"))
-    val cand = probe.join(build, Seq("g", "__band"))
+    val cand = spreadForVerify(probe.join(build, Seq("g", "__band"))
       .filter(col("a_id") < col("b_id") &&
         abs(col("pa") - col("pb")) <= maxDist &&
         abs(col("la") - col("lb")) <= maxDist)
-      .select(col("a_id"), col("b_id")).distinct()
+      .select(col("a_id"), col("b_id")).distinct())
     cand
       .join(strs.select(col("__id").as("a_id"), col("__s").as("__sa")), "a_id")
       .join(strs.select(col("__id").as("b_id"), col("__s").as("__sb")), "b_id")
@@ -859,9 +876,9 @@ object Dedup {
     val sigOk = sig.join(okCells, Seq("tbl", "bucket"), "left_semi")
     val a = sigOk.select(col(idCol).as("a_id"), col("tbl"), col("bucket"))
     val b = sigOk.select(col(idCol).as("b_id"), col("tbl"), col("bucket"))
-    val cand = a.join(b, Seq("tbl", "bucket"))
+    val cand = spreadForVerify(a.join(b, Seq("tbl", "bucket"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct()
+      .select(col("a_id"), col("b_id")).distinct())
     val e = embeddings
       .select(col(idCol).cast("long"), col(embCol).cast("array<double>").as("emb"))
     cand
@@ -899,8 +916,8 @@ object Dedup {
     val sigC = Ann.multiSignatures(corpus, dim, tables, bitsPerTable, idCol, embCol)
     val sigE = Ann.multiSignatures(evalSet, dim, tables, bitsPerTable, idCol, embCol)
       .select(col(idCol).as("eval_id"), col("tbl"), col("bucket"))
-    val cand = sigC.join(broadcast(sigE), Seq("tbl", "bucket"))
-      .select(col(idCol), col("eval_id")).distinct()
+    val cand = spreadForVerify(sigC.join(broadcast(sigE), Seq("tbl", "bucket"))
+      .select(col(idCol), col("eval_id")).distinct())
     val ce = corpus.select(col(idCol).cast("long"),
       col(embCol).cast("array<double>").as("emb_c"))
     val ee = evalSet.select(col(idCol).cast("long").as("eval_id"),
@@ -1143,12 +1160,12 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("pa"), (col("pa") - col("pb")).as("diag"))
     val wd = Window.partitionBy(col("a_id"), col("b_id"), col("diag"))
       .orderBy(col("pa"))
-    val islands = cand
+    val islands = spreadForVerify(cand
       .withColumn("grp", col("pa") - row_number().over(wd))
       .groupBy(col("a_id"), col("b_id"), col("diag"), col("grp"))
       .agg(min(col("pa")).as("a0"), (count(lit(1)) + lit(k - 1)).as("ilen"))
       .select(col("a_id"), col("b_id"), col("a0"),
-        (col("a0") - col("diag")).as("b0"), col("ilen"))
+        (col("a0") - col("diag")).as("b0"), col("ilen")))
     val withText = islands
       .join(d.select(col("id").as("a_id"), col("t").as("ta")), "a_id")
       .join(d.select(col("id").as("b_id"), col("t").as("tb")), "b_id")

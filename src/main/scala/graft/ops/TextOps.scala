@@ -92,7 +92,14 @@ object TextOps {
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol))
+    // Spread before the tokenize+shingle map (r18, the multiSignatures
+    // rationale): a one-file documents table scans as ONE partition and
+    // the most expensive narrow stage of the minhash pipeline runs
+    // single-threaded. Narrow-plan partition probe — no job.
+    val sel = docs.select(col(idCol).cast("long"), col(textCol))
+    val dp = spark.sparkContext.defaultParallelism
+    val spread = if (sel.rdd.getNumPartitions < dp) sel.repartition(dp) else sel
+    spread
       .as[(Long, String)]
       .map { case (id, text) =>
         // Locale.ROOT: a locale-default toLowerCase diverges from
