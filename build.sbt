@@ -33,6 +33,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // default raised 8g -> 24g (r18): local[32] runs all 32 executor
+  // threads' execution+storage memory inside this one JVM on a 128 GiB
+  // box; at 8g the unified region is ~4.6 GB (~150 MB/task) and
+  // allocation-heavy stages at 32 threads run the collector hot — the
+  // suspected amplifier of the multi-x wall-clock episodes recorded in
+  // r15-r17 verdicts. Still env-overridable either way (guide §5/§9:
+  // size executor memory to the machine, not the default).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   "-Xss16m", // deep document trees recurse in the CBOR codec
 )

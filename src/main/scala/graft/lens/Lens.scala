@@ -547,9 +547,9 @@ object LensBuild {
       // persist's per-partition block lock makes concurrent
       // materializations compute each partition once (spec-pinned by
       // IncrementalLensSpec's exact invocation counts).
-      val cacheWritten = scala.concurrent.Future {
+      val cacheWritten = runCacheWrite(spark) {
         writeCache(spooled.toDF(), cacheNext, pbuckets)
-      }(sideEc)
+      }
 
       // hash-gated materialize: unchanged output records keep their
       // version (same gate as a dataset commit)
@@ -662,14 +662,14 @@ object LensBuild {
       // below (r18, guide §2.6): independent until the manifest swap,
       // exactly-once map calls via the persist's per-partition block
       // locks (the full-build rationale above).
-      val cacheWritten = scala.concurrent.Future {
+      val cacheWritten = runCacheWrite(spark) {
         writeCache(
           if (pbuckets == 1 && cacheParquets > graft.store.Store.RebalanceFileThreshold)
             delta.hint("rebalance")
           else delta,
           cacheNext, pbuckets)
         if (usePB) carryCacheBuckets(cacheDir, cacheNext, touched)
-      }(sideEc)
+      }
 
       // ---- changed output ids (delta-scaled): an id's reduced value can
       //      move only if some contribution to it did — it appears in the
@@ -760,6 +760,18 @@ object LensBuild {
         t.setDaemon(true)
         t
       }))
+
+  /** Run the cache-write leg — concurrent with the caller's reduce+
+    * commit when `graft.lens.overlapCacheWrite` (default true) allows;
+    * inline otherwise. The knob exists for contention studies: the
+    * overlap wins when the two legs underfill the cluster (the bench's
+    * small-build regime), and can lose when both legs are
+    * cluster-saturating and memory-bound. */
+  private def runCacheWrite(spark: org.apache.spark.sql.SparkSession)(
+      body: => Unit): scala.concurrent.Future[Unit] =
+    if (spark.conf.get("graft.lens.overlapCacheWrite", "true") == "true")
+      scala.concurrent.Future(body)(sideEc)
+    else { body; scala.concurrent.Future.successful(()) }
 
   /** Cache-layout write: `pbuckets` > 1 hashes rows into `pbucket=k`
     * partition dirs on the input path — one shuffle keyed on the bucket

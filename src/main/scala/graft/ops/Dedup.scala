@@ -187,7 +187,13 @@ object Dedup {
       .toDF("band", "bkey", idCol)
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("band"), col("bkey"))
+    // explicit (band, bkey) partitioning (r18, the spreadForVerify
+    // rationale): the window's own exchange would AQE-coalesce to ~1
+    // partition on narrow rows, serializing the window + bucket
+    // aggregation + pair explosion that all reuse it
     val sized = banded
+      .repartition(banded.sparkSession.sparkContext.defaultParallelism,
+        col("band"), col("bkey"))
       .withColumn("bsz", count(lit(1)).over(w))
       .withColumn("rn", row_number().over(w.orderBy(col(idCol))))
     // Default-on drop visibility (CapStats WARNs if the cap fires);
@@ -199,31 +205,35 @@ object Dedup {
       sum(when(col("bsz") > maxBucketSize && col("rn") === 1, 1L)
         .otherwise(0L)).as("dropped_buckets"),
       max(col("bsz")).as("max_bucket")))
-    watched
+    spreadForVerify(watched
       .filter(col("bsz") > 1 && col("bsz") <= maxBucketSize)
       .groupBy(col("band"), col("bkey"))
       .agg(collect_list(col(idCol)).as("ids"))
       .select(explode(pairsOf(col("ids"))).as("p"))
-      .select(col("p").getField("_1").as("a_id"), col("p").getField("_2").as("b_id"))
+      .select(col("p").getField("_1").as("a_id"), col("p").getField("_2").as("b_id")),
+      col("a_id"), col("b_id"))
       .distinct()
   }
 
-  /** Spread a small candidate frame across the session's cores before an
-    * expensive per-row VERIFY stage (r18). AQE's size-based partition
-    * coalescing sees the candidate rows (bare ids/offsets, tens of
-    * bytes) and packs them into ONE advisory-sized partition — blind to
-    * the verify that follows, which re-attaches payloads (shingle
-    * arrays, embeddings, full texts) and runs the expensive comparison
-    * effectively single-threaded (measured: q73's exact-cosine verify
-    * ran as one 1.6 s task on a 32-core session; the JOBLOG shows it as
-    * a 1-task localCheckpoint job). An explicit-numPartitions
-    * round-robin repartition is exempt from AQE coalescing, and the
-    * extra exchange moves only the narrow candidate rows. At real scale
-    * the verify joins stop broadcasting and re-shuffle on the id anyway
-    * (partitions then sized on payload bytes), so the spread's cost
-    * stays what it is here — one exchange of bare ids. */
-  private def spreadForVerify(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  /** Explicit hash partitioning for a candidate-pair frame's dedup +
+    * verify stages (r18). AQE's size-based partition coalescing sees
+    * only the candidate rows' BYTES (bare ids/offsets, tens of bytes
+    * each) and packs them into one advisory-sized partition — blind to
+    * the work that runs there: the distinct/groupBy aggregation over
+    * millions of pairs AND the verify that re-attaches payloads
+    * (shingle arrays, embeddings, full texts) and runs the expensive
+    * comparison. Measured: q73's candidate distinct ran as ONE 15.7 s
+    * task at sf1.0 on a 32-core session (a post-hoc round-robin spread
+    * AFTER the distinct parallelized only the verify and left the
+    * aggregation serial). An explicit-numPartitions hash repartition on
+    * the dedup keys is exempt from AQE coalescing AND satisfies the
+    * aggregation's distribution requirement, so the same single
+    * exchange serves dedup and verify at full parallelism. The lost
+    * map-side partial dedup only re-ships duplicate occurrences of
+    * 16-byte id rows — noise against the serialized aggregation it
+    * buys back. */
+  private def spreadForVerify(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, keys: _*)
 
   /** all unordered pairs of an id array, as struct(_1 < _2) — column
     * expression so the bucket expansion stays in codegen */
@@ -257,7 +267,7 @@ object Dedup {
     val sh = TextOps.shingles(docs, idCol, textCol, nGram)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = minhashSignatures(sh, idCol)
-    val cand = spreadForVerify(lshCandidatePairs(sig, idCol, maxBucketSize, stats))
+    val cand = lshCandidatePairs(sig, idCol, maxBucketSize, stats)
     val shA = sh.select(col(idCol).as("a_id"), col("sh").as("sh_a"))
     val shB = sh.select(col(idCol).as("b_id"), col("sh").as("sh_b"))
     cand.join(shA, "a_id").join(shB, "b_id")
@@ -327,7 +337,11 @@ object Dedup {
       .select(col("id"), col("n_a"), xxhash64(col("g")).as("gh"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("gh"))
-    val sized = ex.withColumn("dfq", count(lit(1)).over(w))
+    // explicit gram partitioning (r18): same serialized-window fix as
+    // lshCandidatePairs
+    val sized = ex
+      .repartition(ex.sparkSession.sparkContext.defaultParallelism, col("gh"))
+      .withColumn("dfq", count(lit(1)).over(w))
       .withColumn("rn", row_number().over(w.orderBy(col("id"))))
     val warned = CapStats.watch(sized, "containmentPairs",
       sum(when(col("dfq") > maxGramDf && col("rn") === 1, 1L).otherwise(0L)),
@@ -350,8 +364,8 @@ object Dedup {
     val cand = spreadForVerify(probe
       .join(kept.select(col("id").as("b_id"), col("gh")), "gh")
       .filter(col("a_id") =!= col("b_id"))
-      .select(col("a_id"), col("b_id"))
-      .distinct())
+      .select(col("a_id"), col("b_id")), col("a_id"), col("b_id"))
+      .distinct()
     val shA = sh.select(col(idCol).as("a_id"), col("sh").as("sh_a"))
     val shB = sh.select(col(idCol).as("b_id"), col("sh").as("sh_b"))
     val result = cand.join(shA, "a_id").join(shB, "b_id")
@@ -508,11 +522,17 @@ object Dedup {
         explode(array(col("__band") - 1, col("__band"), col("__band") + 1))
           .as("__band"),
         col("__id").as("a_id"), col("__len").as("la"), col("__pos").as("pa"))
-    val cand = spreadForVerify(probe.join(build, Seq("g", "__band"))
+    // NOT spread (r18): unlike the other candidate generators, the
+    // positional-gram join emits each qualifying pair many times (p
+    // prefix grams × 3 probe bands), so the map-side partial dedup the
+    // plain distinct() keeps is worth more than parallelizing its final
+    // aggregation — the spreadForVerify variant measured 8.1 → 11.3 s
+    // at sf1.0 (shuffling every duplicate occurrence), plain wins.
+    val cand = probe.join(build, Seq("g", "__band"))
       .filter(col("a_id") < col("b_id") &&
         abs(col("pa") - col("pb")) <= maxDist &&
         abs(col("la") - col("lb")) <= maxDist)
-      .select(col("a_id"), col("b_id")).distinct())
+      .select(col("a_id"), col("b_id")).distinct()
     cand
       .join(strs.select(col("__id").as("a_id"), col("__s").as("__sa")), "a_id")
       .join(strs.select(col("__id").as("b_id"), col("__s").as("__sb")), "b_id")
@@ -878,7 +898,7 @@ object Dedup {
     val b = sigOk.select(col(idCol).as("b_id"), col("tbl"), col("bucket"))
     val cand = spreadForVerify(a.join(b, Seq("tbl", "bucket"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct())
+      .select(col("a_id"), col("b_id")), col("a_id"), col("b_id")).distinct()
     val e = embeddings
       .select(col(idCol).cast("long"), col(embCol).cast("array<double>").as("emb"))
     cand
@@ -917,7 +937,7 @@ object Dedup {
     val sigE = Ann.multiSignatures(evalSet, dim, tables, bitsPerTable, idCol, embCol)
       .select(col(idCol).as("eval_id"), col("tbl"), col("bucket"))
     val cand = spreadForVerify(sigC.join(broadcast(sigE), Seq("tbl", "bucket"))
-      .select(col(idCol), col("eval_id")).distinct())
+      .select(col(idCol), col("eval_id")), col(idCol), col("eval_id")).distinct()
     val ce = corpus.select(col(idCol).cast("long"),
       col(embCol).cast("array<double>").as("emb_c"))
     val ee = evalSet.select(col(idCol).cast("long").as("eval_id"),
@@ -1160,12 +1180,19 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("pa"), (col("pa") - col("pb")).as("diag"))
     val wd = Window.partitionBy(col("a_id"), col("b_id"), col("diag"))
       .orderBy(col("pa"))
-    val islands = spreadForVerify(cand
+    // explicit (pair, diagonal) partitioning (r18): the island window,
+    // the island aggregation (grouping keys ⊇ the partition keys, so it
+    // reuses the exchange) and the char-exact verify + extension scans
+    // downstream all run at full parallelism instead of on the
+    // AQE-coalesced read of narrow candidate rows
+    val islands = cand
+      .repartition(cand.sparkSession.sparkContext.defaultParallelism,
+        col("a_id"), col("b_id"), col("diag"))
       .withColumn("grp", col("pa") - row_number().over(wd))
       .groupBy(col("a_id"), col("b_id"), col("diag"), col("grp"))
       .agg(min(col("pa")).as("a0"), (count(lit(1)) + lit(k - 1)).as("ilen"))
       .select(col("a_id"), col("b_id"), col("a0"),
-        (col("a0") - col("diag")).as("b0"), col("ilen")))
+        (col("a0") - col("diag")).as("b0"), col("ilen"))
     val withText = islands
       .join(d.select(col("id").as("a_id"), col("t").as("ta")), "a_id")
       .join(d.select(col("id").as("b_id"), col("t").as("tb")), "b_id")

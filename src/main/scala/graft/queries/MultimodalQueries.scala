@@ -31,12 +31,13 @@ object MultimodalQueries {
   def audioDecode(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val n = 800 // 8 windows × 100 samples at 8 kHz = 0.1 s per clip
+    // NOT spread (r18): unlike the q151 JPEG path, spreading this map
+    // over 32 tasks REGRESSED it 1.1 → 2.9 s (remeasure-confirmed
+    // cross-round mover) — javax.sound's AudioSystem provider lookup
+    // serializes concurrent readers, so 32 contending threads lose to
+    // one uncontended task at this size. Left single-partition.
     val wavs = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id").cast("long")).distinct()
-      // spread before the heavy WAV encode+decode map: the distinct id
-      // frame AQE-coalesces to ~1 partition (KBs), which serialized the
-      // decode (r18, the q151 finding — VERDICT r17 Next #5)
-      .repartition(spark.sparkContext.defaultParallelism)
       .as[Long]
       .mapPartitions { it =>
         it.map { id =>
@@ -547,8 +548,6 @@ object MultimodalQueries {
     val m0 = n / 43
     val m = math.max(29L, if (m0 % 2 == 0) m0 + 1 else m0)
     val pngs = idsDf
-      // spread before the PNG encode+decode map (r18, the q151 finding)
-      .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions { it =>
         it.map { id =>
           val base = id % m
